@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -143,6 +144,95 @@ object SparkEntry {
       out.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
         "l_quantity", "rnk", "next_price", "run_qty")
     }),
+
+    // ---- §2.5 relational plumbing (scan→filter→agg, broadcast join + top-N)
+    "q18_groupby_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") < 45)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          // exact decimal(18,2) accumulation, surfaced as double — the sum is
+          // order-independent in decimal, so the final double is deterministic
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "q19_join_topn" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
+    }),
+
+    // ---- training-data pipeline: deduplication ----------------------------
+    "q20_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+
+    "q21_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.1)),
+
+    "q22_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashLshPairs(Tables.documents(s, dir), n = 3, numHashes = 16, bands = 4,
+        minEstimate = 0.4)),
+
+    "q23_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(Tables.documents(s, dir), maxHamming = 12)),
+
+    // ---- training-data pipeline: similarity search ------------------------
+    "q24_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)),
+
+    "q25_ann_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), queryIds = (0L until 10L), k = 5)),
+
+    "q26_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), queryIds = (0L until 10L), k = 5, numPlanes = 6)),
+
+    // ---- training-data pipeline: text analysis ----------------------------
+    "q27_text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
+
+    "q28_lang_id" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
+
+    "q29_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+
+    "q30_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
+
+    // ---- training-data pipeline: multimodal columns -----------------------
+    "q31_multimodal_meta" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Multimodal.extractMeta(Multimodal.asMediaRecords(Tables.documents(s, dir))).toDF()
+    }),
+
+    "q32_frame_sample" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Multimodal.sampleFrames(
+        Multimodal.extractMeta(Multimodal.asMediaRecords(Tables.documents(s, dir))), stride = 2)
+    }),
+
+    // ---- events: sessionization (gap > 30 min) via chained windows --------
+    "q33_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      // events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects; read
+      // it as epoch-nanos longs (lossless — the data is µs-resolution).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("prev_ns", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ns").isNull ||
+            col("ts") - col("prev_ns") > 1800000000000L, 1).otherwise(0))
+        .withColumn("session_id", sum("new_session").over(byUser).cast("int"))
+        .select("event_id", "user_id", "event_type", "new_session", "session_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -231,6 +321,124 @@ object SparkEntry {
            |lead(l_extendedprice, 1) $over AS next_price,
            |sum(l_quantity) $over AS run_qty
            |FROM lineitem""".stripMargin,
+
+      "q18_groupby_agg" ->
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+          |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          |sum(l_quantity) / count(*) AS avg_qty, count(*) AS n_rows
+          |FROM lineitem WHERE l_quantity < 45
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q19_join_topn" ->
+        """WITH r AS (
+          |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+          |         CAST(row_number() OVER (PARTITION BY c_mktsegment
+          |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+          |  FROM orders JOIN customer ON o_custkey = c_custkey)
+          |SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM r WHERE rnk <= 3""".stripMargin,
+
+      "q20_dedup_exact" ->
+        """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+          |FROM documents GROUP BY md5(text)""".stripMargin,
+
+      "q21_dedup_ngram_jaccard" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          |      FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+          |c AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+          |p AS (SELECT g1.doc_id AS doc1, g2.doc_id AS doc2, count(*) AS n_common
+          |      FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+          |      GROUP BY 1, 2)
+          |SELECT doc1, doc2, n_common,
+          |       CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) AS jaccard
+          |FROM p JOIN c c1 ON doc1 = c1.doc_id JOIN c c2 ON doc2 = c2.doc_id
+          |WHERE CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) >= 0.1""".stripMargin,
+
+      "q24_embed_neardup" ->
+        """SELECT a.vec_id AS id1, b.vec_id AS id2,
+          |round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
+
+      "q25_ann_topk" ->
+        """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+          |s AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cos_sim
+          |      FROM q, c WHERE q_id <> n_id),
+          |r AS (SELECT q_id, n_id, cos_sim,
+          |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS INT) AS rnk
+          |      FROM s)
+          |SELECT q_id, n_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+      "q27_text_stats" ->
+        """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+          |SELECT doc_id, CAST(length(text) AS INT) AS len_chars, CAST(len(ws) AS INT) AS n_words,
+          |CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) AS avg_word_len,
+          |CAST(len(list_filter(ws, x -> x IN ('the','a','of','and'))) AS INT) AS n_stopwords,
+          |CAST(len(list_filter(ws, x -> x IN ('the','a','of','and'))) AS DOUBLE) / len(ws) AS stopword_ratio
+          |FROM w""".stripMargin,
+
+      "q28_lang_id" ->
+        """WITH w AS (SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS ws FROM documents),
+          |s AS (SELECT doc_id, labeled_lang,
+          |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS INT) AS score_en,
+          |  CAST(len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) AS INT) AS score_de,
+          |  CAST(len(list_filter(ws, x -> x IN ('le','la','et','est','les'))) AS INT) AS score_fr,
+          |  CAST(len(list_filter(ws, x -> x IN ('el','los','y','es','las'))) AS INT) AS score_es,
+          |  CAST(len(list_filter(ws, x -> x IN ('de','shi','le','zai','he'))) AS INT) AS score_zh
+          |  FROM w)
+          |SELECT doc_id, labeled_lang, score_en, score_de, score_fr, score_es, score_zh,
+          |CASE WHEN score_en >= greatest(score_de, score_fr, score_es, score_zh) THEN 'en'
+          |     WHEN score_de >= greatest(score_fr, score_es, score_zh) THEN 'de'
+          |     WHEN score_fr >= greatest(score_es, score_zh) THEN 'fr'
+          |     WHEN score_es >= score_zh THEN 'es'
+          |     ELSE 'zh' END AS pred_lang
+          |FROM s""".stripMargin,
+
+      "q29_token_count" ->
+        """SELECT doc_id,
+          |CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+          |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INT) AS n_re_tokens,
+          |CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_approx_bpe
+          |FROM documents""".stripMargin,
+
+      "q30_fingerprint" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+          |SELECT doc_id,
+          |list_reduce(list_prepend(0::BIGINT,
+          |  list_transform(ws, x -> (length(x)*7919 + ascii(substr(x,1,1)))::BIGINT)),
+          |  (acc, x) -> (acc*1000003 + x) % 2147483647) AS fingerprint
+          |FROM w""".stripMargin,
+
+      "q31_multimodal_meta" ->
+        """SELECT doc_id, 'media/' || source AS media_type,
+          |CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          |CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+          |CAST(64 + (octet_length(encode(text))*31 + ascii(substr(text,1,1))) % 512 AS INT) AS height,
+          |CAST(1 + doc_id % 8 AS INT) AS n_frames
+          |FROM documents""".stripMargin,
+
+      "q32_frame_sample" ->
+        """WITH m AS (
+          |  SELECT doc_id, 'media/' || source AS media_type,
+          |  CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+          |  CAST(64 + (octet_length(encode(text))*31 + ascii(substr(text,1,1))) % 512 AS INT) AS height,
+          |  CAST(1 + doc_id % 8 AS INT) AS n_frames
+          |  FROM documents)
+          |SELECT doc_id, media_type, width, height, CAST(t.f AS INT) AS frame_idx
+          |FROM m, UNNEST(range(0, n_frames, 2)) t(f)""".stripMargin,
+
+      "q33_sessionize" ->
+        """WITH e AS (
+          |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS ns,
+          |         lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ns
+          |  FROM events),
+          |f AS (SELECT event_id, user_id, event_type,
+          |      CASE WHEN prev_ns IS NULL OR ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END AS new_session,
+          |      ns FROM e)
+          |SELECT event_id, user_id, event_type, new_session,
+          |CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS INT) AS session_id
+          |FROM f""".stripMargin,
     )
   }
 }

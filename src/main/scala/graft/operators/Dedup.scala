@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over a `documents`
+  * table (doc_id, text, ...).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is a single hash-shuffle on a 128-bit content hash — the
+  *    shuffle carries (hash, doc_id) only, never the text;
+  *  - n-gram Jaccard is EXACT pairwise similarity; its gram self-join
+  *    explodes quadratically on hot grams, so at scale it runs AFTER MinHash
+  *    LSH banding has cut candidates (minHashLsh below) — the exact variant
+  *    here doubles as the verifier for LSH candidates;
+  *  - MinHash: 16 hash slots from xxhash64(seed, gram) folded map-side via
+  *    aggregate(), so the shuffle carries one 16-long signature per doc;
+  *    banding (4 bands × 4 rows) turns near-dup search into an equi-join —
+  *    Catalyst plans a plain shuffle-hash join that scales linearly;
+  *  - SimHash: one 64-bit signature per doc, computed in a single map-side
+  *    fold (no explode, no shuffle); banding into 4×16-bit keys finds
+  *    candidates within small Hamming distance.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct `textCol` value with
+    * the smallest doc_id as the canonical keeper and the duplicate count.
+    * MD5 (128-bit) over the raw text; collision probability is negligible
+    * and the shuffle never carries the document body. */
+  def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct (doc_id, gram) pairs for word n-grams. */
+  private def gramSet(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(TextAnalysis.wordGrams(col("text"), n)).as("gram"))
+      .distinct()
+
+  /** EXACT n-gram Jaccard near-duplicate pairs: all (doc1 < doc2) with
+    * |grams1 ∩ grams2| / |grams1 ∪ grams2| >= threshold.
+    *
+    * Implementation: distinct gram explode → self-equi-join on gram →
+    * pair-count = intersection; union from per-doc gram counts. Jaccard is a
+    * single exact integer division — bit-identical to any SQL engine.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val grams = gramSet(docs, n)
+    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val inter = grams.as("g1")
+      .join(grams.as("g2"), col("g1.gram") === col("g2.gram") && col("g1.doc_id") < col("g2.doc_id"))
+      .groupBy(col("g1.doc_id").as("doc1"), col("g2.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_grams", "n1"), "doc1")
+      .join(counts.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_grams", "n2"), "doc2")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc1", "doc2", "n_common", "jaccard")
+  }
+
+  /** MinHash signatures: for each of `numHashes` seeds, the minimum
+    * xxhash64(seed, gram) over the document's n-gram set. Computed as a
+    * map-side fold over the gram array — no explode, no extra shuffle;
+    * output is one compact row per document. */
+  def minHashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 16): DataFrame = {
+    val grams = array_distinct(TextAnalysis.wordGrams(col("text"), n))
+    val sig = array((0 until numHashes).map { seed =>
+      aggregate(grams, lit(Long.MaxValue),
+        (acc, g) => least(acc, xxhash64(lit(seed), g)))
+    }: _*)
+    docs.select(col("doc_id"), sig.as("minhash"))
+  }
+
+  /** MinHash LSH candidate pairs: band the signature (bands × rowsPerBand =
+    * numHashes), bucket-join on (band index, band slice), then estimate
+    * similarity as the fraction of matching slots. Docs with < n words (empty
+    * gram set → all-sentinel signature) are excluded. The equi-join on band
+    * keys is the scale path: candidates ~ true near-dups, not n². */
+  def minHashLshPairs(
+      docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      minEstimate: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(docs, n, numHashes)
+      .filter(element_at(col("minhash"), 1) =!= Long.MaxValue)
+    val banded = sigs.select(
+      col("doc_id"), col("minhash"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("minhash"), b * rows + 1, rows))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.minhash").as("mh1"), col("b.minhash").as("mh2"))
+      .distinct()
+    cands
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("mh1"), col("mh2"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minEstimate)
+      .select("doc1", "doc2", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over the word multiset: bit j of the signature is the
+    * sign of Σ_w (±1 by bit j of xxhash64(w)). One map-side fold per doc —
+    * the 64-counter state lives in a single array column, no shuffle. */
+  def simHash(docs: DataFrame): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val zeros = array_repeat(lit(0L), 64)
+    val counts = aggregate(ws, zeros, (acc, w) =>
+      zip_with(acc, bitContribs(w), (a, c) => a + c))
+    // Two projections on purpose: bit_counts is referenced 64 times below and
+    // CollapseProject keeps the fold from being inlined 64×.
+    val withCounts = docs.select(col("doc_id"), counts.as("bit_counts"))
+    val sig = (0 until 64).map { j =>
+      when(element_at(col("bit_counts"), j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    withCounts.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  private def bitContribs(w: org.apache.spark.sql.Column) =
+    array((0 until 64).map { j =>
+      when(shiftrightunsigned(xxhash64(w), j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
+    }: _*)
+
+  /** SimHash near-dup candidates: band the 64-bit signature into four 16-bit
+    * keys; docs sharing any band are candidates (catches Hamming distance
+    * <= 3 deterministically for well-spread hashes). Reports the exact
+    * Hamming distance for downstream filtering. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val sigs = simHash(docs)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val hamming = {
+      val x = col("s1").bitwiseXOR(col("s2"))
+      bit_count(x)
+    }
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+      .distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("doc1", "doc2", "hamming")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A media payload as it would arrive from a lakehouse table: opaque bytes +
+  * typed metadata. */
+case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+
+/** Output of the (stubbed) decode stage. */
+case class MediaMeta(
+    doc_id: Long,
+    media_type: String,
+    byte_len: Long,
+    width: Int,
+    height: Int,
+    n_frames: Int)
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, decoded executor-side in partition-sized batches.
+  *
+  * The Spark-side plumbing — schema, typed Dataset encoders, partition-wise
+  * batch iteration, downstream explode of per-frame rows — is real and
+  * tested. The pixel/sample decode itself is a clearly-marked deterministic
+  * STUB (`decodeStub`): this container has no image/audio codecs, so it
+  * derives fake-but-stable dimensions from the payload bytes. Swapping in a
+  * real decoder changes only that one function; everything around it (the
+  * mapPartitions boundary, the per-partition batching, the output schema)
+  * is what would ship.
+  *
+  * Scale notes: decode is the textbook mapPartitions case — per-partition
+  * setup cost (codec init) amortizes across the batch, payload bytes never
+  * shuffle (only the extracted metadata does), and
+  * `spark.sql.files.maxPartitionBytes` bounds executor memory per task.
+  */
+object Multimodal {
+
+  /** STUB decoder — deterministic fake: dimensions derived from payload
+    * length and first bytes. A real build replaces this body with an actual
+    * codec (e.g. javax.imageio / ffmpeg bindings); signature stays. */
+  private[operators] def decodeStub(rec: MediaRecord): MediaMeta = {
+    val len = rec.payload.length.toLong
+    val lead = if (rec.payload.nonEmpty) rec.payload(0) & 0xff else 0
+    MediaMeta(
+      doc_id = rec.doc_id,
+      media_type = rec.media_type,
+      byte_len = len,
+      width = 64 + (len % 512).toInt,
+      height = 64 + ((len * 31 + lead) % 512).toInt,
+      n_frames = 1 + (rec.doc_id % 8).toInt)
+  }
+
+  /** documents → MediaRecord dataset: treats the utf-8 bytes of `text` as
+    * the opaque payload (the testdata ships no true binary column; the
+    * schema/encoder path is identical for real media bytes). */
+  def asMediaRecords(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id"),
+      concat(lit("media/"), col("source")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** Decode/feature-extract stage: partition-wise batches through the stub
+    * decoder. Executor-side, codec init once per partition, metadata-only
+    * output. */
+  def extractMeta(records: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaMeta] = {
+    import spark.implicits._
+    records.mapPartitions { batch =>
+      // real impl: initialize the codec ONCE here, then decode the batch
+      batch.map(decodeStub)
+    }
+  }
+
+  /** Frame sampling: one output row per sampled frame index (every `stride`-th
+    * frame). Runs on the decoded metadata — the explode happens AFTER the
+    * payload is dropped, so the shuffle carries rows of a few ints. */
+  def sampleFrames(meta: Dataset[MediaMeta], stride: Int = 2): DataFrame =
+    meta.toDF().select(
+      col("doc_id"), col("media_type"), col("width"), col("height"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Scale design (100 TB):
+  *  - all vector math is `zip_with`/`aggregate` over array columns — native
+  *    Catalyst expressions, map-side, no UDF;
+  *  - brute-force top-k is the exact baseline: broadcast the (small) query
+  *    set, stream the corpus once, per-query top-k via window rank. Cost is
+  *    |Q| × |corpus| — right when |Q| is small or recall must be 1.0;
+  *  - the scale path is LSH bucketing (random-hyperplane signatures):
+  *    candidates share a signature bucket, so the join is an equi-join on the
+  *    bucket key and cost tracks true neighbors, not n². Hyperplanes are
+  *    derived deterministically from xxhash64 so executors need no broadcast
+  *    state and reruns are reproducible.
+  */
+object Similarity {
+
+  /** Elementwise double-cast — float32 math would lose the precision the
+    * exactness argument needs. */
+  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double-array columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine near-duplicate pairs (id1 < id2, cosine >= threshold) by
+    * full self-join. Quadratic — the verifier / small-corpus path; at scale
+    * run lshBuckets first and verify only co-bucketed pairs. `cos_sim` is
+    * rounded to 6 decimals so results are stable across engines' summation
+    * orders. */
+  def nearDupPairs(emb: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val a = emb.select(col("vec_id").as("id1"), toDouble(col("embedding")).as("v1"))
+    val b = emb.select(col("vec_id").as("id2"), toDouble(col("embedding")).as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos_sim", round(cosine(col("v1"), col("v2")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id1", "id2", "cos_sim")
+  }
+
+  /** Exact brute-force top-k: for each query vector (vec_id in a small,
+    * broadcastable query set), the k nearest corpus vectors by cosine.
+    * Ordering is tie-free: (rounded cosine desc, neighbor id). */
+  def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = emb.select(col("vec_id").as("n_id"), toDouble(col("embedding")).as("nv"))
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), toDouble(col("embedding")).as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    corpus.join(broadcast(queries), col("q_id") =!= col("n_id"))
+      .withColumn("cos_sim", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos_sim"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: plane j, dimension i
+    * → a value in [-1, 1), derived from xxhash64 so it needs no state. */
+  private def planeComponent(j: Int, i: Column): Column =
+    (pmod(xxhash64(lit(j), i), lit(2000L)).cast("double") - 1000.0) / 1000.0
+
+  /** Random-hyperplane LSH signature: `numPlanes` sign bits packed into a
+    * long. Vectors with equal signatures are near-certain neighbors;
+    * probing is a plain equi-join on `bucket`. */
+  def lshSignature(v: Column, numPlanes: Int = 12): Column = {
+    val planeDots = (0 until numPlanes).map { j =>
+      aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x.cast("double") * planeComponent(j, i)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    (0 until numPlanes).map(j => when(planeDots(j) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** Approximate top-k through LSH buckets: candidates are corpus vectors
+    * sharing the query's bucket; exact cosine reranks within the bucket.
+    * Recall < 1.0 by construction — the scale path when |Q| × |corpus| is
+    * infeasible. Bucket count 2^numPlanes controls the recall/cost trade. */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, numPlanes: Int = 8): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      lshSignature(col("embedding"), numPlanes).as("bucket"))
+    val corpus = bucketed.select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("bucket"))
+    val queries = bucketed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos_sim", round(cosine(toDouble(col("qv")), toDouble(col("nv"))), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos_sim"), col("rnk"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, over a `text`
+  * column. All pure `org.apache.spark.sql.functions` expressions — whole-stage
+  * codegen end to end, no UDFs, no shuffle except where grouping is inherent.
+  *
+  * Determinism: every computation is exact integer / rational arithmetic on
+  * the same operands DuckDB would use, so results hash-match a SQL oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization — single-space split, matching DuckDB's
+    * string_split(text, ' ') exactly. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Word n-grams as space-joined strings; empty array when the document has
+    * fewer than n words. */
+  def wordGrams(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + 1, lit(n)), " "))
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document quality stats: char count, word count, mean word length,
+    * punctuation count, stopword ratio. One narrow projection, no shuffle. */
+  def stats(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val totalWordChars = aggregate(transform(ws, w => length(w)), lit(0), (acc, x) => acc + x)
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("len_chars"),
+      size(ws).as("n_words"),
+      (totalWordChars.cast("double") / size(ws).cast("double")).as("avg_word_len"),
+      size(filter(ws, w => w.isin("the", "a", "of", "and"))).as("n_stopwords"),
+      (size(filter(ws, w => w.isin("the", "a", "of", "and"))).cast("double")
+        / size(ws).cast("double")).as("stopword_ratio"))
+  }
+
+  /** Language-marker word lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic argmax with a fixed priority tie-break. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "los", "y", "es", "las"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  /** Heuristic language ID: count marker-word hits per language, pick the
+    * max; ties resolve in `langMarkers` declaration order (en first). At
+    * scale this is a pure map-side projection — no shuffle, codegen'd. */
+  def languageId(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val scored = docs.select(
+      col("doc_id") +: col("lang").as("labeled_lang") +:
+        langMarkers.map { case (lang, markers) =>
+          size(filter(ws, w => w.isin(markers.map(lit): _*))).as(s"score_$lang")
+        }: _*)
+    // argmax with declaration-order tie-break: strictly-greater comparison
+    // walking the list keeps the earliest language on ties.
+    val best = langMarkers.map(_._1).foldLeft(lit("und") -> lit(-1)) {
+      case ((bestLang, bestScore), lang) =>
+        val s = col(s"score_$lang")
+        (when(s > bestScore, lit(lang)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }
+    scored.withColumn("pred_lang", best._1)
+  }
+
+  /** Token counting: whitespace tokens, a BPE-ish regex token count
+    * (letter runs / digits / other symbols), and the chars/4 heuristic. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(words(col("text"))).as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9 ]")).as("n_re_tokens"),
+      ceil(length(col("text")).cast("double") / 4.0).cast("long").as("n_approx_bpe"))
+
+  /** Per-word numeric code used by the rolling fingerprint: cheap,
+    * deterministic, reproducible in plain SQL (length + first char code). */
+  private def wordCode(w: Column): Column =
+    (length(w) * lit(7919L) + ascii(substring(w, 1, 1))).cast("long")
+
+  /** Rolling polynomial fingerprint over the word sequence
+    * (Rabin-Karp-style: h = (h * 1000003 + code(w)) mod 2^31-1).
+    * Exact integer arithmetic — products stay < 2^52, no overflow.
+    * A pure projection; at 100 TB this runs entirely map-side. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val codes = transform(words(col("text")), wordCode(_))
+    docs.select(
+      col("doc_id"),
+      aggregate(codes, lit(0L), (acc, x) => (acc * 1000003L + x) % 2147483647L)
+        .as("fingerprint"))
+  }
+}
