@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** 64-bit SimHash signature from an array of per-token 64-bit hashes:
+  * bit j of the result is set iff Σ_tokens (±1 by bit j of the token hash)
+  * is positive.
+  *
+  * Why custom: the fold-over-64-counters version in pure Catalyst
+  * higher-order functions costs ~500 interpreted ops and one 64-element
+  * array allocation per token; this compiles to two tight primitive loops
+  * per row inside whole-stage codegen. */
+case class SimHashSignature(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_signature expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = hs.numElements()
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 64) {
+        counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val counts = ctx.freshName("counts")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int[] $counts = new int[64];
+         |int n = $a.numElements();
+         |for (int i = 0; i < n; i++) {
+         |  long h = $a.getLong(i);
+         |  for (int j = 0; j < 64; j++) {
+         |    $counts[j] += (((h >>> j) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int j = 0; j < 64; j++) { if ($counts[j] > 0) $sig |= (1L << j); }
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature from an array of per-gram 64-bit hashes: slot j is
+  * min over grams of xxhash64(gramHash, seed = j). Empty input → all-MaxValue
+  * sentinel (callers filter it).
+  *
+  * Why custom: the fold-with-zip_with version re-enters the interpreted
+  * higher-order-function machinery numHashes times per gram (~3 s for 260k
+  * grams at sf0.1); this is two primitive loops per row. */
+case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinHashSignature.compute($a, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  /** Shared by interpreted eval and generated code. */
+  def compute(hs: ArrayData, numHashes: Int): ArrayData = {
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val p = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, j.toLong)
+        if (p < out(j)) out(j) = p
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** 64-bit hashes of the word n-grams of a words array: gram j covers words
+  * [j, j+n), hashed by chaining xxhash64 over the per-word hashes. Fewer than
+  * n words → empty array.
+  *
+  * Why custom: building gram STRINGS via transform/slice/array_join runs
+  * interpreted and allocates a string per gram; every consumer (minhash,
+  * jaccard candidate join) only needs gram EQUALITY, which the 64-bit hash
+  * preserves (collision odds ~2^-64 per pair). */
+case class WordGramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_gram_hashes expects array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordGramHashes.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WordGramHashes.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordGramHashes {
+  private val SEED = 42L
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(words: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val count = words.numElements()
+    if (count < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val wh = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val w = words.getUTF8String(i)
+      wh(i) = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes(), SEED)
+      i += 1
+    }
+    val out = new Array[Long](count - n + 1)
+    var j = 0
+    while (j < out.length) {
+      var g = SEED
+      var k = 0
+      while (k < n) { g = XXH64.hashLong(wh(j + k), g); k += 1 }
+      out(j) = g
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+object HashFunctions {
+  /** Column API for [[SimHashSignature]]. */
+  def simhash_signature(tokenHashes: Column): Column =
+    GraftColumnBridge.column(SimHashSignature(GraftColumnBridge.expression(tokenHashes)))
+
+  /** Column API for [[MinHashSignature]]. */
+  def minhash_signature(gramHashes: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(
+      MinHashSignature(GraftColumnBridge.expression(gramHashes), numHashes))
+
+  /** Column API for [[WordGramHashes]]. */
+  def word_gram_hashes(words: Column, n: Int): Column =
+    GraftColumnBridge.column(WordGramHashes(GraftColumnBridge.expression(words), n))
+}

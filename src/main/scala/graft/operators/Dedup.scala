@@ -31,9 +31,15 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct (doc_id, gram) pairs for word n-grams. */
+  /** Distinct (doc_id, gram) pairs for word n-grams, with grams represented
+    * by their 64-bit hash (graft.functions.WordGramHashes) — every consumer
+    * needs only gram equality, and the hashed form skips the interpreted
+    * per-gram string construction entirely. Words materialize in their own
+    * projection so tokenization runs once per doc. */
   private def gramSet(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), explode(TextAnalysis.wordGrams(col("text"), n)).as("gram"))
+    TextAnalysis.withWords(docs)
+      .select(col("doc_id"),
+        explode(graft.functions.HashFunctions.word_gram_hashes(col("__words"), n)).as("gram"))
       .distinct()
 
   /** EXACT n-gram Jaccard near-duplicate pairs: all (doc1 < doc2) with
@@ -64,12 +70,14 @@ object Dedup {
     * map-side fold over the gram array — no explode, no extra shuffle;
     * output is one compact row per document. */
   def minHashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 16): DataFrame = {
-    val grams = array_distinct(TextAnalysis.wordGrams(col("text"), n))
-    val sig = array((0 until numHashes).map { seed =>
-      aggregate(grams, lit(Long.MaxValue),
-        (acc, g) => least(acc, xxhash64(lit(seed), g)))
-    }: _*)
-    docs.select(col("doc_id"), sig.as("minhash"))
+    // Gram hashes and the slot-minima fold both run as codegen'd expressions
+    // (WordGramHashes → MinHashSignature); no gram dedup needed — duplicate
+    // grams can't change a minimum. Slot j = min over grams of
+    // xxh64(gramHash, seed=j), the one-hash minhash construction.
+    TextAnalysis.withWords(docs).select(col("doc_id"),
+      graft.functions.HashFunctions.minhash_signature(
+        graft.functions.HashFunctions.word_gram_hashes(col("__words"), n), numHashes)
+        .as("minhash"))
   }
 
   /** MinHash LSH candidate pairs: band the signature (bands × rowsPerBand =
@@ -107,24 +115,13 @@ object Dedup {
   /** 64-bit SimHash over the word multiset: bit j of the signature is the
     * sign of Σ_w (±1 by bit j of xxhash64(w)). One map-side fold per doc —
     * the 64-counter state lives in a single array column, no shuffle. */
-  def simHash(docs: DataFrame): DataFrame = {
-    val ws = TextAnalysis.words(col("text"))
-    val zeros = array_repeat(lit(0L), 64)
-    val counts = aggregate(ws, zeros, (acc, w) =>
-      zip_with(acc, bitContribs(w), (a, c) => a + c))
-    // Two projections on purpose: bit_counts is referenced 64 times below and
-    // CollapseProject keeps the fold from being inlined 64×.
-    val withCounts = docs.select(col("doc_id"), counts.as("bit_counts"))
-    val sig = (0 until 64).map { j =>
-      when(element_at(col("bit_counts"), j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    withCounts.select(col("doc_id"), sig.as("simhash"))
-  }
-
-  private def bitContribs(w: org.apache.spark.sql.Column) =
-    array((0 until 64).map { j =>
-      when(shiftrightunsigned(xxhash64(w), j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
-    }: _*)
+  def simHash(docs: DataFrame): DataFrame =
+    // Hash each word once, then fold the 64 bit-counters in a codegen'd
+    // expression (graft.functions.SimHashSignature) — the pure-HOF version
+    // costs ~500 interpreted ops per word.
+    TextAnalysis.withWords(docs).select(col("doc_id"),
+      graft.functions.HashFunctions.simhash_signature(
+        graft.functions.HashFunctions.word_gram_hashes(col("__words"), 1)).as("simhash"))
 
   /** SimHash near-dup candidates: band the 64-bit signature into four 16-bit
     * keys; docs sharing any band are candidates (catches Hamming distance

