@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+    (1L, "the quick brown fox jumps over the lazy cat", "en", "s1"), // near-dup of 0
+    (2L, "completely different words appear here only", "de", "s2"),
+    (3L, "the quick brown fox jumps over the lazy dog", "en", "s3"), // exact dup of 0
+    (4L, "tiny", "fr", "s4") // fewer than 3 words
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("exact dedup groups identical texts and keeps the min doc_id") {
+    val r = Dedup.exact(docs).collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(r(0L) == 2) // doc 0 and 3 collapse, keeper 0
+    assert(r.values.sum == 5)
+    assert(r.size == 4)
+  }
+
+  test("ngram jaccard finds the near-dup pair with the exact ratio") {
+    val rows = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.2).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // docs 0/3 identical: 7 grams each, jaccard 1.0
+    assert(pairs((0L, 3L)) == 1.0)
+    // docs 0/1 differ in last word: 6 common of 8 union
+    assert(pairs((0L, 1L)) == 6.0 / 8.0)
+    assert(pairs((1L, 3L)) == 6.0 / 8.0)
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash LSH surfaces exact and near duplicates, skips short docs") {
+    val rows = Dedup.minHashLshPairs(docs, minEstimate = 0.4).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 3L)) == 1.0) // identical signatures
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L)) // <3 words excluded
+  }
+
+  test("simhash: identical docs share signatures; near-dups within small hamming") {
+    val sigs = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(3L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(1L)) < 24)
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((0L, 3L)) == 0)
+  }
+
+  private lazy val emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(-1.0f, 0.0f, 0.0f), 2)  // opposite of 0
+  ).toDF("vec_id", "embedding", "label")
+
+  test("embedding near-dup pairs: exact cosine, threshold filter") {
+    val pairs = Similarity.nearDupPairs(emb, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet == Set((0L, 1L)))
+    assert(math.abs(pairs((0L, 1L)) - 0.9 / math.sqrt(0.82)) < 1e-5)
+  }
+
+  test("brute-force topk ranks by cosine desc with tie-free id order") {
+    val rows = Similarity.bruteForceTopK(emb, Seq(0L), k = 2).collect()
+      .sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getInt(3)))
+    assert(rows.toSeq == Seq((1L, 1), (2L, 2))) // closest first; -1 vector last
+  }
+
+  test("lsh topk returns the same top hit as brute force for a clear neighbor") {
+    val rows = Similarity.lshTopK(emb, Seq(0L), k = 1, numPlanes = 4).collect()
+    // bucket of vec 0 must at least contain its near-identical neighbor 1
+    assert(rows.forall(_.getLong(0) == 0L))
+  }
+
+  test("text stats compute exact rational values") {
+    val r = TextAnalysis.stats(docs).filter($"doc_id" === 0L).collect()(0)
+    assert(r.getAs[Int]("len_chars") == 43)
+    assert(r.getAs[Int]("n_words") == 9)
+    assert(r.getAs[Int]("n_stopwords") == 2) // "the" twice
+    assert(r.getAs[Double]("stopword_ratio") == 2.0 / 9.0)
+  }
+
+  test("language id picks the max-scoring language with priority tie-break") {
+    val r = TextAnalysis.languageId(docs).select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(0L) == "en") // "the" ×2 beats everything
+    assert(r(4L) == "en") // all scores 0 → tie → first priority
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val f = TextAnalysis.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f(0L) == f(3L)) // identical text
+    assert(f(0L) != f(1L))
+    assert(f(0L) >= 0L && f(0L) < 2147483647L)
+  }
+
+  test("multimodal pipeline: stub decode is deterministic, frames sample by stride") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val meta = Multimodal.extractMeta(Multimodal.asMediaRecords(docs))
+    val m = meta.collect().map(x => x.doc_id -> x).toMap
+    assert(m(0L).byte_len == 43)
+    assert(m(0L).width == 64 + (43 % 512))
+    assert(m(0L).n_frames == 1)
+    assert(m(3L).n_frames == 4) // 1 + 3 % 8
+    val frames = Multimodal.sampleFrames(meta, stride = 2)
+      .filter($"doc_id" === 3L).select("frame_idx").collect().map(_.getInt(0)).sorted
+    assert(frames.toSeq == Seq(0, 2)) // frames 0..3, stride 2
+  }
+}
