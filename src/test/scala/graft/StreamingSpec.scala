@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming._
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  private val batch = Seq(
+    Ev(1, t(0), 1, "click", 1.0), Ev(2, t(1), 1, "click", 2.0),
+    Ev(3, t(6), 2, "view", 3.0), Ev(4, t(7), 1, "click", 4.0),
+    Ev(5, t(40), 1, "view", 5.0), Ev(6, t(41), 2, "view", 6.0))
+
+  test("tumbling agg on a stream matches the same expression run in batch") {
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(batch: _*)
+    val q = StreamingWindows.tumblingAgg(stream.toDF(), "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("tumbling").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val batched = StreamingWindows.tumblingAgg(batch.toDF(), "5 minutes", "10 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(streamed == batched)
+    assert(streamed((t(0), "click")) == ((2L, 3.0)))    // events 1,2 in [10:00,10:05)
+    assert(streamed((t(5), "click")) == ((1L, 4.0)))    // event 4 in [10:05,10:10)
+  }
+
+  test("session windows close after the gap and carry exact aggregates") {
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(batch: _*)
+    val q = StreamingWindows.sessionAgg(stream.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getLong(2), r.getTimestamp(0)) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    // user 1: events at 10:00,10:01,10:07 → one session (n=3, sum=7); 10:40 → second session
+    assert(rows((1L, t(0))) == ((3L, 7.0)))
+    assert(rows((1L, t(40))) == ((1L, 5.0)))
+    // user 2: 10:06 and 10:41 are separate sessions (gap > 30 min)
+    assert(rows((2L, t(6))) == ((1L, 3.0)))
+    assert(rows((2L, t(41))) == ((1L, 6.0)))
+  }
+
+  test("threshold alerts fire once per user at the crossing event") {
+    val stream = MemoryStream[UserEvent](spark)
+    stream.addData(
+      UserEvent(1, t(0), 4.0), UserEvent(1, t(1), 5.0),  // crosses 8 at 2nd event
+      UserEvent(2, t(2), 10.0),                           // crosses at 1st
+      UserEvent(3, t(3), 1.0))                            // never crosses
+    val q = ThresholdAlerts(stream.toDS(), threshold = 8.0)
+      .writeStream.format("memory").queryName("alerts").outputMode("append").start()
+    q.processAllAvailable()
+    // second micro-batch: user 1 already fired — no duplicate alert
+    stream.addData(UserEvent(1, t(5), 100.0), UserEvent(3, t(6), 9.0))
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("alerts").as[ThresholdCross].collect().sortBy(_.user_id)
+    assert(rows.map(_.user_id).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.find(_.user_id == 1L).get == ThresholdCross(1L, 9.0, 2L))
+    assert(rows.find(_.user_id == 3L).get == ThresholdCross(3L, 10.0, 2L))
+  }
+}
