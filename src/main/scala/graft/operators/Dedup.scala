@@ -31,16 +31,20 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct (doc_id, gram) pairs for word n-grams, with grams represented
-    * by their 64-bit hash (graft.functions.WordGramHashes) — every consumer
-    * needs only gram equality, and the hashed form skips the interpreted
-    * per-gram string construction entirely. Words materialize in their own
-    * projection so tokenization runs once per doc. */
-  private def gramSet(docs: DataFrame, n: Int): DataFrame =
+  /** Per-doc DISTINCT gram-hash array (graft.functions.WordGramHashes) —
+    * grams travel as 64-bit hashes because every consumer needs only gram
+    * equality, and the dedup happens map-side with array_distinct: a
+    * (doc_id, gram) distinct-shuffle would move the same data for nothing.
+    * Words materialize in their own projection so tokenization runs once. */
+  private def gramArrays(docs: DataFrame, n: Int): DataFrame =
     TextAnalysis.withWords(docs)
       .select(col("doc_id"),
-        explode(graft.functions.HashFunctions.word_gram_hashes(col("__words"), n)).as("gram"))
-      .distinct()
+        array_distinct(graft.functions.HashFunctions.word_gram_hashes(col("__words"), n))
+          .as("grams"))
+
+  /** Distinct (doc_id, gram) pairs, exploded from [[gramArrays]] — no shuffle. */
+  private def gramSet(docs: DataFrame, n: Int): DataFrame =
+    gramArrays(docs, n).select(col("doc_id"), explode(col("grams")).as("gram"))
 
   /** EXACT n-gram Jaccard near-duplicate pairs: all (doc1 < doc2) with
     * |grams1 ∩ grams2| / |grams1 ∪ grams2| >= threshold.
@@ -51,7 +55,8 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame = {
     val grams = gramSet(docs, n)
-    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    // per-doc set size straight off the distinct array — map-side, no agg
+    val counts = gramArrays(docs, n).select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
     val inter = grams.as("g1")
       .join(grams.as("g2"), col("g1.gram") === col("g2.gram") && col("g1.doc_id") < col("g2.doc_id"))
       .groupBy(col("g1.doc_id").as("doc1"), col("g2.doc_id").as("doc2"))

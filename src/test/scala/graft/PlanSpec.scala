@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the properties that make these operators
+  * viable at 100 TB are visible in the physical plan — assert them so a
+  * refactor can't silently trade them away. Runs against sf0.001 parquet. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("window queries: exactly one exchange, pruned scan") {
+    for (q <- Seq("q01_rank", "q14_accumulate", "q17_dsl")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$q shuffles once")
+      // lineitem has 11 columns; the scan must not read them all
+      val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+      assert(read.split(",").length <= 7, s"$q scan pruned, got: $read")
+    }
+  }
+
+  test("three DSL aggregates collapse into a single Window node") {
+    val p = plan("q17_dsl")
+    assert("(?m)Window \\[".r.findAllIn(p).size == 1)
+  }
+
+  test("filter pushes down to the parquet scan") {
+    val p = plan("q18_groupby_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,45.0)]"), p.linesIterator.filter(_.contains("Pushed")).mkString)
+  }
+
+  test("dimension join broadcasts the small side") {
+    assert(plan("q19_join_topn").contains("BroadcastHashJoin"))
+  }
+
+  test("ANN brute force broadcasts the query set, not the corpus") {
+    val p = plan("q25_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"))
+  }
+
+  test("dedup exact shuffles hashes, never document text") {
+    val p = plan("q20_dedup_exact")
+    // the exchange must partition on the computed hash, and the rows entering
+    // it (partial-agg output) must not include the text column
+    val partials = "HashAggregate\\(keys=\\[[^\\]]*\\], functions=\\[partial_[^\\]]*\\], output=\\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(partials.nonEmpty && partials.forall(!_.contains("text#")),
+      "shuffle input must not carry the text column")
+  }
+
+  test("jaccard gram dedup happens map-side (no distinct shuffle on grams)") {
+    val p = plan("q21_dedup_ngram_jaccard")
+    // shuffles: pair-count agg + (possibly) join exchanges; the per-doc gram
+    // dedup itself must be array_distinct, not a (doc_id, gram) shuffle
+    assert(p.contains("array_distinct"))
+  }
+
+  test("minhash/simhash signatures reduce before the join") {
+    for (q <- Seq("q22_dedup_minhash", "q23_dedup_simhash")) {
+      val p = plan(q)
+      // the join operands are banded signatures, not raw text
+      val joinIdx = p.indexOf("Join")
+      assert(joinIdx >= 0 && !p.substring(0, joinIdx).contains("text#"), s"$q join keys are signatures")
+    }
+  }
+}
