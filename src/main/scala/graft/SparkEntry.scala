@@ -233,6 +233,49 @@ object SparkEntry {
         .withColumn("session_id", sum("new_session").over(byUser).cast("int"))
         .select("event_id", "user_id", "event_type", "new_session", "session_id")
     }),
+
+    // ---- §2.5 plumbing: rollup, set ops, scalar functions ------------------
+    "q34_rollup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+    }),
+
+    "q35_setops" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("custkey")).distinct()
+      val building = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey")).distinct()
+      big.intersect(building).withColumn("tag", lit("both"))
+        .unionAll(big.except(building).withColumn("tag", lit("only_big")))
+        .unionAll(building.except(big).withColumn("tag", lit("only_building")))
+    }),
+
+    "q36_scalar_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        upper(substring(col("o_orderpriority"), 1, 8)).as("prio_upper"),
+        length(col("o_orderstatus")).as("status_len"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        pmod(col("o_orderkey"), lit(7)).as("key_mod7"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"))
+    }),
+
+    "q37_events_leadlag" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_value", lag(col("value"), 1).over(byUser))
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .select("event_id", "user_id", "event_type", "value", "prev_value", "next_type")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -427,6 +470,36 @@ object SparkEntry {
           |  FROM documents)
           |SELECT doc_id, media_type, width, height, CAST(t.f AS INT) AS frame_idx
           |FROM m, UNNEST(range(0, n_frames, 2)) t(f)""".stripMargin,
+
+      "q34_rollup" ->
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+      "q35_setops" ->
+        """WITH big AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000),
+          |b AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          |SELECT custkey, 'both' AS tag FROM (SELECT custkey FROM big INTERSECT SELECT custkey FROM b)
+          |UNION ALL
+          |SELECT custkey, 'only_big' AS tag FROM (SELECT custkey FROM big EXCEPT SELECT custkey FROM b)
+          |UNION ALL
+          |SELECT custkey, 'only_building' AS tag FROM (SELECT custkey FROM b EXCEPT SELECT custkey FROM big)""".stripMargin,
+
+      "q36_scalar_funcs" ->
+        """SELECT o_orderkey,
+          |CAST(year(o_orderdate) AS INT) AS order_year,
+          |CAST(month(o_orderdate) AS INT) AS order_month,
+          |upper(substr(o_orderpriority, 1, 8)) AS prio_upper,
+          |CAST(length(o_orderstatus) AS INT) AS status_len,
+          |CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+          |o_orderkey % 7 AS key_mod7,
+          |concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio
+          |FROM orders""".stripMargin,
+
+      "q37_events_leadlag" ->
+        """SELECT event_id, user_id, event_type, value,
+          |lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+          |lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+          |FROM events""".stripMargin,
 
       "q33_sessionize" ->
         """WITH e AS (
