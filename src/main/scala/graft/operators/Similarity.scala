@@ -50,10 +50,13 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.9): DataFrame = {
     val a = withNorm(emb, "1")
     val b = withNorm(emb, "2")
-    a.join(b, col("id1") < col("id2"))
-      .withColumn("cos_sim", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
-      .filter(col("cos_sim") >= threshold)
-      .select("id1", "id2", "cos_sim")
+    val cos = round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6)
+    // Both predicates inside the join condition, cheap id check FIRST: the
+    // conjunction short-circuits, so the dot product runs only for the 50%
+    // of pairs that pass the ordering — letting Catalyst push a separate
+    // filter produces the reverse order and doubles the vector math.
+    a.join(b, col("id1") < col("id2") && cos >= threshold)
+      .select(col("id1"), col("id2"), cos.as("cos_sim"))
   }
 
   /** Exact brute-force top-k: for each query vector (vec_id in a small,
