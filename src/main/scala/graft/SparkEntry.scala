@@ -266,6 +266,24 @@ object SparkEntry {
         concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"))
     }),
 
+    // as-of join: each event gets the user's most recent order price
+    "q38_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+      val r = Tables.orders(s, dir)
+        // o_orderdate reads as TIMESTAMP_NTZ; session tz is UTC, so the cast
+        // pins the same instant DuckDB's epoch_us sees
+        .groupBy(col("o_custkey").as("k"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+        .agg(max_by(col("o_totalprice"), col("o_orderkey")).as("price"))
+      operators.AsOfJoin.asOf(e, r,
+        leftKey = "user_id", leftTime = "us",
+        rightKey = "k", rightTime = "us", payload = Seq("price"))
+        .select("event_id", "user_id", "asof_price")
+    }),
+
     "q37_events_leadlag" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
@@ -494,6 +512,14 @@ object SparkEntry {
           |o_orderkey % 7 AS key_mod7,
           |concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio
           |FROM orders""".stripMargin,
+
+      "q38_asof_join" ->
+        """WITH r AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS us,
+          |           arg_max(o_totalprice, o_orderkey) AS price
+          |           FROM orders GROUP BY 1, 2),
+          |e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us FROM events)
+          |SELECT event_id, user_id, price AS asof_price
+          |FROM e ASOF LEFT JOIN r ON e.user_id = r.k AND e.us >= r.us""".stripMargin,
 
       "q37_events_leadlag" ->
         """SELECT event_id, user_id, event_type, value,

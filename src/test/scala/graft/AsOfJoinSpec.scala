@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val left = Seq(
+    (1L, 5L, "e1"), (1L, 10L, "e2"), (1L, 20L, "e3"),
+    (2L, 7L, "e4"),
+    (3L, 9L, "e5") // key with no right rows at all
+  ).toDF("k", "t", "ev")
+
+  private lazy val right = Seq(
+    (1L, 10L, 100.0), (1L, 15L, 150.0),
+    (2L, 1L, 20.0), (2L, 8L, 28.0)
+  ).toDF("k", "t", "price")
+
+  test("attaches the latest right payload at or before each left time") {
+    val out = AsOfJoin.asOf(left, right, "k", "t", "k", "t", Seq("price"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out("e1").isEmpty)          // t=5 before any right row for key 1
+    assert(out("e2").contains(100.0))  // inclusive: right at t=10 visible at left t=10
+    assert(out("e3").contains(150.0))  // latest <= 20 is t=15
+    assert(out("e4").contains(20.0))   // t=7: only the t=1 row qualifies
+    assert(out("e5").isEmpty)          // no right rows for key 3
+  }
+
+  test("left columns survive untouched and single shuffle") {
+    val out = AsOfJoin.asOf(left, right, "k", "t", "k", "t", Seq("price"))
+    assert(out.columns.toSeq == Seq("k", "t", "ev", "asof_price"))
+    val p = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    assert(!p.contains("Join"), "as-of is union+window, not a join")
+  }
+}

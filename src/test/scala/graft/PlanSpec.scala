@@ -36,6 +36,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q19_join_topn").contains("BroadcastHashJoin"))
   }
 
+  test("top-N per group pushes the limit below the shuffle (WindowGroupLimit)") {
+    val p = plan("q19_join_topn")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "rank<=k must prune to k rows per group before the exchange")
+  }
+
+  test("as-of join is one shuffle and no join node") {
+    val p = plan("q38_asof_join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
   test("ANN brute force broadcasts the query set, not the corpus") {
     val p = plan("q25_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin BuildRight"))
