@@ -266,6 +266,19 @@ object SparkEntry {
         concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"))
     }),
 
+    // deterministic sampling / splitting for training pipelines
+    "q39_stratified_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      operators.Sampling.stratifiedSample(
+        Tables.documents(s, dir).select("doc_id", "lang"), "lang", col("doc_id"), 20)
+    }),
+
+    "q40_hash_split" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      operators.Sampling.hashSplit(
+        Tables.documents(s, dir).select("doc_id"), col("doc_id"))
+    }),
+
     // as-of join: each event gets the user's most recent order price
     "q38_asof_join" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -512,6 +525,20 @@ object SparkEntry {
           |o_orderkey % 7 AS key_mod7,
           |concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio
           |FROM orders""".stripMargin,
+
+      "q39_stratified_sample" ->
+        """WITH r AS (SELECT doc_id, lang,
+          |  row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+          |  FROM documents)
+          |SELECT doc_id, lang FROM r WHERE rn <= 20""".stripMargin,
+
+      "q40_hash_split" ->
+        """SELECT doc_id,
+          |('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT AS bucket,
+          |CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT < 52428 THEN 'train'
+          |     WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT < 58982 THEN 'val'
+          |     ELSE 'test' END AS split
+          |FROM documents""".stripMargin,
 
       "q38_asof_join" ->
         """WITH r AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS us,
