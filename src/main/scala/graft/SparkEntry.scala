@@ -183,7 +183,7 @@ object SparkEntry {
         minEstimate = 0.4)),
 
     "q23_dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashPairs(Tables.documents(s, dir), maxHamming = 12)),
+      Dedup.simHashPairs(Tables.documents(s, dir))), // default maxHamming=3 (banding-complete)
 
     // ---- training-data pipeline: similarity search ------------------------
     "q24_embed_neardup" -> ((s, dir) =>

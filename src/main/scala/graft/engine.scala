@@ -151,9 +151,11 @@ object WindowEngine {
   }
 
   /** FIRST/LAST ignoreNulls: config flag OR'd with an optional boolean arg
-    * (reference: WindowsAggregationUtil.java:158-171). */
+    * (reference: WindowsAggregationUtil.java:158-171). Parsed like Java's
+    * Boolean.parseBoolean — true iff the literal "true", never throws (the
+    * e2e fixture passes "1" here). */
   private def firstLastIgnoreNulls(agg: AggregateSpec): Boolean =
-    agg.ignoreNulls || agg.args.headOption.exists(_.toBoolean)
+    agg.ignoreNulls || agg.args.headOption.exists(_.equalsIgnoreCase("true"))
 
   /** DISCRETE_PERCENTILE: smallest value v in the partition with
     * cume_dist(v) >= p — the reference UDAF's semantics

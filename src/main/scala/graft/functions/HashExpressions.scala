@@ -51,15 +51,20 @@ case class SimHashSignature(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      // freshName for every local — the block is emitted unbraced when the
+      // child is non-nullable, so bare names collide across expressions.
       val counts = ctx.freshName("counts")
       val sig = ctx.freshName("sig")
+      val n = ctx.freshName("shN")
+      val i = ctx.freshName("shI")
+      val h = ctx.freshName("shH")
       s"""
          |int[] $counts = new int[64];
-         |int n = $a.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  long h = $a.getLong(i);
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
          |  for (int j = 0; j < 64; j++) {
-         |    $counts[j] += (((h >>> j) & 1L) == 1L) ? 1 : -1;
+         |    $counts[j] += ((($h >>> j) & 1L) == 1L) ? 1 : -1;
          |  }
          |}
          |long $sig = 0L;

@@ -61,13 +61,19 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      // freshName everywhere: nullSafeExec emits this UNBRACED when the
+      // children are non-nullable, so two DotProducts in one projection
+      // would otherwise declare duplicate locals and fail Janino compile.
+      val n = ctx.freshName("dpN")
+      val s = ctx.freshName("dpSum")
+      val i = ctx.freshName("dpI")
+      val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) { s += $lGet * $rGet; }
-         |${ev.value} = s;
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $lGet * $rGet; }
+         |${ev.value} = $s;
        """.stripMargin
     })
 

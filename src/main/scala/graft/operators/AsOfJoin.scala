@@ -42,9 +42,14 @@ object AsOfJoin {
     val taggedLeft = left.select(
       col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__tag"),
       leftStruct.as("__l"), lit(null).cast(payloadType).as("__p"))
-    val taggedRight = right.select(
-      col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag"),
-      lit(null).cast(leftType).as("__l"), payloadStruct.as("__p"))
+    // SQL join semantics: a right row with a NULL key or time can never
+    // match (it would otherwise sort nulls-first and leak its payload into
+    // every row of the partition).
+    val taggedRight = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag"),
+        lit(null).cast(leftType).as("__l"), payloadStruct.as("__p"))
 
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -93,6 +93,9 @@ object Dedup {
   def minHashLshPairs(
       docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
       minEstimate: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
+        "otherwise trailing signature slots are silently ignored")
     val rows = numHashes / bands
     val sigs = minHashSignatures(docs, n, numHashes)
       .filter(element_at(col("minhash"), 1) =!= Long.MaxValue)
@@ -129,10 +132,12 @@ object Dedup {
         graft.functions.HashFunctions.word_gram_hashes(col("__words"), 1)).as("simhash"))
 
   /** SimHash near-dup candidates: band the 64-bit signature into four 16-bit
-    * keys; docs sharing any band are candidates (catches Hamming distance
-    * <= 3 deterministically for well-spread hashes). Reports the exact
-    * Hamming distance for downstream filtering. */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+    * keys; docs sharing any band are candidates. By pigeonhole this is
+    * COMPLETE only for Hamming distance <= 3 (4 bands can't all differ);
+    * pairs at distance 4..maxHamming appear only if their differing bits
+    * happen to spare one band — treat larger maxHamming as best-effort
+    * recall, not a guarantee. Reports the exact Hamming distance. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = simHash(docs)
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>

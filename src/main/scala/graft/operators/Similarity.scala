@@ -19,12 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise double-cast — float32 math would lose the precision the
-    * exactness argument needs. */
-  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
-
   /** Codegen'd dot product (graft.functions.DotProduct) — the interpreted
-    * zip_with/aggregate equivalent is ~20× slower on all-pairs joins. */
+    * zip_with/aggregate equivalent is ~20× slower on all-pairs joins. Float
+    * inputs are widened to double per element inside the loop (exactly). */
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dot_product(a, b)
 
@@ -99,16 +96,22 @@ object Similarity {
     * Recall < 1.0 by construction — the scale path when |Q| × |corpus| is
     * infeasible. Bucket count 2^numPlanes controls the recall/cost trade. */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, numPlanes: Int = 8): DataFrame = {
+    // norms precomputed per ROW (same rationale as bruteForceTopK) — cosine()
+    // per pair would re-run both norm loops for every candidate
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       lshSignature(col("embedding"), numPlanes).as("bucket"))
-    val corpus = bucketed.select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("bucket"))
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        norm(col("embedding")).as("nrm"))
+    val corpus = bucketed.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+      col("bucket"), col("nrm").as("nn"))
     val queries = bucketed.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("bucket"), col("nrm").as("qn"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
     corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos_sim", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("cos_sim", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("cos_sim"), col("rnk"))

@@ -25,14 +25,6 @@ object TextAnalysis {
   def withWords(docs: DataFrame): DataFrame =
     docs.withColumn("__words", words(col("text")))
 
-  /** Word n-grams from a MATERIALIZED words-array column; empty array when
-    * the document has fewer than n words. */
-  def wordGramsOf(ws: Column, n: Int): Column =
-    when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => array_join(slice(ws, i + 1, lit(n)), " "))
-    ).otherwise(array().cast("array<string>"))
-
   /** Per-document quality stats: char count, word count, mean word length,
     * punctuation count, stopword ratio. One narrow projection, no shuffle. */
   def stats(docs: DataFrame): DataFrame = {

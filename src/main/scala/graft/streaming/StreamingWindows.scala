@@ -10,9 +10,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `window()` for tumbling/sliding, `session_window()` for gap sessions,
   * `flatMapGroupsWithState` only where no built-in holds the state shape.
   *
-  * Scale notes: state store size is bounded by the watermark (late rows
-  * beyond it are dropped and their state evicted); keys hash-partition across
-  * executors, so state grows with ACTIVE keys per window, not stream length.
+  * Scale notes: windowed-aggregation state is bounded by the watermark (late
+  * rows beyond it are dropped and closed windows evicted); custom keyed state
+  * is bounded by its processing-time timeout. Keys hash-partition across
+  * executors, so state grows with ACTIVE keys, not stream length.
   */
 object StreamingWindows {
 
@@ -54,27 +55,45 @@ case class ThresholdCross(user_id: Long, total: Double, n_events: Long)
 
 /** Custom keyed state where no built-in aggregation fits: emit a row the
   * first time each user's running value total crosses a threshold.
-  * State per key is two numbers — O(active users) total. */
+  * State per key is two numbers; keys idle longer than `idleTimeout` of
+  * EVENT time are evicted as the watermark passes them, so the state store
+  * tracks recently active users, not every user ever seen — without a
+  * timeout a high-churn keyspace grows unbounded. (Event-time rather than
+  * processing-time timeout: eviction is then deterministic w.r.t. the data,
+  * and the engine doesn't need to keep running empty batches on a quiet
+  * stream just to check wall-clock timers.) */
 object ThresholdAlerts {
-  def apply(events: Dataset[UserEvent], threshold: Double): Dataset[ThresholdCross] = {
+  def apply(events: Dataset[UserEvent], threshold: Double,
+      idleTimeout: String = "1 hour"): Dataset[ThresholdCross] = {
     import events.sparkSession.implicits._
-    events
+    val spark = events.sparkSession
+    events.toDF()
+      .withWatermark("ts", idleTimeout)
+      .as[UserEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Double, Long, Boolean), ThresholdCross](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[UserEvent], state: GroupState[(Double, Long, Boolean)]) =>
-          val (total0, n0, fired0) = state.getOption.getOrElse((0.0, 0L, false))
-          var total = total0; var n = n0; var fired = fired0
-          val out = Seq.newBuilder[ThresholdCross]
-          rows.foreach { e =>
-            total += e.value; n += 1
-            if (!fired && total >= threshold) {
-              fired = true
-              out += ThresholdCross(userId, total, n)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (total0, n0, fired0) = state.getOption.getOrElse((0.0, 0L, false))
+            var total = total0; var n = n0; var fired = fired0
+            var maxTs = Long.MinValue
+            val out = Seq.newBuilder[ThresholdCross]
+            rows.foreach { e =>
+              total += e.value; n += 1
+              maxTs = math.max(maxTs, e.ts.getTime)
+              if (!fired && total >= threshold) {
+                fired = true
+                out += ThresholdCross(userId, total, n)
+              }
             }
+            state.update((total, n, fired))
+            if (maxTs != Long.MinValue) state.setTimeoutTimestamp(maxTs, idleTimeout)
+            out.result().iterator
           }
-          state.update((total, n, fired))
-          out.result().iterator
       }
   }
 }

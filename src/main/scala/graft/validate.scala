@@ -120,7 +120,11 @@ object Validator {
   private def validateSpecialCase(
       spec: WindowQuerySpec, fieldTypes: Map[String, DataType]): Seq[ValidationFailure] = {
     if (spec.frame.frameType != FrameType.Range) return Seq.empty
-    val bounded = !(spec.frame.unboundedPreceding && spec.frame.unboundedFollowing)
+    // Only true VALUE offsets constrain the order clause; unbounded
+    // sentinels and current-row (0) endpoints are legal with any order keys
+    // (RANGE UNBOUNDED PRECEDING AND CURRENT ROW is Spark's own default).
+    def isValueOffset(b: Long) = b != Long.MinValue && b != Long.MaxValue && b != 0L
+    val bounded = isValueOffset(spec.frame.startBound) || isValueOffset(spec.frame.endBound)
     if (!bounded) return Seq.empty
     if (spec.order.size != 1)
       Seq(ValidationFailure(

@@ -28,6 +28,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("e5").isEmpty)          // no right rows for key 3
   }
 
+  test("right rows with null key or time never match") {
+    val dirtyRight = Seq(
+      (Some(1L), Some(10L), 100.0),
+      (Some(1L), Option.empty[Long], 999.0), // null time must not leak
+      (Option.empty[Long], Some(1L), 888.0)  // null key must not match
+    ).toDF("k", "t", "price")
+    val out = AsOfJoin.asOf(left, dirtyRight, "k", "t", "k", "t", Seq("price"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(out("e1").isEmpty)                // t=5: nothing but the null rows "before" it
+    assert(out("e2").contains(100.0))
+  }
+
   test("left columns survive untouched and single shuffle") {
     val out = AsOfJoin.asOf(left, right, "k", "t", "k", "t", Seq("price"))
     assert(out.columns.toSeq == Seq("k", "t", "ev", "asof_price"))

@@ -77,6 +77,10 @@ class EngineSpec extends AnyFunSuite {
     // config says false but args[0]=true → true wins
     val m = runOne(AggregateSpec("f", WindowFn.Last, "v", Seq("true"), ignoreNulls = false))
     assert(m(("a", 2)) == 10.0)
+    // non-boolean arg parses like Boolean.parseBoolean (false), never throws —
+    // the e2e fixture passes "1" here
+    val n = runOne(AggregateSpec("f", WindowFn.Last, "v", Seq("1"), ignoreNulls = false))
+    assert(n(("a", 2)) == null)
   }
 
   test("MEDIAN is exact and runs over the running frame when ordered") {

@@ -37,6 +37,20 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(f.select(VectorFunctions.dot_product($"a", $"b")).collect()(0).getDouble(0) == 13.0)
   }
 
+  test("two dot_products in one projection compile under forced codegen") {
+    // regression: fixed local names in doGenCode collided when two instances
+    // shared an unbraced codegen scope (non-nullable children)
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    withCodegen(true) {
+      val r = df.select(
+        VectorFunctions.dot_product($"a", $"b").as("d1"),
+        VectorFunctions.dot_product($"b", $"b").as("d2"),
+        HashFunctions.simhash_signature(array(lit(1L), lit(2L))).as("s1"),
+        HashFunctions.simhash_signature(array(lit(3L))).as("s2")).collect()(0)
+      assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 25.0)
+    }
+  }
+
   test("dot_product propagates null input") {
     val df = Seq((Some(Array(1.0, 2.0)), Option.empty[Array[Double]])).toDF("a", "b")
     assert(df.select(VectorFunctions.dot_product($"a", $"b")).collect()(0).isNullAt(0))

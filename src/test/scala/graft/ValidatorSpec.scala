@@ -91,6 +91,11 @@ class ValidatorSpec extends AnyFunSuite {
     val unb = FrameSpec(FrameType.Range, unboundedPreceding = true, unboundedFollowing = true)
     assert(Validator.validate(
       spec(order = Seq(OrderSpec("v"), OrderSpec("i")), frame = unb, aggs = acc), schema).isEmpty)
+    // unbounded-preceding-to-current-row (Spark's default frame) is exempt too:
+    // only true value offsets need a single numeric order key
+    val runToCur = FrameSpec(FrameType.Range, unboundedPreceding = true)
+    assert(Validator.validate(
+      spec(order = Seq(OrderSpec("s"), OrderSpec("i")), frame = runToCur, aggs = acc), schema).isEmpty)
   }
 
   test("duplicate aliases on hand-built specs rejected") {
