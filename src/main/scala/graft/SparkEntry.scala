@@ -266,6 +266,11 @@ object SparkEntry {
         concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"))
     }),
 
+    // near-dup clusters: jaccard pairs → connected components → canonical keeper
+    "q41_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.1))),
+
     // deterministic sampling / splitting for training pipelines
     "q39_stratified_sample" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -525,6 +530,24 @@ object SparkEntry {
           |o_orderkey % 7 AS key_mod7,
           |concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio
           |FROM orders""".stripMargin,
+
+      "q41_dedup_clusters" ->
+        """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          |      FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+          |c AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+          |p AS (SELECT g1.doc_id AS doc1, g2.doc_id AS doc2, count(*) AS n_common
+          |      FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+          |      GROUP BY 1, 2),
+          |pairs AS (SELECT doc1, doc2 FROM p JOIN c c1 ON doc1 = c1.doc_id JOIN c c2 ON doc2 = c2.doc_id
+          |          WHERE CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) >= 0.1),
+          |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+          |          UNION SELECT doc2, doc1 FROM pairs),
+          |reach AS (
+          |  SELECT src AS node, src AS lab FROM edges
+          |  UNION
+          |  SELECT e.src, r.lab FROM reach r JOIN edges e ON e.dst = r.node)
+          |SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node""".stripMargin,
 
       "q39_stratified_sample" ->
         """WITH r AS (SELECT doc_id, lang,

@@ -120,6 +120,46 @@ object Dedup {
       .select("doc1", "doc2", "est_jaccard")
   }
 
+  /** Connected components over near-duplicate pairs: assigns every document
+    * that appears in `pairs` the smallest doc_id reachable through the
+    * pair graph — the canonical keeper of its duplicate cluster. The final
+    * dedup stage: candidate pairs (from LSH or exact Jaccard) → clusters →
+    * keep one doc per cluster.
+    *
+    * Iterative min-label propagation: each round joins labels to the
+    * symmetric edge list and takes the min over self + neighbors, until a
+    * fixpoint (at most `maxIterations` rounds ~ the largest cluster
+    * diameter — near-dup clusters are shallow, so this converges in a few
+    * rounds). Each round is one shuffle join + one aggregation. The label
+    * table is localCheckpoint'ed every round: caching alone keeps the DATA
+    * but the logical plan still nests per iteration and grows exponentially
+    * (driver OOM in plan stringification by ~10 rounds) — checkpointing
+    * truncates the lineage to a leaf. Deterministic.
+    */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .unionAll(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // candidate label per node: min over its own label and neighbors'
+      val viaNeighbors = edges.join(labels, edges("dst") === labels("node"))
+        .select(col("src").as("node"), col("label"))
+      val next = labels.unionAll(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label")).localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 64-bit SimHash over the word multiset: bit j of the signature is the
     * sign of Σ_w (±1 by bit j of xxhash64(w)). One map-side fold per doc —
     * the 64-counter state lives in a single array column, no shuffle. */

@@ -50,6 +50,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs((0L, 3L)) == 0)
   }
 
+  test("connected components assigns min reachable doc_id per cluster") {
+    // chain 1-2-3, pair 10-11, singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc1", "doc2")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // longer chain exercises multi-round propagation (diameter > 2)
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val labels = Dedup.connectedComponents(chain).collect().map(_.getLong(1)).distinct
+    assert(labels.toSeq == Seq(0L))
+  }
+
   private lazy val emb = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f), 0),
     (1L, Array(0.9f, 0.1f, 0.0f), 0),  // close to 0
