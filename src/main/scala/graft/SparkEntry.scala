@@ -266,6 +266,10 @@ object SparkEntry {
         concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"))
     }),
 
+    // sketch profiling (HLL++/approx-quantile): rows-only — approximate by design
+    "q42_sketch_profile" -> ((s, dir) =>
+      operators.Sketches.profile(Tables.lineitem(s, dir))),
+
     // near-dup clusters: jaccard pairs → connected components → canonical keeper
     "q41_dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(

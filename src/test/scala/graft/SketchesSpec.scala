@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+import graft.sources.Tables
+
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sketch profile stays within error bounds of the exact answers") {
+    val li = Tables.lineitem(spark, dir)
+    val approx = Sketches.profile(li).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val exact = li.groupBy("l_returnflag").agg(
+      countDistinct(col("l_orderkey")).as("orders"),
+      countDistinct(col("l_partkey")).as("parts"),
+      percentile(col("l_quantity"), lit(0.5)).as("median"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+    for ((flag, (orders, parts, median)) <- exact) {
+      val (aOrders, aParts, aMedian) = approx(flag)
+      // HLL++ default rsd = 5%; allow 3 sigma
+      assert(math.abs(aOrders - orders).toDouble / orders < 0.15, s"$flag orders")
+      assert(math.abs(aParts - parts).toDouble / parts < 0.15, s"$flag parts")
+      // quantities are integers 1..50; accuracy 10000 on ~thousands of rows is near-exact
+      assert(math.abs(aMedian - median) <= 1.0, s"$flag median")
+    }
+  }
+}
