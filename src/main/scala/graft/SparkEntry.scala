@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, SkewSafe, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -264,6 +264,16 @@ object SparkEntry {
         floor(col("o_totalprice")).cast("long").as("price_floor"),
         pmod(col("o_orderkey"), lit(7)).as("key_mod7"),
         concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"))
+    }),
+
+    // skew-safe whole-partition aggregate: groupBy+join instead of WindowExec
+    "q43_skewsafe_partition_sum" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      SkewSafe.partitionAgg(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+        Seq("l_returnflag"),
+        Seq("total_qty" -> sum(col("l_quantity")), "part_rows" -> count(lit(1))))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "total_qty", "part_rows")
     }),
 
     // sketch profiling (HLL++/approx-quantile): rows-only — approximate by design
@@ -534,6 +544,12 @@ object SparkEntry {
           |o_orderkey % 7 AS key_mod7,
           |concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio
           |FROM orders""".stripMargin,
+
+      "q43_skewsafe_partition_sum" ->
+        """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+          |sum(l_quantity) OVER (PARTITION BY l_returnflag) AS total_qty,
+          |count(*) OVER (PARTITION BY l_returnflag) AS part_rows
+          |FROM lineitem""".stripMargin,
 
       "q41_dedup_clusters" ->
         """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

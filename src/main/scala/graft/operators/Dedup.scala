@@ -152,13 +152,28 @@ object Dedup {
         .groupBy("node").agg(min("label").as("label")).localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).limit(1).count()
+      releaseLocalCheckpoint(labels) // next is materialized; the old snapshot is dead weight
       labels = next
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIterations iterations — " +
+          "a duplicate cluster has diameter larger than maxIterations; raise it.")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** Free a superseded localCheckpoint's storage eagerly — otherwise up to
+    * maxIterations label snapshots pile up until driver GC gets around to
+    * them. Best-effort: falls through silently if the plan isn't the
+    * expected LogicalRDD leaf. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case _: Throwable => () }
 
   /** 64-bit SimHash over the word multiset: bit j of the signature is the
     * sign of Σ_w (±1 by bit j of xxhash64(w)). One map-side fold per doc —

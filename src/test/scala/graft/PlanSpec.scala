@@ -47,6 +47,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
   }
 
+  test("skew-safe partition aggregate plans without WindowExec or sort") {
+    val p = plan("q43_skewsafe_partition_sum")
+    assert(!p.contains("Window ["), "must not use WindowExec")
+    // \bSort [ matches a Sort node at any depth/codegen marker, but not
+    // SortMergeJoin/SortAggregate
+    assert("\\bSort \\[".r.findFirstIn(p).isEmpty, "must not sort")
+  }
+
   test("ANN brute force broadcasts the query set, not the corpus") {
     val p = plan("q25_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin BuildRight"))

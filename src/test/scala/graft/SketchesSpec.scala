@@ -12,20 +12,26 @@ class SketchesSpec extends AnyFunSuite {
   test("sketch profile stays within error bounds of the exact answers") {
     val li = Tables.lineitem(spark, dir)
     val approx = Sketches.profile(li).collect()
-      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
     val exact = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
       countDistinct(col("l_orderkey")).as("orders"),
       countDistinct(col("l_partkey")).as("parts"),
-      percentile(col("l_quantity"), lit(0.5)).as("median"))
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      percentile(col("l_quantity"), lit(0.5)).as("median"),
+      percentile(col("l_quantity"), lit(0.95)).as("p95"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
 
-    for ((flag, (orders, parts, median)) <- exact) {
-      val (aOrders, aParts, aMedian) = approx(flag)
+    for ((flag, (n, orders, parts, median, p95)) <- exact) {
+      val (aN, aOrders, aParts, aMedian, aP95) = approx(flag)
+      assert(aN == n, s"$flag n_rows is exact")
       // HLL++ default rsd = 5%; allow 3 sigma
       assert(math.abs(aOrders - orders).toDouble / orders < 0.15, s"$flag orders")
       assert(math.abs(aParts - parts).toDouble / parts < 0.15, s"$flag parts")
       // quantities are integers 1..50; accuracy 10000 on ~thousands of rows is near-exact
       assert(math.abs(aMedian - median) <= 1.0, s"$flag median")
+      assert(math.abs(aP95 - p95) <= 1.0, s"$flag p95")
     }
   }
 }
