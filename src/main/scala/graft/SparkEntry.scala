@@ -242,6 +242,13 @@ object SparkEntry {
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
     }),
 
+    "q44_cube" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+    }),
+
     "q35_setops" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val big = Tables.orders(s, dir).filter(col("o_totalprice") > 150000)
@@ -524,6 +531,10 @@ object SparkEntry {
       "q34_rollup" ->
         """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+      "q44_cube" ->
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
       "q35_setops" ->
         """WITH big AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000),

@@ -89,6 +89,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ROW-frame sliding sum equals a Scala sliding-window computation") {
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "ord", "x")
+      val out = WindowEngine.run(df, WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord")),
+        FrameSpec(FrameType.Row, preceding = Some(-2L), following = Some(1L)),
+        Seq(AggregateSpec("s", WindowFn.Accumulate, "x")))).collect()
+      for ((_, part0) <- out.groupBy(_.getString(0))) {
+        val part = part0.sortBy(_.getInt(1))
+        val xs = part.map(_.getDouble(2))
+        for (i <- part.indices) {
+          val lo = math.max(0, i - 2); val hi = math.min(part.length - 1, i + 1)
+          assert(part(i).getDouble(3) == xs.slice(lo, hi + 1).sum,
+            s"frame [-2,1] at row $i of ${part.length}")
+        }
+      }
+    }
+  }
+
   test("discrete percentile bounds: p=0 gives min, p=1 gives max, monotone in p") {
     forAll(rowsGen) { rows =>
       val out = runAggs(rows, Seq(
