@@ -35,7 +35,7 @@ object SparkEntry {
 
   private def li(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).select(
-      "l_orderkey", "l_linenumber", "l_returnflag", "l_suppkey",
+      "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_suppkey",
       "l_extendedprice", "l_quantity", "l_shipdate")
 
   private val liOutCols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
@@ -143,6 +143,19 @@ object SparkEntry {
           "run_qty:accumulate(l_quantity,,)")
       out.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
         "l_quantity", "rnk", "next_price", "run_qty")
+    }),
+
+    // multi-column partition clause (partitionFields is a CSV in the reference)
+    "q45_multi_partition" -> ((s, dir) => {
+      val spec = WindowQuerySpec(
+        Seq("l_returnflag", "l_linestatus"),
+        tieFreeOrder,
+        aggregates = Seq(
+          AggregateSpec("rnk", WindowFn.Rank, "l_extendedprice"),
+          AggregateSpec("run_qty", WindowFn.Accumulate, "l_quantity")))
+      WindowEngine.run(li(s, dir), spec)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+          "l_extendedprice", "l_quantity", "rnk", "run_qty")
     }),
 
     // ---- §2.5 relational plumbing (scan→filter→agg, broadcast join + top-N)
@@ -531,6 +544,14 @@ object SparkEntry {
       "q34_rollup" ->
         """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+      "q45_multi_partition" ->
+        """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_extendedprice, l_quantity,
+          |CAST(rank() OVER (PARTITION BY l_returnflag, l_linestatus
+          |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INT) AS rnk,
+          |sum(l_quantity) OVER (PARTITION BY l_returnflag, l_linestatus
+          |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS run_qty
+          |FROM lineitem""".stripMargin,
 
       "q44_cube" ->
         """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
