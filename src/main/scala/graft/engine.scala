@@ -58,6 +58,25 @@ object WindowEngine {
       case Right(spec)    => run(df, spec)
     }
 
+  /** Field-level lineage for a spec: one record per aggregate describing the
+    * generated output field, its source field, and the operation — the
+    * engine-side equivalent of the reference's prepareRun lineage recording
+    * (WindowAggregation.java:374-460). Pipeline frameworks consume this to
+    * publish provenance; it is derived purely from the spec, no execution. */
+  case class FieldLineage(outputField: String, inputField: String, description: String)
+
+  def lineage(spec: WindowQuerySpec): Seq[FieldLineage] =
+    spec.aggregates.map { agg =>
+      val clause =
+        s"partitioned by ${spec.partitionFields.mkString(", ")}" +
+          (if (spec.order.nonEmpty)
+            s", ordered by ${spec.order.map(o => s"${o.field} ${o.direction}").mkString(", ")}"
+          else "")
+      FieldLineage(agg.alias, agg.field,
+        s"Generated field '${agg.alias}' from field '${agg.field}' via ${agg.fn.fnName}" +
+          (if (agg.args.nonEmpty) s"(${agg.args.mkString(", ")})" else "") + s", $clause")
+    }
+
   /** Output schema = input fields ++ one appended field per aggregate alias
     * (reference: WindowAggregation.java:361-371); an alias matching an input
     * field replaces it in place (the e2e pipeline relies on this,

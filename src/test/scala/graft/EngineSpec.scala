@@ -137,6 +137,17 @@ class EngineSpec extends AnyFunSuite {
     assert(e.failures.size == 3) // bad partition, bad field, missing order
   }
 
+  test("lineage describes each generated field with its source and clause") {
+    val lin = WindowEngine.lineage(WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord")),
+      aggregates = Seq(
+        AggregateSpec("r", WindowFn.Rank, "ord"),
+        AggregateSpec("nxt", WindowFn.Lead, "v", Seq("2")))))
+    assert(lin.map(l => (l.outputField, l.inputField)) == Seq(("r", "ord"), ("nxt", "v")))
+    assert(lin(1).description.contains("LEAD(2)"))
+    assert(lin(0).description.contains("partitioned by k"))
+    assert(lin(0).description.contains("ordered by ord Ascending"))
+  }
+
   test("numberOfPartitions repartitions the output") {
     val out = WindowEngine.run(df, WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord")),
       aggregates = Seq(AggregateSpec("r", WindowFn.Rank, "ord")),
