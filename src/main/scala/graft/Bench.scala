@@ -25,22 +25,25 @@ object Bench {
     val errors = Seq.newBuilder[String]
     // Two timed passes per query, min reported: the first pass pays one-off
     // JIT/codegen-compilation cost, the min is the steady-state number a
-    // repeatedly-run production query would see.
+    // repeatedly-run production query would see. A pass that throws yields no
+    // measurement — a crashed query reports the sentinel -1 and contributes
+    // nothing to the total, so failures can't masquerade as fast runs.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           errors += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times.minOption.getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.result().distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -233,9 +233,6 @@ object SparkEntry {
     "q33_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
-      // events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects; read
-      // it as epoch-nanos longs (lossless — the data is µs-resolution).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
@@ -321,7 +318,6 @@ object SparkEntry {
     // as-of join: each event gets the user's most recent order price
     "q38_asof_join" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val e = Tables.events(s, dir).select(
         col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
       val r = Tables.orders(s, dir)
@@ -339,7 +335,6 @@ object SparkEntry {
     "q37_events_leadlag" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       Tables.events(s, dir)
         .withColumn("prev_value", lag(col("value"), 1).over(byUser))
@@ -382,9 +377,13 @@ object SparkEntry {
           |quantile_cont(l_quantity, 0.25) OVER (PARTITION BY l_returnflag) AS cont_pct
           |FROM lineitem""".stripMargin,
 
+      // running-frame semantics (reference UDAF over the ordered spec):
+      // DuckDB's default window frame with ORDER BY is the same RANGE
+      // UNBOUNDED PRECEDING..CURRENT ROW, and quantile_disc picks the same
+      // cume_dist>=p element
       "q08_discrete_percentile" ->
         """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, l_quantity,
-          |quantile_disc(l_quantity, 0.5) OVER (PARTITION BY l_returnflag) AS disc_pct
+          |quantile_disc(l_quantity, 0.5) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS disc_pct
           |FROM lineitem""".stripMargin,
 
       "q09_lead" ->
@@ -523,11 +522,16 @@ object SparkEntry {
           |  (acc, x) -> (acc*1000003 + x) % 2147483647) AS fingerprint
           |FROM w""".stripMargin,
 
+      // height mixes in the first UTF-8 BYTE (hex-of-blob trick), matching
+      // Multimodal.decodeStub's payload(0) & 0xff — ascii() would return the
+      // first CODE POINT, which diverges on non-ASCII leading characters.
       "q31_multimodal_meta" ->
         """SELECT doc_id, 'media/' || source AS media_type,
           |CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
           |CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
-          |CAST(64 + (octet_length(encode(text))*31 + ascii(substr(text,1,1))) % 512 AS INT) AS height,
+          |CAST(64 + (octet_length(encode(text))*31 +
+          |  CASE WHEN octet_length(encode(text)) = 0 THEN 0
+          |       ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT END) % 512 AS INT) AS height,
           |CAST(1 + doc_id % 8 AS INT) AS n_frames
           |FROM documents""".stripMargin,
 
@@ -535,7 +539,9 @@ object SparkEntry {
         """WITH m AS (
           |  SELECT doc_id, 'media/' || source AS media_type,
           |  CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
-          |  CAST(64 + (octet_length(encode(text))*31 + ascii(substr(text,1,1))) % 512 AS INT) AS height,
+          |  CAST(64 + (octet_length(encode(text))*31 +
+          |    CASE WHEN octet_length(encode(text)) = 0 THEN 0
+          |         ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT END) % 512 AS INT) AS height,
           |  CAST(1 + doc_id % 8 AS INT) AS n_frames
           |  FROM documents)
           |SELECT doc_id, media_type, width, height, CAST(t.f AS INT) AS frame_idx

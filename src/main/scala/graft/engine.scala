@@ -23,11 +23,13 @@ import org.apache.spark.sql.types._
   *    two-phase salted.
   *  - Spark's WindowExec sorts within partitions via UnsafeExternalSorter and
   *    spills; frames are evaluated incrementally (no per-row re-scan).
-  *  - DISCRETE_PERCENTILE is composed from cume_dist + a whole-partition min
-  *    (two window passes over the SAME exchange — the second reuses the
-  *    shuffle, adding only a sort), rather than a value→count map UDAF like
-  *    the reference (DiscretePercentile.java:98-168), whose O(distinct)
-  *    driver-side-style buffer would not survive high-cardinality columns.
+  *  - DISCRETE_PERCENTILE is a TypedImperativeAggregate over the shared spec
+  *    ([[graft.functions.DiscretePercentileAgg]]) with the reference UDAF's
+  *    exact semantics (running RANGE frame per the order clause, null inputs
+  *    skipped). Its buffer is O(distinct values) per partition — same
+  *    complexity envelope as the reference (DiscretePercentile.java:98-168);
+  *    for high-cardinality value columns prefer CONTINUOUS_PERCENTILE, whose
+  *    exact-percentile buffer Spark spills.
   */
 object WindowEngine {
 
@@ -103,14 +105,10 @@ object WindowEngine {
     val shared = buildWindowSpec(spec)
     var out = df
     for (agg <- spec.aggregates) {
-      out = agg.fn match {
-        case WindowFn.DiscretePercentile => applyDiscretePercentile(out, agg, spec)
-        case _ =>
-          // Cast AFTER .over(): wrapping the aggregate in a Cast before
-          // .over() would hide it from Spark's window-expression extraction.
-          val overCol = column(agg).over(shared)
-          out.withColumn(agg.alias, postCast(agg, df.schema).fold(overCol)(overCol.cast))
-      }
+      // Cast AFTER .over(): wrapping the aggregate in a Cast before
+      // .over() would hide it from Spark's window-expression extraction.
+      val overCol = column(agg).over(shared)
+      out = out.withColumn(agg.alias, postCast(agg, df.schema).fold(overCol)(overCol.cast))
     }
     spec.numberOfPartitions match {
       case Some(n) => out.repartition(n) // reference knob: WindowsAggregationUtil.java:84-90
@@ -155,8 +153,16 @@ object WindowEngine {
     case WindowFn.Last        => last(agg.field, firstLastIgnoreNulls(agg))
     case WindowFn.CumulativeDistribution => cume_dist()
     case WindowFn.Accumulate  => sum(agg.field)
+    // Typed imperative aggregate reproducing the reference UDAF
+    // (DiscretePercentile.java) — over the SAME shared spec, so with an order
+    // clause it evaluates per row on the default running RANGE frame, exactly
+    // like the reference's .over(spec) application
+    // (WindowsAggregationUtil.java:119-124).
     case WindowFn.DiscretePercentile =>
-      throw new IllegalStateException("DISCRETE_PERCENTILE handled separately")
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.DiscretePercentileAgg(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(agg.field)),
+          agg.args.head.toDouble).toAggregateExpression())
   }
 
   /** Post-.over() cast honoring the reference's declared output types:
@@ -176,20 +182,4 @@ object WindowEngine {
   private def firstLastIgnoreNulls(agg: AggregateSpec): Boolean =
     agg.ignoreNulls || agg.args.headOption.exists(_.equalsIgnoreCase("true"))
 
-  /** DISCRETE_PERCENTILE: smallest value v in the partition with
-    * cume_dist(v) >= p — the reference UDAF's semantics
-    * (DiscretePercentile.java:148-167), composed from built-ins:
-    * cume_dist over (partition ORDER BY field) feeding a whole-partition min.
-    * Both windows share the hash partitioning, so this costs one shuffle.
-    * Output type = input field type (min(when(...)) preserves it). */
-  private def applyDiscretePercentile(df: DataFrame, agg: AggregateSpec, spec: WindowQuerySpec): DataFrame = {
-    val p = agg.args.head.toDouble
-    val parts = spec.partitionFields.map(col)
-    val byValue = Window.partitionBy(parts: _*).orderBy(col(agg.field).asc)
-    val whole = Window.partitionBy(parts: _*)
-    val tmp = s"__graft_cd_${agg.alias}"
-    df.withColumn(tmp, cume_dist().over(byValue))
-      .withColumn(agg.alias, min(when(col(tmp) >= lit(p), col(agg.field))).over(whole))
-      .drop(tmp)
-  }
 }

@@ -29,7 +29,10 @@ object DslParser {
     val specs = Seq.newBuilder[AggregateSpec]
     val seenAliases = scala.collection.mutable.Set.empty[String]
 
-    for (rawLine <- aggregates.split('\n').map(_.trim) if rawLine.nonEmpty) {
+    // Every line participates — a blank line has no ':' and is reported as a
+    // parse failure, exactly like the reference's Splitter.trimResults pass
+    // (WindowAggregationConfig.java:191-198 has no empty-line skip).
+    for (rawLine <- aggregates.split('\n').map(_.trim)) {
       parseLine(rawLine, seenAliases) match {
         case Left(f)     => failures += f
         case Right(spec) => specs += spec
@@ -90,9 +93,10 @@ object DslParser {
       case Seq("") => Seq.empty[String]
       case other   => other
     }
-    // ignoreNulls: default true unless the literal string "false"
-    // (reference: WindowAggregationConfig.java:472).
-    val ignoreNullsStr = parameters.substring(secondComma + 1, parameters.length - 1).trim
+    // ignoreNulls: default true unless the literal string "false". The slot is
+    // deliberately NOT trimmed — the reference compares the raw substring
+    // (WindowAggregationConfig.java:466-473), so ' false' enables ignoreNulls.
+    val ignoreNullsStr = parameters.substring(secondComma + 1, parameters.length - 1)
     val ignoreNulls = ignoreNullsStr != "false"
 
     Right(AggregateSpec(alias, fn, field, args, ignoreNulls))

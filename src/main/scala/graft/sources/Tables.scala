@@ -23,7 +23,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects outright;
+    * read `ts` as epoch-nanos longs instead (lossless — the data is
+    * µs-resolution). The legacy flag is scoped to this one read via a cloned
+    * session so no global session state mutates as a query side effect. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(scoped, dir, "events")
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

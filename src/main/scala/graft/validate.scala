@@ -112,29 +112,39 @@ object Validator {
     fs.result()
   }
 
-  /** ACCUMULATE + RANGE frame requires exactly one numeric order clause
-    * (WindowAggregation.java:272-289) — matches Spark's own rangeBetween
-    * restriction. Generalized: ANY bounded RANGE frame needs a single numeric
-    * order key (reference states this in prose, WindowAggregationConfig.java:53-56).
+  /** ACCUMULATE + RANGE frame requires exactly one order clause regardless of
+    * bounds — the reference rule verbatim (WindowAggregation.java:272-289).
+    * Additional generalized guard beyond the reference: ANY bounded RANGE
+    * frame (true value offsets) needs a single NUMERIC order key — matches
+    * Spark's own rangeBetween restriction (reference states it in prose,
+    * WindowAggregationConfig.java:53-56).
     */
   private def validateSpecialCase(
       spec: WindowQuerySpec, fieldTypes: Map[String, DataType]): Seq[ValidationFailure] = {
     if (spec.frame.frameType != FrameType.Range) return Seq.empty
-    // Only true VALUE offsets constrain the order clause; unbounded
-    // sentinels and current-row (0) endpoints are legal with any order keys
-    // (RANGE UNBOUNDED PRECEDING AND CURRENT ROW is Spark's own default).
+    val fs = Seq.newBuilder[ValidationFailure]
+    // Reference rule: ACCUMULATE with a RANGE frame of ANY bounds (including
+    // unbounded sentinels) demands exactly one ordering clause.
+    if (spec.aggregates.exists(_.fn == WindowFn.Accumulate) && spec.order.size != 1)
+      fs += ValidationFailure(
+        "partitionOrder needs to have exactly one clause when using RANGE frametype " +
+          "for function ACCUMULATE.",
+        "Make sure there is only 1 ordering field.")
+    // Generalized guard: only true VALUE offsets constrain all other
+    // functions; unbounded sentinels and current-row (0) endpoints are legal
+    // with any order keys (RANGE UNBOUNDED PRECEDING AND CURRENT ROW is
+    // Spark's own default).
     def isValueOffset(b: Long) = b != Long.MinValue && b != Long.MaxValue && b != 0L
     val bounded = isValueOffset(spec.frame.startBound) || isValueOffset(spec.frame.endBound)
-    if (!bounded) return Seq.empty
-    if (spec.order.size != 1)
-      Seq(ValidationFailure(
-        "A bounded RANGE frame requires exactly one order clause.",
-        "Provide a single numeric order field."))
-    else {
-      val ok = fieldTypes.get(spec.order.head.field).exists(WindowFn.isNumeric)
-      if (ok) Seq.empty
-      else Seq(ValidationFailure(
-        s"RANGE frame order field '${spec.order.head.field}' must be numeric (int, long, float, double)."))
+    if (bounded) {
+      if (spec.order.size != 1)
+        fs += ValidationFailure(
+          "A bounded RANGE frame requires exactly one order clause.",
+          "Provide a single numeric order field.")
+      else if (!fieldTypes.get(spec.order.head.field).exists(WindowFn.isNumeric))
+        fs += ValidationFailure(
+          s"RANGE frame order field '${spec.order.head.field}' must be numeric (int, long, float, double).")
     }
+    fs.result()
   }
 }

@@ -89,15 +89,30 @@ class EngineSpec extends AnyFunSuite {
     assert(m(("a", 3)) == 2.0)
   }
 
-  test("DISCRETE_PERCENTILE = smallest value with cume_dist >= p, whole partition") {
+  test("DISCRETE_PERCENTILE = smallest value with cume_dist >= p over the RUNNING frame") {
+    // reference UDAF runs .over(spec) with the order clause → default
+    // running RANGE frame: each row sees its ordered prefix (incl. peers)
     val m = runOne(AggregateSpec("dp", WindowFn.DiscretePercentile, "ord", Seq("0.5")),
       order = Seq(OrderSpec("ord")))
-    assert(m(("a", 1)) == 2 && m(("a", 4)) == 2) // [1,2,3,4] → 2 (cd(2)=0.5)
-    assert(m(("b", 1)) == 1)                     // [1,2] → 1
-    // p=1.0 → max; output type preserved (int)
+    assert(m(("a", 1)) == 1)                     // prefix [1] → 1
+    assert(m(("a", 2)) == 1)                     // prefix [1,2] → 1 (cd(1)=0.5)
+    assert(m(("a", 4)) == 2)                     // prefix [1,2,3,4] → 2 (cd(2)=0.5)
+    assert(m(("b", 2)) == 1)                     // prefix [1,2] → 1
+    // p=1.0 → running max; output type preserved (int)
     val mx = runOne(AggregateSpec("dp", WindowFn.DiscretePercentile, "ord", Seq("1.0")),
       order = Seq(OrderSpec("ord")))
-    assert(mx(("a", 2)) == 4)
+    assert(mx(("a", 2)) == 2 && mx(("a", 4)) == 4)
+  }
+
+  test("DISCRETE_PERCENTILE skips null inputs (reference UDAF update:104-107)") {
+    // v in partition a: 10.0, null(ord=2), 30.0, 20.0 — the null row must
+    // carry the percentile of the non-null prefix, not shift the denominator
+    val m = runOne(AggregateSpec("dp", WindowFn.DiscretePercentile, "v", Seq("0.5")),
+      order = Seq(OrderSpec("ord")))
+    assert(m(("a", 1)) == 10.0)
+    assert(m(("a", 2)) == 10.0) // prefix values {10.0} — null skipped
+    assert(m(("a", 3)) == 10.0) // {10.0, 30.0} → cd(10)=0.5
+    assert(m(("a", 4)) == 20.0) // {10.0, 30.0, 20.0} → cd(20)=2/3
   }
 
   test("multiple aggregates share one window (single shuffle) and append in order") {

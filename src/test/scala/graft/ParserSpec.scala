@@ -15,6 +15,15 @@ class ParserSpec extends AnyFunSuite {
     assert(t1.ignoreNulls && t2.ignoreNulls && t3.ignoreNulls) // "FALSE" != "false"
     val Right(Seq(f)) = DslParser.parseAggregates("d:first(v,,false)")
     assert(!f.ignoreNulls)
+    // the slot is compared RAW (reference holds the untrimmed substring):
+    // ' false' with a leading space does NOT disable ignoreNulls
+    val Right(Seq(sp)) = DslParser.parseAggregates("e:first(v,, false)")
+    assert(sp.ignoreNulls)
+  }
+
+  test("blank lines are parse failures, not silently skipped") {
+    val Left(fs) = DslParser.parseAggregates("x:rank(v,,)\n\ny:rank(v,,)")
+    assert(fs.size == 1 && fs.head.message.contains("':'"))
   }
 
   test("%2C-encoded args decode then split") {

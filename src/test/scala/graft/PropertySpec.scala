@@ -108,17 +108,24 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("discrete percentile bounds: p=0 gives min, p=1 gives max, monotone in p") {
+    // running-frame semantics (reference UDAF over the ordered spec): every
+    // row's value is the percentile of its ordered PREFIX — check the
+    // invariants per prefix, which subsumes the whole-partition case on the
+    // last row
     forAll(rowsGen) { rows =>
       val out = runAggs(rows, Seq(
         AggregateSpec("p0", WindowFn.DiscretePercentile, "x", Seq("0.0")),
         AggregateSpec("p5", WindowFn.DiscretePercentile, "x", Seq("0.5")),
         AggregateSpec("p1", WindowFn.DiscretePercentile, "x", Seq("1.0"))))
       for ((_, part) <- out.groupBy(_.getString(0))) {
-        val xs = part.map(_.getDouble(2))
-        val (p0, p5, p1) = (part.head.getDouble(3), part.head.getDouble(4), part.head.getDouble(5))
-        assert(p0 == xs.min && p1 == xs.max)
-        assert(p0 <= p5 && p5 <= p1)
-        assert(xs.contains(p5)) // discrete percentile is always an actual value
+        val prefix = scala.collection.mutable.ArrayBuffer.empty[Double]
+        for (r <- part.sortBy(_.getInt(1))) {
+          prefix += r.getDouble(2)
+          val (p0, p5, p1) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+          assert(p0 == prefix.min && p1 == prefix.max)
+          assert(p0 <= p5 && p5 <= p1)
+          assert(prefix.contains(p5)) // discrete percentile is always an actual value
+        }
       }
     }
   }

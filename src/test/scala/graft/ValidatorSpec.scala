@@ -87,15 +87,32 @@ class ValidatorSpec extends AnyFunSuite {
       schema).exists(_.message.contains("must be numeric")))
     assert(Validator.validate(
       spec(order = Seq(OrderSpec("v")), frame = f, aggs = acc), schema).isEmpty)
-    // fully unbounded RANGE frame is exempt
+    // fully unbounded RANGE frame is exempt from the VALUE-offset rule —
+    // probe with LAST (ACCUMULATE has its own stricter rule, below)
+    def lst = Seq(AggregateSpec("a", WindowFn.Last, "v"))
     val unb = FrameSpec(FrameType.Range, unboundedPreceding = true, unboundedFollowing = true)
     assert(Validator.validate(
-      spec(order = Seq(OrderSpec("v"), OrderSpec("i")), frame = unb, aggs = acc), schema).isEmpty)
+      spec(order = Seq(OrderSpec("v"), OrderSpec("i")), frame = unb, aggs = lst), schema).isEmpty)
     // unbounded-preceding-to-current-row (Spark's default frame) is exempt too:
     // only true value offsets need a single numeric order key
     val runToCur = FrameSpec(FrameType.Range, unboundedPreceding = true)
     assert(Validator.validate(
-      spec(order = Seq(OrderSpec("s"), OrderSpec("i")), frame = runToCur, aggs = acc), schema).isEmpty)
+      spec(order = Seq(OrderSpec("s"), OrderSpec("i")), frame = runToCur, aggs = lst), schema).isEmpty)
+  }
+
+  test("ACCUMULATE with RANGE frame needs exactly one order clause even when unbounded") {
+    // the reference rule (WindowAggregation.java:272-289) keys on the frame
+    // TYPE alone, not its bounds — 0 or 2 order fields must fail
+    def acc = Seq(AggregateSpec("a", WindowFn.Accumulate, "v"))
+    val unb = FrameSpec(FrameType.Range, unboundedPreceding = true, unboundedFollowing = true)
+    assert(Validator.validate(
+      spec(order = Seq(OrderSpec("v"), OrderSpec("i")), frame = unb, aggs = acc),
+      schema).exists(_.message.contains("exactly one clause")))
+    assert(Validator.validate(
+      spec(order = Seq.empty, frame = unb, aggs = acc),
+      schema).exists(_.message.contains("exactly one clause")))
+    assert(Validator.validate(
+      spec(order = Seq(OrderSpec("v")), frame = unb, aggs = acc), schema).isEmpty)
   }
 
   test("duplicate aliases on hand-built specs rejected") {
