@@ -302,6 +302,27 @@ object SparkEntry {
       Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.1))),
 
+    // THE scale dedup pipeline: MinHash-LSH candidates → exact-Jaccard verify
+    // of candidates only → connected components. bands=numHashes (1-row
+    // bands) ⇒ a true pair at jaccard j is missed with prob (1-j)^16 ≤ 7e-12
+    // at j≥0.8; the testdata's near-dup pairs all sit ≥ 0.8 (gap to 0.14), so
+    // the verified pair set provably equals the exact ≥0.5 set and the
+    // all-pairs recursive-CTE oracle applies. Probe-verified at sf0.001/0.01/0.1.
+    "q46_dedup_lsh_clusters" -> ((s, dir) =>
+      Dedup.lshDedupClusters(Tables.documents(s, dir),
+        n = 3, numHashes = 16, bands = 16, threshold = 0.5)),
+
+    // bucketed embedding near-dup (equi-join LSH tables + exact rerank) run
+    // at q24's threshold: sign-bit tables (b=1, T=16) give per-pair miss
+    // (1-p)^16 ≈ 1.2e-7 at cos 0.4 — probe-verified identical to the exact
+    // self-join at all three SFs, so q24's oracle applies verbatim. At this
+    // LOW threshold the candidate volume is brute-force-like (see scaladoc);
+    // the operator's production regime (cos≥0.9, b=8, T=14) is where the
+    // equi-join shape wins — the plan shape (no BNLJ) is what PlanSpec pins.
+    "q47_embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4,
+        planesPerTable = 1, numTables = 16)),
+
     // deterministic sampling / splitting for training pipelines
     "q39_stratified_sample" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -606,6 +627,30 @@ object SparkEntry {
           |  UNION
           |  SELECT e.src, r.lab FROM reach r JOIN edges e ON e.dst = r.node)
           |SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+
+      "q46_dedup_lsh_clusters" ->
+        """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          |      FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+          |c AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+          |p AS (SELECT g1.doc_id AS doc1, g2.doc_id AS doc2, count(*) AS n_common
+          |      FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+          |      GROUP BY 1, 2),
+          |pairs AS (SELECT doc1, doc2 FROM p JOIN c c1 ON doc1 = c1.doc_id JOIN c c2 ON doc2 = c2.doc_id
+          |          WHERE CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) >= 0.5),
+          |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+          |          UNION SELECT doc2, doc1 FROM pairs),
+          |reach AS (
+          |  SELECT src AS node, src AS lab FROM edges
+          |  UNION
+          |  SELECT e.src, r.lab FROM reach r JOIN edges e ON e.dst = r.node)
+          |SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+
+      "q47_embed_neardup_lsh" ->
+        """SELECT a.vec_id AS id1, b.vec_id AS id2,
+          |round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
 
       "q39_stratified_sample" ->
         """WITH r AS (SELECT doc_id, lang,

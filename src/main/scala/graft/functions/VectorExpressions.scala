@@ -81,6 +81,87 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH signature of a numeric vector: `numPlanes` sign bits
+  * packed into a long. Plane `j`'s component at dimension `i` is a value in
+  * [-1, 1) derived deterministically from xxhash64 — no broadcast plane
+  * matrix, reproducible across runs and engines. `seedOffset` shifts the
+  * plane indices so independent hash TABLES (banding) can reuse the same
+  * expression: table t with b planes uses seedOffset = t*b.
+  *
+  * Why custom: the HOF formulation (`aggregate(zip_with(...))` per plane)
+  * re-enters the interpreted lambda machinery numPlanes times per row — the
+  * 10-20× interpreted-HOF tax. This is one primitive double loop per plane
+  * inside whole-stage codegen.
+  *
+  * Exact-parity contract (locked by ExpressionsSpec): bit j is set iff
+  * Σ_i v[i] * comp(seedOffset+j, i) >= 0, where
+  * comp(p, i) = (pmod(xxh64_int(i, xxh64_int(p, 42)), 2000) - 1000) / 1000
+  * — identical to the interpreted `xxhash64(lit(p), i)` chain it replaces
+  * (Spark seeds xxhash64 with 42 and folds int inputs with hashInt).
+  * A null element nulls every plane dot, which the original mapped to an
+  * all-zero signature — preserved here, and likewise for the empty vector
+  * (the original's sequence(0,-1) null-pads the zip, nulling every dot).
+  */
+case class HyperplaneSignature(child: Expression, numPlanes: Int, seedOffset: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(numPlanes > 0 && numPlanes <= 63, s"numPlanes must be in 1..63, got $numPlanes")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_signature expects array<double>/array<float>, got ${other.simpleString}")
+    }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneSignature.compute(input.asInstanceOf[ArrayData], numPlanes, seedOffset, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HyperplaneSignature.compute($a, $numPlanes, $seedOffset, $elemIsFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneSignature {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(v: ArrayData, numPlanes: Int, seedOffset: Int, isFloat: Boolean): Long = {
+    val n = v.numElements()
+    if (n == 0) return 0L // HOF parity: sequence(0,-1)=[0,-1] null-pads the zip → null dots
+    var i = 0
+    while (i < n) { // a null element nulls every plane dot → all-zero signature
+      if (v.isNullAt(i)) return 0L
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < numPlanes) {
+      val planeSeed = XXH64.hashInt(seedOffset + j, 42L)
+      var acc = 0.0
+      var k = 0
+      while (k < n) {
+        val h = XXH64.hashInt(k, planeSeed)
+        val pm = ((h % 2000L) + 2000L) % 2000L
+        acc += (if (isFloat) v.getFloat(k).toDouble else v.getDouble(k)) *
+          ((pm.toDouble - 1000.0) / 1000.0)
+        k += 1
+      }
+      if (acc >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def dot_product(a: Column, b: Column): Column =
@@ -89,4 +170,9 @@ object VectorFunctions {
   /** L2 norm via the same codegen'd loop. */
   def l2_norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dot_product(a, a))
+
+  /** Column API for [[HyperplaneSignature]]. */
+  def hyperplane_signature(v: Column, numPlanes: Int, seedOffset: Int = 0): Column =
+    GraftColumnBridge.column(
+      HyperplaneSignature(GraftColumnBridge.expression(v), numPlanes, seedOffset))
 }

@@ -73,15 +73,25 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos_sim"), col("rnk"))
   }
 
+  /** Random-hyperplane LSH signature: `numPlanes` sign bits packed into a
+    * long. Vectors with equal signatures are near-certain neighbors;
+    * probing is a plain equi-join on `bucket`. Codegen'd
+    * (graft.functions.HyperplaneSignature) — the interpreted HOF formulation
+    * below re-enters the lambda interpreter numPlanes times per row.
+    * `seedOffset` selects an independent plane family per LSH table. */
+  def lshSignature(v: Column, numPlanes: Int = 12, seedOffset: Int = 0): Column =
+    graft.functions.VectorFunctions.hyperplane_signature(v, numPlanes, seedOffset)
+
   /** Deterministic pseudo-random hyperplane component: plane j, dimension i
-    * → a value in [-1, 1), derived from xxhash64 so it needs no state. */
+    * → a value in [-1, 1), derived from xxhash64 so it needs no state.
+    * Retained with [[lshSignatureInterpreted]] ONLY as the independent
+    * reference formulation for the codegen parity test. */
   private def planeComponent(j: Int, i: Column): Column =
     (pmod(xxhash64(lit(j), i), lit(2000L)).cast("double") - 1000.0) / 1000.0
 
-  /** Random-hyperplane LSH signature: `numPlanes` sign bits packed into a
-    * long. Vectors with equal signatures are near-certain neighbors;
-    * probing is a plain equi-join on `bucket`. */
-  def lshSignature(v: Column, numPlanes: Int = 12): Column = {
+  /** Interpreted HOF reference for [[lshSignature]] (seedOffset 0); see
+    * ExpressionsSpec's parity test. */
+  private[graft] def lshSignatureInterpreted(v: Column, numPlanes: Int): Column = {
     val planeDots = (0 until numPlanes).map { j =>
       aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x.cast("double") * planeComponent(j, i)),
@@ -89,6 +99,50 @@ object Similarity {
     }
     (0 until numPlanes).map(j => when(planeDots(j) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
+  }
+
+  /** Bucketed corpus×corpus near-duplicate pairs — the 100 TB path that
+    * [[nearDupPairs]] (the quadratic exact verifier) is NOT: `numTables`
+    * independent hyperplane-LSH tables of `planesPerTable` sign bits each,
+    * a plain EQUI-join on (table, signature) to generate candidates, then an
+    * exact-cosine rerank of candidates only. Catalyst plans the candidate
+    * join as a shuffle join on the bucket key — never a
+    * BroadcastNestedLoopJoin — so the work distributes across executors and
+    * tracks the number of true collisions, not n².
+    *
+    * Recall math (hyperplane LSH): a pair at cosine c agrees on one plane
+    * with p = 1 - acos(c)/π, on a whole table with p^b, and is missed by all
+    * tables with (1-p^b)^T. Defaults (b=8, T=14) give ≥99% recall at c≥0.9 —
+    * the training-data near-dup regime. For LOW thresholds (c≈0.4, p≈0.63)
+    * completeness forces b=1..2 and the candidate volume approaches n²/2^b×T:
+    * LSH cannot beat brute force when "near" duplicates are barely
+    * correlated — use [[nearDupPairs]] there, or raise the threshold.
+    * Signatures are xxhash64-derived (graft.functions.HyperplaneSignature):
+    * deterministic, no broadcast plane state, table t uses plane family
+    * [t*b, (t+1)*b).
+    */
+  def lshNearDupPairs(
+      emb: DataFrame, threshold: Double = 0.9,
+      planesPerTable: Int = 8, numTables: Int = 14): DataFrame = {
+    val b = planesPerTable
+    val bucketed = emb.select(col("vec_id").as("id"),
+      posexplode(array((0 until numTables).map(t =>
+        lshSignature(col("embedding"), b, seedOffset = t * b)): _*)))
+      .select(col("id"), col("pos").as("tbl"), col("col").as("sig"))
+    // candidate ids only — vectors are re-joined AFTER the distinct, so the
+    // dedup shuffle carries two longs per candidate, never the embeddings
+    val cands = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val v1 = withNorm(emb, "1")
+    val v2 = withNorm(emb, "2")
+    val cos = round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6)
+    cands.join(v1, "id1").join(v2, "id2")
+      .select(col("id1"), col("id2"), cos.as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 
   /** Approximate top-k through LSH buckets: candidates are corpus vectors

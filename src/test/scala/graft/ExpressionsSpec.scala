@@ -84,6 +84,48 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(results(0)(0) == manual)
   }
 
+  test("hyperplane_signature: codegen == interpreted == original HOF formulation") {
+    val df = Seq(
+      Array(0.3f, -1.2f, 4.5f, 0.01f, -2.2f),
+      Array(-0.5f, -0.5f, -0.5f),
+      Array(1e-8f, -1e-8f),
+      Array.emptyFloatArray
+    ).toDF("v")
+    // the HOF chain it replaced is the independent semantic reference —
+    // bit-for-bit equality locks the signature so existing buckets survive
+    val reference = df.select(
+      graft.operators.Similarity.lshSignatureInterpreted($"v", 12).as("sig"))
+      .collect().map(_.getLong(0)).toSeq
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      val got = df.select(VectorFunctions.hyperplane_signature($"v", 12).as("sig"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == reference, s"codegen=$cg")
+    }
+    // empty vector → null-padded zip nulls every dot → zero signature (locked quirk)
+    assert(reference(3) == 0L)
+    // doubles agree with floats widened exactly
+    val d = Seq(Array(0.25, -0.5)).toDF("v")
+      .select(VectorFunctions.hyperplane_signature($"v", 12)).collect()(0).getLong(0)
+    val f = Seq(Array(0.25f, -0.5f)).toDF("v")
+      .select(VectorFunctions.hyperplane_signature($"v", 12)).collect()(0).getLong(0)
+    assert(d == f)
+  }
+
+  test("hyperplane_signature: seedOffset yields independent plane families") {
+    val df = Seq(Tuple1(Array(0.3f, -1.2f, 4.5f, 0.01f, -2.2f, 1.7f, -0.9f, 2.3f))).toDF("v")
+    val sigs = df.select(
+      VectorFunctions.hyperplane_signature($"v", 8, 0).as("t0"),
+      VectorFunctions.hyperplane_signature($"v", 8, 8).as("t1"),
+      VectorFunctions.hyperplane_signature($"v", 8, 16).as("t2")).collect()(0)
+    // distinct tables disagree somewhere (2^-8 odds per pair of colliding by chance)
+    assert(Set(sigs.getLong(0), sigs.getLong(1), sigs.getLong(2)).size == 3)
+    // table t's plane j IS global plane t*b+j: the 16-plane signature's high
+    // byte equals table 1's signature (construction, not chance)
+    val wide = df.select(VectorFunctions.hyperplane_signature($"v", 16, 0)).collect()(0).getLong(0)
+    assert((wide >>> 8) == sigs.getLong(1))
+    assert((wide & 0xFFL) == sigs.getLong(0))
+  }
+
   test("word_gram_hashes: equal word windows hash equal; short input empty") {
     val df = Seq(
       Tuple1(Array("a", "b", "c", "d")),
