@@ -52,11 +52,31 @@ object Dedup {
     * Implementation: distinct gram explode → self-equi-join on gram →
     * pair-count = intersection; union from per-doc gram counts. Jaccard is a
     * single exact integer division — bit-identical to any SQL engine.
-    */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val grams = gramSet(docs, n)
-    // per-doc set size straight off the distinct array — map-side, no agg
-    val counts = gramArrays(docs, n).select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+    *
+    * `maxDocFrequency` is the hot-gram guard for the self-join's quadratic
+    * blowup: a gram appearing in k docs contributes k² join rows, and at
+    * corpus scale stopword n-grams make that the dominant cost. With
+    * f < 1.0, grams present in more than f of all docs are dropped from the
+    * documents' gram SETS before any pairing (standard near-dup practice —
+    * ubiquitous grams carry no dedup signal), and Jaccard is computed over
+    * the reduced sets — a deliberate semantic change, so the default 1.0
+    * keeps the guard off and the exact map-side-count path intact. */
+  def ngramJaccardPairs(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
+      maxDocFrequency: Double = 1.0): DataFrame = {
+    val (grams, counts) =
+      if (maxDocFrequency >= 1.0)
+        // per-doc set size straight off the distinct array — map-side, no agg
+        (gramSet(docs, n),
+          gramArrays(docs, n).select(col("doc_id"), size(col("grams")).cast("long").as("n_grams")))
+      else {
+        val nDocs = docs.count()
+        val kept = gramSet(docs, n).join(
+          gramSet(docs, n).groupBy("gram").agg(count(lit(1)).as("df"))
+            .filter(col("df") > maxDocFrequency * nDocs).select("gram"),
+          Seq("gram"), "left_anti")
+        (kept, kept.groupBy("doc_id").agg(count(lit(1)).as("n_grams")))
+      }
     val inter = grams.as("g1")
       .join(grams.as("g2"), col("g1.gram") === col("g2.gram") && col("g1.doc_id") < col("g2.doc_id"))
       .groupBy(col("g1.doc_id").as("doc1"), col("g2.doc_id").as("doc2"))
@@ -171,15 +191,20 @@ object Dedup {
     * dedup stage: candidate pairs (from LSH or exact Jaccard) → clusters →
     * keep one doc per cluster.
     *
-    * Iterative min-label propagation: each round joins labels to the
-    * symmetric edge list and takes the min over self + neighbors, until a
-    * fixpoint (at most `maxIterations` rounds ~ the largest cluster
-    * diameter — near-dup clusters are shallow, so this converges in a few
-    * rounds). Each round is one shuffle join + one aggregation. The label
-    * table is localCheckpoint'ed every round: caching alone keeps the DATA
-    * but the logical plan still nests per iteration and grows exponentially
-    * (driver OOM in plan stringification by ~10 rounds) — checkpointing
-    * truncates the lineage to a leaf. Deterministic.
+    * Min-label propagation with POINTER DOUBLING: each round (a) takes the
+    * min over self + neighbors' labels (one shuffle join + one aggregation),
+    * then (b) shortcuts label ← label(label) (one more self-join) — valid
+    * because labels only ever decrease and every label value is itself a
+    * node, so the lookup is total. The shortcut doubles the propagation
+    * distance per round, cutting rounds from O(diameter) to O(log diameter)
+    * — the property that matters at 100 TB, where each round costs a full
+    * shuffle plus a driver action and a path-shaped cluster would otherwise
+    * stall the job (OperatorsSpec pins a diameter-127 path converging in
+    * ≤ 10 rounds). The label table is localCheckpoint'ed every round:
+    * caching alone keeps the DATA but the logical plan still nests per
+    * iteration and grows exponentially (driver OOM in plan stringification
+    * by ~10 rounds) — checkpointing truncates the lineage to a leaf.
+    * Deterministic.
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
@@ -190,10 +215,19 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // candidate label per node: min over its own label and neighbors'
-      val viaNeighbors = edges.join(labels, edges("dst") === labels("node"))
+      // pointer doubling: follow the label's own label one hop further —
+      // labels is a checkpoint LEAF, so this self-join deduplicates cleanly
+      // (a Union-shaped plan here trips the analyzer's constraint rewrite).
+      // Left join for safety (inner would drop rows if an invariant ever
+      // broke); least() keeps labels monotone non-increasing.
+      val lookup = labels.select(col("node").as("l_node"), col("label").as("l_label"))
+      val shortcut = labels.join(lookup, col("label") === col("l_node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
+      // candidate label per node: min over its own (shortcut) label and neighbors'
+      val viaNeighbors = edges.join(shortcut, edges("dst") === shortcut("node"))
         .select(col("src").as("node"), col("label"))
-      val next = labels.unionAll(viaNeighbors)
+      val next = shortcut.unionAll(viaNeighbors)
         .groupBy("node").agg(min("label").as("label")).localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).limit(1).count()
@@ -206,7 +240,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIterations iterations — " +
-          "a duplicate cluster has diameter larger than maxIterations; raise it.")
+          "a duplicate cluster has diameter beyond 2^maxIterations reach; raise it.")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

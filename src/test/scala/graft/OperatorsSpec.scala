@@ -62,6 +62,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(labels.toSeq == Seq(0L))
   }
 
+  test("hot-gram guard drops ubiquitous grams; f=1.0 is a no-op") {
+    // gram "x y z" appears in every doc (the stopword-trigram analogue);
+    // docs 1/2 additionally share "a b c", doc 3 shares nothing else
+    val docs = Seq(
+      (1L, "x y z a b c"),
+      (2L, "x y z a b c q"),
+      (3L, "x y z p q r")
+    ).toDF("doc_id", "text")
+    val full = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val noop = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.0, maxDocFrequency = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(noop == full)
+    // f=0.9: "x y z" (df=3/3) is dropped; grams of doc1 {y z a, z a b, a b c},
+    // doc2 adds {b c q}, doc3 {y z p, z p q, p q r}
+    val guarded = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.0, maxDocFrequency = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(guarded((1L, 2L)) == 3.0 / 4.0)   // {yza,zab,abc} ∩ {yza,zab,abc,bcq}
+    assert(!guarded.contains((1L, 3L)))      // only the dropped gram was shared
+    assert(full((1L, 3L)) > 0)               // ...which the unguarded run reports
+  }
+
+  test("connected components converge in O(log diameter) rounds (pointer doubling)") {
+    // worst case for plain min-label propagation: a path graph. Diameter 127
+    // needs 127 plain rounds; pointer doubling must close it within 10
+    // (≈ log2(127) + slack + the final no-change round)
+    val path = (0L until 127L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val got = Dedup.connectedComponents(path, maxIterations = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 128 && got.forall(_._2 == 0L))
+  }
+
   private lazy val emb = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f), 0),
     (1L, Array(0.9f, 0.1f, 0.0f), 0),  // close to 0
