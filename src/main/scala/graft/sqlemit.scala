@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** WindowQuerySpec → SQL text — the single-engine analogue of the reference's
+  * ELT pushdown, which compiles the same config into BigQuery window SQL
+  * instead of executing it in Spark (WindowAggregation.java:75-93 function
+  * templates, :560-686 definition assembly). Emitting the query as SQL lets a
+  * pipeline hand the window work to a warehouse that already holds the data —
+  * the reference's reason for the feature — and doubles as an executable
+  * specification of the engine's semantics (the parity test runs the emitted
+  * Spark dialect through spark.sql and compares against WindowEngine.run).
+  *
+  * Select-list shape mirrors the engine's output schema exactly
+  * ([[WindowEngine.outputSchema]]): every input column in order, an aggregate
+  * whose alias matches an input column REPLACES it in place, remaining
+  * aggregates append. Declared output types (PERCENT_RANK → FLOAT,
+  * ACCUMULATE → input type) are honored with CASTs so the emitted query is a
+  * true drop-in for the engine result.
+  */
+object SqlEmitter {
+
+  /** Target dialect. BigQuery reproduces the reference's templates verbatim
+    * (PERCENTILE_CONT/DISC as window functions, `IGNORE NULLS` inside the
+    * FIRST_VALUE arg list); Spark emits what spark.sql / ANSI engines accept
+    * (Hive `percentile`, boolean ignore-nulls argument). */
+  sealed trait Dialect
+  object Dialect {
+    case object BigQuery extends Dialect
+    case object Spark    extends Dialect
+  }
+
+  /** Emit `SELECT ... FROM table` for a validated spec. `schema` drives the
+    * select list and the ACCUMULATE output cast. */
+  def emit(spec: WindowQuerySpec, table: String, schema: StructType,
+      dialect: Dialect = Dialect.Spark): String = {
+    val over = overClause(spec)
+    // the cast (declared output types) wraps the whole windowed expression —
+    // CAST(fn() AS t) OVER (...) is a syntax error in every dialect
+    def windowed(agg: AggregateSpec): String = {
+      val base = s"${aggregateSql(agg, dialect)} $over"
+      outputCast(agg, schema).fold(base)(t => s"CAST($base AS $t)") + s" AS ${agg.alias}"
+    }
+    val byAlias = spec.aggregates.map(a => a.alias -> a).toMap
+    val inputNames = schema.fieldNames.toSet
+    val inPlace = schema.fields.map { f =>
+      byAlias.get(f.name) match {
+        case Some(agg) => windowed(agg)
+        case None      => f.name
+      }
+    }
+    val appended = spec.aggregates.filterNot(a => inputNames.contains(a.alias)).map(windowed)
+    s"SELECT ${(inPlace ++ appended).mkString(", ")} FROM $table"
+  }
+
+  /** Declared output types, matching [[WindowEngine]]'s post-casts:
+    * PERCENT_RANK → FLOAT, ACCUMULATE → input type (SUM widens). */
+  private def outputCast(agg: AggregateSpec, schema: StructType): Option[String] = agg.fn match {
+    case WindowFn.PercentRank => Some("FLOAT")
+    case WindowFn.Accumulate  => schema.fields.find(_.name == agg.field).map(_.dataType.sql)
+    case _                    => None
+  }
+
+  private def overClause(spec: WindowQuerySpec): String = {
+    val partition = s"PARTITION BY ${spec.partitionFields.mkString(", ")}"
+    val order =
+      if (spec.order.isEmpty) ""
+      else " ORDER BY " + spec.order.map { o =>
+        val dir = o.direction match {
+          case SortDirection.Ascending  => "ASC"
+          case SortDirection.Descending => "DESC"
+        }
+        s"${o.field} $dir"
+      }.mkString(", ")
+    val frame = spec.frame.frameType match {
+      case FrameType.NoFrame => ""
+      case ft =>
+        val kw = if (ft == FrameType.Row) "ROWS" else "RANGE"
+        s" $kw BETWEEN ${bound(spec.frame.startBound)} AND ${bound(spec.frame.endBound)}"
+    }
+    s"OVER ($partition$order$frame)"
+  }
+
+  /** Signed engine bound → SQL bound (reference sign convention: users write
+    * -2 for "2 preceding"; sentinels are Long.MinValue/MaxValue). */
+  private def bound(b: Long): String = b match {
+    case Long.MinValue     => "UNBOUNDED PRECEDING"
+    case Long.MaxValue     => "UNBOUNDED FOLLOWING"
+    case 0L                => "CURRENT ROW"
+    case n if n < 0        => s"${-n} PRECEDING"
+    case n                 => s"$n FOLLOWING"
+  }
+
+  private def aggregateSql(agg: AggregateSpec, dialect: Dialect): String = {
+    import Dialect._
+    val col = agg.field
+    def arg0 = agg.args.head
+    // FIRST/LAST null handling: config flag OR'd with optional boolean arg,
+    // parsed like Boolean.parseBoolean (reference WindowAggregation.java:640-645)
+    def ignoreNulls: Boolean =
+      agg.ignoreNulls || agg.args.headOption.exists(_.equalsIgnoreCase("true"))
+    agg.fn match {
+      case WindowFn.Rank        => "RANK()"
+      case WindowFn.DenseRank   => "DENSE_RANK()"
+      case WindowFn.PercentRank => "PERCENT_RANK()" // FLOAT cast applied around the OVER
+      case WindowFn.NTile       => s"NTILE($arg0)"
+      case WindowFn.RowNumber   => "ROW_NUMBER()"
+      case WindowFn.Median => dialect match {
+        case BigQuery => s"PERCENTILE_CONT($col, 0.5)"
+        case Spark    => s"percentile($col, 0.5)"
+      }
+      case WindowFn.ContinuousPercentile => dialect match {
+        case BigQuery => s"PERCENTILE_CONT($col, $arg0)"
+        case Spark    => s"percentile($col, $arg0)"
+      }
+      case WindowFn.DiscretePercentile => dialect match {
+        case BigQuery => s"PERCENTILE_DISC($col, $arg0)"
+        case Spark => throw new UnsupportedOperationException(
+          "DISCRETE_PERCENTILE has no Spark SQL surface — the engine runs it " +
+            "natively (DiscretePercentileAgg); emit BigQuery dialect for pushdown")
+      }
+      case WindowFn.Lead => s"LEAD($col, $arg0)"
+      case WindowFn.Lag  => s"LAG($col, $arg0)"
+      case WindowFn.First => dialect match {
+        case BigQuery => s"FIRST_VALUE($col ${if (ignoreNulls) "IGNORE" else "RESPECT"} NULLS)"
+        case Spark    => s"FIRST_VALUE($col, $ignoreNulls)"
+      }
+      case WindowFn.Last => dialect match {
+        case BigQuery => s"LAST_VALUE($col ${if (ignoreNulls) "IGNORE" else "RESPECT"} NULLS)"
+        case Spark    => s"LAST_VALUE($col, $ignoreNulls)"
+      }
+      case WindowFn.CumulativeDistribution => "CUME_DIST()"
+      case WindowFn.Accumulate => s"SUM($col)" // input-type cast applied around the OVER
+    }
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The emitted SQL must be a drop-in for the engine: running the Spark
+  * dialect through spark.sql yields the exact rows (values AND schema) of
+  * WindowEngine.run for the same spec. BigQuery dialect is pinned against
+  * the reference's pushdown templates (WindowAggregation.java:75-93). */
+class SqlEmitterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("a", 1, Option(10.0)), ("a", 2, Option.empty[Double]), ("a", 3, Option(30.0)),
+    ("a", 4, Option(20.0)), ("b", 1, Option(5.0)), ("b", 2, Option(7.0))
+  ).toDF("k", "ord", "v")
+
+  private def assertParity(spec: WindowQuerySpec): Unit = {
+    df.createOrReplaceTempView("t")
+    val sql = SqlEmitter.emit(spec, "t", df.schema)
+    val viaSql = spark.sql(sql)
+    val viaEngine = WindowEngine.run(df, spec)
+    assert(viaSql.schema == viaEngine.schema, s"schema parity for: $sql")
+    val key = Seq("k", "ord")
+    assert(viaSql.orderBy(key.head, key.tail: _*).collect().toSeq ==
+      viaEngine.orderBy(key.head, key.tail: _*).collect().toSeq, s"row parity for: $sql")
+  }
+
+  test("rank family + cume_dist + ntile round-trip through spark.sql") {
+    assertParity(WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord")), aggregates = Seq(
+      AggregateSpec("r", WindowFn.Rank, "ord"),
+      AggregateSpec("d", WindowFn.DenseRank, "ord"),
+      AggregateSpec("pr", WindowFn.PercentRank, "ord"),
+      AggregateSpec("t4", WindowFn.NTile, "ord", Seq("3")),
+      AggregateSpec("rn", WindowFn.RowNumber, "ord"),
+      AggregateSpec("cd", WindowFn.CumulativeDistribution, "ord"))))
+  }
+
+  test("lead/lag/first/last honor offsets and ignore-nulls quirks") {
+    assertParity(WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord")), aggregates = Seq(
+      AggregateSpec("nxt", WindowFn.Lead, "v", Seq("1")),
+      AggregateSpec("prv", WindowFn.Lag, "v", Seq("2")),
+      AggregateSpec("f_skip", WindowFn.First, "v"),                            // default ignoreNulls
+      AggregateSpec("f_keep", WindowFn.First, "v", ignoreNulls = false),
+      AggregateSpec("l_arg", WindowFn.Last, "v", Seq("true"), ignoreNulls = false)))) // arg ORs in
+  }
+
+  test("accumulate + median with frames, including in-place overwrite") {
+    assertParity(WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord")),
+      FrameSpec(FrameType.Row, Some(-1L), Some(0L)),
+      aggregates = Seq(AggregateSpec("run", WindowFn.Accumulate, "ord"))))
+    assertParity(WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord")), // MEDIAN: frame NOT_SUPPORTED
+      aggregates = Seq(AggregateSpec("med", WindowFn.Median, "ord"))))
+    // alias == input column → replaced in place, both paths
+    assertParity(WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord")),
+      aggregates = Seq(AggregateSpec("v", WindowFn.Accumulate, "ord"))))
+  }
+
+  test("descending order and multi-column partitions emit correctly") {
+    assertParity(WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord", SortDirection.Descending)),
+      aggregates = Seq(AggregateSpec("r", WindowFn.Rank, "ord"))))
+  }
+
+  test("BigQuery dialect reproduces the reference pushdown templates") {
+    val spec = WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord")), aggregates = Seq(
+      AggregateSpec("dp", WindowFn.DiscretePercentile, "v", Seq("0.25")),
+      AggregateSpec("cp", WindowFn.ContinuousPercentile, "v", Seq("0.75")),
+      AggregateSpec("f", WindowFn.First, "v"),
+      AggregateSpec("l", WindowFn.Last, "v", ignoreNulls = false)))
+    val sql = SqlEmitter.emit(spec, "t", df.schema, SqlEmitter.Dialect.BigQuery)
+    assert(sql.contains("PERCENTILE_DISC(v, 0.25) OVER (PARTITION BY k ORDER BY ord ASC) AS dp"))
+    assert(sql.contains("PERCENTILE_CONT(v, 0.75)"))
+    assert(sql.contains("FIRST_VALUE(v IGNORE NULLS)"))
+    assert(sql.contains("LAST_VALUE(v RESPECT NULLS)"))
+    // select list = input columns then appended aliases
+    assert(sql.startsWith("SELECT k, ord, v, "))
+  }
+
+  test("frame bounds render the reference sign convention") {
+    val spec = WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord")),
+      FrameSpec(FrameType.Range, Some(-5L), Some(3L)),
+      Seq(AggregateSpec("s", WindowFn.Accumulate, "ord")))
+    val sql = SqlEmitter.emit(spec, "t", df.schema)
+    assert(sql.contains("RANGE BETWEEN 5 PRECEDING AND 3 FOLLOWING"))
+    // ACCUMULATE casts the whole windowed expression back to the input type
+    assert(sql.contains("CAST(SUM(ord) OVER") && sql.contains("AS INT) AS s"))
+  }
+
+  test("Spark dialect refuses DISCRETE_PERCENTILE (engine-native only)") {
+    val spec = WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord")),
+      aggregates = Seq(AggregateSpec("dp", WindowFn.DiscretePercentile, "v", Seq("0.5"))))
+    intercept[UnsupportedOperationException] {
+      SqlEmitter.emit(spec, "t", df.schema)
+    }
+  }
+}
