@@ -17,10 +17,12 @@ import org.apache.spark.sql.types._
   * Scale notes (100 TB design):
   *  - The only shuffle is the hash partition on `partitionFields`; AQE
   *    (`spark.sql.adaptive.enabled`, default on in Spark 4) re-splits skewed
-  *    partitions at runtime. For pathologically hot keys, pre-salt the
-  *    partition key upstream — rank-family functions are salt-incompatible
-  *    (they need the whole partition), but ACCUMULATE/frame aggregates can be
-  *    two-phase salted.
+  *    partitions at runtime. For pathologically hot keys: order-free
+  *    whole-partition aggregates → [[graft.operators.SkewSafe.partitionAgg]]
+  *    (groupBy + join-back, no window sort); running ACCUMULATE →
+  *    [[graft.operators.SkewSafe.saltedAccumulate]] (two-phase over
+  *    order-aligned chunks). Rank-family functions are salt-incompatible —
+  *    they need the whole partition.
   *  - Spark's WindowExec sorts within partitions via UnsafeExternalSorter and
   *    spills; frames are evaluated incrementally (no per-row re-scan).
   *  - DISCRETE_PERCENTILE is a TypedImperativeAggregate over the shared spec

@@ -38,4 +38,44 @@ object SkewSafe {
     val cond = keys.map(k => df(k) <=> col(s"__$k")).reduce(_ && _)
     df.join(totals, cond).drop(keys.map(k => s"__$k"): _*)
   }
+
+  /** Two-phase RUNNING sum (ACCUMULATE) for skewed ordered windows — the
+    * utility behind the engine scaladoc's "pre-salt upstream" guidance
+    * (engine.scala): a running aggregate is inherently sequential per
+    * partition, so a hot key serializes into one sorted task. Splitting the
+    * partition into order-aligned CHUNKS restores parallelism:
+    *
+    *  1. local running sum within (keys, chunk) — the shuffle+sort is keyed
+    *     by (keys, chunk), so the hot key spreads over its chunks;
+    *  2. per-chunk totals (map-side combined, tiny);
+    *  3. per-chunk OFFSET = running total of strictly-prior chunks (a window
+    *     over one row per chunk — negligible);
+    *  4. equi-join the offset back on (keys, chunk) and add.
+    *
+    * Contract: `chunkCol` must be a NON-DECREASING function of the order
+    * key(s) within each partition (e.g. a coarse time bucket when ordering
+    * by time) — equal order keys must share a chunk, or cross-chunk peers
+    * would break the default RANGE frame's tie semantics. Result is cast to
+    * the value column's type, matching ACCUMULATE's declared output.
+    * Property-tested equal to the unsalted engine ACCUMULATE. */
+  def saltedAccumulate(
+      df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+      chunkCol: String, valueCol: String, alias: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val valueType = df.schema(valueCol).dataType
+    val localW = Window.partitionBy((keys :+ chunkCol).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val withLocal = df.withColumn(alias, sum(col(valueCol)).over(localW))
+    val totals = df.groupBy((keys :+ chunkCol).map(col): _*)
+      .agg(sum(col(valueCol)).as("__chunk_total"))
+    val chunkW = Window.partitionBy(keys.map(col): _*).orderBy(col(chunkCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__offset", sum(col("__chunk_total")).over(chunkW))
+      .select((keys :+ chunkCol).map(k => col(k).as(s"__$k")) :+ col("__offset"): _*)
+    val cond = (keys :+ chunkCol).map(k => withLocal(k) <=> col(s"__$k")).reduce(_ && _)
+    withLocal.join(offsets, cond)
+      .withColumn(alias, (col(alias) + coalesce(col("__offset"), lit(0))).cast(valueType))
+      .drop((keys :+ chunkCol).map(k => s"__$k") :+ "__offset": _*)
+  }
 }

@@ -84,6 +84,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full((1L, 3L)) > 0)               // ...which the unguarded run reports
   }
 
+  test("salted two-phase accumulate equals unsalted engine ACCUMULATE on a skewed key") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // hot key with 400 rows (tied order values via i/3), cold key with 10
+    val rows = (0 until 400).map(i => ("hot", i / 3, (i % 7).toDouble)) ++
+      (0 until 10).map(i => ("cold", i, i.toDouble))
+    val df = rows.toDF("k", "ts", "v").withColumn("chunk", expr("ts div 25"))
+    val salted = graft.operators.SkewSafe
+      .saltedAccumulate(df, Seq("k"), Seq("ts"), "chunk", "v", "run")
+      .select("k", "ts", "v", "run")
+    val unsalted = WindowEngine.run(df,
+      WindowQuerySpec(Seq("k"), Seq(OrderSpec("ts")),
+        aggregates = Seq(AggregateSpec("run", WindowFn.Accumulate, "v"))))
+      .select("k", "ts", "v", "run")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2, t._3, t._4)).toSeq
+    assert(canon(salted) == canon(unsalted))
+  }
+
   test("connected components converge in O(log diameter) rounds (pointer doubling)") {
     // worst case for plain min-label propagation: a path graph. Diameter 127
     // needs 127 plain rounds; pointer doubling must close it within 10
