@@ -336,6 +336,33 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id"), col("doc_id"))
     }),
 
+    // salted two-phase running sum: equals ACCUMULATE but keyed by
+    // (suppkey, month-chunk) so a hot supplier spreads across chunk tasks
+    "q48_salted_accumulate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val df = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate", "l_quantity")
+        .withColumn("chunk", year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+      operators.SkewSafe.saltedAccumulate(df, Seq("l_suppkey"),
+        Seq("l_shipdate", "l_orderkey", "l_linenumber"), "chunk", "l_quantity", "run_qty")
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "run_qty")
+    }),
+
+    // the Spec→SQL emitter driving spark.sql end to end — the single-engine
+    // analogue of the reference's BQ pushdown (templates at
+    // WindowAggregation.java:75-93), checked against the same DuckDB oracle
+    // the native engine path uses
+    "q49_sql_emitter" -> ((s, dir) => {
+      val df = li(s, dir)
+      df.createOrReplaceTempView("graft_emit_lineitem")
+      val spec = WindowQuerySpec(Seq("l_returnflag"), tieFreeOrder, aggregates = Seq(
+        AggregateSpec("rnk", WindowFn.Rank, "l_extendedprice"),
+        AggregateSpec("run_qty", WindowFn.Accumulate, "l_quantity")))
+      s.sql(SqlEmitter.emit(spec, "graft_emit_lineitem", df.schema))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
+          "l_quantity", "rnk", "run_qty")
+    }),
+
     // as-of join: each event gets the user's most recent order price
     "q38_asof_join" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -673,6 +700,18 @@ object SparkEntry {
           |e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us FROM events)
           |SELECT event_id, user_id, price AS asof_price
           |FROM e ASOF LEFT JOIN r ON e.user_id = r.k AND e.us >= r.us""".stripMargin,
+
+      "q48_salted_accumulate" ->
+        """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+          |sum(l_quantity) OVER
+          |(PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS run_qty
+          |FROM lineitem""".stripMargin,
+
+      "q49_sql_emitter" ->
+        s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, l_quantity,
+           |CAST(rank() $over AS INT) AS rnk,
+           |sum(l_quantity) $over AS run_qty
+           |FROM lineitem""".stripMargin,
 
       "q37_events_leadlag" ->
         """SELECT event_id, user_id, event_type, value,
