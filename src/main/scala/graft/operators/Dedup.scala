@@ -113,18 +113,9 @@ object Dedup {
   def minHashLshPairs(
       docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
       minEstimate: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0,
-      s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
-        "otherwise trailing signature slots are silently ignored")
-    val rows = numHashes / bands
     val sigs = minHashSignatures(docs, n, numHashes)
       .filter(element_at(col("minhash"), 1) =!= Long.MaxValue)
-    val banded = sigs.select(
-      col("doc_id"), col("minhash"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col("minhash"), b * rows + 1, rows))): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
+    val banded = bandedKeys(sigs, numHashes, bands)
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -138,6 +129,38 @@ object Dedup {
           .cast("double") / numHashes)
       .filter(col("est_jaccard") >= minEstimate)
       .select("doc1", "doc2", "est_jaccard")
+  }
+
+  /** Candidate PAIRS only — [[minHashLshPairs]] without the slot-match
+    * estimate: the dedup shuffle (distinct) carries two longs per candidate
+    * instead of two `numHashes`-long signature arrays. The right feed for a
+    * pipeline that exact-verifies candidates anyway ([[lshDedupClusters]]),
+    * where the estimate would be discarded. */
+  def minHashLshCandidates(
+      docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 16): DataFrame = {
+    val sigs = minHashSignatures(docs, n, numHashes)
+      .filter(element_at(col("minhash"), 1) =!= Long.MaxValue)
+    val banded = bandedKeys(sigs, numHashes, bands).drop("minhash")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+  }
+
+  /** (doc_id, minhash) → one row per band with its hashed band key. */
+  private def bandedKeys(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
+        "otherwise trailing signature slots are silently ignored")
+    val rows = numHashes / bands
+    sigs.select(
+      col("doc_id"), col("minhash"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("minhash"), b * rows + 1, rows))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
   }
 
   /** EXACT n-gram Jaccard computed only for given candidate pairs — the
@@ -181,8 +204,7 @@ object Dedup {
       docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 16,
       threshold: Double = 0.5, maxIterations: Int = 20): DataFrame =
     connectedComponents(
-      jaccardVerify(docs, minHashLshPairs(docs, n, numHashes, bands, minEstimate = 0.0),
-        n, threshold),
+      jaccardVerify(docs, minHashLshCandidates(docs, n, numHashes, bands), n, threshold),
       maxIterations)
 
   /** Connected components over near-duplicate pairs: assigns every document
@@ -219,11 +241,14 @@ object Dedup {
       // labels is a checkpoint LEAF, so this self-join deduplicates cleanly
       // (a Union-shaped plan here trips the analyzer's constraint rewrite).
       // Left join for safety (inner would drop rows if an invariant ever
-      // broke); least() keeps labels monotone non-increasing.
-      val lookup = labels.select(col("node").as("l_node"), col("label").as("l_label"))
-      val shortcut = labels.join(lookup, col("label") === col("l_node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
+      // broke); least() keeps labels monotone non-increasing. Round 0 skips
+      // the join: labels are still the identity map, label(label) = label.
+      val shortcut = if (iter == 0) labels else {
+        val lookup = labels.select(col("node").as("l_node"), col("label").as("l_label"))
+        labels.join(lookup, col("label") === col("l_node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
+      }
       // candidate label per node: min over its own (shortcut) label and neighbors'
       val viaNeighbors = edges.join(shortcut, edges("dst") === shortcut("node"))
         .select(col("src").as("node"), col("label"))

@@ -102,7 +102,7 @@ class PlanSpec extends AnyFunSuite {
     // plan directly
     val docs = graft.sources.Tables.documents(spark, dir)
     val p = graft.operators.Dedup.jaccardVerify(docs,
-      graft.operators.Dedup.minHashLshPairs(docs, 3, 16, 16, minEstimate = 0.0), 3, 0.5)
+      graft.operators.Dedup.minHashLshCandidates(docs, 3, 16, 16), 3, 0.5)
       .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     // exact verification must run on the candidates' gram ARRAYS
