@@ -353,12 +353,13 @@ object SparkEntry {
     // WindowAggregation.java:75-93), checked against the same DuckDB oracle
     // the native engine path uses
     "q49_sql_emitter" -> ((s, dir) => {
-      val df = li(s, dir)
-      df.createOrReplaceTempView("graft_emit_lineitem")
       val spec = WindowQuerySpec(Seq("l_returnflag"), tieFreeOrder, aggregates = Seq(
         AggregateSpec("rnk", WindowFn.Rank, "l_extendedprice"),
         AggregateSpec("run_qty", WindowFn.Accumulate, "l_quantity")))
-      s.sql(SqlEmitter.emit(spec, "graft_emit_lineitem", df.schema))
+      // direct-path table syntax — no temp-view registration mutating the
+      // session catalog as a query side effect; the emitted select list only
+      // names li()'s columns, so the scan still prunes
+      s.sql(SqlEmitter.emit(spec, s"parquet.`$dir/lineitem.parquet`", li(s, dir).schema))
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
           "l_quantity", "rnk", "run_qty")
     }),

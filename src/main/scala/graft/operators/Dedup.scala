@@ -71,10 +71,16 @@ object Dedup {
           gramArrays(docs, n).select(col("doc_id"), size(col("grams")).cast("long").as("n_grams")))
       else {
         val nDocs = docs.count()
-        val kept = gramSet(docs, n).join(
-          gramSet(docs, n).groupBy("gram").agg(count(lit(1)).as("df"))
+        // cache the exploded gram set: it feeds both the document-frequency
+        // aggregation and the anti-join, and the surviving set feeds both
+        // downstream consumers — without caching the tokenize+hash+explode
+        // pipeline would run four times. (doc_id, gram-hash) pairs only;
+        // spill-safe, released by block-manager LRU.
+        val all = gramSet(docs, n).cache()
+        val kept = all.join(
+          all.groupBy("gram").agg(count(lit(1)).as("df"))
             .filter(col("df") > maxDocFrequency * nDocs).select("gram"),
-          Seq("gram"), "left_anti")
+          Seq("gram"), "left_anti").cache()
         (kept, kept.groupBy("doc_id").agg(count(lit(1)).as("n_grams")))
       }
     val inter = grams.as("g1")
@@ -237,22 +243,24 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // pointer doubling: follow the label's own label one hop further —
-      // labels is a checkpoint LEAF, so this self-join deduplicates cleanly
-      // (a Union-shaped plan here trips the analyzer's constraint rewrite).
-      // Left join for safety (inner would drop rows if an invariant ever
-      // broke); least() keeps labels monotone non-increasing. Round 0 skips
-      // the join: labels are still the identity map, label(label) = label.
-      val shortcut = if (iter == 0) labels else {
-        val lookup = labels.select(col("node").as("l_node"), col("label").as("l_label"))
-        labels.join(lookup, col("label") === col("l_node"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
-      }
-      // candidate label per node: min over its own (shortcut) label and neighbors'
-      val viaNeighbors = edges.join(shortcut, edges("dst") === shortcut("node"))
+      // One union → one aggregation → ONE materialization per round, taking
+      // the min over three label sources read straight off the checkpoint
+      // LEAF (self-joining a Union-shaped plan trips the analyzer's
+      // constraint rewrite; a separate pre-shortcut frame would execute its
+      // join twice — once under the edges join, once under the union):
+      //  (a) the node's own label,
+      //  (b) neighbors' labels (propagation),
+      //  (c) the label's own label — POINTER DOUBLING. Round 0 skips (c):
+      //      labels are still the identity map.
+      val viaNeighbors = edges.join(labels, edges("dst") === labels("node"))
         .select(col("src").as("node"), col("label"))
-      val next = shortcut.unionAll(viaNeighbors)
+      val branches = if (iter == 0) Seq(labels, viaNeighbors) else {
+        val lookup = labels.select(col("node").as("l_node"), col("label").as("l_label"))
+        val viaShortcut = labels.join(lookup, col("label") === col("l_node"))
+          .select(col("node"), col("l_label").as("label"))
+        Seq(labels, viaNeighbors, viaShortcut)
+      }
+      val next = branches.reduce(_ unionAll _)
         .groupBy("node").agg(min("label").as("label")).localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).limit(1).count()

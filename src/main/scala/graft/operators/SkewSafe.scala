@@ -74,8 +74,16 @@ object SkewSafe {
       .withColumn("__offset", sum(col("__chunk_total")).over(chunkW))
       .select((keys :+ chunkCol).map(k => col(k).as(s"__$k")) :+ col("__offset"): _*)
     val cond = (keys :+ chunkCol).map(k => withLocal(k) <=> col(s"__$k")).reduce(_ && _)
+    // NULL semantics must match windowed SUM: the running value is NULL only
+    // while the WHOLE prefix (local chunk AND all prior chunks) is null-free
+    // of values — a null local sum with a non-null offset means the current
+    // chunk's prefix is all-NULL but prior chunks contributed, so the total
+    // is the offset, not NULL.
     withLocal.join(offsets, cond)
-      .withColumn(alias, (col(alias) + coalesce(col("__offset"), lit(0))).cast(valueType))
+      .withColumn(alias,
+        when(col(alias).isNull && col("__offset").isNull, lit(null))
+          .otherwise(coalesce(col(alias), lit(0)) + coalesce(col("__offset"), lit(0)))
+          .cast(valueType))
       .drop((keys :+ chunkCol).map(k => s"__$k") :+ "__offset": _*)
   }
 }

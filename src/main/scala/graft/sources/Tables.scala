@@ -25,11 +25,25 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
   /** events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects outright;
     * read `ts` as epoch-nanos longs instead (lossless — the data is
-    * µs-resolution). The legacy flag is scoped to this one read via a cloned
-    * session so no global session state mutates as a query side effect. */
+    * µs-resolution). The legacy flag is scoped to a cloned session so no
+    * global session state mutates as a query side effect. A set-then-restore
+    * on the caller's conf would NOT work: the scan resolves the flag lazily
+    * at execution, after the restore. The clone is built once per caller
+    * session (SessionState construction isn't free) with the caller's
+    * runtime confs copied at that moment — later runtime conf changes on the
+    * caller intentionally don't propagate. */
+  private val scopedSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val scoped = spark.newSession()
-    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val scoped = scopedSessions.computeIfAbsent(spark, s => {
+      val x = s.newSession()
+      s.conf.getAll.foreach { case (k, v) =>
+        try x.conf.set(k, v) catch { case _: Exception => () } // static confs refuse runtime set
+      }
+      x.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      x
+    })
     table(scoped, dir, "events")
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")

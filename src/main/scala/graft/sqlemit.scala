@@ -34,12 +34,20 @@ object SqlEmitter {
     * select list and the ACCUMULATE output cast. */
   def emit(spec: WindowQuerySpec, table: String, schema: StructType,
       dialect: Dialect = Dialect.Spark): String = {
-    val over = overClause(spec)
     // the cast (declared output types) wraps the whole windowed expression —
     // CAST(fn() AS t) OVER (...) is a syntax error in every dialect
     def windowed(agg: AggregateSpec): String = {
-      val base = s"${aggregateSql(agg, dialect)} $over"
-      outputCast(agg, schema).fold(base)(t => s"CAST($base AS $t)") + s" AS ${agg.alias}"
+      // BigQuery's PERCENTILE_CONT/PERCENTILE_DISC are navigation functions:
+      // their window specification permits PARTITION BY only (ORDER BY or a
+      // frame is a compile error), and they evaluate over the WHOLE
+      // partition — a documented semantic divergence from the engine's
+      // running-frame DISCRETE_PERCENTILE when an order clause is present.
+      val partitionOnly = dialect == Dialect.BigQuery && (agg.fn match {
+        case WindowFn.Median | WindowFn.ContinuousPercentile | WindowFn.DiscretePercentile => true
+        case _ => false
+      })
+      val base = s"${aggregateSql(agg, dialect)} ${overClause(spec, partitionOnly)}"
+      outputCast(agg, schema, dialect).fold(base)(t => s"CAST($base AS $t)") + s" AS ${agg.alias}"
     }
     val byAlias = spec.aggregates.map(a => a.alias -> a).toMap
     val inputNames = schema.fieldNames.toSet
@@ -54,15 +62,28 @@ object SqlEmitter {
   }
 
   /** Declared output types, matching [[WindowEngine]]'s post-casts:
-    * PERCENT_RANK → FLOAT, ACCUMULATE → input type (SUM widens). */
-  private def outputCast(agg: AggregateSpec, schema: StructType): Option[String] = agg.fn match {
-    case WindowFn.PercentRank => Some("FLOAT")
-    case WindowFn.Accumulate  => schema.fields.find(_.name == agg.field).map(_.dataType.sql)
-    case _                    => None
+    * PERCENT_RANK → FLOAT, ACCUMULATE → input type (SUM widens). Type names
+    * are dialect-mapped — BigQuery has only FLOAT64/INT64 (FLOAT, DOUBLE,
+    * INT, BIGINT are not accepted type names there). */
+  private def outputCast(agg: AggregateSpec, schema: StructType, dialect: Dialect): Option[String] = {
+    def typeName(dt: DataType): String = dialect match {
+      case Dialect.BigQuery => dt match {
+        case FloatType | DoubleType           => "FLOAT64"
+        case IntegerType | LongType | ShortType | ByteType => "INT64"
+        case other                            => other.sql
+      }
+      case Dialect.Spark => dt.sql
+    }
+    agg.fn match {
+      case WindowFn.PercentRank => Some(typeName(FloatType))
+      case WindowFn.Accumulate  => schema.fields.find(_.name == agg.field).map(f => typeName(f.dataType))
+      case _                    => None
+    }
   }
 
-  private def overClause(spec: WindowQuerySpec): String = {
+  private def overClause(spec: WindowQuerySpec, partitionOnly: Boolean = false): String = {
     val partition = s"PARTITION BY ${spec.partitionFields.mkString(", ")}"
+    if (partitionOnly) return s"OVER ($partition)"
     val order =
       if (spec.order.isEmpty) ""
       else " ORDER BY " + spec.order.map { o =>

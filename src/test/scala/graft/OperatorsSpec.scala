@@ -86,9 +86,12 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("salted two-phase accumulate equals unsalted engine ACCUMULATE on a skewed key") {
     import org.apache.spark.sql.functions.{col, expr}
-    // hot key with 400 rows (tied order values via i/3), cold key with 10
-    val rows = (0 until 400).map(i => ("hot", i / 3, (i % 7).toDouble)) ++
-      (0 until 10).map(i => ("cold", i, i.toDouble))
+    // hot key with 400 rows (tied order values via i/3), cold key with 10;
+    // leading all-NULL chunk + scattered nulls pin the windowed-SUM null
+    // semantics (null only while the whole prefix is valueless)
+    val rows = (0 until 400).map(i =>
+      ("hot", i / 3, if (i < 80 || i % 11 == 0) Option.empty[Double] else Some((i % 7).toDouble))) ++
+      (0 until 10).map(i => ("cold", i, Some(i.toDouble)))
     val df = rows.toDF("k", "ts", "v").withColumn("chunk", expr("ts div 25"))
     val salted = graft.operators.SkewSafe
       .saltedAccumulate(df, Seq("k"), Seq("ts"), "chunk", "v", "run")
@@ -98,9 +101,11 @@ class OperatorsSpec extends AnyFunSuite {
         aggregates = Seq(AggregateSpec("run", WindowFn.Accumulate, "v"))))
       .select("k", "ts", "v", "run")
     def canon(d: org.apache.spark.sql.DataFrame) =
-      d.collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
-        .sortBy(t => (t._1, t._2, t._3, t._4)).toSeq
-    assert(canon(salted) == canon(unsalted))
+      d.collect().map(r => (r.getString(0), r.getInt(1), Option(r.get(2)), Option(r.get(3))))
+        .sortBy(_.toString).toSeq
+    val (s, u) = (canon(salted), canon(unsalted))
+    assert(s == u)
+    assert(u.exists(_._4.isEmpty) && u.exists(_._4.nonEmpty)) // fixture really exercises both regimes
   }
 
   test("connected components converge in O(log diameter) rounds (pointer doubling)") {

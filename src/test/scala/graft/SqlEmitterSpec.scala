@@ -68,12 +68,26 @@ class SqlEmitterSpec extends AnyFunSuite {
       AggregateSpec("f", WindowFn.First, "v"),
       AggregateSpec("l", WindowFn.Last, "v", ignoreNulls = false)))
     val sql = SqlEmitter.emit(spec, "t", df.schema, SqlEmitter.Dialect.BigQuery)
-    assert(sql.contains("PERCENTILE_DISC(v, 0.25) OVER (PARTITION BY k ORDER BY ord ASC) AS dp"))
-    assert(sql.contains("PERCENTILE_CONT(v, 0.75)"))
-    assert(sql.contains("FIRST_VALUE(v IGNORE NULLS)"))
+    // BigQuery navigation functions: window spec is PARTITION BY only
+    assert(sql.contains("PERCENTILE_DISC(v, 0.25) OVER (PARTITION BY k) AS dp"))
+    assert(sql.contains("PERCENTILE_CONT(v, 0.75) OVER (PARTITION BY k) AS cp"))
+    assert(sql.contains("FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY ord ASC)"))
     assert(sql.contains("LAST_VALUE(v RESPECT NULLS)"))
     // select list = input columns then appended aliases
     assert(sql.startsWith("SELECT k, ord, v, "))
+  }
+
+  test("BigQuery dialect maps cast types to FLOAT64/INT64") {
+    val spec = WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord")), aggregates = Seq(
+      AggregateSpec("pr", WindowFn.PercentRank, "ord"),
+      AggregateSpec("runi", WindowFn.Accumulate, "ord"),   // int input
+      AggregateSpec("rund", WindowFn.Accumulate, "v")))    // double input
+    val bq = SqlEmitter.emit(spec, "t", df.schema, SqlEmitter.Dialect.BigQuery)
+    assert(bq.contains("AS FLOAT64) AS pr") && bq.contains("AS INT64) AS runi") &&
+      bq.contains("AS FLOAT64) AS rund"))
+    assert(!bq.contains("AS FLOAT)") && !bq.contains("AS DOUBLE)") && !bq.contains("AS INT)"))
+    val sp = SqlEmitter.emit(spec, "t", df.schema, SqlEmitter.Dialect.Spark)
+    assert(sp.contains("AS FLOAT) AS pr") && sp.contains("AS INT) AS runi"))
   }
 
   test("frame bounds render the reference sign convention") {
