@@ -46,6 +46,22 @@ object StreamingWindows {
       .select(col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Streaming EXACT dedup — the ingest-time analogue of the batch
+    * `Dedup.exact` content-hash dedup: documents whose `textCol` already
+    * appeared within the watermark horizon are dropped. State is one row per
+    * DISTINCT content hash seen inside the horizon, evicted as the watermark
+    * passes (dropDuplicatesWithinWatermark), so a continuously-ingesting
+    * pipeline holds state proportional to the dedup window, not the stream's
+    * history — the property that makes ingest dedup viable on an unbounded
+    * crawl. The hash column rides along in the output for downstream
+    * exact-vs-candidate joins; the text itself never enters the state store. */
+  def streamingExactDedup(docs: DataFrame, watermark: String,
+      textCol: String = "text", tsCol: String = "ts"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
 }
 
 /** Input row for the custom-state operator. */

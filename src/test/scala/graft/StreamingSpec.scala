@@ -52,6 +52,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows((2L, t(41))) == ((1L, 6.0)))
   }
 
+  test("streaming exact dedup keeps one row per content hash within the watermark") {
+    val stream = MemoryStream[(Long, Timestamp, String)](spark)
+    stream.addData(
+      (1L, t(0), "the quick brown fox"),
+      (2L, t(1), "the quick brown fox"),   // duplicate content inside horizon
+      (3L, t(2), "a different document"))
+    val q = StreamingWindows.streamingExactDedup(
+      stream.toDF().toDF("doc_id", "ts", "text"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    q.processAllAvailable()
+    // later micro-batch, same content, still within the watermark horizon
+    stream.addData((4L, t(3), "the quick brown fox"))
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("dedup").collect()
+      .map(r => r.getString(3) -> r.getLong(0)).toMap
+    // one survivor per distinct hash; duplicates 2 and 4 dropped
+    assert(spark.table("dedup").count() == 2)
+    assert(rows.values.toSet.subsetOf(Set(1L, 3L)))
+  }
+
   test("threshold alerts fire once per user at the crossing event") {
     val stream = MemoryStream[UserEvent](spark)
     stream.addData(
