@@ -208,6 +208,11 @@ object SparkEntry {
     "q26_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), queryIds = (0L until 10L), k = 5, numPlanes = 6)),
 
+    // IVF cell-probe ANN (rows-only: recall < 1 by construction, like q26)
+    "q50_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), queryIds = (0L until 10L), k = 5,
+        nCells = 16, nProbe = 4)),
+
     // ---- training-data pipeline: text analysis ----------------------------
     "q27_text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
 

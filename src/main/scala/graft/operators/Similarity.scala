@@ -145,6 +145,65 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** IVF (inverted-file) approximate top-k — the cell-probing alternative to
+    * [[lshTopK]]: partition the corpus into `nCells` Voronoi cells around
+    * centroid vectors, then search only the `nProbe` cells nearest each
+    * query. Recall < 1.0 by construction (a true neighbor can live in an
+    * unprobed cell); nProbe/nCells trades recall against scanned fraction
+    * (~nProbe/nCells of the corpus per query).
+    *
+    * Centroids here are a DETERMINISTIC hash-seeded sample of the corpus
+    * (the `nCells` vectors with smallest xxhash64(vec_id)) — reproducible
+    * with zero training passes. A production build would refine them with a
+    * few Lloyd iterations (each is one broadcast-join + groupBy-average over
+    * the same assignment shape below); the serving-path plan is identical.
+    *
+    * 100 TB shape: centroids broadcast (tiny); assignment is one map-side
+    * broadcast join + partial-aggregated argmax per vector (no shuffle of
+    * vectors beyond the cell-id attach); the probe is an equi-join on
+    * cell id, so per-query work tracks probed-cell sizes, not the corpus. */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = emb
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      .withColumn("h", xxhash64(col("cent_id")))
+      .orderBy(col("h"), col("cent_id")).limit(nCells).drop("h")
+      .select(col("cent_id"), col("cv"), norm(col("cv")).as("cn"))
+    val corpus = withNorm(emb, "1")
+      .select(col("id1").as("n_id"), col("v1").as("nv"), col("n1").as("nn"))
+    // nearest centroid per corpus vector: broadcast the centroids, argmax by
+    // (cosine, cent_id) via max_by — partial-aggregates map-side, so the only
+    // shuffled payload is (n_id, cell)
+    val centCos = round(dot(col("nv"), col("cv")) / (col("nn") * col("cn")), 6)
+    val assigned = corpus.join(broadcast(cents))
+      .withColumn("ccos", centCos)
+      .groupBy("n_id")
+      .agg(max_by(col("cent_id"), struct(col("ccos"), col("cent_id"))).as("cell"))
+    val corpusCells = corpus.join(assigned, "n_id")
+    // nProbe nearest centroids per query (queries are few — window is fine)
+    val queries = withNorm(emb.filter(col("vec_id").isin(queryIds: _*)), "2")
+      .select(col("id2").as("q_id"), col("v2").as("qv"), col("n2").as("qn"))
+    // tie-break toward the LARGER cent_id, matching the assignment's max_by
+    // on (ccos, cent_id) — with mismatched tie-breaks an exact-duplicate
+    // query probes a different cell than its twin was assigned to
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("pcos").desc, col("cent_id").desc)
+    val probes = queries.join(broadcast(cents))
+      .withColumn("pcos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+    // probe: equi-join on cell, exact cosine rerank, top-k per query
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    corpusCells.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos_sim", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos_sim"), col("rnk"))
+  }
+
   /** Approximate top-k through LSH buckets: candidates are corpus vectors
     * sharing the query's bucket; exact cosine reranks within the bucket.
     * Recall < 1.0 by construction — the scale path when |Q| × |corpus| is

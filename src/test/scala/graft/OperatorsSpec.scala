@@ -144,6 +144,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(0) == 0L))
   }
 
+  test("ivf topk: probing every cell equals brute force; 1-probe finds the in-cell neighbor") {
+    // nCells = corpus size ⇒ each vector is its own centroid; nProbe = nCells
+    // ⇒ full scan ⇒ must match the exact baseline row for row
+    val exact = Similarity.bruteForceTopK(emb, Seq(0L, 2L), k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val full = Similarity.ivfTopK(emb, Seq(0L, 2L), k = 2, nCells = 4, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(full == exact)
+    // single probe: EXACT duplicates always land in the same cell (identical
+    // cosine to every centroid, same tie-break), so 1-probe must surface the
+    // duplicate as the top hit — the IVF recall contract near-dups rely on
+    val dup = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.0f, 0.9f, 0.4f))
+    ).toDF("vec_id", "embedding")
+    val one = Similarity.ivfTopK(dup, Seq(0L), k = 1, nCells = 2, nProbe = 1).collect()
+    assert(one.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((0L, 1L, 1.0)))
+  }
+
   test("text stats compute exact rational values") {
     val r = TextAnalysis.stats(docs).filter($"doc_id" === 0L).collect()(0)
     assert(r.getAs[Int]("len_chars") == 43)
