@@ -104,6 +104,28 @@ class EngineSpec extends AnyFunSuite {
     assert(mx(("a", 2)) == 2 && mx(("a", 4)) == 4)
   }
 
+  test("DISCRETE_PERCENTILE aggregate survives the shuffle serialize path (groupBy)") {
+    // the engine only exercises the window path; a plain groupBy partial-
+    // aggregates per input partition and merges across the exchange, which
+    // runs serialize/deserialize + merge — pin that path too
+    import org.apache.spark.sql.functions.col
+    val many = spark.createDataFrame(
+      spark.sparkContext.parallelize((1 to 1000).map(i => Row(s"g${i % 3}", (i % 50).toDouble)), 8),
+      StructType(Seq(StructField("g", StringType), StructField("x", DoubleType))))
+    val agg = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.DiscretePercentileAgg(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("x")), 0.5).toAggregateExpression())
+    val got = many.groupBy("g").agg(agg.as("dp")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // per group: values are (i%50) for i ≡ group (mod 3) — compute expected directly
+    val expected = (0 until 3).map { g =>
+      val vs = (1 to 1000).filter(_ % 3 == g).map(_ % 50).map(_.toDouble).sorted
+      val n = vs.size
+      s"g$g" -> vs((math.ceil(0.5 * n).toInt - 1).max(0))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("DISCRETE_PERCENTILE skips null inputs (reference UDAF update:104-107)") {
     // v in partition a: 10.0, null(ord=2), 30.0, 20.0 — the null row must
     // carry the percentile of the non-null prefix, not shift the denominator
