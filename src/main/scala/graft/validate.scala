@@ -77,12 +77,15 @@ object Validator {
   }
 
   /** Argument validation: N_TILE integer > 0 (WindowAggregation.java:295-314);
-    * percentile in [0,1] (:316-336); LEAD/LAG non-negative int (:338-358). */
+    * percentile in [0,1] (:316-336); LEAD/LAG non-negative int (:338-358).
+    * Every argument-taking function requires EXACTLY one argument — the
+    * reference rejects surplus arguments too (`arguments.length != 1`). */
   private def validateArguments(agg: AggregateSpec): Seq[ValidationFailure] = {
     val fs = Seq.newBuilder[ValidationFailure]
-    if (agg.args.size < agg.fn.requiredArgs)
+    if (agg.fn.requiredArgs == 1 && agg.args.size != 1)
       fs += ValidationFailure(
-        s"Function ${agg.fn.fnName} (alias '${agg.alias}') requires ${agg.fn.requiredArgs} argument(s).")
+        s"Function ${agg.fn.fnName} (alias '${agg.alias}') takes exactly 1 argument.",
+        "Make sure there is only one argument specified.")
     else agg.fn match {
       case WindowFn.NTile =>
         agg.args.head.toIntOption match {

@@ -73,6 +73,13 @@ class SqlEmitterSpec extends AnyFunSuite {
     assert(sql.contains("PERCENTILE_CONT(v, 0.75) OVER (PARTITION BY k) AS cp"))
     assert(sql.contains("FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY ord ASC)"))
     assert(sql.contains("LAST_VALUE(v RESPECT NULLS)"))
+    // args[0]="true" ORs into ignoreNulls even when the flag is false —
+    // reference template test (WindowAggregationTest.getBQColumnSelectionSQL_last)
+    val orSql = SqlEmitter.emit(
+      WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord")), aggregates = Seq(
+        AggregateSpec("l", WindowFn.Last, "v", Seq("true"), ignoreNulls = false))),
+      "t", df.schema, SqlEmitter.Dialect.BigQuery)
+    assert(orSql.contains("LAST_VALUE(v IGNORE NULLS)"))
     // select list = input columns then appended aliases
     assert(sql.startsWith("SELECT k, ord, v, "))
   }

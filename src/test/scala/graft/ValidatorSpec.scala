@@ -70,6 +70,10 @@ class ValidatorSpec extends AnyFunSuite {
     assert(one(AggregateSpec("t", WindowFn.NTile, "i", Seq("0"))).nonEmpty)
     assert(one(AggregateSpec("t", WindowFn.NTile, "i", Seq("x"))).nonEmpty)
     assert(one(AggregateSpec("t", WindowFn.NTile, "i")).nonEmpty) // missing arg
+    // the reference demands EXACTLY one argument — surplus args fail too
+    assert(one(AggregateSpec("t", WindowFn.NTile, "i", Seq("4", "5")))
+      .exists(_.message.contains("exactly 1 argument")))
+    assert(one(AggregateSpec("l", WindowFn.Lead, "i", Seq("1", "2"))).nonEmpty)
     assert(one(AggregateSpec("p", WindowFn.DiscretePercentile, "i", Seq("1.5"))).nonEmpty)
     assert(one(AggregateSpec("p", WindowFn.DiscretePercentile, "i", Seq("0.5"))).isEmpty)
     assert(one(AggregateSpec("l", WindowFn.Lead, "i", Seq("-1"))).nonEmpty)
