@@ -318,15 +318,16 @@ object SparkEntry {
         n = 3, numHashes = 16, bands = 16, threshold = 0.5)),
 
     // bucketed embedding near-dup (equi-join LSH tables + exact rerank) run
-    // at q24's threshold: sign-bit tables (b=1, T=16) give per-pair miss
-    // (1-p)^16 ≈ 1.2e-7 at cos 0.4 — probe-verified identical to the exact
-    // self-join at all three SFs, so q24's oracle applies verbatim. At this
-    // LOW threshold the candidate volume is brute-force-like (see scaladoc);
-    // the operator's production regime (cos≥0.9, b=8, T=14) is where the
-    // equi-join shape wins — the plan shape (no BNLJ) is what PlanSpec pins.
+    // at q24's threshold: sign-bit tables (b=1, T=12) give per-pair miss
+    // (1-p)^12 ≈ 6.6e-6 at cos 0.4 — probe-verified identical to the exact
+    // self-join at all three SFs (T=8/10/12/16 all complete), so q24's
+    // oracle applies verbatim. At this LOW threshold the candidate volume is
+    // brute-force-like (see scaladoc); the operator's production regime
+    // (cos≥0.9, b=8, T=14) is where the equi-join shape wins — the plan
+    // shape (no BNLJ) is what PlanSpec pins.
     "q47_embed_neardup_lsh" -> ((s, dir) =>
       Similarity.lshNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4,
-        planesPerTable = 1, numTables = 16)),
+        planesPerTable = 1, numTables = 12)),
 
     // deterministic sampling / splitting for training pipelines
     "q39_stratified_sample" -> ((s, dir) => {
