@@ -107,6 +107,51 @@ class SqlEmitterSpec extends AnyFunSuite {
     assert(sql.contains("CAST(SUM(ord) OVER") && sql.contains("AS INT) AS s"))
   }
 
+  test("emitted Spark SQL is engine-parity across randomized specs") {
+    import org.scalacheck.Gen
+    val frameless: Seq[AggregateSpec] = Seq(
+      AggregateSpec("r", WindowFn.Rank, "ord"),
+      AggregateSpec("d", WindowFn.DenseRank, "ord"),
+      AggregateSpec("pr", WindowFn.PercentRank, "ord"),
+      AggregateSpec("nt", WindowFn.NTile, "ord", Seq("3")),
+      AggregateSpec("rn", WindowFn.RowNumber, "ord"),
+      AggregateSpec("cd", WindowFn.CumulativeDistribution, "ord"),
+      AggregateSpec("le", WindowFn.Lead, "v", Seq("1")),
+      AggregateSpec("la", WindowFn.Lag, "v", Seq("2")),
+      AggregateSpec("f", WindowFn.First, "v"),
+      AggregateSpec("l", WindowFn.Last, "v", ignoreNulls = false),
+      AggregateSpec("m", WindowFn.Median, "ord"),
+      AggregateSpec("acc", WindowFn.Accumulate, "ord"))
+    val framed: Seq[AggregateSpec] = Seq(
+      AggregateSpec("f2", WindowFn.First, "v"),
+      AggregateSpec("l2", WindowFn.Last, "v"),
+      AggregateSpec("acc2", WindowFn.Accumulate, "ord"))
+    val specGen: Gen[WindowQuerySpec] = for {
+      useFrame <- Gen.oneOf(false, false, true) // frame-less twice as often
+      dir <- Gen.oneOf(SortDirection.Ascending, SortDirection.Descending)
+      spec <-
+        if (!useFrame)
+          Gen.someOf(frameless).suchThat(_.nonEmpty).map(aggs =>
+            WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord", dir)), aggregates = aggs.toSeq))
+        else for {
+          aggs <- Gen.someOf(framed).suchThat(_.nonEmpty)
+          ft <- Gen.oneOf(FrameType.Row, FrameType.Range)
+          lo <- Gen.oneOf(Some(-3L), Some(-1L), None)
+          hi <- Gen.oneOf(Some(0L), Some(2L), None)
+        } yield WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord", dir)),
+          FrameSpec(ft, lo, hi), aggs.toSeq)
+    } yield spec
+    val params = Gen.Parameters.default
+    var checked = 0
+    for (i <- 0 until 15) specGen.apply(params, org.scalacheck.rng.Seed(i.toLong)).foreach { spec =>
+      if (Validator.validate(spec, df.schema).isEmpty) { // skip reference-invalid combos
+        assertParity(spec)
+        checked += 1
+      }
+    }
+    assert(checked >= 8, s"only $checked random specs survived validation — generator too narrow")
+  }
+
   test("Spark dialect refuses DISCRETE_PERCENTILE (engine-native only)") {
     val spec = WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord")),
       aggregates = Seq(AggregateSpec("dp", WindowFn.DiscretePercentile, "v", Seq("0.5"))))
