@@ -234,6 +234,13 @@ object SparkEntry {
         Multimodal.extractMeta(Multimodal.asMediaRecords(Tables.documents(s, dir))), stride = 2)
     }),
 
+    // aspect-preserving resize stage (integer-exact fit into 224×224)
+    "q51_resize" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Multimodal.resizeFit(
+        Multimodal.extractMeta(Multimodal.asMediaRecords(Tables.documents(s, dir)))).toDF()
+    }),
+
     // ---- events: sessionization (gap > 30 min) via chained windows --------
     "q33_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -601,6 +608,19 @@ object SparkEntry {
           |  FROM documents)
           |SELECT doc_id, media_type, width, height, CAST(t.f AS INT) AS frame_idx
           |FROM m, UNNEST(range(0, n_frames, 2)) t(f)""".stripMargin,
+
+      "q51_resize" ->
+        """WITH m AS (
+          |  SELECT doc_id, 'media/' || source AS media_type,
+          |  CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+          |  CAST(64 + (octet_length(encode(text))*31 +
+          |    CASE WHEN octet_length(encode(text)) = 0 THEN 0
+          |         ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT END) % 512 AS INT) AS height
+          |  FROM documents)
+          |SELECT doc_id, media_type, width, height,
+          |CAST(CASE WHEN width >= height THEN 224 ELSE width * 224 // height END AS INT) AS out_w,
+          |CAST(CASE WHEN width >= height THEN height * 224 // width ELSE 224 END AS INT) AS out_h
+          |FROM m""".stripMargin,
 
       "q34_rollup" ->
         """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows

@@ -16,6 +16,15 @@ case class MediaMeta(
     height: Int,
     n_frames: Int)
 
+/** Output of the (stubbed) resize stage: original + fitted dimensions. */
+case class ResizedMeta(
+    doc_id: Long,
+    media_type: String,
+    width: Int,
+    height: Int,
+    out_w: Int,
+    out_h: Int)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded executor-side in partition-sized batches.
   *
@@ -80,4 +89,27 @@ object Multimodal {
     meta.toDF().select(
       col("doc_id"), col("media_type"), col("width"), col("height"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Resize stage: aspect-preserving fit of each decoded image into a
+    * `target` × `target` box — the longest side becomes `target`, the other
+    * scales by the same ratio with INTEGER floor division (h*target/w), so
+    * the arithmetic is bit-identical across engines and the stage is
+    * oracle-checkable. Runs as mapPartitions like decode: the real build
+    * resamples pixels here with a per-partition codec; the dimension math
+    * and the partition-batch boundary are exactly what would ship. A zero
+    * dimension (empty payload) passes through as 0×0 rather than dividing
+    * by zero. */
+  def resizeFit(meta: Dataset[MediaMeta], target: Int = 224)(implicit spark: SparkSession): Dataset[ResizedMeta] = {
+    import spark.implicits._
+    meta.mapPartitions { batch =>
+      // real impl: allocate the resample buffers ONCE here, then loop
+      batch.map { m =>
+        val (ow, oh) =
+          if (m.width <= 0 || m.height <= 0) (0, 0)
+          else if (m.width >= m.height) (target, m.height * target / m.width)
+          else (m.width * target / m.height, target)
+        ResizedMeta(m.doc_id, m.media_type, m.width, m.height, ow, oh)
+      }
+    }
+  }
 }

@@ -186,6 +186,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f(0L) >= 0L && f(0L) < 2147483647L)
   }
 
+  test("resize fits the longest side to target with integer-exact scaling") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val meta = Seq(
+      MediaMeta(1L, "media/img", 100L, 400, 200, 1),  // landscape → 224 × 112
+      MediaMeta(2L, "media/img", 100L, 150, 450, 1),  // portrait  → 74 × 224 (floor)
+      MediaMeta(3L, "media/img", 100L, 224, 224, 1),  // exact     → 224 × 224
+      MediaMeta(4L, "media/img", 0L, 0, 0, 1)         // degenerate → 0 × 0, no div-by-zero
+    ).toDS()
+    val got = Multimodal.resizeFit(meta, target = 224).collect()
+      .map(r => r.doc_id -> ((r.out_w, r.out_h))).toMap
+    assert(got == Map(1L -> ((224, 112)), 2L -> ((74, 224)), 3L -> ((224, 224)), 4L -> ((0, 0))))
+  }
+
   test("multimodal pipeline: stub decode is deterministic, frames sample by stride") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val meta = Multimodal.extractMeta(Multimodal.asMediaRecords(docs))
