@@ -243,27 +243,42 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // One union → one aggregation → ONE materialization per round, taking
-      // the min over three label sources read straight off the checkpoint
-      // LEAF (self-joining a Union-shaped plan trips the analyzer's
-      // constraint rewrite; a separate pre-shortcut frame would execute its
-      // join twice — once under the edges join, once under the union):
-      //  (a) the node's own label,
+      // One union → one aggregation → ONE job per round, taking the min over
+      // three label sources read straight off the checkpoint LEAF
+      // (self-joining a Union-shaped plan trips the analyzer's constraint
+      // rewrite; a separate pre-shortcut frame would execute its join twice —
+      // once under the edges join, once under the union):
+      //  (a) the node's own label — which also carries the PREVIOUS label
+      //      through the aggregation as `old`, so convergence is decided from
+      //      the same job that materializes the round (no follow-up join),
       //  (b) neighbors' labels (propagation),
       //  (c) the label's own label — POINTER DOUBLING. Round 0 skips (c):
       //      labels are still the identity map.
+      val nullOld = lit(null).cast("long")
+      val self = labels.select(col("node"), col("label"), col("label").as("old"))
       val viaNeighbors = edges.join(labels, edges("dst") === labels("node"))
-        .select(col("src").as("node"), col("label"))
-      val branches = if (iter == 0) Seq(labels, viaNeighbors) else {
+        .select(col("src").as("node"), col("label"), nullOld.as("old"))
+      val branches = if (iter == 0) Seq(self, viaNeighbors) else {
         val lookup = labels.select(col("node").as("l_node"), col("label").as("l_label"))
         val viaShortcut = labels.join(lookup, col("label") === col("l_node"))
-          .select(col("node"), col("l_label").as("label"))
-        Seq(labels, viaNeighbors, viaShortcut)
+          .select(col("node"), col("l_label").as("label"), nullOld.as("old"))
+        Seq(self, viaNeighbors, viaShortcut)
       }
+      // The changed-count rides the materializing action as an observed
+      // metric (CollectMetricsExec accumulates during the checkpoint job and
+      // the listener delivers it right after) — the r2 shape ran a second
+      // join-job per round just to decide convergence, doubling round latency.
+      val obs = org.apache.spark.sql.Observation()
       val next = branches.reduce(_ unionAll _)
-        .groupBy("node").agg(min("label").as("label")).localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).limit(1).count()
+        .groupBy("node").agg(min("label").as("label"), max("old").as("old"))
+        .observe(obs, sum(when(col("label") =!= col("old"), 1L).otherwise(0L)).as("changed"))
+        .select("node", "label").localCheckpoint()
+      val changed = observedChanged(obs).getOrElse {
+        // listener-bus delivery is asynchronous with no hard guarantee; the
+        // fallback scans the just-checkpointed leaf (local blocks, no join)
+        next.join(labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old")).limit(1).count()
+      }
       releaseLocalCheckpoint(labels) // next is materialized; the old snapshot is dead weight
       labels = next
       converged = changed == 0
@@ -275,6 +290,27 @@ object Dedup {
         s"connectedComponents did not converge within $maxIterations iterations — " +
           "a duplicate cluster has diameter beyond 2^maxIterations reach; raise it.")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Poll the round's observed changed-count off the listener bus: the
+    * checkpoint action has already completed synchronously, so the metric
+    * arrives as soon as the bus drains — normally well under a millisecond.
+    * Bounded wait (~5 s) so a dropped listener event can never hang the
+    * driver; `None` routes the caller to the leaf-scan fallback. A null
+    * metric (sum over zero groups — empty edge set) reads as converged. */
+  private def observedChanged(obs: org.apache.spark.sql.Observation): Option[Long] = {
+    try {
+      val row = scala.concurrent.Await.result(
+        obs.future, scala.concurrent.duration.Duration(5, "s"))
+      Some(row.getAs[Any]("changed") match {
+        case null => 0L
+        case n: Number => n.longValue()
+      })
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        System.err.println("[graft] connectedComponents: observed metric not delivered in 5s; using leaf-scan fallback")
+        None
+    }
   }
 
   /** Free a superseded localCheckpoint's storage eagerly — otherwise up to
