@@ -33,6 +33,57 @@ object SparkEntry {
   private val tieFreeOrderSql =
     "l_extendedprice DESC, l_orderkey, l_linenumber"
 
+  /** Derived high-cosine embedding fixture — the testdata embeddings have NO
+    * pairs above cos ≈ 0.51 (probed at all three SFs), so the production
+    * near-dup regime (threshold ≥ 0.9) would be vacuously checkable on them.
+    * This union plants deterministic near-dup pairs in-query, reproducibly on
+    * BOTH engines (all math in exact double, so Spark and DuckDB agree
+    * bit-for-bit):
+    *  - exact copies (vec_id % 5 == 0 → vec_id + 10M, same vector): cos 1.0,
+    *    identical LSH signatures in every table — found with certainty;
+    *  - mixed copies (vec_id % 7 == 3 → vec_id + 20M, v + 0.1·v_prev): cos
+    *    ≈ 0.995 against their source (unit-norm inputs), comfortably above
+    *    the 0.9 threshold but NOT signature-identical — these exercise real
+    *    multi-table recall.
+    * Background pairs stay ≤ 0.57, leaving a wide dead band around the
+    * threshold (no pair anywhere near 0.9), which is what makes the exact
+    * all-pairs oracle apply to an approximate-by-construction operator:
+    * per-pair misses are deterministic (xxhash planes) and probe-verified
+    * zero at all three SFs. */
+  private[graft] def derivedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val exact = base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    val prev = base.select((col("vec_id") + 1).as("vec_id"), col("embedding").as("w"))
+    val mixed = base.join(prev, "vec_id").filter(col("vec_id") % 7 === 3)
+      .select((col("vec_id") + 20000000L).as("vec_id"),
+        zip_with(col("embedding"), col("w"), (x, y) => x + lit(0.1) * y).as("embedding"))
+    base.unionAll(exact).unionAll(mixed)
+  }
+
+  /** Shared CTE prefix of the [[derivedEmbeddings]] oracle queries. */
+  private val derivedEmbSql =
+    """base AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+      |ex AS (SELECT vec_id + 10000000 AS vec_id, embedding FROM base WHERE vec_id % 5 = 0),
+      |mx AS (SELECT a.vec_id + 20000000 AS vec_id,
+      |       list_transform(range(1, len(a.embedding) + 1),
+      |                      i -> a.embedding[i] + 0.1 * b.embedding[i]) AS embedding
+      |       FROM base a JOIN base b ON b.vec_id = a.vec_id - 1 WHERE a.vec_id % 7 = 3),
+      |d AS (SELECT * FROM base UNION ALL SELECT * FROM ex UNION ALL SELECT * FROM mx)""".stripMargin
+
+  /** Derived high-Jaccard document fixture for the banded-MinHash production
+    * run (q53): exact text copies (doc_id % 5 == 0 → doc_id + 10M) plant
+    * Jaccard-1.0 pairs; the corpus's own near-dup pairs (j ∈ [0.8, 1.0],
+    * probed) provide the multi-row-band recall cases. */
+  private[graft] def derivedDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    base.unionAll(base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+  }
+
   private def li(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).select(
       "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_suppkey",
@@ -335,6 +386,31 @@ object SparkEntry {
     "q47_embed_neardup_lsh" -> ((s, dir) =>
       Similarity.lshNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4,
         planesPerTable = 1, numTables = 12)),
+
+    // the PRODUCTION operating point of the same operator — threshold 0.9
+    // with multi-bit tables — on the derived fixture that plants real
+    // high-cos pairs (see derivedEmbeddings). b=16 (not the b=8 scaladoc
+    // default) because THIS corpus's background pairs sit at cos ≈ 0.5,
+    // where 8-bit tables collide at ~4%/table (≈40% over 14 tables ⇒
+    // candidates ≈ n²/2); 16 bits cut background collisions ~25× while
+    // keeping planted-pair misses ≤ 3e-6 (probe-verified 0 at all 3 SFs).
+    // Bench logs the measured candidates/(n choose 2) ratio per round.
+    "q52_embed_neardup_lsh_prod" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(derivedEmbeddings(s, dir), threshold = 0.9,
+        planesPerTable = 16, numTables = 14)),
+
+    // banded-MinHash production shape (multi-row bands, unlike q46's 16×1
+    // completeness regime): 32 hashes in 8 bands × 4 rows, verified by exact
+    // Jaccard at 0.9 — the banding actually prunes (a j=0.5 pair matches a
+    // 4-row band with p=0.0625) while a true j≥0.9 pair is missed only if
+    // all 8 bands break ((1-j⁴)⁸ ≤ 2e-4 at j=0.9; misses probe-verified 0 at
+    // all 3 SFs against the exact all-pairs oracle).
+    "q53_dedup_minhash_prod" -> ((s, dir) => {
+      val d = derivedDocuments(s, dir)
+      Dedup.jaccardVerify(d,
+        Dedup.minHashLshCandidates(d, n = 3, numHashes = 32, bands = 8),
+        n = 3, threshold = 0.9)
+    }),
 
     // deterministic sampling / splitting for training pipelines
     "q39_stratified_sample" -> ((s, dir) => {
@@ -705,6 +781,29 @@ object SparkEntry {
           |round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
+
+      "q52_embed_neardup_lsh_prod" ->
+        s"""WITH $derivedEmbSql
+           |SELECT a.vec_id AS id1, b.vec_id AS id2,
+           |round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos_sim
+           |FROM d a JOIN d b ON a.vec_id < b.vec_id
+           |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9""".stripMargin,
+
+      "q53_dedup_minhash_prod" ->
+        """WITH docs2 AS (SELECT doc_id, text FROM documents
+          |               UNION ALL
+          |               SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0),
+          |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs2),
+          |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          |      FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+          |c AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+          |p AS (SELECT g1.doc_id AS doc1, g2.doc_id AS doc2, count(*) AS n_common
+          |      FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+          |      GROUP BY 1, 2)
+          |SELECT doc1, doc2, n_common,
+          |       CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) AS jaccard
+          |FROM p JOIN c c1 ON doc1 = c1.doc_id JOIN c c2 ON doc2 = c2.doc_id
+          |WHERE CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) >= 0.9""".stripMargin,
 
       "q39_stratified_sample" ->
         """WITH r AS (SELECT doc_id, lang,

@@ -124,6 +124,27 @@ object Similarity {
   def lshNearDupPairs(
       emb: DataFrame, threshold: Double = 0.9,
       planesPerTable: Int = 8, numTables: Int = 14): DataFrame = {
+    val cands = lshNearDupCandidates(emb, planesPerTable, numTables)
+    val v1 = withNorm(emb, "1")
+    val v2 = withNorm(emb, "2")
+    val cos = round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6)
+    cands.join(v1, "id1").join(v2, "id2")
+      .select(col("id1"), col("id2"), cos.as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Candidate (id1 < id2) pairs for [[lshNearDupPairs]] — the equi-join
+    * bucket collision stage without the exact rerank, exposed so callers
+    * (bench instrumentation, completeness probes) can measure candidate
+    * volume against n²/2: the number that decides whether the LSH shape is
+    * winning on a given corpus. `planesPerTable` is the corpus-dependent
+    * knob — per-table collision for a background pair at cosine c is
+    * (1 - acos(c)/π)^b, so corpora whose unrelated pairs are already
+    * correlated (this testdata's background sits at cos ≈ 0.5) need wider
+    * tables (b=16) to keep candidates ≪ n² than an orthogonal-background
+    * corpus would (b=8). */
+  def lshNearDupCandidates(
+      emb: DataFrame, planesPerTable: Int = 8, numTables: Int = 14): DataFrame = {
     val b = planesPerTable
     val bucketed = emb.select(col("vec_id").as("id"),
       posexplode(array((0 until numTables).map(t =>
@@ -131,18 +152,12 @@ object Similarity {
       .select(col("id"), col("pos").as("tbl"), col("col").as("sig"))
     // candidate ids only — vectors are re-joined AFTER the distinct, so the
     // dedup shuffle carries two longs per candidate, never the embeddings
-    val cands = bucketed.as("a")
+    bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    val v1 = withNorm(emb, "1")
-    val v2 = withNorm(emb, "2")
-    val cos = round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6)
-    cands.join(v1, "id1").join(v2, "id2")
-      .select(col("id1"), col("id2"), cos.as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
   }
 
   /** IVF (inverted-file) approximate top-k — the cell-probing alternative to
