@@ -242,6 +242,16 @@ object SparkEntry {
     "q21_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.1)),
 
+    // the hot-gram guard under oracle: grams in > 1% of docs (df > 5 at this
+    // SF — probed: the hottest grams hit df 7-9) are dropped from every
+    // document's gram set BEFORE pairing, and Jaccard runs over the reduced
+    // sets — the corpus-scale defense against stopword-gram join blowup,
+    // previously unit-tested only. The DuckDB oracle reproduces the df
+    // filter, so a >-vs->= or ratio slip on either side is a hash mismatch.
+    "q54_dedup_jaccard_guarded" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.1,
+        maxDocFrequency = 0.01)),
+
     "q22_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLshPairs(Tables.documents(s, dir), n = 3, numHashes = 16, bands = 4,
         minEstimate = 0.4)),
@@ -598,6 +608,21 @@ object SparkEntry {
           |c AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
           |p AS (SELECT g1.doc_id AS doc1, g2.doc_id AS doc2, count(*) AS n_common
           |      FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+          |      GROUP BY 1, 2)
+          |SELECT doc1, doc2, n_common,
+          |       CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) AS jaccard
+          |FROM p JOIN c c1 ON doc1 = c1.doc_id JOIN c c2 ON doc2 = c2.doc_id
+          |WHERE CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) >= 0.1""".stripMargin,
+
+      "q54_dedup_jaccard_guarded" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          |      FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+          |k AS (SELECT doc_id, gram FROM g
+          |      QUALIFY count(*) OVER (PARTITION BY gram) <= 0.01 * (SELECT count(*) FROM documents)),
+          |c AS (SELECT doc_id, count(*) AS n_grams FROM k GROUP BY doc_id),
+          |p AS (SELECT k1.doc_id AS doc1, k2.doc_id AS doc2, count(*) AS n_common
+          |      FROM k k1 JOIN k k2 ON k1.gram = k2.gram AND k1.doc_id < k2.doc_id
           |      GROUP BY 1, 2)
           |SELECT doc1, doc2, n_common,
           |       CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) AS jaccard

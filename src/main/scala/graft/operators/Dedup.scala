@@ -71,16 +71,20 @@ object Dedup {
           gramArrays(docs, n).select(col("doc_id"), size(col("grams")).cast("long").as("n_grams")))
       else {
         val nDocs = docs.count()
-        // cache the exploded gram set: it feeds both the document-frequency
-        // aggregation and the anti-join, and the surviving set feeds both
-        // downstream consumers — without caching the tokenize+hash+explode
-        // pipeline would run four times. (doc_id, gram-hash) pairs only;
-        // spill-safe, released by block-manager LRU.
-        val all = gramSet(docs, n).cache()
-        val kept = all.join(
-          all.groupBy("gram").agg(count(lit(1)).as("df"))
-            .filter(col("df") > maxDocFrequency * nDocs).select("gram"),
-          Seq("gram"), "left_anti").cache()
+        // document frequency via ONE window over the exploded gram set — a
+        // single shuffle on gram, where the previous shape cached the full
+        // gram set and ran a groupBy + anti-join back over it (two passes +
+        // a cache that outlived the call). The surviving set is cached
+        // because it feeds three consumers (the pair self-join twice, the
+        // per-doc counts once); (doc_id, gram-hash) longs only, spill-safe.
+        // The block lives until LRU eviction — callers running many guarded
+        // corpora in one session should spark.catalog.clearCache() between
+        // runs.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+        val kept = gramSet(docs, n)
+          .withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= maxDocFrequency * nDocs)
+          .drop("df").cache()
         (kept, kept.groupBy("doc_id").agg(count(lit(1)).as("n_grams")))
       }
     val inter = grams.as("g1")
