@@ -104,15 +104,18 @@ object Dedup {
     * xxhash64(seed, gram) over the document's n-gram set. Computed as a
     * map-side fold over the gram array — no explode, no extra shuffle;
     * output is one compact row per document. */
-  def minHashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 16): DataFrame = {
+  def minHashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      riderCols: Seq[String] = Nil): DataFrame = {
     // Gram hashes and the slot-minima fold both run as codegen'd expressions
     // (WordGramHashes → MinHashSignature); no gram dedup needed — duplicate
     // grams can't change a minimum. Slot j = min over grams of
     // xxh64(gramHash, seed=j), the one-hash minhash construction.
-    TextAnalysis.withWords(docs).select(col("doc_id"),
+    // `riderCols` (e.g. the event-time column in the streaming operator)
+    // pass through untouched.
+    TextAnalysis.withWords(docs).select(col("doc_id") +: riderCols.map(col) :+
       graft.functions.HashFunctions.minhash_signature(
         graft.functions.HashFunctions.word_gram_hashes(col("__words"), n), numHashes)
-        .as("minhash"))
+        .as("minhash"): _*)
   }
 
   /** MinHash LSH candidate pairs: band the signature (bands × rowsPerBand =
@@ -159,14 +162,17 @@ object Dedup {
       .distinct()
   }
 
-  /** (doc_id, minhash) → one row per band with its hashed band key. */
-  private def bandedKeys(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** One row per band with its hashed band key; every input column (doc_id,
+    * minhash, and any rider like an event-time column) is preserved. Shared
+    * by the batch LSH joins and the streaming candidate operator so the two
+    * can never disagree on the banding formula. */
+  private[graft] def bandedKeys(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
         "otherwise trailing signature slots are silently ignored")
     val rows = numHashes / bands
     sigs.select(
-      col("doc_id"), col("minhash"),
+      col("*"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("minhash"), b * rows + 1, rows))): _*)))
       .withColumnRenamed("pos", "band")

@@ -62,7 +62,69 @@ object StreamingWindows {
       .withColumn("content_hash", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming MinHash-LSH near-duplicate candidates — the ingest-time
+    * analogue of the batch [[graft.operators.Dedup.minHashLshCandidates]]:
+    * each arriving document is banded with the SAME codegen'd
+    * signature/banding expressions as the batch path (shared
+    * `Dedup.bandedKeys`, so the two can never disagree on the formula), and
+    * emits a candidate pair against every earlier document that shares a
+    * band bucket within the watermark horizon.
+    *
+    * State is keyed by (band, band_key) and holds only the doc_ids seen in
+    * that bucket — one long per doc per band, never text or signatures —
+    * evicted by event-time timeout as the watermark passes, so an unbounded
+    * crawl holds state proportional to the dedup window. Pairs always emit
+    * as (min, max); a pair colliding in several bands emits once per band
+    * (the batch operator's `.distinct()` needs a global shuffle that append
+    * streaming cannot express) — downstream exact verification is idempotent,
+    * and consumers needing unique pairs dedup per micro-batch downstream.
+    * Within a micro-batch, bucket rows process in doc_id order so output is
+    * deterministic regardless of arrival interleaving. */
+  def streamingMinHashCandidates(docs: DataFrame, watermark: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 16,
+      tsCol: String = "ts"): Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    val sigs = graft.operators.Dedup
+      .minHashSignatures(docs, n, numHashes, riderCols = Seq(tsCol))
+      .filter(element_at(col("minhash"), 1) =!= Long.MaxValue) // < n words: no grams
+    graft.operators.Dedup.bandedKeys(sigs, numHashes, bands)
+      .select(col("doc_id"), col(tsCol).as("ts"), col("band"), col("band_key"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Int, Long)]
+      .groupByKey { case (_, _, band, key) => (band, key) }
+      .flatMapGroupsWithState[BandBucketState, CandidatePair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.map(_.seen).getOrElse(Array.empty[Long])
+            var maxTs = Long.MinValue
+            val out = Seq.newBuilder[CandidatePair]
+            rows.toSeq.sortBy(_._1).foreach { case (docId, ts, _, _) =>
+              maxTs = math.max(maxTs, ts.getTime)
+              if (!seen.contains(docId)) { // re-delivery of a doc pairs nothing
+                seen.foreach { other =>
+                  out += CandidatePair(math.min(docId, other), math.max(docId, other))
+                }
+                seen = seen :+ docId
+              }
+            }
+            state.update(BandBucketState(seen))
+            if (maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs, watermark)
+            out.result().iterator
+          }
+      }
+  }
 }
+
+/** Near-duplicate candidate pair emitted by the streaming MinHash operator. */
+case class CandidatePair(doc1: Long, doc2: Long)
+/** Per-(band, band_key) bucket state: doc_ids seen inside the horizon. */
+case class BandBucketState(seen: Array[Long])
 
 /** Input row for the custom-state operator. */
 case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

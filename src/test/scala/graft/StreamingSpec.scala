@@ -73,6 +73,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.values.toSet.subsetOf(Set(1L, 3L)))
   }
 
+  test("streaming minhash candidates match the batch LSH operator on the same corpus") {
+    // four docs: 1≈2 (near-dup, one word changed), 4 = exact copy of 1,
+    // 3 unrelated — same banding params as the batch call below
+    val docs = Seq(
+      (1L, t(0), "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, t(1), "the quick brown fox jumps over the lazy cat tonight"),
+      (3L, t(2), "completely different text with no overlap whatsoever here now"),
+      (4L, t(3), "the quick brown fox jumps over the lazy dog tonight"))
+    val stream = MemoryStream[(Long, Timestamp, String)](spark)
+    stream.addData(docs.take(2): _*)
+    val q = StreamingWindows.streamingMinHashCandidates(
+      stream.toDF().toDF("doc_id", "ts", "text"), "10 minutes", n = 3, numHashes = 16, bands = 4)
+      .writeStream.format("memory").queryName("mh_cands").outputMode("append").start()
+    q.processAllAvailable()
+    // later micro-batch inside the horizon: cross-batch pairs must appear
+    stream.addData(docs.drop(2): _*)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("mh_cands").as[CandidatePair].collect()
+      .map(p => (p.doc1, p.doc2)).toSet
+    val batched = graft.operators.Dedup.minHashLshCandidates(
+      docs.toDF("doc_id", "ts", "text"), n = 3, numHashes = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batched)
+    assert(streamed.contains((1L, 4L))) // the exact copy collides in every band
+    assert(!streamed.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc pairs nothing
+  }
+
+  test("streaming minhash bucket state evicts once the watermark passes") {
+    val stream = MemoryStream[(Long, Timestamp, String)](spark)
+    stream.addData((1L, t(0), "the quick brown fox jumps over the lazy dog tonight"))
+    val q = StreamingWindows.streamingMinHashCandidates(
+      stream.toDF().toDF("doc_id", "ts", "text"), "5 minutes", n = 3, numHashes = 16, bands = 4)
+      .writeStream.format("memory").queryName("mh_evict").outputMode("append").start()
+    q.processAllAvailable()
+    // push the watermark far past doc 1's bucket timeout...
+    stream.addData((9L, t(50), "completely different text with no overlap whatsoever here now"))
+    q.processAllAvailable()
+    // ...then an exact copy of doc 1: its former bucket state is gone → no pair
+    stream.addData((10L, t(52), "the quick brown fox jumps over the lazy dog tonight"))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("mh_evict").count() == 0)
+  }
+
   test("threshold alerts fire once per user at the crossing event") {
     val stream = MemoryStream[UserEvent](spark)
     stream.addData(
