@@ -167,19 +167,25 @@ object Similarity {
     * unprobed cell); nProbe/nCells trades recall against scanned fraction
     * (~nProbe/nCells of the corpus per query).
     *
-    * Centroids here are a DETERMINISTIC hash-seeded sample of the corpus
+    * Centroids start as a DETERMINISTIC hash-seeded sample of the corpus
     * (the `nCells` vectors with smallest xxhash64(vec_id)) — reproducible
-    * with zero training passes. A production build would refine them with a
-    * few Lloyd iterations (each is one broadcast-join + groupBy-average over
-    * the same assignment shape below); the serving-path plan is identical.
+    * with zero training passes — optionally refined by `lloydIterations`
+    * rounds of Lloyd's algorithm: re-assign every vector to its nearest
+    * centroid (the same broadcast-join + map-side argmax as serving), then
+    * move each centroid to its cell's element-wise mean. The mean's
+    * direction is what matters (cosine is scale-invariant, so the spherical
+    * k-means normalization step is a no-op here); cells that drain empty
+    * keep their previous centroid. Per iteration: one broadcast join + one
+    * explode/average aggregation + an nCells×dim driver collect (centroid
+    * TRAINING state, ~KBs — the serving path stays fully distributed).
     *
     * 100 TB shape: centroids broadcast (tiny); assignment is one map-side
     * broadcast join + partial-aggregated argmax per vector (no shuffle of
     * vectors beyond the cell-id attach); the probe is an equi-join on
     * cell id, so per-query work tracks probed-cell sizes, not the corpus. */
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = emb
+      nCells: Int = 16, nProbe: Int = 4, lloydIterations: Int = 0): DataFrame = {
+    val cents0 = emb
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
       .withColumn("h", xxhash64(col("cent_id")))
       .orderBy(col("h"), col("cent_id")).limit(nCells).drop("h")
@@ -190,10 +196,35 @@ object Similarity {
     // (cosine, cent_id) via max_by — partial-aggregates map-side, so the only
     // shuffled payload is (n_id, cell)
     val centCos = round(dot(col("nv"), col("cv")) / (col("nn") * col("cn")), 6)
-    val assigned = corpus.join(broadcast(cents))
+    def assign(cents: DataFrame): DataFrame = corpus.join(broadcast(cents))
       .withColumn("ccos", centCos)
       .groupBy("n_id")
       .agg(max_by(col("cent_id"), struct(col("ccos"), col("cent_id"))).as("cell"))
+    val cents = if (lloydIterations <= 0) cents0 else {
+      import emb.sparkSession.implicits._
+      // double-cast once so refined centroids keep one element type; the
+      // widening is exact, so iteration 0's assignment matches cents0's
+      var cur: Map[Long, Seq[Double]] = cents0
+        .select(col("cent_id"), transform(col("cv"), x => x.cast("double")).as("cv"))
+        .as[(Long, Seq[Double])].collect().toMap
+      def df(m: Map[Long, Seq[Double]]): DataFrame =
+        m.toSeq.sortBy(_._1).toDF("cent_id", "cv")
+          .select(col("cent_id"), col("cv"), norm(col("cv")).as("cn"))
+      for (_ <- 1 to lloydIterations) {
+        val means = corpus.join(assign(df(cur)), "n_id")
+          .select(col("cell"), posexplode(col("nv")))
+          .groupBy("cell", "pos").agg(avg("col").as("m"))
+          .collect()
+        cur = cur ++ means.groupBy(_.getLong(0)).map { case (cell, rows) =>
+          val dim = cur(cell).length
+          val arr = new Array[Double](dim)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          cell -> arr.toSeq
+        }
+      }
+      df(cur)
+    }
+    val assigned = assign(cents)
     val corpusCells = corpus.join(assigned, "n_id")
     // nProbe nearest centroids per query (queries are few — window is fine)
     val queries = withNorm(emb.filter(col("vec_id").isin(queryIds: _*)), "2")

@@ -164,6 +164,31 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((0L, 1L, 1.0)))
   }
 
+  test("ivf Lloyd refinement does not lose recall vs hash-seeded centroids") {
+    // real corpus (sf0.001 embeddings, 500 × dim-64): recall@5 for 10 queries
+    // at nProbe=2, hash-seeded start vs 2 Lloyd rounds. Deterministic: data,
+    // seeding, and the refinement are all fixed, so the comparison is pinned.
+    val realEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = (0L until 10L)
+    def hits(df: org.apache.spark.sql.DataFrame): Int = {
+      val truth = Similarity.bruteForceTopK(realEmb, qids, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).count(truth)
+    }
+    val r0 = hits(Similarity.ivfTopK(realEmb, qids, k = 5, nCells = 16, nProbe = 2))
+    val r2 = hits(Similarity.ivfTopK(realEmb, qids, k = 5, nCells = 16, nProbe = 2,
+      lloydIterations = 2))
+    assert(r2 >= r0, s"refined recall $r2/50 fell below hash-seeded $r0/50")
+    info(s"recall@5 over 10 queries, nProbe=2/16: hash-seeded $r0/50, lloyd-2 $r2/50")
+    // full probe stays the exact baseline regardless of centroid training
+    val exact = Similarity.bruteForceTopK(realEmb, qids, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val full = Similarity.ivfTopK(realEmb, qids, k = 5, nCells = 16, nProbe = 16,
+      lloydIterations = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(full == exact)
+  }
+
   test("text stats compute exact rational values") {
     val r = TextAnalysis.stats(docs).filter($"doc_id" === 0L).collect()(0)
     assert(r.getAs[Int]("len_chars") == 43)
