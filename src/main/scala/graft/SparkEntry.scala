@@ -30,9 +30,6 @@ object SparkEntry {
     OrderSpec("l_orderkey"),
     OrderSpec("l_linenumber"))
 
-  private val tieFreeOrderSql =
-    "l_extendedprice DESC, l_orderkey, l_linenumber"
-
   /** Derived high-cosine embedding fixture — the testdata embeddings have NO
     * pairs above cos ≈ 0.51 (probed at all three SFs), so the production
     * near-dup regime (threshold ≥ 0.9) would be vacuously checkable on them.
@@ -91,122 +88,137 @@ object SparkEntry {
 
   private val liOutCols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
 
-  /** One window query over lineitem partitioned by l_returnflag with the
-    * tie-free order; selects the key columns + the aggregate aliases. */
-  private def flagWindow(s: SparkSession, dir: String, aggs: Seq[AggregateSpec],
-      frame: FrameSpec = FrameSpec(), order: Seq[OrderSpec] = tieFreeOrder,
-      extraCols: Seq[String] = Seq.empty): DataFrame = {
-    val spec = WindowQuerySpec(Seq("l_returnflag"), order, frame, aggs)
-    WindowEngine.run(li(s, dir), spec)
-      .select((liOutCols ++ extraCols ++ aggs.map(_.alias)).map(org.apache.spark.sql.functions.col): _*)
+  /** Static schema of [[li]] — drives the SQL emitter's select list and
+    * declared-output casts for the generated oracles (no session available
+    * at oracle-construction time). Must mirror li()'s projection. */
+  private val liSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+      StructField("l_suppkey", LongType), StructField("l_extendedprice", DoubleType),
+      StructField("l_quantity", DoubleType), StructField("l_shipdate", TimestampType)))
   }
+
+  /** One window query: the spec (shared by the engine run, the emitted
+    * Spark SQL, and the generated DuckDB oracle — drift-free by
+    * construction) plus the output column selection. */
+  private case class WinDef(spec: WindowQuerySpec, outCols: Seq[String])
+
+  /** q17's DSL source strings — parsed at run time by the query (the public
+    * front end under test) and once here for its generated oracle. */
+  private val q17PartitionOrder =
+    "l_extendedprice:Descending,l_orderkey:Ascending,l_linenumber:Ascending"
+  private val q17Aggregates =
+    "rnk:rank(l_extendedprice,,)\n" +
+      "next_price:lead(l_extendedprice,1,)\n" +
+      "run_qty:accumulate(l_quantity,,)"
+
+  private lazy val winDefs: Map[String, WinDef] = {
+    def flagDef(aggs: Seq[AggregateSpec], frame: FrameSpec = FrameSpec(),
+        order: Seq[OrderSpec] = tieFreeOrder, extraCols: Seq[String] = Seq.empty) =
+      WinDef(WindowQuerySpec(Seq("l_returnflag"), order, frame, aggs),
+        liOutCols ++ extraCols ++ aggs.map(_.alias))
+    val suppOut = Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice")
+    val q17Spec = DslParser.parseSpec(
+      partitionFields = "l_returnflag", partitionOrder = q17PartitionOrder,
+      aggregates = q17Aggregates)
+      .fold(fs => throw new IllegalStateException(fs.mkString("; ")), identity)
+    Map(
+      "q01_rank" -> flagDef(Seq(AggregateSpec("rnk", WindowFn.Rank, "l_extendedprice"))),
+      "q02_dense_rank" -> flagDef(Seq(AggregateSpec("dns_rnk", WindowFn.DenseRank, "l_extendedprice"))),
+      "q03_percent_rank" -> flagDef(Seq(AggregateSpec("pct_rnk", WindowFn.PercentRank, "l_extendedprice"))),
+      "q04_ntile" -> flagDef(Seq(AggregateSpec("tile", WindowFn.NTile, "l_quantity", Seq("4")))),
+      "q05_row_number" -> flagDef(Seq(AggregateSpec("rn", WindowFn.RowNumber, "l_extendedprice"))),
+      "q06_median" -> flagDef(Seq(AggregateSpec("med", WindowFn.Median, "l_quantity")),
+        extraCols = Seq("l_quantity")),
+      "q07_continuous_percentile" -> flagDef(
+        Seq(AggregateSpec("cont_pct", WindowFn.ContinuousPercentile, "l_quantity", Seq("0.25"))),
+        order = Seq.empty, // order NOT supported for CONTINUOUS_PERCENTILE (ref constraint)
+        extraCols = Seq("l_quantity")),
+      "q08_discrete_percentile" -> flagDef(
+        Seq(AggregateSpec("disc_pct", WindowFn.DiscretePercentile, "l_quantity", Seq("0.5"))),
+        order = Seq(OrderSpec("l_quantity")),
+        extraCols = Seq("l_quantity")),
+      "q09_lead" -> flagDef(Seq(AggregateSpec("next_price", WindowFn.Lead, "l_extendedprice", Seq("1")))),
+      "q10_lag" -> flagDef(Seq(AggregateSpec("prev_price", WindowFn.Lag, "l_extendedprice", Seq("2")))),
+      "q11_first" -> WinDef(
+        WindowQuerySpec(Seq("l_suppkey"), tieFreeOrder,
+          aggregates = Seq(AggregateSpec("frst", WindowFn.First, "l_extendedprice"))),
+        suppOut :+ "frst"),
+      "q12_last" -> WinDef(
+        WindowQuerySpec(Seq("l_suppkey"), tieFreeOrder,
+          frame = FrameSpec(FrameType.Row, unboundedPreceding = true, unboundedFollowing = true),
+          aggregates = Seq(AggregateSpec("lst", WindowFn.Last, "l_extendedprice"))),
+        suppOut :+ "lst"),
+      "q13_cume_dist" -> flagDef(
+        Seq(AggregateSpec("cume", WindowFn.CumulativeDistribution, "l_quantity")),
+        order = Seq(OrderSpec("l_quantity")),
+        extraCols = Seq("l_quantity")),
+      "q14_accumulate" -> WinDef(
+        WindowQuerySpec(Seq("l_suppkey"),
+          Seq(OrderSpec("l_shipdate"), OrderSpec("l_orderkey"), OrderSpec("l_linenumber")),
+          aggregates = Seq(AggregateSpec("run_qty", WindowFn.Accumulate, "l_quantity"))),
+        Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "run_qty")),
+      "q15_frame_rows" -> flagDef(
+        Seq(AggregateSpec("qty_3row", WindowFn.Accumulate, "l_quantity")),
+        frame = FrameSpec(FrameType.Row, preceding = Some(-2L), following = Some(0L)),
+        extraCols = Seq("l_quantity")),
+      "q16_frame_range" -> flagDef(
+        Seq(AggregateSpec("qty_range", WindowFn.Accumulate, "l_quantity")),
+        frame = FrameSpec(FrameType.Range, preceding = Some(-5L), following = Some(0L)),
+        order = Seq(OrderSpec("l_quantity")),
+        extraCols = Seq("l_quantity")),
+      "q17_dsl" -> WinDef(q17Spec,
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
+          "l_quantity", "rnk", "next_price", "run_qty")),
+      "q45_multi_partition" -> WinDef(
+        WindowQuerySpec(Seq("l_returnflag", "l_linestatus"), tieFreeOrder,
+          aggregates = Seq(
+            AggregateSpec("rnk", WindowFn.Rank, "l_extendedprice"),
+            AggregateSpec("run_qty", WindowFn.Accumulate, "l_quantity"))),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+          "l_extendedprice", "l_quantity", "rnk", "run_qty")),
+      "q49_sql_emitter" -> WinDef(
+        WindowQuerySpec(Seq("l_returnflag"), tieFreeOrder, aggregates = Seq(
+          AggregateSpec("rnk", WindowFn.Rank, "l_extendedprice"),
+          AggregateSpec("run_qty", WindowFn.Accumulate, "l_quantity"))),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
+          "l_quantity", "rnk", "run_qty")))
+  }
+
+  /** DuckDB oracle for a [[WinDef]], generated by the SQL emitter from the
+    * SAME spec the engine executes: the emitted select mirrors the engine's
+    * full output schema (with declared-type casts), the outer select applies
+    * the query's column pruning. */
+  private def winOracle(d: WinDef): String =
+    s"SELECT ${d.outCols.mkString(", ")} FROM " +
+      s"(${SqlEmitter.emit(d.spec, "lineitem", liSchema, SqlEmitter.Dialect.DuckDb)}) t"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises the full reference lifecycle: DSL parse → validate → window. */
   def entry(spark: SparkSession): DataFrame =
     queries("q17_dsl")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2 (+ §7 extensions). */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- §2.2 the 14 window functions -------------------------------------
-    "q01_rank" -> ((s, dir) => flagWindow(s, dir,
-      Seq(AggregateSpec("rnk", WindowFn.Rank, "l_extendedprice")))),
-
-    "q02_dense_rank" -> ((s, dir) => flagWindow(s, dir,
-      Seq(AggregateSpec("dns_rnk", WindowFn.DenseRank, "l_extendedprice")))),
-
-    "q03_percent_rank" -> ((s, dir) => flagWindow(s, dir,
-      Seq(AggregateSpec("pct_rnk", WindowFn.PercentRank, "l_extendedprice")))),
-
-    "q04_ntile" -> ((s, dir) => flagWindow(s, dir,
-      Seq(AggregateSpec("tile", WindowFn.NTile, "l_quantity", Seq("4"))))),
-
-    "q05_row_number" -> ((s, dir) => flagWindow(s, dir,
-      Seq(AggregateSpec("rn", WindowFn.RowNumber, "l_extendedprice")))),
-
-    "q06_median" -> ((s, dir) => flagWindow(s, dir,
-      Seq(AggregateSpec("med", WindowFn.Median, "l_quantity")),
-      extraCols = Seq("l_quantity"))),
-
-    "q07_continuous_percentile" -> ((s, dir) => flagWindow(s, dir,
-      Seq(AggregateSpec("cont_pct", WindowFn.ContinuousPercentile, "l_quantity", Seq("0.25"))),
-      order = Seq.empty, // order NOT supported for CONTINUOUS_PERCENTILE (ref constraint)
-      extraCols = Seq("l_quantity"))),
-
-    "q08_discrete_percentile" -> ((s, dir) => flagWindow(s, dir,
-      Seq(AggregateSpec("disc_pct", WindowFn.DiscretePercentile, "l_quantity", Seq("0.5"))),
-      order = Seq(OrderSpec("l_quantity")),
-      extraCols = Seq("l_quantity"))),
-
-    "q09_lead" -> ((s, dir) => flagWindow(s, dir,
-      Seq(AggregateSpec("next_price", WindowFn.Lead, "l_extendedprice", Seq("1"))))),
-
-    "q10_lag" -> ((s, dir) => flagWindow(s, dir,
-      Seq(AggregateSpec("prev_price", WindowFn.Lag, "l_extendedprice", Seq("2"))))),
-
-    "q11_first" -> ((s, dir) => {
-      val spec = WindowQuerySpec(Seq("l_suppkey"), tieFreeOrder,
-        aggregates = Seq(AggregateSpec("frst", WindowFn.First, "l_extendedprice")))
-      WindowEngine.run(li(s, dir), spec)
-        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice", "frst")
-    }),
-
-    "q12_last" -> ((s, dir) => {
-      val spec = WindowQuerySpec(Seq("l_suppkey"), tieFreeOrder,
-        frame = FrameSpec(FrameType.Row, unboundedPreceding = true, unboundedFollowing = true),
-        aggregates = Seq(AggregateSpec("lst", WindowFn.Last, "l_extendedprice")))
-      WindowEngine.run(li(s, dir), spec)
-        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice", "lst")
-    }),
-
-    "q13_cume_dist" -> ((s, dir) => flagWindow(s, dir,
-      Seq(AggregateSpec("cume", WindowFn.CumulativeDistribution, "l_quantity")),
-      order = Seq(OrderSpec("l_quantity")),
-      extraCols = Seq("l_quantity"))),
-
-    "q14_accumulate" -> ((s, dir) => {
-      val spec = WindowQuerySpec(Seq("l_suppkey"),
-        Seq(OrderSpec("l_shipdate"), OrderSpec("l_orderkey"), OrderSpec("l_linenumber")),
-        aggregates = Seq(AggregateSpec("run_qty", WindowFn.Accumulate, "l_quantity")))
-      WindowEngine.run(li(s, dir), spec)
-        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "run_qty")
-    }),
-
-    // ---- §2.1 frame clauses (ROW / RANGE, bounded + unbounded) ------------
-    "q15_frame_rows" -> ((s, dir) => flagWindow(s, dir,
-      Seq(AggregateSpec("qty_3row", WindowFn.Accumulate, "l_quantity")),
-      frame = FrameSpec(FrameType.Row, preceding = Some(-2L), following = Some(0L)),
-      extraCols = Seq("l_quantity"))),
-
-    "q16_frame_range" -> ((s, dir) => flagWindow(s, dir,
-      Seq(AggregateSpec("qty_range", WindowFn.Accumulate, "l_quantity")),
-      frame = FrameSpec(FrameType.Range, preceding = Some(-5L), following = Some(0L)),
-      order = Seq(OrderSpec("l_quantity")),
-      extraCols = Seq("l_quantity"))),
-
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7 extensions).
+    * Window queries (q01–q16, q45) are generated from [[winDefs]] — the same
+    * spec objects that generate their oracles; q17 exercises the DSL parser
+    * front end and q49 the SQL emitter's Spark dialect, each against an
+    * oracle emitted from the identical spec. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = winDefs
+    .removed("q17_dsl").removed("q49_sql_emitter")
+    .map { case (name, d) =>
+      name -> ((s: SparkSession, dir: String) =>
+        WindowEngine.run(li(s, dir), d.spec)
+          .select(d.outCols.map(org.apache.spark.sql.functions.col): _*))
+    } ++ Map[String, (SparkSession, String) => DataFrame](
     // ---- §2.3 the aggregate-spec DSL end to end ---------------------------
     "q17_dsl" -> ((s, dir) => {
       val out = WindowEngine.runDsl(li(s, dir),
         partitionFields = "l_returnflag",
-        partitionOrder = "l_extendedprice:Descending,l_orderkey:Ascending,l_linenumber:Ascending",
-        aggregates = "rnk:rank(l_extendedprice,,)\n" +
-          "next_price:lead(l_extendedprice,1,)\n" +
-          "run_qty:accumulate(l_quantity,,)")
-      out.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
-        "l_quantity", "rnk", "next_price", "run_qty")
-    }),
-
-    // multi-column partition clause (partitionFields is a CSV in the reference)
-    "q45_multi_partition" -> ((s, dir) => {
-      val spec = WindowQuerySpec(
-        Seq("l_returnflag", "l_linestatus"),
-        tieFreeOrder,
-        aggregates = Seq(
-          AggregateSpec("rnk", WindowFn.Rank, "l_extendedprice"),
-          AggregateSpec("run_qty", WindowFn.Accumulate, "l_quantity")))
-      WindowEngine.run(li(s, dir), spec)
-        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
-          "l_extendedprice", "l_quantity", "rnk", "run_qty")
+        partitionOrder = q17PartitionOrder,
+        aggregates = q17Aggregates)
+      out.select(winDefs("q17_dsl").outCols.map(org.apache.spark.sql.functions.col): _*)
     }),
 
     // ---- §2.5 relational plumbing (scan→filter→agg, broadcast join + top-N)
@@ -449,18 +461,15 @@ object SparkEntry {
 
     // the Spec→SQL emitter driving spark.sql end to end — the single-engine
     // analogue of the reference's BQ pushdown (templates at
-    // WindowAggregation.java:75-93), checked against the same DuckDB oracle
-    // the native engine path uses
+    // WindowAggregation.java:75-93), checked against the DuckDB oracle
+    // emitted from the SAME spec
     "q49_sql_emitter" -> ((s, dir) => {
-      val spec = WindowQuerySpec(Seq("l_returnflag"), tieFreeOrder, aggregates = Seq(
-        AggregateSpec("rnk", WindowFn.Rank, "l_extendedprice"),
-        AggregateSpec("run_qty", WindowFn.Accumulate, "l_quantity")))
+      val d = winDefs("q49_sql_emitter")
       // direct-path table syntax — no temp-view registration mutating the
       // session catalog as a query side effect; the emitted select list only
       // names li()'s columns, so the scan still prunes
-      s.sql(SqlEmitter.emit(spec, s"parquet.`$dir/lineitem.parquet`", li(s, dir).schema))
-        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
-          "l_quantity", "rnk", "run_qty")
+      s.sql(SqlEmitter.emit(d.spec, s"parquet.`$dir/lineitem.parquet`", li(s, dir).schema))
+        .select(d.outCols.map(org.apache.spark.sql.functions.col): _*)
     }),
 
     // as-of join: each event gets the user's most recent order price
@@ -492,96 +501,12 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. Omitted keys get a weaker rows-only check. */
-  def oracleSql: Map[String, String] = {
-    val over = s"OVER (PARTITION BY l_returnflag ORDER BY $tieFreeOrderSql)"
-    Map(
-      "q01_rank" ->
-        s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-           |CAST(rank() $over AS INT) AS rnk FROM lineitem""".stripMargin,
-
-      "q02_dense_rank" ->
-        s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-           |CAST(dense_rank() $over AS INT) AS dns_rnk FROM lineitem""".stripMargin,
-
-      "q03_percent_rank" ->
-        s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-           |CAST(percent_rank() $over AS REAL) AS pct_rnk FROM lineitem""".stripMargin,
-
-      "q04_ntile" ->
-        s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-           |CAST(ntile(4) $over AS INT) AS tile FROM lineitem""".stripMargin,
-
-      "q05_row_number" ->
-        s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-           |CAST(row_number() $over AS INT) AS rn FROM lineitem""".stripMargin,
-
-      "q06_median" ->
-        s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, l_quantity,
-           |quantile_cont(l_quantity, 0.5) $over AS med FROM lineitem""".stripMargin,
-
-      "q07_continuous_percentile" ->
-        """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, l_quantity,
-          |quantile_cont(l_quantity, 0.25) OVER (PARTITION BY l_returnflag) AS cont_pct
-          |FROM lineitem""".stripMargin,
-
-      // running-frame semantics (reference UDAF over the ordered spec):
-      // DuckDB's default window frame with ORDER BY is the same RANGE
-      // UNBOUNDED PRECEDING..CURRENT ROW, and quantile_disc picks the same
-      // cume_dist>=p element
-      "q08_discrete_percentile" ->
-        """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, l_quantity,
-          |quantile_disc(l_quantity, 0.5) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS disc_pct
-          |FROM lineitem""".stripMargin,
-
-      "q09_lead" ->
-        s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-           |lead(l_extendedprice, 1) $over AS next_price FROM lineitem""".stripMargin,
-
-      "q10_lag" ->
-        s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-           |lag(l_extendedprice, 2) $over AS prev_price FROM lineitem""".stripMargin,
-
-      "q11_first" ->
-        s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
-           |first_value(l_extendedprice) OVER
-           |(PARTITION BY l_suppkey ORDER BY $tieFreeOrderSql) AS frst FROM lineitem""".stripMargin,
-
-      "q12_last" ->
-        s"""SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
-           |last_value(l_extendedprice) OVER
-           |(PARTITION BY l_suppkey ORDER BY $tieFreeOrderSql
-           | ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lst
-           |FROM lineitem""".stripMargin,
-
-      "q13_cume_dist" ->
-        """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, l_quantity,
-          |cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cume
-          |FROM lineitem""".stripMargin,
-
-      "q14_accumulate" ->
-        """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
-          |sum(l_quantity) OVER
-          |(PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS run_qty
-          |FROM lineitem""".stripMargin,
-
-      "q15_frame_rows" ->
-        s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, l_quantity,
-           |sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY $tieFreeOrderSql
-           | ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS qty_3row FROM lineitem""".stripMargin,
-
-      "q16_frame_range" ->
-        """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, l_quantity,
-          |sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
-          | RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS qty_range FROM lineitem""".stripMargin,
-
-      "q17_dsl" ->
-        s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, l_quantity,
-           |CAST(rank() $over AS INT) AS rnk,
-           |lead(l_extendedprice, 1) $over AS next_price,
-           |sum(l_quantity) $over AS run_qty
-           |FROM lineitem""".stripMargin,
-
+    * same parquet tables. Omitted keys get a weaker rows-only check.
+    * Window-query oracles are EMITTED ([[winOracle]]) from the same specs
+    * the engine executes — hand-written oracle drift is structurally
+    * impossible for q01–q17, q45, q49. */
+  def oracleSql: Map[String, String] =
+    winDefs.map { case (name, d) => name -> winOracle(d) } ++ Map(
       "q18_groupby_agg" ->
         """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
           |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
@@ -727,14 +652,6 @@ object SparkEntry {
         """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
-      "q45_multi_partition" ->
-        """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_extendedprice, l_quantity,
-          |CAST(rank() OVER (PARTITION BY l_returnflag, l_linestatus
-          |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INT) AS rnk,
-          |sum(l_quantity) OVER (PARTITION BY l_returnflag, l_linestatus
-          |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS run_qty
-          |FROM lineitem""".stripMargin,
-
       "q44_cube" ->
         """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
@@ -858,12 +775,6 @@ object SparkEntry {
           |(PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS run_qty
           |FROM lineitem""".stripMargin,
 
-      "q49_sql_emitter" ->
-        s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, l_quantity,
-           |CAST(rank() $over AS INT) AS rnk,
-           |sum(l_quantity) $over AS run_qty
-           |FROM lineitem""".stripMargin,
-
       "q37_events_leadlag" ->
         """SELECT event_id, user_id, event_type, value,
           |lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
@@ -882,5 +793,4 @@ object SparkEntry {
           |CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS INT) AS session_id
           |FROM f""".stripMargin,
     )
-  }
 }

@@ -23,11 +23,20 @@ object SqlEmitter {
   /** Target dialect. BigQuery reproduces the reference's templates verbatim
     * (PERCENTILE_CONT/DISC as window functions, `IGNORE NULLS` inside the
     * FIRST_VALUE arg list); Spark emits what spark.sql / ANSI engines accept
-    * (Hive `percentile`, boolean ignore-nulls argument). */
+    * (Hive `percentile`, boolean ignore-nulls argument); DuckDb emits the
+    * ORACLE form — the engine's declared output types surface as explicit
+    * casts (rank family → INT, PERCENT_RANK → REAL, ACCUMULATE → input type)
+    * and Spark's null-ordering defaults surface as NULLS FIRST/LAST, so a
+    * result computed by DuckDB from the emitted text is value- and
+    * dtype-identical to the engine's. The correctness gate consumes this
+    * dialect directly (SparkEntry.oracleSql), which removes hand-written
+    * oracle drift as a failure mode: the spec is the single source of truth
+    * for both the executed query and its oracle. */
   sealed trait Dialect
   object Dialect {
     case object BigQuery extends Dialect
     case object Spark    extends Dialect
+    case object DuckDb   extends Dialect
   }
 
   /** Emit `SELECT ... FROM table` for a validated spec. `schema` drives the
@@ -46,7 +55,7 @@ object SqlEmitter {
         case WindowFn.Median | WindowFn.ContinuousPercentile | WindowFn.DiscretePercentile => true
         case _ => false
       })
-      val base = s"${aggregateSql(agg, dialect)} ${overClause(spec, partitionOnly)}"
+      val base = s"${aggregateSql(agg, dialect)} ${overClause(spec, dialect, partitionOnly)}"
       outputCast(agg, schema, dialect).fold(base)(t => s"CAST($base AS $t)") + s" AS ${agg.alias}"
     }
     val byAlias = spec.aggregates.map(a => a.alias -> a).toMap
@@ -72,24 +81,40 @@ object SqlEmitter {
         case IntegerType | LongType | ShortType | ByteType => "INT64"
         case other                            => other.sql
       }
+      case Dialect.DuckDb => dt match {
+        case FloatType   => "REAL"
+        case IntegerType => "INTEGER"
+        case other       => other.sql // DOUBLE / BIGINT / SMALLINT / TINYINT align
+      }
       case Dialect.Spark => dt.sql
     }
     agg.fn match {
       case WindowFn.PercentRank => Some(typeName(FloatType))
       case WindowFn.Accumulate  => schema.fields.find(_.name == agg.field).map(f => typeName(f.dataType))
+      // DuckDB's rank family returns BIGINT; the engine declares INT
+      // (reference Function enum) — surfaced as an explicit cast so the
+      // oracle's dtype matches the engine's
+      case WindowFn.Rank | WindowFn.DenseRank | WindowFn.NTile | WindowFn.RowNumber
+        if dialect == Dialect.DuckDb => Some(typeName(IntegerType))
       case _                    => None
     }
   }
 
-  private def overClause(spec: WindowQuerySpec, partitionOnly: Boolean = false): String = {
+  private def overClause(spec: WindowQuerySpec, dialect: Dialect,
+      partitionOnly: Boolean = false): String = {
     val partition = s"PARTITION BY ${spec.partitionFields.mkString(", ")}"
     if (partitionOnly) return s"OVER ($partition)"
     val order =
       if (spec.order.isEmpty) ""
       else " ORDER BY " + spec.order.map { o =>
-        val dir = o.direction match {
-          case SortDirection.Ascending  => "ASC"
-          case SortDirection.Descending => "DESC"
+        // DuckDB defaults to NULLS LAST everywhere; Spark's default is
+        // NULLS FIRST for ASC, NULLS LAST for DESC — pinned explicitly in
+        // the oracle dialect so null order keys cannot silently diverge
+        val dir = (o.direction, dialect) match {
+          case (SortDirection.Ascending, Dialect.DuckDb)  => "ASC NULLS FIRST"
+          case (SortDirection.Descending, Dialect.DuckDb) => "DESC NULLS LAST"
+          case (SortDirection.Ascending, _)               => "ASC"
+          case (SortDirection.Descending, _)              => "DESC"
         }
         s"${o.field} $dir"
       }.mkString(", ")
@@ -129,13 +154,18 @@ object SqlEmitter {
       case WindowFn.Median => dialect match {
         case BigQuery => s"PERCENTILE_CONT($col, 0.5)"
         case Spark    => s"percentile($col, 0.5)"
+        case DuckDb   => s"quantile_cont($col, 0.5)"
       }
       case WindowFn.ContinuousPercentile => dialect match {
         case BigQuery => s"PERCENTILE_CONT($col, $arg0)"
         case Spark    => s"percentile($col, $arg0)"
+        case DuckDb   => s"quantile_cont($col, $arg0)"
       }
       case WindowFn.DiscretePercentile => dialect match {
         case BigQuery => s"PERCENTILE_DISC($col, $arg0)"
+        // DuckDB's quantile_disc picks the same cume_dist>=p element as the
+        // engine's DiscretePercentileAgg, including over running frames
+        case DuckDb => s"quantile_disc($col, $arg0)"
         case Spark => throw new UnsupportedOperationException(
           "DISCRETE_PERCENTILE has no Spark SQL surface — the engine runs it " +
             "natively (DiscretePercentileAgg); emit BigQuery dialect for pushdown")
@@ -143,11 +173,11 @@ object SqlEmitter {
       case WindowFn.Lead => s"LEAD($col, $arg0)"
       case WindowFn.Lag  => s"LAG($col, $arg0)"
       case WindowFn.First => dialect match {
-        case BigQuery => s"FIRST_VALUE($col ${if (ignoreNulls) "IGNORE" else "RESPECT"} NULLS)"
+        case BigQuery | DuckDb => s"FIRST_VALUE($col ${if (ignoreNulls) "IGNORE" else "RESPECT"} NULLS)"
         case Spark    => s"FIRST_VALUE($col, $ignoreNulls)"
       }
       case WindowFn.Last => dialect match {
-        case BigQuery => s"LAST_VALUE($col ${if (ignoreNulls) "IGNORE" else "RESPECT"} NULLS)"
+        case BigQuery | DuckDb => s"LAST_VALUE($col ${if (ignoreNulls) "IGNORE" else "RESPECT"} NULLS)"
         case Spark    => s"LAST_VALUE($col, $ignoreNulls)"
       }
       case WindowFn.CumulativeDistribution => "CUME_DIST()"

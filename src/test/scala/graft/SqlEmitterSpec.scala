@@ -152,6 +152,30 @@ class SqlEmitterSpec extends AnyFunSuite {
     assert(checked >= 8, s"only $checked random specs survived validation — generator too narrow")
   }
 
+  test("DuckDb dialect pins declared-type casts, null ordering, and quantile names") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("ord", DoubleType),
+      StructField("v", IntegerType)))
+    val spec = WindowQuerySpec(Seq("k"),
+      Seq(OrderSpec("ord", SortDirection.Descending), OrderSpec("v")),
+      aggregates = Seq(
+        AggregateSpec("rnk", WindowFn.Rank, "ord"),
+        AggregateSpec("pr", WindowFn.PercentRank, "ord"),
+        AggregateSpec("dp", WindowFn.DiscretePercentile, "v", Seq("0.5")),
+        AggregateSpec("acc", WindowFn.Accumulate, "v"),
+        AggregateSpec("f", WindowFn.First, "v")))
+    val sql = SqlEmitter.emit(spec, "t", schema, SqlEmitter.Dialect.DuckDb)
+    // engine-declared output types surface as casts (rank INT, pct REAL,
+    // accumulate = input type), Spark's null-order defaults are pinned, and
+    // the percentile family maps to DuckDB's quantile functions
+    assert(sql.contains("CAST(RANK() OVER (PARTITION BY k ORDER BY ord DESC NULLS LAST, v ASC NULLS FIRST) AS INTEGER) AS rnk"))
+    assert(sql.contains("AS REAL) AS pr"))
+    assert(sql.contains("quantile_disc(v, 0.5) OVER"))
+    assert(sql.contains("CAST(SUM(v) OVER") && sql.contains("AS INTEGER) AS acc"))
+    assert(sql.contains("FIRST_VALUE(v IGNORE NULLS)"))
+  }
+
   test("Spark dialect refuses DISCRETE_PERCENTILE (engine-native only)") {
     val spec = WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord")),
       aggregates = Seq(AggregateSpec("dp", WindowFn.DiscretePercentile, "v", Seq("0.5"))))
