@@ -393,6 +393,11 @@ object SparkEntry {
     // at j≥0.8; the testdata's near-dup pairs all sit ≥ 0.8 (gap to 0.14), so
     // the verified pair set provably equals the exact ≥0.5 set and the
     // all-pairs recursive-CTE oracle applies. Probe-verified at sf0.001/0.01/0.1.
+    // CAVEAT (holds for q47/q52/q53 too): exact-oracle equality of an
+    // LSH-derived result is a property of THESE fixed datasets + the
+    // deterministic hash planes, not of the operator — a regenerated or new
+    // SF needs a fresh completeness probe first, or a recall-tolerant /
+    // rows-only check instead.
     "q46_dedup_lsh_clusters" -> ((s, dir) =>
       Dedup.lshDedupClusters(Tables.documents(s, dir),
         n = 3, numHashes = 16, bands = 16, threshold = 0.5)),

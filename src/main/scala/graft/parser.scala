@@ -31,8 +31,11 @@ object DslParser {
 
     // Every line participates — a blank line has no ':' and is reported as a
     // parse failure, exactly like the reference's Splitter.trimResults pass
-    // (WindowAggregationConfig.java:191-198 has no empty-line skip).
-    for (rawLine <- aggregates.split('\n').map(_.trim)) {
+    // (WindowAggregationConfig.java:191-198 has no empty-line skip). The -1
+    // limit keeps TRAILING empty segments too: Guava's Splitter yields one
+    // for input ending in '\n' (so the reference rejects "x:rank(v,,)\n"),
+    // while Scala's default split drops it and would silently accept.
+    for (rawLine <- aggregates.split("\n", -1).map(_.trim)) {
       parseLine(rawLine, seenAliases) match {
         case Left(f)     => failures += f
         case Right(spec) => specs += spec

@@ -33,17 +33,33 @@ object Tables {
     * runtime confs copied at that moment — later runtime conf changes on the
     * caller intentionally don't propagate. */
   private val scopedSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession, SparkSession]() // weak KEYS: a
+  // retired caller session (and its clone — the clone refs the shared
+  // SparkContext, not the caller) becomes collectable instead of pinned for
+  // the JVM lifetime in a many-session process. Guarded by its own monitor:
+  // WeakHashMap is not thread-safe and Map.computeIfAbsent's default impl
+  // is not atomic on a synchronized wrapper either.
 
+  /** NOTE on plan mixing: frames from the scoped clone are joined with
+    * caller-session frames (q38). That is safe here — both sessions share
+    * one SparkContext/SharedState, and a parquet relation captures its own
+    * session at resolution — but it is not a supported Spark contract;
+    * callers composing events() output with other sources should keep the
+    * composition to relational operators as q38 does. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val scoped = scopedSessions.computeIfAbsent(spark, s => {
-      val x = s.newSession()
-      s.conf.getAll.foreach { case (k, v) =>
-        try x.conf.set(k, v) catch { case _: Exception => () } // static confs refuse runtime set
+    val scoped = scopedSessions.synchronized {
+      val existing = scopedSessions.get(spark)
+      if (existing != null) existing
+      else {
+        val x = spark.newSession()
+        spark.conf.getAll.foreach { case (k, v) =>
+          try x.conf.set(k, v) catch { case _: Exception => () } // static confs refuse runtime set
+        }
+        x.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        scopedSessions.put(spark, x)
+        x
       }
-      x.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      x
-    })
+    }
     table(scoped, dir, "events")
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")

@@ -26,6 +26,13 @@ class ParserSpec extends AnyFunSuite {
     assert(fs.size == 1 && fs.head.message.contains("':'"))
   }
 
+  test("trailing newline is a parse failure (Guava trailing-segment parity)") {
+    // Guava's Splitter.on('\n') yields a trailing empty segment for input
+    // ending in '\n', which the reference reports as a missing-':' failure
+    val Left(fs) = DslParser.parseAggregates("x:rank(v,,)\n")
+    assert(fs.size == 1 && fs.head.message.contains("':'"))
+  }
+
   test("%2C-encoded args decode then split") {
     val Right(Seq(a)) = DslParser.parseAggregates("x:n_tile(v,1%2C2%2C3,)")
     assert(a.args == Seq("1", "2", "3"))
