@@ -96,6 +96,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hyperplanesignature"), "bucket keys are the codegen'd signatures")
   }
 
+  test("production LSH points (q52/q53) keep the equi-join shape on derived fixtures") {
+    // the derived-fixture unions must not degrade the candidate stages into
+    // BNLJ/cartesian plans — candidates still come from equi-joins on
+    // (table, signature) / band keys, verification from id equi-joins
+    for (q <- Seq("q52_embed_neardup_lsh_prod", "q53_dedup_minhash_prod")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: no BNLJ")
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian")
+    }
+    assert(plan("q52_embed_neardup_lsh_prod").contains("hyperplanesignature"))
+    assert(plan("q53_dedup_minhash_prod").contains("array_intersect"),
+      "q53 verifies candidates on gram arrays, not a gram self-join")
+  }
+
+  test("hot-gram guard computes df in one pass and consumers reuse the cache") {
+    // the guarded path (q54): df comes from ONE window over the exploded
+    // gram set, the surviving set is cached, and all four downstream reads
+    // (pair self-join ×2, n1/n2 count joins) hit InMemoryTableScan — the
+    // parquet scan only runs once, when the cache populates. (Plan STRINGS
+    // repeat the cached child plan under every InMemoryTableScan, so
+    // counting "Scan parquet" occurrences overstates real scans.)
+    val p = plan("q54_dedup_jaccard_guarded")
+    assert("InMemoryTableScan".r.findAllIn(p).size == 4,
+      "every consumer of the surviving gram set must read the cache")
+    assert(p.contains("windowspecdefinition(gram#"),
+      "document frequency must come from a window over gram, not a join-back")
+  }
+
   test("lsh dedup pipeline verifies candidates without a gram self-join") {
     // q46's returned frame is a post-checkpoint leaf (connected components
     // executes during construction) — assert the candidate+verify stage's
