@@ -295,6 +295,11 @@ object SparkEntry {
 
     "q30_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
 
+    // Gopher-style repetition/quality rules — the doc-level filter stage;
+    // top-bigram fraction computed map-side (sorted-hash longest run), no
+    // per-(doc, bigram) shuffle at any scale
+    "q55_quality_rules" -> ((s, dir) => TextAnalysis.qualityRules(Tables.documents(s, dir))),
+
     // ---- training-data pipeline: multimodal columns -----------------------
     "q31_multimodal_meta" -> ((s, dir) => {
       implicit val spark: SparkSession = s
@@ -614,6 +619,22 @@ object SparkEntry {
           |  list_transform(ws, x -> (length(x)*7919 + ascii(substr(x,1,1)))::BIGINT)),
           |  (acc, x) -> (acc*1000003 + x) % 2147483647) AS fingerprint
           |FROM w""".stripMargin,
+
+      "q55_quality_rules" ->
+        """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+          |b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM w, UNNEST(range(1, len(ws))) t(i)),
+          |bc AS (SELECT doc_id, max(c) AS mx, sum(c) AS total
+          |       FROM (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2) GROUP BY doc_id),
+          |s AS (SELECT w.doc_id,
+          |  CAST(len(ws) AS INT) AS n_words,
+          |  CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_frac,
+          |  COALESCE(CAST(mx AS DOUBLE) / total, 0.0) AS top_bigram_frac,
+          |  CAST(len(regexp_extract_all(text, '[a-z]')) AS DOUBLE) / length(text) AS alpha_frac
+          |  FROM w LEFT JOIN bc ON w.doc_id = bc.doc_id)
+          |SELECT doc_id, n_words, dup_word_frac, top_bigram_frac, alpha_frac,
+          |(n_words >= 20 AND dup_word_frac <= 0.6 AND top_bigram_frac <= 0.1
+          | AND alpha_frac >= 0.8) AS quality_pass
+          |FROM s""".stripMargin,
 
       // height mixes in the first UTF-8 BYTE (hex-of-blob trick), matching
       // Multimodal.decodeStub's payload(0) & 0xff — ascii() would return the

@@ -79,6 +79,57 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9 ]")).as("n_re_tokens"),
       ceil(length(col("text")).cast("double") / 4.0).cast("long").as("n_approx_bpe"))
 
+  /** Gopher-style repetition/quality signals and a composite keep/drop flag —
+    * the document-level filter stage of a training-data pipeline (Rae et al.
+    * 2021 §A1.1 repetition rules, re-expressed for this corpus):
+    *
+    *  - `dup_word_frac`: fraction of word occurrences that repeat an earlier
+    *    word (1 − |distinct|/|words|) — high values flag boilerplate;
+    *  - `top_bigram_frac`: fraction of all bigrams taken by the single most
+    *    frequent bigram — the "top n-gram fraction" repetition rule;
+    *  - `alpha_frac`: lowercase-letter characters / total characters — the
+    *    symbol-ratio rule;
+    *  - `quality_pass`: the conjunction at thresholds that split this
+    *    corpus non-trivially (n_words ≥ 20, dup ≤ 0.6, top-bigram ≤ 0.1,
+    *    alpha ≥ 0.8).
+    *
+    * Entirely map-side (no shuffle): the top-bigram count folds over the
+    * SORTED 64-bit bigram-hash array as a longest-equal-run scan, so no
+    * (doc, bigram) aggregation shuffle exists at any scale. Exact integer /
+    * rational arithmetic throughout — hash-matches the SQL oracle. */
+  def qualityRules(docs: DataFrame): DataFrame = {
+    val ws = col("__words")
+    // longest equal run over the sorted hashes == max bigram multiplicity
+    // (64-bit hashes: collisions are negligible and the oracle's string
+    // bigrams would surface one as a hash mismatch)
+    val sortedBigrams = array_sort(
+      graft.functions.HashFunctions.word_gram_hashes(ws, 2))
+    val maxRun = aggregate(
+      sortedBigrams,
+      struct(lit(0L).as("prev"), lit(0).as("run"), lit(0).as("mx"), lit(true).as("first")),
+      (acc, x) => {
+        val run = when(acc("first") || x =!= acc("prev"), 1).otherwise(acc("run") + 1)
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("mx"), run).as("mx"), lit(false).as("first"))
+      },
+      acc => acc("mx"))
+    val nBigrams = size(sortedBigrams)
+    val nWords = size(ws)
+    val dupFrac = (nWords - size(array_distinct(ws))).cast("double") / nWords.cast("double")
+    val topBigramFrac =
+      when(nBigrams > 0, maxRun.cast("double") / nBigrams.cast("double")).otherwise(0.0)
+    val alphaFrac = regexp_count(col("text"), lit("[a-z]")).cast("double") /
+      length(col("text")).cast("double")
+    withWords(docs).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      dupFrac.as("dup_word_frac"),
+      topBigramFrac.as("top_bigram_frac"),
+      alphaFrac.as("alpha_frac"),
+      (nWords >= 20 && dupFrac <= 0.6 && topBigramFrac <= 0.1 && alphaFrac >= 0.8)
+        .as("quality_pass"))
+  }
+
   /** Per-word numeric code used by the rolling fingerprint: cheap,
     * deterministic, reproducible in plain SQL (length + first char code). */
   private def wordCode(w: Column): Column =

@@ -204,6 +204,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(4L) == "en") // all scores 0 → tie → first priority
   }
 
+  test("quality rules compute exact repetition fractions and the pass flag") {
+    val fixture = Seq(
+      // 6 words, "a b" bigram ×3 of 5 bigrams, "a"×3 + "b"×3 → dup 4/6
+      (0L, "a b a b a b", "en", "s"),
+      // 21 distinct 5-letter words: dup 0, every bigram unique (top 1/20 =
+      // 0.05), alpha = 105/125 = 0.84 (spaces count against the ratio)
+      (1L, ('a' to 'u').map(c => s"word$c").mkString(" "), "en", "s"),
+      (2L, "tiny", "en", "s") // 1 word, no bigrams
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.qualityRules(fixture).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getDouble(2), x.getDouble(3), x.getBoolean(5)))).toMap
+    assert(r(0L) == ((6, 4.0 / 6, 3.0 / 5, false))) // repetitive + short → drop
+    assert(r(1L) == ((21, 0.0, 1.0 / 20, true)))    // clean 21-worder → keep
+    assert(r(2L) == ((1, 0.0, 0.0, false)))         // no bigrams → frac 0, too short
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     val f = TextAnalysis.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(f(0L) == f(3L)) // identical text
