@@ -629,7 +629,9 @@ object SparkEntry {
           |  CAST(len(ws) AS INT) AS n_words,
           |  CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_frac,
           |  COALESCE(CAST(mx AS DOUBLE) / total, 0.0) AS top_bigram_frac,
-          |  CAST(len(regexp_extract_all(text, '[a-z]')) AS DOUBLE) / length(text) AS alpha_frac
+          |  CASE WHEN length(text) = 0 THEN 0.0
+          |       ELSE CAST(len(regexp_extract_all(text, '[a-z]')) AS DOUBLE) / length(text)
+          |  END AS alpha_frac
           |  FROM w LEFT JOIN bc ON w.doc_id = bc.doc_id)
           |SELECT doc_id, n_words, dup_word_frac, top_bigram_frac, alpha_frac,
           |(n_words >= 20 AND dup_word_frac <= 0.6 AND top_bigram_frac <= 0.1

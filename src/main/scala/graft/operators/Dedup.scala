@@ -71,20 +71,26 @@ object Dedup {
           gramArrays(docs, n).select(col("doc_id"), size(col("grams")).cast("long").as("n_grams")))
       else {
         val nDocs = docs.count()
-        // document frequency via ONE window over the exploded gram set — a
-        // single shuffle on gram, where the previous shape cached the full
-        // gram set and ran a groupBy + anti-join back over it (two passes +
-        // a cache that outlived the call). The surviving set is cached
-        // because it feeds three consumers (the pair self-join twice, the
-        // per-doc counts once); (doc_id, gram-hash) longs only, spill-safe.
-        // The block lives until LRU eviction — callers running many guarded
-        // corpora in one session should spark.catalog.clearCache() between
-        // runs.
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
-        val kept = gramSet(docs, n)
-          .withColumn("df", count(lit(1)).over(w))
-          .filter(col("df") <= maxDocFrequency * nDocs)
-          .drop("df").cache()
+        // SKEW-SAFE document frequency: groupBy(gram) partial-aggregates
+        // map-side, so a hot gram ships one row per map partition into the
+        // shuffle — NOT its full occurrence list into one task (a
+        // window-over-gram would do exactly that, concentrating the hottest
+        // gram's rows on a single straggler at corpus scale — the very
+        // blowup this guard exists to prevent). The hot set is tiny by
+        // construction (grams above f·nDocs), so the removal is a broadcast
+        // anti-join: map-side, no shuffle of the gram set at all.
+        val all = gramSet(docs, n).cache()
+        val hot = broadcast(all.groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFrequency * nDocs).select("gram"))
+        val kept = all.join(hot, Seq("gram"), "left_anti").cache()
+        // materialize the surviving set NOW (this path already runs eager
+        // jobs — docs.count above), then release the full-set cache
+        // deterministically instead of leaking it to LRU; `kept` stays
+        // cached for its three consumers (pair self-join ×2, per-doc
+        // counts) — callers running many guarded corpora in one session
+        // should spark.catalog.clearCache() between runs.
+        kept.count()
+        all.unpersist(blocking = false)
         (kept, kept.groupBy("doc_id").agg(count(lit(1)).as("n_grams")))
       }
     val inter = grams.as("g1")

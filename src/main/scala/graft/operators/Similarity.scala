@@ -202,6 +202,12 @@ object Similarity {
       .agg(max_by(col("cent_id"), struct(col("ccos"), col("cent_id"))).as("cell"))
     val cents = if (lloydIterations <= 0) cents0 else {
       import emb.sparkSession.implicits._
+      // training touches the corpus 2L+1 times (per-iteration assignment +
+      // mean, final serving assignment) — cache it for the loop so each
+      // touch reads materialized (id, vector, norm) rows instead of
+      // re-running the scan + norm projection; stays cached for the serving
+      // joins below and lives until session cache eviction
+      corpus.cache()
       // double-cast once so refined centroids keep one element type; the
       // widening is exact, so iteration 0's assignment matches cents0's
       var cur: Map[Long, Seq[Double]] = cents0

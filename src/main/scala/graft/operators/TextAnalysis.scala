@@ -118,8 +118,12 @@ object TextAnalysis {
     val dupFrac = (nWords - size(array_distinct(ws))).cast("double") / nWords.cast("double")
     val topBigramFrac =
       when(nBigrams > 0, maxRun.cast("double") / nBigrams.cast("double")).otherwise(0.0)
-    val alphaFrac = regexp_count(col("text"), lit("[a-z]")).cast("double") /
-      length(col("text")).cast("double")
+    // zero-length guard like top_bigram_frac's: without it Spark's divide
+    // yields NULL while DuckDB yields NaN on empty text, and downstream
+    // aggregates silently diverge between engines
+    val alphaFrac = when(length(col("text")) > 0,
+      regexp_count(col("text"), lit("[a-z]")).cast("double") /
+        length(col("text")).cast("double")).otherwise(0.0)
     withWords(docs).select(
       col("doc_id"),
       nWords.as("n_words"),

@@ -211,13 +211,16 @@ class OperatorsSpec extends AnyFunSuite {
       // 21 distinct 5-letter words: dup 0, every bigram unique (top 1/20 =
       // 0.05), alpha = 105/125 = 0.84 (spaces count against the ratio)
       (1L, ('a' to 'u').map(c => s"word$c").mkString(" "), "en", "s"),
-      (2L, "tiny", "en", "s") // 1 word, no bigrams
+      (2L, "tiny", "en", "s"), // 1 word, no bigrams
+      (3L, "", "en", "s")      // empty text: all fracs guarded to 0, not NULL/NaN
     ).toDF("doc_id", "text", "lang", "source")
     val r = TextAnalysis.qualityRules(fixture).collect()
-      .map(x => x.getLong(0) -> ((x.getInt(1), x.getDouble(2), x.getDouble(3), x.getBoolean(5)))).toMap
-    assert(r(0L) == ((6, 4.0 / 6, 3.0 / 5, false))) // repetitive + short → drop
-    assert(r(1L) == ((21, 0.0, 1.0 / 20, true)))    // clean 21-worder → keep
-    assert(r(2L) == ((1, 0.0, 0.0, false)))         // no bigrams → frac 0, too short
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getDouble(2), x.getDouble(3),
+        x.getDouble(4), x.getBoolean(5)))).toMap
+    assert(r(0L)._1 == 6 && r(0L)._2 == 4.0 / 6 && r(0L)._3 == 3.0 / 5 && !r(0L)._5) // repetitive + short → drop
+    assert(r(1L)._1 == 21 && r(1L)._2 == 0.0 && r(1L)._3 == 1.0 / 20 && r(1L)._5)    // clean 21-worder → keep
+    assert(r(2L)._1 == 1 && r(2L)._3 == 0.0 && !r(2L)._5) // no bigrams → frac 0, too short
+    assert(r(3L)._4 == 0.0 && !r(3L)._5)                  // empty text → 0.0, never null
   }
 
   test("fingerprint is deterministic and order-sensitive") {
