@@ -127,6 +127,15 @@ class PlanSpec extends AnyFunSuite {
       "hot-gram removal must be a broadcast anti-join")
   }
 
+  test("quality rules are a pure map-side projection (no shuffle)") {
+    // the scale story of q55: top-bigram fraction folds over the sorted
+    // per-doc hash array, so there is no per-(doc, bigram) aggregation
+    // shuffle — the whole operator is one projection over the scan
+    val p = plan("q55_quality_rules")
+    assert(!p.contains("Exchange"), "qualityRules must not shuffle")
+    assert(!p.contains("Window ["), "qualityRules must not use WindowExec")
+  }
+
   test("lsh dedup pipeline verifies candidates without a gram self-join") {
     // q46's returned frame is a post-checkpoint leaf (connected components
     // executes during construction) — assert the candidate+verify stage's

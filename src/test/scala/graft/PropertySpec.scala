@@ -129,4 +129,31 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("quality rules match an independent Scala reference on random word soups") {
+    // small vocab forces heavy repetition — the regime the sorted-hash
+    // longest-run fold must count exactly (ties, runs at array ends,
+    // single-word docs with no bigrams)
+    val docsGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, 12)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 30)
+        ws <- Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd"))
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAll(docsGen) { docs =>
+      val df = docs.map { case (id, t) => (id, t, "en", "s") }
+        .toDF("doc_id", "text", "lang", "source")
+      val got = operators.TextAnalysis.qualityRules(df).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+      docs.foreach { case (id, text) =>
+        val ws = text.split(" ").toSeq
+        val bgs = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        val expTop = if (bgs.isEmpty) 0.0
+          else bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size
+        val expDup = (ws.size - ws.distinct.size).toDouble / ws.size
+        assert(got(id) == ((ws.size, expDup, expTop)), s"doc '$text'")
+      }
+    }
+  }
 }
