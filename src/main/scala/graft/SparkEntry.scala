@@ -281,6 +281,24 @@ object SparkEntry {
     "q26_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), queryIds = (0L until 10L), k = 5, numPlanes = 6)),
 
+    // int8 quantization, checked through positional CHECKSUMS of the code
+    // array (sum, abs-sum, max, position-weighted sum) — scalar columns
+    // because the gate's pandas compare sorts by every output column and
+    // list cells don't sort; the weighted sum pins element ORDER, so any
+    // divergence in any code at any position is a hash mismatch
+    "q56_embed_quantize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Similarity.quantizeInt8(Tables.embeddings(s, dir)).select(
+        col("vec_id"),
+        round(col("q_scale"), 6).as("q_scale"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c.cast("long")).as("sum_codes"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + abs(c.cast("long"))).as("sum_abs"),
+        array_max(col("codes")).cast("int").as("max_code"),
+        aggregate(zip_with(col("codes"), sequence(lit(1), size(col("codes"))),
+          (c, i) => c.cast("long") * i.cast("long")), lit(0L), (a, x) => a + x)
+          .as("pos_checksum"))
+    }),
+
     // IVF cell-probe ANN (rows-only: recall < 1 by construction, like q26)
     "q50_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), queryIds = (0L until 10L), k = 5,
@@ -569,6 +587,21 @@ object SparkEntry {
           |round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
+
+      "q56_embed_quantize" ->
+        """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          |s AS (SELECT vec_id, e,
+          |      CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+          |           THEN 127.0 / list_max(list_transform(e, x -> abs(x)))
+          |           ELSE 0.0 END AS q_scale FROM v),
+          |c AS (SELECT vec_id, q_scale,
+          |      list_transform(e, x -> CAST(floor(x * q_scale + 0.5) AS BIGINT)) AS codes FROM s)
+          |SELECT vec_id, round(q_scale, 6) AS q_scale,
+          |CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+          |CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS sum_abs,
+          |CAST(list_max(codes) AS INT) AS max_code,
+          |CAST(list_sum(list_transform(range(1, len(codes) + 1), i -> codes[i] * i)) AS BIGINT) AS pos_checksum
+          |FROM c""".stripMargin,
 
       "q25_ann_topk" ->
         """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

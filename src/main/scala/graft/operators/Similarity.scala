@@ -256,6 +256,37 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos_sim"), col("rnk"))
   }
 
+  /** Symmetric per-vector int8 quantization — the storage-compression stage
+    * of an embedding pipeline (4× smaller than float32 at rest; the codes
+    * column writes as `array<tinyint>`): scale = 127 / max|x_i|, code_i =
+    * floor(x_i·scale + 0.5). floor(x+0.5) rather than a round() builtin
+    * because its result is engine-portable — SQL round() half-away vs
+    * banker's rounding would diverge on exact .5 boundaries. An all-zero
+    * vector quantizes to scale 0 / all-zero codes. Pure map-side projection;
+    * exact double arithmetic, so a SQL oracle hash-matches. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(0.0)
+    emb.select(col("vec_id"), scale.as("q_scale"),
+      transform(v, x => floor(x * scale + 0.5).cast("byte")).as("codes"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: codes/scale (zero scale → zero vector). */
+  def dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c =>
+      when(scale > 0.0, c.cast("double") / scale).otherwise(lit(0.0)))
+
+  /** Exact brute-force top-k over the DEQUANTIZED int8 codes — the serving
+    * path after storage compression. Cosine is scale-invariant per vector,
+    * so quantization error is the only recall cost (≤ 0.4% per element at
+    * int8); OperatorsSpec pins recall vs the float baseline. */
+  def quantizedTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val deq = quantizeInt8(emb).select(col("vec_id"),
+      dequantize(col("codes"), col("q_scale")).as("embedding"))
+    bruteForceTopK(deq, queryIds, k)
+  }
+
   /** Approximate top-k through LSH buckets: candidates are corpus vectors
     * sharing the query's bucket; exact cosine reranks within the bucket.
     * Recall < 1.0 by construction — the scale path when |Q| × |corpus| is

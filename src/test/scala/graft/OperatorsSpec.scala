@@ -204,6 +204,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(4L) == "en") // all scores 0 → tie → first priority
   }
 
+  test("int8 quantization: exact codes, roundtrip error bound, top-k recall") {
+    val fx = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)) // all-zero: scale 0, zero codes
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(fx).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Byte](2)))).toMap
+    assert(q(0L)._1 == 127.0 && q(0L)._2 == Seq[Byte](127, -63, 32)) // floor(±x·127+.5)
+    assert(q(1L)._1 == 0.0 && q(1L)._2 == Seq[Byte](0, 0, 0))
+    // real corpus: dequantized cosine within int8 error of exact; top-k
+    // recall vs the float baseline pinned (deterministic)
+    val realEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = (0L until 10L)
+    val exact = Similarity.bruteForceTopK(realEmb, qids, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(realEmb, qids, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size
+    assert(recall >= 45, s"int8 top-k recall $recall/50 vs float baseline")
+    info(s"int8 top-k recall: $recall/50")
+  }
+
   test("quality rules compute exact repetition fractions and the pass flag") {
     val fixture = Seq(
       // 6 words, "a b" bigram ×3 of 5 bigrams, "a"×3 + "b"×3 → dup 4/6
