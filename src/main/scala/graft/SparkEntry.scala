@@ -318,6 +318,11 @@ object SparkEntry {
     // per-(doc, bigram) shuffle at any scale
     "q55_quality_rules" -> ((s, dir) => TextAnalysis.qualityRules(Tables.documents(s, dir))),
 
+    // sequence packing: sharded token streams cut into fixed 256-token
+    // training sequences (per-shard ACCUMULATE — no single global window)
+    "q57_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables.documents(s, dir), maxTokens = 256, shards = 8)),
+
     // ---- training-data pipeline: multimodal columns -----------------------
     "q31_multimodal_meta" -> ((s, dir) => {
       implicit val spark: SparkSession = s
@@ -587,6 +592,17 @@ object SparkEntry {
           |round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
+
+      "q57_pack_sequences" ->
+        """WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+          |           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents),
+          |s AS (SELECT doc_id, shard, n_tokens,
+          |      CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+          |           - n_tokens AS BIGINT) AS start_off FROM t)
+          |SELECT doc_id, shard, n_tokens, start_off,
+          |CAST(shard AS BIGINT) * 1000000000 + start_off // 256 AS seq_id,
+          |(start_off // 256) <> ((start_off + n_tokens - 1) // 256) AS crosses_boundary
+          |FROM s""".stripMargin,
 
       "q56_embed_quantize" ->
         """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -134,6 +134,39 @@ object TextAnalysis {
         .as("quality_pass"))
   }
 
+  /** Sequence packing — the layout stage between a filtered corpus and a
+    * pre-training dataloader: lay documents end-to-end in a token stream and
+    * cut fixed-size training sequences of `maxTokens`, reporting for each
+    * document its stream position, owning sequence, and whether it straddles
+    * a sequence boundary (the dataloader's split-or-pad decision).
+    *
+    * Scale shape: ONE global stream would serialize the cumulative sum into
+    * a single window partition — the classic bottleneck — so the corpus
+    * shards by xxhash64(doc_id) % `shards` first and each shard packs its
+    * own independent token stream (exactly how a distributed dataloader
+    * consumes shards). The per-shard running sum is the engine's ACCUMULATE
+    * shape; sequence ids are globally unique via (shard, local_seq).
+    * Round-robin sharding (doc_id % shards): deterministic, SQL-portable,
+    * and balanced for any dense id space — swap in a hash of the id when
+    * ids arrive clustered. Token count = whitespace tokens. */
+  def packSequences(docs: DataFrame, maxTokens: Int = 2048, shards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    withWords(docs).select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(shards.toLong)).cast("int").as("shard"),
+      size(col("__words")).as("n_tokens"))
+      .withColumn("start_off",
+        (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
+      .withColumn("local_seq", floor(col("start_off") / maxTokens).cast("long"))
+      .select(
+        col("doc_id"), col("shard"), col("n_tokens"), col("start_off"),
+        (col("shard").cast("long") * 1000000000L + col("local_seq")).as("seq_id"),
+        (col("local_seq") =!=
+          floor((col("start_off") + col("n_tokens") - 1) / maxTokens).cast("long"))
+          .as("crosses_boundary"))
+  }
+
   /** Per-word numeric code used by the rolling fingerprint: cheap,
     * deterministic, reproducible in plain SQL (length + first char code). */
   private def wordCode(w: Column): Column =

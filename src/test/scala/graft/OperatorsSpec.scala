@@ -204,6 +204,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(4L) == "en") // all scores 0 → tie → first priority
   }
 
+  test("sequence packing: per-shard streams, exact offsets, boundary flags") {
+    // one shard (ids 0,2,4 → shard 0 at shards=2; 1,3 → shard 1); docs of
+    // 3/4/2 words in shard 0 pack at offsets 0,3,7; maxTokens=5 puts doc 2
+    // astride the 5-token boundary (3..6) and doc 4 in sequence 1 (7..8)
+    val fx = Seq(
+      (0L, "a b c", "en", "s"), (1L, "x y z w v u", "en", "s"),
+      (2L, "d e f g", "en", "s"), (3L, "p q", "en", "s"),
+      (4L, "h i", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.packSequences(fx, maxTokens = 5, shards = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getLong(3), x.getLong(4), x.getBoolean(5))))
+      .toMap
+    assert(r(0L) == ((0, 3, 0L, 0L, false)))
+    assert(r(2L) == ((0, 4, 3L, 0L, true)))  // tokens 3..6 straddle offset 5
+    assert(r(4L) == ((0, 2, 7L, 1L, false))) // second sequence of shard 0
+    assert(r(1L) == ((1, 6, 0L, 1000000000L, true)))  // 6 > 5 tokens: must split
+    assert(r(3L) == ((1, 2, 6L, 1000000001L, false)))
+  }
+
   test("int8 quantization: exact codes, roundtrip error bound, top-k recall") {
     val fx = Seq(
       (0L, Array(1.0f, -0.5f, 0.25f)),
