@@ -467,6 +467,24 @@ object SparkEntry {
         n = 3, threshold = 0.9)
     }),
 
+    // eval-decontamination screen: corpus docs vs a pseudo-benchmark slice
+    // (doc_id % 17 == 0) — broadcast benchmark gram set, map-side fraction
+    "q58_contamination" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val all = Tables.documents(s, dir)
+      Dedup.contamination(
+        all.filter(col("doc_id") % 17 =!= 0),
+        all.filter(col("doc_id") % 17 === 0), n = 3)
+    }),
+
+    // source-mixture downsampling to a 50/30/20 composition over three
+    // sources; most-constrained source keeps everything, others downsample
+    // by deterministic md5 bucket
+    "q59_mix_sources" -> ((s, dir) =>
+      operators.Sampling.mixSources(
+        Tables.documents(s, dir).select("doc_id", "source"),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
+
     // deterministic sampling / splitting for training pipelines
     "q39_stratified_sample" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -823,6 +841,32 @@ object SparkEntry {
           |       CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) AS jaccard
           |FROM p JOIN c c1 ON doc1 = c1.doc_id JOIN c c2 ON doc2 = c2.doc_id
           |WHERE CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) >= 0.9""".stripMargin,
+
+      "q58_contamination" ->
+        """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+          |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+          |cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+          |cg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          |       FROM cw, UNNEST(range(1, len(ws)-1)) AS t(i)),
+          |bw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM bench),
+          |bg AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          |       FROM bw, UNNEST(range(1, len(ws)-1)) AS t(i))
+          |SELECT cg.doc_id, count(*) AS n_grams,
+          |CAST(sum(CASE WHEN bg.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated,
+          |CAST(sum(CASE WHEN bg.gram IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / count(*) AS contamination
+          |FROM cg LEFT JOIN bg ON cg.gram = bg.gram
+          |GROUP BY cg.doc_id""".stripMargin,
+
+      "q59_mix_sources" ->
+        """WITH wts(source, w) AS (VALUES ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE), ('src2', 0.2::DOUBLE)),
+          |d AS (SELECT doc_id, documents.source, w FROM documents JOIN wts USING (source)),
+          |c AS (SELECT source, w, count(*) AS n FROM d GROUP BY 1, 2),
+          |t AS (SELECT min(n / w) AS t_total FROM c),
+          |thr AS (SELECT source, CAST(floor(t_total * w / n * 65536) AS BIGINT) AS thr
+          |        FROM c CROSS JOIN t)
+          |SELECT doc_id, d.source
+          |FROM d JOIN thr ON d.source = thr.source
+          |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT < thr""".stripMargin,
 
       "q39_stratified_sample" ->
         """WITH r AS (SELECT doc_id, lang,

@@ -106,6 +106,28 @@ object Dedup {
       .select("doc1", "doc2", "n_common", "jaccard")
   }
 
+  /** Benchmark-contamination screen: for every corpus document, the fraction
+    * of its n-grams that appear anywhere in the `bench` set — the standard
+    * eval-decontamination signal (a training doc overlapping an eval set
+    * inflates benchmark scores; docs above a contamination threshold get
+    * dropped before training).
+    *
+    * 100 TB shape: the benchmark side is tiny relative to the corpus, so its
+    * DISTINCT gram set broadcasts and the whole screen is a map-side
+    * left join + per-doc aggregation — the corpus shuffles only (doc_id,
+    * counts), never grams or text across the cluster. */
+  def contamination(docs: DataFrame, bench: DataFrame, n: Int = 3): DataFrame = {
+    val benchGrams = broadcast(gramSet(bench, n).select("gram").distinct()
+      .withColumn("__hit", lit(1L)))
+    gramSet(docs, n)
+      .join(benchGrams, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** MinHash signatures: for each of `numHashes` seeds, the minimum
     * xxhash64(seed, gram) over the document's n-gram set. Computed as a
     * map-side fold over the gram array — no explode, no extra shuffle;

@@ -42,4 +42,36 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Source-mixture downsampling — hit a target domain composition (e.g.
+    * 50% web / 30% books / 20% code) without upsampling: the most
+    * weight-constrained source keeps ALL its rows and every other source
+    * downsamples proportionally, giving the largest corpus with exactly the
+    * requested mixture. keep_s = T·w_s / n_s with T = min_s(n_s / w_s),
+    * applied as an md5-bucket threshold quantized to 1/65536 — the
+    * deterministic/portable coin every sampler here uses. Sources absent
+    * from `weights` (weight 0) drop entirely.
+    *
+    * Scale shape: one tiny groupBy for the per-source counts, thresholds
+    * broadcast back, then a map-side filter — the corpus itself shuffles
+    * nothing. Threshold arithmetic is plain double division/floor in-frame,
+    * so the SQL oracle reproduces it bit-for-bit. */
+  def mixSources(df: DataFrame, weights: Map[String, Double],
+      sourceCol: String = "source", key: Column = col("doc_id")): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixSources needs at least one source with positive weight")
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (s, wt)) =>
+      when(col(sourceCol) === s, wt).otherwise(acc)
+    }
+    val weighted = df.withColumn("__w", w).filter(col("__w") > 0)
+    val counts = weighted.groupBy(sourceCol, "__w").agg(count(lit(1)).as("__n"))
+    val total = counts.agg(min(col("__n") / col("__w")).as("__t"))
+    val thresholds = counts.crossJoin(broadcast(total))
+      .withColumn("__thr",
+        floor(col("__t") * col("__w") / col("__n") * 65536).cast("long"))
+      .select(col(sourceCol), col("__thr"))
+    weighted.join(broadcast(thresholds), sourceCol)
+      .filter(hashBucket16(key).cast("long") < col("__thr"))
+      .drop("__w", "__thr")
+  }
 }

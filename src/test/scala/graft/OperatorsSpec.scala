@@ -204,6 +204,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(4L) == "en") // all scores 0 → tie → first priority
   }
 
+  test("contamination reports the exact overlapping-gram fraction per doc") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog", "en", "s"), // shares grams with bench doc 1
+      (11L, "completely different words appear here only today", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val bench = Seq(
+      (1L, "the quick brown fox runs", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = Dedup.contamination(corpus, bench, n = 3).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // doc 10 has 7 distinct grams; bench grams = {the quick brown, quick
+    // brown fox, brown fox runs} → hits: "the quick brown", "quick brown fox"
+    assert(r(10L) == ((7L, 2L)))
+    assert(r(11L) == ((5L, 0L)))
+  }
+
+  test("mixSources hits the target composition without upsampling") {
+    import org.apache.spark.sql.functions._
+    // 40 a-rows, 10 b-rows, weights 50/50 → b is the constrained source:
+    // keeps all 10, a downsamples toward 10 by md5 bucket (quantized)
+    val df = ((0 until 40).map(i => (i.toLong, "a")) ++
+      (100 until 110).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    val kept = Sampling.mixSources(df, Map("a" -> 0.5, "b" -> 0.5))
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("b") == 10L, "constrained source keeps every row")
+    // md5 buckets are uniform but finite — allow sampling noise around 10
+    assert(kept("a") >= 5L && kept("a") <= 15L, s"got ${kept("a")}")
+    // a source with no weight drops entirely
+    val dropped = Sampling.mixSources(df, Map("a" -> 1.0))
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(dropped == Set("a"))
+  }
+
   test("sequence packing: per-shard streams, exact offsets, boundary flags") {
     // one shard (ids 0,2,4 → shard 0 at shards=2; 1,3 → shard 1); docs of
     // 3/4/2 words in shard 0 pack at offsets 0,3,7; maxTokens=5 puts doc 2
