@@ -51,10 +51,15 @@ object SqlEmitter {
       // frame is a compile error), and they evaluate over the WHOLE
       // partition — a documented semantic divergence from the engine's
       // running-frame DISCRETE_PERCENTILE when an order clause is present.
-      val partitionOnly = dialect == Dialect.BigQuery && (agg.fn match {
-        case WindowFn.Median | WindowFn.ContinuousPercentile | WindowFn.DiscretePercentile => true
+      // Spark's percentile_disc (WITHIN GROUP form) carries the SAME
+      // restriction — INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC on any OVER
+      // order/frame — so its emission is partition-only too.
+      val partitionOnly = agg.fn match {
+        case WindowFn.Median | WindowFn.ContinuousPercentile | WindowFn.DiscretePercentile
+          if dialect == Dialect.BigQuery => true
+        case WindowFn.DiscretePercentile if dialect == Dialect.Spark => true
         case _ => false
-      })
+      }
       val base = s"${aggregateSql(agg, dialect)} ${overClause(spec, dialect, partitionOnly)}"
       outputCast(agg, schema, dialect).fold(base)(t => s"CAST($base AS $t)") + s" AS ${agg.alias}"
     }
@@ -91,6 +96,11 @@ object SqlEmitter {
     agg.fn match {
       case WindowFn.PercentRank => Some(typeName(FloatType))
       case WindowFn.Accumulate  => schema.fields.find(_.name == agg.field).map(f => typeName(f.dataType))
+      // declared output = input type; Spark's percentile_disc and a SQL
+      // engine's widened aggregate need the pin (BigQuery keeps the
+      // reference template verbatim, uncast)
+      case WindowFn.DiscretePercentile if dialect != Dialect.BigQuery =>
+        schema.fields.find(_.name == agg.field).map(f => typeName(f.dataType))
       // DuckDB's rank family returns BIGINT; the engine declares INT
       // (reference Function enum) — surfaced as an explicit cast so the
       // oracle's dtype matches the engine's
@@ -166,9 +176,9 @@ object SqlEmitter {
         // DuckDB's quantile_disc picks the same cume_dist>=p element as the
         // engine's DiscretePercentileAgg, including over running frames
         case DuckDb => s"quantile_disc($col, $arg0)"
-        case Spark => throw new UnsupportedOperationException(
-          "DISCRETE_PERCENTILE has no Spark SQL surface — the engine runs it " +
-            "natively (DiscretePercentileAgg); emit BigQuery dialect for pushdown")
+        // whole-partition only (see partitionOnly above); the engine's
+        // running-frame form still needs the native DiscretePercentileAgg
+        case Spark => s"PERCENTILE_DISC($arg0) WITHIN GROUP (ORDER BY $col)"
       }
       case WindowFn.Lead => s"LEAD($col, $arg0)"
       case WindowFn.Lag  => s"LAG($col, $arg0)"

@@ -176,11 +176,20 @@ class SqlEmitterSpec extends AnyFunSuite {
     assert(sql.contains("FIRST_VALUE(v IGNORE NULLS)"))
   }
 
-  test("Spark dialect refuses DISCRETE_PERCENTILE (engine-native only)") {
-    val spec = WindowQuerySpec(Seq("k"), Seq(OrderSpec("ord")),
+  test("Spark dialect emits DISCRETE_PERCENTILE with the BigQuery navigation semantics") {
+    // Spark's percentile_disc carries the same navigation-function OVER
+    // restriction as BigQuery's (ORDER BY/frame in the window spec is
+    // INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so BOTH pushdown dialects
+    // drop the spec's order from the OVER and evaluate whole-partition —
+    // the documented divergence from the engine's running-frame
+    // DiscretePercentileAgg (which remains the execution path).
+    val spec = WindowQuerySpec(Seq("k"), Seq(OrderSpec("v")),
       aggregates = Seq(AggregateSpec("dp", WindowFn.DiscretePercentile, "v", Seq("0.5"))))
-    intercept[UnsupportedOperationException] {
-      SqlEmitter.emit(spec, "t", df.schema)
-    }
+    df.createOrReplaceTempView("t")
+    val sql = SqlEmitter.emit(spec, "t", df.schema)
+    assert(sql.contains("PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY v) OVER (PARTITION BY k)"))
+    // whole-partition disc percentile, nulls skipped: a → [10,20,30] → 20; b → [5,7] → 5
+    val rows = spark.sql(sql).collect().map(r => (r.getString(0), r.getAs[Double]("dp"))).toSet
+    assert(rows == Set(("a", 20.0), ("b", 5.0)))
   }
 }
