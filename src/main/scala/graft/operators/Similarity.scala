@@ -265,11 +265,16 @@ object Similarity {
     * vector quantizes to scale 0 / all-zero codes. Pure map-side projection;
     * exact double arithmetic, so a SQL oracle hash-matches. */
   def quantizeInt8(emb: DataFrame): DataFrame = {
-    val v = transform(col("embedding"), x => x.cast("double"))
-    val maxAbs = array_max(transform(v, x => abs(x)))
-    val scale = when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(0.0)
-    emb.select(col("vec_id"), scale.as("q_scale"),
-      transform(v, x => floor(x * scale + 0.5).cast("byte")).as("codes"))
+    // scale materializes as a COLUMN before the code lambda references it —
+    // embedded directly, the array_max subtree would re-evaluate per
+    // element (O(dim²) per row); as an attribute it's one multiply per
+    // element (same CollapseProject idiom as TextAnalysis.withWords)
+    val maxAbs = array_max(transform(col("__v"), x => abs(x)))
+    emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("__v"))
+      .select(col("vec_id"), col("__v"),
+        when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(0.0).as("q_scale"))
+      .select(col("vec_id"), col("q_scale"),
+        transform(col("__v"), x => floor(x * col("q_scale") + 0.5).cast("byte")).as("codes"))
   }
 
   /** Inverse of [[quantizeInt8]]: codes/scale (zero scale → zero vector). */

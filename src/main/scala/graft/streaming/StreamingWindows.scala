@@ -100,7 +100,8 @@ object StreamingWindows {
             state.remove()
             Iterator.empty
           } else {
-            var seen = state.getOption.map(_.seen).getOrElse(Array.empty[Long])
+            val seen = scala.collection.mutable.ArrayBuffer.from(
+              state.getOption.map(_.seen).getOrElse(Array.empty[Long]))
             var maxTs = Long.MinValue
             val out = Seq.newBuilder[CandidatePair]
             rows.toSeq.sortBy(_._1).foreach { case (docId, ts, _, _) =>
@@ -109,10 +110,10 @@ object StreamingWindows {
                 seen.foreach { other =>
                   out += CandidatePair(math.min(docId, other), math.max(docId, other))
                 }
-                seen = seen :+ docId
+                seen += docId
               }
             }
-            state.update(BandBucketState(seen))
+            state.update(BandBucketState(seen.toArray))
             if (maxTs != Long.MinValue)
               state.setTimeoutTimestamp(maxTs, watermark)
             out.result().iterator
