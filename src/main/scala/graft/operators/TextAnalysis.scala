@@ -101,9 +101,10 @@ object TextAnalysis {
     val ws = col("__words")
     // longest equal run over the sorted hashes == max bigram multiplicity
     // (64-bit hashes: collisions are negligible and the oracle's string
-    // bigrams would surface one as a hash mismatch)
-    val sortedBigrams = array_sort(
-      graft.functions.HashFunctions.word_gram_hashes(ws, 2))
+    // bigrams would surface one as a hash mismatch). Materialized as a
+    // column first — referenced twice below (fold + size), and the
+    // hash+sort pipeline must run once per row, not per reference
+    val sortedBigrams = col("__bigrams")
     val maxRun = aggregate(
       sortedBigrams,
       struct(lit(0L).as("prev"), lit(0).as("run"), lit(0).as("mx"), lit(true).as("first")),
@@ -124,7 +125,10 @@ object TextAnalysis {
     val alphaFrac = when(length(col("text")) > 0,
       regexp_count(col("text"), lit("[a-z]")).cast("double") /
         length(col("text")).cast("double")).otherwise(0.0)
-    withWords(docs).select(
+    withWords(docs)
+      .withColumn("__bigrams",
+        array_sort(graft.functions.HashFunctions.word_gram_hashes(ws, 2)))
+      .select(
       col("doc_id"),
       nWords.as("n_words"),
       dupFrac.as("dup_word_frac"),
