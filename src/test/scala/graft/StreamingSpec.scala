@@ -117,6 +117,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("mh_evict").count() == 0)
   }
 
+  test("stateless doc operators (quality rules) apply unchanged to a stream") {
+    // qualityRules is a pure projection, so the SAME operator runs at
+    // ingest with append semantics and no state store — batch parity by
+    // construction, asserted anyway
+    val docs = Seq(
+      (1L, "a b a b a b", "en", "s"),
+      (2L, ('a' to 'u').map(c => s"word$c").mkString(" "), "en", "s"))
+    val stream = MemoryStream[(Long, String, String, String)](spark)
+    stream.addData(docs: _*)
+    val q = graft.operators.TextAnalysis.qualityRules(
+      stream.toDF().toDF("doc_id", "text", "lang", "source"))
+      .writeStream.format("memory").queryName("stream_quality").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("stream_quality").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    val batched = graft.operators.TextAnalysis.qualityRules(
+      docs.toDF("doc_id", "text", "lang", "source")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(streamed == batched && streamed == Map(1L -> false, 2L -> true))
+  }
+
   test("threshold alerts fire once per user at the crossing event") {
     val stream = MemoryStream[UserEvent](spark)
     stream.addData(
