@@ -32,4 +32,16 @@ object Bucketed {
 
   /** Read a bucketed table back (the layout travels via the catalog). */
   def readBucketed(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Hive-style partitioned parquet layout (`path/col=value/...`) — the
+    * other write-time layout lever: a filter on the partition column prunes
+    * whole directories at PLANNING time (`PartitionFilters` in the scan,
+    * zero I/O for excluded partitions), where bucketing co-locates join
+    * keys WITHIN files. Partition by low-cardinality selection columns
+    * (language, date, source); high-cardinality keys belong in bucketing —
+    * a directory per key would drown the filesystem in small files. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "partitioned write needs at least one partition column")
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
 }

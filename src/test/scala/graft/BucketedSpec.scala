@@ -12,6 +12,20 @@ class BucketedSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("partitioned layout prunes non-matching partitions at planning time") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val path = "/tmp/graft_part_docs"
+    Bucketed.writePartitioned(docs, path, Seq("lang"))
+    val filtered = spark.read.parquet(path).filter(col("lang") === "en")
+    val p = filtered.queryExecution.executedPlan.toString
+    // the lang predicate must land in PartitionFilters (directory pruning,
+    // zero I/O for other languages), not in PushedFilters/post-scan Filter
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(p).isDefined, p.linesIterator.filter(_.contains("Filters")).mkString("\n"))
+    val expected = docs.filter(col("lang") === "en").count()
+    assert(filtered.count() == expected && expected > 0)
+  }
+
   test("join of two tables bucketed on the key plans without any Exchange") {
     val dir = "/root/testdata/sf0.001"
     val o = spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_totalprice")
