@@ -618,7 +618,7 @@ object SparkEntry {
           |      CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
           |           - n_tokens AS BIGINT) AS start_off FROM t)
           |SELECT doc_id, shard, n_tokens, start_off,
-          |CAST(shard AS BIGINT) * 1000000000 + start_off // 256 AS seq_id,
+          |CAST(shard AS BIGINT) * 281474976710656 + start_off // 256 AS seq_id,
           |(start_off // 256) <> ((start_off + n_tokens - 1) // 256) AS crosses_boundary
           |FROM s""".stripMargin,
 
@@ -696,8 +696,9 @@ object SparkEntry {
           |  CAST(len(ws) AS INT) AS n_words,
           |  CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_frac,
           |  COALESCE(CAST(mx AS DOUBLE) / total, 0.0) AS top_bigram_frac,
-          |  CASE WHEN length(text) = 0 THEN 0.0
-          |       ELSE CAST(len(regexp_extract_all(text, '[a-z]')) AS DOUBLE) / length(text)
+          |  CASE WHEN length(text) > 0
+          |       THEN CAST(len(regexp_extract_all(text, '[a-z]')) AS DOUBLE) / length(text)
+          |       ELSE 0.0
           |  END AS alpha_frac
           |  FROM w LEFT JOIN bc ON w.doc_id = bc.doc_id)
           |SELECT doc_id, n_words, dup_word_frac, top_bigram_frac, alpha_frac,
@@ -862,7 +863,7 @@ object SparkEntry {
           |d AS (SELECT doc_id, documents.source, w FROM documents JOIN wts USING (source)),
           |c AS (SELECT source, w, count(*) AS n FROM d GROUP BY 1, 2),
           |t AS (SELECT min(n / w) AS t_total FROM c),
-          |thr AS (SELECT source, CAST(floor(t_total * w / n * 65536) AS BIGINT) AS thr
+          |thr AS (SELECT source, CAST(ceil(t_total * w / n * 65536) AS BIGINT) AS thr
           |        FROM c CROSS JOIN t)
           |SELECT doc_id, d.source
           |FROM d JOIN thr ON d.source = thr.source

@@ -48,9 +48,12 @@ object Sampling {
     * weight-constrained source keeps ALL its rows and every other source
     * downsamples proportionally, giving the largest corpus with exactly the
     * requested mixture. keep_s = T·w_s / n_s with T = min_s(n_s / w_s),
-    * applied as an md5-bucket threshold quantized to 1/65536 — the
-    * deterministic/portable coin every sampler here uses. Sources absent
-    * from `weights` (weight 0) drop entirely.
+    * applied as an md5-bucket threshold quantized UP to 1/65536 (ceil, not
+    * floor: for the constrained source the exact keep fraction is 1.0 but
+    * the FP round-trip (n/w)·w/n can land a hair below it, and flooring
+    * would shave bucket-65535 rows off the source that must keep
+    * everything) — the deterministic/portable coin every sampler here uses.
+    * Sources absent from `weights` (weight 0) drop entirely.
     *
     * Scale shape: one tiny groupBy for the per-source counts, thresholds
     * broadcast back, then a map-side filter — the corpus itself shuffles
@@ -68,7 +71,7 @@ object Sampling {
     val total = counts.agg(min(col("__n") / col("__w")).as("__t"))
     val thresholds = counts.crossJoin(broadcast(total))
       .withColumn("__thr",
-        floor(col("__t") * col("__w") / col("__n") * 65536).cast("long"))
+        ceil(col("__t") * col("__w") / col("__n") * 65536).cast("long"))
       .select(col(sourceCol), col("__thr"))
     weighted.join(broadcast(thresholds), sourceCol)
       .filter(hashBucket16(key).cast("long") < col("__thr"))

@@ -125,17 +125,22 @@ object TextAnalysis {
     val alphaFrac = when(length(col("text")) > 0,
       regexp_count(col("text"), lit("[a-z]")).cast("double") /
         length(col("text")).cast("double")).otherwise(0.0)
+    // quality_pass reads the ALIASED frac columns from a second projection —
+    // inlining the raw expressions into the conjunction would evaluate the
+    // run fold / array_distinct / regexp twice per row (multi-referenced
+    // non-cheap aliases survive CollapseProject, same idiom as withWords)
     withWords(docs)
       .withColumn("__bigrams",
         array_sort(graft.functions.HashFunctions.word_gram_hashes(ws, 2)))
       .select(
-      col("doc_id"),
-      nWords.as("n_words"),
-      dupFrac.as("dup_word_frac"),
-      topBigramFrac.as("top_bigram_frac"),
-      alphaFrac.as("alpha_frac"),
-      (nWords >= 20 && dupFrac <= 0.6 && topBigramFrac <= 0.1 && alphaFrac >= 0.8)
-        .as("quality_pass"))
+        col("doc_id"),
+        nWords.as("n_words"),
+        dupFrac.as("dup_word_frac"),
+        topBigramFrac.as("top_bigram_frac"),
+        alphaFrac.as("alpha_frac"))
+      .withColumn("quality_pass",
+        col("n_words") >= 20 && col("dup_word_frac") <= 0.6 &&
+          col("top_bigram_frac") <= 0.1 && col("alpha_frac") >= 0.8)
   }
 
   /** Sequence packing — the layout stage between a filtered corpus and a
@@ -146,13 +151,14 @@ object TextAnalysis {
     *
     * Scale shape: ONE global stream would serialize the cumulative sum into
     * a single window partition — the classic bottleneck — so the corpus
-    * shards by xxhash64(doc_id) % `shards` first and each shard packs its
-    * own independent token stream (exactly how a distributed dataloader
-    * consumes shards). The per-shard running sum is the engine's ACCUMULATE
-    * shape; sequence ids are globally unique via (shard, local_seq).
-    * Round-robin sharding (doc_id % shards): deterministic, SQL-portable,
-    * and balanced for any dense id space — swap in a hash of the id when
-    * ids arrive clustered. Token count = whitespace tokens. */
+    * shards first and each shard packs its own independent token stream
+    * (exactly how a distributed dataloader consumes shards). The per-shard
+    * running sum is the engine's ACCUMULATE shape; sequence ids are
+    * globally unique via shard in the high 16 bits (2^48 local sequences
+    * per shard ≈ 7·10^16 tokens at maxTokens=256 — comfortably past any
+    * corpus). Round-robin sharding (doc_id % shards): deterministic,
+    * SQL-portable, and balanced for any dense id space — swap in a hash of
+    * the id when ids arrive clustered. Token count = whitespace tokens. */
   def packSequences(docs: DataFrame, maxTokens: Int = 2048, shards: Int = 8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
@@ -165,7 +171,7 @@ object TextAnalysis {
       .withColumn("local_seq", floor(col("start_off") / maxTokens).cast("long"))
       .select(
         col("doc_id"), col("shard"), col("n_tokens"), col("start_off"),
-        (col("shard").cast("long") * 1000000000L + col("local_seq")).as("seq_id"),
+        (col("shard").cast("long") * (1L << 48) + col("local_seq")).as("seq_id"),
         (col("local_seq") =!=
           floor((col("start_off") + col("n_tokens") - 1) / maxTokens).cast("long"))
           .as("crosses_boundary"))

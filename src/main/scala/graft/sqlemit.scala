@@ -16,7 +16,11 @@ import org.apache.spark.sql.types._
   * whose alias matches an input column REPLACES it in place, remaining
   * aggregates append. Declared output types (PERCENT_RANK → FLOAT,
   * ACCUMULATE → input type) are honored with CASTs so the emitted query is a
-  * true drop-in for the engine result.
+  * true drop-in for the engine result — with ONE documented exception: the
+  * percentile family under BigQuery, and DISCRETE_PERCENTILE under Spark,
+  * are navigation functions whose OVER admits PARTITION BY only, so an
+  * ordered spec's running frame emits as whole-partition there (the engine
+  * and the DuckDb dialect keep the running-frame semantics).
   */
 object SqlEmitter {
 

@@ -253,8 +253,8 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(0L) == ((0, 3, 0L, 0L, false)))
     assert(r(2L) == ((0, 4, 3L, 0L, true)))  // tokens 3..6 straddle offset 5
     assert(r(4L) == ((0, 2, 7L, 1L, false))) // second sequence of shard 0
-    assert(r(1L) == ((1, 6, 0L, 1000000000L, true)))  // 6 > 5 tokens: must split
-    assert(r(3L) == ((1, 2, 6L, 1000000001L, false)))
+    assert(r(1L) == ((1, 6, 0L, 1L << 48, true)))       // 6 > 5 tokens: must split
+    assert(r(3L) == ((1, 2, 6L, (1L << 48) + 1, false)))
   }
 
   test("int8 quantization: exact codes, roundtrip error bound, top-k recall") {

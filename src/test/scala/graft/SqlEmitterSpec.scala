@@ -4,8 +4,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The emitted SQL must be a drop-in for the engine: running the Spark
   * dialect through spark.sql yields the exact rows (values AND schema) of
-  * WindowEngine.run for the same spec. BigQuery dialect is pinned against
-  * the reference's pushdown templates (WindowAggregation.java:75-93). */
+  * WindowEngine.run for the same spec — except DISCRETE_PERCENTILE, where
+  * Spark shares BigQuery's navigation-function OVER restriction and both
+  * pushdown dialects document whole-partition semantics instead (pinned by
+  * its own test below). BigQuery dialect is pinned against the reference's
+  * pushdown templates (WindowAggregation.java:75-93). */
 class SqlEmitterSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
