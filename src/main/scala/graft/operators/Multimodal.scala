@@ -16,6 +16,14 @@ case class MediaMeta(
     height: Int,
     n_frames: Int)
 
+/** Pixel-level features from the REAL image decode path. */
+case class ImageFeatures(
+    doc_id: Long,
+    media_type: String,
+    width: Int,
+    height: Int,
+    mean_luma: Double)
+
 /** Output of the (stubbed) resize stage: original + fitted dimensions. */
 case class ResizedMeta(
     doc_id: Long,
@@ -30,12 +38,14 @@ case class ResizedMeta(
   *
   * The Spark-side plumbing — schema, typed Dataset encoders, partition-wise
   * batch iteration, downstream explode of per-frame rows — is real and
-  * tested. The pixel/sample decode itself is a clearly-marked deterministic
-  * STUB (`decodeStub`): this container has no image/audio codecs, so it
-  * derives fake-but-stable dimensions from the payload bytes. Swapping in a
-  * real decoder changes only that one function; everything around it (the
-  * mapPartitions boundary, the per-partition batching, the output schema)
-  * is what would ship.
+  * tested, and the IMAGE decode path is real too: [[decodeImage]] /
+  * [[extractImageMeta]] / [[imageFeatures]] run the JDK-bundled
+  * javax.imageio codecs (PNG/BMP/JPEG/GIF — no external libraries),
+  * unit-tested down to exact per-pixel means on images encoded in-process.
+  * The SYNTHETIC-corpus queries (q31/q32/q51) use the deterministic
+  * `decodeStub` instead because the testdata's payloads are utf-8 text, not
+  * encoded media; audio/video decode would need codecs this container
+  * doesn't ship and keeps the same stub boundary.
   *
   * Scale notes: decode is the textbook mapPartitions case — per-partition
   * setup cost (codec init) amortizes across the batch, payload bytes never
@@ -57,6 +67,61 @@ object Multimodal {
       width = 64 + (len % 512).toInt,
       height = 64 + ((len * 31 + lead) % 512).toInt,
       n_frames = 1 + (rec.doc_id % 8).toInt)
+  }
+
+  /** REAL image decode — `javax.imageio` ships IN the JDK (PNG, BMP, JPEG,
+    * GIF readers; zero external codec dependencies), so actual pixel decode
+    * is available even in this container. Returns None for payloads no
+    * registered reader accepts (corrupt/truncated/non-image bytes) —
+    * [[extractImageMeta]] drops those rows, the standard crawl-pipeline
+    * posture for undecodable media. The synthetic corpus queries (q31/q32/
+    * q51) keep the deterministic stub because the testdata's payloads are
+    * utf-8 text, not encoded images; this path is the one a real media
+    * table takes, unit-tested against images encoded in-process. */
+  private[operators] def decodeImage(rec: MediaRecord): Option[MediaMeta] =
+    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.payload)))
+      .map(img => MediaMeta(rec.doc_id, rec.media_type, rec.payload.length.toLong,
+        img.getWidth, img.getHeight, n_frames = 1))
+
+  /** Decode stage over REAL images: per-partition codec setup (the in-memory
+    * cache flag is JVM-global ImageIO state, set once per executor JVM —
+    * disk-backed stream caching would add a temp-file per decode), then
+    * batchwise decode; undecodable payloads drop. */
+  def extractImageMeta(records: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaMeta] = {
+    import spark.implicits._
+    records.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.flatMap(decodeImage)
+    }
+  }
+
+  /** Pixel-level feature extraction from real images: mean luminance
+    * ((r+g+b)/3 averaged over every pixel) — the smallest feature that can
+    * only come from actually decoded pixel data. Same mapPartitions
+    * boundary; payloads never shuffle. */
+  def imageFeatures(records: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    records.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.flatMap { rec =>
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.payload))).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(rec.doc_id, rec.media_type, w, h,
+            sum.toDouble / (3.0 * w * h))
+        }
+      }
+    }
   }
 
   /** documents → MediaRecord dataset: treats the utf-8 bytes of `text` as

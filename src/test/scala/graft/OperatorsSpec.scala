@@ -318,6 +318,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((224, 112)), 2L -> ((74, 224)), 3L -> ((224, 224)), 4L -> ((0, 0))))
   }
 
+  test("real image decode: JDK codecs yield exact dimensions and pixel means") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // encode REAL images in-process (ImageIO writers are JDK-bundled):
+    // an 8×4 PNG of constant RGB(30,60,90) → mean luma exactly 60, and a
+    // 5×5 BMP of constant RGB(120,120,120) → mean luma exactly 120
+    def img(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(im, fmt, bos), s"no JDK writer for $fmt")
+      bos.toByteArray
+    }
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val records = spark.createDataset(Seq(
+      MediaRecord(1L, "image/png", img(8, 4, (30 << 16) | (60 << 8) | 90, "png")),
+      MediaRecord(2L, "image/bmp", img(5, 5, (120 << 16) | (120 << 8) | 120, "bmp")),
+      MediaRecord(3L, "image/bad", Array[Byte](1, 2, 3)) // undecodable → dropped
+    ))(org.apache.spark.sql.Encoders.product[MediaRecord])
+    val meta = Multimodal.extractImageMeta(records).collect()
+      .map(m => m.doc_id -> ((m.width, m.height))).toMap
+    assert(meta == Map(1L -> ((8, 4)), 2L -> ((5, 5))))
+    val feats = Multimodal.imageFeatures(records).collect()
+      .map(f => f.doc_id -> f.mean_luma).toMap
+    assert(feats == Map(1L -> 60.0, 2L -> 120.0))
+  }
+
   test("multimodal pipeline: stub decode is deterministic, frames sample by stride") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val meta = Multimodal.extractMeta(Multimodal.asMediaRecords(docs))
