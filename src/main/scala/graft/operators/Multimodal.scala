@@ -124,6 +124,41 @@ object Multimodal {
     }
   }
 
+  /** REAL pixel resample — the pixel-level counterpart of [[resizeFit]]'s
+    * dimension math: decode with the JDK codecs, aspect-fit into
+    * `target`×`target` using the same integer floor arithmetic, redraw with
+    * bilinear interpolation (java.awt Graphics2D — still zero external
+    * dependencies), and re-encode as PNG bytes. Per-partition batch loop,
+    * payload-in/payload-out, undecodable rows drop. */
+  def resizeImages(records: Dataset[MediaRecord], target: Int = 224)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    records.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.flatMap { rec =>
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.payload))).flatMap { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          if (w <= 0 || h <= 0) None
+          else {
+            val (ow, oh) =
+              if (w >= h) (target, math.max(1, h * target / w))
+              else (math.max(1, w * target / h), target)
+            val out = new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, ow, oh, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Some(MediaRecord(rec.doc_id, rec.media_type, bos.toByteArray))
+          }
+        }
+      }
+    }
+  }
+
   /** documents → MediaRecord dataset: treats the utf-8 bytes of `text` as
     * the opaque payload (the testdata ships no true binary column; the
     * schema/encoder path is identical for real media bytes). */

@@ -343,6 +343,16 @@ class OperatorsSpec extends AnyFunSuite {
     val feats = Multimodal.imageFeatures(records).collect()
       .map(f => f.doc_id -> f.mean_luma).toMap
     assert(feats == Map(1L -> 60.0, 2L -> 120.0))
+    // real resample: aspect-fit into 16×16, re-decoded dims must match the
+    // integer-fit math, and a constant-color image stays constant through
+    // bilinear interpolation (mean luma preserved exactly)
+    val resized = Multimodal.resizeImages(records, target = 16)
+    val rdims = Multimodal.extractImageMeta(resized).collect()
+      .map(m => m.doc_id -> ((m.width, m.height))).toMap
+    assert(rdims == Map(1L -> ((16, 8)), 2L -> ((16, 16))))
+    val rluma = Multimodal.imageFeatures(resized).collect()
+      .map(f => f.doc_id -> f.mean_luma).toMap
+    assert(rluma == Map(1L -> 60.0, 2L -> 120.0))
   }
 
   test("multimodal pipeline: stub decode is deterministic, frames sample by stride") {
