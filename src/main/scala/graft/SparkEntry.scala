@@ -323,6 +323,10 @@ object SparkEntry {
     "q57_pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(Tables.documents(s, dir), maxTokens = 256, shards = 8)),
 
+    // unigram-LM quality score (CCNet-style): mean log-prob per doc under
+    // the corpus's own smoothed unigram model
+    "q60_lm_score" -> ((s, dir) => TextAnalysis.lmScore(Tables.documents(s, dir))),
+
     // ---- training-data pipeline: multimodal columns -----------------------
     "q31_multimodal_meta" -> ((s, dir) => {
       implicit val spark: SparkSession = s
@@ -621,6 +625,15 @@ object SparkEntry {
           |CAST(shard AS BIGINT) * 281474976710656 + start_off // 256 AS seq_id,
           |(start_off // 256) <> ((start_off + n_tokens - 1) // 256) AS crosses_boundary
           |FROM s""".stripMargin,
+
+      "q60_lm_score" ->
+        """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+          |t AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM c)
+          |SELECT doc_id, count(*) AS n_words,
+          |round(avg(ln((cnt + 1.0) / (total + 1.0 * vocab))), 6) AS avg_logprob
+          |FROM w JOIN c USING (word) CROSS JOIN t
+          |GROUP BY doc_id""".stripMargin,
 
       "q56_embed_quantize" ->
         """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

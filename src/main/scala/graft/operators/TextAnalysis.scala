@@ -177,6 +177,31 @@ object TextAnalysis {
           .as("crosses_boundary"))
   }
 
+  /** Statistical language-model quality score (CCNet-style): each document's
+    * mean log-probability under an add-α-smoothed unigram model trained on
+    * the corpus itself — wildly out-of-distribution documents (wrong
+    * language, binary junk, boilerplate with rare tokens) score low and get
+    * filtered. The classic cheap proxy for "looks like the corpus" used
+    * before perplexity models enter the pipeline.
+    *
+    * Scale shape: one groupBy(word) builds the model (vocabulary table, far
+    * smaller than the corpus), one scalar aggregate for (total, vocab) —
+    * broadcast — and one equi-join word→count feeds the per-doc average:
+    * every stage is the shape a 100 TB corpus wants. The score rounds to 6
+    * decimals before compare/filter — log() is transcendental and engines
+    * may differ in the last ulp (same policy as the cosine operators). */
+  def lmScore(docs: DataFrame, alpha: Double = 1.0): DataFrame = {
+    val words = withWords(docs).select(col("doc_id"), explode(col("__words")).as("word"))
+    val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").as("total"), count(lit(1)).as("vocab"))
+    words.join(counts, "word").crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        round(avg(log((col("cnt") + alpha) / (col("total") + col("vocab") * alpha))), 6)
+          .as("avg_logprob"))
+  }
+
   /** Per-word numeric code used by the rolling fingerprint: cheap,
     * deterministic, reproducible in plain SQL (length + first char code). */
   private def wordCode(w: Column): Column =

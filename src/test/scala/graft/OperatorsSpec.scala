@@ -238,6 +238,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dropped == Set("a"))
   }
 
+  test("lm score: hand-computed unigram log-probs, rare-word docs score lower") {
+    // corpus: "a" ×3, "b" ×1 → total 4, vocab 2; smoothed p(a) = 4/6,
+    // p(b) = 2/6 (add-1)
+    val fx = Seq(
+      (0L, "a a", "en", "s"), (1L, "a b", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.lmScore(fx).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    def rd(x: Double) = math.round(x * 1e6) / 1e6
+    assert(r(0L) == ((2L, rd(math.log(4.0 / 6)))))
+    assert(r(1L) == ((2L, rd((math.log(4.0 / 6) + math.log(2.0 / 6)) / 2))))
+    assert(r(1L)._2 < r(0L)._2, "the rare-word doc must score lower")
+  }
+
   test("sequence packing: per-shard streams, exact offsets, boundary flags") {
     // one shard (ids 0,2,4 → shard 0 at shards=2; 1,3 → shard 1); docs of
     // 3/4/2 words in shard 0 pack at offsets 0,3,7; maxTokens=5 puts doc 2
