@@ -327,6 +327,29 @@ object SparkEntry {
     // the corpus's own smoothed unigram model
     "q60_lm_score" -> ((s, dir) => TextAnalysis.lmScore(Tables.documents(s, dir))),
 
+    // THE CAPSTONE: the five-stage training-data pipeline end to end —
+    // quality filter → LSH dedup (keep cluster canonicals) → eval
+    // decontamination → sequence packing — every stage an operator verified
+    // alone by its own query, composed here and verified AS A WHOLE against
+    // one five-stage DuckDB oracle. What a user actually runs.
+    "q61_pipeline_e2e" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val base = Tables.documents(s, dir)
+      val bench = base.filter(col("doc_id") % 17 === 0)
+      val pool = TextAnalysis.qualityRules(base.filter(col("doc_id") % 17 =!= 0))
+        .filter(col("quality_pass")).select("doc_id")
+        .join(base, "doc_id")
+      val dupDrops = Dedup.lshDedupClusters(pool, n = 3, numHashes = 16, bands = 16,
+        threshold = 0.5)
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      val deduped = pool.join(dupDrops, Seq("doc_id"), "left_anti")
+      val clean = deduped.join(
+        Dedup.contamination(deduped, bench, n = 3)
+          .filter(col("contamination") < 0.3).select("doc_id"),
+        Seq("doc_id"))
+      TextAnalysis.packSequences(clean, maxTokens = 256, shards = 8)
+    }),
+
     // ---- training-data pipeline: multimodal columns -----------------------
     "q31_multimodal_meta" -> ((s, dir) => {
       implicit val spark: SparkSession = s
@@ -625,6 +648,60 @@ object SparkEntry {
           |CAST(shard AS BIGINT) * 281474976710656 + start_off // 256 AS seq_id,
           |(start_off // 256) <> ((start_off + n_tokens - 1) // 256) AS crosses_boundary
           |FROM s""".stripMargin,
+
+      // the five-stage pipeline as ONE query: quality CTEs (q55 logic over
+      // the non-bench slice) → exact-Jaccard clusters via recursive CTE
+      // (q46 logic; LSH completeness on this subset is the probe-verified
+      // q46 property) → keep cluster canonicals → contamination vs bench
+      // grams (q58 logic) → packing windows (q57 logic)
+      "q61_pipeline_e2e" ->
+        """WITH RECURSIVE
+          |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+          |w0 AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+          |       WHERE doc_id % 17 <> 0),
+          |b0 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM w0, UNNEST(range(1, len(ws))) t(i)),
+          |bc0 AS (SELECT doc_id, max(c) AS mx, sum(c) AS total
+          |        FROM (SELECT doc_id, bg, count(*) AS c FROM b0 GROUP BY 1, 2) GROUP BY doc_id),
+          |qual AS (SELECT w0.doc_id, text, ws FROM w0 LEFT JOIN bc0 ON w0.doc_id = bc0.doc_id
+          |  WHERE len(ws) >= 20
+          |    AND CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws) <= 0.6
+          |    AND COALESCE(CAST(mx AS DOUBLE) / total, 0.0) <= 0.1
+          |    AND CASE WHEN length(text) > 0
+          |             THEN CAST(len(regexp_extract_all(text, '[a-z]')) AS DOUBLE) / length(text)
+          |             ELSE 0.0 END >= 0.8),
+          |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          |      FROM qual, UNNEST(range(1, len(ws)-1)) AS t(i)),
+          |c AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+          |p AS (SELECT g1.doc_id AS doc1, g2.doc_id AS doc2, count(*) AS n_common
+          |      FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+          |      GROUP BY 1, 2),
+          |pairs AS (SELECT doc1, doc2 FROM p JOIN c c1 ON doc1 = c1.doc_id JOIN c c2 ON doc2 = c2.doc_id
+          |          WHERE CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) >= 0.5),
+          |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+          |          UNION SELECT doc2, doc1 FROM pairs),
+          |reach AS (SELECT src AS node, src AS lab FROM edges
+          |          UNION SELECT e.src, r.lab FROM reach r JOIN edges e ON e.dst = r.node),
+          |clus AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+          |surv AS (SELECT qual.doc_id, qual.ws FROM qual LEFT JOIN clus ON qual.doc_id = clus.doc_id
+          |         WHERE clus.doc_id IS NULL OR clus.cluster_id = qual.doc_id),
+          |bw AS (SELECT string_split(text, ' ') AS ws FROM bench),
+          |bg AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          |       FROM bw, UNNEST(range(1, len(ws)-1)) AS t(i)),
+          |cont AS (SELECT g.doc_id,
+          |         CAST(sum(CASE WHEN bg.gram IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / count(*) AS frac
+          |         FROM g JOIN surv ON g.doc_id = surv.doc_id
+          |         LEFT JOIN bg ON g.gram = bg.gram GROUP BY g.doc_id),
+          |keep AS (SELECT surv.doc_id, surv.ws FROM surv JOIN cont ON surv.doc_id = cont.doc_id
+          |         WHERE frac < 0.3),
+          |t2 AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+          |       CAST(len(ws) AS INT) AS n_tokens FROM keep),
+          |s2 AS (SELECT doc_id, shard, n_tokens,
+          |       CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+          |            - n_tokens AS BIGINT) AS start_off FROM t2)
+          |SELECT doc_id, shard, n_tokens, start_off,
+          |CAST(shard AS BIGINT) * 281474976710656 + start_off // 256 AS seq_id,
+          |(start_off // 256) <> ((start_off + n_tokens - 1) // 256) AS crosses_boundary
+          |FROM s2""".stripMargin,
 
       "q60_lm_score" ->
         """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
