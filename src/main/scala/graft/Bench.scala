@@ -26,7 +26,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val heavyTail = Seq(
     "q21_dedup_ngram_jaccard", "q41_dedup_clusters", "q46_dedup_lsh_clusters",
-    "q47_embed_neardup_lsh", "q52_embed_neardup_lsh_prod", "q53_dedup_minhash_prod")
+    "q47_embed_neardup_lsh", "q52_embed_neardup_lsh_prod", "q53_dedup_minhash_prod",
+    "q61_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
