@@ -336,13 +336,18 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       val base = Tables.documents(s, dir)
       val bench = base.filter(col("doc_id") % 17 === 0)
+      // each stage's output feeds 2-3 downstream consumers (the LSH dedup
+      // stage even executes eagerly inside connectedComponents) — cache the
+      // stage boundaries so the quality regexp/fold work runs once, not per
+      // consumer; blocks are (doc_id, text)-sized and live to LRU, the same
+      // posture as the guarded-Jaccard path
       val pool = TextAnalysis.qualityRules(base.filter(col("doc_id") % 17 =!= 0))
         .filter(col("quality_pass")).select("doc_id")
-        .join(base, "doc_id")
+        .join(base, "doc_id").cache()
       val dupDrops = Dedup.lshDedupClusters(pool, n = 3, numHashes = 16, bands = 16,
         threshold = 0.5)
         .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-      val deduped = pool.join(dupDrops, Seq("doc_id"), "left_anti")
+      val deduped = pool.join(dupDrops, Seq("doc_id"), "left_anti").cache()
       val clean = deduped.join(
         Dedup.contamination(deduped, bench, n = 3)
           .filter(col("contamination") < 0.3).select("doc_id"),
@@ -705,11 +710,12 @@ object SparkEntry {
 
       "q60_lm_score" ->
         """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-          |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+          |dw AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+          |c AS (SELECT word, sum(n) AS cnt FROM dw GROUP BY word),
           |t AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM c)
-          |SELECT doc_id, count(*) AS n_words,
-          |round(avg(ln((cnt + 1.0) / (total + 1.0 * vocab))), 6) AS avg_logprob
-          |FROM w JOIN c USING (word) CROSS JOIN t
+          |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+          |round(sum(n * ln((cnt + 1.0) / (total + 1.0 * vocab))) / sum(n), 6) AS avg_logprob
+          |FROM dw JOIN c USING (word) CROSS JOIN t
           |GROUP BY doc_id""".stripMargin,
 
       "q56_embed_quantize" ->

@@ -78,21 +78,31 @@ object Multimodal {
     * q51) keep the deterministic stub because the testdata's payloads are
     * utf-8 text, not encoded images; this path is the one a real media
     * table takes, unit-tested against images encoded in-process. */
+  /** The ONE decode boundary every real-image stage goes through: in-memory
+    * stream (the cache flag is JVM-global ImageIO state; disk-backed stream
+    * caching would add a temp-file per decode), and BOTH undecodable
+    * outcomes map to None — `read` returns null when no registered reader
+    * claims the bytes, and THROWS (IIOException et al.) when a reader
+    * claims a recognized signature but the data is truncated/corrupt. A
+    * crawl corpus contains plenty of the second kind; a throw here would
+    * kill the task instead of dropping the row. */
+  private[operators] def decodeBuffered(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    } catch { case _: Exception => None }
+
   private[operators] def decodeImage(rec: MediaRecord): Option[MediaMeta] =
-    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.payload)))
+    decodeBuffered(rec.payload)
       .map(img => MediaMeta(rec.doc_id, rec.media_type, rec.payload.length.toLong,
         img.getWidth, img.getHeight, n_frames = 1))
 
-  /** Decode stage over REAL images: per-partition codec setup (the in-memory
-    * cache flag is JVM-global ImageIO state, set once per executor JVM —
-    * disk-backed stream caching would add a temp-file per decode), then
-    * batchwise decode; undecodable payloads drop. */
+  /** Decode stage over REAL images: batchwise decode through
+    * [[decodeBuffered]]; undecodable payloads (unrecognized OR corrupt)
+    * drop. */
   def extractImageMeta(records: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaMeta] = {
     import spark.implicits._
-    records.mapPartitions { batch =>
-      javax.imageio.ImageIO.setUseCache(false)
-      batch.flatMap(decodeImage)
-    }
+    records.mapPartitions(_.flatMap(decodeImage))
   }
 
   /** Pixel-level feature extraction from real images: mean luminance
@@ -102,9 +112,8 @@ object Multimodal {
   def imageFeatures(records: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[ImageFeatures] = {
     import spark.implicits._
     records.mapPartitions { batch =>
-      javax.imageio.ImageIO.setUseCache(false)
       batch.flatMap { rec =>
-        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.payload))).map { img =>
+        decodeBuffered(rec.payload).map { img =>
           val (w, h) = (img.getWidth, img.getHeight)
           var sum = 0L
           var y = 0
@@ -126,23 +135,27 @@ object Multimodal {
 
   /** REAL pixel resample — the pixel-level counterpart of [[resizeFit]]'s
     * dimension math: decode with the JDK codecs, aspect-fit into
-    * `target`×`target` using the same integer floor arithmetic, redraw with
-    * bilinear interpolation (java.awt Graphics2D — still zero external
-    * dependencies), and re-encode as PNG bytes. Per-partition batch loop,
-    * payload-in/payload-out, undecodable rows drop. */
+    * `target`×`target` using the SAME integer floor arithmetic as
+    * [[resizeFit]], redraw with bilinear interpolation (java.awt Graphics2D
+    * — still zero external dependencies), and re-encode as PNG bytes.
+    * Per-partition batch loop, payload-in/payload-out; rows drop when the
+    * payload is undecodable OR when the fitted short side floors to zero
+    * (aspect beyond `target`:1 — a zero-pixel side cannot encode; resizeFit
+    * reports those same rows as 0-dimension metadata, keeping the two
+    * stages' arithmetic identical). */
   def resizeImages(records: Dataset[MediaRecord], target: Int = 224)(
       implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
     records.mapPartitions { batch =>
-      javax.imageio.ImageIO.setUseCache(false)
       batch.flatMap { rec =>
-        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.payload))).flatMap { img =>
+        decodeBuffered(rec.payload).flatMap { img =>
           val (w, h) = (img.getWidth, img.getHeight)
-          if (w <= 0 || h <= 0) None
+          val (ow, oh) =
+            if (w <= 0 || h <= 0) (0, 0)
+            else if (w >= h) (target, h * target / w)
+            else (w * target / h, target)
+          if (ow <= 0 || oh <= 0) None
           else {
-            val (ow, oh) =
-              if (w >= h) (target, math.max(1, h * target / w))
-              else (math.max(1, w * target / h), target)
             val out = new java.awt.image.BufferedImage(
               ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
             val g = out.createGraphics()

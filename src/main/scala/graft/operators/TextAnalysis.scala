@@ -184,22 +184,25 @@ object TextAnalysis {
     * filtered. The classic cheap proxy for "looks like the corpus" used
     * before perplexity models enter the pipeline.
     *
-    * Scale shape: one groupBy(word) builds the model (vocabulary table, far
-    * smaller than the corpus), one scalar aggregate for (total, vocab) —
-    * broadcast — and one equi-join word→count feeds the per-doc average:
-    * every stage is the shape a 100 TB corpus wants. The score rounds to 6
-    * decimals before compare/filter — log() is transcendental and engines
-    * may differ in the last ulp (same policy as the cosine operators). */
+    * Scale shape: tokenize ONCE into cached (doc_id, word, n) groups — the
+    * frame every downstream stage reads (the model's groupBy(word), the
+    * scalar totals, and the scoring join), so the corpus-sized explode runs
+    * a single time and the scoring join shuffles one row per DISTINCT
+    * doc-word, not per occurrence, with the average weighted by n. The
+    * score rounds to 6 decimals before compare/filter — log() is
+    * transcendental and engines may differ in the last ulp (same policy as
+    * the cosine operators). */
   def lmScore(docs: DataFrame, alpha: Double = 1.0): DataFrame = {
-    val words = withWords(docs).select(col("doc_id"), explode(col("__words")).as("word"))
-    val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val docWord = withWords(docs).select(col("doc_id"), explode(col("__words")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n")).cache()
+    val counts = docWord.groupBy("word").agg(sum("n").as("cnt"))
     val totals = counts.agg(sum("cnt").as("total"), count(lit(1)).as("vocab"))
-    words.join(counts, "word").crossJoin(broadcast(totals))
+    val logp = log((col("cnt") + alpha) / (col("total") + col("vocab") * alpha))
+    docWord.join(counts, "word").crossJoin(broadcast(totals))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_words"),
-        round(avg(log((col("cnt") + alpha) / (col("total") + col("vocab") * alpha))), 6)
-          .as("avg_logprob"))
+        sum("n").as("n_words"),
+        round(sum(col("n") * logp) / sum(col("n")), 6).as("avg_logprob"))
   }
 
   /** Per-word numeric code used by the rolling fingerprint: cheap,

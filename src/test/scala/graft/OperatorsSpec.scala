@@ -349,7 +349,11 @@ class OperatorsSpec extends AnyFunSuite {
     val records = spark.createDataset(Seq(
       MediaRecord(1L, "image/png", img(8, 4, (30 << 16) | (60 << 8) | 90, "png")),
       MediaRecord(2L, "image/bmp", img(5, 5, (120 << 16) | (120 << 8) | 120, "bmp")),
-      MediaRecord(3L, "image/bad", Array[Byte](1, 2, 3)) // undecodable → dropped
+      MediaRecord(3L, "image/bad", Array[Byte](1, 2, 3)), // no reader claims it → dropped
+      // valid PNG signature + garbage: the JDK reader CLAIMS it then throws
+      // mid-decode — must drop the row, not kill the task
+      MediaRecord(4L, "image/trunc", Array[Byte](0x89.toByte, 'P', 'N', 'G',
+        '\r', '\n', 0x1a, '\n', 7, 7, 7, 7, 7, 7, 7, 7))
     ))(org.apache.spark.sql.Encoders.product[MediaRecord])
     val meta = Multimodal.extractImageMeta(records).collect()
       .map(m => m.doc_id -> ((m.width, m.height))).toMap
