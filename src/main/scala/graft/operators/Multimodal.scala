@@ -16,6 +16,16 @@ case class MediaMeta(
     height: Int,
     n_frames: Int)
 
+/** Metadata from the REAL audio decode path (JDK javax.sound.sampled). */
+case class AudioMeta(
+    doc_id: Long,
+    media_type: String,
+    sample_rate: Double,
+    channels: Int,
+    bits_per_sample: Int,
+    n_samples: Long,
+    duration_ms: Double)
+
 /** Pixel-level features from the REAL image decode path. */
 case class ImageFeatures(
     doc_id: Long,
@@ -170,6 +180,31 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** REAL audio metadata — javax.sound.sampled is JDK-bundled like imageio
+    * (WAV/AIFF/AU parsers, zero external dependencies): sample rate,
+    * channels, bit depth, sample-frame count, and duration straight from
+    * the container header. Same drop-undecodable posture as the image path
+    * (the parser throws UnsupportedAudioFileException on unclaimed bytes
+    * and other IO errors on truncated ones — both map to a dropped row).
+    * Compressed codecs (mp3/aac) are not in the JDK and stay out of scope
+    * with the video stub. */
+  def extractAudioMeta(records: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[AudioMeta] = {
+    import spark.implicits._
+    records.mapPartitions(_.flatMap { rec =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(rec.payload))
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        in.close()
+        Some(AudioMeta(rec.doc_id, rec.media_type,
+          fmt.getSampleRate.toDouble, fmt.getChannels, fmt.getSampleSizeInBits,
+          frames,
+          if (fmt.getSampleRate > 0) frames * 1000.0 / fmt.getSampleRate else 0.0))
+      } catch { case _: Exception => None }
+    })
   }
 
   /** documents → MediaRecord dataset: treats the utf-8 bytes of `text` as

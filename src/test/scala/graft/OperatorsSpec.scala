@@ -373,6 +373,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rluma == Map(1L -> 60.0, 2L -> 120.0))
   }
 
+  test("real audio decode: JDK WAV parser yields exact format and duration") {
+    import javax.sound.sampled._
+    // encode a REAL wav in-process: 8 kHz mono 16-bit PCM, 1600 samples = 200 ms
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](1600 * 2)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 1600)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val records = spark.createDataset(Seq(
+      MediaRecord(1L, "audio/wav", bos.toByteArray),
+      MediaRecord(2L, "audio/bad", Array[Byte]('R', 'I', 'F', 'F', 1, 2, 3)) // truncated → dropped
+    ))(org.apache.spark.sql.Encoders.product[MediaRecord])
+    val meta = Multimodal.extractAudioMeta(records).collect()
+    assert(meta.length == 1)
+    val m = meta.head
+    assert(m.doc_id == 1L && m.sample_rate == 8000.0 && m.channels == 1 &&
+      m.bits_per_sample == 16 && m.n_samples == 1600L && m.duration_ms == 200.0)
+  }
+
   test("multimodal pipeline: stub decode is deterministic, frames sample by stride") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val meta = Multimodal.extractMeta(Multimodal.asMediaRecords(docs))
