@@ -81,7 +81,7 @@ object SparkEntry {
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
   }
 
-  private def li(s: SparkSession, dir: String): DataFrame =
+  private[graft] def li(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).select(
       "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_suppkey",
       "l_extendedprice", "l_quantity", "l_shipdate")
@@ -90,14 +90,16 @@ object SparkEntry {
 
   /** Static schema of [[li]] — drives the SQL emitter's select list and
     * declared-output casts for the generated oracles (no session available
-    * at oracle-construction time). Must mirror li()'s projection. */
-  private val liSchema: org.apache.spark.sql.types.StructType = {
+    * at oracle-construction time). Must mirror li()'s projection —
+    * SqlEmitterSpec asserts the two stay identical, so drift fails at test
+    * time rather than as a downstream oracle hash mismatch. */
+  private[graft] val liSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
       StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
       StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
       StructField("l_suppkey", LongType), StructField("l_extendedprice", DoubleType),
-      StructField("l_quantity", DoubleType), StructField("l_shipdate", TimestampType)))
+      StructField("l_quantity", DoubleType), StructField("l_shipdate", TimestampNTZType)))
   }
 
   /** One window query: the spec (shared by the engine run, the emitted

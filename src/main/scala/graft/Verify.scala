@@ -22,6 +22,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         e.printStackTrace()
       }
+      // internal caches (guarded Jaccard, q61 stage boundaries, lmScore)
+      // must not accumulate across 61 dumps nor leak one query's storage
+      // into the next's execution
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

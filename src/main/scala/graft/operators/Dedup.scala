@@ -345,8 +345,12 @@ object Dedup {
         case n: Number => n.longValue()
       })
     } catch {
-      case _: java.util.concurrent.TimeoutException =>
-        System.err.println("[graft] connectedComponents: observed metric not delivered in 5s; using leaf-scan fallback")
+      // ANY delivery failure (timeout, interruption, a failed Observation
+      // future) routes to the working leaf-scan fallback one line away in
+      // the caller — only fatal errors rethrow
+      case e if scala.util.control.NonFatal(e) =>
+        System.err.println("[graft] connectedComponents: observed metric not delivered " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); using leaf-scan fallback")
         None
     }
   }

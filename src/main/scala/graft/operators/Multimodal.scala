@@ -165,7 +165,11 @@ object Multimodal {
             else if (w >= h) (target, h * target / w)
             else (w * target / h, target)
           if (ow <= 0 || oh <= 0) None
-          else {
+          else try {
+            // same try/Option boundary as decodeBuffered: a redraw/encode
+            // failure (or ImageIO.write finding no png writer — it returns
+            // false rather than throwing) drops the row instead of killing
+            // the task
             val out = new java.awt.image.BufferedImage(
               ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
             val g = out.createGraphics()
@@ -174,9 +178,10 @@ object Multimodal {
             g.drawImage(img, 0, 0, ow, oh, null)
             g.dispose()
             val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(out, "png", bos)
-            Some(MediaRecord(rec.doc_id, rec.media_type, bos.toByteArray))
-          }
+            if (javax.imageio.ImageIO.write(out, "png", bos))
+              Some(MediaRecord(rec.doc_id, rec.media_type, bos.toByteArray))
+            else None
+          } catch { case _: Exception => None }
         }
       }
     }

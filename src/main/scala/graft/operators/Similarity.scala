@@ -202,11 +202,11 @@ object Similarity {
       .agg(max_by(col("cent_id"), struct(col("ccos"), col("cent_id"))).as("cell"))
     val cents = if (lloydIterations <= 0) cents0 else {
       import emb.sparkSession.implicits._
-      // training touches the corpus 2L+1 times (per-iteration assignment +
-      // mean, final serving assignment) — cache it for the loop so each
-      // touch reads materialized (id, vector, norm) rows instead of
-      // re-running the scan + norm projection; stays cached for the serving
-      // joins below and lives until session cache eviction
+      // training touches the corpus 2L times (per-iteration assignment +
+      // mean) — cache it for the loop so each touch reads materialized
+      // (id, vector, norm) rows instead of re-running the scan + norm
+      // projection; unpersisted right after the loop (serving pays one
+      // re-scan rather than leaking a cached corpus into the session)
       corpus.cache()
       // double-cast once so refined centroids keep one element type; the
       // widening is exact, so iteration 0's assignment matches cents0's
@@ -216,18 +216,21 @@ object Similarity {
       def df(m: Map[Long, Seq[Double]]): DataFrame =
         m.toSeq.sortBy(_._1).toDF("cent_id", "cv")
           .select(col("cent_id"), col("cv"), norm(col("cv")).as("cn"))
-      for (_ <- 1 to lloydIterations) {
-        val means = corpus.join(assign(df(cur)), "n_id")
-          .select(col("cell"), posexplode(col("nv")))
-          .groupBy("cell", "pos").agg(avg("col").as("m"))
-          .collect()
-        cur = cur ++ means.groupBy(_.getLong(0)).map { case (cell, rows) =>
-          val dim = cur(cell).length
-          val arr = new Array[Double](dim)
-          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-          cell -> arr.toSeq
+      try {
+        for (_ <- 1 to lloydIterations) {
+          val means = corpus.join(assign(df(cur)), "n_id")
+            .select(col("cell"), posexplode(col("nv")))
+            .groupBy("cell", "pos").agg(avg("col").as("m"))
+            .collect()
+          cur = cur ++ means.groupBy(_.getLong(0)).map { case (cell, rows) =>
+            val arr = cur(cell).toArray
+            // a null mean (all-null embedding elements in the cell/pos
+            // group) keeps the previous coordinate instead of NPE-ing training
+            rows.foreach(r => if (!r.isNullAt(2)) arr(r.getInt(1)) = r.getDouble(2))
+            cell -> arr.toSeq
+          }
         }
-      }
+      } finally corpus.unpersist(blocking = false)
       df(cur)
     }
     val assigned = assign(cents)

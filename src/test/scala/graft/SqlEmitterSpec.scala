@@ -195,4 +195,16 @@ class SqlEmitterSpec extends AnyFunSuite {
     val rows = spark.sql(sql).collect().map(r => (r.getString(0), r.getAs[Double]("dp"))).toSet
     assert(rows == Set(("a", 20.0), ("b", 5.0)))
   }
+
+  test("static liSchema matches li()'s live projection (oracle-cast drift guard)") {
+    // liSchema drives the generated DuckDB oracles' select list and
+    // declared-output casts; if li()'s projection ever changes, this must
+    // fail HERE with a pointed message, not as a downstream correctness-
+    // gate hash mismatch.
+    val live = SparkEntry.li(spark, "/root/testdata/sf0.001").schema
+    val want = live.fields.map(f => (f.name, f.dataType)).toSeq
+    val got = SparkEntry.liSchema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(got == want,
+      s"SparkEntry.liSchema drifted from li()'s projection: static=$got live=$want")
+  }
 }
