@@ -329,6 +329,27 @@ object SparkEntry {
     // the corpus's own smoothed unigram model
     "q60_lm_score" -> ((s, dir) => TextAnalysis.lmScore(Tables.documents(s, dir))),
 
+    // PII scrub on a derived fixture: the synthetic corpus carries no PII,
+    // so every third doc gets a deterministic email + IP + phone appended
+    // IN-QUERY (same concat in the oracle) — the redaction then has real
+    // matches to replace and count, and docs without injections pin the
+    // no-match path (n_redactions = 0, text unchanged)
+    "q62_redact_pii" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val base = Tables.documents(s, dir)
+      val withPii = base.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com at 10."), (col("doc_id") % 200).cast("string"),
+          lit(".4.25 or 555-867-5309"))).otherwise(col("text")).as("text"))
+      TextAnalysis.redactPii(withPii)
+    }),
+
+    // overlapping-window chunking (RAG/embedding prep): 64-token chunks
+    // every 48 tokens (16-token overlap)
+    "q63_chunk_docs" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, dir), chunkTokens = 64, overlap = 16)),
+
     // THE CAPSTONE: the five-stage training-data pipeline end to end —
     // quality filter → LSH dedup (keep cluster canonicals) → eval
     // decontamination → sequence packing — every stage an operator verified
@@ -784,6 +805,36 @@ object SparkEntry {
           |  list_transform(ws, x -> (length(x)*7919 + ascii(substr(x,1,1)))::BIGINT)),
           |  (acc, x) -> (acc*1000003 + x) % 2147483647) AS fingerprint
           |FROM w""".stripMargin,
+
+      // redaction SQL is BUILT from TextAnalysis.piiPatterns (same strings,
+      // same application order) so operator and oracle cannot drift; DuckDB
+      // regexp_replace needs the 'g' flag to match Java's replace-all
+      "q62_redact_pii" -> {
+        val redact = TextAnalysis.piiPatterns.foldLeft("text") {
+          case (c, (pat, repl)) => s"regexp_replace($c, '$pat', '$repl', 'g')"
+        }
+        val counts = TextAnalysis.piiPatterns
+          .map { case (pat, _) => s"len(regexp_extract_all(text, '$pat'))" }
+          .mkString(" + ")
+        s"""WITH p AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 3 = 0
+           |       THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+           |            '@example.com at 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+           |            '.4.25 or 555-867-5309'
+           |       ELSE text END AS text
+           |  FROM documents)
+           |SELECT doc_id, $redact AS text_redacted,
+           |       CAST($counts AS INT) AS n_redactions
+           |FROM p""".stripMargin
+      },
+
+      "q63_chunk_docs" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+          |SELECT doc_id,
+          |  CAST(i // 48 AS BIGINT) AS chunk_id,
+          |  array_to_string(ws[i+1:i+64], ' ') AS chunk_text,
+          |  CAST(least(i + 64, len(ws)) - i AS INT) AS n_chunk_tokens
+          |FROM w, UNNEST(range(0, len(ws), 48)) t(i)""".stripMargin,
 
       "q55_quality_rules" ->
         """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),

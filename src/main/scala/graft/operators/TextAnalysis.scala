@@ -221,4 +221,64 @@ object TextAnalysis {
       aggregate(codes, lit(0L), (acc, x) => (acc * 1000003L + x) % 2147483647L)
         .as("fingerprint"))
   }
+
+  /** PII patterns, applied in list order (emails first so an address is
+    * one `<EMAIL>` token before the narrower digit patterns see the text).
+    * Deliberately restricted to regex syntax that Java's engine and
+    * RE2-family engines (DuckDB, Go, Hyperscan) parse identically —
+    * character classes, bounded repetition, `\b` / `\d` — so the same
+    * pattern string drives both the operator and a SQL oracle. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{3}-\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** PII redaction — the scrub stage every public-corpus pipeline runs
+    * before training: emails, NANP-style phone numbers, and IPv4 addresses
+    * become placeholder tokens, with a per-document redaction count for
+    * audit sampling. A pure projection (regexp_replace + regexp_extract_all
+    * are codegen'd) — at 100 TB this is map-side work with zero shuffle,
+    * and the counts aggregate downstream without re-running the regexes. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col("text")) {
+      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    // counts run over the ORIGINAL text, per pattern, so overlapping
+    // patterns count consistently regardless of replacement order
+    val nRedactions = piiPatterns.map { case (pat, _) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+    }.reduce(_ + _)
+    docs.select(
+      col("doc_id"),
+      redacted.as("text_redacted"),
+      nRedactions.cast("int").as("n_redactions"))
+  }
+
+  /** Overlapping-window chunking — the RAG/embedding prep counterpart of
+    * [[packSequences]]: each document's token sequence splits into chunks
+    * of `chunkTokens` starting every `chunkTokens - overlap` tokens, so
+    * consecutive chunks share `overlap` tokens of context. Emits one row
+    * per chunk with its 0-based index and actual token count (the last
+    * chunk is usually short).
+    *
+    * Scale shape: tokenize once ([[withWords]]), then a generator
+    * (posexplode over the chunk starts) plus slices — all map-side, no
+    * shuffle; chunk rows inherit the input partitioning, ready for a
+    * downstream embedding UDF or write. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 128, overlap: Int = 32): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap for chunkTokens=$chunkTokens")
+    val stride = chunkTokens - overlap
+    withWords(docs)
+      .withColumn("__nw", size(col("__words")))
+      .select(col("doc_id"), col("__words"),
+        posexplode(sequence(lit(0), col("__nw") - 1, lit(stride))))
+      .withColumn("__chunk", slice(col("__words"), col("col") + 1, lit(chunkTokens)))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        array_join(col("__chunk"), " ").as("chunk_text"),
+        size(col("__chunk")).as("n_chunk_tokens"))
+  }
 }

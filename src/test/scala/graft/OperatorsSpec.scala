@@ -312,6 +312,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3L)._4 == 0.0 && !r(3L)._5)                  // empty text → 0.0, never null
   }
 
+  test("PII redaction replaces every occurrence and counts on the original text") {
+    val fx = Seq(
+      (0L, "mail alice@corp.io and bob.smith@my-host.example.org today"),
+      (1L, "call 555-867-5309 or 555-000-1111 from 10.0.0.1"),
+      (2L, "no pii here at all"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(fx).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2)))).toMap
+    assert(r(0L) == ("mail <EMAIL> and <EMAIL> today", 2))
+    assert(r(1L) == ("call <PHONE> or <PHONE> from <IP>", 3))
+    assert(r(2L) == ("no pii here at all", 0)) // no-match path: text unchanged
+    assert(r(3L) == ("", 0))
+  }
+
+  test("chunking: overlapping windows, exact starts, short tail chunk") {
+    // 10 words, chunkTokens=4, overlap=1 → stride 3: starts 0,3,6,9
+    val fx = Seq((0L, (1 to 10).map(i => s"w$i").mkString(" ")), (1L, ""))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.chunkDocuments(fx, chunkTokens = 4, overlap = 1).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> ((x.getString(2), x.getInt(3)))).toMap
+    assert(r((0L, 0L)) == ("w1 w2 w3 w4", 4))
+    assert(r((0L, 1L)) == ("w4 w5 w6 w7", 4)) // shares w4 with chunk 0
+    assert(r((0L, 2L)) == ("w7 w8 w9 w10", 4))
+    assert(r((0L, 3L)) == ("w10", 1))          // short tail
+    assert(r((1L, 0L)) == ("", 1))             // split("") → [""], one 1-token chunk
+    assert(r.size == 5)
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     val f = TextAnalysis.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(f(0L) == f(3L)) // identical text
