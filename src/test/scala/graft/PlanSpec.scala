@@ -136,6 +136,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window ["), "qualityRules must not use WindowExec")
   }
 
+  test("redaction and chunking are pure map-side projections (no shuffle)") {
+    // both are per-document transforms; a shuffle would mean the rewrite
+    // accidentally introduced an aggregation or a non-local generator
+    for (q <- Seq("q62_redact_pii", "q63_chunk_docs")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle")
+      assert(!p.contains("Window ["), s"$q must not use WindowExec")
+    }
+  }
+
   test("lsh dedup pipeline verifies candidates without a gram self-join") {
     // q46's returned frame is a post-checkpoint leaf (connected components
     // executes during construction) — assert the candidate+verify stage's
