@@ -150,10 +150,19 @@ object Bench {
     println(fullJson)
 
     // the compact record goes LAST, after the session is down, so nothing
-    // can print after it and push it out of the harness's tail window
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.stop()
-    println(s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":${
-      jmap(results.map { case (k, v, _) => k -> v }, short)},"errors":$errJson,"sf":"$sfDir"}""")
+    // can print after it and push it out of the harness's tail window. stop()
+    // is fallible (executor shutdown hiccups) — the contract line must print
+    // regardless, so it lives in the finally.
+    val compact = s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":${
+      jmap(results.map { case (k, v, _) => k -> v }, short)},"errors":$errJson,"sf":"$sfDir"}"""
+    if (compact.length > 1900)
+      System.err.println(s"[bench] WARNING: compact record is ${compact.length} chars — " +
+        "approaching the harness's ~2000-char tail window; trim query names or precision")
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      spark.stop()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop() failed (ignored): ${e.getMessage}")
+    } finally println(compact)
   }
 }

@@ -64,7 +64,12 @@ object GraftExtensions {
     require(e.foldable, s"$fn: $what must be a literal, got ${e.sql}")
     (e.eval(), e.dataType) match {
       case (i: Integer, _) => i.intValue()
-      case (l: java.lang.Long, _) => l.intValue()
+      case (l: java.lang.Long, _) =>
+        try Math.toIntExact(l.longValue())
+        catch {
+          case _: ArithmeticException => throw new IllegalArgumentException(
+            s"$fn: $what must fit in a 32-bit integer, got $l")
+        }
       case (s: java.lang.Short, _) => s.intValue()
       case (b: java.lang.Byte, _) => b.intValue()
       case (v, t) => throw new IllegalArgumentException(

@@ -824,7 +824,7 @@ object SparkEntry {
            |       ELSE text END AS text
            |  FROM documents)
            |SELECT doc_id, $redact AS text_redacted,
-           |       CAST($counts AS INT) AS n_redactions
+           |       CAST(COALESCE($counts, 0) AS INT) AS n_redactions
            |FROM p""".stripMargin
       },
 

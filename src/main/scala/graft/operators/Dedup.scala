@@ -347,7 +347,14 @@ object Dedup {
     } catch {
       // ANY delivery failure (timeout, interruption, a failed Observation
       // future) routes to the working leaf-scan fallback one line away in
-      // the caller — only fatal errors rethrow
+      // the caller — only fatal errors rethrow. Interruption restores the
+      // thread's interrupt flag so the caller's next blocking call still
+      // sees the cancellation.
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        System.err.println("[graft] connectedComponents: interrupted while awaiting " +
+          s"observed metric (${e.getMessage}); using leaf-scan fallback")
+        None
       case e if scala.util.control.NonFatal(e) =>
         System.err.println("[graft] connectedComponents: observed metric not delivered " +
           s"(${e.getClass.getSimpleName}: ${e.getMessage}); using leaf-scan fallback")

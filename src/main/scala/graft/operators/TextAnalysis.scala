@@ -238,7 +238,10 @@ object TextAnalysis {
     * become placeholder tokens, with a per-document redaction count for
     * audit sampling. A pure projection (regexp_replace + regexp_extract_all
     * are codegen'd) — at 100 TB this is map-side work with zero shuffle,
-    * and the counts aggregate downstream without re-running the regexes. */
+    * and the counts aggregate downstream without re-running the regexes.
+    *
+    * Null contract: a null `text` yields a null `text_redacted` (nothing to
+    * scrub) but `n_redactions` = 0, so downstream audit sums never go null. */
   def redactPii(docs: DataFrame): DataFrame = {
     val redacted = piiPatterns.foldLeft(col("text")) {
       case (c, (pat, repl)) => regexp_replace(c, pat, repl)
@@ -251,7 +254,7 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       redacted.as("text_redacted"),
-      nRedactions.cast("int").as("n_redactions"))
+      coalesce(nRedactions.cast("int"), lit(0)).as("n_redactions"))
   }
 
   /** Overlapping-window chunking — the RAG/embedding prep counterpart of
@@ -264,7 +267,11 @@ object TextAnalysis {
     * Scale shape: tokenize once ([[withWords]]), then a generator
     * (posexplode over the chunk starts) plus slices — all map-side, no
     * shuffle; chunk rows inherit the input partitioning, ready for a
-    * downstream embedding UDF or write. */
+    * downstream embedding UDF or write.
+    *
+    * Null contract: a null-`text` document produces ZERO chunk rows (the
+    * generator has nothing to explode) — filter for nulls upstream if such
+    * documents must be accounted for. */
   def chunkDocuments(docs: DataFrame, chunkTokens: Int = 128, overlap: Int = 32): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     require(overlap >= 0 && overlap < chunkTokens,

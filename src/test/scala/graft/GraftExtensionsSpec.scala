@@ -109,4 +109,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(a.getMessage.contains("2 arguments") || a.getMessage.contains("graft_dot"))
     }
   }
+
+  test("an out-of-Int-range Long static parameter errors instead of truncating") {
+    withRegistered {
+      import spark.implicits._
+      Seq((1L, "x y z")).toDF("doc_id", "text").createOrReplaceTempView("ext_bigarg")
+      val e = intercept[Exception] {
+        spark.sql(
+          "SELECT graft_minhash(graft_word_grams(split(text,' '), 2), 9999999999L) FROM ext_bigarg")
+          .collect()
+      }
+      assert(e.getMessage.contains("32-bit") || e.getMessage.contains("fit in"),
+        s"expected a range error, got: ${e.getMessage}")
+    }
+  }
 }

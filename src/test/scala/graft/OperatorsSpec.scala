@@ -327,6 +327,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3L) == ("", 0))
   }
 
+  test("PII redaction null contract: null text → null redacted, zero count") {
+    val fx = Seq((0L, Option("ping admin@example.com")), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(fx).collect()
+      .map(x => x.getLong(0) -> ((Option(x.getString(1)), x.getInt(2)))).toMap
+    assert(r(0L) == ((Some("ping <EMAIL>"), 1)))
+    assert(r(1L) == ((None, 0))) // n_redactions never null for audit sums
+    // chunkDocuments drops null-text docs entirely (documented contract)
+    assert(TextAnalysis.chunkDocuments(fx.filter("doc_id = 1")).count() == 0)
+  }
+
   test("chunking: overlapping windows, exact starts, short tail chunk") {
     // 10 words, chunkTokens=4, overlap=1 → stride 3: starts 0,3,6,9
     val fx = Seq((0L, (1 to 10).map(i => s"w$i").mkString(" ")), (1L, ""))
