@@ -81,6 +81,51 @@ object SparkEntry {
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
   }
 
+  /** Derived "new crawl" batch for the incremental EXACT dedup run (q67):
+    *  - fresh docs (doc_id % 4 == 1 → +1M): corpus text + ' fresh <id>' —
+    *    novel content (the corpus never contains the word 'fresh'), survive;
+    *  - exact corpus copies (doc_id % 5 == 0 → +2M): dropped by the corpus
+    *    hash anti-join;
+    *  - a second copy of every fresh doc (→ +3M, same text): dropped by the
+    *    in-batch first-id-wins rule (the +1M twin is kept).
+    * All string math is identical in DuckDB, so the batch derives
+    * bit-for-bit on both engines. */
+  private[graft] def incrementalBatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val freshText = concat(col("text"), lit(" fresh "), col("doc_id").cast("string"))
+    val fresh = base.filter(col("doc_id") % 4 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), freshText.as("text"))
+    val copies = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val intra = base.filter(col("doc_id") % 4 === 1)
+      .select((col("doc_id") + 3000000L).as("doc_id"), freshText.as("text"))
+    fresh.unionAll(copies).unionAll(intra)
+  }
+
+  /** Derived batch for the incremental NEAR-dup dedup run (q68):
+    *  - exact corpus copies (doc_id % 5 == 0 → +10M): Jaccard 1.0 vs source;
+    *  - doubled texts (doc_id % 7 == 3 → +20M, text ∥ ' ' ∥ text): share all
+    *    their source's grams plus a few bridge grams — j ≈ |g|/(|g|+k-1+dup),
+    *    ≈ 0.9 on this corpus, a true near-dup that is NOT hash-identical;
+    *  - x-suffixed docs (doc_id % 4 == 1 → +30M, every word + 'x'): zero
+    *    gram overlap with the corpus (probed: no corpus word ends in 'x'),
+    *    so they survive the screen.
+    * Word-wise transforms reproduce exactly in DuckDB (list_transform). */
+  private[graft] def nearDupBatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val copies = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val doubled = base.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        concat_ws(" ", col("text"), col("text")).as("text"))
+    val suffixed = base.filter(col("doc_id") % 4 === 1)
+      .select((col("doc_id") + 30000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "), w => concat(w, lit("x"))), " ").as("text"))
+    copies.unionAll(doubled).unionAll(suffixed)
+  }
+
   private[graft] def li(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).select(
       "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_suppkey",
@@ -604,6 +649,43 @@ object SparkEntry {
         .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
         .select("event_id", "user_id", "event_type", "value", "prev_value", "next_type")
     }),
+
+    // ---- round 5: vocab / keywords / spans / incremental dedup / sampling --
+    // corpus vocabulary with frequency-ranked ids (tokenizer-training stage)
+    "q64_vocabulary" -> ((s, dir) =>
+      TextAnalysis.vocabulary(Tables.documents(s, dir), minCount = 2)),
+
+    // top-3 TF-IDF keywords per document (topical fingerprints for curation)
+    "q65_tfidf_keywords" -> ((s, dir) =>
+      TextAnalysis.tfIdfKeywords(Tables.documents(s, dir), topK = 3)),
+
+    // cluster-balanced embedding sample: 8 anchor clusters × top-10 each
+    "q66_cluster_sample" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(Tables.embeddings(s, dir), nClusters = 8, perCluster = 10)),
+
+    // incremental EXACT dedup of a derived "new crawl" batch against the
+    // corpus: fresh docs (never seen — ' fresh <id>' suffix) survive, exact
+    // copies of corpus docs are dropped by the hash anti-join, and an
+    // intra-batch duplicate pair pins first-id-wins
+    "q67_dedup_incremental" -> ((s, dir) =>
+      Dedup.dedupAgainstCorpus(incrementalBatch(s, dir), Tables.documents(s, dir))),
+
+    // incremental NEAR-dup dedup (LSH candidates → exact-Jaccard verify,
+    // batch × corpus): exact copies (j=1.0) and doubled texts (j≈0.93 vs
+    // their source) drop; x-suffixed docs share ZERO grams with the corpus
+    // (no corpus word ends in 'x') and survive. One-slot bands = the q46
+    // completeness regime: planted true pairs sit ≥ 0.8 - ε (doubled-vs-
+    // source's OTHER neighbors bottom out ≈ 0.6), so per-pair miss ≤
+    // (0.4)^16 ≈ 4e-7 — probe-verified 0 missed at all 3 SFs (same
+    // dataset-dependence caveat as q46).
+    "q68_neardup_incremental" -> ((s, dir) =>
+      Dedup.nearDupAgainstCorpus(nearDupBatch(s, dir), Tables.documents(s, dir),
+        n = 3, numHashes = 16, bands = 16, threshold = 0.5)),
+
+    // exact-substring duplicated spans: maximal token spans covered by
+    // 5-grams occurring in ≥ 2 documents (ExactSubstr-style span dedup)
+    "q69_dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(Tables.documents(s, dir), k = 5)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -835,6 +917,121 @@ object SparkEntry {
           |  array_to_string(ws[i+1:i+64], ' ') AS chunk_text,
           |  CAST(least(i + 64, len(ws)) - i AS INT) AS n_chunk_tokens
           |FROM w, UNNEST(range(0, len(ws), 48)) t(i)""".stripMargin,
+
+      // doc_freq via counting (word, doc) groups — the same no-Expand
+      // formulation as the operator; sum(BIGINT) is HUGEINT in DuckDB,
+      // hence the CAST
+      "q64_vocabulary" ->
+        """WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          |pd AS (SELECT word, doc_id, count(*) AS cnt FROM wd GROUP BY word, doc_id),
+          |g AS (SELECT word, CAST(sum(cnt) AS BIGINT) AS term_count,
+          |             count(*) AS doc_freq FROM pd GROUP BY word)
+          |SELECT word, term_count, doc_freq,
+          |       CAST(row_number() OVER (ORDER BY term_count DESC, word) - 1 AS BIGINT) AS vocab_id
+          |FROM g WHERE term_count >= 2""".stripMargin,
+
+      // score rounds to 6 BEFORE ranking on both engines (see tfIdfKeywords)
+      "q65_tfidf_keywords" ->
+        """WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          |tf AS (SELECT doc_id, word, count(*) AS tf FROM wd GROUP BY doc_id, word),
+          |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+          |nd AS (SELECT count(*) AS n_docs FROM documents),
+          |s AS (SELECT doc_id, tf.word,
+          |        round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+          |          AS tf_idf
+          |      FROM tf JOIN df USING (word), nd),
+          |r AS (SELECT doc_id, word, tf_idf,
+          |        CAST(row_number() OVER (PARTITION BY doc_id
+          |                                ORDER BY tf_idf DESC, word) AS INT) AS rnk
+          |      FROM s)
+          |SELECT doc_id, word, tf_idf, rnk FROM r WHERE rnk <= 3""".stripMargin,
+
+      // anchors = 8 lowest vec_ids; assignment tie-break toward the LARGER
+      // anchor id (ORDER BY cos DESC, centroid_id DESC), matching max_by
+      "q66_cluster_sample" ->
+        """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+          |           FROM embeddings ORDER BY vec_id LIMIT 8),
+          |s AS (SELECT e.vec_id, c.centroid_id,
+          |        round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS cos_sim
+          |      FROM embeddings e CROSS JOIN c),
+          |a AS (SELECT vec_id, centroid_id, cos_sim,
+          |        row_number() OVER (PARTITION BY vec_id
+          |                           ORDER BY cos_sim DESC, centroid_id DESC) AS rn
+          |      FROM s),
+          |b AS (SELECT vec_id, centroid_id AS cluster_id, cos_sim FROM a WHERE rn = 1),
+          |r AS (SELECT cluster_id, vec_id, cos_sim,
+          |        CAST(row_number() OVER (PARTITION BY cluster_id
+          |                                ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+          |      FROM b)
+          |SELECT cluster_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 10""".stripMargin,
+
+      // batch derivation mirrors incrementalBatch; survivors = in-batch
+      // first-id-per-text AND text not present in the corpus
+      "q67_dedup_incremental" ->
+        """WITH batch AS (
+          |  SELECT doc_id + 1000000 AS doc_id,
+          |         text || ' fresh ' || CAST(doc_id AS VARCHAR) AS text
+          |  FROM documents WHERE doc_id % 4 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 3000000, text || ' fresh ' || CAST(doc_id AS VARCHAR)
+          |  FROM documents WHERE doc_id % 4 = 1),
+          |firsts AS (SELECT doc_id, text,
+          |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM batch)
+          |SELECT doc_id, text FROM firsts
+          |WHERE rn = 1
+          |  AND NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = firsts.text)""".stripMargin,
+
+      // ground truth = EXACT batch×corpus Jaccard screen (no LSH): batch
+      // docs with any corpus doc at j >= 0.5 drop; gram join formulation
+      // as in q21's oracle
+      "q68_neardup_incremental" ->
+        """WITH batch AS (
+          |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 20000000, text || ' ' || text FROM documents WHERE doc_id % 7 = 3
+          |  UNION ALL
+          |  SELECT doc_id + 30000000,
+          |         array_to_string(list_transform(string_split(text, ' '), w -> w || 'x'), ' ')
+          |  FROM documents WHERE doc_id % 4 = 1),
+          |bw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM batch),
+          |bg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          |       FROM bw, UNNEST(range(1, len(ws)-1)) AS t(i)),
+          |bc AS (SELECT doc_id, count(*) AS n_grams FROM bg GROUP BY doc_id),
+          |cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |cg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          |       FROM cw, UNNEST(range(1, len(ws)-1)) AS t(i)),
+          |cc AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
+          |p AS (SELECT bg.doc_id AS doc1, cg.doc_id AS doc2, count(*) AS n_common
+          |      FROM bg JOIN cg ON bg.gram = cg.gram GROUP BY 1, 2),
+          |drops AS (SELECT DISTINCT doc1 AS doc_id
+          |          FROM p JOIN bc ON doc1 = bc.doc_id JOIN cc ON doc2 = cc.doc_id
+          |          WHERE CAST(n_common AS DOUBLE)
+          |                / (bc.n_grams + cc.n_grams - n_common) >= 0.5)
+          |SELECT doc_id, text FROM batch
+          |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.doc_id = batch.doc_id)""".stripMargin,
+
+      // duplicated 5-gram starts → gaps-and-islands span merge, identical
+      // window logic to the operator (NULL lag opens the first island)
+      "q69_dup_spans" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |g AS (SELECT doc_id, CAST(i AS INT) AS start,
+          |             array_to_string(ws[i+1:i+5], ' ') AS gram
+          |      FROM w, UNNEST(range(0, len(ws)-4)) t(i)),
+          |hot AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+          |        GROUP BY gram HAVING count(*) >= 2),
+          |d AS (SELECT doc_id, start FROM g WHERE gram IN (SELECT gram FROM hot)),
+          |f AS (SELECT doc_id, start,
+          |        CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) <= 5
+          |             THEN 0 ELSE 1 END AS gap
+          |      FROM d),
+          |i AS (SELECT doc_id, start,
+          |        sum(gap) OVER (PARTITION BY doc_id ORDER BY start) AS island FROM f)
+          |SELECT doc_id, CAST(min(start) AS INT) AS span_start,
+          |       CAST(max(start) + 4 AS INT) AS span_end,
+          |       CAST(max(start) - min(start) + 5 AS INT) AS n_tokens
+          |FROM i GROUP BY doc_id, island""".stripMargin,
 
       "q55_quality_rules" ->
         """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),

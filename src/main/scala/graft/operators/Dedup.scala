@@ -410,4 +410,110 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc1", "doc2", "hamming")
   }
+
+  /** Exact-substring duplicated-span detection (the span-level sibling of
+    * document dedup, after Lee et al. 2022's ExactSubstr): every maximal
+    * token span covered by `k`-grams that occur in ≥ 2 DISTINCT documents.
+    * Output is one row per merged span — (doc_id, span_start, span_end,
+    * n_tokens), 0-based inclusive token positions — ready to drive span
+    * removal or repetition audits.
+    *
+    * Pipeline: positions come free from the ORDERED codegen'd gram-hash
+    * array (posexplode — no string grams materialize); cross-doc gram
+    * frequency is a partial-aggregated groupBy over distinct (gram, doc)
+    * pairs (skew-safe: a hot gram ships one row per map partition, the same
+    * posture as the hot-gram guard); duplicated positions then merge into
+    * maximal spans per doc with a gaps-and-islands window — two k-gram hits
+    * at starts p, q belong to one span iff q - p <= k (their token ranges
+    * touch or overlap). Grams travel as 64-bit hashes: only equality
+    * matters, and a collision is vanishing (~n²·2⁻⁶⁴).
+    *
+    * 100 TB shape: gram-keyed equi-joins and per-doc windows only — the
+    * window partitions by doc_id, so no global sort; nothing quadratic
+    * anywhere (contrast [[ngramJaccardPairs]]'s pair join: span detection
+    * never forms document PAIRS at all). */
+  def duplicatedSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    val pos = TextAnalysis.withWords(docs)
+      .select(col("doc_id"),
+        posexplode(graft.functions.HashFunctions.word_gram_hashes(col("__words"), k)))
+      .withColumnRenamed("pos", "start").withColumnRenamed("col", "gram")
+    val hot = pos.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") >= 2).select("gram")
+    // (doc_id, start) is unique (one k-gram per position), so the semi-join
+    // needs no distinct afterwards
+    val dup = pos.join(hot, Seq("gram"), "left_semi").select("doc_id", "start")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("start")
+    // gaps-and-islands: NULL lag (first row) compares to NULL → otherwise(1)
+    // opens the first island, matching SQL CASE semantics exactly
+    dup
+      .withColumn("__new",
+        when(col("start") - lag("start", 1).over(w) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("__island", sum("__new").over(w))
+      .groupBy("doc_id", "__island")
+      .agg(min(col("start")).as("span_start"), (max(col("start")) + lit(k - 1)).as("span_end"))
+      .select(col("doc_id"),
+        col("span_start").cast("int").as("span_start"),
+        col("span_end").cast("int").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("int").as("n_tokens"))
+  }
+
+  /** Incremental EXACT dedup — the production shape of a growing corpus:
+    * dedup a NEW batch of documents against itself (first doc_id wins) and
+    * against the content hashes of everything already ingested, returning
+    * only the genuinely novel batch rows (all input columns preserved).
+    * Batch and corpus doc_ids are assumed to come from disjoint id spaces
+    * (the caller owns id allocation).
+    *
+    * 100 TB shape: the corpus — however large — is reduced map-side to
+    * DISTINCT 128-bit hashes (text never shuffles); the batch's in-batch
+    * winner window and the anti-join both key on that same hash, so the
+    * batch is shuffled ONCE and the exchange is reused across the two
+    * steps. Store the corpus hash set as its own table and this runs
+    * without touching corpus text at all. */
+  def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val corpusHashes = corpus.select(md5(col(textCol)).as("__h")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__h").orderBy("doc_id")
+    newDocs.withColumn("__h", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(corpusHashes, Seq("__h"), "left_anti")
+      .drop("__h", "__rn")
+  }
+
+  /** Incremental NEAR-duplicate dedup: drop batch documents whose exact
+    * n-gram Jaccard against ANY existing corpus document reaches
+    * `threshold`. Same LSH-candidates → exact-verify structure as
+    * [[lshDedupClusters]], with the join one-sided (batch × corpus, never
+    * corpus × corpus): band keys from both sides meet in an equi-join, and
+    * only candidate pairs pay the exact array_intersect verification.
+    * In-batch near-dups are deliberately NOT handled here — run the batch
+    * operators ([[lshDedupClusters]]) for that; doc_ids must come from
+    * disjoint id spaces.
+    *
+    * Recall follows the [[lshDedupClusters]] banding math: with the default
+    * one-slot bands, a true pair at Jaccard j is missed with probability
+    * (1-j)^bands — ≤ 7e-12 at j ≥ 0.8, bands=16. */
+  def nearDupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame, n: Int = 3,
+      numHashes: Int = 16, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    def banded(docs: DataFrame, as: String): DataFrame =
+      bandedKeys(
+        minHashSignatures(docs, n, numHashes)
+          .filter(element_at(col("minhash"), 1) =!= Long.MaxValue),
+        numHashes, bands)
+        .drop("minhash").withColumnRenamed("doc_id", as)
+    val cands = banded(newDocs, "doc1").join(banded(corpus, "doc2"), Seq("band", "band_key"))
+      .select("doc1", "doc2").distinct()
+    val dropIds = cands
+      .join(gramArrays(newDocs, n).select(col("doc_id").as("doc1"), col("grams").as("g1")), "doc1")
+      .join(gramArrays(corpus, n).select(col("doc_id").as("doc2"), col("grams").as("g2")), "doc2")
+      .withColumn("n_common", size(array_intersect(col("g1"), col("g2"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (size(col("g1")) + size(col("g2")) - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc1").as("doc_id")).distinct()
+    newDocs.join(dropIds, Seq("doc_id"), "left_anti")
+  }
 }

@@ -259,6 +259,43 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos_sim"), col("rnk"))
   }
 
+  /** Cluster-balanced sampling — the semantic-diversity selection stage of
+    * an embedding pipeline: assign every vector to its nearest of `nClusters`
+    * anchor vectors (the lowest-`vec_id` rows — deterministic and
+    * SQL-reproducible, unlike a seeded k-means), then keep the `perCluster`
+    * best-aligned vectors per cluster. The output covers every region of
+    * embedding space instead of letting one dense mode dominate the sample.
+    * `rnk` is the within-cluster rank by (cosine desc, vec_id) — ties in
+    * rounded cosine and in assignment both break deterministically (the
+    * assignment toward the LARGER anchor id, matching [[ivfTopK]]'s
+    * convention).
+    *
+    * 100 TB shape: anchors broadcast; assignment is the same map-side
+    * argmax as [[ivfTopK]] (`max_by` partial-aggregates, so the shuffle
+    * carries (vec_id, cluster, cosine) — never the vectors); the per-cluster
+    * top-`perCluster` is a row_number window that WindowGroupLimit prunes
+    * map-side, so the `nClusters`-partition window never sees more than
+    * perCluster rows per upstream partition. */
+  def clusterBalancedSample(emb: DataFrame, nClusters: Int = 8,
+      perCluster: Int = 10): DataFrame = {
+    val anchors = emb.orderBy("vec_id").limit(nClusters)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      .select(col("centroid_id"), col("cv"), norm(col("cv")).as("cn"))
+    val corpus = withNorm(emb, "1")
+    val ccos = round(dot(col("v1"), col("cv")) / (col("n1") * col("cn")), 6)
+    val assigned = corpus.join(broadcast(anchors))
+      .withColumn("ccos", ccos)
+      .groupBy(col("id1").as("vec_id"))
+      .agg(max_by(struct(col("centroid_id"), col("ccos")), struct(col("ccos"), col("centroid_id")))
+        .as("m"))
+      .select(col("vec_id"), col("m.centroid_id").as("cluster_id"), col("m.ccos").as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    assigned.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= perCluster)
+      .select("cluster_id", "vec_id", "cos_sim", "rnk")
+  }
+
   /** Symmetric per-vector int8 quantization — the storage-compression stage
     * of an embedding pipeline (4× smaller than float32 at rest; the codes
     * column writes as `array<tinyint>`): scale = 127 / max|x_i|, code_i =

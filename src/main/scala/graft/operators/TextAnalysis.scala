@@ -272,6 +272,60 @@ object TextAnalysis {
     * Null contract: a null-`text` document produces ZERO chunk rows (the
     * generator has nothing to explode) — filter for nulls upstream if such
     * documents must be accounted for. */
+  /** Corpus vocabulary with frequency statistics — the tokenizer-training /
+    * frequency-cutoff stage of a data pipeline: one row per distinct word
+    * with its total occurrence count, document frequency, and a dense
+    * frequency-ranked id (0 = most frequent; ties break alphabetically, so
+    * ids are deterministic and reproducible across runs and engines).
+    *
+    * Scale shape: explode → two chained partial-aggregated groupBys. Doc
+    * frequency comes from counting (word, doc) groups rather than
+    * `countDistinct` — the same answer without Catalyst's Expand node, so
+    * both shuffles stay map-side-combined. The final rank is a single
+    * window over the VOCABULARY (bounded by distinct tokens — ~10^5-10^6
+    * for natural text, regardless of corpus size), not the corpus, so the
+    * one-partition sort is over a tiny result set. */
+  def vocabulary(docs: DataFrame, minCount: Long = 2): DataFrame = {
+    val ranked = org.apache.spark.sql.expressions.Window
+      .orderBy(col("term_count").desc, col("word"))
+    withWords(docs)
+      .select(col("doc_id"), explode(col("__words")).as("word"))
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("cnt"))
+      .groupBy("word")
+      .agg(sum("cnt").as("term_count"), count(lit(1)).as("doc_freq"))
+      .filter(col("term_count") >= minCount)
+      .select(col("word"), col("term_count"), col("doc_freq"),
+        (row_number().over(ranked) - 1).cast("long").as("vocab_id"))
+  }
+
+  /** TF-IDF keyword extraction: the top `topK` most characteristic words per
+    * document by tf · ln(N/df) — the classic relevance weight, used here the
+    * way a curation pipeline uses it (topical fingerprints for mixing /
+    * clustering / inspection). Scores round to 6 decimals BEFORE ranking so
+    * the (score desc, word asc) order is identical across engines; `rnk`
+    * makes the output self-describing.
+    *
+    * Scale shape: one (doc, word) partial-aggregated groupBy; the document
+    * frequency table is vocabulary-sized, so it and the corpus row count
+    * join back by BROADCAST — the corpus-sized side shuffles once, for its
+    * own aggregation. Top-k per doc is a row_number window that Spark prunes
+    * map-side via WindowGroupLimit. */
+  def tfIdfKeywords(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val tf = withWords(docs)
+      .select(col("doc_id"), explode(col("__words")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tf_idf").desc, col("word"))
+    tf.join(broadcast(df), "word").crossJoin(broadcast(nDocs))
+      .withColumn("tf_idf", round(
+        col("tf").cast("double") * log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("word"), col("tf_idf"), col("rnk"))
+  }
+
   def chunkDocuments(docs: DataFrame, chunkTokens: Int = 128, overlap: Int = 32): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     require(overlap >= 0 && overlap < chunkTokens,
