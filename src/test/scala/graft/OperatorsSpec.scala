@@ -445,4 +445,107 @@ class OperatorsSpec extends AnyFunSuite {
       .filter($"doc_id" === 3L).select("frame_idx").collect().map(_.getInt(0)).sorted
     assert(frames.toSeq == Seq(0, 2)) // frames 0..3, stride 2
   }
+
+  test("vocabulary: counts, doc frequency, frequency-ranked ids, minCount cutoff") {
+    val fx = Seq(
+      (0L, "a b a c"),
+      (1L, "a b b"),
+      (2L, "z")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabulary(fx, minCount = 2).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // a: 3 occurrences in 2 docs; b: 3 in 2; z: 1 → cut by minCount
+    assert(r("a") == ((3L, 2L, 0L))) // tie with b broken alphabetically
+    assert(r("b") == ((3L, 2L, 1L)))
+    assert(r.size == 2) // c and z: 1 occurrence each → cut by minCount
+  }
+
+  test("tf-idf: ubiquitous words score zero, distinctive words rank first") {
+    val fx = Seq(
+      (0L, "common rare0 common"),
+      (1L, "common rare1 rare1"),
+      (2L, "common other")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tfIdfKeywords(fx, topK = 2).collect()
+      .map(x => (x.getLong(0), x.getInt(3)) -> ((x.getString(1), x.getDouble(2)))).toMap
+    // 'common' is in all 3 docs → ln(3/3)=0; rare words: tf·ln(3/1)
+    assert(r((0L, 1))._1 == "rare0")
+    assert(math.abs(r((0L, 1))._2 - math.log(3.0)) < 1e-6)
+    assert(r((1L, 1))._1 == "rare1" && math.abs(r((1L, 1))._2 - 2 * math.log(3.0)) < 1e-5)
+    assert(r((0L, 2))._1 == "common" && r((0L, 2))._2 == 0.0)
+  }
+
+  test("duplicated spans: cross-doc k-grams merge into maximal spans") {
+    // docs 0 and 1 share words 0..5 ("w0..w5"): 5-gram starts 0,1 in both →
+    // one merged span [0,5]; doc 2 is unique → no spans
+    val shared = (0 to 5).map(i => s"w$i").mkString(" ")
+    val fx = Seq(
+      (0L, shared + " tail0 a b c d"),
+      (1L, shared + " tail1 e f g h"),
+      (2L, "nothing here matches any other document at all")
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(fx, k = 5).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getInt(3)))).toSeq
+    assert(r.toMap == Map(0L -> ((0, 5, 6)), 1L -> ((0, 5, 6))))
+    assert(r.size == 2)
+  }
+
+  test("duplicated spans: disjoint duplicated regions stay separate islands") {
+    // two shared 5-gram regions separated by unique middles: starts 0 and 10
+    // (gap 10 > k=5) must NOT merge
+    val s1 = (0 to 4).map(i => s"x$i").mkString(" ")
+    val s2 = (0 to 4).map(i => s"y$i").mkString(" ")
+    val fx = Seq(
+      (0L, s"$s1 mid0a mid0b mid0c mid0d mid0e $s2"),
+      (1L, s"$s1 mid1a mid1b mid1c mid1d mid1e $s2")
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(fx, k = 5).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3)))
+    assert(r.length == 4)
+    assert(r.count { case (_, s, e, n) => s == 0 && e == 4 && n == 5 } == 2)
+    assert(r.count { case (_, s, e, n) => s == 10 && e == 14 && n == 5 } == 2)
+  }
+
+  test("incremental exact dedup: first-id-wins in batch, corpus copies dropped") {
+    val corpus = Seq((0L, "seen before"), (1L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "brand new"),
+      (101L, "seen before"),  // exact corpus copy → dropped
+      (102L, "brand new"),    // in-batch dup of 100 → dropped
+      (103L, "another new")
+    ).toDF("doc_id", "text")
+    val r = Dedup.dedupAgainstCorpus(batch, corpus).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(100L -> "brand new", 103L -> "another new"))
+  }
+
+  test("incremental near-dup dedup: near-copies of corpus docs drop, novel docs survive") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "some unrelated corpus document with several words")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),   // j=1.0 → drop
+      (101L, "the quick brown fox jumps over the lazy cat"),   // j=6/8 → drop at 0.5
+      (102L, "entirely different text sharing no grams whatsoever here")
+    ).toDF("doc_id", "text")
+    val r = Dedup.nearDupAgainstCorpus(batch, corpus, n = 3, threshold = 0.5)
+      .collect().map(_.getLong(0)).sorted
+    assert(r.toSeq == Seq(102L))
+  }
+
+  test("cluster-balanced sample: anchor assignment, per-cluster cap, deterministic ranks") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // anchors = vec 0 (+x) and vec 1 (+y); the rest lean clearly one way
+    val fx = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)),
+      (4L, Array(0.8f, 0.2f)), (5L, Array(0.2f, 0.8f)),
+      (6L, Array(0.7f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.clusterBalancedSample(fx, nClusters = 2, perCluster = 2).collect()
+      .map(x => (x.getLong(0), x.getInt(3)) -> x.getLong(1)).toMap
+    // cluster 0: anchor itself (cos 1.0) then vec 2; cluster 1: anchor 1 then vec 3
+    assert(r == Map((0L, 1) -> 0L, (0L, 2) -> 2L, (1L, 1) -> 1L, (1L, 2) -> 3L))
+  }
 }

@@ -146,6 +146,55 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabulary: doc frequency without Expand, both aggregations partial") {
+    val p = plan("q64_vocabulary")
+    assert(!p.contains("Expand"),
+      "doc_freq must come from (word, doc) group counting, not countDistinct's Expand")
+    assert("partial_".r.findAllIn(p).size >= 2, "both groupBys must map-side combine")
+  }
+
+  test("tf-idf: vocabulary-sized sides broadcast, top-k prunes before the window shuffle") {
+    val p = plan("q65_tfidf_keywords")
+    assert(p.contains("BroadcastHashJoin"), "df join must broadcast the vocabulary side")
+    assert(p.contains("WindowGroupLimit"), "rnk<=k must prune map-side")
+  }
+
+  test("cluster sample: anchors broadcast, assignment argmax partial-aggregates") {
+    val p = plan("q66_cluster_sample")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      "the anchor set must broadcast (condition-less join against tiny anchors)")
+    assert(p.contains("partial_max_by"),
+      "assignment must be a map-side argmax — the shuffle carries (vec_id, cluster, cos), not vectors")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("incremental exact dedup: corpus reduces to hashes, batch winner prunes map-side") {
+    val p = plan("q67_dedup_incremental")
+    // corpus side: the distinct's aggregates (pre- and post-shuffle) must key
+    // and emit only the hash — corpus text stays at the scan
+    val distincts = "HashAggregate\\(keys=\\[__h[^\\]]*\\], functions=\\[\\], output=\\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(distincts.nonEmpty && distincts.forall(!_.contains("text#")),
+      "corpus hash-set aggregation must not carry the text column")
+    assert(p.contains("LeftAnti"), "novelty screen must be an anti-join")
+    // batch side: first-id-wins must prune to one row per hash BEFORE its
+    // exchange, so duplicate-heavy batches don't shuffle their duplicates
+    assert(p.contains("row_number(), 1, Partial"),
+      "in-batch winner must prune map-side (WindowGroupLimit Partial)")
+  }
+
+  test("incremental near-dup dedup and span detection never go quadratic") {
+    for (q <- Seq("q68_neardup_incremental", "q69_dup_spans")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: no BNLJ")
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian")
+    }
+    assert(plan("q68_neardup_incremental").contains("array_intersect"),
+      "q68 verifies candidates on gram arrays")
+    assert(plan("q69_dup_spans").contains("wordgramhashes"),
+      "q69 positions come from the codegen'd gram-hash array")
+  }
+
   test("lsh dedup pipeline verifies candidates without a gram self-join") {
     // q46's returned frame is a post-checkpoint leaf (connected components
     // executes during construction) — assert the candidate+verify stage's
