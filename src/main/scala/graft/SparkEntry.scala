@@ -686,6 +686,11 @@ object SparkEntry {
     // 5-grams occurring in ≥ 2 documents (ExactSubstr-style span dedup)
     "q69_dup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(Tables.documents(s, dir), k = 5)),
+
+    // ExactSubstr span REMOVAL: q69's spans dropped from the text; row count
+    // stable (untouched docs verbatim, fully-covered docs → empty string)
+    "q70_remove_dup_spans" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(Tables.documents(s, dir), k = 5)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1032,6 +1037,37 @@ object SparkEntry {
           |       CAST(max(start) + 4 AS INT) AS span_end,
           |       CAST(max(start) - min(start) + 5 AS INT) AS n_tokens
           |FROM i GROUP BY doc_id, island""".stripMargin,
+
+      // q69's span CTEs extended with covered positions → token anti-join →
+      // ordered rebuild; LEFT JOIN + IS NULL instead of ANTI JOIN for
+      // engine portability
+      "q70_remove_dup_spans" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |g AS (SELECT doc_id, CAST(i AS INT) AS start,
+          |             array_to_string(ws[i+1:i+5], ' ') AS gram
+          |      FROM w, UNNEST(range(0, len(ws)-4)) t(i)),
+          |hot AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+          |        GROUP BY gram HAVING count(*) >= 2),
+          |d AS (SELECT doc_id, start FROM g WHERE gram IN (SELECT gram FROM hot)),
+          |f AS (SELECT doc_id, start,
+          |        CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) <= 5
+          |             THEN 0 ELSE 1 END AS gap
+          |      FROM d),
+          |i AS (SELECT doc_id, start,
+          |        sum(gap) OVER (PARTITION BY doc_id ORDER BY start) AS island FROM f),
+          |spans AS (SELECT doc_id, min(start) AS s, max(start) + 4 AS e
+          |          FROM i GROUP BY doc_id, island),
+          |cov AS (SELECT DISTINCT doc_id, p FROM spans, UNNEST(range(s, e + 1)) t(p)),
+          |tok AS (SELECT doc_id, CAST(p AS INT) AS pos, ws[p+1] AS word
+          |        FROM w, UNNEST(range(0, len(ws))) t(p)),
+          |kept AS (SELECT tok.doc_id, string_agg(word, ' ' ORDER BY pos) AS kept_text,
+          |                count(*) AS n_kept
+          |         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.p
+          |         WHERE cov.doc_id IS NULL
+          |         GROUP BY tok.doc_id)
+          |SELECT w.doc_id, COALESCE(kept_text, '') AS text_deduped,
+          |       CAST(len(ws) - COALESCE(n_kept, 0) AS INT) AS n_removed_tokens
+          |FROM w LEFT JOIN kept ON w.doc_id = kept.doc_id""".stripMargin,
 
       "q55_quality_rules" ->
         """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),

@@ -458,6 +458,39 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).cast("int").as("n_tokens"))
   }
 
+  /** Span REMOVAL — the enforcement half of [[duplicatedSpans]] (ExactSubstr
+    * dedup proper): rebuilds each document with every cross-doc duplicated
+    * span dropped, keeping the surviving tokens in their original order.
+    * Emits every input document: untouched docs pass through verbatim
+    * (n_removed_tokens = 0) and a fully-covered doc yields the empty string —
+    * row counts are stable, which downstream joins rely on.
+    *
+    * 100 TB shape: [[duplicatedSpans]]' equi-joins/windows, then one
+    * (doc_id, pos) anti-join and a per-doc ordered fold (sort_array over
+    * collected (pos, word) structs) — everything keys on doc_id, nothing
+    * quadratic. The rebuild shuffles surviving tokens once; span-heavy
+    * corpora shuffle LESS as more is removed. */
+  def removeDuplicatedSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    val covered = duplicatedSpans(docs, k).select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toks = TextAnalysis.withWords(docs)
+      .select(col("doc_id"), posexplode(col("__words")))
+      .withColumnRenamed("col", "word")
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            s => s.getField("word")), " ").as("__kept"),
+        count(lit(1)).as("__n_kept"))
+    TextAnalysis.withWords(docs)
+      .select(col("doc_id"), size(col("__words")).as("__nw"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__kept"), lit("")).as("text_deduped"),
+        (col("__nw") - coalesce(col("__n_kept"), lit(0L))).cast("int").as("n_removed_tokens"))
+  }
+
   /** Incremental EXACT dedup — the production shape of a growing corpus:
     * dedup a NEW batch of documents against itself (first doc_id wins) and
     * against the content hashes of everything already ingested, returning

@@ -63,6 +63,23 @@ object StreamingWindows {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming INCREMENTAL exact dedup — the ingest-time analogue of the
+    * batch [[graft.operators.Dedup.dedupAgainstCorpus]]: arriving documents
+    * drop when their content hash was already seen in the stream within the
+    * watermark horizon ([[streamingExactDedup]]) OR exists in a static,
+    * already-ingested corpus. The corpus side joins stream-static (re-read
+    * per micro-batch planning, no state): reduced map-side to DISTINCT
+    * hashes, it broadcast-anti-joins each micro-batch, so corpus text never
+    * shuffles and the state store still holds only in-horizon stream hashes.
+    * Store the corpus hash set as its own compact table and ingest never
+    * touches corpus text at all. */
+  def streamingIncrementalDedup(docs: DataFrame, corpus: DataFrame, watermark: String,
+      textCol: String = "text", tsCol: String = "ts"): DataFrame = {
+    val corpusHashes = corpus.select(md5(col(textCol)).as("content_hash")).distinct()
+    streamingExactDedup(docs, watermark, textCol, tsCol)
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+  }
+
   /** Streaming MinHash-LSH near-duplicate candidates — the ingest-time
     * analogue of the batch [[graft.operators.Dedup.minHashLshCandidates]]:
     * each arriving document is banded with the SAME codegen'd

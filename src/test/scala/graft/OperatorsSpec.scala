@@ -506,6 +506,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.count { case (_, s, e, n) => s == 10 && e == 14 && n == 5 } == 2)
   }
 
+  test("span removal drops duplicated regions verbatim, keeps row count stable") {
+    val shared = (0 to 5).map(i => s"w$i").mkString(" ") // span [0,5] in docs 0,1
+    val fx = Seq(
+      (0L, shared + " tail0 a b c d"),
+      (1L, shared + " tail1 e f g h"),
+      (2L, "unique document with no duplicated content at all"),
+      (3L, "p q r s t"), // docs 3/4 identical and fully covered → empty
+      (4L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicatedSpans(fx, k = 5).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2)))).toMap
+    assert(r(0L) == (("tail0 a b c d", 6)))
+    assert(r(1L) == (("tail1 e f g h", 6)))
+    assert(r(2L) == (("unique document with no duplicated content at all", 0)))
+    assert(r(3L) == (("", 5)) && r(4L) == (("", 5)))
+    assert(r.size == 5)
+  }
+
   test("incremental exact dedup: first-id-wins in batch, corpus copies dropped") {
     val corpus = Seq((0L, "seen before"), (1L, "also seen")).toDF("doc_id", "text")
     val batch = Seq(

@@ -73,6 +73,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.values.toSet.subsetOf(Set(1L, 3L)))
   }
 
+  test("streaming incremental dedup drops corpus hits and in-stream dups, keeps novel docs") {
+    val corpus = Seq((100L, "already ingested document"), (101L, "another known text"))
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, Timestamp, String)](spark)
+    stream.addData(
+      (1L, t(0), "a genuinely new document"),
+      (2L, t(1), "already ingested document"), // corpus hit → dropped
+      (3L, t(2), "a genuinely new document"))  // in-stream dup of 1 → dropped
+    val q = StreamingWindows.streamingIncrementalDedup(
+      stream.toDF().toDF("doc_id", "ts", "text"), corpus, "10 minutes")
+      .writeStream.format("memory").queryName("inc_dedup").outputMode("append").start()
+    q.processAllAvailable()
+    // later micro-batch: another corpus hit and one more novel doc
+    stream.addData((4L, t(3), "another known text"), (5L, t(4), "fresh content entirely"))
+    q.processAllAvailable(); q.stop()
+
+    val ids = spark.table("inc_dedup").collect().map(_.getLong(1)).toSet
+    assert(ids == Set(1L, 5L))
+  }
+
   test("streaming minhash candidates match the batch LSH operator on the same corpus") {
     // four docs: 1≈2 (near-dup, one word changed), 4 = exact copy of 1,
     // 3 unrelated — same banding params as the batch call below
