@@ -437,7 +437,10 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(graft.functions.HashFunctions.word_gram_hashes(col("__words"), k)))
       .withColumnRenamed("pos", "start").withColumnRenamed("col", "gram")
-    val hot = pos.select("gram", "doc_id").distinct()
+    // cross-doc gram frequency over [[gramSet]]'s map-side-distinct (doc,
+    // gram) pairs — a .distinct() over the position rows would shuffle the
+    // corpus's entire gram multiset just to deduplicate per doc
+    val hot = gramSet(docs, k)
       .groupBy("gram").agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") >= 2).select("gram")
     // (doc_id, start) is unique (one k-gram per position), so the semi-join

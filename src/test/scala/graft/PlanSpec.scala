@@ -191,8 +191,12 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(plan("q68_neardup_incremental").contains("array_intersect"),
       "q68 verifies candidates on gram arrays")
-    assert(plan("q69_dup_spans").contains("wordgramhashes"),
+    val p69 = plan("q69_dup_spans")
+    assert(p69.contains("wordgramhashes"),
       "q69 positions come from the codegen'd gram-hash array")
+    assert(p69.contains("array_distinct") &&
+      !"HashAggregate\\(keys=\\[gram#\\d+L?, doc_id".r.findFirstIn(p69).isDefined,
+      "q69 gram frequency must dedup per doc map-side, not via a (gram, doc) distinct shuffle")
   }
 
   test("lsh dedup pipeline verifies candidates without a gram self-join") {
