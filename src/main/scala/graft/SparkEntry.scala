@@ -691,6 +691,12 @@ object SparkEntry {
     // stable (untouched docs verbatim, fully-covered docs → empty string)
     "q70_remove_dup_spans" -> ((s, dir) =>
       Dedup.removeDuplicatedSpans(Tables.documents(s, dir), k = 5)),
+
+    // repetition SCRUB mode: occurrence-count ≥ 2 anywhere (a doc repeating
+    // its own content gets spans too — Gopher repetition as removal, not
+    // just the q55 doc-level flag)
+    "q71_selfrep_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(Tables.documents(s, dir), k = 3, crossDocOnly = false)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1068,6 +1074,26 @@ object SparkEntry {
           |SELECT w.doc_id, COALESCE(kept_text, '') AS text_deduped,
           |       CAST(len(ws) - COALESCE(n_kept, 0) AS INT) AS n_removed_tokens
           |FROM w LEFT JOIN kept ON w.doc_id = kept.doc_id""".stripMargin,
+
+      // occurrence-count mode (crossDocOnly=false, k=3): hot grams by TOTAL
+      // occurrences — no DISTINCT doc dedup — so self-repetition qualifies
+      "q71_selfrep_spans" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |g AS (SELECT doc_id, CAST(i AS INT) AS start,
+          |             ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+          |      FROM w, UNNEST(range(0, len(ws)-2)) t(i)),
+          |hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+          |d AS (SELECT doc_id, start FROM g WHERE gram IN (SELECT gram FROM hot)),
+          |f AS (SELECT doc_id, start,
+          |        CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) <= 3
+          |             THEN 0 ELSE 1 END AS gap
+          |      FROM d),
+          |i AS (SELECT doc_id, start,
+          |        sum(gap) OVER (PARTITION BY doc_id ORDER BY start) AS island FROM f)
+          |SELECT doc_id, CAST(min(start) AS INT) AS span_start,
+          |       CAST(max(start) + 2 AS INT) AS span_end,
+          |       CAST(max(start) - min(start) + 3 AS INT) AS n_tokens
+          |FROM i GROUP BY doc_id, island""".stripMargin,
 
       "q55_quality_rules" ->
         """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),

@@ -413,34 +413,40 @@ object Dedup {
 
   /** Exact-substring duplicated-span detection (the span-level sibling of
     * document dedup, after Lee et al. 2022's ExactSubstr): every maximal
-    * token span covered by `k`-grams that occur in ≥ 2 DISTINCT documents.
-    * Output is one row per merged span — (doc_id, span_start, span_end,
-    * n_tokens), 0-based inclusive token positions — ready to drive span
-    * removal or repetition audits.
+    * token span covered by `k`-grams that occur in ≥ 2 DISTINCT documents —
+    * or, with `crossDocOnly = false`, ≥ 2 times ANYWHERE (so a document
+    * repeating its own content also gets spans: the Gopher repetition rules
+    * as a SCRUB rather than a doc-level flag, complementing
+    * [[TextAnalysis.qualityRules]]). Output is one row per merged span —
+    * (doc_id, span_start, span_end, n_tokens), 0-based inclusive token
+    * positions — ready to drive span removal or repetition audits.
     *
     * Pipeline: positions come free from the ORDERED codegen'd gram-hash
     * array (posexplode — no string grams materialize); cross-doc gram
     * frequency is a partial-aggregated groupBy over distinct (gram, doc)
     * pairs (skew-safe: a hot gram ships one row per map partition, the same
-    * posture as the hot-gram guard); duplicated positions then merge into
-    * maximal spans per doc with a gaps-and-islands window — two k-gram hits
-    * at starts p, q belong to one span iff q - p <= k (their token ranges
-    * touch or overlap). Grams travel as 64-bit hashes: only equality
-    * matters, and a collision is vanishing (~n²·2⁻⁶⁴).
+    * posture as the hot-gram guard) — the occurrence-count mode aggregates
+    * the position rows directly, equally partial. Duplicated positions then
+    * merge into maximal spans per doc with a gaps-and-islands window — two
+    * k-gram hits at starts p, q belong to one span iff q - p <= k (their
+    * token ranges touch or overlap). Grams travel as 64-bit hashes: only
+    * equality matters, and a collision is vanishing (~n²·2⁻⁶⁴).
     *
     * 100 TB shape: gram-keyed equi-joins and per-doc windows only — the
     * window partitions by doc_id, so no global sort; nothing quadratic
     * anywhere (contrast [[ngramJaccardPairs]]'s pair join: span detection
     * never forms document PAIRS at all). */
-  def duplicatedSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+  def duplicatedSpans(docs: DataFrame, k: Int = 5,
+      crossDocOnly: Boolean = true): DataFrame = {
     val pos = TextAnalysis.withWords(docs)
       .select(col("doc_id"),
         posexplode(graft.functions.HashFunctions.word_gram_hashes(col("__words"), k)))
       .withColumnRenamed("pos", "start").withColumnRenamed("col", "gram")
     // cross-doc gram frequency over [[gramSet]]'s map-side-distinct (doc,
     // gram) pairs — a .distinct() over the position rows would shuffle the
-    // corpus's entire gram multiset just to deduplicate per doc
-    val hot = gramSet(docs, k)
+    // corpus's entire gram multiset just to deduplicate per doc. The
+    // occurrence-count mode counts the position rows themselves.
+    val hot = (if (crossDocOnly) gramSet(docs, k) else pos)
       .groupBy("gram").agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") >= 2).select("gram")
     // (doc_id, start) is unique (one k-gram per position), so the semi-join
@@ -473,8 +479,9 @@ object Dedup {
     * collected (pos, word) structs) — everything keys on doc_id, nothing
     * quadratic. The rebuild shuffles surviving tokens once; span-heavy
     * corpora shuffle LESS as more is removed. */
-  def removeDuplicatedSpans(docs: DataFrame, k: Int = 5): DataFrame = {
-    val covered = duplicatedSpans(docs, k).select(col("doc_id"),
+  def removeDuplicatedSpans(docs: DataFrame, k: Int = 5,
+      crossDocOnly: Boolean = true): DataFrame = {
+    val covered = duplicatedSpans(docs, k, crossDocOnly).select(col("doc_id"),
       explode(sequence(col("span_start"), col("span_end"))).as("pos"))
     val toks = TextAnalysis.withWords(docs)
       .select(col("doc_id"), posexplode(col("__words")))

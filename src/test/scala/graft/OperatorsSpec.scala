@@ -506,6 +506,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.count { case (_, s, e, n) => s == 10 && e == 14 && n == 5 } == 2)
   }
 
+  test("self-repetition spans: occurrence-count mode flags intra-doc repeats") {
+    val fx = Seq(
+      (0L, "a b c x y z a b c"), // "a b c" twice in the SAME doc
+      (1L, "totally unique content here")
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(fx, k = 3).count() == 0) // no cross-doc dup
+    val self = Dedup.duplicatedSpans(fx, k = 3, crossDocOnly = false).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3))).toSet
+    assert(self == Set((0L, 0, 2, 3), (0L, 6, 8, 3))) // starts 0 and 6, gap > k
+  }
+
   test("span removal drops duplicated regions verbatim, keeps row count stable") {
     val shared = (0 to 5).map(i => s"w$i").mkString(" ") // span [0,5] in docs 0,1
     val fx = Seq(
