@@ -257,21 +257,6 @@ object TextAnalysis {
       coalesce(nRedactions.cast("int"), lit(0)).as("n_redactions"))
   }
 
-  /** Overlapping-window chunking — the RAG/embedding prep counterpart of
-    * [[packSequences]]: each document's token sequence splits into chunks
-    * of `chunkTokens` starting every `chunkTokens - overlap` tokens, so
-    * consecutive chunks share `overlap` tokens of context. Emits one row
-    * per chunk with its 0-based index and actual token count (the last
-    * chunk is usually short).
-    *
-    * Scale shape: tokenize once ([[withWords]]), then a generator
-    * (posexplode over the chunk starts) plus slices — all map-side, no
-    * shuffle; chunk rows inherit the input partitioning, ready for a
-    * downstream embedding UDF or write.
-    *
-    * Null contract: a null-`text` document produces ZERO chunk rows (the
-    * generator has nothing to explode) — filter for nulls upstream if such
-    * documents must be accounted for. */
   /** Corpus vocabulary with frequency statistics — the tokenizer-training /
     * frequency-cutoff stage of a data pipeline: one row per distinct word
     * with its total occurrence count, document frequency, and a dense
@@ -326,6 +311,21 @@ object TextAnalysis {
       .select(col("doc_id"), col("word"), col("tf_idf"), col("rnk"))
   }
 
+  /** Overlapping-window chunking — the RAG/embedding prep counterpart of
+    * [[packSequences]]: each document's token sequence splits into chunks
+    * of `chunkTokens` starting every `chunkTokens - overlap` tokens, so
+    * consecutive chunks share `overlap` tokens of context. Emits one row
+    * per chunk with its 0-based index and actual token count (the last
+    * chunk is usually short).
+    *
+    * Scale shape: tokenize once ([[withWords]]), then a generator
+    * (posexplode over the chunk starts) plus slices — all map-side, no
+    * shuffle; chunk rows inherit the input partitioning, ready for a
+    * downstream embedding UDF or write.
+    *
+    * Null contract: a null-`text` document produces ZERO chunk rows (the
+    * generator has nothing to explode) — filter for nulls upstream if such
+    * documents must be accounted for. */
   def chunkDocuments(docs: DataFrame, chunkTokens: Int = 128, overlap: Int = 32): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     require(overlap >= 0 && overlap < chunkTokens,
