@@ -697,6 +697,23 @@ object SparkEntry {
     // just the q55 doc-level flag)
     "q71_selfrep_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(Tables.documents(s, dir), k = 3, crossDocOnly = false)),
+
+    // interval join (Flink-style): pairs of a user's events within ±10 min,
+    // bucketized into a pure equi-join on (user, time-bucket) — the raw
+    // |Δt| <= d theta condition would plan as a per-key cartesian
+    "q72_interval_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+      operators.AsOfJoin.interval(
+        e, e.select(col("event_id").as("other_id"), col("user_id"), col("us")),
+        leftKey = "user_id", leftTime = "us",
+        rightKey = "user_id", rightTime = "us",
+        tolerance = 600000000L, payload = Seq("other_id"))
+        .filter(col("event_id") =!= col("right_other_id"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("right_other_id").as("other_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1304,6 +1321,14 @@ object SparkEntry {
           |sum(l_quantity) OVER
           |(PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS run_qty
           |FROM lineitem""".stripMargin,
+
+      // ground truth is the plain range join; the operator's bucket
+      // decomposition must reproduce it exactly (inclusive bounds)
+      "q72_interval_join" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us FROM events)
+          |SELECT a.event_id, a.user_id, a.us, b.event_id AS other_id
+          |FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id <> b.event_id
+          | AND abs(a.us - b.us) <= 600000000""".stripMargin,
 
       "q37_events_leadlag" ->
         """SELECT event_id, user_id, event_type, value,

@@ -62,4 +62,46 @@ object AsOfJoin {
     val payloadCols = payload.map(c => col(s"__asof.$c").as(s"asof_$c"))
     carried.select(leftCols ++ payloadCols: _*)
   }
+
+  /** Interval join: every (left, right) pair with equal keys whose times lie
+    * within `tolerance` of each other (|lt − rt| <= tolerance, inclusive) —
+    * the batch form of a Flink-style interval join, for enrichment where
+    * "nearest in time" ([[asOf]]) is too strict and "same key ever" explodes.
+    *
+    * Spark-first formulation: writing the raw `abs(lt − rt) <= d` next to the
+    * key equality makes Catalyst keep the time predicate as a post-join
+    * filter on the key-equi join — a per-key cartesian that dies on hot keys.
+    * Bucketize instead: right rows land in bucket rt div d; any left partner
+    * within d sits in lt div d ± 1, so the left side explodes to its three
+    * candidate buckets and the join is a pure EQUI-join on (key, bucket) with
+    * the exact |Δt| filter applied to candidates only. Cost: 3× left
+    * replication (one extra long per row) + one shuffle per side; candidate
+    * volume tracks rows per (key, time-bucket), never rows per key.
+    *
+    * Times must be non-negative integral (bucket math uses floor division;
+    * both engines agree there only for non-negatives). Right payload columns
+    * come back prefixed `right_`. Self-joins: pass the same frame twice and
+    * filter self-pairs downstream. */
+  def interval(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      tolerance: Long, payload: Seq[String]): DataFrame = {
+    require(tolerance > 0, s"tolerance must be positive, got $tolerance")
+    // integral `div`, not `/`: double division drops low bits past 2^53 —
+    // nanosecond epochs (~1.8e18) would mis-bucket at exactly the boundaries
+    // the equi-join depends on
+    val lb = left.withColumn("__lb",
+      explode(array(Seq(-1L, 0L, 1L).map(off =>
+        expr(s"CAST(`$leftTime` AS BIGINT) div ${tolerance}L") + off): _*)))
+    val rb = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(col(rightKey).as("__rk") +: col(rightTime).cast("long").as("__rt") +:
+        payload.map(c => col(c).as(s"right_$c")): _*)
+      .withColumn("__rb", expr(s"__rt div ${tolerance}L"))
+    lb.join(rb,
+        col(leftKey) === col("__rk") && col("__lb") === col("__rb") &&
+          abs(col(leftTime).cast("long") - col("__rt")) <= tolerance)
+      .drop("__lb", "__rk", "__rt", "__rb")
+  }
 }

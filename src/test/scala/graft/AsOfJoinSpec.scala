@@ -47,4 +47,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
     assert(!p.contains("Join"), "as-of is union+window, not a join")
   }
+
+  test("interval join: inclusive bounds, cross-bucket matches, key isolation") {
+    // tolerance 10: buckets are [0,10), [10,20), ... — t=9 and t=15 sit in
+    // DIFFERENT buckets but are 6 apart (must match via the ±1 exploration);
+    // t=5 and t=15 are exactly tolerance apart (inclusive bound must match);
+    // t=5 and t=16 are 11 apart (must not)
+    val l = Seq((1L, 5L, "a"), (1L, 9L, "b"), (2L, 9L, "c")).toDF("k", "t", "ev")
+    val r = Seq((1L, 15L, "x"), (1L, 16L, "y"), (2L, 100L, "z")).toDF("k", "t", "rv")
+    val out = AsOfJoin.interval(l, r, "k", "t", "k", "t", tolerance = 10L, payload = Seq("rv"))
+      .collect().map(x => (x.getString(2), x.getString(3))).toSet
+    assert(out == Set(
+      ("a", "x"),           // Δ=10, inclusive
+      ("b", "x"), ("b", "y") // Δ=6 cross-bucket, Δ=7
+    ))                       // ("a","y") Δ=11 excluded; key 2 pair Δ=91 excluded
+    // plan: equi-join on (key, bucket), never a cartesian/BNLJ
+    val p = AsOfJoin.interval(l, r, "k", "t", "k", "t", 10L, Seq("rv"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
