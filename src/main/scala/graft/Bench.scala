@@ -98,7 +98,11 @@ object Bench {
     def jmap(kvs: Seq[(String, Double)], fmt: Double => String): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val full = (v: Double) => v.toString
-    val short = (v: Double) => BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // 3-decimal round, then trailing zeros stripped (0.200 → 0.2): the
+    // compact line must stay inside the harness's ~2000-char tail window,
+    // and at 70+ queries every character per entry counts
+    val short = (v: Double) => BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.stripTrailingZeros.toPlainString
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
 
     // candidate-volume instrumentation for the production LSH point (q52) —
