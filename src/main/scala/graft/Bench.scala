@@ -44,7 +44,7 @@ object Bench {
   private val heavyTail = Seq(
     "q21_dedup_ngram_jaccard", "q41_dedup_clusters", "q46_dedup_lsh_clusters",
     "q47_embed_neardup_lsh", "q52_embed_neardup_lsh_prod", "q53_dedup_minhash_prod",
-    "q61_pipeline_e2e")
+    "q61_pipeline_e2e", "q68_neardup_incremental")
 
   /** Sibling directory one decade down: .../sfX → .../sf(X/10), exact
     * decimal arithmetic so 0.1 → 0.01 (not 0.010000000...). None when the
