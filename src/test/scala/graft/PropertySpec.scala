@@ -156,4 +156,87 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("interval join equals the brute-force theta join on random event sets") {
+    // clustered times (mod small range) force bucket-boundary and multi-match
+    // cases; the bucket decomposition must reproduce the naive |Δt| <= d join
+    // EXACTLY for any tolerance
+    val evGen: Gen[(List[(Long, Long, Long)], Long)] = for {
+      n <- Gen.choose(1, 40)
+      tol <- Gen.oneOf(1L, 3L, 7L, 10L)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1L, 3L)
+        t <- Gen.choose(0L, 60L)
+      } yield (k, t))
+    } yield (rows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }, tol)
+    forAll(evGen) { case (rows, tol) =>
+      val df = rows.toDF("id", "k", "t")
+      val got = operators.AsOfJoin.interval(
+        df, df.select($"id".as("oid"), $"k", $"t"),
+        "k", "t", "k", "t", tol, Seq("oid"))
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      val exp = (for {
+        (i1, k1, t1) <- rows; (i2, k2, t2) <- rows
+        if k1 == k2 && math.abs(t1 - t2) <= tol
+      } yield (i1, i2)).toSet
+      assert(got == exp, s"tolerance $tol")
+    }
+  }
+
+  test("span removal conserves tokens for any corpus and both modes") {
+    // kept tokens + removed count == total tokens, removed tokens are exactly
+    // the duplicated-span positions, and every doc_id survives
+    val docsGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, 10)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 25)
+        ws <- Gen.listOfN(len, Gen.oneOf("p", "q", "r", "s", "t"))
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAll(docsGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      for (crossOnly <- Seq(true, false)) {
+        val spans = operators.Dedup.duplicatedSpans(df, k = 3, crossOnly).collect()
+          .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).groupBy(_._1)
+        val out = operators.Dedup.removeDuplicatedSpans(df, k = 3, crossOnly).collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+        assert(out.keySet == docs.map(_._1).toSet) // row count stable
+        docs.foreach { case (id, text) =>
+          val n = text.split(" ").length
+          val covered = spans.getOrElse(id, Array.empty).map(_._2)
+            .flatMap { case (s, e) => s to e }.toSet
+          val (kept, removed) = out(id)
+          assert(removed == covered.size, s"doc $id mode $crossOnly")
+          val keptN = if (kept.isEmpty) 0 else kept.split(" ").length
+          assert(keptN + removed == n, s"doc $id mode $crossOnly: $keptN + $removed != $n")
+        }
+      }
+    }
+  }
+
+  test("incremental dedup survivor invariants on random batches") {
+    // survivors are pairwise-distinct texts, none present in the corpus, and
+    // each is the LOWEST id among its batch duplicates; every novel batch
+    // text has exactly one survivor
+    val gen: Gen[(List[String], List[String])] = for {
+      cn <- Gen.choose(1, 8)
+      corpus <- Gen.listOfN(cn, Gen.oneOf("t1", "t2", "t3", "t4"))
+      bn <- Gen.choose(1, 15)
+      batch <- Gen.listOfN(bn, Gen.oneOf("t1", "t2", "t3", "n1", "n2", "n3"))
+    } yield (corpus, batch)
+    forAll(gen) { case (corpusTexts, batchTexts) =>
+      val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val batch = batchTexts.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text")
+      val got = operators.Dedup.dedupAgainstCorpus(batch, corpus).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val novel = batchTexts.distinct.filterNot(corpusTexts.contains)
+      assert(got.values.toSeq.sorted == novel.sorted) // one survivor per novel text
+      got.foreach { case (id, t) =>
+        val firstId = 100L + batchTexts.indexOf(t)
+        assert(id == firstId, s"survivor of '$t' must be the lowest batch id")
+      }
+    }
+  }
 }
