@@ -81,6 +81,19 @@ object SparkEntry {
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
   }
 
+  /** Derived fixture for the normalization-aware dedup (q75): every third
+    * document gains a SHOUTY copy — upper-cased with trailing punctuation —
+    * which byte-exact dedup would keep but [[TextAnalysis.normalizeText]]
+    * collapses back onto its original. upper/lower and `||` are ASCII-exact
+    * in both engines, so the fixture derives bit-for-bit. */
+  private[graft] def shoutyDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    base.unionAll(base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(upper(col("text")), lit(" !!")).as("text")))
+  }
+
   /** Derived "new crawl" batch for the incremental EXACT dedup run (q67):
     *  - fresh docs (doc_id % 4 == 1 → +1M): corpus text + ' fresh <id>' —
     *    novel content (the corpus never contains the word 'fresh'), survive;
@@ -714,7 +727,32 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("us"),
           col("right_other_id").as("other_id"))
     }),
+
+    // SemDeDup on the derived fixture that plants real semantic duplicates:
+    // exact copies (cos 1.0) and mixed copies (cos ≈ 0.995) both clear the
+    // 0.99 threshold and land in their original's cluster, so the pruning
+    // actually fires; corpus background pairs sit at cos ≈ 0.5, far from
+    // the rounding boundary
+    "q73_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(derivedEmbeddings(s, dir), nClusters = 8, threshold = 0.99)),
+
+    // BM25 top-10 per query term over the documents corpus
+    "q74_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Scores(Tables.documents(s, dir), bm25Terms)),
+
+    // normalization-aware exact dedup on the shouty fixture — upper-cased,
+    // re-punctuated copies collapse onto their originals' normalized key
+    "q75_normalized_dedup" -> ((s, dir) =>
+      TextAnalysis.normalizedDedup(shoutyDocuments(s, dir))),
+
+    // corpus-level top-20 word bigrams by exact count
+    "q76_top_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNgrams(Tables.documents(s, dir), n = 2, k = 20)),
   )
+
+  /** Query terms for the BM25 retrieval query (q74) — mid-frequency corpus
+    * words so df spreads across the range instead of saturating at N. */
+  private val bm25Terms = Seq("spark", "vector", "window", "merge", "scan")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check.
@@ -1347,5 +1385,78 @@ object SparkEntry {
           |SELECT event_id, user_id, event_type, new_session,
           |CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS INT) AS session_id
           |FROM f""".stripMargin,
+
+      // SemDeDup ground truth: same anchor assignment as q66 (tie toward the
+      // LARGER centroid id), then the within-cluster lower-id-neighbor prune
+      "q73_semantic_dedup" ->
+        s"""WITH $derivedEmbSql,
+          |c AS (SELECT vec_id AS centroid_id, embedding AS cv
+          |      FROM d ORDER BY vec_id LIMIT 8),
+          |s AS (SELECT e.vec_id, c.centroid_id,
+          |        round(list_cosine_similarity(e.embedding, c.cv), 6) AS ccos
+          |      FROM d e CROSS JOIN c),
+          |a AS (SELECT vec_id, centroid_id,
+          |        row_number() OVER (PARTITION BY vec_id
+          |                           ORDER BY ccos DESC, centroid_id DESC) AS rn
+          |      FROM s),
+          |asg AS (SELECT vec_id, centroid_id AS cluster_id FROM a WHERE rn = 1),
+          |m AS (SELECT asg.vec_id, asg.cluster_id, d.embedding
+          |      FROM asg JOIN d USING (vec_id)),
+          |drp AS (SELECT DISTINCT x.vec_id
+          |        FROM m x JOIN m y ON x.cluster_id = y.cluster_id
+          |          AND y.vec_id < x.vec_id
+          |          AND round(list_cosine_similarity(x.embedding, y.embedding), 6) >= 0.99)
+          |SELECT vec_id, cluster_id FROM asg
+          |WHERE vec_id NOT IN (SELECT vec_id FROM drp)""".stripMargin,
+
+      // BM25: exact integer tf/df/dl/N, one exact division for avgdl, the
+      // ln rounds to 6 (q60's cross-engine ulp policy); expression text
+      // mirrors the Spark operand order so double association is identical
+      "q74_bm25" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM t),
+          |corp AS (SELECT count(*) AS n_docs,
+          |           sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+          |         FROM (SELECT doc_id, len(ws) AS dl FROM t)),
+          |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+          |       WHERE term IN ('spark', 'vector', 'window', 'merge', 'scan')
+          |       GROUP BY 1, 2, 3),
+          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |-- float literals are ::DOUBLE-pinned: bare 0.5 is DECIMAL in
+          |-- DuckDB and (bigint - bigint + DECIMAL) math diverges from
+          |-- Spark's double arithmetic
+          |s AS (SELECT term, doc_id,
+          |        round(ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+          |              * tf::DOUBLE * 2.2::DOUBLE
+          |              / (tf::DOUBLE + 1.2::DOUBLE *
+          |                 (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl::DOUBLE / avgdl)),
+          |              6) AS score
+          |      FROM tf JOIN df USING (term), corp),
+          |r AS (SELECT term, doc_id, score,
+          |        CAST(row_number() OVER (PARTITION BY term
+          |                                ORDER BY score DESC, doc_id) AS INT) AS rnk
+          |      FROM s)
+          |SELECT term, doc_id, score, rnk FROM r WHERE rnk <= 10""".stripMargin,
+
+      "q75_normalized_dedup" ->
+        """WITH d AS (SELECT doc_id, text FROM documents
+          |           UNION ALL
+          |           SELECT doc_id + 10000000, upper(text) || ' !!'
+          |           FROM documents WHERE doc_id % 3 = 0),
+          |k AS (SELECT doc_id,
+          |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+          |                            ' +', ' ', 'g')) AS norm
+          |      FROM d)
+          |SELECT md5(norm) AS norm_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+          |FROM k GROUP BY 1""".stripMargin,
+
+      "q76_top_ngrams" ->
+        """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+          |g AS (SELECT ws[i] || ' ' || ws[i+1] AS gram
+          |      FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+          |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1)
+          |SELECT gram, cnt,
+          |  CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS INT) AS rnk
+          |FROM c QUALIFY rnk <= 20""".stripMargin,
     )
 }

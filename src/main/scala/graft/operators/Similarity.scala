@@ -278,22 +278,76 @@ object Similarity {
     * perCluster rows per upstream partition. */
   def clusterBalancedSample(emb: DataFrame, nClusters: Int = 8,
       perCluster: Int = 10): DataFrame = {
-    val anchors = emb.orderBy("vec_id").limit(nClusters)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-      .select(col("centroid_id"), col("cv"), norm(col("cv")).as("cn"))
-    val corpus = withNorm(emb, "1")
-    val ccos = round(dot(col("v1"), col("cv")) / (col("n1") * col("cn")), 6)
-    val assigned = corpus.join(broadcast(anchors))
-      .withColumn("ccos", ccos)
-      .groupBy(col("id1").as("vec_id"))
-      .agg(max_by(struct(col("centroid_id"), col("ccos")), struct(col("ccos"), col("centroid_id")))
-        .as("m"))
-      .select(col("vec_id"), col("m.centroid_id").as("cluster_id"), col("m.ccos").as("cos_sim"))
+    val assigned = assignToAnchors(emb, nClusters)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id").orderBy(col("cos_sim").desc, col("vec_id"))
     assigned.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= perCluster)
       .select("cluster_id", "vec_id", "cos_sim", "rnk")
+  }
+
+  /** Nearest-anchor assignment shared by [[clusterBalancedSample]] and
+    * [[semanticDedup]]: anchors are the `nClusters` lowest-`vec_id` vectors
+    * (deterministic and SQL-reproducible, unlike a seeded k-means — swap in
+    * [[ivfTopK]]'s Lloyd centroids for production quality; the assignment
+    * shape is identical). Anchors broadcast; `max_by` partial-aggregates so
+    * the assignment shuffle carries (vec_id, cluster, cosine) — never the
+    * vectors. Ties in rounded cosine break toward the LARGER anchor id,
+    * matching [[ivfTopK]]'s convention. */
+  private[graft] def assignToAnchors(emb: DataFrame, nClusters: Int): DataFrame = {
+    val anchors = emb.orderBy("vec_id").limit(nClusters)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      .select(col("centroid_id"), col("cv"), norm(col("cv")).as("cn"))
+    val corpus = withNorm(emb, "1")
+    val ccos = round(dot(col("v1"), col("cv")) / (col("n1") * col("cn")), 6)
+    corpus.join(broadcast(anchors))
+      .withColumn("ccos", ccos)
+      .groupBy(col("id1").as("vec_id"))
+      .agg(max_by(struct(col("centroid_id"), col("ccos")), struct(col("ccos"), col("centroid_id")))
+        .as("m"))
+      .select(col("vec_id"), col("m.centroid_id").as("cluster_id"), col("m.ccos").as("cos_sim"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic deduplication
+    * by clustering then within-cluster cosine pruning: assign every vector to
+    * its nearest anchor, then inside each cluster drop any vector that has a
+    * LOWER-`vec_id` cluster-mate at cosine ≥ `threshold` (first-id-wins, the
+    * same deterministic keep rule as the exact-dedup operators). Survivors
+    * are `(vec_id, cluster_id)`.
+    *
+    * Compared to the global near-dup operators ([[nearDupPairs]],
+    * [[lshNearDupPairs]]) this trades recall ACROSS cluster boundaries for a
+    * pairwise step that is an equi-join on `cluster_id` — the paper's point:
+    * semantic duplicates co-locate in embedding space, so clustering first
+    * bounds the quadratic term by the largest cluster, not the corpus. At
+    * 100 TB you raise `nClusters` so clusters stay executor-sized (the paper
+    * uses 50k clusters for LAION); the pairwise join shape is unchanged.
+    *
+    * 100 TB shape: anchors broadcast; both pairwise sides shuffle once on
+    * `cluster_id` (vectors shuffle here by necessity — the exact distances
+    * need them); the dropped-id set is DISTINCT'd before a left_anti join
+    * that carries only (vec_id, cluster_id). The assignment result is
+    * cached — it feeds three consumers (both pairwise sides and the final
+    * anti-join) and is 16 bytes/row, so recomputing the argmax three times
+    * would triple the dominant cost for no memory savings. */
+  def semanticDedup(emb: DataFrame, nClusters: Int = 8,
+      threshold: Double = 0.99): DataFrame = {
+    val assigned = assignToAnchors(emb, nClusters)
+      .select(col("vec_id"), col("cluster_id")).cache()
+    val vecs = withNorm(emb, "1")
+    val members = assigned.join(vecs, col("vec_id") === col("id1"))
+      .select(col("cluster_id"), col("vec_id"), col("v1"), col("n1"))
+    val lower = members.select(col("cluster_id").as("c2"), col("vec_id").as("id2"),
+      col("v1").as("v2"), col("n1").as("n2"))
+    val cos = round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6)
+    // equi-key first, then the cheap id predicate, then the dot product —
+    // the conjunction short-circuits (same ordering rationale as
+    // nearDupPairs); Catalyst extracts cluster_id = c2 as the hash-join key
+    val dropped = members.join(lower,
+        col("cluster_id") === col("c2") && col("id2") < col("vec_id") && cos >= threshold)
+      .select(col("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster_id"))
   }
 
   /** Symmetric per-vector int8 quantization — the storage-compression stage

