@@ -21,9 +21,10 @@ import org.apache.spark.sql.SparkSession
   * OUTPUT CONTRACT — the harness that invokes this keeps only the last
   * ~2000 characters of the build output and parses ONE JSON line out of
   * them, so the line printed LAST is the compact required record
-  * ({"metric","value","unit","queries","sf"}, times rounded to 3 decimals,
-  * ~1.7 KB for 61 queries) emitted AFTER spark.stop() so no executor
-  * shutdown logging can land after it. The full-fidelity record — full
+  * ({"metric","value","unit","queries","sf"}, per-query precision adapts
+  * 3 → 2 → 1 decimals so the line stays under ~1900 chars as the query
+  * count grows) emitted AFTER spark.stop() so no executor shutdown logging
+  * can land after it. The full-fidelity record — full
   * precision, per-query "spread", the "lsh_prod" candidate-volume
   * instrumentation, the "heavy_tail" cross-SF re-run — is written to
   * BENCH_FULL.json in the working directory and also printed earlier on
@@ -98,11 +99,6 @@ object Bench {
     def jmap(kvs: Seq[(String, Double)], fmt: Double => String): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val full = (v: Double) => v.toString
-    // 3-decimal round, then trailing zeros stripped (0.200 → 0.2): the
-    // compact line must stay inside the harness's ~2000-char tail window,
-    // and at 70+ queries every character per entry counts
-    val short = (v: Double) => BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-      .underlying.stripTrailingZeros.toPlainString
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
 
     // candidate-volume instrumentation for the production LSH point (q52) —
@@ -157,11 +153,24 @@ object Bench {
     // can print after it and push it out of the harness's tail window. stop()
     // is fallible (executor shutdown hiccups) — the contract line must print
     // regardless, so it lives in the finally.
-    val compact = s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":${
-      jmap(results.map { case (k, v, _) => k -> v }, short)},"errors":$errJson,"sf":"$sfDir"}"""
+    //
+    // ADAPTIVE PRECISION: the tail window also holds sbt's trailing
+    // "[success] ..." line (~65 chars), so the record must stay ≤ ~1900
+    // chars or its HEAD gets cut and the JSON is unparseable. At 76 queries
+    // a 3-decimal map is ~1960 chars — so precision degrades 3 → 2 → 1
+    // decimals until the line fits. Full precision is always in
+    // BENCH_FULL.json; the compact line is the parse-of-record, not the
+    // analysis-of-record.
+    def shortAt(dp: Int)(v: Double): String =
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros.toPlainString
+    def compactAt(dp: Int): String =
+      s"""{"metric":"total","value":${shortAt(3)(total)},"unit":"sec","queries":${
+        jmap(results.map { case (k, v, _) => k -> v }, shortAt(dp))},"errors":$errJson,"sf":"$sfDir"}"""
+    val compact = (3 to 1 by -1).map(compactAt).find(_.length <= 1900).getOrElse(compactAt(1))
     if (compact.length > 1900)
-      System.err.println(s"[bench] WARNING: compact record is ${compact.length} chars — " +
-        "approaching the harness's ~2000-char tail window; trim query names or precision")
+      System.err.println(s"[bench] WARNING: compact record is ${compact.length} chars even at " +
+        "1-decimal precision — the harness's ~2000-char tail window will truncate it")
     try {
       spark.sparkContext.setLogLevel("ERROR")
       spark.stop()
