@@ -94,6 +94,23 @@ object SparkEntry {
         concat(upper(col("text")), lit(" !!")).as("text")))
   }
 
+  /** Derived fixture for the edit-distance fuzzy dedup (q78): suffix-edited
+    * copies at distance 4 (` xyz`, inside maxDist=8) and distance 11
+    * (` abcdefghij`, outside it); both edits sit past the 12-char block
+    * prefix so the pairs co-block. Pure ASCII concatenation — derives
+    * bit-for-bit on both engines. */
+  private[graft] def editedDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    base
+      .unionAll(base.filter(col("doc_id") % 6 === 1)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" xyz")).as("text")))
+      .unionAll(base.filter(col("doc_id") % 6 === 2)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(col("text"), lit(" abcdefghij")).as("text")))
+  }
+
   /** Derived "new crawl" batch for the incremental EXACT dedup run (q67):
     *  - fresh docs (doc_id % 4 == 1 → +1M): corpus text + ' fresh <id>' —
     *    novel content (the corpus never contains the word 'fresh'), survive;
@@ -748,6 +765,33 @@ object SparkEntry {
     // corpus-level top-20 word bigrams by exact count
     "q76_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(Tables.documents(s, dir), n = 2, k = 20)),
+
+    // kNN graph at FULL probe (nProbe = nCells) for a 10% query subset —
+    // exact, so the brute-force SQL oracle applies; the production probe
+    // point (nProbe=4) is recall-pinned in OperatorsSpec. The blocked
+    // equi-join plan shape is what PlanSpec pins — identical at any nProbe.
+    "q77_knn_graph" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Similarity.knnGraph(Tables.embeddings(s, dir), k = 5,
+        nCells = 16, nProbe = 16, queryPred = col("vec_id") % 10 === 0)
+    }),
+
+    // edit-distance fuzzy pairs on the suffix-edited fixture: ' xyz' copies
+    // (distance 4) pair with their originals; ' abcdefghij' copies
+    // (distance 11) stay out at maxDist=8; both preserve the block prefix
+    "q78_fuzzy_pairs" -> ((s, dir) =>
+      Dedup.fuzzyDupPairs(editedDocuments(s, dir), maxDist = 8, blockChars = 12)),
+
+    // GROUPING SETS — the general form of q34's rollup / q44's cube
+    "q79_grouping_sets" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+    }),
   )
 
   /** Query terms for the BM25 retrieval query (q74) — mid-frequency corpus
@@ -1458,5 +1502,41 @@ object SparkEntry {
           |SELECT gram, cnt,
           |  CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS INT) AS rnk
           |FROM c QUALIFY rnk <= 20""".stripMargin,
+
+      // full-probe kNN graph == exact brute force, so the ground truth is
+      // the plain top-k window over the (sampled queries × corpus) cosines
+      "q77_knn_graph" ->
+        """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+          |           FROM embeddings WHERE vec_id % 10 = 0),
+          |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+          |s AS (SELECT q_id, n_id,
+          |        round(list_cosine_similarity(qv, nv), 6) AS cos_sim
+          |      FROM q CROSS JOIN c WHERE q_id <> n_id),
+          |r AS (SELECT q_id, n_id, cos_sim,
+          |        CAST(row_number() OVER (PARTITION BY q_id
+          |                                ORDER BY cos_sim DESC, n_id) AS INT) AS rnk
+          |      FROM s)
+          |SELECT q_id, n_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+      // ground truth mirrors the operator's prefix-blocking contract (the
+      // recall trade IS the contract, as with the LSH oracles)
+      "q78_fuzzy_pairs" ->
+        """WITH d AS (SELECT doc_id, text FROM documents
+          |           UNION ALL
+          |           SELECT doc_id + 10000000, text || ' xyz'
+          |           FROM documents WHERE doc_id % 6 = 1
+          |           UNION ALL
+          |           SELECT doc_id + 20000000, text || ' abcdefghij'
+          |           FROM documents WHERE doc_id % 6 = 2),
+          |k AS (SELECT doc_id, text, substr(text, 1, 12) AS bk FROM d)
+          |SELECT a.doc_id AS id1, b.doc_id AS id2,
+          |  CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+          |FROM k a JOIN k b ON a.bk = b.bk AND a.doc_id < b.doc_id
+          |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin,
+
+      "q79_grouping_sets" ->
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))""".stripMargin,
     )
 }

@@ -259,6 +259,58 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos_sim"), col("rnk"))
   }
 
+  /** Approximate kNN GRAPH — top-k neighbors for every query vector (all
+    * vectors, or the subset passing `queryPred`) via the same IVF cell
+    * blocking as [[ivfTopK]], but with a query side that SCALES WITH THE
+    * CORPUS: probes join corpus cells by an equi-join on the cell id
+    * (never broadcast — [[ivfTopK]] broadcasts its few queries; a graph's
+    * queries are the corpus). Candidate volume is n·nProbe/nCells of the
+    * quadratic all-pairs cost; recall < 1.0 when nProbe < nCells (a true
+    * neighbor can live in an unprobed cell — OperatorsSpec pins the
+    * full-probe == brute-force equality and the production-probe recall).
+    *
+    * The graph feeds graph-based diversity/dedup passes (connected
+    * components over `cos_sim >= t` edges reuses [[graft.operators.Dedup]]'s
+    * pointer-doubling CC verbatim).
+    *
+    * 100 TB shape: centroids broadcast twice (assignment + probe ranking,
+    * both map-side); one shuffle keys the corpus by cell, one keys the
+    * probes by cell; the rerank window partial-prunes via WindowGroupLimit.
+    * Tie-breaks match [[ivfTopK]]: probe ranking toward the LARGER cent_id
+    * (mirroring the assignment argmax), rerank by (cos desc, n_id). */
+  def knnGraph(emb: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      queryPred: Column = lit(true)): DataFrame = {
+    val cents = emb
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      .withColumn("h", xxhash64(col("cent_id")))
+      .orderBy(col("h"), col("cent_id")).limit(nCells).drop("h")
+      .select(col("cent_id"), col("cv"), norm(col("cv")).as("cn"))
+    val corpus = withNorm(emb, "1")
+      .select(col("id1").as("n_id"), col("v1").as("nv"), col("n1").as("nn"))
+    val assigned = corpus.join(broadcast(cents))
+      .withColumn("ccos", round(dot(col("nv"), col("cv")) / (col("nn") * col("cn")), 6))
+      .groupBy("n_id")
+      .agg(max_by(col("cent_id"), struct(col("ccos"), col("cent_id"))).as("cell"))
+    val corpusCells = corpus.join(assigned, "n_id")
+    val queries = withNorm(emb.filter(queryPred), "2")
+      .select(col("id2").as("q_id"), col("v2").as("qv"), col("n2").as("qn"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("pcos").desc, col("cent_id").desc)
+    val probes = queries.join(broadcast(cents))
+      .withColumn("pcos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    corpusCells.join(probes, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos_sim", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos_sim"), col("rnk"))
+  }
+
   /** Cluster-balanced sampling — the semantic-diversity selection stage of
     * an embedding pipeline: assign every vector to its nearest of `nClusters`
     * anchor vectors (the lowest-`vec_id` rows — deterministic and

@@ -629,4 +629,40 @@ class OperatorsSpec extends AnyFunSuite {
     // "a b": 2 (doc0) + 1 (doc1) = 3; "b a": 1 + 1 = 2; doc2 too short
     assert(r.toSeq == Seq((1, "a b", 3L), (2, "b a", 2L)))
   }
+
+  private lazy val knnFx = Seq(
+    (0L, Array(1f, 0f)), (1L, Array(0.95f, 0.31f)), (2L, Array(0.7f, 0.71f)),
+    (3L, Array(0.31f, 0.95f)), (4L, Array(0f, 1f)), (5L, Array(0f, 1f))
+  ).toDF("vec_id", "embedding")
+
+  test("knn graph at full probe equals brute force for every query") {
+    val g = Similarity.knnGraph(knnFx, k = 2, nCells = 3, nProbe = 3).collect()
+      .map(x => (x.getLong(0), x.getInt(3)) -> x.getLong(1)).toMap
+    val bf = Similarity.bruteForceTopK(knnFx, Seq(0L, 1L, 2L, 3L, 4L, 5L), k = 2)
+      .collect().map(x => (x.getLong(0), x.getInt(3)) -> x.getLong(1)).toMap
+    assert(g == bf)
+    assert(g.keySet.map(_._1) == Set(0L, 1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("knn graph at nProbe=1 still pairs exact duplicates (matched tie-breaks)") {
+    // 4 and 5 are identical: same cell by construction, so even a single
+    // probe must surface the twin as the nearest neighbor (cos 1.0)
+    val g = Similarity.knnGraph(knnFx, k = 1, nCells = 3, nProbe = 1).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(g(4L) == ((5L, 1.0)))
+    assert(g(5L) == ((4L, 1.0)))
+  }
+
+  test("fuzzy pairs: suffix edits within distance pair up; prefix edits are missed by contract") {
+    val fx = Seq(
+      (0L, "aaaa bbbb cccc dddd"),
+      (1L, "aaaa bbbb cccc dddd xyz"), // +4 suffix chars vs 0
+      (2L, "aaaa bbbb cccc eeee"), // 4 substitutions vs 0; 8 vs 1
+      (3L, "zzzz different prefix"),
+      (4L, "Xaaa bbbb cccc dddd") // distance 1 from 0 but the edit breaks the block
+    ).toDF("doc_id", "text")
+    val r = Dedup.fuzzyDupPairs(fx, maxDist = 8, blockChars = 12).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(2)).toMap
+    assert(r == Map((0L, 1L) -> 4, (0L, 2L) -> 4, (1L, 2L) -> 8))
+  }
 }

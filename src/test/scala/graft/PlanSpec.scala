@@ -249,6 +249,22 @@ class PlanSpec extends AnyFunSuite {
       "shuffle input must not carry the text column")
   }
 
+  test("knn graph: cell-blocked equi-join, no cartesian, assignment argmax partial") {
+    val p = plan("q77_knn_graph")
+    assert(!p.contains("CartesianProduct"))
+    assert("Join \\[cell#\\d+L?\\], \\[cell#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      "candidates must come from an equi-join on the cell id")
+    assert(p.contains("partial_max_by"),
+      "cell assignment must be a map-side argmax")
+  }
+
+  test("fuzzy pairs: prefix-block equi-join, never a corpus-quadratic join") {
+    val p = plan("q78_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert("Join \\[bk#\\d+\\], \\[bk#\\d+\\]".r.findFirstIn(p).isDefined,
+      "candidates must come from an equi-join on the block key")
+  }
+
   test("top ngrams: counts partial-aggregate map-side, top-k prunes below the window") {
     val p = plan("q76_top_ngrams")
     assert(p.contains("partial_count"), "gram counts must map-side combine")
