@@ -792,6 +792,30 @@ object SparkEntry {
           col("l_returnflag"), col("l_linestatus"))
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
     }),
+
+    // salted skew-join: semantically a plain inner join (the oracle), with
+    // the hot-key spread plan shape pinned in PlanSpec
+    "q80_salted_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"), col("o_totalprice"))
+      SkewSafe.saltedJoin(li, o, "l_orderkey", saltBuckets = 8,
+        saltSource = "l_linenumber")
+    }),
+
+    // three-stage ordered funnel over the events stream; times in
+    // MICROseconds (ts div 1000) — DuckDB timestamps are µs-precision, so
+    // raw-ns reach times can never hash-match (same idiom as q72/q38)
+    "q81_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      operators.Funnel.funnel(e, stages = Seq("view", "click", "purchase"),
+        timeCol = "us")
+    }),
   )
 
   /** Query terms for the BM25 retrieval query (q74) — mid-frequency corpus
@@ -1538,5 +1562,35 @@ object SparkEntry {
         """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
           |FROM lineitem
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))""".stripMargin,
+
+      // the salt is distribution-only — ground truth is the plain inner join
+      "q80_salted_join" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_totalprice
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+      // chained running-min windows, one per stage; the same (user, (us,
+      // event_id)) order as the operator, reach times in microseconds
+      "q81_funnel" ->
+        """WITH e AS (SELECT user_id, event_id, event_type,
+          |             epoch_ns(ts) // 1000 AS us FROM events),
+          |r0 AS (SELECT user_id, event_id, event_type, us,
+          |         min(CASE WHEN event_type = 'view' THEN us END)
+          |           OVER (PARTITION BY user_id ORDER BY us, event_id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
+          |       FROM e),
+          |r1 AS (SELECT user_id, event_id, event_type, us, a,
+          |         min(CASE WHEN event_type = 'click' AND a IS NOT NULL THEN us END)
+          |           OVER (PARTITION BY user_id ORDER BY us, event_id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b
+          |       FROM r0),
+          |r2 AS (SELECT user_id, event_id, us, a, b,
+          |         min(CASE WHEN event_type = 'purchase' AND b IS NOT NULL THEN us END)
+          |           OVER (PARTITION BY user_id ORDER BY us, event_id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          |       FROM r1)
+          |SELECT user_id, min(a) AS t1, min(b) AS t2, min(c) AS t3,
+          |  CASE WHEN min(c) IS NOT NULL THEN 3 WHEN min(b) IS NOT NULL THEN 2
+          |       WHEN min(a) IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
+          |FROM r2 GROUP BY user_id""".stripMargin,
     )
 }

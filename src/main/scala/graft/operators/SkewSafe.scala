@@ -86,4 +86,32 @@ object SkewSafe {
           .cast(valueType))
       .drop((keys :+ chunkCol).map(k => s"__$k") :+ "__offset": _*)
   }
+
+  /** Salted equi-join for a skewed FACT key against a dim table too large
+    * to broadcast: the fact side salts each row into one of `saltBuckets`
+    * sub-keys (deterministic hash of `saltSource`, so reruns place rows
+    * identically), the dim side replicates each row across ALL buckets,
+    * and the join runs on (key, salt) — a hot fact key spreads over
+    * `saltBuckets` reducers instead of serializing into one.
+    *
+    * Semantically identical to `fact.join(dim, key)` (inner); the salt
+    * never survives into the output. Cost: dim shuffles ×`saltBuckets` —
+    * worth it exactly when the hot key's single-task time exceeds the
+    * replicated dim shuffle. AQE's skew-join split handles MODERATE skew
+    * without any of this; explicit salting is for the pathological key
+    * (think 40% of 100 TB on one key) where even a split task inherits the
+    * whole build side, and for engines/joins AQE won't split (e.g. the
+    * build side of a shuffled hash join, or pre-AQE checkpoints).
+    *
+    * `dim` must carry the join key under the SAME name as `fact`. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltBuckets: Int = 8, saltSource: String = null): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    val src = if (saltSource == null) key else saltSource
+    val fs = fact.withColumn("__salt",
+      pmod(xxhash64(col(src)), lit(saltBuckets)).cast("int"))
+    val ds = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    fs.join(ds, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -665,4 +665,37 @@ class OperatorsSpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(2)).toMap
     assert(r == Map((0L, 1L) -> 4, (0L, 2L) -> 4, (1L, 2L) -> 8))
   }
+
+  test("salted join equals the plain inner join on a skewed key") {
+    val fact = Seq.tabulate(40)(i => (if (i < 30) 1L else i.toLong, i.toLong))
+      .toDF("k", "payload") // 75% of rows on key 1
+    val dim = Seq((1L, "hot"), (31L, "cold"), (99L, "unmatched")).toDF("k", "name")
+    val salted = SkewSafe.saltedJoin(fact, dim, "k", saltBuckets = 4, saltSource = "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val plain = fact.join(dim, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq && salted.length == 31)
+  }
+
+  test("funnel: ordered stage semantics — out-of-order events don't count") {
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, 1L, "view", 10L), (2L, 1L, "click", 20L), (3L, 1L, "purchase", 30L),
+      // user 2: purchase BEFORE the click — stage stops at 2 even though
+      // all three types occur (no second purchase after the click)
+      (4L, 2L, "view", 10L), (5L, 2L, "purchase", 20L), (6L, 2L, "click", 30L),
+      // user 3: click/purchase without any view — stage 0
+      (7L, 3L, "click", 10L), (8L, 3L, "purchase", 20L),
+      // user 4: view only
+      (9L, 4L, "view", 10L)
+    ).toDF("event_id", "user_id", "event_type", "us")
+    val r = operators.Funnel.funnel(ev, Seq("view", "click", "purchase"), timeCol = "us")
+      .collect().map(x => x.getLong(0) ->
+        ((if (x.isNullAt(1)) -1L else x.getLong(1), if (x.isNullAt(2)) -1L else x.getLong(2),
+          if (x.isNullAt(3)) -1L else x.getLong(3), x.getInt(4)))).toMap
+    assert(r(1L) == ((10L, 20L, 30L, 3)))
+    assert(r(2L) == ((10L, 30L, -1L, 2)))
+    assert(r(3L) == ((-1L, -1L, -1L, 0)))
+    assert(r(4L) == ((10L, -1L, -1L, 1)))
+  }
 }

@@ -265,6 +265,29 @@ class PlanSpec extends AnyFunSuite {
       "candidates must come from an equi-join on the block key")
   }
 
+  test("salted join spreads the hot key: both sides exchange on (key, salt)") {
+    // sf0.001 orders is broadcast-small which would bypass the layout under
+    // test; at the operating point neither side broadcasts
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q80_salted_join")
+      assert("Exchange hashpartitioning\\(l_orderkey#\\d+L, __salt#\\d+".r.findFirstIn(p).isDefined,
+        "the join must key on (l_orderkey, __salt) so a hot orderkey spreads across buckets")
+      // the bucket sequence constant-folds to a literal array, so assert the
+      // Generate node (dim-side replication) rather than the folded expr text
+      assert("Generate explode\\([^\n]*\\[l_orderkey#\\d+L, o_custkey".r.findFirstIn(p).isDefined,
+        "the dim side must replicate across all salt buckets")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("funnel: one shuffle for all stages; the reduction reuses the window partitioning") {
+    val p = plan("q81_funnel")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "chained stage windows + final groupBy must share ONE user_id exchange")
+    assert(!p.contains("Join"), "funnel must not plan stage self-joins")
+  }
+
   test("top ngrams: counts partial-aggregate map-side, top-k prunes below the window") {
     val p = plan("q76_top_ngrams")
     assert(p.contains("partial_count"), "gram counts must map-side combine")
