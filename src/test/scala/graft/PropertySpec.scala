@@ -239,4 +239,80 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("funnel matches a sequential per-user reference on random event streams") {
+    val stages = Seq("view", "click", "purchase")
+    val gen: Gen[List[(Long, Long, String, Long)]] = for {
+      n <- Gen.choose(1, 30)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 3L)
+        tp <- Gen.oneOf("view", "click", "purchase", "error", "signup")
+        ts <- Gen.choose(0L, 9L) // small range forces timestamp ties
+      } yield (u, tp, ts))
+    } yield evs.zipWithIndex.map { case ((u, tp, ts), i) => (i.toLong, u, tp, ts) }
+    forAll(gen) { evs =>
+      val got = operators.Funnel
+        .funnel(evs.toDF("event_id", "user_id", "event_type", "us"), stages, timeCol = "us")
+        .collect().map(r => r.getLong(0) ->
+          ((Seq(1, 2, 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))), r.getInt(4))))
+        .toMap
+      val expected = evs.groupBy(_._2).map { case (u, rows) =>
+        val reach = Array.fill[Option[Long]](stages.size)(None)
+        rows.sortBy(e => (e._4, e._1)).foreach { case (_, _, tp, ts) =>
+          val i = stages.indexOf(tp)
+          if (i >= 0 && reach(i).isEmpty && (i == 0 || reach(i - 1).isDefined))
+            reach(i) = Some(ts)
+        }
+        u -> ((reach.toSeq, reach.lastIndexWhere(_.isDefined) + 1))
+      }
+      assert(got == expected)
+    }
+  }
+
+  test("salted join equals the plain join for any salt bucket count") {
+    val gen: Gen[(List[(Long, Long)], List[(Long, String)], Int)] = for {
+      fn <- Gen.choose(1, 30)
+      fact <- Gen.listOfN(fn, Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 99L)))
+      dn <- Gen.choose(1, 6)
+      dim <- Gen.listOfN(dn, Gen.zip(Gen.choose(1L, 7L), Gen.oneOf("x", "y")))
+      buckets <- Gen.choose(1, 5)
+    } yield (fact, dim, buckets)
+    forAll(gen) { case (fact, dimRows, buckets) =>
+      val f = fact.toDF("k", "payload")
+      // dedup dim keys: saltedJoin's contract mirrors a dimension table
+      val d = dimRows.toMap.toSeq.toDF("k", "name")
+      val salted = operators.SkewSafe.saltedJoin(f, d, "k", buckets, "payload")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      val plain = f.join(d, "k")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(salted == plain)
+    }
+  }
+
+  test("fuzzy pairs match a reference Levenshtein over co-blocked pairs") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val word = Gen.oneOf("aa", "ab", "ba", "ccc")
+    val gen: Gen[List[String]] = for {
+      n <- Gen.choose(2, 12)
+      docs <- Gen.listOfN(n, Gen.listOfN(4, word).map(_.mkString(" ")))
+    } yield docs
+    forAll(gen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = operators.Dedup.fuzzyDupPairs(docs.toDF("doc_id", "text"),
+          maxDist = 3, blockChars = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      val exp = (for {
+        x <- docs; y <- docs
+        if x._1 < y._1 && x._2.take(4) == y._2.take(4) && lev(x._2, y._2) <= 3
+      } yield (x._1, y._1, lev(x._2, y._2))).sorted
+      assert(got == exp)
+    }
+  }
 }
