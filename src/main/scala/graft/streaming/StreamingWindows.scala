@@ -144,6 +144,76 @@ case class CandidatePair(doc1: Long, doc2: Long)
 /** Per-(band, band_key) bucket state: doc_ids seen inside the horizon. */
 case class BandBucketState(seen: Array[Long])
 
+/** Input row for the streaming funnel. */
+case class FunnelEvent(event_id: Long, user_id: Long, event_type: String,
+    ts: java.sql.Timestamp)
+/** Buffered per-user funnel state: (event_id, ms, type) triples within the
+  * watermark horizon — type strings are small and bounded by the stage
+  * vocabulary; ids/times are two longs per event. */
+case class FunnelBuffer(ids: Array[Long], ms: Array[Long], types: Array[String])
+/** One funnel result per user, emitted when the user goes idle past the
+  * horizon: reach times (ms epoch, null = stage not reached) and the
+  * deepest stage index. */
+case class FunnelReach(user_id: Long, reach_ms: Seq[Option[Long]], funnel_stage: Int)
+
+/** Streaming ordered funnel — the ingest-time analogue of
+  * [[graft.operators.Funnel.funnel]]: events buffer per user inside the
+  * watermark horizon and the funnel evaluates ONCE, when the user goes
+  * idle past it (event-time timeout). Buffering is what makes the result
+  * EXACT under out-of-order arrival: a late view that precedes an
+  * already-seen click still counts, because nothing is evaluated until the
+  * watermark guarantees no earlier event can arrive. Evaluation sorts the
+  * buffer by (time, event_id) and applies the same sequential
+  * qualifies-after-previous-stage rule as the batch operator —
+  * StreamingSpec pins parity against `Funnel.funnel` on the same events.
+  * Times are epoch MILLIseconds (java.sql.Timestamp precision).
+  *
+  * State per user is the in-horizon event triples — proportional to the
+  * funnel window, not stream history; idle users evict at timeout. */
+object StreamingFunnel {
+  def apply(events: Dataset[FunnelEvent], stages: Seq[String],
+      idleTimeout: String = "1 hour"): Dataset[FunnelReach] = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"stages must be non-empty and distinct: $stages")
+    import events.sparkSession.implicits._
+    events.toDF()
+      .withWatermark("ts", idleTimeout)
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuffer, FunnelReach](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelBuffer]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            val order = buf.ids.indices.sortBy(i => (buf.ms(i), buf.ids(i)))
+            val reach = Array.fill[Option[Long]](stages.size)(None)
+            order.foreach { i =>
+              val s = stages.indexOf(buf.types(i))
+              if (s >= 0 && reach(s).isEmpty && (s == 0 || reach(s - 1).isDefined))
+                reach(s) = Some(buf.ms(i))
+            }
+            Iterator.single(
+              FunnelReach(userId, reach.toSeq, reach.lastIndexWhere(_.isDefined) + 1))
+          } else {
+            val prev = state.getOption.getOrElse(
+              FunnelBuffer(Array.empty, Array.empty, Array.empty))
+            val ids = Array.newBuilder[Long]; val ms = Array.newBuilder[Long]
+            val tps = Array.newBuilder[String]
+            var maxMs = Long.MinValue
+            rows.foreach { e =>
+              ids += e.event_id; ms += e.ts.getTime; tps += e.event_type
+              maxMs = math.max(maxMs, e.ts.getTime)
+            }
+            state.update(FunnelBuffer(prev.ids ++ ids.result(),
+              prev.ms ++ ms.result(), prev.types ++ tps.result()))
+            if (maxMs != Long.MinValue) state.setTimeoutTimestamp(maxMs, idleTimeout)
+            Iterator.empty
+          }
+      }
+  }
+}
+
 /** Input row for the custom-state operator. */
 case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 /** Emitted when a user's running total crosses a threshold (once per cross). */

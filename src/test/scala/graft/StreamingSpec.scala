@@ -158,6 +158,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batched && streamed == Map(1L -> false, 2L -> true))
   }
 
+  test("streaming funnel buffers out-of-order events; eviction result matches batch funnel") {
+    val stream = MemoryStream[FunnelEvent](spark)
+    // user 1 arrives OUT OF ORDER: click+purchase first, the view (earliest
+    // event time) only in the second micro-batch — still inside the horizon
+    stream.addData(FunnelEvent(2, 1, "click", t(5)), FunnelEvent(3, 1, "purchase", t(7)))
+    val q = StreamingFunnel(stream.toDS(), Seq("view", "click", "purchase"),
+      idleTimeout = "10 minutes")
+      .writeStream.format("memory").queryName("sfunnel").outputMode("append").start()
+    q.processAllAvailable()
+    stream.addData(FunnelEvent(1, 1, "view", t(0)))
+    q.processAllAvailable()
+    assert(spark.table("sfunnel").count() == 0, "nothing emits before the horizon passes")
+    // far-future events push the watermark past user 1's idle timeout (the
+    // timeout fires in the batch AFTER the watermark advances)
+    stream.addData(FunnelEvent(9, 2, "view", t(50)))
+    q.processAllAvailable()
+    stream.addData(FunnelEvent(10, 2, "view", t(51)))
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("sfunnel").as[FunnelReach].collect()
+    assert(rows.toSeq == Seq(FunnelReach(1,
+      Seq(Some(t(0).getTime), Some(t(5).getTime), Some(t(7).getTime)), 3)))
+    // exact parity with the batch operator on the same (reordered) events
+    val batchRow = operators.Funnel.funnel(
+      Seq((2L, 1L, "click", t(5).getTime), (3L, 1L, "purchase", t(7).getTime),
+        (1L, 1L, "view", t(0).getTime)).toDF("event_id", "user_id", "event_type", "ms"),
+      Seq("view", "click", "purchase"), timeCol = "ms").collect().head
+    assert(Seq(batchRow.getLong(1), batchRow.getLong(2), batchRow.getLong(3)) ==
+      rows.head.reach_ms.map(_.get) && batchRow.getInt(4) == rows.head.funnel_stage)
+  }
+
   test("threshold alerts fire once per user at the crossing event") {
     val stream = MemoryStream[UserEvent](spark)
     stream.addData(
