@@ -805,6 +805,36 @@ object SparkEntry {
         saltSource = "l_linenumber")
     }),
 
+    // per-group winsorization at exact 5/95 percentiles — the outlier-clip
+    // data-cleaning stage; bounds attach via the window-free skew-safe
+    // partition aggregate (no WindowExec sort), clip is a map-side
+    // least/greatest. Percentile interpolation parity with quantile_cont is
+    // q07's established result.
+    "q82_winsorize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+      SkewSafe.partitionAgg(li, Seq("l_returnflag"), Seq(
+          "q_lo" -> expr("percentile(l_quantity, 0.05)"),
+          "q_hi" -> expr("percentile(l_quantity, 0.95)")))
+        .withColumn("q_clipped", least(greatest(col("l_quantity"), col("q_lo")), col("q_hi")))
+        .withColumn("was_clipped",
+          col("l_quantity") < col("q_lo") || col("l_quantity") > col("q_hi"))
+    }),
+
+    // fixed-width histogram on integer cents — float prices convert to
+    // exact cents first (round(x*100): 2-decimal values land within an ulp
+    // of an integer, so both engines round identically), then pure integer
+    // division bins; min/max are order-insensitive so doubles are safe
+    "q83_histogram" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.orders(s, dir)
+        .select(col("o_totalprice"), round(col("o_totalprice") * 100).cast("long").as("__cents"))
+        .groupBy(expr("__cents div 5000000").as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"), max(col("o_totalprice")).as("max_price"))
+    }),
+
     // three-stage ordered funnel over the events stream; times in
     // MICROseconds (ts div 1000) — DuckDB timestamps are µs-precision, so
     // raw-ns reach times can never hash-match (same idiom as q72/q38)
@@ -1567,6 +1597,23 @@ object SparkEntry {
       "q80_salted_join" ->
         """SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_totalprice
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+      "q82_winsorize" ->
+        """WITH b AS (SELECT l_returnflag AS rf,
+          |             quantile_cont(l_quantity, 0.05) AS q_lo,
+          |             quantile_cont(l_quantity, 0.95) AS q_hi
+          |           FROM lineitem GROUP BY 1)
+          |SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, q_lo, q_hi,
+          |  least(greatest(l_quantity, q_lo), q_hi) AS q_clipped,
+          |  (l_quantity < q_lo OR l_quantity > q_hi) AS was_clipped
+          |FROM lineitem JOIN b ON l_returnflag = rf""".stripMargin,
+
+      "q83_histogram" ->
+        """WITH c AS (SELECT o_totalprice,
+          |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+          |SELECT cents // 5000000 AS bucket, count(*) AS n_orders,
+          |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+          |FROM c GROUP BY 1""".stripMargin,
 
       // chained running-min windows, one per stage; the same (user, (us,
       // event_id)) order as the operator, reach times in microseconds

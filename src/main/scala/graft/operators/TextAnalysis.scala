@@ -353,7 +353,8 @@ object TextAnalysis {
     * Determinism: tf, df, dl, N are exact integers; avgdl is one exact
     * integer division; the single `ln` rounds to 6 decimals (the same ulp
     * policy q60's lmScore established across engines). Rank ties break by
-    * doc_id.
+    * doc_id. A term absent from the whole corpus produces NO output rows
+    * (df = 0 never materializes) rather than zero-score rows.
     *
     * 100 TB shape: one tokenize pass; the tf aggregation shuffles only
     * (doc_id, term, count) for matching terms — the term filter prunes

@@ -200,14 +200,16 @@ object StreamingFunnel {
               FunnelBuffer(Array.empty, Array.empty, Array.empty))
             val ids = Array.newBuilder[Long]; val ms = Array.newBuilder[Long]
             val tps = Array.newBuilder[String]
-            var maxMs = Long.MinValue
             rows.foreach { e =>
               ids += e.event_id; ms += e.ts.getTime; tps += e.event_type
-              maxMs = math.max(maxMs, e.ts.getTime)
             }
-            state.update(FunnelBuffer(prev.ids ++ ids.result(),
-              prev.ms ++ ms.result(), prev.types ++ tps.result()))
-            if (maxMs != Long.MinValue) state.setTimeoutTimestamp(maxMs, idleTimeout)
+            val next = FunnelBuffer(prev.ids ++ ids.result(),
+              prev.ms ++ ms.result(), prev.types ++ tps.result())
+            state.update(next)
+            // timeout from the max over the WHOLE buffer, not this batch —
+            // a batch of only older (in-horizon) events must never pull an
+            // already-set timeout backward and evict the user early
+            if (next.ms.nonEmpty) state.setTimeoutTimestamp(next.ms.max, idleTimeout)
             Iterator.empty
           }
       }
