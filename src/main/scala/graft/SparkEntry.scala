@@ -111,6 +111,18 @@ object SparkEntry {
           concat(col("text"), lit(" abcdefghij")).as("text")))
   }
 
+  /** Derived SKEWED source labeling for temperature mixing (q84): the
+    * natural `source` column is uniform (τ-sampling would be a no-op), so
+    * docs relabel 50% big / 37.5% mid / 12.5% small by doc_id residues —
+    * identical CASE semantics in both engines. */
+  private[graft] def skewedSources(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, "big")
+        .when(col("doc_id") % 8 === 3, "small")
+        .otherwise("mid").as("source"))
+  }
+
   /** Derived "new crawl" batch for the incremental EXACT dedup run (q67):
     *  - fresh docs (doc_id % 4 == 1 → +1M): corpus text + ' fresh <id>' —
     *    novel content (the corpus never contains the word 'fresh'), survive;
@@ -834,6 +846,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           min(col("o_totalprice")).as("min_price"), max(col("o_totalprice")).as("max_price"))
     }),
+
+    // temperature mixing on the derived skewed relabeling (natural sources
+    // are uniform — τ-sampling would be a no-op); τ=0.5 halves the big
+    // source's share advantage: keep(big) = (n_small/n_big)^0.5
+    "q84_temperature_mix" -> ((s, dir) =>
+      operators.Sampling.temperatureMix(skewedSources(s, dir), tau = 0.5)),
 
     // three-stage ordered funnel over the events stream; times in
     // MICROseconds (ts div 1000) — DuckDB timestamps are µs-precision, so
@@ -1597,6 +1615,22 @@ object SparkEntry {
       "q80_salted_join" ->
         """SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_totalprice
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+      // keep fraction rounds to 6 decimals BEFORE the 1/65536 quantization
+      // (pow can differ by an ulp across engines; the ratios in q59 could not)
+      "q84_temperature_mix" ->
+        """WITH d AS (SELECT doc_id,
+          |             CASE WHEN doc_id % 2 = 0 THEN 'big'
+          |                  WHEN doc_id % 8 = 3 THEN 'small'
+          |                  ELSE 'mid' END AS source FROM documents),
+          |c AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+          |w AS (SELECT source, n, pow(n::DOUBLE, 0.5::DOUBLE) AS pw FROM c),
+          |t AS (SELECT min(n / pw) AS t_total FROM w),
+          |thr AS (SELECT source, CAST(ceil(round(t_total * pw / n, 6) * 65536) AS BIGINT) AS thr
+          |        FROM w CROSS JOIN t)
+          |SELECT doc_id, d.source
+          |FROM d JOIN thr USING (source)
+          |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT < thr""".stripMargin,
 
       "q82_winsorize" ->
         """WITH b AS (SELECT l_returnflag AS rf,

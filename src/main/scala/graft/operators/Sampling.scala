@@ -77,4 +77,32 @@ object Sampling {
       .filter(hashBucket16(key).cast("long") < col("__thr"))
       .drop("__w", "__thr")
   }
+
+  /** Temperature-based source mixing — the τ-weighted rebalancing used for
+    * multilingual / multi-domain training mixtures: target share ∝ n_s^τ,
+    * so τ = 1 keeps natural proportions and τ → 0 approaches uniform.
+    * Downsampling-only (same most-constrained rule as [[mixSources]]): with
+    * τ < 1 the SMALLEST source keeps everything and source s keeps
+    * (n_min/n_s)^(1−τ) of its rows.
+    *
+    * The keep fraction passes through round(·, 6) BEFORE the 1/65536
+    * quantization: unlike mixSources' exact integer ratios, pow() can
+    * differ by an ulp across engines, and the 6-decimal round absorbs that
+    * before any ceil boundary (the repo-wide float policy). Same scale
+    * shape as mixSources: tiny count aggregate, broadcast thresholds,
+    * map-side filter. */
+  def temperatureMix(df: DataFrame, tau: Double, sourceCol: String = "source",
+      key: Column = col("doc_id")): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", pow(col("__n").cast("double"), tau))
+    val total = counts.agg(min(col("__n") / col("__w")).as("__t"))
+    val thresholds = counts.crossJoin(broadcast(total))
+      .withColumn("__thr",
+        ceil(round(col("__t") * col("__w") / col("__n"), 6) * 65536).cast("long"))
+      .select(col(sourceCol), col("__thr"))
+    df.join(broadcast(thresholds), sourceCol)
+      .filter(hashBucket16(key).cast("long") < col("__thr"))
+      .drop("__thr")
+  }
 }

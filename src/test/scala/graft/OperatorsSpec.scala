@@ -238,6 +238,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dropped == Set("a"))
   }
 
+  test("temperature mix: smallest source keeps all; τ flattens shares as (n_min/n_s)^(1-τ)") {
+    import org.apache.spark.sql.functions._
+    // 64 big / 16 small: τ=0.5 → keep(big) = (16/64)^0.5 = 0.5 exactly
+    val df = ((0 until 64).map(i => (i.toLong, "big")) ++
+      (100 until 116).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val kept = Sampling.temperatureMix(df, tau = 0.5)
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 16L, "smallest source keeps every row")
+    // big targets 32 of 64; md5 buckets are uniform but finite
+    assert(kept("big") >= 24L && kept("big") <= 40L, s"got ${kept("big")}")
+    // τ=1 keeps natural proportions — every source keeps everything
+    val natural = Sampling.temperatureMix(df, tau = 1.0)
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(natural == Map("big" -> 64L, "small" -> 16L))
+  }
+
   test("lm score: hand-computed unigram log-probs, rare-word docs score lower") {
     // corpus: "a" ×3, "b" ×1 → total 4, vocab 2; smoothed p(a) = 4/6,
     // p(b) = 2/6 (add-1)
