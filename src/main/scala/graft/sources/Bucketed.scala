@@ -44,4 +44,52 @@ object Bucketed {
     require(partitionCols.nonEmpty, "partitioned write needs at least one partition column")
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
+
+  /** Z-ORDER (Morton-curve) layout — the third write-time lever, for
+    * MULTI-column range predicates where partitioning (one low-cardinality
+    * column) and bucketing (equi-join keys) don't fit: rows sort by the
+    * bit-interleaving of their columns' quantile-bucket ranks, so rows close
+    * in EVERY z-column cluster into the same files/row-groups and a
+    * predicate on ANY subset of them skips most row-groups via parquet
+    * min/max stats. A plain sort clusters only its leading column — the
+    * trailing columns' per-file spans stay ~100% (ZOrderSpec measures
+    * exactly this against the z-ordered layout).
+    *
+    * Normalization is quantile-based (Delta/Iceberg practice): 2^bits − 1
+    * cut points per column from one `approxQuantile` pass (driver-held,
+    * ~KBs — embedded as literals, no broadcast state), so skewed columns
+    * still spread across the full bucket range. Per row the bucket is a
+    * codegen'd count-of-bounds-below fold; the z-key is a pure bit
+    * interleave. One range repartition + in-partition sort writes the
+    * layout — the same shuffle a plain global sort would pay. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      bits: Int = 8, outFiles: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    require(zCols.size >= 2, "z-ordering needs at least two columns (use a plain sort for one)")
+    require(bits >= 1 && bits * zCols.size <= 63, s"bits * nCols must fit a long, got $bits × ${zCols.size}")
+    val n = 1 << bits
+    val buckets = zCols.map { c =>
+      val cuts = df.stat.approxQuantile(c, (1 until n).map(_.toDouble / n).toArray, 0.001)
+        .distinct // repeated quantiles on skewed data would double-count a bound
+      val bounds = array(cuts.map(lit): _*)
+      val raw = aggregate(transform(bounds, b => (col(c) > b).cast("long")), lit(0L), _ + _)
+      // rescale to the FULL bit range: a low-cardinality column yields few
+      // distinct cuts, and an unscaled 0..m bucket would leave the HIGH
+      // interleave bits constant — the file split (top z bits) would then
+      // cluster only the high-cardinality columns. Integer-exact for these
+      // magnitudes; order-preserving.
+      if (cuts.isEmpty) lit(0L) else floor(raw * (n - 1) / cuts.length).cast("long")
+    }
+    val zkey = (0 until bits).foldLeft(lit(0L)) { (acc, bit) =>
+      buckets.zipWithIndex.foldLeft(acc) { case (a, (bc, ci)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(bc, bit).bitwiseAND(lit(1L)), bit * zCols.size + ci))
+      }
+    }
+    df.withColumn("__z", zkey)
+      .repartitionByRange(outFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Bucketed
+
+/** The z-order layout's value proposition, measured: after writing, every
+  * file's min/max span must be SMALL on BOTH z-columns (that's what lets
+  * parquet row-group stats skip I/O for predicates on either column), where
+  * a plain single-column sort leaves the trailing column's per-file span at
+  * ~the full range. */
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def avgSpan(dir: String, col0: String): Double = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length >= 4, s"expected several output files, got ${files.length}")
+    val global = spark.read.parquet(dir)
+      .agg(min(col0).cast("double"), max(col0).cast("double")).head()
+    val width = global.getDouble(1) - global.getDouble(0)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col0).cast("double"), max(col0).cast("double")).head()
+      (r.getDouble(1) - r.getDouble(0)) / width
+    }
+    spans.sum / spans.length
+  }
+
+  test("z-order clusters BOTH columns; a plain sort leaves the trailing one unclustered") {
+    val li = sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val zDir = "/tmp/graft_zorder_test"
+    val sDir = "/tmp/graft_sorted_test"
+    Bucketed.writeZOrdered(li, zDir, Seq("l_partkey", "l_suppkey"), bits = 8, outFiles = 8)
+    li.repartitionByRange(8, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(sDir)
+
+    // identical content, different layout
+    assert(spark.read.parquet(zDir).count() == li.count())
+
+    val zPart = avgSpan(zDir, "l_partkey"); val zSupp = avgSpan(zDir, "l_suppkey")
+    val sPart = avgSpan(sDir, "l_partkey"); val sSupp = avgSpan(sDir, "l_suppkey")
+    // the single-column sort nails its leading column...
+    assert(sPart < 0.35, s"sorted layout should cluster l_partkey, span $sPart")
+    // ...but leaves the trailing column at ~full range per file
+    assert(sSupp > 0.85, s"sorted layout can't cluster l_suppkey, span $sSupp")
+    // z-order clusters BOTH well below the unclustered baseline
+    assert(zPart < 0.75, s"z-order span on l_partkey: $zPart")
+    assert(zSupp < 0.75, s"z-order span on l_suppkey: $zSupp")
+    assert(zSupp < sSupp - 0.1, "z-order must beat the sort on the trailing column")
+  }
+}
