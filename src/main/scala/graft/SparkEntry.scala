@@ -847,6 +847,32 @@ object SparkEntry {
           min(col("o_totalprice")).as("min_price"), max(col("o_totalprice")).as("max_price"))
     }),
 
+    // semi/anti joins — existence filtering without materializing the probe
+    // side's columns (the build side reduces to distinct keys map-side);
+    // here: customers WITH an urgent order and customers WITHOUT any order
+    "q85_semi_anti_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val any = Tables.orders(s, dir).select(col("o_custkey"))
+      c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("status", lit("has_urgent"))
+        .unionAll(c.join(any, col("c_custkey") === col("o_custkey"), "left_anti")
+          .withColumn("status", lit("no_orders")))
+    }),
+
+    // pivot (crosstab): wide per-group columns from the l_returnflag domain
+    "q86_pivot" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity")))
+        .select(col("l_linestatus"), col("A").as("qty_a"), col("N").as("qty_n"),
+          col("R").as("qty_r"))
+    }),
+
     // temperature mixing on the derived skewed relabeling (natural sources
     // are uniform — τ-sampling would be a no-op); τ=0.5 halves the big
     // source's share advantage: keep(big) = (n_small/n_big)^0.5
@@ -1615,6 +1641,22 @@ object SparkEntry {
       "q80_salted_join" ->
         """SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_totalprice
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+      "q85_semi_anti_join" ->
+        """SELECT c_custkey, c_mktsegment, 'has_urgent' AS status FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+          |UNION ALL
+          |SELECT c_custkey, c_mktsegment, 'no_orders' AS status FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+      // portable crosstab spelling (conditional aggregation == PIVOT)
+      "q86_pivot" ->
+        """SELECT l_linestatus,
+          |  sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_a,
+          |  sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
+          |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
+          |FROM lineitem GROUP BY l_linestatus""".stripMargin,
 
       // keep fraction rounds to 6 decimals BEFORE the 1/65536 quantization
       // (pow can differ by an ulp across engines; the ratios in q59 could not)
