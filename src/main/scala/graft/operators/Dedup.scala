@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup by content hash: one row per distinct `textCol` value with
     * the smallest doc_id as the canonical keeper and the duplicate count.
     * MD5 (128-bit) over the raw text; collision probability is negligible
@@ -46,6 +48,26 @@ object Dedup {
   private def gramSet(docs: DataFrame, n: Int): DataFrame =
     gramArrays(docs, n).select(col("doc_id"), explode(col("grams")).as("gram"))
 
+  /** Unguarded-at-scale warning: the exact pairwise path (maxDocFrequency
+    * = 1.0, guard off) has a Θ(Σ df²) gram self-join that stopword grams
+    * dominate at corpus scale. Above this input size the production route
+    * is [[minHashLshPairs]] at its measured operating point (32 hashes,
+    * 8 bands × 4 rows — the q53 configuration, oracle-verified), with this
+    * exact path reserved for verifying LSH candidates or sub-threshold
+    * corpora. Returns the warning text so the policy is unit-testable
+    * without capturing logs. */
+  private[graft] val unguardedWarnBytes: Long = 4L << 30
+  private[graft] def unguardedScaleWarning(
+      sizeInBytes: BigInt, maxDocFrequency: Double): Option[String] =
+    if (maxDocFrequency >= 1.0 && sizeInBytes > unguardedWarnBytes)
+      Some(s"ngramJaccardPairs with the hot-gram guard OFF (maxDocFrequency=1.0) on a " +
+        s"~${sizeInBytes / (1L << 30)} GiB input: the gram self-join grows with the square " +
+        "of per-gram document frequency and stopword grams will dominate at this scale. " +
+        "Pass maxDocFrequency < 1 (e.g. 0.01) to drop ubiquitous grams, or use " +
+        "minHashLshPairs(numHashes=32, bands=8) — the verified production configuration — " +
+        "and reserve this exact path for verifying its candidates.")
+    else None
+
   /** EXACT n-gram Jaccard near-duplicate pairs: all (doc1 < doc2) with
     * |grams1 ∩ grams2| / |grams1 ∪ grams2| >= threshold.
     *
@@ -60,39 +82,47 @@ object Dedup {
     * documents' gram SETS before any pairing (standard near-dup practice —
     * ubiquitous grams carry no dedup signal), and Jaccard is computed over
     * the reduced sets — a deliberate semantic change, so the default 1.0
-    * keeps the guard off and the exact map-side-count path intact. */
+    * keeps the guard off and the exact map-side-count path intact. At scale
+    * prefer the guard on, or [[minHashLshPairs]] outright (see
+    * [[unguardedScaleWarning]], logged when the guard is off above ~4 GiB). */
   def ngramJaccardPairs(
       docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
       maxDocFrequency: Double = 1.0): DataFrame = {
-    val (grams, counts) =
-      if (maxDocFrequency >= 1.0)
-        // per-doc set size straight off the distinct array — map-side, no agg
-        (gramSet(docs, n),
-          gramArrays(docs, n).select(col("doc_id"), size(col("grams")).cast("long").as("n_grams")))
+    unguardedScaleWarning(docs.queryExecution.optimizedPlan.stats.sizeInBytes, maxDocFrequency)
+      .foreach(m => log.warn(m))
+    val arrays =
+      if (maxDocFrequency >= 1.0) gramArrays(docs, n)
       else {
-        val nDocs = docs.count()
+        // The guard needs per-gram document frequency, so the gram arrays
+        // get FOUR consumers (df probe + pair self-join ×2 + per-doc
+        // counts): cache the one compact projection they share — ~16
+        // bytes/gram of hashes, no text — instead of tokenizing the corpus
+        // four times. One job (count) sizes the corpus and warms the cache.
+        val arrays0 = gramArrays(docs, n).cache()
+        val nDocs = arrays0.count()
         // SKEW-SAFE document frequency: groupBy(gram) partial-aggregates
         // map-side, so a hot gram ships one row per map partition into the
         // shuffle — NOT its full occurrence list into one task (a
         // window-over-gram would do exactly that, concentrating the hottest
         // gram's rows on a single straggler at corpus scale — the very
-        // blowup this guard exists to prevent). The hot set is tiny by
-        // construction (grams above f·nDocs), so the removal is a broadcast
-        // anti-join: map-side, no shuffle of the gram set at all.
-        val all = gramSet(docs, n).cache()
-        val hot = broadcast(all.groupBy("gram").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFrequency * nDocs).select("gram"))
-        val kept = all.join(hot, Seq("gram"), "left_anti").cache()
-        // materialize the surviving set NOW (this path already runs eager
-        // jobs — docs.count above), then release the full-set cache
-        // deterministically instead of leaking it to LRU; `kept` stays
-        // cached for its three consumers (pair self-join ×2, per-doc
-        // counts) — callers running many guarded corpora in one session
-        // should spark.catalog.clearCache() between runs.
-        kept.count()
-        all.unpersist(blocking = false)
-        (kept, kept.groupBy("doc_id").agg(count(lit(1)).as("n_grams")))
+        // blowup this guard exists to prevent). The hot set is BOUNDED BY
+        // CONSTRUCTION at avg-grams-per-doc / f rows independent of corpus
+        // size (Σ df = total gram occurrences, each hot gram has df >
+        // f·nDocs), so it collects to the driver and the removal happens
+        // map-side inside each document's gram ARRAY — no second pass over
+        // the exploded set, no anti-join shuffle. Callers running many
+        // guarded corpora in one session should clearCache() between runs.
+        val hot = arrays0.select(explode(col("grams")).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFrequency * nDocs)
+          .select("gram").collect().map(_.getLong(0))
+        if (hot.isEmpty) arrays0
+        else arrays0.select(col("doc_id"),
+          array_except(col("grams"), typedLit(hot.toSeq)).as("grams"))
       }
+    // per-doc set size straight off the (reduced) array — map-side, no agg
+    val grams = arrays.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val counts = arrays.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
     val inter = grams.as("g1")
       .join(grams.as("g2"), col("g1.gram") === col("g2.gram") && col("g1.doc_id") < col("g2.doc_id"))
       .groupBy(col("g1.doc_id").as("doc1"), col("g2.doc_id").as("doc2"))

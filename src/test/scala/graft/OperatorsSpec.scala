@@ -84,6 +84,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full((1L, 3L)) > 0)               // ...which the unguarded run reports
   }
 
+  test("unguarded-scale warning: guard-off above 4 GiB warns toward MinHash, guard-on or small stays silent") {
+    assert(Dedup.unguardedScaleWarning(BigInt(5L << 30), 1.0).exists(_.contains("minHashLshPairs")))
+    assert(Dedup.unguardedScaleWarning(BigInt(5L << 30), 0.01).isEmpty)
+    assert(Dedup.unguardedScaleWarning(BigInt(1L << 30), 1.0).isEmpty)
+  }
+
   test("salted two-phase accumulate equals unsalted engine ACCUMULATE on a skewed key") {
     import org.apache.spark.sql.functions.{col, expr}
     // hot key with 400 rows (tied order values via i/3), cold key with 10;

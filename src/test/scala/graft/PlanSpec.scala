@@ -110,21 +110,27 @@ class PlanSpec extends AnyFunSuite {
       "q53 verifies candidates on gram arrays, not a gram self-join")
   }
 
-  test("hot-gram guard is skew-safe: partial-agg df, broadcast anti-join, cached reuse") {
-    // the guarded path (q54): document frequency must partial-aggregate
-    // map-side (a window over gram would funnel a hot gram's entire
-    // occurrence list into one task — the blowup the guard prevents), hot
-    // grams must remove via a BROADCAST anti-join (no shuffle of the gram
-    // set), and every downstream read of the surviving set must hit the
-    // cache. (Plan STRINGS repeat the cached child plan under every
-    // InMemoryTableScan, so count IMTS nodes, not "Scan parquet".)
+  test("hot-gram guard is skew-safe: map-side array_except removal, cached gram arrays") {
+    // the guarded path (q54): document frequency partial-aggregates in an
+    // eager driver-side probe whose hot set is bounded by construction
+    // (avg-grams-per-doc / f, corpus-size independent), then hot grams are
+    // removed INSIDE each document's gram array with array_except against
+    // the collected literal — the main query has no df window (a window
+    // over gram would funnel a hot gram's entire occurrence list into one
+    // task, the blowup the guard prevents), no anti-join, and no second
+    // pass over the exploded gram set; every consumer of the gram arrays
+    // reads the one cached compact projection. (Plan STRINGS repeat the
+    // cached child plan under every InMemoryTableScan, so count IMTS
+    // nodes, not "Scan parquet".)
     val p = plan("q54_dedup_jaccard_guarded")
     assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
-      "every consumer of the surviving gram set must read the cache")
+      "every consumer of the gram arrays must read the cache")
     assert(!p.contains("windowspecdefinition(gram#"),
       "df must not come from a window over gram (hot-gram single-task skew)")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      "hot-gram removal must be a broadcast anti-join")
+    assert(!p.contains("LeftAnti"),
+      "hot-gram removal is map-side (array_except), not an anti-join")
+    assert(p.contains("array_except"),
+      "hot grams drop inside the per-doc array against the collected hot set")
   }
 
   test("quality rules are a pure map-side projection (no shuffle)") {
