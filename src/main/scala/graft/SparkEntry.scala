@@ -81,6 +81,55 @@ object SparkEntry {
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
   }
 
+  /** Derived fixture that makes the HASH-SEED-DEPENDENT banded-MinHash
+    * estimate (q22) oracle-comparable: the corpus's own near-duplicates
+    * (the only pairs whose slot agreement sits at hash-dependent
+    * intermediate values) are removed FIRST, then exact text copies
+    * (doc_id % 5 == 0 → +10M) plant the pair set — identical signatures,
+    * slot agreement exactly 16/16, found by any banding with certainty, so
+    * the TRUE result is a pure function of the construction and an
+    * exact-SQL oracle reproduces it.
+    *
+    * Near-dup membership comes from the production LSH→verify pipeline
+    * (16 one-row bands, exact-Jaccard verify at 0.5) — equal to the exact
+    * ≥0.5 pair set on this corpus (q46's probe-verified completeness
+    * argument: all true pairs sit at j ≥ 0.8 where the 16-band miss
+    * probability is ≤ 6.5e-12, and the j-gap [0.14, 0.8] leaves nothing
+    * near the threshold). The oracle recomputes the same membership with
+    * the exact all-pairs gram join. Remaining background pairs sit at
+    * 3-gram j ≤ 0.14, where an est ≥ 0.4 collision needs 7/16 matching
+    * slots (p ≈ 1e-6/pair — probed zero background hits at all 3 SFs). */
+  private[graft] def signatureDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val nearDup = Dedup.jaccardVerify(docs,
+      Dedup.minHashLshCandidates(docs, n = 3, numHashes = 16, bands = 16),
+      n = 3, threshold = 0.5)
+    val members = nearDup.select(col("doc1").as("doc_id"))
+      .unionAll(nearDup.select(col("doc2").as("doc_id"))).distinct()
+    val clean = docs.join(members, Seq("doc_id"), "left_anti")
+    clean.unionAll(clean.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+  }
+
+  /** Shared CTE prefix of the [[signatureDocuments]] oracle queries: the
+    * planted-pair set is (doc_id, doc_id + 10M) for every surviving
+    * doc_id % 5 == 0, where "surviving" excludes members of exact 3-gram
+    * Jaccard ≥ 0.5 pairs. */
+  private val signatureDocsSql =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      |      FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      |c AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+      |p AS (SELECT g1.doc_id AS doc1, g2.doc_id AS doc2, count(*) AS n_common
+      |      FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+      |      GROUP BY 1, 2),
+      |nd AS (SELECT doc1, doc2 FROM p JOIN c c1 ON doc1 = c1.doc_id JOIN c c2 ON doc2 = c2.doc_id
+      |       WHERE CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) >= 0.5),
+      |members AS (SELECT doc1 AS doc_id FROM nd UNION SELECT doc2 FROM nd),
+      |planted AS (SELECT doc_id FROM documents
+      |            WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM members))""".stripMargin
+
   /** Derived fixture for the normalization-aware dedup (q75): every third
     * document gains a SHOUTY copy — upper-cased with trailing punctuation —
     * which byte-exact dedup would keep but [[TextAnalysis.normalizeText]]
@@ -353,12 +402,27 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.1,
         maxDocFrequency = 0.01)),
 
+    // banded MinHash on the signature fixture: the planted exact copies are
+    // the ONLY pairs any band can emit above the estimate floor (background
+    // sits at j ≤ 0.14 → est ≥ 0.4 needs 7/16 matching slots, p ≈ 1e-6;
+    // probed zero at all 3 SFs), and their slot agreement is exactly 16/16 —
+    // so the hash-seed-dependent estimate column becomes the deterministic
+    // 1.0 and the construction-reproducing oracle applies. The operator on
+    // RAW corpora stays approximate; its production point is q53.
     "q22_dedup_minhash" -> ((s, dir) =>
-      Dedup.minHashLshPairs(Tables.documents(s, dir), n = 3, numHashes = 16, bands = 4,
+      Dedup.minHashLshPairs(signatureDocuments(s, dir), n = 3, numHashes = 16, bands = 4,
         minEstimate = 0.4)),
 
+    // SimHash with the ENGINE-PORTABLE word hash (60 bits of md5) on the
+    // RAW corpus: the signature itself reproduces bit-for-bit in DuckDB,
+    // so the oracle recomputes signatures and brute-forces the Hamming ≤ 3
+    // pair set exactly — full operator semantics under oracle, no planted
+    // fixture needed. Spark stays on the banded candidate join (complete
+    // for Hamming ≤ 3 by pigeonhole — the theorem the oracle's brute force
+    // checks); the xxhash64 production hash path keeps its banding-
+    // completeness unit pin.
     "q23_dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashPairs(Tables.documents(s, dir))), // default maxHamming=3 (banding-complete)
+      Dedup.simHashPairs(Tables.documents(s, dir), portableHash = true)),
 
     // ---- training-data pipeline: similarity search ------------------------
     "q24_embed_neardup" -> ((s, dir) =>
@@ -367,8 +431,20 @@ object SparkEntry {
     "q25_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), queryIds = (0L until 10L), k = 5)),
 
+    // LSH bucketed top-k under its DETERMINISTIC retrieval contract: on the
+    // derived-embeddings fixture the planted exact copies (+10M) hash into
+    // the same bucket as their originals with certainty (identical vector ⇒
+    // identical signature), and the original is the unique top-1 at cosine
+    // 1.0 (background ≤ 0.57, mixed copies ≈ 0.995) — so lshTopK's k=1
+    // answer for each planted query is a pure function of the construction
+    // and the oracle reproduces it. At the corpus's natural neighbor
+    // distances (cos ≈ 0.5, per-plane agreement ~2/3) bucketed recall@5 is
+    // near zero BY DESIGN — single-bucket LSH is an exact-duplicate /
+    // high-similarity retriever; serving at low similarity belongs to IVF
+    // (q50) or brute force (q25).
     "q26_ann_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(Tables.embeddings(s, dir), queryIds = (0L until 10L), k = 5, numPlanes = 6)),
+      Similarity.lshTopK(derivedEmbeddings(s, dir),
+        queryIds = (0L until 50L by 5).map(_ + 10000000L), k = 1, numPlanes = 6)),
 
     // int8 quantization, checked through positional CHECKSUMS of the code
     // array (sum, abs-sum, max, position-weighted sum) — scalar columns
@@ -388,10 +464,16 @@ object SparkEntry {
           .as("pos_checksum"))
     }),
 
-    // IVF cell-probe ANN (rows-only: recall < 1 by construction, like q26)
+    // IVF cell-probe ANN at FULL probe (nProbe = nCells): every cell is
+    // probed, so the cell partition is exhaustive and the output provably
+    // equals brute force (OperatorsSpec pins the equality; the q25 oracle
+    // applies verbatim) while still exercising the whole IVF machinery —
+    // centroid seeding, broadcast assignment argmax, cell equi-join,
+    // windowed rerank. The production point (nProbe < nCells, recall < 1
+    // by construction) stays pinned by OperatorsSpec's recall test.
     "q50_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), queryIds = (0L until 10L), k = 5,
-        nCells = 16, nProbe = 4)),
+        nCells = 16, nProbe = 16)),
 
     // ---- training-data pipeline: text analysis ----------------------------
     "q27_text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
@@ -548,9 +630,13 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "total_qty", "part_rows")
     }),
 
-    // sketch profiling (HLL++/approx-quantile): rows-only — approximate by design
+    // sketch profiling with the error contract evaluated IN-QUERY: exact
+    // distinct counts ride along (oracle-comparable) and each approximate
+    // value reduces to a deterministic within-bound boolean, so the
+    // HLL++/approx-percentile error model is driver-checked instead of
+    // unit-only. Sketches.profile stays the production one-pass operator.
     "q42_sketch_profile" -> ((s, dir) =>
-      operators.Sketches.profile(Tables.lineitem(s, dir))),
+      operators.Sketches.profileChecked(Tables.lineitem(s, dir))),
 
     // near-dup clusters: jaccard pairs → connected components → canonical keeper
     "q41_dedup_clusters" -> ((s, dir) =>
@@ -956,6 +1042,49 @@ object SparkEntry {
           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
 
+      // the signature fixture's true pair set is its construction: surviving
+      // %5==0 docs pair with their +10M exact copies — slot agreement 16/16
+      // (est 1.0), SimHash Hamming 0 (see signatureDocuments)
+      "q22_dedup_minhash" ->
+        s"""WITH $signatureDocsSql
+           |SELECT doc_id AS doc1, doc_id + 10000000 AS doc2, 1.0::DOUBLE AS est_jaccard
+           |FROM planted""".stripMargin,
+
+      // full SimHash semantics: recompute the portable signature (same
+      // > 0 bit rule as SimHashSignature; bits 60–63 identically 0) and
+      // brute-force the Hamming join — Spark's banded candidates are
+      // complete for <= 3 by pigeonhole, so the sets must match exactly
+      "q23_dedup_simhash" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |hs AS (SELECT doc_id, ('0x' || substring(md5(u.w), 1, 15))::BIGINT AS h
+          |       FROM w, UNNEST(ws) AS u(w)),
+          |bits AS (SELECT doc_id, j,
+          |         CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+          |              THEN (1::BIGINT << j) ELSE 0 END AS bitv
+          |         FROM hs, UNNEST(range(0, 60)) AS t(j)
+          |         GROUP BY doc_id, j),
+          |sig AS (SELECT doc_id, sum(bitv)::BIGINT AS simhash FROM bits GROUP BY doc_id)
+          |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+      // q26's planted-copy retrieval contract (see the query comment): each
+      // +10M exact copy retrieves its original as the unique top-1 at
+      // cosine 1.0
+      "q26_ann_lsh" ->
+        """SELECT vec_id + 10000000 AS q_id, vec_id AS n_id,
+          |1.0::DOUBLE AS cos_sim, CAST(1 AS INT) AS rnk
+          |FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 50""".stripMargin,
+
+      "q42_sketch_profile" ->
+        """SELECT l_returnflag, count(*) AS n_rows,
+          |count(DISTINCT l_orderkey) AS exact_orders,
+          |count(DISTINCT l_partkey) AS exact_parts,
+          |true AS orders_within_bound, true AS parts_within_bound,
+          |true AS median_within_bound, true AS p95_within_bound
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
       "q57_pack_sequences" ->
         """WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
           |           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents),
@@ -1047,6 +1176,18 @@ object SparkEntry {
           |FROM c""".stripMargin,
 
       "q25_ann_topk" ->
+        """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+          |s AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cos_sim
+          |      FROM q, c WHERE q_id <> n_id),
+          |r AS (SELECT q_id, n_id, cos_sim,
+          |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS INT) AS rnk
+          |      FROM s)
+          |SELECT q_id, n_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+      // full-probe IVF (nProbe = nCells) provably equals brute force — the
+      // q25 oracle verbatim
+      "q50_ann_ivf" ->
         """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
           |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
           |s AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cos_sim

@@ -91,9 +91,14 @@ object AsOfJoin {
     // integral `div`, not `/`: double division drops low bits past 2^53 —
     // nanosecond epochs (~1.8e18) would mis-bucket at exactly the boundaries
     // the equi-join depends on
-    val lb = left.withColumn("__lb",
-      explode(array(Seq(-1L, 0L, 1L).map(off =>
-        expr(s"CAST(`$leftTime` AS BIGINT) div ${tolerance}L") + off): _*)))
+    // null-key/time rows can never match — drop them BEFORE the 3× bucket
+    // explode (symmetric with the right side; without this they triple and
+    // shuffle only for the join condition to discard them)
+    val lb = left
+      .filter(col(leftKey).isNotNull && col(leftTime).isNotNull)
+      .withColumn("__lb",
+        explode(array(Seq(-1L, 0L, 1L).map(off =>
+          expr(s"CAST(`$leftTime` AS BIGINT) div ${tolerance}L") + off): _*)))
     val rb = right
       .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .select(col(rightKey).as("__rk") +: col(rightTime).cast("long").as("__rt") +:

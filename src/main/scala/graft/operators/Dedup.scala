@@ -403,24 +403,41 @@ object Dedup {
     } catch { case _: Throwable => () }
 
   /** 64-bit SimHash over the word multiset: bit j of the signature is the
-    * sign of Σ_w (±1 by bit j of xxhash64(w)). One map-side fold per doc —
-    * the 64-counter state lives in a single array column, no shuffle. */
-  def simHash(docs: DataFrame): DataFrame =
+    * sign of Σ_w (±1 by bit j of hash(w)). One map-side fold per doc — the
+    * 64-counter state lives in a single array column, no shuffle.
+    *
+    * `portableHash = false` (production): words hash with the codegen'd
+    * xxhash64 path (WordGramHashes) — fastest, engine-specific.
+    * `portableHash = true`: words hash to the first 60 bits of their md5
+    * (bits 60–63 of the signature are then always 0 — every word
+    * contributes −1 — identically in any engine), so the signature and
+    * everything derived from it reproduces bit-for-bit in any SQL engine
+    * with md5: the variant that makes [[simHashPairs]] exact-oracle
+    * checkable END TO END on raw corpora, not just on planted fixtures.
+    * The bit-counter fold is the same codegen'd SimHashSignature either
+    * way — only the word-hash column differs. */
+  def simHash(docs: DataFrame, portableHash: Boolean = false): DataFrame = {
     // Hash each word once, then fold the 64 bit-counters in a codegen'd
     // expression (graft.functions.SimHashSignature) — the pure-HOF version
     // costs ~500 interpreted ops per word.
+    val wordHashes =
+      if (portableHash)
+        transform(col("__words"), w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+      else graft.functions.HashFunctions.word_gram_hashes(col("__words"), 1)
     TextAnalysis.withWords(docs).select(col("doc_id"),
-      graft.functions.HashFunctions.simhash_signature(
-        graft.functions.HashFunctions.word_gram_hashes(col("__words"), 1)).as("simhash"))
+      graft.functions.HashFunctions.simhash_signature(wordHashes).as("simhash"))
+  }
 
   /** SimHash near-dup candidates: band the 64-bit signature into four 16-bit
     * keys; docs sharing any band are candidates. By pigeonhole this is
     * COMPLETE only for Hamming distance <= 3 (4 bands can't all differ);
     * pairs at distance 4..maxHamming appear only if their differing bits
     * happen to spare one band — treat larger maxHamming as best-effort
-    * recall, not a guarantee. Reports the exact Hamming distance. */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simHash(docs)
+    * recall, not a guarantee. Reports the exact Hamming distance.
+    * `portableHash` selects [[simHash]]'s engine-portable md5 word hash. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+      portableHash: Boolean = false): DataFrame = {
+    val sigs = simHash(docs, portableHash)
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate aggregates for interactive profiling of 100 TB tables, where
@@ -26,4 +26,35 @@ object Sketches {
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("approx_median_qty"),
       approx_percentile(col("l_quantity"), lit(0.95), lit(10000)).as("approx_p95_qty"))
+
+  /** [[profile]] with its error CONTRACT evaluated in-query: the exact
+    * distinct counts and an exact quantile band are computed beside the
+    * sketches, and each approximate value is reduced to a deterministic
+    * `*_within_bound` boolean — HLL++ within 3×rsd (rsd 0.05 ⇒ ±15%,
+    * ≥ 99.7% per the sketch's error model, deterministic here because the
+    * hash is seedless), approx percentiles inside the exact ±0.01-rank
+    * band (guarantee is ±1/10000). This is the VERIFICATION harness, not
+    * the production path — the exact side pays countDistinct's Expand
+    * shuffle and a full percentile sort, exactly the cost [[profile]]
+    * exists to avoid; run it when validating a profile pipeline, not
+    * inside one. */
+  def profileChecked(li: DataFrame): DataFrame = {
+    val exact = li.groupBy("l_returnflag").agg(
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      percentile(col("l_quantity"), lit(0.49)).as("q49"),
+      percentile(col("l_quantity"), lit(0.51)).as("q51"),
+      percentile(col("l_quantity"), lit(0.94)).as("p94"),
+      percentile(col("l_quantity"), lit(0.96)).as("p96"))
+    def withinRel(approx: Column, ex: Column, tol: Double): Column =
+      abs(approx.cast("double") - ex.cast("double")) <= lit(tol) * ex.cast("double")
+    profile(li).join(exact, "l_returnflag").select(
+      col("l_returnflag"), col("n_rows"), col("exact_orders"), col("exact_parts"),
+      withinRel(col("approx_orders"), col("exact_orders"), 0.15).as("orders_within_bound"),
+      withinRel(col("approx_parts"), col("exact_parts"), 0.15).as("parts_within_bound"),
+      col("approx_median_qty").cast("double").between(col("q49"), col("q51"))
+        .as("median_within_bound"),
+      col("approx_p95_qty").cast("double").between(col("p94"), col("p96"))
+        .as("p95_within_bound"))
+  }
 }

@@ -158,12 +158,18 @@ case class FunnelReach(user_id: Long, reach_ms: Seq[Option[Long]], funnel_stage:
 
 /** Streaming ordered funnel — the ingest-time analogue of
   * [[graft.operators.Funnel.funnel]]: events buffer per user inside the
-  * watermark horizon and the funnel evaluates ONCE, when the user goes
-  * idle past it (event-time timeout). Buffering is what makes the result
-  * EXACT under out-of-order arrival: a late view that precedes an
-  * already-seen click still counts, because nothing is evaluated until the
-  * watermark guarantees no earlier event can arrive. Evaluation sorts the
-  * buffer by (time, event_id) and applies the same sequential
+  * watermark horizon and the funnel evaluates ONCE PER IDLE PERIOD — when
+  * the user goes idle past the horizon (event-time timeout), the buffered
+  * burst is evaluated, emitted, and the state removed. A user who becomes
+  * active again later starts a FRESH buffer and will emit a second
+  * FunnelReach row for the new burst (append mode cannot retract the
+  * first): downstream consumers keying by user_id should expect one row
+  * per activity burst and merge accordingly (e.g. keep the max-reach or
+  * latest row). Buffering is what makes each burst's result EXACT under
+  * out-of-order arrival: a late view that precedes an already-seen click
+  * still counts, because nothing is evaluated until the watermark
+  * guarantees no earlier event can arrive. Evaluation sorts the buffer by
+  * (time, event_id) and applies the same sequential
   * qualifies-after-previous-stage rule as the batch operator —
   * StreamingSpec pins parity against `Funnel.funnel` on the same events.
   * Times are epoch MILLIseconds (java.sql.Timestamp precision).

@@ -84,6 +84,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full((1L, 3L)) > 0)               // ...which the unguarded run reports
   }
 
+  test("q68 fixture guard: LSH corpus screen equals the exact batch x corpus Jaccard screen") {
+    // The q68 oracle is an EXACT batch x corpus Jaccard join while the
+    // operator is a banded LSH screen — their equality is a property of the
+    // fixture (planted pairs far above the threshold: j >= 0.8 where the
+    // one-slot-band miss probability is <= 4e-7). This re-probes that
+    // completeness, so a future fixture edit that plants a borderline pair
+    // (j near 0.5, per-band miss (1-j)^16 no longer negligible) fails HERE
+    // deterministically instead of flaking the driver's hash compare.
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val corpus = sources.Tables.documents(spark, dir)
+    val batch = SparkEntry.nearDupBatch(spark, dir)
+    val lsh = Dedup.nearDupAgainstCorpus(batch, corpus,
+      n = 3, numHashes = 16, bands = 16, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact screen: candidates = ALL batch x corpus pairs (no banding)
+    val all = batch.select(col("doc_id").as("doc1"))
+      .crossJoin(corpus.select(col("doc_id").as("doc2")))
+    val dropped = Dedup.jaccardVerify(
+      batch.unionAll(corpus.select(col("doc_id"), col("text"))), all, n = 3, threshold = 0.5)
+      .select(col("doc1")).distinct().collect().map(_.getLong(0)).toSet
+    val exact = batch.select("doc_id").collect().map(_.getLong(0)).toSet -- dropped
+    assert(lsh == exact, "banded screen diverged from the exact screen — " +
+      s"fixture no longer banding-complete (lsh-only=${(lsh -- exact).take(5)}, " +
+      s"exact-only=${(exact -- lsh).take(5)})")
+  }
+
   test("unguarded-scale warning: guard-off above 4 GiB warns toward MinHash, guard-on or small stays silent") {
     assert(Dedup.unguardedScaleWarning(BigInt(5L << 30), 1.0).exists(_.contains("minHashLshPairs")))
     assert(Dedup.unguardedScaleWarning(BigInt(5L << 30), 0.01).isEmpty)

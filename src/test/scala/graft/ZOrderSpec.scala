@@ -30,8 +30,10 @@ class ZOrderSpec extends AnyFunSuite {
   test("z-order clusters BOTH columns; a plain sort leaves the trailing one unclustered") {
     val li = sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
-    val zDir = "/tmp/graft_zorder_test"
-    val sDir = "/tmp/graft_sorted_test"
+    // fresh dirs per run — fixed shared paths let stale part- files from an
+    // aborted run inflate the avgSpan file list
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toFile.getAbsolutePath
+    val sDir = java.nio.file.Files.createTempDirectory("graft_sorted").toFile.getAbsolutePath
     Bucketed.writeZOrdered(li, zDir, Seq("l_partkey", "l_suppkey"), bits = 8, outFiles = 8)
     li.repartitionByRange(8, col("l_partkey")).sortWithinPartitions("l_partkey")
       .write.mode("overwrite").parquet(sDir)
