@@ -37,7 +37,10 @@ import org.apache.spark.sql.SparkSession
   *  - "lsh_prod": measured candidate volume of the q52 production LSH
   *    operating point as a fraction of n(n-1)/2, at b=16 and (for the
   *    corpus-dependence story) b=8 — the number that decides whether the
-  *    equi-join LSH shape is winning; and
+  *    equi-join LSH shape is winning;
+  *  - "zorder": row groups actually skipped by a trailing-column range
+  *    predicate on a z-ordered vs plain-sorted lineitem copy (parquet
+  *    min/max pruning measured from the scan's own metrics); and
   *  - "heavy_tail": the shuffle-heavy queries re-run at the sibling
   *    10×-smaller SF (derived from the directory's numeric suffix, any SF)
   *    so constant-vs-linear cost (CC per-round overhead vs data volume) is
@@ -123,6 +126,55 @@ object Bench {
     }
     spark.catalog.clearCache()
 
+    // z-order skip proof: write lineitem once z-ordered on (l_partkey,
+    // l_suppkey) and once plain-sorted on l_partkey, then answer a range
+    // predicate on the TRAILING column from both. "scanned" is the parquet
+    // scan's own numOutputRows — rows in row groups that survived min/max
+    // pruning of the pushed filter — so the delta IS the skipped I/O, not a
+    // timing artifact. Layout write cost is excluded (paid once at ingest,
+    // amortized over every later query — the lever's whole premise).
+    val zorder = try {
+      import org.apache.spark.sql.functions.col
+      val zDir = java.nio.file.Files.createTempDirectory("graft_bench_z").toFile
+      val sDir = java.nio.file.Files.createTempDirectory("graft_bench_s").toFile
+      try {
+        val li = sources.Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        sources.Bucketed.writeZOrdered(li, zDir.getAbsolutePath,
+          Seq("l_partkey", "l_suppkey"), bits = 8, outFiles = 16)
+        li.repartitionByRange(16, col("l_partkey")).sortWithinPartitions("l_partkey")
+          .write.mode("overwrite").parquet(sDir.getAbsolutePath)
+        val mm = li.agg(org.apache.spark.sql.functions.min(col("l_suppkey")),
+          org.apache.spark.sql.functions.max(col("l_suppkey"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val (wLo, wHi) = (lo + (hi - lo) * 7 / 16, lo + (hi - lo) * 9 / 16)
+        def probe(dir: java.io.File): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val (rows, _) = sources.Bucketed.scanStats(
+            spark.read.parquet(dir.getAbsolutePath)
+              .filter(col("l_suppkey") >= wLo && col("l_suppkey") <= wHi)
+              .select("l_quantity"))
+          (rows, (System.nanoTime() - t0) / 1e9)
+        }
+        val total = li.count()
+        val (zRows, zSec) = probe(zDir)
+        val (sRows, sSec) = probe(sDir)
+        f"""{"rows_total":$total,"z_scanned":$zRows,"sorted_scanned":$sRows,""" +
+          f""""z_skip_frac":${1.0 - zRows.toDouble / total}%.4f,""" +
+          f""""sorted_skip_frac":${1.0 - sRows.toDouble / total}%.4f,""" +
+          f""""z_sec":$zSec%.3f,"sorted_sec":$sSec%.3f}"""
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(zDir); rm(sDir)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] zorder instrumentation failed: ${e.getMessage}")
+      "{}"
+    }
+    spark.catalog.clearCache()
+
     // heavy tail at the sibling 10×-smaller SF for scale-growth attribution.
     // Error labels carry the sibling dir suffix: a failure HERE must not
     // read as a crashed main-SF query (the top-level "queries" contract).
@@ -147,7 +199,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${
         jmap(results.map { case (k, v, _) => k -> v }, full)},""" +
       s""""spread":${jmap(results.map { case (k, _, mx) => k -> mx }, full)},""" +
-      s""""lsh_prod":$lshProd,"heavy_tail":$heavy,"errors":$errJson,"sf":"$sfDir"}"""
+      s""""lsh_prod":$lshProd,"zorder":$zorder,"heavy_tail":$heavy,"errors":$errJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     println(fullJson)
 

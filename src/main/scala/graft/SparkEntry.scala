@@ -130,6 +130,53 @@ object SparkEntry {
       |planted AS (SELECT doc_id FROM documents
       |            WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM members))""".stripMargin
 
+  /** Pinned BPE merge table for q87/q88 — a model artifact, like a trained
+    * tokenizer checkpoint: 24 merges trained by [[operators.Bpe.trainMerges]]
+    * on the sf0.01 corpus (deterministic training: frequency-desc,
+    * lexicographic tie-break — BpeSpec pins both the algorithm on a hand
+    * fixture and this exact table against retraining). The SAME constant
+    * generates the oracle's merge-list literal, so the two engines cannot
+    * drift. 24 (not 40+) keeps compression PARTIAL on this corpus — common
+    * words collapse to one token, rarer ones stay multi-token — so the
+    * counts exercise the merge loop rather than a word lookup. */
+  private[graft] val bpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"), ("m", "er"),
+    ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"), ("at", "c"), ("atc", "h"),
+    ("b", "atch"), ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"))
+
+  /** Shared CTE prefix of the q87/q88 oracles: per-distinct-word BPE token
+    * counts under [[bpeMerges]], by replaying the tokenizer's exact step —
+    * merge the LEFTMOST occurrence of the LOWEST-rank adjacent pair, one
+    * merge per recursion level — until no learned pair remains; the final
+    * count is min(len(toks)) since each step shrinks the list by exactly 1.
+    * The merge-list literal is generated from the same Scala constant the
+    * Spark query broadcasts. `list_position` = 0 marks an unlearned pair. */
+  private def bpeSql: String = {
+    val ml = bpeMerges.map { case (l, r) => s"'$l'||chr(1)||'$r'" }.mkString("[", ",", "]")
+    s"""dw AS (SELECT doc_id, u.w AS word, count(*) AS n
+       |       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |            UNNEST(ws) AS u(w)
+       |       GROUP BY 1, 2),
+       |vocab AS (SELECT DISTINCT word FROM dw),
+       |tok AS (
+       |  SELECT word, string_split(word, '') AS toks FROM vocab
+       |  UNION ALL
+       |  SELECT word, toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:] AS toks
+       |  FROM (
+       |    SELECT word, toks, list_position(rks, list_min(list_filter(rks, r -> r > 0))) AS pos
+       |    FROM (
+       |      SELECT word, toks,
+       |             list_transform(range(1, len(toks)),
+       |               i -> list_position($ml, toks[i] || chr(1) || toks[i+1])) AS rks
+       |      FROM tok))
+       |  WHERE pos IS NOT NULL AND pos > 0),
+       |nb AS (SELECT word, min(len(toks)) AS n_bpe FROM tok GROUP BY word),
+       |bpe AS (SELECT doc_id, sum(n)::BIGINT AS n_words,
+       |        sum(n * n_bpe)::BIGINT AS n_bpe_tokens
+       |        FROM dw JOIN nb USING (word) GROUP BY doc_id)""".stripMargin
+  }
+
   /** Derived fixture for the normalization-aware dedup (q75): every third
     * document gains a SHOUTY copy — upper-cased with trailing punctuation —
     * which byte-exact dedup would keep but [[TextAnalysis.normalizeText]]
@@ -482,6 +529,15 @@ object SparkEntry {
 
     "q29_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
 
+    // tokenizer-FAITHFUL token counts: real byte-pair-encoding under the
+    // pinned merge table [[bpeMerges]] (trained once on the corpus by
+    // Bpe.trainMerges — deterministic, unit-pinned), replacing q29's
+    // chars/4 heuristic where budgets must be model tokens. The oracle
+    // replays the identical leftmost-lowest-rank merge loop per distinct
+    // word in a recursive CTE over the same pinned table.
+    "q87_bpe_tokens" -> ((s, dir) =>
+      operators.Bpe.tokenCounts(Tables.documents(s, dir), bpeMerges)),
+
     "q30_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
 
     // Gopher-style repetition/quality rules — the doc-level filter stage;
@@ -493,6 +549,13 @@ object SparkEntry {
     // training sequences (per-shard ACCUMULATE — no single global window)
     "q57_pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(Tables.documents(s, dir), maxTokens = 256, shards = 8)),
+
+    // q57's packing layout re-budgeted in REAL BPE tokens (q87's counts):
+    // what a dataloader actually consumes — sequence boundaries move where
+    // the whitespace heuristic over-counted multi-token words
+    "q88_pack_bpe" -> ((s, dir) =>
+      operators.Bpe.packSequencesBpe(Tables.documents(s, dir), bpeMerges,
+        maxTokens = 256, shards = 8)),
 
     // unigram-LM quality score (CCNet-style): mean log-prob per doc under
     // the corpus's own smoothed unigram model
@@ -825,6 +888,17 @@ object SparkEntry {
     // just the q55 doc-level flag)
     "q71_selfrep_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(Tables.documents(s, dir), k = 3, crossDocOnly = false)),
+
+    // BYTE-level ExactSubstr (the paper's own granularity): 20-byte windows
+    // shared across docs merge to maximal byte spans — catches sub-word /
+    // whitespace-variant duplication that word 5-grams miss
+    "q89_byte_spans" -> ((s, dir) =>
+      Dedup.duplicatedByteSpans(Tables.documents(s, dir), k = 20)),
+
+    // byte-span removal by interval COMPLEMENT (no per-byte explode: one
+    // row per span, substring slicing against the original text)
+    "q90_remove_byte_spans" -> ((s, dir) =>
+      Dedup.removeDuplicatedByteSpans(Tables.documents(s, dir), k = 20)),
 
     // interval join (Flink-style): pairs of a user's events within ±10 min,
     // bucketized into a pure equi-join on (user, time-bucket) — the raw
@@ -1229,6 +1303,22 @@ object SparkEntry {
           |CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_approx_bpe
           |FROM documents""".stripMargin,
 
+      "q87_bpe_tokens" ->
+        s"""WITH RECURSIVE $bpeSql
+           |SELECT doc_id, n_words, n_bpe_tokens FROM bpe""".stripMargin,
+
+      "q88_pack_bpe" ->
+        s"""WITH RECURSIVE $bpeSql,
+           |t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+           |      n_bpe_tokens AS n_tokens FROM bpe),
+           |s AS (SELECT doc_id, shard, n_tokens,
+           |      CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+           |           - n_tokens AS BIGINT) AS start_off FROM t)
+           |SELECT doc_id, shard, n_tokens, start_off,
+           |CAST(shard AS BIGINT) * 281474976710656 + start_off // 256 AS seq_id,
+           |(start_off // 256) <> ((start_off + n_tokens - 1) // 256) AS crosses_boundary
+           |FROM s""".stripMargin,
+
       "q30_fingerprint" ->
         """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
           |SELECT doc_id,
@@ -1412,6 +1502,62 @@ object SparkEntry {
           |SELECT w.doc_id, COALESCE(kept_text, '') AS text_deduped,
           |       CAST(len(ws) - COALESCE(n_kept, 0) AS INT) AS n_removed_tokens
           |FROM w LEFT JOIN kept ON w.doc_id = kept.doc_id""".stripMargin,
+
+      // byte-level spans: 20-byte windows via substr (char == byte on this
+      // all-ASCII corpus; the operator's contract is byte offsets) — same
+      // hot/island CTE shape as q69 at byte granularity
+      "q89_byte_spans" ->
+        """WITH g AS (SELECT doc_id, CAST(i AS INT) AS start, substr(text, i+1, 20) AS gram
+          |      FROM documents, UNNEST(range(0, length(text)-19)) t(i)),
+          |hot AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+          |        GROUP BY gram HAVING count(*) >= 2),
+          |d AS (SELECT doc_id, start FROM g WHERE gram IN (SELECT gram FROM hot)),
+          |f AS (SELECT doc_id, start,
+          |        CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) <= 20
+          |             THEN 0 ELSE 1 END AS gap FROM d),
+          |i AS (SELECT doc_id, start,
+          |        sum(gap) OVER (PARTITION BY doc_id ORDER BY start) AS island FROM f)
+          |SELECT doc_id, CAST(min(start) AS INT) AS span_start,
+          |       CAST(max(start) + 19 AS INT) AS span_end,
+          |       CAST(max(start) - min(start) + 20 AS INT) AS n_bytes
+          |FROM i GROUP BY doc_id, island""".stripMargin,
+
+      // q89's spans → interval complement (gaps between consecutive spans +
+      // tail) concatenated in order; length invariant len(kept) + removed =
+      // len(text) checked by OperatorsSpec
+      "q90_remove_byte_spans" ->
+        """WITH g AS (SELECT doc_id, CAST(i AS INT) AS start, substr(text, i+1, 20) AS gram
+          |      FROM documents, UNNEST(range(0, length(text)-19)) t(i)),
+          |hot AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+          |        GROUP BY gram HAVING count(*) >= 2),
+          |d AS (SELECT doc_id, start FROM g WHERE gram IN (SELECT gram FROM hot)),
+          |f AS (SELECT doc_id, start,
+          |        CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) <= 20
+          |             THEN 0 ELSE 1 END AS gap FROM d),
+          |i AS (SELECT doc_id, start,
+          |        sum(gap) OVER (PARTITION BY doc_id ORDER BY start) AS island FROM f),
+          |sp AS (SELECT doc_id, min(start) AS span_start, max(start) + 19 AS span_end
+          |       FROM i GROUP BY doc_id, island),
+          |seg AS (
+          |  SELECT doc_id,
+          |         COALESCE(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start) + 1,
+          |                  0) AS ps,
+          |         span_start - 1 AS pe
+          |  FROM sp
+          |  UNION ALL
+          |  SELECT doc_id, max(span_end) + 1 AS ps, 2147483646 AS pe FROM sp GROUP BY doc_id),
+          |kept AS (
+          |  SELECT seg.doc_id,
+          |         string_agg(CASE WHEN least(pe, length(text)-1) >= ps
+          |                         THEN substr(text, ps+1, least(pe, length(text)-1) - ps + 1)
+          |                         ELSE '' END, '' ORDER BY ps) AS kept_text
+          |  FROM seg JOIN documents USING (doc_id) GROUP BY seg.doc_id),
+          |nr AS (SELECT doc_id, sum(span_end - span_start + 1) AS n_removed
+          |       FROM sp GROUP BY doc_id)
+          |SELECT d.doc_id, COALESCE(kept_text, d.text, '') AS text_deduped,
+          |       CAST(COALESCE(n_removed, 0) AS INT) AS n_removed_bytes
+          |FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id
+          |LEFT JOIN nr ON d.doc_id = nr.doc_id""".stripMargin,
 
       // occurrence-count mode (crossDocOnly=false, k=3): hot grams by TOTAL
       // occurrences — no DISTINCT doc dedup — so self-repetition qualifies

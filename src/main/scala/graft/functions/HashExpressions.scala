@@ -182,6 +182,57 @@ object WordGramHashes {
   }
 }
 
+/** 64-bit hashes of every `k`-BYTE sliding window of a string's UTF-8
+  * encoding — the byte-level gram primitive of ExactSubstr-style span
+  * dedup (Lee et al. 2021 operate on bytes, not words: sub-word and
+  * whitespace-variant duplication that word grams miss). Positions are
+  * byte offsets into the UTF-8 encoding (== character offsets for ASCII
+  * text).
+  *
+  * Why custom: the functions-only spelling
+  * (`transform(sequence(...), i -> xxhash64(substring(text, i, k)))`)
+  * materializes one substring COPY per position — O(len·k) allocation per
+  * row; this hashes each window in place over the backing bytes (zero
+  * copies) inside whole-stage codegen. */
+case class ByteGramHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"byte_gram_hashes expects string, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ByteGramHashes.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ByteGramHashes.compute($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ByteGramHashes {
+  private val SEED = 42L
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = text.numBytes()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i < out.length) {
+      out(i) = XXH64.hashUnsafeBytes(text.getBaseObject, text.getBaseOffset + i, k, SEED)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object HashFunctions {
   /** Column API for [[SimHashSignature]]. */
   def simhash_signature(tokenHashes: Column): Column =
@@ -195,4 +246,8 @@ object HashFunctions {
   /** Column API for [[WordGramHashes]]. */
   def word_gram_hashes(words: Column, n: Int): Column =
     GraftColumnBridge.column(WordGramHashes(GraftColumnBridge.expression(words), n))
+
+  /** Column API for [[ByteGramHashes]]. */
+  def byte_gram_hashes(text: Column, k: Int): Column =
+    GraftColumnBridge.column(ByteGramHashes(GraftColumnBridge.expression(text), k))
 }

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: corpus-trained merge rules and
+  * tokenizer-faithful token counts, replacing the chars/4 heuristic of
+  * [[TextAnalysis.tokenCounts]] for the budgeting stages (packing, mixing)
+  * where a real pipeline counts model tokens, not characters.
+  *
+  * The algorithm is the public GPT-2-style BPE (Sennrich et al. 2016;
+  * Radford et al. 2019 `bpe()`/`get_pairs()`): training repeatedly merges
+  * the most frequent adjacent symbol pair in the word-frequency table;
+  * encoding applies learned merges to a word in rank order. Symbols here
+  * are characters within whitespace-delimited words (no end-of-word
+  * marker, no cross-word merges) — the simplification that keeps both
+  * engines' whitespace semantics (`split(text, " ")` ==
+  * `string_split(text, ' ')`) authoritative, as every other text operator
+  * in this package does.
+  *
+  * 100 TB shape:
+  *  - TRAINING never iterates over the corpus: classic BPE trains on the
+  *    word-FREQUENCY table, so one exploded word count (map-side combined,
+  *    one shuffle on `word`) reduces the corpus to a vocabulary-sized
+  *    dictionary — bounded by distinct tokens (~10^5-10^6 for natural
+  *    text, Heaps' law), not corpus size — and the merge loop runs on the
+  *    driver over that bounded dict, the same bounded-driver-set posture
+  *    as the hot-gram guard. `maxVocabWords` caps the collect
+  *    deterministically by (count desc, word asc).
+  *  - ENCODING tokenizes each DISTINCT word once: the per-doc word groups
+  *    (the lmScore frame) join a vocabulary-sized (word → token count)
+  *    dictionary by BROADCAST, so the merge loop runs |vocab| times
+  *    total, not once per occurrence, and the corpus-sized side shuffles
+  *    only for its own (doc_id, word) aggregation.
+  *  - The merge loop is a JVM scalar function over a broadcast rank map —
+  *    a Scala UDF, justified here because it runs on the vocabulary
+  *    dictionary, never the corpus, so codegen on the hot path is
+  *    untouched.
+  *
+  * Determinism: training tie-breaks equal pair counts lexicographically;
+  * encoding merges the leftmost occurrence of the lowest-rank pair one
+  * step at a time. One-at-a-time is exactly equivalent to the reference
+  * merge-all-occurrences formulation: a merge at position p only creates
+  * pairs involving the new symbol, and any learned pair containing a
+  * merged symbol was necessarily learned LATER (higher rank) than the
+  * merge that created the symbol, so the current minimum-rank pair stays
+  * minimal until exhausted and its occurrences resolve left to right.
+  * The same one-at-a-time step is what the SQL oracle's recursive CTE
+  * replays, so Spark and DuckDB agree token for token.
+  */
+object Bpe {
+
+  /** Train `numMerges` BPE merge rules from the corpus. Returns merges in
+    * rank order (earliest = applied first). Deterministic: pair counts tie-
+    * break on the lexicographically smallest (left, right); the driver-side
+    * dictionary is capped at `maxVocabWords` by (count desc, word asc). */
+  def trainMerges(docs: DataFrame, numMerges: Int,
+      maxVocabWords: Int = 1 << 16): Seq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val wordCounts = TextAnalysis.withWords(docs)
+      .select(explode(col("__words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxVocabWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainFromCounts(wordCounts.toSeq, numMerges)
+  }
+
+  /** Driver-side merge training over a (word, count) dictionary — the
+    * classic algorithm: count adjacent symbol pairs weighted by word
+    * frequency, merge the most frequent pair everywhere, repeat. */
+  private[graft] def trainFromCounts(wordCounts: Seq[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    var words = wordCounts.map { case (w, c) => (toSymbols(w), c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var learned = 0
+    var exhausted = false
+    while (learned < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((toks, c) <- words; i <- 0 until toks.length - 1)
+        pairCounts.updateWith((toks(i), toks(i + 1)))(v => Some(v.getOrElse(0L) + c))
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val best = pairCounts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += best
+        words = words.map { case (toks, c) => (mergeAll(toks, best._1, best._2), c) }
+        learned += 1
+      }
+    }
+    merges.result()
+  }
+
+  private def toSymbols(word: String): Array[String] =
+    Array.tabulate(word.length)(i => word.substring(i, i + 1))
+
+  /** Merge every non-overlapping (l, r) occurrence, scanning left to
+    * right — the training-side replacement step. */
+  private def mergeAll(toks: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i < toks.length - 1 && toks(i) == l && toks(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Encode one word under a merge rank map: repeatedly merge the leftmost
+    * occurrence of the lowest-rank adjacent pair until none applies. */
+  private[graft] def tokenize(word: String,
+      ranks: Map[(String, String), Int]): Array[String] = {
+    var toks = toSymbols(word)
+    var done = toks.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = ranks.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPos = i }
+        i += 1
+      }
+      if (bestPos < 0) done = true
+      else {
+        toks = (toks.take(bestPos) :+ (toks(bestPos) + toks(bestPos + 1))) ++
+          toks.drop(bestPos + 2)
+        done = toks.length < 2
+      }
+    }
+    toks
+  }
+
+  private def rankMap(merges: Seq[(String, String)]): Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  /** The vocabulary-sized (word, n_bpe) dictionary: each DISTINCT corpus
+    * word tokenized once. Small enough to broadcast by construction. */
+  private def tokenCountDict(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val bcRanks = spark.sparkContext.broadcast(rankMap(merges))
+    val nBpe = udf((w: String) => tokenize(w, bcRanks.value).length)
+    TextAnalysis.withWords(docs)
+      .select(explode(col("__words")).as("word"))
+      .distinct()
+      .select(col("word"), nBpe(col("word")).cast("long").as("n_bpe"))
+  }
+
+  /** Per-document tokenizer-faithful token counts under pinned `merges`:
+    * whitespace token count alongside the BPE token count (the budget a
+    * real pipeline packs and mixes by). */
+  def tokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val docWord = TextAnalysis.withWords(docs)
+      .select(col("doc_id"), explode(col("__words")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+    docWord.join(broadcast(tokenCountDict(docs, merges)), "word")
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_words"), sum(col("n") * col("n_bpe")).as("n_bpe_tokens"))
+  }
+
+  /** Sequence packing budgeted in BPE tokens instead of whitespace tokens —
+    * [[TextAnalysis.packSequences]]'s layout contract (sharded streams,
+    * ACCUMULATE running sum, globally unique seq ids) with the token
+    * column swapped for the tokenizer-faithful count. */
+  def packSequencesBpe(docs: DataFrame, merges: Seq[(String, String)],
+      maxTokens: Int = 2048, shards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    tokenCounts(docs, merges)
+      .select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(shards.toLong)).cast("int").as("shard"),
+        col("n_bpe_tokens").as("n_tokens"))
+      .withColumn("start_off",
+        (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
+      .withColumn("local_seq", floor(col("start_off") / maxTokens).cast("long"))
+      .select(
+        col("doc_id"), col("shard"), col("n_tokens"), col("start_off"),
+        (col("shard").cast("long") * (1L << 48) + col("local_seq")).as("seq_id"),
+        (col("local_seq") =!=
+          floor((col("start_off") + col("n_tokens") - 1) / maxTokens).cast("long"))
+          .as("crosses_boundary"))
+  }
+}

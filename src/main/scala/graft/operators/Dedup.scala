@@ -548,6 +548,88 @@ object Dedup {
         (col("__nw") - coalesce(col("__n_kept"), lit(0L))).cast("int").as("n_removed_tokens"))
   }
 
+  /** BYTE-level ExactSubstr span detection — the published formulation
+    * (Lee et al. 2021 work on the byte stream, not word tokens): every
+    * maximal byte span covered by `k`-byte windows occurring in ≥ 2
+    * distinct documents (or ≥ 2 times anywhere with `crossDocOnly =
+    * false`). Catches the sub-word and whitespace-variant duplication the
+    * word-gram [[duplicatedSpans]] misses ("the cat sat." vs "the cat
+    * sat" share no word 5-gram tail but 10+ byte windows). Positions are
+    * byte offsets into the UTF-8 encoding — (doc_id, span_start,
+    * span_end, n_bytes), 0-based inclusive.
+    *
+    * Same non-quadratic shape as the word version: the codegen'd
+    * [[graft.functions.ByteGramHashes]] array gives positions free
+    * (in-place window hashing, zero substring copies); hot-window
+    * frequency partial-aggregates over map-side-distinct per-doc window
+    * sets; islands merge per doc (q − p ≤ k ⇔ the byte ranges touch or
+    * overlap). The suffix-array of the paper is the single-machine data
+    * structure; the gram-join IS its distributed equivalent — both find
+    * identical length-≥ k repeats, the join trades the paper's O(n log n)
+    * construction for shuffle-parallel equi-joins that scale out. */
+  def duplicatedByteSpans(docs: DataFrame, k: Int = 20,
+      crossDocOnly: Boolean = true): DataFrame = {
+    val hashes = graft.functions.HashFunctions.byte_gram_hashes(col("text"), k)
+    val pos = docs.select(col("doc_id"), posexplode(hashes))
+      .withColumnRenamed("pos", "start").withColumnRenamed("col", "gram")
+    val hot = (if (crossDocOnly)
+        docs.select(col("doc_id"), explode(array_distinct(hashes)).as("gram"))
+      else pos)
+      .groupBy("gram").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") >= 2).select("gram")
+    val dup = pos.join(hot, Seq("gram"), "left_semi").select("doc_id", "start")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("start")
+    dup
+      .withColumn("__new",
+        when(col("start") - lag("start", 1).over(w) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("__island", sum("__new").over(w))
+      .groupBy("doc_id", "__island")
+      .agg(min(col("start")).as("span_start"), (max(col("start")) + lit(k - 1)).as("span_end"))
+      .select(col("doc_id"),
+        col("span_start").cast("int").as("span_start"),
+        col("span_end").cast("int").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("int").as("n_bytes"))
+  }
+
+  /** Byte-span REMOVAL — enforcement half of [[duplicatedByteSpans]].
+    * Unlike the word version's per-token anti-join, the rebuild here is
+    * pure INTERVAL COMPLEMENT: merged spans are disjoint and sorted, so
+    * each doc's kept text is the concatenation of the gaps between
+    * consecutive spans plus the tail — one window (lag of span_end), one
+    * vocabulary-of-spans-sized collect per doc, substring slicing against
+    * the original text. No per-byte (or per-token) explode ever
+    * materializes: the shuffled data is one row per SPAN, which at any
+    * scale is orders below the corpus byte count. Row-stable like the
+    * word version: untouched docs pass through verbatim, fully-covered
+    * docs yield the empty string. */
+  def removeDuplicatedByteSpans(docs: DataFrame, k: Int = 20,
+      crossDocOnly: Boolean = true): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("span_start")
+    val pieces = duplicatedByteSpans(docs, k, crossDocOnly)
+      .withColumn("piece_start",
+        coalesce(lag(col("span_end"), 1).over(w) + 1, lit(0)))
+      .withColumn("piece_end", col("span_start") - 1) // may be empty (< start)
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(struct(
+          col("piece_start").as("s"), col("piece_end").as("e")))).as("__gaps"),
+        (max(col("span_end")) + 1).as("__tail_start"),
+        sum(col("span_end") - col("span_start") + 1).as("__n_removed"))
+    docs.select(col("doc_id"), col("text"))
+      .join(pieces, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("__gaps").isNull, coalesce(col("text"), lit("")))
+          .otherwise(concat(
+            aggregate(col("__gaps"), lit(""), (acc, p) =>
+              concat(acc, when(p.getField("e") >= p.getField("s"),
+                col("text").substr(p.getField("s") + 1,
+                  p.getField("e") - p.getField("s") + 1)).otherwise(lit("")))),
+            col("text").substr(col("__tail_start") + 1, length(col("text")))))
+          .as("text_deduped"),
+        coalesce(col("__n_removed"), lit(0L)).cast("int").as("n_removed_bytes"))
+  }
+
   /** Incremental EXACT dedup — the production shape of a growing corpus:
     * dedup a NEW batch of documents against itself (first doc_id wins) and
     * against the content hashes of everything already ingested, returning

@@ -92,4 +92,22 @@ object Bucketed {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Measurement end of [[writeZOrdered]]'s promise: execute `df` and read
+    * the parquet scan's own metrics — (rows surfaced by the scan, files
+    * touched). Vanilla Spark prunes parquet at ROW-GROUP granularity (the
+    * reader drops row groups whose min/max stats exclude the pushed
+    * predicate; file-level pruning needs a stats catalog like Delta's), so
+    * "rows surfaced" is the I/O-skip number: on a z-ordered layout a range
+    * predicate on ANY z-column leaves most row groups skipped, while a
+    * plain sort skips only on its leading column. */
+  def scanStats(df: DataFrame): (Long, Long) = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    require(scans.nonEmpty, "no parquet scan in the plan — scanStats needs a file-backed df")
+    (scans.map(_.metrics("numOutputRows").value).sum,
+      scans.map(_.metrics("numFiles").value).sum)
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("trainFromCounts learns frequency-ordered merges and stops when exhausted") {
+    // aaab×3 + ab×2: pair counts round 1 are (a,a)=6, (a,b)=5 → learn (a,a);
+    // round 2 (a,b)=5 beats (aa,a)=3; round 3 only (aa,ab)=3 remains; then
+    // every word is a single symbol and training exhausts early.
+    val merges = Bpe.trainFromCounts(Seq("aaab" -> 3L, "ab" -> 2L), numMerges = 10)
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+  }
+
+  test("trainFromCounts tie-breaks equal pair counts lexicographically") {
+    val merges = Bpe.trainFromCounts(Seq("ba" -> 1L, "cb" -> 1L), numMerges = 1)
+    assert(merges == Seq(("b", "a")))
+  }
+
+  test("tokenize merges leftmost lowest-rank pairs, matching the oracle's step") {
+    val ranks = Seq(("a", "a"), ("a", "b"), ("aa", "ab")).zipWithIndex.toMap
+    assert(Bpe.tokenize("aaab", ranks).toSeq == Seq("aaab"))
+    assert(Bpe.tokenize("aab", ranks).toSeq == Seq("aa", "b"))
+    // leftmost (a,a) fires inside the word; the b prefix merges with nothing
+    assert(Bpe.tokenize("baaab", ranks).toSeq == Seq("b", "aaab"))
+    assert(Bpe.tokenize("c", ranks).toSeq == Seq("c"))
+  }
+
+  test("the pinned q87/q88 merge table reproduces under retraining on sf0.01") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert(Bpe.trainMerges(docs, numMerges = 24) == SparkEntry.bpeMerges)
+  }
+
+  test("tokenCounts sums per-word BPE counts weighted by occurrences") {
+    val docs = Seq((0L, "the the cat"), (1L, "th e")).toDF("doc_id", "text")
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val r = Bpe.tokenCounts(docs, merges).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(0L) == ((3L, 5L))) // the=1 token ×2, cat=3 tokens
+    assert(r(1L) == ((2L, 2L))) // th=1, e=1
+  }
+
+  test("packSequencesBpe budgets the stream in BPE tokens") {
+    val docs = Seq((0L, "the the the"), (8L, "cat")).toDF("doc_id", "text") // same shard
+    val r = Bpe.packSequencesBpe(docs, Seq(("t", "h"), ("th", "e")),
+      maxTokens = 4, shards = 8).collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3), x.getBoolean(5))).toMap
+    assert(r(0L) == ((3L, 0L, false))) // 3 BPE tokens, not 11 chars
+    assert(r(8L) == ((3L, 3L, true))) // straddles the 4-token boundary
+  }
+}

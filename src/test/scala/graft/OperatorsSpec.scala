@@ -586,6 +586,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.size == 5)
   }
 
+  test("byte spans: sub-word duplication that word grams miss, exact byte offsets") {
+    // 26 shared bytes at different offsets in each doc; doc 1 breaks word
+    // alignment with a different prefix, so word 5-grams OF K=5 WORDS never
+    // match but the byte windows do. Shared region: "quick brown foxes leaping"
+    val fx = Seq(
+      (0L, "the quick brown foxes leaping far"),
+      (1L, "a quick brown foxes leaping far"),
+      (2L, "completely unrelated text with nothing shared")
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedByteSpans(fx, k = 20).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getInt(3)))).toMap
+    // the common region INCLUDES the space before "quick": doc 0 bytes
+    // 3..32 (30 bytes), doc 1 bytes 1..30
+    assert(r(0L) == ((3, 32, 30)))
+    assert(r(1L) == ((1, 30, 30)))
+    assert(!r.contains(2L))
+  }
+
+  test("byte spans: islands further than k bytes apart stay separate") {
+    val pad0 = "0123456789abcdefghijklmnopqrstuv" // 32 unique-ish middle bytes
+    val pad1 = "zyxwvutsrqponmlkjihgfedcba987654"
+    val s1 = "AAAAAAAAAAAAAAAAAAAA" // 20 bytes
+    val s2 = "BBBBBBBBBBBBBBBBBBBB"
+    val fx = Seq(
+      (0L, s"$s1$pad0$s2"),
+      (1L, s"$s1$pad1$s2")
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedByteSpans(fx, k = 20).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2))).toSet
+    assert(r == Set((0L, 0, 19), (1L, 0, 19), (0L, 52, 71), (1L, 52, 71)))
+  }
+
+  test("byte-span removal: interval complement preserves byte accounting") {
+    val shared = "this exact sentence appears in both documents"
+    val fx = Seq(
+      (0L, s"prefix0 $shared suffix0"),
+      (1L, s"prefix1! $shared suffix1"),
+      (2L, "nothing duplicated in this one"),
+      (3L, shared), // fully covered → empty
+      (4L, shared)
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicatedByteSpans(fx, k = 20).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2)))).toMap
+    assert(r.size == 5)
+    assert(r(2L) == (("nothing duplicated in this one", 0)))
+    // the common region is " <shared> suffix" (53 bytes — the space before
+    // "this" and the shared " suffix" both duplicate); only the prefix and
+    // the final digit survive
+    assert(r(0L) == (("prefix00", 53)))
+    assert(r(1L) == (("prefix1!1", 53)))
+    assert(r(3L) == (("", 45)) && r(4L) == (("", 45)))
+    // byte accounting: kept + removed = original length
+    val texts = Map(0L -> s"prefix0 $shared suffix0", 1L -> s"prefix1! $shared suffix1",
+      2L -> "nothing duplicated in this one", 3L -> shared, 4L -> shared)
+    texts.foreach { case (id, t) =>
+      assert(r(id)._1.length + r(id)._2 == t.length, s"doc $id byte accounting")
+    }
+  }
+
   test("incremental exact dedup: first-id-wins in batch, corpus copies dropped") {
     val corpus = Seq((0L, "seen before"), (1L, "also seen")).toDF("doc_id", "text")
     val batch = Seq(

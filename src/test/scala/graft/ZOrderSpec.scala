@@ -51,5 +51,32 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zPart < 0.75, s"z-order span on l_partkey: $zPart")
     assert(zSupp < 0.75, s"z-order span on l_suppkey: $zSupp")
     assert(zSupp < sSupp - 0.1, "z-order must beat the sort on the trailing column")
+
+    // THE SKIP, measured: a range predicate on the TRAILING column must be
+    // answered from a fraction of the z-ordered row groups (parquet min/max
+    // pruning against the pushed filter), while the plain sort — which left
+    // l_suppkey at ~full range per file — surfaces every row group.
+    val stats = li.agg(min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val (lo, hi) = (stats.getLong(0), stats.getLong(1))
+    val (wLo, wHi) = (lo + (hi - lo) * 7 / 16, lo + (hi - lo) * 9 / 16) // central 1/8
+    def pred(dir: String) = spark.read.parquet(dir)
+      .filter(col("l_suppkey") >= wLo && col("l_suppkey") <= wHi)
+      .select("l_quantity")
+    // pushed-filter pin: the predicate must reach the parquet scan
+    val explained = pred(zDir).queryExecution.executedPlan.toString
+    assert(explained.contains("PushedFilters") &&
+      explained.contains("GreaterThanOrEqual(l_suppkey") &&
+      explained.contains("LessThanOrEqual(l_suppkey"),
+      s"range predicate not pushed to the parquet scan:\n$explained")
+    val total = li.count()
+    val (zRows, zFiles) = Bucketed.scanStats(pred(zDir))
+    val (sRows, sFiles) = Bucketed.scanStats(pred(sDir))
+    assert(zFiles == 8 && sFiles == 8, s"both layouts list all files ($zFiles/$sFiles)")
+    assert(sRows == total,
+      s"sorted layout cannot skip on the trailing column: scanned $sRows of $total")
+    // 0.6: file-boundary placement wobbles a row group's worth between runs
+    // (range sampling); the contract is "roughly half skipped vs NONE skipped"
+    assert(zRows <= total * 6 / 10,
+      s"z-ordered layout must skip most row groups: scanned $zRows of $total")
   }
 }
