@@ -23,6 +23,7 @@ import graft.functions._
   *  - `graft_word_grams(words, n)`         → array<bigint> gram hashes
   *  - `graft_minhash(gram_hashes, k)`      → array<bigint> MinHash signature
   *  - `graft_simhash(token_hashes)`        → bigint SimHash signature
+  *  - `graft_byte_grams(text, k)`          → array<bigint> k-byte window hashes
   *  - `graft_dot(a, b)`                    → double vector dot product
   *  - `graft_hyperplane_sig(v, b, seed)`   → bigint hyperplane LSH signature
   *  - `graft_percentile_disc(x, p)`        → reference-fidelity running
@@ -102,6 +103,9 @@ object GraftExtensions {
     describe("graft_simhash",
       "graft_simhash(token_hashes array<bigint>) - 64-bit SimHash signature",
       arity = 1) { args => SimHashSignature(args.head) },
+    describe("graft_byte_grams",
+      "graft_byte_grams(text string, k int) - 64-bit hashes of every k-byte window",
+      arity = 2) { args => ByteGramHashes(args.head, intArg("graft_byte_grams", "k", args(1))) },
     describe("graft_dot",
       "graft_dot(a array<double|float>, b array<double|float>) - vector dot product",
       arity = 2) { args => DotProduct(args.head, args(1)) },

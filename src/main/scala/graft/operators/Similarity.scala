@@ -183,23 +183,35 @@ object Similarity {
     * broadcast join + partial-aggregated argmax per vector (no shuffle of
     * vectors beyond the cell-id attach); the probe is an equi-join on
     * cell id, so per-query work tracks probed-cell sizes, not the corpus. */
-  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      nCells: Int = 16, nProbe: Int = 4, lloydIterations: Int = 0): DataFrame = {
-    val cents0 = emb
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+  /** Hash-seeded deterministic centroid pick shared by every IVF entry
+    * point (same seeding ⇒ an index built by [[writeIvfIndex]] probes
+    * exactly like a fresh [[ivfTopK]] run). */
+  private def seededCentroids(emb: DataFrame, nCells: Int): DataFrame =
+    emb.select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
       .withColumn("h", xxhash64(col("cent_id")))
       .orderBy(col("h"), col("cent_id")).limit(nCells).drop("h")
       .select(col("cent_id"), col("cv"), norm(col("cv")).as("cn"))
-    val corpus = withNorm(emb, "1")
+
+  private def ivfCorpusSide(emb: DataFrame): DataFrame =
+    withNorm(emb, "1")
       .select(col("id1").as("n_id"), col("v1").as("nv"), col("n1").as("nn"))
-    // nearest centroid per corpus vector: broadcast the centroids, argmax by
-    // (cosine, cent_id) via max_by — partial-aggregates map-side, so the only
-    // shuffled payload is (n_id, cell)
+
+  /** Nearest centroid per corpus vector: broadcast the centroids, argmax by
+    * (cosine, cent_id) via max_by — partial-aggregates map-side, so the only
+    * shuffled payload is (n_id, cell). */
+  private def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame = {
     val centCos = round(dot(col("nv"), col("cv")) / (col("nn") * col("cn")), 6)
-    def assign(cents: DataFrame): DataFrame = corpus.join(broadcast(cents))
+    corpus.join(broadcast(cents))
       .withColumn("ccos", centCos)
       .groupBy("n_id")
       .agg(max_by(col("cent_id"), struct(col("ccos"), col("cent_id"))).as("cell"))
+  }
+
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nCells: Int = 16, nProbe: Int = 4, lloydIterations: Int = 0): DataFrame = {
+    val cents0 = seededCentroids(emb, nCells)
+    val corpus = ivfCorpusSide(emb)
+    def assign(cents: DataFrame): DataFrame = assignCells(corpus, cents)
     val cents = if (lloydIterations <= 0) cents0 else {
       import emb.sparkSession.implicits._
       // training touches the corpus 2L times (per-iteration assignment +
@@ -257,6 +269,66 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("cos_sim"), col("rnk"))
+  }
+
+  /** Persist a build-once/probe-many IVF index — the SERVING shape of
+    * [[ivfTopK]] at 100 TB: the expensive pass (corpus-wide centroid
+    * assignment) runs ONCE at build time; every later probe reads only its
+    * cells. Layout:
+    *
+    *  - `path/centroids`: the nCells (cent_id, cv) rows — KBs, one file;
+    *  - `path/cells`: the corpus Hive-PARTITIONED by cell with the row
+    *    norm precomputed — a probe's `cell IN (...)` filter prunes whole
+    *    directories at PLANNING time (`PartitionFilters` in the scan,
+    *    zero I/O for unprobed cells — nProbe/nCells of the corpus read,
+    *    which is the entire point of an inverted-file index).
+    *
+    * Centroid seeding is the shared deterministic hash pick, so
+    * [[ivfTopKFromIndex]] answers match a fresh [[ivfTopK]] run on the
+    * same corpus bit for bit (IvfIndexSpec pins the equality). */
+  def writeIvfIndex(emb: DataFrame, path: String, nCells: Int = 16): Unit = {
+    val cents = seededCentroids(emb, nCells)
+    cents.select("cent_id", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val corpus = ivfCorpusSide(emb)
+    corpus.join(assignCells(corpus, cents), "n_id")
+      .select(col("n_id").as("vec_id"), col("nv").as("embedding"),
+        col("nn").as("vnorm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Probe a persisted [[writeIvfIndex]] index: rank centroids per query
+    * (broadcast — KBs), collect the probed cell ids (≤ |queries|·nProbe,
+    * driver-bounded like the hot-gram set), and scan ONLY those cell
+    * directories via the partition-column IN filter. Rerank and tie-breaks
+    * are [[ivfTopK]]'s exactly. `queries` is any (vec_id, embedding) frame —
+    * the indexed corpus itself or fresh vectors. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cent_id"), col("cv"), norm(col("cv")).as("cn"))
+    val q = withNorm(queries, "2")
+      .select(col("id2").as("q_id"), col("v2").as("qv"), col("n2").as("qn"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("pcos").desc, col("cent_id").desc)
+    val probes = q.join(broadcast(cents))
+      .withColumn("pcos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+    val probedCells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells: _*))
+      .withColumn("cell", col("cell").cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim",
+        round(dot(col("qv"), col("embedding")) / (col("qn") * col("vnorm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos_sim"), col("rnk"))
   }
 
   /** Approximate kNN GRAPH — top-k neighbors for every query vector (all

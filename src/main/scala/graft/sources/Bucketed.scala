@@ -103,11 +103,20 @@ object Bucketed {
     * plain sort skips only on its leading column. */
   def scanStats(df: DataFrame): (Long, Long) = {
     df.collect()
-    val scans = df.queryExecution.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-    }
-    require(scans.nonEmpty, "no parquet scan in the plan — scanStats needs a file-backed df")
-    (scans.map(_.metrics("numOutputRows").value).sum,
-      scans.map(_.metrics("numFiles").value).sum)
+    // AQE wraps the executed tree (AdaptiveSparkPlanExec) and materialized
+    // stages (QueryStageExec) are leaf nodes — both hide their subtrees
+    // from TreeNode.collect, so recurse through them explicitly
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      }.flatten
+    val found = scans(df.queryExecution.executedPlan)
+    require(found.nonEmpty, "no parquet scan in the plan — scanStats needs a file-backed df")
+    (found.map(_.metrics("numOutputRows").value).sum,
+      found.map(_.metrics("numFiles").value).sum)
   }
 }

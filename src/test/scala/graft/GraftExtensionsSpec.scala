@@ -43,7 +43,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT doc_id,
           |       graft_word_grams(split(text, ' '), 2) AS grams,
           |       graft_minhash(graft_word_grams(split(text, ' '), 2), 8) AS mh,
-          |       graft_simhash(transform(split(text, ' '), w -> xxhash64(w))) AS sh
+          |       graft_simhash(transform(split(text, ' '), w -> xxhash64(w))) AS sh,
+          |       graft_byte_grams(text, 3) AS bg
           |FROM ext_docs""".stripMargin).orderBy("doc_id").collect()
       val viaCol = docs.select(
         org.apache.spark.sql.functions.col("doc_id"),
@@ -55,7 +56,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         functions.HashFunctions.simhash_signature(
           org.apache.spark.sql.functions.transform(
             org.apache.spark.sql.functions.split($"text", " "),
-            w => org.apache.spark.sql.functions.xxhash64(w))).as("sh"))
+            w => org.apache.spark.sql.functions.xxhash64(w))).as("sh"),
+        functions.HashFunctions.byte_gram_hashes($"text", 3).as("bg"))
         .orderBy("doc_id").collect()
       assert(viaSql.toSeq == viaCol.toSeq)
     }

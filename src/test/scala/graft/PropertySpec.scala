@@ -315,4 +315,35 @@ class PropertySpec extends AnyFunSuite {
       assert(got == exp)
     }
   }
+
+  test("BPE tokenize partitions every word exactly under any trained merges") {
+    val wordGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val gen = for {
+      dict <- Gen.listOfN(8, wordGen)
+      counts <- Gen.listOfN(8, Gen.choose(1L, 20L))
+      probe <- Gen.listOfN(5, wordGen)
+    } yield (dict.zip(counts), probe)
+    forAll(gen) { case (dict, probes) =>
+      val merges = operators.Bpe.trainFromCounts(dict, numMerges = 6)
+      val ranks = merges.zipWithIndex.toMap
+      (probes ++ dict.map(_._1)).foreach { w =>
+        val toks = operators.Bpe.tokenize(w, ranks)
+        // concatenation invariant: tokens partition the word, in order
+        assert(toks.mkString == w, s"tokens ${toks.toSeq} don't rebuild '$w'")
+        assert(toks.forall(_.nonEmpty))
+      }
+    }
+  }
+
+  test("BPE training is prefix-stable: more merges never rewrite earlier ones") {
+    val wordGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val gen = Gen.listOfN(6, wordGen.flatMap(w => Gen.choose(1L, 9L).map(w -> _)))
+    forAll(gen) { dict =>
+      val m4 = operators.Bpe.trainFromCounts(dict, numMerges = 4)
+      val m8 = operators.Bpe.trainFromCounts(dict, numMerges = 8)
+      assert(m8.take(m4.length) == m4)
+    }
+  }
 }
