@@ -303,4 +303,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"),
       "top-k must prune before the single-partition window")
   }
+
+  test("BPE token counts: the merge loop runs on a broadcast vocabulary dictionary") {
+    val p = plan("q87_bpe_tokens")
+    // the (word -> n_bpe) dictionary joins back by broadcast — the
+    // corpus-sized side must never sort-merge against the UDF output
+    assert(p.contains("BroadcastHashJoin"), "dictionary join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no corpus-sized sort-merge join")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "doc-word counts must map-side combine")
+  }
+
+  test("byte spans: codegen'd window hashes, no quadratic join, no per-byte rebuild") {
+    val p89 = plan("q89_byte_spans")
+    assert(p89.contains("bytegramhashes"),
+      "positions come from the codegen'd byte-window hash array")
+    assert(!p89.contains("BroadcastNestedLoopJoin") && !p89.contains("CartesianProduct"))
+    assert(p89.contains("array_distinct"),
+      "cross-doc frequency must dedup per doc map-side")
+    val p90 = plan("q90_remove_byte_spans")
+    // interval-complement rebuild: the only generators belong to span
+    // DETECTION (gram posexplode + hot-gram set explode); a per-byte or
+    // per-token explode would add a third
+    assert("(?m)^\\s*[+:]?-? *Generate ".r.findAllIn(p90).size <= 2,
+      s"rebuild must not explode per byte:\n${p90.linesIterator.filter(_.contains("Generate")).mkString("\n")}")
+    assert(!p90.contains("CartesianProduct") && !p90.contains("BroadcastNestedLoopJoin"))
+  }
 }
