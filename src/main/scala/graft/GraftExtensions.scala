@@ -26,6 +26,7 @@ import graft.functions._
   *  - `graft_byte_grams(text, k)`          → array<bigint> k-byte window hashes
   *  - `graft_dot(a, b)`                    → double vector dot product
   *  - `graft_hyperplane_sig(v, b, seed)`   → bigint hyperplane LSH signature
+  *  - `graft_heavy_hitters(item, cap)`     → Misra-Gries frequent-items agg
   *  - `graft_percentile_disc(x, p)`        → reference-fidelity running
   *    DISCRETE_PERCENTILE aggregate (usable with OVER, like the reference's
   *    registered UDAF — WindowsAggregationUtil.java:114)
@@ -120,5 +121,11 @@ object GraftExtensions {
       "graft_percentile_disc(x, p) - running discrete percentile (reference UDAF semantics)",
       arity = 2) { args =>
       DiscretePercentileAgg(args.head, doubleArg("graft_percentile_disc", "p", args(1)))
+    },
+    describe("graft_heavy_hitters",
+      "graft_heavy_hitters(item, capacity) - Misra-Gries frequent-items sketch " +
+        "(array of (item, est) structs, est desc)",
+      arity = 2) { args =>
+      MisraGriesAgg(args.head, intArg("graft_heavy_hitters", "capacity", args(1)))
     })
 }

@@ -107,7 +107,12 @@ object SparkEntry {
       n = 3, threshold = 0.5)
     val members = nearDup.select(col("doc1").as("doc_id"))
       .unionAll(nearDup.select(col("doc2").as("doc_id"))).distinct()
-    val clean = docs.join(members, Seq("doc_id"), "left_anti")
+    // clean feeds BOTH union branches; caching it saves the second pass
+    // over the membership anti-join (measured 3.27 → 2.82 s at sf0.1 —
+    // modest because ReuseExchange already shares the LSH subtree's
+    // shuffles). The bench/Verify clear the session cache per query, so
+    // this is per-query storage — the q61 stage-boundary posture.
+    val clean = docs.join(members, Seq("doc_id"), "left_anti").cache()
     clean.unionAll(clean.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
   }
@@ -701,6 +706,20 @@ object SparkEntry {
     "q42_sketch_profile" -> ((s, dir) =>
       operators.Sketches.profileChecked(Tables.lineitem(s, dir))),
 
+    // Misra-Gries heavy hitters over corpus words at capacity 64 ≥ the
+    // vocabulary: nothing is ever evicted, so the bounded-memory sketch
+    // degenerates to EXACT counts and the plain count(*) oracle applies —
+    // the whole sketch machinery (update eviction, mergeable reduction)
+    // exercised under oracle, with the compressed regime's error bounds
+    // pinned by SketchesSpec
+    "q91_heavy_hitters" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      operators.Sketches.heavyHitters(
+        TextAnalysis.withWords(Tables.documents(s, dir))
+          .select(explode(col("__words")).as("word")),
+        "word", capacity = 64)
+    }),
+
     // near-dup clusters: jaccard pairs → connected components → canonical keeper
     "q41_dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
@@ -1150,6 +1169,11 @@ object SparkEntry {
         """SELECT vec_id + 10000000 AS q_id, vec_id AS n_id,
           |1.0::DOUBLE AS cos_sim, CAST(1 AS INT) AS rnk
           |FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 50""".stripMargin,
+
+      "q91_heavy_hitters" ->
+        """SELECT u.w AS item, count(*)::BIGINT AS est_count
+          |FROM (SELECT string_split(text, ' ') AS ws FROM documents), UNNEST(ws) u(w)
+          |GROUP BY 1""".stripMargin,
 
       "q42_sketch_profile" ->
         """SELECT l_returnflag, count(*) AS n_rows,

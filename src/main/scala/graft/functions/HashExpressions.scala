@@ -250,4 +250,9 @@ object HashFunctions {
   /** Column API for [[ByteGramHashes]]. */
   def byte_gram_hashes(text: Column, k: Int): Column =
     GraftColumnBridge.column(ByteGramHashes(GraftColumnBridge.expression(text), k))
+
+  /** Column API for [[MisraGriesAgg]] (an aggregate — use inside agg()). */
+  def misra_gries(item: Column, capacity: Int): Column =
+    GraftColumnBridge.column(
+      MisraGriesAgg(GraftColumnBridge.expression(item), capacity).toAggregateExpression())
 }

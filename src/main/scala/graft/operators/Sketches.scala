@@ -57,4 +57,24 @@ object Sketches {
       col("approx_p95_qty").cast("double").between(col("p94"), col("p96"))
         .as("p95_within_bound"))
   }
+
+  /** Misra-Gries heavy hitters over an item column
+    * ([[graft.functions.MisraGriesAgg]]): at most `capacity` counters per
+    * aggregation buffer, whatever the item cardinality — the
+    * frequent-items profile when the exact groupBy's key space is the
+    * problem (raw shingles, URLs, user ids at 100 TB). One row per
+    * surviving item with its (under-)estimate; guarantees (any merge
+    * order): `true − n/(capacity+1) ≤ est_count ≤ true`, and every item
+    * with `true > n/(capacity+1)` survives.
+    *
+    * 100 TB shape: a single partial-aggregated pass — each task carries
+    * one ≤ capacity-entry map and ships one compact summary, the
+    * mergeable-summaries posture of [[profile]]'s HLL++. With
+    * `capacity ≥ |distinct|` the sketch degenerates to EXACT counts
+    * (nothing is ever evicted), which is what makes q91 oracle-comparable
+    * while SketchesSpec pins the compressed regime's bounds. */
+  def heavyHitters(items: DataFrame, column: String, capacity: Int): DataFrame =
+    items.agg(graft.functions.HashFunctions.misra_gries(col(column), capacity).as("__hh"))
+      .select(explode(col("__hh")).as("h"))
+      .select(col("h.item").as("item"), col("h.est").as("est_count"))
 }

@@ -96,6 +96,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_heavy_hitters aggregates in SQL and matches the operator") {
+    withRegistered {
+      import spark.implicits._
+      (Seq.fill(9)("x") ++ Seq.fill(4)("y") ++ Seq("z"))
+        .toDF("item").createOrReplaceTempView("ext_hh")
+      val rows = spark.sql(
+        """SELECT h.item, h.est FROM (
+          |  SELECT explode(graft_heavy_hitters(item, 8)) AS h FROM ext_hh)""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      assert(rows.toSeq == Seq("x" -> 9L, "y" -> 4L, "z" -> 1L))
+    }
+  }
+
   test("static parameters must be literals, with a pointed error") {
     withRegistered {
       import spark.implicits._

@@ -336,6 +336,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("byte-span removal: kept + removed = original length on any corpus") {
+    // random docs over a tiny alphabet force heavy cross-doc byte overlap,
+    // stressing island merging and the interval-complement rebuild
+    val textGen = Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', ' ')).map(_.mkString))
+    val gen = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, textGen))
+    forAll(gen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val spans = operators.Dedup.duplicatedByteSpans(docs, k = 8).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      // spans are within bounds, disjoint, and >= k bytes
+      spans.groupBy(_._1).foreach { case (id, ss) =>
+        val sorted = ss.sortBy(_._2)
+        sorted.foreach { case (_, s, e) =>
+          assert(s >= 0 && e < texts(id.toInt).length && e - s + 1 >= 8) }
+        sorted.sliding(2).foreach {
+          case Array((_, _, e1), (_, s2, _)) => assert(s2 > e1, "spans must be disjoint")
+          case _ =>
+        }
+      }
+      val removed = operators.Dedup.removeDuplicatedByteSpans(docs, k = 8).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      assert(removed.length == texts.length, "row-stable")
+      removed.foreach { case (id, kept, n) =>
+        assert(kept.length + n == texts(id.toInt).length, s"doc $id byte accounting")
+      }
+    }
+  }
+
   test("BPE training is prefix-stable: more merges never rewrite earlier ones") {
     val wordGen = Gen.choose(1, 8).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
