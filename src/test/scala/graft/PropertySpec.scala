@@ -366,6 +366,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("misra-gries bounds hold under random chunking and random merge order") {
+    import graft.functions.MisraGriesAgg
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = MisraGriesAgg(
+      BoundReference(0, org.apache.spark.sql.types.StringType, nullable = true),
+      capacity = 6)
+    val itemGen = Gen.frequency(
+      5 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+      2 -> Gen.oneOf((0 until 40).map(i => s"cold$i")))
+    val gen = for {
+      n <- Gen.choose(50, 400)
+      items <- Gen.listOfN(n, itemGen)
+      chunks <- Gen.choose(1, 8)
+      shuffleSeed <- Gen.choose(0, 1000)
+    } yield (items, chunks, shuffleSeed)
+    forAll(gen) { case (items, chunks, shuffleSeed) =>
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = items.size
+      // split into chunks, update each into its own buffer, then merge the
+      // buffers in a seed-shuffled order — simulating arbitrary partial
+      // aggregation trees
+      val rnd = new scala.util.Random(shuffleSeed)
+      val buffers = rnd.shuffle(items.grouped(math.max(1, n / chunks)).toList).map { chunk =>
+        val b = agg.createAggregationBuffer()
+        chunk.foreach(it =>
+          agg.update(b, InternalRow(UTF8String.fromString(it))))
+        b
+      }
+      val merged = buffers.reduce(agg.merge)
+      assert(merged.size() <= 6, "never more than capacity survivors")
+      val bound = n / 7 // n/(capacity+1)
+      val ests = {
+        val it = merged.entrySet().iterator()
+        val m = scala.collection.mutable.Map.empty[String, Long]
+        while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue }
+        m.toMap
+      }
+      ests.foreach { case (item, est) =>
+        assert(est <= truth(item), s"$item overcounts: $est > ${truth(item)}")
+        assert(est >= truth(item) - bound, s"$item undercounts past the bound")
+      }
+      truth.foreach { case (item, t) =>
+        if (t > bound) assert(ests.contains(item), s"$item (true $t > $bound) must survive")
+      }
+    }
+  }
+
   test("BPE training is prefix-stable: more merges never rewrite earlier ones") {
     val wordGen = Gen.choose(1, 8).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))

@@ -207,4 +207,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.find(_.user_id == 1L).get == ThresholdCross(1L, 9.0, 2L))
     assert(rows.find(_.user_id == 3L).get == ThresholdCross(3L, 10.0, 2L))
   }
+
+  test("misra-gries aggregates across micro-batches through the state store") {
+    import org.apache.spark.sql.functions._
+    // the sketch buffer must survive serialize → state store → deserialize →
+    // merge between micro-batches; capacity covers the items, so the final
+    // summary is the exact count over BOTH batches
+    val stream = MemoryStream[String](spark)
+    stream.addData(Seq.fill(5)("a") ++ Seq.fill(2)("b"): _*)
+    val q = stream.toDF().toDF("item")
+      .agg(graft.functions.HashFunctions.misra_gries(col("item"), 8).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item").as("item"), col("h.est").as("est"))
+      .writeStream.format("memory").queryName("mg_stream").outputMode("complete").start()
+    q.processAllAvailable()
+    stream.addData(Seq.fill(3)("a") ++ Seq.fill(4)("c"): _*)
+    q.processAllAvailable(); q.stop()
+    val r = spark.table("mg_stream").collect().map(x => x.getString(0) -> x.getLong(1))
+    assert(r.toSeq == Seq("a" -> 8L, "c" -> 4L, "b" -> 2L))
+  }
 }
