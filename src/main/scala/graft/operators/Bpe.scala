@@ -108,9 +108,14 @@ object Bpe {
   }
 
   /** Encode one word under a merge rank map: repeatedly merge the leftmost
-    * occurrence of the lowest-rank adjacent pair until none applies. */
+    * occurrence of the lowest-rank adjacent pair until none applies.
+    *
+    * An EMPTY word (consecutive separators upstream) counts as ONE token —
+    * the convention DuckDB's `string_split(w, '')` produces (`['']`), so
+    * both engines budget identical counts on whitespace-degenerate text. */
   private[graft] def tokenize(word: String,
       ranks: Map[(String, String), Int]): Array[String] = {
+    if (word.isEmpty) return Array(word)
     var toks = toSymbols(word)
     var done = toks.length < 2
     while (!done) {

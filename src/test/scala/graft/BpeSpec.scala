@@ -27,6 +27,16 @@ class BpeSpec extends AnyFunSuite {
     // leftmost (a,a) fires inside the word; the b prefix merges with nothing
     assert(Bpe.tokenize("baaab", ranks).toSeq == Seq("b", "aaab"))
     assert(Bpe.tokenize("c", ranks).toSeq == Seq("c"))
+    // empty word (double-space upstream) = ONE token, matching DuckDB's
+    // string_split('','') = [''] so oracle counts can't diverge
+    assert(Bpe.tokenize("", ranks).toSeq == Seq(""))
+  }
+
+  test("tokenCounts budgets double-space empty words like the oracle would") {
+    val docs = Seq((0L, "a  b")).toDF("doc_id", "text") // split → ["a","","b"]
+    val r = Bpe.tokenCounts(docs, Seq(("a", "b"))).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(0L) == ((3L, 3L))) // 3 words incl. the empty one, 3 BPE tokens
   }
 
   test("the pinned q87/q88 merge table reproduces under retraining on sf0.01") {
