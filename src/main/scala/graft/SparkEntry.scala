@@ -182,6 +182,39 @@ object SparkEntry {
        |        FROM dw JOIN nb USING (word) GROUP BY doc_id)""".stripMargin
   }
 
+  /** Shared CTE prefix of the q93 oracle: [[bpeSql]]'s exact recursive
+    * replay with the alphabet swapped from chars to UTF-8 BYTES — the seed
+    * tokenization is `regexp_extract_all(hex(encode(word)), '..')` (one
+    * uppercase hex pair per byte, the same spelling [[operators.Bpe]]'s
+    * byte symbols use) over the accented fixture, and the merge-list
+    * literal comes from [[bpeByteMerges]]. An empty word seeds ZERO tokens
+    * (GPT-2 byte convention), vs the char variant's one. */
+  private def bpeByteSql: String = {
+    val ml = bpeByteMerges.map { case (l, r) => s"'$l'||chr(1)||'$r'" }.mkString("[", ",", "]")
+    s"""fx AS ($accentedFixtureSql),
+       |dw AS (SELECT doc_id, u.w AS word, count(*) AS n
+       |       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM fx),
+       |            UNNEST(ws) AS u(w)
+       |       GROUP BY 1, 2),
+       |vocab AS (SELECT DISTINCT word FROM dw),
+       |tok AS (
+       |  SELECT word, regexp_extract_all(hex(encode(word)), '..') AS toks FROM vocab
+       |  UNION ALL
+       |  SELECT word, toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:] AS toks
+       |  FROM (
+       |    SELECT word, toks, list_position(rks, list_min(list_filter(rks, r -> r > 0))) AS pos
+       |    FROM (
+       |      SELECT word, toks,
+       |             list_transform(range(1, len(toks)),
+       |               i -> list_position($ml, toks[i] || chr(1) || toks[i+1])) AS rks
+       |      FROM tok))
+       |  WHERE pos IS NOT NULL AND pos > 0),
+       |nb AS (SELECT word, min(len(toks)) AS n_bpe FROM tok GROUP BY word),
+       |bpe AS (SELECT doc_id, sum(n)::BIGINT AS n_words,
+       |        sum(n * n_bpe)::BIGINT AS n_bpe_tokens
+       |        FROM dw JOIN nb USING (word) GROUP BY doc_id)""".stripMargin
+  }
+
   /** Derived fixture for the normalization-aware dedup (q75): every third
     * document gains a SHOUTY copy — upper-cased with trailing punctuation —
     * which byte-exact dedup would keep but [[TextAnalysis.normalizeText]]
@@ -194,6 +227,79 @@ object SparkEntry {
       .select((col("doc_id") + 10000000L).as("doc_id"),
         concat(upper(col("text")), lit(" !!")).as("text")))
   }
+
+  /** Derived RAW-HTML fixture for boilerplate extraction (q92): each doc's
+    * text wrapped as the article paragraph of a page with the chrome a real
+    * crawl carries — a link-only `<nav>`, a short `<h1>`, a short link-free
+    * share line, a link-dense `<footer>`, and (every third doc) a link-only
+    * sidebar `<div>`. Pure ASCII `||` concatenation of literals + the text
+    * + `CAST(doc_id AS VARCHAR)` — derives bit-for-bit in both engines. The
+    * TRUE main text is the original `text` (space-normalized), so the
+    * extractor's output is checkable against the corpus itself. */
+  private[graft] def htmlDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, dir).select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+        "<a href=\"/contact\">Contact</a></nav>" +
+        "<h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
+      col("text"),
+      lit("</p>"),
+      when(col("doc_id") % 3 === 0, lit("<div class=\"sidebar\">" +
+        "<a href=\"/r1\">Related article one</a> " +
+        "<a href=\"/r2\">Related article two</a></div>")).otherwise(lit("")),
+      lit("<p>Share this page</p>" +
+        "<footer><a href=\"/tos\">Terms of Service</a> " +
+        "<a href=\"/privacy\">Privacy Policy</a> (c) 2026 Example Corp</footer>" +
+        "</body></html>")).as("html"))
+  }
+
+  /** The q92 oracle's copy of [[htmlDocuments]]'s construction. */
+  private def htmlFixtureSql: String =
+    """SELECT doc_id,
+      |'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body>' ||
+      |'<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>' ||
+      |'<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>' ||
+      |CASE WHEN doc_id % 3 = 0 THEN '<div class="sidebar"><a href="/r1">Related article one</a> <a href="/r2">Related article two</a></div>' ELSE '' END ||
+      |'<p>Share this page</p>' ||
+      |'<footer><a href="/tos">Terms of Service</a> <a href="/privacy">Privacy Policy</a> (c) 2026 Example Corp</footer>' ||
+      |'</body></html>' AS html
+      |FROM documents""".stripMargin
+
+  /** Derived NON-ASCII fixture for the byte-level BPE (q93): every fourth
+    * doc gains three accented words whose UTF-8 encodings are multi-byte
+    * (é=C3A9, ü=C3BC, ï=C3AF) — the rows where a byte alphabet visibly
+    * diverges from a char alphabet. `chr()` code points in the oracle ==
+    * the Scala literals' UTF-8 under DuckDB's UTF-8 strings. */
+  private[graft] def accentedDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" café über naïve")))
+        .otherwise(col("text")).as("text"))
+  }
+
+  /** The q93 oracle's copy of [[accentedDocuments]]'s construction. */
+  private def accentedFixtureSql: String =
+    """SELECT doc_id, CASE WHEN doc_id % 4 = 0
+      |THEN text || ' caf' || chr(233) || ' ' || chr(252) || 'ber na' || chr(239) || 've'
+      |ELSE text END AS text FROM documents""".stripMargin
+
+  /** Pinned BYTE-level BPE merge table for q93 — trained by
+    * [[operators.Bpe.trainMergesBytes]] (24 merges) on the sf0.01
+    * [[accentedDocuments]] fixture; BpeSpec pins this table against
+    * retraining. Symbols are uppercase hex byte spellings (`hex()`'s
+    * output), so the oracle replays merges over
+    * `regexp_extract_all(hex(encode(word)), '..')` with this same constant
+    * as its merge-list literal. */
+  private[graft] val bpeByteMerges: Seq[(String, String)] = Seq(
+    ("65", "72"), ("69", "6E"), ("6F", "77"), ("6F", "72"), ("73", "74"),
+    ("6D", "6572"), ("61", "74"), ("6C", "75"), ("61", "72"), ("70", "6172"),
+    ("63", "61"), ("76", "65"), ("6A", "6F"), ("6A6F", "696E"), ("61", "73"),
+    ("6173", "68"), ("68", "617368"), ("72", "6F77"), ("6174", "63"),
+    ("617463", "68"), ("62", "61746368"), ("6361", "6E"), ("73", "63616E"),
+    ("63", "6F"))
 
   /** Derived fixture for the edit-distance fuzzy dedup (q78): suffix-edited
     * copies at distance 4 (` xyz`, inside maxDist=8) and distance 11
@@ -542,6 +648,20 @@ object SparkEntry {
     // word in a recursive CTE over the same pinned table.
     "q87_bpe_tokens" -> ((s, dir) =>
       operators.Bpe.tokenCounts(Tables.documents(s, dir), bpeMerges)),
+
+    // q87 re-based on the GPT-2 byte alphabet: UTF-8 bytes as base symbols
+    // (no OOV ever), pinned byte-merge table, non-ASCII fixture rows where
+    // char and byte tokenization visibly diverge (é = 2 base symbols)
+    "q93_bpe_byte_tokens" -> ((s, dir) =>
+      operators.Bpe.byteTokenCounts(accentedDocuments(s, dir), bpeByteMerges)),
+
+    // HTML boilerplate extraction — the pre-clean stage of a web-corpus
+    // pipeline: block segmentation at block-tag boundaries, length +
+    // link-density scoring (jusText/boilerpipe family), pure projection
+    // (no shuffle — PlanSpec-pinned); nav/sidebar/footer drop, the
+    // article paragraph survives and reproduces the original corpus text
+    "q92_boilerplate" -> ((s, dir) =>
+      operators.Boilerplate.extractMainText(htmlDocuments(s, dir))),
 
     "q30_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
 
@@ -1330,6 +1450,38 @@ object SparkEntry {
       "q87_bpe_tokens" ->
         s"""WITH RECURSIVE $bpeSql
            |SELECT doc_id, n_words, n_bpe_tokens FROM bpe""".stripMargin,
+
+      "q93_bpe_byte_tokens" ->
+        s"""WITH RECURSIVE $bpeByteSql
+           |SELECT doc_id, n_words, n_bpe_tokens FROM bpe""".stripMargin,
+
+      "q92_boilerplate" -> {
+        // the oracle replays the extractor's ALGORITHM (block split →
+        // per-block text/link scoring → integer-rational density filter →
+        // in-order reassembly) over the same derived html — list lambdas
+        // mirror the Spark higher-order functions one for one
+        val blockRe = operators.Boilerplate.blockTagRe
+        val anyTag = operators.Boilerplate.anyTagRe
+        val anchorRe = operators.Boilerplate.anchorTextRe
+        s"""WITH h AS ($htmlFixtureSql),
+           |st AS (
+           |  SELECT doc_id, list_transform(string_split_regex(html, '$blockRe'),
+           |    b -> {'t': trim(regexp_replace(regexp_replace(b, '$anyTag', ' ', 'g'), ' +', ' ', 'g')),
+           |          'l': coalesce(list_sum(list_transform(regexp_extract_all(b, '$anchorRe', 1), a -> length(trim(a)))), 0)}) AS stats
+           |  FROM h),
+           |cl AS (
+           |  SELECT doc_id,
+           |    list_filter(stats, s -> length(s.t) >= 25 AND s.l * 100 <= length(s.t) * 33) AS content,
+           |    list_filter(stats, s -> length(s.t) > 0) AS nonempty
+           |  FROM st)
+           |SELECT doc_id,
+           |  array_to_string(list_transform(content, s -> s.t), ' ') AS main_text,
+           |  len(nonempty)::BIGINT AS n_blocks,
+           |  len(content)::BIGINT AS n_content_blocks,
+           |  coalesce(list_sum(list_transform(content, s -> length(s.t))), 0)::BIGINT AS n_content_chars,
+           |  coalesce(list_sum(list_transform(nonempty, s -> length(s.t))), 0)::BIGINT AS n_text_chars
+           |FROM cl""".stripMargin
+      },
 
       "q88_pack_bpe" ->
         s"""WITH RECURSIVE $bpeSql,

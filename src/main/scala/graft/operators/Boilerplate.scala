@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML boilerplate removal — the stage a web-corpus pipeline runs before
+  * ANY other text operator: strip navigation, sidebars, footers, and other
+  * chrome from raw HTML and keep the main article text.
+  *
+  * The heuristic is the published jusText/trafilatura family (Pomikálek
+  * 2011; boilerpipe, Kohlschütter et al. WSDM 2010): segment the page into
+  * blocks at block-level tag boundaries, score each block by TEXT LENGTH
+  * and LINK DENSITY (fraction of the block's visible characters that sit
+  * inside anchor tags), and keep long low-link-density blocks — navigation
+  * and footers are short and link-saturated, article paragraphs are long
+  * and link-sparse. This is the length/density core of those classifiers
+  * without the language-model and context-smoothing refinements.
+  *
+  * 100 TB shape: a PURE PROJECTION — block split, per-block scoring, and
+  * reassembly all happen inside one whole-stage-codegen'd row transform
+  * (split + higher-order `transform`/`filter`/`aggregate` + `array_join`);
+  * no UDF, no explode, no shuffle, nothing driver-side. The scan stays
+  * columnar and every executor core streams pages independently, which is
+  * exactly what you want for the first pass over a crawl.
+  *
+  * Determinism: integer-rational link-density comparison
+  * (`link_chars * 100 <= text_chars * maxLinkPercent`) — no floating
+  * point, so a SQL oracle reproduces the decision bit for bit.
+  */
+object Boilerplate {
+
+  /** Block-level boundary tags (HTML5 flow-content set): a page splits
+    * into scoreable text blocks at every open/close occurrence. `\b` stops
+    * `p` from swallowing `<pre>` etc. */
+  private[graft] val blockTagRe: String =
+    """</?(?:p|div|li|ul|ol|nav|footer|header|aside|h[1-6]|table|tr|td|br|section|article)\b[^>]*>"""
+
+  /** Any remaining (inline) tag — removed before scoring so `<b>`/`<i>`/`<a>`
+    * markup never counts as text. */
+  private[graft] val anyTagRe: String = "<[^>]*>"
+
+  /** Anchor text capture: `[^<]*` (not `.*?`) so Java regex and RE2 agree
+    * and nested-tag anchors degrade identically in both engines. */
+  private[graft] val anchorTextRe: String = """<a\b[^>]*>([^<]*)</a>"""
+
+  /** Visible text of one raw block: inline tags → space, runs of spaces
+    * collapsed, trimmed — the same normalization a text extractor applies
+    * so word boundaries survive tag removal. */
+  private def blockText(b: Column): Column =
+    trim(regexp_replace(regexp_replace(b, lit(anyTagRe), lit(" ")), lit(" +"), lit(" ")))
+
+  /** Total anchor-text characters of one raw block (trimmed per anchor,
+    * matching [[blockText]]'s trim). Empty-anchor pages sum to 0. */
+  private def linkChars(b: Column): Column =
+    aggregate(
+      transform(regexp_extract_all(b, lit(anchorTextRe), lit(1)), a => length(trim(a))),
+      lit(0), (acc, x) => acc + x)
+
+  /** Extract main text from an HTML column.
+    *
+    * A block is CONTENT iff its visible text has ≥ `minTextChars`
+    * characters AND `link_chars * 100 <= text_chars * maxLinkPercent`.
+    * Output per page: `main_text` (content blocks joined by one space, in
+    * document order), `n_blocks` (non-empty text blocks), `n_content_blocks`,
+    * `n_content_chars`, `n_text_chars` — the last two give the boilerplate
+    * fraction downstream quality filters cut on.
+    *
+    * Defaults (25 chars, 33%) are the jusText short/near-good boundary
+    * ballpark; both are exposed because crawl profiles differ. */
+  def extractMainText(docs: DataFrame, htmlCol: String = "html",
+      minTextChars: Int = 25, maxLinkPercent: Int = 33): DataFrame = {
+    require(minTextChars >= 0, s"minTextChars must be >= 0, got $minTextChars")
+    require(maxLinkPercent >= 0 && maxLinkPercent <= 100,
+      s"maxLinkPercent must be in [0, 100], got $maxLinkPercent")
+    // one struct per block, materialized once (multi-referenced alias
+    // survives CollapseProject) so the regex work runs once per block
+    val stats = transform(split(col(htmlCol), blockTagRe),
+      b => struct(blockText(b).as("t"), linkChars(b).as("l")))
+    val withStats = docs.withColumn("__blocks", stats)
+    val content = filter(col("__blocks"), s =>
+      length(s.getField("t")) >= minTextChars &&
+        s.getField("l") * lit(100) <= length(s.getField("t")) * lit(maxLinkPercent))
+    val nonempty = filter(col("__blocks"), s => length(s.getField("t")) > 0)
+    val chars = (blocks: Column) =>
+      aggregate(transform(blocks, s => length(s.getField("t"))), lit(0), (acc, x) => acc + x)
+    withStats.select(
+      col("doc_id"),
+      array_join(transform(content, s => s.getField("t")), " ").as("main_text"),
+      size(nonempty).cast("long").as("n_blocks"),
+      size(content).cast("long").as("n_content_blocks"),
+      chars(content).cast("long").as("n_content_chars"),
+      chars(nonempty).cast("long").as("n_text_chars"))
+  }
+}

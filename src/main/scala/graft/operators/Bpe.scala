@@ -57,22 +57,42 @@ object Bpe {
   def trainMerges(docs: DataFrame, numMerges: Int,
       maxVocabWords: Int = 1 << 16): Seq[(String, String)] = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
-    val wordCounts = TextAnalysis.withWords(docs)
+    trainFromCounts(collectWordCounts(docs, maxVocabWords), numMerges)
+  }
+
+  /** BYTE-level training (the GPT-2 convention, Radford et al. 2019): the
+    * base alphabet is the word's UTF-8 BYTES, not its characters, so the
+    * 256-symbol alphabet covers every input with no OOV and non-ASCII text
+    * tokenizes the way a real byte-level tokenizer counts it (é is two
+    * base symbols, not one). Symbols are the uppercase two-hex-digit byte
+    * spelling — the same strings `hex()` produces in SQL, so an oracle can
+    * replay merges over `regexp_extract_all(hex(encode(word)), '..')`
+    * verbatim. Same determinism contract as [[trainMerges]]. */
+  def trainMergesBytes(docs: DataFrame, numMerges: Int,
+      maxVocabWords: Int = 1 << 16): Seq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    trainFromCounts(collectWordCounts(docs, maxVocabWords), numMerges, toByteSymbols)
+  }
+
+  /** The bounded (word, count) dictionary BPE trains on: one exploded word
+    * count — map-side combined, one shuffle on `word` — capped
+    * deterministically by (count desc, word asc). */
+  private def collectWordCounts(docs: DataFrame, maxVocabWords: Int): Seq[(String, Long)] =
+    TextAnalysis.withWords(docs)
       .select(explode(col("__words")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
       .limit(maxVocabWords)
       .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    trainFromCounts(wordCounts.toSeq, numMerges)
-  }
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
 
   /** Driver-side merge training over a (word, count) dictionary — the
     * classic algorithm: count adjacent symbol pairs weighted by word
     * frequency, merge the most frequent pair everywhere, repeat. */
   private[graft] def trainFromCounts(wordCounts: Seq[(String, Long)],
-      numMerges: Int): Seq[(String, String)] = {
-    var words = wordCounts.map { case (w, c) => (toSymbols(w), c) }
+      numMerges: Int,
+      symbolize: String => Array[String] = toSymbols): Seq[(String, String)] = {
+    var words = wordCounts.map { case (w, c) => (symbolize(w), c) }
     val merges = Seq.newBuilder[(String, String)]
     var learned = 0
     var exhausted = false
@@ -93,6 +113,15 @@ object Bpe {
 
   private def toSymbols(word: String): Array[String] =
     Array.tabulate(word.length)(i => word.substring(i, i + 1))
+
+  /** UTF-8 bytes as uppercase two-hex-digit symbols — `"é"` → `["C3","A9"]`.
+    * Matches SQL `hex()` byte spelling so oracles replay the merge loop on
+    * identical strings. An empty word has ZERO byte symbols (and so zero
+    * tokens — the GPT-2 byte-level convention; contrast the char variant's
+    * one-token empty word, which follows `string_split(w, '')`). */
+  private[graft] def toByteSymbols(word: String): Array[String] =
+    word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02X")
 
   /** Merge every non-overlapping (l, r) occurrence, scanning left to
     * right — the training-side replacement step. */
@@ -137,6 +166,34 @@ object Bpe {
     toks
   }
 
+  /** Byte-level encoding of one word under a merge rank map: same
+    * leftmost-lowest-rank loop as [[tokenize]] over the UTF-8 byte
+    * alphabet. An empty word is ZERO tokens (it has zero bytes) — the
+    * byte-level convention, diverging deliberately from the char variant's
+    * one-token empty word. */
+  private[graft] def tokenizeBytes(word: String,
+      ranks: Map[(String, String), Int]): Array[String] = {
+    var toks = toByteSymbols(word)
+    var done = toks.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = ranks.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPos = i }
+        i += 1
+      }
+      if (bestPos < 0) done = true
+      else {
+        toks = (toks.take(bestPos) :+ (toks(bestPos) + toks(bestPos + 1))) ++
+          toks.drop(bestPos + 2)
+        done = toks.length < 2
+      }
+    }
+    toks
+  }
+
   private def rankMap(merges: Seq[(String, String)]): Map[(String, String), Int] =
     merges.zipWithIndex.toMap
 
@@ -161,6 +218,28 @@ object Bpe {
       .select(col("doc_id"), explode(col("__words")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
     docWord.join(broadcast(tokenCountDict(docs, merges)), "word")
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_words"), sum(col("n") * col("n_bpe")).as("n_bpe_tokens"))
+  }
+
+  /** Per-document BYTE-level BPE token counts under pinned byte `merges`
+    * (from [[trainMergesBytes]]): [[tokenCounts]]'s exact distributed shape
+    * — distinct words tokenized once, broadcast dictionary join — with the
+    * merge loop running over the UTF-8 byte alphabet, so non-ASCII text
+    * budgets the way a GPT-2-family tokenizer counts it and no word is ever
+    * out-of-vocabulary. */
+  def byteTokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val bcRanks = spark.sparkContext.broadcast(rankMap(merges))
+    val nBpe = udf((w: String) => tokenizeBytes(w, bcRanks.value).length)
+    val dict = TextAnalysis.withWords(docs)
+      .select(explode(col("__words")).as("word"))
+      .distinct()
+      .select(col("word"), nBpe(col("word")).cast("long").as("n_bpe"))
+    val docWord = TextAnalysis.withWords(docs)
+      .select(col("doc_id"), explode(col("__words")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+    docWord.join(broadcast(dict), "word")
       .groupBy("doc_id")
       .agg(sum("n").as("n_words"), sum(col("n") * col("n_bpe")).as("n_bpe_tokens"))
   }

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Boilerplate
+
+class BoilerplateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(html: String) =
+    Boilerplate.extractMainText(Seq((0L, html)).toDF("doc_id", "html"))
+      .collect().head
+
+  test("keeps the long low-link paragraph, drops nav/footer/short blocks") {
+    val html = "<html><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/x\">About us here</a></nav>" +
+      "<h1>Title</h1>" +
+      "<p>This is the long main article paragraph with plenty of text.</p>" +
+      "<footer><a href=\"/t\">Terms of Service</a> <a href=\"/p\">Privacy Policy</a> (c) Corp</footer>" +
+      "</body></html>"
+    val r = run(html)
+    assert(r.getString(1) == "This is the long main article paragraph with plenty of text.")
+    assert(r.getLong(3) == 1L) // n_content_blocks
+    assert(r.getLong(2) >= 3L) // nav, h1, p, footer all non-empty
+  }
+
+  test("inline tags inside a paragraph become word boundaries, not glue") {
+    val html = "<p>The quick <b>brown</b> fox jumps over the lazy dog now</p>"
+    assert(run(html).getString(1) == "The quick brown fox jumps over the lazy dog now")
+  }
+
+  test("a long but link-saturated block is boilerplate") {
+    val html = "<p>Plain article text that is easily long enough to keep here.</p>" +
+      "<div><a href=\"/a\">A very long related-links anchor text one</a> " +
+      "<a href=\"/b\">another very long related anchor text two</a></div>"
+    val r = run(html)
+    assert(r.getLong(3) == 1L)
+    assert(r.getString(1).startsWith("Plain article"))
+  }
+
+  test("link density is rational-compared: exactly at the threshold keeps") {
+    // text chars 100, anchor chars 33 → 33*100 <= 100*33 holds (kept)
+    val word = "x" * 33
+    val pad = "y" * 66 // + one space = 100 visible chars
+    val html = s"<p><a href=\"/\">$word</a> $pad</p>"
+    val r = run(html)
+    assert(r.getLong(3) == 1L, "block at exactly maxLinkPercent must be kept")
+  }
+
+  test("pages with no content blocks yield an empty main_text") {
+    val r = run("<nav><a href=\"/\">Home</a></nav>")
+    assert(r.getString(1) == "")
+    assert(r.getLong(3) == 0L)
+  }
+
+  test("parameter validation rejects nonsense thresholds") {
+    val df = Seq((0L, "<p>x</p>")).toDF("doc_id", "html")
+    intercept[IllegalArgumentException] {
+      Boilerplate.extractMainText(df, maxLinkPercent = 101)
+    }
+    intercept[IllegalArgumentException] {
+      Boilerplate.extractMainText(df, minTextChars = -1)
+    }
+  }
+}

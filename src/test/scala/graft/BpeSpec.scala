@@ -44,6 +44,35 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.trainMerges(docs, numMerges = 24) == SparkEntry.bpeMerges)
   }
 
+  test("the pinned q93 byte-merge table reproduces under retraining on sf0.01") {
+    val docs = SparkEntry.accentedDocuments(spark, "/root/testdata/sf0.01")
+    assert(Bpe.trainMergesBytes(docs, numMerges = 24) == SparkEntry.bpeByteMerges)
+  }
+
+  test("byte symbols are uppercase hex UTF-8 bytes; multi-byte chars split") {
+    assert(Bpe.toByteSymbols("ab").toSeq == Seq("61", "62"))
+    assert(Bpe.toByteSymbols("café").toSeq == Seq("63", "61", "66", "C3", "A9"))
+    assert(Bpe.toByteSymbols("").isEmpty)
+  }
+
+  test("tokenizeBytes: empty word is ZERO tokens (byte convention), merges apply") {
+    val ranks = Seq(("61", "62"), ("C3", "A9")).zipWithIndex.toMap
+    assert(Bpe.tokenizeBytes("", ranks).isEmpty)
+    assert(Bpe.tokenizeBytes("ab", ranks).toSeq == Seq("6162"))
+    // é's two bytes merge under rank 1; the c/a/f prefix stays unmerged
+    assert(Bpe.tokenizeBytes("café", ranks).toSeq == Seq("63", "61", "66", "C3A9"))
+  }
+
+  test("byteTokenCounts diverges from char counts exactly on non-ASCII words") {
+    // 'né' = 3 bytes (6E C3 A9): char alphabet sees 2 symbols, byte sees 3;
+    // with no merges the byte count is the UTF-8 byte length per word
+    val docs = Seq((0L, "né ok"), (1L, "ok")).toDF("doc_id", "text")
+    val r = Bpe.byteTokenCounts(docs, Seq.empty).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(0L) == ((2L, 5L))) // né=3 bytes + ok=2 bytes
+    assert(r(1L) == ((1L, 2L)))
+  }
+
   test("tokenCounts sums per-word BPE counts weighted by occurrences") {
     val docs = Seq((0L, "the the cat"), (1L, "th e")).toDF("doc_id", "text")
     val merges = Seq(("t", "h"), ("th", "e"))

@@ -152,6 +152,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate extraction is a pure projection: no shuffle, no explode") {
+    // block split, scoring, and reassembly all ride higher-order array
+    // functions inside one row transform — a Generate (explode) or an
+    // Exchange would mean the per-block work leaked out of the projection
+    val p = plan("q92_boilerplate")
+    assert(!p.contains("Exchange"), "q92 must not shuffle")
+    assert(!p.contains("Generate"), "q92 must not explode blocks")
+    assert(!p.contains("Window ["), "q92 must not use WindowExec")
+  }
+
   test("vocabulary: doc frequency without Expand, both aggregations partial") {
     val p = plan("q64_vocabulary")
     assert(!p.contains("Expand"),
