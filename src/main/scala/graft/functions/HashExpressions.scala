@@ -135,6 +135,10 @@ object MinHashSignature {
   * preserves (collision odds ~2^-64 per pair). */
 case class WordGramHashes(child: Expression, n: Int) extends UnaryExpression {
 
+  // SQL-exposed via graft_word_grams: a non-positive n would silently
+  // yield degenerate hashes instead of an error at the call site
+  require(n > 0, s"word_gram_hashes: gram size n must be positive, got $n")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -195,6 +199,10 @@ object WordGramHashes {
   * row; this hashes each window in place over the backing bytes (zero
   * copies) inside whole-stage codegen. */
 case class ByteGramHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  // SQL-exposed via graft_byte_grams: a non-positive window would silently
+  // yield degenerate hashes instead of an error at the call site
+  require(k > 0, s"byte_gram_hashes: window k must be positive, got $k")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

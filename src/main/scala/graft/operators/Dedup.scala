@@ -484,7 +484,7 @@ object Dedup {
     * anywhere (contrast [[ngramJaccardPairs]]'s pair join: span detection
     * never forms document PAIRS at all). */
   def duplicatedSpans(docs: DataFrame, k: Int = 5,
-      crossDocOnly: Boolean = true): DataFrame = {
+      crossDocOnly: Boolean = true, broadcastHot: Boolean = true): DataFrame = {
     val pos = TextAnalysis.withWords(docs)
       .select(col("doc_id"),
         posexplode(graft.functions.HashFunctions.word_gram_hashes(col("__words"), k)))
@@ -498,7 +498,7 @@ object Dedup {
       .filter(col("gdf") >= 2).select("gram")
     // (doc_id, start) is unique (one k-gram per position), so the semi-join
     // needs no distinct afterwards
-    val dup = pos.join(hot, Seq("gram"), "left_semi").select("doc_id", "start")
+    val dup = semiJoinHotGrams(pos, hot, broadcastHot).select("doc_id", "start")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("start")
     // gaps-and-islands: NULL lag (first row) compares to NULL → otherwise(1)
     // opens the first island, matching SQL CASE semantics exactly
@@ -527,8 +527,8 @@ object Dedup {
     * quadratic. The rebuild shuffles surviving tokens once; span-heavy
     * corpora shuffle LESS as more is removed. */
   def removeDuplicatedSpans(docs: DataFrame, k: Int = 5,
-      crossDocOnly: Boolean = true): DataFrame = {
-    val covered = duplicatedSpans(docs, k, crossDocOnly).select(col("doc_id"),
+      crossDocOnly: Boolean = true, broadcastHot: Boolean = true): DataFrame = {
+    val covered = duplicatedSpans(docs, k, crossDocOnly, broadcastHot).select(col("doc_id"),
       explode(sequence(col("span_start"), col("span_end"))).as("pos"))
     val toks = TextAnalysis.withWords(docs)
       .select(col("doc_id"), posexplode(col("__words")))
@@ -568,7 +568,7 @@ object Dedup {
     * identical length-≥ k repeats, the join trades the paper's O(n log n)
     * construction for shuffle-parallel equi-joins that scale out. */
   def duplicatedByteSpans(docs: DataFrame, k: Int = 20,
-      crossDocOnly: Boolean = true): DataFrame = {
+      crossDocOnly: Boolean = true, broadcastHot: Boolean = true): DataFrame = {
     val hashes = graft.functions.HashFunctions.byte_gram_hashes(col("text"), k)
     val pos = docs.select(col("doc_id"), posexplode(hashes))
       .withColumnRenamed("pos", "start").withColumnRenamed("col", "gram")
@@ -577,7 +577,7 @@ object Dedup {
       else pos)
       .groupBy("gram").agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") >= 2).select("gram")
-    val dup = pos.join(hot, Seq("gram"), "left_semi").select("doc_id", "start")
+    val dup = semiJoinHotGrams(pos, hot, broadcastHot).select("doc_id", "start")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("start")
     dup
       .withColumn("__new",
@@ -591,6 +591,30 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).cast("int").as("n_bytes"))
   }
 
+  /** Position ⋈ hot-gram semi-join with a DETERMINISTIC broadcast decision.
+    *
+    * Left to Catalyst, whether this semi-join broadcasts depends on the
+    * PLANNING-TIME size estimate of the hot-gram aggregate — small corpora
+    * get the broadcast, but at scale the estimate inflates past the
+    * auto-broadcast threshold and the plan silently degrades to a
+    * sort-merge join that shuffles one row PER TOKEN/BYTE POSITION (AQE
+    * can rewrite the join at runtime, but only after the position side has
+    * already written its shuffle files — the cost is paid either way). The
+    * explicit hint pins the broadcast in the PLAN, so the position side
+    * never enters a shuffle, and stays LAZY — no eager materialization, so
+    * consumers that build on spans (removal, self-repetition) keep full
+    * Catalyst pruning through the operator.
+    *
+    * `broadcastHot = false` is the corpus-scale escape: the hot set is
+    * every ≥2-doc gram, which a caller deduping a 100 TB corpus in one
+    * pass can grow past executor broadcast memory — there the shuffled
+    * semi-join is the correct shape and the caller opts into it. (The
+    * span windows downstream partition by doc_id either way.) */
+  private def semiJoinHotGrams(pos: DataFrame, hot: DataFrame,
+      broadcastHot: Boolean): DataFrame =
+    if (broadcastHot) pos.join(broadcast(hot), Seq("gram"), "left_semi")
+    else pos.join(hot, Seq("gram"), "left_semi")
+
   /** Byte-span REMOVAL — enforcement half of [[duplicatedByteSpans]].
     * Unlike the word version's per-token anti-join, the rebuild here is
     * pure INTERVAL COMPLEMENT: merged spans are disjoint and sorted, so
@@ -603,9 +627,9 @@ object Dedup {
     * word version: untouched docs pass through verbatim, fully-covered
     * docs yield the empty string. */
   def removeDuplicatedByteSpans(docs: DataFrame, k: Int = 20,
-      crossDocOnly: Boolean = true): DataFrame = {
+      crossDocOnly: Boolean = true, broadcastHot: Boolean = true): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("span_start")
-    val pieces = duplicatedByteSpans(docs, k, crossDocOnly)
+    val pieces = duplicatedByteSpans(docs, k, crossDocOnly, broadcastHot)
       .withColumn("piece_start",
         coalesce(lag(col("span_end"), 1).over(w) + 1, lit(0)))
       .withColumn("piece_end", col("span_start") - 1) // may be empty (< start)
@@ -615,17 +639,26 @@ object Dedup {
           col("piece_start").as("s"), col("piece_end").as("e")))).as("__gaps"),
         (max(col("span_end")) + 1).as("__tail_start"),
         sum(col("span_end") - col("span_start") + 1).as("__n_removed"))
+    // span offsets are BYTE positions into the UTF-8 encoding (that is
+    // ByteGramHashes' contract), so the rebuild slices the encoded BYTES —
+    // substring over binary is byte-addressed — and decodes once at the
+    // end. Char-based substr would land on the wrong characters for any
+    // non-ASCII document (char index ≠ byte index). A span boundary that
+    // splits a multi-byte character decodes that fragment to U+FFFD — the
+    // published byte-level formulation operates below char granularity
+    // and this is its documented edge, not a slicing bug.
+    val bytes = encode(col("text"), "UTF-8")
     docs.select(col("doc_id"), col("text"))
       .join(pieces, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         when(col("__gaps").isNull, coalesce(col("text"), lit("")))
-          .otherwise(concat(
-            aggregate(col("__gaps"), lit(""), (acc, p) =>
+          .otherwise(decode(concat(
+            aggregate(col("__gaps"), lit(Array.emptyByteArray), (acc, p) =>
               concat(acc, when(p.getField("e") >= p.getField("s"),
-                col("text").substr(p.getField("s") + 1,
-                  p.getField("e") - p.getField("s") + 1)).otherwise(lit("")))),
-            col("text").substr(col("__tail_start") + 1, length(col("text")))))
+                bytes.substr(p.getField("s") + 1,
+                  p.getField("e") - p.getField("s") + 1)).otherwise(lit(Array.emptyByteArray)))),
+            bytes.substr(col("__tail_start") + 1, length(bytes))), "UTF-8"))
           .as("text_deduped"),
         coalesce(col("__n_removed"), lit(0L)).cast("int").as("n_removed_bytes"))
   }

@@ -645,6 +645,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("byte-span removal slices BYTES, not chars, on non-ASCII documents") {
+    // 'é' = 2 UTF-8 bytes: every byte offset after the accents shifts off
+    // its char offset, so char-based slicing would corrupt the rebuild.
+    // The shared sentence is ASCII and long past k=20; the distinct
+    // accented prefixes survive intact.
+    val shared = "this exact sentence appears in both documents"
+    val fx = Seq(
+      (0L, s"café résumé $shared"),
+      (1L, s"naïve señor! $shared"),
+      (2L, "no duplication héré at all")
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicatedByteSpans(fx, k = 20).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2)))).toMap
+    assert(r(2L) == (("no duplication héré at all", 0)))
+    // the shared region includes the leading space: " <shared>" = 46 bytes
+    assert(r(0L) == (("café résumé", 46)))
+    assert(r(1L) == (("naïve señor!", 46)))
+    // BYTE accounting (not char): kept bytes + removed = original bytes
+    val texts = Map(0L -> s"café résumé $shared", 1L -> s"naïve señor! $shared")
+    texts.foreach { case (id, t) =>
+      val keptBytes = r(id)._1.getBytes("UTF-8").length
+      assert(keptBytes + r(id)._2 == t.getBytes("UTF-8").length, s"doc $id byte accounting")
+    }
+  }
+
   test("incremental exact dedup: first-id-wins in batch, corpus copies dropped") {
     val corpus = Seq((0L, "seen before"), (1L, "also seen")).toDF("doc_id", "text")
     val batch = Seq(

@@ -329,8 +329,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p89.contains("bytegramhashes"),
       "positions come from the codegen'd byte-window hash array")
     assert(!p89.contains("BroadcastNestedLoopJoin") && !p89.contains("CartesianProduct"))
-    assert(p89.contains("array_distinct"),
-      "cross-doc frequency must dedup per doc map-side")
+    // the hot set sits behind cache+count, so the per-position side must
+    // semi-join it by BROADCAST (a deterministic decision from the ACTUAL
+    // hot count, not Catalyst's stats estimate): positions never shuffle
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p89).isDefined,
+      "hot-gram filter must be a broadcast semi-join")
+    assert(!p89.contains("SortMergeJoin"),
+      "per-position rows must never sort-merge")
     val p90 = plan("q90_remove_byte_spans")
     // interval-complement rebuild: the only generators belong to span
     // DETECTION (gram posexplode + hot-gram set explode); a per-byte or
