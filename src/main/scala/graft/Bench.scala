@@ -50,7 +50,7 @@ object Bench {
   private val heavyTail = Seq(
     "q21_dedup_ngram_jaccard", "q41_dedup_clusters", "q46_dedup_lsh_clusters",
     "q47_embed_neardup_lsh", "q52_embed_neardup_lsh_prod", "q53_dedup_minhash_prod",
-    "q61_pipeline_e2e", "q68_neardup_incremental")
+    "q61_pipeline_e2e", "q68_neardup_incremental", "q89_byte_spans")
 
   /** Sibling directory one decade down: .../sfX → .../sf(X/10), exact
     * decimal arithmetic so 0.1 → 0.01 (not 0.010000000...). None when the
@@ -193,6 +193,123 @@ object Bench {
     }
     spark.catalog.clearCache()
 
+    // IVF at its PRODUCTION operating point: the PERSISTED index
+    // (build-once Hive-partitioned cells — write cost excluded like the
+    // z-order layout: paid once at ingest) probed at nProbe ≪ nCells.
+    // q50's bench line probes all cells because that point provably equals
+    // brute force (the correctness trick) but measures exhaustive search.
+    // Alongside wall time, "probe_scanned" is the parquet scan's own row
+    // count under the planning-time PartitionFilters — the fraction of the
+    // corpus a probe reads is the number that scales (at this SF both
+    // paths are fixed-cost-bound in seconds), and recall vs the brute
+    // top-k on the same queries keeps the accuracy cost in the record.
+    val ivfProd = try {
+      import org.apache.spark.sql.functions.col
+      val emb = sources.Tables.embeddings(spark, sfDir)
+      val qids = 0L until 10L
+      val ivfDir = java.nio.file.Files.createTempDirectory("graft_bench_ivf").toFile
+      try {
+        operators.Similarity.writeIvfIndex(emb, ivfDir.getAbsolutePath, nCells = 16)
+        val queries = emb.filter(col("vec_id").isin(qids: _*))
+        def timed(f: => org.apache.spark.sql.DataFrame): (Double, Array[(Long, Long)]) = {
+          val runs = (1 to 3).map { _ =>
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            val rows = f.select(col("q_id"), col("n_id")).collect()
+              .map(r => (r.getLong(0), r.getLong(1)))
+            ((System.nanoTime() - t0) / 1e9, rows)
+          }
+          (runs.map(_._1).min, runs.head._2)
+        }
+        val (bruteSec, bruteTop) = timed(
+          operators.Similarity.bruteForceTopK(emb, qids, k = 5))
+        def probeAt(nProbe: Int) = {
+          val (sec, top) = timed(operators.Similarity.ivfTopKFromIndex(
+            spark, ivfDir.getAbsolutePath, queries, k = 5, nProbe = nProbe))
+          (sec, top.count(bruteTop.toSet).toDouble / bruteTop.length)
+        }
+        val (p4Sec, p4Recall) = probeAt(4)
+        val (p8Sec, p8Recall) = probeAt(8)
+        // corpus rows the probe's CELLS scan actually surfaces (partition
+        // pruning measured from the scan's own metrics — the queries and
+        // centroids scans are excluded by path)
+        val (probeScanned, _) = sources.Bucketed.scanStats(
+          operators.Similarity.ivfTopKFromIndex(
+            spark, ivfDir.getAbsolutePath, queries, k = 5, nProbe = 4),
+          _.contains("cells"))
+        val corpusRows = emb.count()
+        f"""{"n_queries":${qids.length},"k":5,"n_cells":16,"corpus_rows":$corpusRows,""" +
+          f""""brute_sec":$bruteSec%.3f,""" +
+          f""""probe4_sec":$p4Sec%.3f,"probe4_recall":$p4Recall%.4f,""" +
+          f""""probe8_sec":$p8Sec%.3f,"probe8_recall":$p8Recall%.4f,""" +
+          f""""probe4_cells_scanned_rows":$probeScanned}"""
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(ivfDir)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ivf_prod instrumentation failed: ${e.getMessage}")
+      "{}"
+    }
+    spark.catalog.clearCache()
+
+    // Skew stress: one synthetic hot key owning 50% of a 10×-amplified
+    // lineitem (6 M rows at sf0.1 → a 3 M-row hot partition), run through
+    // the naive plan and the explicit escape hatch on the SAME data, so
+    // the salted operators' value is a recorded measurement, not an
+    // assertion. The hot partition must exceed what one task absorbs
+    // comfortably — at the raw row count both plans are fixed-cost-bound
+    // and the comparison measures nothing. Details that keep the
+    // measurement honest: the windowed column is AGGREGATED, not count()ed
+    // (count lets Catalyst prune the whole Window away), and broadcast is
+    // disabled for the join pair (a broadcastable dim has no skew problem
+    // — the escape exists for dims too large to broadcast). AQE stays ON:
+    // the naive numbers include Spark's own skew-join mitigation, so the
+    // delta is the escape's value beyond what AQE already fixes.
+    val skew = try {
+      import org.apache.spark.sql.functions._
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val li = sources.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .withColumn("rep", explode(sequence(lit(0), lit(9))))
+      val fact = li.withColumn("skew_key",
+        when(col("l_orderkey") % 2 === 0, lit(0L)).otherwise(col("l_orderkey")))
+      val dim = fact.select("skew_key").distinct()
+        .withColumn("dim_payload", col("skew_key") * 2)
+      val nRows = fact.count()
+      def t3(f: => Any): Double =
+        (1 to 3).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.min
+      val (joinPlain, joinSalted) = try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (t3(fact.join(dim, "skew_key").count()),
+          t3(operators.SkewSafe.saltedJoin(fact, dim, "skew_key",
+            saltBuckets = 8, saltSource = "l_linenumber").count()))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      val accW = org.apache.spark.sql.expressions.Window.partitionBy("skew_key")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "rep")
+      val accPlain = t3(
+        fact.withColumn("run_qty", sum(col("l_quantity")).over(accW))
+          .select(sum(col("run_qty"))).collect())
+      val accSalted = t3(
+        operators.SkewSafe.saltedAccumulate(
+          fact.withColumn("chunk", year(col("l_shipdate")) * 12 + month(col("l_shipdate"))),
+          Seq("skew_key"), Seq("l_shipdate", "l_orderkey", "l_linenumber", "rep"),
+          "chunk", "l_quantity", "run_qty")
+          .select(sum(col("run_qty"))).collect())
+      f"""{"n_rows":$nRows,"hot_frac":0.5,""" +
+        f""""join_plain_sec":$joinPlain%.3f,"join_salted_sec":$joinSalted%.3f,""" +
+        f""""acc_plain_sec":$accPlain%.3f,"acc_salted_sec":$accSalted%.3f}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] skew instrumentation failed: ${e.getMessage}")
+      "{}"
+    }
+    spark.catalog.clearCache()
+
     // heavy tail at the sibling 10×-smaller SF for scale-growth attribution.
     // Error labels carry the sibling dir suffix: a failure HERE must not
     // read as a crashed main-SF query (the top-level "queries" contract).
@@ -217,7 +334,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${
         jmap(results.map { case (k, v, _) => k -> v }, full)},""" +
       s""""spread":${jmap(results.map { case (k, _, mx) => k -> mx }, full)},""" +
-      s""""lsh_prod":$lshProd,"zorder":$zorder,"heavy_tail":$heavy,"errors":$errJson,"sf":"$sfDir"}"""
+      s""""lsh_prod":$lshProd,"zorder":$zorder,"ivf_prod":$ivfProd,"skew":$skew,""" +
+      s""""heavy_tail":$heavy,"errors":$errJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     println(fullJson)
 

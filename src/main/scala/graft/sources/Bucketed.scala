@@ -101,7 +101,13 @@ object Bucketed {
     * "rows surfaced" is the I/O-skip number: on a z-ordered layout a range
     * predicate on ANY z-column leaves most row groups skipped, while a
     * plain sort skips only on its leading column. */
-  def scanStats(df: DataFrame): (Long, Long) = {
+  def scanStats(df: DataFrame): (Long, Long) = scanStats(df, _ => true)
+
+  /** As [[scanStats]], restricted to scans whose root paths satisfy
+    * `pathFilter` — for plans that read several tables (e.g. an IVF probe
+    * scans centroids + queries + cells) where the skipping claim concerns
+    * one of them. */
+  def scanStats(df: DataFrame, pathFilter: String => Boolean): (Long, Long) = {
     df.collect()
     // AQE wraps the executed tree (AdaptiveSparkPlanExec) and materialized
     // stages (QueryStageExec) are leaf nodes — both hide their subtrees
@@ -115,7 +121,8 @@ object Bucketed {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
       }.flatten
     val found = scans(df.queryExecution.executedPlan)
-    require(found.nonEmpty, "no parquet scan in the plan — scanStats needs a file-backed df")
+      .filter(_.relation.location.rootPaths.exists(p => pathFilter(p.toString)))
+    require(found.nonEmpty, "no matching parquet scan in the plan — scanStats needs a file-backed df")
     (found.map(_.metrics("numOutputRows").value).sum,
       found.map(_.metrics("numFiles").value).sum)
   }
