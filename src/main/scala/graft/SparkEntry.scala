@@ -245,13 +245,17 @@ object SparkEntry {
         "<a href=\"/contact\">Contact</a></nav>" +
         "<h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
       col("text"),
+      // every 5th doc carries HTML entities in its article text — the
+      // extractor must decode them (to 'Q&A <ok>'), and &amp;lt; ordering
+      // is pinned by the unit suite
+      when(col("doc_id") % 5 === 0, lit(" Q&amp;A &lt;ok&gt;")).otherwise(lit("")),
       lit("</p>"),
       when(col("doc_id") % 3 === 0, lit("<div class=\"sidebar\">" +
         "<a href=\"/r1\">Related article one</a> " +
         "<a href=\"/r2\">Related article two</a></div>")).otherwise(lit("")),
       lit("<p>Share this page</p>" +
         "<footer><a href=\"/tos\">Terms of Service</a> " +
-        "<a href=\"/privacy\">Privacy Policy</a> (c) 2026 Example Corp</footer>" +
+        "<a href=\"/privacy\">Privacy Policy</a> (c) 2026 Example Corp &amp; Sons</footer>" +
         "</body></html>")).as("html"))
   }
 
@@ -260,12 +264,21 @@ object SparkEntry {
     """SELECT doc_id,
       |'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body>' ||
       |'<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>' ||
-      |'<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>' ||
+      |'<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+      |CASE WHEN doc_id % 5 = 0 THEN ' Q&amp;A &lt;ok&gt;' ELSE '' END || '</p>' ||
       |CASE WHEN doc_id % 3 = 0 THEN '<div class="sidebar"><a href="/r1">Related article one</a> <a href="/r2">Related article two</a></div>' ELSE '' END ||
       |'<p>Share this page</p>' ||
-      |'<footer><a href="/tos">Terms of Service</a> <a href="/privacy">Privacy Policy</a> (c) 2026 Example Corp</footer>' ||
+      |'<footer><a href="/tos">Terms of Service</a> <a href="/privacy">Privacy Policy</a> (c) 2026 Example Corp &amp; Sons</footer>' ||
       |'</body></html>' AS html
       |FROM documents""".stripMargin
+
+  /** The q92 oracle's entity-decode chain, generated from the SAME pairs
+    * [[operators.Boilerplate.entities]] applies (order included — `&amp;`
+    * last), so the two engines cannot drift. */
+  private def entityDecodeSql(inner: String): String =
+    operators.Boilerplate.entities.foldLeft(inner) { case (acc, (e, ch)) =>
+      s"regexp_replace($acc, '$e', '${ch.replace("'", "''")}', 'g')"
+    }
 
   /** Derived NON-ASCII fixture for the byte-level BPE (q93): every fourth
     * doc gains three accented words whose UTF-8 encodings are multi-byte
@@ -1466,8 +1479,8 @@ object SparkEntry {
         s"""WITH h AS ($htmlFixtureSql),
            |st AS (
            |  SELECT doc_id, list_transform(string_split_regex(html, '$blockRe'),
-           |    b -> {'t': trim(regexp_replace(regexp_replace(b, '$anyTag', ' ', 'g'), ' +', ' ', 'g')),
-           |          'l': coalesce(list_sum(list_transform(regexp_extract_all(b, '$anchorRe', 1), a -> length(trim(a)))), 0)}) AS stats
+           |    b -> {'t': trim(regexp_replace(${entityDecodeSql(s"regexp_replace(b, '$anyTag', ' ', 'g')")}, ' +', ' ', 'g')),
+           |          'l': coalesce(list_sum(list_transform(regexp_extract_all(b, '$anchorRe', 1), a -> length(trim(${entityDecodeSql("a")})))), 0)}) AS stats
            |  FROM h),
            |cl AS (
            |  SELECT doc_id,

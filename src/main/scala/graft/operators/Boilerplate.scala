@@ -43,17 +43,36 @@ object Boilerplate {
     * and nested-tag anchors degrade identically in both engines. */
   private[graft] val anchorTextRe: String = """<a\b[^>]*>([^<]*)</a>"""
 
-  /** Visible text of one raw block: inline tags → space, runs of spaces
-    * collapsed, trimmed — the same normalization a text extractor applies
-    * so word boundaries survive tag removal. */
-  private def blockText(b: Column): Column =
-    trim(regexp_replace(regexp_replace(b, lit(anyTagRe), lit(" ")), lit(" +"), lit(" ")))
+  /** The HTML character entities a crawl actually carries (the XML five +
+    * nbsp + the numeric apostrophe), in decode order: `&amp;` LAST, so
+    * `&amp;lt;` decodes to the literal text `&lt;` and never double-decodes
+    * into a phantom `<`. Patterns and replacements are regex-literal in
+    * both Java regex and RE2, so the SAME pairs drive operator and oracle. */
+  private[graft] val entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
 
-  /** Total anchor-text characters of one raw block (trimmed per anchor,
-    * matching [[blockText]]'s trim). Empty-anchor pages sum to 0. */
+  private def decodeEntities(c: Column): Column =
+    entities.foldLeft(c) { case (acc, (e, ch)) =>
+      regexp_replace(acc, lit(e), lit(ch))
+    }
+
+  /** Visible text of one raw block: inline tags → space, entities decoded
+    * (nbsp becomes a plain space BEFORE the collapse so it merges with its
+    * neighbors), runs of spaces collapsed, trimmed — the normalization a
+    * text extractor applies so word boundaries survive tag removal. */
+  private def blockText(b: Column): Column =
+    trim(regexp_replace(
+      decodeEntities(regexp_replace(b, lit(anyTagRe), lit(" "))),
+      lit(" +"), lit(" ")))
+
+  /** Total anchor-text characters of one raw block (entity-decoded and
+    * trimmed per anchor, so link density is measured in the same units as
+    * [[blockText]]'s visible characters). Empty-anchor pages sum to 0. */
   private def linkChars(b: Column): Column =
     aggregate(
-      transform(regexp_extract_all(b, lit(anchorTextRe), lit(1)), a => length(trim(a))),
+      transform(regexp_extract_all(b, lit(anchorTextRe), lit(1)),
+        a => length(trim(decodeEntities(a)))),
       lit(0), (acc, x) => acc + x)
 
   /** Extract main text from an HTML column.

@@ -47,6 +47,24 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(r.getLong(3) == 1L, "block at exactly maxLinkPercent must be kept")
   }
 
+  test("HTML entities decode in the visible text, &amp; last (no double decode)") {
+    val html = "<p>Fish &amp; chips &lt;tasty&gt; &quot;very&quot; " +
+      "it&#39;s literally &amp;lt; here with plenty of padding text</p>"
+    val got = run(html).getString(1)
+    assert(got == "Fish & chips <tasty> \"very\" it's literally &lt; here " +
+      "with plenty of padding text")
+  }
+
+  test("nbsp entities collapse with neighboring spaces; anchors measure decoded chars") {
+    // anchor text '&nbsp;x&nbsp;' decodes+trims to 1 visible char, so a
+    // raw-length density computation would misclassify this long block
+    val pad = "enough plain article text to clear the length threshold"
+    val html = s"<p>a&nbsp; b $pad <a href=\"/\">&nbsp;x&nbsp;</a></p>"
+    val r = run(html)
+    assert(r.getString(1) == s"a b $pad x")
+    assert(r.getLong(3) == 1L, "block must stay content with decoded link chars")
+  }
+
   test("pages with no content blocks yield an empty main_text") {
     val r = run("<nav><a href=\"/\">Home</a></nav>")
     assert(r.getString(1) == "")
