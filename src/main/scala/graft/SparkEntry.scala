@@ -215,6 +215,59 @@ object SparkEntry {
        |        FROM dw JOIN nb USING (word) GROUP BY doc_id)""".stripMargin
   }
 
+  /** Derived URL fixture for q94/q95: one URL per document, cycling through
+    * every normalization hazard — mixed-case scheme/host, default :80 port,
+    * leading utm_ tracking parameter, fragment — while the canonical
+    * resource is determined by (doc_id % 7 host, doc_id % 25 path+id), so
+    * ~175 distinct normalized URLs absorb the corpus and the dedup has real
+    * work. The path part stays identical across variants — paths are
+    * case-SENSITIVE and normalization must leave them untouched, so only
+    * scheme/host/port/query/fragment vary. Pure ASCII concat, derives
+    * bit-for-bit in both engines. */
+  private[graft] def urlDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, dir).select(col("doc_id"), concat(
+      when(col("doc_id") % 5 === 0, lit("HTTP")).otherwise(lit("http")),
+      lit("://"),
+      when(col("doc_id") % 2 === 0, lit("WWW.Example")).otherwise(lit("www.example")),
+      (col("doc_id") % 7).cast("string"),
+      when(col("doc_id") % 2 === 0, lit(".COM")).otherwise(lit(".com")),
+      when(col("doc_id") % 3 === 0, lit(":80")).otherwise(lit("")),
+      lit("/a/"), (col("doc_id") % 25).cast("string"),
+      when(col("doc_id") % 2 === 0, lit("?utm_source=feed&id=")).otherwise(lit("?id=")),
+      (col("doc_id") % 25).cast("string"),
+      when(col("doc_id") % 4 === 1, lit("#s")).otherwise(lit(""))).as("url"))
+  }
+
+  /** The q94/q95 oracles' copy of [[urlDocuments]]'s construction. */
+  private def urlFixtureSql: String =
+    """SELECT doc_id,
+      |CASE WHEN doc_id % 5 = 0 THEN 'HTTP' ELSE 'http' END || '://' ||
+      |CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example' ELSE 'www.example' END ||
+      |CAST(doc_id % 7 AS VARCHAR) ||
+      |CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.com' END ||
+      |CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END ||
+      |'/a/' || CAST(doc_id % 25 AS VARCHAR) ||
+      |CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' ELSE '?id=' END ||
+      |CAST(doc_id % 25 AS VARCHAR) ||
+      |CASE WHEN doc_id % 4 = 1 THEN '#s' ELSE '' END AS url
+      |FROM documents""".stripMargin
+
+  /** The q94 oracle's normalization chain — the SAME pattern strings
+    * [[operators.UrlOps]] applies (no capture-group replacements, so the
+    * Java-vs-RE2 `$1`/`\1` spelling difference never arises). `u` must be
+    * the stripped-URL alias. */
+  private def urlNormSql: String = {
+    val tp = operators.UrlOps.trackingParams
+    val scheme = s"lower(regexp_extract(u, '${operators.UrlOps.schemeRe}', 1))"
+    val host = s"lower(regexp_extract(u, '${operators.UrlOps.hostRe}', 1))"
+    s"""$scheme || '://' ||
+       |CASE WHEN $scheme = 'http' THEN regexp_replace($host, ':80$$', '')
+       |     WHEN $scheme = 'https' THEN regexp_replace($host, ':443$$', '')
+       |     ELSE $host END ||
+       |regexp_extract(u, '${operators.UrlOps.restRe}', 1)""".stripMargin
+  }
+
   /** Derived fixture for the normalization-aware dedup (q75): every third
     * document gains a SHOUTY copy — upper-cased with trailing punctuation —
     * which byte-exact dedup would keep but [[TextAnalysis.normalizeText]]
@@ -675,6 +728,17 @@ object SparkEntry {
     // article paragraph survives and reproduces the original corpus text
     "q92_boilerplate" -> ((s, dir) =>
       operators.Boilerplate.extractMainText(htmlDocuments(s, dir))),
+
+    // URL dedup — the FIRST dedup a crawl pipeline runs: normalization
+    // (case, default port, tracking params, fragment) folds raw variants
+    // onto one canonical URL, then the exact-dedup hash shuffle
+    "q94_url_dedup" -> ((s, dir) =>
+      operators.UrlOps.urlDedup(urlDocuments(s, dir))),
+
+    // per-domain over-representation cap: ≤ 40 docs per host in
+    // deterministic md5 order — the C4/Gopher anti-domination stage
+    "q95_domain_cap" -> ((s, dir) =>
+      operators.UrlOps.domainCap(urlDocuments(s, dir), maxPerDomain = 40)),
 
     "q30_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
 
@@ -1467,6 +1531,35 @@ object SparkEntry {
       "q93_bpe_byte_tokens" ->
         s"""WITH RECURSIVE $bpeByteSql
            |SELECT doc_id, n_words, n_bpe_tokens FROM bpe""".stripMargin,
+
+      "q94_url_dedup" -> {
+        val tp = operators.UrlOps.trackingParams
+        s"""WITH f AS ($urlFixtureSql),
+           |s AS (SELECT doc_id,
+           |  regexp_replace(
+           |    regexp_replace(
+           |      regexp_replace(
+           |        regexp_replace(url, '#.*$$', ''),
+           |        '&$tp=[^&]*', '', 'g'),
+           |      '\\?$tp=[^&]*&', '?'),
+           |    '\\?$tp=[^&]*$$', '') AS u
+           |  FROM f),
+           |n AS (SELECT doc_id, $urlNormSql AS norm_url FROM s)
+           |SELECT norm_url, min(doc_id) AS keep_id, count(*) AS n_dups
+           |FROM n GROUP BY 1""".stripMargin
+      },
+
+      "q95_domain_cap" ->
+        s"""WITH f AS ($urlFixtureSql),
+           |d AS (SELECT doc_id,
+           |  lower(regexp_extract(url, '${operators.UrlOps.bareHostRe}', 1)) AS domain
+           |  FROM f)
+           |SELECT doc_id, domain FROM (
+           |  SELECT doc_id, domain, row_number() OVER (
+           |    PARTITION BY domain
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           |  FROM d)
+           |WHERE rn <= 40""".stripMargin,
 
       "q92_boilerplate" -> {
         // the oracle replays the extractor's ALGORITHM (block split →

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL hygiene operators — the stage a web-corpus pipeline runs before any
+  * text operator (C4, RefinedWeb, Gopher all dedup and cap by URL/domain
+  * before content dedup ever sees a byte):
+  *
+  *  - URL NORMALIZATION: strip the fragment, drop tracking parameters
+  *    (utm_*, fbclid, gclid), lowercase scheme and host (NOT the path —
+  *    paths are case-sensitive), strip default ports (:80 http / :443
+  *    https, non-default ports kept). Two raw variants of one resource
+  *    normalize to the same string.
+  *  - URL DEDUP: exact-dedup on the normalized URL — [[Dedup.exact]]'s
+  *    hash-shuffle contract with normalization in front.
+  *  - DOMAIN CAP: at most `maxPerDomain` documents per registered host, the
+  *    anti-over-representation stage; selection is deterministic md5-hash
+  *    order so reruns keep identical rows (the [[Sampling]] convention).
+  *
+  * All normalization is a chain of engine-portable regexes (Java ∩ RE2
+  * syntax, no capture-group replacements — Java spells them `$1`, RE2
+  * `\1`, so the chain avoids them entirely and the SAME pattern strings
+  * drive operator and oracle). Pure projection; the only shuffles are the
+  * dedup groupBy and the cap's per-domain window.
+  *
+  * 100 TB shape: normalization is map-side codegen'd regex work; URL dedup
+  * shuffles (url, doc_id) only — never document text; the domain cap's
+  * window partitions by domain and prunes with WindowGroupLimit, and a
+  * pathologically hot domain is exactly what the cap REMOVES (output per
+  * domain is bounded by `maxPerDomain`, so the post-cap skew is gone by
+  * construction — the straggler only sorts one domain's rows, same
+  * exposure as any per-entity window in this package).
+  */
+object UrlOps {
+
+  /** Tracking parameters stripped by normalization (alternation used
+    * inside the removal regexes; extend as crawl profiles require). */
+  private[graft] val trackingParams: String = "(utm_[a-zA-Z0-9]+|fbclid|gclid)"
+
+  private[graft] val schemeRe: String = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+  private[graft] val hostRe: String = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+  private[graft] val restRe: String = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$"
+  private[graft] val bareHostRe: String = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)"
+
+  /** Fragment + tracking-parameter removal (the pre-pass both consumers
+    * share): non-leading `&p=v` first, then a leading `?p=v&` (the next
+    * parameter inherits the `?`), then a lone `?p=v`. */
+  private def stripNoise(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(url, lit("#.*$"), lit("")),
+          lit("&" + trackingParams + "=[^&]*"), lit("")),
+        lit("\\?" + trackingParams + "=[^&]*&"), lit("?")),
+      lit("\\?" + trackingParams + "=[^&]*$"), lit(""))
+
+  /** Adds `norm_url` (and keeps every input column). The stripped URL
+    * materializes as its own alias first — it feeds four part-extractions,
+    * and a multi-referenced non-cheap alias survives CollapseProject, so
+    * the regex pre-pass runs once per row. */
+  def withNormalizedUrl(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    val stripped = docs.withColumn("__u", stripNoise(col(urlCol)))
+    val scheme = lower(regexp_extract(col("__u"), schemeRe, 1))
+    val host0 = lower(regexp_extract(col("__u"), hostRe, 1))
+    val host = when(scheme === "http", regexp_replace(host0, lit(":80$"), lit("")))
+      .when(scheme === "https", regexp_replace(host0, lit(":443$"), lit("")))
+      .otherwise(host0)
+    val rest = regexp_extract(col("__u"), restRe, 1)
+    stripped
+      .withColumn("norm_url", concat(scheme, lit("://"), host, rest))
+      .drop("__u")
+  }
+
+  /** Registered host (lowercased, port excluded) — the domain-cap key. */
+  def domainOf(url: Column): Column = lower(regexp_extract(url, bareHostRe, 1))
+
+  /** Exact dedup on the NORMALIZED URL: one row per distinct normalized
+    * URL, smallest doc_id as keeper, duplicate count — [[Dedup.exact]]'s
+    * shape with normalization in front. The shuffle carries (norm_url,
+    * doc_id) only. */
+  def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    withNormalizedUrl(docs, urlCol)
+      .groupBy("norm_url")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Keep at most `maxPerDomain` documents per domain, selected in
+    * deterministic md5(doc_id) order (ties broken by doc_id) — the
+    * over-representation cap. Returns (doc_id, domain) for the survivors;
+    * join back on doc_id for the full rows. */
+  def domainCap(docs: DataFrame, urlCol: String = "url",
+      maxPerDomain: Int = 1000): DataFrame = {
+    require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), domainOf(col(urlCol)).as("domain"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerDomain)
+      .select("doc_id", "domain")
+  }
+}

@@ -152,6 +152,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("url ops: dedup shuffles hashes only; domain cap prunes via WindowGroupLimit") {
+    val p94 = plan("q94_url_dedup")
+    // normalization is map-side regex work; the only exchange is the
+    // dedup's groupBy on the normalized url
+    assert("Exchange hashpartitioning".r.findAllIn(p94).size == 1, "q94 shuffles once")
+    assert(p94.contains("partial_min") || p94.contains("partial_count"),
+      "url dedup must map-side combine")
+    val p95 = plan("q95_domain_cap")
+    assert(p95.contains("WindowGroupLimit"),
+      "per-domain cap must prune rows below the window, not filter after a full sort")
+  }
+
   test("boilerplate extraction is a pure projection: no shuffle, no explode") {
     // block split, scoring, and reassembly all ride higher-order array
     // functions inside one row transform — a Generate (explode) or an

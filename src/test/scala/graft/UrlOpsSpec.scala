@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.UrlOps
+import org.apache.spark.sql.functions.col
+
+class UrlOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    UrlOps.withNormalizedUrl(
+      urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url"))
+      .orderBy("doc_id").select("norm_url").collect().map(_.getString(0)).toSeq
+
+  test("normalization: case, default ports, tracking params, fragments") {
+    assert(norm(
+      "HTTP://WWW.Example.COM:80/Article/5?utm_source=feed&id=3#frag",
+      "https://Site.ORG:443/a/Path?id=7&utm_campaign=x&gclid=99",
+      "http://a.com/p?utm_a=1&utm_b=2&x=3",
+      "http://a.com/p?utm_a=1",
+      "http://b.io:8080/Q?fbclid=z&y=2#x") == Seq(
+      // scheme+host lowercase, :80 stripped, utm gone, fragment gone, PATH CASE KEPT
+      "http://www.example.com/Article/5?id=3",
+      "https://site.org/a/Path?id=7",
+      // leading tracking param hands its '?' to the next parameter
+      "http://a.com/p?x=3",
+      // lone tracking param leaves no query string at all
+      "http://a.com/p",
+      // non-default port survives; fbclid goes; fragment goes
+      "http://b.io:8080/Q?y=2"))
+  }
+
+  test("default-port stripping is scheme-aware") {
+    assert(norm("http://a.com:443/x", "https://a.com:80/x") ==
+      Seq("http://a.com:443/x", "https://a.com:80/x"))
+  }
+
+  test("urlDedup folds raw variants onto one canonical URL") {
+    val docs = Seq(
+      (0L, "HTTP://A.com:80/p?utm_x=1"),
+      (1L, "http://a.com/p"),
+      (2L, "http://a.com/p#sec"),
+      (3L, "http://a.com/q")).toDF("doc_id", "url")
+    val r = UrlOps.urlDedup(docs).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r("http://a.com/p") == ((0L, 3L)))
+    assert(r("http://a.com/q") == ((3L, 1L)))
+  }
+
+  test("domainCap keeps at most the cap per domain, deterministically") {
+    val docs = (0L until 100L).map(i => (i, s"http://d${i % 2}.com/p/$i"))
+      .toDF("doc_id", "url")
+    val r1 = UrlOps.domainCap(docs, maxPerDomain = 10).collect()
+      .map(x => (x.getLong(0), x.getString(1))).sorted.toSeq
+    val r2 = UrlOps.domainCap(docs, maxPerDomain = 10).collect()
+      .map(x => (x.getLong(0), x.getString(1))).sorted.toSeq
+    assert(r1 == r2, "md5-ordered selection must be rerun-stable")
+    assert(r1.count(_._2 == "d0.com") == 10 && r1.count(_._2 == "d1.com") == 10)
+    // under-cap domains keep everything
+    val small = UrlOps.domainCap(docs.limit(6), maxPerDomain = 10).collect()
+    assert(small.length == 6)
+  }
+
+  test("domainOf excludes the port and lowercases") {
+    val d = Seq((0L, "HTTPS://HOST.Example.ORG:8443/x?q=1")).toDF("doc_id", "url")
+      .select(UrlOps.domainOf(col("url"))).collect().head.getString(0)
+    assert(d == "host.example.org")
+  }
+
+  test("domainCap validates its cap") {
+    intercept[IllegalArgumentException] {
+      UrlOps.domainCap(Seq((0L, "http://a.com/")).toDF("doc_id", "url"), maxPerDomain = 0)
+    }
+  }
+}
