@@ -253,6 +253,49 @@ object SparkEntry {
       |CASE WHEN doc_id % 4 = 1 THEN '#s' ELSE '' END AS url
       |FROM documents""".stripMargin
 
+  /** Shared CTE prefix of the q92/q96 oracles (CTEs `h`, `st`, `cl`):
+    * replays the extractor's ALGORITHM (block split → per-block text/link
+    * scoring with entity decode → integer-rational density filter) over
+    * the derived html — DuckDB list lambdas mirror the Spark higher-order
+    * functions one for one. */
+  private def boilerplateCte: String = {
+    val blockRe = operators.Boilerplate.blockTagRe
+    val anyTag = operators.Boilerplate.anyTagRe
+    val anchorRe = operators.Boilerplate.anchorTextRe
+    s"""h AS ($htmlFixtureSql),
+       |st AS (
+       |  SELECT doc_id, list_transform(string_split_regex(html, '$blockRe'),
+       |    b -> {'t': trim(regexp_replace(${entityDecodeSql(s"regexp_replace(b, '$anyTag', ' ', 'g')")}, ' +', ' ', 'g')),
+       |          'l': coalesce(list_sum(list_transform(regexp_extract_all(b, '$anchorRe', 1), a -> length(trim(${entityDecodeSql("a")})))), 0)}) AS stats
+       |  FROM h),
+       |cl AS (
+       |  SELECT doc_id,
+       |    list_filter(stats, s -> length(s.t) >= 25 AND s.l * 100 <= length(s.t) * 33) AS content,
+       |    list_filter(stats, s -> length(s.t) > 0) AS nonempty
+       |  FROM st)""".stripMargin
+  }
+
+  /** Shared CTE prefix of the q94/q95/q96 oracles (CTEs `f`, `s`, `n`,
+    * `d`): the url fixture, its stripped + normalized forms, and the
+    * per-doc domain. */
+  private def urlCanonCte: String = {
+    val tp = operators.UrlOps.trackingParams
+    s"""f AS ($urlFixtureSql),
+       |s AS (SELECT doc_id,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(url, '#.*$$', ''),
+       |        '&$tp=[^&]*', '', 'g'),
+       |      '\\?$tp=[^&]*&', '?'),
+       |    '\\?$tp=[^&]*$$', '') AS u
+       |  FROM f),
+       |n AS (SELECT doc_id, $urlNormSql AS norm_url FROM s),
+       |d AS (SELECT doc_id,
+       |  lower(regexp_extract(url, '${operators.UrlOps.bareHostRe}', 1)) AS domain
+       |  FROM f)""".stripMargin
+  }
+
   /** The q94 oracle's normalization chain — the SAME pattern strings
     * [[operators.UrlOps]] applies (no capture-group replacements, so the
     * Java-vs-RE2 `$1`/`\1` spelling difference never arises). `u` must be
@@ -739,6 +782,24 @@ object SparkEntry {
     // deterministic md5 order — the C4/Gopher anti-domination stage
     "q95_domain_cap" -> ((s, dir) =>
       operators.UrlOps.domainCap(urlDocuments(s, dir), maxPerDomain = 40)),
+
+    // THE crawl front-end, composed end to end from the individually
+    // verified stages and checked AS A WHOLE: boilerplate-extract the raw
+    // html → keep canonical-URL winners → cap per-domain contribution →
+    // floor on extracted word count. Everything upstream of the text
+    // pipeline (q61) that a web corpus runs, in one lazy plan.
+    "q96_web_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val text = operators.Boilerplate.extractMainText(htmlDocuments(s, dir))
+        .select(col("doc_id"), col("main_text"))
+      val keep = operators.UrlOps.urlDedup(urlDocuments(s, dir))
+        .select(col("keep_id").as("doc_id"))
+      val capped = operators.UrlOps.domainCap(urlDocuments(s, dir), maxPerDomain = 40)
+      text.join(keep, "doc_id").join(capped, "doc_id")
+        .withColumn("n_words", size(split(col("main_text"), " ")).cast("long"))
+        .filter(col("n_words") >= 30)
+        .select("doc_id", "domain", "n_words")
+    }),
 
     "q30_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
 
@@ -1532,28 +1593,13 @@ object SparkEntry {
         s"""WITH RECURSIVE $bpeByteSql
            |SELECT doc_id, n_words, n_bpe_tokens FROM bpe""".stripMargin,
 
-      "q94_url_dedup" -> {
-        val tp = operators.UrlOps.trackingParams
-        s"""WITH f AS ($urlFixtureSql),
-           |s AS (SELECT doc_id,
-           |  regexp_replace(
-           |    regexp_replace(
-           |      regexp_replace(
-           |        regexp_replace(url, '#.*$$', ''),
-           |        '&$tp=[^&]*', '', 'g'),
-           |      '\\?$tp=[^&]*&', '?'),
-           |    '\\?$tp=[^&]*$$', '') AS u
-           |  FROM f),
-           |n AS (SELECT doc_id, $urlNormSql AS norm_url FROM s)
+      "q94_url_dedup" ->
+        s"""WITH $urlCanonCte
            |SELECT norm_url, min(doc_id) AS keep_id, count(*) AS n_dups
-           |FROM n GROUP BY 1""".stripMargin
-      },
+           |FROM n GROUP BY 1""".stripMargin,
 
       "q95_domain_cap" ->
-        s"""WITH f AS ($urlFixtureSql),
-           |d AS (SELECT doc_id,
-           |  lower(regexp_extract(url, '${operators.UrlOps.bareHostRe}', 1)) AS domain
-           |  FROM f)
+        s"""WITH $urlCanonCte
            |SELECT doc_id, domain FROM (
            |  SELECT doc_id, domain, row_number() OVER (
            |    PARTITION BY domain
@@ -1561,33 +1607,32 @@ object SparkEntry {
            |  FROM d)
            |WHERE rn <= 40""".stripMargin,
 
-      "q92_boilerplate" -> {
-        // the oracle replays the extractor's ALGORITHM (block split →
-        // per-block text/link scoring → integer-rational density filter →
-        // in-order reassembly) over the same derived html — list lambdas
-        // mirror the Spark higher-order functions one for one
-        val blockRe = operators.Boilerplate.blockTagRe
-        val anyTag = operators.Boilerplate.anyTagRe
-        val anchorRe = operators.Boilerplate.anchorTextRe
-        s"""WITH h AS ($htmlFixtureSql),
-           |st AS (
-           |  SELECT doc_id, list_transform(string_split_regex(html, '$blockRe'),
-           |    b -> {'t': trim(regexp_replace(${entityDecodeSql(s"regexp_replace(b, '$anyTag', ' ', 'g')")}, ' +', ' ', 'g')),
-           |          'l': coalesce(list_sum(list_transform(regexp_extract_all(b, '$anchorRe', 1), a -> length(trim(${entityDecodeSql("a")})))), 0)}) AS stats
-           |  FROM h),
-           |cl AS (
-           |  SELECT doc_id,
-           |    list_filter(stats, s -> length(s.t) >= 25 AND s.l * 100 <= length(s.t) * 33) AS content,
-           |    list_filter(stats, s -> length(s.t) > 0) AS nonempty
-           |  FROM st)
+      "q96_web_pipeline" ->
+        s"""WITH $boilerplateCte,
+           |$urlCanonCte,
+           |x AS (SELECT doc_id,
+           |  array_to_string(list_transform(content, s -> s.t), ' ') AS main_text
+           |  FROM cl),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY norm_url),
+           |cap AS (SELECT doc_id, domain FROM (
+           |  SELECT doc_id, domain, row_number() OVER (
+           |    PARTITION BY domain
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           |  FROM d) WHERE rn <= 40),
+           |j AS (SELECT x.doc_id, cap.domain,
+           |  len(string_split(main_text, ' ')) AS nw
+           |  FROM x JOIN keep USING (doc_id) JOIN cap USING (doc_id))
+           |SELECT doc_id, domain, nw::BIGINT AS n_words FROM j WHERE nw >= 30""".stripMargin,
+
+      "q92_boilerplate" ->
+        s"""WITH $boilerplateCte
            |SELECT doc_id,
            |  array_to_string(list_transform(content, s -> s.t), ' ') AS main_text,
            |  len(nonempty)::BIGINT AS n_blocks,
            |  len(content)::BIGINT AS n_content_blocks,
            |  coalesce(list_sum(list_transform(content, s -> length(s.t))), 0)::BIGINT AS n_content_chars,
            |  coalesce(list_sum(list_transform(nonempty, s -> length(s.t))), 0)::BIGINT AS n_text_chars
-           |FROM cl""".stripMargin
-      },
+           |FROM cl""".stripMargin,
 
       "q88_pack_bpe" ->
         s"""WITH RECURSIVE $bpeSql,
