@@ -311,6 +311,26 @@ object SparkEntry {
        |regexp_extract(u, '${operators.UrlOps.restRe}', 1)""".stripMargin
   }
 
+  /** Derived multi-line fixture for the line-level dedup (q97): every doc
+    * gains a universal boilerplate line, every second doc a second one, and
+    * every doc a unique ref line that must SURVIVE — so removal counts are
+    * a pure function of the construction (2 lines from even docs, 1 from
+    * odd) and the original text line (df = 1) passes through. `chr(10)` ==
+    * the Scala "\n" literal in both engines. */
+  private[graft] def linedDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, dir).select(col("doc_id"), concat(
+      col("text"), lit("\nsubscribe to our newsletter today"),
+      when(col("doc_id") % 2 === 0, lit("\nfollow us on social media")).otherwise(lit("")),
+      lit("\nref code "), col("doc_id").cast("string")).as("text"))
+  }
+
+  /** The q97 oracle's copy of [[linedDocuments]]'s construction. */
+  private def linedFixtureSql: String =
+    """SELECT doc_id, text || chr(10) || 'subscribe to our newsletter today' ||
+      |CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'follow us on social media' ELSE '' END ||
+      |chr(10) || 'ref code ' || CAST(doc_id AS VARCHAR) AS text FROM documents""".stripMargin
+
   /** Derived fixture for the normalization-aware dedup (q75): every third
     * document gains a SHOUTY copy — upper-cased with trailing punctuation —
     * which byte-exact dedup would keep but [[TextAnalysis.normalizeText]]
@@ -782,6 +802,13 @@ object SparkEntry {
     // deterministic md5 order — the C4/Gopher anti-domination stage
     "q95_domain_cap" -> ((s, dir) =>
       operators.UrlOps.domainCap(urlDocuments(s, dir), maxPerDomain = 40)),
+
+    // LINE-level cross-doc dedup (CCNet/RefinedWeb paragraph stage): lines
+    // in ≥ 2 distinct docs drop, unique lines and within-doc repeats stay;
+    // df aggregates over per-doc-distinct line hashes, rebuild shuffles
+    // survivors only
+    "q97_line_dedup" -> ((s, dir) =>
+      Dedup.removeCommonLines(linedDocuments(s, dir))),
 
     // THE crawl front-end, composed end to end from the individually
     // verified stages and checked AS A WHOLE: boilerplate-extract the raw
@@ -1606,6 +1633,19 @@ object SparkEntry {
            |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            |  FROM d)
            |WHERE rn <= 40""".stripMargin,
+
+      "q97_line_dedup" ->
+        s"""WITH fx AS ($linedFixtureSql),
+           |base AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM fx),
+           |l AS (SELECT doc_id, i, ls[i] AS line FROM base, UNNEST(range(1, len(ls)+1)) AS t(i)),
+           |hot AS (SELECT line FROM (
+           |  SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1) WHERE df >= 2),
+           |kept AS (SELECT doc_id, i, line FROM l WHERE line NOT IN (SELECT line FROM hot)),
+           |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt,
+           |      count(*) AS nk FROM kept GROUP BY 1)
+           |SELECT b.doc_id, coalesce(txt, '') AS text_deduped,
+           |(len(ls) - coalesce(nk, 0))::INT AS n_removed_lines
+           |FROM base b LEFT JOIN r ON b.doc_id = r.doc_id""".stripMargin,
 
       "q96_web_pipeline" ->
         s"""WITH $boilerplateCte,

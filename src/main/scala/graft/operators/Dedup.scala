@@ -663,6 +663,54 @@ object Dedup {
         coalesce(col("__n_removed"), lit(0L)).cast("int").as("n_removed_bytes"))
   }
 
+  /** LINE-level cross-document dedup — the CCNet/RefinedWeb paragraph
+    * stage: drop every line (text between `sep` occurrences) that appears
+    * in at least `minDocFrequency` DISTINCT documents. The lines this
+    * removes are the per-site boilerplate a crawl carries in-body —
+    * "subscribe to our newsletter", cookie banners, share bars — which
+    * block-level HTML extraction can miss when sites inline them into the
+    * article container. Within-doc repeats of an otherwise-unique line are
+    * kept (df counts documents, not occurrences); untouched docs pass
+    * through verbatim and a fully-boilerplate doc yields the empty string —
+    * row counts are stable.
+    *
+    * 100 TB shape: line frequency aggregates over per-doc-DISTINCT line
+    * HASHES (text never enters the df shuffle; a ubiquitous line
+    * partial-aggregates to one row per map partition — no hot-line
+    * straggler), the removal is a hash-keyed anti-join, and the rebuild
+    * shuffles only SURVIVING lines once, keyed by doc_id — boilerplate-
+    * heavy corpora shuffle LESS as more is removed. Cardinality of the
+    * line-hash aggregate is bounded by distinct lines, typically far under
+    * distinct k-gram windows ([[duplicatedByteSpans]]' key space). */
+  def removeCommonLines(docs: DataFrame, minDocFrequency: Long = 2,
+      sep: String = "\n"): DataFrame = {
+    require(minDocFrequency >= 2,
+      s"minDocFrequency must be >= 2 (1 would remove every line), got $minDocFrequency")
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), java.util.regex.Pattern.quote(sep))))
+      .select(col("doc_id"), col("pos"), col("col").as("line"), md5(col("col")).as("__h"))
+    val hot = docs
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          split(col("text"), java.util.regex.Pattern.quote(sep)), l => md5(l)))).as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFrequency).select("__h")
+    val kept = lines.join(hot, Seq("__h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")), sep).as("__kept"),
+        count(lit(1)).as("__n_kept"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), java.util.regex.Pattern.quote(sep))).as("__nl"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__kept"), lit("")).as("text_deduped"),
+        (col("__nl") - coalesce(col("__n_kept"), lit(0L))).cast("int").as("n_removed_lines"))
+  }
+
   /** Incremental EXACT dedup — the production shape of a growing corpus:
     * dedup a NEW batch of documents against itself (first doc_id wins) and
     * against the content hashes of everything already ingested, returning

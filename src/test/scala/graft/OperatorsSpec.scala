@@ -670,6 +670,39 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("line dedup: cross-doc lines drop, unique lines and within-doc repeats stay") {
+    val fx = Seq(
+      (0L, "alpha unique\nshared boilerplate\nrepeat me\nrepeat me"),
+      (1L, "beta unique\nshared boilerplate"),
+      (2L, "shared boilerplate"),
+      (3L, "gamma all alone")
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeCommonLines(fx).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2)))).toMap
+    assert(r.size == 4)
+    // 'repeat me' twice in ONE doc: df = 1 → both occurrences survive
+    assert(r(0L) == (("alpha unique\nrepeat me\nrepeat me", 1)))
+    assert(r(1L) == (("beta unique", 1)))
+    // fully-boilerplate doc → empty string, row kept
+    assert(r(2L) == (("", 1)))
+    // untouched doc verbatim
+    assert(r(3L) == (("gamma all alone", 0)))
+  }
+
+  test("line dedup: minDocFrequency validates and raises the bar") {
+    val fx = Seq(
+      (0L, "x\ncommon"), (1L, "y\ncommon"), (2L, "z\ncommon")).toDF("doc_id", "text")
+    val r3 = Dedup.removeCommonLines(fx, minDocFrequency = 3).collect()
+      .map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(r3 == Map(0L -> 1, 1L -> 1, 2L -> 1))
+    val r4 = Dedup.removeCommonLines(fx, minDocFrequency = 4).collect()
+      .map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(r4 == Map(0L -> 0, 1L -> 0, 2L -> 0), "df below the bar keeps everything")
+    intercept[IllegalArgumentException] {
+      Dedup.removeCommonLines(fx, minDocFrequency = 1)
+    }
+  }
+
   test("incremental exact dedup: first-id-wins in batch, corpus copies dropped") {
     val corpus = Seq((0L, "seen before"), (1L, "also seen")).toDF("doc_id", "text")
     val batch = Seq(
