@@ -425,4 +425,46 @@ class PropertySpec extends AnyFunSuite {
       assert(m8.take(m4.length) == m4)
     }
   }
+
+  test("URL normalization is idempotent on any generated URL") {
+    // normalize ∘ normalize == normalize: the canonical form is a fixed
+    // point (re-ingesting an already-normalized crawl must be a no-op)
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HtTpS")
+      host <- Gen.oneOf("A.com", "www.B.org", "X.Y.io")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/P/q", "/a%20b")
+      query <- Gen.oneOf("", "?id=1", "?utm_s=1", "?utm_s=1&id=2", "?id=1&gclid=9&z=3")
+      frag <- Gen.oneOf("", "#x", "#frag?fake=1")
+    } yield s"$scheme://$host$port$path$query$frag"
+    forAll(Gen.listOfN(8, urlGen)) { urls =>
+      val once = operators.UrlOps.withNormalizedUrl(
+        urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url"))
+        .orderBy("doc_id").select("norm_url").collect().map(_.getString(0)).toSeq
+      val twice = operators.UrlOps.withNormalizedUrl(
+        once.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url"))
+        .orderBy("doc_id").select("norm_url").collect().map(_.getString(0)).toSeq
+      assert(twice == once)
+    }
+  }
+
+  test("line dedup matches a sequential reference on any generated corpus") {
+    val lineGen = Gen.oneOf("common one", "common two", "rare", "odd line", "x y z")
+    val docGen = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+    forAll(Gen.listOfN(6, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // reference: df per line over DISTINCT docs, filter, rebuild in order
+      val df = docs.flatMap { case (_, t) => t.split("\n", -1).distinct }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val expected = docs.map { case (id, t) =>
+        val kept = t.split("\n", -1).filter(l => df(l) < 2)
+        id -> ((kept.mkString("\n"), t.split("\n", -1).length - kept.length))
+      }.toMap
+      val got = operators.Dedup.removeCommonLines(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+      expected.foreach { case (id, (txt, n)) =>
+        assert(got(id) == ((txt, n)), s"doc $id diverges from the reference")
+      }
+    }
+  }
 }
