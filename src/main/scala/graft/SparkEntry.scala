@@ -301,14 +301,14 @@ object SparkEntry {
     * Java-vs-RE2 `$1`/`\1` spelling difference never arises). `u` must be
     * the stripped-URL alias. */
   private def urlNormSql: String = {
-    val tp = operators.UrlOps.trackingParams
     val scheme = s"lower(regexp_extract(u, '${operators.UrlOps.schemeRe}', 1))"
     val host = s"lower(regexp_extract(u, '${operators.UrlOps.hostRe}', 1))"
-    s"""$scheme || '://' ||
+    s"""CASE WHEN $scheme = '' THEN u ELSE
+       |$scheme || '://' ||
        |CASE WHEN $scheme = 'http' THEN regexp_replace($host, ':80$$', '')
        |     WHEN $scheme = 'https' THEN regexp_replace($host, ':443$$', '')
        |     ELSE $host END ||
-       |regexp_extract(u, '${operators.UrlOps.restRe}', 1)""".stripMargin
+       |regexp_extract(u, '${operators.UrlOps.restRe}', 1) END""".stripMargin
   }
 
   /** Derived multi-line fixture for the line-level dedup (q97): every doc

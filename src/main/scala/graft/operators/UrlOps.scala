@@ -58,7 +58,10 @@ object UrlOps {
   /** Adds `norm_url` (and keeps every input column). The stripped URL
     * materializes as its own alias first — it feeds four part-extractions,
     * and a multi-referenced non-cheap alias survives CollapseProject, so
-    * the regex pre-pass runs once per row. */
+    * the regex pre-pass runs once per row. A string with no
+    * `scheme://` prefix (relative links, garbage rows in a crawl) passes
+    * through with only the fragment/tracking strip — never mangled into
+    * a phantom `://` — so downstream dedup still groups it sanely. */
   def withNormalizedUrl(docs: DataFrame, urlCol: String = "url"): DataFrame = {
     val stripped = docs.withColumn("__u", stripNoise(col(urlCol)))
     val scheme = lower(regexp_extract(col("__u"), schemeRe, 1))
@@ -68,7 +71,9 @@ object UrlOps {
       .otherwise(host0)
     val rest = regexp_extract(col("__u"), restRe, 1)
     stripped
-      .withColumn("norm_url", concat(scheme, lit("://"), host, rest))
+      .withColumn("norm_url",
+        when(scheme === "", col("__u"))
+          .otherwise(concat(scheme, lit("://"), host, rest)))
       .drop("__u")
   }
 

@@ -62,6 +62,11 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(small.length == 6)
   }
 
+  test("scheme-less strings pass through with only noise stripping") {
+    assert(norm("/relative/Path?utm_x=1#f", "not a url at all", "") ==
+      Seq("/relative/Path", "not a url at all", ""))
+  }
+
   test("domainOf excludes the port and lowercases") {
     val d = Seq((0L, "HTTPS://HOST.Example.ORG:8443/x?q=1")).toDF("doc_id", "url")
       .select(UrlOps.domainOf(col("url"))).collect().head.getString(0)
