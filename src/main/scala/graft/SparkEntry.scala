@@ -325,6 +325,37 @@ object SparkEntry {
       lit("\nref code "), col("doc_id").cast("string")).as("text"))
   }
 
+  /** Shared oracle of q68 (direct incremental near-dup) and q98 (the
+    * index-backed probe): the two operator entry points share their
+    * candidates → verify → anti-join core, so ONE exact batch×corpus
+    * Jaccard oracle covers both — and the gate proves the persisted
+    * layout loses nothing vs recomputing the corpus side. */
+  private def nearDupIncrementalSql: String =
+    """WITH batch AS (
+      |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, text || ' ' || text FROM documents WHERE doc_id % 7 = 3
+      |  UNION ALL
+      |  SELECT doc_id + 30000000,
+      |         array_to_string(list_transform(string_split(text, ' '), w -> w || 'x'), ' ')
+      |  FROM documents WHERE doc_id % 4 = 1),
+      |bw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM batch),
+      |bg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      |       FROM bw, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      |bc AS (SELECT doc_id, count(*) AS n_grams FROM bg GROUP BY doc_id),
+      |cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |cg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      |       FROM cw, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      |cc AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
+      |p AS (SELECT bg.doc_id AS doc1, cg.doc_id AS doc2, count(*) AS n_common
+      |      FROM bg JOIN cg ON bg.gram = cg.gram GROUP BY 1, 2),
+      |drops AS (SELECT DISTINCT doc1 AS doc_id
+      |          FROM p JOIN bc ON doc1 = bc.doc_id JOIN cc ON doc2 = cc.doc_id
+      |          WHERE CAST(n_common AS DOUBLE)
+      |                / (bc.n_grams + cc.n_grams - n_common) >= 0.5)
+      |SELECT doc_id, text FROM batch
+      |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.doc_id = batch.doc_id)""".stripMargin
+
   /** The q97 oracle's copy of [[linedDocuments]]'s construction. */
   private def linedFixtureSql: String =
     """SELECT doc_id, text || chr(10) || 'subscribe to our newsletter today' ||
@@ -1177,6 +1208,20 @@ object SparkEntry {
       Dedup.nearDupAgainstCorpus(nearDupBatch(s, dir), Tables.documents(s, dir),
         n = 3, numHashes = 16, bands = 16, threshold = 0.5)),
 
+    // q68's PRODUCTION shape: corpus band keys + verification grams persist
+    // once (writeMinHashIndex), every later batch probes the parquet layout
+    // without re-reading corpus text. Build runs inside the query (a fresh
+    // index per invocation — the honest cost on first ingest; steady-state
+    // serving amortizes it to zero), and the result must hash-match q68's
+    // oracle exactly: the layout loses nothing vs recomputation.
+    "q98_neardup_indexed" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_mh_index_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Dedup.writeMinHashIndex(Tables.documents(s, dir), path,
+        n = 3, numHashes = 16, bands = 16)
+      Dedup.nearDupAgainstIndex(nearDupBatch(s, dir), path, threshold = 0.5)
+    }),
+
     // exact-substring duplicated spans: maximal token spans covered by
     // 5-grams occurring in ≥ 2 documents (ExactSubstr-style span dedup)
     "q69_dup_spans" -> ((s, dir) =>
@@ -1792,31 +1837,14 @@ object SparkEntry {
       // ground truth = EXACT batch×corpus Jaccard screen (no LSH): batch
       // docs with any corpus doc at j >= 0.5 drop; gram join formulation
       // as in q21's oracle
-      "q68_neardup_incremental" ->
-        """WITH batch AS (
-          |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
-          |  UNION ALL
-          |  SELECT doc_id + 20000000, text || ' ' || text FROM documents WHERE doc_id % 7 = 3
-          |  UNION ALL
-          |  SELECT doc_id + 30000000,
-          |         array_to_string(list_transform(string_split(text, ' '), w -> w || 'x'), ' ')
-          |  FROM documents WHERE doc_id % 4 = 1),
-          |bw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM batch),
-          |bg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
-          |       FROM bw, UNNEST(range(1, len(ws)-1)) AS t(i)),
-          |bc AS (SELECT doc_id, count(*) AS n_grams FROM bg GROUP BY doc_id),
-          |cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-          |cg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
-          |       FROM cw, UNNEST(range(1, len(ws)-1)) AS t(i)),
-          |cc AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
-          |p AS (SELECT bg.doc_id AS doc1, cg.doc_id AS doc2, count(*) AS n_common
-          |      FROM bg JOIN cg ON bg.gram = cg.gram GROUP BY 1, 2),
-          |drops AS (SELECT DISTINCT doc1 AS doc_id
-          |          FROM p JOIN bc ON doc1 = bc.doc_id JOIN cc ON doc2 = cc.doc_id
-          |          WHERE CAST(n_common AS DOUBLE)
-          |                / (bc.n_grams + cc.n_grams - n_common) >= 0.5)
-          |SELECT doc_id, text FROM batch
-          |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.doc_id = batch.doc_id)""".stripMargin,
+      "q68_neardup_incremental" -> nearDupIncrementalSql,
+
+      // the index-backed probe is SEMANTICALLY IDENTICAL to q68 (shared
+      // candidates->verify->anti-join core in the operator), so it earns
+      // the same oracle — the gate proves the persisted layout loses
+      // nothing vs recomputing the corpus side
+      "q98_neardup_indexed" -> nearDupIncrementalSql,
+
 
       // duplicated 5-gram starts → gaps-and-islands span merge, identical
       // window logic to the operator (NULL lag opens the first island)

@@ -749,18 +749,32 @@ object Dedup {
     * one-slot bands, a true pair at Jaccard j is missed with probability
     * (1-j)^bands — ≤ 7e-12 at j ≥ 0.8, bands=16. */
   def nearDupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame, n: Int = 3,
-      numHashes: Int = 16, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    def banded(docs: DataFrame, as: String): DataFrame =
-      bandedKeys(
-        minHashSignatures(docs, n, numHashes)
-          .filter(element_at(col("minhash"), 1) =!= Long.MaxValue),
-        numHashes, bands)
-        .drop("minhash").withColumnRenamed("doc_id", as)
-    val cands = banded(newDocs, "doc1").join(banded(corpus, "doc2"), Seq("band", "band_key"))
+      numHashes: Int = 16, bands: Int = 16, threshold: Double = 0.5): DataFrame =
+    nearDupCore(newDocs,
+      bandedSide(corpus, n, numHashes, bands).withColumnRenamed("doc_id", "doc2"),
+      gramArrays(corpus, n), n, numHashes, bands, threshold)
+
+  /** One side's (doc_id, band, band_key) rows — what the persisted index
+    * stores per corpus document. */
+  private def bandedSide(docs: DataFrame, n: Int, numHashes: Int, bands: Int): DataFrame =
+    bandedKeys(
+      minHashSignatures(docs, n, numHashes)
+        .filter(element_at(col("minhash"), 1) =!= Long.MaxValue),
+      numHashes, bands)
+      .drop("minhash")
+
+  /** The shared candidates→verify→anti-join tail of the direct and
+    * index-backed incremental near-dup paths — one implementation, so the
+    * two entry points cannot drift. */
+  private def nearDupCore(newDocs: DataFrame, corpusBanded: DataFrame,
+      corpusGrams: DataFrame, n: Int, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val cands = bandedSide(newDocs, n, numHashes, bands).withColumnRenamed("doc_id", "doc1")
+      .join(corpusBanded, Seq("band", "band_key"))
       .select("doc1", "doc2").distinct()
     val dropIds = cands
       .join(gramArrays(newDocs, n).select(col("doc_id").as("doc1"), col("grams").as("g1")), "doc1")
-      .join(gramArrays(corpus, n).select(col("doc_id").as("doc2"), col("grams").as("g2")), "doc2")
+      .join(corpusGrams.select(col("doc_id").as("doc2"), col("grams").as("g2")), "doc2")
       .withColumn("n_common", size(array_intersect(col("g1"), col("g2"))).cast("long"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
@@ -768,6 +782,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc1").as("doc_id")).distinct()
     newDocs.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Persist the CORPUS side of incremental near-dup dedup — the
+    * build-once / probe-many production shape for continuous ingest (the
+    * MinHash sibling of `Similarity.writeIvfIndex`): per-doc band keys and
+    * verification gram arrays land as parquet, plus a one-row manifest
+    * pinning (n, numHashes, bands) so a probe can never run with
+    * mismatched parameters. A growing corpus appends new docs' rows to
+    * both tables (append mode) without ever re-signing old documents.
+    *
+    * 100 TB shape: building costs ONE pass over the corpus; every later
+    * batch probes against precomputed band keys — corpus text is never
+    * re-tokenized, re-hashed, or even read. The probe's joins key on
+    * (band, band_key) and doc_id exactly as the direct path's do. */
+  def writeMinHashIndex(corpus: DataFrame, path: String, n: Int = 3,
+      numHashes: Int = 16, bands: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    bandedSide(corpus, n, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    gramArrays(corpus, n).write.mode("overwrite").parquet(s"$path/grams")
+    Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** Incremental near-dup dedup against a [[writeMinHashIndex]] layout:
+    * identical semantics (and, by construction, identical code path from
+    * candidates on) to [[nearDupAgainstCorpus]], with the corpus sides
+    * read from the index instead of recomputed. */
+  def nearDupAgainstIndex(newDocs: DataFrame, path: String,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val m = spark.read.parquet(s"$path/manifest").head()
+    val (n, numHashes, bands) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    nearDupCore(newDocs,
+      spark.read.parquet(s"$path/bands").withColumnRenamed("doc_id", "doc2"),
+      spark.read.parquet(s"$path/grams"), n, numHashes, bands, threshold)
   }
 
   /** Fuzzy duplicate pairs by EDIT DISTANCE with prefix blocking — the
