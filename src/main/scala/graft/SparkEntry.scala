@@ -841,6 +841,21 @@ object SparkEntry {
     "q97_line_dedup" -> ((s, dir) =>
       Dedup.removeCommonLines(linedDocuments(s, dir))),
 
+    // corpus card — the dataset-documentation report: doc/word/char
+    // volumes and distinct-text counts per (source, lang) with ROLLUP
+    // subtotals and a grand total, one pass
+    "q99_corpus_card" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      TextAnalysis.withWords(Tables.documents(s, dir))
+        .select(col("source"), col("lang"),
+          size(col("__words")).cast("long").as("nw"),
+          length(col("text")).cast("long").as("nc"), col("text"))
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_words"),
+          sum("nc").as("n_chars"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"))
+    }),
+
     // THE crawl front-end, composed end to end from the individually
     // verified stages and checked AS A WHOLE: boilerplate-extract the raw
     // html → keep canonical-URL winners → cap per-domain contribution →
@@ -1691,6 +1706,13 @@ object SparkEntry {
            |SELECT b.doc_id, coalesce(txt, '') AS text_deduped,
            |(len(ls) - coalesce(nk, 0))::INT AS n_removed_lines
            |FROM base b LEFT JOIN r ON b.doc_id = r.doc_id""".stripMargin,
+
+      "q99_corpus_card" ->
+        """SELECT source, lang, count(*) AS n_docs,
+          |sum(len(string_split(text, ' ')))::BIGINT AS n_words,
+          |sum(length(text))::BIGINT AS n_chars,
+          |count(DISTINCT md5(text)) AS n_distinct_texts
+          |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin,
 
       "q96_web_pipeline" ->
         s"""WITH $boilerplateCte,
