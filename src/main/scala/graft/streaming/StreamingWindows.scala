@@ -63,6 +63,19 @@ object StreamingWindows {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming canonical-URL dedup — the ingest-time front door of a crawl:
+    * arriving pages drop when their NORMALIZED URL (case, default port,
+    * tracking params, fragment — [[graft.operators.UrlOps]]'s exact batch
+    * chain, so stream and batch canonicalize identically) was already seen
+    * within the watermark horizon. Runs BEFORE any content operator — the
+    * page body never even enters the state store, which holds one
+    * normalized-URL key per in-horizon page. */
+  def streamingUrlDedup(docs: DataFrame, watermark: String,
+      urlCol: String = "url", tsCol: String = "ts"): DataFrame =
+    graft.operators.UrlOps.withNormalizedUrl(docs, urlCol)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("norm_url")
+
   /** Streaming INCREMENTAL exact dedup — the ingest-time analogue of the
     * batch [[graft.operators.Dedup.dedupAgainstCorpus]]: arriving documents
     * drop when their content hash was already seen in the stream within the

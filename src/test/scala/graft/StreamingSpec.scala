@@ -73,6 +73,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.values.toSet.subsetOf(Set(1L, 3L)))
   }
 
+  test("streaming url dedup folds raw variants onto one canonical url") {
+    val stream = MemoryStream[(Long, Timestamp, String)](spark)
+    stream.addData(
+      (1L, t(0), "HTTP://A.com:80/p?utm_x=1"),  // canonical: http://a.com/p
+      (2L, t(1), "http://a.com/p#frag"),        // same canonical → dropped
+      (3L, t(2), "http://a.com/q"))
+    val q = StreamingWindows.streamingUrlDedup(
+      stream.toDF().toDF("doc_id", "ts", "url"), "10 minutes")
+      .writeStream.format("memory").queryName("url_dedup").outputMode("append").start()
+    q.processAllAvailable()
+    // later micro-batch: yet another variant of the same page
+    stream.addData((4L, t(3), "http://A.COM/p"))
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("url_dedup").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(Set(1L, 3L)))
+    // the batch normalizer's output rides along for downstream joins
+    assert(rows.map(_.getString(3)).toSet == Set("http://a.com/p", "http://a.com/q"))
+  }
+
   test("streaming incremental dedup drops corpus hits and in-stream dups, keeps novel docs") {
     val corpus = Seq((100L, "already ingested document"), (101L, "another known text"))
       .toDF("doc_id", "text")
