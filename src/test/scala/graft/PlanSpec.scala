@@ -152,6 +152,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("line dedup: df aggregates hashes map-side; no quadratic joins") {
+    val p = plan("q97_line_dedup")
+    // the frequency aggregation must partial-aggregate (a ubiquitous
+    // boilerplate line ships one row per map partition, not per doc)
+    assert(p.contains("partial_count"), "line df must map-side combine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // removal keys on the md5 hash, not the line text
+    assert("Exchange hashpartitioning\\(__h".r.findFirstIn(p).isDefined,
+      "anti-join must key on the line hash")
+  }
+
+  test("web pipeline composition plans clean: equi-joins only") {
+    val p = plan("q96_web_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("url ops: dedup shuffles hashes only; domain cap prunes via WindowGroupLimit") {
     val p94 = plan("q94_url_dedup")
     // normalization is map-side regex work; the only exchange is the
