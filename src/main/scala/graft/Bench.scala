@@ -255,6 +255,53 @@ object Bench {
     }
     spark.catalog.clearCache()
 
+    // Persisted MinHash index: q98's bench line rebuilds the index every
+    // pass (honest first-ingest cost); this section separates BUILD (one
+    // corpus pass, paid once) from PROBE (every later batch) and puts the
+    // direct q68 path beside them. At bench SFs probe ≈ direct in SECONDS
+    // — re-signing a few thousand docs is nearly free, so the parquet
+    // round-trip shows no win — which is why the record also carries the
+    // BYTES: what the layout buys at scale is that corpus TEXT is never
+    // re-read or re-hashed (per-batch CPU ∝ batch, not corpus), and the
+    // bands/grams sizes vs the corpus size bound that trade explicitly.
+    val mhIndex = try {
+      val docs = sources.Tables.documents(spark, sfDir)
+      val batch = SparkEntry.nearDupBatch(spark, sfDir)
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_mh").toFile
+      try {
+        def t3(f: => Long): Double =
+          (1 to 3).map { _ =>
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }.min
+        val b0 = System.nanoTime()
+        operators.Dedup.writeMinHashIndex(docs, dir.getAbsolutePath,
+          n = 3, numHashes = 16, bands = 16)
+        val buildSec = (System.nanoTime() - b0) / 1e9
+        val probeSec = t3(
+          operators.Dedup.nearDupAgainstIndex(batch, dir.getAbsolutePath, 0.5).count())
+        val directSec = t3(
+          operators.Dedup.nearDupAgainstCorpus(batch, docs,
+            n = 3, numHashes = 16, bands = 16, threshold = 0.5).count())
+        def du(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+        val corpusBytes = du(new java.io.File(s"$sfDir/documents.parquet"))
+        f"""{"build_sec":$buildSec%.3f,"probe_sec":$probeSec%.3f,""" +
+          f""""direct_sec":$directSec%.3f,"index_bytes":${du(dir)},""" +
+          f""""corpus_bytes":$corpusBytes}"""
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dir)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] mh_index instrumentation failed: ${e.getMessage}")
+      "{}"
+    }
+    spark.catalog.clearCache()
+
     // Skew stress: one synthetic hot key owning 50% of a 10×-amplified
     // lineitem (6 M rows at sf0.1 → a 3 M-row hot partition), run through
     // the naive plan and the explicit escape hatch on the SAME data, so
@@ -334,8 +381,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${
         jmap(results.map { case (k, v, _) => k -> v }, full)},""" +
       s""""spread":${jmap(results.map { case (k, _, mx) => k -> mx }, full)},""" +
-      s""""lsh_prod":$lshProd,"zorder":$zorder,"ivf_prod":$ivfProd,"skew":$skew,""" +
-      s""""heavy_tail":$heavy,"errors":$errJson,"sf":"$sfDir"}"""
+      s""""lsh_prod":$lshProd,"zorder":$zorder,"ivf_prod":$ivfProd,"mh_index":$mhIndex,""" +
+      s""""skew":$skew,"heavy_tail":$heavy,"errors":$errJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     println(fullJson)
 
