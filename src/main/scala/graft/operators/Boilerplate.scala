@@ -92,8 +92,10 @@ object Boilerplate {
     require(maxLinkPercent >= 0 && maxLinkPercent <= 100,
       s"maxLinkPercent must be in [0, 100], got $maxLinkPercent")
     // one struct per block, materialized once (multi-referenced alias
-    // survives CollapseProject) so the regex work runs once per block
-    val stats = transform(split(col(htmlCol), blockTagRe),
+    // survives CollapseProject) so the regex work runs once per block.
+    // A NULL page (failed fetch rows in a crawl) reads as an empty page:
+    // main_text "", every count 0 — never a null-propagating row
+    val stats = transform(split(coalesce(col(htmlCol), lit("")), blockTagRe),
       b => struct(blockText(b).as("t"), linkChars(b).as("l")))
     val withStats = docs.withColumn("__blocks", stats)
     val content = filter(col("__blocks"), s =>

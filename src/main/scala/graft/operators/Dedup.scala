@@ -686,13 +686,17 @@ object Dedup {
       sep: String = "\n"): DataFrame = {
     require(minDocFrequency >= 2,
       s"minDocFrequency must be >= 2 (1 would remove every line), got $minDocFrequency")
+    // a NULL text reads as the empty doc: one empty line, normal rules
+    // (posexplode of a null array would silently DROP the row and break
+    // the row-stability contract)
+    val txt = coalesce(col("text"), lit(""))
     val lines = docs
-      .select(col("doc_id"), posexplode(split(col("text"), java.util.regex.Pattern.quote(sep))))
+      .select(col("doc_id"), posexplode(split(txt, java.util.regex.Pattern.quote(sep))))
       .select(col("doc_id"), col("pos"), col("col").as("line"), md5(col("col")).as("__h"))
     val hot = docs
       .select(col("doc_id"),
         explode(array_distinct(transform(
-          split(col("text"), java.util.regex.Pattern.quote(sep)), l => md5(l)))).as("__h"))
+          split(txt, java.util.regex.Pattern.quote(sep)), l => md5(l)))).as("__h"))
       .groupBy("__h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFrequency).select("__h")
     val kept = lines.join(hot, Seq("__h"), "left_anti")
@@ -704,7 +708,7 @@ object Dedup {
         count(lit(1)).as("__n_kept"))
     docs
       .select(col("doc_id"),
-        size(split(col("text"), java.util.regex.Pattern.quote(sep))).as("__nl"))
+        size(split(txt, java.util.regex.Pattern.quote(sep))).as("__nl"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("__kept"), lit("")).as("text_deduped"),

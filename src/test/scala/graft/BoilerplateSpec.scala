@@ -71,6 +71,14 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(r.getLong(3) == 0L)
   }
 
+  test("a NULL page reads as an empty page, never a null-propagating row") {
+    val r = Boilerplate.extractMainText(
+      Seq((0L, null: String)).toDF("doc_id", "html")).collect().head
+    assert(r.getString(1) == "")
+    assert(r.getLong(2) == 0L && r.getLong(3) == 0L)
+    assert(r.getLong(4) == 0L && r.getLong(5) == 0L)
+  }
+
   test("parameter validation rejects nonsense thresholds") {
     val df = Seq((0L, "<p>x</p>")).toDF("doc_id", "html")
     intercept[IllegalArgumentException] {

@@ -689,6 +689,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3L) == (("gamma all alone", 0)))
   }
 
+  test("line dedup: NULL text reads as the empty doc — rows stay stable") {
+    val fx = Seq((0L, null: String), (1L, "real\ncontent"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val r = Dedup.removeCommonLines(fx).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2)))).toMap
+    assert(r.size == 3)
+    // the two null docs each contribute one '' line → df=2 → removed;
+    // neither row drops and neither count goes null
+    assert(r(0L) == (("", 1)) && r(2L) == (("", 1)))
+    assert(r(1L) == (("real\ncontent", 0)))
+  }
+
   test("line dedup: minDocFrequency validates and raises the bar") {
     val fx = Seq(
       (0L, "x\ncommon"), (1L, "y\ncommon"), (2L, "z\ncommon")).toDF("doc_id", "text")

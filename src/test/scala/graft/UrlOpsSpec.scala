@@ -73,6 +73,17 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(d == "host.example.org")
   }
 
+  test("NULL urls pass through as null and dedup into one null-key group") {
+    val docs = Seq((0L, null: String), (1L, null: String), (2L, "http://a.com/p"))
+      .toDF("doc_id", "url")
+    val n = UrlOps.withNormalizedUrl(docs).orderBy("doc_id")
+      .select("norm_url").collect().map(r => Option(r.getString(0)))
+    assert(n.toSeq == Seq(None, None, Some("http://a.com/p")))
+    val d = UrlOps.urlDedup(docs).collect()
+      .map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(d(None) == ((0L, 2L)) && d(Some("http://a.com/p")) == ((2L, 1L)))
+  }
+
   test("domainCap validates its cap") {
     intercept[IllegalArgumentException] {
       UrlOps.domainCap(Seq((0L, "http://a.com/")).toDF("doc_id", "url"), maxPerDomain = 0)
