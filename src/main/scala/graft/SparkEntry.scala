@@ -262,10 +262,14 @@ object SparkEntry {
     val blockRe = operators.Boilerplate.blockTagRe
     val anyTag = operators.Boilerplate.anyTagRe
     val anchorRe = operators.Boilerplate.anchorTextRe
+    val invisible = s"regexp_replace(regexp_replace(regexp_replace(html, " +
+      s"'${operators.Boilerplate.scriptRe}', ' ', 'g'), " +
+      s"'${operators.Boilerplate.styleRe}', ' ', 'g'), " +
+      s"'${operators.Boilerplate.commentRe}', ' ', 'g')"
     s"""h AS ($htmlFixtureSql),
        |st AS (
-       |  SELECT doc_id, list_transform(string_split_regex(html, '$blockRe'),
-       |    b -> {'t': trim(regexp_replace(${entityDecodeSql(s"regexp_replace(b, '$anyTag', ' ', 'g')")}, ' +', ' ', 'g')),
+       |  SELECT doc_id, list_transform(string_split_regex($invisible, '$blockRe'),
+       |    b -> {'t': trim(regexp_replace(${entityDecodeSql(s"regexp_replace(b, '$anyTag', ' ', 'g')")}, '\\s+', ' ', 'g')),
        |          'l': coalesce(list_sum(list_transform(regexp_extract_all(b, '$anchorRe', 1), a -> length(trim(${entityDecodeSql("a")})))), 0)}) AS stats
        |  FROM h),
        |cl AS (
@@ -281,15 +285,17 @@ object SparkEntry {
   private def urlCanonCte: String = {
     val tp = operators.UrlOps.trackingParams
     s"""f AS ($urlFixtureSql),
-       |s AS (SELECT doc_id,
+       |sq AS (SELECT doc_id,
+       |  regexp_replace(nf, '\\?.*$$', '') AS base,
        |  regexp_replace(
        |    regexp_replace(
-       |      regexp_replace(
-       |        regexp_replace(url, '#.*$$', ''),
+       |      regexp_replace(regexp_extract(nf, '\\?(.*)$$', 1),
        |        '&$tp=[^&]*', '', 'g'),
-       |      '\\?$tp=[^&]*&', '?'),
-       |    '\\?$tp=[^&]*$$', '') AS u
-       |  FROM f),
+       |      '^$tp=[^&]*&', ''),
+       |    '^$tp=[^&]*$$', '') AS q
+       |  FROM (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf FROM f)),
+       |s AS (SELECT doc_id,
+       |  CASE WHEN q = '' THEN base ELSE base || '?' || q END AS u FROM sq),
        |n AS (SELECT doc_id, $urlNormSql AS norm_url FROM s),
        |d AS (SELECT doc_id,
        |  lower(regexp_extract(url, '${operators.UrlOps.bareHostRe}', 1)) AS domain
@@ -388,9 +394,14 @@ object SparkEntry {
     Tables.documents(s, dir).select(col("doc_id"), concat(
       lit("<html><head><title>Doc "), col("doc_id").cast("string"),
       lit("</title></head><body>" +
+        // invisible chrome a real page carries: script + style payloads and
+        // a comment (all must vanish before scoring), plus newline-indented
+        // markup (whitespace collapse must absorb it)
+        "<script type=\"text/javascript\">var cfg = {a: 1, b: \"nav\"};</script>" +
+        "<style>.nav { color: red; }</style><!-- page chrome -->" +
         "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
         "<a href=\"/contact\">Contact</a></nav>" +
-        "<h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
+        "<h1>Doc "), col("doc_id").cast("string"), lit("</h1>\n  <p>"),
       col("text"),
       // every 5th doc carries HTML entities in its article text — the
       // extractor must decode them (to 'Q&A <ok>'), and &amp;lt; ordering
@@ -410,8 +421,10 @@ object SparkEntry {
   private def htmlFixtureSql: String =
     """SELECT doc_id,
       |'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body>' ||
+      |'<script type="text/javascript">var cfg = {a: 1, b: "nav"};</script>' ||
+      |'<style>.nav { color: red; }</style><!-- page chrome -->' ||
       |'<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>' ||
-      |'<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+      |'<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || '  <p>' || text ||
       |CASE WHEN doc_id % 5 = 0 THEN ' Q&amp;A &lt;ok&gt;' ELSE '' END || '</p>' ||
       |CASE WHEN doc_id % 3 = 0 THEN '<div class="sidebar"><a href="/r1">Related article one</a> <a href="/r2">Related article two</a></div>' ELSE '' END ||
       |'<p>Share this page</p>' ||
@@ -1230,39 +1243,48 @@ object SparkEntry {
     // serving amortizes it to zero), and the result must hash-match q68's
     // oracle exactly: the layout loses nothing vs recomputation.
     "q98_neardup_indexed" -> ((s, dir) => {
-      val path = System.getProperty("java.io.tmpdir") +
-        "/graft_mh_index_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-      Dedup.writeMinHashIndex(Tables.documents(s, dir), path,
+      // unique dir per invocation (a fixed path would race concurrent runs:
+      // one run's overwrite deletes files under another's probe), cleaned
+      // by a JVM-exit hook since the returned frame reads it lazily
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mh_index_q98").toFile
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      sys.addShutdownHook(rm(path))
+      Dedup.writeMinHashIndex(Tables.documents(s, dir), path.getAbsolutePath,
         n = 3, numHashes = 16, bands = 16)
-      Dedup.nearDupAgainstIndex(nearDupBatch(s, dir), path, threshold = 0.5)
+      Dedup.nearDupAgainstIndex(nearDupBatch(s, dir), path.getAbsolutePath,
+        threshold = 0.5)
     }),
 
     // exact-substring duplicated spans: maximal token spans covered by
     // 5-grams occurring in ≥ 2 documents (ExactSubstr-style span dedup)
     "q69_dup_spans" -> ((s, dir) =>
-      Dedup.duplicatedSpans(Tables.documents(s, dir), k = 5)),
+      Dedup.duplicatedSpans(Tables.documents(s, dir), k = 5, broadcastHot = true)),
 
     // ExactSubstr span REMOVAL: q69's spans dropped from the text; row count
     // stable (untouched docs verbatim, fully-covered docs → empty string)
     "q70_remove_dup_spans" -> ((s, dir) =>
-      Dedup.removeDuplicatedSpans(Tables.documents(s, dir), k = 5)),
+      Dedup.removeDuplicatedSpans(Tables.documents(s, dir), k = 5, broadcastHot = true)),
 
     // repetition SCRUB mode: occurrence-count ≥ 2 anywhere (a doc repeating
     // its own content gets spans too — Gopher repetition as removal, not
     // just the q55 doc-level flag)
     "q71_selfrep_spans" -> ((s, dir) =>
-      Dedup.duplicatedSpans(Tables.documents(s, dir), k = 3, crossDocOnly = false)),
+      Dedup.duplicatedSpans(Tables.documents(s, dir), k = 3, crossDocOnly = false,
+        broadcastHot = true)),
 
     // BYTE-level ExactSubstr (the paper's own granularity): 20-byte windows
     // shared across docs merge to maximal byte spans — catches sub-word /
     // whitespace-variant duplication that word 5-grams miss
     "q89_byte_spans" -> ((s, dir) =>
-      Dedup.duplicatedByteSpans(Tables.documents(s, dir), k = 20)),
+      Dedup.duplicatedByteSpans(Tables.documents(s, dir), k = 20, broadcastHot = true)),
 
     // byte-span removal by interval COMPLEMENT (no per-byte explode: one
     // row per span, substring slicing against the original text)
     "q90_remove_byte_spans" -> ((s, dir) =>
-      Dedup.removeDuplicatedByteSpans(Tables.documents(s, dir), k = 20)),
+      Dedup.removeDuplicatedByteSpans(Tables.documents(s, dir), k = 20, broadcastHot = true)),
 
     // interval join (Flink-style): pairs of a user's events within ±10 min,
     // bucketized into a pure equi-join on (user, time-bucket) — the raw

@@ -39,6 +39,24 @@ object Boilerplate {
     * markup never counts as text. */
   private[graft] val anyTagRe: String = "<[^>]*>"
 
+  /** Invisible-content elements whose BODIES must go before any scoring:
+    * script and style payloads are not text (leaving them in would let a
+    * config blob or CSS rule pass the length filter and corrupt
+    * main_text), and comments are invisible by definition. `(?s)` because
+    * real payloads span lines; `.*?` non-greedy to the matching close tag;
+    * no backreferences (RE2 has none), so script and style are separate
+    * passes. */
+  private[graft] val scriptRe: String = """(?si)<script\b[^>]*>.*?</script\s*>"""
+  private[graft] val styleRe: String = """(?si)<style\b[^>]*>.*?</style\s*>"""
+  private[graft] val commentRe: String = "(?s)<!--.*?-->"
+
+  private def stripInvisible(h: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(h, lit(scriptRe), lit(" ")),
+        lit(styleRe), lit(" ")),
+      lit(commentRe), lit(" "))
+
   /** Anchor text capture: `[^<]*` (not `.*?`) so Java regex and RE2 agree
     * and nested-tag anchors degrade identically in both engines. */
   private[graft] val anchorTextRe: String = """<a\b[^>]*>([^<]*)</a>"""
@@ -59,12 +77,13 @@ object Boilerplate {
 
   /** Visible text of one raw block: inline tags → space, entities decoded
     * (nbsp becomes a plain space BEFORE the collapse so it merges with its
-    * neighbors), runs of spaces collapsed, trimmed — the normalization a
-    * text extractor applies so word boundaries survive tag removal. */
+    * neighbors), runs of WHITESPACE collapsed to one space (real HTML is
+    * newline-indented — `\s+`, not `' +'`, or the indentation would count
+    * toward minTextChars and leak into main_text), trimmed. */
   private def blockText(b: Column): Column =
     trim(regexp_replace(
       decodeEntities(regexp_replace(b, lit(anyTagRe), lit(" "))),
-      lit(" +"), lit(" ")))
+      lit("""\s+"""), lit(" ")))
 
   /** Total anchor-text characters of one raw block (entity-decoded and
     * trimmed per anchor, so link density is measured in the same units as
@@ -93,14 +112,19 @@ object Boilerplate {
       s"maxLinkPercent must be in [0, 100], got $maxLinkPercent")
     // one struct per block, materialized once (multi-referenced alias
     // survives CollapseProject) so the regex work runs once per block.
-    // A NULL page (failed fetch rows in a crawl) reads as an empty page:
-    // main_text "", every count 0 — never a null-propagating row
-    val stats = transform(split(coalesce(col(htmlCol), lit("")), blockTagRe),
+    // Script/style/comment bodies go FIRST (invisible content must not
+    // reach scoring). A NULL page (failed fetch rows in a crawl) reads as
+    // an empty page: main_text "", every count 0 — never a null row
+    val stats = transform(
+      split(stripInvisible(coalesce(col(htmlCol), lit(""))), blockTagRe),
       b => struct(blockText(b).as("t"), linkChars(b).as("l")))
     val withStats = docs.withColumn("__blocks", stats)
+    // LONG arithmetic: a pathological multi-megabyte block would overflow
+    // `l * 100` in Int and sneak a link-saturated megablock past the filter
     val content = filter(col("__blocks"), s =>
       length(s.getField("t")) >= minTextChars &&
-        s.getField("l") * lit(100) <= length(s.getField("t")) * lit(maxLinkPercent))
+        s.getField("l").cast("long") * lit(100L) <=
+          length(s.getField("t")).cast("long") * lit(maxLinkPercent.toLong))
     val nonempty = filter(col("__blocks"), s => length(s.getField("t")) > 0)
     val chars = (blocks: Column) =>
       aggregate(transform(blocks, s => length(s.getField("t"))), lit(0), (acc, x) => acc + x)

@@ -145,7 +145,15 @@ object Bpe {
   private[graft] def tokenize(word: String,
       ranks: Map[(String, String), Int]): Array[String] = {
     if (word.isEmpty) return Array(word)
-    var toks = toSymbols(word)
+    tokenizeSymbols(toSymbols(word), ranks)
+  }
+
+  /** The leftmost-lowest-rank merge loop, alphabet-agnostic — one
+    * implementation under both the char and byte tokenizers so a merge-
+    * semantics fix can never drift between them. */
+  private def tokenizeSymbols(symbols: Array[String],
+      ranks: Map[(String, String), Int]): Array[String] = {
+    var toks = symbols
     var done = toks.length < 2
     while (!done) {
       var bestRank = Int.MaxValue
@@ -166,72 +174,33 @@ object Bpe {
     toks
   }
 
-  /** Byte-level encoding of one word under a merge rank map: same
-    * leftmost-lowest-rank loop as [[tokenize]] over the UTF-8 byte
-    * alphabet. An empty word is ZERO tokens (it has zero bytes) — the
-    * byte-level convention, diverging deliberately from the char variant's
-    * one-token empty word. */
+  /** Byte-level encoding of one word under a merge rank map:
+    * [[tokenizeSymbols]]' shared loop over the UTF-8 byte alphabet. An
+    * empty word is ZERO tokens (it has zero bytes) — the byte-level
+    * convention, diverging deliberately from the char variant's one-token
+    * empty word. */
   private[graft] def tokenizeBytes(word: String,
-      ranks: Map[(String, String), Int]): Array[String] = {
-    var toks = toByteSymbols(word)
-    var done = toks.length < 2
-    while (!done) {
-      var bestRank = Int.MaxValue
-      var bestPos = -1
-      var i = 0
-      while (i < toks.length - 1) {
-        val r = ranks.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
-        if (r < bestRank) { bestRank = r; bestPos = i }
-        i += 1
-      }
-      if (bestPos < 0) done = true
-      else {
-        toks = (toks.take(bestPos) :+ (toks(bestPos) + toks(bestPos + 1))) ++
-          toks.drop(bestPos + 2)
-        done = toks.length < 2
-      }
-    }
-    toks
-  }
+      ranks: Map[(String, String), Int]): Array[String] =
+    tokenizeSymbols(toByteSymbols(word), ranks)
 
   private def rankMap(merges: Seq[(String, String)]): Map[(String, String), Int] =
     merges.zipWithIndex.toMap
 
-  /** The vocabulary-sized (word, n_bpe) dictionary: each DISTINCT corpus
-    * word tokenized once. Small enough to broadcast by construction. */
-  private def tokenCountDict(docs: DataFrame,
-      merges: Seq[(String, String)]): DataFrame = {
-    val spark = docs.sparkSession
-    val bcRanks = spark.sparkContext.broadcast(rankMap(merges))
-    val nBpe = udf((w: String) => tokenize(w, bcRanks.value).length)
-    TextAnalysis.withWords(docs)
-      .select(explode(col("__words")).as("word"))
-      .distinct()
-      .select(col("word"), nBpe(col("word")).cast("long").as("n_bpe"))
-  }
-
   /** Per-document tokenizer-faithful token counts under pinned `merges`:
     * whitespace token count alongside the BPE token count (the budget a
     * real pipeline packs and mixes by). */
-  def tokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val docWord = TextAnalysis.withWords(docs)
-      .select(col("doc_id"), explode(col("__words")).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
-    docWord.join(broadcast(tokenCountDict(docs, merges)), "word")
-      .groupBy("doc_id")
-      .agg(sum("n").as("n_words"), sum(col("n") * col("n_bpe")).as("n_bpe_tokens"))
-  }
+  def tokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    tokenCountsWith(docs, merges, tokenize)
 
-  /** Per-document BYTE-level BPE token counts under pinned byte `merges`
-    * (from [[trainMergesBytes]]): [[tokenCounts]]'s exact distributed shape
-    * — distinct words tokenized once, broadcast dictionary join — with the
-    * merge loop running over the UTF-8 byte alphabet, so non-ASCII text
-    * budgets the way a GPT-2-family tokenizer counts it and no word is ever
-    * out-of-vocabulary. */
-  def byteTokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  /** The shared distributed shape of [[tokenCounts]] / [[byteTokenCounts]]:
+    * a vocabulary-sized (word → token count) dictionary — each DISTINCT
+    * word tokenized once by `tokenizeWord` over a broadcast rank map —
+    * broadcast-joined back onto the per-doc word counts. */
+  private def tokenCountsWith(docs: DataFrame, merges: Seq[(String, String)],
+      tokenizeWord: (String, Map[(String, String), Int]) => Array[String]): DataFrame = {
     val spark = docs.sparkSession
     val bcRanks = spark.sparkContext.broadcast(rankMap(merges))
-    val nBpe = udf((w: String) => tokenizeBytes(w, bcRanks.value).length)
+    val nBpe = udf((w: String) => tokenizeWord(w, bcRanks.value).length)
     val dict = TextAnalysis.withWords(docs)
       .select(explode(col("__words")).as("word"))
       .distinct()
@@ -243,6 +212,15 @@ object Bpe {
       .groupBy("doc_id")
       .agg(sum("n").as("n_words"), sum(col("n") * col("n_bpe")).as("n_bpe_tokens"))
   }
+
+  /** Per-document BYTE-level BPE token counts under pinned byte `merges`
+    * (from [[trainMergesBytes]]): [[tokenCounts]]'s exact distributed shape
+    * — distinct words tokenized once, broadcast dictionary join — with the
+    * merge loop running over the UTF-8 byte alphabet, so non-ASCII text
+    * budgets the way a GPT-2-family tokenizer counts it and no word is ever
+    * out-of-vocabulary. */
+  def byteTokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    tokenCountsWith(docs, merges, tokenizeBytes)
 
   /** Sequence packing budgeted in BPE tokens instead of whitespace tokens —
     * [[TextAnalysis.packSequences]]'s layout contract (sharded streams,

@@ -484,7 +484,7 @@ object Dedup {
     * anywhere (contrast [[ngramJaccardPairs]]'s pair join: span detection
     * never forms document PAIRS at all). */
   def duplicatedSpans(docs: DataFrame, k: Int = 5,
-      crossDocOnly: Boolean = true, broadcastHot: Boolean = true): DataFrame = {
+      crossDocOnly: Boolean = true, broadcastHot: Boolean = false): DataFrame = {
     val pos = TextAnalysis.withWords(docs)
       .select(col("doc_id"),
         posexplode(graft.functions.HashFunctions.word_gram_hashes(col("__words"), k)))
@@ -527,7 +527,7 @@ object Dedup {
     * quadratic. The rebuild shuffles surviving tokens once; span-heavy
     * corpora shuffle LESS as more is removed. */
   def removeDuplicatedSpans(docs: DataFrame, k: Int = 5,
-      crossDocOnly: Boolean = true, broadcastHot: Boolean = true): DataFrame = {
+      crossDocOnly: Boolean = true, broadcastHot: Boolean = false): DataFrame = {
     val covered = duplicatedSpans(docs, k, crossDocOnly, broadcastHot).select(col("doc_id"),
       explode(sequence(col("span_start"), col("span_end"))).as("pos"))
     val toks = TextAnalysis.withWords(docs)
@@ -568,7 +568,7 @@ object Dedup {
     * identical length-≥ k repeats, the join trades the paper's O(n log n)
     * construction for shuffle-parallel equi-joins that scale out. */
   def duplicatedByteSpans(docs: DataFrame, k: Int = 20,
-      crossDocOnly: Boolean = true, broadcastHot: Boolean = true): DataFrame = {
+      crossDocOnly: Boolean = true, broadcastHot: Boolean = false): DataFrame = {
     val hashes = graft.functions.HashFunctions.byte_gram_hashes(col("text"), k)
     val pos = docs.select(col("doc_id"), posexplode(hashes))
       .withColumnRenamed("pos", "start").withColumnRenamed("col", "gram")
@@ -605,11 +605,16 @@ object Dedup {
     * consumers that build on spans (removal, self-repetition) keep full
     * Catalyst pruning through the operator.
     *
-    * `broadcastHot = false` is the corpus-scale escape: the hot set is
-    * every ≥2-doc gram, which a caller deduping a 100 TB corpus in one
-    * pass can grow past executor broadcast memory — there the shuffled
-    * semi-join is the correct shape and the caller opts into it. (The
-    * span windows downstream partition by doc_id either way.) */
+    * The default is `broadcastHot = false` — the SAFE-AT-SCALE shape:
+    * the hot set is every ≥2-doc gram, which grows with the corpus
+    * without bound, so forcing a broadcast by default would OOM exactly
+    * the 100 TB first-pass runs these operators advertise. Callers whose
+    * corpus (or post-dedup batch) bounds the hot set opt INTO the
+    * broadcast for the deterministic no-shuffle-of-positions plan — the
+    * gate queries do, and PlanSpec pins the resulting broadcast semi-join.
+    * With the flag off, Catalyst/AQE still broadcast small hot sets on
+    * their own stats. (The span windows downstream partition by doc_id
+    * either way.) */
   private def semiJoinHotGrams(pos: DataFrame, hot: DataFrame,
       broadcastHot: Boolean): DataFrame =
     if (broadcastHot) pos.join(broadcast(hot), Seq("gram"), "left_semi")
@@ -627,7 +632,7 @@ object Dedup {
     * word version: untouched docs pass through verbatim, fully-covered
     * docs yield the empty string. */
   def removeDuplicatedByteSpans(docs: DataFrame, k: Int = 20,
-      crossDocOnly: Boolean = true, broadcastHot: Boolean = true): DataFrame = {
+      crossDocOnly: Boolean = true, broadcastHot: Boolean = false): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("span_start")
     val pieces = duplicatedByteSpans(docs, k, crossDocOnly, broadcastHot)
       .withColumn("piece_start",

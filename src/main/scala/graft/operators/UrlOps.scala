@@ -41,19 +41,37 @@ object UrlOps {
   private[graft] val schemeRe: String = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
   private[graft] val hostRe: String = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
   private[graft] val restRe: String = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$"
-  private[graft] val bareHostRe: String = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)"
 
-  /** Fragment + tracking-parameter removal (the pre-pass both consumers
-    * share): non-leading `&p=v` first, then a leading `?p=v&` (the next
-    * parameter inherits the `?`), then a lone `?p=v`. */
-  private def stripNoise(url: Column): Column =
-    regexp_replace(
-      regexp_replace(
+  /** Registered host: userinfo (`user:pass@`) skipped via an optional
+    * non-capturing group — RE2 has no lookbehind, but greedy-optional
+    * does the job — then host chars up to port/path/query. Without the
+    * skip, `http://alice@host.com/x` would "cap" by the domain `alice`. */
+  private[graft] val bareHostRe: String =
+    "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]*)"
+
+  /** Fragment + tracking-parameter removal. The parameter strip operates
+    * on the QUERY STRING ONLY — a literal `&gclid=` inside a PATH (legal
+    * per RFC 3986) must survive, and RE2 has no lookbehind to anchor an
+    * in-place match after `?`, so the query is split off, cleaned as a
+    * bare `k=v&k=v` string (non-leading `&p=v`, then leading `p=v&`, then
+    * lone `p=v`), and reattached only if non-empty. */
+  private def withStrippedUrl(docs: DataFrame, urlCol: String): DataFrame = {
+    val noFrag = regexp_replace(col(urlCol), lit("#.*$"), lit(""))
+    val prepped = docs.withColumn("__nf", noFrag)
+      .withColumn("__base", regexp_replace(col("__nf"), lit("\\?.*$"), lit("")))
+      .withColumn("__q",
         regexp_replace(
-          regexp_replace(url, lit("#.*$"), lit("")),
-          lit("&" + trackingParams + "=[^&]*"), lit("")),
-        lit("\\?" + trackingParams + "=[^&]*&"), lit("?")),
-      lit("\\?" + trackingParams + "=[^&]*$"), lit(""))
+          regexp_replace(
+            regexp_replace(regexp_extract(col("__nf"), "\\?(.*)$", 1),
+              lit("&" + trackingParams + "=[^&]*"), lit("")),
+            lit("^" + trackingParams + "=[^&]*&"), lit("")),
+          lit("^" + trackingParams + "=[^&]*$"), lit("")))
+    prepped
+      .withColumn("__u",
+        when(col("__q") === "", col("__base"))
+          .otherwise(concat(col("__base"), lit("?"), col("__q"))))
+      .drop("__nf", "__base", "__q")
+  }
 
   /** Adds `norm_url` (and keeps every input column). The stripped URL
     * materializes as its own alias first — it feeds four part-extractions,
@@ -63,7 +81,7 @@ object UrlOps {
     * through with only the fragment/tracking strip — never mangled into
     * a phantom `://` — so downstream dedup still groups it sanely. */
   def withNormalizedUrl(docs: DataFrame, urlCol: String = "url"): DataFrame = {
-    val stripped = docs.withColumn("__u", stripNoise(col(urlCol)))
+    val stripped = withStrippedUrl(docs, urlCol)
     val scheme = lower(regexp_extract(col("__u"), schemeRe, 1))
     val host0 = lower(regexp_extract(col("__u"), hostRe, 1))
     val host = when(scheme === "http", regexp_replace(host0, lit(":80$"), lit("")))

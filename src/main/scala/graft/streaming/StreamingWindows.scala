@@ -69,12 +69,19 @@ object StreamingWindows {
     * chain, so stream and batch canonicalize identically) was already seen
     * within the watermark horizon. Runs BEFORE any content operator — the
     * page body never even enters the state store, which holds one
-    * normalized-URL key per in-horizon page. */
+    * normalized-URL key per in-horizon page. NULL urls (failed-fetch rows)
+    * bypass the dedup entirely: `dropDuplicates` would treat NULL as one
+    * key and silently discard every URL-less page after the first —
+    * unbounded data loss at the front door — so they pass through for a
+    * downstream content-keyed dedup to handle instead. */
   def streamingUrlDedup(docs: DataFrame, watermark: String,
-      urlCol: String = "url", tsCol: String = "ts"): DataFrame =
-    graft.operators.UrlOps.withNormalizedUrl(docs, urlCol)
+      urlCol: String = "url", tsCol: String = "ts"): DataFrame = {
+    val normed = graft.operators.UrlOps.withNormalizedUrl(docs, urlCol)
       .withWatermark(tsCol, watermark)
+    normed.filter(col("norm_url").isNotNull)
       .dropDuplicatesWithinWatermark("norm_url")
+      .unionByName(normed.filter(col("norm_url").isNull))
+  }
 
   /** Streaming INCREMENTAL exact dedup — the ingest-time analogue of the
     * batch [[graft.operators.Dedup.dedupAgainstCorpus]]: arriving documents

@@ -71,6 +71,30 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(r.getLong(3) == 0L)
   }
 
+  test("script/style bodies and comments are invisible — never content") {
+    val js = "var config = {key: \"value\", tracking: true, retries: 3};"
+    val css = ".article { margin: 0 auto; padding: 2em; color: #333; }"
+    val html = s"<script type=\"text/javascript\">$js</script>" +
+      s"<style>$css</style><!-- served by cache-03 -->" +
+      "<p>The actual article text which is clearly long enough to keep.</p>"
+    val r = run(html)
+    assert(r.getString(1) == "The actual article text which is clearly long enough to keep.")
+    assert(r.getLong(3) == 1L, "only the paragraph is content")
+  }
+
+  test("multi-line script payloads strip across newlines") {
+    val html = "<script>\nvar a = 1;\nvar b = 2;\nvar c = a + b;\n</script>" +
+      "<p>Real text far away from any javascript and long enough too.</p>"
+    assert(run(html).getString(1) ==
+      "Real text far away from any javascript and long enough too.")
+  }
+
+  test("newline-indented markup collapses to single spaces in main_text") {
+    val html = "<p>\n  First line\n  second line\n  third line of the article text\n</p>"
+    val r = run(html)
+    assert(r.getString(1) == "First line second line third line of the article text")
+  }
+
   test("a NULL page reads as an empty page, never a null-propagating row") {
     val r = Boilerplate.extractMainText(
       Seq((0L, null: String)).toDF("doc_id", "html")).collect().head

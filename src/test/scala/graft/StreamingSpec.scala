@@ -94,6 +94,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getString(3)).toSet == Set("http://a.com/p", "http://a.com/q"))
   }
 
+  test("streaming url dedup passes NULL-url rows through instead of collapsing them") {
+    val stream = MemoryStream[(Long, Timestamp, String)](spark)
+    stream.addData(
+      (1L, t(0), null: String),             // failed fetch — must pass
+      (2L, t(1), null: String),             // another — must ALSO pass
+      (3L, t(2), "http://a.com/p"),
+      (4L, t(3), "http://a.com/p#x"))       // variant → dropped
+    val q = StreamingWindows.streamingUrlDedup(
+      stream.toDF().toDF("doc_id", "ts", "url"), "10 minutes")
+      .writeStream.format("memory").queryName("url_dedup_null").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("url_dedup_null").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L), "both null-url rows must survive")
+  }
+
   test("streaming incremental dedup drops corpus hits and in-stream dups, keeps novel docs") {
     val corpus = Seq((100L, "already ingested document"), (101L, "another known text"))
       .toDF("doc_id", "text")
