@@ -910,6 +910,12 @@ object SparkEntry {
     // the corpus's own smoothed unigram model
     "q60_lm_score" -> ((s, dir) => TextAnalysis.lmScore(Tables.documents(s, dir))),
 
+    // the ORDER-aware upgrade: mean ln P(w2|w1) under the corpus's own
+    // add-α bigram model — word-salad scores low where unigram frequency
+    // alone cannot see it
+    "q100_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(Tables.documents(s, dir))),
+
     // PII scrub on a derived fixture: the synthetic corpus carries no PII,
     // so every third doc gets a deterministic email + IP + phone appended
     // IN-QUERY (same concat in the oracle) — the redaction then has real
@@ -1623,6 +1629,19 @@ object SparkEntry {
           |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
           |round(sum(n * ln((cnt + 1.0) / (total + 1.0 * vocab))) / sum(n), 6) AS avg_logprob
           |FROM dw JOIN c USING (word) CROSS JOIN t
+          |GROUP BY doc_id""".stripMargin,
+
+      "q100_bigram_lm" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |b AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM w, UNNEST(range(1, len(ws))) t(i)),
+          |db AS (SELECT doc_id, w1, w2, count(*) AS n FROM b GROUP BY 1, 2, 3),
+          |c12 AS (SELECT w1, w2, sum(n) AS c12 FROM db GROUP BY 1, 2),
+          |c1 AS (SELECT w1, sum(n) AS c1 FROM db GROUP BY 1),
+          |v AS (SELECT count(DISTINCT u.word) AS vocab
+          |      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u)
+          |SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+          |round(sum(n * ln((c12 + 1.0) / (c1 + 1.0 * vocab))) / sum(n), 6) AS avg_logprob
+          |FROM db JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
           |GROUP BY doc_id""".stripMargin,
 
       "q56_embed_quantize" ->

@@ -205,6 +205,50 @@ object TextAnalysis {
         round(sum(col("n") * logp) / sum(col("n")), 6).as("avg_logprob"))
   }
 
+  /** BIGRAM-interpolated LM quality score — the step up from [[lmScore]]'s
+    * unigram model the CCNet family actually runs: mean ln P(w2 | w1) over
+    * each document's adjacent word pairs under the corpus's own add-α
+    * bigram model, P(w2|w1) = (c(w1,w2) + α) / (c(w1·) + α·V) with c(w1·)
+    * the prefix count (w1 in non-final positions) and V the unigram
+    * vocabulary. Repetitive/templated text scores high (its bigrams are
+    * corpus-frequent), word-salad scores low — a sharper signal than
+    * unigram frequency alone, which cannot see order at all.
+    *
+    * 100 TB shape: the bigram table aggregates with map-side combine and
+    * its join back to per-doc bigram groups keys on (w1, w2) — cardinality
+    * is observed-bigrams, far under corpus size but too big to broadcast,
+    * so that ONE join is the only data-scale shuffle beyond the group-bys;
+    * prefix counts and the vocab scalar are vocabulary-sized and
+    * broadcast. Documents with fewer than two words have no bigrams and
+    * are absent from the output (same convention in the oracle).
+    * Determinism: ln rounds to 6 decimals (the transcendental-ulp policy
+    * q60/q74 established). */
+  def bigramLmScore(docs: DataFrame, alpha: Double = 1.0): DataFrame = {
+    val w = withWords(docs)
+    val docBi = w
+      .select(col("doc_id"),
+        explode(when(size(col("__words")) < 2, array())
+          .otherwise(transform(sequence(lit(1), size(col("__words")) - 1),
+            i => struct(
+              element_at(col("__words"), i).as("w1"),
+              element_at(col("__words"), i + 1).as("w2"))))).as("bi"))
+      .select(col("doc_id"), col("bi.w1"), col("bi.w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+      .cache() // three consumers: c12, c1, and the per-doc score join
+    val c12 = docBi.groupBy("w1", "w2").agg(sum("n").as("c12"))
+    val c1 = docBi.groupBy("w1").agg(sum("n").as("c1"))
+    val vocab = withWords(docs).select(explode(col("__words")).as("word"))
+      .agg(count_distinct(col("word")).as("vocab"))
+    val logp = log((col("c12") + alpha) / (col("c1") + col("vocab") * alpha))
+    docBi.join(c12, Seq("w1", "w2"))
+      .join(broadcast(c1), "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(
+        sum("n").as("n_bigrams"),
+        round(sum(col("n") * logp) / sum(col("n")), 6).as("avg_logprob"))
+  }
+
   /** Per-word numeric code used by the rolling fingerprint: cheap,
     * deterministic, reproducible in plain SQL (length + first char code). */
   private def wordCode(w: Column): Column =

@@ -670,6 +670,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram LM score: hand-computed log-probs, order sensitivity, short docs") {
+    // corpus: "a b" ×2, "b a" ×1, "solo" ×1 → V = 3 (vocab counts every
+    // distinct unigram, including the bigram-less doc's word)
+    // bigram counts: (a,b)=2, (b,a)=1; prefix counts: a·=2, b·=1
+    val fx = Seq((0L, "a b"), (1L, "a b"), (2L, "b a"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLmScore(fx).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    // P(b|a) = (2+1)/(2+3) = 0.6 ; P(a|b) = (1+1)/(1+3) = 0.5
+    val pba = BigDecimal(math.log(0.6)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val pab = BigDecimal(math.log(0.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(r(0L) == ((1L, pba.toDouble)) && r(1L) == r(0L))
+    assert(r(2L) == ((1L, pab.toDouble)))
+    // the REVERSED bigram scores differently — order sensitivity the
+    // unigram model cannot express (same words, same frequencies)
+    assert(r(0L)._2 != r(2L)._2)
+    // a one-word doc has no bigrams and is absent (oracle convention)
+    assert(!r.contains(3L))
+  }
+
   test("line dedup: cross-doc lines drop, unique lines and within-doc repeats stay") {
     val fx = Seq(
       (0L, "alpha unique\nshared boilerplate\nrepeat me\nrepeat me"),
