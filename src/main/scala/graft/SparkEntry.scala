@@ -262,10 +262,11 @@ object SparkEntry {
     val blockRe = operators.Boilerplate.blockTagRe
     val anyTag = operators.Boilerplate.anyTagRe
     val anchorRe = operators.Boilerplate.anchorTextRe
-    val invisible = s"regexp_replace(regexp_replace(regexp_replace(html, " +
-      s"'${operators.Boilerplate.scriptRe}', ' ', 'g'), " +
-      s"'${operators.Boilerplate.styleRe}', ' ', 'g'), " +
-      s"'${operators.Boilerplate.commentRe}', ' ', 'g')"
+    val invisible = Seq(
+      operators.Boilerplate.scriptRe, operators.Boilerplate.styleRe,
+      operators.Boilerplate.commentRe, operators.Boilerplate.openScriptRe,
+      operators.Boilerplate.openStyleRe, operators.Boilerplate.openCommentRe)
+      .foldLeft("html")((acc, re) => s"regexp_replace($acc, '$re', ' ', 'g')")
     s"""h AS ($htmlFixtureSql),
        |st AS (
        |  SELECT doc_id, list_transform(string_split_regex($invisible, '$blockRe'),

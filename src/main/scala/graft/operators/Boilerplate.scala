@@ -50,12 +50,18 @@ object Boilerplate {
   private[graft] val styleRe: String = """(?si)<style\b[^>]*>.*?</style\s*>"""
   private[graft] val commentRe: String = "(?s)<!--.*?-->"
 
+  /** UNTERMINATED invisible elements — a truncated fetch can cut a page
+    * mid-script, and the non-greedy pair patterns above never match an
+    * unclosed element, so its body would leak into main_text as "visible
+    * text". After the pair passes, any surviving open tag means
+    * unterminated: everything from it to end-of-page is invisible. */
+  private[graft] val openScriptRe: String = """(?si)<script\b[^>]*>.*$"""
+  private[graft] val openStyleRe: String = """(?si)<style\b[^>]*>.*$"""
+  private[graft] val openCommentRe: String = "(?s)<!--.*$"
+
   private def stripInvisible(h: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(h, lit(scriptRe), lit(" ")),
-        lit(styleRe), lit(" ")),
-      lit(commentRe), lit(" "))
+    Seq(scriptRe, styleRe, commentRe, openScriptRe, openStyleRe, openCommentRe)
+      .foldLeft(h)((acc, re) => regexp_replace(acc, lit(re), lit(" ")))
 
   /** Anchor text capture: `[^<]*` (not `.*?`) so Java regex and RE2 agree
     * and nested-tag anchors degrade identically in both engines. */

@@ -82,6 +82,17 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(r.getLong(3) == 1L, "only the paragraph is content")
   }
 
+  test("an UNCLOSED script on a truncated page never leaks into main_text") {
+    val html = "<p>The article text itself which is long enough to survive.</p>" +
+      "<script>var leaked = \"this javascript has no closing tag"
+    val r = run(html)
+    assert(r.getString(1) == "The article text itself which is long enough to survive.")
+    assert(!r.getString(1).contains("leaked"))
+    // same for an unterminated comment
+    val r2 = run("<p>Enough plain article text to clear the length bar.</p><!-- cut off")
+    assert(r2.getString(1) == "Enough plain article text to clear the length bar.")
+  }
+
   test("multi-line script payloads strip across newlines") {
     val html = "<script>\nvar a = 1;\nvar b = 2;\nvar c = a + b;\n</script>" +
       "<p>Real text far away from any javascript and long enough too.</p>"
