@@ -823,8 +823,12 @@ object Dedup {
   def nearDupAgainstIndex(newDocs: DataFrame, path: String,
       threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
+    // fields read BY NAME: a positional read would silently swap the
+    // parameters under any manifest-schema reorder/widening and produce
+    // wrong Jaccard verification instead of an error
     val m = spark.read.parquet(s"$path/manifest").head()
-    val (n, numHashes, bands) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    val (n, numHashes, bands) =
+      (m.getAs[Int]("n"), m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
     nearDupCore(newDocs,
       spark.read.parquet(s"$path/bands").withColumnRenamed("doc_id", "doc2"),
       spark.read.parquet(s"$path/grams"), n, numHashes, bands, threshold)

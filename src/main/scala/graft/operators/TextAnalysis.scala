@@ -218,8 +218,14 @@ object TextAnalysis {
     * its join back to per-doc bigram groups keys on (w1, w2) — cardinality
     * is observed-bigrams, far under corpus size but too big to broadcast,
     * so that ONE join is the only data-scale shuffle beyond the group-bys;
-    * prefix counts and the vocab scalar are vocabulary-sized and
-    * broadcast. Documents with fewer than two words have no bigrams and
+    * prefix counts derive from the (w1, w2) table (not another corpus
+    * pass) and, like the vocab scalar, broadcast. The per-doc bigram
+    * aggregate feeds two subtrees WITHOUT a cache(): its two occurrences
+    * are identical plans, so ReuseExchange serves the second from the
+    * first's shuffle files — no near-corpus-sized storage stays pinned for
+    * the session (a cache here held ~token-count rows until shutdown), and
+    * a worst-case re-derivation is map-side explode CPU, the right trade
+    * at scale. Documents with fewer than two words have no bigrams and
     * are absent from the output (same convention in the oracle).
     * Determinism: ln rounds to 6 decimals (the transcendental-ulp policy
     * q60/q74 established). */
@@ -234,9 +240,10 @@ object TextAnalysis {
               element_at(col("__words"), i + 1).as("w2"))))).as("bi"))
       .select(col("doc_id"), col("bi.w1"), col("bi.w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
-      .cache() // three consumers: c12, c1, and the per-doc score join
     val c12 = docBi.groupBy("w1", "w2").agg(sum("n").as("c12"))
-    val c1 = docBi.groupBy("w1").agg(sum("n").as("c1"))
+    // prefix count c(w1·) = Σ_w2 c12 — summing the BIGRAM table, which is
+    // already vocabulary²-bounded, instead of re-aggregating per-doc rows
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val vocab = withWords(docs).select(explode(col("__words")).as("word"))
       .agg(count_distinct(col("word")).as("vocab"))
     val logp = log((col("c12") + alpha) / (col("c1") + col("vocab") * alpha))

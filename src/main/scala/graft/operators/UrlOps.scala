@@ -39,8 +39,21 @@ object UrlOps {
   private[graft] val trackingParams: String = "(utm_[a-zA-Z0-9]+|fbclid|gclid)"
 
   private[graft] val schemeRe: String = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
-  private[graft] val hostRe: String = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
   private[graft] val restRe: String = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$"
+
+  /** Optional `user:pass@` userinfo, captured VERBATIM (empty when absent).
+    * Userinfo is case-sensitive per RFC 3986 §3.2.1 — lowercasing it would
+    * fold `http://Alice@a.com/` and `http://alice@a.com/` into one
+    * canonical URL and dedup would drop a genuinely distinct resource — so
+    * normalization re-attaches it unchanged and lowercases only the
+    * host:port that follows. */
+  private[graft] val userinfoRe: String = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#@]*@)?"
+
+  /** host:port AFTER the optional userinfo — the only authority piece
+    * normalization lowercases (host names are case-insensitive per RFC
+    * 3986 §3.2.2). */
+  private[graft] val hostPortRe: String =
+    "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)"
 
   /** Registered host: userinfo (`user:pass@`) skipped via an optional
     * non-capturing group — RE2 has no lookbehind, but greedy-optional
@@ -83,7 +96,8 @@ object UrlOps {
   def withNormalizedUrl(docs: DataFrame, urlCol: String = "url"): DataFrame = {
     val stripped = withStrippedUrl(docs, urlCol)
     val scheme = lower(regexp_extract(col("__u"), schemeRe, 1))
-    val host0 = lower(regexp_extract(col("__u"), hostRe, 1))
+    val userinfo = regexp_extract(col("__u"), userinfoRe, 1) // verbatim — see userinfoRe
+    val host0 = lower(regexp_extract(col("__u"), hostPortRe, 1))
     val host = when(scheme === "http", regexp_replace(host0, lit(":80$"), lit("")))
       .when(scheme === "https", regexp_replace(host0, lit(":443$"), lit("")))
       .otherwise(host0)
@@ -91,7 +105,7 @@ object UrlOps {
     stripped
       .withColumn("norm_url",
         when(scheme === "", col("__u"))
-          .otherwise(concat(scheme, lit("://"), host, rest)))
+          .otherwise(concat(scheme, lit("://"), userinfo, host, rest)))
       .drop("__u")
   }
 
