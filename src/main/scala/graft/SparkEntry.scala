@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.sources.Tables
 import graft.operators.{Dedup, Multimodal, Similarity, SkewSafe, TextAnalysis}
 
@@ -241,6 +241,63 @@ object SparkEntry {
       when(col("doc_id") % 2 === 0, lit("?utm_source=feed&id=")).otherwise(lit("?id=")),
       (col("doc_id") % 25).cast("string"),
       when(col("doc_id") % 4 === 1, lit("#s")).otherwise(lit(""))).as("url"))
+  }
+
+  /** Non-ASCII phrase the q101 fixture injects: 2-byte (é ï « à) and
+    * 3-byte (— € ™) UTF-8 chars, so both mojibake cluster widths are
+    * exercised. No ASCII apostrophe — the phrase embeds verbatim in the
+    * oracle's SQL literal. Shared by fixture and oracle. */
+  private[graft] val mojibakePhrase = " café — naïve «déjà» €9 ™"
+
+  /** cp1252 image of byte b as a 1-char string column: latin-1 bytes map
+    * to their own codepoint, 0x80–0x9F through the 32-entry specials map
+    * (TextAnalysis.cp1252Image slice). Fixture-side only. */
+  private def cp1252Chr(b: Column): Column = {
+    val specials: Map[Int, String] =
+      (0x80 to 0x9F).map(i =>
+        i -> operators.TextAnalysis.cp1252Image(i - 0x80).toString).toMap
+    import org.apache.spark.sql.functions._
+    when(b >= 0xA0, chr(b)).otherwise(element_at(typedLit(specials), b))
+  }
+
+  /** FORWARD mojibake: what a fetcher that decoded UTF-8 bytes as cp1252
+    * produces. Per char (simultaneously — a sequential replace chain would
+    * cascade into chars it already rewrote), the char's UTF-8 bytes each
+    * surface as their cp1252 image. BMP-only input (the fixture's is). */
+  private def mojibakeForward(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val enc = (x: Column) => {
+      val cp = ascii(x)
+      when(cp < 0x80, x)
+        .when(cp < 0x800, concat(
+          cp1252Chr(shiftright(cp, 6).bitwiseOR(lit(0xC0))),
+          cp1252Chr(cp.bitwiseAND(lit(0x3F)).bitwiseOR(lit(0x80)))))
+        .otherwise(concat(
+          cp1252Chr(shiftright(cp, 12).bitwiseOR(lit(0xE0))),
+          cp1252Chr(shiftright(cp, 6).bitwiseAND(lit(0x3F)).bitwiseOR(lit(0x80))),
+          cp1252Chr(cp.bitwiseAND(lit(0x3F)).bitwiseOR(lit(0x80)))))
+    }
+    array_join(transform(split(c, ""), enc), "")
+  }
+
+  /** Derived fixture for encoding repair (q101): four damage classes over
+    * the (pure-ASCII — probed at all SFs) corpus text.
+    *   - %4==0: untouched ASCII — must pass through verbatim;
+    *   - %4==1: phrase-injected text through ONE forward mojibake round;
+    *   - %4==2: through TWO rounds (double-encoded UTF-8);
+    *   - %4==3: phrase-injected CLEAN text wrapped in control chars (BEL,
+    *     C1 0x9D) — real accents must NOT trigger reversal, controls go.
+    * The oracle is the CLEAN construction itself (round-trip identity):
+    * the true answer is a pure function of the construction, so plain SQL
+    * states it without replaying the reversal. */
+  private[graft] def mojibakeDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val injected = concat(col("text"), lit(mojibakePhrase))
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 4 === 0, col("text"))
+        .when(col("doc_id") % 4 === 1, mojibakeForward(injected))
+        .when(col("doc_id") % 4 === 2, mojibakeForward(mojibakeForward(injected)))
+        .otherwise(concat(lit("\u0007"), injected, lit("\u009D"))).as("text"))
   }
 
   /** The q94/q95 oracles' copy of [[urlDocuments]]'s construction. */
@@ -908,7 +965,13 @@ object SparkEntry {
     // pipeline (q61) that a web corpus runs, in one lazy plan.
     "q96_web_pipeline" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val text = operators.Boilerplate.extractMainText(htmlDocuments(s, dir))
+      // encoding repair runs AHEAD of boilerplate, where a real crawl needs
+      // it; on this fixture (probed pure-ASCII html) it is provably the
+      // identity, so the oracle's replay is unchanged — the stage's own
+      // reversal correctness is q101's round-trip contract
+      val html = htmlDocuments(s, dir)
+        .withColumn("html", TextAnalysis.fixEncodingCol(col("html")))
+      val text = operators.Boilerplate.extractMainText(html)
         .select(col("doc_id"), col("main_text"))
       val keep = operators.UrlOps.urlDedup(urlDocuments(s, dir))
         .select(col("keep_id").as("doc_id"))
@@ -947,6 +1010,17 @@ object SparkEntry {
     // alone cannot see it
     "q100_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, dir))),
+
+    // encoding repair (ftfy's deterministic core): guarded cp1252-mojibake
+    // reversal ×2 (round two catches double-encoded UTF-8) + control strip,
+    // over a four-way damaged fixture. The oracle states the CLEAN
+    // construction directly — round-trip identity proves the reversal
+    // exact, clean-ASCII and real-accent docs prove the guard's precision
+    "q101_fix_encoding" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      TextAnalysis.fixEncoding(mojibakeDocuments(s, dir))
+        .select(col("doc_id"), col("fixed_text"))
+    }),
 
     // PII scrub on a derived fixture: the synthetic corpus carries no PII,
     // so every third doc gets a deterministic email + IP + phone appended
@@ -1665,6 +1739,12 @@ object SparkEntry {
           |round(sum(n * ln((c12 + 1.0) / (c1 + 1.0 * vocab))) / sum(n), 6) AS avg_logprob
           |FROM db JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
           |GROUP BY doc_id""".stripMargin,
+
+      // clean construction only — the oracle never touches mojibake; the
+      // phrase literal is the SAME Scala constant the fixture injects
+      "q101_fix_encoding" ->
+        s"""SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN text
+           |ELSE text || '$mojibakePhrase' END AS fixed_text FROM documents""".stripMargin,
 
       "q56_embed_quantize" ->
         """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

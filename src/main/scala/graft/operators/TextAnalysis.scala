@@ -484,4 +484,108 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
       .select(col("gram"), col("cnt"), col("rnk"))
   }
+
+  // ───────────────────────── encoding repair ──────────────────────────
+  //
+  // ftfy's deterministic core for crawl text: cp1252-in-UTF-8 mojibake
+  // reversal ("Ã©" → "é"), double-encoded UTF-8 (one more round of the
+  // same reversal), and control-character stripping. Everything is pure
+  // codegen'd expression work — map-side at any scale.
+
+  /** windows-1252 byte→char image for bytes 0x80–0xFF (WHATWG table: the
+    * 0x80–0x9F specials, the five undefined bytes passing through as the
+    * matching C1 controls — Java's own windows-1252 charset agrees — and
+    * 0xA0–0xFF straight latin-1). Index = byte − 0x80. */
+  private[graft] val cp1252Image: String = {
+    val specials = Map(
+      0x80 -> 0x20AC, 0x82 -> 0x201A, 0x83 -> 0x0192, 0x84 -> 0x201E,
+      0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021, 0x88 -> 0x02C6,
+      0x89 -> 0x2030, 0x8A -> 0x0160, 0x8B -> 0x2039, 0x8C -> 0x0152,
+      0x8E -> 0x017D, 0x91 -> 0x2018, 0x92 -> 0x2019, 0x93 -> 0x201C,
+      0x94 -> 0x201D, 0x95 -> 0x2022, 0x96 -> 0x2013, 0x97 -> 0x2014,
+      0x98 -> 0x02DC, 0x99 -> 0x2122, 0x9A -> 0x0161, 0x9B -> 0x203A,
+      0x9C -> 0x0153, 0x9E -> 0x017E, 0x9F -> 0x0178)
+    (0x80 to 0xFF).map(b => specials.getOrElse(b, b).toChar).mkString
+  }
+
+  /** The non-latin-1 cp1252 image chars, codepoint → byte — the only
+    * lookups the reverse map needs (every other char's byte IS its
+    * codepoint); 27 entries, so the literal-map scan is negligible. */
+  private[graft] val cp1252SpecialByte: Map[Int, Int] =
+    cp1252Image.zipWithIndex.collect {
+      case (c, i) if c.toInt != i + 0x80 => c.toInt -> (i + 0x80)
+    }.toMap
+
+  /** Character class of the cp1252 image of bytes [lo, hi] (none of the
+    * image chars are class metacharacters, so no escaping needed). */
+  private def imgCls(lo: Int, hi: Int): String =
+    "[" + cp1252Image.substring(lo - 0x80, hi - 0x80 + 1) + "]"
+
+  /** One well-formed-UTF-8 multibyte sequence, seen through cp1252 eyes —
+    * the mojibake "cluster". Alternatives follow the standard well-formed
+    * byte-range table (C2–DF, E0 A0–BF, E1–EC, ED 80–9F, EE–EF, F0 90–BF,
+    * F1–F3, F4 80–8F + trail bytes 80–BF), so a guarded string always
+    * reconstructs to VALID UTF-8 — no replacement-char fallback can fire —
+    * and every alternative starts with a DISJOINT lead class, so the
+    * regex match is single-choice at each position (linear, no
+    * backtracking blowup on long documents). */
+  private[graft] val mojibakeClusterRe: String = {
+    val trail = imgCls(0x80, 0xBF)
+    "(?:" + imgCls(0xC2, 0xDF) + trail +
+      "|" + imgCls(0xE0, 0xE0) + imgCls(0xA0, 0xBF) + trail +
+      "|" + imgCls(0xE1, 0xEC) + trail + trail +
+      "|" + imgCls(0xED, 0xED) + imgCls(0x80, 0x9F) + trail +
+      "|" + imgCls(0xEE, 0xEF) + trail + trail +
+      "|" + imgCls(0xF0, 0xF0) + imgCls(0x90, 0xBF) + trail + trail +
+      "|" + imgCls(0xF1, 0xF3) + trail + trail + trail +
+      "|" + imgCls(0xF4, 0xF4) + imgCls(0x80, 0x8F) + trail + trail + trail + ")"
+  }
+
+  /** Full-string guard: every char is ASCII or part of a well-formed
+    * cluster. This is the precision lever — genuine latin-1 text ("déjà
+    * vu", "À la carte") has standalone accented chars that belong to no
+    * cluster, so it NEVER converts; only text whose every non-ASCII char
+    * lines up into valid UTF-8-through-cp1252 sequences does. */
+  private[graft] val mojibakeFullRe: String =
+    "^(?:[\\x00-\\x7F]|" + mojibakeClusterRe + ")*$"
+
+  /** C0 controls except \t \n \r, DEL, and C1 controls — stripped AFTER
+    * mojibake reversal (a C1 char may be a legitimate mojibake trail
+    * byte's image before reversal, e.g. 0x9D). */
+  private[graft] val controlCharRe: String =
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"
+
+  /** One round of mojibake reversal: if the WHOLE string passes the
+    * cluster guard and contains at least one cluster, re-read it as the
+    * cp1252 bytes it displays as, decoded as UTF-8; otherwise unchanged.
+    * The char→byte step is arithmetic (codepoint IS the byte for ASCII
+    * and latin-1; a 27-entry literal map covers the cp1252 specials) —
+    * O(1) per char inside codegen, not a 128-entry map scan. */
+  private def fixMojibakeOnce(c: Column): Column = {
+    val ch = (x: Column) => {
+      val cp = ascii(x)
+      // cp <= 0xFF → byte IS the codepoint: ASCII, latin-1, and the five
+      // C1 passthrough images (0x81 8D 8F 90 9D — the guard admits no
+      // OTHER char in 0x80–0x9F, since only image chars are in the trail
+      // class); everything else is one of the 27 cp1252 specials
+      val b = when(cp <= 0xFF, cp)
+        .otherwise(element_at(typedLit(cp1252SpecialByte), cp))
+      lpad(hex(b), 2, "0")
+    }
+    val decoded = decode(unhex(array_join(transform(split(c, ""), ch), "")), "UTF-8")
+    when(c.rlike(mojibakeFullRe) && c.rlike(mojibakeClusterRe), decoded).otherwise(c)
+  }
+
+  /** Encoding repair as a column expression: up to TWO rounds of mojibake
+    * reversal (round two catches double-encoded UTF-8; singly-encoded text
+    * comes out clean after round one, fails the guard — its accents are
+    * standalone now — and passes round two untouched), then the control
+    * strip. NULL in, NULL out. */
+  def fixEncodingCol(c: Column): Column =
+    regexp_replace(fixMojibakeOnce(fixMojibakeOnce(c)), controlCharRe, "")
+
+  /** Encoding repair over a corpus: adds `fixed_text` alongside the input
+    * columns. Pure projection — no shuffle at any scale. */
+  def fixEncoding(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fixed_text", fixEncodingCol(col(textCol)))
 }
