@@ -834,6 +834,51 @@ object Dedup {
       spark.read.parquet(s"$path/grams"), n, numHashes, bands, threshold)
   }
 
+  /** Fold a new batch of documents into a [[writeMinHashIndex]] layout —
+    * continuous ingest's missing half: batch N's survivors join the corpus
+    * that batch N+1 probes against WITHOUT recomputing any existing band
+    * key or gram array (corpus text is never re-read, re-tokenized, or
+    * re-hashed — per-append cost is proportional to the batch, not the
+    * corpus). Parameters come FROM the manifest, so a mismatched-parameter
+    * append is impossible by construction — the same invariant
+    * [[nearDupAgainstIndex]] relies on. Within the append, duplicate rows
+    * collapse (distinct) and doc_ids already present in the index are
+    * skipped, making re-appends idempotent; the skip's anti-join ships
+    * doc_ids only, never text. (Near-dup screening WITHIN a batch is the
+    * probe step's contract — q68's pipeline — not a side effect here; two
+    * rows sharing a doc_id with different text are a caller error.)
+    *
+    * The filtered batch materializes (persist + count) before the first
+    * write: both appended tables derive from an anti-join against the
+    * index being appended to, and without pinning, the second write could
+    * re-list the directory and see the first write's own files. An ingest
+    * batch is bounded by definition, so pinning it is safe at any corpus
+    * size.
+    *
+    * Equivalence contract (MinHashIndexSpec): appending B1 then B2 to an
+    * index over C holds row-for-row the same bands/grams/manifest as a
+    * one-shot [[writeMinHashIndex]] over C ∪ B1 ∪ B2, and probes against
+    * the two layouts return identical results. */
+  def appendToMinHashIndex(newDocs: DataFrame, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val m = spark.read.parquet(s"$path/manifest").head()
+    val (n, numHashes, bands) =
+      (m.getAs[Int]("n"), m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
+    // presence check against GRAMS (not bands): a doc too short to yield a
+    // signature has gram rows but no band rows, and must still be skipped
+    // on a re-append
+    val existing = spark.read.parquet(s"$path/grams").select("doc_id").distinct()
+    val batch = newDocs.select(col("doc_id"), col("text")).distinct()
+      .join(existing, Seq("doc_id"), "left_anti")
+      .persist()
+    try {
+      batch.count()
+      bandedSide(batch, n, numHashes, bands)
+        .write.mode("append").parquet(s"$path/bands")
+      gramArrays(batch, n).write.mode("append").parquet(s"$path/grams")
+    } finally { batch.unpersist(blocking = false); () }
+  }
+
   /** Fuzzy duplicate pairs by EDIT DISTANCE with prefix blocking — the
     * record-linkage screen for typo'd / suffix-edited copies that token-set
     * measures (Jaccard over grams) under-weight: candidates share their

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Dedup
+import org.apache.spark.sql.functions.col
 
 class MinHashIndexSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -47,6 +48,78 @@ class MinHashIndexSpec extends AnyFunSuite {
       Dedup.writeMinHashIndex(corpus, dir.getAbsolutePath,
         n = 4, numHashes = 8, bands = 8)
       val direct = Dedup.nearDupAgainstCorpus(batch, corpus,
+        n = 4, numHashes = 8, bands = 8, threshold = 0.5)
+        .collect().map(_.getLong(0)).toSet
+      val viaIndex = Dedup.nearDupAgainstIndex(batch, dir.getAbsolutePath,
+        threshold = 0.5).collect().map(_.getLong(0)).toSet
+      assert(viaIndex == direct)
+    } finally rm(dir)
+  }
+
+  private val batch2 = Seq(
+    (20L, "a second wave of documents arrives for continuous ingest"),
+    (21L, "short doc"), // too short for 3-grams → grams row, no bands row
+    (21L, "short doc")  // duplicate row — must collapse within the append
+  ).toDF("doc_id", "text")
+
+  test("two-batch append equals a one-shot rebuild, row for row") {
+    val inc = tmp(); val full = tmp()
+    try {
+      Dedup.writeMinHashIndex(corpus, inc.getAbsolutePath,
+        n = 3, numHashes = 16, bands = 16)
+      Dedup.appendToMinHashIndex(batch, inc.getAbsolutePath)
+      Dedup.appendToMinHashIndex(batch2, inc.getAbsolutePath)
+      Dedup.writeMinHashIndex(
+        corpus.unionAll(batch).unionAll(batch2.dropDuplicates("doc_id")),
+        full.getAbsolutePath, n = 3, numHashes = 16, bands = 16)
+      def bandRows(d: java.io.File) = {
+        val df = spark.read.parquet(d.getAbsolutePath + "/bands")
+        df.select(df.columns.sorted.map(col): _*).collect().map(_.toSeq).toSet
+      }
+      def gramRows(d: java.io.File) =
+        spark.read.parquet(d.getAbsolutePath + "/grams")
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1).sorted)).toSet
+      assert(bandRows(inc) == bandRows(full))
+      assert(gramRows(inc) == gramRows(full))
+      // and a probe cannot tell the two layouts apart
+      val probe = Seq((30L, "the quick brown fox jumps over the lazy dog today"),
+        (31L, "a second wave of documents arrives for continuous ingest"),
+        (32L, "nothing like anything indexed before now")).toDF("doc_id", "text")
+      val a = Dedup.nearDupAgainstIndex(probe, inc.getAbsolutePath, 0.5)
+        .collect().map(_.getLong(0)).toSet
+      val b = Dedup.nearDupAgainstIndex(probe, full.getAbsolutePath, 0.5)
+        .collect().map(_.getLong(0)).toSet
+      assert(a == b && a == Set(32L),
+        "both dups (one from the base corpus, one appended) must drop")
+    } finally { rm(inc); rm(full) }
+  }
+
+  test("re-appending an already-indexed batch is a no-op") {
+    val dir = tmp()
+    try {
+      Dedup.writeMinHashIndex(corpus, dir.getAbsolutePath,
+        n = 3, numHashes = 16, bands = 16)
+      Dedup.appendToMinHashIndex(batch2, dir.getAbsolutePath)
+      def counts() = (
+        spark.read.parquet(dir.getAbsolutePath + "/bands").count(),
+        spark.read.parquet(dir.getAbsolutePath + "/grams").count())
+      val before = counts()
+      Dedup.appendToMinHashIndex(batch2, dir.getAbsolutePath)
+      assert(counts() == before,
+        "already-present doc_ids (including the bands-less short doc) must skip")
+    } finally rm(dir)
+  }
+
+  test("append derives its parameters from the manifest") {
+    val dir = tmp()
+    try {
+      // non-default geometry: an append that guessed the defaults would
+      // band with 16/16 and the probe would diverge from the direct path
+      Dedup.writeMinHashIndex(corpus, dir.getAbsolutePath,
+        n = 4, numHashes = 8, bands = 8)
+      Dedup.appendToMinHashIndex(batch2, dir.getAbsolutePath)
+      val direct = Dedup.nearDupAgainstCorpus(batch,
+        corpus.unionAll(batch2.dropDuplicates("doc_id")),
         n = 4, numHashes = 8, bands = 8, threshold = 0.5)
         .collect().map(_.getLong(0)).toSet
       val viaIndex = Dedup.nearDupAgainstIndex(batch, dir.getAbsolutePath,
