@@ -300,6 +300,41 @@ object SparkEntry {
         .otherwise(concat(lit("\u0007"), injected, lit("\u009D"))).as("text"))
   }
 
+  /** Shared CTE chain of the q102/q103 oracles, ending in `score` —
+    * replays [[operators.TextAnalysis.qualityScore]]'s features (the q55
+    * and q60 oracle bodies) and its EXACT linear form: same literals, same
+    * association order, so the double arithmetic is bit-identical. */
+  private def qualityScoreCte: String =
+    """w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM w, UNNEST(range(1, len(ws))) t(i)),
+      |bc AS (SELECT doc_id, max(c) AS mx, sum(c) AS total
+      |       FROM (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2) GROUP BY doc_id),
+      |qdw AS (SELECT doc_id, word, count(*) AS n
+      |        FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY 1, 2),
+      |qc AS (SELECT word, sum(n) AS cnt FROM qdw GROUP BY word),
+      |qt AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM qc),
+      |lm AS (SELECT doc_id,
+      |       round(sum(n * ln((cnt + 1.0) / (total + 1.0 * vocab))) / sum(n), 6) AS avg_logprob
+      |       FROM qdw JOIN qc USING (word) CROSS JOIN qt GROUP BY doc_id),
+      |qf AS (SELECT w.doc_id,
+      |  CAST(len(ws) AS INT) AS n_words,
+      |  CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_frac,
+      |  COALESCE(CAST(mx AS DOUBLE) / total, 0.0) AS top_bigram_frac,
+      |  CASE WHEN length(text) > 0
+      |       THEN CAST(len(regexp_extract_all(text, '[a-z]')) AS DOUBLE) / length(text)
+      |       ELSE 0.0 END AS alpha_frac,
+      |  CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+      |    / len(ws) AS stopword_ratio
+      |  FROM w LEFT JOIN bc ON w.doc_id = bc.doc_id),
+      |score AS (SELECT qf.doc_id, round(
+      |    0.2 * (least(n_words, 256) / 256.0)
+      |  + 0.25 * alpha_frac
+      |  + 0.15 * least(stopword_ratio * 2.0, 1.0)
+      |  + 0.2 * greatest(0.0, least(1.0, (coalesce(avg_logprob, -8.0) + 8.0) / 5.0))
+      |  - 0.1 * dup_word_frac
+      |  - 0.1 * top_bigram_frac, 6) AS quality_score
+      |  FROM qf LEFT JOIN lm ON qf.doc_id = lm.doc_id)""".stripMargin
+
   /** The q94/q95 oracles' copy of [[urlDocuments]]'s construction. */
   private def urlFixtureSql: String =
     """SELECT doc_id,
@@ -1010,6 +1045,24 @@ object SparkEntry {
     // alone cannot see it
     "q100_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, dir))),
+
+    // pinned-weights linear quality scorer (DCLM-style model-based filter)
+    // over the verified features: the soft-score upgrade of q55's hard
+    // gates. Same linear form replayed in the oracle; threshold splits the
+    // corpus ~40/60 at every SF so quality_keep is a real decision
+    "q102_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir))),
+
+    // the scorer AS A PIPELINE STAGE (the optional q61-position filter,
+    // composed and verified end to end): score → keep → pack survivors
+    // into training sequences — one lazy plan
+    "q103_quality_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val keep = TextAnalysis.qualityScore(Tables.documents(s, dir))
+        .filter(col("quality_keep")).select("doc_id")
+      TextAnalysis.packSequences(Tables.documents(s, dir).join(keep, "doc_id"),
+        maxTokens = 256, shards = 8)
+    }),
 
     // encoding repair (ftfy's deterministic core): guarded cp1252-mojibake
     // reversal ×2 (round two catches double-encoded UTF-8) + control strip,
@@ -1739,6 +1792,25 @@ object SparkEntry {
           |round(sum(n * ln((c12 + 1.0) / (c1 + 1.0 * vocab))) / sum(n), 6) AS avg_logprob
           |FROM db JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
           |GROUP BY doc_id""".stripMargin,
+
+      "q102_quality_score" ->
+        s"""WITH $qualityScoreCte
+           |SELECT doc_id, quality_score,
+           |quality_score >= 0.4 AS quality_keep FROM score""".stripMargin,
+
+      "q103_quality_pipeline" ->
+        s"""WITH $qualityScoreCte,
+           |keep AS (SELECT doc_id FROM score WHERE quality_score >= 0.4),
+           |pt AS (SELECT d.doc_id, CAST(d.doc_id % 8 AS INT) AS shard,
+           |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+           |       FROM documents d JOIN keep USING (doc_id)),
+           |ps AS (SELECT doc_id, shard, n_tokens,
+           |       CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+           |            - n_tokens AS BIGINT) AS start_off FROM pt)
+           |SELECT doc_id, shard, n_tokens, start_off,
+           |CAST(shard AS BIGINT) * 281474976710656 + start_off // 256 AS seq_id,
+           |(start_off // 256) <> ((start_off + n_tokens - 1) // 256) AS crosses_boundary
+           |FROM ps""".stripMargin,
 
       // clean construction only — the oracle never touches mojibake; the
       // phrase literal is the SAME Scala constant the fixture injects

@@ -485,6 +485,48 @@ object TextAnalysis {
       .select(col("gram"), col("cnt"), col("rnk"))
   }
 
+  /** Model-based quality score (the DCLM-style step past [[qualityRules]]'
+    * hard gates): ONE linear scorer over the already-verified features,
+    * with a PINNED weight vector so the filter is deterministic and the
+    * oracle is the same linear form in SQL. Weights follow the public
+    * rationale of the Gopher/CCNet/DCLM filter families:
+    *   +0.20 · min(n_words, 256)/256      (longer docs, saturating)
+    *   +0.25 · alpha_frac                 (prose, not markup/symbol soup)
+    *   +0.15 · min(2·stopword_ratio, 1)   (function words ⇒ natural text)
+    *   +0.20 · clamp((lm + 8)/5, 0, 1)    (corpus-typical wording; the
+    *                                       window spans per-word ln P of
+    *                                       perplexity ≈ 20…3000 text)
+    *   −0.10 · dup_word_frac              (repetition penalties)
+    *   −0.10 · top_bigram_frac
+    * quality_keep = score ≥ 0.40, a threshold that splits this corpus
+    * ~40/60 at every SF (a discriminating operating point, not a
+    * vacuous one). Score rounds to 6 decimals (the q60/q74 policy).
+    *
+    * 100 TB shape: the feature inputs are the verified operators' own
+    * plans — map-side projections plus [[lmScore]]'s vocabulary-sized
+    * aggregates — and the three feature frames co-partition on doc_id
+    * after the first exchange. Docs outside [[lmScore]]'s output (no
+    * words) default to the window floor, keeping the scorer total. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val ws = col("__words")
+    val stop = withWords(docs).select(col("doc_id"),
+      (size(filter(ws, w => w.isin("the", "a", "of", "and"))).cast("double") /
+        size(ws).cast("double")).as("stopword_ratio"))
+    val lp = coalesce(col("avg_logprob"), lit(-8.0))
+    qualityRules(docs)
+      .join(stop, "doc_id")
+      .join(lmScore(docs).select(col("doc_id"), col("avg_logprob")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(
+          lit(0.2) * (least(col("n_words"), lit(256)).cast("double") / lit(256.0)) +
+            lit(0.25) * col("alpha_frac") +
+            lit(0.15) * least(col("stopword_ratio") * lit(2.0), lit(1.0)) +
+            lit(0.2) * greatest(lit(0.0), least(lit(1.0), (lp + lit(8.0)) / lit(5.0))) -
+            lit(0.1) * col("dup_word_frac") -
+            lit(0.1) * col("top_bigram_frac"), 6).as("quality_score"))
+      .withColumn("quality_keep", col("quality_score") >= 0.4)
+  }
+
   // ───────────────────────── encoding repair ──────────────────────────
   //
   // ftfy's deterministic core for crawl text: cp1252-in-UTF-8 mojibake
