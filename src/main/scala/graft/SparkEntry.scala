@@ -150,6 +150,138 @@ object SparkEntry {
     ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"), ("at", "c"), ("atc", "h"),
     ("b", "atch"), ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"))
 
+  /** Labeled training text for the language-ID rank profiles (Cavnar &
+    * Trenkle 1994) — one function-word-rich passage per language, authored
+    * for this repo (zh in pinyin, matching the corpus's latin 'zh'
+    * convention). Profiles derive from these via
+    * [[operators.TextAnalysis.trainLanguageProfiles]]; the training text is
+    * DISJOINT from the q28 fixture's planted phrases, so classification
+    * recovery is generalization, not memorization. */
+  private[graft] val langTrainingText: Seq[(String, String)] = Seq(
+    ("en", "the quick brown fox jumps over the lazy dog and then it runs " +
+      "into the woods where all of the other animals are waiting for the " +
+      "rain to stop so that they can go back to the river and drink with the birds"),
+    ("de", "der schnelle braune fuchs springt uber den faulen hund und dann " +
+      "lauft er in den wald wo alle anderen tiere auf das ende des regens " +
+      "warten damit sie wieder zum fluss gehen und mit den vogeln trinken konnen"),
+    ("fr", "le renard brun rapide saute par dessus le chien paresseux et " +
+      "puis il court dans la foret ou tous les autres animaux attendent la " +
+      "fin de la pluie pour retourner a la riviere et boire avec les oiseaux du soir"),
+    ("es", "el rapido zorro marron salta sobre el perro perezoso y luego " +
+      "corre hacia el bosque donde todos los demas animales esperan el " +
+      "final de la lluvia para volver al rio y beber con los pajaros de la tarde"),
+    ("zh", "zhe shi yi ge guan yu su du he fang fa de ju zi wo men zai zhe " +
+      "li deng dai yu ting le zhi hou hui dao he bian he niao yi qi he shui " +
+      "ran hou hui jia"))
+
+  /** PINNED language rank profiles: trainLanguageProfiles(langTrainingText,
+    * k = 60), captured once (the bpeMerges pattern — OperatorsSpec asserts
+    * retraining reproduces this table exactly). The SAME constant generates
+    * the q28 oracle's VALUES literal, so operator and oracle cannot
+    * drift. (lang, gram, rank); grams are char 2-/3-grams over [a-z ]. */
+  private[graft] val langProfiles: Seq[(String, String, Int)] = Seq(
+    ("de", "n ", 1), ("de", "en", 2), ("de", "en ", 3),
+    ("de", " d", 4), ("de", "de", 5), ("de", "e ", 6),
+    ("de", "er", 7), ("de", " de", 8), ("de", "nd", 9),
+    ("de", "s ", 10), ("de", " w", 11), ("de", "au", 12),
+    ("de", "d ", 13), ("de", "er ", 14), ("de", "r ", 15),
+    ("de", "t ", 16), ("de", "un", 17), ("de", " a", 18),
+    ("de", " da", 19), ("de", " f", 20), ("de", " s", 21),
+    ("de", " u", 22), ("de", "da", 23), ("de", "den", 24),
+    ("de", "der", 25), ("de", "ge", 26), ("de", "ie", 27),
+    ("de", "in", 28), ("de", "le", 29), ("de", "nd ", 30),
+    ("de", "ne", 31), ("de", "re", 32), ("de", "und", 33),
+    ("de", " e", 34), ("de", " t", 35), ("de", " un", 36),
+    ("de", " wa", 37), ("de", "al", 38), ("de", "an", 39),
+    ("de", "auf", 40), ("de", "ch", 41), ("de", "e a", 42),
+    ("de", "el", 43), ("de", "ere", 44), ("de", "it", 45),
+    ("de", "it ", 46), ("de", "le ", 47), ("de", "ll", 48),
+    ("de", "lle", 49), ("de", "mi", 50), ("de", "mit", 51),
+    ("de", "n d", 52), ("de", "n t", 53), ("de", "nde", 54),
+    ("de", "nn", 55), ("de", "ri", 56), ("de", "rin", 57),
+    ("de", "uf", 58), ("de", "wa", 59), ("de", " al", 60),
+    ("en", " t", 1), ("en", "th", 2), ("en", "he", 3),
+    ("en", " th", 4), ("en", "the", 5), ("en", "e ", 6),
+    ("en", "he ", 7), ("en", " a", 8), ("en", "o ", 9),
+    ("en", "s ", 10), ("en", " w", 11), ("en", "an", 12),
+    ("en", "er", 13), ("en", "in", 14), ("en", "n ", 15),
+    ("en", "r ", 16), ("en", "to", 17), ("en", " an", 18),
+    ("en", " b", 19), ("en", " o", 20), ("en", " r", 21),
+    ("en", "er ", 22), ("en", "it", 23), ("en", "k ", 24),
+    ("en", "o t", 25), ("en", "to ", 26), ("en", " d", 27),
+    ("en", " f", 28), ("en", " fo", 29), ("en", " i", 30),
+    ("en", " s", 31), ("en", " to", 32), ("en", "ai", 33),
+    ("en", "al", 34), ("en", "and", 35), ("en", "ck", 36),
+    ("en", "ck ", 37), ("en", "d ", 38), ("en", "ds", 39),
+    ("en", "ds ", 40), ("en", "e r", 41), ("en", "e w", 42),
+    ("en", "fo", 43), ("en", "g ", 44), ("en", "her", 45),
+    ("en", "nd", 46), ("en", "nd ", 47), ("en", "r a", 48),
+    ("en", "r t", 49), ("en", "re", 50), ("en", "re ", 51),
+    ("en", "ri", 52), ("en", "t ", 53), ("en", "ve", 54),
+    ("en", "ver", 55), ("en", "y ", 56), ("en", " al", 57),
+    ("en", " ar", 58), ("en", " ba", 59), ("en", " bi", 60),
+    ("es", "e ", 1), ("es", " l", 2), ("es", "a ", 3),
+    ("es", "l ", 4), ("es", "o ", 5), ("es", "os", 6),
+    ("es", "s ", 7), ("es", " e", 8), ("es", "de", 9),
+    ("es", "er", 10), ("es", " d", 11), ("es", " el", 12),
+    ("es", " p", 13), ("es", "al", 14), ("es", "ar", 15),
+    ("es", "de ", 16), ("es", "el", 17), ("es", "el ", 18),
+    ("es", "os ", 19), ("es", "ro", 20), ("es", "rr", 21),
+    ("es", " de", 22), ("es", "do", 23), ("es", "ma", 24),
+    ("es", "n ", 25), ("es", "on", 26), ("es", "pe", 27),
+    ("es", "per", 28), ("es", "ra", 29), ("es", "re", 30),
+    ("es", "rro", 31), ("es", " a", 32), ("es", " b", 33),
+    ("es", " c", 34), ("es", " co", 35), ("es", " la", 36),
+    ("es", " lo", 37), ("es", " pa", 38), ("es", " pe", 39),
+    ("es", " r", 40), ("es", " s", 41), ("es", " t", 42),
+    ("es", " y", 43), ("es", " y ", 44), ("es", "al ", 45),
+    ("es", "an", 46), ("es", "be", 47), ("es", "co", 48),
+    ("es", "e l", 49), ("es", "er ", 50), ("es", "es", 51),
+    ("es", "ia", 52), ("es", "ia ", 53), ("es", "l r", 54),
+    ("es", "la", 55), ("es", "la ", 56), ("es", "lo", 57),
+    ("es", "los", 58), ("es", "lu", 59), ("es", "o y", 60),
+    ("fr", " l", 1), ("fr", "e ", 2), ("fr", "re", 3),
+    ("fr", "s ", 4), ("fr", " a", 5), ("fr", " p", 6),
+    ("fr", "a ", 7), ("fr", "es", 8), ("fr", "ou", 9),
+    ("fr", "t ", 10), ("fr", " d", 11), ("fr", " la", 12),
+    ("fr", " le", 13), ("fr", " r", 14), ("fr", "au", 15),
+    ("fr", "de", 16), ("fr", "en", 17), ("fr", "et", 18),
+    ("fr", "la", 19), ("fr", "la ", 20), ("fr", "le", 21),
+    ("fr", "r ", 22), ("fr", "ar", 23), ("fr", "es ", 24),
+    ("fr", "et ", 25), ("fr", "ie", 26), ("fr", "n ", 27),
+    ("fr", "oi", 28), ("fr", "our", 29), ("fr", "s l", 30),
+    ("fr", "ur", 31), ("fr", "ux", 32), ("fr", "ux ", 33),
+    ("fr", "x ", 34), ("fr", " b", 35), ("fr", " c", 36),
+    ("fr", " de", 37), ("fr", " e", 38), ("fr", " et", 39),
+    ("fr", " f", 40), ("fr", " o", 41), ("fr", " pa", 42),
+    ("fr", " re", 43), ("fr", " s", 44), ("fr", "a f", 45),
+    ("fr", "an", 46), ("fr", "aut", 47), ("fr", "aux", 48),
+    ("fr", "de ", 49), ("fr", "e p", 50), ("fr", "er", 51),
+    ("fr", "ess", 52), ("fr", "ir", 53), ("fr", "is", 54),
+    ("fr", "le ", 55), ("fr", "les", 56), ("fr", "oir", 57),
+    ("fr", "pa", 58), ("fr", "par", 59), ("fr", "re ", 60),
+    ("zh", "i ", 1), ("zh", "e ", 2), ("zh", " h", 3),
+    ("zh", "u ", 4), ("zh", "he", 5), ("zh", "he ", 6),
+    ("zh", " d", 7), ("zh", " z", 8), ("zh", " he", 9),
+    ("zh", " y", 10), ("zh", "an", 11), ("zh", "n ", 12),
+    ("zh", " s", 13), ("zh", " zh", 14), ("zh", "an ", 15),
+    ("zh", "g ", 16), ("zh", "hu", 17), ("zh", "hui", 18),
+    ("zh", "ia", 19), ("zh", "ng", 20), ("zh", "ng ", 21),
+    ("zh", "o ", 22), ("zh", "u h", 23), ("zh", "ui", 24),
+    ("zh", "ui ", 25), ("zh", "zh", 26), ("zh", " da", 27),
+    ("zh", " de", 28), ("zh", " f", 29), ("zh", " fa", 30),
+    ("zh", " g", 31), ("zh", " ho", 32), ("zh", " hu", 33),
+    ("zh", " j", 34), ("zh", " l", 35), ("zh", " sh", 36),
+    ("zh", " yi", 37), ("zh", " yu", 38), ("zh", "a ", 39),
+    ("zh", "ai", 40), ("zh", "ai ", 41), ("zh", "ao", 42),
+    ("zh", "ao ", 43), ("zh", "da", 44), ("zh", "de", 45),
+    ("zh", "e s", 46), ("zh", "en", 47), ("zh", "fa", 48),
+    ("zh", "hi", 49), ("zh", "hi ", 50), ("zh", "ho", 51),
+    ("zh", "hou", 52), ("zh", "i d", 53), ("zh", "i h", 54),
+    ("zh", "i y", 55), ("zh", "n h", 56), ("zh", "ou", 57),
+    ("zh", "ou ", 58), ("zh", "sh", 59), ("zh", "yi", 60))
+
+
   /** Shared CTE prefix of the q87/q88 oracles: per-distinct-word BPE token
     * counts under [[bpeMerges]], by replaying the tokenizer's exact step —
     * merge the LEFTMOST occurrence of the LOWEST-rank adjacent pair, one
@@ -241,6 +373,34 @@ object SparkEntry {
       when(col("doc_id") % 2 === 0, lit("?utm_source=feed&id=")).otherwise(lit("?id=")),
       (col("doc_id") % 25).cast("string"),
       when(col("doc_id") % 4 === 1, lit("#s")).otherwise(lit(""))).as("url"))
+  }
+
+  /** Per-language phrases the q28 fixture plants (index = doc_id % 5).
+    * Different sentences from [[langTrainingText]] — same language, new
+    * wording — so recovering the planted label demonstrates profile
+    * GENERALIZATION. Planted 3× per doc: the shared corpus word soup
+    * dominates a single short phrase's gram ranking. */
+  private[graft] val langIdPhrases: Seq[(String, String)] = Seq(
+    ("en", "this is another sentence written in the same language with " +
+      "many of the most common words that we use"),
+    ("de", "dies ist ein weiterer satz in der gleichen sprache mit vielen " +
+      "der haufigsten worter die wir benutzen"),
+    ("fr", "ceci est une autre phrase ecrite dans la meme langue avec " +
+      "beaucoup des mots les plus frequents que nous utilisons"),
+    ("es", "esta es otra frase escrita en el mismo idioma con muchas de " +
+      "las palabras mas comunes que usamos"),
+    ("zh", "zhe shi ling yi ge ju zi yong tong yang de yu yan xie cheng " +
+      "li mian you hen duo chang yong de ci"))
+
+  /** Derived fixture for language ID (q28): every doc gains its planted
+    * language's phrase ×3 after the (shared, English-ish) corpus text —
+    * ground truth is the construction, so recovery is measurable. */
+  private[graft] def langIdDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val idx = (col("doc_id") % 5).cast("int") + 1
+    val phrase = element_at(array(langIdPhrases.map(p => lit(p._2)): _*), idx)
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat_ws(" ", col("text"), phrase, phrase, phrase).as("text"))
   }
 
   /** Non-ASCII phrase the q101 fixture injects: 2-byte (é ï « à) and
@@ -933,7 +1093,18 @@ object SparkEntry {
     // ---- training-data pipeline: text analysis ----------------------------
     "q27_text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
 
-    "q28_lang_id" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
+    // language ID via char-n-gram rank profiles (Cavnar-Trenkle 1994),
+    // pinned profile table, out-of-place distance argmin — replaces the
+    // r1-r7 marker-word argmax; the planted label is recomputed from
+    // doc_id (a pure projection) rather than joined back
+    "q28_lang_id" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      TextAnalysis.classifyLanguage(langIdDocuments(s, dir), langProfiles, k = 60)
+        .withColumn("planted_lang", element_at(
+          array(langIdPhrases.map(p => lit(p._1)): _*),
+          (col("doc_id") % 5).cast("int") + 1))
+        .select("doc_id", "planted_lang", "pred_lang", "oop_distance")
+    }),
 
     "q29_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
 
@@ -1863,22 +2034,42 @@ object SparkEntry {
           |CAST(len(list_filter(ws, x -> x IN ('the','a','of','and'))) AS DOUBLE) / len(ws) AS stopword_ratio
           |FROM w""".stripMargin,
 
-      "q28_lang_id" ->
-        """WITH w AS (SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS ws FROM documents),
-          |s AS (SELECT doc_id, labeled_lang,
-          |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS INT) AS score_en,
-          |  CAST(len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) AS INT) AS score_de,
-          |  CAST(len(list_filter(ws, x -> x IN ('le','la','et','est','les'))) AS INT) AS score_fr,
-          |  CAST(len(list_filter(ws, x -> x IN ('el','los','y','es','las'))) AS INT) AS score_es,
-          |  CAST(len(list_filter(ws, x -> x IN ('de','shi','le','zai','he'))) AS INT) AS score_zh
-          |  FROM w)
-          |SELECT doc_id, labeled_lang, score_en, score_de, score_fr, score_es, score_zh,
-          |CASE WHEN score_en >= greatest(score_de, score_fr, score_es, score_zh) THEN 'en'
-          |     WHEN score_de >= greatest(score_fr, score_es, score_zh) THEN 'de'
-          |     WHEN score_fr >= greatest(score_es, score_zh) THEN 'fr'
-          |     WHEN score_es >= score_zh THEN 'es'
-          |     ELSE 'zh' END AS pred_lang
-          |FROM s""".stripMargin,
+      // replays training-free classification against the PINNED profile
+      // VALUES (generated from the same Scala constant) over the same
+      // planted fixture — rank, out-of-place distance, argmin, all in SQL
+      "q28_lang_id" -> {
+        val profVals = langProfiles.map { case (l, g, r) => s"('$l','$g',$r)" }
+          .mkString(", ")
+        val langCase = langIdPhrases.zipWithIndex
+          .map { case ((l, _), i) => s"WHEN $i THEN '$l'" }.mkString(" ")
+        val phraseCase = "(CASE doc_id % 5 " + langIdPhrases.zipWithIndex
+          .map { case ((_, p), i) => s"WHEN $i THEN '$p'" }.mkString(" ") + " END)"
+        s"""WITH fx AS (SELECT doc_id, CASE doc_id % 5 $langCase END AS planted_lang,
+           |  text || ' ' || $phraseCase || ' ' || $phraseCase || ' ' || $phraseCase AS t
+           |  FROM documents),
+           |norm AS (SELECT doc_id,
+           |  ' ' || trim(regexp_replace(lower(t), '[^a-z]+', ' ', 'g')) || ' ' AS s FROM fx),
+           |g AS (SELECT doc_id, substring(s, i, 2) AS gram
+           |      FROM norm, UNNEST(range(1, length(s))) t(i)
+           |      UNION ALL
+           |      SELECT doc_id, substring(s, i, 3) AS gram
+           |      FROM norm, UNNEST(range(1, length(s) - 1)) t(i)),
+           |dg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+           |dr AS (SELECT doc_id, gram, c,
+           |       row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS r FROM dg),
+           |dk AS (SELECT * FROM dr WHERE r <= 60),
+           |prof AS (SELECT * FROM (VALUES $profVals) p(lang, gram, pr)),
+           |ls AS (SELECT DISTINCT lang FROM prof),
+           |dist AS (SELECT doc_id, ls.lang, sum(coalesce(abs(dk.r - prof.pr), 60)) AS d
+           |         FROM dk CROSS JOIN ls
+           |         LEFT JOIN prof ON prof.lang = ls.lang AND prof.gram = dk.gram
+           |         GROUP BY 1, 2),
+           |best AS (SELECT doc_id, lang, d,
+           |         row_number() OVER (PARTITION BY doc_id ORDER BY d, lang) AS rn FROM dist)
+           |SELECT b.doc_id, fx.planted_lang, b.lang AS pred_lang,
+           |CAST(b.d AS BIGINT) AS oop_distance
+           |FROM best b JOIN fx ON b.doc_id = fx.doc_id WHERE rn = 1""".stripMargin
+      },
 
       "q29_token_count" ->
         """SELECT doc_id,

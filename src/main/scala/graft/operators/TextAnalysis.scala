@@ -40,34 +40,90 @@ object TextAnalysis {
         / size(ws).cast("double")).as("stopword_ratio"))
   }
 
-  /** Language-marker word lists for the n-gram/stopword language-ID
-    * heuristic. Deterministic argmax with a fixed priority tie-break. */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "is"),
-    "de" -> Seq("der", "die", "das", "und", "ist"),
-    "fr" -> Seq("le", "la", "et", "est", "les"),
-    "es" -> Seq("el", "los", "y", "es", "las"),
-    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+  // ─────────────── language ID (char-n-gram rank profiles) ───────────────
+  //
+  // Cavnar & Trenkle 1994 ("N-Gram-Based Text Categorization"): rank each
+  // language's most frequent char n-grams; classify a document by the
+  // out-of-place distance between its own gram ranking and each profile.
+  // This retires the r1–r7 marker-word argmax — rank profiles are the
+  // public state of practice for lightweight language ID and need no
+  // per-language word lists, only labeled training text.
 
-  /** Heuristic language ID: count marker-word hits per language, pick the
-    * max; ties resolve in `langMarkers` declaration order (en first). At
-    * scale this is a pure map-side projection — no shuffle, codegen'd. */
-  def languageId(docs: DataFrame): DataFrame = {
-    val ws = col("__words")
-    val scored = withWords(docs).select(
-      col("doc_id") +: col("lang").as("labeled_lang") +:
-        langMarkers.map { case (lang, markers) =>
-          size(filter(ws, w => w.isin(markers.map(lit): _*))).as(s"score_$lang")
-        }: _*)
-    // argmax with declaration-order tie-break: strictly-greater comparison
-    // walking the list keeps the earliest language on ties.
-    val best = langMarkers.map(_._1).foldLeft(lit("und") -> lit(-1)) {
-      case ((bestLang, bestScore), lang) =>
-        val s = col(s"score_$lang")
-        (when(s > bestScore, lit(lang)).otherwise(bestLang),
-          when(s > bestScore, s).otherwise(bestScore))
-    }
-    scored.withColumn("pred_lang", best._1)
+  /** ASCII-fold normalization for language ID: lowercase, every non-[a-z]
+    * run to one space, single-space padding at both ends (so grams see
+    * word boundaries — the C-T padding effect without per-word padding).
+    * Accented chars fold to spaces, i.e. profiles are ASCII-gram only —
+    * documented trade for engine-portable regexes (Java ∩ RE2, and DuckDB
+    * substring semantics match Spark's on ASCII). */
+  private def langNorm(c: Column): Column =
+    concat(lit(" "), trim(regexp_replace(lower(c), "[^a-z]+", " ")), lit(" "))
+
+  /** All char `n`-grams of `s` (1-based sliding window). Guarded: Spark's
+    * sequence(1, stop) DESCENDS when stop < 1, so short strings must
+    * short-circuit to an empty array rather than generate phantom grams. */
+  private def charGrams(s: Column, n: Int): Column =
+    when(length(s) >= n,
+      transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Train rank profiles from labeled text: rows (lang, text) → tuples
+    * (lang, gram, rank), rank 1..k over the language's char 2- and
+    * 3-grams by (count desc, gram asc) — fully deterministic, so training
+    * replayed on the same text reproduces the pinned constant exactly
+    * (OperatorsSpec asserts this, the q87 merge-table pattern). The
+    * collect is bounded by construction: ≤ k rows per language. */
+  def trainLanguageProfiles(training: DataFrame, k: Int = 60): Seq[(String, String, Int)] = {
+    val s = langNorm(col("text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("c").desc, col("gram"))
+    training.select(col("lang"), s.as("__s"))
+      .select(col("lang"),
+        explode(concat(charGrams(col("__s"), 2), charGrams(col("__s"), 3))).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("c"))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= k)
+      .select("lang", "gram", "pr")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+  }
+
+  /** Classify by out-of-place distance against pinned `profiles`: the
+    * document's top-`k` grams (same ranking rule as training) each
+    * contribute |doc_rank − profile_rank|, or the max penalty `k` when the
+    * profile lacks the gram; the language with the smallest sum wins (ties
+    * break lexicographically). Output: (doc_id, pred_lang, oop_distance).
+    *
+    * 100 TB shape: gram counts partial-aggregate map-side before the one
+    * (doc_id, gram) shuffle; the per-doc ranking windows on doc_id; the
+    * profile table (|langs|·k rows) and the language list broadcast, so
+    * scoring never shuffles more than (doc_id, gram, rank) rows — the
+    * q100 plan shape with a bounded dimension side. */
+  def classifyLanguage(docs: DataFrame, profiles: Seq[(String, String, Int)],
+      k: Int = 60, textCol: String = "text"): DataFrame = {
+    require(profiles.nonEmpty, "profiles must not be empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prof = broadcast(profiles.toDF("lang", "gram", "pr"))
+    val langs = broadcast(profiles.map(_._1).distinct.sorted.toDF("lang"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("c").desc, col("gram"))
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("d"), col("lang"))
+    val s = langNorm(col(textCol))
+    docs.select(col("doc_id"), s.as("__s"))
+      .select(col("doc_id"),
+        explode(concat(charGrams(col("__s"), 2), charGrams(col("__s"), 3))).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(byDoc))
+      .filter(col("r") <= k)
+      .crossJoin(langs)
+      .join(prof, Seq("lang", "gram"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(sum(coalesce(abs(col("r") - col("pr")), lit(k))).as("d"))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"),
+        col("d").cast("long").as("oop_distance"))
   }
 
   /** Token counting: whitespace tokens, a BPE-ish regex token count

@@ -230,11 +230,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("stopword_ratio") == 2.0 / 9.0)
   }
 
-  test("language id picks the max-scoring language with priority tie-break") {
-    val r = TextAnalysis.languageId(docs).select("doc_id", "pred_lang").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(r(0L) == "en") // "the" ×2 beats everything
-    assert(r(4L) == "en") // all scores 0 → tie → first priority
+  test("pinned language profiles reproduce under in-engine retraining") {
+    // the q87 merge-table contract: the constant IS the training output,
+    // so the oracle's VALUES literal can never drift from the operator
+    val trained = TextAnalysis.trainLanguageProfiles(
+      SparkEntry.langTrainingText.toDF("lang", "text"), k = 60)
+    assert(trained == SparkEntry.langProfiles)
+  }
+
+  test("rank-profile language ID classifies held-out sentences correctly") {
+    val held = Seq(
+      (0L, "she walked to the market in the morning and bought bread for the family"),
+      (1L, "er ging am abend durch die stadt und sprach mit den leuten auf der strasse"),
+      (2L, "elle marche dans la rue et regarde les maisons avec leurs petites fenetres"),
+      (3L, "el nino juega en el parque con los amigos de la escuela cada manana"),
+      (4L, "wo men jin tian qu shang dian mai dong xi ran hou hui jia chi fan"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.classifyLanguage(held, SparkEntry.langProfiles, k = 60)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(0L -> "en", 1L -> "de", 2L -> "fr", 3L -> "es", 4L -> "zh"))
+  }
+
+  test("out-of-place distance matches an independent Scala replay") {
+    // classify one mixed doc and recompute rank/penalty/argmin by hand —
+    // an engine-independent check of the distance semantics (unknown
+    // grams pay k, known grams |r - pr|, argmin ties break by lang)
+    val text = "xxxx mixed with the usual words und der hund"
+    val norm = " " + text.toLowerCase.replaceAll("[^a-z]+", " ").trim + " "
+    val grams = (norm.sliding(2) ++ norm.sliding(3)).toSeq
+    val ranked = grams.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (g, c) => (-c, g) }.take(60).zipWithIndex
+      .map { case ((g, _), i) => g -> (i + 1) }
+    val prof = SparkEntry.langProfiles.map { case (l, g, r) => (l, g) -> r }.toMap
+    val dists = SparkEntry.langProfiles.map(_._1).distinct.sorted.map(l =>
+      l -> ranked.map { case (g, r) =>
+        prof.get((l, g)).map(pr => math.abs(r - pr)).getOrElse(60).toLong }.sum)
+    val expect = dists.minBy { case (l, d) => (d, l) }
+    val r = TextAnalysis.classifyLanguage(
+      Seq((0L, text)).toDF("doc_id", "text"), SparkEntry.langProfiles, k = 60)
+      .collect().head
+    assert((r.getString(1), r.getLong(2)) == expect)
   }
 
   test("contamination reports the exact overlapping-gram fraction per doc") {
