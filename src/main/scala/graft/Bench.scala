@@ -56,13 +56,17 @@ import org.apache.spark.sql.SparkSession
   *  - "heavy_tail": the shuffle-heavy queries re-run at the sibling
   *    10×-smaller SF (derived from the directory's numeric suffix, any SF)
   *    so constant-vs-linear cost (CC per-round overhead vs data volume) is
-  *    a measurement, not an assertion.
+  *    a measurement, not an assertion; and
+  *  - "stress10x": the two composed pipelines (q61, q96) on a 10×
+  *    id-offset self-union of documents.parquet — the slope one decade UP,
+  *    duplicate-heavy by construction (see the section comment).
   */
 object Bench {
   private val heavyTail = Seq(
     "q21_dedup_ngram_jaccard", "q41_dedup_clusters", "q46_dedup_lsh_clusters",
     "q47_embed_neardup_lsh", "q52_embed_neardup_lsh_prod", "q53_dedup_minhash_prod",
-    "q61_pipeline_e2e", "q68_neardup_incremental", "q89_byte_spans")
+    "q61_pipeline_e2e", "q68_neardup_incremental", "q89_byte_spans",
+    "q98_neardup_indexed", "q100_bigram_lm")
 
   /** Sibling directory one decade down: .../sfX → .../sf(X/10), exact
     * decimal arithmetic so 0.1 → 0.01 (not 0.010000000...). None when the
@@ -377,6 +381,53 @@ object Bench {
     }
     spark.catalog.clearCache()
 
+    // 10× self-union stress for the two COMPOSED pipelines (q61 text-side,
+    // q96 crawl-side): the heavy_tail ledger attributes growth downward
+    // (sf/10); this point extends the measured slope one decade UP without
+    // new testdata — documents.parquet union'd with 9 id-offset copies into
+    // a temp dir, then the UNCHANGED query definitions run against it (the
+    // queries only read documents.parquet, so a dir substitution is the
+    // whole mechanism). Exact-copy amplification is deliberately
+    // duplicate-heavy: q61's LSH dedup meets 10-member clusters (45
+    // candidate pairs per text — the shape a real crawl feeds it), so this
+    // stresses the candidate join, not just the scan. Offsets are
+    // multiples of LCM(2,3,4,5,7,11,17)=78540·k so every doc_id-modulus
+    // fixture derivation classifies copies like their originals, keeping
+    // the workload composition comparable across decades. min-of-2 (not 3)
+    // bounds the section's cost — at 10× data a sweep is tens of seconds.
+    val stress = try {
+      import org.apache.spark.sql.functions._
+      val docs = sources.Tables.documents(spark, sfDir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stress").toFile
+      try {
+        val lcmOffset = 78540L * 1000L // ≥ any SF's doc_id range, modulus-neutral
+        val amplified = (0 until 10).map(i =>
+          docs.withColumn("doc_id", col("doc_id") + lit(i * lcmOffset)))
+          .reduce(_ unionAll _)
+        amplified.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+        val rows10 = spark.read.parquet(s"$tmp/documents.parquet").count()
+        def t2(name: String): Double =
+          (1 to 2).map { _ =>
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, tmp.getAbsolutePath).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        val q61x10 = t2("q61_pipeline_e2e")
+        val q96x10 = t2("q96_web_pipeline")
+        f"""{"factor":10,"rows":$rows10,"q61_sec":$q61x10%.3f,"q96_sec":$q96x10%.3f}"""
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stress10x instrumentation failed: ${e.getMessage}")
+      "{}"
+    }
+    spark.catalog.clearCache()
+
     // heavy tail at the sibling 10×-smaller SF for scale-growth attribution.
     // Error labels carry the sibling dir suffix: a failure HERE must not
     // read as a crashed main-SF query (the top-level "queries" contract).
@@ -408,7 +459,7 @@ object Bench {
       s""""spread":${jmap(results.map { case (k, _, mx) => k -> mx }, full)},""" +
       s""""pass_totals":${passTotals.map(full).mkString("[", ",", "]")},""" +
       s""""lsh_prod":$lshProd,"zorder":$zorder,"ivf_prod":$ivfProd,"mh_index":$mhIndex,""" +
-      s""""skew":$skew,"heavy_tail":$heavy,"errors":$errJson,"sf":"$sfDir"}"""
+      s""""skew":$skew,"stress10x":$stress,"heavy_tail":$heavy,"errors":$errJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     println(fullJson)
 

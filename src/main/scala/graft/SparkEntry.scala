@@ -495,6 +495,25 @@ object SparkEntry {
       |  - 0.1 * top_bigram_frac, 6) AS quality_score
       |  FROM qf LEFT JOIN lm ON qf.doc_id = lm.doc_id)""".stripMargin
 
+  /** The q96 AND q104 oracle: the composed crawl front-end replayed as one
+    * CTE chain over the shared boilerplate/url fixtures. */
+  private def webPipelineSql: String =
+    s"""WITH $boilerplateCte,
+       |$urlCanonCte,
+       |x AS (SELECT doc_id,
+       |  array_to_string(list_transform(content, s -> s.t), ' ') AS main_text
+       |  FROM cl),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY norm_url),
+       |cap AS (SELECT doc_id, domain FROM (
+       |  SELECT doc_id, domain, row_number() OVER (
+       |    PARTITION BY domain
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM d) WHERE rn <= 40),
+       |j AS (SELECT x.doc_id, cap.domain,
+       |  len(string_split(main_text, ' ')) AS nw
+       |  FROM x JOIN keep USING (doc_id) JOIN cap USING (doc_id))
+       |SELECT doc_id, domain, nw::BIGINT AS n_words FROM j WHERE nw >= 30""".stripMargin
+
   /** The q94/q95 oracles' copy of [[urlDocuments]]'s construction. */
   private def urlFixtureSql: String =
     """SELECT doc_id,
@@ -807,30 +826,52 @@ object SparkEntry {
     copies.unionAll(doubled).unionAll(suffixed)
   }
 
-  /** One persisted q98 MinHash index per SF dir, built on the FIRST q98
+  /** One persisted on-disk fixture per (kind, SF dir), built on the FIRST
     * construction and reused by every later one in the JVM — the testdata
-    * under an SF dir is immutable, so reuse is sound, and it is the
-    * operator's own contract (build once, probe many). A per-invocation
-    * fresh index (the r7 shape) accumulated one JVM shutdown hook and ~1 MB
-    * of temp parquet per construction over a long session; now a single
-    * hook sweeps the bounded map (one entry per SF dir ever queried). */
-  private val q98Indexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private lazy val q98Cleanup: Unit = {
+    * under an SF dir is immutable, so reuse is sound, and build-once/
+    * probe-many is the operators' own contract. A per-invocation fresh
+    * build (the r7 q98 shape) accumulated one JVM shutdown hook and ~1 MB
+    * of temp files per construction over a long session; now a single
+    * hook sweeps the bounded map (one entry per (kind, SF dir) ever
+    * queried). */
+  private val tempFixtureDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val tempFixtureCleanup: Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
-    sys.addShutdownHook(q98Indexes.values().forEach(p => rm(new java.io.File(p))))
+    sys.addShutdownHook(tempFixtureDirs.values().forEach(p => rm(new java.io.File(p))))
     ()
   }
-  private def q98IndexPath(s: SparkSession, dir: String): String = {
-    q98Cleanup
-    q98Indexes.computeIfAbsent(dir, _ => {
-      val path = java.nio.file.Files.createTempDirectory("graft_mh_index_q98").toFile
-      Dedup.writeMinHashIndex(Tables.documents(s, dir), path.getAbsolutePath,
-        n = 3, numHashes = 16, bands = 16)
+  private def lazyFixtureDir(kind: String, dir: String)(build: String => Unit): String = {
+    tempFixtureCleanup
+    tempFixtureDirs.computeIfAbsent(s"$kind|$dir", _ => {
+      val path = java.nio.file.Files.createTempDirectory(s"graft_$kind").toFile
+      build(path.getAbsolutePath)
       path.getAbsolutePath
     })
   }
+
+  private def q98IndexPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("mh_index_q98", dir) { path =>
+      Dedup.writeMinHashIndex(Tables.documents(s, dir), path,
+        n = 3, numHashes = 16, bands = 16)
+    }
+
+  /** The q104 WARC envelope: the q96 inputs (url fixture + html fixture,
+    * joined on doc_id) written as per-record-gzip response records — url
+    * as WARC-Target-URI, html as the HTTP body, doc identity in the
+    * record id. Losslessness is exactly what q104 then proves: reading
+    * this container back and running the q96 pipeline must reproduce
+    * q96's own oracle. */
+  private def warcFixturePath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("warc_q104", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val pages = urlDocuments(s, dir).join(htmlDocuments(s, dir), "doc_id")
+        .select(col("url"), encode(col("html"), "UTF-8").as("body"),
+          concat(lit("urn:graft:doc:"), col("doc_id")).as("rid"))
+      graft.sources.Warc.write(pages, path, uriCol = "url", bodyCol = "body",
+        recordIdCol = Some("rid"), gzip = true)
+    }
 
   private[graft] def li(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).select(
@@ -1182,6 +1223,32 @@ object SparkEntry {
       val keep = operators.UrlOps.urlDedup(urlDocuments(s, dir))
         .select(col("keep_id").as("doc_id"))
       val capped = operators.UrlOps.domainCap(urlDocuments(s, dir), maxPerDomain = 40)
+      text.join(keep, "doc_id").join(capped, "doc_id")
+        .withColumn("n_words", size(split(col("main_text"), " ")).cast("long"))
+        .filter(col("n_words") >= 30)
+        .select("doc_id", "domain", "n_words")
+    }),
+
+    // the q96 crawl front-end fed from a WARC CONTAINER instead of parquet
+    // columns: the envelope (per-record-gzip response records, the Common
+    // Crawl layout) carries url as WARC-Target-URI and html as the HTTP
+    // body; reading it back and running the SAME pipeline must reproduce
+    // q96's oracle — the round-trip-losslessness gate for the one source
+    // format raw web corpora actually arrive in
+    "q104_warc_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val pages = graft.sources.Warc.readResponses(s, warcFixturePath(s, dir))
+        .select(
+          regexp_extract(col("record_id"), "doc:(\\d+)", 1).cast("long").as("doc_id"),
+          col("target_uri").as("url"),
+          decode(col("body"), "UTF-8").as("html"))
+      val html = pages.select(col("doc_id"),
+        TextAnalysis.fixEncodingCol(col("html")).as("html"))
+      val text = operators.Boilerplate.extractMainText(html)
+        .select(col("doc_id"), col("main_text"))
+      val urls = pages.select("doc_id", "url")
+      val keep = operators.UrlOps.urlDedup(urls).select(col("keep_id").as("doc_id"))
+      val capped = operators.UrlOps.domainCap(urls, maxPerDomain = 40)
       text.join(keep, "doc_id").join(capped, "doc_id")
         .withColumn("n_words", size(split(col("main_text"), " ")).cast("long"))
         .filter(col("n_words") >= 30)
@@ -2120,22 +2187,12 @@ object SparkEntry {
           |count(DISTINCT md5(text)) AS n_distinct_texts
           |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin,
 
-      "q96_web_pipeline" ->
-        s"""WITH $boilerplateCte,
-           |$urlCanonCte,
-           |x AS (SELECT doc_id,
-           |  array_to_string(list_transform(content, s -> s.t), ' ') AS main_text
-           |  FROM cl),
-           |keep AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY norm_url),
-           |cap AS (SELECT doc_id, domain FROM (
-           |  SELECT doc_id, domain, row_number() OVER (
-           |    PARTITION BY domain
-           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-           |  FROM d) WHERE rn <= 40),
-           |j AS (SELECT x.doc_id, cap.domain,
-           |  len(string_split(main_text, ' ')) AS nw
-           |  FROM x JOIN keep USING (doc_id) JOIN cap USING (doc_id))
-           |SELECT doc_id, domain, nw::BIGINT AS n_words FROM j WHERE nw >= 30""".stripMargin,
+      "q96_web_pipeline" -> webPipelineSql,
+
+      // q104 reads the SAME inputs back out of the WARC envelope and runs
+      // the SAME pipeline, so ONE oracle covers both — and the shared gate
+      // proves the container round-trip loses nothing (the q98/q68 pattern)
+      "q104_warc_pipeline" -> webPipelineSql,
 
       "q92_boilerplate" ->
         s"""WITH $boilerplateCte
