@@ -1542,6 +1542,22 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "source"),
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
 
+    // deterministic corpus shuffle: sharded pseudo-random training order
+    // (md5 of seed+key → shard, full-md5 rank within shard) — reproducible
+    // dataloader order with NO global sort/window
+    "q105_shuffle_shards" -> ((s, dir) =>
+      operators.Sampling.deterministicShuffle(
+        Tables.documents(s, dir).select("doc_id"), shards = 8, seed = "r8")
+        .select("doc_id", "shard", "pos")),
+
+    // weighted EPOCH upsampling: mixSources' complement — hit the target
+    // composition by repeating small high-weight sources (integer epochs +
+    // md5-fraction final epoch), nothing drops; `epoch` indexes the copies
+    "q106_epoch_mix" -> ((s, dir) =>
+      operators.Sampling.epochMix(
+        Tables.documents(s, dir).select("doc_id", "source"),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
+
     // deterministic sampling / splitting for training pipelines
     "q39_stratified_sample" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -2646,6 +2662,29 @@ object SparkEntry {
           |  row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
           |  FROM documents)
           |SELECT doc_id, lang FROM r WHERE rn <= 20""".stripMargin,
+
+      "q105_shuffle_shards" ->
+        """WITH h AS (SELECT doc_id, md5('r8:' || doc_id::VARCHAR) AS hh FROM documents)
+          |SELECT doc_id,
+          |(('0x' || substr(hh, 1, 4))::INT % 8) AS shard,
+          |row_number() OVER (PARTITION BY ('0x' || substr(hh, 1, 4))::INT % 8
+          |                   ORDER BY hh, doc_id) AS pos
+          |FROM h""".stripMargin,
+
+      "q106_epoch_mix" ->
+        """WITH wts(source, w) AS (VALUES ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE), ('src2', 0.2::DOUBLE)),
+          |d AS (SELECT doc_id, documents.source, w FROM documents JOIN wts USING (source)),
+          |c AS (SELECT source, w, count(*) AS n FROM d GROUP BY 1, 2),
+          |t AS (SELECT max(n / w) AS t_total FROM c),
+          |r AS (SELECT source, round(t_total * w / n, 6) AS rate FROM c CROSS JOIN t),
+          |x AS (SELECT doc_id, d.source,
+          |  floor(rate)::INT +
+          |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':up'), 1, 4))::BIGINT
+          |       < CAST(ceil((rate - floor(rate)) * 65536) AS BIGINT)
+          |       THEN 1 ELSE 0 END AS nc
+          |  FROM d JOIN r ON d.source = r.source)
+          |SELECT doc_id, source, epoch::INT AS epoch
+          |FROM x, UNNEST(generate_series(0, nc - 1)) AS t(epoch)""".stripMargin,
 
       "q40_hash_split" ->
         """SELECT doc_id,

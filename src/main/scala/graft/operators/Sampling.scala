@@ -78,6 +78,71 @@ object Sampling {
       .drop("__w", "__thr")
   }
 
+  /** Deterministic corpus shuffle — the training-order stage: a dataloader
+    * must see documents in pseudo-random order, reproducibly (restarts,
+    * re-runs, and audits replay the exact order), without any global sort.
+    * Each row gets a `shard` (md5-bucket of (seed, key) mod `shards`) and a
+    * `pos` — its rank within the shard by full-md5 order, key tiebreak.
+    * Shard-local positions are the scale posture: one shuffle on the shard
+    * key, window per shard, NO global row_number (a single-partition window
+    * is the classic 100 TB killer); a dataloader reads shards in parallel
+    * and walks each by pos, which is exactly how sharded training input is
+    * consumed. New seed → completely new order (per-epoch reshuffling). */
+  def deterministicShuffle(df: DataFrame, key: Column = col("doc_id"),
+      shards: Int = 8, seed: String = "shuffle"): DataFrame = {
+    require(shards > 0, s"shards must be > 0, got $shards")
+    val h = md5(concat(lit(seed + ":"), key.cast("string")))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(conv(substring(col("__h"), 1, 4), 16, 10)
+        .cast("int"), lit(shards)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("__h"), key)).cast("long"))
+      .drop("__h")
+  }
+
+  /** Weighted EPOCH upsampling — the other half of mixture control:
+    * [[mixSources]] hits a target composition by downsampling (largest
+    * corpus, nothing repeats); this hits it by UPsampling (nothing drops —
+    * the standard practice when high-quality sources are small: Wikipedia
+    * at 3 epochs while web stays at 1). The most over-weighted source runs
+    * exactly one epoch (rate 1), every other source repeats at rate
+    * r_s = T·w_s/n_s ≥ 1 with T = max_s(n_s/w_s): ⌊r⌋ full epochs for every
+    * row plus one extra copy for the md5-bucket fraction of rows that
+    * covers the remainder — deterministic fractional epochs, no RNG. The
+    * output gains an `epoch` column (0-based copy index) so downstream
+    * packing/shuffling can keep copies distinguishable.
+    *
+    * Rate passes through round(·, 6) before ⌊·⌋/remainder (the repo float
+    * policy: the constrained source's exact 1.0 can land an ulp off after
+    * (n/w)·w/n). The extra-copy coin hashes key||":up" — independent of the
+    * split/shard coins so upsampling never correlates with fold assignment.
+    * Scale shape: tiny count aggregate, broadcast rates, then a map-side
+    * explode of at most ⌈r⌉ copies — the corpus shuffles nothing. */
+  def epochMix(df: DataFrame, weights: Map[String, Double],
+      sourceCol: String = "source", key: Column = col("doc_id")): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "epochMix needs at least one source with positive weight")
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (s, wt)) =>
+      when(col(sourceCol) === s, wt).otherwise(acc)
+    }
+    val weighted = df.withColumn("__w", w).filter(col("__w") > 0)
+    val counts = weighted.groupBy(sourceCol, "__w").agg(count(lit(1)).as("__n"))
+    val total = counts.agg(max(col("__n") / col("__w")).as("__t"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("__r", round(col("__t") * col("__w") / col("__n"), 6))
+      .withColumn("__full", floor(col("__r")).cast("int"))
+      .withColumn("__thr",
+        ceil((col("__r") - floor(col("__r"))) * 65536).cast("long"))
+      .select(col(sourceCol), col("__full"), col("__thr"))
+    weighted.join(broadcast(rates), sourceCol)
+      .withColumn("__extra",
+        when(hashBucket16(concat(key.cast("string"), lit(":up")))
+          .cast("long") < col("__thr"), 1).otherwise(0))
+      .withColumn("epoch",
+        explode(sequence(lit(0), col("__full") + col("__extra") - 1)))
+      .drop("__w", "__full", "__thr", "__extra")
+  }
+
   /** Temperature-based source mixing — the τ-weighted rebalancing used for
     * multilingual / multi-domain training mixtures: target share ∝ n_s^τ,
     * so τ = 1 keeps natural proportions and τ → 0 approaches uniform.

@@ -27,6 +27,64 @@ class SamplingSpec extends AnyFunSuite {
     assert(subset.forall { case (id, split) => full(id) == split })
   }
 
+  test("deterministic shuffle: dense per-shard positions, partition-invariant, seed-sensitive") {
+    val out = Sampling.deterministicShuffle(df, col("id"), shards = 4, seed = "s1")
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == 2000)
+    // positions are dense 1..n within every shard (a dataloader can walk them)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // physical partitioning cannot change the order (determinism contract)
+    val repart = Sampling.deterministicShuffle(df.repartition(13), col("id"),
+      shards = 4, seed = "s1")
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSet == repart.toSet)
+    // a different seed is a genuinely different order
+    val reseed = Sampling.deterministicShuffle(df, col("id"), shards = 4, seed = "s2")
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(reseed.toSet != out.toSet)
+    // and the order "shuffles": ids in shard-0 pos-order are not id-sorted
+    val shard0 = out.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(shard0.toSeq != shard0.sorted.toSeq)
+  }
+
+  test("epoch mix: most-over-weighted source runs once, others repeat at T*w/n") {
+    // a: 4 rows at w=0.5 -> n/w = 8 = T -> rate 1.0 (one epoch, no extras)
+    // b: 2 rows at w=0.5 -> rate 8*0.5/2 = 2.0 (exactly two epochs)
+    val mix = (0L until 4L).map((_, "a")) ++ (100L until 102L).map((_, "b"))
+    val mdf = mix.toDF("doc_id", "src")
+    val out = Sampling.epochMix(mdf, Map("a" -> 0.5, "b" -> 0.5), sourceCol = "src")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("src"),
+        r.getAs[Int]("epoch")))
+    val perRow = out.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    (0L until 4L).foreach(i => assert(perRow((i, "a")) == Seq(0)))
+    (100L until 102L).foreach(i => assert(perRow((i, "b")) == Seq(0, 1)))
+
+    // fractional rate: a 3@0.5 -> n/w = 6 = T -> rate 1.0; b 2@0.5 -> rate 1.5:
+    // one full epoch + the md5(":up")-bucket half gets a second copy
+    val mix2 = (0L until 3L).map((_, "a")) ++ (100L until 102L).map((_, "b"))
+    val out2 = Sampling.epochMix(mix2.toDF("doc_id", "src"),
+      Map("a" -> 0.5, "b" -> 0.5), sourceCol = "src")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("src"),
+        r.getAs[Int]("epoch")))
+    val copies2 = out2.groupBy(t => (t._1, t._2)).view.mapValues(_.length).toMap
+    assert((0L until 3L).forall(i => copies2((i, "a")) == 1))
+    // b rows get 1 or 2 copies, decided by the independent ":up" coin
+    import java.security.MessageDigest
+    def upExtra(id: Long): Int = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"$id:up".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.take(4), 16) < 32768) 1 else 0
+    }
+    (100L until 102L).foreach(i => assert(copies2((i, "b")) == 1 + upExtra(i)))
+    // nothing ever drops: every input row appears at epoch 0
+    assert(out2.count(_._3 == 0) == 5)
+  }
+
   test("stratified sample takes exactly k per stratum, deterministically") {
     val out = Sampling.stratifiedSample(df, "grp", col("id"), 7)
     val counts = out.groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
