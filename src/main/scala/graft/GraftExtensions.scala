@@ -26,6 +26,7 @@ import graft.functions._
   *  - `graft_byte_grams(text, k)`          → array<bigint> k-byte window hashes
   *  - `graft_dot(a, b)`                    → double vector dot product
   *  - `graft_hyperplane_sig(v, b, seed)`   → bigint hyperplane LSH signature
+  *  - `graft_nfc(text)`                    → Unicode NFC normalization
   *  - `graft_heavy_hitters(item, cap)`     → Misra-Gries frequent-items agg
   *  - `graft_percentile_disc(x, p)`        → reference-fidelity running
   *    DISCRETE_PERCENTILE aggregate (usable with OVER, like the reference's
@@ -122,6 +123,9 @@ object GraftExtensions {
       arity = 2) { args =>
       DiscretePercentileAgg(args.head, doubleArg("graft_percentile_disc", "p", args(1)))
     },
+    describe("graft_nfc",
+      "graft_nfc(text string) - Unicode NFC normalization (ASCII/already-NFC pass through)",
+      arity = 1) { args => NfcNormalize(args.head) },
     describe("graft_heavy_hitters",
       "graft_heavy_hitters(item, capacity) - Misra-Gries frequent-items sketch " +
         "(array of (item, est) structs, est desc)",

@@ -460,6 +460,57 @@ object SparkEntry {
         .otherwise(concat(lit("\u0007"), injected, lit("\u009D"))).as("text"))
   }
 
+  /** Derived head-section fixture for page-metadata extraction (q108):
+    * entity-carrying title on every doc, description on all but every 5th
+    * (missing → null contract), robots meta on every doc — every 7th
+    * noindex, spelled `<META name='robots'>` (mixed case + single-quoted
+    * name) to exercise the tolerant tag match — canonical link on every
+    * 3rd. Pure ASCII concat, derives bit-for-bit in both engines. */
+  private[graft] def metaHtmlDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, dir).select(col("doc_id"), concat(
+      lit("<html><head>\n  <title>Doc "), col("doc_id").cast("string"),
+      lit(" &amp; Friends</title>"),
+      when(col("doc_id") % 5 =!= 0, concat(
+        lit("<meta name=\"description\" content=\"Summary "),
+        col("doc_id").cast("string"), lit(" &amp; more\">"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit("<META name='robots' content=\"noindex, nofollow\">"))
+        .otherwise(lit("<meta name=\"robots\" content=\"index, follow\">")),
+      when(col("doc_id") % 3 === 0, concat(
+        lit("<link rel=\"canonical\" href=\"http://example"),
+        (col("doc_id") % 7).cast("string"), lit(".com/a/"),
+        (col("doc_id") % 25).cast("string"), lit("\">"))).otherwise(lit("")),
+      lit("</head><body><p>"), col("text"), lit("</p></body></html>")).as("html"))
+  }
+
+  /** The q108 oracle's copy of [[metaHtmlDocuments]]'s construction. */
+  private def metaHtmlFixtureSql: String =
+    """SELECT doc_id,
+      |'<html><head>' || chr(10) || '  <title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; Friends</title>' ||
+      |CASE WHEN doc_id % 5 <> 0 THEN '<meta name="description" content="Summary ' || CAST(doc_id AS VARCHAR) || ' &amp; more">' ELSE '' END ||
+      |CASE WHEN doc_id % 7 = 0 THEN '<META name=''robots'' content="noindex, nofollow">' ELSE '<meta name="robots" content="index, follow">' END ||
+      |CASE WHEN doc_id % 3 = 0 THEN '<link rel="canonical" href="http://example' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/' || CAST(doc_id % 25 AS VARCHAR) || '">' ELSE '' END ||
+      |'</head><body><p>' || text || '</p></body></html>' AS html
+      |FROM documents""".stripMargin
+
+  /** Derived fixture for NFC normalization (q107): the same visible
+    * accented phrase appended DECOMPOSED (combining marks U+0301/U+0300 —
+    * spelled as escapes here and as chr() in the oracle, no raw combining
+    * chars in source) on %3==1 docs and COMPOSED on %3==2 docs; %3==0
+    * stays pure ASCII. After normalization the two suffixed classes must
+    * be byte-identical per doc_id mod class, and ASCII must pass through
+    * verbatim. */
+  private[graft] val nfdSuffix = " cafe\u0301 de\u0301ja\u0300 vu"
+  private[graft] val nfcSuffix = " caf\u00e9 d\u00e9j\u00e0 vu"
+  private[graft] def nfdDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 3 === 1, concat(col("text"), lit(nfdSuffix)))
+        .when(col("doc_id") % 3 === 2, concat(col("text"), lit(nfcSuffix)))
+        .otherwise(col("text")).as("text"))
+  }
+
   /** Shared CTE chain of the q102/q103 oracles, ending in `score` —
     * replays [[operators.TextAnalysis.qualityScore]]'s features (the q55
     * and q60 oracle bodies) and its EXACT linear form: same literals, same
@@ -1541,6 +1592,20 @@ object SparkEntry {
       operators.Sampling.mixSources(
         Tables.documents(s, dir).select("doc_id", "source"),
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
+
+    // page-level metadata extraction: title/description (entity-decoded,
+    // null when absent), the page's own canonical URL, and the
+    // robots-noindex compliance gate — what a crawl filters and joins on
+    // before body text ever enters the corpus
+    "q108_page_meta" -> ((s, dir) =>
+      operators.Boilerplate.extractPageMeta(metaHtmlDocuments(s, dir))),
+
+    // Unicode NFC normalization (codegen'd NfcNormalize expression): the
+    // canonicalization ahead of every hash-based stage — composed and
+    // decomposed spellings of the same text must collapse before dedup/
+    // BPE ever see them. Derived fixture plants the same phrase both ways
+    "q107_nfc_normalize" -> ((s, dir) =>
+      TextAnalysis.nfcNormalize(nfdDocuments(s, dir)).select("doc_id", "text_nfc")),
 
     // deterministic corpus shuffle: sharded pseudo-random training order
     // (md5 of seed+key → shard, full-md5 rank within shard) — reproducible
@@ -2662,6 +2727,45 @@ object SparkEntry {
           |  row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
           |  FROM documents)
           |SELECT doc_id, lang FROM r WHERE rn <= 20""".stripMargin,
+
+      // the q108 oracle embeds the OPERATOR'S OWN regex constants
+      // (single-quotes doubled for the SQL literal) — two-step tag→attr
+      // extraction replayed verbatim; nullif normalizes both engines'
+      // no-match value to the shared null contract
+      "q108_page_meta" -> {
+        def re(r: String) = r.replace("'", "''")
+        val title = re(operators.Boilerplate.titleRe)
+        val descTag = re(operators.Boilerplate.metaTagRe("description"))
+        val robotsTag = re(operators.Boilerplate.metaTagRe("robots"))
+        val canonTag = re(operators.Boilerplate.linkCanonicalRe)
+        val content = re(operators.Boilerplate.contentAttrRe)
+        val href = re(operators.Boilerplate.hrefAttrRe)
+        def clean(inner: String) =
+          s"trim(regexp_replace(${entityDecodeSql(inner)}, '\\s+', ' ', 'g'))"
+        s"""WITH h AS ($metaHtmlFixtureSql)
+           |SELECT doc_id,
+           |nullif(${clean(s"regexp_extract(html, '$title', 1)")}, '') AS page_title,
+           |nullif(${clean(
+            s"regexp_extract(regexp_extract(html, '$descTag', 0), '$content', 1)")}, '')
+           |  AS meta_description,
+           |nullif(regexp_extract(regexp_extract(html, '$canonTag', 0), '$href', 1), '')
+           |  AS canonical_url,
+           |regexp_matches(
+           |  regexp_extract(regexp_extract(html, '$robotsTag', 0), '$content', 1),
+           |  '(?i)noindex') AS robots_noindex
+           |FROM h""".stripMargin
+      },
+
+      // chr(769)/chr(768) spell the combining marks (the Scala side uses
+      // \u escapes) — no raw combining characters travel through either
+      // source file; nfc_normalize is DuckDB's own UAX #15 NFC
+      "q107_nfc_normalize" ->
+        """SELECT doc_id, nfc_normalize(CASE
+          |  WHEN doc_id % 3 = 1
+          |    THEN text || ' cafe' || chr(769) || ' de' || chr(769) || 'ja' || chr(768) || ' vu'
+          |  WHEN doc_id % 3 = 2 THEN text || ' caf' || chr(233) || ' d' || chr(233) || 'j' || chr(224) || ' vu'
+          |  ELSE text END) AS text_nfc
+          |FROM documents""".stripMargin,
 
       "q105_shuffle_shards" ->
         """WITH h AS (SELECT doc_id, md5('r8:' || doc_id::VARCHAR) AS hh FROM documents)

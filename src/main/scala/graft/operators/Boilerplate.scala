@@ -142,4 +142,55 @@ object Boilerplate {
       chars(content).cast("long").as("n_content_chars"),
       chars(nonempty).cast("long").as("n_text_chars"))
   }
+
+  // ------------------------------------------------------------- page meta
+
+  /** `<title>` body. `[^<]*` (not `.*?`) so Java and RE2 agree on pages
+    * where the title is unterminated. */
+  private[graft] val titleRe: String = """(?si)<title[^>]*>([^<]*)</title>"""
+
+  /** The whole `<meta name="NAME" ...>` tag, either quote style on the
+    * name; `[^>]*` on both sides so attribute ORDER does not matter. */
+  private[graft] def metaTagRe(name: String): String =
+    s"""(?si)<meta\\b[^>]*name\\s*=\\s*["']$name["'][^>]*>"""
+
+  private[graft] val linkCanonicalRe: String =
+    """(?si)<link\b[^>]*rel\s*=\s*["']canonical["'][^>]*>"""
+
+  /** Attribute VALUE inside an already-extracted tag. Double-quoted
+    * attributes only (the dominant form; single-quoted values fall back to
+    * null rather than mis-slicing) — documented contract. */
+  private[graft] val contentAttrRe: String = """(?si)content\s*=\s*"([^"]*)""""
+  private[graft] val hrefAttrRe: String = """(?si)href\s*=\s*"([^"]*)""""
+
+  /** Page-level metadata a crawl pipeline filters and joins on BEFORE
+    * extracting body text: `page_title` and `meta_description`
+    * (entity-decoded, whitespace-collapsed, null when absent),
+    * `canonical_url` (the page's own dedup hint — feeds
+    * [[UrlOps.urlDedup]] in place of the fetch URL when present), and
+    * `robots_noindex` (the compliance gate: pages that opt out of
+    * indexing are dropped before any text enters the corpus).
+    *
+    * Same 100 TB shape as [[extractMainText]]: a pure codegen'd projection
+    * — two-step regex (extract the tag, then the attribute) instead of one
+    * mega-pattern so attribute order never matters, every pattern
+    * Java∩RE2-portable (no backreferences). Missing fields are NULL, not
+    * "": both engines' no-match empty string is normalized through
+    * nullif/when so the null contract is engine-independent. */
+  def extractPageMeta(docs: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val html = coalesce(col(htmlCol), lit(""))
+    val clean = (c: Column) =>
+      trim(regexp_replace(decodeEntities(c), lit("""\s+"""), lit(" ")))
+    val nonEmpty = (c: Column) => when(length(c) > 0, c)
+    val descTag = regexp_extract(html, metaTagRe("description"), 0)
+    val robotsTag = regexp_extract(html, metaTagRe("robots"), 0)
+    val canonTag = regexp_extract(html, linkCanonicalRe, 0)
+    docs.select(
+      col("doc_id"),
+      nonEmpty(clean(regexp_extract(html, titleRe, 1))).as("page_title"),
+      nonEmpty(clean(regexp_extract(descTag, contentAttrRe, 1))).as("meta_description"),
+      nonEmpty(regexp_extract(canonTag, hrefAttrRe, 1)).as("canonical_url"),
+      regexp_extract(robotsTag, contentAttrRe, 1).rlike("(?i)noindex")
+        .as("robots_noindex"))
+  }
 }

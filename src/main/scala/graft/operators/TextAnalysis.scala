@@ -93,11 +93,18 @@ object TextAnalysis {
     * profile lacks the gram; the language with the smallest sum wins (ties
     * break lexicographically). Output: (doc_id, pred_lang, oop_distance).
     *
-    * 100 TB shape: gram counts partial-aggregate map-side before the one
-    * (doc_id, gram) shuffle; the per-doc ranking windows on doc_id; the
-    * profile table (|langs|·k rows) and the language list broadcast, so
-    * scoring never shuffles more than (doc_id, gram, rank) rows — the
-    * q100 plan shape with a bounded dimension side. */
+    * 100 TB shape: the per-doc top-k ranking happens IN-ROW — one
+    * codegen'd pass ([[graft.functions.CharGramRank]]: hash-count the
+    * grams, sort the DISTINCT set by (count desc, gram asc), keep k; the
+    * element's position IS the document rank). A doc's gram OCCURRENCES
+    * never enter a shuffle and no per-doc window exists; only |docs|·k
+    * (doc, gram, rank) rows ever leave the map side, the profile table
+    * (|langs|·k rows) and language list broadcast, and the argmin groups
+    * |docs|·|langs| rows. (The first version shuffled every gram
+    * occurrence through a (doc_id, gram) aggregate plus two
+    * doc-partitioned windows, and its declarative in-row replacement paid
+    * O(len²) in substr position scans — 16 s and 19 s at sf0.1 vs 0.8 s
+    * for this shape; the expression's scaladoc records the decomposition.) */
   def classifyLanguage(docs: DataFrame, profiles: Seq[(String, String, Int)],
       k: Int = 60, textCol: String = "text"): DataFrame = {
     require(profiles.nonEmpty, "profiles must not be empty")
@@ -105,17 +112,13 @@ object TextAnalysis {
     import spark.implicits._
     val prof = broadcast(profiles.toDF("lang", "gram", "pr"))
     val langs = broadcast(profiles.map(_._1).distinct.sorted.toDF("lang"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("c").desc, col("gram"))
     val byDist = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("d"), col("lang"))
-    val s = langNorm(col(textCol))
-    docs.select(col("doc_id"), s.as("__s"))
-      .select(col("doc_id"),
-        explode(concat(charGrams(col("__s"), 2), charGrams(col("__s"), 3))).as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      .withColumn("r", row_number().over(byDoc))
-      .filter(col("r") <= k)
+    val topGrams = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.CharGramRank(
+        org.apache.spark.sql.GraftColumnBridge.expression(langNorm(col(textCol))), k))
+    docs.select(col("doc_id"), posexplode(topGrams))
+      .select(col("doc_id"), (col("pos") + 1).as("r"), col("col").as("gram"))
       .crossJoin(langs)
       .join(prof, Seq("lang", "gram"), "left")
       .groupBy("doc_id", "lang")
@@ -671,7 +674,13 @@ object TextAnalysis {
       lpad(hex(b), 2, "0")
     }
     val decoded = decode(unhex(array_join(transform(split(c, ""), ch), "")), "UTF-8")
-    when(c.rlike(mojibakeFullRe) && c.rlike(mojibakeClusterRe), decoded).otherwise(c)
+    // guard order matters for throughput: the unanchored cluster probe is
+    // a cheap scan that fails fast on clean (ASCII-dominated) text, while
+    // the anchored whole-string alternation is the expensive check — && is
+    // left-to-right, so the probe must come FIRST (measured: the swapped
+    // order charged every clean page the anchored scan, ~3 s of q96's
+    // 4.3 s at sf0.1)
+    when(c.rlike(mojibakeClusterRe) && c.rlike(mojibakeFullRe), decoded).otherwise(c)
   }
 
   /** Encoding repair as a column expression: up to TWO rounds of mojibake
@@ -686,4 +695,19 @@ object TextAnalysis {
     * columns. Pure projection — no shuffle at any scale. */
   def fixEncoding(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fixed_text", fixEncodingCol(col(textCol)))
+
+  /** Unicode NFC normalization as a column expression (see
+    * [[graft.functions.NfcNormalize]]): canonicalize composed/decomposed
+    * variants before any hash-based stage. Codegen'd; ASCII and
+    * already-NFC rows pass through without re-encoding. */
+  def nfcNormalizeCol(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
+  /** NFC normalization over a corpus: adds `text_nfc` alongside the input
+    * columns. Pure projection — no shuffle at any scale; belongs directly
+    * after encoding repair and before any dedup/tokenization. */
+  def nfcNormalize(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("text_nfc", nfcNormalizeCol(col(textCol)))
 }

@@ -123,4 +123,45 @@ class BoilerplateSpec extends AnyFunSuite {
       Boilerplate.extractMainText(df, minTextChars = -1)
     }
   }
+
+  private def meta(html: String) =
+    Boilerplate.extractPageMeta(Seq((0L, html)).toDF("doc_id", "html"))
+      .collect().head
+
+  test("page meta: title/description decode entities, canonical extracted") {
+    val r = meta("<html><head><title>\n  News &amp; Views </title>" +
+      "<meta charset=\"utf-8\">" +
+      "<meta content=\"Daily &quot;news&quot;\" name=\"description\">" +
+      "<link href=\"http://ex.com/canon\" rel=\"canonical\">" +
+      "</head><body></body></html>")
+    assert(r.getAs[String]("page_title") == "News & Views")
+    // attribute order reversed (content before name) still matches
+    assert(r.getAs[String]("meta_description") == "Daily \"news\"")
+    assert(r.getAs[String]("canonical_url") == "http://ex.com/canon")
+    assert(!r.getAs[Boolean]("robots_noindex"))
+  }
+
+  test("page meta: missing fields are null, not empty strings") {
+    val r = meta("<html><head></head><body><p>no head metadata</p></body></html>")
+    assert(r.isNullAt(r.fieldIndex("page_title")))
+    assert(r.isNullAt(r.fieldIndex("meta_description")))
+    assert(r.isNullAt(r.fieldIndex("canonical_url")))
+    assert(!r.getAs[Boolean]("robots_noindex"))
+    // null page behaves like an empty page
+    val n = Boilerplate.extractPageMeta(
+      Seq((0L, null: String)).toDF("doc_id", "html")).collect().head
+    assert(n.isNullAt(n.fieldIndex("page_title")) && !n.getAs[Boolean]("robots_noindex"))
+  }
+
+  test("page meta: robots noindex in any case/quote style; nofollow alone is not noindex") {
+    assert(meta("<META NAME='robots' CONTENT=\"NOINDEX, nofollow\">")
+      .getAs[Boolean]("robots_noindex"))
+    assert(meta("<meta name=\"robots\" content=\"index, follow\">")
+      .getAs[Boolean]("robots_noindex") == false)
+    assert(meta("<meta name=\"robots\" content=\"nofollow\">")
+      .getAs[Boolean]("robots_noindex") == false)
+    // a DIFFERENT meta tag containing the word noindex must not trigger
+    assert(meta("<meta name=\"description\" content=\"about noindex pages\">")
+      .getAs[Boolean]("robots_noindex") == false)
+  }
 }

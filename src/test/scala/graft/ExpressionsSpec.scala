@@ -142,4 +142,24 @@ class ExpressionsSpec extends AnyFunSuite {
       .select(HashFunctions.word_gram_hashes($"ws", 2)).collect()(0).getSeq[Long](0)
     assert(dup.distinct.size == 1 && dup.size == 3)
   }
+
+  test("nfc_normalize: composes NFD, passes through ASCII and NFC, null-safe") {
+    val nfd = "cafe\u0301 de\u0301ja\u0300 vu" // e + combining acute/grave
+    val nfc = "caf\u00e9 d\u00e9j\u00e0 vu" // precomposed
+    val hangulNfd = "\u1100\u1161" // conjoining jamo
+    val hangulNfc = "\uac00" // composed syllable GA
+    val df = Seq(Some(nfd), Some(nfc), Some("plain ascii"), Some(hangulNfd), None)
+      .toDF("t")
+    for (codegen <- Seq(true, false)) withCodegen(codegen) {
+      val got = df.select(operators.TextAnalysis.nfcNormalizeCol($"t")).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getString(0))
+      assert(got.toSeq == Seq(nfc, nfc, "plain ascii", hangulNfc, null),
+        s"codegen=$codegen")
+    }
+    // NFD and NFC spellings collapse to one hash — the property dedup needs
+    val hashes = Seq(nfd, nfc).toDF("t")
+      .select(md5(operators.TextAnalysis.nfcNormalizeCol($"t"))).collect()
+      .map(_.getString(0))
+    assert(hashes(0) == hashes(1))
+  }
 }
