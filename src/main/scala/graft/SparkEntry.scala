@@ -585,7 +585,8 @@ object SparkEntry {
     * scoring with entity decode → integer-rational density filter) over
     * the derived html — DuckDB list lambdas mirror the Spark higher-order
     * functions one for one. */
-  private def boilerplateCte: String = {
+  private def boilerplateCte: String = boilerplateCteFor(htmlFixtureSql)
+  private def boilerplateCteFor(fixtureSql: String): String = {
     val blockRe = operators.Boilerplate.blockTagRe
     val anyTag = operators.Boilerplate.anyTagRe
     val anchorRe = operators.Boilerplate.anchorTextRe
@@ -594,7 +595,7 @@ object SparkEntry {
       operators.Boilerplate.commentRe, operators.Boilerplate.openScriptRe,
       operators.Boilerplate.openStyleRe, operators.Boilerplate.openCommentRe)
       .foldLeft("html")((acc, re) => s"regexp_replace($acc, '$re', ' ', 'g')")
-    s"""h AS ($htmlFixtureSql),
+    s"""h AS ($fixtureSql),
        |st AS (
        |  SELECT doc_id, list_transform(string_split_regex($invisible, '$blockRe'),
        |    b -> {'t': trim(regexp_replace(${entityDecodeSql(s"regexp_replace(b, '$anyTag', ' ', 'g')")}, '\\s+', ' ', 'g')),
@@ -610,9 +611,10 @@ object SparkEntry {
   /** Shared CTE prefix of the q94/q95/q96 oracles (CTEs `f`, `s`, `n`,
     * `d`): the url fixture, its stripped + normalized forms, and the
     * per-doc domain. */
-  private def urlCanonCte: String = {
+  private def urlCanonCte: String = urlCanonCteFor(urlFixtureSql)
+  private def urlCanonCteFor(fixtureSql: String): String = {
     val tp = operators.UrlOps.trackingParams
-    s"""f AS ($urlFixtureSql),
+    s"""f AS ($fixtureSql),
        |sq AS (SELECT doc_id,
        |  regexp_replace(nf, '\\?.*$$', '') AS base,
        |  regexp_replace(
@@ -1599,6 +1601,31 @@ object SparkEntry {
     // before body text ever enters the corpus
     "q108_page_meta" -> ((s, dir) =>
       operators.Boilerplate.extractPageMeta(metaHtmlDocuments(s, dir))),
+
+    // the crawl FRONT DOOR: page-meta compliance + identity ahead of the
+    // q96 chain — drop noindex pages, prefer each page's own canonical URL
+    // over its fetch URL for dedup and domain accounting (canonical
+    // CONSOLIDATES distinct fetches of one resource), then boilerplate →
+    // URL winners → domain cap → word floor. One lazy plan over verified
+    // stages; the oracle derives noindex/canonical from the fixture's
+    // construction and reuses the shared CTE prefixes
+    "q109_crawl_frontdoor" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val pages = metaHtmlDocuments(s, dir)
+      val meta = operators.Boilerplate.extractPageMeta(pages)
+        .filter(!col("robots_noindex"))
+        .select("doc_id", "canonical_url")
+      val resolved = meta.join(urlDocuments(s, dir), "doc_id")
+        .select(col("doc_id"), coalesce(col("canonical_url"), col("url")).as("url"))
+      val text = operators.Boilerplate.extractMainText(pages)
+        .select(col("doc_id"), col("main_text"))
+      val keep = operators.UrlOps.urlDedup(resolved).select(col("keep_id").as("doc_id"))
+      val capped = operators.UrlOps.domainCap(resolved, maxPerDomain = 40)
+      text.join(keep, "doc_id").join(capped, "doc_id")
+        .withColumn("n_words", size(split(col("main_text"), " ")).cast("long"))
+        .filter(col("n_words") >= 30)
+        .select("doc_id", "domain", "n_words")
+    }),
 
     // Unicode NFC normalization (codegen'd NfcNormalize expression): the
     // canonicalization ahead of every hash-based stage — composed and
@@ -2727,6 +2754,33 @@ object SparkEntry {
           |  row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
           |  FROM documents)
           |SELECT doc_id, lang FROM r WHERE rn <= 20""".stripMargin,
+
+      // q109's oracle: noindex and canonical come FROM the fixture's
+      // construction (doc_id arithmetic — the q101 identity pattern;
+      // q108 already proves the extractor recovers them from the html),
+      // then the q96 tail over the RESOLVED url fixture
+      "q109_crawl_frontdoor" -> {
+        val resolvedUrlSql =
+          s"""SELECT doc_id, CASE WHEN doc_id % 3 = 0
+             |  THEN 'http://example' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/' || CAST(doc_id % 25 AS VARCHAR)
+             |  ELSE url END AS url
+             |FROM ($urlFixtureSql) fetch_urls WHERE doc_id % 7 <> 0""".stripMargin
+        s"""WITH ${boilerplateCteFor(metaHtmlFixtureSql)},
+           |${urlCanonCteFor(resolvedUrlSql)},
+           |x AS (SELECT doc_id,
+           |  array_to_string(list_transform(content, s -> s.t), ' ') AS main_text
+           |  FROM cl),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY norm_url),
+           |cap AS (SELECT doc_id, domain FROM (
+           |  SELECT doc_id, domain, row_number() OVER (
+           |    PARTITION BY domain
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           |  FROM d) WHERE rn <= 40),
+           |j AS (SELECT x.doc_id, cap.domain,
+           |  len(string_split(main_text, ' ')) AS nw
+           |  FROM x JOIN keep USING (doc_id) JOIN cap USING (doc_id))
+           |SELECT doc_id, domain, nw::BIGINT AS n_words FROM j WHERE nw >= 30""".stripMargin
+      },
 
       // the q108 oracle embeds the OPERATOR'S OWN regex constants
       // (single-quotes doubled for the SQL literal) — two-step tag→attr
