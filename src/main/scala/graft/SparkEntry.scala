@@ -546,6 +546,20 @@ object SparkEntry {
       |  - 0.1 * top_bigram_frac, 6) AS quality_score
       |  FROM qf LEFT JOIN lm ON qf.doc_id = lm.doc_id)""".stripMargin
 
+  /** The q50 AND q110 oracle: exact brute-force cosine top-k over ALL
+    * embeddings — q50 probes every cell of a fresh index and q110 probes
+    * every cell of a built-then-APPENDED index, and both operating points
+    * provably equal exhaustive search. */
+  private def bruteForceAnnSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+      |s AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cos_sim
+      |      FROM q, c WHERE q_id <> n_id),
+      |r AS (SELECT q_id, n_id, cos_sim,
+      |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS INT) AS rnk
+      |      FROM s)
+      |SELECT q_id, n_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin
+
   /** The q96 AND q104 oracle: the composed crawl front-end replayed as one
     * CTE chain over the shared boilerplate/url fixtures. */
   private def webPipelineSql: String =
@@ -926,6 +940,19 @@ object SparkEntry {
         recordIdCol = Some("rid"), gzip = true)
     }
 
+  /** The q110 index: built on 3/4 of the embeddings, the rest folded in by
+    * [[operators.Similarity.appendToIvfIndex]] — so the query's oracle
+    * equality (probe-all == brute force over ALL vectors) holds only if
+    * the append assigned every late vector to a scannable cell of the
+    * frozen-centroid layout. */
+  private def q110IndexPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("ivf_index_q110", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 4 =!= 1), path, nCells = 16)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 4 === 1), path)
+    }
+
   private[graft] def li(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).select(
       "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_suppkey",
@@ -1183,6 +1210,16 @@ object SparkEntry {
     "q50_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), queryIds = (0L until 10L), k = 5,
         nCells = 16, nProbe = 16)),
+
+    // continuous-ingest IVF: the index is built on 3/4 of the corpus and
+    // the last quarter APPENDED against the frozen persisted centroids;
+    // probing all cells must still equal brute force over the whole corpus
+    // (q50's equality trick) — the append provably loses no vector
+    "q110_ann_ivf_appended" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Similarity.ivfTopKFromIndex(s, q110IndexPath(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") < 10), k = 5, nProbe = 16)
+    }),
 
     // ---- training-data pipeline: text analysis ----------------------------
     "q27_text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
@@ -2191,15 +2228,11 @@ object SparkEntry {
 
       // full-probe IVF (nProbe = nCells) provably equals brute force — the
       // q25 oracle verbatim
-      "q50_ann_ivf" ->
-        """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
-          |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
-          |s AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cos_sim
-          |      FROM q, c WHERE q_id <> n_id),
-          |r AS (SELECT q_id, n_id, cos_sim,
-          |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS INT) AS rnk
-          |      FROM s)
-          |SELECT q_id, n_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+      "q50_ann_ivf" -> bruteForceAnnSql,
+
+      // the appended layout probes all cells, so the SAME brute-force
+      // oracle gates it — equality proves the append lost no vector
+      "q110_ann_ivf_appended" -> bruteForceAnnSql,
 
       "q27_text_stats" ->
         """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)

@@ -297,6 +297,36 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Fold a new batch of vectors into a [[writeIvfIndex]] layout — the IVF
+    * sibling of `Dedup.appendToMinHashIndex`, continuous ingest's missing
+    * half on the embedding side: batch N's vectors join the cells batch
+    * N+1 probes WITHOUT touching any existing row (per-append cost ∝
+    * batch, not corpus). Centroids are FROZEN — assignment uses the
+    * index's own persisted centroids, so a probe against the appended
+    * layout is equal BY CONSTRUCTION to a probe against a one-shot build
+    * that used the same centroids; an append never moves cells (re-train
+    * by rebuilding when distribution drift matters — the standard IVF
+    * operating posture). Idempotent: vec_ids already present skip via a
+    * driver-free anti-join on ids (never vectors); the batch materializes
+    * before the write because the append's anti-join reads the directory
+    * being appended to. */
+  def appendToIvfIndex(newEmb: DataFrame, path: String): Unit = {
+    val spark = newEmb.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cent_id"), col("cv"), norm(col("cv")).as("cn"))
+    val existing = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id").as("n_id")).distinct()
+    val batch = ivfCorpusSide(newEmb.dropDuplicates("vec_id"))
+      .join(existing, Seq("n_id"), "left_anti").persist()
+    try {
+      batch.count()
+      batch.join(assignCells(batch, cents), "n_id")
+        .select(col("n_id").as("vec_id"), col("nv").as("embedding"),
+          col("nn").as("vnorm"), col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    } finally { batch.unpersist(blocking = false); () }
+  }
+
   /** Probe a persisted [[writeIvfIndex]] index: rank centroids per query
     * (broadcast — KBs), collect the probed cell ids (≤ |queries|·nProbe,
     * driver-bounded like the hot-gram set), and scan ONLY those cell

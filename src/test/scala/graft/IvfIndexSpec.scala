@@ -43,4 +43,31 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(files < allCells,
       s"single-query nProbe=2 probe should read fewer than all $allCells cells, read $files")
   }
+
+  test("append: probe-all equals brute force over the union; re-append is idempotent") {
+    val emb = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toFile.getAbsolutePath
+    val base = emb.filter(col("vec_id") % 4 =!= 1)
+    val batch = emb.filter(col("vec_id") % 4 === 1)
+    Similarity.writeIvfIndex(base, dir, nCells = 16)
+    val baseRows = spark.read.parquet(s"$dir/cells").count()
+    Similarity.appendToIvfIndex(batch, dir)
+    val total = spark.read.parquet(s"$dir/cells").count()
+    assert(baseRows == base.count() && total == emb.count())
+
+    // probe-all over the appended layout == exhaustive search over the
+    // UNION — the append lost no vector and assigned each to a scannable
+    // cell of the frozen-centroid layout
+    val qids = 0L until 10L
+    val brute = Similarity.bruteForceTopK(emb, qids, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val probed = Similarity.ivfTopKFromIndex(spark, dir,
+      emb.filter(col("vec_id").isin(qids: _*)), k = 5, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(probed.nonEmpty && probed.toSeq == brute.toSeq)
+
+    // re-appending the same batch adds nothing (id-keyed anti-join)
+    Similarity.appendToIvfIndex(batch, dir)
+    assert(spark.read.parquet(s"$dir/cells").count() == total)
+  }
 }
