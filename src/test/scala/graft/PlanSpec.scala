@@ -372,4 +372,41 @@ class PlanSpec extends AnyFunSuite {
       s"rebuild must not explode per byte:\n${p90.linesIterator.filter(_.contains("Generate")).mkString("\n")}")
     assert(!p90.contains("CartesianProduct") && !p90.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("NFC normalization and page-meta extraction are pure map-side projections") {
+    for (q <- Seq("q107_nfc_normalize", "q108_page_meta")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle")
+      assert(!p.contains("Generate "), s"$q must not explode")
+    }
+  }
+
+  test("deterministic shuffle: one exchange on the shard key, shard-local window") {
+    val p = plan("q105_shuffle_shards")
+    assert("Exchange hashpartitioning\\(shard".r.findFirstIn(p).isDefined,
+      "the one shuffle must key on shard")
+    assert("Exchange".r.findAllIn(p).size == 1, "exactly one exchange")
+    // the window partitions by shard — a global (empty-partition) window
+    // would be the 100 TB killer this operator exists to avoid
+    assert("Window \\[.*shard".r.findFirstIn(p).isDefined, "window must partition by shard")
+  }
+
+  test("epoch mix: rates broadcast back, corpus never sort-merges, one explode") {
+    val p = plan("q106_epoch_mix")
+    assert(p.contains("BroadcastHashJoin"), "rates must broadcast")
+    assert(!p.contains("SortMergeJoin"), "the corpus must not sort-merge")
+    assert("(?m)^\\s*[+:]?-? *Generate ".r.findAllIn(p).size == 1,
+      "exactly one explode (the epoch sequence)")
+  }
+
+  test("language ID: gram ranking in-row (no gram aggregate), profiles broadcast") {
+    val p = plan("q28_lang_id")
+    // the doc's gram multiset must never be aggregated or windowed — the
+    // codegen'd CharGramRank collapses it in-row before the one explode
+    assert("(?m)Window \\[".r.findAllIn(p).size == 1,
+      "only the argmin window may exist (no per-doc rank window)")
+    assert(p.contains("char_gram_rank") || p.contains("chargramrank") ||
+      p.contains("CharGramRank"), s"codegen'd gram ranking missing:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"), "profile table must broadcast")
+  }
 }
