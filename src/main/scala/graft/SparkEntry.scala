@@ -1211,6 +1211,14 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, dir), queryIds = (0L until 10L), k = 5,
         nCells = 16, nProbe = 16)),
 
+    // product-quantized ANN (PQ/ADC): vectors compress to m one-byte codes
+    // against seeded sub-codebooks and queries rank by integer lookup-table
+    // sums — the memory-bound serving shape; the ENTIRE path (seeding,
+    // encode argmin, LUT, ADC top-k) replays in the SQL oracle exactly
+    "q111_ann_pq" -> ((s, dir) =>
+      Similarity.pqTopKSeeded(Tables.embeddings(s, dir), queryIds = (0L until 10L),
+        k = 5, m = 4, ksub = 16)),
+
     // continuous-ingest IVF: the index is built on 3/4 of the corpus and
     // the last quarter APPENDED against the frozen persisted centroids;
     // probing all cells must still equal brute force over the whole corpus
@@ -2233,6 +2241,41 @@ object SparkEntry {
       // the appended layout probes all cells, so the SAME brute-force
       // oracle gates it — equality proves the append lost no vector
       "q110_ann_ivf_appended" -> bruteForceAnnSql,
+
+      // full PQ replay: md5-seeded sub-codebooks, encode argmin, LUT, ADC
+      // integer sums — every distance in exact micro-units (round-6 then
+      // *1e6 BIGINT) so comparisons and the m-term sum are integer-exact
+      "q111_ann_pq" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |dims AS (SELECT len(v) // 4 AS dsub FROM e LIMIT 1),
+          |seeds AS (SELECT v, rn - 1 AS cid FROM (
+          |  SELECT v, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+          |  FROM e) WHERE rn <= 16),
+          |cb AS (SELECT sub, cid, v[sub*dsub+1 : sub*dsub+dsub] AS cv
+          |       FROM seeds CROSS JOIN dims, UNNEST(range(0, 4)) t(sub)),
+          |corp AS (SELECT vec_id AS n_id, sub, v[sub*dsub+1 : sub*dsub+dsub] AS nv
+          |         FROM e CROSS JOIN dims, UNNEST(range(0, 4)) t(sub)),
+          |cd AS (SELECT n_id, cd_sub.sub, cid, CAST(round(round(
+          |    list_inner_product(nv, nv) + list_inner_product(cv, cv)
+          |    - 2 * list_inner_product(nv, cv), 6) * 1e6, 0) AS BIGINT) AS d6
+          |  FROM corp cd_sub JOIN cb ON cd_sub.sub = cb.sub),
+          |codes AS (SELECT n_id, sub, cid AS code FROM (
+          |  SELECT n_id, sub, cid,
+          |         row_number() OVER (PARTITION BY n_id, sub ORDER BY d6, cid) AS rn
+          |  FROM cd) WHERE rn = 1),
+          |qs AS (SELECT vec_id AS q_id, sub, v[sub*dsub+1 : sub*dsub+dsub] AS qv
+          |       FROM e CROSS JOIN dims, UNNEST(range(0, 4)) t(sub) WHERE vec_id < 10),
+          |lut AS (SELECT q_id, qs.sub, cid, CAST(round(round(
+          |    list_inner_product(qv, qv) + list_inner_product(cv, cv)
+          |    - 2 * list_inner_product(qv, cv), 6) * 1e6, 0) AS BIGINT) AS qd6
+          |  FROM qs JOIN cb ON qs.sub = cb.sub),
+          |ad AS (SELECT q_id, n_id, CAST(sum(qd6) AS BIGINT) AS approx_dist_e6
+          |       FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
+          |       WHERE q_id <> n_id GROUP BY 1, 2),
+          |r AS (SELECT q_id, n_id, approx_dist_e6,
+          |      CAST(row_number() OVER (PARTITION BY q_id
+          |        ORDER BY approx_dist_e6, n_id) AS INT) AS rnk FROM ad)
+          |SELECT q_id, n_id, approx_dist_e6, rnk FROM r WHERE rnk <= 5""".stripMargin,
 
       "q27_text_stats" ->
         """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)

@@ -297,6 +297,76 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Product-quantized ANN (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search") — the memory-bound serving shape: each
+    * vector compresses to `m` one-byte codes (one per subspace, argmin-L2
+    * against a ksub-entry sub-codebook), and query distance is the
+    * ASYMMETRIC sum of per-subspace lookup-table entries — the corpus's
+    * floats are never touched at query time. At 100 TB this is the
+    * difference between scanning 256 GB of codes and 100 TB of vectors;
+    * compose with the IVF cells for IVF-PQ (coarse cell prune, then code
+    * scan inside probed cells).
+    *
+    * Codebooks here are SEEDED (the md5-ordered pick, one per subspace —
+    * the [[ivfTopK]] `lloydIterations = 0` posture): fully deterministic
+    * and engine-portable, so the ENTIRE path — codebook selection, encode
+    * argmin, LUT, ADC top-k — replays in SQL as an exact oracle. Lloyd
+    * refinement of sub-codebooks changes recall, not shape, and is pinned
+    * by the recall unit test instead.
+    *
+    * Determinism: all distances pass the repo float policy — round(·, 6)
+    * then scale to exact integer micro-units (`*1e6`, round, BIGINT), so
+    * every comparison, tie-break (cid / n_id asc), and the ADC SUM (m
+    * integer terms — associative, order-free) is integer-exact in both
+    * engines. Output: (q_id, n_id, approx_dist_e6, rnk).
+    *
+    * 100 TB shape: the codebook (m·ksub rows) broadcasts; encode is one
+    * broadcast join + map-side partial min_by, shuffling (n_id, sub,
+    * code)-sized rows only; ADC is a broadcast LUT join + an integer-sum
+    * aggregate that partial-aggregates map-side. Trailing dims when
+    * d % m != 0 are ignored identically on both sides (floor division). */
+  def pqTopKSeeded(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 4, ksub: Int = 16): DataFrame = {
+    require(m > 0 && ksub > 0 && k > 0, s"m, ksub, k must be positive, got $m, $ksub, $k")
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dsub = (size(col("v")) / m).cast("int")
+    val subSlice = (v: Column) => slice(v, col("sub") * dsub + 1, dsub)
+    // bounded global window: ksub codebook seeds, the q64-vocabulary posture
+    val seedW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__h"), col("vec_id"))
+    val codebook = broadcast(
+      e.withColumn("__h", md5(col("vec_id").cast("string")))
+        .withColumn("cid", row_number().over(seedW) - 1)
+        .filter(col("cid") < ksub)
+        .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+        .select(col("sub"), col("cid"), subSlice(col("v")).as("cv")))
+    // integer micro-unit L2²: dot-product decomposition so the oracle's
+    // list_inner_product spelling follows the same composition
+    val d6 = (a: Column, b: Column) =>
+      round(round(dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b), 6) * 1e6, 0).cast("long")
+    val corp = e.withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("vec_id").as("n_id"), col("sub"), subSlice(col("v")).as("nv"))
+    val codes = corp.join(codebook, "sub")
+      .withColumn("__d6", d6(col("nv"), col("cv")))
+      .groupBy("n_id", "sub")
+      .agg(min_by(col("cid"), struct(col("__d6"), col("cid"))).as("code"))
+    val lut = e.filter(col("vec_id").isin(queryIds: _*))
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("vec_id").as("q_id"), col("sub"), subSlice(col("v")).as("qv"))
+      .join(codebook, "sub")
+      .select(col("q_id"), col("sub"), col("cid"), d6(col("qv"), col("cv")).as("qd6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("approx_dist_e6"), col("n_id"))
+    codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id")
+      .agg(sum(col("qd6")).as("approx_dist_e6"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("approx_dist_e6"), col("rnk"))
+  }
+
   /** Fold a new batch of vectors into a [[writeIvfIndex]] layout — the IVF
     * sibling of `Dedup.appendToMinHashIndex`, continuous ingest's missing
     * half on the embedding side: batch N's vectors join the cells batch

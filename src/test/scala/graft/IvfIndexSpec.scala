@@ -70,4 +70,29 @@ class IvfIndexSpec extends AnyFunSuite {
     Similarity.appendToIvfIndex(batch, dir)
     assert(spark.read.parquet(s"$dir/cells").count() == total)
   }
+
+  test("PQ: deterministic, recovers every planted duplicate, exact-integer ordering") {
+    // the raw synthetic embeddings carry no neighborhood structure (max
+    // pairwise cosine 0.48 at sf0.001 — top-k there is noise, which no
+    // quantizer can rank), so recall is pinned on the derived fixture's
+    // PLANTED structure: an exact copy quantizes to the SAME m codes as
+    // its original, giving the minimal possible ADC distance — PQ must
+    // surface every planted twin
+    val emb = SparkEntry.derivedEmbeddings(spark, "/root/testdata/sf0.001")
+    val qids = (0L until 50L by 5) // originals whose +10M exact copies exist
+    def run() = Similarity.pqTopKSeeded(emb, qids, k = 5, m = 4, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val a = run()
+    assert(a.toSeq == run().toSeq, "PQ ranking must be run-deterministic")
+    assert(a.length == qids.size * 5)
+    val top = a.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    qids.foreach(q =>
+      assert(top(q).contains(q + 10000000L), s"query $q lost its planted twin"))
+    // ADC distances are integer micro-units: ties and sums are exact, so
+    // ranks within a query are strictly ordered by (dist, n_id)
+    a.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(t => (t._3, t._2)).toSeq == rows.map(t => (t._3, t._2)).sorted.toSeq)
+    }
+  }
 }
