@@ -27,6 +27,7 @@ import graft.functions._
   *  - `graft_dot(a, b)`                    → double vector dot product
   *  - `graft_hyperplane_sig(v, b, seed)`   → bigint hyperplane LSH signature
   *  - `graft_nfc(text)`                    → Unicode NFC normalization
+  *  - `graft_char_gram_rank(text, k)`      → rank-ordered top-k char grams
   *  - `graft_heavy_hitters(item, cap)`     → Misra-Gries frequent-items agg
   *  - `graft_percentile_disc(x, p)`        → reference-fidelity running
   *    DISCRETE_PERCENTILE aggregate (usable with OVER, like the reference's
@@ -126,6 +127,12 @@ object GraftExtensions {
     describe("graft_nfc",
       "graft_nfc(text string) - Unicode NFC normalization (ASCII/already-NFC pass through)",
       arity = 1) { args => NfcNormalize(args.head) },
+    describe("graft_char_gram_rank",
+      "graft_char_gram_rank(text string, k int) - top-k char 2+3-grams by " +
+        "(count desc, gram asc); position+1 is the Cavnar-Trenkle rank",
+      arity = 2) { args =>
+      CharGramRank(args.head, intArg("graft_char_gram_rank", "k", args(1)))
+    },
     describe("graft_heavy_hitters",
       "graft_heavy_hitters(item, capacity) - Misra-Gries frequent-items sketch " +
         "(array of (item, est) structs, est desc)",

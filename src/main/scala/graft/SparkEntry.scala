@@ -546,6 +546,42 @@ object SparkEntry {
       |  - 0.1 * top_bigram_frac, 6) AS quality_score
       |  FROM qf LEFT JOIN lm ON qf.doc_id = lm.doc_id)""".stripMargin
 
+  /** The q111 AND q112 oracle: the ENTIRE PQ path in SQL — md5-seeded
+    * sub-codebooks, encode argmin, per-query LUT, integer ADC top-k.
+    * q112 (IVF-PQ) probes every cell, so pruning is a no-op and the
+    * same replay gates the composition. */
+  private def pqAdcSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |dims AS (SELECT len(v) // 4 AS dsub FROM e LIMIT 1),
+          |seeds AS (SELECT v, rn - 1 AS cid FROM (
+          |  SELECT v, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+          |  FROM e) WHERE rn <= 16),
+          |cb AS (SELECT sub, cid, v[sub*dsub+1 : sub*dsub+dsub] AS cv
+          |       FROM seeds CROSS JOIN dims, UNNEST(range(0, 4)) t(sub)),
+          |corp AS (SELECT vec_id AS n_id, sub, v[sub*dsub+1 : sub*dsub+dsub] AS nv
+          |         FROM e CROSS JOIN dims, UNNEST(range(0, 4)) t(sub)),
+          |cd AS (SELECT n_id, cd_sub.sub, cid, CAST(round(round(
+          |    list_inner_product(nv, nv) + list_inner_product(cv, cv)
+          |    - 2 * list_inner_product(nv, cv), 6) * 1e6, 0) AS BIGINT) AS d6
+          |  FROM corp cd_sub JOIN cb ON cd_sub.sub = cb.sub),
+          |codes AS (SELECT n_id, sub, cid AS code FROM (
+          |  SELECT n_id, sub, cid,
+          |         row_number() OVER (PARTITION BY n_id, sub ORDER BY d6, cid) AS rn
+          |  FROM cd) WHERE rn = 1),
+          |qs AS (SELECT vec_id AS q_id, sub, v[sub*dsub+1 : sub*dsub+dsub] AS qv
+          |       FROM e CROSS JOIN dims, UNNEST(range(0, 4)) t(sub) WHERE vec_id < 10),
+          |lut AS (SELECT q_id, qs.sub, cid, CAST(round(round(
+          |    list_inner_product(qv, qv) + list_inner_product(cv, cv)
+          |    - 2 * list_inner_product(qv, cv), 6) * 1e6, 0) AS BIGINT) AS qd6
+          |  FROM qs JOIN cb ON qs.sub = cb.sub),
+          |ad AS (SELECT q_id, n_id, CAST(sum(qd6) AS BIGINT) AS approx_dist_e6
+          |       FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
+          |       WHERE q_id <> n_id GROUP BY 1, 2),
+          |r AS (SELECT q_id, n_id, approx_dist_e6,
+          |      CAST(row_number() OVER (PARTITION BY q_id
+          |        ORDER BY approx_dist_e6, n_id) AS INT) AS rnk FROM ad)
+          |SELECT q_id, n_id, approx_dist_e6, rnk FROM r WHERE rnk <= 5""".stripMargin
+
   /** The q50 AND q110 oracle: exact brute-force cosine top-k over ALL
     * embeddings — q50 probes every cell of a fresh index and q110 probes
     * every cell of a built-then-APPENDED index, and both operating points
@@ -1218,6 +1254,13 @@ object SparkEntry {
     "q111_ann_pq" -> ((s, dir) =>
       Similarity.pqTopKSeeded(Tables.embeddings(s, dir), queryIds = (0L until 10L),
         k = 5, m = 4, ksub = 16)),
+
+    // IVF-PQ — the production composition: coarse cells bound the I/O,
+    // one-byte codes bound the memory; at nProbe = nCells it provably
+    // degenerates to plain PQ, so q111's full-replay oracle gates it
+    "q112_ann_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopKSeeded(Tables.embeddings(s, dir), queryIds = (0L until 10L),
+        k = 5, nCells = 16, nProbe = 16, m = 4, ksub = 16)),
 
     // continuous-ingest IVF: the index is built on 3/4 of the corpus and
     // the last quarter APPENDED against the frozen persisted centroids;
@@ -2245,37 +2288,12 @@ object SparkEntry {
       // full PQ replay: md5-seeded sub-codebooks, encode argmin, LUT, ADC
       // integer sums — every distance in exact micro-units (round-6 then
       // *1e6 BIGINT) so comparisons and the m-term sum are integer-exact
-      "q111_ann_pq" ->
-        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          |dims AS (SELECT len(v) // 4 AS dsub FROM e LIMIT 1),
-          |seeds AS (SELECT v, rn - 1 AS cid FROM (
-          |  SELECT v, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
-          |  FROM e) WHERE rn <= 16),
-          |cb AS (SELECT sub, cid, v[sub*dsub+1 : sub*dsub+dsub] AS cv
-          |       FROM seeds CROSS JOIN dims, UNNEST(range(0, 4)) t(sub)),
-          |corp AS (SELECT vec_id AS n_id, sub, v[sub*dsub+1 : sub*dsub+dsub] AS nv
-          |         FROM e CROSS JOIN dims, UNNEST(range(0, 4)) t(sub)),
-          |cd AS (SELECT n_id, cd_sub.sub, cid, CAST(round(round(
-          |    list_inner_product(nv, nv) + list_inner_product(cv, cv)
-          |    - 2 * list_inner_product(nv, cv), 6) * 1e6, 0) AS BIGINT) AS d6
-          |  FROM corp cd_sub JOIN cb ON cd_sub.sub = cb.sub),
-          |codes AS (SELECT n_id, sub, cid AS code FROM (
-          |  SELECT n_id, sub, cid,
-          |         row_number() OVER (PARTITION BY n_id, sub ORDER BY d6, cid) AS rn
-          |  FROM cd) WHERE rn = 1),
-          |qs AS (SELECT vec_id AS q_id, sub, v[sub*dsub+1 : sub*dsub+dsub] AS qv
-          |       FROM e CROSS JOIN dims, UNNEST(range(0, 4)) t(sub) WHERE vec_id < 10),
-          |lut AS (SELECT q_id, qs.sub, cid, CAST(round(round(
-          |    list_inner_product(qv, qv) + list_inner_product(cv, cv)
-          |    - 2 * list_inner_product(qv, cv), 6) * 1e6, 0) AS BIGINT) AS qd6
-          |  FROM qs JOIN cb ON qs.sub = cb.sub),
-          |ad AS (SELECT q_id, n_id, CAST(sum(qd6) AS BIGINT) AS approx_dist_e6
-          |       FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
-          |       WHERE q_id <> n_id GROUP BY 1, 2),
-          |r AS (SELECT q_id, n_id, approx_dist_e6,
-          |      CAST(row_number() OVER (PARTITION BY q_id
-          |        ORDER BY approx_dist_e6, n_id) AS INT) AS rnk FROM ad)
-          |SELECT q_id, n_id, approx_dist_e6, rnk FROM r WHERE rnk <= 5""".stripMargin,
+      "q111_ann_pq" -> pqAdcSql,
+
+      // IVF-PQ probes every cell in q112, so candidate pruning is a no-op
+      // by construction and the SAME full-replay PQ oracle gates it — the
+      // composition provably adds no scoring error at this operating point
+      "q112_ann_ivfpq" -> pqAdcSql,
 
       "q27_text_stats" ->
         """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)

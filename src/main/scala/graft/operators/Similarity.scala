@@ -325,46 +325,114 @@ object Similarity {
     * code)-sized rows only; ADC is a broadcast LUT join + an integer-sum
     * aggregate that partial-aggregates map-side. Trailing dims when
     * d % m != 0 are ignored identically on both sides (floor division). */
-  def pqTopKSeeded(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      m: Int = 4, ksub: Int = 16): DataFrame = {
-    require(m > 0 && ksub > 0 && k > 0, s"m, ksub, k must be positive, got $m, $ksub, $k")
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val dsub = (size(col("v")) / m).cast("int")
-    val subSlice = (v: Column) => slice(v, col("sub") * dsub + 1, dsub)
-    // bounded global window: ksub codebook seeds, the q64-vocabulary posture
+  private def pqCast(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  private def pqSubSlice(m: Int)(v: Column): Column = {
+    val dsub = (size(v) / m).cast("int")
+    slice(v, col("sub") * dsub + 1, dsub)
+  }
+
+  /** Integer micro-unit L2²: dot-product decomposition so the oracle's
+    * list_inner_product spelling follows the same composition. */
+  private def pqD6(a: Column, b: Column): Column =
+    round(round(dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b), 6) * 1e6, 0).cast("long")
+
+  /** md5-seeded sub-codebooks: (sub, cid, cv). Bounded global window —
+    * ksub codebook seeds, the q64-vocabulary posture. */
+  private def pqCodebookDf(e: DataFrame, m: Int, ksub: Int): DataFrame = {
     val seedW = org.apache.spark.sql.expressions.Window
       .orderBy(col("__h"), col("vec_id"))
-    val codebook = broadcast(
+    broadcast(
       e.withColumn("__h", md5(col("vec_id").cast("string")))
         .withColumn("cid", row_number().over(seedW) - 1)
         .filter(col("cid") < ksub)
         .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
-        .select(col("sub"), col("cid"), subSlice(col("v")).as("cv")))
-    // integer micro-unit L2²: dot-product decomposition so the oracle's
-    // list_inner_product spelling follows the same composition
-    val d6 = (a: Column, b: Column) =>
-      round(round(dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b), 6) * 1e6, 0).cast("long")
-    val corp = e.withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
-      .select(col("vec_id").as("n_id"), col("sub"), subSlice(col("v")).as("nv"))
-    val codes = corp.join(codebook, "sub")
-      .withColumn("__d6", d6(col("nv"), col("cv")))
+        .select(col("sub"), col("cid"), pqSubSlice(m)(col("v")).as("cv")))
+  }
+
+  /** PQ encode: (n_id, sub, code) — argmin-L2 per subspace, map-side
+    * partial min_by. */
+  private def pqCodesDf(e: DataFrame, codebook: DataFrame, m: Int): DataFrame =
+    e.withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("vec_id").as("n_id"), col("sub"), pqSubSlice(m)(col("v")).as("nv"))
+      .join(codebook, "sub")
+      .withColumn("__d6", pqD6(col("nv"), col("cv")))
       .groupBy("n_id", "sub")
       .agg(min_by(col("cid"), struct(col("__d6"), col("cid"))).as("code"))
-    val lut = e.filter(col("vec_id").isin(queryIds: _*))
-      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
-      .select(col("vec_id").as("q_id"), col("sub"), subSlice(col("v")).as("qv"))
+
+  /** Per-query ADC lookup table: (q_id, sub, cid, qd6). */
+  private def pqLutDf(eq: DataFrame, codebook: DataFrame, m: Int): DataFrame =
+    eq.withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("vec_id").as("q_id"), col("sub"), pqSubSlice(m)(col("v")).as("qv"))
       .join(codebook, "sub")
-      .select(col("q_id"), col("sub"), col("cid"), d6(col("qv"), col("cv")).as("qd6"))
+      .select(col("q_id"), col("sub"), col("cid"), pqD6(col("qv"), col("cv")).as("qd6"))
+
+  private def pqRank(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("approx_dist_e6"), col("n_id"))
-    codes.join(broadcast(lut),
-        codes("sub") === lut("sub") && codes("code") === lut("cid"))
-      .filter(col("q_id") =!= col("n_id"))
-      .groupBy("q_id", "n_id")
-      .agg(sum(col("qd6")).as("approx_dist_e6"))
+    scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("approx_dist_e6"), col("rnk"))
+  }
+
+  def pqTopKSeeded(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 4, ksub: Int = 16): DataFrame = {
+    require(m > 0 && ksub > 0 && k > 0, s"m, ksub, k must be positive, got $m, $ksub, $k")
+    val e = pqCast(emb)
+    val codebook = pqCodebookDf(e, m, ksub)
+    val codes = pqCodesDf(e, codebook, m)
+    val lut = pqLutDf(e.filter(col("vec_id").isin(queryIds: _*)), codebook, m)
+    pqRank(
+      codes.join(broadcast(lut),
+          codes("sub") === lut("sub") && codes("code") === lut("cid"))
+        .filter(col("q_id") =!= col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(sum(col("qd6")).as("approx_dist_e6")), k)
+  }
+
+  /** IVF-PQ — the production composition: the IVF coarse quantizer prunes
+    * the corpus to the nProbe cells nearest each query, then [[pqTopKSeeded]]'s
+    * integer ADC ranks only the code rows inside those cells. At 100 TB the
+    * cells bound the I/O (partition pruning) and the codes bound the memory
+    * (m bytes/vector) — the two levers compose, neither touches corpus
+    * floats at query time. nProbe = nCells provably degenerates to plain PQ
+    * over the whole corpus (every cell probed → every candidate scored →
+    * q111's oracle gates this operating point too); recall at nProbe ≪
+    * nCells is pinned by the unit suite, including the invariant that an
+    * exact duplicate always lands in the same cell as its original and so
+    * is NEVER pruned away at any nProbe ≥ 1. */
+  def ivfPqTopKSeeded(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 4, ksub: Int = 16): DataFrame = {
+    require(nCells > 0 && nProbe > 0, s"nCells, nProbe must be positive, got $nCells, $nProbe")
+    val e = pqCast(emb)
+    val cents = seededCentroids(emb, nCells)
+    val cellOf = assignCells(ivfCorpusSide(emb), cents)
+    val codebook = pqCodebookDf(e, m, ksub)
+    val codes = pqCodesDf(e, codebook, m)
+    // coarse probe: nProbe nearest centroids per query, ivfTopKFromIndex's
+    // exact ranking rule
+    val q = withNorm(emb.filter(col("vec_id").isin(queryIds: _*)), "2")
+      .select(col("id2").as("q_id"), col("v2").as("qv"), col("n2").as("qn"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("pcos").desc, col("cent_id").desc)
+    val probes = q.join(broadcast(cents))
+      .withColumn("pcos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("cent_id").as("cell"))
+    val lut = pqLutDf(e.filter(col("vec_id").isin(queryIds: _*)), codebook, m)
+      .withColumnRenamed("q_id", "lq_id").withColumnRenamed("sub", "lsub")
+    val cand = codes.join(cellOf.select(col("n_id"), col("cell")), "n_id")
+      .join(broadcast(probes), "cell")
+    pqRank(
+      cand.join(broadcast(lut),
+          cand("q_id") === lut("lq_id") && cand("sub") === lut("lsub") &&
+            cand("code") === lut("cid"))
+        .filter(col("q_id") =!= col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(sum(col("qd6")).as("approx_dist_e6")), k)
   }
 
   /** Fold a new batch of vectors into a [[writeIvfIndex]] layout — the IVF

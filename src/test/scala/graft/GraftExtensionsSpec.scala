@@ -63,6 +63,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_nfc and graft_char_gram_rank run from SQL and match the kernels") {
+    withRegistered {
+      import spark.implicits._
+      val docs = Seq((1L, "caf\u00e9 plain"), (2L, "aa ab aa ab aa"))
+        .toDF("doc_id", "text")
+      docs.createOrReplaceTempView("ext_nfc_docs")
+      val rows = spark.sql(
+        """SELECT doc_id, graft_nfc(text) AS t, graft_char_gram_rank(text, 3) AS g
+          |FROM ext_nfc_docs""".stripMargin).orderBy("doc_id").collect()
+      assert(rows(0).getString(1) == "caf\u00e9 plain")
+      assert(rows(1).getSeq[String](2) ==
+        functions.CharGramRank.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString("aa ab aa ab aa"), 3)
+          .array.map(_.toString).toSeq)
+    }
+  }
+
   test("vector SQL functions match the Column API kernels") {
     withRegistered {
       import spark.implicits._

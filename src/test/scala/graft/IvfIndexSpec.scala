@@ -95,4 +95,27 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(sorted.map(t => (t._3, t._2)).toSeq == rows.map(t => (t._3, t._2)).sorted.toSeq)
     }
   }
+
+  test("IVF-PQ: probe-all degenerates to plain PQ; pruning never loses a planted twin") {
+    val emb = SparkEntry.derivedEmbeddings(spark, "/root/testdata/sf0.001")
+    val qids = (0L until 50L by 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted.toSeq
+    // nProbe = nCells: every cell probed → every candidate scored → the
+    // composition is provably plain PQ, bit-for-bit
+    val plain = rows(Similarity.pqTopKSeeded(emb, qids, k = 5, m = 4, ksub = 16))
+    val all = rows(Similarity.ivfPqTopKSeeded(emb, qids, k = 5,
+      nCells = 16, nProbe = 16, m = 4, ksub = 16))
+    assert(all.nonEmpty && all == plain, "probe-all IVF-PQ must equal plain PQ exactly")
+    // nProbe ≪ nCells: an exact copy lands in the SAME cell as its original
+    // (identical vector → identical centroid argmax), and the original's own
+    // cell is always among its probes (cos(q, cell(q)) is maximal), so the
+    // planted twin is never pruned at any nProbe ≥ 1
+    val pruned = Similarity.ivfPqTopKSeeded(emb, qids, k = 5,
+      nCells = 16, nProbe = 2, m = 4, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val top = pruned.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    qids.foreach(q =>
+      assert(top(q).contains(q + 10000000L), s"nProbe=2 pruned query $q's planted twin"))
+  }
 }
