@@ -813,6 +813,85 @@ object SparkEntry {
       |'</body></html>' AS html
       |FROM documents""".stripMargin
 
+  /** Derived LINKED-page fixture for the domain link graph (q113): each doc
+    * becomes a page on `www.site{doc_id%97}.com` whose anchors are planted
+    * deterministically — an absolute link to site `(3·doc_id+1)%97` always;
+    * a MIXED-CASE `<A HREF="HTTPS://...">` link to site `(5·doc_id+2)%97`
+    * on even docs (case-folding must land it on the same domain key); a
+    * relative link, and a `mailto:` (both must NOT extract); on every third
+    * doc a DUPLICATE of the first link (edge `distinct` must collapse it)
+    * and a SELF-link to the page's own domain (self-loop removal). Both
+    * planted maps are bijections mod 97 sharing the fixed point 48, so
+    * site48's links are all self-loops — a genuinely dangling domain the
+    * PageRank dangling contract is exercised by. Pure ASCII `||` of
+    * literals + `CAST`, derives bit-for-bit in both engines. */
+  private[graft] def linkedHtmlDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val site = (k: Column) => concat(lit("www.site"), k.cast("string"), lit(".com"))
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(lit("http://"), site(col("doc_id") % 97),
+        lit("/p/"), col("doc_id").cast("string")).as("url"),
+      concat(
+        lit("<html><body><p>"), col("text"), lit("</p>"),
+        lit("<a href=\"http://"), site((col("doc_id") * 3 + 1) % 97),
+        lit("/a\">first</a>"),
+        lit(" <a href=\"/local\">rel</a> <a href=\"mailto:x@example.com\">mail</a>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<A HREF=\"HTTPS://WWW.Site"),
+            ((col("doc_id") * 5 + 2) % 97).cast("string"),
+            lit(".COM/b?x=1\">second</A>"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<a href=\"http://"), site((col("doc_id") * 3 + 1) % 97),
+            lit("/a\">dup</a><a href=\"http://"), site(col("doc_id") % 97),
+            lit("/self\">self</a>"))).otherwise(lit("")),
+        lit("</body></html>")).as("html"))
+  }
+
+  /** The q113 oracle's copy of [[linkedHtmlDocuments]]'s construction. */
+  private def linkedHtmlFixtureSql: String =
+    """SELECT doc_id,
+      |'http://www.site' || CAST(doc_id % 97 AS VARCHAR) || '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+      |'<html><body><p>' || text || '</p>' ||
+      |'<a href="http://www.site' || CAST((doc_id * 3 + 1) % 97 AS VARCHAR) || '.com/a">first</a>' ||
+      |' <a href="/local">rel</a> <a href="mailto:x@example.com">mail</a>' ||
+      |CASE WHEN doc_id % 2 = 0 THEN '<A HREF="HTTPS://WWW.Site' || CAST((doc_id * 5 + 2) % 97 AS VARCHAR) || '.COM/b?x=1">second</A>' ELSE '' END ||
+      |CASE WHEN doc_id % 3 = 0 THEN '<a href="http://www.site' || CAST((doc_id * 3 + 1) % 97 AS VARCHAR) || '.com/a">dup</a><a href="http://www.site' || CAST(doc_id % 97 AS VARCHAR) || '.com/self">self</a>' ELSE '' END ||
+      |'</body></html>' AS html
+      |FROM documents""".stripMargin
+
+  /** The q113 oracle: extraction → domain edges → the SAME integer-exact
+    * PageRank update [[operators.LinkGraph.pageRank]] runs, unrolled one
+    * CTE per iteration (`//` is DuckDB integer division = Spark's `div`
+    * on these all-positive operands), so every rank replays bit-for-bit
+    * with zero pinned state. */
+  private def pageRankSql(iterations: Int, dampingPct: Int): String = {
+    val base = (100L - dampingPct) * 10000L
+    val hostEx = (c: String) =>
+      s"lower(regexp_extract($c, '${operators.UrlOps.bareHostRe}', 1))"
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (SELECT n.domain, CAST($base + ($dampingPct * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_e6
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst_domain AS domain, SUM(p.rank_e6 // o.outdeg) AS s
+         |    FROM edges e JOIN r${i - 1} p ON e.src_domain = p.domain
+         |    JOIN outd o ON o.src_domain = e.src_domain GROUP BY 1) c
+         |  ON n.domain = c.domain)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pages AS ($linkedHtmlFixtureSql),
+       |links AS (SELECT url, unnest(regexp_extract_all(html,
+       |  '${operators.LinkGraph.absAnchorHrefRe}', 1)) AS href FROM pages),
+       |edges AS (SELECT DISTINCT src_domain, dst_domain FROM (
+       |  SELECT ${hostEx("url")} AS src_domain, ${hostEx("href")} AS dst_domain
+       |  FROM links)
+       |  WHERE src_domain <> dst_domain AND src_domain <> '' AND dst_domain <> ''),
+       |outd AS (SELECT src_domain, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT domain FROM (
+       |  SELECT src_domain AS domain FROM edges
+       |  UNION ALL SELECT dst_domain FROM edges)),
+       |r0 AS (SELECT domain, CAST(1000000 AS BIGINT) AS rank_e6 FROM nodes),
+       |$iters
+       |SELECT domain, rank_e6 FROM r$iterations""".stripMargin
+  }
+
   /** The q92 oracle's entity-decode chain, generated from the SAME pairs
     * [[operators.Boilerplate.entities]] applies (order included — `&amp;`
     * last), so the two engines cannot drift. */
@@ -1254,6 +1333,15 @@ object SparkEntry {
     "q111_ann_pq" -> ((s, dir) =>
       Similarity.pqTopKSeeded(Tables.embeddings(s, dir), queryIds = (0L until 10L),
         k = 5, m = 4, ksub = 16)),
+
+    // domain-authority from the crawl's own hyperlink graph: absolute-href
+    // extraction → distinct domain edges → 5 integer-exact PageRank rounds
+    "q113_domain_pagerank" -> ((s, dir) => {
+      val pages = linkedHtmlDocuments(s, dir)
+      val edges = operators.LinkGraph.domainEdges(
+        operators.LinkGraph.extractOutlinks(pages))
+      operators.LinkGraph.pageRank(edges, iterations = 5, dampingPct = 85)
+    }),
 
     // IVF-PQ — the production composition: coarse cells bound the I/O,
     // one-byte codes bound the memory; at nProbe = nCells it provably
@@ -2289,6 +2377,8 @@ object SparkEntry {
       // integer sums — every distance in exact micro-units (round-6 then
       // *1e6 BIGINT) so comparisons and the m-term sum are integer-exact
       "q111_ann_pq" -> pqAdcSql,
+
+      "q113_domain_pagerank" -> pageRankSql(iterations = 5, dampingPct = 85),
 
       // IVF-PQ probes every cell in q112, so candidate pruning is a no-op
       // by construction and the SAME full-replay PQ oracle gates it — the

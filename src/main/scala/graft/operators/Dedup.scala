@@ -396,7 +396,7 @@ object Dedup {
     * maxIterations label snapshots pile up until driver GC gets around to
     * them. Best-effort: falls through silently if the plan isn't the
     * expected LogicalRDD leaf. */
-  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+  private[operators] def releaseLocalCheckpoint(df: DataFrame): Unit =
     try df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()

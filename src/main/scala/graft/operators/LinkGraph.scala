@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph operators — the domain-authority signal a crawl-curation
+  * pipeline derives from the crawl itself (Common Crawl publishes exactly
+  * this: host/domain-level rank from the hyperlink graph; quality filters
+  * and crawl frontiers consume it alongside the content-side scores):
+  *
+  *  - OUTLINK EXTRACTION: every absolute http(s) anchor target on a page.
+  *    One codegen'd regexp_extract_all + explode — no UDF, no shuffle;
+  *    at 100 TB this is the map-side pass over raw pages that feeds the
+  *    (vastly smaller) edge aggregation. Relative links, `mailto:`, and
+  *    `javascript:` targets never match by construction of the pattern.
+  *  - DOMAIN EDGES: distinct (src_domain, dst_domain) pairs, self-loops
+  *    dropped. The shuffle carries two short host strings per link — page
+  *    text/html never leaves the map side, and `distinct` collapses the
+  *    per-page fan-out map-side (partial aggregate) before the exchange.
+  *  - PAGERANK: fixed-iteration power method over the domain edge list —
+  *    the classic damped formulation (Page et al. 1999, unnormalized:
+  *    every node starts at 1, r' = (1-d) + d·Σ r(u)/out(u)) computed
+  *    ENTIRELY in integer micro-units (rank ×1e6 as BIGINT, `div` for
+  *    every division) so each iteration is bit-exact and summation-order
+  *    free in any engine — the same policy as the PQ ADC distances.
+  *    Dangling domains (no surviving out-edges) keep receiving rank but
+  *    contribute none — the standard simplified variant; at domain
+  *    granularity the dangling mass is small and the RANKING is what
+  *    downstream consumes.
+  *
+  * 100 TB shape: each iteration is one shuffle-on-src join (edges ⋈ ranks
+  * ⋈ outdegree) plus one aggregate-on-dst — both partial-aggregate
+  * map-side; the iterate is (domain, long) pairs, millions of rows where
+  * the corpus has billions of pages. The edge list and the iterate are
+  * localCheckpoint'ed (the `Dedup.connectedComponents` posture), so the
+  * page-scale extraction runs exactly one job however many rounds follow.
+  * Skew: a mega-hub domain concentrates its IN-edges on one reducer key,
+  * but the aggregated payload per key is one long — the hot key costs a
+  * merge of partial sums, not a data pileup.
+  */
+object LinkGraph {
+
+  /** Absolute http(s) anchor-target pattern, Java ∩ RE2 (inline `(?is)`
+    * flags, no lookaround, no capture-group replacement): `<a ... href="
+    * http(s)://...">` in any case, group 1 = the URL up to the closing
+    * quote. Single-step (tag + attribute together) is safe here because
+    * only `href` is wanted and only in its quoted absolute form — the
+    * two-step tag-then-attribute dance `Boilerplate.extractPageMeta` does
+    * is for attribute-order independence among MULTIPLE attributes. */
+  private[graft] val absAnchorHrefRe: String =
+    """(?is)<a\b[^>]*\bhref\s*=\s*"(https?://[^"]*)""""
+
+  /** One row per absolute-href anchor: (idCol, urlCol, href). */
+  def extractOutlinks(pages: DataFrame, idCol: String = "doc_id",
+      urlCol: String = "url", htmlCol: String = "html"): DataFrame =
+    pages.select(col(idCol), col(urlCol),
+      explode(regexp_extract_all(coalesce(col(htmlCol), lit("")),
+        lit(absAnchorHrefRe), lit(1))).as("href"))
+
+  /** Distinct domain→domain edges from an outlink table; self-loops and
+    * unparseable (empty) hosts dropped. */
+  def domainEdges(links: DataFrame, srcUrlCol: String = "url",
+      dstUrlCol: String = "href"): DataFrame =
+    links.select(UrlOps.domainOf(col(srcUrlCol)).as("src_domain"),
+        UrlOps.domainOf(col(dstUrlCol)).as("dst_domain"))
+      .filter(col("src_domain") =!= col("dst_domain") &&
+        col("src_domain") =!= "" && col("dst_domain") =!= "")
+      .distinct()
+
+  /** Fixed-iteration integer-exact PageRank; returns (domain, rank_e6)
+    * with rank in micro-units. `dampingPct` is the damping factor in
+    * percent (85 = the canonical 0.85) so the update rule
+    * `(100-dampingPct)·10⁴ + (dampingPct·Σ⌊r/out⌋) div 100` never leaves
+    * BIGINT arithmetic.
+    *
+    * The edge list, outdegrees, node set, and each round's iterate are
+    * `localCheckpoint`ed — the [[Dedup.connectedComponents]] posture: a
+    * lazy iterate would nest the upstream plan per round (measured: a
+    * 5-iteration lazy build re-planned the html extraction 22×), while the
+    * leaf makes the extraction pipeline run exactly ONE job and each round
+    * join leaf-sized (domain, long) tables. Superseded snapshots are
+    * released eagerly; the returned frame is its own leaf. */
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+      dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0, 100], got $dampingPct")
+    val base = (100L - dampingPct) * 10000L
+    val e = edges.select(col("src_domain").as("u"), col("dst_domain").as("v"))
+      .localCheckpoint()
+    val outd = e.groupBy("u").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val nodes = e.select(col("u").as("domain"))
+      .union(e.select(col("v").as("domain"))).distinct().localCheckpoint()
+    var ranks = nodes.select(col("domain"), lit(1000000L).as("rank_e6"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      // distinct names per role so every join reference resolves uniquely
+      val prev = ranks.select(col("domain").as("pr_domain"),
+        col("rank_e6").as("pr_rank"))
+      val contrib = e.join(prev, col("u") === col("pr_domain"))
+        .join(outd, "u")
+        .select(col("v"), expr("pr_rank div outdeg").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("s"))
+        .select(col("v").as("c_domain"), col("s"))
+      val next = nodes.join(contrib, col("domain") === col("c_domain"), "left")
+        .select(col("domain"),
+          expr(s"CAST($base AS BIGINT) + (CAST($dampingPct AS BIGINT) * " +
+            "coalesce(s, CAST(0 AS BIGINT))) div 100").as("rank_e6"))
+        .localCheckpoint()
+      Dedup.releaseLocalCheckpoint(ranks)
+      ranks = next
+    }
+    // the result is its own leaf — the working tables' storage can go now
+    Seq(e, outd, nodes).foreach(Dedup.releaseLocalCheckpoint)
+    ranks
+  }
+}

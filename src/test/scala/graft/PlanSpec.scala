@@ -399,6 +399,26 @@ class PlanSpec extends AnyFunSuite {
       "exactly one explode (the epoch sequence)")
   }
 
+  test("pagerank feeder: one explode, edge shuffles key on domains, no cartesian") {
+    // q113's returned frame is a checkpoint leaf (the iterate materializes
+    // per round), so the pin targets the page-scale feeder pipeline — the
+    // part whose plan must stay map-side until the edge distinct
+    val pages = SparkEntry.linkedHtmlDocuments(spark, dir)
+    val edges = graft.operators.LinkGraph.domainEdges(
+      graft.operators.LinkGraph.extractOutlinks(pages))
+    val p = edges.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // every exchange keys on the domain pair — html/text never shuffle
+    val keys = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toSeq
+    assert(keys.nonEmpty && keys.forall(k => !k.contains("html") && !k.contains("text")),
+      s"an exchange keys on page content:\n${keys.mkString("\n")}")
+    assert("(?m)^\\s*[+:|\\- ]*Generate ".r.findAllIn(p).size == 1,
+      "exactly one explode (the href extraction)")
+    // the distinct partial-aggregates below its exchange (map-side collapse)
+    assert("HashAggregate\\(keys=\\[src_domain[^\\]]*\\]".r.findAllIn(p).size >= 2,
+      "edge distinct must partial-aggregate map-side")
+  }
+
   test("language ID: gram ranking in-row (no gram aggregate), profiles broadcast") {
     val p = plan("q28_lang_id")
     // the doc's gram multiset must never be aggregated or windowed — the
