@@ -717,6 +717,26 @@ object SparkEntry {
     * candidates → verify → anti-join core, so ONE exact batch×corpus
     * Jaccard oracle covers both — and the gate proves the persisted
     * layout loses nothing vs recomputing the corpus side. */
+  /** The q67 AND q114 oracle: in-batch first-id-wins + corpus hash
+    * anti-join. q114's Bloom gate is a pure pruning lever (no false
+    * negatives; false positives die in the exact verify), so both paths
+    * provably produce this result. */
+  private def incrementalDedupSql: String =
+    """WITH batch AS (
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         text || ' fresh ' || CAST(doc_id AS VARCHAR) AS text
+      |  FROM documents WHERE doc_id % 4 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text || ' fresh ' || CAST(doc_id AS VARCHAR)
+      |  FROM documents WHERE doc_id % 4 = 1),
+      |firsts AS (SELECT doc_id, text,
+      |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM batch)
+      |SELECT doc_id, text FROM firsts
+      |WHERE rn = 1
+      |  AND NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = firsts.text)""".stripMargin
+
   private def nearDupIncrementalSql: String =
     """WITH batch AS (
       |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
@@ -1911,6 +1931,14 @@ object SparkEntry {
     "q67_dedup_incremental" -> ((s, dir) =>
       Dedup.dedupAgainstCorpus(incrementalBatch(s, dir), Tables.documents(s, dir))),
 
+    // Bloom-gated incremental dedup: the corpus compresses to a Bloom
+    // filter; only might_contain rows pay the anti-join, and the exact
+    // verify removes the false positives — output provably identical to
+    // q67, which is why it earns the same oracle
+    "q114_dedup_bloom_gated" -> ((s, dir) =>
+      Dedup.bloomGatedDedupAgainstCorpus(incrementalBatch(s, dir),
+        Tables.documents(s, dir))),
+
     // incremental NEAR-dup dedup (LSH candidates → exact-Jaccard verify,
     // batch × corpus): exact copies (j=1.0) and doubled texts (j≈0.93 vs
     // their source) drop; x-suffixed docs share ZERO grams with the corpus
@@ -2596,20 +2624,13 @@ object SparkEntry {
       // batch derivation mirrors incrementalBatch; survivors = in-batch
       // first-id-per-text AND text not present in the corpus
       "q67_dedup_incremental" ->
-        """WITH batch AS (
-          |  SELECT doc_id + 1000000 AS doc_id,
-          |         text || ' fresh ' || CAST(doc_id AS VARCHAR) AS text
-          |  FROM documents WHERE doc_id % 4 = 1
-          |  UNION ALL
-          |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0
-          |  UNION ALL
-          |  SELECT doc_id + 3000000, text || ' fresh ' || CAST(doc_id AS VARCHAR)
-          |  FROM documents WHERE doc_id % 4 = 1),
-          |firsts AS (SELECT doc_id, text,
-          |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM batch)
-          |SELECT doc_id, text FROM firsts
-          |WHERE rn = 1
-          |  AND NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = firsts.text)""".stripMargin,
+        incrementalDedupSql,
+
+      // the Bloom gate is a pure pruning lever (no false negatives; false
+      // positives die in the exact verify), so the output is provably q67's
+      // and the SAME oracle gates it
+      "q114_dedup_bloom_gated" ->
+        incrementalDedupSql,
 
       // ground truth = EXACT batch×corpus Jaccard screen (no LSH): batch
       // docs with any corpus doc at j >= 0.5 drop; gram join formulation

@@ -744,6 +744,60 @@ object Dedup {
       .drop("__h", "__rn")
   }
 
+  /** Bloom-gated incremental exact dedup — output IDENTICAL to
+    * [[dedupAgainstCorpus]] (shares its oracle): the corpus-hash Bloom
+    * filter is a pure pruning lever with no semantic effect. One aggregate
+    * pass compresses the corpus to a `numBits`-bit filter (Spark's
+    * mergeable `BloomFilterAggregate` — the runtime-join-filter machinery,
+    * partial-aggregates map-side; ~1.2 MB at 1M items / 1% fpp), collected
+    * to the driver as ONE bounded row and pinned into the plan as a
+    * literal (`might_contain` requires a constant filter side). The batch
+    * then splits:
+    *  - `might_contain` = false → the hash is PROVABLY absent (Bloom has
+    *    no false negatives) — the row keeps without touching any join;
+    *  - true (or null hash) → possibly present — only these rows pay the
+    *    exact hash anti-join, which removes the fpp false positives.
+    *
+    * 100 TB posture: the continuous-ingest front gate. A mostly-novel
+    * batch sends only ~(dup_rate + fpp) of its rows into the anti-join
+    * shuffle, and the filter is a build-once artifact a long-running
+    * ingest holds across batches (rebuild cadence = corpus growth /
+    * `expectedItems`). Spark caps the filter at the runtime-filter conf
+    * bounds (4M items / 2²⁶ bits by default) — beyond that, shard the
+    * corpus and gate against per-shard filters. */
+  def bloomGatedDedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String = "text", expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val corpusHashes = corpus.select(md5(col(textCol)).as("__h"))
+    val bloomRow = corpusHashes.agg(column(new BloomFilterAggregate(
+        expression(xxhash64(col("__h"))), Literal(expectedItems), Literal(numBits))
+      .toAggregateExpression()).as("__bf")).head()
+    val bloomLit = Literal.create(
+      if (bloomRow.isNullAt(0)) null else bloomRow.getAs[Array[Byte]](0), BinaryType)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__h").orderBy("doc_id")
+    val firsts = newDocs.withColumn("__h", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      // null text → null hash → might_contain null → verify path, where
+      // the anti-join's null-never-matches keeps the row — dedupAgainstCorpus's
+      // exact behavior
+      .withColumn("__maybe", coalesce(
+        column(BloomFilterMightContain(bloomLit,
+          expression(xxhash64(col("__h"))))), lit(true)))
+    val out = (c: DataFrame) => c.drop("__h", "__rn", "__maybe")
+    out(firsts.filter(!col("__maybe")))
+      .unionByName(out(firsts.filter(col("__maybe"))
+        .join(corpusHashes.distinct(), Seq("__h"), "left_anti")))
+  }
+
   /** Incremental NEAR-duplicate dedup: drop batch documents whose exact
     * n-gram Jaccard against ANY existing corpus document reaches
     * `threshold`. Same LSH-candidates → exact-verify structure as

@@ -783,6 +783,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r == Map(100L -> "brand new", 103L -> "another new"))
   }
 
+  test("bloom-gated dedup == plain incremental dedup, at any fpp, null-safe") {
+    val corpus = Seq((0L, "seen before"), (1L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "brand new"),
+      (101L, "seen before"),
+      (102L, "brand new"),
+      (103L, "another new"),
+      (104L, null.asInstanceOf[String]) // null hash → verify path → kept
+    ).toDF("doc_id", "text")
+    val expected = Dedup.dedupAgainstCorpus(batch, corpus).collect()
+      .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(expected.keySet == Set(100L, 103L, 104L))
+    // tight filter (few false positives: most new rows skip the join) and a
+    // deliberately saturated one (64 bits → heavy false positives: most rows
+    // take the verify join) must both land on the exact result
+    for ((items, fpp) <- Seq((1000L, 0.001), (1L, 0.9))) {
+      val r = Dedup.bloomGatedDedupAgainstCorpus(batch, corpus,
+          expectedItems = items, fpp = fpp)
+        .collect().map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+      assert(r == expected, s"mismatch at items=$items fpp=$fpp")
+    }
+    // empty corpus: the filter is null → everything verifies → all in-batch
+    // firsts keep (101 is no longer a corpus copy)
+    val empty = corpus.filter(col("doc_id") < 0)
+    assert(Dedup.bloomGatedDedupAgainstCorpus(batch, empty)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 101L, 103L, 104L))
+  }
+
   test("incremental near-dup dedup: near-copies of corpus docs drop, novel docs survive") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),

@@ -212,6 +212,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("bloom gate: literal filter guards the anti-join, one explode-free union") {
+    val p = plan("q114_dedup_bloom_gated")
+    // the gate is a pinned literal probed in-row — no shuffle, no subquery
+    // job at execution time (the one aggregate ran at construction)
+    assert(p.contains("might_contain"), "bloom gate missing from the plan")
+    assert("LeftAnti".r.findAllIn(p).size == 1,
+      "exactly one anti-join (the maybe-branch verify)")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("incremental exact dedup: corpus reduces to hashes, batch winner prunes map-side") {
     val p = plan("q67_dedup_incremental")
     // corpus side: the distinct's aggregates (pre- and post-shuffle) must key
