@@ -375,6 +375,44 @@ object SparkEntry {
       when(col("doc_id") % 4 === 1, lit("#s")).otherwise(lit(""))).as("url"))
   }
 
+  /** Pinned robots.txt bodies for the q115 fixture, keyed by domain index
+    * (= doc_id % 7, the [[urlDocuments]] domains). Domain 1 serves NO
+    * robots.txt (missing-row ⇒ allowed). Every RFC 9309 mechanism the
+    * gate implements appears at least once: specific-group shadowing (0,
+    * 4, 5), prefix rules (0, 2, 4), longest-match + Allow-wins (2, 3),
+    * `*` wildcards and `$` anchors (3), multi-agent headers, unknown
+    * directives, empty values, comments, directive case (4), orphan rules
+    * above the first User-agent line (5), and a full Disallow (6). The
+    * SAME strings feed the Scala fixture and (via [[sqlTextLit]]) the
+    * DuckDB oracle's VALUES list. */
+  private[graft] val robotsFixtureTexts: Seq[(Int, String)] = Seq(
+    0 -> "User-agent: graftbot\nDisallow: /a/1\n\nUser-agent: *\nDisallow: /",
+    2 -> "User-agent: *\nDisallow: /a/2\nAllow: /a/2?",
+    3 -> "User-agent: *\nDisallow: /*?utm_\nAllow: /a/*&id=14$",
+    4 -> ("# example4 policy\nUser-Agent: otherbot\nUSER-AGENT: graftbot\n" +
+      "Crawl-delay: 10\nDisallow:\nDISALLOW: /a/7\nAllow: /a/7?x\n\n" +
+      "User-agent: *\nDisallow: /"),
+    5 -> "Disallow: /a\nUser-agent: graftbot\nAllow: /\nUser-agent: *\nDisallow: /",
+    6 -> "User-agent: *\nDisallow: /")
+
+  /** One robots.txt row per serving domain (domain 1 deliberately absent). */
+  private[graft] def robotsDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val txt = robotsFixtureTexts.tail.foldLeft(
+      when(col("di") === robotsFixtureTexts.head._1, lit(robotsFixtureTexts.head._2))) {
+      case (acc, (i, t)) => acc.when(col("di") === i, lit(t))
+    }
+    Tables.documents(s, dir).select((col("doc_id") % 7).as("di")).distinct()
+      .filter(col("di") =!= 1)
+      .select(concat(lit("www.example"), col("di").cast("string"), lit(".com")).as("domain"),
+        txt.as("robots_txt"))
+  }
+
+  /** DuckDB string literal for fixture text: quotes doubled, newlines as
+    * chr(10) so the SQL stays single-line-safe. */
+  private def sqlTextLit(s: String): String =
+    "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
   /** Per-language phrases the q28 fixture plants (index = doc_id % 5).
     * Different sentences from [[langTrainingText]] — same language, new
     * wording — so recovering the planted label demonstrates profile
@@ -1823,6 +1861,15 @@ object SparkEntry {
         .select("doc_id", "domain", "n_words")
     }),
 
+    // robots.txt compliance gate (RFC 9309): parse per-domain robots
+    // bodies, select the applicable group (specific shadows '*'), compile
+    // rules to (LIKE pattern, 2·len+isAllow rank) arrays, and give each
+    // page its longest-match verdict IN-ROW (max rank, odd = allowed) —
+    // pages shuffle once on domain, never by doc_id, never with text
+    "q115_robots_gate" -> ((s, dir) =>
+      operators.Robots.robotsGate(urlDocuments(s, dir), robotsDocuments(s, dir),
+        agent = "graftbot")),
+
     // Unicode NFC normalization (codegen'd NfcNormalize expression): the
     // canonicalization ahead of every hash-based stage — composed and
     // decomposed spellings of the same text must collapse before dedup/
@@ -2991,6 +3038,59 @@ object SparkEntry {
       // (single-quotes doubled for the SQL literal) — two-step tag→attr
       // extraction replayed verbatim; nullif normalizes both engines'
       // no-match value to the shared null contract
+      // q115's oracle replays the WHOLE RFC 9309 pipeline — line split
+      // (zipped unnest), comment strip, directive parse (the operator's
+      // own regex constants), group-run ids via lag+running-sum, specific-
+      // shadows-'*' selection, LIKE-pattern compilation, and the in-row
+      // longest-match/Allow-ties verdict as max(2·len+isAllow) parity —
+      // over the same pinned robots bodies the Scala fixture serves
+      "q115_robots_gate" -> {
+        val values = robotsFixtureTexts
+          .map { case (i, t) => s"($i, ${sqlTextLit(t)})" }.mkString(", ")
+        s"""WITH pages AS ($urlFixtureSql),
+           |p AS (SELECT doc_id,
+           |  lower(regexp_extract(url, '${operators.UrlOps.bareHostRe}', 1)) AS domain,
+           |  coalesce(nullif(regexp_extract(url, '${operators.Robots.pathQueryRe}', 1), ''), '/') AS path
+           |  FROM pages),
+           |rb AS (SELECT 'www.example' || CAST(di AS VARCHAR) || '.com' AS domain, txt
+           |  FROM (VALUES $values) t(di, txt)),
+           |rlines AS (SELECT domain,
+           |  unnest(string_split(txt, chr(10))) AS raw,
+           |  unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS idx FROM rb),
+           |dirs AS (SELECT domain, idx, kind, val FROM (
+           |  SELECT domain, idx,
+           |    lower(regexp_extract(cl, '${operators.Robots.directiveKindRe}', 1)) AS kind,
+           |    regexp_extract(cl, '${operators.Robots.directiveValRe}', 1) AS val
+           |  FROM (SELECT domain, idx, regexp_replace(raw, '#.*$$', '') AS cl FROM rlines))
+           |  WHERE kind IN ('user-agent', 'allow', 'disallow')),
+           |g AS (SELECT *, sum(CASE WHEN kind = 'user-agent'
+           |        AND coalesce(lagk, '') <> 'user-agent' THEN 1 ELSE 0 END)
+           |    OVER (PARTITION BY domain ORDER BY idx ROWS UNBOUNDED PRECEDING) AS gid
+           |  FROM (SELECT *, lag(kind) OVER (PARTITION BY domain ORDER BY idx) AS lagk
+           |        FROM dirs)),
+           |am AS (SELECT domain, gid,
+           |    max(CASE WHEN lower(val) = 'graftbot' THEN 1 ELSE 0 END) AS spec
+           |  FROM g WHERE kind = 'user-agent' AND (lower(val) = 'graftbot' OR val = '*')
+           |  GROUP BY domain, gid),
+           |appl AS (SELECT domain, gid FROM
+           |  (SELECT *, max(spec) OVER (PARTITION BY domain) AS ms FROM am)
+           |  WHERE spec = ms),
+           |rules AS (SELECT domain,
+           |    replace(CASE WHEN ends_with(esc, '$$') THEN substr(esc, 1, length(esc) - 1)
+           |                 ELSE esc || '%' END, '*', '%') AS lp,
+           |    2 * length(val) + CASE WHEN kind = 'allow' THEN 1 ELSE 0 END AS rank
+           |  FROM (SELECT *, replace(replace(replace(val, '!', '!!'), '%', '!%'), '_', '!_') AS esc
+           |        FROM g JOIN appl USING (domain, gid)
+           |        WHERE kind IN ('allow', 'disallow') AND val <> '') e),
+           |ra AS (SELECT domain, list({'lp': lp, 'rank': rank}) AS rules
+           |  FROM rules GROUP BY domain)
+           |SELECT doc_id, p.domain, path,
+           |  coalesce(list_max(list_transform(
+           |    list_filter(ra.rules, q -> p.path LIKE q.lp ESCAPE '!'),
+           |    q -> q.rank)) % 2 = 1, true) AS allowed
+           |FROM p LEFT JOIN ra USING (domain)""".stripMargin
+      },
+
       "q108_page_meta" -> {
         def re(r: String) = r.replace("'", "''")
         val title = re(operators.Boilerplate.titleRe)

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt compliance gate — the crawl pipeline's LEGAL front door
+  * (RFC 9309, the Robots Exclusion Protocol; the reference engine delegates
+  * ingest to other plugins, so compliance filtering is part of the source
+  * surface this engine owns, next to [[Boilerplate.extractPageMeta]]'s
+  * in-page `noindex` gate).
+  *
+  * Semantics implemented (RFC 9309 §2):
+  *  - a GROUP is one or more consecutive `User-agent:` lines followed by
+  *    its rules; rules above the first `User-agent` line belong to no
+  *    group and never apply (§2.2.1);
+  *  - group selection: if any group names our product token (exact,
+  *    case-insensitive), exactly those groups apply and every `*` group is
+  *    ignored; otherwise the `*` groups apply; multiple applicable groups'
+  *    rules are COMBINED (§2.2.1);
+  *  - rule matching starts at the first byte of the path+query, `*`
+  *    matches any run, a trailing `$` anchors at end-of-path (§2.2.3);
+  *    an empty Allow/Disallow value matches nothing;
+  *  - precedence: the matching rule with the LONGEST path wins; on a
+  *    length tie Allow wins; no matching rule (or no robots.txt, or no
+  *    applicable group) means allowed (§2.2.2).
+  *  - unknown directives (`Crawl-delay`, `Sitemap`, ...) and `#` comments
+  *    are ignored and do not split a group.
+  *
+  * Not implemented (documented divergence): percent-encoding
+  * normalization of rule vs URL octets (§2.2.2's equivalence table) — the
+  * gate compares the byte forms as crawled, the common production choice.
+  *
+  * ENGINE SHAPE — the whole precedence ladder collapses into one integer:
+  * each rule becomes `rank = 2·len(path) + isAllow`, so "longest wins,
+  * Allow breaks ties" is just `max(rank)` over the matching rules and the
+  * verdict is `max % 2 = 1`. Rules compile once per domain into an array
+  * of (LIKE pattern, rank) structs (`*` → `%`, trailing `$` → unanchored
+  * tail removed, `%`/`_`/`!` escaped with `!`), and each page evaluates
+  * `array_max(transform(filter(rules, path LIKE lp)))` IN-ROW. Pages
+  * shuffle once, keyed by domain, carrying (doc_id, domain, path) — never
+  * document text — and there is NO per-doc groupBy or window afterwards;
+  * robots parsing windows only over robots.txt LINES (bounded: a robots
+  * file is ~KBs). Per-page cost is O(#applicable rules · |path|), both
+  * bounded by the protocol's own file-size expectations (RFC 9309 §2.5
+  * caps parsing at 500 KiB).
+  */
+object Robots {
+
+  /** path + query (fragment dropped) of an absolute URL, `/` when empty —
+    * the string RFC 9309 rules match against. */
+  def pathOf(url: Column): Column = {
+    val p = regexp_extract(url, pathQueryRe, 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** path+query extractor (fragment excluded) — shared with the q115
+    * oracle so operator and replay agree on the match target. */
+  private[graft] val pathQueryRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)"
+  private[graft] val directiveKindRe = "^\\s*([A-Za-z-]+)\\s*:"
+  private[graft] val directiveValRe = "^\\s*[A-Za-z-]+\\s*:\\s*(.*?)\\s*$"
+
+  /** Parse robots.txt bodies into per-domain compiled rule arrays for one
+    * product token: (domain, rules: array<struct<lp: string, rank: long>>)
+    * with only the APPLICABLE groups' rules retained (specific groups if
+    * any name `agent`, else the `*` groups). Domains whose robots.txt
+    * yields no applicable non-empty rule drop out (a missing row means
+    * "allowed", matching the gate's left-join contract). */
+  def parseRules(robots: DataFrame, agent: String,
+      domainCol: String = "domain", txtCol: String = "robots_txt"): DataFrame = {
+    require(agent.nonEmpty && agent == agent.toLowerCase(java.util.Locale.ROOT),
+      s"agent must be a non-empty lowercase product token, got '$agent'")
+    // robots.txt LINES: comment-stripped, CR-tolerant (the \s* in the
+    // directive regexes swallows a trailing \r), position-indexed
+    val lines = robots.select(col(domainCol).as("domain"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("idx", "raw")))
+      .withColumn("cl", regexp_replace(col("raw"), "#.*$", ""))
+      .withColumn("kind", lower(regexp_extract(col("cl"), directiveKindRe, 1)))
+      .withColumn("val", regexp_extract(col("cl"), directiveValRe, 1))
+      .filter(col("kind").isin("user-agent", "allow", "disallow"))
+    // group id = running count of agent-run STARTS (an agent line whose
+    // previous directive is not an agent line); windows partition by
+    // domain over robots LINES only — bounded by the file, not the corpus
+    val wo = Window.partitionBy("domain").orderBy("idx")
+    val grouped = lines
+      .withColumn("__ag", col("kind") === "user-agent")
+      .withColumn("gid", sum(
+        when(col("__ag") && !coalesce(lag(col("__ag"), 1).over(wo), lit(false)), 1L)
+          .otherwise(0L)).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+    // group selection: specific groups beat '*' groups, domain-wide
+    val agents = grouped.filter(col("__ag"))
+      .select(col("domain"), col("gid"),
+        (lower(col("val")) === agent).as("spec"))
+      .filter(lower(col("val")) === agent || col("val") === "*")
+    val applicable = agents
+      .withColumn("__ms", max(col("spec")).over(Window.partitionBy("domain")))
+      .filter(col("spec") === col("__ms"))
+      .select("domain", "gid").distinct()
+    // compile rules of the applicable groups: LIKE pattern + rank
+    val rules = grouped.filter(col("kind").isin("allow", "disallow") && col("val") =!= "")
+      .join(applicable, Seq("domain", "gid"))
+      .withColumn("__esc",
+        expr("replace(replace(replace(val, '!', '!!'), '%', '!%'), '_', '!_')"))
+      .withColumn("lp", translate(
+        when(col("__esc").endsWith("$"),
+          expr("substring(__esc, 1, length(__esc) - 1)"))
+          .otherwise(concat(col("__esc"), lit("%"))), "*", "%"))
+      .withColumn("rank", length(col("val")) * 2 +
+        when(col("kind") === "allow", 1L).otherwise(0L))
+    rules.groupBy("domain")
+      .agg(collect_list(struct(col("lp"), col("rank"))).as("rules"))
+  }
+
+  /** Per-page robots verdict: (doc_id, domain, path, allowed). `pages`
+    * needs (doc_id, urlCol); `robots` needs (domain, robots_txt) with
+    * domain in [[UrlOps.domainOf]] form (lowercased registered host).
+    * Join back on doc_id for the full rows (the [[UrlOps.domainCap]]
+    * convention). */
+  def robotsGate(pages: DataFrame, robots: DataFrame, agent: String,
+      urlCol: String = "url"): DataFrame = {
+    val ruleSets = parseRules(robots, agent)
+    pages.select(col("doc_id"), UrlOps.domainOf(col(urlCol)).as("domain"),
+        pathOf(col(urlCol)).as("path"))
+      .join(ruleSets, Seq("domain"), "left")
+      .withColumn("__mr", expr(
+        "array_max(transform(filter(rules, q -> path LIKE q.lp ESCAPE '!'), q -> q.rank))"))
+      .select(col("doc_id"), col("domain"), col("path"),
+        coalesce(col("__mr") % 2 === 1, lit(true)).as("allowed"))
+  }
+}

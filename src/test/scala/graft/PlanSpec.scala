@@ -212,6 +212,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("robots gate: in-row verdict, pages never reshuffle by doc_id") {
+    val p = plan("q115_robots_gate")
+    // the whole precedence ladder is one array_max over the rule array —
+    // no per-page groupBy/window, so no doc_id exchange exists anywhere
+    assert(p.contains("array_max"), "in-row verdict missing")
+    assert(!p.contains("hashpartitioning(doc_id"),
+      "pages must not reshuffle by doc_id")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // robots parsing windows partition by domain (bounded robots lines),
+    // never an empty partitionBy (the single-reducer killer)
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      "global window crept in")
+  }
+
   test("bloom gate: literal filter guards the anti-join, one explode-free union") {
     val p = plan("q114_dedup_bloom_gated")
     // the gate is a pinned literal probed in-row — no shuffle, no subquery
