@@ -1870,6 +1870,24 @@ object SparkEntry {
       operators.Robots.robotsGate(urlDocuments(s, dir), robotsDocuments(s, dir),
         agent = "graftbot")),
 
+    // C4/RefinedWeb badword screening: pinned term list as a literal
+    // array, per-row hash-set intersect (O(tokens+terms)), occurrence
+    // count + integer cross-multiplied fraction verdict — ZERO shuffle,
+    // pure codegen'd projection ('spam' never occurs: the empty-hit path)
+    "q116_badword_filter" -> ((s, dir) =>
+      TextAnalysis.badwordStats(Tables.documents(s, dir),
+        Seq("dup", "slow", "spam"), maxFracMicro = 40000L)),
+
+    // UT1-style domain blocklist: host → bounded label-suffix expansion →
+    // suffix equi-join (only (doc_id, suffix) shuffles, never text) →
+    // distinct blocked ids → id-keyed verdict join. Entries cover exact
+    // host, parent suffix, and a never-matching domain
+    "q117_domain_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      operators.UrlOps.domainBlocklist(urlDocuments(s, dir),
+        Seq("example3.com", "www.example5.com", "bad.org").toDF("domain"))
+    }),
+
     // Unicode NFC normalization (codegen'd NfcNormalize expression): the
     // canonicalization ahead of every hash-based stage — composed and
     // decomposed spellings of the same text must collapse before dedup/
@@ -3089,6 +3107,38 @@ object SparkEntry {
            |    list_filter(ra.rules, q -> p.path LIKE q.lp ESCAPE '!'),
            |    q -> q.rank)) % 2 = 1, true) AS allowed
            |FROM p LEFT JOIN ra USING (domain)""".stripMargin
+      },
+
+      // the same tokenization + hit-set + integer cross-multiply chain;
+      // list_intersect/list_contains mirror array_intersect/array_contains
+      "q116_badword_filter" ->
+        """WITH t AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |h AS (SELECT doc_id, toks,
+          |  list_intersect(toks, ['dup', 'slow', 'spam']) AS hits FROM t),
+          |c AS (SELECT doc_id, len(toks)::BIGINT AS n_words,
+          |  len(list_filter(toks, x -> list_contains(hits, x)))::BIGINT AS bad_count
+          |  FROM h)
+          |SELECT doc_id, n_words, bad_count,
+          |  bad_count * 1000000 <= n_words * 40000 AS keep
+          |FROM c""".stripMargin,
+
+      // suffix chain via list slicing l[i:], equi-joined to the entries
+      "q117_domain_blocklist" -> {
+        s"""WITH pages AS ($urlFixtureSql),
+           |p AS (SELECT doc_id,
+           |  lower(regexp_extract(url, '${operators.UrlOps.bareHostRe}', 1)) AS domain
+           |  FROM pages),
+           |bl AS (SELECT * FROM (VALUES ('example3.com'), ('www.example5.com'),
+           |  ('bad.org')) t(suffix)),
+           |sfx AS (SELECT doc_id,
+           |  unnest(list_transform(range(1, len(string_split(domain, '.')) + 1),
+           |    i -> array_to_string(string_split(domain, '.')[i:], '.'))) AS suffix
+           |  FROM p),
+           |b AS (SELECT DISTINCT doc_id FROM sfx JOIN bl USING (suffix))
+           |SELECT p.doc_id, p.domain, b.doc_id IS NOT NULL AS blocked
+           |FROM p LEFT JOIN b ON p.doc_id = b.doc_id""".stripMargin
       },
 
       "q108_page_meta" -> {

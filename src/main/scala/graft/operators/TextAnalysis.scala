@@ -520,6 +520,46 @@ object TextAnalysis {
       .groupBy(md5(col("__norm")).as("norm_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Blocklist (badword) screening — the C4 "naughty words" / RefinedWeb
+    * UT1 content filter: per document, count token occurrences that hit a
+    * pinned term list and flag documents for removal. Policy knobs cover
+    * both published conventions: C4 drops on ANY hit (`maxFracMicro = 0`),
+    * RefinedWeb-style soft filters drop above an occurrence FRACTION
+    * (`keep` compares `bad_count / n_words` against the threshold with an
+    * integer cross-multiply — no float division, so the verdict is
+    * bit-identical cross-engine).
+    *
+    * Tokens are lowercased alphanumeric runs (`[^a-z0-9]+` split — the
+    * same engine-portable class [[normalizeText]] uses), so punctuation
+    * and case can't smuggle a listed term past the filter.
+    *
+    * 100 TB shape: ZERO shuffle — a pure codegen'd projection. The term
+    * list ships as a literal array and `array_intersect` builds its hash
+    * set once per row: O(tokens + terms) membership, then the occurrence
+    * count rescans tokens only against the (almost always tiny, usually
+    * empty) per-doc hit set. Term lists are blocklist-sized (hundreds to
+    * a few thousand); a list too large for a literal belongs in the
+    * explode + broadcast-join shape instead — at that point revisit. */
+  def badwordStats(docs: DataFrame, terms: Seq[String],
+      maxFracMicro: Long = 0L, textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.forall(t => t.nonEmpty && t == t.toLowerCase(java.util.Locale.ROOT)),
+      "terms must be non-empty and lowercase (tokens are lowercased before matching)")
+    require(maxFracMicro >= 0, s"maxFracMicro must be >= 0, got $maxFracMicro")
+    val termArr = array(terms.map(lit): _*)
+    docs.select(col("doc_id"),
+        expr(s"filter(split(lower($textCol), '[^a-z0-9]+'), x -> x != '')").as("__toks"))
+      .withColumn("__hits", array_intersect(col("__toks"), termArr))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_words"),
+        expr("cast(size(filter(__toks, x -> array_contains(__hits, x))) as long)")
+          .as("bad_count"))
+      // keep iff bad_count/n_words <= maxFracMicro/1e6, integer-exact;
+      // an empty doc has nothing listed on it and keeps
+      .withColumn("keep",
+        col("bad_count") * 1000000L <= col("n_words") * maxFracMicro)
+  }
+
   /** Corpus-level top-`k` word n-grams by exact count — the frequency
     * profile that feeds stopword lists, boilerplate detection, and the
     * hot-gram guards of the dedup operators. Ties break lexicographically.

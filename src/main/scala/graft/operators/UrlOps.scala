@@ -121,6 +121,39 @@ object UrlOps {
       .groupBy("norm_url")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Domain blocklist screening (the UT1-blacklist convention RefinedWeb
+    * applies before any content filter): a page is blocked when its
+    * registered host equals a blocklist entry OR sits under one
+    * (`ads.example.com` matches entry `example.com` — suffix-at-label-
+    * boundary, so `notexample.com` does NOT). Returns (doc_id, domain,
+    * blocked).
+    *
+    * ENGINE SHAPE: each host expands to its ≤ ~6 label suffixes (`a.b.c`
+    * → `c`, `b.c`, `a.b.c` — bounded by DNS label depth, not data), which
+    * equi-join the blocklist on the suffix string. Only (doc_id, suffix)
+    * rows ever shuffle — never text — and the blocklist side aggregates to
+    * DISTINCT blocked doc_ids before the final id-keyed left join, which
+    * AQE broadcasts whenever the blocked set is small (the common case).
+    * Blocklists at UT1 scale (millions of domains) stay a DataFrame —
+    * never a literal array. */
+  def domainBlocklist(pages: DataFrame, blocked: DataFrame,
+      urlCol: String = "url", blockedCol: String = "domain"): DataFrame = {
+    val withDomain = pages.select(col("doc_id"), domainOf(col(urlCol)).as("domain"))
+    val suffixes = withDomain
+      .select(col("doc_id"), explode(expr(
+        """transform(split(domain, '\\.'),
+          |  (x, i) -> array_join(slice(split(domain, '\\.'), i + 1,
+          |                             size(split(domain, '\\.')) - i), '.'))"""
+          .stripMargin)).as("suffix"))
+    val blockedIds = suffixes
+      .join(blocked.select(lower(col(blockedCol)).as("suffix")), Seq("suffix"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("__b", lit(true))
+    withDomain.join(blockedIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("domain"),
+        coalesce(col("__b"), lit(false)).as("blocked"))
+  }
+
   /** Keep at most `maxPerDomain` documents per domain, selected in
     * deterministic md5(doc_id) order (ties broken by doc_id) — the
     * over-representation cap. Returns (doc_id, domain) for the survivors;

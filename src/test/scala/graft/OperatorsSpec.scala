@@ -961,4 +961,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3L) == ((-1L, -1L, -1L, 0)))
     assert(r(4L) == ((10L, -1L, -1L, 1)))
   }
+
+  test("badword filter: case/punct-proof counting, C4 any-hit vs fraction policy") {
+    val fx = Seq(
+      (0L, "clean words only here"),
+      (1L, "one BAD!! word slips in"),           // case + punctuation can't hide it
+      (2L, "bad bad bad bad soup"),              // 4 of 5 tokens listed
+      (3L, "badly embedded notbad tokens"),      // substrings must NOT hit
+      (4L, "")                                   // empty doc keeps
+    ).toDF("doc_id", "text")
+    // C4 policy: any hit drops
+    val strict = TextAnalysis.badwordStats(fx, Seq("bad", "unused"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(strict == Map(0L -> (0L, true), 1L -> (1L, false),
+      2L -> (4L, false), 3L -> (0L, true), 4L -> (0L, true)))
+    // fraction policy at 25%: doc 1 is 1/5 = 20% → keeps; doc 2 is 80% → drops
+    val soft = TextAnalysis.badwordStats(fx, Seq("bad"), maxFracMicro = 250000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(soft == Map(0L -> true, 1L -> true, 2L -> false, 3L -> true, 4L -> true))
+  }
 }

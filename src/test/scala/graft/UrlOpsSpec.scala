@@ -119,4 +119,20 @@ class UrlOpsSpec extends AnyFunSuite {
       UrlOps.domainCap(Seq((0L, "http://a.com/")).toDF("doc_id", "url"), maxPerDomain = 0)
     }
   }
+
+  test("domainBlocklist: exact host, parent-suffix at label boundary, no substring leaks") {
+    val pages = Seq(
+      (0L, "http://ads.Example.COM/x"),    // under example.com → blocked
+      (1L, "http://example.com/y"),        // exact entry → blocked
+      (2L, "http://notexample.com/z"),     // suffix WITHOUT label boundary → free
+      (3L, "http://tracker.net:8080/p"),   // exact entry, port stripped by domainOf
+      (4L, "http://sub.tracker.net.evil.io/q"), // tracker.net mid-name is no suffix
+      (5L, "http://clean.org/r")
+    ).toDF("doc_id", "url")
+    val blocked = Seq("example.com", "Tracker.NET").toDF("domain") // entries lowercased
+    val r = UrlOps.domainBlocklist(pages, blocked)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r == Map(0L -> true, 1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> false))
+  }
 }
