@@ -1870,6 +1870,21 @@ object SparkEntry {
       operators.Robots.robotsGate(urlDocuments(s, dir), robotsDocuments(s, dir),
         agent = "graftbot")),
 
+    // token-budget curation: keep the highest-quality docs (q102's
+    // verified scorer) until a 20k-token budget, in deterministic
+    // (score DESC, md5, doc_id) order — distributed prefix sum: quantile
+    // buckets + exact per-bucket totals on the driver; only the ONE
+    // boundary bucket pays a window, fully-kept buckets pass window-free
+    "q118_token_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      val in = TextAnalysis.qualityScore(docs)
+        .join(docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")), "doc_id")
+        .select("doc_id", "quality_score", "n_tokens")
+      operators.Sampling.tokenBudget(in, budget = 20000L, buckets = 16)
+    }),
+
     // C4/RefinedWeb badword screening: pinned term list as a literal
     // array, per-row hash-set intersect (O(tokens+terms)), occurrence
     // count + integer cross-multiplied fraction verdict — ZERO shuffle,
@@ -3108,6 +3123,20 @@ object SparkEntry {
            |    q -> q.rank)) % 2 = 1, true) AS allowed
            |FROM p LEFT JOIN ra USING (domain)""".stripMargin
       },
+
+      // the oracle is the NAIVE form the operator avoids: one global
+      // running-sum window — tractable at oracle scale, and exactly the
+      // selection the bucketed plan must reproduce
+      "q118_token_budget" ->
+        s"""WITH $qualityScoreCte,
+           |inp AS (SELECT w.doc_id, quality_score, len(ws)::BIGINT AS n_tokens
+           |        FROM w JOIN score ON w.doc_id = score.doc_id),
+           |o AS (SELECT doc_id, quality_score, n_tokens,
+           |  sum(n_tokens) OVER (ORDER BY quality_score DESC,
+           |    md5(CAST(doc_id AS VARCHAR)), doc_id
+           |    ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM inp)
+           |SELECT doc_id, quality_score, n_tokens FROM o WHERE cum <= 20000""".stripMargin,
 
       // the same tokenization + hit-set + integer cross-multiply chain;
       // list_intersect/list_contains mirror array_intersect/array_contains

@@ -170,4 +170,65 @@ object Sampling {
       .filter(hashBucket16(key).cast("long") < col("__thr"))
       .drop("__thr")
   }
+
+  /** Token-budget selection — "take the best documents until N tokens":
+    * rows ordered by (`scoreCol` DESC, md5(doc_id), doc_id) are kept while
+    * the running `weightCol` total stays ≤ `budget`. The curation step
+    * that turns a scored corpus into a fixed-size training mix.
+    *
+    * A naive prefix sum is ONE global window — the single-reducer killer.
+    * Instead: (1) `buckets`−1 approximate score quantiles (one tiny
+    * aggregate, collected as literals) split rows into score-monotonic
+    * buckets; (2) exact per-bucket weight totals (≤ `buckets` rows on the
+    * driver) locate the budget boundary; (3) buckets wholly inside the
+    * budget pass through with NO window, buckets past it drop at the
+    * filter, and only the ONE boundary bucket runs a window over its
+    * ~N/buckets rows. The output is provably the global-prefix-sum
+    * selection for ANY monotonic bucketing — quantile-sketch imprecision
+    * moves bucket edges, never the verdict — which is why an approximate
+    * sketch is safe in an exact operator. Ties across equal scores break
+    * by md5 then doc_id, so the kept set is unique and rerun-stable.
+    *
+    * 100 TB posture: two bounded driver collects (boundaries, totals —
+    * the IVF-centroids convention), shuffles carry only (doc_id, score,
+    * weight), and the boundary window sorts one bucket on one reducer —
+    * size `buckets` so corpus/buckets fits an executor. */
+  def tokenBudget(docs: DataFrame, budget: Long,
+      scoreCol: String = "quality_score", weightCol: String = "n_tokens",
+      buckets: Int = 64): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val outCols = docs.columns.map(col).toSeq
+    val bdRow = docs.agg(percentile_approx(col(scoreCol),
+      array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*),
+      lit(10000)).as("bd")).head()
+    if (bdRow.isNullAt(0)) return docs.filter(lit(false)) // empty input
+    val bds = bdRow.getSeq[Any](0).map(_.toString.toDouble)
+    // bucket 0 = top scores: count of boundaries strictly above the score
+    // is monotonic non-increasing in score, which is all correctness needs
+    val bdArr = array(bds.map(lit): _*)
+    val withB = docs.withColumn("__bkt",
+      aggregate(bdArr, lit(0),
+        (acc, b) => acc + when(b > col(scoreCol).cast("double"), 1).otherwise(0)))
+    val totals = withB.groupBy("__bkt")
+      .agg(sum(col(weightCol).cast("long")).as("__w")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until buckets).scanLeft(0L)((acc, k) => acc + totals.getOrElse(k, 0L))
+    val fullyKept = (0 until buckets).filter(k => offsets(k) + totals.getOrElse(k, 0L) <= budget)
+    val boundary = (0 until buckets).find(k =>
+      offsets(k) < budget && offsets(k) + totals.getOrElse(k, 0L) > budget)
+    val keepAll = withB.filter(
+      if (fullyKept.isEmpty) lit(false) else col("__bkt") <= fullyKept.max)
+    val atBoundary = boundary match {
+      case None => withB.filter(lit(false))
+      case Some(k) =>
+        val w = Window.partitionBy("__bkt")
+          .orderBy(col(scoreCol).desc, md5(col("doc_id").cast("string")), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        withB.filter(col("__bkt") === k)
+          .withColumn("__cum", lit(offsets(k)) + sum(col(weightCol).cast("long")).over(w))
+          .filter(col("__cum") <= budget)
+    }
+    keepAll.select(outCols: _*).unionByName(atBoundary.select(outCols: _*))
+  }
 }

@@ -94,4 +94,33 @@ class SamplingSpec extends AnyFunSuite {
     // pushes the limit below the shuffle
     assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
+
+  test("tokenBudget: exact prefix selection at every boundary placement") {
+    val fx = Seq(
+      (0L, 10.0, 100L), (1L, 9.0, 100L), (2L, 8.0, 100L),
+      (3L, 7.0, 100L), (4L, 6.0, 100L), (5L, 5.0, 100L)
+    ).toDF("doc_id", "quality_score", "n_tokens")
+    def ids(b: Long, buckets: Int) = Sampling.tokenBudget(fx, b, buckets = buckets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the selection is invariant to where the quantile buckets fall
+    for (nb <- Seq(2, 3, 6)) {
+      assert(ids(250, nb) == Set(0L, 1L), s"buckets=$nb")   // 3rd row would overflow
+      assert(ids(300, nb) == Set(0L, 1L, 2L), s"buckets=$nb") // exact fit keeps
+      assert(ids(10000, nb) == fx.collect().map(_.getLong(0)).toSet) // all fit
+      assert(ids(0, nb) == Set.empty)
+      assert(ids(50, nb) == Set.empty)                       // first row overflows
+    }
+  }
+
+  test("tokenBudget: equal scores break ties by md5 order, rerun-stable") {
+    val ties = Seq.tabulate(10)(i => (i.toLong, 1.0, 10L))
+      .toDF("doc_id", "quality_score", "n_tokens")
+    def run() = Sampling.tokenBudget(ties, 50L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = run()
+    assert(got == run() && got.size == 5)
+    val md5Prefix = ties.withColumn("m", md5(col("doc_id").cast("string")))
+      .orderBy("m").collect().map(_.getLong(0)).take(5).toSet
+    assert(got == md5Prefix)
+  }
 }
