@@ -775,6 +775,35 @@ object SparkEntry {
       |WHERE rn = 1
       |  AND NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = firsts.text)""".stripMargin
 
+  /** The q74 AND q119 oracle: one BM25 replay gates both the direct path
+    * and the posting-list index probe — they share the ranking core, so
+    * equality here proves the persisted layout loses nothing. Float
+    * literals are ::DOUBLE-pinned (bare 0.5 is DECIMAL in DuckDB) and the
+    * expression mirrors the Spark operand order so double association is
+    * identical. */
+  private def bm25Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM t),
+      |corp AS (SELECT count(*) AS n_docs,
+      |           sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+      |         FROM (SELECT doc_id, len(ws) AS dl FROM t)),
+      |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+      |       WHERE term IN ('spark', 'vector', 'window', 'merge', 'scan')
+      |       GROUP BY 1, 2, 3),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |s AS (SELECT term, doc_id,
+      |        round(ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+      |              * tf::DOUBLE * 2.2::DOUBLE
+      |              / (tf::DOUBLE + 1.2::DOUBLE *
+      |                 (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl::DOUBLE / avgdl)),
+      |              6) AS score
+      |      FROM tf JOIN df USING (term), corp),
+      |r AS (SELECT term, doc_id, score,
+      |        CAST(row_number() OVER (PARTITION BY term
+      |                                ORDER BY score DESC, doc_id) AS INT) AS rnk
+      |      FROM s)
+      |SELECT term, doc_id, score, rnk FROM r WHERE rnk <= 10""".stripMargin
+
   private def nearDupIncrementalSql: String =
     """WITH batch AS (
       |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
@@ -1095,6 +1124,11 @@ object SparkEntry {
     lazyFixtureDir("mh_index_q98", dir) { path =>
       Dedup.writeMinHashIndex(Tables.documents(s, dir), path,
         n = 3, numHashes = 16, bands = 16)
+    }
+
+  private def q119IndexPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("inv_index_q119", dir) { path =>
+      TextAnalysis.writeInvertedIndex(Tables.documents(s, dir), path, buckets = 64)
     }
 
   /** The q104 WARC envelope: the q96 inputs (url fixture + html fixture,
@@ -2099,6 +2133,15 @@ object SparkEntry {
     // BM25 top-10 per query term over the documents corpus
     "q74_bm25" -> ((s, dir) =>
       TextAnalysis.bm25Scores(Tables.documents(s, dir), bm25Terms)),
+
+    // q74's PRODUCTION shape: the corpus tokenizes ONCE into a
+    // term-bucketed posting-list layout (the MinHash-index / IVF-cells
+    // serving convention); every probe reads only its terms' buckets
+    // (planning-time PartitionFilters) and never corpus text. Shares
+    // bm25Scores' ranking core, so q74's oracle gating this query proves
+    // the layout is lossless
+    "q119_bm25_indexed" -> ((s, dir) =>
+      TextAnalysis.bm25FromIndex(s, q119IndexPath(s, dir), bm25Terms)),
 
     // normalization-aware exact dedup on the shouty fixture — upper-cased,
     // re-punctuated copies collapse onto their originals' normalized key
@@ -3302,31 +3345,11 @@ object SparkEntry {
       // BM25: exact integer tf/df/dl/N, one exact division for avgdl, the
       // ln rounds to 6 (q60's cross-engine ulp policy); expression text
       // mirrors the Spark operand order so double association is identical
-      "q74_bm25" ->
-        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-          |tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM t),
-          |corp AS (SELECT count(*) AS n_docs,
-          |           sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
-          |         FROM (SELECT doc_id, len(ws) AS dl FROM t)),
-          |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
-          |       WHERE term IN ('spark', 'vector', 'window', 'merge', 'scan')
-          |       GROUP BY 1, 2, 3),
-          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-          |-- float literals are ::DOUBLE-pinned: bare 0.5 is DECIMAL in
-          |-- DuckDB and (bigint - bigint + DECIMAL) math diverges from
-          |-- Spark's double arithmetic
-          |s AS (SELECT term, doc_id,
-          |        round(ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
-          |              * tf::DOUBLE * 2.2::DOUBLE
-          |              / (tf::DOUBLE + 1.2::DOUBLE *
-          |                 (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl::DOUBLE / avgdl)),
-          |              6) AS score
-          |      FROM tf JOIN df USING (term), corp),
-          |r AS (SELECT term, doc_id, score,
-          |        CAST(row_number() OVER (PARTITION BY term
-          |                                ORDER BY score DESC, doc_id) AS INT) AS rnk
-          |      FROM s)
-          |SELECT term, doc_id, score, rnk FROM r WHERE rnk <= 10""".stripMargin,
+      "q74_bm25" -> bm25Sql,
+
+      // the posting-list layout must lose nothing vs direct tokenization:
+      // the SAME BM25 oracle gates the index probe
+      "q119_bm25_indexed" -> bm25Sql,
 
       "q75_normalized_dedup" ->
         """WITH d AS (SELECT doc_id, text FROM documents

@@ -483,6 +483,18 @@ object TextAnalysis {
       .filter(col("term").isin(terms.map(lit): _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    bm25Rank(tf, corpus, k1, b, topK)
+  }
+
+  /** The BM25 ranking core shared by [[bm25Scores]] (direct) and
+    * [[bm25FromIndex]] (persisted postings) — ONE implementation, so the
+    * serving path cannot drift from the verified direct path. `tf` is
+    * (term, doc_id, dl, tf) for the query terms only; `corpus` is the
+    * one-row (n_docs, avgdl) frame. df derives from `tf` itself (rows per
+    * term = docs containing it — identical from a tokenize pass or a
+    * posting list). */
+  private def bm25Rank(tf: DataFrame, corpus: DataFrame, k1: Double,
+      b: Double, topK: Int): DataFrame = {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     val tfD = col("tf").cast("double")
@@ -495,6 +507,68 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col("term"), col("doc_id"), col("score"), col("rnk"))
+  }
+
+  /** Persisted inverted index — the keyword-retrieval SERVING shape, the
+    * posting-list sibling of the MinHash band index and the IVF cell
+    * layout (build once over the corpus, probe many times without
+    * re-tokenizing a single document):
+    *
+    *  - `postings/` — one row per (term, doc) with the term frequency and
+    *    the doc length BM25 needs, Hive-partitioned by
+    *    `p = pmod(xxhash64(term), buckets)` so a query's terms resolve to
+    *    a handful of partition directories and the scan PRUNES AT
+    *    PLANNING TIME (the IVF-cells convention);
+    *  - `manifest/` — one row: corpus doc count, total token count (exact
+    *    integers; avgdl re-derives probe-side with the same double
+    *    division the direct path uses), and the bucket modulus the probe
+    *    must reuse.
+    *
+    * 100 TB posture: the build is one tokenize + one (term, doc) shuffle
+    * — the same work ONE direct BM25 query pays, amortized over every
+    * probe thereafter. A probe reads only the matched buckets (~|terms|/
+    * buckets of the layout), never touches corpus text, and a fresh crawl
+    * batch appends by writing its postings into the same bucket scheme
+    * with the manifest counters bumped. */
+  def writeInvertedIndex(docs: DataFrame, path: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val tokenized = withWords(docs)
+      .select(col("doc_id"), col("__words"), size(col("__words")).as("dl"))
+    tokenized
+      .select(col("doc_id"), col("dl"), explode(col("__words")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("p", pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+      .write.partitionBy("p").mode("overwrite").parquet(s"$path/postings")
+    tokenized.agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("sum_dl"))
+      .withColumn("buckets", lit(buckets))
+      .write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** BM25 over a [[writeInvertedIndex]] layout — bit-identical to
+    * [[bm25Scores]] on the same corpus (they share [[bm25Rank]]; q119
+    * runs under q74's oracle to prove the layout loses nothing). The
+    * query terms hash to their buckets in one bounded driver-side job
+    * (≤ |terms| rows — the probed-cells convention), the postings scan
+    * keeps only those partitions, and the manifest is read BY NAME. */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "bm25FromIndex needs at least one query term")
+    val m = spark.read.parquet(s"$path/manifest").head()
+    val nDocs = m.getAs[Long]("n_docs")
+    val sumDl = m.getAs[Long]("sum_dl")
+    val buckets = m.getAs[Int]("buckets")
+    import spark.implicits._
+    val bucketIds = terms.toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(buckets.toLong)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("p").isin(bucketIds: _*) && col("term").isin(terms.map(lit): _*))
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+    val corpus = spark.range(1).select(lit(nDocs).as("n_docs"),
+      (lit(sumDl).cast("double") / lit(nDocs).cast("double")).as("avgdl"))
+    bm25Rank(tf, corpus, k1, b, topK)
   }
 
   /** Canonical text normalization — the standard prep step before exact

@@ -962,6 +962,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(4L) == ((10L, -1L, -1L, 1)))
   }
 
+  test("inverted-index BM25 probe == direct BM25; postings partitions prune") {
+    val fx = Seq(
+      (0L, "spark merge spark window end"), (1L, "vector vector scan row"),
+      (2L, "spark scan scan the end"), (3L, "merge row window the spark")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv_idx").toString
+    TextAnalysis.writeInvertedIndex(fx, dir, buckets = 8)
+    val terms = Seq("spark", "scan", "absentterm")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val probe = TextAnalysis.bm25FromIndex(spark, dir, terms)
+    // bit-identical to the direct path (shared ranking core + exact
+    // manifest counters); the absent term yields no rows on either path
+    assert(key(probe) == key(TextAnalysis.bm25Scores(fx, terms)))
+    assert(key(probe).nonEmpty)
+    // the probe prunes posting buckets at planning time
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p#"),
+      plan.linesIterator.filter(_.contains("Filters")).mkString("\n"))
+  }
+
   test("badword filter: case/punct-proof counting, C4 any-hit vs fraction policy") {
     val fx = Seq(
       (0L, "clean words only here"),
