@@ -413,6 +413,40 @@ object SparkEntry {
   private def sqlTextLit(s: String): String =
     "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
 
+  /** DuckDB expression for a string with non-ASCII content: printable
+    * ASCII stays a quoted literal, everything else becomes chr(codepoint)
+    * — the q107 convention (no raw non-ASCII travels through source or
+    * SQL). */
+  private def sqlChrLit(s: String): String =
+    s.map(c =>
+      if (c >= ' ' && c <= '~') s"'${if (c == '\'') "''" else c}'"
+      else s"chr(${c.toInt})").mkString(" || ")
+
+  /** Pinned non-Latin phrases for the q120 script fixture (plain BMP
+    * letters, \u-escaped so no raw non-ASCII sits in source). */
+  private[graft] val scriptPhrases: Map[String, String] = Map(
+    "cyrillic" -> "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440",
+    "arabic" -> "\u0645\u0631\u062d\u0628\u0627",
+    "cjk" -> "\u4f60\u597d\u4e16\u754c",
+    "hangul" -> "\uc548\ub155\ud558\uc138\uc694")
+
+  /** Script-mix fixture: doc_id % 5 picks the dominant script — 0 keeps
+    * the (Latin) corpus text, 1–4 replace it with a repeated non-Latin
+    * phrase plus a small Latin tail (mixed, but decisively dominated). */
+  private[graft] def scriptDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 1,
+        concat(repeat(lit(scriptPhrases("cyrillic") + " "), 12), lit("latin tail")))
+        .when(col("doc_id") % 5 === 2,
+          concat(repeat(lit(scriptPhrases("cjk")), 15), lit(" small latin")))
+        .when(col("doc_id") % 5 === 3,
+          concat(repeat(lit(scriptPhrases("arabic") + " "), 12), lit("tail")))
+        .when(col("doc_id") % 5 === 4,
+          concat(repeat(lit(scriptPhrases("hangul") + " "), 12), lit("end")))
+        .otherwise(col("text")).as("text"))
+  }
+
   /** Per-language phrases the q28 fixture plants (index = doc_id % 5).
     * Different sentences from [[langTrainingText]] — same language, new
     * wording — so recovering the planted label demonstrates profile
@@ -1919,6 +1953,13 @@ object SparkEntry {
       operators.Sampling.tokenBudget(in, budget = 20000L, buckets = 16)
     }),
 
+    // Unicode script profile: per-doc character counts in the major
+    // script blocks (shared Java∩RE2 hex-range classes) + dominant-script
+    // verdict — the routing signal ahead of language-specific stages.
+    // Pure codegen'd projection, zero shuffle
+    "q120_script_stats" -> ((s, dir) =>
+      TextAnalysis.scriptStats(scriptDocuments(s, dir))),
+
     // C4/RefinedWeb badword screening: pinned term list as a literal
     // array, per-row hash-set intersect (O(tokens+terms)), occurrence
     // count + integer cross-multiplied fraction verdict — ZERO shuffle,
@@ -3180,6 +3221,33 @@ object SparkEntry {
            |    ROWS UNBOUNDED PRECEDING) AS cum
            |  FROM inp)
            |SELECT doc_id, quality_score, n_tokens FROM o WHERE cum <= 20000""".stripMargin,
+
+      // fixture text via chr() (the q107 convention), counts via the
+      // operator's own hex-range classes, verdict via the same
+      // greatest + first-match CASE priority
+      "q120_script_stats" -> {
+        val fixture =
+          s"""SELECT doc_id, CASE
+             |  WHEN doc_id % 5 = 1 THEN repeat(${sqlChrLit(scriptPhrases("cyrillic") + " ")}, 12) || 'latin tail'
+             |  WHEN doc_id % 5 = 2 THEN repeat(${sqlChrLit(scriptPhrases("cjk"))}, 15) || ' small latin'
+             |  WHEN doc_id % 5 = 3 THEN repeat(${sqlChrLit(scriptPhrases("arabic") + " ")}, 12) || 'tail'
+             |  WHEN doc_id % 5 = 4 THEN repeat(${sqlChrLit(scriptPhrases("hangul") + " ")}, 12) || 'end'
+             |  ELSE text END AS text FROM documents""".stripMargin
+        val counts = operators.TextAnalysis.scriptBlocks.map { case (n, pat) =>
+          s"len(regexp_extract_all(text, '$pat'))::BIGINT AS n_$n" }.mkString(",\n|  ")
+        val names = operators.TextAnalysis.scriptBlocks.map(_._1)
+        val g = names.map(n => s"n_$n").mkString("greatest(", ", ", ")")
+        val verdict = names.map(n => s"WHEN n_$n = $g THEN '$n'").mkString("\n|       ")
+        s"""WITH f AS ($fixture),
+           |c AS (SELECT doc_id,
+           |  $counts
+           |  FROM f)
+           |SELECT doc_id, ${names.map(n => s"n_$n").mkString(", ")},
+           |  CASE WHEN $g = 0 THEN 'none'
+           |       $verdict
+           |       ELSE 'none' END AS main_script
+           |FROM c""".stripMargin
+      },
 
       // the same tokenization + hit-set + integer cross-multiply chain;
       // list_intersect/list_contains mirror array_intersect/array_contains

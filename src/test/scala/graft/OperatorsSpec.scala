@@ -983,6 +983,23 @@ class OperatorsSpec extends AnyFunSuite {
       plan.linesIterator.filter(_.contains("Filters")).mkString("\n"))
   }
 
+  test("script stats: block counts, priority tie-break, none for script-free text") {
+    val fx = Seq(
+      (0L, "plain latin words"),
+      (1L, "ab \u0430\u0431"),            // 2 latin vs 2 cyrillic: tie → latin (priority)
+      (2L, "\u4f60\u597d\u4e16\u754c x"), // CJK dominates one latin char
+      (3L, "12345 !!"),                   // no script chars at all
+      (4L, "\u0645\u0631\u062d\u0628\u0627"),          // arabic only
+      (5L, "\uc548\ub155 ok \uc548\ub155")             // hangul 4 vs latin 2
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.scriptStats(fx).collect()
+      .map(x => x.getLong(0) -> x.getAs[String]("main_script")).toMap
+    assert(r == Map(0L -> "latin", 1L -> "latin", 2L -> "cjk",
+      3L -> "none", 4L -> "arabic", 5L -> "hangul"))
+    val counts = TextAnalysis.scriptStats(fx).filter(col("doc_id") === 2L).head()
+    assert(counts.getAs[Long]("n_cjk") == 4L && counts.getAs[Long]("n_latin") == 1L)
+  }
+
   test("badword filter: case/punct-proof counting, C4 any-hit vs fraction policy") {
     val fx = Seq(
       (0L, "clean words only here"),
