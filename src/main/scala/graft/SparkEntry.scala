@@ -1165,6 +1165,19 @@ object SparkEntry {
       TextAnalysis.writeInvertedIndex(Tables.documents(s, dir), path, buckets = 64)
     }
 
+  /** The q121 index: built on 3/4 of the corpus, the rest folded in by
+    * [[operators.TextAnalysis.appendToInvertedIndex]] — the query's
+    * oracle equality (probe == full-corpus BM25) holds only if the
+    * append produced exactly the rebuild's postings and manifest. */
+  private def q121IndexPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("inv_index_q121", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.writeInvertedIndex(docs.filter(col("doc_id") % 4 =!= 0),
+        path, buckets = 64)
+      TextAnalysis.appendToInvertedIndex(docs.filter(col("doc_id") % 4 === 0), path)
+    }
+
   /** The q104 WARC envelope: the q96 inputs (url fixture + html fixture,
     * joined on doc_id) written as per-record-gzip response records — url
     * as WARC-Target-URI, html as the HTTP body, doc identity in the
@@ -2183,6 +2196,13 @@ object SparkEntry {
     // the layout is lossless
     "q119_bm25_indexed" -> ((s, dir) =>
       TextAnalysis.bm25FromIndex(s, q119IndexPath(s, dir), bm25Terms)),
+
+    // continuous ingest for the inverted index: 3/4 of the corpus builds,
+    // the last quarter APPENDS (manifest-modulus buckets, idempotent id
+    // skip, exact counter bump) — probing under the FULL-corpus oracle
+    // proves append ≡ rebuild
+    "q121_bm25_index_append" -> ((s, dir) =>
+      TextAnalysis.bm25FromIndex(s, q121IndexPath(s, dir), bm25Terms)),
 
     // normalization-aware exact dedup on the shouty fixture — upper-cased,
     // re-punctuated copies collapse onto their originals' normalized key
@@ -3418,6 +3438,9 @@ object SparkEntry {
       // the posting-list layout must lose nothing vs direct tokenization:
       // the SAME BM25 oracle gates the index probe
       "q119_bm25_indexed" -> bm25Sql,
+
+      // append-then-probe must reproduce the full-corpus BM25 exactly
+      "q121_bm25_index_append" -> bm25Sql,
 
       "q75_normalized_dedup" ->
         """WITH d AS (SELECT doc_id, text FROM documents

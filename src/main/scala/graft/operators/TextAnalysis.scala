@@ -545,6 +545,47 @@ object TextAnalysis {
       .write.mode("overwrite").parquet(s"$path/manifest")
   }
 
+  /** Fold a new batch into a [[writeInvertedIndex]] layout — the
+    * continuous-ingest shape completing the append triple (MinHash band
+    * index, IVF cells, posting lists). Already-indexed doc_ids SKIP
+    * (idempotent re-append, the IVF-append convention); fresh docs
+    * tokenize once, their postings land in the SAME bucket scheme
+    * (manifest modulus, not a parameter — probes and appends can never
+    * disagree), and the manifest counters bump by exactly the fresh
+    * docs' contribution, so append-then-probe is bit-identical to a
+    * full rebuild over the union (q121 runs under q74's full-corpus
+    * oracle to prove it).
+    *
+    * Per-append cost ∝ batch (+ one doc_id-projected scan of the layout
+    * for the skip set — ids only, never postings payload). */
+  def appendToInvertedIndex(newDocs: DataFrame, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val m = spark.read.parquet(s"$path/manifest").head()
+    val nDocs = m.getAs[Long]("n_docs")
+    val sumDl = m.getAs[Long]("sum_dl")
+    val buckets = m.getAs[Int]("buckets")
+    val existing = spark.read.parquet(s"$path/postings").select("doc_id").distinct()
+    // eager localCheckpoint PINS the fresh set before any write below:
+    // the postings append and the stats aggregate both re-derive from it,
+    // and neither may re-scan the layout after the append has already
+    // changed it (the second action would otherwise see its own output
+    // and compute an empty batch)
+    val fresh = newDocs.join(existing, Seq("doc_id"), "left_anti").localCheckpoint()
+    val tokenized = withWords(fresh)
+      .select(col("doc_id"), col("__words"), size(col("__words")).as("dl"))
+    tokenized
+      .select(col("doc_id"), col("dl"), explode(col("__words")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("p", pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+      .write.partitionBy("p").mode("append").parquet(s"$path/postings")
+    val st = tokenized.agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("s")).head()
+    val (dN, dS) = (st.getAs[Long]("n"), if (st.isNullAt(1)) 0L else st.getAs[Long]("s"))
+    spark.range(1).select(lit(nDocs + dN).as("n_docs"),
+        lit(sumDl + dS).as("sum_dl"), lit(buckets).as("buckets"))
+      .write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
   /** BM25 over a [[writeInvertedIndex]] layout — bit-identical to
     * [[bm25Scores]] on the same corpus (they share [[bm25Rank]]; q119
     * runs under q74's oracle to prove the layout loses nothing). The

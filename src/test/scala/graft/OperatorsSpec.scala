@@ -1000,6 +1000,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(counts.getAs[Long]("n_cjk") == 4L && counts.getAs[Long]("n_latin") == 1L)
   }
 
+  test("inverted-index append == one-shot rebuild, re-append idempotent") {
+    val fx = Seq(
+      (0L, "spark merge spark window end"), (1L, "vector vector scan row"),
+      (2L, "spark scan scan the end"), (3L, "merge row window the spark")
+    ).toDF("doc_id", "text")
+    val oneShot = java.nio.file.Files.createTempDirectory("graft_inv_one").toString
+    val appended = java.nio.file.Files.createTempDirectory("graft_inv_app").toString
+    TextAnalysis.writeInvertedIndex(fx, oneShot, buckets = 8)
+    TextAnalysis.writeInvertedIndex(fx.filter(col("doc_id") < 2), appended, buckets = 8)
+    TextAnalysis.appendToInvertedIndex(fx.filter(col("doc_id") >= 2), appended)
+    TextAnalysis.appendToInvertedIndex(fx.filter(col("doc_id") >= 2), appended) // no-op
+    def postings(d: String) = spark.read.parquet(s"$d/postings").collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("dl"), r.getAs[Long]("tf"), r.getAs[Int]("p"))).toSet
+    def manifest(d: String) = spark.read.parquet(s"$d/manifest").collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl"),
+        r.getAs[Int]("buckets"))).toSeq
+    assert(postings(appended) == postings(oneShot))
+    assert(manifest(appended) == manifest(oneShot))
+    val terms = Seq("spark", "scan")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(key(TextAnalysis.bm25FromIndex(spark, appended, terms)) ==
+      key(TextAnalysis.bm25FromIndex(spark, oneShot, terms)))
+  }
+
   test("badword filter: case/punct-proof counting, C4 any-hit vs fraction policy") {
     val fx = Seq(
       (0L, "clean words only here"),
