@@ -1966,6 +1966,23 @@ object SparkEntry {
       operators.Sampling.tokenBudget(in, budget = 20000L, buckets = 16)
     }),
 
+    // corpus snapshot diff: old = documents; new = %7 ids removed, %5
+    // texts rewritten, %6-derived fresh ids added — per-source
+    // added/removed/changed/unchanged counts + net word delta. Text never
+    // enters the full-outer join (hash + word-count projections only)
+    "q122_corpus_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      val next = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            concat(lit("fresh doc "), col("doc_id").cast("string")).as("text")))
+      TextAnalysis.corpusDiff(docs, next)
+    }),
+
     // Unicode script profile: per-doc character counts in the major
     // script blocks (shared Java∩RE2 hex-range classes) + dominant-script
     // verdict — the routing signal ahead of language-specific stages.
@@ -3241,6 +3258,33 @@ object SparkEntry {
            |    ROWS UNBOUNDED PRECEDING) AS cum
            |  FROM inp)
            |SELECT doc_id, quality_score, n_tokens FROM o WHERE cum <= 20000""".stripMargin,
+
+      // the same slim-projection FULL OUTER JOIN; counts as CASE sums
+      "q122_corpus_diff" ->
+        """WITH o AS (SELECT doc_id, source, md5(text) AS h,
+          |             len(string_split(text, ' '))::BIGINT AS nw FROM documents),
+          |n0 AS (SELECT doc_id, source,
+          |         CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+          |       FROM documents WHERE doc_id % 7 <> 0
+          |       UNION ALL
+          |       SELECT doc_id + 1000000, source, 'fresh doc ' || CAST(doc_id AS VARCHAR)
+          |       FROM documents WHERE doc_id % 6 = 0),
+          |n AS (SELECT doc_id, source, md5(text) AS h,
+          |        len(string_split(text, ' '))::BIGINT AS nw FROM n0),
+          |j AS (SELECT coalesce(n.source, o.source) AS source,
+          |        CASE WHEN o.doc_id IS NULL THEN 'added'
+          |             WHEN n.doc_id IS NULL THEN 'removed'
+          |             WHEN o.h <> n.h THEN 'changed'
+          |             ELSE 'unchanged' END AS st,
+          |        coalesce(n.nw, 0) - coalesce(o.nw, 0) AS dw
+          |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+          |SELECT source,
+          |  sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+          |  sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+          |  sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+          |  sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END)::BIGINT AS n_unchanged,
+          |  sum(dw)::BIGINT AS word_delta
+          |FROM j GROUP BY source""".stripMargin,
 
       // fixture text via chr() (the q107 convention), counts via the
       // operator's own hex-range classes, verdict via the same

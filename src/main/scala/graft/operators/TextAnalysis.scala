@@ -652,6 +652,40 @@ object TextAnalysis {
       verdict.as("main_script"): _*)
   }
 
+  /** Snapshot diff between two corpus versions — the audit report a
+    * continuously-refreshed training corpus publishes alongside its
+    * dataset card (what did the latest crawl ADD / REMOVE / REWRITE, and
+    * how did the token volume move, per source): one row per source with
+    * added / removed / changed / unchanged doc counts and the net word
+    * delta. "Changed" = same doc_id, different content hash.
+    *
+    * 100 TB shape: both sides project to (doc_id, source, md5, words)
+    * BEFORE the full-outer join — text never shuffles, the join carries
+    * 4 slim columns, and the per-source rollup partial-aggregates
+    * map-side into a handful of rows. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def prep(df: DataFrame, tag: String) = df.select(
+      col("doc_id"), col("source").as(s"${tag}_source"),
+      md5(col("text")).as(s"${tag}_h"),
+      size(split(col("text"), " ")).cast("long").as(s"${tag}_nw"))
+    val st = col("status")
+    prep(oldDocs, "o").join(prep(newDocs, "n"), Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("n_source"), col("o_source")).as("source"),
+        when(col("o_h").isNull, "added")
+          .when(col("n_h").isNull, "removed")
+          .when(col("o_h") =!= col("n_h"), "changed")
+          .otherwise("unchanged").as("status"),
+        (coalesce(col("n_nw"), lit(0L)) - coalesce(col("o_nw"), lit(0L))).as("dw"))
+      .groupBy("source")
+      .agg(
+        sum(when(st === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(st === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(st === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(st === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        sum(col("dw")).as("word_delta"))
+  }
+
   /** Canonical text normalization — the standard prep step before exact
     * dedup so that case / punctuation / whitespace variants of the same
     * content collapse to one key: lowercase, strip every character outside

@@ -1026,6 +1026,22 @@ class OperatorsSpec extends AnyFunSuite {
       key(TextAnalysis.bm25FromIndex(spark, oneShot, terms)))
   }
 
+  test("corpus diff: per-source status counts and exact word delta") {
+    val a = Seq((0L, "one two", "s0"), (1L, "three", "s0"), (2L, "x y z", "s1"))
+      .toDF("doc_id", "text", "source")
+    val b = Seq(
+      (0L, "one two", "s0"),          // unchanged
+      (1L, "three four five", "s0"),  // changed, +2 words
+      (3L, "new doc", "s1"))          // added (+2); doc 2 removed (-3)
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.corpusDiff(a, b).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    assert(r == Map(
+      "s0" -> ((0L, 0L, 1L, 1L, 2L)),
+      "s1" -> ((1L, 1L, 0L, 0L, -1L))))
+  }
+
   test("badword filter: case/punct-proof counting, C4 any-hit vs fraction policy") {
     val fx = Seq(
       (0L, "clean words only here"),
