@@ -809,6 +809,84 @@ object SparkEntry {
       |WHERE rn = 1
       |  AND NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = firsts.text)""".stripMargin
 
+  /** Shared CTE chain of the q115/q123 oracles, ending in
+    * `rv(doc_id, domain, path, allowed)` — the FULL RFC 9309 replay (line
+    * split via zipped unnest, directive parse with the operator's own
+    * regexes, group-run ids, specific-shadows-'*' selection, LIKE-pattern
+    * compilation, in-row max(2·len+isAllow) parity verdict) over the
+    * pinned [[robotsFixtureTexts]] bodies, applied to the url-fixture
+    * fetch URLs. */
+  private def robotsVerdictCtes: String = {
+    val values = robotsFixtureTexts
+      .map { case (i, t) => s"($i, ${sqlTextLit(t)})" }.mkString(", ")
+    s"""rpages AS ($urlFixtureSql),
+       |rp AS (SELECT doc_id,
+       |  lower(regexp_extract(url, '${operators.UrlOps.bareHostRe}', 1)) AS domain,
+       |  coalesce(nullif(regexp_extract(url, '${operators.Robots.pathQueryRe}', 1), ''), '/') AS path
+       |  FROM rpages),
+       |rb AS (SELECT 'www.example' || CAST(di AS VARCHAR) || '.com' AS domain, txt
+       |  FROM (VALUES $values) t(di, txt)),
+       |rlines AS (SELECT domain,
+       |  unnest(string_split(txt, chr(10))) AS raw,
+       |  unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS idx FROM rb),
+       |dirs AS (SELECT domain, idx, kind, val FROM (
+       |  SELECT domain, idx,
+       |    lower(regexp_extract(cl, '${operators.Robots.directiveKindRe}', 1)) AS kind,
+       |    regexp_extract(cl, '${operators.Robots.directiveValRe}', 1) AS val
+       |  FROM (SELECT domain, idx, regexp_replace(raw, '#.*$$', '') AS cl FROM rlines))
+       |  WHERE kind IN ('user-agent', 'allow', 'disallow')),
+       |g AS (SELECT *, sum(CASE WHEN kind = 'user-agent'
+       |        AND coalesce(lagk, '') <> 'user-agent' THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY domain ORDER BY idx ROWS UNBOUNDED PRECEDING) AS gid
+       |  FROM (SELECT *, lag(kind) OVER (PARTITION BY domain ORDER BY idx) AS lagk
+       |        FROM dirs)),
+       |am AS (SELECT domain, gid,
+       |    max(CASE WHEN lower(val) = 'graftbot' THEN 1 ELSE 0 END) AS spec
+       |  FROM g WHERE kind = 'user-agent' AND (lower(val) = 'graftbot' OR val = '*')
+       |  GROUP BY domain, gid),
+       |appl AS (SELECT domain, gid FROM
+       |  (SELECT *, max(spec) OVER (PARTITION BY domain) AS ms FROM am)
+       |  WHERE spec = ms),
+       |rrules AS (SELECT domain,
+       |    replace(CASE WHEN ends_with(esc, '$$') THEN substr(esc, 1, length(esc) - 1)
+       |                 ELSE esc || '%' END, '*', '%') AS lp,
+       |    2 * length(val) + CASE WHEN kind = 'allow' THEN 1 ELSE 0 END AS rank
+       |  FROM (SELECT *, replace(replace(replace(val, '!', '!!'), '%', '!%'), '_', '!_') AS esc
+       |        FROM g JOIN appl USING (domain, gid)
+       |        WHERE kind IN ('allow', 'disallow') AND val <> '') e),
+       |ra AS (SELECT domain, list({'lp': lp, 'rank': rank}) AS rules
+       |  FROM rrules GROUP BY domain),
+       |rv AS (SELECT doc_id, rp.domain, path,
+       |  coalesce(list_max(list_transform(
+       |    list_filter(ra.rules, q -> rp.path LIKE q.lp ESCAPE '!'),
+       |    q -> q.rank)) % 2 = 1, true) AS allowed
+       |  FROM rp LEFT JOIN ra USING (domain))""".stripMargin
+  }
+
+  /** Pinned blocklist entries for q117/q123 — exact host, parent suffix,
+    * and a never-matching domain; the same list feeds the Scala queries
+    * and the oracle VALUES. */
+  private[graft] val blockedDomainEntries: Seq[String] =
+    Seq("example3.com", "www.example5.com", "bad.org")
+
+  /** Shared CTE chain of the q117/q123 oracles, ending in
+    * `bv(doc_id, domain, blocked)` — label-suffix expansion of each fetch
+    * URL's host equi-joined to the pinned blocklist entries. */
+  private def blocklistVerdictCtes: String =
+    s"""blpages AS ($urlFixtureSql),
+       |blp AS (SELECT doc_id,
+       |  lower(regexp_extract(url, '${operators.UrlOps.bareHostRe}', 1)) AS domain
+       |  FROM blpages),
+       |bl AS (SELECT * FROM (VALUES ${
+      blockedDomainEntries.map(e => s"('$e')").mkString(", ")}) t(suffix)),
+       |sfx AS (SELECT doc_id,
+       |  unnest(list_transform(range(1, len(string_split(domain, '.')) + 1),
+       |    i -> array_to_string(string_split(domain, '.')[i:], '.'))) AS suffix
+       |  FROM blp),
+       |bhit AS (SELECT DISTINCT doc_id FROM sfx JOIN bl USING (suffix)),
+       |bv AS (SELECT blp.doc_id, blp.domain, bhit.doc_id IS NOT NULL AS blocked
+       |  FROM blp LEFT JOIN bhit ON blp.doc_id = bhit.doc_id)""".stripMargin
+
   /** The q74 AND q119 oracle: one BM25 replay gates both the direct path
     * and the posting-list index probe — they share the ranking core, so
     * equality here proves the persisted layout loses nothing. Float
@@ -1942,6 +2020,36 @@ object SparkEntry {
         .select("doc_id", "domain", "n_words")
     }),
 
+    // the COMPLETE crawl gate: fetch-URL compliance FIRST (robots.txt
+    // verdict ∧ domain blocklist — the checks a crawler runs before
+    // spending a fetch), then the q109 front door (noindex, canonical
+    // resolution, boilerplate, URL winners, domain cap, word floor) over
+    // the compliant survivors only. One lazy plan over verified stages
+    "q123_crawl_gate_compose" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val urls = urlDocuments(s, dir)
+      val gate = operators.Robots
+        .robotsGate(urls, robotsDocuments(s, dir), agent = "graftbot")
+        .filter(col("allowed")).select("doc_id")
+        .join(operators.UrlOps.domainBlocklist(urls, blockedDomainEntries.toDF("domain"))
+          .filter(!col("blocked")).select("doc_id"), "doc_id")
+      val pages = metaHtmlDocuments(s, dir)
+      val meta = operators.Boilerplate.extractPageMeta(pages)
+        .filter(!col("robots_noindex"))
+        .select("doc_id", "canonical_url")
+      val resolved = meta.join(urls, "doc_id").join(gate, "doc_id")
+        .select(col("doc_id"), coalesce(col("canonical_url"), col("url")).as("url"))
+      val text = operators.Boilerplate.extractMainText(pages)
+        .select(col("doc_id"), col("main_text"))
+      val keep = operators.UrlOps.urlDedup(resolved).select(col("keep_id").as("doc_id"))
+      val capped = operators.UrlOps.domainCap(resolved, maxPerDomain = 40)
+      text.join(keep, "doc_id").join(capped, "doc_id")
+        .withColumn("n_words", size(split(col("main_text"), " ")).cast("long"))
+        .filter(col("n_words") >= 30)
+        .select("doc_id", "domain", "n_words")
+    }),
+
     // robots.txt compliance gate (RFC 9309): parse per-domain robots
     // bodies, select the applicable group (specific shadows '*'), compile
     // rules to (LIKE pattern, 2·len+isAllow rank) arrays, and give each
@@ -2005,7 +2113,7 @@ object SparkEntry {
     "q117_domain_blocklist" -> ((s, dir) => {
       import s.implicits._
       operators.UrlOps.domainBlocklist(urlDocuments(s, dir),
-        Seq("example3.com", "www.example5.com", "bad.org").toDF("domain"))
+        blockedDomainEntries.toDF("domain"))
     }),
 
     // Unicode NFC normalization (codegen'd NfcNormalize expression): the
@@ -3188,6 +3296,37 @@ object SparkEntry {
            |SELECT doc_id, domain, nw::BIGINT AS n_words FROM j WHERE nw >= 30""".stripMargin
       },
 
+      // q123 = the q109 chain over the robots ∧ blocklist survivors: the
+      // verdict CTE chains (rv, bv) gate the resolved-urls source, then
+      // the shared boilerplate/url-canon prefixes replay the front door
+      "q123_crawl_gate_compose" -> {
+        val gatedResolvedSql =
+          s"""SELECT doc_id, CASE WHEN doc_id % 3 = 0
+             |  THEN 'http://example' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/' || CAST(doc_id % 25 AS VARCHAR)
+             |  ELSE url END AS url
+             |FROM ($urlFixtureSql) fetch_urls
+             |JOIN cgate USING (doc_id) WHERE doc_id % 7 <> 0""".stripMargin
+        s"""WITH ${boilerplateCteFor(metaHtmlFixtureSql)},
+           |$robotsVerdictCtes,
+           |$blocklistVerdictCtes,
+           |cgate AS (SELECT rv.doc_id FROM rv JOIN bv USING (doc_id)
+           |          WHERE allowed AND NOT blocked),
+           |${urlCanonCteFor(gatedResolvedSql)},
+           |x AS (SELECT doc_id,
+           |  array_to_string(list_transform(content, s -> s.t), ' ') AS main_text
+           |  FROM cl),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY norm_url),
+           |cap AS (SELECT doc_id, domain FROM (
+           |  SELECT doc_id, domain, row_number() OVER (
+           |    PARTITION BY domain
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           |  FROM d) WHERE rn <= 40),
+           |j AS (SELECT x.doc_id, cap.domain,
+           |  len(string_split(main_text, ' ')) AS nw
+           |  FROM x JOIN keep USING (doc_id) JOIN cap USING (doc_id))
+           |SELECT doc_id, domain, nw::BIGINT AS n_words FROM j WHERE nw >= 30""".stripMargin
+      },
+
       // the q108 oracle embeds the OPERATOR'S OWN regex constants
       // (single-quotes doubled for the SQL literal) — two-step tag→attr
       // extraction replayed verbatim; nullif normalizes both engines'
@@ -3198,52 +3337,9 @@ object SparkEntry {
       // shadows-'*' selection, LIKE-pattern compilation, and the in-row
       // longest-match/Allow-ties verdict as max(2·len+isAllow) parity —
       // over the same pinned robots bodies the Scala fixture serves
-      "q115_robots_gate" -> {
-        val values = robotsFixtureTexts
-          .map { case (i, t) => s"($i, ${sqlTextLit(t)})" }.mkString(", ")
-        s"""WITH pages AS ($urlFixtureSql),
-           |p AS (SELECT doc_id,
-           |  lower(regexp_extract(url, '${operators.UrlOps.bareHostRe}', 1)) AS domain,
-           |  coalesce(nullif(regexp_extract(url, '${operators.Robots.pathQueryRe}', 1), ''), '/') AS path
-           |  FROM pages),
-           |rb AS (SELECT 'www.example' || CAST(di AS VARCHAR) || '.com' AS domain, txt
-           |  FROM (VALUES $values) t(di, txt)),
-           |rlines AS (SELECT domain,
-           |  unnest(string_split(txt, chr(10))) AS raw,
-           |  unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS idx FROM rb),
-           |dirs AS (SELECT domain, idx, kind, val FROM (
-           |  SELECT domain, idx,
-           |    lower(regexp_extract(cl, '${operators.Robots.directiveKindRe}', 1)) AS kind,
-           |    regexp_extract(cl, '${operators.Robots.directiveValRe}', 1) AS val
-           |  FROM (SELECT domain, idx, regexp_replace(raw, '#.*$$', '') AS cl FROM rlines))
-           |  WHERE kind IN ('user-agent', 'allow', 'disallow')),
-           |g AS (SELECT *, sum(CASE WHEN kind = 'user-agent'
-           |        AND coalesce(lagk, '') <> 'user-agent' THEN 1 ELSE 0 END)
-           |    OVER (PARTITION BY domain ORDER BY idx ROWS UNBOUNDED PRECEDING) AS gid
-           |  FROM (SELECT *, lag(kind) OVER (PARTITION BY domain ORDER BY idx) AS lagk
-           |        FROM dirs)),
-           |am AS (SELECT domain, gid,
-           |    max(CASE WHEN lower(val) = 'graftbot' THEN 1 ELSE 0 END) AS spec
-           |  FROM g WHERE kind = 'user-agent' AND (lower(val) = 'graftbot' OR val = '*')
-           |  GROUP BY domain, gid),
-           |appl AS (SELECT domain, gid FROM
-           |  (SELECT *, max(spec) OVER (PARTITION BY domain) AS ms FROM am)
-           |  WHERE spec = ms),
-           |rules AS (SELECT domain,
-           |    replace(CASE WHEN ends_with(esc, '$$') THEN substr(esc, 1, length(esc) - 1)
-           |                 ELSE esc || '%' END, '*', '%') AS lp,
-           |    2 * length(val) + CASE WHEN kind = 'allow' THEN 1 ELSE 0 END AS rank
-           |  FROM (SELECT *, replace(replace(replace(val, '!', '!!'), '%', '!%'), '_', '!_') AS esc
-           |        FROM g JOIN appl USING (domain, gid)
-           |        WHERE kind IN ('allow', 'disallow') AND val <> '') e),
-           |ra AS (SELECT domain, list({'lp': lp, 'rank': rank}) AS rules
-           |  FROM rules GROUP BY domain)
-           |SELECT doc_id, p.domain, path,
-           |  coalesce(list_max(list_transform(
-           |    list_filter(ra.rules, q -> p.path LIKE q.lp ESCAPE '!'),
-           |    q -> q.rank)) % 2 = 1, true) AS allowed
-           |FROM p LEFT JOIN ra USING (domain)""".stripMargin
-      },
+      "q115_robots_gate" ->
+        s"""WITH $robotsVerdictCtes
+           |SELECT doc_id, domain, path, allowed FROM rv""".stripMargin,
 
       // the oracle is the NAIVE form the operator avoids: one global
       // running-sum window — tractable at oracle scale, and exactly the
@@ -3329,21 +3425,9 @@ object SparkEntry {
           |FROM c""".stripMargin,
 
       // suffix chain via list slicing l[i:], equi-joined to the entries
-      "q117_domain_blocklist" -> {
-        s"""WITH pages AS ($urlFixtureSql),
-           |p AS (SELECT doc_id,
-           |  lower(regexp_extract(url, '${operators.UrlOps.bareHostRe}', 1)) AS domain
-           |  FROM pages),
-           |bl AS (SELECT * FROM (VALUES ('example3.com'), ('www.example5.com'),
-           |  ('bad.org')) t(suffix)),
-           |sfx AS (SELECT doc_id,
-           |  unnest(list_transform(range(1, len(string_split(domain, '.')) + 1),
-           |    i -> array_to_string(string_split(domain, '.')[i:], '.'))) AS suffix
-           |  FROM p),
-           |b AS (SELECT DISTINCT doc_id FROM sfx JOIN bl USING (suffix))
-           |SELECT p.doc_id, p.domain, b.doc_id IS NOT NULL AS blocked
-           |FROM p LEFT JOIN b ON p.doc_id = b.doc_id""".stripMargin
-      },
+      "q117_domain_blocklist" ->
+        s"""WITH $blocklistVerdictCtes
+           |SELECT doc_id, domain, blocked FROM bv""".stripMargin,
 
       "q108_page_meta" -> {
         def re(r: String) = r.replace("'", "''")

@@ -766,23 +766,34 @@ object Dedup {
     * bounds (4M items / 2²⁶ bits by default) — beyond that, shard the
     * corpus and gate against per-shard filters. */
   def bloomGatedDedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
-      textCol: String = "text", expectedItems: Long = 1000000L,
+      textCol: String = "text", expectedItems: Long = 0L,
       fpp: Double = 0.01): DataFrame = {
-    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(expectedItems >= 0,
+      s"expectedItems must be >= 0 (0 = size to the corpus), got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    // auto-size to the corpus: the filter literal travels inside the
+    // generated code and every task binary, so a fixed worst-case size
+    // taxes EVERY batch — one count pass right-sizes it (probe-measured:
+    // a 1.2 MB always-1M-items literal made the sf0.1 query 2.5 s; sized
+    // filters + the pinned batch below bring it to the q67 baseline)
+    val items = if (expectedItems > 0) expectedItems
+      else math.max(64L, corpus.count())
     val numBits = math.max(64L,
-      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+      math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
     val corpusHashes = corpus.select(md5(col(textCol)).as("__h"))
     val bloomRow = corpusHashes.agg(column(new BloomFilterAggregate(
-        expression(xxhash64(col("__h"))), Literal(expectedItems), Literal(numBits))
+        expression(xxhash64(col("__h"))), Literal(items), Literal(numBits))
       .toAggregateExpression()).as("__bf")).head()
     val bloomLit = Literal.create(
       if (bloomRow.isNullAt(0)) null else bloomRow.getAs[Array[Byte]](0), BinaryType)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("__h").orderBy("doc_id")
+    // eager localCheckpoint: the keep/verify branches below would each
+    // re-derive the batch + window + bloom probe; pinning runs that once
+    // (batch-scale storage — the batch is the small side by design)
     val firsts = newDocs.withColumn("__h", md5(col(textCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -792,6 +803,7 @@ object Dedup {
       .withColumn("__maybe", coalesce(
         column(BloomFilterMightContain(bloomLit,
           expression(xxhash64(col("__h"))))), lit(true)))
+      .localCheckpoint()
     val out = (c: DataFrame) => c.drop("__h", "__rn", "__maybe")
     out(firsts.filter(!col("__maybe")))
       .unionByName(out(firsts.filter(col("__maybe"))

@@ -193,11 +193,19 @@ object Sampling {
     * the IVF-centroids convention), shuffles carry only (doc_id, score,
     * weight), and the boundary window sorts one bucket on one reducer —
     * size `buckets` so corpus/buckets fits an executor. */
-  def tokenBudget(docs: DataFrame, budget: Long,
+  def tokenBudget(docs0: DataFrame, budget: Long,
       scoreCol: String = "quality_score", weightCol: String = "n_tokens",
       buckets: Int = 64): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    // eager localCheckpoint: the selection makes FOUR passes over the
+    // input (boundary sketch, bucket totals, kept buckets, boundary
+    // bucket) — pinning evaluates an expensive upstream (e.g. a quality
+    // scorer) once instead of four times (probe-measured 4.3 s → 0.35 s
+    // on the q118 composition) and guarantees all passes see identical
+    // rows. Callers should project to the needed columns first; the pin
+    // holds exactly the input selection.
+    val docs = docs0.localCheckpoint()
     val outCols = docs.columns.map(col).toSeq
     val bdRow = docs.agg(percentile_approx(col(scoreCol),
       array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*),

@@ -212,6 +212,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("badword filter and script stats: zero exchanges — pure projections") {
+    for (q <- Seq("q116_badword_filter", "q120_script_stats"))
+      assert(!plan(q).contains("Exchange"), s"$q must not shuffle")
+  }
+
+  test("token budget: the only selection window partitions by bucket") {
+    val p = plan("q118_token_budget")
+    // the boundary-bucket window keys on __bkt; a global running sum
+    // (empty partitionBy) would be the single-reducer killer
+    assert(p.contains("__bkt"), "bucketed selection missing")
+    assert(!p.contains("windowspecdefinition(quality_score"),
+      "global score-ordered window crept in")
+  }
+
+  test("bm25 index probe: posting buckets prune at planning time") {
+    val p = plan("q119_bm25_indexed")
+    assert(p.contains("PartitionFilters: [") && p.contains(" IN "),
+      p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    // ranking sides broadcast (df / corpus are tiny)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("robots gate: in-row verdict, pages never reshuffle by doc_id") {
     val p = plan("q115_robots_gate")
     // the whole precedence ladder is one array_max over the rule array —
@@ -226,11 +248,12 @@ class PlanSpec extends AnyFunSuite {
       "global window crept in")
   }
 
-  test("bloom gate: literal filter guards the anti-join, one explode-free union") {
+  test("bloom gate: pinned batch feeds both branches, one anti-join") {
     val p = plan("q114_dedup_bloom_gated")
-    // the gate is a pinned literal probed in-row — no shuffle, no subquery
-    // job at execution time (the one aggregate ran at construction)
-    assert(p.contains("might_contain"), "bloom gate missing from the plan")
+    // the batch + window + bloom probe evaluated ONCE at construction
+    // into a localCheckpoint; the final plan filters that pinned RDD —
+    // no re-derivation per branch, no subquery job at execution time
+    assert(p.contains("ExistingRDD"), "pinned batch missing from the plan")
     assert("LeftAnti".r.findAllIn(p).size == 1,
       "exactly one anti-join (the maybe-branch verify)")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
