@@ -386,9 +386,16 @@ object SparkEntry {
     * SAME strings feed the Scala fixture and (via [[sqlTextLit]]) the
     * DuckDB oracle's VALUES list. */
   private[graft] val robotsFixtureTexts: Seq[(Int, String)] = Seq(
-    0 -> "User-agent: graftbot\nDisallow: /a/1\n\nUser-agent: *\nDisallow: /",
-    2 -> "User-agent: *\nDisallow: /a/2\nAllow: /a/2?",
-    3 -> "User-agent: *\nDisallow: /*?utm_\nAllow: /a/*&id=14$",
+    // Crawl-delay lines exercise q124 ONLY — the allow/disallow chains
+    // (q115/q123 and their oracles) drop them before grouping, and none
+    // sits between User-agent header lines, so verdicts and group ids
+    // are untouched. Coverage: delay in a shadowed '*' group must NOT
+    // apply (0), non-numeric ignored (2), '*'-group delay applies when
+    // no specific group exists (3), specific-group delay applies (4).
+    0 -> ("User-agent: graftbot\nDisallow: /a/1\n\n" +
+      "User-agent: *\nDisallow: /\nCrawl-delay: 7"),
+    2 -> "User-agent: *\nDisallow: /a/2\nAllow: /a/2?\nCrawl-delay: soon",
+    3 -> "User-agent: *\nDisallow: /*?utm_\nAllow: /a/*&id=14$\nCrawl-delay: 2",
     4 -> ("# example4 policy\nUser-Agent: otherbot\nUSER-AGENT: graftbot\n" +
       "Crawl-delay: 10\nDisallow:\nDISALLOW: /a/7\nAllow: /a/7?x\n\n" +
       "User-agent: *\nDisallow: /"),
@@ -617,6 +624,27 @@ object SparkEntry {
       |  - 0.1 * dup_word_frac
       |  - 0.1 * top_bigram_frac, 6) AS quality_score
       |  FROM qf LEFT JOIN lm ON qf.doc_id = lm.doc_id)""".stripMargin
+
+  /** Readability replay over any (doc_id, text) source — the q125 oracle
+    * body, reused by q127 over the snapshot-delta corpus. Lateral
+    * aliases feed the grade formulas; every literal casts ::DOUBLE so
+    * DuckDB's DECIMAL inference never enters the arithmetic, and the
+    * grades stay UNROUNDED — same-association IEEE + · / over integer
+    * counts is bit-identical across engines, while round() itself
+    * diverges at exact 6-decimal halves (see the operator's scaladoc). */
+  private def readabilitySql(src: String): String =
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' '))::BIGINT AS n_words,
+       |  greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT AS n_sentences,
+       |  CAST(list_sum(list_transform(string_split(text, ' '),
+       |    w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+'))))) AS BIGINT)
+       |    AS n_syllables,
+       |  len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT AS n_letters,
+       |  0.39::DOUBLE * n_words / n_sentences +
+       |    11.8::DOUBLE * n_syllables / n_words - 15.59::DOUBLE AS fk_grade,
+       |  4.71::DOUBLE * n_letters / n_words +
+       |    0.5::DOUBLE * n_words / n_sentences - 21.43::DOUBLE AS ari
+       |FROM $src""".stripMargin
 
   /** The q111 AND q112 oracle: the ENTIRE PQ path in SQL — md5-seeded
     * sub-codebooks, encode argmin, per-query LUT, integer ADC top-k.
@@ -2050,6 +2078,63 @@ object SparkEntry {
         .select("doc_id", "domain", "n_words")
     }),
 
+    // crawl-frontier fetch scheduling: robots-allowed URLs get a
+    // per-domain politeness sequence (two-level salted rank — no
+    // single-reducer hot-domain window) and fetch_at = seq × the
+    // domain's robots Crawl-delay (default 1 s); the pinned robots
+    // bodies exercise specific-group shadowing, '*'-group fallback, and
+    // non-numeric delay rejection
+    "q124_fetch_schedule" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val urls = urlDocuments(s, dir)
+      val robots = robotsDocuments(s, dir)
+      val allowed = operators.Robots
+        .robotsGate(urls, robots, agent = "graftbot")
+        .filter(col("allowed")).select("doc_id")
+      operators.Frontier.fetchSchedule(urls.join(allowed, "doc_id"),
+        operators.Robots.crawlDelays(robots, agent = "graftbot"))
+    }),
+
+    // readability grades (Flesch-Kincaid + ARI) from three integer
+    // counts — sentences, vowel-group syllables, letters — in one
+    // shuffle-free projection
+    "q125_readability" -> ((s, dir) =>
+      operators.TextAnalysis.readability(Tables.documents(s, dir))),
+
+    // domain-level quality gate (the RefinedWeb/DCLM aggregation above
+    // per-doc filters): q102's verified scorer rolls up per domain in
+    // integer micro-units — exact bigint mean, no float-sum order hazard
+    "q126_domain_quality" -> ((s, dir) =>
+      operators.UrlOps.domainQualityGate(
+        operators.TextAnalysis.qualityScore(Tables.documents(s, dir)),
+        urlDocuments(s, dir))),
+
+    // incremental materialization: recompute readability ONLY for the
+    // q122-snapshot delta (added/changed docs), carry the old run's rows
+    // for unchanged ids — the oracle scores the new corpus IN FULL, so
+    // equality proves incremental ≡ recompute
+    "q127_incremental_scores" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      val next = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            concat(lit("fresh doc "), col("doc_id").cast("string")).as("text")))
+      operators.Incremental.materialize(docs,
+        operators.TextAnalysis.readability(docs), next,
+        operators.TextAnalysis.readability(_))
+    }),
+
+    // shard manifest: per-shard doc/token counts + order-independent
+    // bit_xor checksum over md5(id:text) — the publish-step integrity
+    // record a consumer re-derives after transfer
+    "q128_shard_manifest" -> ((s, dir) =>
+      operators.Sampling.shardManifest(
+        Tables.documents(s, dir), shards = 8, seed = "r8")),
+
     // robots.txt compliance gate (RFC 9309): parse per-domain robots
     // bodies, select the applicable group (specific shadows '*'), compile
     // rules to (LIKE pattern, 2·len+isAllow rank) arrays, and give each
@@ -3326,6 +3411,92 @@ object SparkEntry {
            |  FROM x JOIN keep USING (doc_id) JOIN cap USING (doc_id))
            |SELECT doc_id, domain, nw::BIGINT AS n_words FROM j WHERE nw >= 30""".stripMargin
       },
+
+      // q124: the rv chain gates to allowed URLs; a 4-kind re-parse of
+      // the SAME rlines (retaining crawl-delay) replays group selection
+      // for the delay table; the two-level salted rank collapses to the
+      // single window it provably equals — row_number over (domain ORDER
+      // BY salt, md5, doc_id)
+      "q124_fetch_schedule" ->
+        s"""WITH $robotsVerdictCtes,
+           |dirs4 AS (SELECT domain, idx, kind, val FROM (
+           |  SELECT domain, idx,
+           |    lower(regexp_extract(cl, '${operators.Robots.directiveKindRe}', 1)) AS kind,
+           |    regexp_extract(cl, '${operators.Robots.directiveValRe}', 1) AS val
+           |  FROM (SELECT domain, idx, regexp_replace(raw, '#.*$$', '') AS cl FROM rlines))
+           |  WHERE kind IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
+           |g4 AS (SELECT *, sum(CASE WHEN kind = 'user-agent'
+           |        AND coalesce(lagk, '') <> 'user-agent' THEN 1 ELSE 0 END)
+           |    OVER (PARTITION BY domain ORDER BY idx ROWS UNBOUNDED PRECEDING) AS gid
+           |  FROM (SELECT *, lag(kind) OVER (PARTITION BY domain ORDER BY idx) AS lagk
+           |        FROM dirs4)),
+           |am4 AS (SELECT domain, gid,
+           |    max(CASE WHEN lower(val) = 'graftbot' THEN 1 ELSE 0 END) AS spec
+           |  FROM g4 WHERE kind = 'user-agent' AND (lower(val) = 'graftbot' OR val = '*')
+           |  GROUP BY domain, gid),
+           |appl4 AS (SELECT domain, gid FROM
+           |  (SELECT *, max(spec) OVER (PARTITION BY domain) AS ms FROM am4)
+           |  WHERE spec = ms),
+           |rdel AS (SELECT domain, max(val::BIGINT) AS crawl_delay
+           |  FROM g4 JOIN appl4 USING (domain, gid)
+           |  WHERE kind = 'crawl-delay' AND regexp_matches(val, '^[0-9]+$$')
+           |  GROUP BY domain),
+           |sched AS (SELECT doc_id, domain,
+           |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 16 AS salt,
+           |    md5(doc_id::VARCHAR) AS m
+           |  FROM rv WHERE allowed),
+           |sq AS (SELECT doc_id, domain,
+           |    row_number() OVER (PARTITION BY domain ORDER BY salt, m, doc_id) - 1 AS seq
+           |  FROM sched)
+           |SELECT doc_id, domain, seq,
+           |  seq * coalesce(crawl_delay, 1) AS fetch_at
+           |FROM sq LEFT JOIN rdel USING (domain)""".stripMargin,
+
+      // q125: lateral aliases feed the two grade formulas; every literal
+      // casts ::DOUBLE so DuckDB's DECIMAL inference never enters the
+      // arithmetic, keeping both engines in bit-identical IEEE doubles
+      "q125_readability" -> readabilitySql("documents"),
+
+      // q126: the q102 score chain rolls up per fixture domain in
+      // integer micro-units; `//` (floor) ≡ Spark's `div` (truncate) on
+      // the non-negative sums the scorer guarantees at this gate
+      "q126_domain_quality" ->
+        s"""WITH $qualityScoreCte,
+           |ud AS ($urlFixtureSql),
+           |dom AS (SELECT doc_id,
+           |  lower(regexp_extract(url, '${operators.UrlOps.bareHostRe}', 1)) AS domain
+           |  FROM ud),
+           |m AS (SELECT domain, CAST(round(quality_score * 1000000) AS BIGINT) AS mi
+           |      FROM score JOIN dom USING (doc_id))
+           |SELECT domain, count(*)::BIGINT AS n_docs,
+           |  sum(CASE WHEN mi >= 400000 THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+           |  (CAST(sum(mi) AS BIGINT) // count(*)) AS avg_quality_micro,
+           |  (CAST(sum(mi) AS BIGINT) // count(*)) >= 400000 AS domain_keep
+           |FROM m GROUP BY domain""".stripMargin,
+
+      // q127's oracle scores the NEW corpus in full — equality against
+      // the operator's delta-compute + carry-forward plan proves
+      // incremental ≡ recompute on the q122 snapshot fixture
+      "q127_incremental_scores" ->
+        s"""WITH n0 AS (SELECT doc_id,
+           |         CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+           |       FROM documents WHERE doc_id % 7 <> 0
+           |       UNION ALL
+           |       SELECT doc_id + 1000000, 'fresh doc ' || CAST(doc_id AS VARCHAR)
+           |       FROM documents WHERE doc_id % 6 = 0)
+           |${readabilitySql("n0")}""".stripMargin,
+
+      // q128: same md5 shard coin as q105; checksum = bit_xor over the
+      // 60-bit md5(id:text) image — order-independent in both engines
+      "q128_shard_manifest" ->
+        """WITH h AS (SELECT doc_id, text,
+          |    ('0x' || substr(md5('r8:' || doc_id::VARCHAR), 1, 4))::INT % 8 AS shard
+          |  FROM documents)
+          |SELECT shard, count(*)::BIGINT AS n_docs,
+          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+          |  bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT)
+          |    AS checksum
+          |FROM h GROUP BY shard""".stripMargin,
 
       // the q108 oracle embeds the OPERATOR'S OWN regex constants
       // (single-quotes doubled for the SQL literal) — two-step tag→attr

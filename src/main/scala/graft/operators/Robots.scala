@@ -70,32 +70,9 @@ object Robots {
       domainCol: String = "domain", txtCol: String = "robots_txt"): DataFrame = {
     require(agent.nonEmpty && agent == agent.toLowerCase(java.util.Locale.ROOT),
       s"agent must be a non-empty lowercase product token, got '$agent'")
-    // robots.txt LINES: comment-stripped, CR-tolerant (the \s* in the
-    // directive regexes swallows a trailing \r), position-indexed
-    val lines = robots.select(col(domainCol).as("domain"),
-        posexplode(split(col(txtCol), "\n")).as(Seq("idx", "raw")))
-      .withColumn("cl", regexp_replace(col("raw"), "#.*$", ""))
-      .withColumn("kind", lower(regexp_extract(col("cl"), directiveKindRe, 1)))
-      .withColumn("val", regexp_extract(col("cl"), directiveValRe, 1))
-      .filter(col("kind").isin("user-agent", "allow", "disallow"))
-    // group id = running count of agent-run STARTS (an agent line whose
-    // previous directive is not an agent line); windows partition by
-    // domain over robots LINES only — bounded by the file, not the corpus
-    val wo = Window.partitionBy("domain").orderBy("idx")
-    val grouped = lines
-      .withColumn("__ag", col("kind") === "user-agent")
-      .withColumn("gid", sum(
-        when(col("__ag") && !coalesce(lag(col("__ag"), 1).over(wo), lit(false)), 1L)
-          .otherwise(0L)).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
-    // group selection: specific groups beat '*' groups, domain-wide
-    val agents = grouped.filter(col("__ag"))
-      .select(col("domain"), col("gid"),
-        (lower(col("val")) === agent).as("spec"))
-      .filter(lower(col("val")) === agent || col("val") === "*")
-    val applicable = agents
-      .withColumn("__ms", max(col("spec")).over(Window.partitionBy("domain")))
-      .filter(col("spec") === col("__ms"))
-      .select("domain", "gid").distinct()
+    val grouped = groupedDirectives(robots, domainCol, txtCol,
+      Seq("user-agent", "allow", "disallow"))
+    val applicable = applicableGroups(grouped, agent)
     // compile rules of the applicable groups: LIKE pattern + rank
     val rules = grouped.filter(col("kind").isin("allow", "disallow") && col("val") =!= "")
       .join(applicable, Seq("domain", "gid"))
@@ -109,6 +86,66 @@ object Robots {
         when(col("kind") === "allow", 1L).otherwise(0L))
     rules.groupBy("domain")
       .agg(collect_list(struct(col("lp"), col("rank"))).as("rules"))
+  }
+
+  /** robots.txt LINES of the requested directive kinds, with RFC 9309
+    * group ids: comment-stripped, CR-tolerant (the \s* in the directive
+    * regexes swallows a trailing \r), position-indexed; group id =
+    * running count of agent-run STARTS (an agent line whose previous
+    * RETAINED directive is not an agent line). Windows partition by
+    * domain over robots LINES only — bounded by the file, not the
+    * corpus. NOTE `kinds` participates in the gid definition: a line of
+    * a dropped kind cannot end a `User-agent` header run. No fixture or
+    * sane robots.txt splits a header run with a non-group line, so the
+    * 3-kind gate and the 4-kind delay parse agree on group membership. */
+  private def groupedDirectives(robots: DataFrame, domainCol: String,
+      txtCol: String, kinds: Seq[String]): DataFrame = {
+    val lines = robots.select(col(domainCol).as("domain"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("idx", "raw")))
+      .withColumn("cl", regexp_replace(col("raw"), "#.*$", ""))
+      .withColumn("kind", lower(regexp_extract(col("cl"), directiveKindRe, 1)))
+      .withColumn("val", regexp_extract(col("cl"), directiveValRe, 1))
+      .filter(col("kind").isin(kinds: _*))
+    val wo = Window.partitionBy("domain").orderBy("idx")
+    lines
+      .withColumn("__ag", col("kind") === "user-agent")
+      .withColumn("gid", sum(
+        when(col("__ag") && !coalesce(lag(col("__ag"), 1).over(wo), lit(false)), 1L)
+          .otherwise(0L)).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Group selection per RFC 9309 §2.2.1: the groups naming `agent`
+    * exactly if any do, else the `*` groups — domain-wide. */
+  private def applicableGroups(grouped: DataFrame, agent: String): DataFrame =
+    grouped.filter(col("__ag"))
+      .select(col("domain"), col("gid"),
+        (lower(col("val")) === agent).as("spec"))
+      .filter(lower(col("val")) === agent || col("val") === "*")
+      .withColumn("__ms", max(col("spec")).over(Window.partitionBy("domain")))
+      .filter(col("spec") === col("__ms"))
+      .select("domain", "gid").distinct()
+
+  /** Per-domain politeness delay from the de-facto `Crawl-delay`
+    * directive (not in RFC 9309, but honored by most non-Google crawlers
+    * and present in a large share of real robots.txt files): integer
+    * seconds from the APPLICABLE groups only — a `*` group's delay does
+    * NOT apply when a specific group names `agent` (same shadowing as
+    * the allow/disallow gate) — max across applicable groups when
+    * several declare one (the conservative read), non-numeric values
+    * ignored. Emits (domain, crawl_delay) for domains with an explicit
+    * valid delay ONLY; absence means "caller's default", matching
+    * [[parseRules]]' missing-row contract. The allow/disallow gate
+    * itself keeps ignoring `Crawl-delay` lines entirely, per RFC. */
+  def crawlDelays(robots: DataFrame, agent: String,
+      domainCol: String = "domain", txtCol: String = "robots_txt"): DataFrame = {
+    require(agent.nonEmpty && agent == agent.toLowerCase(java.util.Locale.ROOT),
+      s"agent must be a non-empty lowercase product token, got '$agent'")
+    val grouped = groupedDirectives(robots, domainCol, txtCol,
+      Seq("user-agent", "allow", "disallow", "crawl-delay"))
+    grouped.filter(col("kind") === "crawl-delay" && col("val").rlike("^[0-9]+$"))
+      .join(applicableGroups(grouped, agent), Seq("domain", "gid"))
+      .groupBy("domain")
+      .agg(max(col("val").cast("long")).as("crawl_delay"))
   }
 
   /** Per-page robots verdict: (doc_id, domain, path, allowed). `pages`

@@ -100,6 +100,33 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Shard manifest — the integrity record published beside an exported
+    * dataset (the WebDataset/HuggingFace convention of a sidecar stats
+    * file per shard): for each shard of [[deterministicShuffle]]'s
+    * assignment, the document count, whitespace-token count, and an
+    * ORDER-INDEPENDENT exact checksum — bit_xor over a 60-bit integer
+    * image of md5(doc_id ‖ ':' ‖ text). XOR commutes, so the checksum is
+    * partition-order-proof (no float/ordering hazard), and hashing the
+    * (id, text) PAIR means two different docs sharing text still
+    * contribute distinct terms — the classic XOR-cancellation trap only
+    * fires on fully identical rows, which ids preclude. A consumer
+    * re-derives the manifest after transfer and compares row-for-row.
+    * One groupBy(shard) with map-side combine; text never shuffles. */
+  def shardManifest(docs: DataFrame, shards: Int = 8,
+      seed: String = "shuffle"): DataFrame = {
+    require(shards > 0, s"shards must be > 0, got $shards")
+    val shard = pmod(conv(substring(
+      md5(concat(lit(seed + ":"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("int"), lit(shards))
+    docs.select(shard.as("shard"),
+        size(split(col("text"), " ")).cast("long").as("__t"),
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))),
+          1, 15), 16, 10).cast("long").as("__c"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"),
+        expr("bit_xor(__c)").as("checksum"))
+  }
+
   /** Weighted EPOCH upsampling — the other half of mixture control:
     * [[mixSources]] hits a target composition by downsampling (largest
     * corpus, nothing repeats); this hits it by UPsampling (nothing drops —

@@ -202,6 +202,51 @@ object TextAnalysis {
           col("top_bigram_frac") <= 0.1 && col("alpha_frac") >= 0.8)
   }
 
+  /** Readability scores — the classic reading-grade formulas corpus
+    * audits and curriculum-ordering recipes report beside the quality
+    * filters: Flesch-Kincaid grade level
+    * (0.39·words/sentences + 11.8·syllables/word − 15.59, Kincaid et
+    * al. 1975) and the Automated Readability Index
+    * (4.71·letters/words + 0.5·words/sentences − 21.43, Senter &
+    * Smith 1967). Sentences count as maximal `[.!?]+` terminator runs
+    * (min 1 so fragments still score); syllables per word use the
+    * standard cheap heuristic — vowel-GROUP count `[aeiouy]+` on the
+    * lowercased word, min 1 ("beautiful" → eau·i·u → 3). Both formulas
+    * need only these three integer counts, so the whole operator is ONE
+    * shuffle-free codegen'd projection — at 100 TB it runs entirely
+    * map-side next to the scan, like [[stats]]/[[qualityRules]].
+    * Grades are deliberately NOT rounded: the formulas are pure +·/
+    * IEEE-double arithmetic over integer counts, bit-identical across
+    * engines when the association order matches — whereas round() is
+    * precisely where engines diverge (HALF_UP on the decimal expansion
+    * vs scaled-nearbyint disagree when a grade lands on an exact
+    * 6-decimal half, which integer ratios like 0.5·w/s hit routinely;
+    * observed at sf0.01: 32.2065625). The round-6 policy stays reserved
+    * for transcendental outputs (ln/cos) where the RAW doubles differ.
+    * Note the whitespace splitter yields one empty word for empty text
+    * (both engines), so words ≥ 1 and no division guards are needed. */
+  def readability(docs: DataFrame): DataFrame = {
+    val ws = col("__words")
+    val nWords = size(ws).cast("long")
+    val nSentences = greatest(lit(1), regexp_count(col("text"), lit("[.!?]+"))).cast("long")
+    val nSyllables = aggregate(
+      transform(ws, w => greatest(lit(1), regexp_count(lower(w), lit("[aeiouy]+")))),
+      lit(0L), (acc, x) => acc + x)
+    val nLetters = regexp_count(col("text"), lit("[A-Za-z]")).cast("long")
+    // counts materialize as aliases first — each feeds two formulas, and
+    // the per-word syllable fold must run once per row (the withWords
+    // multi-reference idiom)
+    withWords(docs)
+      .select(col("doc_id"), nWords.as("n_words"), nSentences.as("n_sentences"),
+        nSyllables.as("n_syllables"), nLetters.as("n_letters"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("n_letters"),
+        (lit(0.39) * col("n_words") / col("n_sentences") +
+          lit(11.8) * col("n_syllables") / col("n_words") - 15.59).as("fk_grade"),
+        (lit(4.71) * col("n_letters") / col("n_words") +
+          lit(0.5) * col("n_words") / col("n_sentences") - 21.43).as("ari"))
+  }
+
   /** Sequence packing — the layout stage between a filtered corpus and a
     * pre-training dataloader: lay documents end-to-end in a token stream and
     * cut fixed-size training sequences of `maxTokens`, reporting for each

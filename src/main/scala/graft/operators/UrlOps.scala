@@ -121,6 +121,39 @@ object UrlOps {
       .groupBy("norm_url")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Domain-level quality gate — the aggregation step the RefinedWeb/DCLM
+    * family applies ABOVE per-document filtering: a domain whose documents
+    * average below threshold is dropped wholesale (content farms score
+    * uniformly low; boilerplate-heavy hosts drag their own mean down).
+    * Joins per-doc scores to domains, then aggregates INTEGER-EXACTLY:
+    * scores convert to micro-units (round(score·10⁶) — exact on the
+    * scorers' 6-decimal-rounded outputs), so the per-domain mean is a
+    * bigint division with NO float-sum order dependence across partitions
+    * or engines (the q113 integer-PageRank policy). Emits one row per
+    * domain: (domain, n_docs, n_keep, avg_quality_micro, domain_keep).
+    *
+    * 100 TB shape: one shuffle keyed by domain carrying (domain, micro)
+    * after a map-side partial aggregate — never text; hot domains
+    * pre-aggregate map-side (sum/count combine), so no skew trap. Both
+    * division operands are non-negative in practice (score sums at the
+    * threshold operating point); `div` truncation vs floor differences
+    * would only surface on negative domain TOTALS, which the scorer's
+    * weight floor (−0.2 per doc) makes unreachable at the 0.4 gate. */
+  def domainQualityGate(scores: DataFrame, urls: DataFrame,
+      scoreCol: String = "quality_score", urlCol: String = "url",
+      thresholdMicro: Long = 400000L): DataFrame = {
+    val micro = round(col(scoreCol) * lit(1000000.0), 0).cast("long")
+    scores.join(urls.select(col("doc_id"), domainOf(col(urlCol)).as("domain")), "doc_id")
+      .select(col("domain"), micro.as("__m"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__m") >= thresholdMicro, 1L).otherwise(0L)).as("n_keep"),
+        sum(col("__m")).as("__s"))
+      .select(col("domain"), col("n_docs"), col("n_keep"),
+        expr("__s div n_docs").as("avg_quality_micro"))
+      .withColumn("domain_keep", col("avg_quality_micro") >= thresholdMicro)
+  }
+
   /** Domain blocklist screening (the UT1-blacklist convention RefinedWeb
     * applies before any content filter): a page is blocked when its
     * registered host equals a blocklist entry OR sits under one

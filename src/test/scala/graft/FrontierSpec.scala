@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Frontier
+
+class FrontierSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pages(n: Int, domains: Int) =
+    (0 until n).map(i => (i.toLong, s"http://d${i % domains}.com/p/$i"))
+      .toDF("doc_id", "url")
+
+  private val noDelays =
+    Seq.empty[(String, Long)].toDF("domain", "crawl_delay")
+
+  /** The naive schedule the two-level rank must equal exactly: one
+    * per-domain window over (salt, md5, doc_id). */
+  private def naive(df: org.apache.spark.sql.DataFrame, salts: Int) = {
+    val m = md5(col("doc_id").cast("string"))
+    val salt = conv(substring(m, 1, 4), 16, 10).cast("int") % salts
+    df.select(col("doc_id"),
+        graft.operators.UrlOps.domainOf(col("url")).as("domain"),
+        m.as("m"), salt.as("salt"))
+      .withColumn("seq", row_number().over(
+        Window.partitionBy("domain").orderBy(col("salt"), col("m"), col("doc_id"))) - 1)
+      .select(col("doc_id"), col("domain"), col("seq").cast("long"))
+  }
+
+  test("two-level salted rank equals the naive per-domain rank, skew included") {
+    // one hot domain (¾ of rows) + a tail; several salt settings so every
+    // offset path (empty salts, single-salt domains) exercises
+    val df = (0 until 400).map { i =>
+      val d = if (i % 4 != 3) 0 else 1 + i % 7
+      (i.toLong, s"http://host$d.com/p/$i")
+    }.toDF("doc_id", "url")
+    for (salts <- Seq(1, 3, 16)) {
+      val got = Frontier.fetchSchedule(df, noDelays, salts = salts)
+        .select("doc_id", "domain", "seq")
+      assert(got.except(naive(df, salts)).isEmpty &&
+        naive(df, salts).except(got).isEmpty, s"salts=$salts")
+    }
+  }
+
+  test("seq is a dense 0..n-1 permutation per domain; rerun-deterministic") {
+    val df = pages(200, 5)
+    val out = Frontier.fetchSchedule(df, noDelays)
+    val perDomain = out.groupBy("domain")
+      .agg(count(lit(1)).as("n"), min("seq").as("mn"), max("seq").as("mx"),
+        count_distinct(col("seq")).as("nd"))
+      .collect()
+    assert(perDomain.length == 5)
+    perDomain.foreach { r =>
+      assert(r.getAs[Long]("mn") == 0L)
+      assert(r.getAs[Long]("mx") == r.getAs[Long]("n") - 1)
+      assert(r.getAs[Long]("nd") == r.getAs[Long]("n"))
+    }
+    val again = Frontier.fetchSchedule(df.repartition(7), noDelays)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
+  test("fetch_at = seq × delay, defaulting where no explicit delay") {
+    val df = pages(60, 3) // d0, d1, d2
+    val out = Frontier.fetchSchedule(df,
+        Seq(("d1.com", 5L)).toDF("domain", "crawl_delay"), defaultDelaySec = 2L)
+      .collect()
+    out.foreach { r =>
+      val mult = if (r.getAs[String]("domain") == "d1.com") 5L else 2L
+      assert(r.getAs[Long]("fetch_at") == r.getAs[Long]("seq") * mult)
+    }
+  }
+
+  test("argument validation") {
+    intercept[IllegalArgumentException](
+      Frontier.fetchSchedule(pages(2, 1), noDelays, salts = 0))
+    intercept[IllegalArgumentException](
+      Frontier.fetchSchedule(pages(2, 1), noDelays, defaultDelaySec = -1L))
+  }
+}

@@ -1060,4 +1060,68 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(soft == Map(0L -> true, 1L -> true, 2L -> false, 3L -> true, 4L -> true))
   }
+
+  test("readability: hand-computed FK and ARI, fragment and vowel-less edges") {
+    val fx = Seq(
+      // 7 words, 3 sentence runs, 8 vowel groups (over→2), 26 letters
+      (0L, "The quick fox. It jumps high! Over?"),
+      // fragment: no terminator → 1 sentence; 1 word, 1 syllable, 4 letters
+      (1L, "word"),
+      // vowel-less word still counts 1 syllable
+      (2L, "zzz.")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(fx).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert((r(0L).getAs[Long]("n_words"), r(0L).getAs[Long]("n_sentences"),
+      r(0L).getAs[Long]("n_syllables"), r(0L).getAs[Long]("n_letters")) ==
+      ((7L, 3L, 8L, 26L)))
+    // unrounded: the exact same IEEE association the operator declares
+    assert(r(0L).getAs[Double]("fk_grade") == 0.39 * 7 / 3 + 11.8 * 8 / 7 - 15.59)
+    assert(r(0L).getAs[Double]("ari") == 4.71 * 26 / 7 + 0.5 * 7 / 3 - 21.43)
+    assert(r(1L).getAs[Double]("fk_grade") == 0.39 * 1 / 1 + 11.8 * 1 / 1 - 15.59)
+    assert((r(2L).getAs[Long]("n_syllables"), r(2L).getAs[Long]("n_letters")) ==
+      ((1L, 3L)))
+  }
+
+  test("incremental materialize: compute sees ONLY the delta; result ≡ full recompute") {
+    import org.apache.spark.sql.DataFrame
+    val oldDocs = Seq((0L, "alpha beta."), (1L, "gamma delta"), (2L, "dropped doc"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (0L, "alpha beta."),      // unchanged → carried forward
+      (1L, "gamma delta REV"),  // changed → recomputed
+      (3L, "brand new text"))   // added → computed; doc 2 removed
+      .toDF("doc_id", "text")
+    var seen: Seq[Long] = null
+    val compute = (df: DataFrame) => {
+      seen = df.collect().map(_.getAs[Long]("doc_id")).toSeq.sorted
+      TextAnalysis.readability(df)
+    }
+    val got = graft.operators.Incremental.materialize(
+      oldDocs, TextAnalysis.readability(oldDocs), newDocs, compute)
+    val full = TextAnalysis.readability(newDocs)
+    assert(got.except(full).isEmpty && full.except(got).isEmpty)
+    assert(seen == Seq(1L, 3L)) // the unchanged doc never re-entered compute
+  }
+
+  test("shard manifest: partition-order-proof checksum, exact totals, no dup cancel") {
+    val docs = Seq(
+      (0L, "one two three"), (1L, "four five"), (2L, "six"),
+      (3L, "one two three"), // same TEXT as doc 0 — distinct (id,text) term
+      (4L, "seven eight nine ten"), (5L, "." )).toDF("doc_id", "text")
+    val m1 = Sampling.shardManifest(docs, shards = 2, seed = "t")
+    val m2 = Sampling.shardManifest(docs.repartition(5), shards = 2, seed = "t")
+    assert(m1.except(m2).isEmpty && m2.except(m1).isEmpty)
+    val rows = m1.collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 6L)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == 14L)
+    // flipping ONE text flips that shard's checksum and leaves the other
+    val tweaked = Sampling.shardManifest(
+      docs.withColumn("text",
+        when(col("doc_id") === 2L, lit("SIX")).otherwise(col("text"))),
+      shards = 2, seed = "t").collect()
+      .map(r => r.getAs[Int]("shard") -> r.getAs[Long]("checksum")).toMap
+    val base = rows.map(r => r.getAs[Int]("shard") -> r.getAs[Long]("checksum")).toMap
+    assert(tweaked.count { case (s, c) => base(s) != c } == 1)
+  }
 }

@@ -217,6 +217,31 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan(q).contains("Exchange"), s"$q must not shuffle")
   }
 
+  test("readability: zero exchanges — one codegen'd projection") {
+    assert(!plan("q125_readability").contains("Exchange"))
+  }
+
+  test("shard manifest: one aggregation exchange, text reduced map-side") {
+    val p = plan("q128_shard_manifest")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    // the shuffle carries (shard, token count, checksum term) — the
+    // map-side partial aggregate must already exist below the exchange
+    assert(p.contains("partial_count") || p.contains("partial"), p.take(400))
+  }
+
+  test("fetch schedule: data-scale ranking windows carry the salt key") {
+    val p = plan("q124_fetch_schedule")
+    // every row_number spec must partition by (domain, salt) — a
+    // domain-only row_number over the frontier is the hot-domain
+    // single-reducer trap the two-level rank exists to avoid (the
+    // domain-only windows that remain run over counts/robots lines,
+    // both bounded)
+    val rowNumSpecs = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rowNumSpecs.nonEmpty)
+    rowNumSpecs.foreach(l => assert(l.contains("__salt"), l))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("token budget: the only selection window partitions by bucket") {
     val p = plan("q118_token_budget")
     // the boundary-bucket window keys on __bkt; a global running sum

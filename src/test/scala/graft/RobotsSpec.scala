@@ -85,4 +85,28 @@ class RobotsSpec extends AnyFunSuite {
     // the fragment never reaches the matcher, so the $ anchor still fires
     assert(out.map(_.getAs[Boolean]("allowed")).toSeq == Seq(true, false))
   }
+
+  private def delays(entries: (String, String)*): Map[String, Long] =
+    Robots.crawlDelays(entries.toSeq.toDF("domain", "robots_txt"), agent)
+      .collect().map(r => r.getAs[String]("domain") -> r.getAs[Long]("crawl_delay"))
+      .toMap
+
+  test("crawlDelays: group-scoped, '*' shadowed by specific, max of several") {
+    val m = delays(
+      // delay inside the specific group applies
+      ("a.com", "User-agent: graftbot\nCrawl-delay: 10\nDisallow: /x\n\n" +
+        "User-agent: *\nCrawl-delay: 3\nDisallow: /"),
+      // specific group WITHOUT a delay shadows the '*' group's delay
+      ("b.com", "User-agent: graftbot\nDisallow: /x\n\n" +
+        "User-agent: *\nCrawl-delay: 3\nDisallow: /"),
+      // no specific group → the '*' delay applies; two applicable '*'
+      // groups → max
+      ("c.com", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n" +
+        "User-agent: *\nCrawl-delay: 5\nDisallow: /y"),
+      // non-numeric and empty values are ignored; CRLF + case tolerated
+      ("d.com", "USER-AGENT: *\r\nCRAWL-DELAY: soon\r\nCrawl-delay:\r\nDisallow: /"),
+      // an orphan delay above the first User-agent line never applies
+      ("e.com", "Crawl-delay: 9\nUser-agent: *\nDisallow: /"))
+    assert(m == Map("a.com" -> 10L, "c.com" -> 5L))
+  }
 }

@@ -135,4 +135,24 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(r == Map(0L -> true, 1L -> true, 2L -> false, 3L -> true,
       4L -> false, 5L -> false))
   }
+
+  test("domainQualityGate: integer-exact micro mean, truncation, threshold edges") {
+    val scores = Seq(
+      (0L, 0.5), (1L, 0.3),             // a.com: mean 400000 — keep at >= gate
+      (2L, 0.400001), (3L, 0.4),        // b.com: 400000 exactly after div (800001/2)
+      (4L, 0.123456), (5L, 0.2)         // c.com: (123456+200000)/2=161728 — drop
+    ).toDF("doc_id", "quality_score")
+    val urls = Seq(
+      (0L, "http://A.com/x"), (1L, "http://a.com/y"),
+      (2L, "http://b.com/x"), (3L, "http://b.com/y"),
+      (4L, "http://c.com/x"), (5L, "http://c.com/y")).toDF("doc_id", "url")
+    val r = UrlOps.domainQualityGate(scores, urls)
+      .collect().map(x => x.getAs[String]("domain") ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Long]("n_keep"),
+          x.getAs[Long]("avg_quality_micro"), x.getAs[Boolean]("domain_keep")))).toMap
+    assert(r == Map(
+      "a.com" -> ((2L, 1L, 400000L, true)),
+      "b.com" -> ((2L, 2L, 400000L, true)),
+      "c.com" -> ((2L, 0L, 161728L, false))))
+  }
 }
