@@ -392,14 +392,21 @@ object SparkEntry {
     // are untouched. Coverage: delay in a shadowed '*' group must NOT
     // apply (0), non-numeric ignored (2), '*'-group delay applies when
     // no specific group exists (3), specific-group delay applies (4).
+    // Sitemap: lines exercise q129 ONLY (global by convention, dropped
+    // by the gate/delay parses): declared on 0/3/4/5 — domain 6 has an
+    // XML body but NO declaration (q129 must exclude it), domain 5's
+    // declared body is malformed (zero rows)
     0 -> ("User-agent: graftbot\nDisallow: /a/1\n\n" +
-      "User-agent: *\nDisallow: /\nCrawl-delay: 7"),
+      "User-agent: *\nDisallow: /\nCrawl-delay: 7\n" +
+      "Sitemap: http://www.example0.com/sitemap.xml"),
     2 -> "User-agent: *\nDisallow: /a/2\nAllow: /a/2?\nCrawl-delay: soon",
-    3 -> "User-agent: *\nDisallow: /*?utm_\nAllow: /a/*&id=14$\nCrawl-delay: 2",
+    3 -> ("User-agent: *\nDisallow: /*?utm_\nAllow: /a/*&id=14$\nCrawl-delay: 2\n" +
+      "SITEMAP: http://www.example3.com/sitemap_index.xml # index file"),
     4 -> ("# example4 policy\nUser-Agent: otherbot\nUSER-AGENT: graftbot\n" +
       "Crawl-delay: 10\nDisallow:\nDISALLOW: /a/7\nAllow: /a/7?x\n\n" +
-      "User-agent: *\nDisallow: /"),
-    5 -> "Disallow: /a\nUser-agent: graftbot\nAllow: /\nUser-agent: *\nDisallow: /",
+      "User-agent: *\nDisallow: /\nSitemap: http://www.example4.com/sitemap.xml"),
+    5 -> ("Disallow: /a\nUser-agent: graftbot\nAllow: /\nUser-agent: *\nDisallow: /\n" +
+      "Sitemap: http://www.example5.com/sitemap.xml"),
     6 -> "User-agent: *\nDisallow: /")
 
   /** One robots.txt row per serving domain (domain 1 deliberately absent). */
@@ -413,6 +420,38 @@ object SparkEntry {
       .filter(col("di") =!= 1)
       .select(concat(lit("www.example"), col("di").cast("string"), lit(".com")).as("domain"),
         txt.as("robots_txt"))
+  }
+
+  /** Pinned sitemap XML bodies for q129, keyed like the robots fixture
+    * (domain = www.example{i}.com). Coverage: already-crawled locs that
+    * must drop after normalization (exact, case/port-variant, entity-
+    * escaped query growing a NEW param), whitespace inside `<loc>`,
+    * within-sitemap duplicate listing, a `<sitemapindex>` body (nested
+    * refs, no page candidates), a malformed body (zero rows), and a body
+    * on a domain with no `Sitemap:` declaration (excluded upstream). */
+  private[graft] val sitemapFixtureTexts: Seq[(Int, String)] = Seq(
+    0 -> ("<?xml version=\"1.0\"?>\n<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+      "<url><loc>http://www.example0.com/a/3?id=3</loc></url>\n" +
+      "<url><loc>HTTP://WWW.EXAMPLE0.COM:80/a/10?id=10</loc></url>\n" +
+      "<url><loc>http://www.example0.com/a/3?id=3&amp;ref=5</loc></url>\n" +
+      "<url><loc>\n  http://www.example0.com/fresh/1\n</loc></url>\n" +
+      "<url><loc>http://www.example0.com/fresh/1</loc></url>\n</urlset>"),
+    3 -> ("<?xml version=\"1.0\"?>\n<sitemapindex>\n" +
+      "<sitemap><loc>http://www.example3.com/sitemap_a.xml</loc></sitemap>\n" +
+      "<sitemap><loc>http://www.example3.com/sitemap_b.xml</loc></sitemap>\n" +
+      "</sitemapindex>"),
+    4 -> ("<urlset>\n<url><loc>http://www.example4.com/a/11?id=11</loc></url>\n" +
+      "<url><loc>http://www.example4.com/new/page</loc></url>\n</urlset>"),
+    5 -> "<html>not a sitemap</html>",
+    6 -> "<urlset><url><loc>http://www.example6.com/never/seen</loc></url></urlset>")
+
+  /** One sitemap-body row per fixture domain (join against
+    * [[operators.Robots.sitemapUrls]]' declarations to scope q129). */
+  private[graft] def sitemapDocuments(s: SparkSession): DataFrame = {
+    import s.implicits._
+    sitemapFixtureTexts
+      .map { case (i, x) => (s"www.example$i.com", x) }
+      .toDF("domain", "sitemap_xml")
   }
 
   /** DuckDB string literal for fixture text: quotes doubled, newlines as
@@ -762,10 +801,14 @@ object SparkEntry {
     * `d`): the url fixture, its stripped + normalized forms, and the
     * per-doc domain. */
   private def urlCanonCte: String = urlCanonCteFor(urlFixtureSql)
-  private def urlCanonCteFor(fixtureSql: String): String = {
+
+  /** The q94-family normalization replay over any (doc_id, url) source;
+    * `p` prefixes the CTE names so two chains (e.g. q129's crawled set
+    * vs sitemap candidates) coexist in one WITH. */
+  private def urlCanonCteFor(fixtureSql: String, p: String = ""): String = {
     val tp = operators.UrlOps.trackingParams
-    s"""f AS ($fixtureSql),
-       |sq AS (SELECT doc_id,
+    s"""${p}f AS ($fixtureSql),
+       |${p}sq AS (SELECT doc_id,
        |  regexp_replace(nf, '\\?.*$$', '') AS base,
        |  regexp_replace(
        |    regexp_replace(
@@ -773,13 +816,13 @@ object SparkEntry {
        |        '&$tp=[^&]*', '', 'g'),
        |      '^$tp=[^&]*&', ''),
        |    '^$tp=[^&]*$$', '') AS q
-       |  FROM (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf FROM f)),
-       |s AS (SELECT doc_id,
-       |  CASE WHEN q = '' THEN base ELSE base || '?' || q END AS u FROM sq),
-       |n AS (SELECT doc_id, $urlNormSql AS norm_url FROM s),
-       |d AS (SELECT doc_id,
+       |  FROM (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf FROM ${p}f)),
+       |${p}s AS (SELECT doc_id,
+       |  CASE WHEN q = '' THEN base ELSE base || '?' || q END AS u FROM ${p}sq),
+       |${p}n AS (SELECT doc_id, $urlNormSql AS norm_url FROM ${p}s),
+       |${p}d AS (SELECT doc_id,
        |  lower(regexp_extract(url, '${operators.UrlOps.bareHostRe}', 1)) AS domain
-       |  FROM f)""".stripMargin
+       |  FROM ${p}f)""".stripMargin
   }
 
   /** The q94 oracle's normalization chain — the SAME pattern strings
@@ -2134,6 +2177,25 @@ object SparkEntry {
     "q128_shard_manifest" -> ((s, dir) =>
       operators.Sampling.shardManifest(
         Tables.documents(s, dir), shards = 8, seed = "r8")),
+
+    // sitemap discovery: robots Sitemap declarations scope which pinned
+    // XML bodies parse; <loc> entries entity-decode, normalize with the
+    // q94 chain, and anti-join the crawled corpus's normalized URLs —
+    // output = the genuinely NEW frontier candidates per domain
+    "q129_sitemap_discovery" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val declared = operators.Robots.sitemapUrls(robotsDocuments(s, dir))
+        .select("domain").distinct()
+      val locs = operators.Frontier.sitemapLocs(
+        sitemapDocuments(s).join(declared, "domain"))
+      val cand = operators.UrlOps.withNormalizedUrl(
+        locs.filter(col("kind") === "url").select(col("loc").as("url")).distinct())
+      val crawled = operators.UrlOps.withNormalizedUrl(urlDocuments(s, dir))
+        .select("norm_url").distinct()
+      cand.join(crawled, Seq("norm_url"), "left_anti")
+        .select(operators.UrlOps.domainOf(col("url")).as("domain"), col("norm_url"))
+        .distinct()
+    }),
 
     // robots.txt compliance gate (RFC 9309): parse per-domain robots
     // bodies, select the applicable group (specific shadows '*'), compile
@@ -3497,6 +3559,44 @@ object SparkEntry {
           |  bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT)
           |    AS checksum
           |FROM h GROUP BY shard""".stripMargin,
+
+      // q129: full replay — Sitemap declarations from the robots VALUES,
+      // <loc> extraction + entity decode from the sitemap VALUES, both
+      // normalization chains (candidates prefixed `c`, crawled default),
+      // anti-join on the normalized URL
+      "q129_sitemap_discovery" -> {
+        val rvalues = robotsFixtureTexts
+          .map { case (i, t) => s"($i, ${sqlTextLit(t)})" }.mkString(", ")
+        val svalues = sitemapFixtureTexts
+          .map { case (i, x) => s"($i, ${sqlTextLit(x)})" }.mkString(", ")
+        def lit1(s: String) = "'" + s.replace("'", "''") + "'"
+        val decodedUrl = operators.Boilerplate.entities.foldLeft("loc") {
+          case (acc, (e, ch)) => s"replace($acc, ${lit1(e)}, ${lit1(ch)})"
+        }
+        s"""WITH smrb AS (SELECT 'www.example' || CAST(di AS VARCHAR) || '.com' AS domain, txt
+           |  FROM (VALUES $rvalues) t(di, txt)),
+           |smdecl AS (SELECT DISTINCT domain FROM (
+           |  SELECT domain, lower(regexp_extract(regexp_replace(l, '#.*$$', ''),
+           |    '${operators.Robots.directiveKindRe}', 1)) AS kind
+           |  FROM (SELECT domain, unnest(string_split(txt, chr(10))) AS l FROM smrb))
+           |  WHERE kind = 'sitemap'),
+           |smx AS (SELECT 'www.example' || CAST(di AS VARCHAR) || '.com' AS domain, xml
+           |  FROM (VALUES $svalues) t(di, xml)),
+           |smloc AS (SELECT url FROM (
+           |  SELECT $decodedUrl AS url FROM (
+           |    SELECT unnest(regexp_extract_all(xml, '${operators.Frontier.locRe}', 1)) AS loc
+           |    FROM smx JOIN smdecl USING (domain)
+           |    WHERE lower(regexp_extract(xml, '${operators.Frontier.rootRe}', 1)) = 'urlset'))
+           |  WHERE url <> ''),
+           |smcand AS (SELECT row_number() OVER (ORDER BY url) AS doc_id, url
+           |  FROM (SELECT DISTINCT url FROM smloc)),
+           |${urlCanonCteFor("SELECT doc_id, url FROM smcand", "c")},
+           |${urlCanonCteFor(urlFixtureSql)},
+           |crawled AS (SELECT DISTINCT norm_url FROM n)
+           |SELECT DISTINCT cd.domain, cn.norm_url
+           |FROM cn JOIN cd USING (doc_id)
+           |WHERE cn.norm_url NOT IN (SELECT norm_url FROM crawled)""".stripMargin
+      },
 
       // the q108 oracle embeds the OPERATOR'S OWN regex constants
       // (single-quotes doubled for the SQL literal) — two-step tag→attr

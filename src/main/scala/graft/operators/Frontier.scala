@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,6 +33,41 @@ import org.apache.spark.sql.functions._
   * delay, far smaller than the frontier).
   */
 object Frontier {
+
+  /** `<loc>` entry: optional whitespace inside the element, content
+    * capped at the next `<` so Java regex and RE2 degrade identically on
+    * malformed nesting. Tag names stay case-sensitive (lowercase per the
+    * sitemaps.org schema). */
+  private[graft] val locRe: String = "<loc>\\s*([^<]*?)\\s*</loc>"
+
+  /** Root element: `urlset` (page URLs) vs `sitemapindex` (nested
+    * sitemap refs). Anything else is a malformed body. */
+  private[graft] val rootRe: String = "<\\s*(urlset|sitemapindex)[\\s>]"
+
+  /** Parse sitemap XML bodies (domain, xmlCol) into discovered
+    * locations: (domain, kind, loc) with kind `url` for a `<urlset>`
+    * body and `sitemap` for a `<sitemapindex>` body (nested refs a
+    * crawler fetches next). Locations entity-decode with the shared
+    * [[Boilerplate.entities]] table (the protocol REQUIRES `&`→`&amp;`
+    * escaping inside `<loc>`). Bodies with neither root yield zero rows
+    * — the quarantine-by-omission contract (detect them by anti-joining
+    * declared sitemaps against the output, as the q129 fixture pins).
+    * Pure per-row regex work, no shuffle — a sitemap body is ≤ 50 MB /
+    * 50k URLs by protocol cap, comfortable per-row. */
+  def sitemapLocs(sitemaps: DataFrame, xmlCol: String = "sitemap_xml"): DataFrame = {
+    val root = lower(regexp_extract(col(xmlCol), rootRe, 1))
+    val decoded = (c: Column) => Boilerplate.entities.foldLeft(c) {
+      case (acc, (e, ch)) => regexp_replace(acc, lit(e), lit(ch))
+    }
+    sitemaps
+      .withColumn("__kind", when(root === "sitemapindex", lit("sitemap"))
+        .when(root === "urlset", lit("url")))
+      .filter(col("__kind").isNotNull)
+      .select(col("domain"), col("__kind").as("kind"),
+        explode(transform(regexp_extract_all(col(xmlCol), lit(locRe), lit(1)),
+          decoded)).as("loc"))
+      .filter(col("loc") =!= "")
+  }
 
   /** Schedule `pages` (doc_id, urlCol): → (doc_id, domain, seq,
     * fetch_at) with `seq` the 0-based per-domain fetch order and

@@ -148,6 +148,25 @@ object Robots {
       .agg(max(col("val").cast("long")).as("crawl_delay"))
   }
 
+  /** `Sitemap:` directive extraction — crawl DISCOVERY's entry point
+    * (sitemaps.org protocol, referenced by RFC 9309 §2.3 as an allowed
+    * other-record). Sitemap lines are GLOBAL by convention: they bind to
+    * no User-agent group, so this is a flat line scan — comment-stripped
+    * like every directive (a `#fragment` in a sitemap URL would be eaten,
+    * but fragments are meaningless on a fetch URL and the gate already
+    * strips them from page URLs). Emits (domain, sitemap_url), one row
+    * per declared sitemap; the allow/disallow and delay parses keep
+    * ignoring these lines. */
+  def sitemapUrls(robots: DataFrame, domainCol: String = "domain",
+      txtCol: String = "robots_txt"): DataFrame =
+    robots.select(col(domainCol).as("domain"),
+        explode(split(col(txtCol), "\n")).as("raw"))
+      .withColumn("cl", regexp_replace(col("raw"), "#.*$", ""))
+      .filter(lower(regexp_extract(col("cl"), directiveKindRe, 1)) === "sitemap")
+      .select(col("domain"),
+        regexp_extract(col("cl"), directiveValRe, 1).as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+
   /** Per-page robots verdict: (doc_id, domain, path, allowed). `pages`
     * needs (doc_id, urlCol); `robots` needs (domain, robots_txt) with
     * domain in [[UrlOps.domainOf]] form (lowercased registered host).

@@ -78,4 +78,20 @@ class FrontierSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Frontier.fetchSchedule(pages(2, 1), noDelays, defaultDelaySec = -1L))
   }
+
+  test("sitemapLocs: urlset vs sitemapindex kinds, entities, whitespace, malformed") {
+    val fx = Seq(
+      ("a.com", "<?xml version=\"1.0\"?><urlset xmlns=\"x\">" +
+        "<url><loc> http://a.com/p?x=1&amp;y=2 </loc></url>" +
+        "<url><loc>\nhttp://a.com/q\n</loc></url><url><loc></loc></url></urlset>"),
+      ("b.com", "<sitemapindex><sitemap><loc>http://b.com/s1.xml</loc></sitemap></sitemapindex>"),
+      ("c.com", "<html>not xml</html>"))
+      .toDF("domain", "sitemap_xml")
+    val r = Frontier.sitemapLocs(fx).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2))).toSet
+    assert(r == Set(
+      ("a.com", "url", "http://a.com/p?x=1&y=2"), // entity-decoded, trimmed
+      ("a.com", "url", "http://a.com/q"),         // newline-wrapped loc
+      ("b.com", "sitemap", "http://b.com/s1.xml"))) // nested ref; c.com quarantined
+  }
 }

@@ -221,6 +221,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("q125_readability").contains("Exchange"))
   }
 
+  test("sitemap discovery: equi anti-join on the normalized URL, no cartesian") {
+    val p = plan("q129_sitemap_discovery")
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("shard manifest: one aggregation exchange, text reduced map-side") {
     val p = plan("q128_shard_manifest")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)

@@ -109,4 +109,15 @@ class RobotsSpec extends AnyFunSuite {
       ("e.com", "Crawl-delay: 9\nUser-agent: *\nDisallow: /"))
     assert(m == Map("a.com" -> 10L, "c.com" -> 5L))
   }
+
+  test("sitemapUrls: global extraction, case/CRLF tolerant, comments stripped") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /\nSitemap: http://a.com/s1.xml\n" +
+        "SITEMAP: http://a.com/s2.xml # mirror\r\nSitemap:\nsitemapx: http://no.xml"),
+      ("b.com", "User-agent: *\nAllow: /")).toDF("domain", "robots_txt")
+    val r = Robots.sitemapUrls(robots).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    // empty value and non-sitemap directives drop; group position is moot
+    assert(r == Set(("a.com", "http://a.com/s1.xml"), ("a.com", "http://a.com/s2.xml")))
+  }
 }
