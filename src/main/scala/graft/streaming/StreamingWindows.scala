@@ -157,6 +157,67 @@ object StreamingWindows {
           }
       }
   }
+
+  /** Streaming crawl-frontier scheduling — the ingest-time analogue of
+    * batch [[graft.operators.Frontier.fetchSchedule]]: each arriving URL
+    * gets the NEXT per-domain politeness slot, with per-domain sequence
+    * counters held in keyed state (one long per active domain — the
+    * state a real frontier keeps anyway). `delays` is the
+    * [[graft.operators.Robots.crawlDelays]] table collected to a map
+    * (bounded: one entry per domain with an explicit delay — broadcast
+    * with the closure).
+    *
+    * Determinism + batch parity: within a micro-batch each domain's rows
+    * order by the SAME (salt, md5, doc_id) triple as the batch
+    * operator, so a single-batch stream reproduces
+    * `fetchSchedule(salts = salts)` bit-for-bit (StreamingSpec pins it);
+    * across batches, sequences CONTINUE from state — arrival order
+    * decides inter-batch priority, as a live frontier must. State evicts
+    * by event-time timeout: a domain idle past the watermark restarts at
+    * slot 0, which is semantically sound because `fetch_at` counts
+    * politeness spacing from "now", and politeness only constrains
+    * close-in-time fetches. */
+  def streamingFetchSchedule(pages: DataFrame, delays: Map[String, Long],
+      watermark: String, defaultDelaySec: Long = 1L, salts: Int = 16,
+      urlCol: String = "url", tsCol: String = "ts"): Dataset[FetchAssignment] = {
+    import pages.sparkSession.implicits._
+    require(defaultDelaySec >= 0,
+      s"defaultDelaySec must be >= 0, got $defaultDelaySec")
+    require(salts >= 1 && salts <= 4096, s"salts must be in [1, 4096], got $salts")
+    pages
+      .select(col("doc_id"),
+        graft.operators.UrlOps.domainOf(col(urlCol)).as("domain"),
+        md5(col("doc_id").cast("string")).as("m"), col(tsCol).as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, String, String, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[DomainSeqState, FetchAssignment](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (domain, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val delay = delays.getOrElse(domain, defaultDelaySec)
+            var next = state.getOption.map(_.next).getOrElse(0L)
+            var maxTs = Long.MinValue
+            val out = rows.toSeq
+              .sortBy { case (id, _, m, _) =>
+                (Integer.parseInt(m.substring(0, 4), 16) % salts, m, id)
+              }
+              .map { case (id, _, _, ts) =>
+                maxTs = math.max(maxTs, ts.getTime)
+                val a = FetchAssignment(id, domain, next, next * delay)
+                next += 1
+                a
+              }
+            state.update(DomainSeqState(next))
+            if (maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs, watermark)
+            out.iterator
+          }
+      }
+  }
 }
 
 /** Near-duplicate candidate pair emitted by the streaming MinHash operator. */
@@ -171,6 +232,12 @@ case class FunnelEvent(event_id: Long, user_id: Long, event_type: String,
   * watermark horizon — type strings are small and bounded by the stage
   * vocabulary; ids/times are two longs per event. */
 case class FunnelBuffer(ids: Array[Long], ms: Array[Long], types: Array[String])
+
+/** Per-domain frontier counter: the next politeness slot to hand out. */
+case class DomainSeqState(next: Long)
+
+/** One scheduled fetch: the streaming scheduler's output row. */
+case class FetchAssignment(doc_id: Long, domain: String, seq: Long, fetch_at: Long)
 /** One funnel result per user, emitted when the user goes idle past the
   * horizon: reach times (ms epoch, null = stage not reached) and the
   * deepest stage index. */

@@ -262,4 +262,43 @@ class StreamingSpec extends AnyFunSuite {
     val r = spark.table("mg_stream").collect().map(x => x.getString(0) -> x.getLong(1))
     assert(r.toSeq == Seq("a" -> 8L, "c" -> 4L, "b" -> 2L))
   }
+
+  test("streaming fetch schedule: single batch ≡ batch operator bit-for-bit") {
+    val pages = (0 until 60).map(i => (i.toLong, t(0), s"http://d${i % 3}.com/p/$i"))
+    val stream = MemoryStream[(Long, Timestamp, String)](spark)
+    stream.addData(pages: _*)
+    val q = StreamingWindows.streamingFetchSchedule(
+      stream.toDF().toDF("doc_id", "ts", "url"),
+      delays = Map("d1.com" -> 5L), watermark = "10 minutes", defaultDelaySec = 2L)
+      .writeStream.format("memory").queryName("sched").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val batchOut = graft.operators.Frontier.fetchSchedule(
+      pages.toDF("doc_id", "ts", "url").drop("ts"),
+      Seq(("d1.com", 5L)).toDF("domain", "crawl_delay"), defaultDelaySec = 2L)
+    val got = spark.table("sched").select("doc_id", "domain", "seq", "fetch_at")
+    assert(got.except(batchOut).isEmpty && batchOut.except(got).isEmpty)
+  }
+
+  test("streaming fetch schedule: sequences continue across batches, reset after eviction") {
+    val stream = MemoryStream[(Long, Timestamp, String)](spark)
+    stream.addData((1L, t(0), "http://a.com/1"), (2L, t(0), "http://a.com/2"))
+    val q = StreamingWindows.streamingFetchSchedule(
+      stream.toDF().toDF("doc_id", "ts", "url"),
+      delays = Map.empty, watermark = "5 minutes", defaultDelaySec = 3L)
+      .writeStream.format("memory").queryName("sched2").outputMode("append").start()
+    q.processAllAvailable()
+    // second batch within the horizon: slots continue at 2
+    stream.addData((3L, t(1), "http://a.com/3"))
+    q.processAllAvailable()
+    // push the watermark far past a.com's timeout, then a fresh arrival
+    stream.addData((4L, t(60), "http://other.com/x"))
+    q.processAllAvailable()
+    stream.addData((5L, t(62), "http://a.com/4"))
+    q.processAllAvailable(); q.stop()
+    val m = spark.table("sched2").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(Set(m(1L), m(2L)) == Set((0L, 0L), (1L, 3L))) // batch-1 order is md5-based
+    assert(m(3L) == ((2L, 6L)))  // continued counter
+    assert(m(5L) == ((0L, 0L)))  // evicted domain restarts at slot 0
+  }
 }
