@@ -454,6 +454,22 @@ object SparkEntry {
       .toDF("domain", "sitemap_xml")
   }
 
+  /** The q129/q130 discovery front half: sitemap locs of DECLARED
+    * sitemaps, normalized, minus the crawled corpus's normalized URLs.
+    * Returns one row per surviving RAW url: (url, norm_url, ...). */
+  private[graft] def discoveredCandidates(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val declared = operators.Robots.sitemapUrls(robotsDocuments(s, dir))
+      .select("domain").distinct()
+    val locs = operators.Frontier.sitemapLocs(
+      sitemapDocuments(s).join(declared, "domain"))
+    val cand = operators.UrlOps.withNormalizedUrl(
+      locs.filter(col("kind") === "url").select(col("loc").as("url")).distinct())
+    val crawled = operators.UrlOps.withNormalizedUrl(urlDocuments(s, dir))
+      .select("norm_url").distinct()
+    cand.join(crawled, Seq("norm_url"), "left_anti")
+  }
+
   /** DuckDB string literal for fixture text: quotes doubled, newlines as
     * chr(10) so the SQL stays single-line-safe. */
   private def sqlTextLit(s: String): String =
@@ -887,15 +903,13 @@ object SparkEntry {
     * compilation, in-row max(2·len+isAllow) parity verdict) over the
     * pinned [[robotsFixtureTexts]] bodies, applied to the url-fixture
     * fetch URLs. */
-  private def robotsVerdictCtes: String = {
+  /** rb…ra of the robots replay — the compiled per-domain rule arrays,
+    * shared by the page verdict (rv), the q124 delay chain (which
+    * re-parses `rlines` with 4 kinds), and q130's candidate verdict. */
+  private def robotsRulesCtes: String = {
     val values = robotsFixtureTexts
       .map { case (i, t) => s"($i, ${sqlTextLit(t)})" }.mkString(", ")
-    s"""rpages AS ($urlFixtureSql),
-       |rp AS (SELECT doc_id,
-       |  lower(regexp_extract(url, '${operators.UrlOps.bareHostRe}', 1)) AS domain,
-       |  coalesce(nullif(regexp_extract(url, '${operators.Robots.pathQueryRe}', 1), ''), '/') AS path
-       |  FROM rpages),
-       |rb AS (SELECT 'www.example' || CAST(di AS VARCHAR) || '.com' AS domain, txt
+    s"""rb AS (SELECT 'www.example' || CAST(di AS VARCHAR) || '.com' AS domain, txt
        |  FROM (VALUES $values) t(di, txt)),
        |rlines AS (SELECT domain,
        |  unnest(string_split(txt, chr(10))) AS raw,
@@ -926,12 +940,85 @@ object SparkEntry {
        |        FROM g JOIN appl USING (domain, gid)
        |        WHERE kind IN ('allow', 'disallow') AND val <> '') e),
        |ra AS (SELECT domain, list({'lp': lp, 'rank': rank}) AS rules
-       |  FROM rrules GROUP BY domain),
+       |  FROM rrules GROUP BY domain)""".stripMargin
+  }
+
+  private def robotsVerdictCtes: String =
+    s"""rpages AS ($urlFixtureSql),
+       |rp AS (SELECT doc_id,
+       |  lower(regexp_extract(url, '${operators.UrlOps.bareHostRe}', 1)) AS domain,
+       |  coalesce(nullif(regexp_extract(url, '${operators.Robots.pathQueryRe}', 1), ''), '/') AS path
+       |  FROM rpages),
+       |$robotsRulesCtes,
        |rv AS (SELECT doc_id, rp.domain, path,
        |  coalesce(list_max(list_transform(
        |    list_filter(ra.rules, q -> rp.path LIKE q.lp ESCAPE '!'),
        |    q -> q.rank)) % 2 = 1, true) AS allowed
        |  FROM rp LEFT JOIN ra USING (domain))""".stripMargin
+
+  /** The q124/q130 delay replay: a 4-kind re-parse of `rlines` (from
+    * [[robotsRulesCtes]]) retaining `crawl-delay`, group selection, and
+    * the per-domain max valid delay → `rdel(domain, crawl_delay)`. */
+  private def robotsDelayCtes: String =
+    s"""dirs4 AS (SELECT domain, idx, kind, val FROM (
+       |  SELECT domain, idx,
+       |    lower(regexp_extract(cl, '${operators.Robots.directiveKindRe}', 1)) AS kind,
+       |    regexp_extract(cl, '${operators.Robots.directiveValRe}', 1) AS val
+       |  FROM (SELECT domain, idx, regexp_replace(raw, '#.*$$', '') AS cl FROM rlines))
+       |  WHERE kind IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
+       |g4 AS (SELECT *, sum(CASE WHEN kind = 'user-agent'
+       |        AND coalesce(lagk, '') <> 'user-agent' THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY domain ORDER BY idx ROWS UNBOUNDED PRECEDING) AS gid
+       |  FROM (SELECT *, lag(kind) OVER (PARTITION BY domain ORDER BY idx) AS lagk
+       |        FROM dirs4)),
+       |am4 AS (SELECT domain, gid,
+       |    max(CASE WHEN lower(val) = 'graftbot' THEN 1 ELSE 0 END) AS spec
+       |  FROM g4 WHERE kind = 'user-agent' AND (lower(val) = 'graftbot' OR val = '*')
+       |  GROUP BY domain, gid),
+       |appl4 AS (SELECT domain, gid FROM
+       |  (SELECT *, max(spec) OVER (PARTITION BY domain) AS ms FROM am4)
+       |  WHERE spec = ms),
+       |rdel AS (SELECT domain, max(val::BIGINT) AS crawl_delay
+       |  FROM g4 JOIN appl4 USING (domain, gid)
+       |  WHERE kind = 'crawl-delay' AND regexp_matches(val, '^[0-9]+$$')
+       |  GROUP BY domain)""".stripMargin
+
+  /** The q129/q130 discovery replay — ends in
+    * `smnew(domain, norm_url, url)`: declared-sitemap locs, entity
+    * decode, candidate normalization (CTE-prefixed `c`), crawled-corpus
+    * normalization (default prefix), anti-join. */
+  private def sitemapCandidateCtes: String = {
+    val rvalues = robotsFixtureTexts
+      .map { case (i, t) => s"($i, ${sqlTextLit(t)})" }.mkString(", ")
+    val svalues = sitemapFixtureTexts
+      .map { case (i, x) => s"($i, ${sqlTextLit(x)})" }.mkString(", ")
+    def lit1(s: String) = "'" + s.replace("'", "''") + "'"
+    val decodedUrl = operators.Boilerplate.entities.foldLeft("loc") {
+      case (acc, (e, ch)) => s"replace($acc, ${lit1(e)}, ${lit1(ch)})"
+    }
+    s"""smrb AS (SELECT 'www.example' || CAST(di AS VARCHAR) || '.com' AS domain, txt
+       |  FROM (VALUES $rvalues) t(di, txt)),
+       |smdecl AS (SELECT DISTINCT domain FROM (
+       |  SELECT domain, lower(regexp_extract(regexp_replace(l, '#.*$$', ''),
+       |    '${operators.Robots.directiveKindRe}', 1)) AS kind
+       |  FROM (SELECT domain, unnest(string_split(txt, chr(10))) AS l FROM smrb))
+       |  WHERE kind = 'sitemap'),
+       |smx AS (SELECT 'www.example' || CAST(di AS VARCHAR) || '.com' AS domain, xml
+       |  FROM (VALUES $svalues) t(di, xml)),
+       |smloc AS (SELECT url FROM (
+       |  SELECT $decodedUrl AS url FROM (
+       |    SELECT unnest(regexp_extract_all(xml, '${operators.Frontier.locRe}', 1)) AS loc
+       |    FROM smx JOIN smdecl USING (domain)
+       |    WHERE lower(regexp_extract(xml, '${operators.Frontier.rootRe}', 1)) = 'urlset'))
+       |  WHERE url <> ''),
+       |smcand AS (SELECT row_number() OVER (ORDER BY url) AS doc_id, url
+       |  FROM (SELECT DISTINCT url FROM smloc)),
+       |${urlCanonCteFor("SELECT doc_id, url FROM smcand", "c")},
+       |${urlCanonCteFor(urlFixtureSql)},
+       |crawled AS (SELECT DISTINCT norm_url FROM n),
+       |smnew AS (SELECT cd.domain, cn.norm_url, smcand.url
+       |  FROM cn JOIN cd USING (doc_id) JOIN smcand USING (doc_id)
+       |  WHERE cn.norm_url NOT IN (SELECT norm_url FROM crawled))""".stripMargin
   }
 
   /** Pinned blocklist entries for q117/q123 — exact host, parent suffix,
@@ -2183,18 +2270,29 @@ object SparkEntry {
     // q94 chain, and anti-join the crawled corpus's normalized URLs —
     // output = the genuinely NEW frontier candidates per domain
     "q129_sitemap_discovery" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      val declared = operators.Robots.sitemapUrls(robotsDocuments(s, dir))
-        .select("domain").distinct()
-      val locs = operators.Frontier.sitemapLocs(
-        sitemapDocuments(s).join(declared, "domain"))
-      val cand = operators.UrlOps.withNormalizedUrl(
-        locs.filter(col("kind") === "url").select(col("loc").as("url")).distinct())
-      val crawled = operators.UrlOps.withNormalizedUrl(urlDocuments(s, dir))
-        .select("norm_url").distinct()
-      cand.join(crawled, Seq("norm_url"), "left_anti")
+      import org.apache.spark.sql.functions.col
+      discoveredCandidates(s, dir)
         .select(operators.UrlOps.domainOf(col("url")).as("domain"), col("norm_url"))
         .distinct()
+    }),
+
+    // the FULL crawl-planning loop in one lazy plan: discover (sitemaps)
+    // → drop already-crawled (normalized anti-join) → comply (robots
+    // verdict on each candidate) → schedule (politeness slots × the
+    // domain's Crawl-delay). Candidate identity IS the normalized URL —
+    // no synthetic ids, so the composition scales exactly like its
+    // stages (the schedule salts/orders on md5 of the url string)
+    "q130_discovery_to_fetch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val robots = robotsDocuments(s, dir)
+      val fresh = discoveredCandidates(s, dir)
+        .select(col("norm_url").as("doc_id"), col("norm_url").as("url"))
+        .distinct()
+      val allowed = operators.Robots
+        .robotsGate(fresh, robots, agent = "graftbot")
+        .filter(col("allowed")).select("doc_id")
+      operators.Frontier.fetchSchedule(fresh.join(allowed, "doc_id"),
+        operators.Robots.crawlDelays(robots, agent = "graftbot"))
     }),
 
     // robots.txt compliance gate (RFC 9309): parse per-domain robots
@@ -3481,28 +3579,7 @@ object SparkEntry {
       // BY salt, md5, doc_id)
       "q124_fetch_schedule" ->
         s"""WITH $robotsVerdictCtes,
-           |dirs4 AS (SELECT domain, idx, kind, val FROM (
-           |  SELECT domain, idx,
-           |    lower(regexp_extract(cl, '${operators.Robots.directiveKindRe}', 1)) AS kind,
-           |    regexp_extract(cl, '${operators.Robots.directiveValRe}', 1) AS val
-           |  FROM (SELECT domain, idx, regexp_replace(raw, '#.*$$', '') AS cl FROM rlines))
-           |  WHERE kind IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
-           |g4 AS (SELECT *, sum(CASE WHEN kind = 'user-agent'
-           |        AND coalesce(lagk, '') <> 'user-agent' THEN 1 ELSE 0 END)
-           |    OVER (PARTITION BY domain ORDER BY idx ROWS UNBOUNDED PRECEDING) AS gid
-           |  FROM (SELECT *, lag(kind) OVER (PARTITION BY domain ORDER BY idx) AS lagk
-           |        FROM dirs4)),
-           |am4 AS (SELECT domain, gid,
-           |    max(CASE WHEN lower(val) = 'graftbot' THEN 1 ELSE 0 END) AS spec
-           |  FROM g4 WHERE kind = 'user-agent' AND (lower(val) = 'graftbot' OR val = '*')
-           |  GROUP BY domain, gid),
-           |appl4 AS (SELECT domain, gid FROM
-           |  (SELECT *, max(spec) OVER (PARTITION BY domain) AS ms FROM am4)
-           |  WHERE spec = ms),
-           |rdel AS (SELECT domain, max(val::BIGINT) AS crawl_delay
-           |  FROM g4 JOIN appl4 USING (domain, gid)
-           |  WHERE kind = 'crawl-delay' AND regexp_matches(val, '^[0-9]+$$')
-           |  GROUP BY domain),
+           |$robotsDelayCtes,
            |sched AS (SELECT doc_id, domain,
            |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 16 AS salt,
            |    md5(doc_id::VARCHAR) AS m
@@ -3564,39 +3641,36 @@ object SparkEntry {
       // <loc> extraction + entity decode from the sitemap VALUES, both
       // normalization chains (candidates prefixed `c`, crawled default),
       // anti-join on the normalized URL
-      "q129_sitemap_discovery" -> {
-        val rvalues = robotsFixtureTexts
-          .map { case (i, t) => s"($i, ${sqlTextLit(t)})" }.mkString(", ")
-        val svalues = sitemapFixtureTexts
-          .map { case (i, x) => s"($i, ${sqlTextLit(x)})" }.mkString(", ")
-        def lit1(s: String) = "'" + s.replace("'", "''") + "'"
-        val decodedUrl = operators.Boilerplate.entities.foldLeft("loc") {
-          case (acc, (e, ch)) => s"replace($acc, ${lit1(e)}, ${lit1(ch)})"
-        }
-        s"""WITH smrb AS (SELECT 'www.example' || CAST(di AS VARCHAR) || '.com' AS domain, txt
-           |  FROM (VALUES $rvalues) t(di, txt)),
-           |smdecl AS (SELECT DISTINCT domain FROM (
-           |  SELECT domain, lower(regexp_extract(regexp_replace(l, '#.*$$', ''),
-           |    '${operators.Robots.directiveKindRe}', 1)) AS kind
-           |  FROM (SELECT domain, unnest(string_split(txt, chr(10))) AS l FROM smrb))
-           |  WHERE kind = 'sitemap'),
-           |smx AS (SELECT 'www.example' || CAST(di AS VARCHAR) || '.com' AS domain, xml
-           |  FROM (VALUES $svalues) t(di, xml)),
-           |smloc AS (SELECT url FROM (
-           |  SELECT $decodedUrl AS url FROM (
-           |    SELECT unnest(regexp_extract_all(xml, '${operators.Frontier.locRe}', 1)) AS loc
-           |    FROM smx JOIN smdecl USING (domain)
-           |    WHERE lower(regexp_extract(xml, '${operators.Frontier.rootRe}', 1)) = 'urlset'))
-           |  WHERE url <> ''),
-           |smcand AS (SELECT row_number() OVER (ORDER BY url) AS doc_id, url
-           |  FROM (SELECT DISTINCT url FROM smloc)),
-           |${urlCanonCteFor("SELECT doc_id, url FROM smcand", "c")},
-           |${urlCanonCteFor(urlFixtureSql)},
-           |crawled AS (SELECT DISTINCT norm_url FROM n)
-           |SELECT DISTINCT cd.domain, cn.norm_url
-           |FROM cn JOIN cd USING (doc_id)
-           |WHERE cn.norm_url NOT IN (SELECT norm_url FROM crawled)""".stripMargin
-      },
+      "q129_sitemap_discovery" ->
+        s"""WITH $sitemapCandidateCtes
+           |SELECT DISTINCT domain, norm_url FROM smnew""".stripMargin,
+
+      // q130: the discovery chain's survivors (identity = norm_url) take
+      // the robots verdict against the shared rule arrays, then the
+      // collapsed single-window schedule replay keyed on md5(norm_url)
+      "q130_discovery_to_fetch" ->
+        s"""WITH $sitemapCandidateCtes,
+           |$robotsRulesCtes,
+           |$robotsDelayCtes,
+           |fcand AS (SELECT DISTINCT norm_url FROM smnew),
+           |fv AS (SELECT norm_url,
+           |  lower(regexp_extract(norm_url, '${operators.UrlOps.bareHostRe}', 1)) AS domain,
+           |  coalesce(nullif(regexp_extract(norm_url, '${operators.Robots.pathQueryRe}', 1), ''), '/') AS path
+           |  FROM fcand),
+           |fallow AS (SELECT norm_url, fv.domain FROM fv LEFT JOIN ra USING (domain)
+           |  WHERE coalesce(list_max(list_transform(
+           |    list_filter(ra.rules, q -> fv.path LIKE q.lp ESCAPE '!'),
+           |    q -> q.rank)) % 2 = 1, true)),
+           |fsched AS (SELECT norm_url AS doc_id, domain,
+           |    ('0x' || substr(md5(norm_url), 1, 4))::INT % 16 AS salt,
+           |    md5(norm_url) AS m
+           |  FROM fallow),
+           |fsq AS (SELECT doc_id, domain,
+           |    row_number() OVER (PARTITION BY domain ORDER BY salt, m, doc_id) - 1 AS seq
+           |  FROM fsched)
+           |SELECT doc_id, domain, seq,
+           |  seq * coalesce(crawl_delay, 1) AS fetch_at
+           |FROM fsq LEFT JOIN rdel USING (domain)""".stripMargin,
 
       // the q108 oracle embeds the OPERATOR'S OWN regex constants
       // (single-quotes doubled for the SQL literal) — two-step tag→attr
