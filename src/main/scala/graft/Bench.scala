@@ -57,8 +57,9 @@ import org.apache.spark.sql.SparkSession
   *    10×-smaller SF (derived from the directory's numeric suffix, any SF)
   *    so constant-vs-linear cost (CC per-round overhead vs data volume) is
   *    a measurement, not an assertion; and
-  *  - "stress10x": the two composed pipelines (q61, q96) on a 10×
-  *    id-offset self-union of documents.parquet — the slope one decade UP,
+  *  - "stress10x": the four composed pipelines (q61 text, q96 crawl
+  *    front-end, q103 quality, q123 full crawl gate) on a 10× id-offset
+  *    self-union of documents.parquet — the slope one decade UP,
   *    duplicate-heavy by construction (see the section comment).
   */
 object Bench {
@@ -415,7 +416,10 @@ object Bench {
           }.min
         val q61x10 = t2("q61_pipeline_e2e")
         val q96x10 = t2("q96_web_pipeline")
-        f"""{"factor":10,"rows":$rows10,"q61_sec":$q61x10%.3f,"q96_sec":$q96x10%.3f}"""
+        val q103x10 = t2("q103_quality_pipeline")
+        val q123x10 = t2("q123_crawl_gate_compose")
+        f"""{"factor":10,"rows":$rows10,"q61_sec":$q61x10%.3f,"q96_sec":$q96x10%.3f,""" +
+          f""""q103_sec":$q103x10%.3f,"q123_sec":$q123x10%.3f}"""
       } finally {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

@@ -465,8 +465,11 @@ object SparkEntry {
       sitemapDocuments(s).join(declared, "domain"))
     val cand = operators.UrlOps.withNormalizedUrl(
       locs.filter(col("kind") === "url").select(col("loc").as("url")).distinct())
+    // NO distinct on the anti-join's right side: duplicate right keys
+    // cannot change left-anti semantics, and the dedup would cost a full
+    // exchange over every crawled URL before the join even starts
     val crawled = operators.UrlOps.withNormalizedUrl(urlDocuments(s, dir))
-      .select("norm_url").distinct()
+      .select("norm_url")
     cand.join(crawled, Seq("norm_url"), "left_anti")
   }
 
@@ -2285,9 +2288,16 @@ object SparkEntry {
     "q130_discovery_to_fetch" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val robots = robotsDocuments(s, dir)
+      // eager localCheckpoint: the gate branch and the schedule input
+      // would each re-derive the whole discovery chain (sitemap parse +
+      // corpus-wide anti-join — probe-measured 2× the q129 cost without
+      // the pin). Persisting the surviving candidate batch is also what
+      // a real crawler does between discovery and fetch — the pinned set
+      // IS the frontier batch, and it is discovery-cycle-sized, not
+      // corpus-sized
       val fresh = discoveredCandidates(s, dir)
         .select(col("norm_url").as("doc_id"), col("norm_url").as("url"))
-        .distinct()
+        .distinct().localCheckpoint()
       val allowed = operators.Robots
         .robotsGate(fresh, robots, agent = "graftbot")
         .filter(col("allowed")).select("doc_id")

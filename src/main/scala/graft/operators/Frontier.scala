@@ -85,13 +85,21 @@ object Frontier {
       .withColumn("__m", md5(col("doc_id").cast("string")))
       .withColumn("__salt",
         (conv(substring(col("__m"), 1, 4), 16, 10).cast("int") % salts).cast("int"))
-    val local = keyed.withColumn("__rn", row_number().over(
-      Window.partitionBy("domain", "__salt").orderBy(col("__m"), col("doc_id"))))
-    // salt offsets: counts collapse to ≤ salts rows per domain before the
-    // per-domain window, so THAT window's partitions are bounded by
+    // the sub-queue count rides the SAME (domain, salt) partitioning as
+    // the rank window (count needs no order, row_number adds the sort) —
+    // so the offsets branch below forks ABOVE the one exchange and
+    // ReuseExchange serves it from the rank's shuffle files: the whole
+    // upstream (often a robots gate + joins) runs ONCE, not once per
+    // branch (a groupBy-based count would build a second, non-reusable
+    // exchange over partial aggregates)
+    val w = Window.partitionBy("domain", "__salt")
+    val local = keyed
+      .withColumn("__rn", row_number().over(w.orderBy(col("__m"), col("doc_id"))))
+      .withColumn("__c", count(lit(1)).over(w))
+    // salt offsets: distinct collapses to ≤ salts rows per domain before
+    // the per-domain window, so THAT window's partitions are bounded by
     // construction — never by the data
-    val offsets = keyed.groupBy("domain", "__salt")
-      .agg(count(lit(1)).as("__c"))
+    val offsets = local.select("domain", "__salt", "__c").distinct()
       .withColumn("__off", coalesce(
         sum(col("__c")).over(Window.partitionBy("domain").orderBy("__salt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
