@@ -109,6 +109,62 @@ object Bench {
         None
       }
     }
+    // 10× self-union stress for the COMPOSED pipelines (q61 text, q96
+    // crawl front-end, q103 quality, q123 full crawl gate): the
+    // heavy_tail ledger attributes growth downward
+    // (sf/10); this point extends the measured slope one decade UP without
+    // new testdata — documents.parquet union'd with 9 id-offset copies into
+    // a temp dir, then the UNCHANGED query definitions run against it (the
+    // queries only read documents.parquet, so a dir substitution is the
+    // whole mechanism). Exact-copy amplification is deliberately
+    // duplicate-heavy: q61's LSH dedup meets 10-member clusters (45
+    // candidate pairs per text — the shape a real crawl feeds it), so this
+    // stresses the candidate join, not just the scan. Offsets are
+    // multiples of LCM(2,3,4,5,7,11,17)=78540·k so every doc_id-modulus
+    // fixture derivation classifies copies like their originals, keeping
+    // the workload composition comparable across decades. min-of-3, run
+    // before the main sweeps (first sample pays 10×-plan JIT). NOTE this
+    // is the one section compute-bound enough to scale with threads:
+    // q61@10× reads 16-17 s at local[4] vs 8.7 s at the driver's
+    // local[32] (identical code) — half an r8 round chased that as a
+    // "regression" before the SPARK_GRAFT_CPUS default (4) was spotted,
+    // so always set it when benching locally.
+    val stress = try {
+      import org.apache.spark.sql.functions._
+      val docs = sources.Tables.documents(spark, sfDir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stress").toFile
+      try {
+        val lcmOffset = 78540L * 1000L // ≥ any SF's doc_id range, modulus-neutral
+        val amplified = (0 until 10).map(i =>
+          docs.withColumn("doc_id", col("doc_id") + lit(i * lcmOffset)))
+          .reduce(_ unionAll _)
+        amplified.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+        val rows10 = spark.read.parquet(s"$tmp/documents.parquet").count()
+        def t2(name: String): Double =
+          (1 to 3).map { _ =>
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, tmp.getAbsolutePath).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        val q61x10 = t2("q61_pipeline_e2e")
+        val q96x10 = t2("q96_web_pipeline")
+        val q103x10 = t2("q103_quality_pipeline")
+        val q123x10 = t2("q123_crawl_gate_compose")
+        f"""{"factor":10,"rows":$rows10,"q61_sec":$q61x10%.3f,"q96_sec":$q96x10%.3f,""" +
+          f""""q103_sec":$q103x10%.3f,"q123_sec":$q123x10%.3f}"""
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stress10x instrumentation failed: ${e.getMessage}")
+      "{}"
+    }
+    spark.catalog.clearCache()
+
     // Three full sweeps over the sorted list (contention-interleaving — see
     // header). A query that crashes on every sweep reports the sentinel -1
     // and contributes nothing to the total, so failures can't masquerade as
@@ -382,55 +438,6 @@ object Bench {
     }
     spark.catalog.clearCache()
 
-    // 10× self-union stress for the two COMPOSED pipelines (q61 text-side,
-    // q96 crawl-side): the heavy_tail ledger attributes growth downward
-    // (sf/10); this point extends the measured slope one decade UP without
-    // new testdata — documents.parquet union'd with 9 id-offset copies into
-    // a temp dir, then the UNCHANGED query definitions run against it (the
-    // queries only read documents.parquet, so a dir substitution is the
-    // whole mechanism). Exact-copy amplification is deliberately
-    // duplicate-heavy: q61's LSH dedup meets 10-member clusters (45
-    // candidate pairs per text — the shape a real crawl feeds it), so this
-    // stresses the candidate join, not just the scan. Offsets are
-    // multiples of LCM(2,3,4,5,7,11,17)=78540·k so every doc_id-modulus
-    // fixture derivation classifies copies like their originals, keeping
-    // the workload composition comparable across decades. min-of-2 (not 3)
-    // bounds the section's cost — at 10× data a sweep is tens of seconds.
-    val stress = try {
-      import org.apache.spark.sql.functions._
-      val docs = sources.Tables.documents(spark, sfDir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stress").toFile
-      try {
-        val lcmOffset = 78540L * 1000L // ≥ any SF's doc_id range, modulus-neutral
-        val amplified = (0 until 10).map(i =>
-          docs.withColumn("doc_id", col("doc_id") + lit(i * lcmOffset)))
-          .reduce(_ unionAll _)
-        amplified.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-        val rows10 = spark.read.parquet(s"$tmp/documents.parquet").count()
-        def t2(name: String): Double =
-          (1 to 2).map { _ =>
-            spark.catalog.clearCache()
-            val t0 = System.nanoTime()
-            SparkEntry.queries(name)(spark, tmp.getAbsolutePath).count()
-            (System.nanoTime() - t0) / 1e9
-          }.min
-        val q61x10 = t2("q61_pipeline_e2e")
-        val q96x10 = t2("q96_web_pipeline")
-        val q103x10 = t2("q103_quality_pipeline")
-        val q123x10 = t2("q123_crawl_gate_compose")
-        f"""{"factor":10,"rows":$rows10,"q61_sec":$q61x10%.3f,"q96_sec":$q96x10%.3f,""" +
-          f""""q103_sec":$q103x10%.3f,"q123_sec":$q123x10%.3f}"""
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(tmp)
-      }
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] stress10x instrumentation failed: ${e.getMessage}")
-      "{}"
-    }
-    spark.catalog.clearCache()
 
     // heavy tail at the sibling 10×-smaller SF for scale-growth attribution.
     // Error labels carry the sibling dir suffix: a failure HERE must not
