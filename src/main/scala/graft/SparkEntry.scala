@@ -1765,6 +1765,12 @@ object SparkEntry {
     "q87_bpe_tokens" -> ((s, dir) =>
       operators.Bpe.tokenCounts(Tables.documents(s, dir), bpeMerges)),
 
+    // tokenizer fertility (tokens per word) by source under the pinned
+    // merge table — the per-slice diagnostic multilingual tokenizer
+    // surveys report; ratio integer-exact in micro-units
+    "q131_tokenizer_fertility" -> ((s, dir) =>
+      operators.Bpe.fertilityReport(Tables.documents(s, dir), bpeMerges)),
+
     // q87 re-based on the GPT-2 byte alphabet: UTF-8 bytes as base symbols
     // (no OOV ever), pinned byte-merge table, non-ASCII fixture rows where
     // char and byte tokenization visibly diverge (é = 2 base symbols)
@@ -3032,6 +3038,19 @@ object SparkEntry {
       "q87_bpe_tokens" ->
         s"""WITH RECURSIVE $bpeSql
            |SELECT doc_id, n_words, n_bpe_tokens FROM bpe""".stripMargin,
+
+      // q131: the q87 replay rolled up per source, ratio in exact
+      // integer micro-units (`//` ≡ `div` on these non-negative sums)
+      "q131_tokenizer_fertility" ->
+        s"""WITH RECURSIVE $bpeSql,
+           |fj AS (SELECT d.source, bpe.n_words, bpe.n_bpe_tokens
+           |       FROM bpe JOIN documents d USING (doc_id))
+           |SELECT source, count(*)::BIGINT AS n_docs,
+           |  CAST(sum(n_words) AS BIGINT) AS n_words,
+           |  CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           |  ((1000000 * CAST(sum(n_bpe_tokens) AS BIGINT))
+           |    // CAST(sum(n_words) AS BIGINT)) AS fertility_micro
+           |FROM fj GROUP BY source""".stripMargin,
 
       "q93_bpe_byte_tokens" ->
         s"""WITH RECURSIVE $bpeByteSql

@@ -222,6 +222,28 @@ object Bpe {
   def byteTokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     tokenCountsWith(docs, merges, tokenizeBytes)
 
+  /** Tokenizer FERTILITY report — tokens-per-word by corpus slice, the
+    * diagnostic that decides whether a tokenizer fits a source/language
+    * (multilingual surveys report exactly this: fertility ≫ 1 on a slice
+    * means its text fragments into many sub-word pieces, inflating
+    * training cost and shrinking effective context). Rolls
+    * [[tokenCounts]] up per `sliceCol` with the ratio held INTEGER-EXACT
+    * in micro-units ((10⁶·Σtokens) div Σwords — the q113/q126 policy, no
+    * float-sum order dependence; Σtokens stays < 2⁶³/10⁶ ≈ 9·10¹² per
+    * slice, comfortable even at corpus scale). One slice-keyed shuffle
+    * of three longs per doc after the dictionary join; map-side combine
+    * absorbs hot slices. */
+  def fertilityReport(docs: DataFrame, merges: Seq[(String, String)],
+      sliceCol: String = "source"): DataFrame =
+    tokenCounts(docs, merges)
+      .join(docs.select(col("doc_id"), col(sliceCol)), "doc_id")
+      .groupBy(sliceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"))
+      .withColumn("fertility_micro",
+        expr("(1000000 * n_bpe_tokens) div n_words"))
+
   /** Sequence packing budgeted in BPE tokens instead of whitespace tokens —
     * [[TextAnalysis.packSequences]]'s layout contract (sharded streams,
     * ACCUMULATE running sum, globally unique seq ids) with the token

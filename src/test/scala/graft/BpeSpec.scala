@@ -82,6 +82,20 @@ class BpeSpec extends AnyFunSuite {
     assert(r(1L) == ((2L, 2L))) // th=1, e=1
   }
 
+  test("fertilityReport: per-source integer-exact tokens-per-word micro ratio") {
+    val docs = Seq(
+      (0L, "the the cat", "s0"), // 3 words, 5 tokens (the=1 ×2, cat=3)
+      (1L, "th e", "s0"),        // 2 words, 2 tokens
+      (2L, "cat", "s1")          // 1 word, 3 tokens
+    ).toDF("doc_id", "text", "source")
+    val r = Bpe.fertilityReport(docs, Seq(("t", "h"), ("th", "e"))).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r == Map(
+      "s0" -> ((2L, 5L, 7L, 1400000L)), // 7/5 words exactly
+      "s1" -> ((1L, 1L, 3L, 3000000L))))
+  }
+
   test("packSequencesBpe budgets the stream in BPE tokens") {
     val docs = Seq((0L, "the the the"), (8L, "cat")).toDF("doc_id", "text") // same shard
     val r = Bpe.packSequencesBpe(docs, Seq(("t", "h"), ("th", "e")),
