@@ -983,7 +983,7 @@ object SparkEntry {
        |  WHERE spec = ms),
        |rdel AS (SELECT domain, max(val::BIGINT) AS crawl_delay
        |  FROM g4 JOIN appl4 USING (domain, gid)
-       |  WHERE kind = 'crawl-delay' AND regexp_matches(val, '^[0-9]+$$')
+       |  WHERE kind = 'crawl-delay' AND regexp_matches(val, '^[0-9]{1,9}$$')
        |  GROUP BY domain)""".stripMargin
 
   /** The q129/q130 discovery replay — ends in

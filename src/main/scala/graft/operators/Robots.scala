@@ -132,7 +132,11 @@ object Robots {
     * NOT apply when a specific group names `agent` (same shadowing as
     * the allow/disallow gate) — max across applicable groups when
     * several declare one (the conservative read), non-numeric values
-    * ignored. Emits (domain, crawl_delay) for domains with an explicit
+    * ignored. Valid = 1-9 DIGITS: the digit cap rejects adversarial
+    * robots files with absurd values BEFORE any cast, where Spark's
+    * long-cast would silently null on overflow but an oracle's ::BIGINT
+    * would error — and a delay cap of 10⁹ s (~31 years) loses nothing.
+    * Emits (domain, crawl_delay) for domains with an explicit
     * valid delay ONLY; absence means "caller's default", matching
     * [[parseRules]]' missing-row contract. The allow/disallow gate
     * itself keeps ignoring `Crawl-delay` lines entirely, per RFC. */
@@ -142,7 +146,7 @@ object Robots {
       s"agent must be a non-empty lowercase product token, got '$agent'")
     val grouped = groupedDirectives(robots, domainCol, txtCol,
       Seq("user-agent", "allow", "disallow", "crawl-delay"))
-    grouped.filter(col("kind") === "crawl-delay" && col("val").rlike("^[0-9]+$"))
+    grouped.filter(col("kind") === "crawl-delay" && col("val").rlike("^[0-9]{1,9}$"))
       .join(applicableGroups(grouped, agent), Seq("domain", "gid"))
       .groupBy("domain")
       .agg(max(col("val").cast("long")).as("crawl_delay"))

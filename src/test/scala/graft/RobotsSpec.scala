@@ -103,8 +103,10 @@ class RobotsSpec extends AnyFunSuite {
       // groups → max
       ("c.com", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n" +
         "User-agent: *\nCrawl-delay: 5\nDisallow: /y"),
-      // non-numeric and empty values are ignored; CRLF + case tolerated
-      ("d.com", "USER-AGENT: *\r\nCRAWL-DELAY: soon\r\nCrawl-delay:\r\nDisallow: /"),
+      // non-numeric, empty, and overflow-length values are ignored;
+      // CRLF + case tolerated
+      ("d.com", "USER-AGENT: *\r\nCRAWL-DELAY: soon\r\nCrawl-delay:\r\n" +
+        "Crawl-delay: 99999999999999999999\r\nDisallow: /"),
       // an orphan delay above the first User-agent line never applies
       ("e.com", "Crawl-delay: 9\nUser-agent: *\nDisallow: /"))
     assert(m == Map("a.com" -> 10L, "c.com" -> 5L))
