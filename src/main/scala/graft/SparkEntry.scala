@@ -1618,6 +1618,17 @@ object SparkEntry {
     // ---- training-data pipeline: deduplication ----------------------------
     "q20_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
 
+    // exact dedup keeping the BEST-scoring copy (q102 micro priority)
+    // instead of the smallest id — argmax as a skew-safe aggregate
+    "q132_dedup_keep_best" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      val pr = operators.TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"),
+          round(col("quality_score") * 1000000.0, 0).cast("long").as("p"))
+      Dedup.exactBest(docs.join(pr, "doc_id"), "p")
+    }),
+
     "q21_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.1)),
 
@@ -2742,6 +2753,20 @@ object SparkEntry {
       "q20_dedup_exact" ->
         """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
           |FROM documents GROUP BY md5(text)""".stripMargin,
+
+      // q132: the argmax replayed as the equivalent window form —
+      // highest micro priority wins, smallest id breaks ties
+      "q132_dedup_keep_best" ->
+        s"""WITH $qualityScoreCte,
+           |sm AS (SELECT doc_id, CAST(round(quality_score * 1000000) AS BIGINT) AS p
+           |       FROM score),
+           |hh AS (SELECT d.doc_id, md5(text) AS content_hash, p
+           |       FROM documents d JOIN sm USING (doc_id)),
+           |r AS (SELECT content_hash, doc_id,
+           |  row_number() OVER (PARTITION BY content_hash ORDER BY p DESC, doc_id) AS rn,
+           |  count(*) OVER (PARTITION BY content_hash) AS nd FROM hh)
+           |SELECT content_hash, doc_id AS keep_id, nd::BIGINT AS n_dups
+           |FROM r WHERE rn = 1""".stripMargin,
 
       "q21_dedup_ngram_jaccard" ->
         """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -33,6 +33,31 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Exact dedup keeping the BEST copy instead of [[exact]]'s first-id:
+    * within each identical-text group the keeper maximizes `priorityCol`
+    * (smallest doc_id breaks ties) — what curation actually wants when
+    * duplicates differ in metadata-derived quality (the same article from
+    * a clean mirror vs an ad-wrapped scraper copy scores differently
+    * upstream even when the extracted text matches). Priority should be
+    * an integer column (quality micro-units — the q113/q126 policy) so
+    * the argmax is exact.
+    *
+    * 100 TB shape: argmax-as-AGGREGATE, not a per-hash window — the
+    * shuffle carries (hash, id, priority) and a hot text (same boilerplate
+    * page duplicated millions of times) collapses map-side via partial
+    * max/count before the exchange, where a window would serialize the
+    * hot hash onto one reducer. The struct max orders by (priority,
+    * −doc_id), so ties take the SMALLEST id deterministically. */
+  def exactBest(docs: DataFrame, priorityCol: String,
+      textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), md5(col(textCol)).as("content_hash"),
+        col(priorityCol).cast("long").as("__p"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_dups"),
+        max(struct(col("__p"), (-col("doc_id")).as("__nid"))).as("__best"))
+      .select(col("content_hash"), (-col("__best.__nid")).as("keep_id"),
+        col("n_dups"))
+
   /** Per-doc DISTINCT gram-hash array (graft.functions.WordGramHashes) —
     * grams travel as 64-bit hashes because every consumer needs only gram
     * equality, and the dedup happens map-side with array_distinct: a

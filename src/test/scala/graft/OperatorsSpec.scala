@@ -1083,6 +1083,15 @@ class OperatorsSpec extends AnyFunSuite {
       ((1L, 3L)))
   }
 
+  test("exactBest keeps the highest-priority copy; ties take the smallest id") {
+    val docs = Seq(
+      (0L, "same text", 10L), (1L, "same text", 90L), (2L, "same text", 90L),
+      (3L, "other", 5L)).toDF("doc_id", "text", "p")
+    val r = Dedup.exactBest(docs, "p").collect()
+      .map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(r == Map(1L -> 3L, 3L -> 1L)) // 90-tie → id 1, not 2; never min-id 0
+  }
+
   test("incremental materialize: compute sees ONLY the delta; result ≡ full recompute") {
     import org.apache.spark.sql.DataFrame
     val oldDocs = Seq((0L, "alpha beta."), (1L, "gamma delta"), (2L, "dropped doc"))

@@ -221,6 +221,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("q125_readability").contains("Exchange"))
   }
 
+  test("keep-best dedup: argmax is an aggregate with map-side combine, no window") {
+    val p = plan("q132_dedup_keep_best")
+    // a per-hash window would serialize a hot duplicate onto one reducer;
+    // the aggregate form partial-combines before the exchange
+    assert(!p.contains("windowspecdefinition(content_hash"), "window crept in")
+    assert(p.contains("partial_max") || p.contains("partial_count"), p.take(300))
+  }
+
   test("sitemap discovery: equi anti-join on the normalized URL, no cartesian") {
     val p = plan("q129_sitemap_discovery")
     assert(p.contains("LeftAnti"))
