@@ -386,10 +386,11 @@ object SparkEntry {
     * SAME strings feed the Scala fixture and (via [[sqlTextLit]]) the
     * DuckDB oracle's VALUES list. */
   private[graft] val robotsFixtureTexts: Seq[(Int, String)] = Seq(
-    // Crawl-delay lines exercise q124 ONLY — the allow/disallow chains
-    // (q115/q123 and their oracles) drop them before grouping, and none
-    // sits between User-agent header lines, so verdicts and group ids
-    // are untouched. Coverage: delay in a shadowed '*' group must NOT
+    // Crawl-delay lines exercise q124 ONLY — group ids are assigned
+    // over ALL directive lines (one shared structure), and the
+    // allow/disallow chains then ignore the delay rows; none sits
+    // between User-agent header lines, so verdicts are untouched.
+    // Coverage: delay in a shadowed '*' group must NOT
     // apply (0), non-numeric ignored (2), '*'-group delay applies when
     // no specific group exists (3), specific-group delay applies (4).
     // Sitemap: lines exercise q129 ONLY (global by convention, dropped
@@ -922,7 +923,7 @@ object SparkEntry {
        |    lower(regexp_extract(cl, '${operators.Robots.directiveKindRe}', 1)) AS kind,
        |    regexp_extract(cl, '${operators.Robots.directiveValRe}', 1) AS val
        |  FROM (SELECT domain, idx, regexp_replace(raw, '#.*$$', '') AS cl FROM rlines))
-       |  WHERE kind IN ('user-agent', 'allow', 'disallow')),
+       |  WHERE kind <> ''),
        |g AS (SELECT *, sum(CASE WHEN kind = 'user-agent'
        |        AND coalesce(lagk, '') <> 'user-agent' THEN 1 ELSE 0 END)
        |    OVER (PARTITION BY domain ORDER BY idx ROWS UNBOUNDED PRECEDING) AS gid
@@ -959,30 +960,14 @@ object SparkEntry {
        |    q -> q.rank)) % 2 = 1, true) AS allowed
        |  FROM rp LEFT JOIN ra USING (domain))""".stripMargin
 
-  /** The q124/q130 delay replay: a 4-kind re-parse of `rlines` (from
-    * [[robotsRulesCtes]]) retaining `crawl-delay`, group selection, and
-    * the per-domain max valid delay → `rdel(domain, crawl_delay)`. */
+  /** The q124/q130 delay replay: since [[robotsRulesCtes]]' `g` now
+    * assigns group ids over ALL directive lines (the one group structure
+    * both parses share — mirroring `Robots.groupedDirectives`), the delay
+    * table is just the applicable groups' valid `crawl-delay` max —
+    * `rdel(domain, crawl_delay)` straight off `g`/`appl`, no re-parse. */
   private def robotsDelayCtes: String =
-    s"""dirs4 AS (SELECT domain, idx, kind, val FROM (
-       |  SELECT domain, idx,
-       |    lower(regexp_extract(cl, '${operators.Robots.directiveKindRe}', 1)) AS kind,
-       |    regexp_extract(cl, '${operators.Robots.directiveValRe}', 1) AS val
-       |  FROM (SELECT domain, idx, regexp_replace(raw, '#.*$$', '') AS cl FROM rlines))
-       |  WHERE kind IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
-       |g4 AS (SELECT *, sum(CASE WHEN kind = 'user-agent'
-       |        AND coalesce(lagk, '') <> 'user-agent' THEN 1 ELSE 0 END)
-       |    OVER (PARTITION BY domain ORDER BY idx ROWS UNBOUNDED PRECEDING) AS gid
-       |  FROM (SELECT *, lag(kind) OVER (PARTITION BY domain ORDER BY idx) AS lagk
-       |        FROM dirs4)),
-       |am4 AS (SELECT domain, gid,
-       |    max(CASE WHEN lower(val) = 'graftbot' THEN 1 ELSE 0 END) AS spec
-       |  FROM g4 WHERE kind = 'user-agent' AND (lower(val) = 'graftbot' OR val = '*')
-       |  GROUP BY domain, gid),
-       |appl4 AS (SELECT domain, gid FROM
-       |  (SELECT *, max(spec) OVER (PARTITION BY domain) AS ms FROM am4)
-       |  WHERE spec = ms),
-       |rdel AS (SELECT domain, max(val::BIGINT) AS crawl_delay
-       |  FROM g4 JOIN appl4 USING (domain, gid)
+    s"""rdel AS (SELECT domain, max(val::BIGINT) AS crawl_delay
+       |  FROM g JOIN appl USING (domain, gid)
        |  WHERE kind = 'crawl-delay' AND regexp_matches(val, '^[0-9]{1,9}$$')
        |  GROUP BY domain)""".stripMargin
 

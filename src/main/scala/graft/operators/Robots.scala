@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   *  - precedence: the matching rule with the LONGEST path wins; on a
   *    length tie Allow wins; no matching rule (or no robots.txt, or no
   *    applicable group) means allowed (§2.2.2).
-  *  - unknown directives (`Crawl-delay`, `Sitemap`, ...) and `#` comments
-  *    are ignored and do not split a group.
+  *  - non-gate directives (`Crawl-delay`, `Sitemap`, ...) and `#`
+  *    comments are ignored by the allow/disallow verdict; any directive
+  *    line (not comments/blanks) ends a `User-agent` header run, so the
+  *    gate and the [[crawlDelays]] parse share ONE group structure.
   *
   * Not implemented (documented divergence): percent-encoding
   * normalization of rule vs URL octets (§2.2.2's equivalence table) — the
@@ -92,12 +94,20 @@ object Robots {
     * group ids: comment-stripped, CR-tolerant (the \s* in the directive
     * regexes swallows a trailing \r), position-indexed; group id =
     * running count of agent-run STARTS (an agent line whose previous
-    * RETAINED directive is not an agent line). Windows partition by
-    * domain over robots LINES only — bounded by the file, not the
-    * corpus. NOTE `kinds` participates in the gid definition: a line of
-    * a dropped kind cannot end a `User-agent` header run. No fixture or
-    * sane robots.txt splits a header run with a non-group line, so the
-    * 3-kind gate and the 4-kind delay parse agree on group membership. */
+    * DIRECTIVE line is not an agent line). Group ids are assigned over
+    * ALL directive lines (any `name:` line) and `kinds` filters only
+    * AFTERWARDS, so every consumer — the 3-kind gate and the
+    * crawl-delay parse — sees the one group structure. The alternative
+    * (gid over the retained kinds only) makes the two parses DISAGREE
+    * whenever a dropped-kind line sits inside a multi-agent header run
+    * ("User-agent: a\nCrawl-delay: 1\nUser-agent: b\n…"): the gate would
+    * merge a and b into one run while the delay parse splits them. Real
+    * robots.txt files do interleave Crawl-delay into header runs; with
+    * the shared structure the delay above binds to group(a) and `b`
+    * starts a fresh group in BOTH parses — the reading of a crawler that
+    * honors Crawl-delay as a group rule (Bing/Yandex convention).
+    * Windows partition by domain over robots LINES only — bounded by the
+    * file, not the corpus. */
   private def groupedDirectives(robots: DataFrame, domainCol: String,
       txtCol: String, kinds: Seq[String]): DataFrame = {
     val lines = robots.select(col(domainCol).as("domain"),
@@ -105,13 +115,14 @@ object Robots {
       .withColumn("cl", regexp_replace(col("raw"), "#.*$", ""))
       .withColumn("kind", lower(regexp_extract(col("cl"), directiveKindRe, 1)))
       .withColumn("val", regexp_extract(col("cl"), directiveValRe, 1))
-      .filter(col("kind").isin(kinds: _*))
+      .filter(col("kind") =!= "")
     val wo = Window.partitionBy("domain").orderBy("idx")
     lines
       .withColumn("__ag", col("kind") === "user-agent")
       .withColumn("gid", sum(
         when(col("__ag") && !coalesce(lag(col("__ag"), 1).over(wo), lit(false)), 1L)
           .otherwise(0L)).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("kind").isin(kinds: _*))
   }
 
   /** Group selection per RFC 9309 §2.2.1: the groups naming `agent`

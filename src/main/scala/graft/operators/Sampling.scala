@@ -240,11 +240,18 @@ object Sampling {
     if (bdRow.isNullAt(0)) return docs.filter(lit(false)) // empty input
     val bds = bdRow.getSeq[Any](0).map(_.toString.toDouble)
     // bucket 0 = top scores: count of boundaries strictly above the score
-    // is monotonic non-increasing in score, which is all correctness needs
+    // is monotonic non-increasing in score, which is all correctness needs.
+    // A NULL score sorts LAST in the (score DESC, …) selection order (both
+    // engines default DESC to nulls-last), so its bucket must be the LAST
+    // one — coalesce to -∞ makes every boundary sit above it. Without the
+    // coalesce, `b > NULL` is NULL → the when() falls to 0 and null-score
+    // rows land in bucket 0, the top FULLY-KEPT bucket — breaking the
+    // global-prefix-selection guarantee the operator proves.
     val bdArr = array(bds.map(lit): _*)
+    val scoreKey = coalesce(col(scoreCol).cast("double"), lit(Double.NegativeInfinity))
     val withB = docs.withColumn("__bkt",
       aggregate(bdArr, lit(0),
-        (acc, b) => acc + when(b > col(scoreCol).cast("double"), 1).otherwise(0)))
+        (acc, b) => acc + when(b > scoreKey, 1).otherwise(0)))
     val totals = withB.groupBy("__bkt")
       .agg(sum(col(weightCol).cast("long")).as("__w")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap

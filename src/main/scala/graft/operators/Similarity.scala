@@ -454,15 +454,19 @@ object Similarity {
       .select(col("cent_id"), col("cv"), norm(col("cv")).as("cn"))
     val existing = spark.read.parquet(s"$path/cells")
       .select(col("vec_id").as("n_id")).distinct()
+    // eager localCheckpoint (the appendToInvertedIndex posture, NOT
+    // persist): the fresh set reads the very directory the write below
+    // appends to, and persist keeps lineage — an evicted partition would
+    // recompute the anti-join MID-append against a half-written layout.
+    // The checkpoint truncates lineage so the batch is a plan leaf before
+    // the first new file lands.
     val batch = ivfCorpusSide(newEmb.dropDuplicates("vec_id"))
-      .join(existing, Seq("n_id"), "left_anti").persist()
-    try {
-      batch.count()
-      batch.join(assignCells(batch, cents), "n_id")
-        .select(col("n_id").as("vec_id"), col("nv").as("embedding"),
-          col("nn").as("vnorm"), col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
-    } finally { batch.unpersist(blocking = false); () }
+      .join(existing, Seq("n_id"), "left_anti").localCheckpoint()
+    batch.join(assignCells(batch, cents), "n_id")
+      .select(col("n_id").as("vec_id"), col("nv").as("embedding"),
+        col("nn").as("vnorm"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    Dedup.releaseLocalCheckpoint(batch)
   }
 
   /** Probe a persisted [[writeIvfIndex]] index: rank centroids per query

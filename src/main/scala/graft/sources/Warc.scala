@@ -300,9 +300,15 @@ object Warc {
         try it.foreach { case (uri, body, id) =>
           val rec = responseRecord(uri, body, id, warcDate, httpContentType)
           if (gzip) {
+            // per-member gzip stream over a SHARED file handle: close()
+            // must not close the file, but the member's native Deflater
+            // must still be released NOW — `finish()` alone leaves each
+            // Deflater's native buffer to the finalizer, and a
+            // multi-million-record partition balloons native memory
+            // between GCs. DeflaterOutputStream exposes `def`, so an
+            // anonymous subclass can finish the member then end() it.
             val gz = new GZIPOutputStream(fsOut) {
-              // keep the underlying stream open across members
-              override def close(): Unit = finish()
+              override def close(): Unit = { finish(); `def`.end() }
             }
             gz.write(rec); gz.close()
           } else fsOut.write(rec)

@@ -112,6 +112,30 @@ class RobotsSpec extends AnyFunSuite {
     assert(m == Map("a.com" -> 10L, "c.com" -> 5L))
   }
 
+  test("a dropped-kind line splits a header run identically in BOTH parses") {
+    // Crawl-delay interleaved into a multi-agent header run: group ids
+    // are assigned over ALL directive lines, so `b`'s User-agent starts a
+    // FRESH group in the gate parse too — the delay binds to the '*'
+    // group only, and graftbot's group carries only its own rule. The
+    // regression was the 3-kind gate merging the run (both agents sharing
+    // Disallow: /g) while the 4-kind delay parse split it.
+    val txt = "User-agent: *\nCrawl-delay: 4\nUser-agent: graftbot\nDisallow: /g"
+    // graftbot's own group exists → '*' group (and its delay) shadowed
+    assert(delays(("a.com", txt)) == Map.empty)
+    // the gate: graftbot group = {Disallow: /g} only; '*'s delay line is
+    // ignored by the verdict; /g blocked, / allowed
+    assert(verdicts(txt, "/g", "/") == Seq(false, true))
+    // same body for a crawler with NO specific group: '*' group applies
+    // with its delay, and its rule set is EMPTY (the Disallow belongs to
+    // graftbot's group) → everything allowed, delay 4
+    val other = Seq(("a.com", txt)).toDF("domain", "robots_txt")
+    val pages = Seq((0L, "http://a.com/g")).toDF("doc_id", "url")
+    assert(Robots.robotsGate(pages, other, "otherbot")
+      .collect().map(_.getAs[Boolean]("allowed")).toSeq == Seq(true))
+    assert(Robots.crawlDelays(other, "otherbot")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a.com" -> 4L))
+  }
+
   test("sitemapUrls: global extraction, case/CRLF tolerant, comments stripped") {
     val robots = Seq(
       ("a.com", "User-agent: *\nDisallow: /\nSitemap: http://a.com/s1.xml\n" +

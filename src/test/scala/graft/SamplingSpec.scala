@@ -123,4 +123,20 @@ class SamplingSpec extends AnyFunSuite {
       .orderBy("m").collect().map(_.getLong(0)).take(5).toSet
     assert(got == md5Prefix)
   }
+
+  test("tokenBudget: null scores sort LAST, never into the kept prefix") {
+    // nulls sit after every scored row in (score DESC nulls-last, …)
+    // order, so a budget that covers only the scored rows must exclude
+    // them — the regression was bucket-0 (top, fully-kept) placement
+    val fx = Seq[(Long, Option[Double], Long)](
+      (0L, Some(5.0), 100L), (1L, None, 100L), (2L, Some(4.0), 100L),
+      (3L, None, 100L), (4L, Some(3.0), 100L)
+    ).toDF("doc_id", "quality_score", "n_tokens")
+    def ids(b: Long) = Sampling.tokenBudget(fx, b, buckets = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(300) == Set(0L, 2L, 4L)) // scored rows exactly fill the budget
+    assert(ids(200) == Set(0L, 2L))
+    assert(ids(400) == Set(0L, 2L, 4L) + 1L) // first null (md5 order) joins
+    assert(ids(500) == Set(0L, 1L, 2L, 3L, 4L))
+  }
 }
