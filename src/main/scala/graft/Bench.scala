@@ -170,12 +170,26 @@ object Bench {
     // and contributes nothing to the total, so failures can't masquerade as
     // fast.
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // machine-load telemetry: /proc/loadavg (1/5/15-min) sampled before the
+    // sweeps and after each one, committed in the record — a loaded session
+    // is then visible in the artifact itself, so a cross-round offset on
+    // unchanged code (the r7→r8 1.26× mystery) is attributable without
+    // re-running anything. Sampling is per-sweep, not per-query: the signal
+    // of interest is session-scale contention, minutes wide.
+    def loadavg(): String = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), java.nio.charset.StandardCharsets.UTF_8)
+        .split("\\s+").take(3).mkString("[", ",", "]")
+    } catch { case _: Throwable => "[]" }
+    val loadSamples = scala.collection.mutable.ArrayBuffer(loadavg())
     val sweeps = (1 to 3).map { _ =>
-      sortedQueries.map { case (name, fn) =>
+      val r = sortedQueries.map { case (name, fn) =>
         val t = timeOnce(name, fn, sfDir)
         spark.catalog.clearCache() // queries must not inherit a predecessor's storage
         name -> t
       }
+      loadSamples += loadavg()
+      r
     }
     val passTotals = sweeps.map(_.flatMap(_._2).sum)
     val results = sortedQueries.map { case (name, _) =>
@@ -469,6 +483,7 @@ object Bench {
         jmap(results.map { case (k, v, _) => k -> v }, full)},""" +
       s""""spread":${jmap(results.map { case (k, _, mx) => k -> mx }, full)},""" +
       s""""pass_totals":${passTotals.map(full).mkString("[", ",", "]")},""" +
+      s""""loadavg":${loadSamples.mkString("[", ",", "]")},""" +
       s""""lsh_prod":$lshProd,"zorder":$zorder,"ivf_prod":$ivfProd,"mh_index":$mhIndex,""" +
       s""""skew":$skew,"stress10x":$stress,"heavy_tail":$heavy,"errors":$errJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")

@@ -1384,6 +1384,14 @@ object SparkEntry {
         n = 3, numHashes = 16, bands = 16)
     }
 
+  /** q22's [[signatureDocuments]] materialized once per SF dir — the
+    * fixture's LSH+verify derivation is several times the cost of the
+    * query it feeds, so it must not be re-derived per bench sweep. */
+  private def q22FixturePath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("sig_docs_q22", dir) { path =>
+      signatureDocuments(s, dir).write.mode("overwrite").parquet(s"$path/docs")
+    }
+
   private def q119IndexPath(s: SparkSession, dir: String): String =
     lazyFixtureDir("inv_index_q119", dir) { path =>
       TextAnalysis.writeInvertedIndex(Tables.documents(s, dir), path, buckets = 64)
@@ -1633,10 +1641,16 @@ object SparkEntry {
     // probed zero at all 3 SFs), and their slot agreement is exactly 16/16 —
     // so the hash-seed-dependent estimate column becomes the deterministic
     // 1.0 and the construction-reproducing oracle applies. The operator on
-    // RAW corpora stays approximate; its production point is q53.
+    // RAW corpora stays approximate; its production point is q53. The
+    // fixture derives ONCE per SF dir onto disk (the q98-index pattern):
+    // its LSH+verify chain costs ~4× the query itself, and the r8
+    // interleaved harness's per-query clearCache rebuilt the in-session
+    // cached variant EVERY sweep, quadrupling the committed number on
+    // unchanged code (BENCH_NOTES r9) — reading the derived parquet makes
+    // the bench measure the QUERY, cache policy notwithstanding.
     "q22_dedup_minhash" -> ((s, dir) =>
-      Dedup.minHashLshPairs(signatureDocuments(s, dir), n = 3, numHashes = 16, bands = 4,
-        minEstimate = 0.4)),
+      Dedup.minHashLshPairs(s.read.parquet(s"${q22FixturePath(s, dir)}/docs"),
+        n = 3, numHashes = 16, bands = 4, minEstimate = 0.4)),
 
     // SimHash with the ENGINE-PORTABLE word hash (60 bits of md5) on the
     // RAW corpus: the signature itself reproduces bit-for-bit in DuckDB,
