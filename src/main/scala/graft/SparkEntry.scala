@@ -1204,12 +1204,35 @@ object SparkEntry {
       |'</body></html>' AS html
       |FROM documents""".stripMargin
 
-  /** The q113 oracle: extraction → domain edges → the SAME integer-exact
-    * PageRank update [[operators.LinkGraph.pageRank]] runs, unrolled one
-    * CTE per iteration (`//` is DuckDB integer division = Spark's `div`
-    * on these all-positive operands), so every rank replays bit-for-bit
-    * with zero pinned state. */
-  private def pageRankSql(iterations: Int, dampingPct: Int): String = {
+  /** Pinned politeness delays for the q133 site-family domains: every
+    * fourth site gets an explicit 1–3 s delay, the rest default. Derived
+    * from `range` (no robots bodies exist for this fixture family), the
+    * SAME formula the oracle's `dly` CTE replays. */
+  private[graft] def siteDelays(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.range(0, 97).filter(col("id") % 4 === 0)
+      .select(concat(lit("www.site"), col("id").cast("string"), lit(".com")).as("domain"),
+        (lit(1L) + col("id") % 3).as("crawl_delay"))
+  }
+
+  /** The q134 OLD snapshot: the url fixture's pages with their corpus
+    * text — (doc_id, url, text). doc_id rides along only to derive the
+    * mutation and the prior-interval store; the operator itself keys on
+    * url. */
+  private[graft] def recrawlOldSnapshot(s: SparkSession, dir: String): DataFrame =
+    urlDocuments(s, dir).join(
+      Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
+
+  /** The q113/q133/q135 PageRank replay as a reusable CTE chain —
+    * extraction → domain edges → the SAME integer-exact update
+    * [[operators.LinkGraph.pageRank]] runs, unrolled one CTE per
+    * iteration (`//` is DuckDB integer division = Spark's `div` on these
+    * all-positive operands), so every rank replays bit-for-bit with zero
+    * pinned state. Ends in `ranks(domain, rank_e6)`; intermediate CTEs:
+    * `pages`, `links(doc_id, url, href)`, `edges`, `outd`, `nodes`,
+    * `r0..rN`. */
+  private def pageRankCtes(pagesFixtureSql: String, iterations: Int,
+      dampingPct: Int): String = {
     val base = (100L - dampingPct) * 10000L
     val hostEx = (c: String) =>
       s"lower(regexp_extract($c, '${operators.UrlOps.bareHostRe}', 1))"
@@ -1221,8 +1244,8 @@ object SparkEntry {
          |    JOIN outd o ON o.src_domain = e.src_domain GROUP BY 1) c
          |  ON n.domain = c.domain)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pages AS ($linkedHtmlFixtureSql),
-       |links AS (SELECT url, unnest(regexp_extract_all(html,
+    s"""pages AS ($pagesFixtureSql),
+       |links AS (SELECT doc_id, url, unnest(regexp_extract_all(html,
        |  '${operators.LinkGraph.absAnchorHrefRe}', 1)) AS href FROM pages),
        |edges AS (SELECT DISTINCT src_domain, dst_domain FROM (
        |  SELECT ${hostEx("url")} AS src_domain, ${hostEx("href")} AS dst_domain
@@ -1233,9 +1256,13 @@ object SparkEntry {
        |  SELECT src_domain AS domain FROM edges
        |  UNION ALL SELECT dst_domain FROM edges)),
        |r0 AS (SELECT domain, CAST(1000000 AS BIGINT) AS rank_e6 FROM nodes),
-       |$iters
-       |SELECT domain, rank_e6 FROM r$iterations""".stripMargin
+       |$iters,
+       |ranks AS (SELECT domain, rank_e6 FROM r$iterations)""".stripMargin
   }
+
+  private def pageRankSql(iterations: Int, dampingPct: Int): String =
+    s"""WITH ${pageRankCtes(linkedHtmlFixtureSql, iterations, dampingPct)}
+       |SELECT domain, rank_e6 FROM ranks""".stripMargin
 
   /** The q92 oracle's entity-decode chain, generated from the SAME pairs
     * [[operators.Boilerplate.entities]] applies (order included — `&amp;`
@@ -2319,6 +2346,57 @@ object SparkEntry {
         .filter(col("allowed")).select("doc_id")
       operators.Frontier.fetchSchedule(fresh.join(allowed, "doc_id"),
         operators.Robots.crawlDelays(robots, agent = "graftbot"))
+    }),
+
+    // VALUE-ORDERED frontier (the Nutch/Heritrix priority queue): q113's
+    // integer-exact domain PageRank feeds per-URL in-link authority
+    // (Σ rank over distinct linking domains, OPIC-style), and each
+    // domain's politeness queue drains in authority-DESC order via the
+    // prioritized two-level salted rank — no hot-domain single-reducer
+    // window. Candidates = link targets not yet crawled (normalized
+    // identity, the q130 convention); unlinked-from-ranked-domains
+    // candidates keep priority 0 rather than silently dropping
+    "q133_priority_frontier" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val pages = linkedHtmlDocuments(s, dir)
+      val links = operators.LinkGraph.extractOutlinks(pages)
+      val ranks = operators.LinkGraph.pageRank(
+        operators.LinkGraph.domainEdges(links), iterations = 5, dampingPct = 85)
+      val normLinks = operators.UrlOps.withNormalizedUrl(links, urlCol = "href")
+      val auth = operators.LinkGraph.urlAuthority(normLinks, ranks,
+        dstUrlCol = "norm_url")
+      val crawled = operators.UrlOps.withNormalizedUrl(pages.select("doc_id", "url"))
+        .select("norm_url")
+      val cand = normLinks.select("norm_url").distinct()
+        .join(crawled, Seq("norm_url"), "left_anti")
+        .join(auth, Seq("norm_url"), "left")
+        .select(col("norm_url").as("doc_id"), col("norm_url").as("url"),
+          coalesce(col("authority_e6"), lit(0L)).as("priority_e6"))
+      operators.Frontier.fetchSchedulePrioritized(cand, siteDelays(s), "priority_e6")
+    }),
+
+    // adaptive REVISIT scheduling (freshness half of the crawl planner):
+    // two-snapshot hash diff → per-URL interval doubling on unchanged,
+    // halving on changed, clamped to [5 min, 1 day]; history from a
+    // derived prior-interval store covering both clamp edges and the
+    // no-history default. All integer — the oracle replays exactly
+    "q134_recrawl_schedule" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val old = recrawlOldSnapshot(s, dir)
+      val neu = old.filter(col("doc_id") % 7 =!= 0)
+        .select(col("url"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(Tables.documents(s, dir).filter(col("doc_id") % 6 === 0)
+          .select(concat(lit("http://www.example"), (col("doc_id") % 7).cast("string"),
+            lit(".com/fresh/"), col("doc_id").cast("string")).as("url"),
+            concat(lit("fresh doc "), col("doc_id").cast("string")).as("text")))
+      val intervals = old.filter(col("doc_id") % 2 === 0)
+        .select(col("url"), element_at(
+          array(lit(900L), lit(7200L), lit(86400L), lit(500L)),
+          (expr("doc_id div 2") % 4).cast("int") + 1).as("interval_sec"))
+      operators.Frontier.recrawlSchedule(old.select("url", "text"), neu,
+        intervals, nowSec = 1700000000L)
     }),
 
     // robots.txt compliance gate (RFC 9309): parse per-domain robots
@@ -3724,6 +3802,78 @@ object SparkEntry {
            |SELECT doc_id, domain, seq,
            |  seq * coalesce(crawl_delay, 1) AS fetch_at
            |FROM fsq LEFT JOIN rdel USING (domain)""".stripMargin,
+
+      // q133: the q113 PageRank chain feeds per-URL authority (distinct
+      // linking domains × their ranks, summed), candidates = normalized
+      // link targets minus the crawled set, and the prioritized schedule
+      // collapses to its provable single window — row_number over
+      // (domain ORDER BY priority DESC, salt, md5, doc_id)
+      "q133_priority_frontier" -> {
+        val host = (c: String) =>
+          s"lower(regexp_extract($c, '${operators.UrlOps.bareHostRe}', 1))"
+        s"""WITH ${pageRankCtes(linkedHtmlFixtureSql, 5, 85)},
+           |hcand AS (SELECT row_number() OVER (ORDER BY href) AS doc_id, href AS url
+           |  FROM (SELECT DISTINCT href FROM links)),
+           |${urlCanonCteFor("SELECT doc_id, url FROM hcand", "h")},
+           |hmap AS (SELECT hcand.url AS href, hn.norm_url
+           |  FROM hcand JOIN hn USING (doc_id)),
+           |pairs AS (SELECT DISTINCT ${host("l.url")} AS src_domain, hm.norm_url
+           |  FROM links l JOIN hmap hm ON l.href = hm.href
+           |  WHERE ${host("l.url")} <> '' AND hm.norm_url <> ''),
+           |auth AS (SELECT norm_url, CAST(sum(rank_e6) AS BIGINT) AS priority_e6
+           |  FROM pairs JOIN ranks ON src_domain = domain GROUP BY norm_url),
+           |${urlCanonCteFor("SELECT doc_id, url FROM pages", "p")},
+           |cand AS (SELECT h2.norm_url FROM (SELECT DISTINCT norm_url FROM hmap) h2
+           |  WHERE h2.norm_url NOT IN (SELECT DISTINCT norm_url FROM pn)),
+           |dly AS (SELECT 'www.site' || CAST(i AS VARCHAR) || '.com' AS domain,
+           |    CAST(1 + i % 3 AS BIGINT) AS crawl_delay
+           |  FROM range(0, 97) t(i) WHERE i % 4 = 0),
+           |sched AS (SELECT c.norm_url AS doc_id, ${host("c.norm_url")} AS domain,
+           |    coalesce(a.priority_e6, 0) AS priority_e6,
+           |    ('0x' || substr(md5(c.norm_url), 1, 4))::INT % 16 AS salt,
+           |    md5(c.norm_url) AS m
+           |  FROM cand c LEFT JOIN auth a USING (norm_url)),
+           |sq AS (SELECT doc_id, domain, priority_e6,
+           |    row_number() OVER (PARTITION BY domain
+           |      ORDER BY priority_e6 DESC, salt, m, doc_id) - 1 AS seq
+           |  FROM sched)
+           |SELECT doc_id, domain, priority_e6, seq,
+           |  seq * coalesce(crawl_delay, 1) AS fetch_at
+           |FROM sq LEFT JOIN dly USING (domain)""".stripMargin
+      },
+
+      // q134: hash-diff statuses (added has no old row, changed differs,
+      // removed filtered), prior interval clamped into range then
+      // doubled/halved — `//` ≡ Spark `div` on the non-negative clamp
+      "q134_recrawl_schedule" ->
+        s"""WITH u AS ($urlFixtureSql),
+           |o AS (SELECT u.url, d.doc_id, md5(d.text) AS h, d.text
+           |      FROM u JOIN documents d USING (doc_id)),
+           |n AS (SELECT url,
+           |        md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS h
+           |      FROM o WHERE doc_id % 7 <> 0
+           |      UNION ALL
+           |      SELECT 'http://www.example' || CAST(doc_id % 7 AS VARCHAR) ||
+           |               '.com/fresh/' || CAST(doc_id AS VARCHAR),
+           |             md5('fresh doc ' || CAST(doc_id AS VARCHAR))
+           |      FROM documents WHERE doc_id % 6 = 0),
+           |iv AS (SELECT url, CASE (doc_id // 2) % 4 WHEN 0 THEN 900 WHEN 1 THEN 7200
+           |         WHEN 2 THEN 86400 ELSE 500 END AS interval_sec
+           |       FROM o WHERE doc_id % 2 = 0),
+           |j AS (SELECT n.url,
+           |        CASE WHEN o.url IS NULL THEN 'added'
+           |             WHEN o.h <> n.h THEN 'changed'
+           |             ELSE 'unchanged' END AS status,
+           |        greatest(300, least(86400, coalesce(iv.interval_sec, 3600))) AS pc
+           |      FROM n LEFT JOIN o ON n.url = o.url LEFT JOIN iv ON n.url = iv.url),
+           |k AS (SELECT url, status,
+           |        CASE WHEN status = 'added' THEN 3600
+           |             WHEN status = 'changed' THEN greatest(300, pc // 2)
+           |             ELSE least(86400, pc * 2) END AS interval_sec
+           |      FROM j)
+           |SELECT url, status, CAST(interval_sec AS BIGINT) AS interval_sec,
+           |  CAST(1700000000 + interval_sec AS BIGINT) AS next_fetch_at
+           |FROM k""".stripMargin,
 
       // the q108 oracle embeds the OPERATOR'S OWN regex constants
       // (single-quotes doubled for the SQL literal) — two-step tag→attr

@@ -76,40 +76,134 @@ object Frontier {
     * domains absent there use `defaultDelaySec`. */
   def fetchSchedule(pages: DataFrame, delays: DataFrame,
       urlCol: String = "url", defaultDelaySec: Long = 1L,
-      salts: Int = 16): DataFrame = {
+      salts: Int = 16): DataFrame =
+    scheduleCore(pages, delays, urlCol, defaultDelaySec, salts, priorityCol = None)
+
+  /** VALUE-ORDERED fetch schedule (the Nutch/Heritrix priority frontier):
+    * like [[fetchSchedule]], but each domain's queue drains in
+    * `priorityCol`-DESCENDING order (authority from [[LinkGraph.pageRank]]
+    * / [[LinkGraph.urlAuthority]], OPIC cash, freshness debt, …) with the
+    * md5 fairness order breaking ties — order key (priority DESC, salt,
+    * md5, doc_id), exactly `row_number() over (partition by domain)` on
+    * that key. Output adds the priority column: (doc_id, domain,
+    * priorityCol, seq, fetch_at).
+    *
+    * ENGINE SHAPE — same two exact levels as [[fetchSchedule]], with the
+    * priority joining the PARTITION key of the local level: rows rank
+    * within (domain, priority, salt) and the per-domain prefix sum runs
+    * over the ≤ |distinct priorities| × salts count rows ordered
+    * (priority DESC, salt). The hot-domain escape therefore survives any
+    * priority whose value set is COARSE relative to the domain's queue —
+    * the realistic frontier case (integer authority scores at domain or
+    * site-section granularity produce massive ties; the md5 order
+    * randomizes within them). A continuous per-URL score would make the
+    * offsets table data-scale — band such scores (quantile or log2
+    * buckets, the q118 pattern) before scheduling on them.
+    * `priorityCol` must be non-null — coalesce upstream (both engines
+    * would otherwise need matching null-ordering conventions). */
+  def fetchSchedulePrioritized(pages: DataFrame, delays: DataFrame,
+      priorityCol: String, urlCol: String = "url", defaultDelaySec: Long = 1L,
+      salts: Int = 16): DataFrame =
+    scheduleCore(pages, delays, urlCol, defaultDelaySec, salts,
+      priorityCol = Some(priorityCol))
+
+  private def scheduleCore(pages: DataFrame, delays: DataFrame,
+      urlCol: String, defaultDelaySec: Long, salts: Int,
+      priorityCol: Option[String]): DataFrame = {
     require(defaultDelaySec >= 0,
       s"defaultDelaySec must be >= 0, got $defaultDelaySec")
     require(salts >= 1 && salts <= 4096, s"salts must be in [1, 4096], got $salts")
+    val pCols = priorityCol.toSeq
     val keyed = pages
-      .select(col("doc_id"), UrlOps.domainOf(col(urlCol)).as("domain"))
+      .select(col("doc_id") +: UrlOps.domainOf(col(urlCol)).as("domain") +:
+        pCols.map(col): _*)
       .withColumn("__m", md5(col("doc_id").cast("string")))
       .withColumn("__salt",
         (conv(substring(col("__m"), 1, 4), 16, 10).cast("int") % salts).cast("int"))
-    // the sub-queue count rides the SAME (domain, salt) partitioning as
-    // the rank window (count needs no order, row_number adds the sort) —
-    // so the offsets branch below forks ABOVE the one exchange and
-    // ReuseExchange serves it from the rank's shuffle files: the whole
-    // upstream (often a robots gate + joins) runs ONCE, not once per
-    // branch (a groupBy-based count would build a second, non-reusable
-    // exchange over partial aggregates)
-    val w = Window.partitionBy("domain", "__salt")
+    // the sub-queue count rides the SAME (domain[, priority], salt)
+    // partitioning as the rank window (count needs no order, row_number
+    // adds the sort) — so the offsets branch below forks ABOVE the one
+    // exchange and ReuseExchange serves it from the rank's shuffle files:
+    // the whole upstream (often a robots gate + joins) runs ONCE, not
+    // once per branch (a groupBy-based count would build a second,
+    // non-reusable exchange over partial aggregates)
+    val partKeys = "domain" +: pCols :+ "__salt"
+    val w = Window.partitionBy(partKeys.map(col): _*)
     val local = keyed
       .withColumn("__rn", row_number().over(w.orderBy(col("__m"), col("doc_id"))))
       .withColumn("__c", count(lit(1)).over(w))
-    // salt offsets: distinct collapses to ≤ salts rows per domain before
-    // the per-domain window, so THAT window's partitions are bounded by
-    // construction — never by the data
-    val offsets = local.select("domain", "__salt", "__c").distinct()
+    // salt offsets: distinct collapses to ≤ |priorities|·salts rows per
+    // domain before the per-domain window, so THAT window's partitions
+    // are bounded by construction (coarse-priority contract above) —
+    // never by the data. Prefix order (priority DESC, salt) makes
+    // off + local_rank ≡ row_number over (domain ORDER BY priority DESC,
+    // salt, md5, doc_id) — the collapsed single window the oracle replays.
+    val offsets = local.select(partKeys.head, partKeys.tail :+ "__c": _*).distinct()
       .withColumn("__off", coalesce(
-        sum(col("__c")).over(Window.partitionBy("domain").orderBy("__salt")
+        sum(col("__c")).over(Window.partitionBy("domain")
+          .orderBy(pCols.map(col(_).desc) :+ col("__salt").asc: _*)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("domain", "__salt", "__off")
-    local.join(offsets, Seq("domain", "__salt"))
+      .select(partKeys.head, partKeys.tail :+ "__off": _*)
+    local.join(offsets, partKeys)
       .join(delays.select(col("domain"),
         col("crawl_delay").cast("long").as("__d")), Seq("domain"), "left")
-      .select(col("doc_id"), col("domain"),
-        (col("__off") + col("__rn") - 1).as("seq"),
+      .select(col("doc_id") +: col("domain") +: pCols.map(col) :+
+        (col("__off") + col("__rn") - 1).as("seq") :+
         ((col("__off") + col("__rn") - 1) *
-          coalesce(col("__d"), lit(defaultDelaySec))).as("fetch_at"))
+          coalesce(col("__d"), lit(defaultDelaySec))).as("fetch_at"): _*)
+  }
+
+  /** Adaptive REVISIT scheduling — the freshness half of a continuous
+    * crawl planner (the classic multiplicative policy: Cho &
+    * Garcia-Molina 2003's uniform-vs-proportional result motivates
+    * adapting the interval to each page's observed change rate; Heritrix
+    * and commercial crawlers ship exactly this double-on-unchanged /
+    * halve-on-changed rule). Compare two snapshots by content hash, then
+    * per URL:
+    *  - unchanged → interval doubles (capped at `maxSec`);
+    *  - changed   → interval halves (floored at `minSec`);
+    *  - added     → `initialSec` (first observation, no history);
+    *  - removed   → dropped from the schedule.
+    * `intervals` is (idCol, interval_sec) from the previous cycle — URLs
+    * absent there (first revisit) start from `initialSec`. Output:
+    * (idCol, status, interval_sec, next_fetch_at = nowSec + interval_sec).
+    * `nowSec` is the cycle's clock, supplied by the caller — the operator
+    * stays a pure function. ALL arithmetic is integer (`div 2`, `* 2`,
+    * clamp), so the schedule replays bit-for-bit in any engine.
+    *
+    * ENGINE SHAPE — the [[TextAnalysis.corpusDiff]] posture: both
+    * snapshots project to (id, md5) BEFORE the full-outer join, so the
+    * shuffles carry 16-byte hashes, never text; the intervals join is a
+    * slim (id, long) equi-join. No windows, no driver state. */
+  def recrawlSchedule(oldSnap: DataFrame, newSnap: DataFrame,
+      intervals: DataFrame, nowSec: Long, idCol: String = "url",
+      textCol: String = "text", initialSec: Long = 3600L,
+      minSec: Long = 300L, maxSec: Long = 86400L): DataFrame = {
+    require(minSec >= 1, s"minSec must be >= 1, got $minSec")
+    require(maxSec >= minSec, s"maxSec must be >= minSec, got $maxSec")
+    require(initialSec >= minSec && initialSec <= maxSec,
+      s"initialSec must be in [minSec, maxSec], got $initialSec")
+    val o = oldSnap.select(col(idCol).as("__oid"), md5(col(textCol)).as("__oh"))
+    val n = newSnap.select(col(idCol).as("__nid"), md5(col(textCol)).as("__nh"))
+    val status = when(col("__oh").isNull, lit("added"))
+      .when(col("__oh") =!= col("__nh"), lit("changed"))
+      .otherwise(lit("unchanged"))
+    // previous interval, clamped into [minSec, maxSec] first so a
+    // corrupted store can't push the update rule out of range
+    val prev = greatest(lit(minSec),
+      least(lit(maxSec), coalesce(col("__prev"), lit(initialSec))))
+    val interval = when(col("__status") === "added", lit(initialSec))
+      .when(col("__status") === "changed",
+        greatest(lit(minSec), expr("__pc div 2")))
+      .otherwise(least(lit(maxSec), col("__pc") * 2))
+    o.join(n, col("__oid") === col("__nid"), "full_outer")
+      .filter(col("__nh").isNotNull) // removed URLs leave the schedule
+      .select(col("__nid").as(idCol), status.as("__status"))
+      .join(intervals.select(col(idCol),
+        col("interval_sec").cast("long").as("__prev")), Seq(idCol), "left")
+      .withColumn("__pc", prev)
+      .select(col(idCol), col("__status").as("status"),
+        interval.as("interval_sec"),
+        (lit(nowSec) + interval).as("next_fetch_at"))
   }
 }

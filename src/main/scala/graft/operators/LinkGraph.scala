@@ -67,6 +67,32 @@ object LinkGraph {
         col("src_domain") =!= "" && col("dst_domain") =!= "")
       .distinct()
 
+  /** Per-URL in-link authority — the signal a value-ordered frontier
+    * ([[Frontier.fetchSchedulePrioritized]]) keys on for NEWLY DISCOVERED
+    * URLs, which have no content yet: a candidate inherits the summed
+    * [[pageRank]] of the DISTINCT domains linking to it (the
+    * OPIC/Nutch-scoring-filter convention, at domain granularity so the
+    * sum stays integer-exact in micro-units). `links` is an outlink table
+    * ([[extractOutlinks]] output or its normalized projection);
+    * `dstUrlCol` names the target-URL column (pass the normalized URL so
+    * case/port/tracking variants of one resource pool their authority).
+    * Returns (dstUrlCol, authority_e6).
+    *
+    * 100 TB shape: distinct (src_domain, url) collapses the per-page link
+    * fan-out map-side before any join; the rank join keys on src_domain
+    * against the domain-scale rank table (AQE broadcasts it); the final
+    * aggregate is partial — a mega-cited URL costs a merge of partial
+    * sums, not a pileup. */
+  def urlAuthority(links: DataFrame, ranks: DataFrame,
+      dstUrlCol: String = "href", srcUrlCol: String = "url"): DataFrame =
+    links.select(UrlOps.domainOf(col(srcUrlCol)).as("src_domain"),
+        col(dstUrlCol))
+      .filter(col("src_domain") =!= "" && col(dstUrlCol) =!= "")
+      .distinct()
+      .join(ranks.select(col("domain").as("src_domain"),
+        col("rank_e6")), "src_domain")
+      .groupBy(dstUrlCol).agg(sum(col("rank_e6")).as("authority_e6"))
+
   /** Fixed-iteration integer-exact PageRank; returns (domain, rank_e6)
     * with rank in micro-units. `dampingPct` is the damping factor in
     * percent (85 = the canonical 0.85) so the update rule

@@ -47,6 +47,8 @@ object Tables {
     * callers composing events() output with other sources should keep the
     * composition to relational operators as q38 does. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     val scoped = scopedSessions.synchronized {
       val existing = scopedSessions.get(spark)
       if (existing != null) existing
@@ -60,7 +62,29 @@ object Tables {
         x
       }
     }
-    table(scoped, dir, "events")
+    // `ts` contract: epoch-NANOS BIGINT, whatever the file's physical type.
+    // Generations of the testdata have shipped TIMESTAMP(NANOS) (read as
+    // longs via the legacy flag above) and TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false) (read as TIMESTAMP_NTZ — the legacy flag only
+    // covers NANOS). Normalizing here keeps every downstream query on the
+    // long contract and matches the oracle's `epoch_ns(ts)`, which treats
+    // the file's naive timestamps as UTC: NTZ wall-clock W → cast gives
+    // the instant I with wall_sessionTz(I) = W (I = epoch(W) − off);
+    // from_utc_timestamp adds the same session offset back, so
+    // unix_micros = epoch-micros of W-as-UTC for ANY session tz — then
+    // micros → nanos losslessly.
+    val raw = table(scoped, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampNTZType =>
+        val tz = scoped.sessionState.conf.sessionLocalTimeZone
+        raw.withColumn("ts",
+          unix_micros(from_utc_timestamp(col("ts").cast(TimestampType), tz)) * 1000L)
+      case TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts type: $other")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -79,6 +79,77 @@ class FrontierSpec extends AnyFunSuite {
       Frontier.fetchSchedule(pages(2, 1), noDelays, defaultDelaySec = -1L))
   }
 
+  /** The collapsed window the prioritized schedule must equal: one
+    * per-domain row_number over (priority DESC, salt, md5, doc_id). */
+  private def naivePrioritized(df: org.apache.spark.sql.DataFrame, salts: Int) = {
+    val m = md5(col("doc_id").cast("string"))
+    val salt = conv(substring(m, 1, 4), 16, 10).cast("int") % salts
+    df.select(col("doc_id"),
+        graft.operators.UrlOps.domainOf(col("url")).as("domain"),
+        col("priority"), m.as("m"), salt.as("salt"))
+      .withColumn("seq", row_number().over(
+        Window.partitionBy("domain")
+          .orderBy(col("priority").desc, col("salt"), col("m"), col("doc_id"))) - 1)
+      .select(col("doc_id"), col("domain"), col("priority"), col("seq").cast("long"))
+  }
+
+  test("prioritized schedule equals the collapsed priority-desc window, ties + skew") {
+    // hot domain with heavy priority TIES (the coarse-score contract) and
+    // a tail of distinct priorities; several salt settings
+    val df = (0 until 400).map { i =>
+      val d = if (i % 4 != 3) 0 else 1 + i % 7
+      (i.toLong, s"http://host$d.com/p/$i", (i % 3).toLong * 1000000L)
+    }.toDF("doc_id", "url", "priority")
+    for (salts <- Seq(1, 3, 16)) {
+      val got = Frontier.fetchSchedulePrioritized(df, noDelays, "priority", salts = salts)
+        .select("doc_id", "domain", "priority", "seq")
+      val want = naivePrioritized(df, salts)
+      assert(got.except(want).isEmpty && want.except(got).isEmpty, s"salts=$salts")
+    }
+  }
+
+  test("prioritized schedule: higher priority drains strictly before lower") {
+    val df = (0 until 90).map(i =>
+      (i.toLong, s"http://d${i % 3}.com/p/$i", (i % 2).toLong)).toDF("doc_id", "url", "priority")
+    val out = Frontier.fetchSchedulePrioritized(df, noDelays, "priority").collect()
+    val byDomain = out.groupBy(_.getAs[String]("domain"))
+    byDomain.values.foreach { rows =>
+      val hiMax = rows.filter(_.getAs[Long]("priority") == 1L).map(_.getAs[Long]("seq")).max
+      val loMin = rows.filter(_.getAs[Long]("priority") == 0L).map(_.getAs[Long]("seq")).min
+      assert(hiMax < loMin)
+    }
+  }
+
+  test("recrawlSchedule: status classification and the double/halve/clamp rule") {
+    val old = Seq(("u1", "a"), ("u2", "b"), ("u3", "c"), ("u4", "d"), ("u5", "e"))
+      .toDF("url", "text")
+    val neu = Seq(("u1", "a"), ("u2", "B"), ("u4", "d"), ("u5", "E"), ("u6", "f"))
+      .toDF("url", "text") // u3 removed, u2/u5 changed, u6 added
+    val iv = Seq(("u1", 400L), ("u2", 1000L), ("u5", 500L)).toDF("url", "interval_sec")
+    val out = Frontier.recrawlSchedule(old, neu, iv, nowSec = 1000000L,
+        initialSec = 600L, minSec = 300L, maxSec = 700L)
+      .collect().map(r => r.getAs[String]("url") ->
+        ((r.getAs[String]("status"), r.getAs[Long]("interval_sec"),
+          r.getAs[Long]("next_fetch_at")))).toMap
+    assert(out.keySet == Set("u1", "u2", "u4", "u5", "u6")) // u3 gone
+    assert(out("u1") == (("unchanged", 700L, 1000700L))) // 400*2=800 → max-clamp 700
+    assert(out("u2") == (("changed", 350L, 1000350L)))   // prev 1000 pre-clamped to 700 → 350
+    assert(out("u4") == (("unchanged", 700L, 1000700L))) // no history → 600*2=1200 → 700
+    assert(out("u5") == (("changed", 300L, 1000300L)))   // 500/2=250 → min-clamp 300
+    assert(out("u6") == (("added", 600L, 1000600L)))     // first observation
+  }
+
+  test("recrawlSchedule argument validation") {
+    val d = Seq(("u", "t")).toDF("url", "text")
+    val iv = Seq.empty[(String, Long)].toDF("url", "interval_sec")
+    intercept[IllegalArgumentException](
+      Frontier.recrawlSchedule(d, d, iv, 0L, minSec = 0L))
+    intercept[IllegalArgumentException](
+      Frontier.recrawlSchedule(d, d, iv, 0L, minSec = 500L, maxSec = 400L))
+    intercept[IllegalArgumentException](
+      Frontier.recrawlSchedule(d, d, iv, 0L, initialSec = 100L, minSec = 300L))
+  }
+
   test("sitemapLocs: urlset vs sitemapindex kinds, entities, whitespace, malformed") {
     val fx = Seq(
       ("a.com", "<?xml version=\"1.0\"?><urlset xmlns=\"x\">" +

@@ -36,6 +36,23 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(edges == Seq(("a.com", "b.com"), ("b.com", "a.com")))
   }
 
+  test("urlAuthority: distinct-domain sums, variant pooling, empty drops") {
+    val links = Seq(
+      ("http://a.com/1", "http://t.com/x"),  // a → x
+      ("http://a.com/2", "http://t.com/x"),  // a again → still counted once
+      ("http://b.com/1", "http://t.com/x"),  // b → x
+      ("http://b.com/2", "http://t.com/y"),  // b → y
+      ("not a url", "http://t.com/y")        // empty src host → dropped
+    ).toDF("url", "href")
+    val ranks = Seq(("a.com", 1000000L), ("b.com", 250000L))
+      .toDF("domain", "rank_e6")
+    val got = LinkGraph.urlAuthority(links, ranks)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map(
+      "http://t.com/x" -> 1250000L, // a + b, a's duplicate link collapsed
+      "http://t.com/y" -> 250000L)) // b only; the empty-src row contributed nothing
+  }
+
   test("pageRank: hand-computed 2-iteration values, dangling-safe, deterministic") {
     // a→b, a→c, b→c, c→a; out: a=2, b=1, c=1.  r0 = 1e6 each.
     // iter1 sums: b←500000, c←500000+1000000, a←1000000
