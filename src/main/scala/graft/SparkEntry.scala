@@ -1887,11 +1887,14 @@ object SparkEntry {
     // format raw web corpora actually arrive in
     "q104_warc_pipeline" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
+      // declared-charset decode FIRST (the fixture's envelope declares
+      // utf-8, so this is provably the plain utf-8 read there — WarcSpec
+      // pins the latin-1/windows-1252 declarations), heuristic repair next
       val pages = graft.sources.Warc.readResponses(s, warcFixturePath(s, dir))
         .select(
           regexp_extract(col("record_id"), "doc:(\\d+)", 1).cast("long").as("doc_id"),
           col("target_uri").as("url"),
-          decode(col("body"), "UTF-8").as("html"))
+          graft.sources.Warc.decodeBody(col("body"), col("http_content_type")).as("html"))
       val html = pages.select(col("doc_id"),
         TextAnalysis.fixEncodingCol(col("html")).as("html"))
       val text = operators.Boilerplate.extractMainText(html)

@@ -108,6 +108,54 @@ object Warc {
       }.toDF()
   }
 
+  // ------------------------------------------------------------- decoding
+
+  /** Charset parameter of an HTTP `Content-Type` value (RFC 9110 §8.3:
+    * `text/html; charset=ISO-8859-1`, optionally quoted), lowercased;
+    * empty when undeclared. */
+  private[graft] val charsetRe = "(?i)charset\\s*=\\s*\"?([A-Za-z0-9_.:+-]+)"
+
+  /** windows-1252's 0x80–0x9F block, which is where it differs from
+    * ISO-8859-1 (the rest is identical): C1 controls → the printable
+    * characters every real "latin-1" web page actually means (RFC-correct
+    * browsers treat declared latin-1 AS windows-1252 for this reason —
+    * WHATWG encoding standard). Five code points (81 8D 8F 90 9D) are
+    * unassigned and pass through. */
+  private[graft] val cp1252From: String =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008a\u008b\u008c" +
+      "\u008e\u0091\u0092\u0093\u0094\u0095\u0096\u0097\u0098\u0099\u009a\u009b" +
+      "\u009c\u009e\u009f"
+  private[graft] val cp1252To: String =
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160\u2039\u0152" +
+      "\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a" +
+      "\u0153\u017e\u0178"
+
+  /** Decode a response `body` honoring the HTTP-DECLARED charset, the
+    * step a real pipeline runs BEFORE heuristic mojibake repair
+    * ([[graft.operators.TextAnalysis.fixEncoding]] stays the fallback for
+    * undeclared or lying headers — q96/q104's guard order). Pure codegen:
+    * a `when` chain over literal-charset decodes, no UDF. Declared
+    * latin-1/windows-1252/us-ascii all take the windows-1252 path —
+    * byte-complete latin-1 decode (never fails) with the 0x80–0x9F block
+    * translated per the table above — matching WHATWG browser behavior
+    * (browsers treat all three labels as windows-1252; the five
+    * unassigned code points are the only divergence from a strict latin-1
+    * read and do not occur in honest latin-1 text). Everything else —
+    * declared utf-8, absent, unknown — reads as utf-8 with malformed
+    * sequences folded to U+FFFD (`make_valid_utf8`; Spark's strict
+    * `decode` would FAIL THE JOB on the first lying header at crawl
+    * scale), which is exactly the shape the heuristic stage expects. */
+  def decodeBody(bodyCol: org.apache.spark.sql.Column,
+      contentTypeCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val cs = lower(regexp_extract(coalesce(contentTypeCol, lit("")), charsetRe, 1))
+    val latinish = Seq("iso-8859-1", "iso8859-1", "latin-1", "latin1",
+      "windows-1252", "cp1252", "us-ascii", "ascii")
+    when(cs.isin(latinish: _*),
+      translate(decode(bodyCol, "ISO-8859-1"), cp1252From, cp1252To))
+      .otherwise(call_function("make_valid_utf8", bodyCol.cast("string")))
+  }
+
   // ---------------------------------------------------------------- parsing
 
   private val gzipMagic = Array[Byte](0x1f, (0x8b).toByte)

@@ -131,6 +131,52 @@ class WarcSpec extends AnyFunSuite {
     assert(viaWarc == direct)
   }
 
+  test("decodeBody honors the DECLARED charset; utf-8/unknown fall through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "café" in latin-1 (E9), curly quotes in windows-1252 (93/94) — byte
+    // sequences a utf-8 read would shred into U+FFFD
+    val latin1 = Array[Byte]('c', 'a', 'f', 0xE9.toByte)
+    val quoted = Array[Byte](0x93.toByte, 'h', 'i', 0x94.toByte)
+    val utf8 = "café".getBytes(UTF_8)
+    val rows = Seq(
+      (1L, latin1, "text/html; charset=ISO-8859-1"),
+      (2L, latin1, "text/html; CHARSET=\"latin-1\""),   // quoted, any case
+      (3L, quoted, "text/html; charset=windows-1252"),
+      (4L, quoted, "text/html; charset=iso-8859-1"),    // WHATWG: latin-1 ≡ cp1252
+      (5L, utf8, "text/html; charset=utf-8"),
+      (6L, utf8, "text/html"),                           // undeclared → utf-8
+      (7L, latin1, null),                                // null header → utf-8
+      (8L, "ok".getBytes(UTF_8), "text/plain; charset=us-ascii"))
+      .toDF("id", "body", "ct")
+    val got = rows.select(col("id"),
+        Warc.decodeBody(col("body"), col("ct")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "café")
+    assert(got(2L) == "café")
+    assert(got(3L) == "“hi”")
+    assert(got(4L) == "“hi”")
+    assert(got(5L) == "café")
+    assert(got(6L) == "café")
+    assert(got(7L) == "caf�") // honest utf-8 fallback: E9 is malformed
+    assert(got(8L) == "ok")
+  }
+
+  test("declared-latin-1 WARC page survives the write → read → decode loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val body = Array[Byte]('d', 0xE9.toByte, 'j', 0xE0.toByte) // "déjà" latin-1
+    val df = Seq(("http://l1.example/", body, "urn:g:l1"))
+      .toDF("uri", "body", "rid")
+    val dir = Files.createTempDirectory("graft_warc_l1").toFile
+    Warc.write(df, dir.getAbsolutePath, uriCol = "uri", bodyCol = "body",
+      recordIdCol = Some("rid"), httpContentType = "text/html; charset=ISO-8859-1")
+    val r = Warc.readResponses(spark, dir.getAbsolutePath)
+      .select(Warc.decodeBody(col("body"), col("http_content_type")).as("s"))
+      .collect().head.getString(0)
+    assert(r == "déjà")
+  }
+
   test("header continuation lines fold; LF-only line endings tolerated") {
     val rec = ("WARC/1.0\nWARC-Type: response\n" +
       "WARC-Record-ID: <urn:g:fold>\n" +
