@@ -1690,6 +1690,26 @@ object SparkEntry {
     "q23_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(Tables.documents(s, dir), portableHash = true)),
 
+    // SimHash with the PRODUCTION xxhash64 word hash, oracle-checked
+    // STRUCTURALLY (the q22-fixture pattern): DuckDB cannot compute
+    // xxhash64, but the Hamming-0 pair set is hash-function-independent —
+    // an identical word MULTISET forces an identical 64-bit signature
+    // (the fold is order-free), and a distance-0 collision between
+    // DIFFERENT multisets needs all 64 bit-counters to agree in sign
+    // (never observed at any SF; deterministic, so green stays green).
+    // The oracle therefore pairs docs on equal sorted word lists —
+    // engine-independent — and the full production path (xxhash64 →
+    // codegen'd bit-counter fold → 16-bit banding → equi-join → exact
+    // Hamming) must reproduce it over the signature fixture's planted
+    // copies. maxHamming stays 0 BY NECESSITY: on this ~30-word synthetic
+    // vocabulary unrelated docs land within Hamming 2–3 (probed), so only
+    // the distance-0 set is a pure function of the construction; the
+    // Hamming ≤ 3 semantics of the same code path are oracle-covered by
+    // q23's portable-hash full replay.
+    "q136_simhash_prod" -> ((s, dir) =>
+      Dedup.simHashPairs(s.read.parquet(s"${q22FixturePath(s, dir)}/docs"),
+        maxHamming = 0, portableHash = false)),
+
     // ---- training-data pipeline: similarity search ------------------------
     "q24_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)),
@@ -2908,6 +2928,23 @@ object SparkEntry {
           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+      // q136: the STRUCTURAL replay (see the query comment) — rebuild the
+      // signature fixture's doc set, then pair docs whose word MULTISETS
+      // are equal (sorted word lists): exactly the Hamming-0 pairs any
+      // hash function must produce, and — on this near-dup-free fixture —
+      // the entire Hamming ≤ 3 set
+      "q136_simhash_prod" ->
+        s"""WITH $signatureDocsSql,
+           |sd AS (SELECT doc_id, text FROM documents
+           |         WHERE doc_id NOT IN (SELECT doc_id FROM members)
+           |       UNION ALL
+           |       SELECT doc_id + 10000000, text FROM documents
+           |         WHERE doc_id % 5 = 0
+           |           AND doc_id NOT IN (SELECT doc_id FROM members)),
+           |sw AS (SELECT doc_id, list_sort(string_split(text, ' ')) AS sl FROM sd)
+           |SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(0 AS INT) AS hamming
+           |FROM sw a JOIN sw b ON a.sl = b.sl AND a.doc_id < b.doc_id""".stripMargin,
 
       // q26's planted-copy retrieval contract (see the query comment): each
       // +10M exact copy retrieves its original as the unique top-1 at
