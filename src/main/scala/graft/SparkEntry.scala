@@ -1215,13 +1215,69 @@ object SparkEntry {
         (lit(1L) + col("id") % 3).as("crawl_delay"))
   }
 
-  /** The q134 OLD snapshot: the url fixture's pages with their corpus
-    * text — (doc_id, url, text). doc_id rides along only to derive the
-    * mutation and the prior-interval store; the operator itself keys on
-    * url. */
+  /** The q134/q135 OLD snapshot: the url fixture's pages with their
+    * corpus text — (doc_id, url, text). doc_id rides along only to derive
+    * the mutation and the prior-interval store; the operator itself keys
+    * on url. */
   private[graft] def recrawlOldSnapshot(s: SparkSession, dir: String): DataFrame =
     urlDocuments(s, dir).join(
       Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
+
+  /** The q134/q135 NEW snapshot: %7 ids removed, %5 texts rewritten,
+    * %6-derived fresh URLs added (the q122 mutation shape on URL keys). */
+  private[graft] def recrawlNewSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val old = recrawlOldSnapshot(s, dir)
+    old.filter(col("doc_id") % 7 =!= 0)
+      .select(col("url"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(Tables.documents(s, dir).filter(col("doc_id") % 6 === 0)
+        .select(concat(lit("http://www.example"), (col("doc_id") % 7).cast("string"),
+          lit(".com/fresh/"), col("doc_id").cast("string")).as("url"),
+          concat(lit("fresh doc "), col("doc_id").cast("string")).as("text")))
+  }
+
+  /** The q134/q135 prior-interval store: every even doc's URL carries a
+    * pinned interval cycling 900/7200/86400/500 s — hitting the doubling,
+    * both clamps, and the halve path; odd docs exercise the no-history
+    * default. */
+  private[graft] def recrawlIntervals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    recrawlOldSnapshot(s, dir).filter(col("doc_id") % 2 === 0)
+      .select(col("url"), element_at(
+        array(lit(900L), lit(7200L), lit(86400L), lit(500L)),
+        (expr("doc_id div 2") % 4).cast("int") + 1).as("interval_sec"))
+  }
+
+  /** Derived html pages ON the robots-fixture domains for the q135
+    * capstone's link graph: every page links to the next domain (mod 7),
+    * even pages also to domain (2·id+3) % 7 — a dense 7-node domain graph
+    * whose PageRank the frontier then keys on. The SAME formulas replay
+    * in [[exampleLinkedFixtureSql]]. */
+  private[graft] def exampleLinkedPages(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    urlDocuments(s, dir).select(col("doc_id"), col("url"),
+      concat(
+        lit("<html><body><a href=\"http://www.example"),
+        ((col("doc_id") + 1) % 7).cast("string"),
+        lit(".com/l/"), (col("doc_id") % 13).cast("string"), lit("\">n</a>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<a href=\"http://www.example"),
+            ((col("doc_id") * 2 + 3) % 7).cast("string"),
+            lit(".com/m\">x</a>"))).otherwise(lit("")),
+        lit("</body></html>")).as("html"))
+  }
+
+  /** The q135 oracle's copy of [[exampleLinkedPages]]'s construction. */
+  private def exampleLinkedFixtureSql: String =
+    s"""SELECT doc_id, url,
+       |'<html><body><a href="http://www.example' || CAST((doc_id + 1) % 7 AS VARCHAR) ||
+       |'.com/l/' || CAST(doc_id % 13 AS VARCHAR) || '">n</a>' ||
+       |CASE WHEN doc_id % 2 = 0 THEN '<a href="http://www.example' ||
+       |CAST((doc_id * 2 + 3) % 7 AS VARCHAR) || '.com/m">x</a>' ELSE '' END ||
+       |'</body></html>' AS html
+       |FROM ($urlFixtureSql) elp""".stripMargin
 
   /** The q113/q133/q135 PageRank replay as a reusable CTE chain —
     * extraction → domain edges → the SAME integer-exact update
@@ -1690,25 +1746,36 @@ object SparkEntry {
     "q23_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(Tables.documents(s, dir), portableHash = true)),
 
-    // SimHash with the PRODUCTION xxhash64 word hash, oracle-checked
-    // STRUCTURALLY (the q22-fixture pattern): DuckDB cannot compute
-    // xxhash64, but the Hamming-0 pair set is hash-function-independent —
-    // an identical word MULTISET forces an identical 64-bit signature
-    // (the fold is order-free), and a distance-0 collision between
-    // DIFFERENT multisets needs all 64 bit-counters to agree in sign
-    // (never observed at any SF; deterministic, so green stays green).
-    // The oracle therefore pairs docs on equal sorted word lists —
-    // engine-independent — and the full production path (xxhash64 →
-    // codegen'd bit-counter fold → 16-bit banding → equi-join → exact
-    // Hamming) must reproduce it over the signature fixture's planted
-    // copies. maxHamming stays 0 BY NECESSITY: on this ~30-word synthetic
-    // vocabulary unrelated docs land within Hamming 2–3 (probed), so only
-    // the distance-0 set is a pure function of the construction; the
-    // Hamming ≤ 3 semantics of the same code path are oracle-covered by
-    // q23's portable-hash full replay.
-    "q136_simhash_prod" -> ((s, dir) =>
-      Dedup.simHashPairs(s.read.parquet(s"${q22FixturePath(s, dir)}/docs"),
-        maxHamming = 0, portableHash = false)),
+    // SimHash with the PRODUCTION xxhash64 word hash in its production
+    // SHAPE — candidates → exact verify — oracle-checked STRUCTURALLY
+    // (the q22-fixture pattern): DuckDB cannot compute xxhash64, but the
+    // verified output is hash-independent BY CONSTRUCTION. Recall: an
+    // identical word MULTISET forces an identical signature (the fold is
+    // order-free) → identical bands → the pair IS a candidate, whatever
+    // the hash. Precision: the multiset-equality verify kills signature
+    // collisions between different multisets (real: one 64-bit distance-0
+    // collision observed at sf0.1; sign-agreement odds are short on a
+    // ~30-word vocabulary) — exactly why production SimHash/LSH dedup
+    // NEVER acts on candidates unverified. So the output is a pure
+    // function of the corpus at any SF, the oracle pairs docs on equal
+    // sorted word lists, and the full xxhash64 path (codegen'd
+    // bit-counter fold → 16-bit banding → equi-join → exact Hamming)
+    // must produce it. maxHamming pins to 0: on this vocabulary
+    // unrelated docs land at Hamming 2–3 (probed), so distance 0 is the
+    // structural set; Hamming ≤ 3 semantics stay oracle-covered by q23's
+    // portable-hash full replay.
+    "q136_simhash_prod" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"${q22FixturePath(s, dir)}/docs")
+      val pairs = Dedup.simHashPairs(docs, maxHamming = 0, portableHash = false)
+      val sorted = docs.select(col("doc_id"),
+        sort_array(split(col("text"), " ")).as("__sw"))
+      pairs
+        .join(sorted.select(col("doc_id").as("doc1"), col("__sw").as("__w1")), "doc1")
+        .join(sorted.select(col("doc_id").as("doc2"), col("__sw").as("__w2")), "doc2")
+        .filter(col("__w1") === col("__w2"))
+        .select("doc1", "doc2", "hamming")
+    }),
 
     // ---- training-data pipeline: similarity search ------------------------
     "q24_embed_neardup" -> ((s, dir) =>
@@ -2403,23 +2470,57 @@ object SparkEntry {
     // halving on changed, clamped to [5 min, 1 day]; history from a
     // derived prior-interval store covering both clamp edges and the
     // no-history default. All integer — the oracle replays exactly
-    "q134_recrawl_schedule" -> ((s, dir) => {
+    "q134_recrawl_schedule" -> ((s, dir) =>
+      operators.Frontier.recrawlSchedule(
+        recrawlOldSnapshot(s, dir).select("url", "text"),
+        recrawlNewSnapshot(s, dir), recrawlIntervals(s, dir),
+        nowSec = 1700000000L)),
+
+    // the CAPSTONE value-aware crawl loop — every planning stage this
+    // engine owns, composed end to end in one plan: DISCOVER (sitemap
+    // candidates minus the crawled corpus, q129/q130) ∪ RECRAWL (q134's
+    // change-adaptive revisit, due within 30 min) → COMPLY (robots
+    // verdict on every candidate — recrawls re-check policy too; domain
+    // 6's full Disallow prunes its due pages) → RANK (q113's
+    // integer-exact PageRank over the crawl's own 7-domain link graph)
+    // → SCHEDULE (the q133 prioritized two-level salted rank ordered
+    // rank-DESC, politeness delays from robots Crawl-delay). Candidate
+    // identity is the normalized URL throughout; fresh and recrawl sets
+    // are disjoint by construction (fresh is anti-joined against the
+    // crawled corpus, recrawl is a subset of it)
+    "q135_crawl_loop" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val old = recrawlOldSnapshot(s, dir)
-      val neu = old.filter(col("doc_id") % 7 =!= 0)
-        .select(col("url"),
-          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(Tables.documents(s, dir).filter(col("doc_id") % 6 === 0)
-          .select(concat(lit("http://www.example"), (col("doc_id") % 7).cast("string"),
-            lit(".com/fresh/"), col("doc_id").cast("string")).as("url"),
-            concat(lit("fresh doc "), col("doc_id").cast("string")).as("text")))
-      val intervals = old.filter(col("doc_id") % 2 === 0)
-        .select(col("url"), element_at(
-          array(lit(900L), lit(7200L), lit(86400L), lit(500L)),
-          (expr("doc_id div 2") % 4).cast("int") + 1).as("interval_sec"))
-      operators.Frontier.recrawlSchedule(old.select("url", "text"), neu,
-        intervals, nowSec = 1700000000L)
+      val robots = robotsDocuments(s, dir)
+      val ranks = operators.LinkGraph.pageRank(
+        operators.LinkGraph.domainEdges(
+          operators.LinkGraph.extractOutlinks(exampleLinkedPages(s, dir))),
+        iterations = 5, dampingPct = 85)
+      val fresh = discoveredCandidates(s, dir).select("norm_url").distinct()
+        .withColumn("kind", lit("discovered"))
+      val due = operators.Frontier.recrawlSchedule(
+          recrawlOldSnapshot(s, dir).select("url", "text"),
+          recrawlNewSnapshot(s, dir), recrawlIntervals(s, dir),
+          nowSec = 1700000000L)
+        .filter(col("interval_sec") <= 1800L)
+      val dueNorm = operators.UrlOps.withNormalizedUrl(due.select("url"))
+        .select("norm_url").distinct().withColumn("kind", lit("recrawl"))
+      // eager pin, the q130 posture: the robots gate and the schedule
+      // would each re-derive the whole discovery + diff chain; the pinned
+      // set IS the cycle's frontier batch — cycle-sized, not corpus-sized
+      val frontier = fresh.unionByName(dueNorm)
+        .select(col("norm_url").as("doc_id"), col("norm_url").as("url"), col("kind"))
+        .localCheckpoint()
+      val allowed = operators.Robots.robotsGate(frontier, robots, agent = "graftbot")
+        .filter(col("allowed")).select("doc_id")
+      val prioritized = frontier.join(allowed, "doc_id")
+        .withColumn("__dom", operators.UrlOps.domainOf(col("url")))
+        .join(ranks.withColumnRenamed("domain", "__dom"), Seq("__dom"), "left")
+        .select(col("doc_id"), col("url"), col("kind"),
+          coalesce(col("rank_e6"), lit(0L)).as("priority_e6"))
+      operators.Frontier.fetchSchedulePrioritized(prioritized,
+          operators.Robots.crawlDelays(robots, agent = "graftbot"), "priority_e6")
+        .join(prioritized.select("doc_id", "kind"), "doc_id")
+        .select("doc_id", "domain", "kind", "priority_e6", "seq", "fetch_at")
     }),
 
     // robots.txt compliance gate (RFC 9309): parse per-domain robots
@@ -3914,6 +4015,78 @@ object SparkEntry {
            |SELECT url, status, CAST(interval_sec AS BIGINT) AS interval_sec,
            |  CAST(1700000000 + interval_sec AS BIGINT) AS next_fetch_at
            |FROM k""".stripMargin,
+
+      // q135: ONE CTE chain replays the whole loop — discovery (the
+      // q129/q130 smnew chain), the recrawl diff (q134's chain, rc-
+      // prefixed, rejoined to the crawled normalization CTE `n` for
+      // candidate identity), the union'd frontier's robots verdict
+      // against the shared rule arrays, the PageRank unroll on the
+      // derived example-domain link fixture, and the collapsed
+      // prioritized window keyed (priority DESC, salt, md5, doc_id)
+      "q135_crawl_loop" -> {
+        val host = (c: String) =>
+          s"lower(regexp_extract($c, '${operators.UrlOps.bareHostRe}', 1))"
+        s"""WITH $sitemapCandidateCtes,
+           |$robotsRulesCtes,
+           |$robotsDelayCtes,
+           |${pageRankCtes(exampleLinkedFixtureSql, 5, 85)},
+           |rco AS (SELECT f.url, f.doc_id, md5(dd.text) AS h, dd.text AS text
+           |        FROM f JOIN documents dd USING (doc_id)),
+           |rcn AS (SELECT url,
+           |          md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS h
+           |        FROM rco WHERE doc_id % 7 <> 0
+           |        UNION ALL
+           |        SELECT 'http://www.example' || CAST(doc_id % 7 AS VARCHAR) ||
+           |                 '.com/fresh/' || CAST(doc_id AS VARCHAR),
+           |               md5('fresh doc ' || CAST(doc_id AS VARCHAR))
+           |        FROM documents WHERE doc_id % 6 = 0),
+           |rciv AS (SELECT url, CASE (doc_id // 2) % 4 WHEN 0 THEN 900 WHEN 1 THEN 7200
+           |           WHEN 2 THEN 86400 ELSE 500 END AS interval_sec
+           |         FROM rco WHERE doc_id % 2 = 0),
+           |rcj AS (SELECT rcn.url,
+           |          CASE WHEN rco.url IS NULL THEN 'added'
+           |               WHEN rco.h <> rcn.h THEN 'changed'
+           |               ELSE 'unchanged' END AS status,
+           |          greatest(300, least(86400, coalesce(rciv.interval_sec, 3600))) AS pc
+           |        FROM rcn LEFT JOIN rco ON rcn.url = rco.url
+           |          LEFT JOIN rciv ON rcn.url = rciv.url),
+           |rck AS (SELECT url,
+           |          CASE WHEN status = 'added' THEN 3600
+           |               WHEN status = 'changed' THEN greatest(300, pc // 2)
+           |               ELSE least(86400, pc * 2) END AS interval_sec
+           |        FROM rcj),
+           |rcdue AS (SELECT DISTINCT n.norm_url
+           |          FROM rck JOIN rco ON rck.url = rco.url
+           |            JOIN n ON n.doc_id = rco.doc_id
+           |          WHERE rck.interval_sec <= 1800),
+           |frontier AS (SELECT norm_url, 'discovered' AS kind
+           |               FROM (SELECT DISTINCT norm_url FROM smnew) sn
+           |             UNION ALL
+           |             SELECT norm_url, 'recrawl' FROM rcdue),
+           |fv2 AS (SELECT norm_url, kind, ${host("norm_url")} AS domain,
+           |    coalesce(nullif(regexp_extract(norm_url,
+           |      '${operators.Robots.pathQueryRe}', 1), ''), '/') AS path
+           |  FROM frontier),
+           |fallow2 AS (SELECT norm_url, kind, fv2.domain
+           |  FROM fv2 LEFT JOIN ra USING (domain)
+           |  WHERE coalesce(list_max(list_transform(
+           |    list_filter(ra.rules, q -> fv2.path LIKE q.lp ESCAPE '!'),
+           |    q -> q.rank)) % 2 = 1, true)),
+           |prio AS (SELECT norm_url, kind, fallow2.domain,
+           |    CAST(coalesce(ranks.rank_e6, 0) AS BIGINT) AS priority_e6
+           |  FROM fallow2 LEFT JOIN ranks ON fallow2.domain = ranks.domain),
+           |fsch AS (SELECT norm_url AS doc_id, domain, kind, priority_e6,
+           |    ('0x' || substr(md5(norm_url), 1, 4))::INT % 16 AS salt,
+           |    md5(norm_url) AS m
+           |  FROM prio),
+           |fsq2 AS (SELECT doc_id, domain, kind, priority_e6,
+           |    row_number() OVER (PARTITION BY domain
+           |      ORDER BY priority_e6 DESC, salt, m, doc_id) - 1 AS seq
+           |  FROM fsch)
+           |SELECT doc_id, domain, kind, priority_e6, seq,
+           |  seq * coalesce(crawl_delay, 1) AS fetch_at
+           |FROM fsq2 LEFT JOIN rdel USING (domain)""".stripMargin
+      },
 
       // the q108 oracle embeds the OPERATOR'S OWN regex constants
       // (single-quotes doubled for the SQL literal) — two-step tag→attr
