@@ -256,6 +256,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("prioritized frontier: ranking windows carry priority AND salt in the partition key") {
+    for (q <- Seq("q133_priority_frontier", "q135_crawl_loop")) {
+      val p = plan(q)
+      // the prioritized two-level rank partitions its data-scale
+      // row_number by (domain, priority, salt) — priority in the PARTITION
+      // key (not just the order) is what keeps a hot domain spread across
+      // salts·|priorities| reducers instead of one
+      val rowNumSpecs = p.linesIterator.filter(_.contains("row_number()")).toSeq
+      assert(rowNumSpecs.nonEmpty, q)
+      rowNumSpecs.foreach(l => assert(l.contains("__salt"), s"$q: $l"))
+      assert(rowNumSpecs.exists(l => l.contains("priority_e6")),
+        s"$q: no window carries the priority partition key")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("recrawl schedule: hash-slim outer join, no windows") {
+    val p = plan("q134_recrawl_schedule")
+    // the operator writes full_outer + "new side non-null"; Catalyst
+    // provably narrows that to an outer join on the NEW side (EliminateOuterJoin)
+    // — pin that no plain Inner silently drops added rows, and that both
+    // snapshots reduce to (url, md5) BEFORE the join (text in the outer
+    // shuffle would be the corpus-scale mistake)
+    assert(p.contains("Outer"), "diff must keep an outer join (added rows survive)")
+    assert(p.linesIterator.exists(l => l.contains("md5(") && l.contains("__oh")),
+      "old side must project to its hash below the join")
+    assert(!p.contains("window"), "the adaptive rule is pure projection — no windows")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("token budget: the only selection window partitions by bucket") {
     val p = plan("q118_token_budget")
     // the boundary-bucket window keys on __bkt; a global running sum
