@@ -2449,7 +2449,11 @@ object SparkEntry {
     "q133_priority_frontier" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val pages = linkedHtmlDocuments(s, dir)
-      val links = operators.LinkGraph.extractOutlinks(pages)
+      // one eager pin for the outlink table: the edge chain (inside
+      // pageRank), the authority chain, AND the candidate set all consume
+      // it — lazy, each branch would re-run the page-scale html
+      // extraction (the LinkGraph.pageRank leaf posture, one level up)
+      val links = operators.LinkGraph.extractOutlinks(pages).localCheckpoint()
       val ranks = operators.LinkGraph.pageRank(
         operators.LinkGraph.domainEdges(links), iterations = 5, dampingPct = 85)
       val normLinks = operators.UrlOps.withNormalizedUrl(links, urlCol = "href")

@@ -1113,6 +1113,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(seen == Seq(1L, 3L)) // the unchanged doc never re-entered compute
   }
 
+  test("events.ts contract: epoch-nanos BIGINT whatever the file's physical type") {
+    // generations of the driver testdata have shipped ts as
+    // TIMESTAMP(NANOS) and TIMESTAMP(MICROS,ntz); every downstream query
+    // (sessionize, as-of, funnel, interval join) assumes long nanos —
+    // pin the reader's normalization so a regenerated file can't silently
+    // flip the type again
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val ev = graft.sources.Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val r = ev.selectExpr("min(ts)", "max(ts)").collect().head
+    // plausibility: nanos since epoch for any date between 2000 and 2100
+    assert(r.getLong(0) > 946684800L * 1000000000L &&
+      r.getLong(1) < 4102444800L * 1000000000L)
+  }
+
   test("shard manifest: partition-order-proof checksum, exact totals, no dup cancel") {
     val docs = Seq(
       (0L, "one two three"), (1L, "four five"), (2L, "six"),
