@@ -875,6 +875,26 @@ object SparkEntry {
       lit("\nref code "), col("doc_id").cast("string")).as("text"))
   }
 
+  /** Derived duplicated fixture for the soft-dedup weights (q139): the
+    * corpus plus one extra copy of every %3 doc and a second extra copy
+    * of every %9 doc under shifted ids — group sizes 1, 2 and 3 all
+    * occur, so the reciprocal weight takes three distinct values and the
+    * row-preservation contract is exercised on real duplication. */
+  private[graft] def dupDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+  }
+
+  /** The q139 oracle's copy of [[dupDocuments]]'s construction. */
+  private def dupFixtureSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+      |UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 9 = 0""".stripMargin
+
   /** Shared oracle of q68 (direct incremental near-dup) and q98 (the
     * index-backed probe): the two operator entry points share their
     * candidates → verify → anti-join core, so ONE exact batch×corpus
@@ -1776,6 +1796,42 @@ object SparkEntry {
         .filter(col("__w1") === col("__w2"))
         .select("doc1", "doc2", "hamming")
     }),
+
+    // ---- training-data pipeline: data selection ---------------------------
+
+    // DSIR importance weights toward the English slice: hashed-unigram
+    // target/source log-ratio per doc — the importance-resampling scorer
+    // (both bucket histograms reduce to ≤ 512 broadcast rows)
+    "q137_dsir_weights" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      operators.Selection.dsirWeights(
+        Tables.documents(s, dir), col("lang") === "en")
+    }),
+
+    // CCNet head/middle/tail: per-language LM-score terciles as an exact
+    // DISTRIBUTED ntile (histogram offsets + per-bucket local ranks — no
+    // per-language single-reducer window); oracle replays with DuckDB's
+    // own ntile over the q60 chain
+    "q138_perplexity_tiles" -> ((s, dir) =>
+      operators.Selection.perplexityTiles(Tables.documents(s, dir))),
+
+    // SOFT dedup: reweight duplicates (10⁶ div group size) instead of
+    // dropping — row count preserved, weights integer-exact; on the
+    // derived duplicated fixture groups of size 1/2/3 all occur
+    "q139_soft_dedup" -> ((s, dir) =>
+      Dedup.softDedupWeights(dupDocuments(s, dir))),
+
+    // anchor-text aggregation over the q113 linked-page fixture: dominant
+    // in-link phrase per normalized target URL (argmax aggregate, the
+    // q132 shape — no per-URL window); case-variant hrefs must pool
+    "q140_anchor_text" -> ((s, dir) =>
+      operators.LinkGraph.anchorSignals(linkedHtmlDocuments(s, dir))),
+
+    // cross-source vocabulary overlap: exact pairwise Jaccard of
+    // distinct-word sets in integer micro-units — the corpus-composition
+    // report beside q122's snapshot diff
+    "q141_source_overlap" -> ((s, dir) =>
+      operators.TextAnalysis.sourceOverlap(Tables.documents(s, dir))),
 
     // ---- training-data pipeline: similarity search ------------------------
     "q24_embed_neardup" -> ((s, dir) =>
@@ -3050,6 +3106,87 @@ object SparkEntry {
            |sw AS (SELECT doc_id, list_sort(string_split(text, ' ')) AS sl FROM sd)
            |SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(0 AS INT) AS hamming
            |FROM sw a JOIN sw b ON a.sl = b.sl AND a.doc_id < b.doc_id""".stripMargin,
+
+      // q137: the DSIR replay — hashed buckets via the q40 '0x'-cast md5
+      // idiom, both histograms from the same per-(doc, bucket) counts,
+      // α = 1, B = 512 (so α·B = 512), round-6 only at the final sum
+      "q137_dsir_weights" ->
+        """WITH w AS (SELECT doc_id, lang = 'en' AS t, unnest(string_split(text, ' ')) AS word FROM documents),
+          |b AS (SELECT doc_id, t, ('0x' || substr(md5(word), 1, 4))::INT % 512 AS bucket FROM w),
+          |db AS (SELECT doc_id, t, bucket, count(*) AS n FROM b GROUP BY 1, 2, 3),
+          |cs AS (SELECT bucket, sum(n) AS cs FROM db GROUP BY 1),
+          |ctt AS (SELECT bucket, sum(n) AS ct FROM db WHERE t GROUP BY 1),
+          |st AS (SELECT bucket, cs, COALESCE(ct, 0) AS ct FROM cs LEFT JOIN ctt USING (bucket)),
+          |tot AS (SELECT sum(cs) AS ts, sum(ct) AS tt FROM st)
+          |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+          |round(sum(n * (ln((ct + 1.0) / (tt + 512.0)) - ln((cs + 1.0) / (ts + 512.0)))), 6) AS log_weight
+          |FROM db JOIN st USING (bucket) CROSS JOIN tot GROUP BY doc_id""".stripMargin,
+
+      // q138: DuckDB's OWN ntile over the q60 unigram-LM chain — the
+      // operator's histogram-offset + local-rank decomposition must
+      // reproduce the single-window form exactly
+      "q138_perplexity_tiles" ->
+        """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          |dw AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+          |c AS (SELECT word, sum(n) AS cnt FROM dw GROUP BY word),
+          |t AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM c),
+          |sc AS (SELECT doc_id,
+          |  round(sum(n * ln((cnt + 1.0) / (total + 1.0 * vocab))) / sum(n), 6) AS avg_logprob
+          |  FROM dw JOIN c USING (word) CROSS JOIN t GROUP BY doc_id)
+          |SELECT sc.doc_id, d.lang, sc.avg_logprob,
+          |ntile(3) OVER (PARTITION BY d.lang ORDER BY sc.avg_logprob DESC, sc.doc_id) AS tile
+          |FROM sc JOIN documents d ON sc.doc_id = d.doc_id""".stripMargin,
+
+      // q139: reciprocal group-size weights over the duplicated fixture —
+      // row count must equal the fixture's (nothing dropped)
+      "q139_soft_dedup" ->
+        s"""WITH dd AS ($dupFixtureSql),
+           |h AS (SELECT doc_id, md5(text) AS ch FROM dd),
+           |c AS (SELECT ch, count(*) AS group_size FROM h GROUP BY 1)
+           |SELECT doc_id, group_size, (1000000 // group_size)::BIGINT AS weight_e6
+           |FROM h JOIN c USING (ch)""".stripMargin,
+
+      // q140: the anchor-pair extraction (both capture groups of the SAME
+      // pattern, zipped by index), the q94 strip+norm chain on the href,
+      // then the argmax replayed as a row_number window
+      "q140_anchor_text" -> {
+        val re = operators.LinkGraph.absAnchorPairRe
+        val tp = operators.UrlOps.trackingParams
+        s"""WITH pages AS ($linkedHtmlFixtureSql),
+           |u AS (SELECT regexp_extract_all(html, '$re', 1) AS hs,
+           |             regexp_extract_all(html, '$re', 2) AS ts FROM pages),
+           |l AS (SELECT hs[i] AS url0, trim(ts[i]) AS anchor
+           |      FROM u, UNNEST(range(1, len(hs) + 1)) t(i)),
+           |sq AS (SELECT anchor,
+           |  regexp_replace(nf, '\\?.*$$', '') AS base,
+           |  regexp_replace(
+           |    regexp_replace(
+           |      regexp_replace(regexp_extract(nf, '\\?(.*)$$', 1),
+           |        '&$tp=[^&]*', '', 'g'),
+           |      '^$tp=[^&]*&', ''),
+           |    '^$tp=[^&]*$$', '') AS q
+           |  FROM (SELECT anchor, regexp_replace(url0, '#.*$$', '') AS nf FROM l)),
+           |s2 AS (SELECT anchor, CASE WHEN q = '' THEN base ELSE base || '?' || q END AS u FROM sq),
+           |n AS (SELECT anchor, $urlNormSql AS dst_url FROM s2),
+           |ga AS (SELECT dst_url, anchor, count(*) AS c FROM n GROUP BY 1, 2),
+           |g AS (SELECT dst_url, anchor, c,
+           |  row_number() OVER (PARTITION BY dst_url ORDER BY c DESC, anchor) AS rn,
+           |  sum(c) OVER (PARTITION BY dst_url) AS nl,
+           |  count(*) OVER (PARTITION BY dst_url) AS na FROM ga)
+           |SELECT dst_url, nl::BIGINT AS n_links, na::BIGINT AS n_anchors,
+           |anchor AS top_anchor, c::BIGINT AS top_count FROM g WHERE rn = 1""".stripMargin
+      },
+
+      // q141: exact pairwise source-vocabulary Jaccard, integer micro-units
+      "q141_source_overlap" ->
+        """WITH sw AS (SELECT DISTINCT src, word FROM
+          |  (SELECT source AS src, unnest(string_split(text, ' ')) AS word FROM documents)),
+          |sz AS (SELECT src, count(*) AS n FROM sw GROUP BY 1),
+          |it AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+          |       FROM sw a JOIN sw b USING (word) WHERE a.src < b.src GROUP BY 1, 2)
+          |SELECT src_a, src_b, n_common,
+          |((1000000 * n_common) // (sa.n + sb.n - n_common))::BIGINT AS jaccard_e6
+          |FROM it JOIN sz sa ON it.src_a = sa.src JOIN sz sb ON it.src_b = sb.src""".stripMargin,
 
       // q26's planted-copy retrieval contract (see the query comment): each
       // +10M exact copy retrieves its original as the unique top-1 at

@@ -58,6 +58,32 @@ object Dedup {
       .select(col("content_hash"), (-col("__best.__nid")).as("keep_id"),
         col("n_dups"))
 
+  /** SOFT dedup — reweight duplicates instead of dropping them (the
+    * SoftDeDup observation, He et al. 2024: hard removal throws away the
+    * signal that a text's duplication frequency carries; downweighting
+    * keeps every document but makes each duplicate GROUP contribute one
+    * unit of expected training mass). Every document gets
+    * weight_e6 = 10⁶ div |its exact-duplicate group| — integer
+    * micro-units (the q113/q126 policy) so the weights are bit-exact in
+    * any engine, ready for [[Sampling]]'s weighted passes or a loss
+    * scaler. Output: (doc_id, group_size, weight_e6), row count = input
+    * row count (nothing is dropped — that is the point).
+    *
+    * 100 TB shape: the group size is an AGGREGATE on the content hash —
+    * (hash, doc_id) shuffle, text never moves, a boilerplate page
+    * duplicated millions of times collapses map-side via partial count —
+    * then a hash-keyed equi-join carries the count back to the doc rows
+    * (AQE handles the hot-hash join side; a per-hash window here would
+    * serialize the hot hash onto one reducer, the [[exactBest]]
+    * rationale). */
+  def softDedupWeights(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val keyed = docs.select(col("doc_id"), md5(col(textCol)).as("content_hash"))
+    val counts = keyed.groupBy("content_hash").agg(count(lit(1)).as("group_size"))
+    keyed.join(counts, "content_hash")
+      .select(col("doc_id"), col("group_size"),
+        expr("1000000 div group_size").as("weight_e6"))
+  }
+
   /** Per-doc DISTINCT gram-hash array (graft.functions.WordGramHashes) —
     * grams travel as 64-bit hashes because every consumer needs only gram
     * equality, and the dedup happens map-side with array_distinct: a

@@ -57,6 +57,49 @@ object LinkGraph {
       explode(regexp_extract_all(coalesce(col(htmlCol), lit("")),
         lit(absAnchorHrefRe), lit(1))).as("href"))
 
+  /** [[absAnchorHrefRe]] extended with the anchor's VISIBLE TEXT:
+    * group 1 = href, group 2 = the text run. `([^<]*)</a>` keeps Java and
+    * RE2 identical and means an anchor whose body contains nested markup
+    * (`<a ...><b>x</b></a>`) does NOT match — a documented skip, the same
+    * in both engines, acceptable for a signal that wants short labels. */
+  private[graft] val absAnchorPairRe: String =
+    """(?is)<a\b[^>]*\bhref\s*=\s*"(https?://[^"]*)"[^>]*>([^<]*)</a>"""
+
+  /** ANCHOR-TEXT aggregation — the oldest off-page relevance/quality
+    * signal (how the linking web DESCRIBES a target; search engines have
+    * indexed anchor text since Brin & Page 1998 §2.2, and crawl curation
+    * uses it to label/score pages the crawler has not fetched yet):
+    * per NORMALIZED target URL ([[UrlOps.withNormalizedUrl]], so
+    * case/port/tracking variants pool their signals), the total in-link
+    * count, the distinct anchor-phrase count, and the dominant phrase
+    * (highest count; ties break to the lexicographically smallest — an
+    * argmax AGGREGATE, no per-URL window, the [[Dedup.exactBest]] shape).
+    * Returns (dst_url, n_links, n_anchors, top_anchor, top_count).
+    *
+    * 100 TB shape: extraction is the map-side regex pass over raw pages;
+    * the first shuffle carries (dst_url, anchor) pairs — html never
+    * moves — with map-side combine collapsing the hot (popular-target,
+    * common-phrase) keys; the second aggregates the far smaller
+    * per-(url, phrase) table to one row per target. */
+  def anchorSignals(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val html = coalesce(col(htmlCol), lit(""))
+    val pairs = pages.select(
+      explode(zip_with(
+        regexp_extract_all(html, lit(absAnchorPairRe), lit(1)),
+        regexp_extract_all(html, lit(absAnchorPairRe), lit(2)),
+        (h, t) => struct(h.as("href"), t.as("anchor")))).as("z"))
+      .select(col("z.href").as("url"), trim(col("z.anchor")).as("anchor"))
+    UrlOps.withNormalizedUrl(pairs, "url")
+      .select(col("norm_url").as("dst_url"), col("anchor"))
+      .groupBy("dst_url", "anchor").agg(count(lit(1)).as("__c"))
+      .groupBy("dst_url")
+      .agg(sum("__c").as("n_links"),
+        count(lit(1)).as("n_anchors"),
+        min(struct((-col("__c")).as("nc"), col("anchor").as("a"))).as("__m"))
+      .select(col("dst_url"), col("n_links"), col("n_anchors"),
+        col("__m.a").as("top_anchor"), (-col("__m.nc")).as("top_count"))
+  }
+
   /** Distinct domain→domain edges from an outlink table; self-loops and
     * unparseable (empty) hosts dropped. */
   def domainEdges(links: DataFrame, srcUrlCol: String = "url",

@@ -731,6 +731,40 @@ object TextAnalysis {
         sum(col("dw")).as("word_delta"))
   }
 
+  /** Cross-source VOCABULARY OVERLAP — the corpus-composition report
+    * beside [[corpusDiff]]: for every pair of sources, the exact Jaccard
+    * similarity of their distinct-word sets (how lexically alike two
+    * slices are — near-identical mirrors surface at the top, a fully
+    * disjoint slice signals a language/domain outlier or an extraction
+    * bug). One row per unordered pair with src_a < src_b:
+    * (src_a, src_b, n_common, jaccard_e6), Jaccard in integer
+    * micro-units (10⁶·|A∩B| div (|A|+|B|−|A∩B|), the q113/q126 policy —
+    * bit-exact in any engine). Pairs with an EMPTY intersection are
+    * absent (they never meet the join).
+    *
+    * 100 TB shape: the corpus reduces to distinct (source, word) pairs —
+    * vocabulary × sources rows, partial-distinct map-side — and the
+    * word-keyed self-join fans each word out to at most |sources|²
+    * pairs, a CONSTANT per word (this is the exact small-|sources| path;
+    * thousands of slices would want per-source MinHash signatures — ≤
+    * |sources| signature rows, the [[Dedup]] banding machinery — traded
+    * against estimate error). */
+  def sourceOverlap(docs: DataFrame, srcCol: String = "source"): DataFrame = {
+    val sw = withWords(docs)
+      .select(col(srcCol).as("src"), explode(col("__words")).as("word"))
+      .distinct()
+    val sizes = sw.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = sw.toDF("src_a", "word")
+      .join(sw.toDF("src_b", "word"), "word")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.toDF("src_a", "n_a")), "src_a")
+      .join(broadcast(sizes.toDF("src_b", "n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        expr("(1000000 * n_common) div (n_a + n_b - n_common)").as("jaccard_e6"))
+  }
+
   /** Canonical text normalization — the standard prep step before exact
     * dedup so that case / punctuation / whitespace variants of the same
     * content collapse to one key: lowercase, strip every character outside

@@ -295,6 +295,53 @@ class PlanSpec extends AnyFunSuite {
       "global score-ordered window crept in")
   }
 
+  test("dsir weights: one corpus shuffle feeds histogram and join, stats broadcast") {
+    val df = SparkEntry.queries("q137_dsir_weights")(spark, dir)
+    df.collect() // ReuseExchange is an AQE runtime decision — read the final plan
+    val p = df.queryExecution.executedPlan.toString
+    // the bucket histogram (both distributions via ONE conditional-sum
+    // aggregate) and the stats join-back must consume the SAME
+    // per-(doc, bucket) shuffle — a second corpus-scale exchange means
+    // the operator re-tokenized the corpus for the target slice
+    assert(p.contains("ReusedExchange"), "histogram must share the docBuck shuffle")
+    // the ≤ buckets-row stats table joins back broadcast, never shuffled
+    assert(p.contains("BroadcastHashJoin"), "stats join-back must broadcast")
+  }
+
+  test("perplexity tiles: data-scale ranking windows carry the score bucket") {
+    val p = plan("q138_perplexity_tiles")
+    // the local rank must partition by (lang, __sb) — a lang-only
+    // row_number is the per-language single-reducer window the histogram
+    // decomposition exists to avoid (the lang-only sum windows that
+    // remain run over the bounded histogram)
+    val rowNumSpecs = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rowNumSpecs.nonEmpty)
+    rowNumSpecs.foreach(l => assert(l.contains("__sb"), l))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("soft dedup weights: no window, map-side partial count, hash-keyed join") {
+    val p = plan("q139_soft_dedup")
+    assert(!p.contains("Window ["), "group size must be an aggregate, not a window")
+    assert(p.contains("partial_count"), "hot hashes must collapse map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("anchor signals: argmax as aggregate, no per-URL window") {
+    val p = plan("q140_anchor_text")
+    assert(!p.contains("Window ["), "top anchor must be an aggregate argmax")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "per-(url, phrase) counts must partial-aggregate map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("source overlap: word-keyed equi-join, size tables broadcast") {
+    val p = plan("q141_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the pair join must be a word-keyed equi-join")
+    assert(p.contains("BroadcastHashJoin"), "per-source sizes must broadcast")
+  }
+
   test("bm25 index probe: posting buckets prune at planning time") {
     val p = plan("q119_bm25_indexed")
     assert(p.contains("PartitionFilters: [") && p.contains(" IN "),

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Data-selection operators: DSIR importance weights, the distributed
+  * CCNet perplexity ntile, soft-dedup reweighting, anchor-text signals,
+  * cross-source vocabulary overlap. */
+class SelectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "alpha beta gamma alpha", "en", "s0"),
+    (1L, "alpha beta delta", "en", "s0"),
+    (2L, "zeta eta theta iota", "de", "s1"),
+    (3L, "alpha alpha alpha alpha", "en", "s1"),
+    (4L, "zeta eta beta", "de", "s2")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  // ---- dsirWeights ------------------------------------------------------
+
+  test("dsirWeights: hand-computed log-ratio on a collision-free bucketing") {
+    // 65536 buckets → these 8 distinct words land in distinct buckets
+    // (verified below), so bucket counts == word counts and the formula
+    // is computable by hand
+    val r = Selection.dsirWeights(docs, col("lang") === "en", buckets = 65536)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r.size == 5 && r(0L)._1 == 4 && r(4L)._1 == 3)
+    // target slice = docs 0,1,3: counts alpha 7, beta 2, gamma 1, delta 1
+    // (Tt = 11); source adds docs 2,4: zeta 2, eta 2, theta 1, iota 1,
+    // beta 3 total (Ts = 18)
+    val B = 65536.0
+    def lt(c: Long) = math.log((c + 1.0) / (11 + B))
+    def ls(c: Long) = math.log((c + 1.0) / (18 + B))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 2: zeta/eta/theta/iota never in target (ct = 0)
+    val exp2 = r6(lt(0) - ls(2) + (lt(0) - ls(2)) + (lt(0) - ls(1)) + (lt(0) - ls(1)))
+    assert(math.abs(r(2L)._2 - exp2) < 2e-6,
+      s"got ${r(2L)._2}, want ~$exp2")
+    // doc 3: 4 × alpha, ct = 7, cs = 7
+    val exp3 = r6(4 * (lt(7) - ls(7)))
+    assert(math.abs(r(3L)._2 - exp3) < 2e-6)
+    // target-looking docs outscore the out-of-slice docs
+    assert(r(3L)._2 > r(2L)._2 && r(0L)._2 > r(2L)._2)
+  }
+
+  test("dsirWeights: empty target slice is defined (uniform-smoothed target)") {
+    val r = Selection.dsirWeights(docs, col("lang") === "xx", buckets = 512)
+      .collect()
+    assert(r.length == 5 && r.forall(!_.isNullAt(2)))
+  }
+
+  test("dsirWeights: rejects bad knobs") {
+    intercept[IllegalArgumentException](
+      Selection.dsirWeights(docs, col("lang") === "en", buckets = 1))
+    intercept[IllegalArgumentException](
+      Selection.dsirWeights(docs, col("lang") === "en", alpha = 0.0))
+  }
+
+  // ---- perplexityTiles --------------------------------------------------
+
+  /** The decomposed ntile must equal the plain single-window form on the
+    * same (score desc, doc_id) key — across tile counts and bucket
+    * granularities, on a corpus big enough for every lang × bucket × tile
+    * boundary interaction to occur. */
+  test("perplexityTiles: equals the naive ntile window, all knobs") {
+    val corpus = (0L until 300L).map { i =>
+      (i, s"w${i % 7} w${i % 13} w${i % 3} w${i % 31}", if (i % 3 == 0) "en" else "de", "s")
+    }.toDF("doc_id", "text", "lang", "source")
+    for (tiles <- Seq(1, 3, 7); dec <- Seq(0, 1, 3)) {
+      val got = Selection.perplexityTiles(corpus, tiles = tiles, bucketDecimals = dec)
+        .select("doc_id", "tile").as[(Long, Long)].collect().toMap
+      val want = TextAnalysis.lmScore(corpus)
+        .join(corpus.select("doc_id", "lang"), "doc_id")
+        .withColumn("tile", ntile(tiles).over(
+          Window.partitionBy("lang").orderBy(col("avg_logprob").desc, col("doc_id"))))
+        .select(col("doc_id"), col("tile").cast("long")).as[(Long, Long)].collect().toMap
+      assert(got == want, s"tiles=$tiles dec=$dec")
+    }
+  }
+
+  test("perplexityTiles: fewer rows than tiles degenerates like ntile") {
+    val tiny = Seq((0L, "a b", "en", "s"), (1L, "a c", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Selection.perplexityTiles(tiny, tiles = 5)
+      .select("doc_id", "tile").as[(Long, Long)].collect().toMap
+    assert(r.values.toSet == Set(1L, 2L)) // ntile gives 1..n when n < k
+  }
+
+  // ---- softDedupWeights -------------------------------------------------
+
+  test("softDedupWeights: reciprocal group weights, rows preserved") {
+    val d = Seq((0L, "x"), (1L, "x"), (2L, "x"), (3L, "y"), (4L, "y"), (5L, "z"))
+      .toDF("doc_id", "text")
+    val r = Dedup.softDedupWeights(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.size == 6) // nothing dropped
+    assert(r(0L) == (3L, 333333L) && r(1L) == (3L, 333333L) && r(2L) == (3L, 333333L))
+    assert(r(3L) == (2L, 500000L) && r(5L) == (1L, 1000000L))
+  }
+
+  // ---- anchorSignals ----------------------------------------------------
+
+  test("anchorSignals: counts, argmax tie-break, case folding, skips") {
+    val pages = Seq(
+      // two "docs" links + one "download" to the same target; case-variant
+      // host and scheme must pool; relative + mailto + nested-markup skip
+      (0L, """<a href="http://A.com/x">docs</a> <A HREF="HTTP://a.COM/x">docs</A>""" +
+        """<a href="http://a.com/x">download</a>"""),
+      (1L, """<a href="/rel">rel</a> <a href="mailto:u@h">m</a>""" +
+        """<a href="http://a.com/x"><b>bold</b></a>""" + // nested markup: no match
+        """<a href="http://b.com/">  b site  </a>"""), // trimmed
+      // count tie at target c: "aa" vs "bb" once each → lexicographic win
+      (2L, """<a href="https://c.com/">bb</a> <a href="https://c.com/">aa</a>""")
+    ).toDF("doc_id", "html")
+    val r = LinkGraph.anchorSignals(pages).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getString(3), x.getLong(4)))
+      .toMap
+    assert(r.size == 3)
+    assert(r("http://a.com/x") == (3L, 2L, "docs", 2L))
+    assert(r("http://b.com/") == (1L, 1L, "b site", 1L))
+    assert(r("https://c.com/") == (2L, 2L, "aa", 1L)) // tie → lexicographic
+  }
+
+  // ---- sourceOverlap ----------------------------------------------------
+
+  test("sourceOverlap: exact pairwise Jaccard, empty intersections absent") {
+    val d = Seq(
+      (0L, "a b c", "en", "s0"), (1L, "b c d", "en", "s1"),
+      (2L, "x y", "en", "s2"), (3L, "c b a", "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.sourceOverlap(d).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    // s0 = {a,b,c}, s1 = {b,c,d}, s2 = {x,y}
+    assert(r((s"s0", s"s1")) == (2L, 500000L)) // 2 / (3+3-2)
+    assert(!r.contains(("s0", "s2")) && !r.contains(("s1", "s2")))
+    assert(r.size == 1)
+  }
+}
