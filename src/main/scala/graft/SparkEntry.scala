@@ -895,6 +895,46 @@ object SparkEntry {
       |UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
       |UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 9 = 0""".stripMargin
 
+  /** Derived mirrored fixture for the cross-source duplicate matrix
+    * (q143): the corpus plus a 'mirror0' slice re-hosting every %4 doc
+    * and a 'mirror1' slice re-hosting every %8 doc — so mirror0 overlaps
+    * every original source, mirror1 is a subset of mirror0's texts, and
+    * no duplication exists WITHIN any source (the matrix must count
+    * cross-source pairs only). */
+  private[graft] def mirrorDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(s, dir).select("doc_id", "text", "source")
+    d.unionByName(d.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+          lit("mirror0").as("source")))
+      .unionByName(d.filter(col("doc_id") % 8 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text"),
+          lit("mirror1").as("source")))
+  }
+
+  /** The q143 oracle's copy of [[mirrorDocuments]]'s construction. */
+  private def mirrorFixtureSql: String =
+    """SELECT doc_id, text, source FROM documents
+      |UNION ALL SELECT doc_id + 3000000, text, 'mirror0' FROM documents WHERE doc_id % 4 = 0
+      |UNION ALL SELECT doc_id + 4000000, text, 'mirror1' FROM documents WHERE doc_id % 8 = 0""".stripMargin
+
+  /** The q137 DSIR chain as reusable CTEs (shared verbatim by q142's
+    * selection oracle — drift-free): hashed buckets via the q40
+    * '0x'-cast md5 idiom, both histograms from the same per-(doc,
+    * bucket) counts, α = 1, B = 512 (so α·B = 512), round-6 only at the
+    * final sum. Ends in `dw(doc_id, n_words, log_weight)`. */
+  private def dsirCtes: String =
+    """w AS (SELECT doc_id, lang = 'en' AS t, unnest(string_split(text, ' ')) AS word FROM documents),
+      |b AS (SELECT doc_id, t, ('0x' || substr(md5(word), 1, 4))::INT % 512 AS bucket FROM w),
+      |db AS (SELECT doc_id, t, bucket, count(*) AS n FROM b GROUP BY 1, 2, 3),
+      |cs AS (SELECT bucket, sum(n) AS cs FROM db GROUP BY 1),
+      |ctt AS (SELECT bucket, sum(n) AS ct FROM db WHERE t GROUP BY 1),
+      |st AS (SELECT bucket, cs, COALESCE(ct, 0) AS ct FROM cs LEFT JOIN ctt USING (bucket)),
+      |tot AS (SELECT sum(cs) AS ts, sum(ct) AS tt FROM st),
+      |dw AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+      |round(sum(n * (ln((ct + 1.0) / (tt + 512.0)) - ln((cs + 1.0) / (ts + 512.0)))), 6) AS log_weight
+      |FROM db JOIN st USING (bucket) CROSS JOIN tot GROUP BY doc_id)""".stripMargin
+
   /** Shared oracle of q68 (direct incremental near-dup) and q98 (the
     * index-backed probe): the two operator entry points share their
     * candidates → verify → anti-join core, so ONE exact batch×corpus
@@ -1832,6 +1872,25 @@ object SparkEntry {
     // report beside q122's snapshot diff
     "q141_source_overlap" -> ((s, dir) =>
       operators.TextAnalysis.sourceOverlap(Tables.documents(s, dir))),
+
+    // the DSIR pipeline END TO END (score → resample): importance weights
+    // feed the q118 bucketed token-budget selection — "the most
+    // target-like documents until 10k words", no global window
+    "q142_dsir_selection" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val w = operators.Selection.dsirWeights(
+          Tables.documents(s, dir), col("lang") === "en")
+        .select("doc_id", "log_weight", "n_words")
+      operators.Sampling.tokenBudget(w, budget = 10000L,
+        scoreCol = "log_weight", weightCol = "n_words", buckets = 16)
+    }),
+
+    // cross-source duplicate matrix (mirror detection): shared distinct
+    // texts + induced duplicate pairs per source pair, from per-(hash,
+    // source) counts — the mirrored fixture plants two overlapping
+    // re-hosted slices
+    "q143_mirror_matrix" -> ((s, dir) =>
+      Dedup.crossSourceDupMatrix(mirrorDocuments(s, dir))),
 
     // ---- training-data pipeline: similarity search ------------------------
     "q24_embed_neardup" -> ((s, dir) =>
@@ -3107,20 +3166,31 @@ object SparkEntry {
            |SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(0 AS INT) AS hamming
            |FROM sw a JOIN sw b ON a.sl = b.sl AND a.doc_id < b.doc_id""".stripMargin,
 
-      // q137: the DSIR replay — hashed buckets via the q40 '0x'-cast md5
-      // idiom, both histograms from the same per-(doc, bucket) counts,
-      // α = 1, B = 512 (so α·B = 512), round-6 only at the final sum
+      // q137: the DSIR replay (chain shared verbatim with q142)
       "q137_dsir_weights" ->
-        """WITH w AS (SELECT doc_id, lang = 'en' AS t, unnest(string_split(text, ' ')) AS word FROM documents),
-          |b AS (SELECT doc_id, t, ('0x' || substr(md5(word), 1, 4))::INT % 512 AS bucket FROM w),
-          |db AS (SELECT doc_id, t, bucket, count(*) AS n FROM b GROUP BY 1, 2, 3),
-          |cs AS (SELECT bucket, sum(n) AS cs FROM db GROUP BY 1),
-          |ctt AS (SELECT bucket, sum(n) AS ct FROM db WHERE t GROUP BY 1),
-          |st AS (SELECT bucket, cs, COALESCE(ct, 0) AS ct FROM cs LEFT JOIN ctt USING (bucket)),
-          |tot AS (SELECT sum(cs) AS ts, sum(ct) AS tt FROM st)
-          |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
-          |round(sum(n * (ln((ct + 1.0) / (tt + 512.0)) - ln((cs + 1.0) / (ts + 512.0)))), 6) AS log_weight
-          |FROM db JOIN st USING (bucket) CROSS JOIN tot GROUP BY doc_id""".stripMargin,
+        s"""WITH $dsirCtes
+           |SELECT doc_id, n_words, log_weight FROM dw""".stripMargin,
+
+      // q142: the q118 naive-global-window selection replay over the SAME
+      // dsir chain — the operator's bucketed decomposition must reproduce
+      // the global prefix-sum verdict on the composed scorer too
+      "q142_dsir_selection" ->
+        s"""WITH $dsirCtes,
+           |o AS (SELECT doc_id, log_weight, n_words,
+           |  sum(n_words) OVER (ORDER BY log_weight DESC,
+           |    md5(CAST(doc_id AS VARCHAR)), doc_id
+           |    ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM dw)
+           |SELECT doc_id, log_weight, n_words FROM o WHERE cum <= 10000""".stripMargin,
+
+      // q143: per-(hash, source) counts, hash-keyed pair join, Σ n_a·n_b
+      "q143_mirror_matrix" ->
+        s"""WITH md AS ($mirrorFixtureSql),
+           |hs AS (SELECT md5(text) AS h, source AS src, count(*) AS n FROM md GROUP BY 1, 2)
+           |SELECT a.src AS src_a, b.src AS src_b,
+           |count(*)::BIGINT AS n_shared_texts,
+           |CAST(sum(a.n * b.n) AS BIGINT) AS n_dup_pairs
+           |FROM hs a JOIN hs b ON a.h = b.h AND a.src < b.src GROUP BY 1, 2""".stripMargin,
 
       // q138: DuckDB's OWN ntile over the q60 unigram-LM chain — the
       // operator's histogram-offset + local-rank decomposition must

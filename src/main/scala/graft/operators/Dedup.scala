@@ -84,6 +84,29 @@ object Dedup {
         expr("1000000 div group_size").as("weight_e6"))
   }
 
+  /** Cross-source exact-duplicate MATRIX — mirror detection at the slice
+    * level (the report that catches "source A is a re-crawl of source B
+    * under another name" BEFORE doc-level dedup silently merges them):
+    * for every source pair, how many distinct texts they share and how
+    * many cross-source duplicate PAIRS those texts induce (Σ n_a·n_b over
+    * shared hashes — the count doc-level dedup will collapse). One row
+    * per unordered pair with src_a < src_b, empty overlaps absent.
+    *
+    * 100 TB shape: the corpus reduces to per-(hash, source) COUNTS first
+    * (map-side combine absorbs hot texts — the shuffle carries a hash,
+    * a source and a long), and the hash-keyed self-join fans each hash
+    * to ≤ |sources|² rows, a constant per hash — never a doc×doc join. */
+  def crossSourceDupMatrix(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val hs = docs.select(md5(col(textCol)).as("h"), col(srcCol).as("src"))
+      .groupBy("h", "src").agg(count(lit(1)).as("n"))
+    hs.toDF("h", "src_a", "n_a").join(hs.toDF("h", "src_b", "n_b"), "h")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared_texts"),
+        sum(col("n_a") * col("n_b")).as("n_dup_pairs"))
+  }
+
   /** Per-doc DISTINCT gram-hash array (graft.functions.WordGramHashes) —
     * grams travel as 64-bit hashes because every consumer needs only gram
     * equality, and the dedup happens map-side with array_distinct: a

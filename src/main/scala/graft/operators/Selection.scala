@@ -109,9 +109,13 @@ object Selection {
   def perplexityTiles(docs: DataFrame, tiles: Int = 3, bucketDecimals: Int = 1,
       alpha: Double = 1.0): DataFrame = {
     require(tiles >= 1 && tiles <= 1000, s"tiles must be in [1, 1000], got $tiles")
+    // eager pin: the histogram pass and the final rank both read the
+    // scored frame — pinning evaluates the LM chain once (the q118
+    // multi-pass rationale) and holds only (doc_id, score, lang) slim rows
     val scored = TextAnalysis.lmScore(docs, alpha)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .withColumn("__sb", round(col("avg_logprob"), bucketDecimals))
+      .localCheckpoint()
     val hist = scored.groupBy("lang", "__sb").agg(count(lit(1)).as("__c"))
     val wOff = Window.partitionBy("lang").orderBy(col("__sb").desc)
       .rowsBetween(Window.unboundedPreceding, -1)

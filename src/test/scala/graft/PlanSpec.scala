@@ -335,6 +335,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dsir selection: the only selection window partitions by bucket") {
+    val p = plan("q142_dsir_selection")
+    // the composed pipeline must inherit q118's bucketed selection — a
+    // global log_weight-ordered window would be the single-reducer killer
+    assert(p.contains("__bkt"), "bucketed selection missing")
+    assert(!p.contains("windowspecdefinition(log_weight"),
+      "global score-ordered window crept in")
+  }
+
+  test("mirror matrix: per-(hash, source) counts partial-aggregate, equi-join only") {
+    val p = plan("q143_mirror_matrix")
+    assert(!p.contains("Window ["), "the matrix is aggregates + an equi-join")
+    assert(p.contains("partial_count"), "hot texts must collapse map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("source overlap: word-keyed equi-join, size tables broadcast") {
     val p = plan("q141_source_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

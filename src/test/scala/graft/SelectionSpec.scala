@@ -125,6 +125,23 @@ class SelectionSpec extends AnyFunSuite {
     assert(r("https://c.com/") == (2L, 2L, "aa", 1L)) // tie → lexicographic
   }
 
+  // ---- crossSourceDupMatrix ---------------------------------------------
+
+  test("crossSourceDupMatrix: cross-source pair counts, within-source dups ignored") {
+    val d = Seq(
+      (0L, "t1", "A"), (1L, "t1", "A"), // within-A dup: must NOT appear alone
+      (2L, "t1", "B"), // shares t1 with A's 2 copies → 2 cross pairs
+      (3L, "t2", "B"), (4L, "t2", "C"), // B-C share t2
+      (5L, "t3", "C") // unique
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.crossSourceDupMatrix(d).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r(("A", "B")) == (1L, 2L)) // one shared text, 2·1 duplicate pairs
+    assert(r(("B", "C")) == (1L, 1L))
+    assert(!r.contains(("A", "C")))
+    assert(r.size == 2)
+  }
+
   // ---- sourceOverlap ----------------------------------------------------
 
   test("sourceOverlap: exact pairwise Jaccard, empty intersections absent") {
