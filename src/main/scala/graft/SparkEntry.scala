@@ -1892,6 +1892,14 @@ object SparkEntry {
     "q143_mirror_matrix" -> ((s, dir) =>
       Dedup.crossSourceDupMatrix(mirrorDocuments(s, dir))),
 
+    // margin-based bitext mining (LASER/CCMatrix ratio margin, "max"
+    // strategy): best de pair per en vector where margin ≥ 1.05 —
+    // hubness-normalized, integer-exact micro-unit margin
+    "q144_bitext_mine" -> ((s, dir) =>
+      Similarity.bitextMine(Tables.embeddings(s, dir),
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        srcLang = "en", tgtLang = "de", k = 4, minMarginE6 = 1050000L)),
+
     // ---- training-data pipeline: similarity search ------------------------
     "q24_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)),
@@ -3182,6 +3190,28 @@ object SparkEntry {
            |    ROWS UNBOUNDED PRECEDING) AS cum
            |  FROM dw)
            |SELECT doc_id, log_weight, n_words FROM o WHERE cum <= 10000""".stripMargin,
+
+      // q144: full margin replay — round-6-then-integerize cosines (the
+      // engine-ulp policy), top-k sums per side, the integer ratio margin
+      // cos·2·kx·ky·10⁶ // (sx·ky + sy·kx) on all-positive operands
+      // (// ≡ div there), best-margin row per source vector
+      "q144_bitext_mine" ->
+        """WITH l AS (SELECT doc_id, lang FROM documents),
+          |a AS (SELECT e.vec_id AS src_id, e.embedding::DOUBLE[] AS v FROM embeddings e JOIN l ON e.vec_id = l.doc_id WHERE l.lang = 'en'),
+          |b AS (SELECT e.vec_id AS tgt_id, e.embedding::DOUBLE[] AS v FROM embeddings e JOIN l ON e.vec_id = l.doc_id WHERE l.lang = 'de'),
+          |p AS (SELECT src_id, tgt_id,
+          |      CAST(round(round(list_cosine_similarity(a.v, b.v), 6) * 1000000, 0) AS BIGINT) AS cos_e6 FROM a, b),
+          |f AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos_e6 DESC, tgt_id) AS rf FROM p),
+          |fk AS (SELECT src_id, tgt_id, cos_e6 FROM f WHERE rf <= 4),
+          |sx AS (SELECT src_id, sum(cos_e6) AS sx, count(*) AS kx FROM fk GROUP BY 1),
+          |g AS (SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY cos_e6 DESC, src_id) AS rb FROM p),
+          |sy AS (SELECT tgt_id, sum(cos_e6) AS sy, count(*) AS ky FROM g WHERE rb <= 4 GROUP BY 1),
+          |m AS (SELECT fk.src_id, fk.tgt_id, fk.cos_e6,
+          |      CAST((fk.cos_e6 * 2 * kx * ky * 1000000) // (sx * ky + sy * kx) AS BIGINT) AS margin_e6
+          |      FROM fk JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+          |      WHERE fk.cos_e6 > 0 AND (sx * ky + sy * kx) > 0),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin_e6 DESC, tgt_id) AS rr FROM m)
+          |SELECT src_id, tgt_id, cos_e6, margin_e6 FROM r WHERE rr = 1 AND margin_e6 >= 1050000""".stripMargin,
 
       // q143: per-(hash, source) counts, hash-keyed pair join, Σ n_a·n_b
       "q143_mirror_matrix" ->

@@ -73,6 +73,64 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos_sim"), col("rnk"))
   }
 
+  /** Margin-based BITEXT candidate mining — the LASER/CCMatrix criterion
+    * (Artetxe & Schwenk 2019 "ratio" margin, "max" strategy): for every
+    * source-language vector x, its best target-language pair y by
+    * margin(x, y) = cos(x, y) / ((avgTopK_x + avgTopK_y) / 2) — raw
+    * cosine over-selects hub vectors that sit close to EVERYTHING, the
+    * margin normalizes each side by its own neighborhood density. Emits
+    * (src_id, tgt_id, cos_e6, margin_e6) where margin_e6 ≥ `minMarginE6`
+    * (CCMatrix mines at ≈ 1.06).
+    *
+    * Determinism: cosines round to 6 (absorbing engine summation-order
+    * ulps, the q24/q25 policy) then integerize to micro-units, so the
+    * top-k sums and the margin are INTEGER arithmetic — margin_e6 =
+    * cos_e6·2·kx·ky·10⁶ div (sx·ky + sy·kx) exactly, no float order
+    * anywhere (the PQ-ADC policy). Candidates restrict to cos_e6 > 0 and
+    * positive denominators so `div`'s truncation ≡ floor in any engine
+    * (negative-similarity pairs are not bitext candidates).
+    *
+    * This is the EXACT path: the target side broadcasts (the [[
+    * bruteForceTopK]] posture) and every (src, tgt) cosine computes once;
+    * the per-side top-k prunes through WindowGroupLimit before either
+    * aggregation. At serving scale the pair set comes from IVF/LSH
+    * candidates instead (q47/q50 machinery) and the margin math is
+    * unchanged. `langs` is (doc_id, lang) with doc_id ≡ vec_id. */
+  def bitextMine(emb: DataFrame, langs: DataFrame, srcLang: String,
+      tgtLang: String, k: Int = 4, minMarginE6: Long = 1000000L): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val lv = langs.select(col("doc_id").as("vec_id"), col("lang"))
+    def side(lang: String, suffix: String) =
+      withNorm(emb.join(lv.filter(col("lang") === lang), "vec_id"), suffix)
+    val src = side(srcLang, "1")
+      .select(col("id1").as("src_id"), col("v1").as("sv"), col("n1").as("sn"))
+    val tgt = side(tgtLang, "2")
+      .select(col("id2").as("tgt_id"), col("v2").as("tv"), col("n2").as("tn"))
+    val cosE6 = round(round(dot(col("sv"), col("tv")) / (col("sn") * col("tn")), 6)
+      * 1000000.0, 0).cast("long")
+    val pairs = src.crossJoin(broadcast(tgt))
+      .select(col("src_id"), col("tgt_id"), cosE6.as("cos_e6"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id").orderBy(col("cos_e6").desc, col("tgt_id"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("tgt_id").orderBy(col("cos_e6").desc, col("src_id"))
+    val fwdK = pairs.withColumn("__rf", row_number().over(wf)).filter(col("__rf") <= k)
+    val sx = fwdK.groupBy("src_id")
+      .agg(sum("cos_e6").as("sx"), count(lit(1)).as("kx"))
+    val sy = pairs.withColumn("__rb", row_number().over(wb)).filter(col("__rb") <= k)
+      .groupBy("tgt_id").agg(sum("cos_e6").as("sy"), count(lit(1)).as("ky"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id").orderBy(col("margin_e6").desc, col("tgt_id"))
+    fwdK.join(sx, "src_id").join(sy, "tgt_id")
+      .filter(col("cos_e6") > 0 &&
+        col("sx") * col("ky") + col("sy") * col("kx") > 0)
+      .withColumn("margin_e6",
+        expr("(cos_e6 * 2 * kx * ky * 1000000) div (sx * ky + sy * kx)"))
+      .withColumn("__rr", row_number().over(wBest)).filter(col("__rr") === 1)
+      .filter(col("margin_e6") >= minMarginE6)
+      .select(col("src_id"), col("tgt_id"), col("cos_e6"), col("margin_e6"))
+  }
+
   /** Random-hyperplane LSH signature: `numPlanes` sign bits packed into a
     * long. Vectors with equal signatures are near-certain neighbors;
     * probing is a plain equi-join on `bucket`. Codegen'd

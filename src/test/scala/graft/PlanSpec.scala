@@ -344,6 +344,15 @@ class PlanSpec extends AnyFunSuite {
       "global score-ordered window crept in")
   }
 
+  test("bitext mining: target side broadcasts, top-k prunes via WindowGroupLimit") {
+    val p = plan("q144_bitext_mine")
+    // the exact path broadcasts the (smaller) target side like q25;
+    // both per-side top-k ranks must prune below their window shuffles
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"))
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("mirror matrix: per-(hash, source) counts partial-aggregate, equi-join only") {
     val p = plan("q143_mirror_matrix")
     assert(!p.contains("Window ["), "the matrix is aggregates + an equi-join")

@@ -125,6 +125,27 @@ class SelectionSpec extends AnyFunSuite {
     assert(r("https://c.com/") == (2L, 2L, "aa", 1L)) // tie → lexicographic
   }
 
+  // ---- bitextMine -------------------------------------------------------
+
+  test("bitextMine: hand-computed margins, hub normalization, best-per-source") {
+    // en: x1=(1,0), x2=(.6,.8); de: t1=(1,0), t2=(.8,.6) a "hub", t3=(0,1)
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.6f, 0.8f)),
+      (10L, Array(1f, 0f)), (11L, Array(0.8f, 0.6f)), (12L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val langs = Seq((0L, "en"), (1L, "en"), (10L, "de"), (11L, "de"), (12L, "de"))
+      .toDF("doc_id", "lang")
+    val r = Similarity.bitextMine(emb, langs, "en", "de", k = 2, minMarginE6 = 1000000L)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // x1→t1: cos 1.0; sx=1.8e6, sy(t1)=1.6e6 → 8e12 div 6.8e6 = 1176470
+    assert(r(0L) == ((10L, 1000000L, 1176470L)))
+    // x2's best is the SPARSE-neighborhood t3 (cos .8, margin 1.25) over
+    // the hub t2 (higher cos .96 but margin 1.09) — exactly the hubness
+    // correction the ratio margin exists for
+    assert(r(1L) == ((12L, 800000L, 1250000L)))
+    assert(r.size == 2)
+  }
+
   // ---- crossSourceDupMatrix ---------------------------------------------
 
   test("crossSourceDupMatrix: cross-source pair counts, within-source dups ignored") {
