@@ -57,17 +57,19 @@ import org.apache.spark.sql.SparkSession
   *    10×-smaller SF (derived from the directory's numeric suffix, any SF)
   *    so constant-vs-linear cost (CC per-round overhead vs data volume) is
   *    a measurement, not an assertion; and
-  *  - "stress10x": the five composed pipelines (q61 text, q96 crawl
-  *    front-end, q103 quality, q123 full crawl gate, q135 crawl loop) on a 10× id-offset
-  *    self-union of documents.parquet — the slope one decade UP,
-  *    duplicate-heavy by construction (see the section comment).
+  *  - "stress10x": the composed pipelines (q61 text, q96 crawl
+  *    front-end, q103 quality, q123 full crawl gate, q135 crawl loop,
+  *    q142 dsir selection) plus the distributed-ntile q138 on a 10×
+  *    id-offset self-union of documents.parquet — the slope one decade
+  *    UP, duplicate-heavy by construction (see the section comment).
   */
 object Bench {
   private val heavyTail = Seq(
     "q21_dedup_ngram_jaccard", "q41_dedup_clusters", "q46_dedup_lsh_clusters",
     "q47_embed_neardup_lsh", "q52_embed_neardup_lsh_prod", "q53_dedup_minhash_prod",
     "q61_pipeline_e2e", "q68_neardup_incremental", "q89_byte_spans",
-    "q98_neardup_indexed", "q100_bigram_lm", "q135_crawl_loop")
+    "q98_neardup_indexed", "q100_bigram_lm", "q135_crawl_loop",
+    "q138_perplexity_tiles", "q142_dsir_selection")
 
   /** Sibling directory one decade down: .../sfX → .../sf(X/10), exact
     * decimal arithmetic so 0.1 → 0.01 (not 0.010000000...). None when the
@@ -111,7 +113,9 @@ object Bench {
     }
     // 10× self-union stress for the COMPOSED pipelines (q61 text, q96
     // crawl front-end, q103 quality, q123 full crawl gate, q135 value-
-    // aware crawl loop): the
+    // aware crawl loop, q142 dsir→budget selection) + q138's distributed
+    // ntile (its histogram/local-rank decomposition is exactly the
+    // claim that must survive a decade up): the
     // heavy_tail ledger attributes growth downward
     // (sf/10); this point extends the measured slope one decade UP without
     // new testdata — documents.parquet union'd with 9 id-offset copies into
@@ -153,8 +157,11 @@ object Bench {
         val q103x10 = t2("q103_quality_pipeline")
         val q123x10 = t2("q123_crawl_gate_compose")
         val q135x10 = t2("q135_crawl_loop")
+        val q138x10 = t2("q138_perplexity_tiles")
+        val q142x10 = t2("q142_dsir_selection")
         f"""{"factor":10,"rows":$rows10,"q61_sec":$q61x10%.3f,"q96_sec":$q96x10%.3f,""" +
-          f""""q103_sec":$q103x10%.3f,"q123_sec":$q123x10%.3f,"q135_sec":$q135x10%.3f}"""
+          f""""q103_sec":$q103x10%.3f,"q123_sec":$q123x10%.3f,"q135_sec":$q135x10%.3f,""" +
+          f""""q138_sec":$q138x10%.3f,"q142_sec":$q142x10%.3f}"""
       } finally {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

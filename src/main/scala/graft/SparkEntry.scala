@@ -1900,6 +1900,12 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "lang"),
         srcLang = "en", tgtLang = "de", k = 4, minMarginE6 = 1050000L)),
 
+    // Shannon entropy signals (Dolma-family gibberish/template detector):
+    // char + word-unigram entropy, computed entirely in-row (sorted-run
+    // fold, zero shuffle)
+    "q145_entropy_stats" -> ((s, dir) =>
+      TextAnalysis.entropyStats(Tables.documents(s, dir))),
+
     // ---- training-data pipeline: similarity search ------------------------
     "q24_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)),
@@ -3212,6 +3218,23 @@ object SparkEntry {
           |      WHERE fk.cos_e6 > 0 AND (sx * ky + sy * kx) > 0),
           |r AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin_e6 DESC, tgt_id) AS rr FROM m)
           |SELECT src_id, tgt_id, cos_e6, margin_e6 FROM r WHERE rr = 1 AND margin_e6 >= 1050000""".stripMargin,
+
+      // q145: group-by entropy replay — H = ln N − Σ n·ln n / N per doc;
+      // the operator's in-row sorted-run fold and this group-by sum add
+      // the same terms in different orders, which round-6 absorbs (the
+      // q60 policy); empty-text docs excluded on both sides (the engines'
+      // char-split conventions diverge on '')
+      "q145_entropy_stats" ->
+        """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents WHERE len(text) > 0),
+          |cc AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY 1, 2),
+          |ce AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+          |       round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS char_entropy FROM cc GROUP BY doc_id),
+          |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents WHERE len(text) > 0),
+          |wc AS (SELECT doc_id, wd, count(*) AS n FROM w GROUP BY 1, 2),
+          |we AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+          |       round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS word_entropy FROM wc GROUP BY doc_id)
+          |SELECT ce.doc_id, n_chars, char_entropy, n_words, word_entropy
+          |FROM ce JOIN we ON ce.doc_id = we.doc_id""".stripMargin,
 
       // q143: per-(hash, source) counts, hash-keyed pair join, Σ n_a·n_b
       "q143_mirror_matrix" ->

@@ -731,6 +731,55 @@ object TextAnalysis {
         sum(col("dw")).as("word_delta"))
   }
 
+  /** Σ n·ln(n) over the equal-element runs of a SORTED string array,
+    * folded in-row: element j of a run contributes j·ln j − (j−1)·ln(j−1)
+    * (telescoping to n·ln n per run), so no per-run close-out state is
+    * needed and the fold stays a flat struct. Shared by both entropy
+    * signals; the caller must pass a sorted array. */
+  private def runNLnN(sortedArr: Column): Column =
+    aggregate(
+      sortedArr,
+      struct(lit("").as("prev"), lit(0L).as("r"), lit(0.0).as("s"), lit(true).as("first")),
+      (acc, x) => {
+        val r = when(acc("first") || x =!= acc("prev"), lit(1L)).otherwise(acc("r") + 1L)
+        val rd = r.cast("double")
+        val prevTerm = when(r === 1L, lit(0.0))
+          .otherwise((rd - 1.0) * log(rd - 1.0))
+        struct(x.as("prev"), r.as("r"),
+          (acc("s") + rd * log(rd) - prevTerm).as("s"), lit(false).as("first"))
+      },
+      acc => acc("s"))
+
+  /** Per-document Shannon ENTROPY signals — the Dolma/Gopher-family
+    * gibberish-and-template detector: character entropy (base64 blobs /
+    * binary-ish payloads score HIGH, single-character runs LOW) and word
+    * unigram entropy (templated/repetitive text scores LOW for its
+    * length). H = ln N − (Σ_v n_v·ln n_v)/N over the doc's own
+    * char/word counts, computed ENTIRELY in-row: sort the array, fold
+    * run lengths (the qualityRules longest-run idiom) — zero shuffle,
+    * map-side at 100 TB like stats/readability. round-6 on the
+    * transcendental outputs (the q60 policy). Empty-text docs are
+    * excluded (the engines' char-split conventions diverge on '');
+    * returns (doc_id, n_chars, char_entropy, n_words, word_entropy). */
+  def entropyStats(docs: DataFrame): DataFrame = {
+    val nonEmpty = docs.filter(length(col("text")) > 0)
+    val chars = array_sort(split(col("text"), ""))
+    val words = array_sort(col("__words"))
+    withWords(nonEmpty)
+      .withColumn("__sc", chars)
+      .withColumn("__sw", words)
+      .select(
+        col("doc_id"),
+        size(col("__sc")).cast("long").as("n_chars"),
+        round(log(size(col("__sc")).cast("double")) -
+          runNLnN(col("__sc")) / size(col("__sc")).cast("double"), 6)
+          .as("char_entropy"),
+        size(col("__sw")).cast("long").as("n_words"),
+        round(log(size(col("__sw")).cast("double")) -
+          runNLnN(col("__sw")) / size(col("__sw")).cast("double"), 6)
+          .as("word_entropy"))
+  }
+
   /** Cross-source VOCABULARY OVERLAP — the corpus-composition report
     * beside [[corpusDiff]]: for every pair of sources, the exact Jaccard
     * similarity of their distinct-word sets (how lexically alike two

@@ -344,6 +344,12 @@ class PlanSpec extends AnyFunSuite {
       "global score-ordered window crept in")
   }
 
+  test("entropy stats: zero exchanges — one in-row projection") {
+    val p = plan("q145_entropy_stats")
+    assert(!p.contains("Exchange"), "entropy must compute map-side (sorted-run fold)")
+    assert(!p.contains("Generate"), "no explode — counts fold in-row")
+  }
+
   test("bitext mining: target side broadcasts, top-k prunes via WindowGroupLimit") {
     val p = plan("q144_bitext_mine")
     // the exact path broadcasts the (smaller) target side like q25;

@@ -125,6 +125,26 @@ class SelectionSpec extends AnyFunSuite {
     assert(r("https://c.com/") == (2L, 2L, "aa", 1L)) // tie → lexicographic
   }
 
+  // ---- entropyStats -----------------------------------------------------
+
+  test("entropyStats: hand-computed entropies, degenerate and empty edges") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d = Seq(
+      (0L, "aaaa"), // one char class → H = 0; one word → H = 0
+      (1L, "ab ab"), // chars: a2 b2 ' '1 (N=5); words: "ab"×2 → H = 0
+      (2L, "abcd"), // uniform 4 chars → ln 4
+      (3L, "") // empty: excluded
+    ).toDF("doc_id", "text").withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val r = TextAnalysis.entropyStats(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2), x.getLong(3), x.getDouble(4)))
+      .toMap
+    assert(r.size == 3 && !r.contains(3L))
+    assert(r(0L) == ((4L, 0.0, 1L, 0.0)))
+    val h1 = r6(math.log(5) - (2 * math.log(2) + 2 * math.log(2)) / 5.0)
+    assert(r(1L)._1 == 5L && math.abs(r(1L)._2 - h1) < 2e-6 && r(1L)._4 == 0.0)
+    assert(math.abs(r(2L)._2 - r6(math.log(4))) < 2e-6)
+  }
+
   // ---- bitextMine -------------------------------------------------------
 
   test("bitextMine: hand-computed margins, hub normalization, best-per-source") {
