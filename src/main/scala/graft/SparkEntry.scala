@@ -918,6 +918,54 @@ object SparkEntry {
       |UNION ALL SELECT doc_id + 3000000, text, 'mirror0' FROM documents WHERE doc_id % 4 = 0
       |UNION ALL SELECT doc_id + 4000000, text, 'mirror1' FROM documents WHERE doc_id % 8 = 0""".stripMargin
 
+  /** Pinned C-like snippet for the q146/q147 code fixture: braces,
+    * semicolon line ends, two-space indentation — the modality gate's
+    * positive class, scoring far above [[operators.CodeAnalysis
+    * .defaultCodeThresholdE6]] while the prose corpus scores near zero. */
+  private[graft] val codeSnippet: String =
+    "int main(int argc, char **argv) {\n  int sum = 0;\n" +
+    "  for (int i = 0; i < argc; i++) {\n    sum += i;\n  }\n" +
+    "  return sum;\n}\n"
+
+  /** License headers for the q146 fixture, keyed by `doc_id % 11` residue
+    * and BUILT FROM [[operators.CodeAnalysis.licensePhrases]] (drift-free):
+    * SPDX tags, phrase fingerprints, an SPDX-over-conflicting-phrase case
+    * (5), and a non-permissive SPDX id exercising the `+` charset (6). */
+  private[graft] val licenseHeaders: Seq[(Int, String)] = {
+    val ph = operators.CodeAnalysis.licensePhrases.toMap
+    Seq(
+      0 -> "SPDX-License-Identifier: MIT\n",
+      1 -> (ph("Apache-2.0") + " (the License).\n"),
+      2 -> (ph("MIT") + ", to any person obtaining a copy.\n"),
+      3 -> (ph("BSD-3-Clause") + ", with or without modification.\n"),
+      4 -> (ph("GPL-3.0-only") + " as published by the Free Software Foundation.\n"),
+      5 -> ("SPDX-License-Identifier: Apache-2.0\n" + ph("GPL-3.0-only") + ".\n"),
+      6 -> "SPDX-License-Identifier: LGPL-2.1-or-later\n")
+  }
+
+  /** Derived code-corpus fixture (q146/q147): every %7 doc's text becomes
+    * [[codeSnippet]], then %11 residues prepend [[licenseHeaders]]. */
+  private[graft] def codeDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hdr = licenseHeaders.foldRight(lit("")) { case ((m, h), els) =>
+      when(col("doc_id") % 11 === m, lit(h)).otherwise(els)
+    }
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(hdr,
+        when(col("doc_id") % 7 === 0, lit(codeSnippet)).otherwise(col("text")))
+        .as("text"))
+  }
+
+  /** The q146/q147 oracles' copy of [[codeDocuments]]'s construction. */
+  private def codeFixtureSql: String = {
+    val cases = licenseHeaders.map { case (m, h) =>
+      s"WHEN doc_id % 11 = $m THEN ${sqlTextLit(h)}"
+    }.mkString(" ")
+    s"""SELECT doc_id, (CASE $cases ELSE '' END) ||
+       |  (CASE WHEN doc_id % 7 = 0 THEN ${sqlTextLit(codeSnippet)} ELSE text END) AS text
+       |FROM documents""".stripMargin
+  }
+
   /** The q137 DSIR chain as reusable CTEs (shared verbatim by q142's
     * selection oracle — drift-free): hashed buckets via the q40
     * '0x'-cast md5 idiom, both histograms from the same per-(doc,
@@ -1905,6 +1953,18 @@ object SparkEntry {
     // fold, zero shuffle)
     "q145_entropy_stats" -> ((s, dir) =>
       TextAnalysis.entropyStats(Tables.documents(s, dir))),
+
+    // SPDX/phrase license gate over the derived code fixture (The Stack's
+    // legal front door): tag wins, phrase fallback in priority order,
+    // permissive-set verdict — pure shuffle-free projection
+    "q146_license_detect" -> ((s, dir) =>
+      operators.CodeAnalysis.detectLicense(codeDocuments(s, dir))),
+
+    // code-vs-prose modality score: integer-micro symbol density +
+    // indent/line-end fractions, in-row and shuffle-free; the planted
+    // %7 snippet docs flag is_code, the prose corpus does not
+    "q147_code_score" -> ((s, dir) =>
+      operators.CodeAnalysis.codeScore(codeDocuments(s, dir))),
 
     // ---- training-data pipeline: similarity search ------------------------
     "q24_embed_neardup" -> ((s, dir) =>
@@ -3235,6 +3295,52 @@ object SparkEntry {
           |       round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS word_entropy FROM wc GROUP BY doc_id)
           |SELECT ce.doc_id, n_chars, char_entropy, n_words, word_entropy
           |FROM ce JOIN we ON ce.doc_id = we.doc_id""".stripMargin,
+
+      // q146: full replay — SPDX extraction with the operator's own regex,
+      // phrase CASE generated from the SAME priority list, IN-list from the
+      // SAME permissive set (drift-free)
+      "q146_license_detect" -> {
+        val phraseCase = operators.CodeAnalysis.licensePhrases.map {
+          case (id, p) => s"WHEN contains(text, ${sqlTextLit(p)}) THEN '$id'"
+        }.mkString(" ")
+        val permissive = operators.CodeAnalysis.permissiveIds.toSeq.sorted
+          .map(i => s"'$i'").mkString(", ")
+        s"""WITH cd AS ($codeFixtureSql),
+           |x AS (SELECT doc_id,
+           |  regexp_extract(text, '${operators.CodeAnalysis.spdxRe}', 1) AS spdx,
+           |  CASE $phraseCase ELSE 'none' END AS phrase FROM cd),
+           |v AS (SELECT doc_id,
+           |  CASE WHEN spdx <> '' THEN spdx ELSE phrase END AS license,
+           |  CASE WHEN spdx <> '' THEN 'spdx'
+           |       WHEN phrase <> 'none' THEN 'phrase'
+           |       ELSE 'none' END AS detection FROM x)
+           |SELECT doc_id, license, detection,
+           |  license IN ($permissive) AS permissive FROM v""".stripMargin
+      },
+
+      // q147: integer-count replay — translate-delta symbol count, line
+      // splits on chr(10), starts_with/ends_with filters, micro score via
+      // `//` (≡ div on the non-negative operands)
+      "q147_code_score" ->
+        s"""WITH cd AS ($codeFixtureSql),
+           |s AS (SELECT doc_id,
+           |  greatest(len(text), 1)::BIGINT AS nc,
+           |  (len(text) - len(translate(text, '${operators.CodeAnalysis.symbolChars}', '')))::BIGINT AS n_symbols,
+           |  len(string_split(text, chr(10)))::BIGINT AS n_lines,
+           |  len(list_filter(string_split(text, chr(10)),
+           |    l -> starts_with(l, '  ') OR starts_with(l, chr(9))))::BIGINT AS n_indented,
+           |  len(list_filter(string_split(text, chr(10)),
+           |    l -> ends_with(l, ';') OR ends_with(l, '{') OR ends_with(l, '}')))::BIGINT AS n_punct_end
+           |  FROM cd)
+           |SELECT doc_id, n_symbols, n_lines, n_indented, n_punct_end,
+           |  CAST(4 * ((1000000 * n_symbols) // nc)
+           |     + 2 * ((1000000 * n_indented) // n_lines)
+           |     + 2 * ((1000000 * n_punct_end) // n_lines) AS BIGINT) AS score_e6,
+           |  (4 * ((1000000 * n_symbols) // nc)
+           |     + 2 * ((1000000 * n_indented) // n_lines)
+           |     + 2 * ((1000000 * n_punct_end) // n_lines))
+           |    >= ${operators.CodeAnalysis.defaultCodeThresholdE6} AS is_code
+           |FROM s""".stripMargin,
 
       // q143: per-(hash, source) counts, hash-keyed pair join, Σ n_a·n_b
       "q143_mirror_matrix" ->
