@@ -1966,6 +1966,13 @@ object SparkEntry {
     "q147_code_score" -> ((s, dir) =>
       operators.CodeAnalysis.codeScore(codeDocuments(s, dir))),
 
+    // content-defined chunking at word granularity (LBFS/restic family)
+    // over the duplicated fixture: md5-bucket boundaries, in-row linear
+    // fold, one row per chunk — planted full-doc duplicates share every
+    // chunk hash, the substrate for storage-level dedup
+    "q148_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(dupDocuments(s, dir), divisor = 16)),
+
     // ---- training-data pipeline: similarity search ------------------------
     "q24_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)),
@@ -3341,6 +3348,29 @@ object SparkEntry {
            |     + 2 * ((1000000 * n_punct_end) // n_lines))
            |    >= ${operators.CodeAnalysis.defaultCodeThresholdE6} AS is_code
            |FROM s""".stripMargin,
+
+      // q148: window replay of the in-row CDC fold — chunk index = count of
+      // boundary words strictly BEFORE each position, chunk text via
+      // ordered string_agg (the fold's has-flag join is defined to match it
+      // exactly), boundary = 16-bit md5 bucket ≡ 0 mod 16 (the q40 idiom)
+      "q148_cdc_chunks" ->
+        s"""WITH dd AS ($dupFixtureSql),
+           |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dd WHERE len(text) > 0),
+           |t AS (SELECT doc_id, CAST(i AS INT) AS pos, ws[i+1] AS word
+           |      FROM w, UNNEST(range(0, len(ws))) t(i)),
+           |b AS (SELECT doc_id, pos, word,
+           |      CASE WHEN ('0x' || substr(md5(word), 1, 4))::INT % 16 = 0
+           |           THEN 1 ELSE 0 END AS bd FROM t),
+           |c AS (SELECT doc_id, pos, word,
+           |      COALESCE(sum(bd) OVER (PARTITION BY doc_id ORDER BY pos
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+           |      FROM b),
+           |ch AS (SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+           |       string_agg(word, ' ' ORDER BY pos) AS ctext,
+           |       CAST(count(*) AS BIGINT) AS n_words
+           |       FROM c GROUP BY doc_id, ci)
+           |SELECT doc_id, chunk_idx, n_words, md5(ctext) AS chunk_hash
+           |FROM ch""".stripMargin,
 
       // q143: per-(hash, source) counts, hash-keyed pair join, Σ n_a·n_b
       "q143_mirror_matrix" ->

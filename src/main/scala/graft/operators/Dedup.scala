@@ -1061,4 +1061,57 @@ object Dedup {
       .filter(col("edit_dist") >= 0)
       .select(col("id1"), col("id2"), col("edit_dist"))
   }
+
+  /** Content-defined chunking (CDC) — the storage-dedup primitive under
+    * systems like LBFS/restic/borg, here at WORD granularity so the SQL
+    * oracle replays it: a chunk boundary falls AFTER every word whose
+    * 16-bit md5 bucket (the q40 `hashBucket16` idiom) is ≡ 0 mod `divisor`,
+    * giving expected chunk length `divisor` words. Because each boundary
+    * depends only on the word AT the boundary, an edit inside one chunk
+    * never shifts any other chunk's boundaries — exactly the property that
+    * lets near-duplicate documents share every chunk outside the edited
+    * region, where fixed-size chunking would misalign the whole tail.
+    *
+    * Entirely IN-ROW: one higher-order `aggregate` fold builds the chunk
+    * texts left-to-right (linear, no per-word explode, no shuffle), then
+    * posexplode emits one row per chunk — (doc_id, chunk_idx, n_words,
+    * chunk_hash). Cross-doc sharing is then a plain groupBy on chunk_hash.
+    * The fold tracks an explicit `has` flag rather than testing `cur = ''`
+    * so empty words (doubled spaces) join exactly like the oracle's
+    * `string_agg(word, ' ')`. Docs with empty/null text emit no chunks
+    * (documented, the q63 convention).
+    *
+    * At 100 TB: the fold is map-side per document; only (hash, counts)
+    * ever needs to shuffle for the dedup report — the text never does.
+    */
+  def cdcChunks(docs: DataFrame, divisor: Int = 16): DataFrame = {
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val words = split(col("text"), " ", -1)
+    val folded = aggregate(
+      words,
+      struct(
+        array().cast("array<string>").as("done"),
+        lit("").as("cur"),
+        lit(false).as("has")),
+      (acc, w) => {
+        val joined = when(acc.getField("has"),
+          concat(acc.getField("cur"), lit(" "), w)).otherwise(w)
+        val isB = conv(substring(md5(w), 1, 4), 16, 10)
+          .cast("int") % divisor === 0
+        struct(
+          when(isB, concat(acc.getField("done"), array(joined)))
+            .otherwise(acc.getField("done")).as("done"),
+          when(isB, lit("")).otherwise(joined).as("cur"),
+          when(isB, lit(false)).otherwise(lit(true)).as("has"))
+      },
+      acc => when(acc.getField("has"),
+        concat(acc.getField("done"), array(acc.getField("cur"))))
+        .otherwise(acc.getField("done")))
+    docs
+      .filter(length(coalesce(col("text"), lit(""))) > 0)
+      .select(col("doc_id"), posexplode(folded))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        size(split(col("col"), " ", -1)).cast("long").as("n_words"),
+        md5(col("col")).as("chunk_hash"))
+  }
 }

@@ -1149,4 +1149,39 @@ class OperatorsSpec extends AnyFunSuite {
     val base = rows.map(r => r.getAs[Int]("shard") -> r.getAs[Long]("checksum")).toMap
     assert(tweaked.count { case (s, c) => base(s) != c } == 1)
   }
+
+  private def cdc(rows: (Long, String)*): Map[Long, Seq[(Int, Long, String)]] =
+    Dedup.cdcChunks(rows.toDF("doc_id", "text"), divisor = 4)
+      .collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getString(3))))
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).sortBy(_._1).toSeq }
+
+  test("cdcChunks: word totals, duplicate docs share every chunk, empty drops") {
+    val text = (1 to 40).map(i => s"w$i word$i tok$i").mkString(" ")
+    val out = cdc(0L -> text, 1L -> text, 2L -> "", 3L -> (null: String),
+      4L -> "lone")
+    assert(!out.contains(2L) && !out.contains(3L)) // empty/null emit nothing
+    assert(out(4L) == Seq((0, 1L, out(4L).head._3))) // one 1-word chunk
+    // chunk word counts sum to the doc's word count
+    assert(out(0L).map(_._2).sum == 120L)
+    // identical text => identical chunk sequence (hashes and sizes)
+    assert(out(0L) == out(1L))
+  }
+
+  test("cdcChunks: appending a suffix leaves all completed chunks intact") {
+    val text = (1 to 60).map(i => s"item$i thing$i").mkString(" ")
+    val a = cdc(0L -> text)(0L)
+    val b = cdc(0L -> (text + " " + (1 to 10).map(i => s"extra$i").mkString(" ")))(0L)
+    assert(a.size >= 3, s"fixture should chunk: got ${a.size}") // divisor 4 on 120 words
+    // every chunk of the original except (possibly) the trailing partial one
+    // reappears verbatim at the same index — the CDC stability property that
+    // fixed-size chunking lacks
+    assert(b.take(a.size - 1) == a.take(a.size - 1))
+  }
+
+  test("cdcChunks: double-space empty words join like the oracle's string_agg") {
+    val out = cdc(0L -> "a  b")(0L) // words: [a, '', b]
+    assert(out.map(_._2).sum == 3L)
+  }
 }
