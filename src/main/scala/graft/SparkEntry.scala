@@ -889,6 +889,26 @@ object SparkEntry {
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
   }
 
+  /** Synthetic image corpus for the perceptual-hash queries (q149): every
+    * doc_id % 7 == 0 document renders
+    * [[operators.Multimodal.testPatternPng]](doc_id % 13) — equal render
+    * params mean the SAME picture — with the odd half pixel-replicated 2×,
+    * so perceptual duplicates differ in payload bytes AND resolution while
+    * byte-level hashing would find nothing. Rendered executor-side per
+    * partition (the testdata ships no binary media column; the render is
+    * the deterministic stand-in for a lakehouse image table). */
+  private[graft] def imageRecords(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[operators.MediaRecord] = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        operators.MediaRecord(id, "image/png",
+          Multimodal.testPatternPng(id % 13, scale = if (id % 2 == 1) 2 else 1))
+      })
+  }
+
   /** The q139 oracle's copy of [[dupDocuments]]'s construction. */
   private def dupFixtureSql: String =
     """SELECT doc_id, text FROM documents
@@ -1972,6 +1992,18 @@ object SparkEntry {
     // chunk hash, the substrate for storage-level dedup
     "q148_cdc_chunks" -> ((s, dir) =>
       Dedup.cdcChunks(dupDocuments(s, dir), divisor = 16)),
+
+    // perceptual image dedup over REAL pixels: render the deterministic
+    // test-pattern corpus (equal param ⇒ same PICTURE; the odd half at 2×
+    // pixel replication, so duplicates differ in bytes AND resolution),
+    // decode with the JDK codecs, dHash, banded Hamming join. The oracle
+    // never sees pixels — it pairs docs on the render parameter, exactly
+    // the Hamming-0 set the scale-invariant hash must recover (q136's
+    // structural-replay pattern)
+    "q149_image_phash_dedup" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
+    }),
 
     // ---- training-data pipeline: similarity search ------------------------
     "q24_embed_neardup" -> ((s, dir) =>
@@ -3371,6 +3403,17 @@ object SparkEntry {
            |       FROM c GROUP BY doc_id, ci)
            |SELECT doc_id, chunk_idx, n_words, md5(ctext) AS chunk_hash
            |FROM ch""".stripMargin,
+
+      // q149: the structural replay (q136 pattern) — the oracle never sees
+      // pixels; it pairs image docs on the RENDER PARAMETER, which is by
+      // construction exactly the set of picture-identical pairs the
+      // scale-invariant dHash must recover at Hamming 0 (equal param ⇒
+      // same picture ⇒ equal hash even across the 2× resolution split;
+      // distinct params ⇒ independent 64-bit gradient signatures)
+      "q149_image_phash_dedup" ->
+        """WITH im AS (SELECT doc_id, doc_id % 13 AS p FROM documents WHERE doc_id % 7 = 0)
+          |SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(0 AS INT) AS hamming
+          |FROM im a JOIN im b ON a.p = b.p AND a.doc_id < b.doc_id""".stripMargin,
 
       // q143: per-(hash, source) counts, hash-keyed pair join, Σ n_a·n_b
       "q143_mirror_matrix" ->

@@ -510,11 +510,21 @@ object Dedup {
     * recall, not a guarantee. Reports the exact Hamming distance.
     * `portableHash` selects [[simHash]]'s engine-portable md5 word hash. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
-      portableHash: Boolean = false): DataFrame = {
-    val sigs = simHash(docs, portableHash)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+      portableHash: Boolean = false): DataFrame =
+    hammingPairs64(simHash(docs, portableHash), "simhash", maxHamming)
+
+  /** Shared banded Hamming pair-finder over ANY 64-bit signature column —
+    * the engine behind [[simHashPairs]] and the perceptual image-hash dedup
+    * ([[Multimodal.dHashDupPairs]]). Bands the signature into four 16-bit
+    * equi-join keys (pigeonhole-complete for Hamming ≤ 3), dedups candidate
+    * pairs map-side, then verifies the exact distance with one bit_count.
+    * Input: (doc_id, `sigCol`: BIGINT); output: (doc1, doc2, hamming).
+    * 100 TB shape: the only shuffle is the band equi-join on a bounded
+    * 18-bit key space — no signature ever compares against the full corpus. */
+  def hammingPairs64(sigs: DataFrame, sigCol: String, maxHamming: Int): DataFrame = {
+    val banded = sigs.select(col("doc_id"), col(sigCol).as("__sig"),
       posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+        shiftrightunsigned(col(sigCol), b * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     val hamming = {
       val x = col("s1").bitwiseXOR(col("s2"))
@@ -525,7 +535,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+        col("a.__sig").as("s1"), col("b.__sig").as("s2"))
       .distinct()
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)

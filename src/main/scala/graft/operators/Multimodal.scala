@@ -265,4 +265,117 @@ object Multimodal {
       }
     }
   }
+
+  // ---- perceptual image hashing (near-dup dedup over REAL pixels) ---------
+
+  /** 64-bit difference hash (dHash) of one decoded image — the classic
+    * perceptual image fingerprint: area-average the pixels onto a 9-wide ×
+    * 8-tall grayscale grid, then set bit (row*8 + col) when grid(col,row) >
+    * grid(col+1,row) (the horizontal luminance gradient). ALL arithmetic is
+    * integer — cell boundaries are floor(col*w/9), cell values are
+    * floor(Σ(r+g+b) / (3·count)) — so the hash is bit-reproducible on any
+    * JVM and, critically, INVARIANT under exact k× pixel replication when
+    * 9 | w and 8 | h (each upscaled cell is the k²-replicated original cell,
+    * and kS/k²n and S/n have equal floors): a re-encoded OR
+    * integer-upscaled copy of the same picture hashes identically, which is
+    * what makes this a perceptual dedup key rather than a byte checksum.
+    * Returns None for undecodable payloads or images smaller than the grid
+    * (w < 9 or h < 8 leaves empty cells — no meaningful gradient exists). */
+  private[operators] def dHash64One(img: java.awt.image.BufferedImage): Option[Long] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w < 9 || h < 8) None
+    else {
+      val grid = Array.ofDim[Long](8, 9)
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 9) {
+          val x0 = cx * w / 9; val x1 = (cx + 1) * w / 9
+          val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          grid(cy)(cx) = sum / (3L * (x1 - x0) * (y1 - y0))
+          cx += 1
+        }
+        cy += 1
+      }
+      var bits = 0L
+      var row = 0
+      while (row < 8) {
+        var c = 0
+        while (c < 8) {
+          if (grid(row)(c) > grid(row)(c + 1)) bits |= 1L << (row * 8 + c)
+          c += 1
+        }
+        row += 1
+      }
+      Some(bits)
+    }
+  }
+
+  /** Per-image dHash over a media table: decode (JDK codecs) → 9×8 integer
+    * area-average → 64-bit gradient hash. Same mapPartitions boundary as
+    * every decode stage — payload bytes never shuffle, only (doc_id, dhash)
+    * does. Undecodable / sub-grid images drop (the crawl posture). */
+  def dHash64(records: Dataset[MediaRecord])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    records.mapPartitions(_.flatMap { rec =>
+      decodeBuffered(rec.payload).flatMap(dHash64One).map(h => (rec.doc_id, h))
+    }).toDF("doc_id", "dhash")
+  }
+
+  /** Perceptual near-dup image pairs: [[dHash64]] signatures through the
+    * shared banded Hamming pair-finder ([[Dedup.hammingPairs64]] — four
+    * 16-bit band keys, equi-join, exact bit_count verify; complete for
+    * Hamming ≤ 3). At 100 TB the heavy decode is embarrassingly parallel
+    * and the join runs over 8-byte signatures only. */
+  def dHashDupPairs(records: Dataset[MediaRecord], maxHamming: Int = 0)(
+      implicit spark: SparkSession): DataFrame =
+    Dedup.hammingPairs64(dHash64(records), "dhash", maxHamming)
+
+  /** Deterministic PNG test pattern: 36×32 pseudo-random grayscale pixels
+    * from a splitmix-style integer generator seeded by `param`, optionally
+    * pixel-replicated `scale`×. Two calls with equal `param` render the
+    * SAME picture at (possibly) different resolutions and byte payloads —
+    * the ground truth the perceptual-hash oracle needs without shipping
+    * binary fixtures. 36 and 32 are multiples of 9 and 8, so [[dHash64One]]
+    * is exactly scale-invariant on these patterns (see its scaladoc). */
+  def testPatternPng(param: Long, scale: Int = 1): Array[Byte] = {
+    val (bw, bh) = (36, 32)
+    val img = new java.awt.image.BufferedImage(
+      bw * scale, bh * scale, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var state = param * 0x9e3779b97f4a7c15L + 0x632be59bd9b4e019L
+    var y = 0
+    while (y < bh) {
+      var x = 0
+      while (x < bw) {
+        state = state * 6364136223846793005L + 1442695040888963407L
+        val luma = ((state >>> 33) & 0xff).toInt
+        val rgb = (luma << 16) | (luma << 8) | luma
+        var dy = 0
+        while (dy < scale) {
+          var dx = 0
+          while (dx < scale) {
+            img.setRGB(x * scale + dx, y * scale + dy, rgb)
+            dx += 1
+          }
+          dy += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 }

@@ -499,6 +499,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rluma == Map(1L -> 60.0, 2L -> 120.0))
   }
 
+  test("dHash: scale-invariant on divisible grids, encoding-invariant, sub-grid drops") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // equal render param at 1× and 2× → SAME 64-bit hash (the area-average
+    // floor identity); distinct params → independent signatures
+    val recs = spark.createDataset(Seq(
+      MediaRecord(1L, "image/png", Multimodal.testPatternPng(5L, scale = 1)),
+      MediaRecord(2L, "image/png", Multimodal.testPatternPng(5L, scale = 2)),
+      MediaRecord(3L, "image/png", Multimodal.testPatternPng(6L, scale = 1)),
+      MediaRecord(4L, "image/png", Multimodal.testPatternPng(6L, scale = 3)),
+      // 8×4 image: narrower than the 9-wide grid → dropped, not hashed
+      MediaRecord(5L, "image/png", {
+        val im = new java.awt.image.BufferedImage(8, 4,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", bos); bos.toByteArray
+      })
+    ))(org.apache.spark.sql.Encoders.product[MediaRecord])
+    val h = Multimodal.dHash64(recs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.keySet == Set(1L, 2L, 3L, 4L))
+    assert(h(1L) == h(2L) && h(3L) == h(4L) && h(1L) != h(3L))
+    // a BMP re-encode of the SAME pixels hashes identically (perceptual,
+    // not byte-level): decode the png, re-encode as bmp, hash both
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.testPatternPng(5L)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+    val recs2 = spark.createDataset(Seq(
+      MediaRecord(10L, "image/bmp", bos.toByteArray)
+    ))(org.apache.spark.sql.Encoders.product[MediaRecord])
+    val h2 = Multimodal.dHash64(recs2).collect().head.getLong(1)
+    assert(h2 == h(1L))
+    // the pair-finder recovers exactly the equal-param pairs at Hamming 0
+    val pairs = Multimodal.dHashDupPairs(recs, maxHamming = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0), (3L, 4L, 0)))
+  }
+
   test("real audio decode: JDK WAV parser yields exact format and duration") {
     import javax.sound.sampled._
     // encode a REAL wav in-process: 8 kHz mono 16-bit PCM, 1600 samples = 200 ms
