@@ -2005,6 +2005,16 @@ object SparkEntry {
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
 
+    // UniMax budget allocation across sources: ascending-size walk, each
+    // source takes min(epochCap·size, fair share of what's left) — pure
+    // integer arithmetic, so the oracle replays the walk as a recursive
+    // CTE. budget 52k at sf0.001 makes the 2-epoch cap BIND on the small
+    // sources (their rollover funds the larger ones); at bigger SFs the
+    // same literals exercise the uncapped uniform regime
+    "q150_unimax_mix" -> ((s, dir) =>
+      operators.Sampling.uniMaxMix(Tables.documents(s, dir),
+        budget = 52000L, epochCap = 2)),
+
     // ---- training-data pipeline: similarity search ------------------------
     "q24_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)),
@@ -3414,6 +3424,31 @@ object SparkEntry {
         """WITH im AS (SELECT doc_id, doc_id % 13 AS p FROM documents WHERE doc_id % 7 = 0)
           |SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(0 AS INT) AS hamming
           |FROM im a JOIN im b ON a.p = b.p AND a.doc_id < b.doc_id""".stripMargin,
+
+      // q150: the UniMax walk as a recursive CTE — sources ascending by
+      // (n_tokens, source), state = budget remaining after each step; the
+      // per-source take is min(cap, rem // sources_left), all floor-integer
+      "q150_unimax_mix" ->
+        """WITH RECURSIVE c AS (
+          |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          |  FROM documents GROUP BY 1),
+          |o AS (
+          |  SELECT source, n_tokens,
+          |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS rn,
+          |    CAST(count(*) OVER () AS BIGINT) AS m
+          |  FROM c),
+          |walk AS (
+          |  SELECT CAST(0 AS BIGINT) AS rn, CAST(52000 AS BIGINT) AS rem
+          |  UNION ALL
+          |  SELECT o.rn, walk.rem - least(o.n_tokens * 2, walk.rem // (o.m - walk.rn))
+          |  FROM walk JOIN o ON o.rn = walk.rn + 1)
+          |SELECT o.source, o.n_tokens,
+          |  least(o.n_tokens * 2, w.rem // (o.m - o.rn + 1)) AS alloc_tokens,
+          |  CASE WHEN o.n_tokens > 0
+          |    THEN least(o.n_tokens * 2, w.rem // (o.m - o.rn + 1)) * 1000000 // o.n_tokens
+          |    ELSE 0 END AS epochs_e6,
+          |  least(o.n_tokens * 2, w.rem // (o.m - o.rn + 1)) * 1000000 // 52000 AS share_e6
+          |FROM o JOIN walk w ON w.rn = o.rn - 1""".stripMargin,
 
       // q143: per-(hash, source) counts, hash-keyed pair join, Σ n_a·n_b
       "q143_mirror_matrix" ->

@@ -273,4 +273,50 @@ object Sampling {
     }
     keepAll.select(outCols: _*).unionByName(atBoundary.select(outCols: _*))
   }
+
+  /** UniMax source allocation (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling") — distribute a total token `budget`
+    * across sources as uniformly as possible subject to a per-source
+    * repetition cap of `epochCap` epochs: walk sources ASCENDING by size;
+    * each takes min(its cap, remaining budget ÷ remaining sources), and
+    * whatever a small source can't absorb rolls forward to the larger ones.
+    * The published fix for both natural-proportion (head-language-dominated)
+    * and temperature mixing (tail languages repeated hundreds of epochs).
+    *
+    * ALL arithmetic is integer (floor division), so the allocation is
+    * bit-reproducible in any engine — the oracle replays the walk as a
+    * recursive CTE. Output: one row per source —
+    * (source, n_tokens, alloc_tokens, epochs_e6, share_e6), epochs/share in
+    * integer micro-units of alloc/n_tokens and alloc/budget.
+    *
+    * 100 TB shape: the per-source sizes are ONE partial-aggregated groupBy
+    * over (source, weight); the walk itself runs on the driver over the
+    * per-source rows — bounded by construction (sources are a handful of
+    * corpus slices, the IVF-centroids collect convention), and inherently
+    * sequential: each source's take depends on every smaller source's.
+    * Micro-unit numerators cap at alloc·10⁶ — callers above ~9·10¹² tokens
+    * per source should rescale the budget unit (e.g. kilotokens) before
+    * the walk; the allocation itself only ever DIVIDES, so it never
+    * overflows first. */
+  def uniMaxMix(docs: DataFrame, budget: Long, epochCap: Int,
+      sourceCol: String = "source",
+      weight: Column = size(split(col("text"), " ")).cast("long")): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(epochCap > 0, s"epochCap must be positive, got $epochCap")
+    val spark = docs.sparkSession
+    val sizes = docs.groupBy(sourceCol)
+      .agg(coalesce(sum(weight), lit(0L)).as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (s, n) => (n, s) } // the walk's ascending-size order
+    var rem = budget
+    var m = sizes.length.toLong
+    val rows = sizes.map { case (src, n) =>
+      val alloc = math.min(n * epochCap, rem / m)
+      rem -= alloc; m -= 1
+      (src, n, alloc, if (n > 0) alloc * 1000000L / n else 0L,
+        alloc * 1000000L / budget)
+    }
+    spark.createDataFrame(rows.toSeq)
+      .toDF(sourceCol, "n_tokens", "alloc_tokens", "epochs_e6", "share_e6")
+  }
 }

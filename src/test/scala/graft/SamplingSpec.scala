@@ -139,4 +139,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(ids(400) == Set(0L, 2L, 4L) + 1L) // first null (md5 order) joins
     assert(ids(500) == Set(0L, 1L, 2L, 3L, 4L))
   }
+
+  test("uniMaxMix: ascending walk, cap binds small sources, rollover funds large ones") {
+    // sizes 10 / 40 / 100, budget 120, cap 2 epochs. Walk ascending:
+    //   a (10): min(20, 120//3=40) = 20  → rem 100
+    //   b (40): min(80, 100//2=50) = 50  → rem 50
+    //   c (100): min(200, 50//1)   = 50  → rem 0
+    // a is CAPPED (2 epochs exactly); its unused fair share rolls to b, c.
+    val fx = (Seq.fill(10)("a") ++ Seq.fill(40)("b") ++ Seq.fill(100)("c"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s, "w") }
+      .toDF("doc_id", "source", "text") // 1 word per doc → n_tokens = rows
+    val got = Sampling.uniMaxMix(fx, budget = 120L, epochCap = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((10L, 20L, 2000000L, 166666L)))
+    assert(got("b") == ((40L, 50L, 1250000L, 416666L)))
+    assert(got("c") == ((100L, 50L, 500000L, 416666L)))
+    // caps bind everywhere → total allocation is the capped corpus, not
+    // the budget (nothing left to roll anywhere)
+    val capped = Sampling.uniMaxMix(fx, budget = 1000L, epochCap = 2)
+      .collect().map(r => r.getLong(2)).sum
+    assert(capped == 300L)
+  }
 }
