@@ -375,6 +375,42 @@ object SparkEntry {
       when(col("doc_id") % 4 === 1, lit("#s")).otherwise(lit(""))).as("url"))
   }
 
+  /** Derived trap-URL fixture (q151): five URL shapes per doc_id % 10 —
+    * a deep generator path (11 segments), a /a/b/a/b/a/b relative-link
+    * loop, a faceted-search param bomb (6 params), an unbounded
+    * session-id page (one digit-masked template covering a tenth of the
+    * corpus — the only signal that needs corpus evidence), and a benign
+    * majority confined to 6 distinct URLs. Every signal fires on exactly
+    * one planted class and the benign class trips none. */
+  private[graft] def trapUrlDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val id = col("doc_id")
+    Tables.documents(s, dir).select(id,
+      when(id % 10 === 1,
+        concat(lit("http://deep.example.com/s0/s1/s2/s3/s4/s5/s6/s7/s8/s9/"),
+          (id % 5).cast("string")))
+      .when(id % 10 === 2,
+        concat(lit("http://loop.example.com/a/b/a/b/a/b/"), (id % 5).cast("string")))
+      .when(id % 10 === 3,
+        concat(lit("http://q.example.com/p?a=1&b=2&c=3&d=4&e=5&f="),
+          (id % 5).cast("string")))
+      .when(id % 10 === 4,
+        concat(lit("http://cal.example.com/ev?sid="), id.cast("string")))
+      .otherwise(concat(lit("http://ok"), (id % 2).cast("string"),
+        lit(".example.com/p/"), (id % 3).cast("string"),
+        lit("/q/"), (id % 2).cast("string"))).as("url"))
+  }
+
+  /** The q151 oracle's copy of [[trapUrlDocuments]]'s construction. */
+  private def trapUrlFixtureSql: String =
+    """SELECT doc_id, CASE
+      |  WHEN doc_id % 10 = 1 THEN 'http://deep.example.com/s0/s1/s2/s3/s4/s5/s6/s7/s8/s9/' || CAST(doc_id % 5 AS VARCHAR)
+      |  WHEN doc_id % 10 = 2 THEN 'http://loop.example.com/a/b/a/b/a/b/' || CAST(doc_id % 5 AS VARCHAR)
+      |  WHEN doc_id % 10 = 3 THEN 'http://q.example.com/p?a=1&b=2&c=3&d=4&e=5&f=' || CAST(doc_id % 5 AS VARCHAR)
+      |  WHEN doc_id % 10 = 4 THEN 'http://cal.example.com/ev?sid=' || CAST(doc_id AS VARCHAR)
+      |  ELSE 'http://ok' || CAST(doc_id % 2 AS VARCHAR) || '.example.com/p/' || CAST(doc_id % 3 AS VARCHAR) || '/q/' || CAST(doc_id % 2 AS VARCHAR)
+      |END AS url FROM documents""".stripMargin
+
   /** Pinned robots.txt bodies for the q115 fixture, keyed by domain index
     * (= doc_id % 7, the [[urlDocuments]] domains). Domain 1 serves NO
     * robots.txt (missing-row ⇒ allowed). Every RFC 9309 mechanism the
@@ -2015,6 +2051,12 @@ object SparkEntry {
       operators.Sampling.uniMaxMix(Tables.documents(s, dir),
         budget = 52000L, epochCap = 2)),
 
+    // crawl-trap detection over the planted fixture: depth, segment-loop,
+    // param-bomb (in-row folds) and digit-masked template explosion (one
+    // census groupBy); each trap class trips exactly one signal
+    "q151_crawl_traps" -> ((s, dir) =>
+      operators.UrlOps.crawlTraps(trapUrlDocuments(s, dir))),
+
     // ---- training-data pipeline: similarity search ------------------------
     "q24_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)),
@@ -3449,6 +3491,28 @@ object SparkEntry {
           |    ELSE 0 END AS epochs_e6,
           |  least(o.n_tokens * 2, w.rem // (o.m - o.rn + 1)) * 1000000 // 52000 AS share_e6
           |FROM o JOIN walk w ON w.rn = o.rn - 1""".stripMargin,
+
+      // q151: full replay of the trap signals — the same path regex, the
+      // same in-list lambda folds (depth / max repeat / param count), the
+      // same digit-mask census; thresholds 8/3/5/40 mirrored as literals
+      "q151_crawl_traps" ->
+        s"""WITH f AS ($trapUrlFixtureSql),
+           |s AS (SELECT doc_id, url,
+           |  regexp_replace(url, '[0-9]+', '0', 'g') AS tpl,
+           |  list_filter(string_split(regexp_extract(url, '${operators.UrlOps.pathRe}', 1), '/'), x -> x <> '') AS segs,
+           |  regexp_extract(url, '\\?([^#]*)', 1) AS q
+           |  FROM f),
+           |t AS (SELECT doc_id, tpl,
+           |  CAST(len(segs) AS INT) AS depth,
+           |  CAST(coalesce(list_max(list_transform(segs, s1 -> len(list_filter(segs, x -> x = s1)))), 0) AS INT) AS max_seg_repeat,
+           |  CAST(CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END AS INT) AS n_params
+           |  FROM s),
+           |c AS (SELECT tpl, count(DISTINCT url) AS n_template_urls FROM s GROUP BY 1)
+           |SELECT t.doc_id, t.depth, t.max_seg_repeat, t.n_params,
+           |  CAST(c.n_template_urls AS BIGINT) AS n_template_urls,
+           |  (t.depth > 8 OR t.max_seg_repeat >= 3 OR t.n_params > 5
+           |    OR c.n_template_urls >= 40) AS is_trap
+           |FROM t JOIN c ON t.tpl = c.tpl""".stripMargin,
 
       // q143: per-(hash, source) counts, hash-keyed pair join, Σ n_a·n_b
       "q143_mirror_matrix" ->

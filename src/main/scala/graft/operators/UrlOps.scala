@@ -201,4 +201,61 @@ object UrlOps {
       .filter(col("__rn") <= maxPerDomain)
       .select("doc_id", "domain")
   }
+
+  /** URL path (between authority and `?`/`#`) — feeds the trap signals. */
+  private[graft] val pathRe: String =
+    "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*([^?#]*)"
+
+  /** Crawl-trap detection — the frontier's self-defence against infinite
+    * URL spaces (Heritrix's "path-repetition" and "excessive-path-depth"
+    * filters plus the session-id/calendar template heuristic every
+    * production crawler carries):
+    *
+    *   - `depth`           — non-empty path segments > `maxDepth` (a
+    *                         30-deep URL is a generator, not content)
+    *   - `max_seg_repeat`  — one segment appearing ≥ `maxRepeats` times
+    *                         (the /a/b/a/b/a/b relative-link loop)
+    *   - `n_params`        — query parameters > `maxParams` (faceted-
+    *                         search explosion)
+    *   - `n_template_urls` — DISTINCT urls sharing this url's digit-masked
+    *                         template (all digit runs → `0`) ≥
+    *                         `templateThreshold`: one page generator
+    *                         stamping out unbounded session-id / calendar
+    *                         variants. Unlike the three in-row signals
+    *                         this one needs corpus evidence — a single
+    *                         deep archive page is fine; 50 000 urls that
+    *                         differ only in digits are a trap.
+    *
+    * `is_trap` ORs the four. Per-row signals are shuffle-free in-row HOF
+    * folds over the split path (O(k²) on k = segments per URL — k is tens
+    * at worst); the template census is one partial-aggregated
+    * count-distinct groupBy on the template key plus an equi-join back —
+    * both data-scale safe, no windows, no driver state. */
+  def crawlTraps(pages: DataFrame, urlCol: String = "url",
+      maxDepth: Int = 8, maxRepeats: Int = 3, maxParams: Int = 5,
+      templateThreshold: Long = 40L): DataFrame = {
+    require(maxDepth > 0 && maxRepeats > 1 && maxParams > 0 && templateThreshold > 1,
+      "trap thresholds must be positive (maxRepeats/templateThreshold > 1)")
+    val segs = filter(split(regexp_extract(col(urlCol), pathRe, 1), "/"),
+      s => s =!= "")
+    val q = regexp_extract(col(urlCol), "\\?([^#]*)", 1)
+    val withSignals = pages.select(
+      col("doc_id"), col(urlCol),
+      regexp_replace(col(urlCol), "[0-9]+", "0").as("__tpl"),
+      size(segs).as("depth"),
+      coalesce(
+        array_max(transform(segs, s => size(filter(segs, x => x === s)))),
+        lit(0)).as("max_seg_repeat"),
+      when(q === "", 0).otherwise(size(split(q, "&"))).as("n_params"))
+    val census = withSignals.groupBy("__tpl")
+      .agg(count_distinct(col(urlCol)).as("n_template_urls"))
+    withSignals.join(census, "__tpl")
+      .withColumn("is_trap",
+        col("depth") > maxDepth ||
+          col("max_seg_repeat") >= maxRepeats ||
+          col("n_params") > maxParams ||
+          col("n_template_urls") >= templateThreshold)
+      .select("doc_id", "depth", "max_seg_repeat", "n_params",
+        "n_template_urls", "is_trap")
+  }
 }

@@ -155,4 +155,29 @@ class UrlOpsSpec extends AnyFunSuite {
       "b.com" -> ((2L, 2L, 400000L, true)),
       "c.com" -> ((2L, 0L, 161728L, false))))
   }
+
+  test("crawlTraps: each signal fires alone; benign, rootless and templated cases pinned") {
+    val urls = Seq(
+      (0L, "http://a.com/x/y/z"),                            // benign: depth 3
+      (1L, "http://a.com/1/2/3/4/5/6/7/8/9"),                // depth 9 > 8
+      (2L, "http://a.com/a/b/a/b/a/c"),                      // 'a' ×3 → loop
+      (3L, "http://a.com/p?a=1&b=2&c=3&d=4&e=5&f=6"),        // 6 params > 5
+      (4L, "http://a.com/p?a=1&b=2#x=3&y=4&z=5&w=6"),        // fragment ≠ params: 2
+      (5L, "http://a.com"),                                  // no path: depth 0
+      // template explosion: 4 urls differing only in digits, threshold 4
+      (6L, "http://t.com/s/11"), (7L, "http://t.com/s/22"),
+      (8L, "http://t.com/s/33"), (9L, "http://t.com/s/44")
+    ).toDF("doc_id", "url")
+    val got = UrlOps.crawlTraps(urls, templateThreshold = 4L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(got(0L) == ((3, 1, 0, 1L, false)))
+    assert(got(1L) == ((9, 1, 0, 1L, true)))
+    assert(got(2L) == ((6, 3, 0, 1L, true)))
+    assert(got(3L)._3 == 6 && got(3L)._5)
+    assert(got(4L)._3 == 2 && !got(4L)._5)
+    assert(got(5L) == ((0, 0, 0, 1L, false)))
+    (6L to 9L).foreach(i => assert(got(i) == ((2, 1, 0, 4L, true))))
+  }
 }
