@@ -401,6 +401,23 @@ object SparkEntry {
         lit("/q/"), (id % 2).cast("string"))).as("url"))
   }
 
+  /** Synthetic audio corpus (q152): every doc_id % 3 == 0 document encodes
+    * a real WAV clip of 400 + (doc_id % 5)·100 formula-PCM samples
+    * ([[operators.Multimodal.testPcmWav]]). The payload is genuine
+    * container bytes — the query decodes them through javax.sound — while
+    * the SAMPLES follow an integer formula the oracle replays per row. */
+  private[graft] def audioRecords(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[operators.MediaRecord] = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        operators.MediaRecord(id, "audio/wav",
+          Multimodal.testPcmWav(id, 400 + (id % 5).toInt * 100))
+      })
+  }
+
   /** The q151 oracle's copy of [[trapUrlDocuments]]'s construction. */
   private def trapUrlFixtureSql: String =
     """SELECT doc_id, CASE
@@ -2057,6 +2074,15 @@ object SparkEntry {
     "q151_crawl_traps" -> ((s, dir) =>
       operators.UrlOps.crawlTraps(trapUrlDocuments(s, dir))),
 
+    // audio-corpus triage over REAL WAV bytes: encode the formula-PCM
+    // fixture through the JDK's javax.sound writer, decode it back in the
+    // operator, integer amplitude/silence stats; the oracle replays the
+    // sample formula with a range join — it never parses a container
+    "q152_audio_stats" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Multimodal.audioStats(audioRecords(s, dir)).toDF()
+    }),
+
     // ---- training-data pipeline: similarity search ------------------------
     "q24_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)),
@@ -3513,6 +3539,23 @@ object SparkEntry {
            |  (t.depth > 8 OR t.max_seg_repeat >= 3 OR t.n_params > 5
            |    OR c.n_template_urls >= 40) AS is_trap
            |FROM t JOIN c ON t.tpl = c.tpl""".stripMargin,
+
+      // q152: per-sample replay of the PCM formula — the oracle computes
+      // the same integer amplitude stats from ((id·31 + i·7919) % 65536)
+      // − 32768 directly; the engine must recover them through the real
+      // WAV encode→parse→byte-decode round trip
+      "q152_audio_stats" ->
+        """WITH a AS (SELECT doc_id, 400 + (doc_id % 5) * 100 AS n
+          |  FROM documents WHERE doc_id % 3 = 0),
+          |s AS (SELECT doc_id, n,
+          |  abs(((doc_id * 31 + i * 7919) % 65536) - 32768) AS a
+          |  FROM a, UNNEST(range(0, n)) t(i))
+          |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+          |  CAST(sum(a) // n AS BIGINT) AS mean_abs,
+          |  CAST(max(a) AS BIGINT) AS peak_abs,
+          |  CAST(sum(CASE WHEN a < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+          |  CAST(sum(CASE WHEN a < 1000 THEN 1 ELSE 0 END) * 1000000 // n AS BIGINT) AS silence_ratio_e6
+          |FROM s GROUP BY doc_id, n""".stripMargin,
 
       // q143: per-(hash, source) counts, hash-keyed pair join, Σ n_a·n_b
       "q143_mirror_matrix" ->

@@ -26,6 +26,15 @@ case class AudioMeta(
     n_samples: Long,
     duration_ms: Double)
 
+/** Sample-level integer stats from the REAL audio decode path. */
+case class AudioStats(
+    doc_id: Long,
+    n_samples: Long,
+    mean_abs: Long,
+    peak_abs: Long,
+    n_silent: Long,
+    silence_ratio_e6: Long)
+
 /** Pixel-level features from the REAL image decode path. */
 case class ImageFeatures(
     doc_id: Long,
@@ -210,6 +219,79 @@ object Multimodal {
           if (fmt.getSampleRate > 0) frames * 1000.0 / fmt.getSampleRate else 0.0))
       } catch { case _: Exception => None }
     })
+  }
+
+  /** Sample-level audio signals over REAL decoded PCM — the audio-corpus
+    * curation triage (clipped? silent? dead channel?) that runs before any
+    * model ever hears a clip: mean and peak absolute amplitude plus the
+    * fraction of samples under `silenceAbs`. ALL outputs are integers
+    * (floor division, micro-unit ratio), so the stats replay exactly in
+    * any engine. Decodes the javax.sound containers (WAV/AIFF/AU),
+    * honoring the container's declared endianness; non-16-bit or
+    * multi-channel payloads drop with the undecodable ones (the corpus
+    * triage posture — this operator's contract is mono PCM16, the
+    * dominant speech-corpus format). Same mapPartitions boundary as every
+    * decode stage: payload bytes never shuffle. */
+  def audioStats(records: Dataset[MediaRecord], silenceAbs: Int = 1000)(
+      implicit spark: SparkSession): Dataset[AudioStats] = {
+    import spark.implicits._
+    records.mapPartitions(_.flatMap { rec =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(rec.payload))
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+          in.close(); None
+        } else {
+          val bytes = in.readAllBytes()
+          in.close()
+          val n = bytes.length / 2
+          if (n == 0) None
+          else {
+            var i = 0
+            var sumAbs = 0L
+            var peak = 0L
+            var silent = 0L
+            while (i < n) {
+              val s =
+                if (fmt.isBigEndian) ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+                else ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+              val a = math.abs(s.toLong)
+              sumAbs += a
+              if (a > peak) peak = a
+              if (a < silenceAbs) silent += 1
+              i += 1
+            }
+            Some(AudioStats(rec.doc_id, n.toLong, sumAbs / n, peak, silent,
+              silent * 1000000L / n))
+          }
+        }
+      } catch { case _: Exception => None }
+    })
+  }
+
+  /** Deterministic 8 kHz mono PCM16 WAV test clip: sample i is
+    * ((seed·31 + i·7919) mod 65536) − 32768 — an integer formula any SQL
+    * engine replays with a range join, written through the REAL
+    * javax.sound encoder so [[audioStats]] exercises a genuine
+    * container-parse + byte-decode round trip. */
+  def testPcmWav(seed: Long, nSamples: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (((seed * 31 + i.toLong * 7919) % 65536) - 32768).toInt
+      pcm(2 * i) = (v & 0xff).toByte        // little-endian per the format below
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** documents → MediaRecord dataset: treats the utf-8 bytes of `text` as

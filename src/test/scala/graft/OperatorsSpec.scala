@@ -556,6 +556,59 @@ class OperatorsSpec extends AnyFunSuite {
       m.bits_per_sample == 16 && m.n_samples == 1600L && m.duration_ms == 200.0)
   }
 
+  test("audioStats: integer amplitude stats survive the container round trip") {
+    import javax.sound.sampled._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // hand-computable clip: samples 0, 500, -500, -2000 → n=4,
+    // mean_abs = 3000/4 = 750, peak 2000, silent (<1000) = 3 → 750000 e6
+    def pcm(vals: Seq[Int], bigEndian: Boolean): Array[Byte] = {
+      val b = new Array[Byte](vals.length * 2)
+      vals.zipWithIndex.foreach { case (v, i) =>
+        val (hi, lo) = (((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        if (bigEndian) { b(2 * i) = hi; b(2 * i + 1) = lo }
+        else { b(2 * i) = lo; b(2 * i + 1) = hi }
+      }
+      b
+    }
+    def wav(vals: Seq[Int], channels: Int = 1): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, channels, true, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(
+        pcm(vals, bigEndian = false)), fmt, vals.length.toLong / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def aiff(vals: Seq[Int]): Array[Byte] = { // AIFF carries BIG-endian PCM
+      val fmt = new AudioFormat(8000f, 16, 1, true, true)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(
+        pcm(vals, bigEndian = true)), fmt, vals.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.AIFF, bos)
+      bos.toByteArray
+    }
+    val clip = Seq(0, 500, -500, -2000)
+    val recs = spark.createDataset(Seq(
+      MediaRecord(1L, "audio/wav", wav(clip)),
+      MediaRecord(2L, "audio/aiff", aiff(clip)),     // same stats, other endianness
+      MediaRecord(3L, "audio/wav", wav(clip ++ clip, channels = 2)), // stereo → drop
+      MediaRecord(4L, "audio/bad", Array[Byte](1, 2, 3))            // garbage → drop
+    ))(org.apache.spark.sql.Encoders.product[MediaRecord])
+    val got = Multimodal.audioStats(recs).collect()
+      .map(a => a.doc_id -> ((a.n_samples, a.mean_abs, a.peak_abs, a.n_silent,
+        a.silence_ratio_e6))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((4L, 750L, 2000L, 3L, 750000L)))
+    assert(got(2L) == got(1L))
+    // the formula clip matches its closed form: testPcmWav(seed=3, n=5)
+    // samples are ((3*31 + i*7919) % 65536) - 32768
+    val exp = (0 until 5).map(i => math.abs(((3L * 31 + i * 7919L) % 65536L) - 32768L))
+    val recs2 = spark.createDataset(Seq(
+      MediaRecord(5L, "audio/wav", Multimodal.testPcmWav(3L, 5))
+    ))(org.apache.spark.sql.Encoders.product[MediaRecord])
+    val g2 = Multimodal.audioStats(recs2).collect().head
+    assert(g2.n_samples == 5L && g2.mean_abs == exp.sum / 5 && g2.peak_abs == exp.max)
+  }
+
   test("multimodal pipeline: stub decode is deterministic, frames sample by stride") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val meta = Multimodal.extractMeta(Multimodal.asMediaRecords(docs))
