@@ -2074,6 +2074,20 @@ object SparkEntry {
     "q151_crawl_traps" -> ((s, dir) =>
       operators.UrlOps.crawlTraps(trapUrlDocuments(s, dir))),
 
+    // RAG-style passage retrieval composed from verified stages: q63's
+    // chunker feeds hashed term-frequency vectors; per-query top-3 by the
+    // fully-integer cos² score (dot² div norm-product — no square roots,
+    // no float policy). Query side = the first 8 documents, broadcast
+    "q153_passage_retrieval" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val chunks = TextAnalysis.chunkDocuments(Tables.documents(s, dir),
+        chunkTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      val queries = Tables.documents(s, dir).filter(col("doc_id") < 8)
+        .select(col("doc_id").as("query_id"), col("text"))
+      Similarity.hashedRetrievalTopK(chunks, queries, buckets = 256, k = 3)
+    }),
+
     // audio-corpus triage over REAL WAV bytes: encode the formula-PCM
     // fixture through the JDK's javax.sound writer, decode it back in the
     // operator, integer amplitude/silence stats; the oracle replays the
@@ -3539,6 +3553,36 @@ object SparkEntry {
            |  (t.depth > 8 OR t.max_seg_repeat >= 3 OR t.n_params > 5
            |    OR c.n_template_urls >= 40) AS is_trap
            |FROM t JOIN c ON t.tpl = c.tpl""".stripMargin,
+
+      // q153: full replay — q63's chunk chain, the dsir bucket idiom, the
+      // integer cos² rank; QUALIFY mirrors the WindowGroupLimit top-3
+      "q153_passage_retrieval" ->
+        """WITH ch AS (
+          |  SELECT doc_id, CAST(i // 48 AS BIGINT) AS chunk_id,
+          |         array_to_string(ws[i+1:i+64], ' ') AS chunk_text
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w,
+          |       UNNEST(range(0, len(ws), 48)) t(i)),
+          |pw AS (SELECT doc_id, chunk_id,
+          |        ('0x' || substr(md5(w), 1, 4))::INT % 256 AS b
+          |       FROM ch, UNNEST(string_split(chunk_text, ' ')) t(w)),
+          |pv AS (SELECT doc_id, chunk_id, b, count(*) AS pc FROM pw GROUP BY 1, 2, 3),
+          |qw AS (SELECT doc_id AS query_id,
+          |        ('0x' || substr(md5(w), 1, 4))::INT % 256 AS b
+          |       FROM documents, UNNEST(string_split(text, ' ')) t(w) WHERE doc_id < 8),
+          |qv AS (SELECT query_id, b, count(*) AS qc FROM qw GROUP BY 1, 2),
+          |pn AS (SELECT doc_id, chunk_id, sum(pc * pc) AS pss FROM pv GROUP BY 1, 2),
+          |qn AS (SELECT query_id, sum(qc * qc) AS qss FROM qv GROUP BY 1),
+          |d AS (SELECT qv.query_id, pv.doc_id, pv.chunk_id,
+          |        sum(pv.pc * qv.qc) AS dot
+          |      FROM pv JOIN qv ON pv.b = qv.b GROUP BY 1, 2, 3),
+          |sc AS (SELECT d.query_id, d.doc_id, d.chunk_id,
+          |        CAST((d.dot * d.dot * 1000000) // (pn.pss * qn.qss) AS BIGINT) AS cos2_e6
+          |       FROM d JOIN pn ON d.doc_id = pn.doc_id AND d.chunk_id = pn.chunk_id
+          |              JOIN qn ON d.query_id = qn.query_id)
+          |SELECT query_id, doc_id, chunk_id, cos2_e6,
+          |  CAST(row_number() OVER (PARTITION BY query_id
+          |    ORDER BY cos2_e6 DESC, doc_id, chunk_id) AS INT) AS rank
+          |FROM sc QUALIFY rank <= 3""".stripMargin,
 
       // q152: per-sample replay of the PCM formula — the oracle computes
       // the same integer amplitude stats from ((id·31 + i·7919) % 65536)

@@ -37,7 +37,7 @@ object Selection {
   /** Engine-portable hashed feature bucket: the first 4 hex digits of
     * md5 (16 uniform bits, the q40/q105 idiom) reduced mod `buckets` —
     * uniform when `buckets` divides 2^16, near-uniform otherwise. */
-  private def bucketOf(word: Column, buckets: Int): Column =
+  private[operators] def bucketOf(word: Column, buckets: Int): Column =
     (conv(substring(md5(word), 1, 4), 16, 10).cast("int") % buckets).cast("int")
 
   /** DSIR importance weight per document over hashed word-unigram

@@ -765,4 +765,55 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("cos_sim"), col("rnk"))
   }
+
+  /** Hashed-lexical passage retrieval — the RAG retrieval stage without a
+    * neural encoder: passages and queries become sparse hashed
+    * term-frequency vectors (the DSIR md5-bucket feature space,
+    * [[Selection.bucketOf]]), ranked per query by cosine in a fully
+    * INTEGER form: cos²·10⁶ = dot²·10⁶ div (Σp²·Σq²). Squaring drops the
+    * two square roots — counts are non-negative so dot ≥ 0 and cos² is
+    * order-isomorphic to cos — which keeps the score exact in any engine
+    * (no transcendental-ulp policy needed, unlike the float-vector paths).
+    *
+    * Input contracts: `passages` (doc_id, chunk_id, chunk_text) — e.g.
+    * [[TextAnalysis.chunkDocuments]] output — and `queries`
+    * (query_id, text). Output: top-`k` passages per query,
+    * (query_id, doc_id, chunk_id, cos2_e6, rank), ties broken by
+    * (doc_id, chunk_id). A query or passage with no words has no vector
+    * and is absent. Zero-similarity pairs never materialize (no shared
+    * bucket → no join row) — exactly the inverted-index sparsity.
+    *
+    * 100 TB shape: the RAG batch-retrieval asymmetry is |queries| ≪
+    * |passages|, so the query vectors BROADCAST — the bucket join costs a
+    * corpus scan with map-side partial aggregation, never a corpus
+    * shuffle on a ≤`buckets`-cardinality (hence skew-doomed) key; passage
+    * norms ride an equi-join on the passage id; the final top-k is a
+    * WindowGroupLimit window per query. */
+  def hashedRetrievalTopK(passages: DataFrame, queries: DataFrame,
+      buckets: Int = 256, k: Int = 3): DataFrame = {
+    require(buckets >= 2 && k > 0, s"need buckets >= 2 and k > 0, got $buckets, $k")
+    val pv = passages.select(col("doc_id"), col("chunk_id"),
+        explode(split(col("chunk_text"), " ")).as("__w"))
+      .select(col("doc_id"), col("chunk_id"),
+        Selection.bucketOf(col("__w"), buckets).as("__b"))
+      .groupBy("doc_id", "chunk_id", "__b").agg(count(lit(1)).as("pc"))
+    val qv = queries.select(col("query_id"),
+        explode(split(col("text"), " ")).as("__w"))
+      .select(col("query_id"), Selection.bucketOf(col("__w"), buckets).as("__b"))
+      .groupBy("query_id", "__b").agg(count(lit(1)).as("qc"))
+    val pn = pv.groupBy("doc_id", "chunk_id")
+      .agg(sum(col("pc") * col("pc")).as("pss"))
+    val qn = qv.groupBy("query_id").agg(sum(col("qc") * col("qc")).as("qss"))
+    val dots = pv.join(broadcast(qv), "__b")
+      .groupBy("query_id", "doc_id", "chunk_id")
+      .agg(sum(col("pc") * col("qc")).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos2_e6").desc, col("doc_id"), col("chunk_id"))
+    dots.join(pn, Seq("doc_id", "chunk_id")).join(broadcast(qn), "query_id")
+      .withColumn("cos2_e6", expr("(dot * dot * 1000000) div (pss * qss)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "chunk_id", "cos2_e6", "rank")
+  }
 }

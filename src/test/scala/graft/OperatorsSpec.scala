@@ -177,6 +177,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(0) == 0L))
   }
 
+  test("hashedRetrievalTopK: exact-match passage is top-1 at cos2 = 1e6, disjoint absent") {
+    val passages = Seq(
+      (10L, 0L, "apple banana cherry"),
+      (10L, 1L, "apple apple banana"),
+      (11L, 0L, "dog elephant fox")
+    ).toDF("doc_id", "chunk_id", "chunk_text")
+    val queries = Seq((1L, "apple banana cherry"), (2L, "zebra yak")).toDF("query_id", "text")
+    val got = Similarity.hashedRetrievalTopK(passages, queries, buckets = 256, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    // query 1: its verbatim passage at cos² exactly 10⁶, then the partial
+    // overlap; query 2 shares no bucket with any passage → zero rows
+    val q1 = got.filter(_._1 == 1L).sortBy(_._5)
+    assert(q1.head == ((1L, 10L, 0L, 1000000L, 1)))
+    assert(q1(1)._2 == 10L && q1(1)._3 == 1L && q1(1)._4 < 1000000L)
+    assert(!got.exists(_._1 == 2L))
+  }
+
   test("ivf topk: probing every cell equals brute force; 1-probe finds the in-cell neighbor") {
     // nCells = corpus size ⇒ each vector is its own centroid; nProbe = nCells
     // ⇒ full scan ⇒ must match the exact baseline row for row
