@@ -2074,6 +2074,36 @@ object SparkEntry {
     "q151_crawl_traps" -> ((s, dir) =>
       operators.UrlOps.crawlTraps(trapUrlDocuments(s, dir))),
 
+    // the Dolma tagger→mixer shape: every per-doc text-quality family
+    // composed into ONE per-doc scorecard — reason flags (Gopher rules,
+    // pinned-weights score, badword fraction, char-entropy floor) + the
+    // keep verdict that is their conjunction. All four signal chains are
+    // individually verified (q55/q102/q116/q145); this verifies their
+    // composition as a whole (the q61/q96/q135 capstone pattern). One
+    // lazy plan: three per-doc projections + id-keyed equi-joins, the
+    // only shuffles the entropy/bigram aggregations already pay alone
+    "q154_curation_scorecard" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      val rules = TextAnalysis.qualityRules(docs)
+        .select(col("doc_id"), (!col("quality_pass")).as("gopher_fail"))
+      val score = TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), (!col("quality_keep")).as("score_low"))
+      val bad = TextAnalysis.badwordStats(docs, Seq("dup", "slow", "spam"),
+          maxFracMicro = 40000L)
+        .select(col("doc_id"), (!col("keep")).as("badword_hit"))
+      val ent = TextAnalysis.entropyStats(docs)
+        .select(col("doc_id"), (col("char_entropy") < 2.0).as("__el"))
+      docs.select("doc_id")
+        .join(rules, "doc_id").join(score, "doc_id").join(bad, "doc_id")
+        .join(ent, Seq("doc_id"), "left")
+        .withColumn("entropy_low", coalesce(col("__el"), lit(true)))
+        .withColumn("keep", !col("gopher_fail") && !col("score_low") &&
+          !col("badword_hit") && !col("entropy_low"))
+        .select("doc_id", "gopher_fail", "score_low", "badword_hit",
+          "entropy_low", "keep")
+    }),
+
     // RAG-style passage retrieval composed from verified stages: q63's
     // chunker feeds hashed term-frequency vectors; per-query top-3 by the
     // fully-integer cos² score (dot² div norm-product — no square roots,
@@ -3553,6 +3583,40 @@ object SparkEntry {
            |  (t.depth > 8 OR t.max_seg_repeat >= 3 OR t.n_params > 5
            |    OR c.n_template_urls >= 40) AS is_trap
            |FROM t JOIN c ON t.tpl = c.tpl""".stripMargin,
+
+      // q154: the four verified signal chains composed in one WITH —
+      // qualityScoreCte carries both the rule fractions (qf) and the
+      // pinned-weights score; the badword and entropy chains replay
+      // q116/q145 under collision-free CTE names; flags and the keep
+      // conjunction are pure boolean algebra over them
+      "q154_curation_scorecard" ->
+        s"""WITH $qualityScoreCte,
+           |bwt AS (SELECT doc_id,
+           |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+           |  FROM documents),
+           |bwh AS (SELECT doc_id, toks,
+           |  list_intersect(toks, ['dup', 'slow', 'spam']) AS hits FROM bwt),
+           |bwc AS (SELECT doc_id, len(toks)::BIGINT AS bn,
+           |  len(list_filter(toks, x -> list_contains(hits, x)))::BIGINT AS bad_count
+           |  FROM bwh),
+           |ec AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+           |  FROM documents WHERE len(text) > 0),
+           |ecc AS (SELECT doc_id, ch, count(*) AS n FROM ec GROUP BY 1, 2),
+           |ece AS (SELECT doc_id,
+           |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS char_entropy
+           |  FROM ecc GROUP BY doc_id),
+           |fl AS (SELECT qf.doc_id,
+           |  NOT (qf.n_words >= 20 AND qf.dup_word_frac <= 0.6
+           |       AND qf.top_bigram_frac <= 0.1 AND qf.alpha_frac >= 0.8) AS gopher_fail,
+           |  NOT (score.quality_score >= 0.4) AS score_low,
+           |  bwc.bad_count * 1000000 > bwc.bn * 40000 AS badword_hit,
+           |  coalesce(ece.char_entropy < 2.0, TRUE) AS entropy_low
+           |  FROM qf JOIN score ON qf.doc_id = score.doc_id
+           |       JOIN bwc ON qf.doc_id = bwc.doc_id
+           |       LEFT JOIN ece ON qf.doc_id = ece.doc_id)
+           |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
+           |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
+           |FROM fl""".stripMargin,
 
       // q153: full replay — q63's chunk chain, the dsir bucket idiom, the
       // integer cos² rank; QUALIFY mirrors the WindowGroupLimit top-3
