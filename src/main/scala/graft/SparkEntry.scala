@@ -2068,6 +2068,14 @@ object SparkEntry {
       operators.Sampling.uniMaxMix(Tables.documents(s, dir),
         budget = 52000L, epochCap = 2)),
 
+    // the q150 allocation MATERIALIZED: ⌊epochs⌋ full copies + md5-coin
+    // fractional copy per doc (q106's realization idiom, integer-ceiling
+    // threshold) — the sampled corpus the walk's numbers promise
+    "q155_unimax_apply" -> ((s, dir) =>
+      operators.Sampling.uniMaxApply(Tables.documents(s, dir),
+        budget = 52000L, epochCap = 2)
+        .select("doc_id", "source", "epoch")),
+
     // crawl-trap detection over the planted fixture: depth, segment-loop,
     // param-bomb (in-row folds) and digit-masked template explosion (one
     // census groupBy); each trap class trips exactly one signal
@@ -3561,6 +3569,37 @@ object SparkEntry {
           |    ELSE 0 END AS epochs_e6,
           |  least(o.n_tokens * 2, w.rem // (o.m - o.rn + 1)) * 1000000 // 52000 AS share_e6
           |FROM o JOIN walk w ON w.rn = o.rn - 1""".stripMargin,
+
+      // q155: the q150 walk feeding the q106 coin — epochs_e6 splits into
+      // floor + integer-ceiling 1/65536 threshold, generate_series(0,
+      // nc-1) empties at nc = 0 exactly like the operator's filter
+      "q155_unimax_apply" ->
+        """WITH RECURSIVE c AS (
+          |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          |  FROM documents GROUP BY 1),
+          |o AS (
+          |  SELECT source, n_tokens,
+          |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS rn,
+          |    CAST(count(*) OVER () AS BIGINT) AS m
+          |  FROM c),
+          |walk AS (
+          |  SELECT CAST(0 AS BIGINT) AS rn, CAST(52000 AS BIGINT) AS rem
+          |  UNION ALL
+          |  SELECT o.rn, walk.rem - least(o.n_tokens * 2, walk.rem // (o.m - walk.rn))
+          |  FROM walk JOIN o ON o.rn = walk.rn + 1),
+          |a AS (
+          |  SELECT o.source,
+          |    least(o.n_tokens * 2, w.rem // (o.m - o.rn + 1)) * 1000000 // o.n_tokens AS e6
+          |  FROM o JOIN walk w ON w.rn = o.rn - 1),
+          |x AS (
+          |  SELECT d.doc_id, d.source,
+          |    CAST(e6 // 1000000 AS INT) +
+          |    CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR || ':up'), 1, 4))::BIGINT
+          |         < ((e6 % 1000000) * 65536 + 999999) // 1000000
+          |         THEN 1 ELSE 0 END AS nc
+          |  FROM documents d JOIN a ON d.source = a.source)
+          |SELECT doc_id, source, epoch::INT AS epoch
+          |FROM x, UNNEST(generate_series(0, nc - 1)) t(epoch)""".stripMargin,
 
       // q151: full replay of the trap signals — the same path regex, the
       // same in-list lambda folds (depth / max repeat / param count), the

@@ -300,23 +300,61 @@ object Sampling {
     * overflows first. */
   def uniMaxMix(docs: DataFrame, budget: Long, epochCap: Int,
       sourceCol: String = "source",
-      weight: Column = size(split(col("text"), " ")).cast("long")): DataFrame = {
+      weight: Column = size(split(col("text"), " ")).cast("long")): DataFrame =
+    docs.sparkSession
+      .createDataFrame(uniMaxWalk(docs, budget, epochCap, sourceCol, weight))
+      .toDF(sourceCol, "n_tokens", "alloc_tokens", "epochs_e6", "share_e6")
+
+  /** The [[uniMaxMix]] walk itself — per-source
+    * (source, n_tokens, alloc, epochs_e6, share_e6) rows. */
+  private def uniMaxWalk(docs: DataFrame, budget: Long, epochCap: Int,
+      sourceCol: String, weight: Column): Seq[(String, Long, Long, Long, Long)] = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(epochCap > 0, s"epochCap must be positive, got $epochCap")
-    val spark = docs.sparkSession
     val sizes = docs.groupBy(sourceCol)
       .agg(coalesce(sum(weight), lit(0L)).as("n_tokens"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (s, n) => (n, s) } // the walk's ascending-size order
     var rem = budget
     var m = sizes.length.toLong
-    val rows = sizes.map { case (src, n) =>
+    sizes.toSeq.map { case (src, n) =>
       val alloc = math.min(n * epochCap, rem / m)
       rem -= alloc; m -= 1
       (src, n, alloc, if (n > 0) alloc * 1000000L / n else 0L,
         alloc * 1000000L / budget)
     }
-    spark.createDataFrame(rows.toSeq)
+  }
+
+  /** MATERIALIZE the [[uniMaxMix]] allocation: each document repeats
+    * ⌊epochs⌋ times plus one md5-coin extra copy with probability equal to
+    * the fractional epoch (the [[epochMix]] realization idiom, threshold
+    * quantized to 1/65536 with INTEGER ceiling arithmetic — no float
+    * anywhere), so each source's expected token count equals its walk
+    * allocation and the draw is per-document deterministic. A source whose
+    * allocation floors to zero epochs contributes only its coin-selected
+    * rows (and none when the fraction is zero too — the explicit filter;
+    * Spark's `sequence(0, -1)` would otherwise DESCEND, not empty out).
+    * Output = input columns + `epoch`. Scale: the walk rows broadcast; the
+    * expansion is one map-side generator, no shuffle. */
+  def uniMaxApply(docs: DataFrame, budget: Long, epochCap: Int,
+      sourceCol: String = "source",
+      weight: Column = size(split(col("text"), " ")).cast("long"),
+      key: Column = col("doc_id")): DataFrame = {
+    val spark = docs.sparkSession
+    val alloc = spark
+      .createDataFrame(uniMaxWalk(docs, budget, epochCap, sourceCol, weight))
       .toDF(sourceCol, "n_tokens", "alloc_tokens", "epochs_e6", "share_e6")
+      .select(col(sourceCol),
+        expr("epochs_e6 div 1000000").cast("int").as("__full"),
+        // ceil(frac_e6 · 65536 / 10⁶) without floats
+        expr("((epochs_e6 % 1000000) * 65536 + 999999) div 1000000").as("__thr"))
+    docs.join(broadcast(alloc), sourceCol)
+      .withColumn("__extra",
+        when(hashBucket16(concat(key.cast("string"), lit(":up"))).cast("long")
+          < col("__thr"), 1).otherwise(0))
+      .filter(col("__full") + col("__extra") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0), col("__full") + col("__extra") - 1)))
+      .drop("__full", "__thr", "__extra")
   }
 }

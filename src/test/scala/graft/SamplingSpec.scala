@@ -161,4 +161,38 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(2)).sum
     assert(capped == 300L)
   }
+
+  test("uniMaxApply: floor copies exact, fractional copy = the md5 coin, zero-alloc absent") {
+    val fx = (Seq.fill(10)("a") ++ Seq.fill(40)("b") ++ Seq.fill(100)("c"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s, "w") }
+      .toDF("doc_id", "source", "text")
+    // walk (see uniMaxMix test): epochs_e6 = a 2000000 / b 1250000 / c 500000
+    val rows = Sampling.uniMaxApply(fx, budget = 120L, epochCap = 2)
+      .groupBy("doc_id", "source").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = rows.groupBy(_._2)
+    // a: exactly 2 epochs for every doc; no fractional coin (thr 0)
+    assert(bySrc("a").length == 10 && bySrc("a").forall(_._3 == 2L))
+    // b: 1 or 2 copies; the 2-copy set is exactly the docs whose md5 coin
+    // clears ceil(0.25·65536) = 16384
+    val thrB = 16384L
+    bySrc("b").foreach { case (id, _, n) =>
+      val coin = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$id:up").take(4), 16)
+      assert(n == (if (coin < thrB) 2L else 1L), s"doc $id coin $coin n $n")
+    }
+    // c: 0 or 1 copies (floor 0) — zero-copy docs are ABSENT, never epoch -1
+    assert(bySrc.get("c").forall(_.forall(_._3 == 1L)))
+    assert(rows.forall(_._3 > 0))
+    // epochs are dense 0..n-1 per doc
+    val eps = Sampling.uniMaxApply(fx, budget = 120L, epochCap = 2)
+      .filter($"source" === "a").groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.collect_set("epoch").as("es")).collect()
+    assert(eps.forall(_.getSeq[Int](1).sorted == Seq(0, 1)))
+    // a budget too small for the smallest source's fair share → alloc 0 →
+    // that source contributes nothing at all
+    val tiny = Sampling.uniMaxApply(fx, budget = 2L, epochCap = 2)
+      .filter($"source" === "a").count()
+    assert(tiny == 0L)
+  }
 }
