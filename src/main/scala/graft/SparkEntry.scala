@@ -4718,10 +4718,15 @@ object SparkEntry {
       // q134: hash-diff statuses (added has no old row, changed differs,
       // removed filtered), prior interval clamped into range then
       // doubled/halved — `//` ≡ Spark `div` on the non-negative clamp
+      // per-URL collapse (og/ng/ivg — min hash, min interval) mirrors the
+      // operator's snapshot contract: a snapshot is url → content, so the
+      // 16 colliding fixture URLs reduce to one row instead of fanning
+      // through the diff join
       "q134_recrawl_schedule" ->
         s"""WITH u AS ($urlFixtureSql),
            |o AS (SELECT u.url, d.doc_id, md5(d.text) AS h, d.text
            |      FROM u JOIN documents d USING (doc_id)),
+           |og AS (SELECT url, min(h) AS h FROM o GROUP BY url),
            |n AS (SELECT url,
            |        md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS h
            |      FROM o WHERE doc_id % 7 <> 0
@@ -4730,15 +4735,17 @@ object SparkEntry {
            |               '.com/fresh/' || CAST(doc_id AS VARCHAR),
            |             md5('fresh doc ' || CAST(doc_id AS VARCHAR))
            |      FROM documents WHERE doc_id % 6 = 0),
+           |ng AS (SELECT url, min(h) AS h FROM n GROUP BY url),
            |iv AS (SELECT url, CASE (doc_id // 2) % 4 WHEN 0 THEN 900 WHEN 1 THEN 7200
            |         WHEN 2 THEN 86400 ELSE 500 END AS interval_sec
            |       FROM o WHERE doc_id % 2 = 0),
-           |j AS (SELECT n.url,
-           |        CASE WHEN o.url IS NULL THEN 'added'
-           |             WHEN o.h <> n.h THEN 'changed'
+           |ivg AS (SELECT url, min(interval_sec) AS interval_sec FROM iv GROUP BY url),
+           |j AS (SELECT ng.url,
+           |        CASE WHEN og.url IS NULL THEN 'added'
+           |             WHEN og.h <> ng.h THEN 'changed'
            |             ELSE 'unchanged' END AS status,
-           |        greatest(300, least(86400, coalesce(iv.interval_sec, 3600))) AS pc
-           |      FROM n LEFT JOIN o ON n.url = o.url LEFT JOIN iv ON n.url = iv.url),
+           |        greatest(300, least(86400, coalesce(ivg.interval_sec, 3600))) AS pc
+           |      FROM ng LEFT JOIN og ON ng.url = og.url LEFT JOIN ivg ON ng.url = ivg.url),
            |k AS (SELECT url, status,
            |        CASE WHEN status = 'added' THEN 3600
            |             WHEN status = 'changed' THEN greatest(300, pc // 2)
@@ -4775,13 +4782,16 @@ object SparkEntry {
            |rciv AS (SELECT url, CASE (doc_id // 2) % 4 WHEN 0 THEN 900 WHEN 1 THEN 7200
            |           WHEN 2 THEN 86400 ELSE 500 END AS interval_sec
            |         FROM rco WHERE doc_id % 2 = 0),
-           |rcj AS (SELECT rcn.url,
-           |          CASE WHEN rco.url IS NULL THEN 'added'
-           |               WHEN rco.h <> rcn.h THEN 'changed'
+           |rcog AS (SELECT url, min(h) AS h FROM rco GROUP BY url),
+           |rcng AS (SELECT url, min(h) AS h FROM rcn GROUP BY url),
+           |rcivg AS (SELECT url, min(interval_sec) AS interval_sec FROM rciv GROUP BY url),
+           |rcj AS (SELECT rcng.url,
+           |          CASE WHEN rcog.url IS NULL THEN 'added'
+           |               WHEN rcog.h <> rcng.h THEN 'changed'
            |               ELSE 'unchanged' END AS status,
-           |          greatest(300, least(86400, coalesce(rciv.interval_sec, 3600))) AS pc
-           |        FROM rcn LEFT JOIN rco ON rcn.url = rco.url
-           |          LEFT JOIN rciv ON rcn.url = rciv.url),
+           |          greatest(300, least(86400, coalesce(rcivg.interval_sec, 3600))) AS pc
+           |        FROM rcng LEFT JOIN rcog ON rcng.url = rcog.url
+           |          LEFT JOIN rcivg ON rcng.url = rcivg.url),
            |rck AS (SELECT url,
            |          CASE WHEN status = 'added' THEN 3600
            |               WHEN status = 'changed' THEN greatest(300, pc // 2)

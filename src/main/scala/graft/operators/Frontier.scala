@@ -173,8 +173,16 @@ object Frontier {
     *
     * ENGINE SHAPE — the [[TextAnalysis.corpusDiff]] posture: both
     * snapshots project to (id, md5) BEFORE the full-outer join, so the
-    * shuffles carry 16-byte hashes, never text; the intervals join is a
-    * slim (id, long) equi-join. No windows, no driver state. */
+    * shuffles carry 16-byte hashes, never text — and then COLLAPSE to one
+    * row per URL (min hash; a snapshot is logically url → content, so
+    * duplicate fetches of one URL reduce deterministically instead of
+    * multiplying through the join: with d duplicates per side the raw join
+    * fans d², which the r9 stress probe measured as 113 M rows and a 60×
+    * super-linear wall on the 10× fixture). The intervals store collapses
+    * the same way to min(interval) — the most conservative (soonest)
+    * revisit when a store ships conflicting rows. The joins are then
+    * structurally 1:1 per URL at ANY duplication level. No windows, no
+    * driver state. */
   def recrawlSchedule(oldSnap: DataFrame, newSnap: DataFrame,
       intervals: DataFrame, nowSec: Long, idCol: String = "url",
       textCol: String = "text", initialSec: Long = 3600L,
@@ -184,7 +192,9 @@ object Frontier {
     require(initialSec >= minSec && initialSec <= maxSec,
       s"initialSec must be in [minSec, maxSec], got $initialSec")
     val o = oldSnap.select(col(idCol).as("__oid"), md5(col(textCol)).as("__oh"))
+      .groupBy("__oid").agg(min("__oh").as("__oh"))
     val n = newSnap.select(col(idCol).as("__nid"), md5(col(textCol)).as("__nh"))
+      .groupBy("__nid").agg(min("__nh").as("__nh"))
     val status = when(col("__oh").isNull, lit("added"))
       .when(col("__oh") =!= col("__nh"), lit("changed"))
       .otherwise(lit("unchanged"))
@@ -200,7 +210,8 @@ object Frontier {
       .filter(col("__nh").isNotNull) // removed URLs leave the schedule
       .select(col("__nid").as(idCol), status.as("__status"))
       .join(intervals.select(col(idCol),
-        col("interval_sec").cast("long").as("__prev")), Seq(idCol), "left")
+          col("interval_sec").cast("long").as("__prev"))
+        .groupBy(idCol).agg(min("__prev").as("__prev")), Seq(idCol), "left")
       .withColumn("__pc", prev)
       .select(col(idCol), col("__status").as("status"),
         interval.as("interval_sec"),
