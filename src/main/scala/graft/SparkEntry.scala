@@ -2058,6 +2058,36 @@ object SparkEntry {
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
 
+    // mirror CLUSTERS: q143's slice-level duplicate matrix thresholded
+    // into source-graph edges (≥ 20 shared texts), sources keyed by
+    // md5-prefix numeric ids, resolved by the q41 connected-components
+    // operator — "which slices are one hosting family" as a first-class
+    // verdict rather than a pairwise report. Sources without a heavy
+    // mirror edge are absent (no edge → no cluster membership)
+    "q157_mirror_clusters" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = mirrorDocuments(s, dir)
+      def sid(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val edges = Dedup.crossSourceDupMatrix(docs)
+        .filter(col("n_shared_texts") >= 20)
+        .select(sid(col("src_a")).as("doc1"), sid(col("src_b")).as("doc2"))
+      val names = docs.select(col("source")).distinct()
+        .select(col("source"), sid(col("source")).as("doc_id"))
+      Dedup.connectedComponents(edges).join(names, "doc_id")
+        .select(col("source"), col("cluster_id"))
+    }),
+
+    // keep-best on the PERCEPTUAL key: within each dHash group the keeper
+    // maximizes real decoded resolution (the 2× replicas win over their
+    // 1× originals), ties to smallest id — q149's hash composed with
+    // q132's argmax-aggregate shape; the oracle groups on the render
+    // parameter and replays resolution from the construction
+    "q156_image_keep_best" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Multimodal.dHashKeepBest(imageRecords(s, dir))
+    }),
+
     // UniMax budget allocation across sources: ascending-size walk, each
     // source takes min(epochCap·size, fair share of what's left) — pure
     // integer arithmetic, so the oracle replays the walk as a recursive
@@ -3544,6 +3574,42 @@ object SparkEntry {
         """WITH im AS (SELECT doc_id, doc_id % 13 AS p FROM documents WHERE doc_id % 7 = 0)
           |SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(0 AS INT) AS hamming
           |FROM im a JOIN im b ON a.p = b.p AND a.doc_id < b.doc_id""".stripMargin,
+
+      // q157: the q143 matrix → ≥20-shared edges on md5-prefix numeric
+      // source ids → the q41 reachability min-label replay → names back
+      "q157_mirror_clusters" ->
+        s"""WITH RECURSIVE md AS ($mirrorFixtureSql),
+           |hs AS (SELECT md5(text) AS h, source AS src, count(*) AS n FROM md GROUP BY 1, 2),
+           |mx AS (SELECT a.src AS src_a, b.src AS src_b
+           |       FROM hs a JOIN hs b ON a.h = b.h AND a.src < b.src
+           |       GROUP BY 1, 2 HAVING count(*) >= 20),
+           |ids AS (SELECT DISTINCT source,
+           |        ('0x' || substr(md5(source), 1, 15))::BIGINT AS nid FROM md),
+           |edges AS (SELECT ia.nid AS src, ib.nid AS dst FROM mx
+           |            JOIN ids ia ON mx.src_a = ia.source
+           |            JOIN ids ib ON mx.src_b = ib.source
+           |          UNION
+           |          SELECT ib.nid, ia.nid FROM mx
+           |            JOIN ids ia ON mx.src_a = ia.source
+           |            JOIN ids ib ON mx.src_b = ib.source),
+           |reach AS (
+           |  SELECT src AS node, src AS lab FROM edges
+           |  UNION
+           |  SELECT e.src, r.lab FROM reach r JOIN edges e ON e.dst = r.node),
+           |cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+           |SELECT ids.source, cc.cluster_id FROM cc JOIN ids ON cc.node = ids.nid""".stripMargin,
+
+      // q156: group on the render parameter (≡ the dhash, q149's
+      // structural argument), pixels from the construction (36·32, ×4 for
+      // the 2×-replicated odd half), keeper = min id among max pixels
+      "q156_image_keep_best" ->
+        """WITH im AS (SELECT doc_id,  doc_id % 13 AS p,
+          |  CAST(CASE WHEN doc_id % 2 = 1 THEN 72 * 64 ELSE 36 * 32 END AS BIGINT) AS pixels
+          |  FROM documents WHERE doc_id % 7 = 0),
+          |g AS (SELECT p, max(pixels) AS mp, CAST(count(*) AS BIGINT) AS n FROM im GROUP BY p)
+          |SELECT min(i.doc_id) AS keep_id, g.n AS n_members, g.mp AS pixels
+          |FROM g JOIN im i ON i.p = g.p AND i.pixels = g.mp
+          |GROUP BY g.p, g.n, g.mp""".stripMargin,
 
       // q150: the UniMax walk as a recursive CTE — sources ascending by
       // (n_tokens, source), state = budget remaining after each step; the

@@ -424,6 +424,30 @@ object Multimodal {
       implicit spark: SparkSession): DataFrame =
     Dedup.hammingPairs64(dHash64(records), "dhash", maxHamming)
 
+  /** Perceptual KEEP-BEST image dedup — [[dHash64]] groups resolved to one
+    * keeper each, where the keeper maximizes decoded pixel count (ties →
+    * smallest doc_id): among re-encoded / re-scaled copies of one picture,
+    * curation wants the highest-resolution original, not an arbitrary
+    * survivor (the [[Dedup.exactBest]] rationale on the perceptual key).
+    * One decode pass yields (dhash, pixels) together; the keeper is an
+    * argmax AGGREGATE (struct max), so hot duplicate groups collapse
+    * map-side — no per-hash window. Output: (keep_id, n_members, pixels)
+    * — one row per distinct picture, singletons included. */
+  def dHashKeepBest(records: Dataset[MediaRecord])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sig = records.mapPartitions(_.flatMap { rec =>
+      decodeBuffered(rec.payload).flatMap(img =>
+        dHash64One(img).map(h =>
+          (rec.doc_id, h, img.getWidth.toLong * img.getHeight)))
+    }).toDF("doc_id", "dhash", "pixels")
+    sig.groupBy("dhash")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("pixels").as("__p"), (-col("doc_id")).as("__nid"))).as("__best"))
+      .select((-col("__best.__nid")).as("keep_id"), col("n_members"),
+        col("__best.__p").as("pixels"))
+  }
+
   /** Deterministic PNG test pattern: 36×32 pseudo-random grayscale pixels
     * from a splitmix-style integer generator seeded by `param`, optionally
     * pixel-replicated `scale`×. Two calls with equal `param` render the
