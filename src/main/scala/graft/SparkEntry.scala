@@ -2058,6 +2058,19 @@ object SparkEntry {
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
 
+    // per-source robust quality drift: median/MAD outlier flags on the
+    // q102 micro scores — dyadic-exact arithmetic end to end (integer
+    // micro inputs, interpolated medians are halves, deviations quarters
+    // — all exact doubles), so no rounding policy is needed anywhere
+    "q158_score_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val scored = TextAnalysis.qualityScore(Tables.documents(s, dir))
+        .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+      operators.Selection.robustOutliers(scored, "source",
+          round(col("quality_score") * 1000000).cast("long"))
+        .select("doc_id", "source", "score_e6", "med_e6", "mad_e6", "is_outlier")
+    }),
+
     // mirror CLUSTERS: q143's slice-level duplicate matrix thresholded
     // into source-graph edges (≥ 20 shared texts), sources keyed by
     // md5-prefix numeric ids, resolved by the q41 connected-components
@@ -3574,6 +3587,24 @@ object SparkEntry {
         """WITH im AS (SELECT doc_id, doc_id % 13 AS p FROM documents WHERE doc_id % 7 = 0)
           |SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(0 AS INT) AS hamming
           |FROM im a JOIN im b ON a.p = b.p AND a.doc_id < b.doc_id""".stripMargin,
+
+      // q158: the q102 chain → integer micro scores → per-source
+      // quantile_cont median and MAD (both dyadic-exact doubles) → k=3 flag
+      "q158_score_outliers" ->
+        s"""WITH $qualityScoreCte,
+           |sc AS (SELECT score.doc_id, d.source,
+           |         CAST(round(quality_score * 1000000) AS BIGINT) AS score_e6
+           |       FROM score JOIN documents d ON score.doc_id = d.doc_id),
+           |m AS (SELECT source, quantile_cont(score_e6, 0.5) AS med_e6
+           |      FROM sc GROUP BY source),
+           |dv AS (SELECT sc.doc_id, sc.source, sc.score_e6, m.med_e6,
+           |         abs(sc.score_e6 - m.med_e6) AS dev
+           |       FROM sc JOIN m USING (source)),
+           |md AS (SELECT source, quantile_cont(dev, 0.5) AS mad_e6
+           |       FROM dv GROUP BY source)
+           |SELECT dv.doc_id, dv.source, dv.score_e6, dv.med_e6, md.mad_e6,
+           |  dv.dev > 3 * md.mad_e6 AS is_outlier
+           |FROM dv JOIN md USING (source)""".stripMargin,
 
       // q157: the q143 matrix → ≥20-shared edges on md5-prefix numeric
       // source ids → the q41 reachability min-label replay → names back

@@ -141,4 +141,34 @@ object Selection {
       .select(col("doc_id"), col("lang"), col("avg_logprob"),
         col("tile").cast("long").as("tile"))
   }
+
+  /** Robust per-group outlier flags — median/MAD, the estimator that
+    * survives the very outliers it hunts (a mean/stddev gate moves with
+    * every anomaly it should catch): a row is an outlier when its absolute
+    * deviation from the group median exceeds `k` × the group's median
+    * absolute deviation. The per-source quality-drift tripwire that
+    * catches a broken extractor or a spam burst inside one slice.
+    *
+    * Determinism without a rounding policy: `scoreE6` is integer micro,
+    * and every derived value (interpolated median = mean of two integers,
+    * deviations, MAD, k·MAD) is a DYADIC rational — exactly representable
+    * in an IEEE double, so both engines compute bit-identical values with
+    * zero transcendental or decimal-rounding concerns.
+    *
+    * Scale: two [[SkewSafe.partitionAgg]] passes (exact percentile as a
+    * partial-merge aggregate + broadcast-back join) — window-free, no
+    * per-group sort on a single reducer. Output: input columns +
+    * (score_e6, med_e6, mad_e6, is_outlier). */
+  def robustOutliers(df: DataFrame, groupCol: String, scoreE6: Column,
+      k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.withColumn("score_e6", scoreE6)
+    val withMed = SkewSafe.partitionAgg(base, Seq(groupCol),
+      Seq("med_e6" -> percentile(col("score_e6"), lit(0.5))))
+      .withColumn("__dev", abs(col("score_e6").cast("double") - col("med_e6")))
+    SkewSafe.partitionAgg(withMed, Seq(groupCol),
+      Seq("mad_e6" -> percentile(col("__dev"), lit(0.5))))
+      .withColumn("is_outlier", col("__dev") > lit(k.toDouble) * col("mad_e6"))
+      .drop("__dev")
+  }
 }
