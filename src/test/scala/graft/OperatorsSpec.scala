@@ -552,6 +552,10 @@ class OperatorsSpec extends AnyFunSuite {
     val pairs = Multimodal.dHashDupPairs(recs, maxHamming = 0).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pairs == Set((1L, 2L, 0), (3L, 4L, 0)))
+    // keep-best resolves each group to its highest-resolution member
+    val best = Multimodal.dHashKeepBest(recs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(best == Set((2L, 2L, 72L * 64L), (4L, 2L, 108L * 96L)))
   }
 
   test("real audio decode: JDK WAV parser yields exact format and duration") {

@@ -197,4 +197,24 @@ class SelectionSpec extends AnyFunSuite {
     assert(!r.contains(("s0", "s2")) && !r.contains(("s1", "s2")))
     assert(r.size == 1)
   }
+
+  test("robustOutliers: median/MAD flags the tail, even-count interpolation exact") {
+    val fx = Seq(
+      // group a: scores 0,10,20,30,1000 → med 20, devs 20/10/0/10/980,
+      // MAD 10 → only the 980 deviation clears 3·MAD = 30
+      (0L, "a", 0L), (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 1000L),
+      // group b (even count): 0,10,20,40 → med 15, devs 15/5/5/25,
+      // sorted devs 5,5,15,25 → MAD = (5+15)/2 = 10 → none clear 30
+      (5L, "b", 0L), (6L, "b", 10L), (7L, "b", 20L), (8L, "b", 40L)
+    ).toDF("doc_id", "source", "s")
+    val got = Selection.robustOutliers(fx, "source", col("s")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("med_e6"), r.getAs[Double]("mad_e6"),
+          r.getAs[Boolean]("is_outlier")))).toMap
+    assert(got(0L) == ((20.0, 10.0, false)))
+    assert(got(4L) == ((20.0, 10.0, true)))
+    assert((0L to 3L).forall(!got(_)._3))
+    assert(got(5L) == ((15.0, 10.0, false)))
+    assert((5L to 8L).forall(!got(_)._3))
+  }
 }
