@@ -218,7 +218,74 @@ object StreamingWindows {
           }
       }
   }
+
+  /** Streaming crawl-trap census — the stateful half of
+    * [[graft.operators.UrlOps.crawlTraps]] at ingest time: URLs key by
+    * their digit-masked template, and a [[TrapAlert]] fires ONCE when a
+    * template's distinct-URL count crosses `templateThreshold` — the
+    * live "this link generator is exploding" signal a frontier consumes
+    * to stop enqueueing a pattern mid-crawl rather than at the next
+    * batch audit. (The in-row signals — depth, segment loops, param
+    * bombs — are stateless and stay with the batch operator / a plain
+    * streaming projection.)
+    *
+    * State discipline: the distinct set stores 60-bit md5 URL hashes and
+    * grows only UNTIL the threshold fires; at that moment the alert emits
+    * (with the exact census at crossing — mid-batch arrivals can push it
+    * past the threshold), the set EMPTIES, and only the `trapped` pin
+    * remains — so per-template state is ≤ threshold longs while innocent
+    * and ~one boolean once guilty. Event-time timeout evicts idle
+    * templates past the watermark horizon (a generator must re-prove
+    * itself within a horizon — the finite-memory posture every stateful
+    * operator here shares). Single-batch parity with the batch census is
+    * pinned in StreamingSpec. */
+  def streamingTrapCensus(pages: DataFrame, templateThreshold: Int,
+      watermark: String, urlCol: String = "url",
+      tsCol: String = "ts"): Dataset[TrapAlert] = {
+    import pages.sparkSession.implicits._
+    require(templateThreshold > 1,
+      s"templateThreshold must be > 1, got $templateThreshold")
+    pages
+      .select(regexp_replace(col(urlCol), "[0-9]+", "0").as("template"),
+        conv(substring(md5(col(urlCol)), 1, 15), 16, 10).cast("long").as("uh"),
+        col(tsCol).as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TrapCensusState, TrapAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (tpl, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val s0 = state.getOption.getOrElse(TrapCensusState(Set.empty, trapped = false))
+            var seen = s0.seen
+            var maxTs = Long.MinValue
+            rows.foreach { case (_, uh, ts) =>
+              maxTs = math.max(maxTs, ts.getTime)
+              if (!s0.trapped) seen += uh
+            }
+            val fires = !s0.trapped && seen.size >= templateThreshold
+            state.update(
+              if (s0.trapped || fires) TrapCensusState(Set.empty, trapped = true)
+              else TrapCensusState(seen, trapped = false))
+            if (maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs, watermark)
+            if (fires) Iterator(TrapAlert(tpl, seen.size)) else Iterator.empty
+          }
+      }
+  }
 }
+
+/** Per-template census state for the streaming trap detector: distinct URL
+  * hashes seen (grows only UNTIL the threshold fires — then the set empties
+  * and `trapped` pins, so long-lived state per trapped template is one
+  * boolean, and untrapped state is bounded by the threshold). */
+case class TrapCensusState(seen: Set[Long], trapped: Boolean)
+/** Emitted ONCE per template, at the moment its distinct-URL census crosses
+  * the trap threshold. */
+case class TrapAlert(template: String, n_urls: Int)
 
 /** Near-duplicate candidate pair emitted by the streaming MinHash operator. */
 case class CandidatePair(doc1: Long, doc2: Long)

@@ -301,4 +301,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(m(3L) == ((2L, 6L)))  // continued counter
     assert(m(5L) == ((0L, 0L)))  // evicted domain restarts at slot 0
   }
+
+  test("streaming trap census: single batch matches the batch template verdicts") {
+    // template http://t.com/s/0 accumulates 4 distinct urls (threshold 4);
+    // the benign template has 2; repeats never count
+    val pages = Seq(
+      (1L, t(0), "http://t.com/s/11"), (2L, t(0), "http://t.com/s/22"),
+      (3L, t(1), "http://t.com/s/33"), (4L, t(1), "http://t.com/s/44"),
+      (5L, t(1), "http://t.com/s/11"),                     // repeat — no count
+      (6L, t(0), "http://ok.com/a/1"), (7L, t(1), "http://ok.com/a/2"))
+    val stream = MemoryStream[(Long, Timestamp, String)](spark)
+    stream.addData(pages: _*)
+    val q = StreamingWindows.streamingTrapCensus(
+      stream.toDF().toDF("doc_id", "ts", "url"),
+      templateThreshold = 4, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("traps1").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("traps1").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // batch reference: the same templates crawlTraps flags at threshold 4
+    val batch = graft.operators.UrlOps.crawlTraps(
+        pages.toDF("doc_id", "ts", "url"), templateThreshold = 4L)
+      .filter($"n_template_urls" >= 4)
+      .select(org.apache.spark.sql.functions.regexp_replace(
+        org.apache.spark.sql.functions.lit("http://t.com/s/11"), "[0-9]+", "0"))
+    assert(got == Map("http://t.com/s/0" -> 4))
+    assert(batch.distinct().collect().map(_.getString(0)).toSet == got.keySet)
+  }
+
+  test("streaming trap census: fires once at the crossing, evicts past the horizon") {
+    val stream = MemoryStream[(Long, Timestamp, String)](spark)
+    stream.addData((1L, t(0), "http://g.com/p/1"), (2L, t(0), "http://g.com/p/2"))
+    val q = StreamingWindows.streamingTrapCensus(
+      stream.toDF().toDF("doc_id", "ts", "url"),
+      templateThreshold = 3, watermark = "5 minutes")
+      .writeStream.format("memory").queryName("traps2").outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("traps2").count() == 0) // 2 < 3: silent
+    // crossing batch → exactly one alert; further novel urls stay silent
+    stream.addData((3L, t(1), "http://g.com/p/3"), (4L, t(1), "http://g.com/p/4"))
+    q.processAllAvailable()
+    stream.addData((5L, t(2), "http://g.com/p/5"))
+    q.processAllAvailable()
+    val alerts1 = spark.table("traps2").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(alerts1.toSeq == Seq(("http://g.com/p/0", 4))) // census AT crossing (mid-batch overshoot)
+    // push the watermark far past the horizon, then the generator resumes:
+    // evicted state must re-prove — a fresh crossing fires a second alert
+    stream.addData((6L, t(60), "http://other.com/x/1"))
+    q.processAllAvailable()
+    stream.addData(
+      (7L, t(61), "http://g.com/p/6"), (8L, t(61), "http://g.com/p/7"),
+      (9L, t(61), "http://g.com/p/8"))
+    q.processAllAvailable(); q.stop()
+    val alerts2 = spark.table("traps2").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(alerts2.count(_._1 == "http://g.com/p/0") == 2)
+  }
 }
