@@ -613,6 +613,63 @@ class PlanSpec extends AnyFunSuite {
       "edge distinct must partial-aggregate map-side")
   }
 
+  test("passage retrieval: query vectors broadcast, no cartesian, top-k group-limited") {
+    val p = plan("q153_passage_retrieval")
+    // the bucket join must build on the (tiny) query side — a shuffle on
+    // the ≤|buckets| key would funnel the corpus through ≤256 reducers
+    assert(p.contains("BroadcastHashJoin"), "query vectors must broadcast")
+    assert(!p.contains("CartesianProduct"), "no all-pairs scoring")
+    assert(p.contains("WindowGroupLimit"), "per-query top-k must prune below the exchange")
+  }
+
+  test("crawl traps: in-row signals shuffle-free, one census aggregate, no window") {
+    val p = plan("q151_crawl_traps")
+    assert(!p.contains("Window ["), "trap flags must not window")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the template census is the ONLY exchange family (count-distinct is
+    // two-phase: template and template+url keys), plus the join back
+    val keys = "Exchange hashpartitioning\\(([^,]*)".r.findAllIn(p).matchData
+      .map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_.contains("__tpl")),
+      s"every exchange must key on the template census:\n${keys.mkString("\n")}")
+  }
+
+  test("recrawl schedule: snapshots collapse per URL below the diff join") {
+    val q = SparkEntry.queries("q134_recrawl_schedule")(spark, dir)
+    val p = q.queryExecution.executedPlan.toString
+    // the r9 quadratic: raw snapshot rows fanned d^2 through the
+    // full-outer join; the per-URL min-hash aggregates must sit below it.
+    // (Catalyst legally narrows the FullOuter to RightOuter under the
+    // removed-URL null filter — accept either spelling.)
+    assert(p.contains("FullOuter") || p.contains("RightOuter"), "diff join present")
+    assert("(?:Hash|Sort)Aggregate\\(keys?=\\[__oid".r.findAllIn(p).size >= 2 &&
+      "(?:Hash|Sort)Aggregate\\(keys?=\\[__nid".r.findAllIn(p).size >= 2,
+      "both snapshot sides must aggregate per URL (partial+final) before joining")
+    assert(!p.contains("Window ["), "no window anywhere in the schedule")
+  }
+
+  test("robust outliers: two window-free percentile passes") {
+    val p = plan("q158_score_outliers")
+    assert(!p.contains("Window ["), "median/MAD must be aggregates, not windows")
+    assert("percentile".r.findAllIn(p.toLowerCase).nonEmpty, "exact percentile aggregate")
+  }
+
+  test("perceptual image dedup: 8-byte signatures band-join, no cartesian") {
+    val p = plan("q149_image_phash_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "dHash pairs must come from the band equi-join")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), "band equi-join present")
+  }
+
+  test("curation scorecard: flags join on doc_id only, no text shuffle") {
+    val p = plan("q154_curation_scorecard")
+    // every exchange must key on doc_id / an aggregation key, never raw text
+    val keys = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toSeq
+    assert(keys.nonEmpty && keys.forall(k => !k.contains("text#")),
+      s"an exchange carries document text:\n${keys.mkString("\n")}")
+  }
+
   test("language ID: gram ranking in-row (no gram aggregate), profiles broadcast") {
     val p = plan("q28_lang_id")
     // the doc's gram multiset must never be aggregated or windowed — the
