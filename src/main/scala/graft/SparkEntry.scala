@@ -942,6 +942,32 @@ object SparkEntry {
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
   }
 
+  /** The q154 per-doc scorecard, shared with the q159 mixture capstone:
+    * four verified signal chains (Gopher rules, pinned-weights score,
+    * badword fraction, char-entropy floor) joined into reason flags + the
+    * keep conjunction. */
+  private[graft] def curationScorecard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(s, dir)
+    val rules = TextAnalysis.qualityRules(docs)
+      .select(col("doc_id"), (!col("quality_pass")).as("gopher_fail"))
+    val score = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), (!col("quality_keep")).as("score_low"))
+    val bad = TextAnalysis.badwordStats(docs, Seq("dup", "slow", "spam"),
+        maxFracMicro = 40000L)
+      .select(col("doc_id"), (!col("keep")).as("badword_hit"))
+    val ent = TextAnalysis.entropyStats(docs)
+      .select(col("doc_id"), (col("char_entropy") < 2.0).as("__el"))
+    docs.select("doc_id")
+      .join(rules, "doc_id").join(score, "doc_id").join(bad, "doc_id")
+      .join(ent, Seq("doc_id"), "left")
+      .withColumn("entropy_low", coalesce(col("__el"), lit(true)))
+      .withColumn("keep", !col("gopher_fail") && !col("score_low") &&
+        !col("badword_hit") && !col("entropy_low"))
+      .select("doc_id", "gopher_fail", "score_low", "badword_hit",
+        "entropy_low", "keep")
+  }
+
   /** Synthetic image corpus for the perceptual-hash queries (q149): every
     * doc_id % 7 == 0 document renders
     * [[operators.Multimodal.testPatternPng]](doc_id % 13) — equal render
@@ -961,6 +987,36 @@ object SparkEntry {
           Multimodal.testPatternPng(id % 13, scale = if (id % 2 == 1) 2 else 1))
       })
   }
+
+  /** The q154 scorecard's oracle chain (shared with q159): the
+    * qualityScoreCte (rule fractions + pinned-weights score), the q116
+    * badword replay (bw-prefixed), the q145 char-entropy replay
+    * (e-prefixed), and the flag projection `fl`. */
+  private def scorecardCtes: String =
+    s"""$qualityScoreCte,
+       |bwt AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |bwh AS (SELECT doc_id, toks,
+       |  list_intersect(toks, ['dup', 'slow', 'spam']) AS hits FROM bwt),
+       |bwc AS (SELECT doc_id, len(toks)::BIGINT AS bn,
+       |  len(list_filter(toks, x -> list_contains(hits, x)))::BIGINT AS bad_count
+       |  FROM bwh),
+       |ec AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+       |  FROM documents WHERE len(text) > 0),
+       |ecc AS (SELECT doc_id, ch, count(*) AS n FROM ec GROUP BY 1, 2),
+       |ece AS (SELECT doc_id,
+       |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS char_entropy
+       |  FROM ecc GROUP BY doc_id),
+       |fl AS (SELECT qf.doc_id,
+       |  NOT (qf.n_words >= 20 AND qf.dup_word_frac <= 0.6
+       |       AND qf.top_bigram_frac <= 0.1 AND qf.alpha_frac >= 0.8) AS gopher_fail,
+       |  NOT (score.quality_score >= 0.4) AS score_low,
+       |  bwc.bad_count * 1000000 > bwc.bn * 40000 AS badword_hit,
+       |  coalesce(ece.char_entropy < 2.0, TRUE) AS entropy_low
+       |  FROM qf JOIN score ON qf.doc_id = score.doc_id
+       |       JOIN bwc ON qf.doc_id = bwc.doc_id
+       |       LEFT JOIN ece ON qf.doc_id = ece.doc_id)""".stripMargin
 
   /** The q139 oracle's copy of [[dupDocuments]]'s construction. */
   private def dupFixtureSql: String =
@@ -2058,6 +2114,24 @@ object SparkEntry {
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
 
+    // the MIXTURE capstone — what-to-train-on end to end, across operator
+    // families in ONE plan: q154's scorecard gates the corpus → the q150
+    // UniMax walk allocates a 5k-token budget across the SURVIVORS'
+    // sources (3-epoch cap) → q155's coin materializes the epochs →
+    // q128's manifest checksums the expanded corpus per shard (epoch-
+    // qualified keys so copies stay distinguishable). The oracle chains
+    // the four verified replays end to end
+    "q159_mixture_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val kept = Tables.documents(s, dir).join(
+        curationScorecard(s, dir).filter(col("keep")).select("doc_id"), "doc_id")
+      val mixed = operators.Sampling.uniMaxApply(kept, budget = 5000L, epochCap = 3)
+      operators.Sampling.shardManifest(
+        mixed.select(
+          concat(col("doc_id"), lit("#"), col("epoch")).as("doc_id"), col("text")),
+        shards = 8, seed = "mix")
+    }),
+
     // per-source robust quality drift: median/MAD outlier flags on the
     // q102 micro scores — dyadic-exact arithmetic end to end (integer
     // micro inputs, interpolated medians are halves, deviations quarters
@@ -2133,27 +2207,7 @@ object SparkEntry {
     // composition as a whole (the q61/q96/q135 capstone pattern). One
     // lazy plan: three per-doc projections + id-keyed equi-joins, the
     // only shuffles the entropy/bigram aggregations already pay alone
-    "q154_curation_scorecard" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      val docs = Tables.documents(s, dir)
-      val rules = TextAnalysis.qualityRules(docs)
-        .select(col("doc_id"), (!col("quality_pass")).as("gopher_fail"))
-      val score = TextAnalysis.qualityScore(docs)
-        .select(col("doc_id"), (!col("quality_keep")).as("score_low"))
-      val bad = TextAnalysis.badwordStats(docs, Seq("dup", "slow", "spam"),
-          maxFracMicro = 40000L)
-        .select(col("doc_id"), (!col("keep")).as("badword_hit"))
-      val ent = TextAnalysis.entropyStats(docs)
-        .select(col("doc_id"), (col("char_entropy") < 2.0).as("__el"))
-      docs.select("doc_id")
-        .join(rules, "doc_id").join(score, "doc_id").join(bad, "doc_id")
-        .join(ent, Seq("doc_id"), "left")
-        .withColumn("entropy_low", coalesce(col("__el"), lit(true)))
-        .withColumn("keep", !col("gopher_fail") && !col("score_low") &&
-          !col("badword_hit") && !col("entropy_low"))
-        .select("doc_id", "gopher_fail", "score_low", "badword_hit",
-          "entropy_low", "keep")
-    }),
+    "q154_curation_scorecard" -> ((s, dir) => curationScorecard(s, dir)),
 
     // RAG-style passage retrieval composed from verified stages: q63's
     // chunker feeds hashed term-frequency vectors; per-query top-3 by the
@@ -3726,33 +3780,51 @@ object SparkEntry {
       // q116/q145 under collision-free CTE names; flags and the keep
       // conjunction are pure boolean algebra over them
       "q154_curation_scorecard" ->
-        s"""WITH $qualityScoreCte,
-           |bwt AS (SELECT doc_id,
-           |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-           |  FROM documents),
-           |bwh AS (SELECT doc_id, toks,
-           |  list_intersect(toks, ['dup', 'slow', 'spam']) AS hits FROM bwt),
-           |bwc AS (SELECT doc_id, len(toks)::BIGINT AS bn,
-           |  len(list_filter(toks, x -> list_contains(hits, x)))::BIGINT AS bad_count
-           |  FROM bwh),
-           |ec AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
-           |  FROM documents WHERE len(text) > 0),
-           |ecc AS (SELECT doc_id, ch, count(*) AS n FROM ec GROUP BY 1, 2),
-           |ece AS (SELECT doc_id,
-           |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS char_entropy
-           |  FROM ecc GROUP BY doc_id),
-           |fl AS (SELECT qf.doc_id,
-           |  NOT (qf.n_words >= 20 AND qf.dup_word_frac <= 0.6
-           |       AND qf.top_bigram_frac <= 0.1 AND qf.alpha_frac >= 0.8) AS gopher_fail,
-           |  NOT (score.quality_score >= 0.4) AS score_low,
-           |  bwc.bad_count * 1000000 > bwc.bn * 40000 AS badword_hit,
-           |  coalesce(ece.char_entropy < 2.0, TRUE) AS entropy_low
-           |  FROM qf JOIN score ON qf.doc_id = score.doc_id
-           |       JOIN bwc ON qf.doc_id = bwc.doc_id
-           |       LEFT JOIN ece ON qf.doc_id = ece.doc_id)
+        s"""WITH $scorecardCtes
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q159: the four replays chained — scorecard keep → per-source
+      // sizes of the SURVIVORS → the UniMax walk (budget 5000, cap 3) →
+      // the q155 coin expansion on epoch-qualified keys → the q128
+      // manifest checksum per shard
+      "q159_mixture_pipeline" ->
+        s"""WITH RECURSIVE $scorecardCtes,
+           |kd AS (SELECT d.doc_id, d.text, d.source
+           |       FROM documents d JOIN fl ON d.doc_id = fl.doc_id
+           |       WHERE NOT (fl.gopher_fail OR fl.score_low
+           |                  OR fl.badword_hit OR fl.entropy_low)),
+           |kc AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           |       FROM kd GROUP BY 1),
+           |ko AS (SELECT source, n_tokens,
+           |         CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS rn,
+           |         CAST(count(*) OVER () AS BIGINT) AS m
+           |       FROM kc),
+           |kwalk AS (
+           |  SELECT CAST(0 AS BIGINT) AS rn, CAST(5000 AS BIGINT) AS rem
+           |  UNION ALL
+           |  SELECT ko.rn, kwalk.rem - least(ko.n_tokens * 3, kwalk.rem // (ko.m - kwalk.rn))
+           |  FROM kwalk JOIN ko ON ko.rn = kwalk.rn + 1),
+           |ka AS (SELECT ko.source,
+           |         least(ko.n_tokens * 3, w.rem // (ko.m - ko.rn + 1)) * 1000000
+           |           // ko.n_tokens AS e6
+           |       FROM ko JOIN kwalk w ON w.rn = ko.rn - 1),
+           |kx AS (SELECT kd.doc_id, kd.text,
+           |         CAST(e6 // 1000000 AS INT) +
+           |         CASE WHEN ('0x' || substr(md5(kd.doc_id::VARCHAR || ':up'), 1, 4))::BIGINT
+           |              < ((e6 % 1000000) * 65536 + 999999) // 1000000
+           |              THEN 1 ELSE 0 END AS nc
+           |       FROM kd JOIN ka ON kd.source = ka.source),
+           |kex AS (SELECT doc_id::VARCHAR || '#' || epoch::VARCHAR AS key, text
+           |        FROM kx, UNNEST(generate_series(0, nc - 1)) t(epoch)),
+           |kh AS (SELECT key, text,
+           |         ('0x' || substr(md5('mix:' || key), 1, 4))::INT % 8 AS shard
+           |       FROM kex)
+           |SELECT shard, count(*)::BIGINT AS n_docs,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           |  bit_xor(('0x' || substr(md5(key || ':' || text), 1, 15))::BIGINT) AS checksum
+           |FROM kh GROUP BY shard""".stripMargin,
 
       // q153: full replay — q63's chunk chain, the dsir bucket idiom, the
       // integer cos² rank; QUALIFY mirrors the WindowGroupLimit top-3
