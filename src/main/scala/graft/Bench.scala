@@ -59,7 +59,7 @@ import org.apache.spark.sql.SparkSession
   *    a measurement, not an assertion; and
   *  - "stress10x": the composed pipelines (q61 text, q96 crawl
   *    front-end, q103 quality, q123 full crawl gate, q135 crawl loop,
-  *    q142 dsir selection) plus the distributed-ntile q138 on a 10×
+  *    q142 dsir selection, q159 mixture) plus the distributed-ntile q138 on a 10×
   *    id-offset self-union of documents.parquet — the slope one decade
   *    UP, duplicate-heavy by construction (see the section comment).
   */
@@ -69,7 +69,7 @@ object Bench {
     "q47_embed_neardup_lsh", "q52_embed_neardup_lsh_prod", "q53_dedup_minhash_prod",
     "q61_pipeline_e2e", "q68_neardup_incremental", "q89_byte_spans",
     "q98_neardup_indexed", "q100_bigram_lm", "q135_crawl_loop",
-    "q138_perplexity_tiles", "q142_dsir_selection")
+    "q138_perplexity_tiles", "q142_dsir_selection", "q159_mixture_pipeline")
 
   /** Sibling directory one decade down: .../sfX → .../sf(X/10), exact
     * decimal arithmetic so 0.1 → 0.01 (not 0.010000000...). None when the
@@ -159,9 +159,10 @@ object Bench {
         val q135x10 = t2("q135_crawl_loop")
         val q138x10 = t2("q138_perplexity_tiles")
         val q142x10 = t2("q142_dsir_selection")
+        val q159x10 = t2("q159_mixture_pipeline")
         f"""{"factor":10,"rows":$rows10,"q61_sec":$q61x10%.3f,"q96_sec":$q96x10%.3f,""" +
           f""""q103_sec":$q103x10%.3f,"q123_sec":$q123x10%.3f,"q135_sec":$q135x10%.3f,""" +
-          f""""q138_sec":$q138x10%.3f,"q142_sec":$q142x10%.3f}"""
+          f""""q138_sec":$q138x10%.3f,"q142_sec":$q142x10%.3f,"q159_sec":$q159x10%.3f}"""
       } finally {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
