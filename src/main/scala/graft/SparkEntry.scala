@@ -1085,6 +1085,26 @@ object SparkEntry {
         .as("text"))
   }
 
+  /** Synthetic .ipynb corpus (q160): every document becomes a real
+    * nbformat JSON skeleton — a markdown cell, a two-line code cell, and
+    * (even ids) a second code cell — so the engine must PARSE genuine
+    * JSON while the oracle states the expected cells straight from the
+    * construction (the q149/q152 structural pattern; no JSON functions
+    * needed oracle-side). Content derives from doc_id only, so no
+    * corpus text needs JSON-escaping. */
+  private[graft] def notebookDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val id = col("doc_id").cast("string")
+    Tables.documents(s, dir).select(col("doc_id"), concat(
+      lit("""{"nbformat": 4, "cells": [{"cell_type": "markdown", "source": ["# doc """),
+      id, lit("\"]}, {\"cell_type\": \"code\", \"source\": [\"x = "),
+      id, lit("""\n", "print(x)"]}"""),
+      when(col("doc_id") % 2 === 0, concat(
+        lit(""", {"cell_type": "code", "source": ["y = """),
+        (col("doc_id") * 2).cast("string"), lit("\"]}"))).otherwise(lit("")),
+      lit("]}")).as("text"))
+  }
+
   /** The q146/q147 oracles' copy of [[codeDocuments]]'s construction. */
   private def codeFixtureSql: String = {
     val cases = licenseHeaders.map { case (m, h) =>
@@ -2112,6 +2132,17 @@ object SparkEntry {
     "q149_image_phash_dedup" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
+    }),
+
+    // notebook mining: parse REAL nbformat JSON (from_json, permissive —
+    // corrupt payloads contribute zero rows), explode cells, keep code
+    // cells with line-arrays joined; the oracle states the expected
+    // cells from the construction without touching JSON
+    "q160_notebook_cells" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      operators.CodeAnalysis.notebookCells(notebookDocuments(s, dir))
+        .filter(col("cell_type") === "code")
+        .select("doc_id", "cell_idx", "src")
     }),
 
     // the MIXTURE capstone — what-to-train-on end to end, across operator
@@ -3784,6 +3815,18 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q160: the structural statement of the notebook construction —
+      // cell 1 is the two-line code cell (JSON \n unescapes to a real
+      // newline), cell 2 exists on even ids; markdown cell 0 is filtered
+      "q160_notebook_cells" ->
+        """SELECT doc_id, CAST(1 AS INT) AS cell_idx,
+          |  'x = ' || CAST(doc_id AS VARCHAR) || chr(10) || 'print(x)' AS src
+          |FROM documents
+          |UNION ALL
+          |SELECT doc_id, CAST(2 AS INT) AS cell_idx,
+          |  'y = ' || CAST(doc_id * 2 AS VARCHAR) AS src
+          |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
 
       // q159: the four replays chained — scorecard keep → per-source
       // sizes of the SURVIVORS → the UniMax walk (budget 5000, cap 3) →

@@ -88,6 +88,26 @@ object CodeAnalysis {
     * non-negative integers, so `//` ≡ `div` and the oracle replays exactly.
     * `is_code = score_e6 ≥ thresholdE6`.
     */
+  /** Jupyter-notebook cell extraction — .ipynb files are JSON and code
+    * corpora (The Stack, StarCoder) mine their `code` cells as first-class
+    * source documents: parse the nbformat skeleton (`cells[].cell_type` +
+    * `cells[].source` as the line-string array the format specifies),
+    * explode to one row per cell with its 0-based index, join the source
+    * lines back together. `from_json` is permissive-by-construction — a
+    * payload that is not valid JSON (or lacks `cells`) yields a null
+    * array and contributes ZERO rows instead of failing the job, the
+    * corrupt-record posture every source here shares. Pure codegen'd
+    * projection + one generator — map-side at any scale, no shuffle. */
+  def notebookCells(docs: DataFrame, jsonCol: String = "text"): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "cells array<struct<cell_type: string, source: array<string>>>")
+    docs.select(col("doc_id"), from_json(col(jsonCol), schema).as("__nb"))
+      .select(col("doc_id"), posexplode(col("__nb.cells")))
+      .select(col("doc_id"), col("pos").cast("int").as("cell_idx"),
+        col("col.cell_type").as("cell_type"),
+        concat_ws("", col("col.source")).as("src"))
+  }
+
   def codeScore(docs: DataFrame,
       thresholdE6: Long = defaultCodeThresholdE6): DataFrame = {
     val txt = coalesce(col("text"), lit(""))

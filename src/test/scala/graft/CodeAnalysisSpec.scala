@@ -77,4 +77,25 @@ class CodeAnalysisSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_lines") == 8L)
     assert(row.getAs[Long]("n_punct_end") == 7L)
   }
+
+  test("notebookCells: parses nbformat JSON, joins line arrays, drops corrupt payloads") {
+    val nb =
+      """{"nbformat": 4, "cells": [
+        |  {"cell_type": "markdown", "source": ["# title"]},
+        |  {"cell_type": "code", "source": ["a = 1\n", "b = 2"]},
+        |  {"cell_type": "code", "source": []}
+        |]}""".stripMargin
+    val fx = Seq(
+      (1L, nb),
+      (2L, "not json at all {{{"),                 // corrupt → zero rows
+      (3L, """{"nbformat": 4}""")                  // no cells → zero rows
+    ).toDF("doc_id", "text")
+    val got = CodeAnalysis.notebookCells(fx).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(got.forall(_._1 == 1L))
+    assert(got.toSet == Set(
+      (1L, 0, "markdown", "# title"),
+      (1L, 1, "code", "a = 1\nb = 2"),             // JSON \n → real newline, lines joined
+      (1L, 2, "code", "")))                        // empty source array → empty string
+  }
 }
