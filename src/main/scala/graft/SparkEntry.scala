@@ -508,6 +508,35 @@ object SparkEntry {
       .toDF("domain", "sitemap_xml")
   }
 
+  /** Pinned URL-keyed sitemap TREE fixture (q161): domain 0 publishes a
+    * root `<sitemapindex>` → a leaf urlset, a dangling child (never
+    * fetched), and a second-level index → another leaf; domain 1's root
+    * is a plain urlset; domain 2 has an orphan urlset no root reaches.
+    * Exercises: two index levels, the missing-child join miss, the
+    * orphan exclusion, and cross-level URL dedup. */
+  private[graft] val sitemapTreeFixture: Seq[(String, String, String)] = Seq(
+    ("http://www.example0.com/sitemap.xml", "www.example0.com",
+      "<sitemapindex><sitemap><loc>http://www.example0.com/a.xml</loc></sitemap>" +
+        "<sitemap><loc>http://www.example0.com/missing.xml</loc></sitemap>" +
+        "<sitemap><loc>http://www.example0.com/idx2.xml</loc></sitemap></sitemapindex>"),
+    ("http://www.example0.com/a.xml", "www.example0.com",
+      "<urlset><url><loc>http://www.example0.com/u1</loc></url>" +
+        "<url><loc>http://www.example0.com/u2</loc></url></urlset>"),
+    ("http://www.example0.com/idx2.xml", "www.example0.com",
+      "<sitemapindex><sitemap><loc>http://www.example0.com/b.xml</loc></sitemap></sitemapindex>"),
+    ("http://www.example0.com/b.xml", "www.example0.com",
+      "<urlset><url><loc>http://www.example0.com/u3</loc></url>" +
+        "<url><loc>http://www.example0.com/u1</loc></url></urlset>"),
+    ("http://www.example1.com/sitemap.xml", "www.example1.com",
+      "<urlset><url><loc>http://www.example1.com/u4</loc></url></urlset>"),
+    ("http://www.example2.com/orphan.xml", "www.example2.com",
+      "<urlset><url><loc>http://www.example2.com/u5</loc></url></urlset>"))
+
+  private[graft] def sitemapTreeDocuments(s: SparkSession): DataFrame = {
+    import s.implicits._
+    sitemapTreeFixture.toDF("sitemap_url", "domain", "sitemap_xml")
+  }
+
   /** The q129/q130 discovery front half: sitemap locs of DECLARED
     * sitemaps, normalized, minus the crawled corpus's normalized URLs.
     * Returns one row per surviving RAW url: (url, norm_url, ...). */
@@ -2132,6 +2161,19 @@ object SparkEntry {
     "q149_image_phash_dedup" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
+    }),
+
+    // sitemap TREE resolution: roots → <sitemapindex> children →
+    // second-level index → leaf <urlset> pages, depth-bounded; missing
+    // children and orphan files contribute nothing, page URLs dedup
+    // across leaves
+    "q161_sitemap_tree" -> ((s, dir) => {
+      import s.implicits._
+      operators.Frontier.resolveSitemapTree(
+        sitemapTreeDocuments(s),
+        Seq("http://www.example0.com/sitemap.xml",
+          "http://www.example1.com/sitemap.xml").toDF("sitemap_url"),
+        maxDepth = 3)
     }),
 
     // notebook mining: parse REAL nbformat JSON (from_json, permissive —
@@ -3815,6 +3857,32 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q161: three unrolled parse levels over the pinned tree VALUES —
+      // each level joins the frontier to the fetched-sitemap table, takes
+      // urlset locs as pages and sitemapindex locs as the next frontier
+      "q161_sitemap_tree" -> {
+        val values = sitemapTreeFixture.map { case (u, d, x) =>
+          s"(${sqlTextLit(u)}, ${sqlTextLit(d)}, ${sqlTextLit(x)})"
+        }.mkString(", ")
+        def level(frontier: String, out: String) =
+          s"""$out AS (SELECT st.domain,
+             |  lower(regexp_extract(st.sitemap_xml, '${operators.Frontier.rootRe}', 1)) AS root,
+             |  unnest(regexp_extract_all(st.sitemap_xml, '${operators.Frontier.locRe}', 1)) AS loc
+             |  FROM st JOIN $frontier fr ON st.sitemap_url = fr.su)""".stripMargin
+        s"""WITH st AS (SELECT * FROM (VALUES $values) t(sitemap_url, domain, sitemap_xml)),
+           |f1 AS (SELECT 'http://www.example0.com/sitemap.xml' AS su
+           |       UNION ALL SELECT 'http://www.example1.com/sitemap.xml'),
+           |${level("f1", "p1")},
+           |f2 AS (SELECT DISTINCT loc AS su FROM p1 WHERE root = 'sitemapindex'),
+           |${level("f2", "p2")},
+           |f3 AS (SELECT DISTINCT loc AS su FROM p2 WHERE root = 'sitemapindex'),
+           |${level("f3", "p3")}
+           |SELECT DISTINCT domain, loc
+           |FROM (SELECT domain, loc FROM p1 WHERE root = 'urlset' AND loc <> ''
+           |      UNION ALL SELECT domain, loc FROM p2 WHERE root = 'urlset' AND loc <> ''
+           |      UNION ALL SELECT domain, loc FROM p3 WHERE root = 'urlset' AND loc <> '')""".stripMargin
+      },
 
       // q160: the structural statement of the notebook construction —
       // cell 1 is the two-line code cell (JSON \n unescapes to a real

@@ -69,6 +69,40 @@ object Frontier {
       .filter(col("loc") =!= "")
   }
 
+  /** Resolve a SITEMAP TREE — the sitemaps.org protocol's real shape:
+    * large sites publish a `<sitemapindex>` whose `<loc>` entries point at
+    * child sitemap FILES (possibly further indexes), and only the leaf
+    * `<urlset>` files carry page URLs. Starting from `roots`
+    * (sitemap_url — the robots `Sitemap:` declarations), each level joins
+    * the frontier against the URL-KEYED fetched-sitemap table, parses
+    * with [[sitemapLocs]], collects `url` locs, and advances on `sitemap`
+    * locs. `maxDepth` bounds the walk (the protocol nests rarely past 2;
+    * the bound also makes index CYCLES harmless — a loop just burns
+    * depth, it cannot hang the job). A referenced child absent from
+    * `sitemaps` (fetch failed / not yet crawled) contributes nothing —
+    * the join simply finds no body. Returns DISTINCT (domain, loc) page
+    * URLs.
+    *
+    * ENGINE SHAPE: the loop unrolls lazily into `maxDepth` join+parse
+    * levels — plan depth ∝ maxDepth (≤ 3), every join an equi-join on the
+    * sitemap URL, parse map-side; no iteration state on the driver. */
+  def resolveSitemapTree(sitemaps: DataFrame, roots: DataFrame,
+      maxDepth: Int = 3, urlCol: String = "sitemap_url",
+      xmlCol: String = "sitemap_xml"): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 8,
+      s"maxDepth must be in [1, 8], got $maxDepth")
+    var frontier = roots.select(col(urlCol)).distinct()
+    var pages: Option[DataFrame] = None
+    for (_ <- 0 until maxDepth) {
+      val locs = sitemapLocs(sitemaps.join(frontier, urlCol), xmlCol)
+      val urls = locs.filter(col("kind") === "url").select("domain", "loc")
+      pages = Some(pages.fold(urls)(_ unionByName urls))
+      frontier = locs.filter(col("kind") === "sitemap")
+        .select(col("loc").as(urlCol)).distinct()
+    }
+    pages.get.distinct()
+  }
+
   /** Schedule `pages` (doc_id, urlCol): → (doc_id, domain, seq,
     * fetch_at) with `seq` the 0-based per-domain fetch order and
     * `fetch_at = seq · delay(domain)` seconds from crawl start.

@@ -165,4 +165,32 @@ class FrontierSpec extends AnyFunSuite {
       ("a.com", "url", "http://a.com/q"),         // newline-wrapped loc
       ("b.com", "sitemap", "http://b.com/s1.xml"))) // nested ref; c.com quarantined
   }
+
+  test("resolveSitemapTree: depth bound, missing child, orphan, and a cycle stay harmless") {
+    val st = Seq(
+      // root index → leaf + cycle back to itself + missing child
+      ("http://a.com/root.xml", "a.com",
+        "<sitemapindex><sitemap><loc>http://a.com/leaf.xml</loc></sitemap>" +
+          "<sitemap><loc>http://a.com/root.xml</loc></sitemap>" +
+          "<sitemap><loc>http://a.com/gone.xml</loc></sitemap></sitemapindex>"),
+      ("http://a.com/leaf.xml", "a.com",
+        "<urlset><url><loc>http://a.com/u1</loc></url></urlset>"),
+      // deep chain: idx → idx2 → leaf2 (leaf2 resolves only at depth 3)
+      ("http://b.com/root.xml", "b.com",
+        "<sitemapindex><sitemap><loc>http://b.com/idx2.xml</loc></sitemap></sitemapindex>"),
+      ("http://b.com/idx2.xml", "b.com",
+        "<sitemapindex><sitemap><loc>http://b.com/leaf2.xml</loc></sitemap></sitemapindex>"),
+      ("http://b.com/leaf2.xml", "b.com",
+        "<urlset><url><loc>http://b.com/u2</loc></url></urlset>"),
+      ("http://c.com/orphan.xml", "c.com",
+        "<urlset><url><loc>http://c.com/u3</loc></url></urlset>")
+    ).toDF("sitemap_url", "domain", "sitemap_xml")
+    val roots = Seq("http://a.com/root.xml", "http://b.com/root.xml").toDF("sitemap_url")
+    def locs(depth: Int) = Frontier.resolveSitemapTree(st, roots, maxDepth = depth)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // the self-cycle on a.com/root.xml re-parses it each level but can
+    // never add pages; gone.xml joins nothing; the orphan is unreachable
+    assert(locs(3) == Set(("a.com", "http://a.com/u1"), ("b.com", "http://b.com/u2")))
+    assert(locs(2) == Set(("a.com", "http://a.com/u1"))) // leaf2 beyond depth 2
+  }
 }
