@@ -2163,6 +2163,14 @@ object SparkEntry {
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
 
+    // matryoshka serving point: exact top-5 using only the first 8 of 64
+    // embedding components — the sliced column flows through the verified
+    // brute-force kernel, an 8× cheaper ranking whose agreement with the
+    // full-dim answer is the caller's quality dial
+    "q162_ann_matryoshka" -> ((s, dir) =>
+      Similarity.matryoshkaTopK(Tables.embeddings(s, dir),
+        queryIds = (0L until 10L), k = 5, dims = 8)),
+
     // sitemap TREE resolution: roots → <sitemapindex> children →
     // second-level index → leaf <urlset> pages, depth-bounded; missing
     // children and orphan files contribute nothing, page URLs dedup
@@ -3857,6 +3865,19 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q162: the q25 replay on the 8-component prefix — DuckDB slices
+      // the same lists the engine slices, cosine re-rounds at 6
+      "q162_ann_matryoshka" ->
+        """WITH q AS (SELECT vec_id AS q_id, (embedding::DOUBLE[])[1:8] AS qv
+          |           FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id AS n_id, (embedding::DOUBLE[])[1:8] AS nv FROM embeddings),
+          |s AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cos_sim
+          |      FROM q, c WHERE q_id <> n_id),
+          |r AS (SELECT q_id, n_id, cos_sim,
+          |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS INT) AS rnk
+          |      FROM s)
+          |SELECT q_id, n_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
 
       // q161: three unrolled parse levels over the pinned tree VALUES —
       // each level joins the frontier to the fetched-sitemap table, takes

@@ -73,6 +73,24 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos_sim"), col("rnk"))
   }
 
+  /** Matryoshka-truncated exact top-k (Kusupati et al. 2022, MRL): rank
+    * with only the FIRST `dims` embedding components, renormalized — the
+    * coarse-to-fine serving trick for encoders trained with nested
+    * losses, where a prefix of the vector is itself a valid embedding at
+    * 1/(d/dims) the memory and FLOPs. Pure composition: slice the
+    * column, then [[bruteForceTopK]]'s verified kernel (per-slice norms,
+    * broadcast queries, round-6 cosine, WindowGroupLimit top-k) — at
+    * scale the slice also shrinks the shuffle/broadcast payload by the
+    * same factor. Rank-agreement vs the full-dim ranking is the
+    * caller-side quality check (compare against [[bruteForceTopK]]). */
+  def matryoshkaTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      dims: Int): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    bruteForceTopK(
+      emb.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding")),
+      queryIds, k)
+  }
+
   /** Margin-based BITEXT candidate mining — the LASER/CCMatrix criterion
     * (Artetxe & Schwenk 2019 "ratio" margin, "max" strategy): for every
     * source-language vector x, its best target-language pair y by
