@@ -446,10 +446,16 @@ object SparkEntry {
     // Coverage: delay in a shadowed '*' group must NOT
     // apply (0), non-numeric ignored (2), '*'-group delay applies when
     // no specific group exists (3), specific-group delay applies (4).
-    // Sitemap: lines exercise q129 ONLY (global by convention, dropped
-    // by the gate/delay parses): declared on 0/3/4/5 — domain 6 has an
-    // XML body but NO declaration (q129 must exclude it), domain 5's
-    // declared body is malformed (zero rows)
+    // Sitemap: lines exercise q129's discovery and — per RFC 9309
+    // §2.2.2, other records are "independent of any group" and MUST NOT
+    // interfere with group parsing — are structurally INERT in the
+    // gate/delay parses: declared on 0/3/4/5 — domain 6 has an XML body
+    // but NO declaration (q129 must exclude it), domain 5's declared
+    // body is malformed (zero rows). Domain 5 plants its declaration
+    // INSIDE a multi-agent header run: graftbot and otherbot must still
+    // form ONE group sharing `Disallow: /a/5` (a parser that lets the
+    // Sitemap line split the run hands graftbot an empty group and
+    // crawls what the site blocked)
     0 -> ("User-agent: graftbot\nDisallow: /a/1\n\n" +
       "User-agent: *\nDisallow: /\nCrawl-delay: 7\n" +
       "Sitemap: http://www.example0.com/sitemap.xml"),
@@ -459,8 +465,9 @@ object SparkEntry {
     4 -> ("# example4 policy\nUser-Agent: otherbot\nUSER-AGENT: graftbot\n" +
       "Crawl-delay: 10\nDisallow:\nDISALLOW: /a/7\nAllow: /a/7?x\n\n" +
       "User-agent: *\nDisallow: /\nSitemap: http://www.example4.com/sitemap.xml"),
-    5 -> ("Disallow: /a\nUser-agent: graftbot\nAllow: /\nUser-agent: *\nDisallow: /\n" +
-      "Sitemap: http://www.example5.com/sitemap.xml"),
+    5 -> ("Disallow: /a\nUser-agent: graftbot\n" +
+      "Sitemap: http://www.example5.com/sitemap.xml\n" +
+      "User-agent: otherbot\nDisallow: /a/5\nUser-agent: *\nDisallow: /"),
     6 -> "User-agent: *\nDisallow: /")
 
   /** One robots.txt row per serving domain (domain 1 deliberately absent). */
@@ -1209,7 +1216,7 @@ object SparkEntry {
        |    lower(regexp_extract(cl, '${operators.Robots.directiveKindRe}', 1)) AS kind,
        |    regexp_extract(cl, '${operators.Robots.directiveValRe}', 1) AS val
        |  FROM (SELECT domain, idx, regexp_replace(raw, '#.*$$', '') AS cl FROM rlines))
-       |  WHERE kind <> ''),
+       |  WHERE kind IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
        |g AS (SELECT *, sum(CASE WHEN kind = 'user-agent'
        |        AND coalesce(lagk, '') <> 'user-agent' THEN 1 ELSE 0 END)
        |    OVER (PARTITION BY domain ORDER BY idx ROWS UNBOUNDED PRECEDING) AS gid
@@ -2204,8 +2211,13 @@ object SparkEntry {
     // the four verified replays end to end
     "q159_mixture_pipeline" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
+      // eager pin (the q135 frontier posture): uniMaxApply consumes the
+      // gated corpus TWICE — the walk's per-source size collect and the
+      // expansion plan — and each would otherwise re-derive the whole
+      // 4-chain scorecard; the pinned set is selection-sized
       val kept = Tables.documents(s, dir).join(
         curationScorecard(s, dir).filter(col("keep")).select("doc_id"), "doc_id")
+        .localCheckpoint()
       val mixed = operators.Sampling.uniMaxApply(kept, budget = 5000L, epochCap = 3)
       operators.Sampling.shardManifest(
         mixed.select(
@@ -3841,7 +3853,7 @@ object SparkEntry {
            |s AS (SELECT doc_id, url,
            |  regexp_replace(url, '[0-9]+', '0', 'g') AS tpl,
            |  list_filter(string_split(regexp_extract(url, '${operators.UrlOps.pathRe}', 1), '/'), x -> x <> '') AS segs,
-           |  regexp_extract(url, '\\?([^#]*)', 1) AS q
+           |  regexp_extract(regexp_replace(url, '#.*$$', ''), '\\?(.*)$$', 1) AS q
            |  FROM f),
            |t AS (SELECT doc_id, tpl,
            |  CAST(len(segs) AS INT) AS depth,

@@ -74,20 +74,6 @@ object CodeAnalysis {
     * indentation each contribute up to 10⁶·weight). */
   val defaultCodeThresholdE6 = 600000L
 
-  /** Code-vs-prose signals and verdict, entirely in-row.
-    *
-    * Signals (integer counts):
-    *   - `n_symbols`: occurrences of [[symbolChars]] (a `translate`-delta —
-    *     one codegen'd pass, no per-char explode);
-    *   - `n_indented`: lines opening with two spaces or a tab;
-    *   - `n_punct_end`: lines closing with `;`, `{` or `}`;
-    *   - `n_lines`: 1 + newline count (split semantics, empty doc = 1 line).
-    *
-    * `score_e6 = 4·(10⁶·n_symbols div n_chars) + 2·(10⁶·n_indented div
-    * n_lines) + 2·(10⁶·n_punct_end div n_lines)` — floor division on
-    * non-negative integers, so `//` ≡ `div` and the oracle replays exactly.
-    * `is_code = score_e6 ≥ thresholdE6`.
-    */
   /** Jupyter-notebook cell extraction — .ipynb files are JSON and code
     * corpora (The Stack, StarCoder) mine their `code` cells as first-class
     * source documents: parse the nbformat skeleton (`cells[].cell_type` +
@@ -108,6 +94,20 @@ object CodeAnalysis {
         concat_ws("", col("col.source")).as("src"))
   }
 
+  /** Code-vs-prose signals and verdict, entirely in-row.
+    *
+    * Signals (integer counts):
+    *   - `n_symbols`: occurrences of [[symbolChars]] (a `translate`-delta —
+    *     one codegen'd pass, no per-char explode);
+    *   - `n_indented`: lines opening with two spaces or a tab;
+    *   - `n_punct_end`: lines closing with `;`, `{` or `}`;
+    *   - `n_lines`: 1 + newline count (split semantics, empty doc = 1 line).
+    *
+    * `score_e6 = 4·(10⁶·n_symbols div n_chars) + 2·(10⁶·n_indented div
+    * n_lines) + 2·(10⁶·n_punct_end div n_lines)` — floor division on
+    * non-negative integers, so `//` ≡ `div` and the oracle replays exactly.
+    * `is_code = score_e6 ≥ thresholdE6`.
+    */
   def codeScore(docs: DataFrame,
       thresholdE6: Long = defaultCodeThresholdE6): DataFrame = {
     val txt = coalesce(col("text"), lit(""))

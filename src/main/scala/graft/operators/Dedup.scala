@@ -516,8 +516,12 @@ object Dedup {
   /** Shared banded Hamming pair-finder over ANY 64-bit signature column —
     * the engine behind [[simHashPairs]] and the perceptual image-hash dedup
     * ([[Multimodal.dHashDupPairs]]). Bands the signature into four 16-bit
-    * equi-join keys (pigeonhole-complete for Hamming ≤ 3), dedups candidate
-    * pairs map-side, then verifies the exact distance with one bit_count.
+    * equi-join keys (pigeonhole-COMPLETE only for Hamming ≤ 3 — four bands
+    * cannot all differ), dedups candidate pairs map-side, then verifies
+    * the exact distance with one bit_count. `maxHamming` > 3 is accepted
+    * but is BEST-EFFORT recall, not a guarantee: a distance-4+ pair whose
+    * differing bits cover every band never becomes a candidate (the
+    * [[simHashPairs]] contract, shared verbatim).
     * Input: (doc_id, `sigCol`: BIGINT); output: (doc1, doc2, hamming).
     * 100 TB shape: the only shuffle is the band equi-join on a bounded
     * 18-bit key space — no signature ever compares against the full corpus. */

@@ -106,8 +106,19 @@ object Robots {
     * the shared structure the delay above binds to group(a) and `b`
     * starts a fresh group in BOTH parses — the reading of a crawler that
     * honors Crawl-delay as a group rule (Bing/Yandex convention).
+    *
+    * The structure is computed over the GROUP-RELEVANT kinds only
+    * (user-agent / allow / disallow / crawl-delay): RFC 9309 §2.2.2
+    * makes other records (Sitemap:, unknown directives) "independent of
+    * any group" whose parsing "MUST NOT interfere" with group parsing —
+    * so a `Sitemap:` line sitting between two consecutive `User-agent:`
+    * header lines (common in real files) must NOT split the run the way
+    * a rule line would.
     * Windows partition by domain over robots LINES only — bounded by the
     * file, not the corpus. */
+  private[operators] val groupKinds: Seq[String] =
+    Seq("user-agent", "allow", "disallow", "crawl-delay")
+
   private def groupedDirectives(robots: DataFrame, domainCol: String,
       txtCol: String, kinds: Seq[String]): DataFrame = {
     val lines = robots.select(col(domainCol).as("domain"),
@@ -115,7 +126,7 @@ object Robots {
       .withColumn("cl", regexp_replace(col("raw"), "#.*$", ""))
       .withColumn("kind", lower(regexp_extract(col("cl"), directiveKindRe, 1)))
       .withColumn("val", regexp_extract(col("cl"), directiveValRe, 1))
-      .filter(col("kind") =!= "")
+      .filter(col("kind").isin(groupKinds: _*))
     val wo = Window.partitionBy("domain").orderBy("idx")
     lines
       .withColumn("__ag", col("kind") === "user-agent")

@@ -38,7 +38,7 @@ object Selection {
     * md5 (16 uniform bits, the q40/q105 idiom) reduced mod `buckets` —
     * uniform when `buckets` divides 2^16, near-uniform otherwise. */
   private[operators] def bucketOf(word: Column, buckets: Int): Column =
-    (conv(substring(md5(word), 1, 4), 16, 10).cast("int") % buckets).cast("int")
+    (Sampling.hashBucket16(word) % buckets).cast("int")
 
   /** DSIR importance weight per document over hashed word-unigram
     * features: (doc_id, n_words, log_weight) with

@@ -538,11 +538,15 @@ object Similarity {
     // the first new file lands.
     val batch = ivfCorpusSide(newEmb.dropDuplicates("vec_id"))
       .join(existing, Seq("n_id"), "left_anti").localCheckpoint()
-    batch.join(assignCells(batch, cents), "n_id")
-      .select(col("n_id").as("vec_id"), col("nv").as("embedding"),
-        col("nn").as("vnorm"), col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
-    Dedup.releaseLocalCheckpoint(batch)
+    // finally: a failed append (disk full, permissions) must still release
+    // the eagerly-materialized batch, or its blocks pin executor storage
+    // for the rest of the session
+    try
+      batch.join(assignCells(batch, cents), "n_id")
+        .select(col("n_id").as("vec_id"), col("nv").as("embedding"),
+          col("nn").as("vnorm"), col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    finally Dedup.releaseLocalCheckpoint(batch)
   }
 
   /** Probe a persisted [[writeIvfIndex]] index: rank centroids per query

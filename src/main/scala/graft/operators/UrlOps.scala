@@ -238,7 +238,11 @@ object UrlOps {
       "trap thresholds must be positive (maxRepeats/templateThreshold > 1)")
     val segs = filter(split(regexp_extract(col(urlCol), pathRe, 1), "/"),
       s => s =!= "")
-    val q = regexp_extract(col(urlCol), "\\?([^#]*)", 1)
+    // fragment strips FIRST: per RFC 3986 a '?' inside the fragment is
+    // fragment text, not a query — matching the first '?' anywhere would
+    // count '#sec?x=1&…' as parameters and trap a benign page
+    val q = regexp_extract(regexp_replace(col(urlCol), "#.*$", ""),
+      "\\?(.*)$", 1)
     val withSignals = pages.select(
       col("doc_id"), col(urlCol),
       regexp_replace(col(urlCol), "[0-9]+", "0").as("__tpl"),

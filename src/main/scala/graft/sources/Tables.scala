@@ -68,18 +68,27 @@ object Tables {
     // isAdjustedToUTC=false) (read as TIMESTAMP_NTZ — the legacy flag only
     // covers NANOS). Normalizing here keeps every downstream query on the
     // long contract and matches the oracle's `epoch_ns(ts)`, which treats
-    // the file's naive timestamps as UTC: NTZ wall-clock W → cast gives
-    // the instant I with wall_sessionTz(I) = W (I = epoch(W) − off);
-    // from_utc_timestamp adds the same session offset back, so
-    // unix_micros = epoch-micros of W-as-UTC for ANY session tz — then
-    // micros → nanos losslessly.
+    // the file's naive timestamps as UTC. The NTZ branch computes
+    // epoch-of-wall-as-UTC from the WALL FIELDS alone (date diff + hour/
+    // minute/second) — an NTZ value has no instant, and every wall-field
+    // extraction is timezone-free, so the result is exact for ANY session
+    // tz. (The previous cast-to-Timestamp → from_utc_timestamp roundtrip
+    // was off by an hour for wall times inside a DST spring-forward gap
+    // of the session zone: the cast resolves the nonexistent time by
+    // shifting. Harmless under the pinned UTC sessions, but this form is
+    // correct unconditionally.)
     val raw = table(scoped, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw
       case TimestampNTZType =>
-        val tz = scoped.sessionState.conf.sessionLocalTimeZone
+        // extract(SECOND) carries the fractional micros as DECIMAL(8,6)
         raw.withColumn("ts",
-          unix_micros(from_utc_timestamp(col("ts").cast(TimestampType), tz)) * 1000L)
+          (datediff(col("ts").cast(DateType), to_date(lit("1970-01-01")))
+              .cast("long") * 86400000000L
+            + hour(col("ts")).cast("long") * 3600000000L
+            + minute(col("ts")).cast("long") * 60000000L
+            + (expr("extract(SECOND FROM ts)") * lit(1000000)).cast("long"))
+            * 1000L)
       case TimestampType =>
         raw.withColumn("ts", unix_micros(col("ts")) * 1000L)
       case other =>

@@ -164,6 +164,8 @@ class UrlOpsSpec extends AnyFunSuite {
       (3L, "http://a.com/p?a=1&b=2&c=3&d=4&e=5&f=6"),        // 6 params > 5
       (4L, "http://a.com/p?a=1&b=2#x=3&y=4&z=5&w=6"),        // fragment ≠ params: 2
       (5L, "http://a.com"),                                  // no path: depth 0
+      // '?' INSIDE the fragment is fragment text (RFC 3986) — 0 params
+      (10L, "http://a.com/doc#sec?x=1&a=2&b=3&c=4&d=5&e=6"),
       // template explosion: 4 urls differing only in digits, threshold 4
       (6L, "http://t.com/s/11"), (7L, "http://t.com/s/22"),
       (8L, "http://t.com/s/33"), (9L, "http://t.com/s/44")
@@ -178,6 +180,7 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got(3L)._3 == 6 && got(3L)._5)
     assert(got(4L)._3 == 2 && !got(4L)._5)
     assert(got(5L) == ((0, 0, 0, 1L, false)))
+    assert(got(10L)._3 == 0 && !got(10L)._5)
     (6L to 9L).foreach(i => assert(got(i) == ((2, 1, 0, 4L, true))))
   }
 }
