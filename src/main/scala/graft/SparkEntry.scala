@@ -1121,6 +1121,19 @@ object SparkEntry {
         .as("text"))
   }
 
+  /** Derived card-number fixture (q163): every doc gains one 16-digit
+    * candidate (4·10¹⁵ + doc_id — ~10% pass Luhn, decided by the shared
+    * checksum, no planted answer key), and every %5 doc an 8-digit run
+    * that must stay below the 13-digit extraction floor. */
+  private[graft] def cardDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" card "),
+        (lit(4000000000000000L) + col("doc_id")).cast("string"),
+        when(col("doc_id") % 5 === 0, lit(" ref 12345678")).otherwise(lit("")))
+        .as("text"))
+  }
+
   /** Synthetic .ipynb corpus (q160): every document becomes a real
     * nbformat JSON skeleton — a markdown cell, a two-line code cell, and
     * (even ids) a second code cell — so the engine must PARSE genuine
@@ -2169,6 +2182,12 @@ object SparkEntry {
       implicit val spark: SparkSession = s
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
+
+    // Luhn-verified card detection: 13-19-digit candidates through the
+    // ISO 7812 mod-10 fold — the precision stage after q62's
+    // recall-oriented regex redaction (~90% of random digit runs fail)
+    "q163_luhn_pii" -> ((s, dir) =>
+      TextAnalysis.luhnCardCandidates(cardDocuments(s, dir))),
 
     // matryoshka serving point: exact top-5 using only the first 8 of 64
     // embedding components — the sliced column flows through the verified
@@ -3877,6 +3896,25 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q163: the identical Luhn fold per candidate — double every second
+      // digit from the right, subtract 9 above 9, sum mod 10
+      "q163_luhn_pii" ->
+        """WITH cd AS (SELECT doc_id,
+          |  text || ' card ' || CAST(4000000000000000 + doc_id AS VARCHAR) ||
+          |  CASE WHEN doc_id % 5 = 0 THEN ' ref 12345678' ELSE '' END AS text
+          |  FROM documents),
+          |x AS (SELECT doc_id,
+          |  unnest(regexp_extract_all(text, '[0-9]{13,19}', 0)) AS candidate FROM cd)
+          |SELECT doc_id, candidate,
+          |  list_sum(list_transform(range(0, length(candidate)),
+          |    i -> CASE WHEN i % 2 = 1 THEN
+          |      CASE WHEN 2 * (ascii(substring(reverse(candidate), i + 1, 1)) - 48) > 9
+          |           THEN 2 * (ascii(substring(reverse(candidate), i + 1, 1)) - 48) - 9
+          |           ELSE 2 * (ascii(substring(reverse(candidate), i + 1, 1)) - 48) END
+          |      ELSE ascii(substring(reverse(candidate), i + 1, 1)) - 48 END)) % 10 = 0
+          |    AS luhn_valid
+          |FROM x""".stripMargin,
 
       // q162: the q25 replay on the 8-component prefix — DuckDB slices
       // the same lists the engine slices, cosine re-rounds at 6

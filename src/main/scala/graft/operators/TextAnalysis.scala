@@ -412,6 +412,32 @@ object TextAnalysis {
       coalesce(nRedactions.cast("int"), lit(0)).as("n_redactions"))
   }
 
+  /** Luhn-verified payment-card detection — the PRECISION stage a
+    * production PII pipeline runs after [[redactPii]]'s recall-oriented
+    * regexes: any 13–19-digit run is a CANDIDATE, but only runs passing
+    * the ISO/IEC 7812 Luhn mod-10 checksum are plausible PANs — random
+    * digit strings pass at ~10%, so the verify drops ~90% of the false
+    * alarms a bare regex would redact. One row per candidate:
+    * (doc_id, candidate, luhn_valid).
+    *
+    * The checksum is a pure in-row HOF fold over the reversed digits
+    * (double every second, subtract 9 above 9, sum mod 10) — integer
+    * arithmetic the oracle replays verbatim; extraction and fold are
+    * codegen'd, zero shuffle at any scale. */
+  def luhnCardCandidates(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        explode(expr(s"regexp_extract_all($textCol, '[0-9]{13,19}', 0)")).as("candidate"))
+      .withColumn("luhn_valid", expr(
+        """aggregate(
+          |  sequence(0, length(candidate) - 1),
+          |  0,
+          |  (acc, i) -> acc + CASE WHEN i % 2 = 1
+          |    THEN CASE WHEN 2 * (ascii(substring(reverse(candidate), i + 1, 1)) - 48) > 9
+          |              THEN 2 * (ascii(substring(reverse(candidate), i + 1, 1)) - 48) - 9
+          |              ELSE 2 * (ascii(substring(reverse(candidate), i + 1, 1)) - 48) END
+          |    ELSE ascii(substring(reverse(candidate), i + 1, 1)) - 48 END
+          |) % 10 = 0""".stripMargin))
+
   /** Corpus vocabulary with frequency statistics — the tokenizer-training /
     * frequency-cutoff stage of a data pipeline: one row per distinct word
     * with its total occurrence count, document frequency, and a dense

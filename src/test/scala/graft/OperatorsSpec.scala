@@ -431,6 +431,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3L) == ("", 0))
   }
 
+  test("luhnCardCandidates: known PANs validate, off-by-one fails, short runs skip") {
+    val fx = Seq(
+      (0L, "pay 4532015112830366 now"),     // textbook Luhn-valid Visa test PAN
+      (1L, "pay 4532015112830367 now"),     // last digit bumped → invalid
+      (2L, "ref 123456789012 only"),        // 12 digits < 13 → no candidate
+      (3L, "amex 371449635398431 ok"),      // 15-digit valid (odd length path)
+      (4L, "no digits at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.luhnCardCandidates(fx).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(got.toSet == Set(
+      (0L, "4532015112830366", true),
+      (1L, "4532015112830367", false),
+      (3L, "371449635398431", true)))
+  }
+
   test("PII redaction null contract: null text → null redacted, zero count") {
     val fx = Seq((0L, Option("ping admin@example.com")), (1L, Option.empty[String]))
       .toDF("doc_id", "text")
