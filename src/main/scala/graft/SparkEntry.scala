@@ -2183,6 +2183,12 @@ object SparkEntry {
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
 
+    // Zipf rank-frequency slope per source (ln f vs ln r least squares
+    // over each source's top-64 words) — the broken-extractor tripwire
+    // beside q145's entropy and q158's score drift
+    "q164_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(Tables.documents(s, dir))),
+
     // Luhn-verified card detection: 13-19-digit candidates through the
     // ISO 7812 mod-10 fold — the precision stage after q62's
     // recall-oriented regex redaction (~90% of random digit runs fail)
@@ -3896,6 +3902,23 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q164: same count → rank → ln-ln least squares; QUALIFY keeps the
+      // per-source top-64, slope rounds to 6 at the end (ulp policy)
+      "q164_zipf_fit" ->
+        """WITH wc AS (SELECT source, w AS word, count(*) AS n
+          |  FROM documents, UNNEST(string_split(text, ' ')) t(w)
+          |  GROUP BY 1, 2),
+          |rk AS (SELECT source, n,
+          |    row_number() OVER (PARTITION BY source ORDER BY n DESC, word) AS r
+          |  FROM wc QUALIFY r <= 64),
+          |pt AS (SELECT source, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM rk),
+          |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_top,
+          |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+          |  FROM pt GROUP BY source)
+          |SELECT source, n_top,
+          |  round((n_top * sxy - sx * sy) / (n_top * sxx - sx * sx), 6) AS zipf_slope
+          |FROM ag""".stripMargin,
 
       // q163: the identical Luhn fold per candidate — double every second
       // digit from the right, subtract 9 above 9, sum mod 10

@@ -438,6 +438,41 @@ object TextAnalysis {
           |    ELSE ascii(substring(reverse(candidate), i + 1, 1)) - 48 END
           |) % 10 = 0""".stripMargin))
 
+  /** Zipf-law fit per source — the corpus-health diagnostic beside
+    * [[entropyStats]]: natural language's rank-frequency law is
+    * f(r) ∝ r^s with s ≈ −1, and a slice whose slope sits far off
+    * (too flat = shuffled/templated vocabulary, too steep = a few
+    * tokens dominating — log spam, boilerplate) is a broken extractor
+    * before any model sees it. Least-squares slope of ln f on ln r over
+    * each source's `topK` words (ties rank by count desc, word asc —
+    * deterministic), rounded to 6 at the end (the q60 transcendental-ulp
+    * policy; with ≤ topK addends the cross-engine drift is far below the
+    * rounding grain). Output: (source, n_top, zipf_slope).
+    *
+    * Scale: one (source, word) count aggregate (partial, map-side), a
+    * per-source top-K window (WindowGroupLimit — K rows survive per
+    * partition), then a K-row-per-source aggregate. */
+  def zipfFit(docs: DataFrame, sourceCol: String = "source",
+      topK: Int = 64): DataFrame = {
+    require(topK >= 8, s"topK must be >= 8 for a meaningful fit, got $topK")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(sourceCol)
+      .orderBy(col("__n").desc, col("word"))
+    val ranked = withWords(docs)
+      .select(col(sourceCol), explode(col("__words")).as("word"))
+      .groupBy(sourceCol, "word").agg(count(lit(1)).as("__n"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= topK)
+      .select(col(sourceCol), log(col("__r").cast("double")).as("x"),
+        log(col("__n").cast("double")).as("y"))
+    ranked.groupBy(sourceCol).agg(
+        count(lit(1)).as("n_top"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col(sourceCol), col("n_top"),
+        round((col("n_top") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_top") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+  }
+
   /** Corpus vocabulary with frequency statistics — the tokenizer-training /
     * frequency-cutoff stage of a data pipeline: one row per distinct word
     * with its total occurrence count, document frequency, and a dense
