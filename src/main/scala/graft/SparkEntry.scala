@@ -2183,6 +2183,12 @@ object SparkEntry {
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
 
+    // context-window planning: per-source cost of a 64-token hard cap —
+    // docs that fit, tokens kept/lost, integer-micro loss (64 so the cap
+    // BINDS on this corpus's ~55-word docs; 256 would be a no-op report)
+    "q165_truncation_report" -> ((s, dir) =>
+      TextAnalysis.truncationReport(Tables.documents(s, dir), maxTokens = 64)),
+
     // Zipf rank-frequency slope per source (ln f vs ln r least squares
     // over each source's top-64 words) — the broken-extractor tripwire
     // beside q145's entropy and q158's score drift
@@ -3902,6 +3908,18 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q165: straight aggregate replay — counts, fit threshold, least(),
+      // integer-micro loss
+      "q165_truncation_report" ->
+        """WITH d AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+          |  FROM documents)
+          |SELECT source, count(*)::BIGINT AS n_docs,
+          |  CAST(sum(CASE WHEN nw <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+          |  CAST(sum(nw) AS BIGINT) AS tokens_total,
+          |  CAST(sum(least(nw, 64)) AS BIGINT) AS tokens_kept,
+          |  CAST(((sum(nw) - sum(least(nw, 64))) * 1000000) // sum(nw) AS BIGINT) AS loss_e6
+          |FROM d GROUP BY source""".stripMargin,
 
       // q164: same count → rank → ln-ln least squares; QUALIFY keeps the
       // per-source top-64, slope rounds to 6 at the end (ulp policy)

@@ -438,6 +438,27 @@ object TextAnalysis {
           |    ELSE ascii(substring(reverse(candidate), i + 1, 1)) - 48 END
           |) % 10 = 0""".stripMargin))
 
+  /** Context-window truncation report — what a `maxTokens` cap costs each
+    * source BEFORE committing to it: docs that fit, whitespace tokens
+    * kept vs lost under hard truncation, loss in integer micro-units.
+    * The capacity-planning twin of [[packSequences]] (which packs exactly
+    * these budgets) and the per-source lens on [[chunkDocuments]]'s
+    * alternative (chunk instead of truncate). One partial-aggregated
+    * groupBy over (source, n_words) — map-side, no text shuffles. */
+  def truncationReport(docs: DataFrame, maxTokens: Int = 256,
+      sourceCol: String = "source"): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val nw = size(split(col("text"), " ")).cast("long")
+    docs.select(col(sourceCol), nw.as("__nw"))
+      .groupBy(sourceCol).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__nw") <= maxTokens, 1L).otherwise(0L)).as("n_fit"),
+        sum(col("__nw")).as("tokens_total"),
+        sum(least(col("__nw"), lit(maxTokens.toLong))).as("tokens_kept"))
+      .withColumn("loss_e6",
+        expr("((tokens_total - tokens_kept) * 1000000) div tokens_total"))
+  }
+
   /** Zipf-law fit per source — the corpus-health diagnostic beside
     * [[entropyStats]]: natural language's rank-frequency law is
     * f(r) ∝ r^s with s ≈ −1, and a slice whose slope sits far off
