@@ -2183,6 +2183,14 @@ object SparkEntry {
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
 
+    // exactly-103 held-out docs mirroring the corpus mix: Hamilton
+    // largest-remainder apportionment (integer seat math, ties by name —
+    // 103 forces fractional seats AND the tie path on this corpus's
+    // uniform strata), md5-ranked picks within each stratum
+    "q166_proportional_split" -> ((s, dir) =>
+      operators.Sampling.proportionalSplit(Tables.documents(s, dir), k = 103L)
+        .select("doc_id", "source")),
+
     // context-window planning: per-source cost of a 64-token hard cap —
     // docs that fit, tokens kept/lost, integer-micro loss (64 so the cap
     // BINDS on this corpus's ~55-word docs; 256 would be a no-op report)
@@ -3908,6 +3916,26 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q166: the apportionment replay — integer seats k·n//N, leftover
+      // seats by (remainder DESC, source), md5-ranked in-stratum picks
+      "q166_proportional_split" ->
+        """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+          |t AS (SELECT sum(n) AS total FROM c),
+          |b AS (SELECT source, n, (103 * n) // total AS seats, (103 * n) % total AS rem
+          |      FROM c CROSS JOIN t),
+          |lo AS (SELECT 103 - sum(seats) AS leftover FROM b),
+          |rk AS (SELECT source, seats,
+          |       row_number() OVER (ORDER BY rem DESC, source) AS pr FROM b),
+          |q AS (SELECT source,
+          |      seats + CASE WHEN pr <= leftover THEN 1 ELSE 0 END AS seats
+          |      FROM rk CROSS JOIN lo),
+          |sel AS (SELECT d.doc_id, d.source,
+          |        row_number() OVER (PARTITION BY d.source
+          |          ORDER BY md5(d.doc_id::VARCHAR), d.doc_id) AS rn
+          |        FROM documents d)
+          |SELECT sel.doc_id, sel.source
+          |FROM sel JOIN q ON sel.source = q.source WHERE sel.rn <= q.seats""".stripMargin,
 
       // q165: straight aggregate replay — counts, fit threshold, least(),
       // integer-micro loss

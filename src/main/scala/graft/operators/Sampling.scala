@@ -325,6 +325,46 @@ object Sampling {
     }
   }
 
+  /** Proportional stratified selection by LARGEST REMAINDER (Hamilton
+    * apportionment) — draw EXACTLY `k` rows total, allocated across
+    * strata proportionally to their sizes: each stratum gets
+    * ⌊k·n_s/N⌋ seats, and the k − Σ⌊·⌋ leftover seats go to the largest
+    * fractional remainders (ties by stratum name). The eval-set shape
+    * "exactly 1000 held-out docs, mirroring the corpus mix" — a plain
+    * per-stratum fraction can't hit an exact total, and a global top-k
+    * ignores the mix. Within a stratum rows are chosen by md5 rank (the
+    * [[stratifiedSample]] determinism), so the draw is rerun- and
+    * partition-stable.
+    *
+    * ALL allocation arithmetic is integer (remainder comparison via
+    * k·n_s mod N — no fractions materialize), and the seat table is a
+    * driver-side walk over the ≤\|strata\| size rows (the uniMaxMix
+    * convention); the per-stratum pick is one WindowGroupLimit window. */
+  def proportionalSplit(df: DataFrame, k: Long, stratumCol: String = "source",
+      key: Column = col("doc_id")): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    val sizes = df.groupBy(stratumCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = sizes.map(_._2).sum
+    require(k <= total, s"k=$k exceeds the corpus size $total")
+    val base = sizes.map { case (s, n) => (s, n, k * n / total, k * n % total) }
+    val leftover = (k - base.map(_._3).sum).toInt
+    val bumped = base.sortBy { case (s, _, _, rem) => (-rem, s) }
+      .zipWithIndex
+      .map { case ((s, n, seats, _), i) =>
+        (s, n, seats + (if (i < leftover) 1L else 0L)) }
+    val quota = spark.createDataFrame(bumped.toSeq)
+      .toDF(stratumCol, "__n", "__seats")
+      .select(col(stratumCol), col("__seats"))
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(md5(key.cast("string")), key)
+    df.join(broadcast(quota), stratumCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__seats"))
+      .drop("__rn", "__seats")
+  }
+
   /** MATERIALIZE the [[uniMaxMix]] allocation: each document repeats
     * ⌊epochs⌋ times plus one md5-coin extra copy with probability equal to
     * the fractional epoch (the [[epochMix]] realization idiom, threshold

@@ -162,6 +162,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(capped == 300L)
   }
 
+  test("proportionalSplit: exact total, largest-remainder seats, md5-stable picks") {
+    // strata 10/20/30, k=7: quotas 1.16/2.33/3.5 → floors 1/2/3 (=6),
+    // 1 leftover goes to the largest remainder (c: k·n mod N = 210 mod 60
+    // = 30 vs a:10, b:20) → seats 1/2/4
+    val fx = (Seq.fill(10)("a") ++ Seq.fill(20)("b") ++ Seq.fill(30)("c"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val got = Sampling.proportionalSplit(fx, k = 7L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    assert(got.length == 7)
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map("a" -> 1, "b" -> 2, "c" -> 4))
+    // rerun-stability: same draw, any partitioning
+    val again = Sampling.proportionalSplit(fx.repartition(7), k = 7L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    assert(got.toSet == again.toSet)
+    // k = N degenerates to everything; k > N refuses
+    assert(Sampling.proportionalSplit(fx, k = 60L).count() == 60)
+    intercept[IllegalArgumentException](Sampling.proportionalSplit(fx, k = 61L))
+  }
+
   test("uniMaxApply: floor copies exact, fractional copy = the md5 coin, zero-alloc absent") {
     val fx = (Seq.fill(10)("a") ++ Seq.fill(40)("b") ++ Seq.fill(100)("c"))
       .zipWithIndex.map { case (s, i) => (i.toLong, s, "w") }
