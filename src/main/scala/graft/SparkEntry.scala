@@ -2183,6 +2183,12 @@ object SparkEntry {
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
 
+    // per-user burst detection over the events table: a user-day with
+    // >= 2x the user's own average AND >= 5 events flags — the
+    // cross-multiplied integer form, no division anywhere
+    "q167_event_bursts" -> ((s, dir) =>
+      operators.Funnel.eventBursts(Tables.events(s, dir))),
+
     // exactly-103 held-out docs mirroring the corpus mix: Hamilton
     // largest-remainder apportionment (integer seat math, ties by name —
     // 103 forces fractional seats AND the tie path on this corpus's
@@ -3916,6 +3922,20 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q167: per-(user, day) counts + per-user totals, the
+      // cross-multiplied 2x-average burst rule
+      "q167_event_bursts" ->
+        """WITH pb AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS bucket,
+          |  count(*) AS n_events
+          |  FROM events GROUP BY 1, 2),
+          |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_active_buckets,
+          |  CAST(sum(n_events) AS BIGINT) AS n_total FROM pb GROUP BY 1)
+          |SELECT pb.user_id, pb.bucket, CAST(pb.n_events AS BIGINT) AS n_events,
+          |  u.n_active_buckets, u.n_total,
+          |  (pb.n_events * u.n_active_buckets >= 2 * u.n_total
+          |   AND pb.n_events >= 5) AS is_burst
+          |FROM pb JOIN u USING (user_id)""".stripMargin,
 
       // q166: the apportionment replay — integer seats k·n//N, leftover
       // seats by (remainder DESC, source), md5-ranked in-stratum picks

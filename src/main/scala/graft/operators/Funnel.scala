@@ -59,4 +59,33 @@ object Funnel {
       .agg(reach.head, reach.tail: _*)
       .withColumn("funnel_stage", stage)
   }
+
+  /** Per-user activity-burst detection — the abuse/anomaly sibling of the
+    * funnel: bucket events into `bucketNs` windows and flag a user's
+    * bucket as a burst when it holds ≥ 2× the user's OWN average per
+    * active bucket AND at least `minEvents` (the absolute floor keeps
+    * one-event users from "bursting" on their second event). The 2×-avg
+    * compare is the cross-multiplied integer form
+    * n_bucket · n_active_buckets ≥ 2 · n_total — no division, bit-exact
+    * in any engine.
+    *
+    * Scale: one (user, bucket) count aggregate, then the per-user totals
+    * ride [[SkewSafe.partitionAgg]] (aggregate + broadcast-back join, no
+    * window) — both partial-aggregated; a hot user collapses map-side. */
+  def eventBursts(events: DataFrame, bucketNs: Long = 86400000000000L,
+      minEvents: Long = 5L): DataFrame = {
+    require(bucketNs > 0 && minEvents > 0,
+      s"bucketNs and minEvents must be positive, got $bucketNs, $minEvents")
+    val perBucket = events
+      .select(col("user_id"), expr(s"ts div $bucketNs").as("bucket"))
+      .groupBy("user_id", "bucket").agg(count(lit(1)).as("n_events"))
+    SkewSafe.partitionAgg(perBucket, Seq("user_id"), Seq(
+        "n_active_buckets" -> count(lit(1)),
+        "n_total" -> sum(col("n_events"))))
+      .withColumn("is_burst",
+        col("n_events") * col("n_active_buckets") >= lit(2L) * col("n_total") &&
+          col("n_events") >= minEvents)
+      .select("user_id", "bucket", "n_events", "n_active_buckets", "n_total",
+        "is_burst")
+  }
 }
