@@ -2183,6 +2183,11 @@ object SparkEntry {
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
 
+    // retention cohorts: users cohort by first active day, cells count
+    // who is still active at each day offset — groupBys only, no window
+    "q168_retention_cohorts" -> ((s, dir) =>
+      operators.Funnel.retentionCohorts(Tables.events(s, dir))),
+
     // per-user burst detection over the events table: a user-day with
     // >= 2x the user's own average AND >= 5 events flags — the
     // cross-multiplied integer form, no division anywhere
@@ -3922,6 +3927,17 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q168: distinct (user, day) activity → per-user min day → offset
+      // cells; count(*) over distinct rows ≡ count distinct users
+      "q168_retention_cohorts" ->
+        """WITH a AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS bucket
+          |  FROM events),
+          |c AS (SELECT user_id, min(bucket) AS cohort_bucket FROM a GROUP BY 1)
+          |SELECT c.cohort_bucket, a.bucket - c.cohort_bucket AS day_offset,
+          |  count(*)::BIGINT AS n_users
+          |FROM a JOIN c USING (user_id)
+          |GROUP BY 1, 2""".stripMargin,
 
       // q167: per-(user, day) counts + per-user totals, the
       // cross-multiplied 2x-average burst rule

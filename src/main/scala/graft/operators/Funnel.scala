@@ -88,4 +88,28 @@ object Funnel {
       .select("user_id", "bucket", "n_events", "n_active_buckets", "n_total",
         "is_burst")
   }
+
+  /** Retention cohort matrix — the product-analytics staple the events
+    * table exists for: users cohort by their FIRST active `bucketNs`
+    * window, and cell (cohort, offset) counts the cohort's users still
+    * active `offset` windows later (offset 0 = the cohort's size by
+    * construction). Output: (cohort_bucket, day_offset, n_users).
+    *
+    * Scale: distinct (user, bucket) activity reduces map-side; the
+    * per-user first bucket is one more partial aggregate; the join back
+    * is user-keyed; the final cell count partial-aggregates. No windows,
+    * no driver state — each stage is a plain groupBy at any corpus size. */
+  def retentionCohorts(events: DataFrame,
+      bucketNs: Long = 86400000000000L): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be positive, got $bucketNs")
+    val active = events
+      .select(col("user_id"), expr(s"ts div $bucketNs").as("bucket"))
+      .distinct()
+    val cohorts = active.groupBy("user_id")
+      .agg(min(col("bucket")).as("cohort_bucket"))
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_bucket"),
+        (col("bucket") - col("cohort_bucket")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }
