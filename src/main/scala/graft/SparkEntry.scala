@@ -3999,7 +3999,9 @@ object SparkEntry {
           |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
           |  FROM pt GROUP BY source)
           |SELECT source, n_top,
-          |  round((n_top * sxy - sx * sy) / (n_top * sxx - sx * sx), 6) AS zipf_slope
+          |  CASE WHEN n_top > 1 THEN
+          |    round((n_top * sxy - sx * sy) / (n_top * sxx - sx * sx), 6)
+          |  END AS zipf_slope
           |FROM ag""".stripMargin,
 
       // q163: the identical Luhn fold per candidate — double every second
@@ -4010,7 +4012,7 @@ object SparkEntry {
           |  CASE WHEN doc_id % 5 = 0 THEN ' ref 12345678' ELSE '' END AS text
           |  FROM documents),
           |x AS (SELECT doc_id,
-          |  unnest(regexp_extract_all(text, '[0-9]{13,19}', 0)) AS candidate FROM cd)
+          |  unnest(regexp_extract_all(text, '[0-9]+', 0)) AS candidate FROM cd)
           |SELECT doc_id, candidate,
           |  list_sum(list_transform(range(0, length(candidate)),
           |    i -> CASE WHEN i % 2 = 1 THEN
@@ -4019,7 +4021,7 @@ object SparkEntry {
           |           ELSE 2 * (ascii(substring(reverse(candidate), i + 1, 1)) - 48) END
           |      ELSE ascii(substring(reverse(candidate), i + 1, 1)) - 48 END)) % 10 = 0
           |    AS luhn_valid
-          |FROM x""".stripMargin,
+          |FROM x WHERE length(candidate) BETWEEN 13 AND 19""".stripMargin,
 
       // q162: the q25 replay on the 8-component prefix — DuckDB slices
       // the same lists the engine slices, cosine re-rounds at 6

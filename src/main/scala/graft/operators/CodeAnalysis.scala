@@ -77,21 +77,32 @@ object CodeAnalysis {
   /** Jupyter-notebook cell extraction — .ipynb files are JSON and code
     * corpora (The Stack, StarCoder) mine their `code` cells as first-class
     * source documents: parse the nbformat skeleton (`cells[].cell_type` +
-    * `cells[].source` as the line-string array the format specifies),
-    * explode to one row per cell with its 0-based index, join the source
-    * lines back together. `from_json` is permissive-by-construction — a
-    * payload that is not valid JSON (or lacks `cells`) yields a null
-    * array and contributes ZERO rows instead of failing the job, the
+    * `cells[].source`), explode to one row per cell with its 0-based
+    * index. nbformat permits `source` as EITHER the line-string array or
+    * one plain multiline string (the "multiline string" union in the
+    * spec), so the payload is parsed under both schemas: the array parse
+    * drives the explode, and where permissive `from_json` nulled a
+    * plain-string source the string parse's cell at the same position
+    * supplies it. A cell whose source is genuinely absent yields NULL
+    * `src` (distinguishable from an empty code cell's `""`). A payload
+    * that is not valid JSON (or lacks `cells`) yields a null array and
+    * contributes ZERO rows instead of failing the job, the
     * corrupt-record posture every source here shares. Pure codegen'd
     * projection + one generator — map-side at any scale, no shuffle. */
   def notebookCells(docs: DataFrame, jsonCol: String = "text"): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+    val arrSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "cells array<struct<cell_type: string, source: array<string>>>")
-    docs.select(col("doc_id"), from_json(col(jsonCol), schema).as("__nb"))
-      .select(col("doc_id"), posexplode(col("__nb.cells")))
+    val strSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "cells array<struct<cell_type: string, source: string>>")
+    docs.select(col("doc_id"),
+        from_json(col(jsonCol), arrSchema).as("__na"),
+        from_json(col(jsonCol), strSchema).as("__ns"))
+      .select(col("doc_id"), col("__ns"), posexplode(col("__na.cells")))
       .select(col("doc_id"), col("pos").cast("int").as("cell_idx"),
         col("col.cell_type").as("cell_type"),
-        concat_ws("", col("col.source")).as("src"))
+        when(col("col.source").isNotNull, concat_ws("", col("col.source")))
+          .otherwise(element_at(col("__ns.cells.source"), col("pos") + 1))
+          .as("src"))
   }
 
   /** Code-vs-prose signals and verdict, entirely in-row.

@@ -95,10 +95,11 @@ object Robots {
     * regexes swallows a trailing \r), position-indexed; group id =
     * running count of agent-run STARTS (an agent line whose previous
     * DIRECTIVE line is not an agent line). Group ids are assigned over
-    * ALL directive lines (any `name:` line) and `kinds` filters only
-    * AFTERWARDS, so every consumer — the 3-kind gate and the
+    * the four GROUP-RELEVANT kinds ([[groupKinds]] — the isin pre-filter
+    * below runs BEFORE the gid window) and the caller's `kinds` filters
+    * only AFTERWARDS, so every consumer — the 3-kind gate and the
     * crawl-delay parse — sees the one group structure. The alternative
-    * (gid over the retained kinds only) makes the two parses DISAGREE
+    * (gid over each caller's retained kinds) makes the two parses DISAGREE
     * whenever a dropped-kind line sits inside a multi-agent header run
     * ("User-agent: a\nCrawl-delay: 1\nUser-agent: b\n…"): the gate would
     * merge a and b into one run while the delay parse splits them. Real
@@ -107,8 +108,7 @@ object Robots {
     * starts a fresh group in BOTH parses — the reading of a crawler that
     * honors Crawl-delay as a group rule (Bing/Yandex convention).
     *
-    * The structure is computed over the GROUP-RELEVANT kinds only
-    * (user-agent / allow / disallow / crawl-delay): RFC 9309 §2.2.2
+    * Why groupKinds and not all `name:` lines: RFC 9309 §2.2.2
     * makes other records (Sitemap:, unknown directives) "independent of
     * any group" whose parsing "MUST NOT interfere" with group parsing —
     * so a `Sitemap:` line sitting between two consecutive `User-agent:`

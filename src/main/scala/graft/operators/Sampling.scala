@@ -296,8 +296,9 @@ object Sampling {
     * sequential: each source's take depends on every smaller source's.
     * Micro-unit numerators cap at alloc·10⁶ — callers above ~9·10¹² tokens
     * per source should rescale the budget unit (e.g. kilotokens) before
-    * the walk; the allocation itself only ever DIVIDES, so it never
-    * overflows first. */
+    * the walk; the epoch cap n·epochCap is the walk's own first overflow
+    * point and is guarded (saturates to Long.MaxValue, where min() then
+    * picks the fair share), so the allocation itself cannot overflow. */
   def uniMaxMix(docs: DataFrame, budget: Long, epochCap: Int,
       sourceCol: String = "source",
       weight: Column = size(split(col("text"), " ")).cast("long")): DataFrame =
@@ -318,7 +319,8 @@ object Sampling {
     var rem = budget
     var m = sizes.length.toLong
     sizes.toSeq.map { case (src, n) =>
-      val alloc = math.min(n * epochCap, rem / m)
+      val cap = if (n > Long.MaxValue / epochCap) Long.MaxValue else n * epochCap
+      val alloc = math.min(cap, rem / m)
       rem -= alloc; m -= 1
       (src, n, alloc, if (n > 0) alloc * 1000000L / n else 0L,
         alloc * 1000000L / budget)

@@ -420,13 +420,22 @@ object TextAnalysis {
     * alarms a bare regex would redact. One row per candidate:
     * (doc_id, candidate, luhn_valid).
     *
+    * Candidates are MAXIMAL digit runs of length 13-19: extracting
+    * `[0-9]+` and length-filtering afterwards is the digit-boundary
+    * anchor — a 20+-digit run (order id, hash) is one over-long run and
+    * yields NO candidate, where a bare `[0-9]{13,19}` would greedily
+    * split it and Luhn-test its first 19 digits (~10% false-positive
+    * odds). Lookarounds would say the same thing but RE2 (the oracle's
+    * engine) has none; the maximal-run + filter form is portable.
+    *
     * The checksum is a pure in-row HOF fold over the reversed digits
     * (double every second, subtract 9 above 9, sum mod 10) — integer
     * arithmetic the oracle replays verbatim; extraction and fold are
     * codegen'd, zero shuffle at any scale. */
   def luhnCardCandidates(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
-        explode(expr(s"regexp_extract_all($textCol, '[0-9]{13,19}', 0)")).as("candidate"))
+        explode(expr(s"regexp_extract_all($textCol, '[0-9]+', 0)")).as("candidate"))
+      .filter(length(col("candidate")).between(13, 19))
       .withColumn("luhn_valid", expr(
         """aggregate(
           |  sequence(0, length(candidate) - 1),
@@ -490,8 +499,13 @@ object TextAnalysis {
         sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
       .select(col(sourceCol), col("n_top"),
-        round((col("n_top") * col("sxy") - col("sx") * col("sy")) /
-          (col("n_top") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+        // n_top = 1 ⇒ the lone rank is ln 1 = 0 ⇒ the denominator is exactly
+        // 0.0: Spark would emit NaN where DuckDB's default division emits
+        // NULL, so degenerate sources are forced to null in BOTH engines
+        when(col("n_top") > 1,
+          round((col("n_top") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_top") * col("sxx") - col("sx") * col("sx")), 6))
+          .as("zipf_slope"))
   }
 
   /** Corpus vocabulary with frequency statistics — the tokenizer-training /

@@ -98,4 +98,19 @@ class CodeAnalysisSpec extends AnyFunSuite {
       (1L, 1, "code", "a = 1\nb = 2"),             // JSON \n → real newline, lines joined
       (1L, 2, "code", "")))                        // empty source array → empty string
   }
+
+  test("notebookCells: plain-string source (nbformat multiline union) and absent source") {
+    val nb =
+      """{"cells": [
+        |  {"cell_type": "code", "source": "x = 1\ny = 2"},
+        |  {"cell_type": "code", "source": ["a\n", "b"]},
+        |  {"cell_type": "raw"}
+        |]}""".stripMargin
+    val got = CodeAnalysis.notebookCells(Seq((7L, nb)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getInt(1), r.getString(2), Option(r.getString(3))))
+    assert(got.toSet == Set(
+      (0, "code", Some("x = 1\ny = 2")), // plain string carried through verbatim
+      (1, "code", Some("a\nb")),         // array form still joined
+      (2, "raw", None)))                 // absent source → null, not ""
+  }
 }

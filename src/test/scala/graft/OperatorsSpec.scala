@@ -437,7 +437,8 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, "pay 4532015112830367 now"),     // last digit bumped → invalid
       (2L, "ref 123456789012 only"),        // 12 digits < 13 → no candidate
       (3L, "amex 371449635398431 ok"),      // 15-digit valid (odd length path)
-      (4L, "no digits at all")
+      (4L, "no digits at all"),
+      (5L, "order 45320151128303661234 id") // 20-digit maximal run → NO candidate
     ).toDF("doc_id", "text")
     val got = TextAnalysis.luhnCardCandidates(fx).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
@@ -1311,5 +1312,22 @@ class OperatorsSpec extends AnyFunSuite {
   test("cdcChunks: double-space empty words join like the oracle's string_agg") {
     val out = cdc(0L -> "a  b")(0L) // words: [a, '', b]
     assert(out.map(_._2).sum == 3L)
+  }
+
+  test("zipfFit: single-distinct-word source yields null slope, not NaN") {
+    // one ranked word ⇒ ln 1 = 0 everywhere ⇒ denominator exactly 0.0; the
+    // guard must null it (DuckDB's division-by-zero default) instead of NaN
+    val fx = Seq(
+      (0L, "mono", "same same same same"),
+      (1L, "duo", "alpha alpha alpha beta")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.zipfFit(fx).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(got("mono")._1 == 1L && got("mono")._2.isEmpty)
+    val duo = got("duo")
+    assert(duo._1 == 2L)
+    // two points (ln1, ln3) and (ln2, ln1): slope = (ln1-ln3)/(ln2-ln1) = -ln3/ln2
+    assert(duo._2.contains(BigDecimal(-math.log(3) / math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 }

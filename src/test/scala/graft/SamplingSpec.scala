@@ -162,6 +162,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(capped == 300L)
   }
 
+  test("uniMaxMix: n_tokens near Long.MaxValue does not overflow the epoch cap") {
+    // one doc whose weight is Long.MaxValue/2: n·epochCap would wrap negative
+    // unguarded; the saturating cap must leave min() picking the fair share
+    val fx = Seq((0L, "big", "x"), (1L, "small", "x")).toDF("doc_id", "source", "text")
+    val big = org.apache.spark.sql.functions.when(
+      org.apache.spark.sql.functions.col("source") === "big",
+      Long.MaxValue / 2).otherwise(1L)
+    val got = Sampling.uniMaxMix(fx, budget = 100L, epochCap = 4, weight = big)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("small") == 4L)  // capped at 1 token × 4 epochs
+    assert(got("big") == 96L)   // the rolled-over remainder, NOT a negative cap
+  }
+
   test("proportionalSplit: exact total, largest-remainder seats, md5-stable picks") {
     // strata 10/20/30, k=7: quotas 1.16/2.33/3.5 → floors 1/2/3 (=6),
     // 1 leftover goes to the largest remainder (c: k·n mod N = 210 mod 60
