@@ -1134,6 +1134,26 @@ object SparkEntry {
         .as("text"))
   }
 
+  /** Derived compression fixture (q169): three planted classes by residue —
+    * %3=0 a 24×-repeated 45-char template (+doc_id suffix), %3=1 1024 hex
+    * chars from 32 chained md5s, %3=2 16 rounds of one md5 + a 19-char
+    * filler — DEFLATE must separate them (probed bands at all 3 SFs:
+    * 52-55k / 548-560k / 412-428k micro-units) while the oracle states the
+    * class from the construction (both engines build identical strings;
+    * md5 agrees bit-for-bit). */
+  private[graft] def deflateDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val idStr = col("doc_id").cast("string")
+    val rep = concat(lit("the quick brown fox jumps over the lazy dog " * 24), idStr)
+    val rnd = concat((0 until 32).map(k => md5(concat(idStr, lit(s":$k")))): _*)
+    val mix = concat((0 until 16).flatMap(k =>
+      Seq(md5(concat(idStr, lit(s"#$k"))), lit(" filler words here "))): _*)
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, rep)
+        .when(col("doc_id") % 3 === 1, rnd)
+        .otherwise(mix).as("text"))
+  }
+
   /** Synthetic .ipynb corpus (q160): every document becomes a real
     * nbformat JSON skeleton — a markdown cell, a two-line code cell, and
     * (even ids) a second code cell — so the engine must PARSE genuine
@@ -2182,6 +2202,15 @@ object SparkEntry {
       implicit val spark: SparkSession = s
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
+
+    // deflate compression-ratio gibberish signal on the planted
+    // 3-class fixture: LZ77 catches the long-range template repetition
+    // entropy can't see; verdicts are a pure function of the planted
+    // class (probed band gaps >= 58k micro-units), the q136 structural
+    // posture — exact ratios are unit-pinned on hand-built strings
+    "q169_compression_ratio" -> ((s, dir) =>
+      TextAnalysis.compressionRatio(deflateDocuments(s, dir))
+        .select("doc_id", "n_bytes", "verdict")),
 
     // retention cohorts: users cohort by first active day, cells count
     // who is still active at each day offset — groupBys only, no window
@@ -3927,6 +3956,31 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q169: the structural replay — DuckDB rebuilds the identical
+      // planted strings (md5 agrees across engines) and states n_bytes
+      // from length() (all-ASCII construction) and the verdict from the
+      // class residue; the ENGINE must reach the same verdict through
+      // an actual deflate
+      "q169_compression_ratio" -> {
+        val rnd = (0 until 32)
+          .map(k => s"md5(CAST(doc_id AS VARCHAR) || ':$k')").mkString(" || ")
+        val mix = (0 until 16)
+          .map(k => s"md5(CAST(doc_id AS VARCHAR) || '#$k') || ' filler words here '")
+          .mkString(" || ")
+        s"""WITH dd AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 3 = 0
+           |         THEN repeat('the quick brown fox jumps over the lazy dog ', 24)
+           |              || CAST(doc_id AS VARCHAR)
+           |       WHEN doc_id % 3 = 1 THEN $rnd
+           |       ELSE $mix END AS text
+           |  FROM documents)
+           |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+           |  CASE WHEN doc_id % 3 = 0 THEN 'repetitive'
+           |       WHEN doc_id % 3 = 1 THEN 'random'
+           |       ELSE 'ok' END AS verdict
+           |FROM dd""".stripMargin
+      },
 
       // q168: distinct (user, day) activity → per-user min day → offset
       // cells; count(*) over distinct rows ≡ count distinct users

@@ -1314,6 +1314,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.map(_._2).sum == 3L)
   }
 
+  test("compressionRatio: exact deflate byte counts and verdicts on hand-built strings") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = (0 until 32).map { k =>
+      md.digest(s"x:$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.mkString // 1024 incompressible-ish hex chars
+    val fx = Seq(
+      (0L, Option("spam " * 200)),  // 1000 bytes of pure template
+      (1L, Option(hex)),
+      (2L, Option("")),
+      (3L, Option.empty[String])    // null → coalesced to empty
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(fx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    // deflate_bytes pinned against JDK zlib level-6 nowrap (deterministic;
+    // computed once out-of-band and frozen as a regression pin)
+    assert(got(0L) == ((1000L, 15L, 15000L, "repetitive")))
+    assert(got(1L) == ((1024L, 570L, 556640L, "random")))
+    // empty input still emits deflate's 2-byte final empty stored block,
+    // but the 'empty' verdict fires before any threshold
+    assert(got(2L) == ((0L, 2L, 2000000L, "empty")))
+    assert(got(3L) == ((0L, 2L, 2000000L, "empty")))
+  }
+
+  test("compressionRatio: rejects inverted thresholds") {
+    val fx = Seq((0L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.compressionRatio(fx, repetitiveMaxE6 = 500000L, randomMinE6 = 400000L)
+    }
+  }
+
   test("zipfFit: single-distinct-word source yields null slope, not NaN") {
     // one ranked word ⇒ ln 1 = 0 everywhere ⇒ denominator exactly 0.0; the
     // guard must null it (DuckDB's division-by-zero default) instead of NaN
