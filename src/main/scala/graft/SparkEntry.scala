@@ -2203,6 +2203,27 @@ object SparkEntry {
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
 
+    // hybrid retrieval: reciprocal-rank fusion of the q153 hashed-lexical
+    // ranker (whole docs as single passages) with the q25 dense cosine
+    // ranker over the SAME 8 queries — integer micro-unit contributions
+    // 10^6 div (60 + rank), both upstream chains already oracle-replayable
+    "q170_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      val queries = docs.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val lex = Similarity.hashedRetrievalTopK(
+        docs.select(col("doc_id"), lit(0L).as("chunk_id"),
+          col("text").as("chunk_text")),
+        queries, buckets = 256, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val dense = Similarity.bruteForceTopK(Tables.embeddings(s, dir),
+        queryIds = (0L until 8L), k = 10)
+        .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
+          col("rnk").as("rank"))
+      Similarity.rrfFuse(lex, dense, kRrf = 60, topK = 10)
+    }),
+
     // deflate compression-ratio gibberish signal on the planted
     // 3-class fixture: LZ77 catches the long-range template repetition
     // entropy can't see; verdicts are a pure function of the planted
@@ -3956,6 +3977,51 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q170: full replay of BOTH retrieval chains — the q153 hashed
+      // cos² ranker on whole docs (top-10), the q25 dense cosine ranker
+      // (queries < 8, top-10) — then the integer RRF fusion: full-outer
+      // join, 10^6 // (60 + rank) per side, fused top-10 per query
+      "q170_hybrid_rrf" ->
+        """WITH pw AS (SELECT doc_id,
+          |        ('0x' || substr(md5(w), 1, 4))::INT % 256 AS b
+          |       FROM documents, UNNEST(string_split(text, ' ')) t(w)),
+          |pv AS (SELECT doc_id, b, count(*) AS pc FROM pw GROUP BY 1, 2),
+          |qv AS (SELECT doc_id AS query_id, b, count(*) AS qc FROM pw
+          |       WHERE doc_id < 8 GROUP BY 1, 2),
+          |pn AS (SELECT doc_id, sum(pc * pc) AS pss FROM pv GROUP BY 1),
+          |qn AS (SELECT query_id, sum(qc * qc) AS qss FROM qv GROUP BY 1),
+          |dt AS (SELECT qv.query_id, pv.doc_id, sum(pv.pc * qv.qc) AS dot
+          |      FROM pv JOIN qv ON pv.b = qv.b GROUP BY 1, 2),
+          |sc AS (SELECT dt.query_id, dt.doc_id,
+          |        (dt.dot * dt.dot * 1000000) // (pn.pss * qn.qss) AS cos2_e6
+          |      FROM dt JOIN pn ON dt.doc_id = pn.doc_id
+          |              JOIN qn ON dt.query_id = qn.query_id),
+          |lx AS (SELECT query_id, doc_id,
+          |        CAST(row_number() OVER (PARTITION BY query_id
+          |          ORDER BY cos2_e6 DESC, doc_id) AS INT) AS lex_rank
+          |      FROM sc QUALIFY lex_rank <= 10),
+          |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+          |      WHERE vec_id < 8),
+          |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+          |s AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cos_sim
+          |      FROM q, c WHERE q_id <> n_id),
+          |dn AS (SELECT q_id AS query_id, n_id AS doc_id,
+          |        CAST(row_number() OVER (PARTITION BY q_id
+          |          ORDER BY cos_sim DESC, n_id) AS INT) AS dense_rank
+          |      FROM s QUALIFY dense_rank <= 10),
+          |fu AS (SELECT coalesce(lx.query_id, dn.query_id) AS query_id,
+          |        coalesce(lx.doc_id, dn.doc_id) AS doc_id,
+          |        lx.lex_rank, dn.dense_rank,
+          |        coalesce(1000000 // (60 + lx.lex_rank), 0) +
+          |        coalesce(1000000 // (60 + dn.dense_rank), 0) AS rrf_e6
+          |      FROM lx FULL OUTER JOIN dn
+          |        ON lx.query_id = dn.query_id AND lx.doc_id = dn.doc_id)
+          |SELECT query_id, doc_id, lex_rank, dense_rank,
+          |  CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+          |  CAST(row_number() OVER (PARTITION BY query_id
+          |    ORDER BY rrf_e6 DESC, doc_id) AS INT) AS fused_rank
+          |FROM fu QUALIFY fused_rank <= 10""".stripMargin,
 
       // q169: the structural replay — DuckDB rebuilds the identical
       // planted strings (md5 agrees across engines) and states n_bytes

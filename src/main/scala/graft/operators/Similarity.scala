@@ -838,4 +838,46 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "doc_id", "chunk_id", "cos2_e6", "rank")
   }
+
+  /** RECIPROCAL-RANK FUSION (Cormack/Clarke/Büttcher) — the standard
+    * hybrid-retrieval join of a lexical ranked list and a dense ranked
+    * list: per (query, doc), score = Σ_sides 1/(kRrf + rank), which
+    * rewards documents BOTH retrievers surface without ever comparing
+    * their incommensurable raw scores (BM25 logits vs cosines). Inputs
+    * are two (query_id, doc_id, rank) frames — fuse whatever lists the
+    * caller ranked; a doc absent from one side simply contributes 0 from
+    * it (the standard convention). kRrf = 60 is the canonical setting
+    * from the original TREC runs.
+    *
+    * Determinism: contributions are integer micro-units 10⁶ div
+    * (kRrf + rank) — with ranks ≤ ~900k the div grid still separates
+    * adjacent ranks, and every engine replays the floor division
+    * bit-for-bit (the q144 integer-rational policy; no float scores
+    * cross the engine boundary). Ties break by doc_id.
+    *
+    * Output: (query_id, doc_id, lex_rank, dense_rank, rrf_e6,
+    * fused_rank), top-`topK` per query; the side ranks stay visible
+    * (null = that retriever missed the doc) for downstream debugging.
+    *
+    * 100 TB shape: both inputs are ALREADY top-k-per-query lists —
+    * |queries|·k rows, not corpora — so the full-outer equi-join and the
+    * per-query window cost nothing at any corpus scale; the expensive
+    * work lives (and is verified) upstream in the two retrievers. */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, kRrf: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(kRrf > 0 && topK > 0, s"need kRrf > 0 and topK > 0, got $kRrf, $topK")
+    val l = lex.select(col("query_id"), col("doc_id"),
+      col("rank").cast("int").as("lex_rank"))
+    val d = dense.select(col("query_id"), col("doc_id"),
+      col("rank").cast("int").as("dense_rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rrf_e6").desc, col("doc_id"))
+    l.join(d, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_e6",
+        coalesce(expr(s"1000000 div ($kRrf + lex_rank)").cast("long"), lit(0L)) +
+        coalesce(expr(s"1000000 div ($kRrf + dense_rank)").cast("long"), lit(0L)))
+      .withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+      .select("query_id", "doc_id", "lex_rank", "dense_rank", "rrf_e6", "fused_rank")
+  }
 }

@@ -1314,6 +1314,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.map(_._2).sum == 3L)
   }
 
+  test("rrfFuse: hand-computed fusion, one-sided docs contribute one term") {
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 11L, 1), (1L, 13L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Similarity.rrfFuse(lex, dense).collect().map(r =>
+      (r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getLong(4), r.getInt(5)))
+    // contributions: rank1 = 10^6//61 = 16393, rank2 = //62 = 16129, rank3 = //63 = 15873
+    assert(got.toSeq.sortBy(_._5) == Seq(
+      (11L, Some(2), Some(1), 32522L, 1),  // both sides: 16129 + 16393
+      (10L, Some(1), None, 16393L, 2),
+      (13L, None, Some(2), 16129L, 3),
+      (12L, Some(3), None, 15873L, 4)))
+  }
+
   test("compressionRatio: exact deflate byte counts and verdicts on hand-built strings") {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = (0 until 32).map { k =>

@@ -86,6 +86,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid RRF fusion (q170): both retrieval sides stay WindowGroupLimit-pruned") {
+    val p = plan("q170_hybrid_rrf")
+    // lexical top-10, dense top-10, fused top-10 — three pruned windows
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 3,
+      "all three rank<=k filters must prune below their windows")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the fusion")
+  }
+
   test("bucketed embedding near-dup is pure equi-joins — no BNLJ, no cartesian") {
     // the exact path (q24) is a theta self-join and MAY plan a BNLJ; the
     // scale path must never: candidates come from an equi-join on
