@@ -150,6 +150,34 @@ object SparkEntry {
     ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"), ("at", "c"), ("atc", "h"),
     ("b", "atch"), ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"))
 
+  /** PINNED unigram-LM piece table (q171/q172):
+    * `Unigram.trainPieces(documents, vocabSize = 24)` on the sf0.01 corpus
+    * — every corpus character plus 24 multi-char pieces, log-probs in
+    * round(ln(c/total)·10⁶) micro-units, -20000000 = the character
+    * fallback floor. Deterministic training (hard-count Viterbi-EM,
+    * usage-ranked pruning, lexicographic ties — UnigramSpec pins this
+    * exact table against retraining); the SAME constant generates the
+    * oracle's VALUES literal, so the two engines cannot drift. vocab 24
+    * keeps compression PARTIAL (the bpeMerges rationale): frequent words
+    * collapse to one or two pieces, the rest exercise the Viterbi DP. */
+  private[graft] val unigramPieces: Seq[(String, Long)] = Seq(
+    ("a", -3237456L), ("agg", -3892137L), ("b", -3920277L),
+    ("batc", -3852959L), ("c", -20000000L), ("co", -3856166L),
+    ("cust", -3856166L), ("d", -7437546L), ("data", -3884398L),
+    ("e", -2517284L), ("er", -3197881L), ("f", -3945711L),
+    ("filt", -3857237L), ("g", -3225988L), ("h", -3212961L),
+    ("hash", -3842344L), ("i", -3920277L), ("j", -20000000L),
+    ("join", -3824551L), ("k", -20000000L), ("key", -3897702L),
+    ("l", -20000000L), ("line", -3882198L), ("lumn", -3856166L),
+    ("m", -20000000L), ("mall", -3862611L), ("merg", -3873445L),
+    ("n", -20000000L), ("o", -20000000L), ("omer", -3856166L),
+    ("or", -3209029L), ("orde", -3880003L), ("p", -7437546L),
+    ("q", -3926001L), ("r", -3880003L), ("row", -3846576L),
+    ("s", -2802071L), ("scan", -3854027L), ("slow", -3873445L),
+    ("st", -3232853L), ("t", -3250225L), ("tabl", -3884398L),
+    ("u", -3896587L), ("v", -20000000L), ("valu", -3896587L),
+    ("vect", -3880003L), ("w", -20000000L), ("y", -3926001L))
+
   /** Labeled training text for the language-ID rank profiles (Cavnar &
     * Trenkle 1994) — one function-word-rich passage per language, authored
     * for this repo (zh in pinyin, matching the corpus's latin 'zh'
@@ -312,6 +340,54 @@ object SparkEntry {
        |bpe AS (SELECT doc_id, sum(n)::BIGINT AS n_words,
        |        sum(n * n_bpe)::BIGINT AS n_bpe_tokens
        |        FROM dw JOIN nb USING (word) GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The corpus word-count CTE pair ([[bpeSql]]'s prefix, standalone for
+    * oracles that need tokenization without the BPE chain). */
+  private def wordCountCtes: String =
+    """dw AS (SELECT doc_id, u.w AS word, count(*) AS n
+      |       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |            UNNEST(ws) AS u(w)
+      |       GROUP BY 1, 2),
+      |vocab AS (SELECT DISTINCT word FROM dw)""".stripMargin
+
+  /** Unigram-LM CTE block shared by the q171/q172 oracles — replays
+    * [[operators.Unigram.viterbi]] EXACTLY, assuming `dw` (doc_id, word,
+    * n) and `vocab` (distinct word) CTEs are already defined (the
+    * [[bpeSql]] prefix defines the identical pair, letting q172 share one
+    * tokenization). The piece literal comes from [[unigramPieces]]; `ext`
+    * adds the character fallback at the unk floor for any corpus char
+    * outside the table; `seg` enumerates segmentations one piece per
+    * recursion level (each path generated exactly once), and `fin` picks
+    * per word the maximal (score DESC, path ASC) — the operator's exact
+    * DP objective, made total by the chr(1) piece separator. */
+  private def unigramCtes: String = {
+    val vals = unigramPieces
+      .map { case (p, lp) => s"('$p', ${lp}::BIGINT)" }.mkString(", ")
+    s"""pieces AS (SELECT * FROM (VALUES $vals) p(piece, lp)),
+       |wchars AS (SELECT DISTINCT substring(word, i, 1) AS ch
+       |           FROM vocab, UNNEST(range(1, length(word) + 1)) t(i)),
+       |ext AS (SELECT piece, lp FROM pieces
+       |        UNION ALL
+       |        SELECT ch, ${operators.Unigram.unkLogpMicro}::BIGINT FROM wchars
+       |        WHERE ch NOT IN (SELECT piece FROM pieces)),
+       |seg AS (
+       |  SELECT word, 0 AS pos, 0::BIGINT AS score, '' AS path, 0 AS ntoks
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT s.word, s.pos + length(e.piece), s.score + e.lp,
+       |         s.path || e.piece || chr(1), s.ntoks + 1
+       |  FROM seg s JOIN ext e
+       |    ON e.piece = substring(s.word, s.pos + 1, length(e.piece))
+       |  WHERE s.pos < length(s.word)),
+       |fin AS (SELECT word, ntoks,
+       |        row_number() OVER (PARTITION BY word ORDER BY score DESC, path)
+       |          AS rn
+       |        FROM seg WHERE pos = length(word)),
+       |nu AS (SELECT word, ntoks AS n_uni FROM fin WHERE rn = 1),
+       |uni AS (SELECT doc_id, sum(n)::BIGINT AS n_words,
+       |        sum(n * n_uni)::BIGINT AS n_unigram_tokens
+       |        FROM dw JOIN nu USING (word) GROUP BY doc_id)""".stripMargin
   }
 
   /** Shared CTE prefix of the q93 oracle: [[bpeSql]]'s exact recursive
@@ -2543,6 +2619,29 @@ object SparkEntry {
     "q131_tokenizer_fertility" -> ((s, dir) =>
       operators.Bpe.fertilityReport(Tables.documents(s, dir), bpeMerges)),
 
+    // unigram-LM (SentencePiece-family) token counts under the pinned
+    // piece table [[unigramPieces]] — the OTHER production tokenizer
+    // beside q87's BPE: explicit piece log-probs (integer micro-units),
+    // max-likelihood Viterbi segmentation per distinct word; the oracle
+    // enumerates segmentations in a recursive CTE over the SAME table and
+    // picks the same (score DESC, path ASC) maximum
+    "q171_unigram_tokens" -> ((s, dir) =>
+      operators.Unigram.tokenCounts(Tables.documents(s, dir), unigramPieces)),
+
+    // the two-tokenizer fertility table: q131's per-source BPE diagnostic
+    // joined with the unigram-LM twin, both ratios integer-exact — the
+    // comparison a tokenizer bake-off actually reads
+    "q172_unigram_fertility" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val b = operators.Bpe.fertilityReport(Tables.documents(s, dir), bpeMerges)
+        .withColumnRenamed("fertility_micro", "bpe_fertility_micro")
+      val u = operators.Unigram
+        .fertilityReport(Tables.documents(s, dir), unigramPieces)
+        .select(col("source"), col("n_unigram_tokens"),
+          col("unigram_fertility_micro"))
+      b.join(u, "source")
+    }),
+
     // q87 re-based on the GPT-2 byte alphabet: UTF-8 bytes as base symbols
     // (no OOV ever), pinned byte-merge table, non-ASCII fixture rows where
     // char and byte tokenization visibly diverge (é = 2 base symbols)
@@ -4604,6 +4703,34 @@ object SparkEntry {
            |  ((1000000 * CAST(sum(n_bpe_tokens) AS BIGINT))
            |    // CAST(sum(n_words) AS BIGINT)) AS fertility_micro
            |FROM fj GROUP BY source""".stripMargin,
+
+      // q171: the Viterbi replay — enumerate segmentations over the
+      // pinned piece table (each path exactly once), take the operator's
+      // exact (score DESC, path ASC) maximum per word
+      "q171_unigram_tokens" ->
+        s"""WITH RECURSIVE $wordCountCtes,
+           |$unigramCtes
+           |SELECT doc_id, n_words, n_unigram_tokens FROM uni""".stripMargin,
+
+      // q172: BOTH tokenizer chains over the one dw/vocab tokenization —
+      // the q87 recursive BPE replay and the q171 Viterbi replay — joined
+      // per doc, rolled up per source with integer micro-unit ratios
+      "q172_unigram_fertility" ->
+        s"""WITH RECURSIVE $bpeSql,
+           |$unigramCtes,
+           |j AS (SELECT d.source, bpe.n_words, bpe.n_bpe_tokens,
+           |        uni.n_unigram_tokens
+           |      FROM bpe JOIN uni USING (doc_id)
+           |           JOIN documents d USING (doc_id))
+           |SELECT source, count(*)::BIGINT AS n_docs,
+           |  CAST(sum(n_words) AS BIGINT) AS n_words,
+           |  CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           |  ((1000000 * CAST(sum(n_bpe_tokens) AS BIGINT))
+           |    // CAST(sum(n_words) AS BIGINT)) AS bpe_fertility_micro,
+           |  CAST(sum(n_unigram_tokens) AS BIGINT) AS n_unigram_tokens,
+           |  ((1000000 * CAST(sum(n_unigram_tokens) AS BIGINT))
+           |    // CAST(sum(n_words) AS BIGINT)) AS unigram_fertility_micro
+           |FROM j GROUP BY source""".stripMargin,
 
       "q93_bpe_byte_tokens" ->
         s"""WITH RECURSIVE $bpeByteSql

@@ -76,8 +76,9 @@ object Bpe {
 
   /** The bounded (word, count) dictionary BPE trains on: one exploded word
     * count — map-side combined, one shuffle on `word` — capped
-    * deterministically by (count desc, word asc). */
-  private def collectWordCounts(docs: DataFrame, maxVocabWords: Int): Seq[(String, Long)] =
+    * deterministically by (count desc, word asc). Shared with the
+    * [[Unigram]] trainer, which trains on the identical bounded table. */
+  private[operators] def collectWordCounts(docs: DataFrame, maxVocabWords: Int): Seq[(String, Long)] =
     TextAnalysis.withWords(docs)
       .select(explode(col("__words")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer (the SentencePiece `--model_type=unigram` family;
+  * Kudo 2018): the OTHER production subword tokenizer beside [[Bpe]] —
+  * T5/Llama-lineage multilingual models train unigram-LM vocabularies at
+  * least as often as BPE. Where BPE composes tokens bottom-up from learned
+  * merges, unigram-LM keeps an explicit piece vocabulary with a log-prob
+  * per piece and segments each word into the MAXIMUM-LIKELIHOOD piece
+  * sequence (Viterbi over the word's positions).
+  *
+  * Deterministic simplifications (documented, pinned by unit tests):
+  *  - Viterbi-EM with HARD counts (each word's best segmentation counts
+  *    once per occurrence) instead of full forward-backward expected
+  *    counts — every statistic stays an exact integer.
+  *  - Log-probs live as LONG MICRO-UNITS: lp = round(ln(c/total)·10⁶),
+  *    the one transcendental rounded immediately (the q60 round-6 policy
+  *    scaled to integers). Inference then sums LONGS — no float ever
+  *    crosses the engine boundary, so a SQL oracle replays segmentation
+  *    bit-for-bit from the same pinned table.
+  *  - Pruning drops the least-USED multi-char pieces per EM round (25%
+  *    per round toward the target) rather than SentencePiece's
+  *    likelihood-loss ranking; single-char pieces are never pruned
+  *    (coverage guarantee, as in SentencePiece).
+  *
+  * Viterbi tie-break (the cross-engine contract): maximize
+  * (score, then lexicographically-SMALLEST path string), where the path
+  * string is each piece followed by chr(1). Equal-score paths cover the
+  * same characters, so they first differ strictly before either ends and
+  * appending a common suffix preserves the order — which makes the
+  * composite order a valid dynamic-programming objective, and the same
+  * `ORDER BY score DESC, path` an exact SQL replay. A character with no
+  * piece segments as itself at [[unkLogpMicro]] (SentencePiece's
+  * character-fallback); an empty word is ZERO pieces.
+  *
+  * 100 TB shape (the [[Bpe]] posture exactly): TRAINING runs on the
+  * driver over the bounded (word, count) dictionary — Heaps'-law
+  * vocabulary-sized, never the corpus, capped deterministically by
+  * `maxVocabWords`. INFERENCE tokenizes each DISTINCT word once (a
+  * vocabulary-sized dictionary built with one UDF over a broadcast piece
+  * map) and broadcast-joins the per-word piece counts onto the per-doc
+  * word groups; the corpus-sized side shuffles only for its own
+  * (doc_id, word) aggregation and the hot path stays codegen'd.
+  */
+object Unigram {
+
+  /** Character-fallback log-prob (micro-units): well below any trained
+    * piece, so fallback fires only when NO piece covers a character. */
+  val unkLogpMicro: Long = -20000000L
+
+  /** Train a unigram-LM piece table. Returns (piece, logp_micro) sorted by
+    * piece — a pinnable constant (the [[graft.SparkEntry.bpeMerges]]
+    * convention: train once, pin, oracle-share).
+    *
+    * `vocabSize` counts MULTI-char pieces; every character seen in the
+    * (capped) word dictionary is always kept besides them. */
+  def trainPieces(docs: DataFrame, vocabSize: Int, maxPieceLen: Int = 4,
+      emRounds: Int = 4, seedSize: Int = 1024,
+      maxVocabWords: Int = 1 << 16): Seq[(String, Long)] = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
+    trainFromCounts(Bpe.collectWordCounts(docs, maxVocabWords),
+      vocabSize, maxPieceLen, emRounds, seedSize)
+  }
+
+  /** Driver-side trainer over a (word, count) dictionary — seed by
+    * substring frequency, Viterbi-EM with hard counts, prune by usage. */
+  private[graft] def trainFromCounts(wordCounts: Seq[(String, Long)],
+      vocabSize: Int, maxPieceLen: Int, emRounds: Int,
+      seedSize: Int): Seq[(String, Long)] = {
+    val chars: Seq[String] = wordCounts.iterator.flatMap(_._1)
+      .map(_.toString).toSeq.distinct.sorted
+    // seed multi-char candidates by total weighted occurrence count
+    val sub = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, c) <- wordCounts; l <- 2 to maxPieceLen; i <- 0 to w.length - l)
+      sub.updateWith(w.substring(i, i + l))(v => Some(v.getOrElse(0L) + c))
+    var multi: Seq[String] = sub.toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(seedSize).map(_._1)
+    // initial scores straight from the seed counts
+    var table: Map[String, Long] = logProbs(
+      chars.map(ch => ch -> charCount(wordCounts, ch)) ++
+        multi.map(p => p -> sub(p)))
+    var round = 0
+    while (round < emRounds) {
+      // E-step: hard Viterbi counts over the word dictionary
+      val use = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, c) <- wordCounts; p <- viterbi(w, table, maxPieceLen))
+        use.updateWith(p)(v => Some(v.getOrElse(0L) + c))
+      // prune the least-used multi-char pieces, 25% of the excess per
+      // round (all the way to the target on the last round)
+      val ranked = multi.filter(use.contains)
+        .sortBy(p => (-use(p), p))
+      val keep = if (round == emRounds - 1) vocabSize
+        else math.max(vocabSize, ranked.size - math.max(1, (ranked.size - vocabSize) / 4))
+      multi = ranked.take(keep)
+      // M-step: recompute log-probs from the surviving usage counts;
+      // a char Viterbi never used keeps the fallback floor
+      table = logProbs(
+        chars.map(ch => ch -> use.getOrElse(ch, 0L)) ++
+          multi.map(p => p -> use(p)))
+      round += 1
+    }
+    table.toSeq.sortBy(_._1)
+  }
+
+  private def charCount(wordCounts: Seq[(String, Long)], ch: String): Long =
+    wordCounts.iterator.map { case (w, c) =>
+      c * w.count(_.toString == ch)
+    }.sum
+
+  /** counts → micro-unit log-probs; zero-count entries get the unk floor. */
+  private def logProbs(counts: Seq[(String, Long)]): Map[String, Long] = {
+    val total = counts.iterator.map(_._2).sum.toDouble
+    counts.iterator.map { case (p, c) =>
+      p -> (if (c <= 0L) unkLogpMicro
+            else math.round(StrictMath.log(c / total) * 1e6))
+    }.toMap
+  }
+
+  /** Maximum-likelihood segmentation of one word under a piece table —
+    * the DP described in the object doc: per position the best
+    * (score, path) with score desc / path asc, character fallback at
+    * [[unkLogpMicro]] for uncovered characters, empty word → no pieces. */
+  private[graft] def viterbi(word: String, table: Map[String, Long],
+      maxPieceLen: Int): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Seq.empty
+    // best(i): (score, pathString, pieces) over segmentations of word[0,i)
+    val bestScore = Array.fill(n + 1)(Long.MinValue)
+    val bestPath = Array.fill(n + 1)("")
+    val bestPieces = Array.fill[List[String]](n + 1)(Nil)
+    bestScore(0) = 0L
+    var i = 0
+    while (i < n) {
+      if (bestScore(i) != Long.MinValue) {
+        var l = 1
+        val maxL = math.min(maxPieceLen, n - i)
+        while (l <= maxL) {
+          val cand = word.substring(i, i + l)
+          val lp = table.get(cand) match {
+            case Some(v) => v
+            case None => if (l == 1) unkLogpMicro else Long.MinValue
+          }
+          if (lp != Long.MinValue) {
+            val s = bestScore(i) + lp
+            val p = bestPath(i) + cand + '\u0001'
+            val j = i + l
+            if (s > bestScore(j) || (s == bestScore(j) && p < bestPath(j))) {
+              bestScore(j) = s
+              bestPath(j) = p
+              bestPieces(j) = cand :: bestPieces(i)
+            }
+          }
+          l += 1
+        }
+      }
+      i += 1
+    }
+    bestPieces(n).reverse
+  }
+
+  /** Per-document tokenizer-faithful counts under a pinned piece table:
+    * (doc_id, n_words, n_unigram_tokens) — [[Bpe.tokenCounts]]'s exact
+    * distributed shape (distinct words tokenized once over a broadcast
+    * table, dictionary broadcast-joined onto per-doc word groups). */
+  def tokenCounts(docs: DataFrame, pieces: Seq[(String, Long)],
+      maxPieceLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val bcTable = spark.sparkContext.broadcast(pieces.toMap)
+    val nUni = udf((w: String) => viterbi(w, bcTable.value, maxPieceLen).length)
+    val dict = TextAnalysis.withWords(docs)
+      .select(explode(col("__words")).as("word"))
+      .distinct()
+      .select(col("word"), nUni(col("word")).cast("long").as("n_uni"))
+    val docWord = TextAnalysis.withWords(docs)
+      .select(col("doc_id"), explode(col("__words")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+    docWord.join(broadcast(dict), "word")
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_words"),
+        sum(col("n") * col("n_uni")).as("n_unigram_tokens"))
+  }
+
+  /** Unigram-LM fertility by corpus slice — [[Bpe.fertilityReport]]'s
+    * twin, so the two tokenizers' per-source tokens-per-word diagnostics
+    * compare directly (the multilingual-survey table). Integer-exact
+    * micro-unit ratio, one slice-keyed shuffle of three longs per doc. */
+  def fertilityReport(docs: DataFrame, pieces: Seq[(String, Long)],
+      sliceCol: String = "source", maxPieceLen: Int = 4): DataFrame =
+    tokenCounts(docs, pieces, maxPieceLen)
+      .join(docs.select(col("doc_id"), col(sliceCol)), "doc_id")
+      .groupBy(sliceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_unigram_tokens").as("n_unigram_tokens"))
+      .withColumn("unigram_fertility_micro",
+        expr("(1000000 * n_unigram_tokens) div n_words"))
+}
