@@ -2279,6 +2279,14 @@ object SparkEntry {
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
 
+    // first-fit-decreasing bin packing (whole-doc sequences, the q57
+    // splitter's no-cut sibling): per shard, docs sorted (tokens desc,
+    // id) first-fit into capacity-256 bins; the oracle replays the fold
+    // step by step in a recursive CTE — all integer state
+    "q173_pack_ffd" -> ((s, dir) =>
+      TextAnalysis.packFirstFitDecreasing(Tables.documents(s, dir),
+        maxTokens = 256, shards = 8)),
+
     // hybrid retrieval: reciprocal-rank fusion of the q153 hashed-lexical
     // ranker (whole docs as single passages) with the q25 dense cosine
     // ranker over the SAME 8 queries — integer micro-unit contributions
@@ -4076,6 +4084,41 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q173: the exact FFD fold replay — docs per shard in (tokens desc,
+      // id) order; the recursion carries each shard's per-bin remaining
+      // capacities as an INT list, placing one doc per level (first fit
+      // via list_position, else open a bin; >= cap docs open a closed bin)
+      "q173_pack_ffd" ->
+        """WITH RECURSIVE t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+          |        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+          |      FROM documents),
+          |o AS (SELECT doc_id, shard, n_tokens,
+          |        CAST(row_number() OVER (PARTITION BY shard
+          |          ORDER BY n_tokens DESC, doc_id) AS INT) AS rn
+          |      FROM t),
+          |rec AS (
+          |  SELECT shard, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
+          |         CAST(NULL AS INT) AS n_tokens, CAST(NULL AS INT) AS local_bin,
+          |         CAST([] AS INT[]) AS bins
+          |  FROM (SELECT DISTINCT shard FROM o)
+          |  UNION ALL
+          |  SELECT shard, rn, doc_id, n_tokens,
+          |    CAST(CASE WHEN p > 0 THEN p ELSE len(bins) + 1 END AS INT)
+          |      AS local_bin,
+          |    CASE WHEN p > 0
+          |      THEN list_transform(range(1, len(bins) + 1),
+          |             i -> CASE WHEN i = p THEN bins[i] - n_tokens
+          |                  ELSE bins[i] END)
+          |      ELSE bins || [greatest(256 - n_tokens, 0)] END AS bins
+          |  FROM (
+          |    SELECT o.shard, o.rn, o.doc_id, o.n_tokens, r.bins,
+          |      coalesce(list_position(
+          |        list_transform(r.bins, x -> x >= o.n_tokens), true), 0) AS p
+          |    FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1))
+          |SELECT doc_id, shard, n_tokens, local_bin,
+          |  CAST(shard AS BIGINT) * 281474976710656 + local_bin AS bin_id
+          |FROM rec WHERE doc_id IS NOT NULL""".stripMargin,
 
       // q170: full replay of BOTH retrieval chains — the q153 hashed
       // cos² ranker on whole docs (top-10), the q25 dense cosine ranker

@@ -281,6 +281,67 @@ object TextAnalysis {
           .as("crosses_boundary"))
   }
 
+  /** FIRST-FIT-DECREASING bin packing — the production packer trainers
+    * run when documents must stay WHOLE in their training sequence
+    * (contrast [[packSequences]], which lays a stream and SPLITS
+    * boundary-straddling docs): per shard, documents sorted
+    * (n_tokens desc, doc_id) drop into the first bin with room, opening
+    * a new bin otherwise — the classic FFD guarantee (≤ 11/9·OPT + 1
+    * bins) that cuts padding far below naive in-order closing. A doc at
+    * or above `maxTokens` gets a bin of its own, immediately closed
+    * (truncation is the caller's decision — [[truncationReport]] prices
+    * it).
+    *
+    * Output: (doc_id, shard, n_tokens, local_bin, bin_id) with 1-based
+    * per-shard bins and globally unique bin_id = shard·2⁴⁸ + local_bin
+    * (the [[packSequences]] id convention).
+    *
+    * Determinism & replay: the fold's state (per-bin remaining capacity,
+    * scanned in bin order) is a pure function of the sorted input, so a
+    * SQL oracle replays it step by step in a recursive CTE — every
+    * integer, no floats.
+    *
+    * 100 TB shape: the q57 sharding posture — each shard packs
+    * independently inside its hash partition (repartition(shard) + an
+    * in-partition sort, ONE shuffle), the fold is a sequential scan with
+    * O(bins-per-shard) state, and `shards` is the knob that bounds both
+    * state and the sequential span exactly as it bounds q57's running
+    * sum. The linear first-fit scan is O(bins) per doc — callers packing
+    * monster shards would swap in the standard segment-tree first-fit
+    * without touching the contract. */
+  def packFirstFitDecreasing(docs: DataFrame, maxTokens: Int = 2048,
+      shards: Int = 8): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"),
+        pmod(col("doc_id"), lit(shards.toLong)).cast("int").as("shard"),
+        size(split(col("text"), " ")).cast("int").as("n_tokens"))
+      .as[(Long, Int, Int)]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_tokens").desc, col("doc_id"))
+      .mapPartitions { it =>
+        // a partition holds whole shards (hash-partitioned on shard);
+        // rows arrive shard-contiguous and (n_tokens desc, id) sorted
+        var curShard = Int.MinValue
+        var bins = scala.collection.mutable.ArrayBuffer.empty[Int]
+        it.map { case (id, sh, n) =>
+          if (sh != curShard) {
+            curShard = sh
+            bins = scala.collection.mutable.ArrayBuffer.empty[Int]
+          }
+          var b = 0
+          while (b < bins.length && bins(b) < n) b += 1
+          if (b == bins.length) bins += math.max(maxTokens - n, 0)
+          else bins(b) -= n
+          (id, sh, n, b + 1)
+        }
+      }.toDF("doc_id", "shard", "n_tokens", "local_bin")
+      .withColumn("bin_id",
+        col("shard").cast("long") * (1L << 48) + col("local_bin"))
+  }
+
   /** Statistical language-model quality score (CCNet-style): each document's
     * mean log-probability under an add-α-smoothed unigram model trained on
     * the corpus itself — wildly out-of-distribution documents (wrong

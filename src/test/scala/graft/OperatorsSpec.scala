@@ -1314,6 +1314,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.map(_._2).sum == 3L)
   }
 
+  test("packFirstFitDecreasing: hand-traced FFD per shard, oversize docs get closed bins") {
+    def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val fx = Seq(
+      (0L, txt(100)), (8L, txt(200)), (16L, txt(180)), (24L, txt(60)), (32L, txt(40)),
+      (1L, txt(300)), (9L, txt(256)) // shard 1: oversize + exact-fit
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.packFirstFitDecreasing(fx, maxTokens = 256, shards = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    // shard 0 trace, sorted (tokens desc, id): 200→b1(rem 56), 180→b2(76),
+    // 100→b3(156), 60→b2(16), 40→b1(16)
+    assert(got(8L) == ((0, 200, 1)))
+    assert(got(16L) == ((0, 180, 2)))
+    assert(got(0L) == ((0, 100, 3)))
+    assert(got(24L) == ((0, 60, 2)))
+    assert(got(32L) == ((0, 40, 1)))
+    // 300 tokens >= cap: own bin, immediately closed; 256 exact-fits bin 2
+    assert(got(1L) == ((1, 300, 1)))
+    assert(got(9L) == ((1, 256, 2)))
+  }
+
   test("rrfFuse: hand-computed fusion, one-sided docs contribute one term") {
     val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
       .toDF("query_id", "doc_id", "rank")
