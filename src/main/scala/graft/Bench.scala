@@ -59,8 +59,10 @@ import org.apache.spark.sql.SparkSession
   *    a measurement, not an assertion; and
   *  - "stress10x": the composed pipelines (q61 text, q96 crawl
   *    front-end, q103 quality, q123 full crawl gate, q135 crawl loop,
-  *    q142 dsir selection, q159 mixture) plus the distributed-ntile q138 on a 10×
-  *    id-offset self-union of documents.parquet — the slope one decade
+  *    q142 dsir selection, q159 mixture, q174 continuous-ingest store
+  *    builds) plus the distributed-ntile q138 on a 10×
+  *    id-offset self-union of documents.parquet (and embeddings.parquet,
+  *    which q174 reads) — the slope one decade
   *    UP, duplicate-heavy by construction (see the section comment).
   */
 object Bench {
@@ -144,6 +146,13 @@ object Bench {
           docs.withColumn("doc_id", col("doc_id") + lit(i * lcmOffset)))
           .reduce(_ unionAll _)
         amplified.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+        // q174's ingest stores read embeddings too: amplify with the SAME
+        // id offsets so every amplified doc keeps a base vector
+        val emb = sources.Tables.embeddings(spark, sfDir)
+        (0 until 10).map(i =>
+          emb.withColumn("vec_id", col("vec_id") + lit(i * lcmOffset)))
+          .reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
         val rows10 = spark.read.parquet(s"$tmp/documents.parquet").count()
         def t2(name: String): Double =
           (1 to 3).map { _ =>
@@ -160,9 +169,20 @@ object Bench {
         val q138x10 = t2("q138_perplexity_tiles")
         val q142x10 = t2("q142_dsir_selection")
         val q159x10 = t2("q159_mixture_pipeline")
+        // q174's cost is the STORE BUILD (gate + two appends + score
+        // materialization) inside its cached fixture — drop the fixture
+        // before every sample so each one times a fresh batch arrival
+        val q174x10 = (1 to 3).map { _ =>
+          SparkEntry.dropFixture("ingest_q174", tmp.getAbsolutePath)
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          SparkEntry.queries("q174_ingest_capstone")(spark, tmp.getAbsolutePath).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
         f"""{"factor":10,"rows":$rows10,"q61_sec":$q61x10%.3f,"q96_sec":$q96x10%.3f,""" +
           f""""q103_sec":$q103x10%.3f,"q123_sec":$q123x10%.3f,"q135_sec":$q135x10%.3f,""" +
-          f""""q138_sec":$q138x10%.3f,"q142_sec":$q142x10%.3f,"q159_sec":$q159x10%.3f}"""
+          f""""q138_sec":$q138x10%.3f,"q142_sec":$q142x10%.3f,"q159_sec":$q159x10%.3f,""" +
+          f""""q174_sec":$q174x10%.3f}"""
       } finally {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

@@ -1863,6 +1863,19 @@ object SparkEntry {
     })
   }
 
+  /** Evict one cached fixture so its next use REBUILDS — the bench's
+    * stress section uses this to time q174's store builds (gate +
+    * appends + materialization) per sample instead of a cached read. */
+  private[graft] def dropFixture(kind: String, dir: String): Unit = {
+    val p = tempFixtureDirs.remove(s"$kind|$dir")
+    if (p != null) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(p))
+    }
+  }
+
   private def q98IndexPath(s: SparkSession, dir: String): String =
     lazyFixtureDir("mh_index_q98", dir) { path =>
       Dedup.writeMinHashIndex(Tables.documents(s, dir), path,
@@ -1893,6 +1906,55 @@ object SparkEntry {
       TextAnalysis.writeInvertedIndex(docs.filter(col("doc_id") % 4 =!= 0),
         path, buckets = 64)
       TextAnalysis.appendToInvertedIndex(docs.filter(col("doc_id") % 4 === 0), path)
+    }
+
+  /** The q174 continuous-ingest stores: ONE batch arrival ([[incrementalBatch]])
+    * landing in every serving artifact the repo maintains, all gated by the
+    * SAME bloom-dedup verdict —
+    *  - `survivors/`: the bloom-gated dedup output (the q114 gate);
+    *  - `inv/`: the q119 inverted index built on the corpus, survivors
+    *    APPENDED (the q121 fold);
+    *  - `ivf/`: the q50 IVF layout built on the corpus embeddings,
+    *    survivors' vectors (base embedding keyed by doc_id % 10⁶)
+    *    APPENDED against the frozen centroids (the q110 fold);
+    *  - `scores/`: readability MATERIALIZED incrementally onto
+    *    corpus ∪ survivors (the q127 delta rule).
+    * Each fold is individually oracle-verified by its own query; q174
+    * reads the four artifacts back and proves they agree on the one
+    * batch: a surviving doc is in EVERY store (with its exact term
+    * count and word count), a dropped doc in NONE. */
+  private def q174StoresPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("ingest_q174", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      val survivors = Dedup
+        .bloomGatedDedupAgainstCorpus(incrementalBatch(s, dir), docs)
+        .localCheckpoint() // consumed by four stores below — derive once
+      survivors.write.mode("overwrite").parquet(s"$path/survivors")
+      TextAnalysis.writeInvertedIndex(docs, s"$path/inv", buckets = 64)
+      TextAnalysis.appendToInvertedIndex(survivors, s"$path/inv")
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeIvfIndex(emb, s"$path/ivf", nCells = 16)
+      // batch id → base corpus id, mirroring incrementalBatch's id scheme
+      // explicitly (NOT doc_id % 10⁶, which would mis-resolve on corpora
+      // whose own ids exceed 10⁶ — the bench's 10× amplified dir)
+      val b = docs.select(col("doc_id").as("__base"))
+      val idMap = b.filter(col("__base") % 4 === 1)
+        .select((col("__base") + 1000000L).as("doc_id"), col("__base"))
+        .unionAll(b.filter(col("__base") % 5 === 0)
+          .select((col("__base") + 2000000L).as("doc_id"), col("__base")))
+        .unionAll(b.filter(col("__base") % 4 === 1)
+          .select((col("__base") + 3000000L).as("doc_id"), col("__base")))
+      val batchEmb = survivors.select(col("doc_id"))
+        .join(idMap, "doc_id")
+        .join(emb.select(col("vec_id").as("__base"), col("embedding")), "__base")
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      Similarity.appendToIvfIndex(batchEmb, s"$path/ivf")
+      val newCorpus = docs.select("doc_id", "text")
+        .unionByName(survivors.select("doc_id", "text"))
+      operators.Incremental.materialize(docs,
+          TextAnalysis.readability(docs), newCorpus, TextAnalysis.readability(_))
+        .write.mode("overwrite").parquet(s"$path/scores")
     }
 
   /** The q104 WARC envelope: the q96 inputs (url fixture + html fixture,
@@ -2277,6 +2339,38 @@ object SparkEntry {
     "q149_image_phash_dedup" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
+    }),
+
+    // continuous-ingest capstone: ONE batch through the bloom dedup gate,
+    // then appended to the postings index, the IVF index, and the
+    // incremental score table (the q114→q121→q110→q127 composition in
+    // one arrival); the report reads all four PHYSICAL artifacts back —
+    // a survivor lands everywhere with its exact term/word counts, a
+    // dropped doc lands nowhere
+    "q174_ingest_capstone" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val p = q174StoresPath(s, dir)
+      val batch = incrementalBatch(s, dir).select("doc_id")
+      val surv = s.read.parquet(s"$p/survivors")
+        .select(col("doc_id"), lit(true).as("__s"))
+      val post = s.read.parquet(s"$p/inv/postings")
+        .filter(col("doc_id") >= 1000000L)
+        .groupBy("doc_id").agg(count(lit(1)).as("__np"))
+      val ivf = s.read.parquet(s"$p/ivf/cells")
+        .filter(col("vec_id") >= 1000000L)
+        .select(col("vec_id").as("doc_id"), lit(true).as("__iv"))
+      val scores = s.read.parquet(s"$p/scores")
+        .filter(col("doc_id") >= 1000000L)
+        .select(col("doc_id"), col("n_words").as("__nw"))
+      batch.join(surv, Seq("doc_id"), "left")
+        .join(post, Seq("doc_id"), "left")
+        .join(ivf, Seq("doc_id"), "left")
+        .join(scores, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__s"), lit(false)).as("survived"),
+          coalesce(col("__np"), lit(0L)).as("n_postings"),
+          coalesce(col("__iv"), lit(false)).as("in_ivf"),
+          col("__nw").as("scored_n_words"))
     }),
 
     // first-fit-decreasing bin packing (whole-doc sequences, the q57
@@ -4084,6 +4178,44 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q174: the composition report from the CONSTRUCTION — the q114
+      // gate replay decides survival; a survivor's term count / word
+      // count state what the postings append and score materialization
+      // must have written, its base embedding what the IVF append must
+      // have landed; a dropped doc must appear in no store
+      "q174_ingest_capstone" ->
+        """WITH batch AS (
+          |  SELECT doc_id + 1000000 AS doc_id,
+          |         text || ' fresh ' || CAST(doc_id AS VARCHAR) AS text
+          |  FROM documents WHERE doc_id % 4 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 3000000, text || ' fresh ' || CAST(doc_id AS VARCHAR)
+          |  FROM documents WHERE doc_id % 4 = 1),
+          |firsts AS (SELECT doc_id, text,
+          |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          |           FROM batch),
+          |surv AS (SELECT doc_id, text FROM firsts
+          |         WHERE rn = 1
+          |           AND NOT EXISTS (SELECT 1 FROM documents d
+          |                           WHERE d.text = firsts.text)),
+          |np AS (SELECT doc_id, CAST(count(DISTINCT u.w) AS BIGINT) AS n_terms
+          |       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM surv),
+          |            UNNEST(ws) AS u(w)
+          |       GROUP BY doc_id)
+          |SELECT b.doc_id,
+          |  s.doc_id IS NOT NULL AS survived,
+          |  coalesce(np.n_terms, 0::BIGINT) AS n_postings,
+          |  (s.doc_id IS NOT NULL AND EXISTS (SELECT 1 FROM embeddings e
+          |     WHERE e.vec_id = b.doc_id % 1000000)) AS in_ivf,
+          |  CASE WHEN s.doc_id IS NOT NULL
+          |       THEN CAST(len(string_split(s.text, ' ')) AS BIGINT)
+          |  END AS scored_n_words
+          |FROM batch b
+          |LEFT JOIN surv s ON b.doc_id = s.doc_id
+          |LEFT JOIN np ON b.doc_id = np.doc_id""".stripMargin,
 
       // q173: the exact FFD fold replay — docs per shard in (tokens desc,
       // id) order; the recursion carries each shard's per-bin remaining
