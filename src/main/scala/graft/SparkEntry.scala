@@ -494,6 +494,30 @@ object SparkEntry {
       })
   }
 
+  /** Synthetic MP4 corpus (q175): %3==2 docs carry a REAL ISO-BMFF
+    * container from [[Multimodal.testMp4]] — timescale 600 with
+    * duration 600 + (id%7)·300 units (so duration_ms = 1000 + (id%7)·500
+    * exercises a non-trivial integer division), an audio track on even
+    * ids, the 64-bit mvhd variant on %4==1 ids — and %5==3 ids truncate
+    * to 20 bytes (a box header cut mid-moov), the quarantine class the
+    * walker must DROP. The oracle states all fields from this
+    * construction (the q152 structural posture — DuckDB never parses a
+    * container). */
+  private[graft] def videoRecords(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[operators.MediaRecord] = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    Tables.documents(s, dir).filter(col("doc_id") % 3 === 2)
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val full = Multimodal.testMp4(timescale = 600,
+          durationUnits = 600 + (id % 7) * 300,
+          withAudio = id % 2 == 0, v1 = id % 4 == 1)
+        operators.MediaRecord(id, "video/mp4",
+          if (id % 5 == 3) full.take(20) else full)
+      })
+  }
+
   /** The q151 oracle's copy of [[trapUrlDocuments]]'s construction. */
   private def trapUrlFixtureSql: String =
     """SELECT doc_id, CASE
@@ -2341,6 +2365,15 @@ object SparkEntry {
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
 
+    // MP4/ISO-BMFF container metadata over REAL synthesized containers:
+    // brand, timescale-normalized duration, track handlers and codec 4ccs
+    // from a pure-JDK box walk (both mvhd versions exercised); truncated
+    // payloads quarantine (drop) — frame decode stays out of scope
+    "q175_video_meta" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Multimodal.extractMp4Meta(videoRecords(s, dir)).toDF()
+    }),
+
     // continuous-ingest capstone: ONE batch through the bloom dedup gate,
     // then appended to the postings index, the IVF index, and the
     // incremental score table (the q114→q121→q110→q127 composition in
@@ -4178,6 +4211,18 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q175: the structural statement of [[videoRecords]]'s construction
+      // — the walker must recover every field through actual byte
+      // parsing, and the %5==3 truncated class contributes NO rows
+      "q175_video_meta" ->
+        """SELECT doc_id, 'isom' AS major_brand, 600::BIGINT AS timescale,
+          |  CAST(1000 + (doc_id % 7) * 500 AS BIGINT) AS duration_ms,
+          |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+          |  1::INT AS n_video,
+          |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS n_audio,
+          |  CASE WHEN doc_id % 2 = 0 THEN 'avc1,mp4a' ELSE 'avc1' END AS codecs
+          |FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 <> 3""".stripMargin,
 
       // q174: the composition report from the CONSTRUCTION — the q114
       // gate replay decides survival; a survivor's term count / word

@@ -63,8 +63,11 @@ case class ResizedMeta(
   * unit-tested down to exact per-pixel means on images encoded in-process.
   * The SYNTHETIC-corpus queries (q31/q32/q51) use the deterministic
   * `decodeStub` instead because the testdata's payloads are utf-8 text, not
-  * encoded media; audio/video decode would need codecs this container
-  * doesn't ship and keeps the same stub boundary.
+  * encoded media. VIDEO is covered at the CONTAINER level — [[extractMp4Meta]]
+  * walks real ISO-BMFF boxes (brand, timescale/duration, track handlers,
+  * sample-entry codec ids) with pure-JDK byte parsing; FRAME decode
+  * (avc1/hevc bitstreams) is a permanent carve-out, since no JDK video
+  * codec exists — as is compressed-audio decode (mp3/aac).
   *
   * Scale notes: decode is the textbook mapPartitions case — per-partition
   * setup cost (codec init) amortizes across the batch, payload bytes never
@@ -203,7 +206,8 @@ object Multimodal {
     * (the parser throws UnsupportedAudioFileException on unclaimed bytes
     * and other IO errors on truncated ones — both map to a dropped row).
     * Compressed codecs (mp3/aac) are not in the JDK and stay out of scope
-    * with the video stub. */
+    * with video FRAME decode (the container level is covered by
+    * [[extractMp4Meta]]'s box walk). */
   def extractAudioMeta(records: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[AudioMeta] = {
     import spark.implicits._
     records.mapPartitions(_.flatMap { rec =>
@@ -484,4 +488,159 @@ object Multimodal {
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  // ---- MP4 / ISO-BMFF container metadata (ISO/IEC 14496-12) --------------
+  //
+  // CONTAINER-level video triage — the piece of the video stub that IS
+  // pure-JDK-feasible: an MP4 file is a tree of length-prefixed boxes
+  // ([size:4 BE][type:4cc][payload]; size 1 → 64-bit largesize follows,
+  // size 0 → to EOF), so brand, timescale/duration, track handlers and
+  // sample-entry codec ids all come from a byte walk with no codec in
+  // sight. FRAME decode (avc1/hevc bitstreams) stays explicitly out of
+  // scope — that carve-out is permanent (no JDK codec exists), and this
+  // walker is the boundary where it starts.
+
+  private def be32(b: Array[Byte], o: Int): Long = {
+    if (o < 0 || o + 4 > b.length) throw new IllegalArgumentException("be32 OOB")
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  }
+
+  private def be64(b: Array[Byte], o: Int): Long = (be32(b, o) << 32) | be32(b, o + 4)
+
+  private def fourcc(b: Array[Byte], o: Int): String = {
+    if (o < 0 || o + 4 > b.length) throw new IllegalArgumentException("4cc OOB")
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  /** Child boxes of b[start, end): (type, payloadStart, payloadEnd).
+    * Malformed sizes (running past the parent, shorter than the header)
+    * throw — the caller maps any throw to a QUARANTINED (dropped) row. */
+  private def childBoxes(b: Array[Byte], start: Int, end: Int): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var o = start
+    while (o < end) {
+      if (o + 8 > end) throw new IllegalArgumentException("truncated box header")
+      val sz32 = be32(b, o)
+      val typ = fourcc(b, o + 4)
+      val (payloadStart, boxEnd) =
+        if (sz32 == 1L) { // largesize
+          val sz = be64(b, o + 8)
+          if (sz < 16 || o + sz > end) throw new IllegalArgumentException("bad largesize")
+          (o + 16, o + sz.toInt)
+        } else if (sz32 == 0L) (o + 8, end) // box runs to end of parent
+        else {
+          if (sz32 < 8 || o + sz32 > end) throw new IllegalArgumentException("bad size")
+          (o + 8, o + sz32.toInt)
+        }
+      out += ((typ, payloadStart, boxEnd))
+      o = boxEnd
+    }
+    out.result()
+  }
+
+  private def firstBox(boxes: Seq[(String, Int, Int)], typ: String): Option[(Int, Int)] =
+    boxes.collectFirst { case (t, s, e) if t == typ => (s, e) }
+
+  /** Parse one ISO-BMFF payload to container metadata, or None when the
+    * container is malformed / missing its required boxes (ftyp, moov,
+    * mvhd, a positive timescale) — the quarantine contract. */
+  private[operators] def parseMp4(b: Array[Byte]): Option[VideoMeta0] =
+    try {
+      val top = childBoxes(b, 0, b.length)
+      val (fs, _) = firstBox(top, "ftyp").getOrElse(return None)
+      val brand = fourcc(b, fs)
+      val (ms, me) = firstBox(top, "moov").getOrElse(return None)
+      val moov = childBoxes(b, ms, me)
+      val (hs, _) = firstBox(moov, "mvhd").getOrElse(return None)
+      val version = b(hs) & 0xff
+      val (timescale, duration) =
+        if (version == 1) (be32(b, hs + 20), be64(b, hs + 24))
+        else (be32(b, hs + 12), be32(b, hs + 16))
+      if (timescale <= 0) return None
+      val tracks = moov.collect { case ("trak", s, e) =>
+        val mdia = firstBox(childBoxes(b, s, e), "mdia")
+          .getOrElse(throw new IllegalArgumentException("trak without mdia"))
+        val mdiaKids = childBoxes(b, mdia._1, mdia._2)
+        val (hls, _) = firstBox(mdiaKids, "hdlr")
+          .getOrElse(throw new IllegalArgumentException("mdia without hdlr"))
+        val handler = fourcc(b, hls + 8)
+        val codec = for {
+          (mis, mie) <- firstBox(mdiaKids, "minf")
+          (sts, ste) <- firstBox(childBoxes(b, mis, mie), "stbl")
+          (sds, sde) <- firstBox(childBoxes(b, sts, ste), "stsd")
+          entry <- childBoxes(b, sds + 8, sde).headOption // past ver/flags + count
+        } yield entry._1
+        (handler, codec)
+      }
+      Some(VideoMeta0(brand, timescale, duration * 1000L / timescale,
+        tracks.length,
+        tracks.count(_._1 == "vide"), tracks.count(_._1 == "soun"),
+        tracks.flatMap(_._2).sorted.mkString(",")))
+    } catch { case _: Exception => None }
+
+  /** Container-metadata extraction over MP4 payloads: the image/audio
+    * mapPartitions boundary (payload bytes never shuffle, only the
+    * 7-column metadata leaves the scan); malformed payloads drop. */
+  def extractMp4Meta(records: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[VideoMeta] = {
+    import spark.implicits._
+    records.mapPartitions(_.flatMap { rec =>
+      parseMp4(rec.payload).map(m => VideoMeta(rec.doc_id, m.major_brand,
+        m.timescale, m.duration_ms, m.n_tracks, m.n_video, m.n_audio, m.codecs))
+    })
+  }
+
+  /** Deterministic minimal-but-REAL ISO-BMFF synthesizer for fixtures
+    * (the [[testPcmWav]] convention): ftyp(isom) + moov(mvhd + one video
+    * trak (avc1) [+ one audio trak (mp4a)]) + a tiny mdat. `v1` emits the
+    * 64-bit mvhd variant so both version paths are exercised. */
+  def testMp4(timescale: Int, durationUnits: Long, withAudio: Boolean,
+      v1: Boolean): Array[Byte] = {
+    def int32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def int64(v: Long): Array[Byte] = int32(v >>> 32) ++ int32(v & 0xffffffffL)
+    def cc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      int32(payload.length + 8L) ++ cc(typ) ++ payload
+    val ftyp = box("ftyp", cc("isom") ++ int32(0) ++ cc("isom"))
+    val mvhd = box("mvhd",
+      if (v1) Array[Byte](1, 0, 0, 0) ++ int64(0) ++ int64(0) ++
+        int32(timescale) ++ int64(durationUnits) ++ new Array[Byte](80)
+      else Array[Byte](0, 0, 0, 0) ++ int32(0) ++ int32(0) ++
+        int32(timescale) ++ int32(durationUnits) ++ new Array[Byte](80))
+    def trak(handler: String, codec: String): Array[Byte] = {
+      val hdlr = box("hdlr",
+        new Array[Byte](8) ++ cc(handler) ++ new Array[Byte](13))
+      val stsd = box("stsd",
+        new Array[Byte](4) ++ int32(1) ++ box(codec, new Array[Byte](8)))
+      box("trak", box("mdia",
+        hdlr ++ box("minf", box("stbl", stsd))))
+    }
+    val traks = trak("vide", "avc1") ++
+      (if (withAudio) trak("soun", "mp4a") else Array.empty[Byte])
+    ftyp ++ box("moov", mvhd ++ traks) ++ box("mdat", new Array[Byte](16))
+  }
 }
+
+/** Parsed MP4 container metadata (no doc identity — [[Multimodal.parseMp4]]'s
+  * pure output). */
+case class VideoMeta0(
+    major_brand: String,
+    timescale: Long,
+    duration_ms: Long,
+    n_tracks: Int,
+    n_video: Int,
+    n_audio: Int,
+    codecs: String)
+
+/** Container metadata from the REAL MP4 box walk. */
+case class VideoMeta(
+    doc_id: Long,
+    major_brand: String,
+    timescale: Long,
+    duration_ms: Long,
+    n_tracks: Int,
+    n_video: Int,
+    n_audio: Int,
+    codecs: String)

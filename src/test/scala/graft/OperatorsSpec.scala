@@ -1314,6 +1314,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.map(_._2).sum == 3L)
   }
 
+  test("extractMp4Meta: box walk recovers brand/duration/tracks/codecs, corrupt drops") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val av = Multimodal.testMp4(timescale = 600, durationUnits = 900,
+      withAudio = true, v1 = false)
+    val v1only = Multimodal.testMp4(timescale = 1000, durationUnits = 2500,
+      withAudio = false, v1 = true)
+    val records = spark.createDataset(Seq(
+      MediaRecord(1L, "video/mp4", av),
+      MediaRecord(2L, "video/mp4", v1only),
+      MediaRecord(3L, "video/mp4", av.take(20)),      // cut mid-moov → dropped
+      MediaRecord(4L, "video/mp4", "not a container".getBytes("UTF-8"))
+    ))(org.apache.spark.sql.Encoders.product[MediaRecord])
+    val got = Multimodal.extractMp4Meta(records).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(got.keySet == Set(1L, 2L))
+    val a = got(1L)
+    // 900 units at timescale 600 = 1500 ms; two tracks, codecs sorted
+    assert(a.major_brand == "isom" && a.timescale == 600L && a.duration_ms == 1500L &&
+      a.n_tracks == 2 && a.n_video == 1 && a.n_audio == 1 && a.codecs == "avc1,mp4a")
+    val b = got(2L)
+    // the 64-bit mvhd path: 2500 units at 1000 = 2500 ms, video only
+    assert(b.duration_ms == 2500L && b.n_tracks == 1 && b.n_video == 1 &&
+      b.n_audio == 0 && b.codecs == "avc1")
+  }
+
   test("packFirstFitDecreasing: hand-traced FFD per shard, oversize docs get closed bins") {
     def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
     val fx = Seq(
