@@ -102,6 +102,20 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
 
+    // machine-load telemetry helper (used at session start and around the
+    // sweeps below): /proc/loadavg 1/5/15-min triple as a JSON array
+    def loadavg(): String = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), java.nio.charset.StandardCharsets.UTF_8)
+        .split("\\s+").take(3).mkString("[", ",", "]")
+    } catch { case _: Throwable => "[]" }
+    // sampled BEFORE any bench work: the external-contention signal. The
+    // pre-sweep sample below is taken after the stress section and mostly
+    // reads the bench's OWN just-finished 32-thread load — an elevated
+    // value there with a quiet session start is self-inflicted, not a
+    // loaded machine (the r9→r10 record-reading lesson).
+    val sessionStartLoad = loadavg()
+
     val errors = Seq.newBuilder[String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Option[Double] = {
@@ -200,18 +214,13 @@ object Bench {
     // and contributes nothing to the total, so failures can't masquerade as
     // fast.
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
-    // machine-load telemetry: /proc/loadavg (1/5/15-min) sampled before the
-    // sweeps and after each one, committed in the record — a loaded session
-    // is then visible in the artifact itself, so a cross-round offset on
-    // unchanged code (the r7→r8 1.26× mystery) is attributable without
-    // re-running anything. Sampling is per-sweep, not per-query: the signal
-    // of interest is session-scale contention, minutes wide.
-    def loadavg(): String = try {
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg")), java.nio.charset.StandardCharsets.UTF_8)
-        .split("\\s+").take(3).mkString("[", ",", "]")
-    } catch { case _: Throwable => "[]" }
-    val loadSamples = scala.collection.mutable.ArrayBuffer(loadavg())
+    // machine-load telemetry: /proc/loadavg committed in the record as
+    // [session-start, pre-sweeps (post-stress), after each sweep] — a
+    // loaded session is then visible in the artifact itself, so a
+    // cross-round offset on unchanged code (the r7→r8 1.26× mystery) is
+    // attributable without re-running anything. Sampling is per-sweep,
+    // not per-query: the signal is session-scale contention, minutes wide.
+    val loadSamples = scala.collection.mutable.ArrayBuffer(sessionStartLoad, loadavg())
     val sweeps = (1 to 3).map { _ =>
       val r = sortedQueries.map { case (name, fn) =>
         val t = timeOnce(name, fn, sfDir)
