@@ -86,6 +86,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("compressionRatio (q169) and mp4 metadata (q175) are shuffle-free scans") {
+    // both are scan → mapPartitions → project: per-doc signals must never
+    // pay an exchange at any corpus size
+    for (q <- Seq("q169_compression_ratio", "q175_video_meta")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle")
+    }
+  }
+
+  test("unigram tokenization (q171): vocabulary dictionary joins by broadcast") {
+    // the per-word piece counts are a vocabulary-sized dictionary — a
+    // sort-merge join here would shuffle the corpus side on `word`
+    val p = plan("q171_unigram_tokens")
+    assert(p.contains("BroadcastHashJoin"), "dictionary join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no corpus-side merge join")
+  }
+
+  test("FFD packing (q173): exactly the one shard repartition exchange") {
+    val p = plan("q173_pack_ffd")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      "per-shard packing must cost one shuffle (repartition on shard)")
+  }
+
   test("hybrid RRF fusion (q170): both retrieval sides stay WindowGroupLimit-pruned") {
     val p = plan("q170_hybrid_rrf")
     // lexical top-10, dense top-10, fused top-10 — three pruned windows

@@ -467,4 +467,69 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("unigram viterbi: coverage, score additivity, and optimality on any word/table") {
+    val wordGen = Gen.choose(0, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val tableGen = for {
+      nPieces <- Gen.choose(0, 8)
+      pieces <- Gen.listOfN(nPieces, for {
+        len <- Gen.choose(1, 4)
+        p <- Gen.listOfN(len, Gen.oneOf('a', 'b')).map(_.mkString)
+        lp <- Gen.choose(-5000000, -100000)
+      } yield (p, lp.toLong))
+    } yield pieces.toMap // 'c' stays out → exercises the unk fallback
+    forAll(Gen.zip(wordGen, tableGen)) { case (word, table) =>
+      val pieces = operators.Unigram.viterbi(word, table, 4)
+      // coverage: the pieces concatenate back to the word exactly
+      assert(pieces.mkString == word)
+      def lpOf(p: String): Long = table.getOrElse(p,
+        { assert(p.length == 1, s"multi-char piece $p not in table"); operators.Unigram.unkLogpMicro })
+      val score = pieces.map(lpOf).sum
+      // optimality: no enumerated segmentation scores strictly higher
+      def segs(w: String): Seq[Seq[String]] =
+        if (w.isEmpty) Seq(Seq.empty)
+        else (1 to math.min(4, w.length)).flatMap { l =>
+          val h = w.take(l)
+          if (table.contains(h) || l == 1) segs(w.drop(l)).map(h +: _) else Seq.empty
+        }
+      val best = segs(word).map(s => s.map(lpOf).sum).maxOption.getOrElse(0L)
+      assert(score == best, s"viterbi $score vs enumerated best $best for '$word'")
+    }
+  }
+
+  test("FFD packing: no bin over capacity (oversize docs alone), ids partition exactly") {
+    val docsGen = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n, Gen.choose(1, 40)))
+    forAll(docsGen) { sizes =>
+      val fx = sizes.zipWithIndex
+        .map { case (s, i) => (i.toLong, Seq.fill(s)("w").mkString(" ")) }
+      val got = operators.TextAnalysis
+        .packFirstFitDecreasing(fx.toDF("doc_id", "text"), maxTokens = 32, shards = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(4)))
+      assert(got.map(_._1).sorted.toSeq == fx.map(_._1)) // every doc exactly once
+      got.groupBy(_._4).foreach { case (_, members) =>
+        val load = members.map(_._3.toLong).sum
+        assert(load <= 32 || (members.length == 1 && members.head._3 > 32),
+          s"bin overloaded: $load from ${members.length} docs")
+      }
+    }
+  }
+
+  test("rrfFuse: dense ranks, monotone scores, no invented docs on any lists") {
+    val listGen = Gen.choose(0, 8).flatMap(n => Gen.pick(n, 0L to 15L).map(_.toSeq.sorted))
+    forAll(Gen.zip(listGen, listGen)) { case (lexDocs, denseDocs) =>
+      val lex = lexDocs.zipWithIndex.map { case (d, i) => (1L, d, i + 1) }
+      val dense = denseDocs.zipWithIndex.map { case (d, i) => (1L, d, i + 1) }
+      val got = operators.Similarity.rrfFuse(
+          lex.toDF("query_id", "doc_id", "rank"),
+          dense.toDF("query_id", "doc_id", "rank"), topK = 100)
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(4), r.getInt(5)))
+        .sortBy(_._3)
+      assert(got.map(_._3).toSeq == (1 to got.length)) // dense 1..n
+      assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq) // scores desc
+      assert(got.map(_._1).toSet == (lexDocs ++ denseDocs).toSet) // union, nothing else
+    }
+  }
 }
