@@ -548,35 +548,38 @@ object Multimodal {
   private[operators] def parseMp4(b: Array[Byte]): Option[VideoMeta0] =
     try {
       val top = childBoxes(b, 0, b.length)
-      val (fs, _) = firstBox(top, "ftyp").getOrElse(return None)
-      val brand = fourcc(b, fs)
-      val (ms, me) = firstBox(top, "moov").getOrElse(return None)
-      val moov = childBoxes(b, ms, me)
-      val (hs, _) = firstBox(moov, "mvhd").getOrElse(return None)
-      val version = b(hs) & 0xff
-      val (timescale, duration) =
-        if (version == 1) (be32(b, hs + 20), be64(b, hs + 24))
-        else (be32(b, hs + 12), be32(b, hs + 16))
-      if (timescale <= 0) return None
-      val tracks = moov.collect { case ("trak", s, e) =>
-        val mdia = firstBox(childBoxes(b, s, e), "mdia")
-          .getOrElse(throw new IllegalArgumentException("trak without mdia"))
-        val mdiaKids = childBoxes(b, mdia._1, mdia._2)
-        val (hls, _) = firstBox(mdiaKids, "hdlr")
-          .getOrElse(throw new IllegalArgumentException("mdia without hdlr"))
-        val handler = fourcc(b, hls + 8)
-        val codec = for {
-          (mis, mie) <- firstBox(mdiaKids, "minf")
-          (sts, ste) <- firstBox(childBoxes(b, mis, mie), "stbl")
-          (sds, sde) <- firstBox(childBoxes(b, sts, ste), "stsd")
-          entry <- childBoxes(b, sds + 8, sde).headOption // past ver/flags + count
-        } yield entry._1
-        (handler, codec)
+      for {
+        (fs, _) <- firstBox(top, "ftyp")
+        (ms, me) <- firstBox(top, "moov")
+        moov = childBoxes(b, ms, me)
+        (hs, _) <- firstBox(moov, "mvhd")
+        version = b(hs) & 0xff
+        (timescale, duration) =
+          if (version == 1) (be32(b, hs + 20), be64(b, hs + 24))
+          else (be32(b, hs + 12), be32(b, hs + 16))
+        if timescale > 0
+      } yield {
+        val brand = fourcc(b, fs)
+        val tracks = moov.collect { case ("trak", s, e) =>
+          val mdia = firstBox(childBoxes(b, s, e), "mdia")
+            .getOrElse(throw new IllegalArgumentException("trak without mdia"))
+          val mdiaKids = childBoxes(b, mdia._1, mdia._2)
+          val (hls, _) = firstBox(mdiaKids, "hdlr")
+            .getOrElse(throw new IllegalArgumentException("mdia without hdlr"))
+          val handler = fourcc(b, hls + 8)
+          val codec = for {
+            (mis, mie) <- firstBox(mdiaKids, "minf")
+            (sts, ste) <- firstBox(childBoxes(b, mis, mie), "stbl")
+            (sds, sde) <- firstBox(childBoxes(b, sts, ste), "stsd")
+            entry <- childBoxes(b, sds + 8, sde).headOption // past ver/flags + count
+          } yield entry._1
+          (handler, codec)
+        }
+        VideoMeta0(brand, timescale, duration * 1000L / timescale,
+          tracks.length,
+          tracks.count(_._1 == "vide"), tracks.count(_._1 == "soun"),
+          tracks.flatMap(_._2).sorted.mkString(","))
       }
-      Some(VideoMeta0(brand, timescale, duration * 1000L / timescale,
-        tracks.length,
-        tracks.count(_._1 == "vide"), tracks.count(_._1 == "soun"),
-        tracks.flatMap(_._2).sorted.mkString(",")))
     } catch { case _: Exception => None }
 
   /** Container-metadata extraction over MP4 payloads: the image/audio

@@ -164,10 +164,13 @@ object Unigram {
   /** Per-document tokenizer-faithful counts under a pinned piece table:
     * (doc_id, n_words, n_unigram_tokens) — [[Bpe.tokenCounts]]'s exact
     * distributed shape (distinct words tokenized once over a broadcast
-    * table, dictionary broadcast-joined onto per-doc word groups). */
-  def tokenCounts(docs: DataFrame, pieces: Seq[(String, Long)],
-      maxPieceLen: Int = 4): DataFrame = {
+    * table, dictionary broadcast-joined onto per-doc word groups). The
+    * Viterbi lookahead derives from the TABLE (longest piece), so a
+    * table trained at any maxPieceLen segments correctly here — no
+    * silently-mismatched length knob. */
+  def tokenCounts(docs: DataFrame, pieces: Seq[(String, Long)]): DataFrame = {
     val spark = docs.sparkSession
+    val maxPieceLen = math.max(1, pieces.iterator.map(_._1.length).maxOption.getOrElse(1))
     val bcTable = spark.sparkContext.broadcast(pieces.toMap)
     val nUni = udf((w: String) => viterbi(w, bcTable.value, maxPieceLen).length)
     val dict = TextAnalysis.withWords(docs)
@@ -188,8 +191,8 @@ object Unigram {
     * compare directly (the multilingual-survey table). Integer-exact
     * micro-unit ratio, one slice-keyed shuffle of three longs per doc. */
   def fertilityReport(docs: DataFrame, pieces: Seq[(String, Long)],
-      sliceCol: String = "source", maxPieceLen: Int = 4): DataFrame =
-    tokenCounts(docs, pieces, maxPieceLen)
+      sliceCol: String = "source"): DataFrame =
+    tokenCounts(docs, pieces)
       .join(docs.select(col("doc_id"), col(sliceCol)), "doc_id")
       .groupBy(sliceCol)
       .agg(count(lit(1)).as("n_docs"),
