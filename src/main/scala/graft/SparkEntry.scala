@@ -1064,6 +1064,20 @@ object SparkEntry {
       lit("\nref code "), col("doc_id").cast("string")).as("text"))
   }
 
+  /** Derived WITHIN-doc line-repetition fixture (q176): each doc = its
+    * corpus text line + a call-to-action line repeated 1 + doc_id%3 times
+    * + a unique ref line — so runs of length 1, 2 and 3 all occur and the
+    * duplicated-line fractions are a pure function of the construction.
+    * `chr(10)`/`repeat` derive bit-for-bit in both engines. */
+  private[graft] def repLinedDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, dir).select(col("doc_id"), concat(
+      col("text"),
+      expr("repeat(concat(chr(10), 'please subscribe to our newsletter'), " +
+        "cast(doc_id % 3 as int) + 1)"),
+      lit("\nref code "), col("doc_id").cast("string")).as("text"))
+  }
+
   /** Derived duplicated fixture for the soft-dedup weights (q139): the
     * corpus plus one extra copy of every %3 doc and a second extra copy
     * of every %9 doc under shifted ids — group sizes 1, 2 and 3 all
@@ -2364,6 +2378,21 @@ object SparkEntry {
       implicit val spark: SparkSession = s
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
+
+    // q88's packing layout budgeted in UNIGRAM-LM tokens: whichever
+    // tokenizer a pipeline trains, packing budgets in the same tokens —
+    // boundaries move where the two tokenizers' counts diverge
+    "q177_pack_unigram" -> ((s, dir) =>
+      operators.Unigram.packSequencesUnigram(Tables.documents(s, dir),
+        unigramPieces, maxTokens = 256, shards = 8)),
+
+    // Gopher line-repetition signals (Rae §A1.1's line/paragraph half;
+    // qualityRules carries the word half): duplicated-line occurrence and
+    // character fractions from one in-row sorted-run fold; the oracle
+    // recomputes INDEPENDENTLY via a per-line group-by — two different
+    // algorithms, one answer
+    "q176_line_repetition" -> ((s, dir) =>
+      TextAnalysis.lineRepetitionSignals(repLinedDocuments(s, dir))),
 
     // MP4/ISO-BMFF container metadata over REAL synthesized containers:
     // brand, timescale-normalized duration, track handlers and codec 4ccs
@@ -4211,6 +4240,43 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q177: the q88 pack replay over the q171 Viterbi chain
+      "q177_pack_unigram" ->
+        s"""WITH RECURSIVE $wordCountCtes,
+           |$unigramCtes,
+           |t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+           |      n_unigram_tokens AS n_tokens FROM uni),
+           |s AS (SELECT doc_id, shard, n_tokens,
+           |      CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+           |           - n_tokens AS BIGINT) AS start_off FROM t)
+           |SELECT doc_id, shard, n_tokens, start_off,
+           |CAST(shard AS BIGINT) * 281474976710656 + start_off // 256 AS seq_id,
+           |(start_off // 256) <> ((start_off + n_tokens - 1) // 256) AS crosses_boundary
+           |FROM s""".stripMargin,
+
+      // q176: INDEPENDENT recomputation — per-line group-by counts (vs
+      // the operator's sorted-run fold), dup fractions over c >= 2 lines
+      "q176_line_repetition" ->
+        """WITH fx AS (SELECT doc_id, text ||
+          |    repeat(chr(10) || 'please subscribe to our newsletter',
+          |           CAST(doc_id % 3 AS INT) + 1) ||
+          |    chr(10) || 'ref code ' || CAST(doc_id AS VARCHAR) AS text
+          |  FROM documents),
+          |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM fx),
+          |g AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2),
+          |a AS (SELECT doc_id,
+          |  CAST(sum(c) AS BIGINT) AS n_lines,
+          |  CAST(count(*) AS BIGINT) AS n_distinct_lines,
+          |  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_occ,
+          |  CAST(sum(CASE WHEN c >= 2 THEN c * length(line) ELSE 0 END) AS BIGINT)
+          |    AS dup_chars,
+          |  CAST(sum(c * length(line)) AS BIGINT) AS total_chars
+          |  FROM g GROUP BY doc_id)
+          |SELECT doc_id, n_lines, n_distinct_lines,
+          |  (1000000 * dup_occ) // n_lines AS dup_line_frac_e6,
+          |  (1000000 * dup_chars) // greatest(total_chars, 1) AS dup_char_frac_e6
+          |FROM a""".stripMargin,
 
       // q175: the structural statement of [[videoRecords]]'s construction
       // — the walker must recover every field through actual byte

@@ -937,6 +937,51 @@ object TextAnalysis {
           .as("word_entropy"))
   }
 
+  /** LINE-REPETITION signals (Rae et al. 2021 §A1.1, the line/paragraph
+    * half of the repetition rulebook — [[qualityRules]] carries the
+    * word/n-gram half): fraction of LINE occurrences that belong to a
+    * line duplicated within the document, and the fraction of line
+    * CHARACTERS those occurrences own — the boilerplate/template signal
+    * ("subscribe" footers, navigation stubs repeated down a page) that
+    * word-level rules dilute. Per doc: (doc_id, n_lines,
+    * n_distinct_lines, dup_line_frac_e6, dup_char_frac_e6), fractions in
+    * integer micro-units over exact counts.
+    *
+    * Entirely in-row (no shuffle at any scale): lines sort per row and a
+    * single fold counts run starts (distinct), occurrences in runs of
+    * length ≥ 2 and their characters — the [[entropyStats]] longest-run
+    * idiom, with the r=2 step retro-counting the run's first member. An
+    * empty document is its one empty line (split semantics, both
+    * engines). */
+  def lineRepetitionSignals(docs: DataFrame): DataFrame = {
+    // materialize the sorted line array once (the words()/withWords PERF
+    // note: per-element lambdas re-evaluate inline expressions)
+    val sorted = array_sort(split(col("text"), java.util.regex.Pattern.quote("\n"), -1))
+    val fold = aggregate(
+      col("__ls"),
+      struct(lit("").as("prev"), lit(0L).as("r"), lit(0L).as("nd"),
+        lit(0L).as("occ"), lit(0L).as("chars"), lit(true).as("first")),
+      (acc, x) => {
+        val r = when(acc("first") || x =!= acc("prev"), lit(1L)).otherwise(acc("r") + 1L)
+        val mult = when(r === 2L, lit(2L)).when(r > 2L, lit(1L)).otherwise(lit(0L))
+        struct(x.as("prev"), r.as("r"),
+          (acc("nd") + when(r === 1L, 1L).otherwise(0L)).as("nd"),
+          (acc("occ") + mult).as("occ"),
+          (acc("chars") + mult * length(x)).as("chars"),
+          lit(false).as("first"))
+      })
+    docs
+      .select(col("doc_id"), sorted.as("__ls"))
+      .select(col("doc_id"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        aggregate(col("__ls"), lit(0L), (a, x) => a + length(x)).as("__tc"),
+        fold.as("__f"))
+      .select(col("doc_id"), col("n_lines"),
+        col("__f")("nd").as("n_distinct_lines"),
+        expr("(1000000 * __f.occ) div n_lines").as("dup_line_frac_e6"),
+        expr("(1000000 * __f.chars) div greatest(__tc, 1)").as("dup_char_frac_e6"))
+  }
+
   /** DEFLATE COMPRESSION-RATIO quality signal — the Dolma/Gopher
     * "gibberish or template" detector that [[entropyStats]] cannot see:
     * character entropy is memoryless, so a page that repeats a 40-word

@@ -186,6 +186,32 @@ object Unigram {
         sum(col("n") * col("n_uni")).as("n_unigram_tokens"))
   }
 
+  /** Sequence packing budgeted in unigram-LM tokens —
+    * [[graft.operators.TextAnalysis.packSequences]]'s layout contract
+    * (sharded streams, per-shard running sum, globally unique seq ids)
+    * with the token column swapped for this tokenizer's count, exactly
+    * as [[Bpe.packSequencesBpe]] does for BPE: whichever tokenizer a
+    * pipeline trains, its packing budgets in the SAME tokens. */
+  def packSequencesUnigram(docs: DataFrame, pieces: Seq[(String, Long)],
+      maxTokens: Int = 2048, shards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    tokenCounts(docs, pieces)
+      .select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(shards.toLong)).cast("int").as("shard"),
+        col("n_unigram_tokens").as("n_tokens"))
+      .withColumn("start_off",
+        (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
+      .withColumn("local_seq", floor(col("start_off") / maxTokens).cast("long"))
+      .select(
+        col("doc_id"), col("shard"), col("n_tokens"), col("start_off"),
+        (col("shard").cast("long") * (1L << 48) + col("local_seq")).as("seq_id"),
+        (col("local_seq") =!=
+          floor((col("start_off") + col("n_tokens") - 1) / maxTokens).cast("long"))
+          .as("crosses_boundary"))
+  }
+
   /** Unigram-LM fertility by corpus slice — [[Bpe.fertilityReport]]'s
     * twin, so the two tokenizers' per-source tokens-per-word diagnostics
     * compare directly (the multilingual-survey table). Integer-exact

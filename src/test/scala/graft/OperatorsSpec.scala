@@ -1314,6 +1314,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.map(_._2).sum == 3L)
   }
 
+  test("lineRepetitionSignals: hand-counted runs, duplicate fractions, empty doc") {
+    val fx = Seq(
+      (0L, "a\nb\nb\ncc\ncc\ncc"),  // runs 1/2/3: dup occ 5 of 6, dup chars 2+6=8 of 9
+      (1L, "x\ny\nz"),              // no duplicates
+      (2L, "")                      // one empty line, zero chars
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineRepetitionSignals(fx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(0L) == ((6L, 3L, 833333L, 888888L)))
+    assert(got(1L) == ((3L, 3L, 0L, 0L)))
+    assert(got(2L) == ((1L, 1L, 0L, 0L)))
+  }
+
   test("extractMp4Meta: box walk recovers brand/duration/tracks/codecs, corrupt drops") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val av = Multimodal.testMp4(timescale = 600, durationUnits = 900,
