@@ -2379,6 +2379,19 @@ object SparkEntry {
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
 
+    // multinomial Naive Bayes domain/language classifier (the model-based
+    // labeling slot beside q28's rank-profile langID and q137's DSIR
+    // log-ratio): trained on the %7!=0 split of the planted-phrase
+    // fixture, scores integer micro-unit log-prob sums, argmax with name
+    // ties — the oracle replays train AND inference
+    "q178_nb_classifier" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val fx = langIdDocuments(s, dir).withColumn("label", element_at(
+        array(langIdPhrases.map(p => lit(p._1)): _*),
+        (col("doc_id") % 5).cast("int") + 1))
+      operators.Selection.naiveBayesClassify(fx, "label", col("doc_id") % 7 === 0)
+    }),
+
     // q88's packing layout budgeted in UNIGRAM-LM tokens: whichever
     // tokenizer a pipeline trains, packing budgets in the same tokens —
     // boundaries move where the two tokenizers' counts diverge
@@ -4240,6 +4253,52 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q178: FULL replay of NB training and inference — add-1 word
+      // log-probs in the q144 round-6-then-integerize micro-units,
+      // unseen-word class mass, prior + integer sum, argmax by
+      // (score desc, class asc)
+      "q178_nb_classifier" -> {
+        val langCase = langIdPhrases.zipWithIndex
+          .map { case ((l, _), i) => s"WHEN $i THEN '$l'" }.mkString(" ")
+        val phraseCase = "(CASE doc_id % 5 " + langIdPhrases.zipWithIndex
+          .map { case ((_, p), i) => s"WHEN $i THEN '$p'" }.mkString(" ") + " END)"
+        s"""WITH fx AS (SELECT doc_id, CASE doc_id % 5 $langCase END AS lbl,
+           |  text || ' ' || $phraseCase || ' ' || $phraseCase || ' ' || $phraseCase AS t
+           |  FROM documents),
+           |w AS (SELECT doc_id, lbl, doc_id % 7 = 0 AS held,
+           |      unnest(string_split(t, ' ')) AS word FROM fx),
+           |wc AS (SELECT lbl, word, CAST(count(*) AS BIGINT) AS c
+           |      FROM w WHERE NOT held GROUP BY 1, 2),
+           |ct AS (SELECT lbl, CAST(sum(c) AS BIGINT) AS tot FROM wc GROUP BY 1),
+           |vs AS (SELECT count(DISTINCT word) AS v FROM wc),
+           |nt AS (SELECT count(*) AS n FROM fx WHERE doc_id % 7 <> 0),
+           |nd AS (SELECT lbl, CAST(count(*) AS DOUBLE) AS nd
+           |      FROM fx WHERE doc_id % 7 <> 0 GROUP BY 1),
+           |ci AS (SELECT ct.lbl AS cls,
+           |    CAST(round(round(ln(nd.nd / nt.n), 6) * 1000000, 0) AS BIGINT)
+           |      AS prior_micro,
+           |    CAST(round(round(ln(1.0 / (ct.tot + vs.v)), 6) * 1000000, 0) AS BIGINT)
+           |      AS unseen_micro
+           |  FROM ct CROSS JOIN vs CROSS JOIN nt JOIN nd ON nd.lbl = ct.lbl),
+           |lp AS (SELECT wc.lbl AS cls, wc.word,
+           |    CAST(round(round(ln((wc.c + 1) / CAST(ct.tot + vs.v AS DOUBLE)), 6)
+           |      * 1000000, 0) AS BIGINT) AS lp_micro
+           |  FROM wc JOIN ct ON wc.lbl = ct.lbl CROSS JOIN vs),
+           |dw AS (SELECT doc_id, lbl, word, CAST(count(*) AS BIGINT) AS n
+           |      FROM w WHERE held GROUP BY 1, 2, 3),
+           |sc AS (SELECT dw.doc_id, dw.lbl, ci.cls,
+           |    CAST(ci.prior_micro +
+           |      sum(dw.n * coalesce(lp.lp_micro, ci.unseen_micro)) AS BIGINT) AS score
+           |  FROM dw CROSS JOIN ci
+           |  LEFT JOIN lp ON lp.cls = ci.cls AND lp.word = dw.word
+           |  GROUP BY 1, 2, 3, ci.prior_micro),
+           |rk AS (SELECT doc_id, lbl, cls, score,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+           |  FROM sc)
+           |SELECT doc_id, lbl AS true_label, cls AS pred_label, score AS score_micro
+           |FROM rk WHERE rn = 1""".stripMargin
+      },
 
       // q177: the q88 pack replay over the q171 Viterbi chain
       "q177_pack_unigram" ->

@@ -171,4 +171,66 @@ object Selection {
       .withColumn("is_outlier", col("__dev") > lit(k.toDouble) * col("mad_e6"))
       .drop("__dev")
   }
+
+  /** Multinomial NAIVE BAYES text classifier — the model-based
+    * domain/language labeling stage (the fastText-classifier slot in
+    * DCLM/CCNet-style pipelines) built on exactly the machinery the
+    * heuristic scorers already use: add-1-smoothed per-class word
+    * log-probs in round-6-then-integerized micro-units (the q144
+    * policy), so scores are LONG sums and every comparison replays
+    * bit-for-bit in a SQL oracle. Train on the rows where `holdout` is
+    * false, score the rows where it is true; prediction = argmax class
+    * of prior + Σ_word n·lp, ties by class name asc. A score-time word
+    * absent from the training vocabulary contributes the class's unseen
+    * log-prob (add-1 mass, 1/(tot_c + |V|)).
+    *
+    * Output: (doc_id, true_label, pred_label, score_micro) for the
+    * holdout rows.
+    *
+    * 100 TB shape: the model is CLASSES × VOCABULARY rows — Heaps'-law
+    * bounded, never corpus-scale — aggregated with map-side combine and
+    * BROADCAST back (the DSIR histogram posture); the held-out side
+    * pays its own (doc, word) groupBy, a ×|classes| broadcast fan, and
+    * two doc-keyed aggregations. |V| and the train row count are the
+    * only driver scalars (two bounded count() jobs). */
+  def naiveBayesClassify(docs: DataFrame, labelCol: String,
+      holdout: Column): DataFrame = {
+    def microLn(x: Column): Column =
+      round(round(log(x), 6) * 1e6).cast("long")
+    val base = TextAnalysis.withWords(docs)
+      .select(col("doc_id"), col(labelCol).as("__lbl"), col("__words"))
+    val train = base.filter(!holdout)
+    val wc = train.select(col("__lbl"), explode(col("__words")).as("word"))
+      .groupBy("__lbl", "word").agg(count(lit(1)).as("c"))
+    val classTot = wc.groupBy("__lbl").agg(sum("c").as("tot"))
+    val vocabSize = wc.select("word").distinct().count()
+    val nTrain = train.count()
+    require(nTrain > 0, "naiveBayesClassify needs at least one training row")
+    val classInfo = train.groupBy("__lbl").agg(count(lit(1)).as("nd"))
+      .join(classTot, "__lbl")
+      .select(col("__lbl").as("cls"),
+        microLn(col("nd").cast("double") / nTrain).as("prior_micro"),
+        microLn(lit(1.0) / (col("tot") + vocabSize).cast("double"))
+          .as("unseen_micro"))
+    val lpw = wc.join(classTot, "__lbl")
+      .select(col("__lbl").as("cls"), col("word"),
+        microLn((col("c") + 1).cast("double") /
+          (col("tot") + vocabSize).cast("double")).as("lp_micro"))
+    val dw = base.filter(holdout)
+      .select(col("doc_id"), col("__lbl"), explode(col("__words")).as("word"))
+      .groupBy("doc_id", "__lbl", "word").agg(count(lit(1)).as("n"))
+    dw.crossJoin(broadcast(classInfo))
+      .join(broadcast(lpw), Seq("cls", "word"), "left")
+      .withColumn("__contrib",
+        col("n") * coalesce(col("lp_micro"), col("unseen_micro")))
+      .groupBy("doc_id", "__lbl", "cls", "prior_micro")
+      .agg(sum("__contrib").as("__sw"))
+      .withColumn("__score", col("prior_micro") + col("__sw"))
+      .groupBy("doc_id", "__lbl")
+      .agg(min(struct((-col("__score")).as("ns"), col("cls").as("c"),
+        col("__score").as("s"))).as("__b"))
+      .select(col("doc_id"), col("__lbl").as("true_label"),
+        col("__b")("c").as("pred_label"),
+        col("__b")("s").as("score_micro"))
+  }
 }

@@ -217,4 +217,41 @@ class SelectionSpec extends AnyFunSuite {
     assert(got(5L) == ((15.0, 10.0, false)))
     assert((5L to 8L).forall(!got(_)._3))
   }
+
+  test("naiveBayesClassify: recovers planted classes, unseen words fall back, name ties") {
+    val fx = Seq(
+      // train: two classes with disjoint signature words + shared filler
+      (0L, "cat", "meow purr meow the the"),
+      (1L, "cat", "purr meow purr the"),
+      (2L, "dog", "woof bark woof the the"),
+      (3L, "dog", "bark woof bark the"),
+      // held out: signature words decide; 'zzz' is unseen everywhere
+      (10L, "cat", "meow purr zzz"),
+      (11L, "dog", "woof bark zzz")
+    ).toDF("doc_id", "label", "text")
+    val got = Selection.naiveBayesClassify(fx, "label", col("doc_id") >= 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got(10L) == (("cat", "cat")))
+    assert(got(11L) == (("dog", "dog")))
+    // all-unseen doc: both classes score identically (same sizes by
+    // construction) → the name tie must pick 'cat' deterministically
+    val tie = Selection.naiveBayesClassify(
+      fx.unionByName(Seq((12L, "dog", "zzz qqq")).toDF("doc_id", "label", "text")),
+      "label", col("doc_id") >= 10L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(tie(12L) == "cat")
+  }
+
+  test("naiveBayesClassify on the q178 fixture: planted language recovered on holdout") {
+    import org.apache.spark.sql.functions._
+    val fx = SparkEntry.langIdDocuments(spark, "/root/testdata/sf0.001")
+      .withColumn("label", element_at(
+        array(SparkEntry.langIdPhrases.map(p => lit(p._1)): _*),
+        (col("doc_id") % 5).cast("int") + 1))
+    val got = Selection.naiveBayesClassify(fx, "label", col("doc_id") % 7 === 0)
+      .collect()
+    assert(got.nonEmpty)
+    val acc = got.count(r => r.getString(1) == r.getString(2)).toDouble / got.length
+    assert(acc >= 0.99, s"planted-language recovery should be ~perfect, got $acc")
+  }
 }
