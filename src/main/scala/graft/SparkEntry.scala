@@ -2379,6 +2379,12 @@ object SparkEntry {
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
 
+    // within-doc line dedup (detect q176 → REMOVE): first occurrence of
+    // each line survives in document order; in-row positional filter,
+    // relationally replayed by the oracle (independent formulation)
+    "q179_dedup_doc_lines" -> ((s, dir) =>
+      TextAnalysis.dedupeLinesWithinDoc(repLinedDocuments(s, dir))),
+
     // multinomial Naive Bayes domain/language classifier (the model-based
     // labeling slot beside q28's rank-profile langID and q137's DSIR
     // log-ratio): trained on the %7!=0 split of the planted-phrase
@@ -4253,6 +4259,27 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q179: relational replay — first occurrence per (doc, line) by
+      // position, ordered re-aggregation (vs the operator's in-row
+      // positional filter)
+      "q179_dedup_doc_lines" ->
+        """WITH fx AS (SELECT doc_id, text ||
+          |    repeat(chr(10) || 'please subscribe to our newsletter',
+          |           CAST(doc_id % 3 AS INT) + 1) ||
+          |    chr(10) || 'ref code ' || CAST(doc_id AS VARCHAR) AS text
+          |  FROM documents),
+          |b AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM fx),
+          |l AS (SELECT doc_id, i, ls[i] AS line
+          |      FROM b, UNNEST(range(1, len(ls) + 1)) t(i)),
+          |r AS (SELECT doc_id, i, line,
+          |      row_number() OVER (PARTITION BY doc_id, line ORDER BY i) AS rn
+          |      FROM l),
+          |k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt,
+          |      count(*) AS nk FROM r WHERE rn = 1 GROUP BY 1)
+          |SELECT b.doc_id, coalesce(k.txt, '') AS text_deduped,
+          |  CAST(len(b.ls) - coalesce(k.nk, 0) AS INT) AS n_removed_lines
+          |FROM b LEFT JOIN k ON b.doc_id = k.doc_id""".stripMargin,
 
       // q178: FULL replay of NB training and inference — add-1 word
       // log-probs in the q144 round-6-then-integerize micro-units,

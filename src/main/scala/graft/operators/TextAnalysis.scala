@@ -982,6 +982,31 @@ object TextAnalysis {
         expr("(1000000 * __f.chars) div greatest(__tc, 1)").as("dup_char_frac_e6"))
   }
 
+  /** WITHIN-document line dedup — the cleaning counterpart of
+    * [[lineRepetitionSignals]] (detect → remove), and the within-doc
+    * sibling of [[Dedup.removeCommonLines]]'s cross-doc gate: keep each
+    * line's FIRST occurrence in document order, drop every repeat — the
+    * Dolma/RefinedWeb "repeated navigation/footer lines" cleanup. Output
+    * (doc_id, text_deduped, n_removed_lines), the q97 contract shape.
+    *
+    * Entirely in-row (no shuffle at any scale): a positional HOF filter
+    * keeps line i iff it does not appear among lines 0..i-1 — O(n²) per
+    * document in the line count, which is bounded by the document, not
+    * the corpus (a 1000-line page is 10⁶ cheap comparisons). The oracle
+    * replays it relationally (row_number per (doc, line) in position
+    * order, keep rn = 1, re-aggregate) — an independent formulation. */
+  def dedupeLinesWithinDoc(docs: DataFrame): DataFrame = {
+    val ls = split(col("text"), java.util.regex.Pattern.quote("\n"), -1)
+    docs.select(col("doc_id"), ls.as("__ls"))
+      .select(col("doc_id"), col("__ls"),
+        filter(col("__ls"),
+          (x, i) => !array_contains(slice(col("__ls"), lit(1), i), x))
+          .as("__kept"))
+      .select(col("doc_id"),
+        array_join(col("__kept"), "\n").as("text_deduped"),
+        (size(col("__ls")) - size(col("__kept"))).cast("int").as("n_removed_lines"))
+  }
+
   /** DEFLATE COMPRESSION-RATIO quality signal — the Dolma/Gopher
     * "gibberish or template" detector that [[entropyStats]] cannot see:
     * character entropy is memoryless, so a page that repeats a 40-word

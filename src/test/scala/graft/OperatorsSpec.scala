@@ -1328,6 +1328,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 1L, 0L, 0L)))
   }
 
+  test("dedupeLinesWithinDoc: first occurrence survives in order, repeats drop") {
+    val fx = Seq(
+      (0L, "a\nb\na\nc\nb\na"), // keeps a,b,c in first-seen order
+      (1L, "x"),                // nothing to remove
+      (2L, "\n\n")              // three empty lines → one empty line kept
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupeLinesWithinDoc(fx).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got(0L) == (("a\nb\nc", 3)))
+    assert(got(1L) == (("x", 0)))
+    assert(got(2L) == (("", 2)))
+  }
+
   test("extractMp4Meta: box walk recovers brand/duration/tracks/codecs, corrupt drops") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val av = Multimodal.testMp4(timescale = 600, durationUnits = 900,
