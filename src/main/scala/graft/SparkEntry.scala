@@ -1502,6 +1502,41 @@ object SparkEntry {
       |      FROM s)
       |SELECT term, doc_id, score, rnk FROM r WHERE rnk <= 10""".stripMargin
 
+  /** Shared CTE chain of the q180/q181 oracles, ending in
+    * `bq(query_id, doc_id, score_micro, rank)` — the multi-term BM25
+    * replay: query bags from docs < 8, corpus tf over the query-term
+    * set, per-(term, doc) contributions integerized (round-6 ×10⁶, the
+    * q144 policy) BEFORE the per-(query, doc) LONG sum, top-10 per
+    * query by (score desc, doc_id). */
+  private def bm25QueryCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |qt AS (SELECT doc_id AS query_id, unnest(ws) AS term FROM t WHERE doc_id < 8),
+      |qg AS (SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
+      |       FROM qt GROUP BY 1, 2),
+      |tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM t),
+      |corp AS (SELECT count(*) AS n_docs,
+      |           sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+      |         FROM (SELECT doc_id, len(ws) AS dl FROM t)),
+      |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+      |       WHERE term IN (SELECT DISTINCT term FROM qg)
+      |       GROUP BY 1, 2, 3),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |tm AS (SELECT term, doc_id,
+      |        CAST(round(round(
+      |          ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+      |              * tf::DOUBLE * 2.2::DOUBLE
+      |              / (tf::DOUBLE + 1.2::DOUBLE *
+      |                 (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl::DOUBLE / avgdl)),
+      |          6) * 1000000, 0) AS BIGINT) AS tm
+      |      FROM tf JOIN df USING (term), corp),
+      |qs AS (SELECT qg.query_id, tm.doc_id,
+      |        CAST(sum(qg.qtf * tm.tm) AS BIGINT) AS score_micro
+      |      FROM tm JOIN qg USING (term) GROUP BY 1, 2),
+      |bq AS (SELECT query_id, doc_id, score_micro,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+      |      FROM qs QUALIFY rank <= 10)""".stripMargin
+
   private def nearDupIncrementalSql: String =
     """WITH batch AS (
       |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
@@ -2377,6 +2412,35 @@ object SparkEntry {
     "q149_image_phash_dedup" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
+    }),
+
+    // multi-term QUERY-level BM25 (q74 ranks per single term; a real
+    // query is a bag of terms): per-(term, doc) contributions integerize
+    // before the per-(query, doc) LONG sum — no float-order hazard at
+    // any query length; top-10 docs per query
+    "q180_bm25_query" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.bm25QueryTopK(docs,
+        docs.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("query_id"), col("text")))
+    }),
+
+    // the TRUE hybrid: reciprocal-rank fusion of q180's multi-term BM25
+    // with q25's dense cosine ranks over the same 8 queries — q170's
+    // fusion kernel with real BM25 on the lexical side
+    "q181_hybrid_bm25_dense" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      val lex = TextAnalysis.bm25QueryTopK(docs,
+        docs.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("query_id"), col("text")))
+        .select("query_id", "doc_id", "rank")
+      val dense = Similarity.bruteForceTopK(Tables.embeddings(s, dir),
+        queryIds = (0L until 8L), k = 10)
+        .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
+          col("rnk").as("rank"))
+      Similarity.rrfFuse(lex, dense, kRrf = 60, topK = 10)
     }),
 
     // within-doc line dedup (detect q176 → REMOVE): first occurrence of
@@ -4259,6 +4323,39 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q180: the multi-term BM25 replay (shared chain)
+      "q180_bm25_query" ->
+        s"""WITH $bm25QueryCtes
+           |SELECT query_id, doc_id, score_micro, rank FROM bq""".stripMargin,
+
+      // q181: the q180 chain fused with the q25 dense chain through the
+      // integer RRF kernel (the q170 fusion SQL with bq as the lexical
+      // side)
+      "q181_hybrid_bm25_dense" ->
+        s"""WITH $bm25QueryCtes,
+           |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+           |      WHERE vec_id < 8),
+           |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+           |s AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cos_sim
+           |      FROM q, c WHERE q_id <> n_id),
+           |dn AS (SELECT q_id AS query_id, n_id AS doc_id,
+           |        CAST(row_number() OVER (PARTITION BY q_id
+           |          ORDER BY cos_sim DESC, n_id) AS INT) AS dense_rank
+           |      FROM s QUALIFY dense_rank <= 10),
+           |lx AS (SELECT query_id, doc_id, rank AS lex_rank FROM bq),
+           |fu AS (SELECT coalesce(lx.query_id, dn.query_id) AS query_id,
+           |        coalesce(lx.doc_id, dn.doc_id) AS doc_id,
+           |        lx.lex_rank, dn.dense_rank,
+           |        coalesce(1000000 // (60 + lx.lex_rank), 0) +
+           |        coalesce(1000000 // (60 + dn.dense_rank), 0) AS rrf_e6
+           |      FROM lx FULL OUTER JOIN dn
+           |        ON lx.query_id = dn.query_id AND lx.doc_id = dn.doc_id)
+           |SELECT query_id, doc_id, lex_rank, dense_rank,
+           |  CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY rrf_e6 DESC, doc_id) AS INT) AS fused_rank
+           |FROM fu QUALIFY fused_rank <= 10""".stripMargin,
 
       // q179: relational replay — first occurrence per (doc, line) by
       // position, ordered re-aggregation (vs the operator's in-row

@@ -688,6 +688,57 @@ object TextAnalysis {
     bm25Rank(tf, corpus, k1, b, topK)
   }
 
+  /** MULTI-TERM query-level BM25 retrieval — the ranking users actually
+    * run (q74's [[bm25Scores]] ranks per single term; a real query is a
+    * bag of terms): score(q, d) = Σ_t qtf(t)·bm25(t, d) over the query's
+    * terms, top-`topK` documents per query. Query-term frequency
+    * multiplies (the classic Robertson formulation; Lucene's unit-query
+    * shortcut is the qtf = 1 special case).
+    *
+    * Determinism: each (term, doc) BM25 contribution integerizes FIRST
+    * (round-6 then ×10⁶ — the q144 policy), so the per-(query, doc) sum
+    * is a LONG sum with no float-order hazard no matter how many query
+    * terms hit a document; ranks tie-break by doc_id. A query whose terms
+    * all miss the corpus produces no rows.
+    *
+    * 100 TB shape: corpus-side work = ONE tokenize filtered to the
+    * query-term set (broadcast semi-join) before its (doc, term) shuffle;
+    * df/N/avgdl are broadcast scalars; the query join fans each matching
+    * (term, doc) posting by the number of queries containing the term
+    * (queries broadcast — the batch-retrieval asymmetry); the final
+    * top-K is one WindowGroupLimit window per query. */
+  def bm25QueryTopK(docs: DataFrame, queries: DataFrame, k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 10): DataFrame = {
+    val qt = queries.select(col("query_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("qtf"))
+    val terms = qt.select("term").distinct()
+    val tokenized = withWords(docs)
+      .select(col("doc_id"), col("__words"), size(col("__words")).as("dl"))
+    val corpus = tokenized.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = tokenized
+      .select(col("doc_id"), col("dl"), explode(col("__words")).as("term"))
+      .join(broadcast(terms), "term")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfD = col("tf").cast("double")
+    val term = idf * tfD * (k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score_micro").desc, col("doc_id"))
+    tf.join(broadcast(df), "term").crossJoin(broadcast(corpus))
+      .withColumn("__tm", round(round(term, 6) * 1e6).cast("long"))
+      .join(broadcast(qt), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("qtf") * col("__tm")).as("score_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "doc_id", "score_micro", "rank")
+  }
+
   /** The BM25 ranking core shared by [[bm25Scores]] (direct) and
     * [[bm25FromIndex]] (persisted postings) — ONE implementation, so the
     * serving path cannot drift from the verified direct path. `tf` is

@@ -1328,6 +1328,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 1L, 0L, 0L)))
   }
 
+  test("bm25QueryTopK: qtf multiplies, OOV-only queries vanish, ranks deterministic") {
+    val docs = Seq(
+      (0L, "alpha beta beta"),
+      (1L, "alpha gamma"),
+      (2L, "delta delta delta")
+    ).toDF("doc_id", "text")
+    val qs = Seq(
+      (100L, "alpha"),          // single term
+      (101L, "alpha alpha"),    // same term twice → qtf 2
+      (102L, "zzz qqq")         // nothing in corpus
+    ).toDF("query_id", "text")
+    val got = TextAnalysis.bm25QueryTopK(docs, qs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getInt(3)))).toMap
+    // qtf multiplier: q101's scores are exactly 2x q100's, ranks equal
+    for (d <- Seq(0L, 1L)) {
+      assert(got((101L, d))._1 == 2L * got((100L, d))._1)
+      assert(got((101L, d))._2 == got((100L, d))._2)
+    }
+    assert(!got.keySet.exists(_._1 == 102L)) // OOV-only query → absent
+    assert(!got.contains((100L, 2L)))        // doc without the term → absent
+    // both alpha docs rank; tf=1 each, shorter doc wins on length norm
+    assert(got((100L, 1L))._2 == 1 && got((100L, 0L))._2 == 2)
+  }
+
   test("dedupeLinesWithinDoc: first occurrence survives in order, repeats drop") {
     val fx = Seq(
       (0L, "a\nb\na\nc\nb\na"), // keeps a,b,c in first-seen order

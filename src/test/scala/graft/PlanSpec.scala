@@ -109,6 +109,13 @@ class PlanSpec extends AnyFunSuite {
       "per-shard packing must cost one shuffle (repartition on shard)")
   }
 
+  test("query-level BM25 (q180): stats broadcast, top-k group-limited, no cartesian") {
+    val p = plan("q180_bm25_query")
+    assert(p.contains("WindowGroupLimit"), "per-query top-k must prune")
+    assert(p.contains("BroadcastHashJoin"), "query/df sides must broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+  }
+
   test("hybrid RRF fusion (q170): both retrieval sides stay WindowGroupLimit-pruned") {
     val p = plan("q170_hybrid_rrf")
     // lexical top-10, dense top-10, fused top-10 — three pruned windows
