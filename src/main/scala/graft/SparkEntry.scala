@@ -2414,6 +2414,23 @@ object SparkEntry {
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
 
+    // ranked-list evaluation: recall@5 + reciprocal rank of the q162
+    // matryoshka 8-dim prefix ranking against the q25 full-dim exact
+    // reference — the ANN quality dial as a MEASURED query rather than a
+    // buried unit assertion; all metric arithmetic integer micro-units
+    "q182_ann_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(s, dir)
+      val approx = Similarity.matryoshkaTopK(emb, queryIds = (0L until 10L),
+        k = 5, dims = 8)
+        .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
+          col("rnk").as("rank"))
+      val exact = Similarity.bruteForceTopK(emb, queryIds = (0L until 10L), k = 5)
+        .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
+          col("rnk").as("rank"))
+      Similarity.rankingMetrics(approx, exact)
+    }),
+
     // multi-term QUERY-level BM25 (q74 ranks per single term; a real
     // query is a bag of terms): per-(term, doc) contributions integerize
     // before the per-(query, doc) LONG sum — no float-order hazard at
@@ -4323,6 +4340,47 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q182: both ranking chains replayed (q162's 8-dim prefix, q25's
+      // full-dim) + the integer metrics join
+      "q182_ann_eval" ->
+        """WITH q8 AS (SELECT vec_id AS q_id, (embedding::DOUBLE[])[1:8] AS qv
+          |           FROM embeddings WHERE vec_id < 10),
+          |c8 AS (SELECT vec_id AS n_id, (embedding::DOUBLE[])[1:8] AS nv FROM embeddings),
+          |s8 AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cs
+          |      FROM q8, c8 WHERE q_id <> n_id),
+          |ap AS (SELECT q_id AS query_id, n_id AS doc_id,
+          |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS INT)
+          |        AS a_rank
+          |      FROM s8 QUALIFY a_rank <= 5),
+          |qf AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+          |      WHERE vec_id < 10),
+          |cf AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+          |sf AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cs
+          |      FROM qf, cf WHERE q_id <> n_id),
+          |ex AS (SELECT q_id AS query_id, n_id AS doc_id
+          |      FROM (SELECT q_id, n_id,
+          |            CAST(row_number() OVER (PARTITION BY q_id
+          |              ORDER BY cs DESC, n_id) AS INT) AS rnk FROM sf)
+          |      WHERE rnk <= 5),
+          |pq AS (SELECT ap.query_id,
+          |      CAST(count(*) AS BIGINT) AS n_ranked,
+          |      CAST(sum(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |        AS n_hits,
+          |      min(CASE WHEN ex.doc_id IS NOT NULL THEN ap.a_rank END) AS fr
+          |      FROM ap LEFT JOIN ex
+          |        ON ap.query_id = ex.query_id AND ap.doc_id = ex.doc_id
+          |      GROUP BY 1),
+          |rl AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+          |      FROM ex GROUP BY 1)
+          |SELECT coalesce(rl.query_id, pq.query_id) AS query_id,
+          |  coalesce(rl.n_relevant, 0) AS n_relevant,
+          |  coalesce(pq.n_ranked, 0) AS n_ranked,
+          |  coalesce(pq.n_hits, 0) AS n_hits,
+          |  (1000000 * coalesce(pq.n_hits, 0))
+          |    // greatest(coalesce(rl.n_relevant, 0), 1) AS recall_e6,
+          |  coalesce(1000000 // pq.fr, 0)::BIGINT AS rr_e6
+          |FROM rl FULL OUTER JOIN pq ON rl.query_id = pq.query_id""".stripMargin,
 
       // q180: the multi-term BM25 replay (shared chain)
       "q180_bm25_query" ->

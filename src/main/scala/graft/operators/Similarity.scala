@@ -839,6 +839,41 @@ object Similarity {
       .select("query_id", "doc_id", "chunk_id", "cos2_e6", "rank")
   }
 
+  /** RANKED-LIST EVALUATION — recall and reciprocal rank of an
+    * approximate retriever against an exact reference, per query: the
+    * measurement loop that tunes every ANN operating point here (IVF
+    * nProbe, LSH bands, matryoshka dims) as a first-class operator
+    * instead of a buried unit assertion. Inputs are two
+    * (query_id, doc_id, rank) frames; `exact`'s rows define relevance.
+    * Output per query (union of both sides' queries):
+    * (query_id, n_relevant, n_ranked, n_hits, recall_e6, rr_e6) with
+    * recall_e6 = 10⁶·n_hits div n_relevant and rr_e6 = 10⁶ div (rank of
+    * the first relevant item in `approx`), 0 when nothing relevant was
+    * retrieved — all integer, so any engine replays the metrics
+    * bit-for-bit on top of replayable ranking chains.
+    *
+    * 100 TB shape: both inputs are top-k-per-query lists (|queries|·k
+    * rows); one equi-join and two query-keyed aggregates. */
+  def rankingMetrics(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("doc_id"),
+      col("rank").cast("int").as("__ar"))
+    val e = exact.select(col("query_id"), col("doc_id"), lit(true).as("__rel"))
+    val perQ = a.join(e, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id").agg(
+        count(lit(1)).as("n_ranked"),
+        sum(when(col("__rel"), 1L).otherwise(0L)).as("n_hits"),
+        min(when(col("__rel"), col("__ar"))).as("__fr"))
+    val rel = e.groupBy("query_id").agg(count(lit(1)).as("n_relevant"))
+    rel.join(perQ, Seq("query_id"), "full_outer")
+      .select(col("query_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("n_ranked"), lit(0L)).as("n_ranked"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("(1000000 * coalesce(n_hits, 0)) div greatest(coalesce(n_relevant, 0), 1)")
+          .as("recall_e6"),
+        coalesce(expr("1000000 div __fr").cast("long"), lit(0L)).as("rr_e6"))
+  }
+
   /** RECIPROCAL-RANK FUSION (Cormack/Clarke/Büttcher) — the standard
     * hybrid-retrieval join of a lexical ranked list and a dense ranked
     * list: per (query, doc), score = Σ_sides 1/(kRrf + rank), which

@@ -1410,6 +1410,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(9L) == ((1, 256, 2)))
   }
 
+  test("rankingMetrics: perfect / partial / zero recall, first-hit MRR, one-sided queries") {
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 11L, 2),              // q1: both relevant, first at rank 1
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3), // q2: only rank-3 is relevant
+      (3L, 30L, 1),                             // q3: nothing relevant retrieved
+      (5L, 50L, 1)                              // q5: no exact reference at all
+    ).toDF("query_id", "doc_id", "rank")
+    val exact = Seq(
+      (1L, 10L, 1), (1L, 11L, 2),
+      (2L, 22L, 1), (2L, 23L, 2),
+      (3L, 31L, 1),
+      (4L, 40L, 1)                              // q4: reference but no approx rows
+    ).toDF("query_id", "doc_id", "rank")
+    val got = Similarity.rankingMetrics(approx, exact).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) == ((2L, 2L, 2L, 1000000L, 1000000L)))
+    assert(got(2L) == ((2L, 3L, 1L, 500000L, 333333L))) // 1/2 recall, 1/rank3
+    assert(got(3L) == ((1L, 1L, 0L, 0L, 0L)))
+    assert(got(4L) == ((1L, 0L, 0L, 0L, 0L)))           // never retrieved
+    assert(got(5L) == ((0L, 1L, 0L, 0L, 0L)))           // nothing was relevant
+  }
+
   test("rrfFuse: hand-computed fusion, one-sided docs contribute one term") {
     val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
       .toDF("query_id", "doc_id", "rank")
