@@ -1352,6 +1352,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got((100L, 1L))._2 == 1 && got((100L, 0L))._2 == 2)
   }
 
+  test("bm25QueryTopK: a single-term query ranks exactly like the verified per-term bm25Scores") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val term = "spark"
+    val perTerm = TextAnalysis.bm25Scores(docs, Seq(term), topK = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Double]("score"), r.getAs[Int]("rnk"))))
+      .toMap
+    val q = Seq((0L, term)).toDF("query_id", "text")
+    val got = TextAnalysis.bm25QueryTopK(docs, q, topK = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("score_micro"), r.getAs[Int]("rank")))).toMap
+    assert(got.keySet == perTerm.keySet)
+    got.foreach { case (d, (microScore, rank)) =>
+      assert(rank == perTerm(d)._2, s"rank diverged for doc $d")
+      // the query score is the per-term round-6 score integerized
+      assert(microScore == math.round(perTerm(d)._1 * 1e6), s"score diverged for doc $d")
+    }
+  }
+
   test("dedupeLinesWithinDoc: first occurrence survives in order, repeats drop") {
     val fx = Seq(
       (0L, "a\nb\na\nc\nb\na"), // keeps a,b,c in first-seen order
