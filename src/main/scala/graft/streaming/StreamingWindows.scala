@@ -276,6 +276,73 @@ object StreamingWindows {
           }
       }
   }
+
+  /** STREAMING online first-fit packing — the ingest-time analogue of
+    * [[graft.operators.TextAnalysis.packFirstFitDecreasing]]: arriving
+    * documents drop into the first open bin with room in their shard, a
+    * new bin opens otherwise, and assignments emit immediately (a
+    * dataloader can start on a bin the moment it closes). A stream
+    * cannot sort globally, so this is plain FIRST-FIT in (batch, doc_id)
+    * order — the online regime's price (FFD's sort is the offline
+    * luxury); per micro-batch, rows process in doc_id order so replays
+    * are deterministic.
+    *
+    * State is BOUNDED BY CONSTRUCTION twice over: the key space is the
+    * `shards` ring (not data-scale), and each shard's open-bin list caps
+    * at `maxOpenBins` — when a new bin would exceed it, the FULLEST open
+    * bin (smallest remaining, ties oldest) closes permanently. That is
+    * the standard online-packing trade: a closed bin can no longer
+    * absorb a late small doc (slightly more padding), but state stays
+    * O(shards · maxOpenBins) forever, so no watermark eviction is even
+    * needed (NoTimeout). Docs at/over `maxTokens` get an immediately
+    * closed bin of their own, as in the batch packer. */
+  def streamingFirstFitPack(docs: DataFrame, maxTokens: Int, shards: Int = 8,
+      maxOpenBins: Int = 64, textCol: String = "text"): Dataset[PackAssignment] = {
+    import docs.sparkSession.implicits._
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(shards > 0, s"shards must be positive, got $shards")
+    require(maxOpenBins > 0, s"maxOpenBins must be positive, got $maxOpenBins")
+    docs
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(shards.toLong)).cast("int").as("shard"),
+        size(split(col(textCol), " ")).cast("int").as("n_tokens"))
+      .as[(Long, Int, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[PackBinsState, PackAssignment](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard, rows, state) =>
+          val s0 = state.getOption.getOrElse(PackBinsState(0L, Array.empty))
+          var nBins = s0.n_bins
+          // (local_bin, remaining) for the OPEN bins only, open order
+          var open = s0.open_bins.grouped(2).map(a => (a(0), a(1))).toVector
+          val out = Seq.newBuilder[PackAssignment]
+          rows.toSeq.sortBy(_._1).foreach { case (id, _, n) =>
+            val fit = open.indexWhere(_._2 >= n)
+            val bin =
+              if (fit >= 0) {
+                val (b, rem) = open(fit)
+                open = open.updated(fit, (b, rem - n))
+                b
+              } else {
+                nBins += 1
+                val rem = math.max(maxTokens - n, 0)
+                open = open :+ ((nBins, rem.toLong))
+                if (open.length > maxOpenBins) {
+                  // close the fullest (min remaining, ties oldest)
+                  val drop = open.zipWithIndex
+                    .minBy { case ((b, r), i) => (r, i) }._2
+                  open = open.patch(drop, Nil, 1)
+                }
+                nBins
+              }
+            out += PackAssignment(id, shard, n,
+              bin, shard.toLong * (1L << 48) + bin)
+          }
+          state.update(PackBinsState(nBins,
+            open.flatMap { case (b, r) => Seq(b, r) }.toArray))
+          out.result().iterator
+      }
+  }
 }
 
 /** Per-template census state for the streaming trap detector: distinct URL
@@ -302,6 +369,13 @@ case class FunnelBuffer(ids: Array[Long], ms: Array[Long], types: Array[String])
 
 /** Per-domain frontier counter: the next politeness slot to hand out. */
 case class DomainSeqState(next: Long)
+
+/** Per-shard packing state: total bins ever opened + the OPEN bins as a
+  * flat (local_bin, remaining) pair array (encoder-friendly). */
+case class PackBinsState(n_bins: Long, open_bins: Array[Long])
+/** One streaming packing assignment: doc → its shard's bin. */
+case class PackAssignment(doc_id: Long, shard: Int, n_tokens: Int,
+    local_bin: Long, bin_id: Long)
 
 /** One scheduled fetch: the streaming scheduler's output row. */
 case class FetchAssignment(doc_id: Long, domain: String, seq: Long, fetch_at: Long)

@@ -356,4 +356,52 @@ class StreamingSpec extends AnyFunSuite {
     val alerts2 = spark.table("traps2").collect().map(r => (r.getString(0), r.getInt(1)))
     assert(alerts2.count(_._1 == "http://g.com/p/0") == 2)
   }
+
+  test("streaming first-fit pack: single batch matches a sequential first-fit reference") {
+    def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq((0L, txt(100)), (8L, txt(200)), (16L, txt(180)),
+      (24L, txt(60)), (32L, txt(40)), (1L, txt(300)))
+    val stream = MemoryStream[(Long, String)](spark)
+    stream.addData(docs: _*)
+    val q = StreamingWindows.streamingFirstFitPack(
+        stream.toDF().toDF("doc_id", "text"), maxTokens = 256, shards = 8)
+      .writeStream.format("memory").queryName("pack1").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("pack1").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    // reference first-fit in doc_id order, shard 0: 100→b1(156), 200→b2(56),
+    // 180→b3(76), 60→b1(96), 40→b1(56); shard 1: 300 ≥ cap → closed b1
+    assert(got(0L) == ((0, 100, 1L)))
+    assert(got(8L) == ((0, 200, 2L)))
+    assert(got(16L) == ((0, 180, 3L)))
+    assert(got(24L) == ((0, 60, 1L)))
+    assert(got(32L) == ((0, 40, 1L)))
+    assert(got(1L) == ((1, 300, 1L)))
+  }
+
+  test("streaming first-fit pack: open bins persist across batches; cap closes the fullest") {
+    def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val stream = MemoryStream[(Long, String)](spark)
+    stream.addData((0L, txt(200)))
+    val q = StreamingWindows.streamingFirstFitPack(
+        stream.toDF().toDF("doc_id", "text"), maxTokens = 256, shards = 8,
+        maxOpenBins = 2)
+      .writeStream.format("memory").queryName("pack2").outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: 50 fits batch-1's open bin (rem 56) — state carried over
+    stream.addData((8L, txt(50)))
+    q.processAllAvailable()
+    // batch 3: two big docs open bins 2 and 3; the cap (2) closes the
+    // fullest open bin (bin 1, rem 6), so a later 5-token doc can only
+    // land in bin 2 (rem 26) — bin 1 is gone despite having room
+    stream.addData((16L, txt(230)), (24L, txt(250)))
+    q.processAllAvailable()
+    stream.addData((32L, txt(5)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("pack2").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(0L) == 1L && got(8L) == 1L)
+    assert(got(16L) == 2L && got(24L) == 3L)
+    assert(got(32L) == 2L) // NOT bin 1: it was closed by the cap
+  }
 }
