@@ -183,6 +183,9 @@ object Bench {
         val q138x10 = t2("q138_perplexity_tiles")
         val q142x10 = t2("q142_dsir_selection")
         val q159x10 = t2("q159_mixture_pipeline")
+        // hybrid retrieval a decade up: the corpus tokenize + the dense
+        // brute-force side both scale with rows; the fusion stays list-sized
+        val q181x10 = t2("q181_hybrid_bm25_dense")
         // q174's cost is the STORE BUILD (gate + two appends + score
         // materialization) inside its cached fixture — drop the fixture
         // before every sample so each one times a fresh batch arrival
@@ -196,7 +199,7 @@ object Bench {
         f"""{"factor":10,"rows":$rows10,"q61_sec":$q61x10%.3f,"q96_sec":$q96x10%.3f,""" +
           f""""q103_sec":$q103x10%.3f,"q123_sec":$q123x10%.3f,"q135_sec":$q135x10%.3f,""" +
           f""""q138_sec":$q138x10%.3f,"q142_sec":$q142x10%.3f,"q159_sec":$q159x10%.3f,""" +
-          f""""q174_sec":$q174x10%.3f}"""
+          f""""q174_sec":$q174x10%.3f,"q181_sec":$q181x10%.3f}"""
       } finally {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
