@@ -2030,6 +2030,15 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$path/scores")
     }
 
+  /** The q183 tokenizer artifact: the pinned piece table written once per
+    * SF dir through [[operators.Unigram.writePieces]]; the query loads it
+    * back and must reproduce q171 bit-for-bit (append ≡ rebuild's
+    * tokenizer sibling: persist ≡ constant). */
+  private def q183TokenizerPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("unigram_q183", dir) { path =>
+      operators.Unigram.writePieces(s, unigramPieces, path)
+    }
+
   /** The q104 WARC envelope: the q96 inputs (url fixture + html fixture,
     * joined on doc_id) written as per-record-gzip response records — url
     * as WARC-Target-URI, html as the HTTP body, doc identity in the
@@ -2412,6 +2421,16 @@ object SparkEntry {
     "q149_image_phash_dedup" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
+    }),
+
+    // the unigram tokenizer from its PERSISTED artifact: the piece table
+    // round-trips through parquet (the q119/q110 serving posture for
+    // tokenizers) and the counts must be bit-identical to q171's — which
+    // is why this query EARNS q171's oracle
+    "q183_unigram_persisted" -> ((s, dir) => {
+      val path = q183TokenizerPath(s, dir)
+      operators.Unigram.tokenCounts(Tables.documents(s, dir),
+        operators.Unigram.loadPieces(s, path))
     }),
 
     // ranked-list evaluation: recall@5 + reciprocal rank of the q162
@@ -4340,6 +4359,15 @@ object SparkEntry {
            |SELECT doc_id, gopher_fail, score_low, badword_hit, entropy_low,
            |  NOT (gopher_fail OR score_low OR badword_hit OR entropy_low) AS keep
            |FROM fl""".stripMargin,
+
+      // q183: the persisted-tokenizer query is semantically IDENTICAL to
+      // q171 (tokenCounts under the same table, loaded vs constant), so
+      // it earns the same oracle — the gate proves the parquet round trip
+      // loses nothing (the q104/q119 shared-oracle pattern)
+      "q183_unigram_persisted" ->
+        s"""WITH RECURSIVE $wordCountCtes,
+           |$unigramCtes
+           |SELECT doc_id, n_words, n_unigram_tokens FROM uni""".stripMargin,
 
       // q182: both ranking chains replayed (q162's 8-dim prefix, q25's
       // full-dim) + the integer metrics join

@@ -545,7 +545,7 @@ object Multimodal {
   /** Parse one ISO-BMFF payload to container metadata, or None when the
     * container is malformed / missing its required boxes (ftyp, moov,
     * mvhd, a positive timescale) — the quarantine contract. */
-  private[operators] def parseMp4(b: Array[Byte]): Option[VideoMeta0] =
+  private[graft] def parseMp4(b: Array[Byte]): Option[VideoMeta0] =
     try {
       val top = childBoxes(b, 0, b.length)
       for {
@@ -599,6 +599,12 @@ object Multimodal {
     * 64-bit mvhd variant so both version paths are exercised. */
   def testMp4(timescale: Int, durationUnits: Long, withAudio: Boolean,
       v1: Boolean): Array[Byte] = {
+    // the v0 mvhd duration field is 32-bit (ISO 14496-12 §8.2.2); a real
+    // muxer promotes to v1 beyond it — refuse to silently truncate
+    // (caught by the round-trip property test)
+    require(v1 || durationUnits <= 0xFFFFFFFFL,
+      s"v0 mvhd cannot hold duration $durationUnits; pass v1 = true")
+    require(durationUnits >= 0, s"negative duration $durationUnits")
     def int32(v: Long): Array[Byte] =
       Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
         ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)

@@ -161,6 +161,29 @@ object Unigram {
     bestPieces(n).reverse
   }
 
+  /** Persist a trained piece table — the serving artifact a pipeline
+    * ships to every later job (the q119 inverted-index / q110 IVF
+    * persistence posture applied to tokenizers): one tiny parquet of
+    * (piece, logp_micro) rows. [[loadPieces]] restores the exact table
+    * (sorted by piece, the trainer's canonical order), so a job using
+    * the loaded artifact is bit-identical to one holding the constant —
+    * which is exactly what q183 proves by sharing q171's oracle. */
+  def writePieces(spark: org.apache.spark.sql.SparkSession,
+      pieces: Seq[(String, Long)], path: String): Unit = {
+    import spark.implicits._
+    pieces.toDF("piece", "logp_micro").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a piece table written by [[writePieces]]. */
+  def loadPieces(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Long)] =
+    spark.read.parquet(path)
+      .select(col("piece"), col("logp_micro"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+
   /** Per-document tokenizer-faithful counts under a pinned piece table:
     * (doc_id, n_words, n_unigram_tokens) — [[Bpe.tokenCounts]]'s exact
     * distributed shape (distinct words tokenized once over a broadcast

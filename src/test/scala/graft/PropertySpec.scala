@@ -516,6 +516,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mp4 synth/walk round trip: any parameters parse back exactly") {
+    val paramGen = for {
+      ts <- Gen.choose(1, 1000000)
+      v1 <- Gen.oneOf(true, false)
+      // the v0 duration field is 32-bit; v1 exercises the 64-bit path
+      du <- Gen.choose(0L, if (v1) 1L << 40 else 0xFFFFFFFFL)
+      audio <- Gen.oneOf(true, false)
+    } yield (ts, du, audio, v1)
+    forAll(paramGen) { case (ts, du, audio, v1) =>
+      val m = operators.Multimodal
+        .parseMp4(operators.Multimodal.testMp4(ts, du, audio, v1))
+        .getOrElse(fail("synthesized container must parse"))
+      assert(m.major_brand == "isom")
+      assert(m.timescale == ts.toLong)
+      assert(m.duration_ms == du * 1000L / ts)
+      assert(m.n_tracks == (if (audio) 2 else 1))
+      assert(m.n_video == 1 && m.n_audio == (if (audio) 1 else 0))
+      assert(m.codecs == (if (audio) "avc1,mp4a" else "avc1"))
+    }
+  }
+
   test("rrfFuse: dense ranks, monotone scores, no invented docs on any lists") {
     val listGen = Gen.choose(0, 8).flatMap(n => Gen.pick(n, 0L to 15L).map(_.toSeq.sorted))
     forAll(Gen.zip(listGen, listGen)) { case (lexDocs, denseDocs) =>

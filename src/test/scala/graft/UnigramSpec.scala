@@ -54,6 +54,19 @@ class UnigramSpec extends AnyFunSuite {
     assert(Unigram.trainPieces(docs, vocabSize = 24) == SparkEntry.unigramPieces)
   }
 
+  test("writePieces/loadPieces: the pinned table round-trips through parquet exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("unigram_rt").toFile
+    try {
+      Unigram.writePieces(spark, SparkEntry.unigramPieces, dir.getAbsolutePath)
+      assert(Unigram.loadPieces(spark, dir.getAbsolutePath) == SparkEntry.unigramPieces)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("tokenCounts: hand corpus — distinct-word dictionary counts occurrences") {
     // pinned-table sanity on real corpus words: customer = cust+omer (2),
     // window has no multi-char cover (6 singles)
