@@ -2030,6 +2030,23 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$path/scores")
     }
 
+  /** The q29/q184 shared oracle: per-doc token counts straight off
+    * `documents` — q184 must reproduce it from the Avro round trip. */
+  private def tokenCountSql: String =
+    """SELECT doc_id,
+      |CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+      |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INT) AS n_re_tokens,
+      |CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_approx_bpe
+      |FROM documents""".stripMargin
+
+  /** The q184 Avro container: the documents table written once per SF dir
+    * through [[graft.sources.Avro.write]] (deflate codec); the query
+    * reads it back and must reproduce q29 bit-for-bit. */
+  private def q184AvroPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("avro_q184", dir) { path =>
+      graft.sources.Avro.write(Tables.documents(s, dir), path)
+    }
+
   /** The q183 tokenizer artifact: the pinned piece table written once per
     * SF dir through [[operators.Unigram.writePieces]]; the query loads it
     * back and must reproduce q171 bit-for-bit (append ≡ rebuild's
@@ -2422,6 +2439,15 @@ object SparkEntry {
       implicit val spark: SparkSession = s
       Multimodal.dHashDupPairs(imageRecords(s, dir), maxHamming = 0)
     }),
+
+    // the documents table through a REAL Avro object-container round
+    // trip (avro-core on the classpath; no spark-avro connector): write
+    // with the deflate codec, read a file per task, run q29's verified
+    // counter — q29's oracle gates it, so the container provably loses
+    // nothing (the q104 WARC posture for Avro)
+    "q184_avro_roundtrip" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(graft.sources.Avro.read(s,
+        q184AvroPath(s, dir), Tables.documents(s, dir).schema))),
 
     // the unigram tokenizer from its PERSISTED artifact: the piece table
     // round-trips through parquet (the q119/q110 serving posture for
@@ -5235,12 +5261,13 @@ object SparkEntry {
            |FROM best b JOIN fx ON b.doc_id = fx.doc_id WHERE rn = 1""".stripMargin
       },
 
-      "q29_token_count" ->
-        """SELECT doc_id,
-          |CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
-          |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INT) AS n_re_tokens,
-          |CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_approx_bpe
-          |FROM documents""".stripMargin,
+      "q29_token_count" -> tokenCountSql,
+
+      // q184 reads the SAME documents back out of the Avro container and
+      // runs the SAME operator, so ONE oracle covers both — the shared
+      // gate proves the container round trip loses nothing (the q104
+      // WARC pattern applied to Avro)
+      "q184_avro_roundtrip" -> tokenCountSql,
 
       "q87_bpe_tokens" ->
         s"""WITH RECURSIVE $bpeSql
