@@ -98,10 +98,6 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: touch the parquet reader, shuffle machinery, and codegen once
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().collect()
-
     // machine-load telemetry helper (used at session start and around the
     // sweeps below): /proc/loadavg 1/5/15-min triple as a JSON array
     def loadavg(): String = try {
@@ -109,12 +105,18 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), java.nio.charset.StandardCharsets.UTF_8)
         .split("\\s+").take(3).mkString("[", ",", "]")
     } catch { case _: Throwable => "[]" }
-    // sampled BEFORE any bench work: the external-contention signal. The
-    // pre-sweep sample below is taken after the stress section and mostly
-    // reads the bench's OWN just-finished 32-thread load — an elevated
-    // value there with a quiet session start is self-inflicted, not a
-    // loaded machine (the r9→r10 record-reading lesson).
+    // sampled BEFORE any bench work — including the warm-up scan below, so
+    // the 1-min figure is purely the external-contention signal (r10's
+    // sample sat after the warm-up and partly read the bench's own scan).
+    // The pre-sweep sample later is taken after the stress section and
+    // mostly reads the bench's OWN just-finished 32-thread load — an
+    // elevated value there with a quiet session start is self-inflicted,
+    // not a loaded machine (the r9→r10 record-reading lesson).
     val sessionStartLoad = loadavg()
+
+    // warmup: touch the parquet reader, shuffle machinery, and codegen once
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
 
     val errors = Seq.newBuilder[String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -531,6 +533,17 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     println(fullJson)
 
+    // standalone tiny total record: r10's per-round file carried
+    // `parsed: null` because the driver's bounded tail capture started
+    // mid-way through the compact line (184 queries no longer fit any
+    // precision tier) — this file always holds a machine-readable total
+    // regardless of what the tail window catches.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_TOTAL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""pass_totals":${passTotals.map(full).mkString("[", ",", "]")},""" +
+      s""""loadavg":${loadSamples.mkString("[", ",", "]")},""" +
+      s""""errors":$errJson,"sf":"$sfDir"}""" + "\n")
+
     // the compact record goes LAST, after the session is down, so nothing
     // can print after it and push it out of the harness's tail window. stop()
     // is fallible (executor shutdown hiccups) — the contract line must print
@@ -556,13 +569,20 @@ object Bench {
       s"""{"metric":"total","value":${shortAt(3)(total)},"unit":"sec","queries":${
         jmap(if (shortKeys) qnn else results.map { case (k, v, _) => k -> v },
           shortAt(dp))},"errors":$errJson,"sf":"$sfDir"}"""
+    // terminal tier: per-query maps stopped fitting any precision tier at
+    // ~180 queries (r10's per-round record parsed null because the tail
+    // started mid-line) — when nothing with a map fits, the line of record
+    // degrades to the TOTAL-ONLY form, which is ~200 chars and always
+    // parses; full per-query fidelity lives in BENCH_FULL.json (and the
+    // total alone also in BENCH_TOTAL.json).
+    val totalOnly =
+      s"""{"metric":"total","value":${shortAt(3)(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"queries_file":"BENCH_FULL.json",""" +
+      s""""errors":$errJson,"sf":"$sfDir"}"""
     val tiers = Seq((3, false), (2, false), (1, false)) ++
       (if (shortKeysOk) Seq((2, true), (1, true)) else Nil)
     val compact = tiers.map { case (dp, sk) => compactAt(dp, sk) }
-      .find(_.length <= 1900).getOrElse(compactAt(1, shortKeysOk))
-    if (compact.length > 1900)
-      System.err.println(s"[bench] WARNING: compact record is ${compact.length} chars even at " +
-        "the shortest tier — the harness's ~2000-char tail window will truncate it")
+      .find(_.length <= 1900).getOrElse(totalOnly)
     try {
       spark.sparkContext.setLogLevel("ERROR")
       spark.stop()
