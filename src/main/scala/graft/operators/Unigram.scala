@@ -35,6 +35,15 @@ import org.apache.spark.sql.functions._
   * piece segments as itself at [[unkLogpMicro]] (SentencePiece's
   * character-fallback); an empty word is ZERO pieces.
   *
+  * Unicode contract: segmentation operates on CODE POINTS (a piece
+  * boundary can never split a surrogate pair, so the single-char
+  * fallback emits whole characters even for supplementary-plane text)
+  * and every tie-break/ordering comparison runs over UTF-8 BYTES —
+  * DuckDB's memcmp order, which diverges from Java's UTF-16 `compareTo`
+  * exactly for supplementary-plane code points. Both together make the
+  * `ORDER BY score DESC, path` replay exact for ALL of Unicode, not
+  * just the BMP.
+  *
   * 100 TB shape (the [[Bpe]] posture exactly): TRAINING runs on the
   * driver over the bounded (word, count) dictionary — Heaps'-law
   * vocabulary-sized, never the corpus, capped deterministically by
@@ -49,6 +58,31 @@ object Unigram {
   /** Character-fallback log-prob (micro-units): well below any trained
     * piece, so fallback fires only when NO piece covers a character. */
   val unkLogpMicro: Long = -20000000L
+
+  /** Code-point boundary offsets into `w`: offs(k) = UTF-16 index of the
+    * k-th code point, offs(last) = w.length — segmentation slices between
+    * these, so supplementary-plane characters stay atomic. */
+  private def cpOffsets(w: String): Array[Int] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](w.length + 1)
+    var i = 0
+    while (i < w.length) { buf += i; i = w.offsetByCodePoints(i, 1) }
+    buf += w.length
+    buf.toArray
+  }
+
+  /** `w` as a sequence of single-code-point strings. */
+  private def cpUnits(w: String): Seq[String] = {
+    val off = cpOffsets(w)
+    (0 until off.length - 1).map(k => w.substring(off(k), off(k + 1)))
+  }
+
+  /** UTF-8 byte (memcmp) string order — DuckDB's collation, which the
+    * cross-engine replay contract pins everywhere this object sorts or
+    * tie-breaks on strings. */
+  private[graft] val utf8Order: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Train a unigram-LM piece table. Returns (piece, logp_micro) sorted by
     * piece — a pinnable constant (the [[graft.SparkEntry.bpeMerges]]
@@ -70,14 +104,21 @@ object Unigram {
   private[graft] def trainFromCounts(wordCounts: Seq[(String, Long)],
       vocabSize: Int, maxPieceLen: Int, emRounds: Int,
       seedSize: Int): Seq[(String, Long)] = {
-    val chars: Seq[String] = wordCounts.iterator.flatMap(_._1)
-      .map(_.toString).toSeq.distinct.sorted
+    val chars: Seq[String] = wordCounts.iterator.flatMap(wc => cpUnits(wc._1))
+      .toSeq.distinct.sorted(utf8Order)
     // seed multi-char candidates by total weighted occurrence count
+    // (lengths and slices in CODE POINTS)
     val sub = scala.collection.mutable.HashMap.empty[String, Long]
-    for ((w, c) <- wordCounts; l <- 2 to maxPieceLen; i <- 0 to w.length - l)
-      sub.updateWith(w.substring(i, i + l))(v => Some(v.getOrElse(0L) + c))
+    for ((w, c) <- wordCounts) {
+      val off = cpOffsets(w)
+      val m = off.length - 1
+      for (l <- 2 to maxPieceLen; i <- 0 to m - l)
+        sub.updateWith(w.substring(off(i), off(i + l)))(v => Some(v.getOrElse(0L) + c))
+    }
+    val byCountThenPiece = Ordering.by[(String, Long), Long](-_._2)
+      .orElse(Ordering.by[(String, Long), String](_._1)(utf8Order))
     var multi: Seq[String] = sub.toSeq
-      .sortBy { case (p, c) => (-c, p) }.take(seedSize).map(_._1)
+      .sorted(byCountThenPiece).take(seedSize).map(_._1)
     // initial scores straight from the seed counts
     var table: Map[String, Long] = logProbs(
       chars.map(ch => ch -> charCount(wordCounts, ch)) ++
@@ -91,7 +132,7 @@ object Unigram {
       // prune the least-used multi-char pieces, 25% of the excess per
       // round (all the way to the target on the last round)
       val ranked = multi.filter(use.contains)
-        .sortBy(p => (-use(p), p))
+        .map(p => (p, use(p))).sorted(byCountThenPiece).map(_._1)
       val keep = if (round == emRounds - 1) vocabSize
         else math.max(vocabSize, ranked.size - math.max(1, (ranked.size - vocabSize) / 4))
       multi = ranked.take(keep)
@@ -102,12 +143,12 @@ object Unigram {
           multi.map(p => p -> use(p)))
       round += 1
     }
-    table.toSeq.sortBy(_._1)
+    table.toSeq.sortBy(_._1)(utf8Order)
   }
 
   private def charCount(wordCounts: Seq[(String, Long)], ch: String): Long =
     wordCounts.iterator.map { case (w, c) =>
-      c * w.count(_.toString == ch)
+      c * cpUnits(w).count(_ == ch)
     }.sum
 
   /** counts → micro-unit log-probs; zero-count entries get the unk floor. */
@@ -125,31 +166,39 @@ object Unigram {
     * [[unkLogpMicro]] for uncovered characters, empty word → no pieces. */
   private[graft] def viterbi(word: String, table: Map[String, Long],
       maxPieceLen: Int): Seq[String] = {
-    val n = word.length
-    if (n == 0) return Seq.empty
-    // best(i): (score, pathString, pieces) over segmentations of word[0,i)
+    if (word.isEmpty) return Seq.empty
+    // positions are CODE-POINT indices (off maps them back to UTF-16),
+    // so a candidate slice can never split a surrogate pair and the
+    // single-char fallback always emits a whole character
+    val off = cpOffsets(word)
+    val n = off.length - 1
+    // best(i): (score, path-as-UTF-8, pieces) over segmentations of the
+    // first i code points; paths compare as unsigned bytes = DuckDB order
     val bestScore = Array.fill(n + 1)(Long.MinValue)
-    val bestPath = Array.fill(n + 1)("")
+    val bestPath = Array.fill[Array[Byte]](n + 1)(Array.emptyByteArray)
     val bestPieces = Array.fill[List[String]](n + 1)(Nil)
     bestScore(0) = 0L
+    def pathPlus(i: Int, cand: String): Array[Byte] =
+      bestPath(i) ++ (cand + '\u0001')
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
     while (i < n) {
       if (bestScore(i) != Long.MinValue) {
         var l = 1
         val maxL = math.min(maxPieceLen, n - i)
         while (l <= maxL) {
-          val cand = word.substring(i, i + l)
+          val cand = word.substring(off(i), off(i + l))
           val lp = table.get(cand) match {
             case Some(v) => v
             case None => if (l == 1) unkLogpMicro else Long.MinValue
           }
           if (lp != Long.MinValue) {
             val s = bestScore(i) + lp
-            val p = bestPath(i) + cand + '\u0001'
             val j = i + l
-            if (s > bestScore(j) || (s == bestScore(j) && p < bestPath(j))) {
+            if (s > bestScore(j) || (s == bestScore(j) &&
+                java.util.Arrays.compareUnsigned(pathPlus(i, cand), bestPath(j)) < 0)) {
               bestScore(j) = s
-              bestPath(j) = p
+              bestPath(j) = pathPlus(i, cand)
               bestPieces(j) = cand :: bestPieces(i)
             }
           }
@@ -182,7 +231,7 @@ object Unigram {
       .select(col("piece"), col("logp_micro"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1).toSeq
+      .sortBy(_._1)(utf8Order).toSeq
 
   /** Per-document tokenizer-faithful counts under a pinned piece table:
     * (doc_id, n_words, n_unigram_tokens) — [[Bpe.tokenCounts]]'s exact
@@ -193,7 +242,8 @@ object Unigram {
     * silently-mismatched length knob. */
   def tokenCounts(docs: DataFrame, pieces: Seq[(String, Long)]): DataFrame = {
     val spark = docs.sparkSession
-    val maxPieceLen = math.max(1, pieces.iterator.map(_._1.length).maxOption.getOrElse(1))
+    val maxPieceLen = math.max(1, pieces.iterator
+      .map(p => p._1.codePointCount(0, p._1.length)).maxOption.getOrElse(1))
     val bcTable = spark.sparkContext.broadcast(pieces.toMap)
     val nUni = udf((w: String) => viterbi(w, bcTable.value, maxPieceLen).length)
     val dict = TextAnalysis.withWords(docs)

@@ -19,8 +19,10 @@ import org.apache.spark.sql.types._
   * same convention the reference's schema system uses
   * (WindowAggregation.java:178-179). The reader takes the EXPECTED Spark
   * schema and resolves container fields BY NAME (extra container fields
-  * ignored, missing ones null); a file that is not a valid Avro
-  * container contributes ZERO rows — the corrupt-input quarantine
+  * ignored, missing ones null, wider-but-lossless container types
+  * promoted — int→long, int→double, float→double); a file that is not a
+  * valid Avro container, OR whose field types don't resolve to the
+  * expected schema, contributes ZERO rows — the corrupt-input quarantine
   * posture every source here shares (JSONL bad lines, WARC resync).
   *
   * Scale notes: one container per task on both paths (binaryFile read —
@@ -61,7 +63,17 @@ object Avro {
   }
 
   /** Write `df` as one `part-NNNNN.avro` container per partition.
-    * `codec`: "deflate" (level 6) or "null". */
+    * `codec`: "deflate" (level 6) or "null".
+    *
+    * Commit protocol (task-level, the classic temp-and-rename): each task
+    * streams into a HIDDEN `.part-NNNNN.avro.<attemptId>.tmp` and renames
+    * to the final name only after its container closed cleanly, so a
+    * failed/interrupted attempt leaves only hidden temp litter (which
+    * Spark's file index ignores on read) and a speculative or zombie
+    * second attempt loses the rename race and deletes its own temp
+    * instead of corrupting the winner's bytes. The driver stamps
+    * `_SUCCESS` after the action returns — a directory without the marker
+    * is an incomplete write, distinguishable from complete output. */
   def write(df: DataFrame, path: String, codec: String = "deflate"): Unit = {
     require(codec == "deflate" || codec == "null",
       s"codec must be 'deflate' or 'null', got $codec")
@@ -79,26 +91,42 @@ object Avro {
       if (it.hasNext) {
         val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
         val pid = TaskContext.getPartitionId()
-        val p = new org.apache.hadoop.fs.Path(dirStr, f"part-$pid%05d.avro")
-        val fsOut = p.getFileSystem(conf.value).create(p, true)
+        val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+        val fs = new org.apache.hadoop.fs.Path(dirStr)
+          .getFileSystem(conf.value)
+        val tmp = new org.apache.hadoop.fs.Path(dirStr,
+          f".part-$pid%05d.avro.$attempt.tmp")
+        val fin = new org.apache.hadoop.fs.Path(dirStr, f"part-$pid%05d.avro")
+        val fsOut = fs.create(tmp, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
         if (codec == "deflate") w.setCodec(CodecFactory.deflateCodec(6))
         w.create(schema, fsOut) // w.close() closes fsOut too
-        try it.foreach { row =>
-          val rec = new GenericData.Record(schema)
-          var i = 0
-          while (i < nFields) {
-            rec.put(i, row.get(i) match {
-              case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-              case v => v
-            })
-            i += 1
+        var completed = false
+        try {
+          it.foreach { row =>
+            val rec = new GenericData.Record(schema)
+            var i = 0
+            while (i < nFields) {
+              rec.put(i, row.get(i) match {
+                case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+                case v => v
+              })
+              i += 1
+            }
+            w.append(rec)
           }
-          w.append(rec)
-        } finally w.close()
+          completed = true
+        } finally {
+          w.close()
+          // commit only a cleanly-closed container; on rename-race loss
+          // (another attempt already published) drop this attempt's bytes
+          if (!completed || !fs.rename(tmp, fin)) fs.delete(tmp, false)
+          ()
+        }
       }
     }
+    fs0.create(new org.apache.hadoop.fs.Path(outDir, "_SUCCESS"), true).close()
   }
 
   /** Read `.avro` containers under `path` into rows of `schema` —
@@ -131,15 +159,30 @@ object Avro {
     rows.toDF()
   }
 
-  private def fromAvro(v: AnyRef, dt: DataType): Any = v match {
-    case null => null
-    case u: org.apache.avro.util.Utf8 => u.toString
-    case b: java.nio.ByteBuffer =>
+  /** Expected-type-driven decode: every (DataType, container value) pair is
+    * either the exact type, one of the LOSSLESS Avro schema-resolution
+    * promotions (int→long, int→double, float→double — the subset of the
+    * spec's promotion table that loses no bits), or a container-type
+    * mismatch that THROWS — inside read()'s per-file try, so a valid Avro
+    * file whose field types disagree with the expected schema quarantines
+    * to zero rows like a corrupt container, instead of smuggling a
+    * mistyped Row past the encoder and failing the whole job. */
+  private def fromAvro(v: AnyRef, dt: DataType): Any = (dt, v) match {
+    case (_, null) => null
+    case (StringType, u: org.apache.avro.util.Utf8) => u.toString
+    case (StringType, s: java.lang.String) => s
+    case (BinaryType, b: java.nio.ByteBuffer) =>
       val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
-    case other => (dt, other) match {
-      // by-name resolution tolerates a wider container type where lossless
-      case (LongType, i: java.lang.Integer) => i.longValue()
-      case _ => other
-    }
+    case (BinaryType, a: Array[Byte]) => a
+    case (LongType, l: java.lang.Long) => l
+    case (LongType, i: java.lang.Integer) => i.longValue()
+    case (IntegerType, i: java.lang.Integer) => i
+    case (DoubleType, d: java.lang.Double) => d
+    case (DoubleType, i: java.lang.Integer) => i.doubleValue()
+    case (DoubleType, f: java.lang.Float) => f.doubleValue()
+    case (FloatType, f: java.lang.Float) => f
+    case (BooleanType, b: java.lang.Boolean) => b
+    case (edt, other) => throw new IllegalArgumentException(
+      s"container type ${other.getClass.getSimpleName} does not resolve to $edt")
   }
 }

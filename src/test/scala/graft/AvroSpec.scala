@@ -69,6 +69,55 @@ class AvroSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("type-mismatched container quarantines whole-file; lossless promotions resolve") {
+    val dir = tmpDir()
+    try {
+      // container A: text is a STRING where the reader expects LONG —
+      // a valid Avro file with a disagreeing field type must contribute
+      // zero rows (quarantine), not crash the job at the encoder
+      Avro.write(Seq((1L, "not-a-long")).toDF("doc_id", "text"),
+        new java.io.File(dir, "bad").getAbsolutePath)
+      // container B: n is INT where the reader expects LONG/DOUBLE —
+      // the lossless promotions must resolve
+      Avro.write(Seq((2L, 7)).toDF("doc_id", "n"),
+        new java.io.File(dir, "good").getAbsolutePath)
+      val expectMismatch = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", LongType)))
+      assert(Avro.read(spark,
+        new java.io.File(dir, "bad").getAbsolutePath, expectMismatch).count() == 0)
+      val expectWide = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n", LongType)))
+      val wide = Avro.read(spark,
+        new java.io.File(dir, "good").getAbsolutePath, expectWide).collect().head
+      assert(wide.getLong(0) == 2L && wide.getLong(1) == 7L)
+      val expectDouble = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n", DoubleType)))
+      val dbl = Avro.read(spark,
+        new java.io.File(dir, "good").getAbsolutePath, expectDouble).collect().head
+      assert(dbl.getDouble(1) == 7.0)
+    } finally rm(dir)
+  }
+
+  test("write commits via temp-and-rename: _SUCCESS stamped, no temp litter, read ignores markers") {
+    val dir = tmpDir()
+    try {
+      Avro.write(Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text").repartition(2),
+        dir.getAbsolutePath)
+      val names = dir.listFiles().map(_.getName).toSet
+      assert(names.contains("_SUCCESS"))
+      assert(!names.exists(_.endsWith(".tmp")), s"temp litter left behind: $names")
+      assert(names.count(_.matches("part-\\d{5}\\.avro")) >= 1)
+      // hidden temp litter from a hypothetical failed attempt is invisible
+      // to the reader (Spark's file index skips dot-files), as is _SUCCESS
+      java.nio.file.Files.write(
+        new java.io.File(dir, ".part-00007.avro.42.tmp").toPath,
+        Array[Byte](1, 2, 3))
+      val got = Avro.read(spark, dir.getAbsolutePath, StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      assert(got.count() == 2)
+    } finally rm(dir)
+  }
+
   test("unsupported column types are refused up front") {
     intercept[IllegalArgumentException] {
       Avro.avroSchemaJson(StructType(Seq(

@@ -36,6 +36,37 @@ class UnigramSpec extends AnyFunSuite {
     assert(Unigram.viterbi("aaaa", t, 4) == Seq("aaaa"))
   }
 
+  test("viterbi: supplementary-plane code points stay atomic (no split surrogates)") {
+    val clef = new String(Character.toChars(0x1D11E)) // 𝄞, 2 UTF-16 chars
+    val t = Map("a" -> -1000000L)
+    // fallback must emit the WHOLE character, never half a surrogate pair
+    val got = Unigram.viterbi(s"a${clef}a", t, 4)
+    assert(got == Seq("a", clef, "a"))
+    assert(got.forall(p => !p.exists(Character.isSurrogate) ||
+      p.codePointCount(0, p.length) * 2 == p.length))
+    // a trained supplementary piece matches as ONE unit of piece length
+    val t2 = Map("a" -> -1000000L, clef -> -1000000L,
+      s"$clef$clef" -> -1500000L)
+    assert(Unigram.viterbi(s"$clef$clef", t2, 2) == Seq(s"$clef$clef"))
+  }
+
+  test("viterbi: tie-break follows UTF-8 byte order where UTF-16 disagrees") {
+    val clef = new String(Character.toChars(0x1D11E)) // UTF-8 f0 9d 84 9e
+    val pua = "�" // U+FFFD: UTF-16 sorts ABOVE surrogates, UTF-8 below 4-byte seqs
+    // two equal-score parses of the 2-unit word pua+clef:
+    //   split path  = pua SEP clef SEP
+    //   whole path  = (pua+clef) SEP
+    // first difference is SEP (0x01) vs clef's lead byte — split always
+    // wins under byte order, matching DuckDB's ORDER BY path
+    val t = Map(pua -> -1000000L, clef -> -1000000L,
+      (pua + clef) -> -2000000L)
+    assert(Unigram.viterbi(pua + clef, t, 2) == Seq(pua, clef))
+    // and between two single-piece parses differing only in that char
+    // position, the table/sort order is UTF-8: U+FFFD (ef bf bd) < U+1D11E
+    // (f0 9d 84 9e) even though Java compareTo says the opposite
+    assert(Unigram.utf8Order.lt(pua, clef) && pua.compareTo(clef) > 0)
+  }
+
   test("trainFromCounts: deterministic, keeps all chars, respects vocab target") {
     val wc = Seq("abab" -> 10L, "ab" -> 5L, "cd" -> 3L, "abcd" -> 2L)
     val t1 = Unigram.trainFromCounts(wc, vocabSize = 2, maxPieceLen = 4,
