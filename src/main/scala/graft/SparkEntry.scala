@@ -1237,14 +1237,19 @@ object SparkEntry {
 
   /** Derived card-number fixture (q163): every doc gains one 16-digit
     * candidate (4·10¹⁵ + doc_id — ~10% pass Luhn, decided by the shared
-    * checksum, no planted answer key), and every %5 doc an 8-digit run
-    * that must stay below the 13-digit extraction floor. */
+    * checksum, no planted answer key), every %5 doc an 8-digit run
+    * that must stay below the 13-digit extraction floor, and every %7 doc
+    * a SECOND full-length candidate (the canonical Luhn-valid
+    * 4111111111111111 test PAN) — two extractable candidates in one doc,
+    * so the oracle row count itself pins the per-candidate explode path
+    * (one output row per candidate, not per document). */
   private[graft] def cardDocuments(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     Tables.documents(s, dir).select(col("doc_id"),
       concat(col("text"), lit(" card "),
         (lit(4000000000000000L) + col("doc_id")).cast("string"),
-        when(col("doc_id") % 5 === 0, lit(" ref 12345678")).otherwise(lit("")))
+        when(col("doc_id") % 5 === 0, lit(" ref 12345678")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" alt 4111111111111111")).otherwise(lit("")))
         .as("text"))
   }
 
@@ -4809,7 +4814,8 @@ object SparkEntry {
       "q163_luhn_pii" ->
         """WITH cd AS (SELECT doc_id,
           |  text || ' card ' || CAST(4000000000000000 + doc_id AS VARCHAR) ||
-          |  CASE WHEN doc_id % 5 = 0 THEN ' ref 12345678' ELSE '' END AS text
+          |  CASE WHEN doc_id % 5 = 0 THEN ' ref 12345678' ELSE '' END ||
+          |  CASE WHEN doc_id % 7 = 0 THEN ' alt 4111111111111111' ELSE '' END AS text
           |  FROM documents),
           |x AS (SELECT doc_id,
           |  unnest(regexp_extract_all(text, '[0-9]+', 0)) AS candidate FROM cd)

@@ -32,6 +32,56 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.tokenize("", ranks).toSeq == Seq(""))
   }
 
+  test("published ground truth: Sennrich 2016's char-BPE example segments lowest -> low + est") {
+    // Independent of this engine: the canonical worked example of the BPE
+    // paper (Sennrich, Haddow & Birch 2016, "Neural Machine Translation of
+    // Rare Words with Subword Units"). Its learned merges over the corpus
+    // {low:5, lower:2, newest:6, widest:3} are, in order: (e,s), (es,t),
+    // then the l/o/w composition — and the paper's own illustration is
+    // that the unseen word "lowest" segments as low + est. Expected
+    // outputs below are derived BY HAND from the published greedy
+    // lowest-rank merge procedure over this pinned list — never by
+    // running this engine.
+    val ranks = Map(("e", "s") -> 0, ("es", "t") -> 1,
+      ("l", "o") -> 2, ("lo", "w") -> 3)
+    assert(Bpe.tokenize("lowest", ranks).toSeq == Seq("low", "est"))
+    assert(Bpe.tokenize("newest", ranks).toSeq == Seq("n", "e", "w", "est"))
+    assert(Bpe.tokenize("widest", ranks).toSeq == Seq("w", "i", "d", "est"))
+    assert(Bpe.tokenize("lower", ranks).toSeq == Seq("low", "e", "r"))
+  }
+
+  test("published ground truth: GPT-2-shaped byte merge list tokenizes ' the' to one token") {
+    // The GPT-2 tokenizer (Radford et al. 2019; public gpt2 merges.txt)
+    // opens with byte-level merges spelled over its remapped byte
+    // alphabet: 'Ġ t', 'Ġ a', 'h e', 'i n', 'r e', 'o n', 'Ġt he', 'e r',
+    // 'Ġ s', 'a t' — Ġ being the 0x20 space byte. The same ranks in this
+    // engine's hex-byte alphabet (Ġ=20, t=74, a=61, h=68, e=65, i=69,
+    // n=6E, r=72, o=6F, s=73):
+    val ranks = Map(
+      ("20", "74") -> 0, // Ġ t
+      ("20", "61") -> 1, // Ġ a
+      ("68", "65") -> 2, // h e
+      ("69", "6E") -> 3, // i n
+      ("72", "65") -> 4, // r e
+      ("6F", "6E") -> 5, // o n
+      ("2074", "6865") -> 6, // Ġt he
+      ("65", "72") -> 7, // e r
+      ("20", "73") -> 8, // Ġ s
+      ("61", "74") -> 9) // a t
+    // hand-derived per the published greedy procedure (always merge the
+    // lowest-rank adjacent pair): " the" -> Ġt|h|e -> Ġt|he -> Ġthe,
+    // GPT-2's famous single token for the space-prefixed article
+    assert(Bpe.tokenizeBytes(" the", ranks).toSeq == Seq("20746865"))
+    // "in" is a single learned token; " at" stops at Ġa|t because rank 1
+    // (Ġ a) beats rank 9 (a t) on the shared 'a', and no (Ġa, t) merge is
+    // in this prefix of the list
+    assert(Bpe.tokenizeBytes("in", ranks).toSeq == Seq("696E"))
+    assert(Bpe.tokenizeBytes(" at", ranks).toSeq == Seq("2061", "74"))
+    // "there": t|he|re after ranks 2 and 4; no (74,6865)/(6865,7265)
+    // merges exist in the prefix, so three tokens remain
+    assert(Bpe.tokenizeBytes("there", ranks).toSeq == Seq("74", "6865", "7265"))
+  }
+
   test("tokenCounts budgets double-space empty words like the oracle would") {
     val docs = Seq((0L, "a  b")).toDF("doc_id", "text") // split → ["a","","b"]
     val r = Bpe.tokenCounts(docs, Seq(("a", "b"))).collect()
