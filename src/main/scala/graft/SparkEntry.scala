@@ -2035,6 +2035,73 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$path/scores")
     }
 
+  /** The q185 streaming run, executed ONCE per SF dir: q67's incremental
+    * batch staged as three single-file micro-batches in DETERMINISTIC
+    * arrival order — fresh (+1M) docs first, corpus copies (+2M) second,
+    * the intra-batch twins (+3M) last — then
+    * [[streaming.StreamingWindows.streamingIncrementalDedup]] runs the
+    * file stream against the static corpus with `Trigger.AvailableNow` and
+    * `maxFilesPerTrigger = 1`, appending survivors to a parquet FILE SINK.
+    * The staged order makes stream semantics coincide with the batch
+    * first-id-wins rule without any reliance on intra-batch tie-breaking:
+    * each +1M text is unique within its micro-batch, so when its +3M twin
+    * arrives a micro-batch later the hash is already in the state store
+    * and the twin drops deterministically. The sink is what q185 reads —
+    * an ingest stream's output passing the BATCH operator's DuckDB oracle
+    * (stream ≡ batch ≡ oracle), upgrading the streaming family from
+    * batch-parity unit pins to oracle-grade evidence. */
+  private def q185StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q185", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val freshText = concat(col("text"), lit(" fresh "), col("doc_id").cast("string"))
+      val ts = lit("2024-01-01 00:00:00").cast("timestamp")
+      val stages = Seq(
+        base.filter(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), freshText.as("text")),
+        base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")),
+        base.filter(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + 3000000L).as("doc_id"), freshText.as("text")))
+      val inDir = new java.io.File(path, "in"); inDir.mkdirs()
+      stages.zipWithIndex.foreach { case (df, i) =>
+        val tmp = new java.io.File(path, s"stage$i")
+        df.withColumn("ts", ts).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // FileStreamSource orders by (mtime, path): make both agree
+        dst.setLastModified(1700000000000L + i * 60000L)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
+      val inSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val stream = s.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+      val out = streaming.StreamingWindows
+        .streamingIncrementalDedup(stream, Tables.documents(s, dir),
+          watermark = "1 hour")
+        .select(col("doc_id"), col("text"))
+      val q = out.writeStream
+        .format("parquet")
+        .option("path", s"$path/out")
+        .option("checkpointLocation", s"$path/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   /** The q29/q184 shared oracle: per-doc token counts straight off
     * `documents` — q184 must reproduce it from the Avro round trip. */
   private def tokenCountSql: String =
@@ -2453,6 +2520,18 @@ object SparkEntry {
     "q184_avro_roundtrip" -> ((s, dir) =>
       TextAnalysis.tokenCounts(graft.sources.Avro.read(s,
         q184AvroPath(s, dir), Tables.documents(s, dir).schema))),
+
+    // the STREAMING incremental dedup, run for real (file stream →
+    // dropDuplicatesWithinWatermark state → stream-static corpus
+    // anti-join → parquet file sink, Trigger.AvailableNow) over q67's
+    // batch staged in deterministic micro-batch order — the sink must
+    // pass the BATCH operator's oracle, so stream ≡ batch ≡ oracle and
+    // the streaming family graduates from batch-parity unit pins to
+    // oracle-grade evidence (see q185StreamPath for the protocol)
+    "q185_streaming_dedup" -> ((s, dir) =>
+      s.read.parquet(s"${q185StreamPath(s, dir)}/out")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))),
 
     // the unigram tokenizer from its PERSISTED artifact: the piece table
     // round-trips through parquet (the q119/q110 serving posture for
@@ -5274,6 +5353,11 @@ object SparkEntry {
       // gate proves the container round trip loses nothing (the q104
       // WARC pattern applied to Avro)
       "q184_avro_roundtrip" -> tokenCountSql,
+
+      // the streaming run's file sink must reproduce the BATCH q67
+      // result exactly — same oracle, the persistence/container
+      // shared-oracle gate applied to a stream
+      "q185_streaming_dedup" -> incrementalDedupSql,
 
       "q87_bpe_tokens" ->
         s"""WITH RECURSIVE $bpeSql
