@@ -1138,6 +1138,29 @@ object SparkEntry {
       })
   }
 
+  /** Synthetic MJPEG-AVI corpus for the video queries (q186/q187): every
+    * doc_id % 6 == 0 document muxes a real RIFF/AVI container whose movi
+    * frames are JDK-JPEG-encoded [[operators.Multimodal.testPatternImage]]
+    * renders. Class p = (doc_id / 6) % 9 fixes the FOOTAGE (frame params
+    * alternate p, 50+p) and the frame count (3 + p % 3), while the
+    * doc-specific JUNK chunk makes every container byte-unique — so
+    * byte-level dedup finds nothing and only the frame-decode path can
+    * pair same-class videos (the q149 rationale lifted to video). */
+  private[graft] def aviRecords(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[operators.MediaRecord] = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    Tables.documents(s, dir).filter(col("doc_id") % 6 === 0)
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val p = (id / 6) % 9
+        val nf = (3 + p % 3).toInt
+        val params = (0 until nf).map(i => if (i % 2 == 0) p else 50 + p)
+        operators.MediaRecord(id, "video/avi",
+          Multimodal.testMjpegAvi(params, junk = id))
+      })
+  }
+
   /** The q154 scorecard's oracle chain (shared with q159): the
     * qualityScoreCte (rule fractions + pinned-weights score), the q116
     * badword replay (bw-prefixed), the q145 char-entropy replay
@@ -2532,6 +2555,28 @@ object SparkEntry {
       s.read.parquet(s"${q185StreamPath(s, dir)}/out")
         .select(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("text"))),
+
+    // REAL RIFF/AVI container walk over the synthetic MJPEG corpus:
+    // avih dimensions/stream count, the strh handler fourcc, and the
+    // header frame claim CROSS-CHECKED against the actual movi chunk
+    // count — the q175 container-triage posture for AVI, with the
+    // oracle stating every field from the fixture's construction
+    "q186_avi_meta" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Multimodal.extractAviMeta(aviRecords(s, dir)).toDF()
+    }),
+
+    // keyframe perceptual VIDEO dedup — the pure-JDK frame-decode path
+    // (MJPEG '00dc' chunks ARE JPEGs): every sampled frame decodes
+    // through javax.imageio and dHashes; videos pair on identical
+    // keyframe-hash sequences, so re-muxed copies (byte-unique
+    // containers, equal footage) match while different footage never
+    // does. Closes the r10 "video frame decode" gap for the one format
+    // the JDK can decode; avc1/hevc stay the documented carve-out.
+    "q187_video_keyframe_dedup" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Multimodal.videoDupPairs(aviRecords(s, dir), stride = 2)
+    }),
 
     // the unigram tokenizer from its PERSISTED artifact: the piece table
     // round-trips through parquet (the q119/q110 serving posture for
@@ -5358,6 +5403,31 @@ object SparkEntry {
       // result exactly — same oracle, the persistence/container
       // shared-oracle gate applied to a stream
       "q185_streaming_dedup" -> incrementalDedupSql,
+
+      // q186: the structural replay (q175 pattern) — every container
+      // field is a pure function of doc_id in the fixture's muxer, so
+      // the oracle states them without parsing a byte; the engine must
+      // recover them from the real RIFF walk
+      "q186_avi_meta" ->
+        """SELECT doc_id,
+          |  CAST(36 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+          |  CAST(3 + ((doc_id // 6) % 9) % 3 AS BIGINT) AS n_frames_header,
+          |  CAST(3 + ((doc_id // 6) % 9) % 3 AS BIGINT) AS n_frames,
+          |  CAST(100000 AS BIGINT) AS us_per_frame,
+          |  CAST(1 AS INT) AS n_streams,
+          |  'MJPG' AS handler
+          |FROM documents WHERE doc_id % 6 = 0""".stripMargin,
+
+      // q187: the q149 structural-replay pattern lifted to video — the
+      // oracle never sees pixels, it pairs videos on the footage class
+      // the muxer used, exactly the equal-keyframe-sequence set the
+      // JPEG-decode + dHash path must recover
+      "q187_video_keyframe_dedup" ->
+        """WITH av AS (SELECT doc_id, (doc_id // 6) % 9 AS p
+          |            FROM documents WHERE doc_id % 6 = 0)
+          |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+          |  CAST((3 + a.p % 3 + 1) // 2 AS INT) AS n_keyframes
+          |FROM av a JOIN av b ON a.p = b.p AND a.doc_id < b.doc_id""".stripMargin,
 
       "q87_bpe_tokens" ->
         s"""WITH RECURSIVE $bpeSql

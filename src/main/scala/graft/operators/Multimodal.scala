@@ -460,6 +460,15 @@ object Multimodal {
     * binary fixtures. 36 and 32 are multiples of 9 and 8, so [[dHash64One]]
     * is exactly scale-invariant on these patterns (see its scaladoc). */
   def testPatternPng(param: Long, scale: Int = 1): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(testPatternImage(param, scale), "png", bos)
+    bos.toByteArray
+  }
+
+  /** The rendered pattern behind [[testPatternPng]], before any encode —
+    * also the frame source of [[testMjpegAvi]], which JPEG-encodes it. */
+  private[operators] def testPatternImage(param: Long,
+      scale: Int = 1): java.awt.image.BufferedImage = {
     val (bw, bh) = (36, 32)
     val img = new java.awt.image.BufferedImage(
       bw * scale, bh * scale, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -484,9 +493,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    img
   }
 
   // ---- MP4 / ISO-BMFF container metadata (ISO/IEC 14496-12) --------------
@@ -630,6 +637,196 @@ object Multimodal {
       (if (withAudio) trak("soun", "mp4a") else Array.empty[Byte])
     ftyp ++ box("moov", mvhd ++ traks) ++ box("mdat", new Array[Byte](16))
   }
+
+  // ---- MJPEG-in-AVI: the one video FRAME path the JDK can decode ----------
+  //
+  // AVI is a RIFF container (little-endian [id:4cc][size:4][payload],
+  // chunks padded to even offsets; 'LIST' chunks nest, their payload
+  // leading with a 4cc list type). When the video stream is MJPEG, every
+  // '..dc' chunk in the 'movi' list IS a complete JPEG image — and JPEG
+  // decode ships in the JDK (javax.imageio), so frame-level work needs no
+  // external codec. This closes the frame-decode gap for exactly this
+  // format; avc1/hevc bitstream decode (MP4-land) remains the permanent
+  // carve-out, with [[extractMp4Meta]] as its container-level boundary.
+
+  private def le32(b: Array[Byte], o: Int): Long = {
+    if (o < 0 || o + 4 > b.length) throw new IllegalArgumentException("le32 OOB")
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  }
+
+  /** RIFF chunks of b[start, end): (fourcc, payloadStart, payloadEnd).
+    * Truncated declared lengths throw (caller quarantines). */
+  private def riffChunks(b: Array[Byte], start: Int, end: Int): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var o = start
+    while (o < end) {
+      if (o + 8 > end) throw new IllegalArgumentException("riff chunk header OOB")
+      val id = fourcc(b, o)
+      val size = le32(b, o + 4)
+      val ps = o + 8
+      val pe = ps + size.toInt
+      if (size > Int.MaxValue - 16 || pe > end)
+        throw new IllegalArgumentException("riff chunk overruns container")
+      out += ((id, ps, pe))
+      o = pe + (size.toInt & 1) // chunks are even-aligned
+    }
+    out.result()
+  }
+
+  /** Parse one AVI payload to (container metadata, MJPEG frame payloads),
+    * or None when malformed (not RIFF/'AVI ', no hdrl/avih, bad chunk
+    * lengths) — the [[parseMp4]] quarantine contract. Frames are the
+    * '..db'/'..dc' chunks of the 'movi' list in order; 'rec ' sub-lists
+    * (interleave grouping) are walked through. */
+  private[graft] def parseAvi(b: Array[Byte]): Option[(AviMeta0, Seq[Array[Byte]])] =
+    try {
+      if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+        return None
+      val top = riffChunks(b, 12, math.min(b.length, 8 + le32(b, 4).toInt))
+      def lists(cs: Seq[(String, Int, Int)], typ: String): Seq[(Int, Int)] =
+        cs.collect { case ("LIST", s, e) if e - s >= 4 && fourcc(b, s) == typ =>
+          (s + 4, e)
+        }
+      for {
+        (hs, he) <- lists(top, "hdrl").headOption
+        hdrl = riffChunks(b, hs, he)
+        (as, ae) <- hdrl.collectFirst { case ("avih", s, e) => (s, e) }
+        if ae - as >= 40
+      } yield {
+        val handler = lists(hdrl, "strl").headOption.flatMap { case (ss, se) =>
+          riffChunks(b, ss, se).collectFirst {
+            case ("strh", s, e) if e - s >= 8 => fourcc(b, s + 4)
+          }
+        }.getOrElse("")
+        val frames = lists(top, "movi").flatMap { case (ms, me) =>
+          riffChunks(b, ms, me).flatMap {
+            case (id, s, e) if id.length == 4 &&
+                (id.endsWith("db") || id.endsWith("dc")) =>
+              Seq(java.util.Arrays.copyOfRange(b, s, e))
+            case ("LIST", s, e) if e - s >= 4 && fourcc(b, s) == "rec " =>
+              riffChunks(b, s + 4, e).collect {
+                case (id2, s2, e2) if id2.endsWith("db") || id2.endsWith("dc") =>
+                  java.util.Arrays.copyOfRange(b, s2, e2)
+              }
+            case _ => Seq.empty
+          }
+        }
+        (AviMeta0(le32(b, as + 32), le32(b, as + 36), le32(b, as + 16),
+          le32(b, as), le32(b, as + 24).toInt, handler), frames)
+      }
+    } catch { case _: Exception => None }
+
+  /** Container-metadata extraction over AVI payloads — the
+    * [[extractMp4Meta]] boundary for RIFF: payload bytes never shuffle,
+    * malformed containers drop. `n_frames` is the count of actual movi
+    * frame chunks (ground truth), `n_frames_header` the avih claim —
+    * disagreement is itself a triage signal on a real crawl. */
+  def extractAviMeta(records: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[AviMeta] = {
+    import spark.implicits._
+    records.mapPartitions(_.flatMap { rec =>
+      parseAvi(rec.payload).map { case (m, frames) =>
+        AviMeta(rec.doc_id, m.width, m.height, m.n_frames_header,
+          frames.length.toLong, m.us_per_frame, m.n_streams, m.handler)
+      }
+    })
+  }
+
+  /** Per-KEYFRAME perceptual hash over MJPEG-AVI payloads: every
+    * `stride`-th movi frame (starting at 0 — the sampling rule
+    * [[sampleFrames]] documents) is JPEG-decoded with the JDK codec and
+    * [[dHash64One]]-hashed. One mapPartitions does container walk +
+    * decode + hash; only (doc_id, frame_idx, dhash) rows leave the scan —
+    * at 100 TB the decode is embarrassingly parallel and nothing
+    * payload-sized ever shuffles. Undecodable frames and malformed
+    * containers drop (crawl posture). */
+  def videoKeyframeDHash(records: Dataset[MediaRecord], stride: Int = 2)(
+      implicit spark: SparkSession): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    import spark.implicits._
+    records.mapPartitions(_.flatMap { rec =>
+      parseAvi(rec.payload).toSeq.flatMap { case (_, frames) =>
+        frames.iterator.zipWithIndex
+          .filter(_._2 % stride == 0)
+          .flatMap { case (fb, idx) =>
+            decodeBuffered(fb).flatMap(dHash64One)
+              .map(h => (rec.doc_id, idx, h))
+          }
+      }
+    }).toDF("doc_id", "frame_idx", "dhash")
+  }
+
+  /** Keyframe perceptual VIDEO dedup — [[dHashDupPairs]] lifted to AVI:
+    * a video's fingerprint is its ordered keyframe dHash sequence, and
+    * two videos pair when the sequences are identical (re-muxed /
+    * metadata-edited copies of the same footage match even though their
+    * container bytes differ). The fingerprint is an exact groupBy
+    * aggregate (no window, no all-pairs: the equi-join runs on the
+    * fingerprint key), so hot duplicate clusters collapse map-side and
+    * the join survives a 100× corpus. Output: (doc1, doc2, n_keyframes)
+    * with doc1 < doc2, n_keyframes the shared sequence length. */
+  def videoDupPairs(records: Dataset[MediaRecord], stride: Int = 2)(
+      implicit spark: SparkSession): DataFrame = {
+    val sigs = videoKeyframeDHash(records, stride)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("frame_idx"), col("dhash"))))
+        .as("__seq"))
+      .select(col("doc_id"),
+        md5(to_json(col("__seq"))).as("fingerprint"),
+        size(col("__seq")).as("n_keyframes"))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.n_keyframes").as("n_keyframes"))
+  }
+
+  /** Deterministic minimal-but-REAL MJPEG-AVI synthesizer (the [[testMp4]]
+    * convention): RIFF('AVI ') → LIST hdrl(avih + LIST strl(strh 'vids'/
+    * 'MJPG' + strf BITMAPINFOHEADER)) + a doc-specific JUNK chunk (so
+    * byte-level dedup finds nothing even between frame-identical videos)
+    * + LIST movi with one '00dc' JPEG per `frameParams` entry — each
+    * frame [[testPatternImage]](param) JPEG-encoded by the JDK. Equal
+    * param sequences therefore mean equal decoded footage, the ground
+    * truth the keyframe-dedup oracle states from construction. */
+  def testMjpegAvi(frameParams: Seq[Long], junk: Long,
+      usPerFrame: Int = 100000): Array[Byte] = {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(payload.length.toLong) ++ payload ++
+        (if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(typ: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(typ) ++ payload)
+    val (w, h) = (36, 32)
+    val jpegs = frameParams.map { p =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(testPatternImage(p), "jpg", bos)
+      bos.toByteArray
+    }
+    val avih = chunk("avih", le32(usPerFrame.toLong) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(jpegs.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w.toLong) ++ le32(h.toLong) ++ new Array[Byte](16))
+    val strh = chunk("strh", cc("vids") ++ cc("MJPG") ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++
+      le32(1000000L / usPerFrame) ++ le32(0) ++ le32(jpegs.length.toLong) ++
+      le32(0) ++ le32(0xffffffffL) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    val strf = chunk("strf", le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++
+      le16(1) ++ le16(24) ++ cc("MJPG") ++ le32(w.toLong * h * 3) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val junkChunk = chunk("JUNK", le32(junk & 0xffffffffL) ++ le32(junk >>> 32))
+    val movi = list("movi", jpegs.map(j => chunk("00dc", j))
+      .foldLeft(Array.empty[Byte])(_ ++ _))
+    val body = cc("AVI ") ++ hdrl ++ junkChunk ++ movi
+    cc("RIFF") ++ le32(body.length.toLong) ++ body
+  }
 }
 
 /** Parsed MP4 container metadata (no doc identity — [[Multimodal.parseMp4]]'s
@@ -653,3 +850,25 @@ case class VideoMeta(
     n_video: Int,
     n_audio: Int,
     codecs: String)
+
+/** Parsed AVI container metadata (no doc identity —
+  * [[Multimodal.parseAvi]]'s pure output). */
+case class AviMeta0(
+    width: Long,
+    height: Long,
+    n_frames_header: Long,
+    us_per_frame: Long,
+    n_streams: Int,
+    handler: String)
+
+/** Container metadata from the REAL RIFF/AVI walk; `n_frames` counts the
+  * actual movi frame chunks, `n_frames_header` the avih claim. */
+case class AviMeta(
+    doc_id: Long,
+    width: Long,
+    height: Long,
+    n_frames_header: Long,
+    n_frames: Long,
+    us_per_frame: Long,
+    n_streams: Int,
+    handler: String)

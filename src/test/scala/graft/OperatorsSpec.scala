@@ -1408,6 +1408,39 @@ class OperatorsSpec extends AnyFunSuite {
       b.n_audio == 0 && b.codecs == "avc1")
   }
 
+  test("extractAviMeta + videoKeyframeDHash: RIFF walk, JDK JPEG frame decode, corrupt drops") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val a = Multimodal.testMjpegAvi(Seq(3L, 53L, 3L, 53L), junk = 1L)
+    val b = Multimodal.testMjpegAvi(Seq(3L, 53L, 3L, 53L), junk = 2L) // re-muxed copy
+    val c = Multimodal.testMjpegAvi(Seq(4L, 54L, 4L), junk = 3L)      // different footage
+    assert(!java.util.Arrays.equals(a, b)) // byte-level dedup would find nothing
+    val records = spark.createDataset(Seq(
+      MediaRecord(1L, "video/avi", a),
+      MediaRecord(2L, "video/avi", b),
+      MediaRecord(3L, "video/avi", c),
+      MediaRecord(4L, "video/avi", a.take(40)),                        // truncated → dropped
+      MediaRecord(5L, "video/avi", "not a riff file".getBytes("UTF-8"))
+    ))(org.apache.spark.sql.Encoders.product[MediaRecord])
+    val meta = Multimodal.extractAviMeta(records).collect().map(m => m.doc_id -> m).toMap
+    assert(meta.keySet == Set(1L, 2L, 3L))
+    assert(meta(1L).width == 36L && meta(1L).height == 32L &&
+      meta(1L).n_frames == 4L && meta(1L).n_frames_header == 4L &&
+      meta(1L).us_per_frame == 100000L && meta(1L).n_streams == 1 &&
+      meta(1L).handler == "MJPG")
+    assert(meta(3L).n_frames == 3L)
+    // keyframes (stride 2): idx 0 and 2; equal params decode to equal
+    // pixels, so the dHashes agree across the re-muxed pair and differ
+    // from the different-footage video
+    val kf = Multimodal.videoKeyframeDHash(records, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(kf.keySet == Set((1L, 0), (1L, 2), (2L, 0), (2L, 2), (3L, 0), (3L, 2)))
+    assert(kf((1L, 0)) == kf((2L, 0)) && kf((1L, 2)) == kf((2L, 2)))
+    assert(kf((1L, 0)) != kf((3L, 0)))
+    val pairs = Multimodal.videoDupPairs(records, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 2)))
+  }
+
   test("packFirstFitDecreasing: hand-traced FFD per shard, oversize docs get closed bins") {
     def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
     val fx = Seq(
