@@ -74,6 +74,67 @@ object Bpe {
     trainFromCounts(collectWordCounts(docs, maxVocabWords), numMerges, toByteSymbols)
   }
 
+  /** DISTRIBUTED-pair-count BPE training — the open-vocabulary scale path
+    * for corpora whose word dictionary exceeds any driver cap (the one
+    * bound the driver-side [[trainMerges]] carries). The (symbols, count)
+    * dictionary lives as a DataFrame with NO vocabulary cap; each round
+    * counts adjacent pairs with one explode + one shuffle over that
+    * vocabulary-sized table (never the corpus — the corpus reduces ONCE
+    * to word counts), takes the (count desc, left, right) argmax as a
+    * single collected row, and applies the merge executor-side. Rounds
+    * are sequential by nature (merge k+1's counts depend on merge k), so
+    * cost is numMerges × one vocabulary shuffle; the evolving dictionary
+    * is localCheckpoint-pinned per round so the UDF chain never replays.
+    *
+    * Semantics are EXACTLY [[trainFromCounts]] — same pair weighting,
+    * same lexicographic tie-break, same non-overlapping left-to-right
+    * replacement — so on any corpus whose dictionary fits the driver cap
+    * the two trainers return identical merge lists (pinned by
+    * BpeSpec's equivalence tests on both alphabets). */
+  def trainMergesDistributed(docs: DataFrame, numMerges: Int,
+      byteLevel: Boolean = false): Seq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val symbolize = udf(
+      if (byteLevel) (w: String) => toByteSymbols(w).toSeq
+      else (w: String) => toSymbols(w).toSeq)
+    var cur = TextAnalysis.withWords(docs)
+      .select(explode(col("__words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(symbolize(col("word")).as("toks"), col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var learned = 0
+    var exhausted = false
+    while (learned < numMerges && !exhausted) {
+      val top = cur.filter(size(col("toks")) >= 2)
+        .select(explode(zip_with(
+          expr("slice(toks, 1, size(toks) - 1)"),
+          expr("slice(toks, 2, size(toks) - 1)"),
+          (l, r) => struct(l.as("l"), r.as("r")))).as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += ((l, r))
+        learned += 1
+        if (learned < numMerges) {
+          val applyMerge = udf((toks: Seq[String]) =>
+            mergeAll(toks.toArray, l, r).toSeq)
+          val next = cur
+            .select(applyMerge(col("toks")).as("toks"), col("cnt"))
+            .localCheckpoint()
+          cur.unpersist(blocking = false)
+          cur = next
+        }
+      }
+    }
+    cur.unpersist(blocking = false)
+    merges.result()
+  }
+
   /** The bounded (word, count) dictionary BPE trains on: one exploded word
     * count — map-side combined, one shuffle on `word` — capped
     * deterministically by (count desc, word asc). Shared with the

@@ -99,6 +99,82 @@ object Unigram {
       vocabSize, maxPieceLen, emRounds, seedSize)
   }
 
+  /** DISTRIBUTED unigram-LM training — the open-vocabulary scale path
+    * (the [[Bpe.trainMergesDistributed]] posture): the (word, count)
+    * dictionary stays a DataFrame with NO vocabulary cap, and every
+    * corpus-shaped aggregation runs in Spark — weighted code-point
+    * counts, the substring seed counts, and each EM round's hard Viterbi
+    * usage counts (one explode + one shuffle per round over the
+    * vocabulary-sized table, segmenting against the BROADCAST piece
+    * table). Only bounded sets ever reach the driver: the alphabet, the
+    * seedSize-capped seed list, and per-round usage keyed by the ≤
+    * (alphabet + seedSize) live pieces. Pruning/M-step arithmetic is the
+    * driver trainer's verbatim, so on any corpus whose dictionary fits
+    * the driver cap the two trainers return identical tables (pinned by
+    * UnigramSpec's equivalence test). Spark's string ordering is UTF-8
+    * binary — the same [[utf8Order]] the driver trainer sorts by — so
+    * the seed cut-off ties break identically. */
+  def trainPiecesDistributed(docs: DataFrame, vocabSize: Int,
+      maxPieceLen: Int = 4, emRounds: Int = 4,
+      seedSize: Int = 1024): Seq[(String, Long)] = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
+    val spark = docs.sparkSession
+    val words = TextAnalysis.withWords(docs)
+      .select(explode(col("__words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // re-read by every seed/EM aggregation below
+    try {
+      val unitsUdf = udf((w: String) => cpUnits(w))
+      val charCounts: Seq[(String, Long)] = words
+        .select(explode(unitsUdf(col("word"))).as("ch"), col("cnt"))
+        .groupBy("ch").agg(sum("cnt").as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy(_._1)(utf8Order)
+      val chars = charCounts.map(_._1)
+      val maxLen = maxPieceLen
+      val subUdf = udf((w: String) => {
+        val off = cpOffsets(w)
+        val m = off.length - 1
+        for { l <- 2 to maxLen; i <- 0 to m - l }
+          yield w.substring(off(i), off(i + l))
+      })
+      val seeds = words.select(explode(subUdf(col("word"))).as("p"), col("cnt"))
+        .groupBy("p").agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("p"))
+        .limit(seedSize)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      var multi: Seq[String] = seeds.map(_._1)
+      val seedCount = seeds.toMap
+      var table: Map[String, Long] = logProbs(
+        charCounts ++ multi.map(p => p -> seedCount(p)))
+      val byCountThenPiece = Ordering.by[(String, Long), Long](-_._2)
+        .orElse(Ordering.by[(String, Long), String](_._1)(utf8Order))
+      var round = 0
+      while (round < emRounds) {
+        val bc = spark.sparkContext.broadcast(table)
+        val vitUdf = udf((w: String) => viterbi(w, bc.value, maxLen))
+        val use = words.select(explode(vitUdf(col("word"))).as("p"), col("cnt"))
+          .groupBy("p").agg(sum("cnt").as("c"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        bc.destroy()
+        val ranked = multi.filter(use.contains)
+          .map(p => (p, use(p))).sorted(byCountThenPiece).map(_._1)
+        val keep = if (round == emRounds - 1) vocabSize
+          else math.max(vocabSize, ranked.size - math.max(1, (ranked.size - vocabSize) / 4))
+        multi = ranked.take(keep)
+        table = logProbs(
+          chars.map(ch => ch -> use.getOrElse(ch, 0L)) ++
+            multi.map(p => p -> use(p)))
+        round += 1
+      }
+      table.toSeq.sortBy(_._1)(utf8Order)
+    } finally {
+      words.unpersist(blocking = false)
+      ()
+    }
+  }
+
   /** Driver-side trainer over a (word, count) dictionary — seed by
     * substring frequency, Viterbi-EM with hard counts, prune by usage. */
   private[graft] def trainFromCounts(wordCounts: Seq[(String, Long)],

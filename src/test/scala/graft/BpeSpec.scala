@@ -32,6 +32,17 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.tokenize("", ranks).toSeq == Seq(""))
   }
 
+  test("distributed pair-count training == driver training on both alphabets") {
+    // the open-vocabulary scale path must be semantics-identical to the
+    // driver trainer wherever the driver's dictionary cap doesn't bind —
+    // same pair weighting, same lexicographic tie-break, same replacement
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(Bpe.trainMergesDistributed(docs, numMerges = 8) ==
+      Bpe.trainMerges(docs, numMerges = 8))
+    assert(Bpe.trainMergesDistributed(docs, numMerges = 6, byteLevel = true) ==
+      Bpe.trainMergesBytes(docs, numMerges = 6))
+  }
+
   test("published ground truth: Sennrich 2016's char-BPE example segments lowest -> low + est") {
     // Independent of this engine: the canonical worked example of the BPE
     // paper (Sennrich, Haddow & Birch 2016, "Neural Machine Translation of

@@ -95,6 +95,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI metadata (q186) is a shuffle-free scan; video dedup (q187) joins on fingerprints only") {
+    // q186 is scan → mux → RIFF walk → project: container triage must
+    // never pay an exchange at any corpus size
+    assert(!plan("q186_avi_meta").contains("Exchange"), "q186 must not shuffle")
+    // q187's pair-finder is an exact equi-join on the 32-char fingerprint
+    // — never a cartesian/BNLJ, and no payload-sized column crosses a
+    // shuffle (frames decode and hash inside the scan's mapPartitions)
+    val p = plan("q187_video_keyframe_dedup")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the pair join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no BNLJ in the pair join")
+    assert(!p.contains("payload#"), "payload bytes must never cross the plan")
+  }
+
   test("unigram tokenization (q171): vocabulary dictionary joins by broadcast") {
     // the per-word piece counts are a vocabulary-sized dictionary — a
     // sort-merge join here would shuffle the corpus side on `word`

@@ -85,6 +85,15 @@ class UnigramSpec extends AnyFunSuite {
     assert(Unigram.trainPieces(docs, vocabSize = 24) == SparkEntry.unigramPieces)
   }
 
+  test("distributed training == driver training (and the pinned table)") {
+    // the open-vocabulary scale path: weighted char counts, seed counts
+    // and per-round Viterbi usage all as Spark aggregations — must be
+    // table-identical to the driver trainer wherever its cap doesn't bind
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(Unigram.trainPiecesDistributed(docs, vocabSize = 24) ==
+      Unigram.trainPieces(docs, vocabSize = 24))
+  }
+
   test("writePieces/loadPieces: the pinned table round-trips through parquet exactly") {
     val dir = java.nio.file.Files.createTempDirectory("unigram_rt").toFile
     try {
