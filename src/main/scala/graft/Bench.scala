@@ -196,6 +196,10 @@ object Bench {
         // measured slope the capstones have
         val q118x10 = t2("q118_token_budget")
         val q133x10 = t2("q133_priority_frontier")
+        // the MJPEG decode path a decade up: per-video mux + JPEG decode +
+        // dHash is embarrassingly parallel — the slope must stay linear
+        // in videos with no join blow-up from the bigger duplicate classes
+        val q187x10 = t2("q187_video_keyframe_dedup")
         // q174's cost is the STORE BUILD (gate + two appends + score
         // materialization) inside its cached fixture — drop the fixture
         // before every sample so each one times a fresh batch arrival
@@ -210,7 +214,8 @@ object Bench {
           f""""q103_sec":$q103x10%.3f,"q123_sec":$q123x10%.3f,"q135_sec":$q135x10%.3f,""" +
           f""""q138_sec":$q138x10%.3f,"q142_sec":$q142x10%.3f,"q159_sec":$q159x10%.3f,""" +
           f""""q174_sec":$q174x10%.3f,"q181_sec":$q181x10%.3f,""" +
-          f""""q118_sec":$q118x10%.3f,"q133_sec":$q133x10%.3f}"""
+          f""""q118_sec":$q118x10%.3f,"q133_sec":$q133x10%.3f,""" +
+          f""""q187_sec":$q187x10%.3f}"""
       } finally {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

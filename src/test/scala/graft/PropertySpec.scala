@@ -537,6 +537,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("avi synth/walk round trip: any frame params mux and parse back exactly") {
+    val paramGen = for {
+      nf <- Gen.choose(0, 7)
+      params <- Gen.listOfN(nf, Gen.choose(0L, 1L << 40))
+      junk <- Gen.choose(Long.MinValue, Long.MaxValue)
+      us <- Gen.choose(1000, 1000000)
+    } yield (params, junk, us)
+    forAll(paramGen) { case (params, junk, us) =>
+      val (m, frames) = operators.Multimodal
+        .parseAvi(operators.Multimodal.testMjpegAvi(params, junk, us))
+        .getOrElse(fail("synthesized container must parse"))
+      assert(m.width == 36L && m.height == 32L)
+      assert(m.n_frames_header == params.length.toLong)
+      assert(frames.length == params.length)
+      assert(m.us_per_frame == us.toLong && m.n_streams == 1 && m.handler == "MJPG")
+      // every extracted frame is a decodable JPEG of the pattern size,
+      // and equal params at equal positions decode to equal pixels
+      val imgs = frames.map(fb => javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fb)))
+      assert(imgs.forall(i => i != null && i.getWidth == 36 && i.getHeight == 32))
+      for (Seq(i, j) <- params.indices.combinations(2)
+           if params(i) == params(j))
+        assert(java.util.Arrays.equals(frames(i), frames(j)),
+          "equal render params must produce identical frame payloads")
+    }
+  }
+
+  test("avro lossless promotions round-trip any values; mismatches quarantine whole files") {
+    import org.apache.spark.sql.types._
+    val rowGen = for {
+      i <- Gen.choose(Int.MinValue, Int.MaxValue)
+      f <- Gen.choose(-1e6f, 1e6f)
+    } yield (i, f)
+    forAll(Gen.listOfN(5, rowGen)) { rows =>
+      val dir = java.nio.file.Files.createTempDirectory("avro_prop").toFile
+      try {
+        // written as (int, float); read back widened as (long, double):
+        // the promotions must preserve every value exactly
+        graft.sources.Avro.write(
+          rows.zipWithIndex.map { case ((i, f), k) => (k.toLong, i, f) }
+            .toDF("id", "n", "x"), dir.getAbsolutePath)
+        val wide = graft.sources.Avro.read(spark, dir.getAbsolutePath,
+          StructType(Seq(StructField("id", LongType), StructField("n", LongType),
+            StructField("x", DoubleType))))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        rows.zipWithIndex.foreach { case ((i, f), k) =>
+          assert(wide(k.toLong) == ((i.toLong, f.toDouble)))
+        }
+        // a lossy direction (float where long expected) must quarantine
+        // the whole file — zero rows, no crash
+        assert(graft.sources.Avro.read(spark, dir.getAbsolutePath,
+          StructType(Seq(StructField("id", LongType),
+            StructField("x", LongType)))).count() == 0)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dir)
+      }
+    }
+  }
+
   test("rrfFuse: dense ranks, monotone scores, no invented docs on any lists") {
     val listGen = Gen.choose(0, 8).flatMap(n => Gen.pick(n, 0L to 15L).map(_.toSeq.sorted))
     forAll(Gen.zip(listGen, listGen)) { case (lexDocs, denseDocs) =>
