@@ -178,6 +178,31 @@ object SparkEntry {
     ("u", -3896587L), ("v", -20000000L), ("valu", -3896587L),
     ("vect", -3880003L), ("w", -20000000L), ("y", -3926001L))
 
+  /** PINNED WordPiece vocabulary (q188/q189):
+    * `WordPiece.trainVocab(documents, numMerges = 24)` on the sf0.01
+    * corpus — the 39 base symbols (initial / `##`-continuation code
+    * points of the word dictionary) plus 24 merged pieces, sorted by
+    * UTF-8 bytes. Deterministic training (exact-rational pair scores,
+    * UTF-8-lexicographic ties — WordPieceSpec pins this exact table
+    * against retraining and against the distributed trainer); the SAME
+    * constant generates the oracle's vocabulary list literal, so the two
+    * engines cannot drift. 24 merges keeps compression PARTIAL (the
+    * bpeMerges rationale) — and because WordPiece has no character
+    * fallback, corpus slices at OTHER scale factors exercise the real
+    * `[UNK]` path wherever a word's symbols fall outside this table. */
+  private[graft] val wordPieceVocab: Seq[String] = Seq(
+    "##a", "##b", "##bl", "##c", "##ch", "##d",
+    "##e", "##g", "##h", "##i", "##in", "##k",
+    "##l", "##lu", "##lum", "##lumn", "##m", "##n",
+    "##o", "##p", "##r", "##s", "##sh", "##t",
+    "##u", "##up", "##us", "##w", "##y", "a",
+    "ag", "agg", "b", "bi", "big", "c",
+    "cus", "d", "f", "fi", "fil", "g",
+    "h", "j", "k", "l", "li", "lin",
+    "m", "o", "p", "q", "qu", "r",
+    "s", "sp", "t", "th", "v", "w",
+    "wi", "win", "wind")
+
   /** Labeled training text for the language-ID rank profiles (Cavnar &
     * Trenkle 1994) — one function-word-rich passage per language, authored
     * for this repo (zh in pinyin, matching the corpus's latin 'zh'
@@ -351,6 +376,15 @@ object SparkEntry {
       |       GROUP BY 1, 2),
       |vocab AS (SELECT DISTINCT word FROM dw)""".stripMargin
 
+  /** [[wordCountCtes]] over an `fx` fixture CTE instead of the raw
+    * documents table (the q188/q189 accented-fixture tokenization). */
+  private def accentedWordCountCtes: String =
+    """dw AS (SELECT doc_id, u.w AS word, count(*) AS n
+      |       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM fx),
+      |            UNNEST(ws) AS u(w)
+      |       GROUP BY 1, 2),
+      |vocab AS (SELECT DISTINCT word FROM dw)""".stripMargin
+
   /** Unigram-LM CTE block shared by the q171/q172 oracles — replays
     * [[operators.Unigram.viterbi]] EXACTLY, assuming `dw` (doc_id, word,
     * n) and `vocab` (distinct word) CTEs are already defined (the
@@ -388,6 +422,53 @@ object SparkEntry {
        |uni AS (SELECT doc_id, sum(n)::BIGINT AS n_words,
        |        sum(n * n_uni)::BIGINT AS n_unigram_tokens
        |        FROM dw JOIN nu USING (word) GROUP BY doc_id)""".stripMargin
+  }
+
+  /** WordPiece CTE block shared by the q188/q189 oracles — replays
+    * [[operators.WordPiece.tokenize]] EXACTLY, assuming `dw` (doc_id,
+    * word, n) and `vocab` (distinct word) CTEs are already defined (the
+    * [[wordCountCtes]] pair). Greedy longest-match is a pure function of
+    * the vocabulary SET, so the recursion is a linear chain: one matched
+    * piece per level, `list_max` over the matching content lengths = the
+    * longest match (`##`-prefixed after position 0), and a level with NO
+    * match — or a word over the 200-code-point cap at the seed — collapses
+    * the whole word to one `[UNK]` token (ntoks := 1, unk := true).
+    * Exactly one terminal row per word (`pos >= length`). The vocabulary
+    * literal comes from [[wordPieceVocab]]. */
+  private def wordPieceCtes: String = {
+    val vl = wordPieceVocab.map(p => s"'$p'").mkString("[", ", ", "]")
+    val maxLen = wordPieceVocab.iterator
+      .map { p => val c = p.stripPrefix("##"); c.codePointCount(0, c.length) }
+      .max
+    s"""wseg AS (
+       |  SELECT word,
+       |         CASE WHEN length(word) > ${operators.WordPiece.maxInputChars}
+       |              THEN length(word) ELSE 0 END AS pos,
+       |         CASE WHEN length(word) > ${operators.WordPiece.maxInputChars}
+       |              THEN 1 ELSE 0 END::BIGINT AS ntoks,
+       |         length(word) > ${operators.WordPiece.maxInputChars} AS unk
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT word,
+       |         CASE WHEN bl > 0 THEN pos + bl ELSE length(word) END,
+       |         CASE WHEN bl > 0 THEN ntoks + 1 ELSE 1 END,
+       |         bl = 0
+       |  FROM (
+       |    SELECT word, pos, ntoks,
+       |      coalesce(list_max(list_filter(list_transform(
+       |        range(1, least($maxLen, length(word) - pos) + 1),
+       |        l -> CASE WHEN list_contains($vl,
+       |               CASE WHEN pos = 0 THEN substring(word, 1, l)
+       |                    ELSE '##' || substring(word, pos + 1, l) END)
+       |             THEN l ELSE 0 END), x -> x > 0)), 0) AS bl
+       |    FROM wseg WHERE pos < length(word) AND NOT unk)),
+       |wnk AS (SELECT word, ntoks AS n_wp,
+       |        CASE WHEN unk THEN 1 ELSE 0 END AS is_unk
+       |        FROM wseg WHERE pos >= length(word)),
+       |wp AS (SELECT doc_id, sum(n)::BIGINT AS n_words,
+       |       sum(n * n_wp)::BIGINT AS n_wp_tokens,
+       |       sum(n * is_unk)::BIGINT AS n_unk
+       |       FROM dw JOIN wnk USING (word) GROUP BY doc_id)""".stripMargin
   }
 
   /** Shared CTE prefix of the q93 oracle: [[bpeSql]]'s exact recursive
@@ -1841,14 +1922,15 @@ object SparkEntry {
     Tables.documents(s, dir).select(col("doc_id"),
       when(col("doc_id") % 4 === 0,
         concat(col("text"), lit(" café über naïve")))
-        .otherwise(col("text")).as("text"))
+        .otherwise(col("text")).as("text"),
+      col("source"))
   }
 
   /** The q93 oracle's copy of [[accentedDocuments]]'s construction. */
   private def accentedFixtureSql: String =
     """SELECT doc_id, CASE WHEN doc_id % 4 = 0
       |THEN text || ' caf' || chr(233) || ' ' || chr(252) || 'ber na' || chr(239) || 've'
-      |ELSE text END AS text FROM documents""".stripMargin
+      |ELSE text END AS text, source FROM documents""".stripMargin
 
   /** Pinned BYTE-level BPE merge table for q93 — trained by
     * [[operators.Bpe.trainMergesBytes]] (24 merges) on the sf0.01
@@ -3079,6 +3161,26 @@ object SparkEntry {
           col("unigram_fertility_micro"))
       b.join(u, "source")
     }),
+
+    // WordPiece (BERT-family) token counts under the pinned vocabulary
+    // [[wordPieceVocab]] — the THIRD production tokenizer beside q87's
+    // BPE and q171's unigram-LM: greedy longest-match-first against a
+    // vocabulary set (`##` continuations), whole-word [UNK] collapse on
+    // any unmatched position. n_unk is the out-of-vocabulary signal the
+    // other two tokenizers structurally can't produce — exercised on REAL
+    // data via the q93 accented fixture (café/über/naïve carry symbols
+    // outside the pinned vocabulary, so every 4th doc collapses 3 words
+    // to [UNK]). The oracle replays the greedy walk in a recursive CTE
+    // over the SAME vocabulary literal.
+    "q188_wordpiece_tokens" -> ((s, dir) =>
+      operators.WordPiece.tokenCounts(accentedDocuments(s, dir), wordPieceVocab)),
+
+    // WordPiece fertility + UNK rate by source — q131's diagnostic for
+    // the BERT tokenizer, plus the out-of-vocabulary dimension: a slice
+    // with high unk_rate_micro is a slice this vocabulary cannot
+    // represent (the wrong-language-mix catch). Integer micro-unit ratios.
+    "q189_wordpiece_fertility" -> ((s, dir) =>
+      operators.WordPiece.fertilityReport(accentedDocuments(s, dir), wordPieceVocab)),
 
     // q87 re-based on the GPT-2 byte alphabet: UTF-8 bytes as base symbols
     // (no OOV ever), pinned byte-merge table, non-ASCII fixture rows where
@@ -5473,6 +5575,34 @@ object SparkEntry {
            |  ((1000000 * CAST(sum(n_unigram_tokens) AS BIGINT))
            |    // CAST(sum(n_words) AS BIGINT)) AS unigram_fertility_micro
            |FROM j GROUP BY source""".stripMargin,
+
+      // q188: the greedy longest-match replay over the pinned vocabulary
+      // literal — one matched piece per recursion level, whole-word [UNK]
+      // collapse, 200-char cap at the seed; runs over the q93 accented
+      // fixture so the [UNK] path fires on oracle-compared data
+      "q188_wordpiece_tokens" ->
+        s"""WITH RECURSIVE fx AS ($accentedFixtureSql),
+           |$accentedWordCountCtes,
+           |$wordPieceCtes
+           |SELECT doc_id, n_words, n_wp_tokens, n_unk FROM wp""".stripMargin,
+
+      // q189: the q188 replay rolled up per source with integer
+      // micro-unit fertility and UNK-rate ratios
+      "q189_wordpiece_fertility" ->
+        s"""WITH RECURSIVE fx AS ($accentedFixtureSql),
+           |$accentedWordCountCtes,
+           |$wordPieceCtes,
+           |fj AS (SELECT d.source, wp.n_words, wp.n_wp_tokens, wp.n_unk
+           |       FROM wp JOIN fx d USING (doc_id))
+           |SELECT source, count(*)::BIGINT AS n_docs,
+           |  CAST(sum(n_words) AS BIGINT) AS n_words,
+           |  CAST(sum(n_wp_tokens) AS BIGINT) AS n_wp_tokens,
+           |  CAST(sum(n_unk) AS BIGINT) AS n_unk,
+           |  ((1000000 * CAST(sum(n_wp_tokens) AS BIGINT))
+           |    // CAST(sum(n_words) AS BIGINT)) AS wp_fertility_micro,
+           |  ((1000000 * CAST(sum(n_unk) AS BIGINT))
+           |    // CAST(sum(n_words) AS BIGINT)) AS unk_rate_micro
+           |FROM fj GROUP BY source""".stripMargin,
 
       "q93_bpe_byte_tokens" ->
         s"""WITH RECURSIVE $bpeByteSql

@@ -116,6 +116,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "no corpus-side merge join")
   }
 
+  test("WordPiece tokenization (q188): vocabulary dictionary joins by broadcast") {
+    // the q87/q171 posture: distinct words tokenize once against the
+    // broadcast vocabulary set; the corpus side never sort-merges
+    val p = plan("q188_wordpiece_tokens")
+    assert(p.contains("BroadcastHashJoin"), "dictionary join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no corpus-side merge join")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "doc-word counts must map-side combine")
+  }
+
   test("FFD packing (q173): exactly the one shard repartition exchange") {
     val p = plan("q173_pack_ffd")
     assert("Exchange".r.findAllIn(p).size == 1,
