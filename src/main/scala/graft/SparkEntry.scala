@@ -376,6 +376,34 @@ object SparkEntry {
       |       GROUP BY 1, 2),
       |vocab AS (SELECT DISTINCT word FROM dw)""".stripMargin
 
+  /** Conversation-turn CTE chain shared by the q190/q192 oracles —
+    * replays [[operators.Dialogue.turns]] exactly: q33's gap
+    * sessionization, the per-session turn index, parity roles and the
+    * `<|role|>{event_type} k={k}` template. Final CTE `u` = one row per
+    * turn with (event_id, user_id, session_id, turn_idx, role, turn_txt). */
+  private def dialogueTurnsCtes: String =
+    """e AS (SELECT event_id, user_id, event_type, props, epoch_ns(ts) AS ns,
+      |      lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ns
+      |      FROM events),
+      |f AS (SELECT event_id, user_id, event_type, props, ns,
+      |      CASE WHEN prev_ns IS NULL OR ns - prev_ns > 1800000000000
+      |           THEN 1 ELSE 0 END AS new_session
+      |      FROM e),
+      |g AS (SELECT event_id, user_id, event_type, props, ns,
+      |      CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ns, event_id)
+      |        AS INT) AS session_id
+      |      FROM f),
+      |t AS (SELECT event_id, user_id, session_id, ns, event_type, props,
+      |      CAST(row_number() OVER (PARTITION BY user_id, session_id
+      |        ORDER BY ns, event_id) - 1 AS INT) AS turn_idx
+      |      FROM g),
+      |u AS (SELECT event_id, user_id, session_id, turn_idx,
+      |      CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |      '<|' || CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END ||
+      |        '|>' || event_type || ' k=' || regexp_extract(props, '(\d+)', 1)
+      |        AS turn_txt
+      |      FROM t)""".stripMargin
+
   /** [[wordCountCtes]] over an `fx` fixture CTE instead of the raw
     * documents table (the q188/q189 accented-fixture tokenization). */
   private def accentedWordCountCtes: String =
@@ -2829,6 +2857,31 @@ object SparkEntry {
       TextAnalysis.compressionRatio(deflateDocuments(s, dir))
         .select("doc_id", "n_bytes", "verdict")),
 
+    // ---- SFT/instruction-data prep: conversations, masks, preferences ----
+    // chat-template rendering: events thread into sessions (the q33 gap
+    // rule), roles alternate user/assistant by turn parity, each session
+    // renders to one <|role|>-templated transcript with the context-length
+    // gate an SFT pipeline drops on; in-group array_sort makes the join
+    // order bit-deterministic under any partitioning
+    "q190_chat_render" -> ((s, dir) =>
+      operators.Dialogue.renderConversations(Tables.events(s, dir))),
+
+    // DPO preference-pair construction: per source, rank-k-best paired
+    // with rank-k-worst by the q102 pinned-weights quality score, 2k <= n
+    // keeps chosen/rejected disjoint; WindowGroupLimit prunes both rank
+    // windows, counts join by broadcast — no cartesian anywhere
+    "q191_preference_pairs" -> ((s, dir) =>
+      operators.Dialogue.preferencePairs(
+        TextAnalysis.qualityScore(Tables.documents(s, dir))
+          .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id"))),
+
+    // per-turn LOSS-MASK spans: character offsets [char_start, char_end)
+    // of every turn in q190's transcript (separators accounted), loss on
+    // assistant turns only — the standard SFT masking; pure integer
+    // window arithmetic, substring-reassembly pinned in DialogueSpec
+    "q192_loss_mask" -> ((s, dir) =>
+      operators.Dialogue.lossMaskSpans(Tables.events(s, dir))),
+
     // retention cohorts: users cohort by first active day, cells count
     // who is still active at each day offset — groupBys only, no window
     "q168_retention_cohorts" -> ((s, dir) =>
@@ -4958,6 +5011,56 @@ object SparkEntry {
            |       ELSE 'ok' END AS verdict
            |FROM dd""".stripMargin
       },
+
+      // q190: the chat-render replay — q33's sessionization, turn index,
+      // parity roles and the <|role|> template, string_agg'd in turn order
+      "q190_chat_render" ->
+        s"""WITH $dialogueTurnsCtes,
+           |r AS (SELECT user_id, session_id, CAST(count(*) AS INT) AS n_turns,
+           |      string_agg(turn_txt, chr(10) ORDER BY turn_idx) AS transcript
+           |      FROM u GROUP BY 1, 2)
+           |SELECT user_id, session_id, n_turns, transcript,
+           |  CAST(length(transcript) AS BIGINT) AS n_chars,
+           |  length(transcript) <= 32 AS fits_context
+           |FROM r""".stripMargin,
+
+      // q192: per-turn char spans — running sum of (len + 1) per session
+      // (the \n separators), loss flags assistant turns
+      "q192_loss_mask" ->
+        s"""WITH $dialogueTurnsCtes,
+           |m AS (SELECT user_id, session_id, turn_idx, role,
+           |      CAST(length(turn_txt) AS BIGINT) AS n_chars,
+           |      CAST(sum(length(turn_txt) + 1) OVER (
+           |        PARTITION BY user_id, session_id ORDER BY turn_idx)
+           |        - length(turn_txt) - 1 AS BIGINT) AS char_start
+           |      FROM u)
+           |SELECT user_id, session_id, turn_idx, role, n_chars, char_start,
+           |  char_start + n_chars AS char_end,
+           |  role = 'assistant' AS loss
+           |FROM m""".stripMargin,
+
+      // q191: the preference-pair replay — per-source best-k/worst-k rank
+      // windows over the q102 score, 2k <= n disjointness, round-6 margin
+      "q191_preference_pairs" ->
+        s"""WITH $qualityScoreCte,
+           |src AS (SELECT s.doc_id, d.source, s.quality_score
+           |        FROM score s JOIN documents d USING (doc_id)),
+           |cnt AS (SELECT source, count(*) AS n FROM src GROUP BY source),
+           |tp AS (SELECT source, doc_id, quality_score,
+           |       row_number() OVER (PARTITION BY source
+           |         ORDER BY quality_score DESC, doc_id) AS pair_rank
+           |       FROM src),
+           |bt AS (SELECT source, doc_id, quality_score,
+           |       row_number() OVER (PARTITION BY source
+           |         ORDER BY quality_score ASC, doc_id DESC) AS pair_rank
+           |       FROM src)
+           |SELECT t.source, CAST(t.pair_rank AS INT) AS pair_rank,
+           |  t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+           |  t.quality_score AS chosen_score, b.quality_score AS rejected_score,
+           |  round(t.quality_score - b.quality_score, 6) AS margin
+           |FROM tp t JOIN bt b USING (source, pair_rank)
+           |JOIN cnt USING (source)
+           |WHERE t.pair_rank <= 4 AND 2 * t.pair_rank <= cnt.n""".stripMargin,
 
       // q168: distinct (user, day) activity → per-user min day → offset
       // cells; count(*) over distinct rows ≡ count distinct users

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Instruction-tuning (SFT) data preparation: the stage a training-data
+  * pipeline runs AFTER curation, when curated interaction logs become
+  * supervised conversations — threading events into sessions, rendering
+  * each session through a chat template, computing the per-turn LOSS-MASK
+  * spans a trainer needs (loss on assistant turns only — the standard SFT
+  * recipe), and constructing preference pairs (chosen, rejected) for
+  * DPO/RLHF-style training from quality-scored documents.
+  *
+  * Conversation semantics: events thread into sessions with the
+  * [[graft.SparkEntry]] q33 gap rule (> 30 min of silence opens a new
+  * session per user); within a session, turns order by (ts, event_id) and
+  * roles ALTERNATE user/assistant by turn parity (turn 0 = user) — the
+  * canonical SFT shape. Turn text renders through a `<|role|>` template
+  * over the event's type and its integer `k` prop; the transcript joins
+  * turns with `\n`. Everything downstream (char offsets, context-length
+  * gates) is exact integer arithmetic over those strings, so a SQL oracle
+  * replays the whole family verbatim (`string_agg ... ORDER BY`).
+  *
+  * 100 TB shape: sessionization and turn indexing are two windows over
+  * the SAME (user_id)-family partitioning — one shuffle, no global
+  * window; rendering is one (user_id, session_id) aggregation with an
+  * in-group `array_sort` (deterministic regardless of arrival order);
+  * preference pairs use per-bucket rank windows whose `rank <= k` filters
+  * prune via WindowGroupLimit (each partition forwards at most k rows per
+  * side) plus a broadcast of the per-bucket counts — never a cartesian.
+  */
+object Dialogue {
+
+  /** Session gap: 30 minutes, the q33 constant (nanoseconds). */
+  private val gapNs = 1800000000000L
+
+  private def roleOf(turnIdx: Column): Column =
+    when(pmod(turnIdx, lit(2)) === 0, lit("user")).otherwise(lit("assistant"))
+
+  /** Events threaded into conversation turns: q33 sessionization + per-
+    * session turn index + alternating role + chat-template turn text
+    * `<|role|>{event_type} k={k}` (k = the integer prop — the one piece
+    * of event payload that renders identically in both engines; floats
+    * never enter a transcript). */
+  def turns(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val bySession = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("props"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(byUser).cast("int"))
+      .withColumn("turn_idx", (row_number().over(bySession) - 1).cast("int"))
+      .withColumn("role", roleOf(col("turn_idx")))
+      .withColumn("turn_txt",
+        concat(lit("<|"), col("role"), lit("|>"), col("event_type"),
+          lit(" k="), regexp_extract(col("props"), "(\\d+)", 1)))
+      .select("event_id", "user_id", "session_id", "turn_idx", "role", "turn_txt")
+  }
+
+  /** Render each session to one training example: (user_id, session_id,
+    * n_turns, transcript, n_chars, fits_context). The transcript joins
+    * turn texts with `\n` in turn order (an in-group `array_sort` on
+    * (turn_idx, txt) structs — bit-deterministic under any partitioning);
+    * `fits_context` is the context-length gate (chars ≤ `maxChars`) an
+    * SFT pipeline drops or truncates on. */
+  def renderConversations(events: DataFrame, maxChars: Int = 32): DataFrame =
+    turns(events)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).cast("int").as("n_turns"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("turn_idx"), col("turn_txt")))),
+            x => x.getField("turn_txt")),
+          "\n").as("transcript"))
+      .withColumn("n_chars", length(col("transcript")).cast("long"))
+      .withColumn("fits_context", col("n_chars") <= maxChars)
+
+  /** Per-turn LOSS-MASK spans into the rendered transcript: character
+    * offsets [char_start, char_end) of each turn (the `\n` separators
+    * accounted — turn i starts at Σ_{j<i}(len_j + 1)), with `loss` true
+    * exactly on assistant turns — the standard SFT masking (loss on model
+    * turns, none on user turns). `substring(transcript, char_start + 1,
+    * n_chars) == turn_txt` by construction (pinned in DialogueSpec).
+    * Pure integer window arithmetic — one running sum per session. */
+  def lossMaskSpans(events: DataFrame): DataFrame = {
+    val bySession = Window.partitionBy("user_id", "session_id").orderBy("turn_idx")
+    turns(events)
+      .withColumn("n_chars", length(col("turn_txt")).cast("long"))
+      .withColumn("char_start",
+        (sum(col("n_chars") + 1).over(bySession) - col("n_chars") - 1).cast("long"))
+      .withColumn("char_end", (col("char_start") + col("n_chars")).cast("long"))
+      .withColumn("loss", col("role") === "assistant")
+      .select("user_id", "session_id", "turn_idx", "role", "n_chars",
+        "char_start", "char_end", "loss")
+  }
+
+  /** DPO/RLHF preference-pair construction from scored documents: within
+    * each `bucketCol` bucket, pair the rank-k best with the rank-k worst
+    * (by `scoreCol` — ties on doc_id, the deterministic rank), up to
+    * `maxPairs` pairs and never past n/2 (the two sides stay DISJOINT:
+    * 2k ≤ n means top-k and bottom-k cannot overlap, so no document is
+    * ever both chosen and rejected). Output carries both scores and the
+    * round-6 margin — the pair-quality dial a preference dataset filters
+    * on (tiny margins = label noise).
+    *
+    * Scale: the two rank windows partition by bucket and their
+    * `rank <= maxPairs` filters prune via WindowGroupLimit (each
+    * partition forwards ≤ maxPairs rows per side before the join); the
+    * per-bucket counts are a bucket-sized aggregate joined by broadcast.
+    * The pair join is a (bucket, rank) equi-join on two maxPairs-bounded
+    * sides — never a cartesian. */
+  def preferencePairs(scored: DataFrame, bucketCol: String = "source",
+      scoreCol: String = "quality_score", maxPairs: Int = 4): DataFrame = {
+    require(maxPairs > 0, s"maxPairs must be positive, got $maxPairs")
+    val top = Window.partitionBy(bucketCol)
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    val bot = Window.partitionBy(bucketCol)
+      .orderBy(col(scoreCol).asc, col("doc_id").desc)
+    val base = scored.select(col(bucketCol), col("doc_id"), col(scoreCol))
+    val counts = base.groupBy(bucketCol).agg(count(lit(1)).as("__n"))
+    val chosen = base
+      .withColumn("pair_rank", row_number().over(top))
+      .filter(col("pair_rank") <= maxPairs)
+      .select(col(bucketCol), col("pair_rank"),
+        col("doc_id").as("chosen_id"), col(scoreCol).as("chosen_score"))
+    val rejected = base
+      .withColumn("pair_rank", row_number().over(bot))
+      .filter(col("pair_rank") <= maxPairs)
+      .select(col(bucketCol), col("pair_rank"),
+        col("doc_id").as("rejected_id"), col(scoreCol).as("rejected_score"))
+    chosen.join(rejected, Seq(bucketCol, "pair_rank"))
+      .join(broadcast(counts), bucketCol)
+      .filter(lit(2) * col("pair_rank") <= col("__n"))
+      .select(col(bucketCol), col("pair_rank").cast("int").as("pair_rank"),
+        col("chosen_id"), col("rejected_id"),
+        col("chosen_score"), col("rejected_score"),
+        round(col("chosen_score") - col("rejected_score"), 6).as("margin"))
+  }
+}

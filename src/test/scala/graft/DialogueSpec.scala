@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dialogue
+
+class DialogueSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ts follows the Tables.events contract: epoch-NANOS BIGINT
+  private def ev(id: Long, user: Long, minute: Long, typ: String, k: Int) =
+    (id, minute * 60000000000L, user, typ, 0.0, s"""{"k": $k}""")
+
+  private def eventsDf(rows: Seq[(Long, Long, Long, String, Double, String)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("turns: 30-min gap opens a session, roles alternate, template renders") {
+    val df = eventsDf(Seq(
+      ev(0, 1, 0, "signup", 7),      // session 1 turn 0 (user)
+      ev(1, 1, 29, "click", 42),     // 29 min gap -> same session, turn 1 (assistant)
+      ev(2, 1, 60, "purchase", 3),   // 31 min gap -> session 2 turn 0
+      ev(3, 2, 5, "error", 99)))     // other user, own session 1
+    val got = Dialogue.turns(df).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getString(4), r.getString(5)))
+      .sortBy(_._1)
+    assert(got(0) == ((0L, 1, 0, "user", "<|user|>signup k=7")))
+    assert(got(1) == ((1L, 1, 1, "assistant", "<|assistant|>click k=42")))
+    assert(got(2) == ((2L, 2, 0, "user", "<|user|>purchase k=3")))
+    assert(got(3) == ((3L, 1, 0, "user", "<|user|>error k=99")))
+  }
+
+  test("renderConversations: transcript joins turns in order; gate on chars") {
+    val df = eventsDf(Seq(ev(0, 1, 0, "signup", 7), ev(1, 1, 10, "click", 42)))
+    val row = Dialogue.renderConversations(df, maxChars = 32).collect().head
+    assert(row.getAs[String]("transcript") ==
+      "<|user|>signup k=7\n<|assistant|>click k=42")
+    assert(row.getAs[Int]("n_turns") == 2)
+    assert(row.getAs[Long]("n_chars") == 42L)
+    assert(!row.getAs[Boolean]("fits_context"))
+    // a single-turn session fits
+    val one = Dialogue.renderConversations(
+      eventsDf(Seq(ev(0, 1, 0, "signup", 7)))).collect().head
+    assert(one.getAs[Boolean]("fits_context"))
+  }
+
+  test("lossMaskSpans: spans reassemble the transcript exactly; loss = assistant") {
+    // three-turn session with varying turn lengths (event types + k digits)
+    val df = eventsDf(Seq(
+      ev(0, 1, 0, "signup", 7), ev(1, 1, 10, "purchase", 42),
+      ev(2, 1, 20, "error", 5)))
+    val transcript = Dialogue.renderConversations(df, maxChars = 1000)
+      .collect().head.getAs[String]("transcript")
+    val spans = Dialogue.lossMaskSpans(df).collect()
+      .map(r => (r.getInt(2), r.getString(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getBoolean(7)))
+      .sortBy(_._1)
+    // spans tile [0, len) with one separator char between turns
+    assert(spans.head._4 == 0L)
+    for (Array(a, b) <- spans.sliding(2)) assert(b._4 == a._5 + 1)
+    assert(spans.last._5 == transcript.length.toLong)
+    // each span cuts its own turn text back out of the transcript
+    for ((_, role, n, s, e, loss) <- spans) {
+      val cut = transcript.substring(s.toInt, e.toInt)
+      assert(cut.length.toLong == n)
+      assert(cut.startsWith("<|" + role + "|>"))
+      assert(loss == (role == "assistant"))
+    }
+    assert(spans.map(_._2).toSeq == Seq("user", "assistant", "user"))
+  }
+
+  test("preferencePairs: best-k pairs worst-k, disjoint, margin round-6") {
+    val scored = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.5), ("a", 4L, 0.2),
+      ("a", 5L, 0.1),                       // n=5 -> 2 pairs (2k <= 5)
+      ("b", 6L, 0.7),                       // n=1 -> no pairs
+      ("c", 7L, 0.6), ("c", 8L, 0.4))       // n=2 -> 1 pair
+      .toDF("source", "doc_id", "quality_score")
+    val got = Dialogue.preferencePairs(scored).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(6)))
+      .sortBy(p => (p._1, p._2))
+    assert(got.toSeq == Seq(
+      ("a", 1, 1L, 5L, 0.8), ("a", 2, 2L, 4L, 0.6), ("c", 1, 7L, 8L, 0.2)))
+    // chosen and rejected sides never share a document
+    val ch = got.map(_._3).toSet; val rj = got.map(_._4).toSet
+    assert(ch.intersect(rj).isEmpty)
+  }
+
+  test("preferencePairs: score ties break on doc_id from both ends") {
+    val scored = Seq(
+      ("a", 1L, 0.5), ("a", 2L, 0.5), ("a", 3L, 0.5), ("a", 4L, 0.5))
+      .toDF("source", "doc_id", "quality_score")
+    val got = Dialogue.preferencePairs(scored, maxPairs = 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // top ranks ascending doc_id, bottom ranks descending doc_id
+    assert(got.toSeq == Seq((1, 1L, 4L), (2, 2L, 3L)))
+  }
+
+  test("spans tile every session on the real corpus slice") {
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val bad = Dialogue.lossMaskSpans(events)
+      .groupBy("user_id", "session_id")
+      .agg(min("char_start").as("s0"),
+        max("char_end").as("e1"),
+        sum(col("n_chars") + 1).as("covered"))
+      .filter(col("s0") =!= 0 || col("e1") =!= col("covered") - 1)
+      .count()
+    assert(bad == 0L)
+  }
+}

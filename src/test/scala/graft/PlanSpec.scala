@@ -126,6 +126,30 @@ class PlanSpec extends AnyFunSuite {
       "doc-word counts must map-side combine")
   }
 
+  test("chat render + loss masks (q190/q192): one user-keyed exchange, no re-shuffle") {
+    // sessionize windows partition by user_id; the per-session window and
+    // the render aggregation both cluster on (user_id, session_id) — a
+    // SUBSET-satisfied distribution, so neither may add an exchange
+    for (q <- Seq("q190_chat_render", "q192_loss_mask")) {
+      val p = plan(q)
+      assert("Exchange".r.findAllIn(p).size == 1,
+        s"$q must cost exactly the one user-keyed shuffle")
+    }
+  }
+
+  test("preference pairs (q191): rank windows group-limited, counts broadcast, no cartesian") {
+    val p = plan("q191_preference_pairs")
+    assert(p.contains("WindowGroupLimit"),
+      "rank <= k must prune below the rank windows")
+    assert(p.contains("BroadcastHashJoin"), "bucket counts must broadcast")
+    // the only nested-loop allowed is the q60/q102 scalar-totals cross
+    // join (single-row build side inside the quality score); the PAIRING
+    // join itself must be the (bucket, rank) equi-join
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    assert("Join \\[source[^,]*, pair_rank".r.findFirstIn(p).isDefined,
+      "pairing must join on (source, pair_rank)")
+  }
+
   test("FFD packing (q173): exactly the one shard repartition exchange") {
     val p = plan("q173_pack_ffd")
     assert("Exchange".r.findAllIn(p).size == 1,
