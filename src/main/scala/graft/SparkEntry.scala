@@ -2882,6 +2882,20 @@ object SparkEntry {
     "q192_loss_mask" -> ((s, dir) =>
       operators.Dialogue.lossMaskSpans(Tables.events(s, dir))),
 
+    // exact conversation dedup, keep-first: identical transcripts collapse
+    // to the (user, session)-smallest keeper with a dup count — the
+    // dedup-your-SFT-set step; md5(transcript) is the fixed-width shuffle
+    // key (the q20 posture)
+    "q194_dedup_conversations" -> ((s, dir) =>
+      operators.Dialogue.dedupConversations(Tables.events(s, dir))),
+
+    // the SFT mini-capstone: render → exact-dedup → context gate → pack
+    // survivors into 128-char budgets under the q57 packing contract
+    // (sharded streams, running offsets, unique seq ids, straddle flag) —
+    // one lazy plan across all three shuffles, each keyed by its grouping
+    "q193_pack_conversations" -> ((s, dir) =>
+      operators.Dialogue.packConversations(Tables.events(s, dir))),
+
     // retention cohorts: users cohort by first active day, cells count
     // who is still active at each day offset — groupBys only, no window
     "q168_retention_cohorts" -> ((s, dir) =>
@@ -5061,6 +5075,48 @@ object SparkEntry {
            |FROM tp t JOIN bt b USING (source, pair_rank)
            |JOIN cnt USING (source)
            |WHERE t.pair_rank <= 4 AND 2 * t.pair_rank <= cnt.n""".stripMargin,
+
+      // q194: render replay + md5 grouping, keep-first by (user, session)
+      "q194_dedup_conversations" ->
+        s"""WITH $dialogueTurnsCtes,
+           |r AS (SELECT user_id, session_id,
+           |      string_agg(turn_txt, chr(10) ORDER BY turn_idx) AS transcript
+           |      FROM u GROUP BY 1, 2),
+           |h AS (SELECT user_id, session_id, md5(transcript) AS t_hash FROM r),
+           |k AS (SELECT t_hash, user_id, session_id,
+           |      row_number() OVER (PARTITION BY t_hash
+           |        ORDER BY user_id, session_id) AS rn,
+           |      count(*) OVER (PARTITION BY t_hash) AS n_dups
+           |      FROM h)
+           |SELECT t_hash, user_id AS keep_user_id, session_id AS keep_session_id,
+           |  CAST(n_dups AS BIGINT) AS n_dups
+           |FROM k WHERE rn = 1""".stripMargin,
+
+      // q193: the capstone replay — render, md5 keep-first, 32-char gate,
+      // then the q57 pack-window arithmetic over (user_id + session_id)
+      // mod 8 shards
+      "q193_pack_conversations" ->
+        s"""WITH $dialogueTurnsCtes,
+           |r AS (SELECT user_id, session_id,
+           |      string_agg(turn_txt, chr(10) ORDER BY turn_idx) AS transcript
+           |      FROM u GROUP BY 1, 2),
+           |h AS (SELECT user_id, session_id, transcript,
+           |      md5(transcript) AS t_hash,
+           |      CAST(length(transcript) AS BIGINT) AS n_chars FROM r),
+           |k AS (SELECT *, row_number() OVER (PARTITION BY t_hash
+           |        ORDER BY user_id, session_id) AS rn FROM h),
+           |pt AS (SELECT user_id, session_id,
+           |       CAST((user_id + session_id) % 8 AS INT) AS shard, n_chars
+           |       FROM k WHERE rn = 1 AND length(transcript) <= 32),
+           |s2 AS (SELECT user_id, session_id, shard, n_chars,
+           |       CAST(sum(n_chars) OVER (PARTITION BY shard
+           |         ORDER BY user_id, session_id) - n_chars AS BIGINT) AS start_off
+           |       FROM pt)
+           |SELECT user_id, session_id, shard, n_chars, start_off,
+           |  shard * 281474976710656 + (start_off // 128) AS seq_id,
+           |  (start_off // 128) <> ((start_off + n_chars - 1) // 128)
+           |    AS crosses_boundary
+           |FROM s2""".stripMargin,
 
       // q168: distinct (user, day) activity → per-user min day → offset
       // cells; count(*) over distinct rows ≡ count distinct users

@@ -100,6 +100,58 @@ object Dialogue {
         "char_start", "char_end", "loss")
   }
 
+  /** Exact conversation dedup, keep-first: identical rendered transcripts
+    * collapse to the (user_id, session_id)-smallest keeper with a
+    * duplicate count — the "dedup your SFT set" step every
+    * instruction-tuning pipeline runs before training (duplicate
+    * conversations overweight their gradient exactly like duplicate
+    * documents do). Grouping key is md5(transcript) — fixed-width shuffle
+    * key, the q20 exact-dedup posture; the transcript itself never
+    * becomes a shuffle key. */
+  def dedupConversations(events: DataFrame): DataFrame = {
+    val byHash = Window.partitionBy("t_hash").orderBy("user_id", "session_id")
+    renderConversations(events)
+      .withColumn("t_hash", md5(col("transcript")))
+      .withColumn("rn", row_number().over(byHash))
+      .withColumn("n_dups", count(lit(1)).over(Window.partitionBy("t_hash")))
+      .filter(col("rn") === 1)
+      .select(col("t_hash"), col("user_id").as("keep_user_id"),
+        col("session_id").as("keep_session_id"), col("n_dups"))
+  }
+
+  /** The SFT mini-capstone: render → exact-dedup (keep-first) → context
+    * gate → pack surviving conversations into fixed character budgets —
+    * the [[TextAnalysis.packSequences]] layout contract (sharded streams,
+    * running-sum offsets, globally unique seq ids, boundary-straddle
+    * flag) keyed by conversation. Shard = (user_id + session_id) mod
+    * `shards` — pure integer, oracle-replayable; within a shard the
+    * stream orders by (user_id, session_id). One plan end to end: the
+    * user-keyed render shuffle, the hash-keyed dedup shuffle, the shard
+    * repartition — each keyed by what it groups, nothing global. */
+  def packConversations(events: DataFrame, maxChars: Int = 128,
+      shards: Int = 8): DataFrame = {
+    val byHash = Window.partitionBy("t_hash").orderBy("user_id", "session_id")
+    val byShard = Window.partitionBy("shard").orderBy("user_id", "session_id")
+    renderConversations(events)
+      .withColumn("t_hash", md5(col("transcript")))
+      .withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") === 1 && col("fits_context"))
+      .select(col("user_id"), col("session_id"),
+        pmod(col("user_id") + col("session_id"), lit(shards.toLong))
+          .cast("int").as("shard"),
+        col("n_chars"))
+      .withColumn("start_off",
+        (sum(col("n_chars")).over(byShard) - col("n_chars")).cast("long"))
+      .withColumn("local_seq", floor(col("start_off") / maxChars).cast("long"))
+      .select(
+        col("user_id"), col("session_id"), col("shard"), col("n_chars"),
+        col("start_off"),
+        (col("shard").cast("long") * (1L << 48) + col("local_seq")).as("seq_id"),
+        (col("local_seq") =!=
+          floor((col("start_off") + col("n_chars") - 1) / maxChars).cast("long"))
+          .as("crosses_boundary"))
+  }
+
   /** DPO/RLHF preference-pair construction from scored documents: within
     * each `bucketCol` bucket, pair the rank-k best with the rank-k worst
     * (by `scoreCol` — ties on doc_id, the deterministic rank), up to

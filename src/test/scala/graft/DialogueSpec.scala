@@ -97,6 +97,39 @@ class DialogueSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, 1L, 4L), (2, 2L, 3L)))
   }
 
+  test("dedupConversations: identical transcripts keep the smallest (user, session)") {
+    // users 2 and 5 produce the SAME single-turn transcript; user 5 also
+    // has a distinct one in a later session
+    val df = eventsDf(Seq(
+      ev(0, 5, 0, "signup", 7), ev(1, 2, 10, "signup", 7),
+      ev(2, 5, 60, "click", 9)))
+    val got = Dialogue.dedupConversations(df).collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(p => (p._1, p._2))
+    // session ids are 1-based (the q33 running-sum convention)
+    assert(got.toSeq == Seq((2L, 1, 2L), (5L, 2, 1L)))
+  }
+
+  test("packConversations: dups and oversize drop; offsets run per shard") {
+    val df = eventsDf(Seq(
+      ev(0, 5, 0, "signup", 7),                            // (5,1): shard 6, 18 chars
+      ev(1, 13, 0, "signup", 7),                           // duplicate of ^, dropped
+      ev(2, 5, 60, "click", 9), ev(3, 5, 70, "click", 9),  // 2-turn, 40 chars > gate
+      ev(4, 13, 90, "error", 1)))                          // (13,2): shard 7, 17 chars
+    val got = Dialogue.packConversations(df, maxChars = 24, shards = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .sortBy(p => (p._3, p._1))
+    // only the two unique, fitting conversations pack
+    assert(got.length == 2)
+    val Seq(a, b) = got.toSeq
+    assert(a._1 == 5L && a._3 == 6 && a._4 == 18L && a._5 == 0L &&
+      a._6 == 6L * (1L << 48) && !a._7)
+    assert(b._1 == 13L && b._3 == 7 && b._4 == 17L && b._5 == 0L &&
+      b._6 == 7L * (1L << 48) && !b._7)
+  }
+
   test("spans tile every session on the real corpus slice") {
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val bad = Dialogue.lossMaskSpans(events)
