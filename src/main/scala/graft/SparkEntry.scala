@@ -2770,6 +2770,14 @@ object SparkEntry {
       operators.Unigram.packSequencesUnigram(Tables.documents(s, dir),
         unigramPieces, maxTokens = 256, shards = 8)),
 
+    // packing budgeted in WORDPIECE tokens — the per-tokenizer packing
+    // triple completed (q88 BPE, q177 unigram, this): [UNK] budgets as 1
+    // token, exactly what a BERT-family model would consume; runs over
+    // the accented fixture so UNK-budgeted docs are in the compared data
+    "q195_pack_wordpiece" -> ((s, dir) =>
+      operators.WordPiece.packSequencesWordPiece(accentedDocuments(s, dir),
+        wordPieceVocab, maxTokens = 256, shards = 8)),
+
     // Gopher line-repetition signals (Rae §A1.1's line/paragraph half;
     // qualityRules carries the word half): duplicated-line occurrence and
     // character fractions from one in-row sorted-run fold; the oracle
@@ -2881,6 +2889,14 @@ object SparkEntry {
     // window arithmetic, substring-reassembly pinned in DialogueSpec
     "q192_loss_mask" -> ((s, dir) =>
       operators.Dialogue.lossMaskSpans(Tables.events(s, dir))),
+
+    // few-shot (ICL) prompt assembly: the held-out query slice retrieves
+    // its k most lexically similar pool docs (broadcast queries, bucket
+    // equi-join, WindowGroupLimit top-k — the q153 machinery) and renders
+    // the Input:/Label: few-shot block, query last with a blank label —
+    // exemplar selection by similarity, the standard ICL recipe
+    "q196_fewshot_prompts" -> ((s, dir) =>
+      operators.Dialogue.fewShotPrompts(Tables.documents(s, dir))),
 
     // exact conversation dedup, keep-first: identical transcripts collapse
     // to the (user, session)-smallest keeper with a dup count — the
@@ -4848,6 +4864,22 @@ object SparkEntry {
            |(start_off // 256) <> ((start_off + n_tokens - 1) // 256) AS crosses_boundary
            |FROM s""".stripMargin,
 
+      // q195: the q177 pack arithmetic with the wp token counts (the
+      // q188 greedy-walk CTE) as the budget column
+      "q195_pack_wordpiece" ->
+        s"""WITH RECURSIVE fx AS ($accentedFixtureSql),
+           |$accentedWordCountCtes,
+           |$wordPieceCtes,
+           |t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+           |      n_wp_tokens AS n_tokens FROM wp),
+           |s AS (SELECT doc_id, shard, n_tokens,
+           |      CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+           |           - n_tokens AS BIGINT) AS start_off FROM t)
+           |SELECT doc_id, shard, n_tokens, start_off,
+           |CAST(shard AS BIGINT) * 281474976710656 + start_off // 256 AS seq_id,
+           |(start_off // 256) <> ((start_off + n_tokens - 1) // 256) AS crosses_boundary
+           |FROM s""".stripMargin,
+
       // q176: INDEPENDENT recomputation — per-line group-by counts (vs
       // the operator's sorted-run fold), dup fractions over c >= 2 lines
       "q176_line_repetition" ->
@@ -5075,6 +5107,45 @@ object SparkEntry {
            |FROM tp t JOIN bt b USING (source, pair_rank)
            |JOIN cnt USING (source)
            |WHERE t.pair_rank <= 4 AND 2 * t.pair_rank <= cnt.n""".stripMargin,
+
+      // q196: the q153 retrieval replay over whole docs (pool = doc_id
+      // not ≡ 0 mod 100, queries = the complement) + the Input:/Label:
+      // rendering, string_agg'd in rank order
+      "q196_fewshot_prompts" ->
+        """WITH pw AS (SELECT doc_id,
+          |        ('0x' || substr(md5(w), 1, 4))::INT % 256 AS b
+          |       FROM documents, UNNEST(string_split(text, ' ')) t(w)
+          |       WHERE doc_id % 100 <> 0),
+          |pv AS (SELECT doc_id, b, count(*) AS pc FROM pw GROUP BY 1, 2),
+          |qw AS (SELECT doc_id AS query_id,
+          |        ('0x' || substr(md5(w), 1, 4))::INT % 256 AS b
+          |       FROM documents, UNNEST(string_split(text, ' ')) t(w)
+          |       WHERE doc_id % 100 = 0),
+          |qv AS (SELECT query_id, b, count(*) AS qc FROM qw GROUP BY 1, 2),
+          |pn AS (SELECT doc_id, sum(pc * pc) AS pss FROM pv GROUP BY 1),
+          |qn AS (SELECT query_id, sum(qc * qc) AS qss FROM qv GROUP BY 1),
+          |d AS (SELECT qv.query_id, pv.doc_id, sum(pv.pc * qv.qc) AS dot
+          |      FROM pv JOIN qv ON pv.b = qv.b GROUP BY 1, 2),
+          |sc AS (SELECT d.query_id, d.doc_id,
+          |        CAST((d.dot * d.dot * 1000000) // (pn.pss * qn.qss) AS BIGINT) AS cos2_e6
+          |       FROM d JOIN pn ON d.doc_id = pn.doc_id
+          |              JOIN qn ON d.query_id = qn.query_id),
+          |tk AS (SELECT query_id, doc_id,
+          |        CAST(row_number() OVER (PARTITION BY query_id
+          |          ORDER BY cos2_e6 DESC, doc_id) AS INT) AS rank
+          |       FROM sc QUALIFY rank <= 3),
+          |ex AS (SELECT t.query_id, t.rank,
+          |        'Input: ' || substring(dd.text, 1, 40) || chr(10) ||
+          |          'Label: ' || dd.source || chr(10) || chr(10) AS piece
+          |       FROM tk t JOIN documents dd USING (doc_id)),
+          |qp AS (SELECT doc_id AS query_id,
+          |        'Input: ' || substring(text, 1, 40) || chr(10) || 'Label:' AS qpiece
+          |       FROM documents WHERE doc_id % 100 = 0),
+          |ag AS (SELECT query_id, CAST(count(*) AS INT) AS n_exemplars,
+          |        string_agg(piece, '' ORDER BY rank) AS shots FROM ex GROUP BY 1)
+          |SELECT query_id, n_exemplars, shots || qpiece AS prompt,
+          |  CAST(length(shots || qpiece) AS BIGINT) AS n_chars
+          |FROM ag JOIN qp USING (query_id)""".stripMargin,
 
       // q194: render replay + md5 grouping, keep-first by (user, session)
       "q194_dedup_conversations" ->

@@ -152,6 +152,51 @@ object Dialogue {
           .as("crosses_boundary"))
   }
 
+  /** Few-shot (in-context-learning) prompt assembly — the eval-side data
+    * prep every benchmark harness runs: hold out a query slice
+    * (doc_id ≡ 0 mod `queryMod` — disjoint from the pool by
+    * construction, so a query can never retrieve itself), retrieve the
+    * top-k most lexically similar pool documents per query
+    * ([[Similarity.hashedRetrievalTopK]] — broadcast queries, bucket
+    * equi-join, WindowGroupLimit top-k), and render the classic
+    * `Input: …\nLabel: …` few-shot block with the query's own snippet
+    * last, label blank — exemplar selection BY SIMILARITY, the standard
+    * ICL recipe. Snippets truncate to `snippetChars` so prompt size is
+    * bounded by k, not by document length.
+    *
+    * Output: (query_id, n_exemplars, prompt, n_chars). Rendering uses
+    * the in-group array_sort idiom (bit-deterministic under any
+    * partitioning); every downstream byte is a pure function of the
+    * retrieval ranks, so the SQL oracle replays retrieval AND rendering. */
+  def fewShotPrompts(docs: DataFrame, k: Int = 3, snippetChars: Int = 40,
+      buckets: Int = 256, queryMod: Long = 100): DataFrame = {
+    require(k > 0 && snippetChars > 0, s"need k > 0 and snippetChars > 0")
+    val queries = docs.filter(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val pool = docs.filter(col("doc_id") % queryMod =!= 0)
+      .select(col("doc_id"), lit(0L).as("chunk_id"), col("text").as("chunk_text"))
+    val top = Similarity.hashedRetrievalTopK(pool, queries, buckets, k)
+    val ex = top
+      .join(docs.select(col("doc_id"),
+        substring(col("text"), 1, snippetChars).as("snippet"), col("source")),
+        "doc_id")
+      .select(col("query_id"), col("rank"),
+        concat(lit("Input: "), col("snippet"), lit("\nLabel: "),
+          col("source"), lit("\n\n")).as("piece"))
+    val qp = queries.select(col("query_id"),
+      concat(lit("Input: "), substring(col("text"), 1, snippetChars),
+        lit("\nLabel:")).as("qpiece"))
+    ex.groupBy("query_id")
+      .agg(count(lit(1)).cast("int").as("n_exemplars"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("rank"), col("piece")))),
+            x => x.getField("piece")), "").as("shots"))
+      .join(qp, "query_id")
+      .select(col("query_id"), col("n_exemplars"),
+        concat(col("shots"), col("qpiece")).as("prompt"))
+      .withColumn("n_chars", length(col("prompt")).cast("long"))
+  }
+
   /** DPO/RLHF preference-pair construction from scored documents: within
     * each `bucketCol` bucket, pair the rank-k best with the rank-k worst
     * (by `scoreCol` — ties on doc_id, the deterministic rank), up to

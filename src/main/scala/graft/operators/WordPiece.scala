@@ -283,6 +283,34 @@ object WordPiece {
         sum(col("n") * col("is_unk")).as("n_unk"))
   }
 
+  /** Sequence packing budgeted in WordPiece tokens —
+    * [[graft.operators.TextAnalysis.packSequences]]'s layout contract
+    * (sharded streams, per-shard running sum, globally unique seq ids)
+    * with the token column swapped for this tokenizer's count, completing
+    * the per-tokenizer packing triple beside [[Bpe.packSequencesBpe]] and
+    * [[Unigram.packSequencesUnigram]]: whichever tokenizer a pipeline
+    * trains, its packing budgets in the SAME tokens ([UNK] counts 1,
+    * exactly as the model would see it). */
+  def packSequencesWordPiece(docs: DataFrame, vocab: Seq[String],
+      maxTokens: Int = 2048, shards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    tokenCounts(docs, vocab)
+      .select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(shards.toLong)).cast("int").as("shard"),
+        col("n_wp_tokens").as("n_tokens"))
+      .withColumn("start_off",
+        (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
+      .withColumn("local_seq", floor(col("start_off") / maxTokens).cast("long"))
+      .select(
+        col("doc_id"), col("shard"), col("n_tokens"), col("start_off"),
+        (col("shard").cast("long") * (1L << 48) + col("local_seq")).as("seq_id"),
+        (col("local_seq") =!=
+          floor((col("start_off") + col("n_tokens") - 1) / maxTokens).cast("long"))
+          .as("crosses_boundary"))
+  }
+
   /** WordPiece fertility + out-of-vocabulary rate by corpus slice —
     * [[Bpe.fertilityReport]]'s twin plus the UNK dimension BPE/unigram
     * don't have (their alphabets cover everything; a WordPiece vocabulary

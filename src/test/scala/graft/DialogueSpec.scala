@@ -130,6 +130,26 @@ class DialogueSpec extends AnyFunSuite {
       b._6 == 7L * (1L << 48) && !b._7)
   }
 
+  test("fewShotPrompts: similar exemplars rank first, query last with blank label") {
+    val docs = Seq(
+      (100L, "alpha beta gamma", "qsrc"),      // the held-out query (id % 100 = 0)
+      (1L, "alpha beta gamma", "srcA"),        // identical -> rank 1
+      (2L, "alpha beta delta", "srcB"),        // 2/3 overlap -> rank 2
+      (3L, "zz yy xx", "srcC"))                // disjoint terms -> no bucket hit
+      .toDF("doc_id", "text", "source")
+    val got = Dialogue.fewShotPrompts(docs, k = 2, snippetChars = 40).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("query_id") == 100L)
+    assert(r.getAs[Int]("n_exemplars") == 2)
+    assert(r.getAs[String]("prompt") ==
+      "Input: alpha beta gamma\nLabel: srcA\n\n" +
+      "Input: alpha beta delta\nLabel: srcB\n\n" +
+      "Input: alpha beta gamma\nLabel:")
+    // the query document itself is never an exemplar (disjoint split)
+    assert(!r.getAs[String]("prompt").contains("qsrc"))
+  }
+
   test("spans tile every session on the real corpus slice") {
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val bad = Dialogue.lossMaskSpans(events)

@@ -150,6 +150,16 @@ class PlanSpec extends AnyFunSuite {
       "pairing must join on (source, pair_rank)")
   }
 
+  test("few-shot prompts (q196): queries broadcast, top-k group-limited, no cartesian") {
+    // the q153 retrieval asymmetry carried through rendering: query-side
+    // vectors and norms broadcast; the pool never shuffles on the bucket
+    val p = plan("q196_fewshot_prompts")
+    assert(p.contains("BroadcastHashJoin"), "query vectors must broadcast")
+    assert(p.contains("WindowGroupLimit"), "top-k must prune below the window")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "retrieval must stay bucket-equi-joined")
+  }
+
   test("FFD packing (q173): exactly the one shard repartition exchange") {
     val p = plan("q173_pack_ffd")
     assert("Exchange".r.findAllIn(p).size == 1,

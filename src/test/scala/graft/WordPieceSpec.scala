@@ -114,6 +114,19 @@ class WordPieceSpec extends AnyFunSuite {
     assert(got(1L) == ((2L, 2L, 2L)))
   }
 
+  test("packSequencesWordPiece: budgets in wp tokens, straddle flag exact") {
+    // doc 0: 'window window' = 2 x (wind ##o ##w) = 6 wp tokens;
+    // doc 8: 'zzz' = [UNK] = 1 token; both shard 0 under shards=8
+    val fx = Seq((0L, "window window"), (8L, "zzz")).toDF("doc_id", "text")
+    val got = WordPiece.packSequencesWordPiece(fx, SparkEntry.wordPieceVocab,
+      maxTokens = 4, shards = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 0, 6L, 0L, 0L, true),   // tokens 0..5 straddle the 4-boundary
+      (8L, 0, 1L, 6L, 1L, false))) // starts in window 1, fits
+  }
+
   test("property: full char coverage never UNKs and pieces reassemble the word") {
     val rnd = new scala.util.Random(41)
     val alphabet = "abcdxy"
