@@ -277,6 +277,40 @@ object StreamingWindows {
       }
   }
 
+  /** STREAMING chat-template rendering — the ingest-time analogue of
+    * [[graft.operators.Dialogue.renderConversations]]: events group into
+    * gap sessions with the built-in `session_window`, each session's
+    * turns sort in state ((ts, event_id) struct order), roles alternate
+    * by post-sort position and the whole session renders to one
+    * transcript when the watermark closes it — an SFT corpus assembling
+    * itself as interaction logs arrive. One stateful aggregation; state
+    * per open session is its turn structs, evicted at watermark close.
+    *
+    * Boundary caveat (pinned in StreamingSpec): `session_window` starts a
+    * NEW session when the gap is ≥ the threshold, while the batch q33
+    * rule reopens only when STRICTLY greater — an event exactly `gap`
+    * after its predecessor stays in-session in batch but splits here.
+    * Everywhere off that measure-zero boundary the two agree, and the
+    * parity test matches transcripts on real data. */
+  def streamingChatRender(events: DataFrame, gap: String, watermark: String,
+      maxChars: Int = 32): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        col("ts"), col("event_id"), col("event_type"), col("props")))).as("__turns"))
+      .select(col("session_window.start").as("sess_start"), col("user_id"),
+        size(col("__turns")).as("n_turns"),
+        array_join(
+          transform(col("__turns"), (x, i) =>
+            concat(lit("<|"),
+              when(pmod(i, lit(2)) === 0, lit("user")).otherwise(lit("assistant")),
+              lit("|>"), x.getField("event_type"), lit(" k="),
+              regexp_extract(x.getField("props"), "(\\d+)", 1))),
+          "\n").as("transcript"))
+      .withColumn("n_chars", length(col("transcript")).cast("long"))
+      .withColumn("fits_context", col("n_chars") <= maxChars)
+
   /** STREAMING online first-fit packing — the ingest-time analogue of
     * [[graft.operators.TextAnalysis.packFirstFitDecreasing]]: arriving
     * documents drop into the first open bin with room in their shard, a

@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming._
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class EvP(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, props: String)
 
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -403,5 +404,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(0L) == 1L && got(8L) == 1L)
     assert(got(16L) == 2L && got(24L) == 3L)
     assert(got(32L) == 2L) // NOT bin 1: it was closed by the cap
+  }
+
+  test("streaming chat render: transcripts match the batch Dialogue operator") {
+    // user 1: two in-gap events (one 2-turn session) + one after the gap;
+    // user 2: a single event — 4 sessions total
+    val fx = Seq(
+      EvP(0, t(0), 1, "signup", """{"k": 7}"""),
+      EvP(1, t(10), 1, "click", """{"k": 42}"""),
+      EvP(2, t(55), 1, "error", """{"k": 3}"""),
+      EvP(3, t(5), 2, "purchase", """{"k": 9}"""))
+    val stream = MemoryStream[EvP](spark)
+    stream.addData(fx: _*)
+    val q = StreamingWindows.streamingChatRender(stream.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("chatrender").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("chatrender").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("transcript"),
+        r.getAs[Int]("n_turns"), r.getAs[Boolean]("fits_context")))
+    assert(streamed.length == 4)
+    assert(streamed.toSet.contains(
+      (1L, "<|user|>signup k=7\n<|assistant|>click k=42", 2, false)))
+    // parity: same events through the batch operator (ts as epoch nanos)
+    val batchDf = fx.map(e => (e.event_id, e.ts.getTime * 1000000L, e.user_id,
+      e.event_type, e.props)).toDF("event_id", "ts", "user_id", "event_type", "props")
+    val batched = graft.operators.Dialogue.renderConversations(batchDf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("transcript"),
+        r.getAs[Int]("n_turns"), r.getAs[Boolean]("fits_context")))
+    assert(streamed.toSet == batched.toSet)
+  }
+
+  test("streaming chat render: the exact-gap boundary splits (batch keeps) - pinned") {
+    // two events exactly 30:00 apart: session_window opens a NEW session
+    // (gap >= threshold) while the batch q33 rule (gap > threshold) keeps
+    // one - the documented measure-zero divergence
+    val fx = Seq(
+      EvP(0, t(0), 1, "signup", """{"k": 1}"""),
+      EvP(1, t(30), 1, "click", """{"k": 2}"""))
+    val stream = MemoryStream[EvP](spark)
+    stream.addData(fx: _*)
+    val q = StreamingWindows.streamingChatRender(stream.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("chatboundary").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("chatboundary").count() == 2L) // streaming: two sessions
+    val batchDf = fx.map(e => (e.event_id, e.ts.getTime * 1000000L, e.user_id,
+      e.event_type, e.props)).toDF("event_id", "ts", "user_id", "event_type", "props")
+    assert(graft.operators.Dialogue.renderConversations(batchDf).count() == 1L)
   }
 }
