@@ -286,11 +286,12 @@ object StreamingWindows {
     * itself as interaction logs arrive. One stateful aggregation; state
     * per open session is its turn structs, evicted at watermark close.
     *
-    * Boundary caveat (pinned in StreamingSpec): `session_window` starts a
-    * NEW session when the gap is ≥ the threshold, while the batch q33
-    * rule reopens only when STRICTLY greater — an event exactly `gap`
-    * after its predecessor stays in-session in batch but splits here.
-    * Everywhere off that measure-zero boundary the two agree, and the
+    * Boundary behavior (pinned in StreamingSpec): `session_window`
+    * MERGES touching windows — an event exactly `gap` after its
+    * predecessor opens a window starting at the previous session's end,
+    * and Spark coalesces the two — so streaming agrees with the batch
+    * q33 rule (a new session only when the gap is STRICTLY greater than
+    * the threshold) everywhere, including the exact-gap boundary. The
     * parity test matches transcripts on real data. */
   def streamingChatRender(events: DataFrame, gap: String, watermark: String,
       maxChars: Int = 32): DataFrame =

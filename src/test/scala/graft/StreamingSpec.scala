@@ -408,7 +408,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming chat render: transcripts match the batch Dialogue operator") {
     // user 1: two in-gap events (one 2-turn session) + one after the gap;
-    // user 2: a single event — 4 sessions total
+    // user 2: a single event — 3 sessions total
     val fx = Seq(
       EvP(0, t(0), 1, "signup", """{"k": 7}"""),
       EvP(1, t(10), 1, "click", """{"k": 42}"""),
@@ -422,7 +422,7 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = spark.table("chatrender").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("transcript"),
         r.getAs[Int]("n_turns"), r.getAs[Boolean]("fits_context")))
-    assert(streamed.length == 4)
+    assert(streamed.length == 3)
     assert(streamed.toSet.contains(
       (1L, "<|user|>signup k=7\n<|assistant|>click k=42", 2, false)))
     // parity: same events through the batch operator (ts as epoch nanos)
@@ -434,10 +434,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSet == batched.toSet)
   }
 
-  test("streaming chat render: the exact-gap boundary splits (batch keeps) - pinned") {
-    // two events exactly 30:00 apart: session_window opens a NEW session
-    // (gap >= threshold) while the batch q33 rule (gap > threshold) keeps
-    // one - the documented measure-zero divergence
+  test("streaming chat render: the exact-gap boundary merges (stream == batch) - pinned") {
+    // two events exactly 30:00 apart: session_window MERGES touching
+    // sessions (the second event's window starts at the first session's
+    // end), so streaming keeps ONE session — agreeing with the batch q33
+    // rule (reopen only when the gap is STRICTLY greater than the
+    // threshold). No divergence at the boundary.
     val fx = Seq(
       EvP(0, t(0), 1, "signup", """{"k": 1}"""),
       EvP(1, t(30), 1, "click", """{"k": 2}"""))
@@ -446,7 +448,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = StreamingWindows.streamingChatRender(stream.toDF(), "30 minutes", "10 minutes")
       .writeStream.format("memory").queryName("chatboundary").outputMode("complete").start()
     q.processAllAvailable(); q.stop()
-    assert(spark.table("chatboundary").count() == 2L) // streaming: two sessions
+    assert(spark.table("chatboundary").count() == 1L) // streaming: one merged session
     val batchDf = fx.map(e => (e.event_id, e.ts.getTime * 1000000L, e.user_id,
       e.event_type, e.props)).toDF("event_id", "ts", "user_id", "event_type", "props")
     assert(graft.operators.Dialogue.renderConversations(batchDf).count() == 1L)
