@@ -157,8 +157,11 @@ object Dialogue {
     * (doc_id ≡ 0 mod `queryMod` — disjoint from the pool by
     * construction, so a query can never retrieve itself), retrieve the
     * top-k most lexically similar pool documents per query
-    * ([[Similarity.hashedRetrievalTopK]] — broadcast queries, bucket
-    * equi-join, WindowGroupLimit top-k), and render the classic
+    * ([[Similarity.hashedRetrievalTopK]] with `broadcastQueries=false` —
+    * the held-out slice is 1/`queryMod` OF THE CORPUS, i.e. it grows
+    * linearly with the data, so a forced broadcast would OOM at scale;
+    * AQE picks the join from measured sizes instead — bucket equi-join,
+    * WindowGroupLimit top-k), and render the classic
     * `Input: …\nLabel: …` few-shot block with the query's own snippet
     * last, label blank — exemplar selection BY SIMILARITY, the standard
     * ICL recipe. Snippets truncate to `snippetChars` so prompt size is
@@ -175,7 +178,8 @@ object Dialogue {
       .select(col("doc_id").as("query_id"), col("text"))
     val pool = docs.filter(col("doc_id") % queryMod =!= 0)
       .select(col("doc_id"), lit(0L).as("chunk_id"), col("text").as("chunk_text"))
-    val top = Similarity.hashedRetrievalTopK(pool, queries, buckets, k)
+    val top =
+      Similarity.hashedRetrievalTopK(pool, queries, buckets, k, broadcastQueries = false)
     val ex = top
       .join(docs.select(col("doc_id"),
         substring(col("text"), 1, snippetChars).as("snippet"), col("source")),

@@ -806,13 +806,20 @@ object Similarity {
     * bucket → no join row) — exactly the inverted-index sparsity.
     *
     * 100 TB shape: the RAG batch-retrieval asymmetry is |queries| ≪
-    * |passages|, so the query vectors BROADCAST — the bucket join costs a
-    * corpus scan with map-side partial aggregation, never a corpus
-    * shuffle on a ≤`buckets`-cardinality (hence skew-doomed) key; passage
-    * norms ride an equi-join on the passage id; the final top-k is a
-    * WindowGroupLimit window per query. */
+    * |passages|, so with `broadcastQueries=true` (the default — a
+    * CONTRACT that the query batch is bounded, not corpus-proportional)
+    * the query vectors BROADCAST — the bucket join costs a corpus scan
+    * with map-side partial aggregation, never a corpus shuffle on a
+    * ≤`buckets`-cardinality (hence skew-doomed) key; passage norms ride
+    * an equi-join on the passage id; the final top-k is a
+    * WindowGroupLimit window per query. When the query side DERIVES FROM
+    * THE CORPUS (it grows linearly with the data, e.g.
+    * [[Dialogue.fewShotPrompts]]'s 1%-of-docs held-out slice), pass
+    * `broadcastQueries=false`: no forced hint, AQE picks the join from
+    * measured sizes — broadcast while the slice fits, shuffle when a
+    * 100× corpus would OOM a forced broadcast. */
   def hashedRetrievalTopK(passages: DataFrame, queries: DataFrame,
-      buckets: Int = 256, k: Int = 3): DataFrame = {
+      buckets: Int = 256, k: Int = 3, broadcastQueries: Boolean = true): DataFrame = {
     require(buckets >= 2 && k > 0, s"need buckets >= 2 and k > 0, got $buckets, $k")
     val pv = passages.select(col("doc_id"), col("chunk_id"),
         explode(split(col("chunk_text"), " ")).as("__w"))
@@ -826,13 +833,14 @@ object Similarity {
     val pn = pv.groupBy("doc_id", "chunk_id")
       .agg(sum(col("pc") * col("pc")).as("pss"))
     val qn = qv.groupBy("query_id").agg(sum(col("qc") * col("qc")).as("qss"))
-    val dots = pv.join(broadcast(qv), "__b")
+    def hinted(df: DataFrame) = if (broadcastQueries) broadcast(df) else df
+    val dots = pv.join(hinted(qv), "__b")
       .groupBy("query_id", "doc_id", "chunk_id")
       .agg(sum(col("pc") * col("qc")).as("dot"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cos2_e6").desc, col("doc_id"), col("chunk_id"))
-    dots.join(pn, Seq("doc_id", "chunk_id")).join(broadcast(qn), "query_id")
+    dots.join(pn, Seq("doc_id", "chunk_id")).join(hinted(qn), "query_id")
       .withColumn("cos2_e6", expr("(dot * dot * 1000000) div (pss * qss)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -150,11 +150,16 @@ class PlanSpec extends AnyFunSuite {
       "pairing must join on (source, pair_rank)")
   }
 
-  test("few-shot prompts (q196): queries broadcast, top-k group-limited, no cartesian") {
-    // the q153 retrieval asymmetry carried through rendering: query-side
-    // vectors and norms broadcast; the pool never shuffles on the bucket
-    val p = plan("q196_fewshot_prompts")
-    assert(p.contains("BroadcastHashJoin"), "query vectors must broadcast")
+  test("few-shot prompts (q196): no forced broadcast of the corpus-derived queries") {
+    // q196's query side is 1/queryMod OF THE CORPUS (grows with the
+    // data), so unlike q153's bounded-batch contract there must be NO
+    // broadcast hint anywhere in the logical plan — AQE alone decides
+    // from measured sizes (it may still broadcast at tiny SF; the pin is
+    // that nothing FORCES it at 100 TB).
+    val qe = SparkEntry.queries("q196_fewshot_prompts")(spark, dir).queryExecution
+    assert(!qe.optimizedPlan.toString.contains("strategy=broadcast"),
+      "corpus-derived query side must carry no forced broadcast hint")
+    val p = qe.executedPlan.toString
     assert(p.contains("WindowGroupLimit"), "top-k must prune below the window")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "retrieval must stay bucket-equi-joined")
