@@ -2235,6 +2235,65 @@ object SparkEntry {
       q.awaitTermination()
     }
 
+  /** The q197 streaming run, executed ONCE per SF dir: q124's
+    * robots-allowed URL set staged as three deterministic micro-batches
+    * (stage = doc_id % 3, single file each, mtime-ordered — the q185
+    * protocol) through [[graft.streaming.StreamingWindows
+    * .streamingFetchSchedule]] to a parquet file sink. Per-domain
+    * sequence counters CONTINUE across batches from keyed state — the
+    * property the oracle replays exactly: within (domain, stage) rows
+    * rank by the batch (salt, md5, doc_id) order, and each stage's
+    * sequences start at the domain's cumulative count over earlier
+    * stages. All rows share one event time inside the watermark horizon,
+    * so no state evicts mid-run. */
+  private def q197StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q197", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val urls = urlDocuments(s, dir)
+      val robots = robotsDocuments(s, dir)
+      val allowed = operators.Robots
+        .robotsGate(urls, robots, agent = "graftbot")
+        .filter(col("allowed")).select("doc_id")
+      val pages = urls.join(allowed, "doc_id").select(col("doc_id"), col("url"))
+      val delays = operators.Robots.crawlDelays(robots, agent = "graftbot")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ts = lit("2024-01-01 00:00:00").cast("timestamp")
+      val inDir = new java.io.File(path, "in"); inDir.mkdirs()
+      (0 until 3).foreach { i =>
+        val tmp = new java.io.File(path, s"stage$i")
+        pages.filter(col("doc_id") % 3 === i).withColumn("ts", ts).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
+      val inSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("url",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val stream = s.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+      val out = streaming.StreamingWindows
+        .streamingFetchSchedule(stream, delays, watermark = "1 hour")
+      val q = out.writeStream
+        .format("parquet")
+        .option("path", s"$path/out")
+        .option("checkpointLocation", s"$path/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   /** The q29/q184 shared oracle: per-doc token counts straight off
     * `documents` — q184 must reproduce it from the Avro round trip. */
   private def tokenCountSql: String =
@@ -2665,6 +2724,20 @@ object SparkEntry {
       s.read.parquet(s"${q185StreamPath(s, dir)}/out")
         .select(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("text"))),
+
+    // the STREAMING fetch schedule, run for real (file stream →
+    // per-domain sequence counters in keyed state → parquet file sink,
+    // Trigger.AvailableNow) over q124's allowed URLs staged as three
+    // mtime-ordered micro-batches — the second streaming operator under
+    // a full DuckDB oracle, and this one's oracle replays CROSS-BATCH
+    // STATE: each stage's per-domain sequences continue from the
+    // domain's cumulative count over earlier stages (see q197StreamPath)
+    "q197_streaming_fetch" -> ((s, dir) =>
+      s.read.parquet(s"${q197StreamPath(s, dir)}/out")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("domain"),
+          org.apache.spark.sql.functions.col("seq"),
+          org.apache.spark.sql.functions.col("fetch_at"))),
 
     // REAL RIFF/AVI container walk over the synthetic MJPEG corpus:
     // avih dimensions/stream count, the strh handler fourcc, and the
@@ -5735,6 +5808,34 @@ object SparkEntry {
       // result exactly — same oracle, the persistence/container
       // shared-oracle gate applied to a stream
       "q185_streaming_dedup" -> incrementalDedupSql,
+
+      // q197: the q124 replay made STAGE-AWARE — the streaming operator
+      // sorts each micro-batch's rows per domain by (salt, md5, doc_id)
+      // and continues sequences from keyed state, so seq = the in-stage
+      // rank plus the domain's cumulative count over earlier stages
+      // (stage = doc_id % 3, the fixture's staging rule)
+      "q197_streaming_fetch" ->
+        s"""WITH $robotsVerdictCtes,
+           |$robotsDelayCtes,
+           |sched AS (SELECT doc_id, domain, doc_id % 3 AS stage,
+           |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 16 AS salt,
+           |    md5(doc_id::VARCHAR) AS m
+           |  FROM rv WHERE allowed),
+           |stageseq AS (SELECT doc_id, domain, stage,
+           |    row_number() OVER (PARTITION BY domain, stage
+           |      ORDER BY salt, m, doc_id) - 1 AS sseq
+           |  FROM sched),
+           |pern AS (SELECT domain, stage, count(*) AS n
+           |  FROM sched GROUP BY domain, stage),
+           |cum AS (SELECT domain, stage,
+           |    CAST(sum(n) OVER (PARTITION BY domain ORDER BY stage) - n AS BIGINT)
+           |      AS base_seq
+           |  FROM pern),
+           |sq AS (SELECT doc_id, ss.domain, CAST(sseq + base_seq AS BIGINT) AS seq
+           |  FROM stageseq ss JOIN cum USING (domain, stage))
+           |SELECT doc_id, domain, seq,
+           |  CAST(seq * coalesce(crawl_delay, 1) AS BIGINT) AS fetch_at
+           |FROM sq LEFT JOIN rdel USING (domain)""".stripMargin,
 
       // q186: the structural replay (q175 pattern) — every container
       // field is a pure function of doc_id in the fixture's muxer, so

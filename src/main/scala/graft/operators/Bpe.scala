@@ -164,7 +164,14 @@ object Bpe {
         pairCounts.updateWith((toks(i), toks(i + 1)))(v => Some(v.getOrElse(0L) + c))
       if (pairCounts.isEmpty) exhausted = true
       else {
-        val best = pairCounts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        // tie-break in UTF-8 byte order (Unigram.utf8Order) — the order
+        // Spark's string orderBy uses — so the distributed trainer's
+        // equivalence holds beyond the BMP (Java compareTo is UTF-16 and
+        // diverges on supplementary planes)
+        val best = pairCounts.toSeq.min(
+          Ordering.by[((String, String), Long), Long] { case (_, c) => -c }
+            .orElseBy { case ((l, _), _) => l }(Unigram.utf8Order)
+            .orElseBy { case ((_, r), _) => r }(Unigram.utf8Order))._1
         merges += best
         words = words.map { case (toks, c) => (mergeAll(toks, best._1, best._2), c) }
         learned += 1
@@ -173,8 +180,19 @@ object Bpe {
     merges.result()
   }
 
-  private def toSymbols(word: String): Array[String] =
-    Array.tabulate(word.length)(i => word.substring(i, i + 1))
+  /** One symbol per CODE POINT (not UTF-16 unit — a surrogate pair stays
+    * one symbol, matching DuckDB's per-character `string_split(w, '')`
+    * and keeping every symbol valid UTF-8 for the distributed trainer). */
+  private def toSymbols(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
 
   /** UTF-8 bytes as uppercase two-hex-digit symbols — `"é"` → `["C3","A9"]`.
     * Matches SQL `hex()` byte spelling so oracles replay the merge loop on

@@ -107,17 +107,21 @@ object Dialogue {
     * conversations overweight their gradient exactly like duplicate
     * documents do). Grouping key is md5(transcript) — fixed-width shuffle
     * key, the q20 exact-dedup posture; the transcript itself never
-    * becomes a shuffle key. */
-  def dedupConversations(events: DataFrame): DataFrame = {
-    val byHash = Window.partitionBy("t_hash").orderBy("user_id", "session_id")
+    * becomes a shuffle key.
+    *
+    * 100 TB shape: argmax-as-AGGREGATE (the [[Dedup.exactBest]] posture),
+    * not a per-hash window — the struct-min over (user_id, session_id)
+    * partial-aggregates map-side, so a viral transcript duplicated
+    * millions of times collapses before the exchange where a window
+    * would serialize the hot hash onto one reducer. */
+  def dedupConversations(events: DataFrame): DataFrame =
     renderConversations(events)
       .withColumn("t_hash", md5(col("transcript")))
-      .withColumn("rn", row_number().over(byHash))
-      .withColumn("n_dups", count(lit(1)).over(Window.partitionBy("t_hash")))
-      .filter(col("rn") === 1)
-      .select(col("t_hash"), col("user_id").as("keep_user_id"),
-        col("session_id").as("keep_session_id"), col("n_dups"))
-  }
+      .groupBy("t_hash")
+      .agg(count(lit(1)).as("n_dups"),
+        min(struct(col("user_id"), col("session_id"))).as("__keep"))
+      .select(col("t_hash"), col("__keep.user_id").as("keep_user_id"),
+        col("__keep.session_id").as("keep_session_id"), col("n_dups"))
 
   /** The SFT mini-capstone: render → exact-dedup (keep-first) → context
     * gate → pack surviving conversations into fixed character budgets —
@@ -126,16 +130,29 @@ object Dialogue {
     * flag) keyed by conversation. Shard = (user_id + session_id) mod
     * `shards` — pure integer, oracle-replayable; within a shard the
     * stream orders by (user_id, session_id). One plan end to end: the
-    * user-keyed render shuffle, the hash-keyed dedup shuffle, the shard
-    * repartition — each keyed by what it groups, nothing global. */
+    * user-keyed render shuffle, the hash-keyed dedup aggregate, the shard
+    * repartition — each keyed by what it groups, nothing global.
+    *
+    * The context gate is `gateChars` (default 32, the render default) —
+    * independent of `maxChars`, which sets only the PACK budget; a
+    * 128-char bin holds several 32-char-gated conversations.
+    *
+    * 100 TB shape: dedup is the [[dedupConversations]] argmax-AGGREGATE
+    * (struct-min keeper, map-side partial collapse of viral transcripts),
+    * re-joined to the rendered rows on (t_hash, user_id, session_id) —
+    * the keeper side holds ONE row per hash and duplicate transcripts
+    * differ in (user, session), so the join key never concentrates. */
   def packConversations(events: DataFrame, maxChars: Int = 128,
-      shards: Int = 8): DataFrame = {
-    val byHash = Window.partitionBy("t_hash").orderBy("user_id", "session_id")
+      shards: Int = 8, gateChars: Int = 32): DataFrame = {
     val byShard = Window.partitionBy("shard").orderBy("user_id", "session_id")
-    renderConversations(events)
+    val rendered = renderConversations(events, gateChars)
       .withColumn("t_hash", md5(col("transcript")))
-      .withColumn("rn", row_number().over(byHash))
-      .filter(col("rn") === 1 && col("fits_context"))
+    val keepers = rendered.groupBy("t_hash")
+      .agg(min(struct(col("user_id"), col("session_id"))).as("__keep"))
+      .select(col("t_hash"), col("__keep.user_id").as("user_id"),
+        col("__keep.session_id").as("session_id"))
+    rendered.join(keepers, Seq("t_hash", "user_id", "session_id"))
+      .filter(col("fits_context"))
       .select(col("user_id"), col("session_id"),
         pmod(col("user_id") + col("session_id"), lit(shards.toLong))
           .cast("int").as("shard"),

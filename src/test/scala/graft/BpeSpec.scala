@@ -20,6 +20,21 @@ class BpeSpec extends AnyFunSuite {
     assert(merges == Seq(("b", "a")))
   }
 
+  test("symbols are code points and tie-breaks are UTF-8 order beyond the BMP") {
+    // 𝄞 (U+1D11E, a surrogate pair in UTF-16) must stay ONE symbol —
+    // matching DuckDB's per-character string_split and keeping every
+    // symbol valid UTF-8 for the distributed trainer
+    assert(Bpe.tokenize("a𝄞b", Map.empty).toSeq ==
+      Seq("a", "𝄞", "b"))
+    // tie-break: ("Ａ", …) vs ("𝄞", …) — Java compareTo says the
+    // supplementary char (surrogate 0xD834) sorts BELOW U+FF21, but its
+    // UTF-8 bytes (F0 9D …) sort ABOVE (EF BC A1); the driver must pick
+    // the UTF-8-smaller pair, as Spark's orderBy would
+    val merges = Bpe.trainFromCounts(
+      Seq("Ａa" -> 1L, "𝄞a" -> 1L), numMerges = 1)
+    assert(merges == Seq(("Ａ", "a")))
+  }
+
   test("tokenize merges leftmost lowest-rank pairs, matching the oracle's step") {
     val ranks = Seq(("a", "a"), ("a", "b"), ("aa", "ab")).zipWithIndex.toMap
     assert(Bpe.tokenize("aaab", ranks).toSeq == Seq("aaab"))

@@ -165,6 +165,20 @@ class PlanSpec extends AnyFunSuite {
       "retrieval must stay bucket-equi-joined")
   }
 
+  test("conversation dedup/pack (q193/q194): keeper is an aggregate, not a per-hash window") {
+    // the q132/exactBest posture: a viral duplicate transcript must
+    // collapse map-side via partial struct-min, never serialize its hash
+    // onto one window reducer (session windows from turn derivation are
+    // fine - only a t_hash-partitioned window is banned)
+    for (q <- Seq("q194_dedup_conversations", "q193_pack_conversations")) {
+      val p = plan(q)
+      assert(!p.linesIterator.exists(l => l.contains("Window [") && l.contains("t_hash")),
+        s"$q: keeper must be an argmax aggregate, not a per-hash window")
+      assert(p.contains("partial_min(struct("),
+        s"$q: struct-min keeper must partial-aggregate below the exchange")
+    }
+  }
+
   test("FFD packing (q173): exactly the one shard repartition exchange") {
     val p = plan("q173_pack_ffd")
     assert("Exchange".r.findAllIn(p).size == 1,
