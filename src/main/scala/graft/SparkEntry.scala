@@ -2266,7 +2266,12 @@ object SparkEntry {
         val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
         val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
         java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(1700000000000L + i * 60000L)
+        // micro-batch (stage) order derives from these mtimes — the
+        // cross-batch-state oracle depends on it, so fail fast if the
+        // filesystem refuses rather than let batches process out of order
+        require(dst.setLastModified(1700000000000L + i * 60000L),
+          s"setLastModified failed on ${dst.getAbsolutePath} — " +
+            "q197 stage ordering would be nondeterministic")
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
@@ -2964,10 +2969,11 @@ object SparkEntry {
       operators.Dialogue.lossMaskSpans(Tables.events(s, dir))),
 
     // few-shot (ICL) prompt assembly: the held-out query slice retrieves
-    // its k most lexically similar pool docs (broadcast queries, bucket
-    // equi-join, WindowGroupLimit top-k — the q153 machinery) and renders
-    // the Input:/Label: few-shot block, query last with a blank label —
-    // exemplar selection by similarity, the standard ICL recipe
+    // its k most lexically similar pool docs (bucket equi-join with the
+    // join strategy left to AQE — the query slice is corpus-proportional,
+    // so no broadcast hint; WindowGroupLimit top-k — the q153 machinery)
+    // and renders the Input:/Label: few-shot block, query last with a
+    // blank label — exemplar selection by similarity, the standard ICL recipe
     "q196_fewshot_prompts" -> ((s, dir) =>
       operators.Dialogue.fewShotPrompts(Tables.documents(s, dir))),
 

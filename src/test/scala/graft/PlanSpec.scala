@@ -157,6 +157,17 @@ class PlanSpec extends AnyFunSuite {
     // from measured sizes (it may still broadcast at tiny SF; the pin is
     // that nothing FORCES it at 100 TB).
     val qe = SparkEntry.queries("q196_fewshot_prompts")(spark, dir).queryExecution
+    // structural walk, not string rendering (which a Spark upgrade could
+    // change silently): no Join node may carry any hint, and no
+    // ResolvedHint may survive anywhere in the tree
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, ResolvedHint}
+    val hintedJoins = qe.optimizedPlan.collect {
+      case j: Join if j.hint != JoinHint.NONE => j
+    }
+    assert(hintedJoins.isEmpty,
+      s"corpus-derived query side must carry no join hint: $hintedJoins")
+    assert(qe.analyzed.collect { case h: ResolvedHint => h }.isEmpty,
+      "no ResolvedHint may be planted anywhere in q196's tree")
     assert(!qe.optimizedPlan.toString.contains("strategy=broadcast"),
       "corpus-derived query side must carry no forced broadcast hint")
     val p = qe.executedPlan.toString
