@@ -2968,6 +2968,16 @@ object SparkEntry {
     "q192_loss_mask" -> ((s, dir) =>
       operators.Dialogue.lossMaskSpans(Tables.events(s, dir))),
 
+    // TOKEN-aligned loss masks: q192's char spans lifted to WordPiece
+    // token ranges under the pinned [[wordPieceVocab]] — what a trainer
+    // masks is token positions; per-turn counts come from the q188
+    // greedy walk over the turn text's letter runs (a letter run never
+    // spans the \n separator, so per-turn tokenization concatenates to
+    // the transcript's token stream), [tok_start, tok_end) by the same
+    // per-session running-sum window as the char spans
+    "q198_token_loss_mask" -> ((s, dir) =>
+      operators.Dialogue.tokenLossMasks(Tables.events(s, dir), wordPieceVocab)),
+
     // few-shot (ICL) prompt assembly: the held-out query slice retrieves
     // its k most lexically similar pool docs (bucket equi-join with the
     // join strategy left to AQE — the query slice is corpus-proportional,
@@ -5161,6 +5171,39 @@ object SparkEntry {
            |      FROM u)
            |SELECT user_id, session_id, turn_idx, role, n_chars, char_start,
            |  char_start + n_chars AS char_end,
+           |  role = 'assistant' AS loss
+           |FROM m""".stripMargin,
+
+      // q198: the q192 span replay joined to the q188 greedy-walk CTE —
+      // per-turn words are the turn text's letter runs, the wordPieceCtes
+      // recursion tokenizes each distinct word under the SAME vocabulary
+      // literal, and the token running sum rides the same per-session
+      // window as the char spans (dw carries a constant doc_id only so
+      // the shared CTE block binds; its per-doc rollup goes unused here)
+      "q198_token_loss_mask" ->
+        s"""WITH RECURSIVE $dialogueTurnsCtes,
+           |tw AS (SELECT user_id, session_id, turn_idx, u2.w AS word
+           |       FROM u, UNNEST(regexp_extract_all(turn_txt, '[A-Za-z]+')) u2(w)),
+           |dw AS (SELECT 0::BIGINT AS doc_id, word, count(*) AS n
+           |       FROM tw GROUP BY 2),
+           |vocab AS (SELECT DISTINCT word FROM dw),
+           |$wordPieceCtes,
+           |tt AS (SELECT user_id, session_id, turn_idx,
+           |       CAST(sum(n_wp) AS BIGINT) AS n_tokens
+           |       FROM tw JOIN wnk USING (word) GROUP BY 1, 2, 3),
+           |m AS (SELECT w.user_id, w.session_id, w.turn_idx, w.role,
+           |      CAST(length(w.turn_txt) AS BIGINT) AS n_chars,
+           |      CAST(sum(length(w.turn_txt) + 1) OVER (
+           |        PARTITION BY w.user_id, w.session_id ORDER BY w.turn_idx)
+           |        - length(w.turn_txt) - 1 AS BIGINT) AS char_start,
+           |      t.n_tokens,
+           |      CAST(sum(t.n_tokens) OVER (
+           |        PARTITION BY w.user_id, w.session_id ORDER BY w.turn_idx)
+           |        - t.n_tokens AS BIGINT) AS tok_start
+           |      FROM u w JOIN tt t USING (user_id, session_id, turn_idx))
+           |SELECT user_id, session_id, turn_idx, role, n_chars, char_start,
+           |  char_start + n_chars AS char_end, n_tokens, tok_start,
+           |  tok_start + n_tokens AS tok_end,
            |  role = 'assistant' AS loss
            |FROM m""".stripMargin,
 

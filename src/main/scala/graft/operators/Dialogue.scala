@@ -100,6 +100,57 @@ object Dialogue {
         "char_start", "char_end", "loss")
   }
 
+  /** TOKEN-aligned loss masks: [[lossMaskSpans]]'s per-turn spans lifted
+    * from character offsets to WordPiece token ranges — what a trainer
+    * actually masks is token positions, not characters. Each turn's
+    * token count is the sum of [[WordPiece.tokenize]] over the turn
+    * text's letter runs (`[A-Za-z]+` — the template's `<|`/`|>`/`k=N`
+    * punctuation and digits separate words and contribute no tokens, so
+    * per-turn tokenization concatenates to exactly the rendered
+    * transcript's token stream: a letter run never spans the `\n` turn
+    * separator); `[tok_start, tok_end)` is the per-session running sum
+    * in turn order, beside the q192 char spans from the SAME window.
+    *
+    * 100 TB shape: `turn_txt` is a pure function of (role, event_type,
+    * k), so the token-count profile derives from a DIMENSION-sized
+    * distinct over the raw events (partial-agg distinct, no session
+    * windows on that branch), its distinct words tokenize once against
+    * the broadcast vocabulary ([[WordPiece.wordTokenDict]], the q188
+    * posture), and the profile broadcasts back onto the turn stream —
+    * the fact keeps q192's single user-family shuffle, with the char
+    * and token running sums sharing one window partitioning. */
+  def tokenLossMasks(events: DataFrame, vocab: Seq[String]): DataFrame = {
+    val combos = events
+      .select(col("event_type"),
+        regexp_extract(col("props"), "(\\d+)", 1).as("k"))
+      .distinct()
+      .withColumn("role", explode(array(lit("user"), lit("assistant"))))
+      .withColumn("turn_txt", concat(lit("<|"), col("role"), lit("|>"),
+        col("event_type"), lit(" k="), col("k")))
+      .select("turn_txt")
+    val comboWords = combos.select(col("turn_txt"),
+      explode(expr("regexp_extract_all(turn_txt, '[A-Za-z]+', 0)")).as("word"))
+    val dict = WordPiece.wordTokenDict(
+      comboWords.select("word").distinct(), vocab)
+    val profile = comboWords
+      .join(broadcast(dict), "word")
+      .groupBy("turn_txt")
+      .agg(sum("n_wp").cast("long").as("n_tokens"))
+    val bySession = Window.partitionBy("user_id", "session_id").orderBy("turn_idx")
+    turns(events)
+      .join(broadcast(profile), "turn_txt")
+      .withColumn("n_chars", length(col("turn_txt")).cast("long"))
+      .withColumn("char_start",
+        (sum(col("n_chars") + 1).over(bySession) - col("n_chars") - 1).cast("long"))
+      .withColumn("char_end", (col("char_start") + col("n_chars")).cast("long"))
+      .withColumn("tok_start",
+        (sum(col("n_tokens")).over(bySession) - col("n_tokens")).cast("long"))
+      .withColumn("tok_end", (col("tok_start") + col("n_tokens")).cast("long"))
+      .withColumn("loss", col("role") === "assistant")
+      .select("user_id", "session_id", "turn_idx", "role", "n_chars",
+        "char_start", "char_end", "n_tokens", "tok_start", "tok_end", "loss")
+  }
+
   /** Exact conversation dedup, keep-first: identical rendered transcripts
     * collapse to the (user_id, session_id)-smallest keeper with a
     * duplicate count — the "dedup your SFT set" step every

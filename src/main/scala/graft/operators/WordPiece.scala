@@ -222,6 +222,28 @@ object WordPiece {
       c.codePointCount(0, c.length)
     }.maxOption.getOrElse(1).max(1)
 
+  /** The distinct-word tokenization dictionary (word, n_wp, is_unk)
+    * under a pinned vocabulary — each word of `words` (a `word` column,
+    * pre-distincted by the caller) runs [[tokenize]] ONCE against the
+    * broadcast vocabulary set. [[tokenCounts]] and
+    * [[graft.operators.Dialogue.tokenLossMasks]] both broadcast-join
+    * this dictionary onto their fact streams. */
+  private[graft] def wordTokenDict(words: DataFrame,
+      vocab: Seq[String]): DataFrame = {
+    val spark = words.sparkSession
+    val maxLen = maxPieceLen(vocab)
+    val bcVocab = spark.sparkContext.broadcast(vocab.toSet)
+    val tok = udf { (w: String) =>
+      val ts = tokenize(w, bcVocab.value, maxLen)
+      Seq(ts.length.toLong,
+        if (ts.length == 1 && ts(0) == unkToken) 1L else 0L)
+    }
+    words.withColumn("__t", tok(col("word")))
+      .select(col("word"),
+        col("__t").getItem(0).as("n_wp"),
+        col("__t").getItem(1).as("is_unk"))
+  }
+
   /** Greedy longest-match-first tokenization of one word — the public
     * BERT `WordpieceTokenizer` algorithm: longest vocabulary piece at
     * each position (`##`-prefixed after position 0); any position with no
@@ -258,21 +280,11 @@ object WordPiece {
     * (each contributes exactly 1 token) — the out-of-vocabulary signal a
     * tokenizer report cares about. */
   def tokenCounts(docs: DataFrame, vocab: Seq[String]): DataFrame = {
-    val spark = docs.sparkSession
-    val maxLen = maxPieceLen(vocab)
-    val bcVocab = spark.sparkContext.broadcast(vocab.toSet)
-    val tok = udf { (w: String) =>
-      val ts = tokenize(w, bcVocab.value, maxLen)
-      Seq(ts.length.toLong,
-        if (ts.length == 1 && ts(0) == unkToken) 1L else 0L)
-    }
-    val dict = TextAnalysis.withWords(docs)
-      .select(explode(col("__words")).as("word"))
-      .distinct()
-      .withColumn("__t", tok(col("word")))
-      .select(col("word"),
-        col("__t").getItem(0).as("n_wp"),
-        col("__t").getItem(1).as("is_unk"))
+    val dict = wordTokenDict(
+      TextAnalysis.withWords(docs)
+        .select(explode(col("__words")).as("word"))
+        .distinct(),
+      vocab)
     val docWord = TextAnalysis.withWords(docs)
       .select(col("doc_id"), explode(col("__words")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))

@@ -161,4 +161,38 @@ class DialogueSpec extends AnyFunSuite {
       .count()
     assert(bad == 0L)
   }
+
+  test("tokenLossMasks: hand-tokenized counts under the pinned vocabulary") {
+    // <|user|>signup k=7 — words user/signup/k:
+    //   user    -> 'u' not in base vocab -> [UNK]           = 1
+    //   signup  -> s ##i ##g ##n ##up                       = 5
+    //   k       -> k                                        = 1  (7 tokens)
+    // <|assistant|>click k=42 — assistant -> a ##s ##s ##i ##s ##t ##a
+    //   ##n ##t = 9; click -> c ##l ##i ##c ##k = 5; k = 1  (15 tokens)
+    val df = eventsDf(Seq(ev(0, 1, 0, "signup", 7), ev(1, 1, 10, "click", 42)))
+    val got = Dialogue.tokenLossMasks(df, SparkEntry.wordPieceVocab).collect()
+      .map(r => (r.getInt(2), r.getString(3), r.getLong(7),
+        r.getLong(8), r.getLong(9), r.getBoolean(10)))
+      .sortBy(_._1)
+    assert(got(0) == ((0, "user", 7L, 0L, 7L, false)))
+    assert(got(1) == ((1, "assistant", 15L, 7L, 22L, true)))
+  }
+
+  test("tokenLossMasks: char spans agree with lossMaskSpans; token spans tile") {
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val tok = Dialogue.tokenLossMasks(events, SparkEntry.wordPieceVocab)
+    // the char-offset columns are lossMaskSpans verbatim (same window)
+    val charCols = Seq("user_id", "session_id", "turn_idx", "role",
+      "n_chars", "char_start", "char_end", "loss").map(col)
+    assert(tok.select(charCols: _*)
+      .except(Dialogue.lossMaskSpans(events)).isEmpty)
+    // token spans tile [0, total) per session and every turn tokenizes
+    val bad = tok
+      .groupBy("user_id", "session_id")
+      .agg(min("tok_start").as("t0"), max("tok_end").as("t1"),
+        sum("n_tokens").as("total"), min("n_tokens").as("mn"))
+      .filter(col("t0") =!= 0 || col("t1") =!= col("total") || col("mn") <= 0)
+      .count()
+    assert(bad == 0L)
+  }
 }

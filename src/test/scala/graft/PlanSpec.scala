@@ -137,6 +137,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("token loss masks (q198): profile broadcasts, fact keeps one user shuffle") {
+    // the token-count profile is dimension-sized ((role, event_type, k)
+    // combos) and must reach the turn stream as a broadcast join; the
+    // fact side keeps q192's single user-keyed exchange — the only
+    // hashpartitioning exchanges allowed are the profile branch's tiny
+    // distinct/groupBy keys (event_type/k/word/turn_txt), never a
+    // turn-stream key
+    val p = plan("q198_token_loss_mask")
+    assert(p.contains("BroadcastHashJoin"), "profile join must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    val factExchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).filter(_.contains("user_id")).size
+    assert(factExchanges == 1,
+      "the turn stream must cost exactly the one user-keyed shuffle")
+  }
+
   test("preference pairs (q191): rank windows group-limited, counts broadcast, no cartesian") {
     val p = plan("q191_preference_pairs")
     assert(p.contains("WindowGroupLimit"),
