@@ -2299,6 +2299,85 @@ object SparkEntry {
       q.awaitTermination()
     }
 
+  /** The q199 streaming run, executed ONCE per SF dir: q53's derived
+    * exact-copy fixture staged as three deterministic micro-batches
+    * (stage = doc_id % 3, single file each, mtime-ordered — the q185
+    * protocol) through [[graft.streaming.StreamingWindows
+    * .streamingMinHashCandidates]] at q53's PRODUCTION banding (32
+    * hashes / 8 bands) to a parquet file sink of candidate pairs.
+    * Every planted duplicate pair SPANS micro-batches by construction
+    * (the +10M copy offset is ≡ 1 mod 3, so a copy never lands in its
+    * base doc's stage) — a pair is only emitted because the band-bucket
+    * keyed state REMEMBERS docs from earlier batches, which is exactly
+    * the cross-batch property the q53-shared oracle then gates: the
+    * verified sink must reproduce the batch pipeline's j ≥ 0.9 output
+    * bit-for-bit. All rows share one event time inside the watermark
+    * horizon, so no state evicts mid-run. */
+  private def q199StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q199", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val docs = derivedDocuments(s, dir)
+      val ts = lit("2024-01-01 00:00:00").cast("timestamp")
+      val inDir = new java.io.File(path, "in"); inDir.mkdirs()
+      (0 until 3).foreach { i =>
+        val tmp = new java.io.File(path, s"stage$i")
+        docs.filter(col("doc_id") % 3 === i).withColumn("ts", ts).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(1700000000000L + i * 60000L),
+          s"setLastModified failed on ${dst.getAbsolutePath} — " +
+            "q199 stage ordering would be nondeterministic")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
+      val inSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val stream = s.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+      val out = streaming.StreamingWindows
+        .streamingMinHashCandidates(stream, watermark = "1 hour",
+          n = 3, numHashes = 32, bands = 8)
+      val q = out.writeStream
+        .format("parquet")
+        .option("path", s"$path/out")
+        .option("checkpointLocation", s"$path/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+  /** The q53/q199 shared oracle: exact n-gram Jaccard at j >= 0.9 over
+    * the derived exact-copy fixture — the TRUE pair set is a pure
+    * function of the construction (identical signatures agree on every
+    * band), so the same SQL gates the batch LSH pipeline (q53) and the
+    * streaming band-bucket state's verified sink (q199). */
+  private def minHashProdVerifySql: String =
+    """WITH docs2 AS (SELECT doc_id, text FROM documents
+      |               UNION ALL
+      |               SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs2),
+      |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      |      FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      |c AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+      |p AS (SELECT g1.doc_id AS doc1, g2.doc_id AS doc2, count(*) AS n_common
+      |      FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT doc1, doc2, n_common,
+      |       CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) AS jaccard
+      |FROM p JOIN c c1 ON doc1 = c1.doc_id JOIN c c2 ON doc2 = c2.doc_id
+      |WHERE CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) >= 0.9""".stripMargin
+
   /** The q29/q184 shared oracle: per-doc token counts straight off
     * `documents` — q184 must reproduce it from the Avro round trip. */
   private def tokenCountSql: String =
@@ -2743,6 +2822,23 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("domain"),
           org.apache.spark.sql.functions.col("seq"),
           org.apache.spark.sql.functions.col("fetch_at"))),
+
+    // the STREAMING MinHash candidate generator, run for real (file
+    // stream → per-(band, bucket) keyed state → parquet file sink of
+    // candidate pairs, Trigger.AvailableNow) over q53's derived fixture
+    // staged so every planted duplicate pair SPANS micro-batches — pairs
+    // exist in the sink only because the band-bucket state remembers
+    // earlier batches. The sink's pairs (distinct across bands — a pair
+    // agreeing on several bands is emitted once per band bucket) run
+    // through the same exact-Jaccard verifier, and q53's oracle gates
+    // the result: streaming-state candidates ≡ batch LSH candidates
+    "q199_streaming_minhash" -> ((s, dir) => {
+      val pairs = s.read.parquet(s"${q199StreamPath(s, dir)}/out")
+        .select(org.apache.spark.sql.functions.col("doc1"),
+          org.apache.spark.sql.functions.col("doc2"))
+        .distinct()
+      Dedup.jaccardVerify(derivedDocuments(s, dir), pairs, n = 3, threshold = 0.9)
+    }),
 
     // REAL RIFF/AVI container walk over the synthetic MJPEG corpus:
     // avih dimensions/stream count, the strh handler fourcc, and the
@@ -6427,21 +6523,16 @@ object SparkEntry {
            |FROM d a JOIN d b ON a.vec_id < b.vec_id
            |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9""".stripMargin,
 
-      "q53_dedup_minhash_prod" ->
-        """WITH docs2 AS (SELECT doc_id, text FROM documents
-          |               UNION ALL
-          |               SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0),
-          |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs2),
-          |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
-          |      FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
-          |c AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
-          |p AS (SELECT g1.doc_id AS doc1, g2.doc_id AS doc2, count(*) AS n_common
-          |      FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
-          |      GROUP BY 1, 2)
-          |SELECT doc1, doc2, n_common,
-          |       CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) AS jaccard
-          |FROM p JOIN c c1 ON doc1 = c1.doc_id JOIN c c2 ON doc2 = c2.doc_id
-          |WHERE CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) >= 0.9""".stripMargin,
+      "q53_dedup_minhash_prod" -> minHashProdVerifySql,
+
+      // q199 reads the SAME fixture's candidate pairs back out of the
+      // STREAMING band-bucket state's file sink and verifies them with
+      // the same exact-Jaccard stage, so ONE oracle covers both — and
+      // the shared gate proves the cross-batch state loses nothing (the
+      // q185/q104 pattern: every planted pair spans micro-batches by
+      // construction, so a state that forgot earlier batches would miss
+      // pairs and hash-mismatch here)
+      "q199_streaming_minhash" -> minHashProdVerifySql,
 
       "q58_contamination" ->
         """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
