@@ -1945,6 +1945,30 @@ object SparkEntry {
     * (é=C3A9, ü=C3BC, ï=C3AF) — the rows where a byte alphabet visibly
     * diverges from a char alphabet. `chr()` code points in the oracle ==
     * the Scala literals' UTF-8 under DuckDB's UTF-8 strings. */
+  /** Derived fixture for q196 few-shot retrieval: the corpus's own
+    * vocabulary is 31 words each present in ~78% of documents — every
+    * word is a stop-word, so whole-doc lexical similarity is the same
+    * between ANY two documents and all-pairs candidate generation is
+    * inherent to the raw table (no algorithm can be selective on it).
+    * Appending two TOPIC tokens per doc-id group of 20 (counts varied by
+    * doc_id arithmetic so cos² actually discriminates within a group)
+    * plants the structure real corpora have: topic tokens sit at df ≈ 1%
+    * — far under the inverted index's 5% guard — while the 30 corpus
+    * words drop as hot, so each query's candidates are exactly its ~19
+    * topic-mates and retrieval volume grows LINEARLY with the corpus
+    * (group size is fixed). The oracle derives the same tokens from the
+    * same doc_id arithmetic — the structural-fixture pattern (q53/q93). */
+  private[graft] def fewshotDocuments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, dir).select(col("doc_id"),
+      expr("""concat(text,
+        ' ', rtrim(repeat(concat('ta', cast(doc_id div 20 as string), ' '),
+                          cast(1 + doc_id % 2 as int))),
+        ' ', rtrim(repeat(concat('tb', cast(doc_id div 20 as string), ' '),
+                          cast(1 + doc_id % 3 as int))))""").as("text"),
+      col("source"))
+  }
+
   private[graft] def accentedDocuments(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     Tables.documents(s, dir).select(col("doc_id"),
@@ -3081,7 +3105,7 @@ object SparkEntry {
     // and renders the Input:/Label: few-shot block, query last with a
     // blank label — exemplar selection by similarity, the standard ICL recipe
     "q196_fewshot_prompts" -> ((s, dir) =>
-      operators.Dialogue.fewShotPrompts(Tables.documents(s, dir))),
+      operators.Dialogue.fewShotPrompts(fewshotDocuments(s, dir))),
 
     // exact conversation dedup, keep-first: identical transcripts collapse
     // to the (user, session)-smallest keeper with a dup count — the
@@ -5330,16 +5354,29 @@ object SparkEntry {
       // not ≡ 0 mod 100, queries = the complement) + the Input:/Label:
       // rendering, string_agg'd in rank order
       "q196_fewshot_prompts" ->
-        """WITH pw AS (SELECT doc_id,
-          |        ('0x' || substr(md5(w), 1, 4))::INT % 256 AS b
-          |       FROM documents, UNNEST(string_split(text, ' ')) t(w)
+        """WITH fx AS (SELECT doc_id,
+          |        text || ' ' ||
+          |          rtrim(repeat('ta' || CAST(doc_id // 20 AS VARCHAR) || ' ',
+          |                       CAST(1 + doc_id % 2 AS INT))) || ' ' ||
+          |          rtrim(repeat('tb' || CAST(doc_id // 20 AS VARCHAR) || ' ',
+          |                       CAST(1 + doc_id % 3 AS INT))) AS text,
+          |        source
+          |       FROM documents),
+          |pw AS (SELECT doc_id,
+          |        ('0x' || substr(md5(w), 1, 4))::INT % 65536 AS b
+          |       FROM fx, UNNEST(string_split(text, ' ')) t(w)
           |       WHERE doc_id % 100 <> 0),
-          |pv AS (SELECT doc_id, b, count(*) AS pc FROM pw GROUP BY 1, 2),
+          |pv0 AS (SELECT doc_id, b, count(*) AS pc FROM pw GROUP BY 1, 2),
+          |np AS (SELECT count(DISTINCT doc_id) AS n FROM pv0),
+          |hot AS (SELECT b FROM pv0 GROUP BY b
+          |        HAVING count(*) > 0.05 * (SELECT n FROM np)),
+          |pv AS (SELECT * FROM pv0 WHERE b NOT IN (SELECT b FROM hot)),
           |qw AS (SELECT doc_id AS query_id,
-          |        ('0x' || substr(md5(w), 1, 4))::INT % 256 AS b
-          |       FROM documents, UNNEST(string_split(text, ' ')) t(w)
+          |        ('0x' || substr(md5(w), 1, 4))::INT % 65536 AS b
+          |       FROM fx, UNNEST(string_split(text, ' ')) t(w)
           |       WHERE doc_id % 100 = 0),
-          |qv AS (SELECT query_id, b, count(*) AS qc FROM qw GROUP BY 1, 2),
+          |qv0 AS (SELECT query_id, b, count(*) AS qc FROM qw GROUP BY 1, 2),
+          |qv AS (SELECT * FROM qv0 WHERE b NOT IN (SELECT b FROM hot)),
           |pn AS (SELECT doc_id, sum(pc * pc) AS pss FROM pv GROUP BY 1),
           |qn AS (SELECT query_id, sum(qc * qc) AS qss FROM qv GROUP BY 1),
           |d AS (SELECT qv.query_id, pv.doc_id, sum(pv.pc * qv.qc) AS dot
@@ -5355,10 +5392,10 @@ object SparkEntry {
           |ex AS (SELECT t.query_id, t.rank,
           |        'Input: ' || substring(dd.text, 1, 40) || chr(10) ||
           |          'Label: ' || dd.source || chr(10) || chr(10) AS piece
-          |       FROM tk t JOIN documents dd USING (doc_id)),
+          |       FROM tk t JOIN fx dd USING (doc_id)),
           |qp AS (SELECT doc_id AS query_id,
           |        'Input: ' || substring(text, 1, 40) || chr(10) || 'Label:' AS qpiece
-          |       FROM documents WHERE doc_id % 100 = 0),
+          |       FROM fx WHERE doc_id % 100 = 0),
           |ag AS (SELECT query_id, CAST(count(*) AS INT) AS n_exemplars,
           |        string_agg(piece, '' ORDER BY rank) AS shots FROM ex GROUP BY 1)
           |SELECT query_id, n_exemplars, shots || qpiece AS prompt,

@@ -225,11 +225,14 @@ object Dialogue {
     * (doc_id ≡ 0 mod `queryMod` — disjoint from the pool by
     * construction, so a query can never retrieve itself), retrieve the
     * top-k most lexically similar pool documents per query
-    * ([[Similarity.hashedRetrievalTopK]] with `broadcastQueries=false` —
-    * the held-out slice is 1/`queryMod` OF THE CORPUS, i.e. it grows
-    * linearly with the data, so a forced broadcast would OOM at scale;
-    * AQE picks the join from measured sizes instead — bucket equi-join,
-    * WindowGroupLimit top-k), and render the classic
+    * ([[Similarity.invertedRetrievalTopK]] — the held-out slice is
+    * 1/`queryMod` OF THE CORPUS, i.e. BOTH retrieval sides grow linearly
+    * with the data, the regime where the bounded-batch 256-bucket
+    * [[Similarity.hashedRetrievalTopK]] contract goes quadratic (r13
+    * stress ledger: 78 s at 10x) and a forced broadcast would OOM;
+    * instead: 16-bit hash space, pool-df hot-bucket guard, no join
+    * hint — AQE decides — and a WindowGroupLimit top-k), then render
+    * the classic
     * `Input: …\nLabel: …` few-shot block with the query's own snippet
     * last, label blank — exemplar selection BY SIMILARITY, the standard
     * ICL recipe. Snippets truncate to `snippetChars` so prompt size is
@@ -240,14 +243,20 @@ object Dialogue {
     * partitioning); every downstream byte is a pure function of the
     * retrieval ranks, so the SQL oracle replays retrieval AND rendering. */
   def fewShotPrompts(docs: DataFrame, k: Int = 3, snippetChars: Int = 40,
-      buckets: Int = 256, queryMod: Long = 100): DataFrame = {
+      buckets: Int = 65536, queryMod: Long = 100,
+      maxDocFrequency: Double = 0.05): DataFrame = {
     require(k > 0 && snippetChars > 0, s"need k > 0 and snippetChars > 0")
     val queries = docs.filter(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("query_id"), col("text"))
     val pool = docs.filter(col("doc_id") % queryMod =!= 0)
       .select(col("doc_id"), lit(0L).as("chunk_id"), col("text").as("chunk_text"))
+    // BOTH sides are corpus-proportional here, so retrieval goes through
+    // the inverted-index scale path (16-bit hash space + pool-df hot-
+    // bucket guard) — the 256-bucket dense profiles of the bounded-batch
+    // hashedRetrievalTopK contract go quadratic in this regime (measured:
+    // 78 s at the 10x stress point before this switch, BENCH_NOTES r13)
     val top =
-      Similarity.hashedRetrievalTopK(pool, queries, buckets, k, broadcastQueries = false)
+      Similarity.invertedRetrievalTopK(pool, queries, buckets, k, maxDocFrequency)
     val ex = top
       .join(docs.select(col("doc_id"),
         substring(col("text"), 1, snippetChars).as("snippet"), col("source")),

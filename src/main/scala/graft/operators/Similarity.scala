@@ -847,6 +847,89 @@ object Similarity {
       .select("query_id", "doc_id", "chunk_id", "cos2_e6", "rank")
   }
 
+  /** INVERTED-INDEX retrieval — [[hashedRetrievalTopK]]'s scale path for
+    * the regime where BOTH sides are corpus-proportional (e.g.
+    * [[Dialogue.fewShotPrompts]]'s held-out query slice). Same integer
+    * cos² ranking, two structural changes that together kill the
+    * quadratic the r13 stress ledger caught (q196@10x read 78 s — at 256
+    * buckets every long document overlaps every bucket, so the bucket
+    * join degenerates to all-pairs):
+    *
+    *  1. A 16-bit hash space (`buckets` up to 65536, default the full
+    *     space) — a document's profile is SPARSE relative to the space,
+    *     so two documents share a bucket only when they share an actual
+    *     word (or a rare collision), the true inverted-index posture.
+    *  2. A document-frequency guard (the q21/q54 hot-gram idiom): any
+    *     bucket held by more than `maxDocFrequency` of the pool's
+    *     passages — the stopword mass that alone re-creates the
+    *     quadratic (every passage shares 'the' with every query) — is
+    *     dropped from BOTH sides' vectors before norms and dots, the
+    *     standard stop-term pruning of a posting-list engine. The hot
+    *     set is bounded by construction at avg-distinct-buckets-per-
+    *     passage / maxDocFrequency entries independent of corpus size,
+    *     so it collects to the driver and both removals happen map-side.
+    *
+    * Scoring is cos² over the GUARDED vectors (norms computed after the
+    * drop — the score space is self-consistent and exactly replayable).
+    * The guard derives from the POOL only: queries must not perturb the
+    * index. The passage vectors get three consumers (df probe + dot +
+    * norm), so the compact (ids, bucket, count) projection caches; the
+    * join carries no hint — two corpus-proportional sides, AQE decides.
+    *
+    * 100 TB shape: join volume is Σ_b pf(b)·qf(b) over SURVIVING
+    * buckets — Zipf vocabulary under a df cap, the classic posting-list
+    * intersection cost, linear-ish in corpus where the 256-bucket dense
+    * join was quadratic (measured at 10x: 78 s → see BENCH_NOTES r13). */
+  def invertedRetrievalTopK(passages: DataFrame, queries: DataFrame,
+      buckets: Int = 65536, k: Int = 3,
+      maxDocFrequency: Double = 0.05): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    require(k > 0, s"need k > 0, got $k")
+    require(maxDocFrequency > 0 && maxDocFrequency <= 1.0,
+      s"maxDocFrequency must be in (0, 1], got $maxDocFrequency")
+    val pv0raw = passages.select(col("doc_id"), col("chunk_id"),
+        explode(split(col("chunk_text"), " ")).as("__w"))
+      .select(col("doc_id"), col("chunk_id"),
+        Selection.bucketOf(col("__w"), buckets).as("__b"))
+      .groupBy("doc_id", "chunk_id", "__b").agg(count(lit(1)).as("pc"))
+    // maxDocFrequency >= 1.0 disables the guard (the ngramJaccardPairs
+    // convention — appropriate for tiny pools where f·n < 1 would mark
+    // every bucket hot) and skips the cache + df jobs entirely
+    val (pv0, hot) =
+      if (maxDocFrequency >= 1.0) (pv0raw, Array.empty[Int])
+      else {
+        val cached = pv0raw.cache()
+        // one row per (passage, bucket): df(b) = its row count per
+        // bucket; the distinct-passage total sizes the threshold
+        val nPassages = cached.select("doc_id", "chunk_id").distinct().count()
+        (cached, cached.groupBy("__b").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFrequency * nPassages)
+          .select("__b").collect().map(_.getInt(0)))
+      }
+    def guard(df: DataFrame) =
+      if (hot.isEmpty) df else df.filter(!col("__b").isin(hot.toSeq: _*))
+    val pv = guard(pv0)
+    val qv = guard(queries.select(col("query_id"),
+        explode(split(col("text"), " ")).as("__w"))
+      .select(col("query_id"), Selection.bucketOf(col("__w"), buckets).as("__b"))
+      .groupBy("query_id", "__b").agg(count(lit(1)).as("qc")))
+    val pn = pv.groupBy("doc_id", "chunk_id")
+      .agg(sum(col("pc") * col("pc")).as("pss"))
+    val qn = qv.groupBy("query_id").agg(sum(col("qc") * col("qc")).as("qss"))
+    val dots = pv.join(qv, "__b")
+      .groupBy("query_id", "doc_id", "chunk_id")
+      .agg(sum(col("pc") * col("qc")).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos2_e6").desc, col("doc_id"), col("chunk_id"))
+    dots.join(pn, Seq("doc_id", "chunk_id")).join(qn, "query_id")
+      .withColumn("cos2_e6", expr("(dot * dot * 1000000) div (pss * qss)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "chunk_id", "cos2_e6", "rank")
+  }
+
   /** RANKED-LIST EVALUATION — recall and reciprocal rank of an
     * approximate retriever against an exact reference, per query: the
     * measurement loop that tunes every ANN operating point here (IVF

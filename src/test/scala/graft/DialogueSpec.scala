@@ -137,7 +137,11 @@ class DialogueSpec extends AnyFunSuite {
       (2L, "alpha beta delta", "srcB"),        // 2/3 overlap -> rank 2
       (3L, "zz yy xx", "srcC"))                // disjoint terms -> no bucket hit
       .toDF("doc_id", "text", "source")
-    val got = Dialogue.fewShotPrompts(docs, k = 2, snippetChars = 40).collect()
+    // maxDocFrequency = 1.0 disables the pool-df guard: with a 3-passage
+    // pool, f = 0.05 would mark EVERY bucket hot (f·n < 1) — the guard is
+    // a corpus-scale tool, exercised separately below
+    val got = Dialogue.fewShotPrompts(docs, k = 2, snippetChars = 40,
+      maxDocFrequency = 1.0).collect()
     assert(got.length == 1)
     val r = got.head
     assert(r.getAs[Long]("query_id") == 100L)
@@ -148,6 +152,26 @@ class DialogueSpec extends AnyFunSuite {
       "Input: alpha beta gamma\nLabel:")
     // the query document itself is never an exemplar (disjoint split)
     assert(!r.getAs[String]("prompt").contains("qsrc"))
+  }
+
+  test("invertedRetrievalTopK: pool-df guard drops stop-buckets from both sides") {
+    import graft.operators.Similarity
+    // 'the' is in every pool passage (df = 5/5); the content words are in
+    // exactly one each. At maxDocFrequency = 0.5 the 'the' bucket is hot:
+    // without the guard, query [the alpha] would score against ALL five
+    // passages; with it, only the alpha passage shares a bucket.
+    val pool = (1 to 5).map(i => (i.toLong, 0L, s"the word$i " * 1 + (if (i == 1) "alpha" else "")))
+      .toDF("doc_id", "chunk_id", "chunk_text")
+    val queries = Seq((100L, "the alpha")).toDF("query_id", "text")
+    val got = Similarity.invertedRetrievalTopK(pool, queries, k = 5,
+      maxDocFrequency = 0.5).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L),
+      "only the passage sharing a non-hot bucket may surface")
+    // guard disabled: every passage shares the 'the' bucket and surfaces
+    val all = Similarity.invertedRetrievalTopK(pool, queries, k = 5,
+      maxDocFrequency = 1.0).collect()
+    assert(all.length == 5)
+    spark.catalog.clearCache()
   }
 
   test("spans tile every session on the real corpus slice") {
