@@ -62,52 +62,26 @@ object UrlOps {
   private[graft] val bareHostRe: String =
     "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]*)"
 
-  /** Fragment + tracking-parameter removal. The parameter strip operates
-    * on the QUERY STRING ONLY — a literal `&gclid=` inside a PATH (legal
-    * per RFC 3986) must survive, and RE2 has no lookbehind to anchor an
-    * in-place match after `?`, so the query is split off, cleaned as a
-    * bare `k=v&k=v` string (non-leading `&p=v`, then leading `p=v&`, then
-    * lone `p=v`), and reattached only if non-empty. */
-  private def withStrippedUrl(docs: DataFrame, urlCol: String): DataFrame = {
-    val noFrag = regexp_replace(col(urlCol), lit("#.*$"), lit(""))
-    val prepped = docs.withColumn("__nf", noFrag)
-      .withColumn("__base", regexp_replace(col("__nf"), lit("\\?.*$"), lit("")))
-      .withColumn("__q",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(regexp_extract(col("__nf"), "\\?(.*)$", 1),
-              lit("&" + trackingParams + "=[^&]*"), lit("")),
-            lit("^" + trackingParams + "=[^&]*&"), lit("")),
-          lit("^" + trackingParams + "=[^&]*$"), lit("")))
-    prepped
-      .withColumn("__u",
-        when(col("__q") === "", col("__base"))
-          .otherwise(concat(col("__base"), lit("?"), col("__q"))))
-      .drop("__nf", "__base", "__q")
-  }
-
-  /** Adds `norm_url` (and keeps every input column). The stripped URL
-    * materializes as its own alias first — it feeds four part-extractions,
-    * and a multi-referenced non-cheap alias survives CollapseProject, so
-    * the regex pre-pass runs once per row. A string with no
+  /** Adds `norm_url` (and keeps every input column). A string with no
     * `scheme://` prefix (relative links, garbage rows in a crawl) passes
     * through with only the fragment/tracking strip — never mangled into
-    * a phantom `://` — so downstream dedup still groups it sanely. */
-  def withNormalizedUrl(docs: DataFrame, urlCol: String = "url"): DataFrame = {
-    val stripped = withStrippedUrl(docs, urlCol)
-    val scheme = lower(regexp_extract(col("__u"), schemeRe, 1))
-    val userinfo = regexp_extract(col("__u"), userinfoRe, 1) // verbatim — see userinfoRe
-    val host0 = lower(regexp_extract(col("__u"), hostPortRe, 1))
-    val host = when(scheme === "http", regexp_replace(host0, lit(":80$"), lit("")))
-      .when(scheme === "https", regexp_replace(host0, lit(":443$"), lit("")))
-      .otherwise(host0)
-    val rest = regexp_extract(col("__u"), restRe, 1)
-    stripped
-      .withColumn("norm_url",
-        when(scheme === "", col("__u"))
-          .otherwise(concat(scheme, lit("://"), userinfo, host, rest)))
-      .drop("__u")
-  }
+    * a phantom `://` — so downstream dedup still groups it sanely.
+    *
+    * Implementation is the [[graft.functions.NormalizeUrl]] codegen
+    * expression, not a column-expression chain: as columns, the final
+    * CASE/concat referenced the ~15-regex strip tree about a dozen
+    * times, and predicate pushdown + join keys re-inlined all of it —
+    * composed over a derived-URL fixture the fused codegen method blew
+    * past the JVM's 64 KB limit and the whole stage ran interpreted
+    * (r13 decomposition; BENCH_NOTES). One compact expression keeps
+    * every consumer inside whole-stage codegen and runs the chain once
+    * per row. Semantics are byte-identical — the oracles still replay
+    * the regex chain in SQL. */
+  def withNormalizedUrl(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs.withColumn("norm_url",
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.NormalizeUrl(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(urlCol)))))
 
   /** Registered host (lowercased, port excluded) — the domain-cap key. */
   def domainOf(url: Column): Column = lower(regexp_extract(url, bareHostRe, 1))
