@@ -404,6 +404,25 @@ object SparkEntry {
       |        AS turn_txt
       |      FROM t)""".stripMargin
 
+  /** The q190/q200 shared oracle: the chat-render replay — q33's
+    * sessionization, turn index, parity roles and the <|role|> template,
+    * string_agg'd in turn order. q200 reads the SAME transcripts back
+    * out of the STREAMING session_window state's file sink, so one
+    * oracle covers both (the q53/q199 pattern) — and the shared gate
+    * proves cross-batch session-state merging loses nothing: every
+    * session's turns scatter across micro-batches by the event_id % 3
+    * staging, so state that forgot earlier batches would render partial
+    * transcripts and hash-mismatch here. */
+  private def chatRenderOracleSql: String =
+    s"""WITH $dialogueTurnsCtes,
+       |r AS (SELECT user_id, session_id, CAST(count(*) AS INT) AS n_turns,
+       |      string_agg(turn_txt, chr(10) ORDER BY turn_idx) AS transcript
+       |      FROM u GROUP BY 1, 2)
+       |SELECT user_id, session_id, n_turns, transcript,
+       |  CAST(length(transcript) AS BIGINT) AS n_chars,
+       |  length(transcript) <= 32 AS fits_context
+       |FROM r""".stripMargin
+
   /** [[wordCountCtes]] over an `fx` fixture CTE instead of the raw
     * documents table (the q188/q189 accented-fixture tokenization). */
   private def accentedWordCountCtes: String =
@@ -2381,6 +2400,89 @@ object SparkEntry {
       q.awaitTermination()
     }
 
+  /** The q200 streaming run, executed ONCE per SF dir: the raw events
+    * table staged as three micro-batches by `event_id % 3` (single file
+    * each, mtime-ordered — the q185 protocol) through
+    * [[graft.streaming.StreamingWindows.streamingChatRender]] to a
+    * parquet file sink. Unlike the earlier streaming fixtures this one
+    * keeps REAL event times — sessionization depends on them — so the
+    * no-mid-run-eviction guarantee comes from the WATERMARK DELAY
+    * instead: 1440 h (60 days) exceeds the whole corpus's 30-day span,
+    * so no staged event is ever late and no session closes while data
+    * is still arriving. `event_id % 3` scatters every session's turns
+    * across micro-batches (consecutive event ids alternate stages), so
+    * a transcript is only complete because session_window MERGED state
+    * across batches — the cross-batch property q190's oracle then gates.
+    *
+    * Emission mechanics (append mode emits only on watermark eviction):
+    * two sentinel stages carry a single far-future event each (same
+    * user -1, same ts ~4 months past the corpus, distinct event_ids).
+    * Sentinel A's batch advances the max event time; by sentinel B's
+    * batch the watermark (computed from data seen in EARLIER batches)
+    * has passed every real session's close, so they all evict into the
+    * sink no later than that batch's commit — without relying on the
+    * engine's trailing no-data batch. The sentinels share one session
+    * that never closes, so no sentinel row ever reaches the sink. */
+  private def q200StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q200", dir) { path =>
+      import org.apache.spark.sql.functions._
+      // Tables.events serves ts as epoch-nanos LONG; the streaming
+      // operator needs TimestampType. ns are micros*1000 in every
+      // testdata generation, so integer DIV 1000 is exact (a double
+      // division at 1.7e18 would round past micro precision).
+      val events = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("props"), expr("timestamp_micros(ts DIV 1000)").as("ts"))
+      val sentinelTs = lit("2024-06-01 00:00:00").cast("timestamp")
+      val stages: Seq[DataFrame] =
+        (0 until 3).map(i => events.filter(col("event_id") % 3 === i)) ++
+          Seq(-1L, -2L).map(eid =>
+            events.limit(0).unionByName(
+              s.range(1).select(lit(eid).as("event_id"),
+                lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+                lit("{\"k\": 0}").as("props"), sentinelTs.as("ts"))))
+      val inDir = new java.io.File(path, "in"); inDir.mkdirs()
+      stages.zipWithIndex.foreach { case (df, i) =>
+        val tmp = new java.io.File(path, s"stage$i")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(1700000000000L + i * 60000L),
+          s"setLastModified failed on ${dst.getAbsolutePath} — " +
+            "q200 stage ordering would be nondeterministic")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
+      val inSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("props",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val stream = s.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+      val out = streaming.StreamingWindows
+        .streamingChatRender(stream, gap = "30 minutes",
+          watermark = "1440 hours")
+      val q = out.writeStream
+        .format("parquet")
+        .option("path", s"$path/out")
+        .option("checkpointLocation", s"$path/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   /** The q53/q199 shared oracle: exact n-gram Jaccard at j >= 0.9 over
     * the derived exact-copy fixture — the TRUE pair set is a pure
     * function of the construction (identical signatures agree on every
@@ -2862,6 +2964,26 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("doc2"))
         .distinct()
       Dedup.jaccardVerify(derivedDocuments(s, dir), pairs, n = 3, threshold = 0.9)
+    }),
+
+    // the STREAMING chat renderer, run for real (file stream →
+    // session_window keyed state → parquet file sink, append mode,
+    // Trigger.AvailableNow) over the raw events staged by event_id % 3 —
+    // every session's turns SCATTER across micro-batches, so each
+    // transcript exists only because session state merged across
+    // batches (see q200StreamPath for the watermark/sentinel emission
+    // mechanics). session_id is the per-user rank of the emitted
+    // window's start — the q33 rule's 1-based session counter — which
+    // lets the sink earn q190's batch oracle verbatim (stream ≡ batch ≡
+    // oracle, the fourth oracle-grade streaming operator)
+    "q200_streaming_chat" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("sess_start")
+      s.read.parquet(s"${q200StreamPath(s, dir)}/out")
+        .withColumn("session_id", row_number().over(byUser).cast("int"))
+        .select(col("user_id"), col("session_id"), col("n_turns"),
+          col("transcript"), col("n_chars"), col("fits_context"))
     }),
 
     // REAL RIFF/AVI container walk over the synthetic MJPEG corpus:
@@ -5267,17 +5389,15 @@ object SparkEntry {
            |FROM dd""".stripMargin
       },
 
-      // q190: the chat-render replay — q33's sessionization, turn index,
-      // parity roles and the <|role|> template, string_agg'd in turn order
-      "q190_chat_render" ->
-        s"""WITH $dialogueTurnsCtes,
-           |r AS (SELECT user_id, session_id, CAST(count(*) AS INT) AS n_turns,
-           |      string_agg(turn_txt, chr(10) ORDER BY turn_idx) AS transcript
-           |      FROM u GROUP BY 1, 2)
-           |SELECT user_id, session_id, n_turns, transcript,
-           |  CAST(length(transcript) AS BIGINT) AS n_chars,
-           |  length(transcript) <= 32 AS fits_context
-           |FROM r""".stripMargin,
+      // q190: the chat-render replay (shared with q200 — see
+      // [[chatRenderOracleSql]])
+      "q190_chat_render" -> chatRenderOracleSql,
+
+      // q200 reads the SAME transcripts back out of the STREAMING
+      // session_window state's parquet file sink under the identical
+      // oracle — stream ≡ batch ≡ oracle (the q53/q199 shared-gate
+      // pattern; cross-batch merge rationale at [[chatRenderOracleSql]])
+      "q200_streaming_chat" -> chatRenderOracleSql,
 
       // q192: per-turn char spans — running sum of (len + 1) per session
       // (the \n separators), loss flags assistant turns
