@@ -400,7 +400,7 @@ object SparkEntry {
       |u AS (SELECT event_id, user_id, session_id, turn_idx,
       |      CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
       |      '<|' || CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END ||
-      |        '|>' || event_type || ' k=' || regexp_extract(props, '(\d+)', 1)
+      |        '|>' || event_type || ' k=' || coalesce(regexp_extract(props, '(\d+)', 1), '')
       |        AS turn_txt
       |      FROM t)""".stripMargin
 
@@ -2248,7 +2248,9 @@ object SparkEntry {
         val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
         java.nio.file.Files.move(part.toPath, dst.toPath)
         // FileStreamSource orders by (mtime, path): make both agree
-        dst.setLastModified(1700000000000L + i * 60000L)
+        require(dst.setLastModified(1700000000000L + i * 60000L),
+          s"setLastModified failed on ${dst.getAbsolutePath} — " +
+            "q185 stage ordering would be nondeterministic")
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }

@@ -42,7 +42,11 @@ object Dialogue {
     * session turn index + alternating role + chat-template turn text
     * `<|role|>{event_type} k={k}` (k = the integer prop — the one piece
     * of event payload that renders identically in both engines; floats
-    * never enter a transcript). */
+    * never enter a transcript). The k extraction coalesces to '' so
+    * `turn_txt` is TOTAL even on a null-`props` event (r13 ADVICE: a
+    * null turn_txt would silently drop the turn from
+    * [[tokenLossMasks]]'s profile join while [[lossMaskSpans]] kept it,
+    * breaking the documented char-span agreement between the two). */
   def turns(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val bySession = Window.partitionBy("user_id", "session_id")
@@ -59,7 +63,7 @@ object Dialogue {
       .withColumn("role", roleOf(col("turn_idx")))
       .withColumn("turn_txt",
         concat(lit("<|"), col("role"), lit("|>"), col("event_type"),
-          lit(" k="), regexp_extract(col("props"), "(\\d+)", 1)))
+          lit(" k="), coalesce(regexp_extract(col("props"), "(\\d+)", 1), lit(""))))
       .select("event_id", "user_id", "session_id", "turn_idx", "role", "turn_txt")
   }
 
@@ -122,7 +126,7 @@ object Dialogue {
   def tokenLossMasks(events: DataFrame, vocab: Seq[String]): DataFrame = {
     val combos = events
       .select(col("event_type"),
-        regexp_extract(col("props"), "(\\d+)", 1).as("k"))
+        coalesce(regexp_extract(col("props"), "(\\d+)", 1), lit("")).as("k"))
       .distinct()
       .withColumn("role", explode(array(lit("user"), lit("assistant"))))
       .withColumn("turn_txt", concat(lit("<|"), col("role"), lit("|>"),

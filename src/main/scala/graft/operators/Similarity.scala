@@ -873,8 +873,13 @@ object Similarity {
     * drop — the score space is self-consistent and exactly replayable).
     * The guard derives from the POOL only: queries must not perturb the
     * index. The passage vectors get three consumers (df probe + dot +
-    * norm), so the compact (ids, bucket, count) projection caches; the
-    * join carries no hint — two corpus-proportional sides, AQE decides.
+    * norm); the df probe runs as its OWN lightweight aggregation and the
+    * other two recompute the projection rather than cache it — pinning a
+    * corpus-proportional profile in executor storage until LRU eviction
+    * is exactly the leak the r13 ADVICE flagged, and at 100 TB the
+    * recompute (a map-side explode/hash/partial-agg over already-pruned
+    * columns) is cheaper than the storage pressure. The join carries no
+    * hint — two corpus-proportional sides, AQE decides.
     *
     * 100 TB shape: join volume is Σ_b pf(b)·qf(b) over SURVIVING
     * buckets — Zipf vocabulary under a df cap, the classic posting-list
@@ -888,24 +893,25 @@ object Similarity {
     require(k > 0, s"need k > 0, got $k")
     require(maxDocFrequency > 0 && maxDocFrequency <= 1.0,
       s"maxDocFrequency must be in (0, 1], got $maxDocFrequency")
-    val pv0raw = passages.select(col("doc_id"), col("chunk_id"),
+    val pv0 = passages.select(col("doc_id"), col("chunk_id"),
         explode(split(col("chunk_text"), " ")).as("__w"))
       .select(col("doc_id"), col("chunk_id"),
         Selection.bucketOf(col("__w"), buckets).as("__b"))
       .groupBy("doc_id", "chunk_id", "__b").agg(count(lit(1)).as("pc"))
     // maxDocFrequency >= 1.0 disables the guard (the ngramJaccardPairs
     // convention — appropriate for tiny pools where f·n < 1 would mark
-    // every bucket hot) and skips the cache + df jobs entirely
-    val (pv0, hot) =
-      if (maxDocFrequency >= 1.0) (pv0raw, Array.empty[Int])
+    // every bucket hot) and skips the df jobs entirely
+    val hot =
+      if (maxDocFrequency >= 1.0) Array.empty[Int]
       else {
-        val cached = pv0raw.cache()
         // one row per (passage, bucket): df(b) = its row count per
-        // bucket; the distinct-passage total sizes the threshold
-        val nPassages = cached.select("doc_id", "chunk_id").distinct().count()
-        (cached, cached.groupBy("__b").agg(count(lit(1)).as("df"))
+        // bucket; the distinct-passage total sizes the threshold. Both
+        // run as separate jobs over the recomputed profile instead of
+        // caching it (r13 ADVICE: the cache outlived the call).
+        val nPassages = pv0.select("doc_id", "chunk_id").distinct().count()
+        pv0.groupBy("__b").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFrequency * nPassages)
-          .select("__b").collect().map(_.getInt(0)))
+          .select("__b").collect().map(_.getInt(0))
       }
     def guard(df: DataFrame) =
       if (hot.isEmpty) df else df.filter(!col("__b").isin(hot.toSeq: _*))

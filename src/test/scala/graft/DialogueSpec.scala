@@ -171,7 +171,9 @@ class DialogueSpec extends AnyFunSuite {
     val all = Similarity.invertedRetrievalTopK(pool, queries, k = 5,
       maxDocFrequency = 1.0).collect()
     assert(all.length == 5)
-    spark.catalog.clearCache()
+    // the df guard runs as its own aggregation — nothing may stay cached
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "invertedRetrievalTopK must not leak cached blocks")
   }
 
   test("spans tile every session on the real corpus slice") {
