@@ -65,7 +65,11 @@ import org.apache.spark.sql.SparkSession
   *    politeness frontier) on a 10× id-offset self-union of
   *    documents.parquet (and embeddings.parquet, which q174 reads) —
   *    the slope one decade UP, duplicate-heavy by construction (see
-  *    the section comment).
+  *    the section comment); and
+  *  - "codegen_fallbacks": the run-wide count of silent codegen→
+  *    interpreted fallbacks ([[CodegenFallbackCounter]]; expected 0 —
+  *    the 64 KB generated-method class BENCH_NOTES r13 decomposed),
+  *    with the first offending log line for attribution.
   */
 object Bench {
   private val heavyTail = Seq(
@@ -99,6 +103,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // silent-codegen-fallback tripwire (BENCH_NOTES r13: 21 interpreted-mode
+    // fallbacks per run went unnoticed until stderr was read by hand) — the
+    // record carries the count; anything nonzero is a regression to chase
+    CodegenFallbackCounter.install()
+    CodegenFallbackCounter.reset()
 
     // machine-load telemetry helper (used at session start and around the
     // sweeps below): /proc/loadavg 1/5/15-min triple as a JSON array
@@ -221,18 +230,20 @@ object Bench {
           // (non-idle cpu, iowait, self utime+stime — /proc fields 14, 15)
           (nonIdle, v(4), f(11).toLong + f(12).toLong)
         }
-        // Committed stress bands (seconds at 10x), from the r11 quiet
-        // ledger of record (BENCH_NOTES "r11 final") — the wall-time
-        // re-run trigger fires above 2x these. A probe with no band yet
-        // (first round measured) can only trigger on ext_cores.
+        // Committed stress bands (seconds at 10x), from the r13 fully
+        // in-band ledger of record (BENCH_NOTES r13 — every probe inside
+        // its r11 band, q196's first band) — the wall-time re-run trigger
+        // fires above 2x these. A probe with no band yet (first round
+        // measured) can only trigger on ext_cores.
         val committedBand: Map[String, Double] = Map(
-          "q61" -> 9.3, "q96" -> 2.8, "q103" -> 2.5, "q123" -> 2.3,
-          "q135" -> 7.2, "q138" -> 1.9, "q142" -> 2.2, "q159" -> 8.4,
-          "q174" -> 12.3, "q181" -> 2.6, "q118" -> 2.6, "q133" -> 3.1,
-          "q187" -> 0.83)
+          "q61" -> 6.7, "q96" -> 2.2, "q103" -> 1.9, "q123" -> 2.1,
+          "q135" -> 5.3, "q138" -> 2.2, "q142" -> 1.8, "q159" -> 8.7,
+          "q174" -> 12.6, "q181" -> 4.2, "q118" -> 2.4, "q133" -> 2.6,
+          "q187" -> 1.3, "q196" -> 3.1)
         case class StressProbe(sec: Double, loadBefore: String, loadAfter: String,
           extCores: Double, ioCores: Double, contended: Boolean,
-          bandExceeded: Boolean, reruns: Int)
+          ioSuspect: Boolean, bandExceeded: Boolean, reruns: Int,
+          discarded: Option[StressProbe] = None)
         def probeOnce(name: String, sample: () => Double): StressProbe = {
           val lb = loadavg()
           val (n0, io0, s0) = cpuSnap()
@@ -244,10 +255,16 @@ object Bench {
           val io = math.max(0.0, (io1 - io0).toDouble / userHz / wall)
           val band = committedBand.get(name)
           val over = band.exists(b => sec > 2.0 * b)
-          // contended = the telemetry can name a culprit: foreign CPU, or
-          // out-of-band wall time WITH visible iowait (I/O-class pressure)
-          val cont = ext > extCoresThreshold || (over && io > ioCoresThreshold)
-          StressProbe(sec, lb, loadavg(), ext, io, cont, over, 0)
+          // contended = foreign CPU provably present. io_suspect is kept
+          // SEPARATE (r13 ADVICE): io_cores is system-wide iowait INCLUDING
+          // this JVM's own I/O (own CPU is subtractable via /proc/self,
+          // own iowait is not), so out-of-band wall time with visible
+          // iowait is evidence of I/O-class pressure but cannot name the
+          // culprit — a self-spilling probe looks identical to a noisy
+          // neighbor. Folding it into "contended" overstated the claim.
+          val cont = ext > extCoresThreshold
+          val ioSus = over && io > ioCoresThreshold
+          StressProbe(sec, lb, loadavg(), ext, io, cont, ioSus, over, 0)
         }
         def minOf3(name: String): () => Double = () =>
           (1 to 3).map { _ =>
@@ -301,19 +318,27 @@ object Bench {
               f"band_exceeded=${p0.bandExceeded}) — re-running once")
             val p1 = probeOnce(k, s)
             // min-of-3 each: the smaller wall time is strictly better
-            // evidence for a band question
-            val best = if (p1.sec <= p0.sec) p1 else p0
-            (k, best.copy(reruns = 1))
+            // evidence for a band question. The kept run's OWN flags ride
+            // with it and the discarded run's telemetry is reported beside
+            // it (r13 ADVICE: a faster-but-contended first run used to
+            // shadow a clean re-run with no trace of the clean reading).
+            val (best, other) = if (p1.sec <= p0.sec) (p1, p0) else (p0, p1)
+            (k, best.copy(reruns = 1, discarded = Some(other)))
           }
         }
         val secJson = probes
           .map { case (k, p) => f""""${k}_sec":${p.sec}%.3f""" }.mkString(",")
-        val telJson = probes.map { case (k, p) =>
-          f""""$k":{"ext_cores":${p.extCores}%.2f,"io_cores":${p.ioCores}%.2f,""" +
-            f""""load_before":${p.loadBefore},""" +
+        def probeJson(p: StressProbe, band: Option[Double]): String =
+          f"""{"sec":${p.sec}%.3f,"ext_cores":${p.extCores}%.2f,""" +
+            f""""io_cores":${p.ioCores}%.2f,"load_before":${p.loadBefore},""" +
             f""""load_after":${p.loadAfter},"contended":${p.contended},""" +
-            committedBand.get(k).map(b => f""""band_sec":$b%.2f,""").getOrElse("") +
-            f""""band_exceeded":${p.bandExceeded},"reruns":${p.reruns}}"""
+            f""""io_suspect":${p.ioSuspect},""" +
+            band.map(b => f""""band_sec":$b%.2f,""").getOrElse("") +
+            f""""band_exceeded":${p.bandExceeded},"reruns":${p.reruns}""" +
+            p.discarded.map(d =>
+              s""","discarded_run":${probeJson(d, band)}""").getOrElse("") + "}"
+        val telJson = probes.map { case (k, p) =>
+          s""""$k":${probeJson(p, committedBand.get(k))}"""
         }.mkString(",")
         s"""{"factor":10,"rows":$rows10,$secJson,""" +
           s""""ext_cores_threshold":$extCoresThreshold,""" +
@@ -639,6 +664,20 @@ object Bench {
     }
 
     val errJson = errors.result().distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // codegen-fallback tripwire readout: nonzero means some stage ran
+    // INTERPRETED after a generated-code compile failure (the 64 KB class
+    // BENCH_NOTES r13 decomposed) — loud on stderr, durable in the record
+    val cgCount = CodegenFallbackCounter.count
+    val cgJson = s""""codegen_fallbacks":$cgCount""" +
+      CodegenFallbackCounter.firstSample.map { m =>
+        val esc = m.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+        s""","codegen_fallback_sample":"$esc""""
+      }.getOrElse("")
+    if (cgCount > 0)
+      System.err.println(s"[bench] REGRESSION: $cgCount codegen fallback(s) " +
+        s"this run — some stage ran interpreted (first: ${
+          CodegenFallbackCounter.firstSample.getOrElse("?")})")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${
         jmap(results.map { case (k, v, _) => k -> v }, full)},""" +
@@ -646,7 +685,8 @@ object Bench {
       s""""pass_totals":${passTotals.map(full).mkString("[", ",", "]")},""" +
       s""""loadavg":${loadSamples.mkString("[", ",", "]")},""" +
       s""""lsh_prod":$lshProd,"zorder":$zorder,"ivf_prod":$ivfProd,"mh_index":$mhIndex,""" +
-      s""""skew":$skew,"stress10x":$stress,"heavy_tail":$heavy,"errors":$errJson,"sf":"$sfDir"}"""
+      s""""skew":$skew,"stress10x":$stress,"heavy_tail":$heavy,$cgJson,""" +
+      s""""errors":$errJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     println(fullJson)
 
@@ -658,7 +698,7 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_TOTAL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""pass_totals":${passTotals.map(full).mkString("[", ",", "]")},""" +
-      s""""loadavg":${loadSamples.mkString("[", ",", "]")},""" +
+      s""""loadavg":${loadSamples.mkString("[", ",", "]")},$cgJson,""" +
       s""""errors":$errJson,"sf":"$sfDir"}""" + "\n")
 
     // the compact record goes LAST, after the session is down, so nothing

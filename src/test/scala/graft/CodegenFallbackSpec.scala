@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The silent-codegen-fallback tripwire (BENCH_NOTES r13: 21 interpreted-mode
+  * fallbacks per bench run went unnoticed until stderr was read by hand):
+  * the counter's matching + wiring, then the repo's BIGGEST inlined
+  * expression chains pinned at ZERO fallbacks — the 64 KB
+  * generated-method-limit audit the r13 verdict ordered. The pinned set is
+  * the chains most likely to blow the limit when composed: the NormalizeUrl
+  * family that DID blow it in r13 (q129/q133/q135), Boilerplate
+  * .extractMainText's HOF pipeline and redactPii's regex chain via their
+  * heaviest capstone consumers (q109/q123/q154), the q102 quality-score
+  * chain, and the composite q126. */
+class CodegenFallbackSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("matches the three Spark fallback signatures and nothing else") {
+    assert(CodegenFallbackCounter.matches(
+      "Whole-stage codegen disabled for plan (id=3):\n *(3) Project"))
+    assert(CodegenFallbackCounter.matches(
+      "Expr codegen error and falling back to interpreter mode"))
+    assert(CodegenFallbackCounter.matches(
+      "failed to compile: org.codehaus.commons.compiler.InternalCompilerException"))
+    assert(!CodegenFallbackCounter.matches(null))
+    assert(!CodegenFallbackCounter.matches("Stage 3 contains a task of very large size"))
+    assert(!CodegenFallbackCounter.matches("compile succeeded"))
+  }
+
+  test("installed appender counts a matching root-logger event end-to-end") {
+    CodegenFallbackCounter.install()
+    CodegenFallbackCounter.install() // idempotent: second install must not double-count
+    CodegenFallbackCounter.reset()
+    val log = org.apache.logging.log4j.LogManager.getLogger(
+      "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
+    log.error("failed to compile: synthetic tripwire probe\n(full class body)")
+    assert(CodegenFallbackCounter.count == 1L)
+    assert(CodegenFallbackCounter.firstSample.exists(
+      _.startsWith("failed to compile: synthetic tripwire probe")))
+    log.info("failed to compile: below-threshold level must not count")
+    log.error("an unrelated error must not count")
+    assert(CodegenFallbackCounter.count == 1L)
+    CodegenFallbackCounter.reset()
+    assert(CodegenFallbackCounter.count == 0L && CodegenFallbackCounter.firstSample.isEmpty)
+  }
+
+  test("the big inlined expression chains stay inside the 64 KB codegen limit") {
+    CodegenFallbackCounter.install()
+    // WARN is where WholeStageCodegenExec logs its fallback; the suite's
+    // default level may sit above it
+    spark.sparkContext.setLogLevel("WARN")
+    CodegenFallbackCounter.reset()
+    val chainHeavy = Seq(
+      "q102_quality_score", // the widest scalar score chain
+      "q109_crawl_frontdoor", // extractMainText + redactPii + score compose
+      "q123_crawl_gate_compose", // full crawl gate: traps + caps + normalize
+      "q126_domain_quality", // multi-family composite
+      "q129_sitemap_discovery", // NormalizeUrl family
+      "q133_priority_frontier", // normalize → domain → salted rank
+      "q135_crawl_loop", // the family member that fell back in r13
+      "q154_curation_scorecard") // boilerplate HOF pipeline at its heaviest
+    val missing = chainHeavy.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"pinned queries renamed? $missing")
+    chainHeavy.foreach { q =>
+      SparkEntry.queries(q)(spark, dir).count()
+      assert(CodegenFallbackCounter.count == 0L,
+        s"$q triggered a codegen fallback: ${CodegenFallbackCounter.firstSample}")
+    }
+    spark.catalog.clearCache()
+  }
+}
