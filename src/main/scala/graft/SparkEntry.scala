@@ -1091,6 +1091,15 @@ object SparkEntry {
        |  FROM x JOIN keep USING (doc_id) JOIN cap USING (doc_id))
        |SELECT doc_id, domain, nw::BIGINT AS n_words FROM j WHERE nw >= 30""".stripMargin
 
+  /** The q94/q201 shared oracle: the normalization-chain replay +
+    * exact dedup over the URL fixture — one row per normalized URL with
+    * the min-doc_id keeper and the group size. The same SQL gates the
+    * batch chain (q94) and the streaming state's verified sink (q201). */
+  private def urlDedupOracleSql: String =
+    s"""WITH $urlCanonCte
+       |SELECT norm_url, min(doc_id) AS keep_id, count(*) AS n_dups
+       |FROM n GROUP BY 1""".stripMargin
+
   /** The q94/q95 oracles' copy of [[urlDocuments]]'s construction. */
   private def urlFixtureSql: String =
     """SELECT doc_id,
@@ -2485,6 +2494,147 @@ object SparkEntry {
       q.awaitTermination()
     }
 
+  /** The q201 streaming run, executed ONCE per SF dir: the q94 URL
+    * fixture staged as three ARRIVAL WAVES through
+    * [[graft.streaming.StreamingWindows.streamingUrlDedup]] to a parquet
+    * file sink of kept pages. Wave i holds each canonical group's
+    * (i+1)-th smallest doc_id (wave 2 takes the whole remainder), so by
+    * construction wave 0 has EXACTLY ONE row per normalized URL — no
+    * within-batch duplicate ever exists, making the kept row the group's
+    * min doc_id deterministically — and EVERY duplicate drop is a
+    * cross-batch decision: a wave-1/2 row survives or dies purely on
+    * whether the state store remembers its normalized URL from wave 0.
+    * That is the strongest possible staging for the claim q94's oracle
+    * then gates: the stream's NormalizeUrl chain ≡ the batch chain ≡ the
+    * oracle's SQL replay, key for key. The wave rank derives batch-side
+    * from the SAME expression (fixture construction, not the system
+    * under test — the q199 posture); the staged files carry only
+    * (doc_id, url, ts) so the stream re-derives normalization itself.
+    * All rows share one event time inside the watermark horizon, so no
+    * state evicts mid-run. */
+  private def q201StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q201", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val byUrl = org.apache.spark.sql.expressions.Window
+        .partitionBy("norm_url").orderBy("doc_id")
+      val waved = operators.UrlOps.withNormalizedUrl(urlDocuments(s, dir))
+        .withColumn("wave", least(row_number().over(byUrl), lit(3)) - 1)
+        .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+        .select("doc_id", "url", "ts", "wave")
+      val inDir = new java.io.File(path, "in"); inDir.mkdirs()
+      (0 until 3).foreach { i =>
+        val tmp = new java.io.File(path, s"stage$i")
+        waved.filter(col("wave") === i).drop("wave").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(1700000000000L + i * 60000L),
+          s"setLastModified failed on ${dst.getAbsolutePath} — " +
+            "q201 stage ordering would be nondeterministic")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
+      val inSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("url",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val stream = s.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+      val out = streaming.StreamingWindows
+        .streamingUrlDedup(stream, watermark = "1 hour")
+      val q = out.writeStream
+        .format("parquet")
+        .option("path", s"$path/out")
+        .option("checkpointLocation", s"$path/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+  /** The q202 streaming run, executed ONCE per SF dir: the raw events
+    * table staged as three micro-batches by `event_id % 3` (single file
+    * each, mtime-ordered — the q185 protocol) through [[graft.streaming
+    * .StreamingFunnel]] to a parquet file sink of per-user funnel rows.
+    * Consecutive event ids alternate stages, so every user's events
+    * SCATTER across micro-batches in an order uncorrelated with event
+    * time — each user's funnel is correct only because the keyed state
+    * BUFFERS the whole in-horizon burst and evaluates once at eviction,
+    * which is exactly the out-of-order-exactness claim q81's oracle then
+    * gates. Real event times are kept (the funnel's semantics need
+    * them); the q200 watermark/sentinel mechanics give no-mid-run
+    * eviction + final emission: the 1440 h idle horizon exceeds the
+    * corpus's 30-day span (no user ever evicts while its events are
+    * still arriving), and two far-future sentinel stages (user −1,
+    * ts ≈ 11 months past the corpus — past every user's max-ts + 60 d
+    * eviction threshold) advance the watermark so every real user's
+    * timeout fires by the last batch's commit; the sentinels' own
+    * timeout never fires, so no sentinel row reaches the sink. Times
+    * flow as µs end-to-end (timestamp_micros in, unix_micros inside the
+    * operator), so the reach times are bit-identical to batch q81's. */
+  private def q202StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q202", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val events = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("timestamp_micros(ts DIV 1000)").as("ts"))
+      val sentinelTs = lit("2025-01-01 00:00:00").cast("timestamp")
+      val stages: Seq[DataFrame] =
+        (0 until 3).map(i => events.filter(col("event_id") % 3 === i)) ++
+          Seq(-1L, -2L).map(eid =>
+            events.limit(0).unionByName(
+              s.range(1).select(lit(eid).as("event_id"),
+                lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+                sentinelTs.as("ts"))))
+      val inDir = new java.io.File(path, "in"); inDir.mkdirs()
+      stages.zipWithIndex.foreach { case (df, i) =>
+        val tmp = new java.io.File(path, s"stage$i")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(1700000000000L + i * 60000L),
+          s"setLastModified failed on ${dst.getAbsolutePath} — " +
+            "q202 stage ordering would be nondeterministic")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
+      val inSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val stream = s.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+      import s.implicits._
+      val out = streaming.StreamingFunnel(
+        stream.as[streaming.FunnelEvent],
+        stages = Seq("view", "click", "purchase"),
+        idleTimeout = "1440 hours")
+      val q = out.writeStream
+        .format("parquet")
+        .option("path", s"$path/out")
+        .option("checkpointLocation", s"$path/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   /** The q53/q199 shared oracle: exact n-gram Jaccard at j >= 0.9 over
     * the derived exact-copy fixture — the TRUE pair set is a pure
     * function of the construction (identical signatures agree on every
@@ -2986,6 +3136,46 @@ object SparkEntry {
         .withColumn("session_id", row_number().over(byUser).cast("int"))
         .select(col("user_id"), col("session_id"), col("n_turns"),
           col("transcript"), col("n_chars"), col("fits_context"))
+    }),
+
+    // the STREAMING URL dedup, run for real (file stream → NormalizeUrl
+    // → dropDuplicatesWithinWatermark keyed state → parquet file sink,
+    // Trigger.AvailableNow) over the q94 fixture staged as arrival
+    // waves: wave 0 = each canonical group's min doc_id (one row per
+    // normalized URL), later waves = the duplicates — so every drop is
+    // a cross-batch state decision (see q201StreamPath). The sink's
+    // kept rows carry the decision; the group sizes are a batch-side
+    // decoration (the q199 verify posture), and q94's oracle gates the
+    // whole row set: one row per normalized URL, keep_id = the group
+    // min, n_dups = the group size — stream ≡ batch ≡ oracle on the
+    // shared NormalizeUrl chain
+    "q201_streaming_url_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val kept = s.read.parquet(s"${q201StreamPath(s, dir)}/out")
+        .select(col("norm_url"), col("doc_id").as("keep_id"))
+      val sizes = operators.UrlOps.withNormalizedUrl(urlDocuments(s, dir))
+        .groupBy("norm_url").agg(count(lit(1)).as("n_dups"))
+      kept.join(sizes, Seq("norm_url"))
+        .select("norm_url", "keep_id", "n_dups")
+    }),
+
+    // the STREAMING ordered funnel, run for real (file stream →
+    // per-user buffering state → evaluate-at-eviction → parquet file
+    // sink, Trigger.AvailableNow) over the raw events staged by
+    // event_id % 3 — every user's burst arrives scattered and
+    // time-disordered across micro-batches, so the reach times are
+    // right only because the state buffered the whole burst and
+    // evaluated once at watermark eviction (see q202StreamPath for the
+    // sentinel emission mechanics). The sink earns q81's batch oracle
+    // verbatim — stream ≡ batch ≡ oracle, reach times in µs
+    "q202_streaming_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.read.parquet(s"${q202StreamPath(s, dir)}/out")
+        .select(col("user_id"),
+          element_at(col("reach_us"), 1).as("t1"),
+          element_at(col("reach_us"), 2).as("t2"),
+          element_at(col("reach_us"), 3).as("t3"),
+          col("funnel_stage"))
     }),
 
     // REAL RIFF/AVI container walk over the synthetic MJPEG corpus:
@@ -6243,10 +6433,15 @@ object SparkEntry {
         s"""WITH RECURSIVE $bpeByteSql
            |SELECT doc_id, n_words, n_bpe_tokens FROM bpe""".stripMargin,
 
-      "q94_url_dedup" ->
-        s"""WITH $urlCanonCte
-           |SELECT norm_url, min(doc_id) AS keep_id, count(*) AS n_dups
-           |FROM n GROUP BY 1""".stripMargin,
+      // q94: the URL-dedup replay (shared with q201 — the streaming
+      // operator's verified sink earns the batch oracle verbatim)
+      "q94_url_dedup" -> urlDedupOracleSql,
+
+      // q201 reads the SAME fixture's kept pages back out of the
+      // STREAMING state's file sink, so the batch SQL is the full
+      // oracle — stream ≡ batch ≡ oracle (the q53/q199 shared-gate
+      // pattern; wave-staging rationale at q201StreamPath)
+      "q201_streaming_url_dedup" -> urlDedupOracleSql,
 
       "q95_domain_cap" ->
         s"""WITH $urlCanonCte
@@ -7391,29 +7586,42 @@ object SparkEntry {
           |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
           |FROM c GROUP BY 1""".stripMargin,
 
-      // chained running-min windows, one per stage; the same (user, (us,
-      // event_id)) order as the operator, reach times in microseconds
-      "q81_funnel" ->
-        """WITH e AS (SELECT user_id, event_id, event_type,
-          |             epoch_ns(ts) // 1000 AS us FROM events),
-          |r0 AS (SELECT user_id, event_id, event_type, us,
-          |         min(CASE WHEN event_type = 'view' THEN us END)
-          |           OVER (PARTITION BY user_id ORDER BY us, event_id
-          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
-          |       FROM e),
-          |r1 AS (SELECT user_id, event_id, event_type, us, a,
-          |         min(CASE WHEN event_type = 'click' AND a IS NOT NULL THEN us END)
-          |           OVER (PARTITION BY user_id ORDER BY us, event_id
-          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b
-          |       FROM r0),
-          |r2 AS (SELECT user_id, event_id, us, a, b,
-          |         min(CASE WHEN event_type = 'purchase' AND b IS NOT NULL THEN us END)
-          |           OVER (PARTITION BY user_id ORDER BY us, event_id
-          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
-          |       FROM r1)
-          |SELECT user_id, min(a) AS t1, min(b) AS t2, min(c) AS t3,
-          |  CASE WHEN min(c) IS NOT NULL THEN 3 WHEN min(b) IS NOT NULL THEN 2
-          |       WHEN min(a) IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
-          |FROM r2 GROUP BY user_id""".stripMargin,
+      // q81: the chained-running-min funnel replay (shared with q202 —
+      // the streaming buffer-at-eviction sink earns the batch oracle
+      // verbatim, see [[funnelOracleSql]])
+      "q81_funnel" -> funnelOracleSql,
+
+      // q202 reads the SAME events' per-user funnels back out of the
+      // STREAMING state's file sink, so the batch SQL is the full
+      // oracle — stream ≡ batch ≡ oracle (the q53/q199 shared-gate
+      // pattern; sentinel/watermark mechanics at q202StreamPath)
+      "q202_streaming_funnel" -> funnelOracleSql,
     )
+
+  /** The q81/q202 shared oracle: chained running-min windows, one per
+    * stage; the same (user, (us, event_id)) order as both the batch
+    * operator and the streaming buffer's eviction-time sort, reach
+    * times in microseconds. */
+  private def funnelOracleSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             epoch_ns(ts) // 1000 AS us FROM events),
+      |r0 AS (SELECT user_id, event_id, event_type, us,
+      |         min(CASE WHEN event_type = 'view' THEN us END)
+      |           OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
+      |       FROM e),
+      |r1 AS (SELECT user_id, event_id, event_type, us, a,
+      |         min(CASE WHEN event_type = 'click' AND a IS NOT NULL THEN us END)
+      |           OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b
+      |       FROM r0),
+      |r2 AS (SELECT user_id, event_id, us, a, b,
+      |         min(CASE WHEN event_type = 'purchase' AND b IS NOT NULL THEN us END)
+      |           OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |       FROM r1)
+      |SELECT user_id, min(a) AS t1, min(b) AS t2, min(c) AS t3,
+      |  CASE WHEN min(c) IS NOT NULL THEN 3 WHEN min(b) IS NOT NULL THEN 2
+      |       WHEN min(a) IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
+      |FROM r2 GROUP BY user_id""".stripMargin
 }

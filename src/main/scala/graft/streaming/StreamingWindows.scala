@@ -397,10 +397,10 @@ case class BandBucketState(seen: Array[Long])
 /** Input row for the streaming funnel. */
 case class FunnelEvent(event_id: Long, user_id: Long, event_type: String,
     ts: java.sql.Timestamp)
-/** Buffered per-user funnel state: (event_id, ms, type) triples within the
+/** Buffered per-user funnel state: (event_id, us, type) triples within the
   * watermark horizon — type strings are small and bounded by the stage
   * vocabulary; ids/times are two longs per event. */
-case class FunnelBuffer(ids: Array[Long], ms: Array[Long], types: Array[String])
+case class FunnelBuffer(ids: Array[Long], us: Array[Long], types: Array[String])
 
 /** Per-domain frontier counter: the next politeness slot to hand out. */
 case class DomainSeqState(next: Long)
@@ -415,9 +415,9 @@ case class PackAssignment(doc_id: Long, shard: Int, n_tokens: Int,
 /** One scheduled fetch: the streaming scheduler's output row. */
 case class FetchAssignment(doc_id: Long, domain: String, seq: Long, fetch_at: Long)
 /** One funnel result per user, emitted when the user goes idle past the
-  * horizon: reach times (ms epoch, null = stage not reached) and the
+  * horizon: reach times (µs epoch, null = stage not reached) and the
   * deepest stage index. */
-case class FunnelReach(user_id: Long, reach_ms: Seq[Option[Long]], funnel_stage: Int)
+case class FunnelReach(user_id: Long, reach_us: Seq[Option[Long]], funnel_stage: Int)
 
 /** Streaming ordered funnel — the ingest-time analogue of
   * [[graft.operators.Funnel.funnel]]: events buffer per user inside the
@@ -434,8 +434,11 @@ case class FunnelReach(user_id: Long, reach_ms: Seq[Option[Long]], funnel_stage:
   * guarantees no earlier event can arrive. Evaluation sorts the buffer by
   * (time, event_id) and applies the same sequential
   * qualifies-after-previous-stage rule as the batch operator —
-  * StreamingSpec pins parity against `Funnel.funnel` on the same events.
-  * Times are epoch MILLIseconds (java.sql.Timestamp precision).
+  * StreamingSpec pins parity against `Funnel.funnel` on the same events,
+  * and q202 earns q81's full DuckDB oracle from a staged file-sink run.
+  * Times are epoch MICROseconds (`unix_micros` — TimestampType's native
+  * precision, so the batch operator's µs reach times reproduce exactly;
+  * ms-truncated times could never hash-match the q81 oracle).
   *
   * State per user is the in-horizon event triples — proportional to the
   * funnel window, not stream history; idle users evict at timeout. */
@@ -445,40 +448,48 @@ object StreamingFunnel {
     require(stages.nonEmpty && stages.distinct.size == stages.size,
       s"stages must be non-empty and distinct: $stages")
     import events.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
     events.toDF()
       .withWatermark("ts", idleTimeout)
-      .as[FunnelEvent]
-      .groupByKey(_.user_id)
+      // ts stays in the projection — the watermark rides its attribute
+      // and event-time timeout requires it downstream; us is the exact
+      // µs the buffer stores
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, java.sql.Timestamp, Long)]
+      .groupByKey(_._2)
       .flatMapGroupsWithState[FunnelBuffer, FunnelReach](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelBuffer]) =>
+        (userId: Long, rows: Iterator[(Long, Long, String, java.sql.Timestamp, Long)],
+            state: GroupState[FunnelBuffer]) =>
           if (state.hasTimedOut) {
             val buf = state.get
             state.remove()
-            val order = buf.ids.indices.sortBy(i => (buf.ms(i), buf.ids(i)))
+            val order = buf.ids.indices.sortBy(i => (buf.us(i), buf.ids(i)))
             val reach = Array.fill[Option[Long]](stages.size)(None)
             order.foreach { i =>
               val s = stages.indexOf(buf.types(i))
               if (s >= 0 && reach(s).isEmpty && (s == 0 || reach(s - 1).isDefined))
-                reach(s) = Some(buf.ms(i))
+                reach(s) = Some(buf.us(i))
             }
             Iterator.single(
               FunnelReach(userId, reach.toSeq, reach.lastIndexWhere(_.isDefined) + 1))
           } else {
             val prev = state.getOption.getOrElse(
               FunnelBuffer(Array.empty, Array.empty, Array.empty))
-            val ids = Array.newBuilder[Long]; val ms = Array.newBuilder[Long]
+            val ids = Array.newBuilder[Long]; val us = Array.newBuilder[Long]
             val tps = Array.newBuilder[String]
-            rows.foreach { e =>
-              ids += e.event_id; ms += e.ts.getTime; tps += e.event_type
+            rows.foreach { case (eventId, _, tp, _, eventUs) =>
+              ids += eventId; us += eventUs; tps += tp
             }
             val next = FunnelBuffer(prev.ids ++ ids.result(),
-              prev.ms ++ ms.result(), prev.types ++ tps.result())
+              prev.us ++ us.result(), prev.types ++ tps.result())
             state.update(next)
             // timeout from the max over the WHOLE buffer, not this batch —
             // a batch of only older (in-horizon) events must never pull an
             // already-set timeout backward and evict the user early
-            if (next.ms.nonEmpty) state.setTimeoutTimestamp(next.ms.max, idleTimeout)
+            if (next.us.nonEmpty)
+              state.setTimeoutTimestamp(Math.floorDiv(next.us.max, 1000L), idleTimeout)
             Iterator.empty
           }
       }

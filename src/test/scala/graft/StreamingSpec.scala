@@ -216,14 +216,15 @@ class StreamingSpec extends AnyFunSuite {
 
     val rows = spark.table("sfunnel").as[FunnelReach].collect()
     assert(rows.toSeq == Seq(FunnelReach(1,
-      Seq(Some(t(0).getTime), Some(t(5).getTime), Some(t(7).getTime)), 3)))
+      Seq(Some(t(0).getTime * 1000), Some(t(5).getTime * 1000),
+        Some(t(7).getTime * 1000)), 3)))
     // exact parity with the batch operator on the same (reordered) events
     val batchRow = operators.Funnel.funnel(
-      Seq((2L, 1L, "click", t(5).getTime), (3L, 1L, "purchase", t(7).getTime),
-        (1L, 1L, "view", t(0).getTime)).toDF("event_id", "user_id", "event_type", "ms"),
-      Seq("view", "click", "purchase"), timeCol = "ms").collect().head
+      Seq((2L, 1L, "click", t(5).getTime * 1000), (3L, 1L, "purchase", t(7).getTime * 1000),
+        (1L, 1L, "view", t(0).getTime * 1000)).toDF("event_id", "user_id", "event_type", "us"),
+      Seq("view", "click", "purchase"), timeCol = "us").collect().head
     assert(Seq(batchRow.getLong(1), batchRow.getLong(2), batchRow.getLong(3)) ==
-      rows.head.reach_ms.map(_.get) && batchRow.getInt(4) == rows.head.funnel_stage)
+      rows.head.reach_us.map(_.get) && batchRow.getInt(4) == rows.head.funnel_stage)
   }
 
   test("threshold alerts fire once per user at the crossing event") {
