@@ -2635,6 +2635,67 @@ object SparkEntry {
       q.awaitTermination()
     }
 
+  /** The q203 streaming run, executed ONCE per SF dir: q53's derived
+    * exact-copy fixture staged as TWO arrival waves through
+    * [[graft.streaming.StreamingWindows.streamingExactDedup]] to a
+    * parquet file sink of kept documents. The corpus's texts are all
+    * distinct (probed), so every content-hash group is a planted
+    * (base doc, +10M copy) pair — wave 0 holds the base docs (exactly
+    * one row per distinct hash, so the kept row is the group's min
+    * doc_id with no within-batch ambiguity, the q201 wave rationale)
+    * and wave 1 holds the copies, every one of which is dropped ONLY
+    * because the state store remembers its hash from wave 0. q20's
+    * oracle shape over the same derivation gates the sink: one row per
+    * content hash, keep_id = group min, n_dups = group size. All rows
+    * share one event time inside the watermark horizon, so no state
+    * evicts mid-run. */
+  private def q203StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q203", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val byHash = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy("doc_id")
+      val waved = derivedDocuments(s, dir)
+        .withColumn("wave", least(row_number().over(byHash), lit(2)) - 1)
+        .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+        .select("doc_id", "text", "ts", "wave")
+      val inDir = new java.io.File(path, "in"); inDir.mkdirs()
+      (0 until 2).foreach { i =>
+        val tmp = new java.io.File(path, s"stage$i")
+        waved.filter(col("wave") === i).drop("wave").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(1700000000000L + i * 60000L),
+          s"setLastModified failed on ${dst.getAbsolutePath} — " +
+            "q203 stage ordering would be nondeterministic")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
+      val inSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val stream = s.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+      val out = streaming.StreamingWindows
+        .streamingExactDedup(stream, watermark = "1 hour")
+      val q = out.writeStream
+        .format("parquet")
+        .option("path", s"$path/out")
+        .option("checkpointLocation", s"$path/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   /** The q53/q199 shared oracle: exact n-gram Jaccard at j >= 0.9 over
     * the derived exact-copy fixture — the TRUE pair set is a pure
     * function of the construction (identical signatures agree on every
@@ -3176,6 +3237,25 @@ object SparkEntry {
           element_at(col("reach_us"), 2).as("t2"),
           element_at(col("reach_us"), 3).as("t3"),
           col("funnel_stage"))
+    }),
+
+    // the STREAMING exact dedup, run for real (file stream → content
+    // hash → dropDuplicatesWithinWatermark keyed state → parquet file
+    // sink, Trigger.AvailableNow) over q53's derived exact-copy fixture
+    // staged as arrival waves: wave 0 = the base docs (one row per
+    // distinct hash), wave 1 = the planted copies — every drop is a
+    // cross-batch state decision (see q203StreamPath). The kept docs
+    // joined to batch group sizes earn q20's oracle shape over the same
+    // derivation — stream ≡ batch ≡ oracle on the md5 content hash
+    "q203_streaming_exact_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val kept = s.read.parquet(s"${q203StreamPath(s, dir)}/out")
+        .select(col("content_hash"), col("doc_id").as("keep_id"))
+      val sizes = derivedDocuments(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(count(lit(1)).as("n_dups"))
+      kept.join(sizes, Seq("content_hash"))
+        .select("content_hash", "keep_id", "n_dups")
     }),
 
     // REAL RIFF/AVI container walk over the synthetic MJPEG corpus:
@@ -7596,6 +7676,18 @@ object SparkEntry {
       // oracle — stream ≡ batch ≡ oracle (the q53/q199 shared-gate
       // pattern; sentinel/watermark mechanics at q202StreamPath)
       "q202_streaming_funnel" -> funnelOracleSql,
+
+      // q203: q20's exact-dedup shape over the q53/q199 derived
+      // exact-copy fixture — the TRUE (hash, keep, size) set is a pure
+      // function of the derivation, and the streaming state's kept-doc
+      // sink must reproduce it (wave-staging rationale at
+      // q203StreamPath)
+      "q203_streaming_exact_dedup" ->
+        """WITH docs2 AS (SELECT doc_id, text FROM documents
+          |               UNION ALL
+          |               SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0)
+          |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+          |FROM docs2 GROUP BY md5(text)""".stripMargin,
     )
 
   /** The q81/q202 shared oracle: chained running-min windows, one per
