@@ -2696,6 +2696,81 @@ object SparkEntry {
       q.awaitTermination()
     }
 
+  /** The q204 streaming run, executed ONCE per SF dir: q151's trap-URL
+    * fixture staged as DISTINCT-URL arrival waves through
+    * [[graft.streaming.StreamingWindows.streamingTrapCensus]] at
+    * threshold 5 to a parquet file sink of trap alerts. Wave i holds
+    * every row whose url is the (i+1)-th distinct URL of its
+    * digit-masked template (dense_rank over url — all docs sharing a
+    * URL land in the SAME wave), waves beyond the threshold collapse
+    * into one final wave. Each wave therefore grows a template's
+    * distinct census by AT MOST ONE, which makes the alert structural:
+    * a template with ≥ 5 distinct URLs fires exactly at its 5th wave
+    * with n_urls EXACTLY 5 (the mid-batch-overshoot case is staged
+    * away), duplicate rows of an already-seen URL never inflate the
+    * census (same 60-bit hash, same wave), and the final wave's extra
+    * distinct URLs prove fire-once (the trapped pin emits nothing). The
+    * DuckDB oracle states the firing set from the fixture construction:
+    * every template whose distinct-URL count ≥ 5, each with n_urls = 5.
+    * At this fixture that is exactly TWO: the session-id generator
+    * (distinct ∝ corpus) and the benign class (6 distinct URLs) — the
+    * deep/loop/param classes pin id % 5 through their id % 10 selector
+    * and collapse to ONE distinct URL each. The benign firing is a
+    * feature of the gate: the census is a template-cardinality signal,
+    * not a verdict; the batch q151 audit is where in-row signals
+    * separate trap classes from benign.
+    * All rows share one event time inside the watermark horizon, so no
+    * state evicts mid-run. */
+  private def q204StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q204", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val threshold = 5
+      val byTpl = org.apache.spark.sql.expressions.Window
+        .partitionBy("template").orderBy("url")
+      val waved = trapUrlDocuments(s, dir)
+        .withColumn("template", regexp_replace(col("url"), "[0-9]+", "0"))
+        .withColumn("wave", least(dense_rank().over(byTpl), lit(threshold + 1)) - 1)
+        .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+        .select("doc_id", "url", "ts", "wave")
+      val inDir = new java.io.File(path, "in"); inDir.mkdirs()
+      (0 to threshold).foreach { i =>
+        val tmp = new java.io.File(path, s"stage$i")
+        waved.filter(col("wave") === i).drop("wave").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(1700000000000L + i * 60000L),
+          s"setLastModified failed on ${dst.getAbsolutePath} — " +
+            "q204 stage ordering would be nondeterministic")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
+      val inSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("url",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val stream = s.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+      val out = streaming.StreamingWindows
+        .streamingTrapCensus(stream, templateThreshold = threshold,
+          watermark = "1 hour")
+      val q = out.writeStream
+        .format("parquet")
+        .option("path", s"$path/out")
+        .option("checkpointLocation", s"$path/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   /** The q53/q199 shared oracle: exact n-gram Jaccard at j >= 0.9 over
     * the derived exact-copy fixture — the TRUE pair set is a pure
     * function of the construction (identical signatures agree on every
@@ -3256,6 +3331,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_dups"))
       kept.join(sizes, Seq("content_hash"))
         .select("content_hash", "keep_id", "n_dups")
+    }),
+
+    // the STREAMING crawl-trap census, run for real (file stream →
+    // digit-masked template keyed state → alert-at-crossing → parquet
+    // file sink, Trigger.AvailableNow) over q151's trap fixture staged
+    // as distinct-URL waves: each wave grows a template's census by at
+    // most one, so a trap fires exactly at its threshold-th wave with
+    // n_urls exactly 5, duplicates never inflate the census, and the
+    // final wave proves fire-once (see q204StreamPath). The oracle
+    // states the firing set from the fixture construction
+    "q204_streaming_trap_census" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.read.parquet(s"${q204StreamPath(s, dir)}/out")
+        .select(col("template"), col("n_urls"))
     }),
 
     // REAL RIFF/AVI container walk over the synthetic MJPEG corpus:
@@ -7688,6 +7777,16 @@ object SparkEntry {
           |               SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0)
           |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
           |FROM docs2 GROUP BY md5(text)""".stripMargin,
+
+      // q204: the trap-alert set stated from the fixture construction —
+      // under distinct-URL wave staging the census at crossing is the
+      // threshold EXACTLY, so every template with >= 5 distinct URLs
+      // appears once with n_urls = 5 (wave rationale at q204StreamPath)
+      "q204_streaming_trap_census" ->
+        s"""WITH f AS ($trapUrlFixtureSql),
+           |t AS (SELECT regexp_replace(url, '[0-9]+', '0', 'g') AS template, url FROM f)
+           |SELECT template, 5::INT AS n_urls FROM t
+           |GROUP BY template HAVING count(DISTINCT url) >= 5""".stripMargin,
     )
 
   /** The q81/q202 shared oracle: chained running-min windows, one per
