@@ -2771,6 +2771,67 @@ object SparkEntry {
       q.awaitTermination()
     }
 
+  /** The q205 streaming run, executed ONCE per SF dir: the documents
+    * table staged as three micro-batches by `doc_id % 3` (single file
+    * each, mtime-ordered — the q185 protocol) through
+    * [[graft.streaming.StreamingWindows.streamingFirstFitPack]] to a
+    * parquet file sink of packing assignments. The operator needs no
+    * watermark or sentinels (NoTimeout state, assignments emit in the
+    * batch they arrive), so the staging is the simplest of the family —
+    * but the claim gated is the strongest kind: per shard the stream
+    * processes docs in (batch, doc_id) order, and the oracle replays
+    * GLOBAL first-fit over exactly that order with a recursive CTE (the
+    * q173 FFD machinery with the online order key). Every later-batch
+    * doc that drops into a bin OPENED IN AN EARLIER BATCH — and every
+    * local_bin number after it — is right only because the open-bin
+    * state persisted across batches; a state loss would renumber every
+    * subsequent bin and hash-mismatch. `maxOpenBins` = 4096 provably
+    * exceeds bins-ever-opened (≤ the per-shard doc count, < 700 at
+    * every test SF), so the close-fullest eviction arm never fires and
+    * the CTE needs no eviction simulation — the eviction policy itself
+    * stays unit-pinned in StreamingSpec (it is the one behavior with no
+    * SQL replay short of simulating the cap). */
+  private def q205StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q205", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val inDir = new java.io.File(path, "in"); inDir.mkdirs()
+      (0 until 3).foreach { i =>
+        val tmp = new java.io.File(path, s"stage$i")
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(1700000000000L + i * 60000L),
+          s"setLastModified failed on ${dst.getAbsolutePath} — " +
+            "q205 stage ordering would be nondeterministic")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
+      val inSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = s.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+      val out = streaming.StreamingWindows
+        .streamingFirstFitPack(stream, maxTokens = 256, shards = 8,
+          maxOpenBins = 4096)
+      val q = out.writeStream
+        .format("parquet")
+        .option("path", s"$path/out")
+        .option("checkpointLocation", s"$path/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   /** The q53/q199 shared oracle: exact n-gram Jaccard at j >= 0.9 over
     * the derived exact-copy fixture — the TRUE pair set is a pure
     * function of the construction (identical signatures agree on every
@@ -3346,6 +3407,20 @@ object SparkEntry {
       s.read.parquet(s"${q204StreamPath(s, dir)}/out")
         .select(col("template"), col("n_urls"))
     }),
+
+    // the STREAMING online first-fit packer, run for real (file stream
+    // → per-shard open-bin keyed state → immediate assignment emission
+    // → parquet file sink, Trigger.AvailableNow) over the documents
+    // staged by doc_id % 3. The oracle replays GLOBAL first-fit over
+    // the stream's exact (batch, doc_id) processing order with the
+    // q173 recursive-CTE machinery — every cross-batch bin hit and
+    // every bin number after it depends on the open-bin state having
+    // persisted, so a state loss hash-mismatches (see q205StreamPath;
+    // the close-fullest cap is sized to provably never fire and stays
+    // unit-pinned)
+    "q205_streaming_pack" -> ((s, dir) =>
+      s.read.parquet(s"${q205StreamPath(s, dir)}/out")
+        .select("doc_id", "shard", "n_tokens", "local_bin", "bin_id")),
 
     // REAL RIFF/AVI container walk over the synthetic MJPEG corpus:
     // avih dimensions/stream count, the strh handler fourcc, and the
@@ -7787,6 +7862,42 @@ object SparkEntry {
            |t AS (SELECT regexp_replace(url, '[0-9]+', '0', 'g') AS template, url FROM f)
            |SELECT template, 5::INT AS n_urls FROM t
            |GROUP BY template HAVING count(DISTINCT url) >= 5""".stripMargin,
+
+      // q205: q173's recursive-CTE first-fit replay with the STREAM's
+      // online order key — (batch = doc_id % 3, doc_id) per shard
+      // instead of FFD's (n_tokens desc, doc_id) — and the streaming
+      // operator's BIGINT bin numbering (wave rationale at
+      // q205StreamPath)
+      "q205_streaming_pack" ->
+        """WITH RECURSIVE t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+          |        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+          |      FROM documents),
+          |o AS (SELECT doc_id, shard, n_tokens,
+          |        CAST(row_number() OVER (PARTITION BY shard
+          |          ORDER BY doc_id % 3, doc_id) AS INT) AS rn
+          |      FROM t),
+          |rec AS (
+          |  SELECT shard, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
+          |         CAST(NULL AS INT) AS n_tokens, CAST(NULL AS BIGINT) AS local_bin,
+          |         CAST([] AS INT[]) AS bins
+          |  FROM (SELECT DISTINCT shard FROM o)
+          |  UNION ALL
+          |  SELECT shard, rn, doc_id, n_tokens,
+          |    CAST(CASE WHEN p > 0 THEN p ELSE len(bins) + 1 END AS BIGINT)
+          |      AS local_bin,
+          |    CASE WHEN p > 0
+          |      THEN list_transform(range(1, len(bins) + 1),
+          |             i -> CASE WHEN i = p THEN bins[i] - n_tokens
+          |                  ELSE bins[i] END)
+          |      ELSE bins || [greatest(256 - n_tokens, 0)] END AS bins
+          |  FROM (
+          |    SELECT o.shard, o.rn, o.doc_id, o.n_tokens, r.bins,
+          |      coalesce(list_position(
+          |        list_transform(r.bins, x -> x >= o.n_tokens), true), 0) AS p
+          |    FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1))
+          |SELECT doc_id, shard, n_tokens, local_bin,
+          |  CAST(shard AS BIGINT) * 281474976710656 + local_bin AS bin_id
+          |FROM rec WHERE doc_id IS NOT NULL""".stripMargin,
     )
 
   /** The q81/q202 shared oracle: chained running-min windows, one per
