@@ -308,7 +308,16 @@ object Bench {
           // q196 (r12 judge item 6): the broadcast fix's whole point is
           // behavior at scale — the held-out query slice grows linearly
           // with the corpus now, so measure the AQE-chosen join a decade up
-          "q196" -> minOf3("q196_fewshot_prompts"))
+          "q196" -> minOf3("q196_fewshot_prompts"),
+          // q52 (r14): the embedding-LSH PRODUCTION operating point a
+          // decade up — the stress dir amplifies embeddings with exact
+          // copies (10-member buckets, 45 candidate pairs each), so the
+          // banded equi-join is what the 10× point stresses. The pricier
+          // q47 line is deliberately NOT probed: it is the documented
+          // brute-force-like low-threshold regime (1-bit tables,
+          // cos ≥ 0.4) whose cost is quadratic BY DESIGN — its scaladoc
+          // sends scale traffic here. First measurement: no band yet.
+          "q52" -> minOf3("q52_embed_neardup_lsh_prod"))
         val firstPass = probeDefs.map { case (k, s) => (k, s, probeOnce(k, s)) }
         val probes = firstPass.map { case (k, s, p0) =>
           if (!p0.contended && !p0.bandExceeded) (k, p0)
