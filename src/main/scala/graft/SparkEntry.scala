@@ -2235,6 +2235,34 @@ object SparkEntry {
     * an ingest stream's output passing the BATCH operator's DuckDB oracle
     * (stream ≡ batch ≡ oracle), upgrading the streaming family from
     * batch-parity unit pins to oracle-grade evidence. */
+  /** Stage dataframes as mtime-ordered single-file micro-batches under
+    * `$path/in` — the q185 protocol every streaming fixture shares: one
+    * parquet file per stage named batch-%03d with explicit mtimes.
+    * FileStreamSource orders by (mtime, path), so name order and mtime
+    * order agree and the micro-batch order IS the stage order. Fails
+    * fast when the filesystem refuses setLastModified — every
+    * cross-batch-state oracle depends on that order. Returns the input
+    * dir for readStream. */
+  private def stageMicroBatches(qname: String, path: String,
+      stages: Seq[DataFrame]): java.io.File = {
+    val inDir = new java.io.File(path, "in"); inDir.mkdirs()
+    stages.zipWithIndex.foreach { case (df, i) =>
+      val tmp = new java.io.File(path, s"stage$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      require(dst.setLastModified(1700000000000L + i * 60000L),
+        s"setLastModified failed on ${dst.getAbsolutePath} — " +
+          s"$qname stage ordering would be nondeterministic")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+    inDir
+  }
+
   private def q185StreamPath(s: SparkSession, dir: String): String =
     lazyFixtureDir("stream_q185", dir) { path =>
       import org.apache.spark.sql.functions._
@@ -2248,23 +2276,8 @@ object SparkEntry {
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")),
         base.filter(col("doc_id") % 4 === 1)
           .select((col("doc_id") + 3000000L).as("doc_id"), freshText.as("text")))
-      val inDir = new java.io.File(path, "in"); inDir.mkdirs()
-      stages.zipWithIndex.foreach { case (df, i) =>
-        val tmp = new java.io.File(path, s"stage$i")
-        df.withColumn("ts", ts).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        // FileStreamSource orders by (mtime, path): make both agree
-        require(dst.setLastModified(1700000000000L + i * 60000L),
-          s"setLastModified failed on ${dst.getAbsolutePath} — " +
-            "q185 stage ordering would be nondeterministic")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(tmp)
-      }
+      val inDir = stageMicroBatches("q185", path,
+        stages.map(_.withColumn("ts", ts)))
       val inSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -2312,25 +2325,9 @@ object SparkEntry {
       val delays = operators.Robots.crawlDelays(robots, agent = "graftbot")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val ts = lit("2024-01-01 00:00:00").cast("timestamp")
-      val inDir = new java.io.File(path, "in"); inDir.mkdirs()
-      (0 until 3).foreach { i =>
-        val tmp = new java.io.File(path, s"stage$i")
-        pages.filter(col("doc_id") % 3 === i).withColumn("ts", ts).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        // micro-batch (stage) order derives from these mtimes — the
-        // cross-batch-state oracle depends on it, so fail fast if the
-        // filesystem refuses rather than let batches process out of order
-        require(dst.setLastModified(1700000000000L + i * 60000L),
-          s"setLastModified failed on ${dst.getAbsolutePath} — " +
-            "q197 stage ordering would be nondeterministic")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(tmp)
-      }
+      val inDir = stageMicroBatches("q197", path,
+        (0 until 3).map(i =>
+          pages.filter(col("doc_id") % 3 === i).withColumn("ts", ts)))
       val inSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -2372,22 +2369,9 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       val docs = derivedDocuments(s, dir)
       val ts = lit("2024-01-01 00:00:00").cast("timestamp")
-      val inDir = new java.io.File(path, "in"); inDir.mkdirs()
-      (0 until 3).foreach { i =>
-        val tmp = new java.io.File(path, s"stage$i")
-        docs.filter(col("doc_id") % 3 === i).withColumn("ts", ts).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        require(dst.setLastModified(1700000000000L + i * 60000L),
-          s"setLastModified failed on ${dst.getAbsolutePath} — " +
-            "q199 stage ordering would be nondeterministic")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(tmp)
-      }
+      val inDir = stageMicroBatches("q199", path,
+        (0 until 3).map(i =>
+          docs.filter(col("doc_id") % 3 === i).withColumn("ts", ts)))
       val inSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -2452,21 +2436,7 @@ object SparkEntry {
               s.range(1).select(lit(eid).as("event_id"),
                 lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
                 lit("{\"k\": 0}").as("props"), sentinelTs.as("ts"))))
-      val inDir = new java.io.File(path, "in"); inDir.mkdirs()
-      stages.zipWithIndex.foreach { case (df, i) =>
-        val tmp = new java.io.File(path, s"stage$i")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        require(dst.setLastModified(1700000000000L + i * 60000L),
-          s"setLastModified failed on ${dst.getAbsolutePath} — " +
-            "q200 stage ordering would be nondeterministic")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(tmp)
-      }
+      val inDir = stageMicroBatches("q200", path, stages)
       val inSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event_id",
           org.apache.spark.sql.types.LongType),
@@ -2521,22 +2491,8 @@ object SparkEntry {
         .withColumn("wave", least(row_number().over(byUrl), lit(3)) - 1)
         .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
         .select("doc_id", "url", "ts", "wave")
-      val inDir = new java.io.File(path, "in"); inDir.mkdirs()
-      (0 until 3).foreach { i =>
-        val tmp = new java.io.File(path, s"stage$i")
-        waved.filter(col("wave") === i).drop("wave").coalesce(1)
-          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        require(dst.setLastModified(1700000000000L + i * 60000L),
-          s"setLastModified failed on ${dst.getAbsolutePath} — " +
-            "q201 stage ordering would be nondeterministic")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(tmp)
-      }
+      val inDir = stageMicroBatches("q201", path,
+        (0 until 3).map(i => waved.filter(col("wave") === i).drop("wave")))
       val inSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -2593,21 +2549,7 @@ object SparkEntry {
               s.range(1).select(lit(eid).as("event_id"),
                 lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
                 sentinelTs.as("ts"))))
-      val inDir = new java.io.File(path, "in"); inDir.mkdirs()
-      stages.zipWithIndex.foreach { case (df, i) =>
-        val tmp = new java.io.File(path, s"stage$i")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        require(dst.setLastModified(1700000000000L + i * 60000L),
-          s"setLastModified failed on ${dst.getAbsolutePath} — " +
-            "q202 stage ordering would be nondeterministic")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(tmp)
-      }
+      val inDir = stageMicroBatches("q202", path, stages)
       val inSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event_id",
           org.apache.spark.sql.types.LongType),
@@ -2658,22 +2600,8 @@ object SparkEntry {
         .withColumn("wave", least(row_number().over(byHash), lit(2)) - 1)
         .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
         .select("doc_id", "text", "ts", "wave")
-      val inDir = new java.io.File(path, "in"); inDir.mkdirs()
-      (0 until 2).foreach { i =>
-        val tmp = new java.io.File(path, s"stage$i")
-        waved.filter(col("wave") === i).drop("wave").coalesce(1)
-          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        require(dst.setLastModified(1700000000000L + i * 60000L),
-          s"setLastModified failed on ${dst.getAbsolutePath} — " +
-            "q203 stage ordering would be nondeterministic")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(tmp)
-      }
+      val inDir = stageMicroBatches("q203", path,
+        (0 until 2).map(i => waved.filter(col("wave") === i).drop("wave")))
       val inSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -2721,10 +2649,14 @@ object SparkEntry {
     * separate trap classes from benign.
     * All rows share one event time inside the watermark horizon, so no
     * state evicts mid-run. */
+  /** q204's census threshold — interpolated into BOTH the streaming
+    * fixture and the DuckDB oracle so the two can never drift. */
+  private val trapCensusThreshold = 5
+
   private def q204StreamPath(s: SparkSession, dir: String): String =
     lazyFixtureDir("stream_q204", dir) { path =>
       import org.apache.spark.sql.functions._
-      val threshold = 5
+      val threshold = trapCensusThreshold
       val byTpl = org.apache.spark.sql.expressions.Window
         .partitionBy("template").orderBy("url")
       val waved = trapUrlDocuments(s, dir)
@@ -2732,22 +2664,8 @@ object SparkEntry {
         .withColumn("wave", least(dense_rank().over(byTpl), lit(threshold + 1)) - 1)
         .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
         .select("doc_id", "url", "ts", "wave")
-      val inDir = new java.io.File(path, "in"); inDir.mkdirs()
-      (0 to threshold).foreach { i =>
-        val tmp = new java.io.File(path, s"stage$i")
-        waved.filter(col("wave") === i).drop("wave").coalesce(1)
-          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        require(dst.setLastModified(1700000000000L + i * 60000L),
-          s"setLastModified failed on ${dst.getAbsolutePath} — " +
-            "q204 stage ordering would be nondeterministic")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(tmp)
-      }
+      val inDir = stageMicroBatches("q204", path,
+        (0 to threshold).map(i => waved.filter(col("wave") === i).drop("wave")))
       val inSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -2795,22 +2713,8 @@ object SparkEntry {
     lazyFixtureDir("stream_q205", dir) { path =>
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val inDir = new java.io.File(path, "in"); inDir.mkdirs()
-      (0 until 3).foreach { i =>
-        val tmp = new java.io.File(path, s"stage$i")
-        docs.filter(col("doc_id") % 3 === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(inDir, f"batch-$i%03d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        require(dst.setLastModified(1700000000000L + i * 60000L),
-          s"setLastModified failed on ${dst.getAbsolutePath} — " +
-            "q205 stage ordering would be nondeterministic")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(tmp)
-      }
+      val inDir = stageMicroBatches("q205", path,
+        (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i)))
       val inSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -7860,8 +7764,8 @@ object SparkEntry {
       "q204_streaming_trap_census" ->
         s"""WITH f AS ($trapUrlFixtureSql),
            |t AS (SELECT regexp_replace(url, '[0-9]+', '0', 'g') AS template, url FROM f)
-           |SELECT template, 5::INT AS n_urls FROM t
-           |GROUP BY template HAVING count(DISTINCT url) >= 5""".stripMargin,
+           |SELECT template, $trapCensusThreshold::INT AS n_urls FROM t
+           |GROUP BY template HAVING count(DISTINCT url) >= $trapCensusThreshold""".stripMargin,
 
       // q205: q173's recursive-CTE first-fit replay with the STREAM's
       // online order key — (batch = doc_id % 3, doc_id) per shard

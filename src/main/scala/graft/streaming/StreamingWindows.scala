@@ -307,7 +307,11 @@ object StreamingWindows {
             concat(lit("<|"),
               when(pmod(i, lit(2)) === 0, lit("user")).otherwise(lit("assistant")),
               lit("|>"), x.getField("event_type"), lit(" k="),
-              regexp_extract(x.getField("props"), "(\\d+)", 1))),
+              // coalesce to '' so a null-props event renders 'k=' like the
+              // batch operator and the shared oracle (r14: without it the
+              // concat null-propagates and array_join silently DROPS the
+              // turn from the transcript while n_turns still counts it)
+              coalesce(regexp_extract(x.getField("props"), "(\\d+)", 1), lit("")))),
           "\n").as("transcript"))
       .withColumn("n_chars", length(col("transcript")).cast("long"))
       .withColumn("fits_context", col("n_chars") <= maxChars)

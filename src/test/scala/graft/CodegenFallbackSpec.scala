@@ -48,9 +48,17 @@ class CodegenFallbackSpec extends AnyFunSuite {
   test("the big inlined expression chains stay inside the 64 KB codegen limit") {
     CodegenFallbackCounter.install()
     // WARN is where WholeStageCodegenExec logs its fallback; the suite's
-    // default level may sit above it
+    // default level may sit above it. Restored in the finally — suites
+    // share one SparkContext, so the level is not this test's to keep.
+    val prevLevel = org.apache.logging.log4j.LogManager.getRootLogger
+      .asInstanceOf[org.apache.logging.log4j.core.Logger].getLevel.toString
     spark.sparkContext.setLogLevel("WARN")
     CodegenFallbackCounter.reset()
+    try runChainAudit()
+    finally spark.sparkContext.setLogLevel(prevLevel)
+  }
+
+  private def runChainAudit(): Unit = {
     val chainHeavy = Seq(
       "q102_quality_score", // the widest scalar score chain
       "q109_crawl_frontdoor", // extractMainText + redactPii + score compose

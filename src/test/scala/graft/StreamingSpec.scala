@@ -435,6 +435,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSet == batched.toSet)
   }
 
+  test("streaming chat render: a null-props turn renders k= instead of vanishing") {
+    // r14 regression: without the coalesce the concat null-propagated and
+    // array_join silently DROPPED the turn from the transcript while
+    // n_turns still counted it — diverging from batch turns() and the
+    // shared q190/q200 oracle, which both coalesce to ''
+    val fx = Seq(
+      EvP(0, t(0), 1, "signup", """{"k": 7}"""),
+      EvP(1, t(10), 1, "click", null))
+    val stream = MemoryStream[EvP](spark)
+    stream.addData(fx: _*)
+    val q = StreamingWindows.streamingChatRender(stream.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("chatnullprops").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val r = spark.table("chatnullprops").collect().head
+    assert(r.getAs[Int]("n_turns") == 2)
+    assert(r.getAs[String]("transcript") ==
+      "<|user|>signup k=7\n<|assistant|>click k=")
+    // parity with the batch operator on the same events
+    val batchDf = fx.map(e => (e.event_id, e.ts.getTime * 1000000L, e.user_id,
+      e.event_type, e.props)).toDF("event_id", "ts", "user_id", "event_type", "props")
+    val b = graft.operators.Dialogue.renderConversations(batchDf).collect().head
+    assert(b.getAs[String]("transcript") == r.getAs[String]("transcript"))
+  }
+
   test("streaming chat render: the exact-gap boundary merges (stream == batch) - pinned") {
     // two events exactly 30:00 apart: session_window MERGES touching
     // sessions (the second event's window starts at the first session's
