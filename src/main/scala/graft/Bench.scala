@@ -77,7 +77,10 @@ object Bench {
     "q47_embed_neardup_lsh", "q52_embed_neardup_lsh_prod", "q53_dedup_minhash_prod",
     "q61_pipeline_e2e", "q68_neardup_incremental", "q89_byte_spans",
     "q98_neardup_indexed", "q100_bigram_lm", "q135_crawl_loop",
-    "q138_perplexity_tiles", "q142_dsir_selection", "q159_mixture_pipeline")
+    "q138_perplexity_tiles", "q142_dsir_selection", "q159_mixture_pipeline",
+    // r14: the SFT family's heavy members — the list predated them
+    "q191_preference_pairs", "q193_pack_conversations",
+    "q196_fewshot_prompts", "q198_token_loss_mask")
 
   /** Sibling directory one decade down: .../sfX → .../sf(X/10), exact
     * decimal arithmetic so 0.1 → 0.01 (not 0.010000000...). None when the
