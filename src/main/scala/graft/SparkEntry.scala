@@ -5628,36 +5628,9 @@ object SparkEntry {
       // id) order; the recursion carries each shard's per-bin remaining
       // capacities as an INT list, placing one doc per level (first fit
       // via list_position, else open a bin; >= cap docs open a closed bin)
-      "q173_pack_ffd" ->
-        """WITH RECURSIVE t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
-          |        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
-          |      FROM documents),
-          |o AS (SELECT doc_id, shard, n_tokens,
-          |        CAST(row_number() OVER (PARTITION BY shard
-          |          ORDER BY n_tokens DESC, doc_id) AS INT) AS rn
-          |      FROM t),
-          |rec AS (
-          |  SELECT shard, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
-          |         CAST(NULL AS INT) AS n_tokens, CAST(NULL AS INT) AS local_bin,
-          |         CAST([] AS INT[]) AS bins
-          |  FROM (SELECT DISTINCT shard FROM o)
-          |  UNION ALL
-          |  SELECT shard, rn, doc_id, n_tokens,
-          |    CAST(CASE WHEN p > 0 THEN p ELSE len(bins) + 1 END AS INT)
-          |      AS local_bin,
-          |    CASE WHEN p > 0
-          |      THEN list_transform(range(1, len(bins) + 1),
-          |             i -> CASE WHEN i = p THEN bins[i] - n_tokens
-          |                  ELSE bins[i] END)
-          |      ELSE bins || [greatest(256 - n_tokens, 0)] END AS bins
-          |  FROM (
-          |    SELECT o.shard, o.rn, o.doc_id, o.n_tokens, r.bins,
-          |      coalesce(list_position(
-          |        list_transform(r.bins, x -> x >= o.n_tokens), true), 0) AS p
-          |    FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1))
-          |SELECT doc_id, shard, n_tokens, local_bin,
-          |  CAST(shard AS BIGINT) * 281474976710656 + local_bin AS bin_id
-          |FROM rec WHERE doc_id IS NOT NULL""".stripMargin,
+      // q173: the shared first-fit CTE in FFD order (INT bin numbering —
+      // the batch packer's type)
+      "q173_pack_ffd" -> firstFitCteSql("n_tokens DESC, doc_id", "INT"),
 
       // q170: full replay of BOTH retrieval chains — the q153 hashed
       // cos² ranker on whole docs (top-10), the q25 dense cosine ranker
@@ -7767,41 +7740,11 @@ object SparkEntry {
            |SELECT template, $trapCensusThreshold::INT AS n_urls FROM t
            |GROUP BY template HAVING count(DISTINCT url) >= $trapCensusThreshold""".stripMargin,
 
-      // q205: q173's recursive-CTE first-fit replay with the STREAM's
-      // online order key — (batch = doc_id % 3, doc_id) per shard
-      // instead of FFD's (n_tokens desc, doc_id) — and the streaming
-      // operator's BIGINT bin numbering (wave rationale at
-      // q205StreamPath)
-      "q205_streaming_pack" ->
-        """WITH RECURSIVE t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
-          |        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
-          |      FROM documents),
-          |o AS (SELECT doc_id, shard, n_tokens,
-          |        CAST(row_number() OVER (PARTITION BY shard
-          |          ORDER BY doc_id % 3, doc_id) AS INT) AS rn
-          |      FROM t),
-          |rec AS (
-          |  SELECT shard, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
-          |         CAST(NULL AS INT) AS n_tokens, CAST(NULL AS BIGINT) AS local_bin,
-          |         CAST([] AS INT[]) AS bins
-          |  FROM (SELECT DISTINCT shard FROM o)
-          |  UNION ALL
-          |  SELECT shard, rn, doc_id, n_tokens,
-          |    CAST(CASE WHEN p > 0 THEN p ELSE len(bins) + 1 END AS BIGINT)
-          |      AS local_bin,
-          |    CASE WHEN p > 0
-          |      THEN list_transform(range(1, len(bins) + 1),
-          |             i -> CASE WHEN i = p THEN bins[i] - n_tokens
-          |                  ELSE bins[i] END)
-          |      ELSE bins || [greatest(256 - n_tokens, 0)] END AS bins
-          |  FROM (
-          |    SELECT o.shard, o.rn, o.doc_id, o.n_tokens, r.bins,
-          |      coalesce(list_position(
-          |        list_transform(r.bins, x -> x >= o.n_tokens), true), 0) AS p
-          |    FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1))
-          |SELECT doc_id, shard, n_tokens, local_bin,
-          |  CAST(shard AS BIGINT) * 281474976710656 + local_bin AS bin_id
-          |FROM rec WHERE doc_id IS NOT NULL""".stripMargin,
+      // q205: the shared first-fit CTE with the STREAM's online order
+      // key — (batch = doc_id % 3, doc_id) per shard instead of FFD's
+      // (n_tokens desc, doc_id) — and the streaming operator's BIGINT
+      // bin numbering (wave rationale at q205StreamPath)
+      "q205_streaming_pack" -> firstFitCteSql("doc_id % 3, doc_id", "BIGINT"),
     )
 
   /** The q81/q202 shared oracle: chained running-min windows, one per
@@ -7830,4 +7773,43 @@ object SparkEntry {
       |  CASE WHEN min(c) IS NOT NULL THEN 3 WHEN min(b) IS NOT NULL THEN 2
       |       WHEN min(a) IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
       |FROM r2 GROUP BY user_id""".stripMargin
+
+  /** The q173/q205 shared first-fit recursive-CTE replay: per shard,
+    * docs process in `orderSql` order and first-fit into 256-token
+    * bins (list state carried through the recursion, one item per
+    * level). `binType` is the operator's bin-numbering type — the
+    * batch FFD packer emits INT, the streaming packer's counter is
+    * BIGINT. One body means the bin formula (first fit by remaining
+    * capacity, `greatest(256 - n, 0)` remainder, 2^48 shard prefix)
+    * can never drift between the two oracles. */
+  private def firstFitCteSql(orderSql: String, binType: String): String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+       |        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+       |      FROM documents),
+       |o AS (SELECT doc_id, shard, n_tokens,
+       |        CAST(row_number() OVER (PARTITION BY shard
+       |          ORDER BY $orderSql) AS INT) AS rn
+       |      FROM t),
+       |rec AS (
+       |  SELECT shard, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
+       |         CAST(NULL AS INT) AS n_tokens, CAST(NULL AS $binType) AS local_bin,
+       |         CAST([] AS INT[]) AS bins
+       |  FROM (SELECT DISTINCT shard FROM o)
+       |  UNION ALL
+       |  SELECT shard, rn, doc_id, n_tokens,
+       |    CAST(CASE WHEN p > 0 THEN p ELSE len(bins) + 1 END AS $binType)
+       |      AS local_bin,
+       |    CASE WHEN p > 0
+       |      THEN list_transform(range(1, len(bins) + 1),
+       |             i -> CASE WHEN i = p THEN bins[i] - n_tokens
+       |                  ELSE bins[i] END)
+       |      ELSE bins || [greatest(256 - n_tokens, 0)] END AS bins
+       |  FROM (
+       |    SELECT o.shard, o.rn, o.doc_id, o.n_tokens, r.bins,
+       |      coalesce(list_position(
+       |        list_transform(r.bins, x -> x >= o.n_tokens), true), 0) AS p
+       |    FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1))
+       |SELECT doc_id, shard, n_tokens, local_bin,
+       |  CAST(shard AS BIGINT) * 281474976710656 + local_bin AS bin_id
+       |FROM rec WHERE doc_id IS NOT NULL""".stripMargin
 }
