@@ -2243,7 +2243,7 @@ object SparkEntry {
     * fast when the filesystem refuses setLastModified — every
     * cross-batch-state oracle depends on that order. Returns the input
     * dir for readStream. */
-  private def stageMicroBatches(qname: String, path: String,
+  private[graft] def stageMicroBatches(qname: String, path: String,
       stages: Seq[DataFrame]): java.io.File = {
     val inDir = new java.io.File(path, "in"); inDir.mkdirs()
     stages.zipWithIndex.foreach { case (df, i) =>

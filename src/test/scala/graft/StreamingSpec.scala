@@ -478,4 +478,33 @@ class StreamingSpec extends AnyFunSuite {
       e.event_type, e.props)).toDF("event_id", "ts", "user_id", "event_type", "props")
     assert(graft.operators.Dialogue.renderConversations(batchDf).count() == 1L)
   }
+
+  test("stageMicroBatches: mtime-ordered single files, stage order preserved") {
+    // the protocol all NINE streaming fixtures share: batch-%03d names,
+    // strictly ascending mtimes (FileStreamSource orders by (mtime, path)),
+    // one parquet file per stage, staging temp dirs cleaned up
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage_test").toFile
+    try {
+      val stages = (0 until 3).map(i =>
+        Seq((i.toLong * 10, s"stage$i text")).toDF("doc_id", "text"))
+      val inDir = SparkEntry.stageMicroBatches("qtest", dir.getAbsolutePath, stages)
+      val files = inDir.listFiles().sortBy(_.getName)
+      assert(files.map(_.getName).toSeq ==
+        Seq("batch-000.parquet", "batch-001.parquet", "batch-002.parquet"))
+      assert(files.map(_.lastModified).toSeq == files.map(_.lastModified).sorted.toSeq)
+      assert(files.map(_.lastModified).distinct.length == 3, "mtimes must be distinct")
+      // stage i's file holds exactly stage i's rows
+      files.zipWithIndex.foreach { case (f, i) =>
+        val rows = spark.read.parquet(f.getAbsolutePath).collect()
+        assert(rows.length == 1 && rows.head.getLong(0) == i.toLong * 10)
+      }
+      // no stageN temp dirs left behind
+      assert(!dir.listFiles().exists(_.getName.startsWith("stage")))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
