@@ -682,8 +682,15 @@ object Bench {
     val cgCount = CodegenFallbackCounter.count
     val cgJson = s""""codegen_fallbacks":$cgCount""" +
       CodegenFallbackCounter.firstSample.map { m =>
-        val esc = m.replace("\\", "\\\\").replace("\"", "\\\"")
-          .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+        // escape EVERY control char (< 0x20), not just the whitespace
+        // trio — a janino compile error can carry arbitrary control
+        // bytes and one unescaped U+0000-U+001F invalidates the record
+        val esc = m.flatMap {
+          case '\\' => "\\\\"
+          case '"' => "\\\""
+          case c if c < 0x20 => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        }
         s""","codegen_fallback_sample":"$esc""""
       }.getOrElse("")
     if (cgCount > 0)

@@ -34,10 +34,19 @@ object CodegenFallbackCounter {
   /** The three fallback signatures (Spark 4 codegen paths:
     * WholeStageCodegenExec.doExecute, CodeGeneratorWithInterpretedFallback,
     * CodeGenerator.compile). Substring match on the formatted message —
-    * stable across Spark's structured-logging MDC rewrites. */
-  private[graft] def matches(msg: String): Boolean =
+    * stable across Spark's structured-logging MDC rewrites. The generic
+    * phrase "failed to compile" is additionally gated on the LOGGER NAME
+    * containing "codegen" (the emitter is
+    * o.a.s.sql.catalyst.expressions.codegen.CodeGenerator) so an unrelated
+    * component logging that phrase can't inflate the bench count; the
+    * other two phrases are codegen-specific wording but their emitters'
+    * names don't all carry "codegen" (the interpreter fallback logs under
+    * the concrete CodeGeneratorWithInterpretedFallback SUBCLASS, e.g.
+    * UnsafeProjection), so they stay ungated. */
+  private[graft] def matches(loggerName: String, msg: String): Boolean =
     msg != null && (
-      msg.contains("failed to compile") ||
+      (msg.contains("failed to compile") && loggerName != null &&
+        loggerName.toLowerCase(java.util.Locale.ROOT).contains("codegen")) ||
         msg.contains("Whole-stage codegen disabled") ||
         msg.contains("falling back to interpreter mode"))
 
@@ -45,7 +54,7 @@ object CodegenFallbackCounter {
       "graft-codegen-fallbacks", null, null, false, Property.EMPTY_ARRAY) {
     override def append(event: LogEvent): Unit = {
       val msg = event.getMessage.getFormattedMessage
-      if (matches(msg)) {
+      if (matches(event.getLoggerName, msg)) {
         n.incrementAndGet()
         firstMsg.compareAndSet(null, msg.linesIterator.next().take(200))
         ()

@@ -17,15 +17,26 @@ class CodegenFallbackSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   test("matches the three Spark fallback signatures and nothing else") {
-    assert(CodegenFallbackCounter.matches(
+    val wsc = "org.apache.spark.sql.execution.WholeStageCodegenExec"
+    val cg = "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator"
+    val proj = "org.apache.spark.sql.catalyst.expressions.UnsafeProjection"
+    assert(CodegenFallbackCounter.matches(wsc,
       "Whole-stage codegen disabled for plan (id=3):\n *(3) Project"))
-    assert(CodegenFallbackCounter.matches(
+    // the interpreter fallback logs under the concrete subclass of
+    // CodeGeneratorWithInterpretedFallback — no "codegen" in the name
+    assert(CodegenFallbackCounter.matches(proj,
       "Expr codegen error and falling back to interpreter mode"))
-    assert(CodegenFallbackCounter.matches(
+    assert(CodegenFallbackCounter.matches(cg,
       "failed to compile: org.codehaus.commons.compiler.InternalCompilerException"))
-    assert(!CodegenFallbackCounter.matches(null))
-    assert(!CodegenFallbackCounter.matches("Stage 3 contains a task of very large size"))
-    assert(!CodegenFallbackCounter.matches("compile succeeded"))
+    // the generic phrase is LOGGER-GATED: a non-codegen component saying
+    // "failed to compile" must not inflate the bench count
+    assert(!CodegenFallbackCounter.matches("graft.SomeOtherComponent",
+      "failed to compile: scala template"))
+    assert(!CodegenFallbackCounter.matches(null,
+      "failed to compile: no logger attribution"))
+    assert(!CodegenFallbackCounter.matches(cg, null))
+    assert(!CodegenFallbackCounter.matches(cg, "Stage 3 contains a task of very large size"))
+    assert(!CodegenFallbackCounter.matches(cg, "compile succeeded"))
   }
 
   test("installed appender counts a matching root-logger event end-to-end") {
@@ -40,6 +51,9 @@ class CodegenFallbackSpec extends AnyFunSuite {
       _.startsWith("failed to compile: synthetic tripwire probe")))
     log.info("failed to compile: below-threshold level must not count")
     log.error("an unrelated error must not count")
+    // the generic phrase from a NON-codegen logger must not count either
+    org.apache.logging.log4j.LogManager.getLogger("graft.NotTheCompiler")
+      .error("failed to compile: foreign component, must not count")
     assert(CodegenFallbackCounter.count == 1L)
     CodegenFallbackCounter.reset()
     assert(CodegenFallbackCounter.count == 0L && CodegenFallbackCounter.firstSample.isEmpty)
@@ -71,8 +85,13 @@ class CodegenFallbackSpec extends AnyFunSuite {
     val missing = chainHeavy.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"pinned queries renamed? $missing")
     chainHeavy.foreach { q =>
+      // DELTA-based: the counter is process-global and suites share one
+      // SparkContext, so a concurrent suite's genuine fallback while this
+      // audit holds the level at WARN must flake someone else's pin, not
+      // this one (r14 ADVICE)
+      val before = CodegenFallbackCounter.count
       SparkEntry.queries(q)(spark, dir).count()
-      assert(CodegenFallbackCounter.count == 0L,
+      assert(CodegenFallbackCounter.count - before == 0L,
         s"$q triggered a codegen fallback: ${CodegenFallbackCounter.firstSample}")
     }
     spark.catalog.clearCache()
