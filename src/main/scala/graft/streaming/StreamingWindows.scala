@@ -229,8 +229,11 @@ object StreamingWindows {
     * bombs — are stateless and stay with the batch operator / a plain
     * streaming projection.)
     *
-    * State discipline: the distinct set stores 60-bit md5 URL hashes and
-    * grows only UNTIL the threshold fires; at that moment the alert emits
+    * State discipline: the distinct set stores FULL md5 URL digests —
+    * exact distinct counting (a truncated hash could collide, undercount
+    * the census and silently delay an alert; the 32-char strings cost
+    * little because the set is threshold-bounded) — and grows only UNTIL
+    * the threshold fires; at that moment the alert emits
     * (with the exact census at crossing — mid-batch arrivals can push it
     * past the threshold), the set EMPTIES, and only the `trapped` pin
     * remains — so per-template state is ≤ threshold longs while innocent
@@ -247,10 +250,10 @@ object StreamingWindows {
       s"templateThreshold must be > 1, got $templateThreshold")
     pages
       .select(regexp_replace(col(urlCol), "[0-9]+", "0").as("template"),
-        conv(substring(md5(col(urlCol)), 1, 15), 16, 10).cast("long").as("uh"),
+        md5(col(urlCol)).as("uh"),
         col(tsCol).as("ts"))
       .withWatermark("ts", watermark)
-      .as[(String, Long, java.sql.Timestamp)]
+      .as[(String, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[TrapCensusState, TrapAlert](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -385,10 +388,11 @@ object StreamingWindows {
 }
 
 /** Per-template census state for the streaming trap detector: distinct URL
-  * hashes seen (grows only UNTIL the threshold fires — then the set empties
-  * and `trapped` pins, so long-lived state per trapped template is one
-  * boolean, and untrapped state is bounded by the threshold). */
-case class TrapCensusState(seen: Set[Long], trapped: Boolean)
+  * md5 digests seen — FULL digests, so the census is exact (grows only
+  * UNTIL the threshold fires — then the set empties and `trapped` pins, so
+  * long-lived state per trapped template is one boolean, and untrapped
+  * state is bounded by the threshold). */
+case class TrapCensusState(seen: Set[String], trapped: Boolean)
 /** Emitted ONCE per template, at the moment its distinct-URL census crosses
   * the trap threshold. */
 case class TrapAlert(template: String, n_urls: Int)

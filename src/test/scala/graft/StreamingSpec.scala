@@ -479,6 +479,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.operators.Dialogue.renderConversations(batchDf).count() == 1L)
   }
 
+  test("sentinelStages: two single-row far-future stages conforming to the events schema") {
+    // the q200/q202 emission mechanics, factored (r14 verdict): distinct
+    // negative event_ids, ONE shared never-closing key (user -1), schema
+    // conformed to the consumer's events frame via unionByName
+    import org.apache.spark.sql.functions.lit
+    val events = Seq((0L, 1L, "view", "{\"k\": 1}", t(0)))
+      .toDF("event_id", "user_id", "event_type", "props", "ts")
+    val stages = SparkEntry.sentinelStages(events,
+      lit("2024-06-01 00:00:00").cast("timestamp"),
+      extraCols = Seq("props" -> lit("{\"k\": 0}")))
+    assert(stages.length == 2)
+    val rows = stages.map { st =>
+      assert(st.schema == events.schema)
+      val r = st.collect()
+      assert(r.length == 1)
+      r.head
+    }
+    assert(rows.map(_.getAs[Long]("event_id")).toSet == Set(-1L, -2L))
+    assert(rows.forall(_.getAs[Long]("user_id") == -1L))
+    assert(rows.forall(_.getAs[String]("event_type") == "sentinel"))
+    assert(rows.forall(_.getAs[String]("props") == "{\"k\": 0}"))
+    assert(rows.forall(_.getAs[Timestamp]("ts") ==
+      Timestamp.valueOf("2024-06-01 00:00:00")))
+    // without extraCols the row conforms to a props-less schema (q202 shape)
+    val lean = SparkEntry.sentinelStages(events.drop("props"),
+      lit("2025-01-01 00:00:00").cast("timestamp"))
+    assert(lean.forall(_.schema == events.drop("props").schema))
+    assert(lean.map(_.count()).sum == 2L)
+  }
+
   test("stageMicroBatches: mtime-ordered single files, stage order preserved") {
     // the protocol all NINE streaming fixtures share: batch-%03d names,
     // strictly ascending mtimes (FileStreamSource orders by (mtime, path)),
