@@ -2291,6 +2291,56 @@ object SparkEntry {
     }
   }
 
+  /** Run `body` with the session's streaming state store pinned to the
+    * RocksDB provider, restoring the prior conf afterward. This is the
+    * 100-TB posture (r14 verdict gap #1): the default HDFS-backed store
+    * keeps every keyed-state row on executor HEAP where it competes with
+    * execution memory — at scale the MinHash band-bucket arrays and the
+    * funnel's per-user buffers belong in RocksDB's off-heap/disk-backed
+    * store. Every staged streaming fixture runs under it, so all the
+    * family's DuckDB oracles certify the operators on the production
+    * provider; the MemoryStream unit pins in StreamingSpec keep covering
+    * the default provider, and a dedicated parity test runs one operator
+    * under both. The conf is session-global for the duration of `body`:
+    * a concurrently-STARTING test query could pick it up, which is benign
+    * (the operators are provider-agnostic — that is the point) and cannot
+    * happen in the sequential Verify/Bench drivers. */
+  private[graft] def withRocksDbStateStore[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+  }
+
+  /** The shared tail of every staged streaming fixture: run `out` to the
+    * fixture's parquet file sink (`$path/out`, checkpoint `$path/ck`,
+    * append mode, `Trigger.AvailableNow`) under [[withRocksDbStateStore]],
+    * then append the final progress's state-operator metrics (rows held,
+    * memory) to `$path/state_metrics.jsonl` — the per-query state-size
+    * evidence BENCH_NOTES cites. The provider is pinned in the
+    * checkpoint's offset log at first start, so a restart fixture calling
+    * this twice against one checkpoint keeps RocksDB automatically. */
+  private def runStreamToSink(out: org.apache.spark.sql.Dataset[_], path: String): Unit =
+    withRocksDbStateStore(out.sparkSession) {
+      val q = out.writeStream
+        .format("parquet")
+        .option("path", s"$path/out")
+        .option("checkpointLocation", s"$path/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Option(q.lastProgress).foreach { p =>
+        val lines = p.stateOperators.map(_.json + "\n").mkString
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(path, "state_metrics.jsonl"), lines,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+    }
+
   private def q185StreamPath(s: SparkSession, dir: String): String =
     lazyFixtureDir("stream_q185", dir) { path =>
       import org.apache.spark.sql.functions._
@@ -2320,14 +2370,7 @@ object SparkEntry {
         .streamingIncrementalDedup(stream, Tables.documents(s, dir),
           watermark = "1 hour")
         .select(col("doc_id"), col("text"))
-      val q = out.writeStream
-        .format("parquet")
-        .option("path", s"$path/out")
-        .option("checkpointLocation", s"$path/ck")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runStreamToSink(out, path)
     }
 
   /** The q197 streaming run, executed ONCE per SF dir: q124's
@@ -2368,14 +2411,7 @@ object SparkEntry {
         .parquet(inDir.getAbsolutePath)
       val out = streaming.StreamingWindows
         .streamingFetchSchedule(stream, delays, watermark = "1 hour")
-      val q = out.writeStream
-        .format("parquet")
-        .option("path", s"$path/out")
-        .option("checkpointLocation", s"$path/ck")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runStreamToSink(out, path)
     }
 
   /** The q199 streaming run, executed ONCE per SF dir: q53's derived
@@ -2413,14 +2449,7 @@ object SparkEntry {
       val out = streaming.StreamingWindows
         .streamingMinHashCandidates(stream, watermark = "1 hour",
           n = 3, numHashes = 32, bands = 8)
-      val q = out.writeStream
-        .format("parquet")
-        .option("path", s"$path/out")
-        .option("checkpointLocation", s"$path/ck")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runStreamToSink(out, path)
     }
 
   /** The q200 streaming run, executed ONCE per SF dir: the raw events
@@ -2474,14 +2503,7 @@ object SparkEntry {
       val out = streaming.StreamingWindows
         .streamingChatRender(stream, gap = "30 minutes",
           watermark = "1440 hours")
-      val q = out.writeStream
-        .format("parquet")
-        .option("path", s"$path/out")
-        .option("checkpointLocation", s"$path/ck")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runStreamToSink(out, path)
     }
 
   /** The q201 streaming run, executed ONCE per SF dir: the q94 URL
@@ -2525,14 +2547,7 @@ object SparkEntry {
         .parquet(inDir.getAbsolutePath)
       val out = streaming.StreamingWindows
         .streamingUrlDedup(stream, watermark = "1 hour")
-      val q = out.writeStream
-        .format("parquet")
-        .option("path", s"$path/out")
-        .option("checkpointLocation", s"$path/ck")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runStreamToSink(out, path)
     }
 
   /** The q202 streaming run, executed ONCE per SF dir: the raw events
@@ -2582,14 +2597,7 @@ object SparkEntry {
         stream.as[streaming.FunnelEvent],
         stages = Seq("view", "click", "purchase"),
         idleTimeout = "1440 hours")
-      val q = out.writeStream
-        .format("parquet")
-        .option("path", s"$path/out")
-        .option("checkpointLocation", s"$path/ck")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runStreamToSink(out, path)
     }
 
   /** The q203 streaming run, executed ONCE per SF dir: q53's derived
@@ -2629,14 +2637,7 @@ object SparkEntry {
         .parquet(inDir.getAbsolutePath)
       val out = streaming.StreamingWindows
         .streamingExactDedup(stream, watermark = "1 hour")
-      val q = out.writeStream
-        .format("parquet")
-        .option("path", s"$path/out")
-        .option("checkpointLocation", s"$path/ck")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runStreamToSink(out, path)
     }
 
   /** The q204 streaming run, executed ONCE per SF dir: q151's trap-URL
@@ -2697,14 +2698,7 @@ object SparkEntry {
       val out = streaming.StreamingWindows
         .streamingTrapCensus(stream, templateThreshold = threshold,
           watermark = "1 hour")
-      val q = out.writeStream
-        .format("parquet")
-        .option("path", s"$path/out")
-        .option("checkpointLocation", s"$path/ck")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runStreamToSink(out, path)
     }
 
   /** The q205 streaming run, executed ONCE per SF dir: the documents
@@ -2744,14 +2738,7 @@ object SparkEntry {
       val out = streaming.StreamingWindows
         .streamingFirstFitPack(stream, maxTokens = 256, shards = 8,
           maxOpenBins = 4096)
-      val q = out.writeStream
-        .format("parquet")
-        .option("path", s"$path/out")
-        .option("checkpointLocation", s"$path/ck")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runStreamToSink(out, path)
     }
 
   /** The q53/q199 shared oracle: exact n-gram Jaccard at j >= 0.9 over

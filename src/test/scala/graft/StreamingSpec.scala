@@ -479,6 +479,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.operators.Dialogue.renderConversations(batchDf).count() == 1L)
   }
 
+  test("state-store provider parity: RocksDB output == default HDFS-backed output") {
+    // r15: every staged streaming fixture runs under RocksDB (the 100-TB
+    // state posture — keyed state off the executor heap), so the family's
+    // DuckDB oracles certify that provider; this pin proves the operators
+    // are provider-AGNOSTIC by running the same cross-batch keyed-state
+    // schedule under both providers and demanding identical output.
+    def runWith(provider: String, name: String): Map[Long, (Long, Long)] = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, s"org.apache.spark.sql.execution.streaming.state.$provider")
+      try {
+        val stream = MemoryStream[(Long, Timestamp, String)](spark)
+        stream.addData((1L, t(0), "http://a.com/x"), (2L, t(0), "http://b.com/y"))
+        val q = StreamingWindows.streamingFetchSchedule(
+          stream.toDF().toDF("doc_id", "ts", "url"),
+          delays = Map("a.com" -> 5L), watermark = "10 minutes")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        q.processAllAvailable()
+        stream.addData((3L, t(1), "http://a.com/z")) // second batch: counter must continue
+        q.processAllAvailable(); q.stop()
+        spark.table(name).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+    val rocks = runWith("RocksDBStateStoreProvider", "prov_rocks")
+    val hdfs = runWith("HDFSBackedStateStoreProvider", "prov_hdfs")
+    assert(rocks == hdfs)
+    assert(rocks(3L) == ((1L, 5L))) // cross-batch per-domain counter continued under RocksDB
+    assert(rocks(1L) == ((0L, 0L)) && rocks(2L) == ((0L, 0L)))
+  }
+
   test("sentinelStages: two single-row far-future stages conforming to the events schema") {
     // the q200/q202 emission mechanics, factored (r14 verdict): distinct
     // negative event_ids, ONE shared never-closing key (user -1), schema
