@@ -2244,9 +2244,13 @@ object SparkEntry {
     * cross-batch-state oracle depends on that order. Returns the input
     * dir for readStream. */
   private[graft] def stageMicroBatches(qname: String, path: String,
-      stages: Seq[DataFrame]): java.io.File = {
+      stages: Seq[DataFrame], firstIndex: Int = 0): java.io.File = {
     val inDir = new java.io.File(path, "in"); inDir.mkdirs()
-    stages.zipWithIndex.foreach { case (df, i) =>
+    stages.zipWithIndex.foreach { case (df, i0) =>
+      // firstIndex lets a RESTART fixture stage in two phases (run 1's
+      // batches, then the rest) while keeping names and mtimes globally
+      // ascending across both phases
+      val i = firstIndex + i0
       val tmp = new java.io.File(path, s"stage$i")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
       val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
@@ -2739,6 +2743,96 @@ object SparkEntry {
         .streamingFirstFitPack(stream, maxTokens = 256, shards = 8,
           maxOpenBins = 4096)
       runStreamToSink(out, path)
+    }
+
+  /** The q207 streaming run, executed ONCE per SF dir: q205's EXACT
+    * staging, operator and parameters — but the stream is STOPPED and
+    * RESTARTED mid-corpus. Run 1 sees only micro-batch 0 (`doc_id % 3
+    * === 0`) and terminates (`Trigger.AvailableNow` drains what exists);
+    * batches 1–2 are staged ONLY THEN (globally ascending names/mtimes
+    * via `stageMicroBatches(firstIndex = 1)`), and a SECOND AvailableNow
+    * invocation runs against the SAME checkpoint. q205's own scaladoc
+    * says "a state loss would renumber every subsequent bin and
+    * hash-mismatch" — this fixture turns that claim into an oracle-gated
+    * fact: q205's DuckDB oracle (the recursive-CTE global first-fit
+    * replay over the full arrival order) passes on the combined sink
+    * ONLY if (a) the per-shard open-bin state RECOVERED exactly from the
+    * checkpoint (every run-2 doc that drops into a run-1 bin, and every
+    * bin number after it, replays the whole history), and (b) the file
+    * sink is exactly-once across the restart (a replayed batch 0 would
+    * duplicate rows and fail the row-count compare). State recovery +
+    * exactly-once sink semantics graduate from scaladoc claims to tested
+    * behavior — under the RocksDB provider both runs share (pinned in
+    * the checkpoint's offset log at first start). */
+  private def q207StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q207", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val inSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(inSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(new java.io.File(path, "in").getAbsolutePath)
+        val out = streaming.StreamingWindows
+          .streamingFirstFitPack(stream, maxTokens = 256, shards = 8,
+            maxOpenBins = 4096)
+        runStreamToSink(out, path)
+      }
+      stageMicroBatches("q207", path,
+        Seq(docs.filter(col("doc_id") % 3 === 0)))
+      runOnce() // run 1: batch 0 only, then the query STOPS
+      stageMicroBatches("q207", path,
+        (1 until 3).map(i => docs.filter(col("doc_id") % 3 === i)),
+        firstIndex = 1)
+      runOnce() // run 2: same checkpoint, resumes from recovered state
+    }
+
+  /** The q208 streaming run, executed ONCE per SF dir: q199's EXACT
+    * staging, operator and production banding — restarted mid-corpus the
+    * q207 way (run 1 drains batch 0 against the checkpoint, batches 1–2
+    * are staged after run 1 TERMINATES, run 2 resumes). Every planted
+    * duplicate pair spans the restart by construction (+10M ≡ 1 mod 3:
+    * a copy never shares its base doc's batch, so every pair needs
+    * band-bucket state from an EARLIER batch — for base docs in batch 0
+    * that state must survive the stop/start). The q53/q199 shared oracle
+    * gates the combined sink: candidates recovered-state-side ≡ batch
+    * LSH ≡ exact-Jaccard SQL. Where q207 proves recovery of a
+    * long-running FOLD (bin numbering = whole history), this proves
+    * recovery of the family's LARGEST keyed state (per-(band, bucket)
+    * doc-id arrays — the state the RocksDB posture exists for). */
+  private def q208StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q208", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val docs = derivedDocuments(s, dir)
+      val ts = lit("2024-01-01 00:00:00").cast("timestamp")
+      val inSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(inSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(new java.io.File(path, "in").getAbsolutePath)
+        val out = streaming.StreamingWindows
+          .streamingMinHashCandidates(stream, watermark = "1 hour",
+            n = 3, numHashes = 32, bands = 8)
+        runStreamToSink(out, path)
+      }
+      stageMicroBatches("q208", path,
+        Seq(docs.filter(col("doc_id") % 3 === 0).withColumn("ts", ts)))
+      runOnce()
+      stageMicroBatches("q208", path,
+        (1 until 3).map(i =>
+          docs.filter(col("doc_id") % 3 === i).withColumn("ts", ts)),
+        firstIndex = 1)
+      runOnce()
     }
 
   /** The q53/q199 shared oracle: exact n-gram Jaccard at j >= 0.9 over
@@ -3330,6 +3424,30 @@ object SparkEntry {
     "q205_streaming_pack" -> ((s, dir) =>
       s.read.parquet(s"${q205StreamPath(s, dir)}/out")
         .select("doc_id", "shard", "n_tokens", "local_bin", "bin_id")),
+
+    // CHECKPOINT RECOVERY, oracle-gated: q205's packer STOPPED after
+    // micro-batch 0 and RESTARTED against the same checkpoint for
+    // batches 1-2 (see q207StreamPath). The combined sink passes q205's
+    // recursive-CTE oracle only if the open-bin state recovered exactly
+    // (bin numbering replays the whole arrival history) AND the file
+    // sink stayed exactly-once across the stop/start
+    "q207_streaming_pack_restart" -> ((s, dir) =>
+      s.read.parquet(s"${q207StreamPath(s, dir)}/out")
+        .select("doc_id", "shard", "n_tokens", "local_bin", "bin_id")),
+
+    // CHECKPOINT RECOVERY of the family's largest keyed state: q199's
+    // band-bucket MinHash candidates with the stream stopped after
+    // batch 0 and restarted for batches 1-2 (see q208StreamPath) —
+    // every planted pair spans the restart, so the q53-shared oracle
+    // passes only if the per-(band, bucket) doc-id arrays survived the
+    // stop/start
+    "q208_streaming_minhash_restart" -> ((s, dir) => {
+      val pairs = s.read.parquet(s"${q208StreamPath(s, dir)}/out")
+        .select(org.apache.spark.sql.functions.col("doc1"),
+          org.apache.spark.sql.functions.col("doc2"))
+        .distinct()
+      Dedup.jaccardVerify(derivedDocuments(s, dir), pairs, n = 3, threshold = 0.9)
+    }),
 
     // REAL RIFF/AVI container walk over the synthetic MJPEG corpus:
     // avih dimensions/stream count, the strh handler fourcc, and the
@@ -7013,6 +7131,9 @@ object SparkEntry {
       // construction, so a state that forgot earlier batches would miss
       // pairs and hash-mismatch here)
       "q199_streaming_minhash" -> minHashProdVerifySql,
+      // q208: the SAME oracle across a checkpoint restart — recovery of
+      // the band-bucket state is exactly what keeps the pair set equal
+      "q208_streaming_minhash_restart" -> minHashProdVerifySql,
 
       "q58_contamination" ->
         """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
@@ -7750,6 +7871,11 @@ object SparkEntry {
       // (n_tokens desc, doc_id) — and the streaming operator's BIGINT
       // bin numbering (wave rationale at q205StreamPath)
       "q205_streaming_pack" -> firstFitCteSql("doc_id % 3, doc_id", "BIGINT"),
+
+      // q207: q205's oracle VERBATIM across a checkpoint restart — the
+      // CTE replays the whole arrival order, so recovered state and an
+      // exactly-once sink are the only way the combined output matches
+      "q207_streaming_pack_restart" -> firstFitCteSql("doc_id % 3, doc_id", "BIGINT"),
     )
 
   /** The q81/q202 shared oracle: chained running-min windows, one per
