@@ -2745,6 +2745,123 @@ object SparkEntry {
       runStreamToSink(out, path)
     }
 
+  /** q206's packing parameters — interpolated into BOTH the streaming
+    * fixture and the DuckDB oracle so the two can never drift. 128-token
+    * bins over the first 40 real docs (10–98 tokens each) with only TWO
+    * open bins per shard make the close-fullest eviction fire ~20 times
+    * at every SF (probed), and the capped assignment provably diverges
+    * from uncapped first-fit — the fixture `require`s it. */
+  private val evictPackMaxTokens = 128
+  private val evictPackMaxOpenBins = 2
+  private val evictPackDocLimit = 40
+
+  /** The q206 streaming run, executed ONCE per SF dir: the EVICTION arm
+    * of [[graft.streaming.StreamingWindows.streamingFirstFitPack]] under
+    * a real oracle — the one streaming behavior r14 left unit-pinned
+    * because q205's cap provably never fires. Here the cap is TINY
+    * (`maxOpenBins = 2`, 128-token bins, one shard) over the first 40
+    * docs staged as three `doc_id % 3` micro-batches, so the fullest
+    * open bin closes permanently ~20 times mid-run, including across
+    * micro-batch boundaries. The DuckDB oracle extends the q173/q205
+    * recursive-CTE replay with the cap simulation: parallel (bin id,
+    * remaining) lists in open order, first-fit by position, and on
+    * overflow the FIRST position of the minimum remaining — exactly the
+    * operator's (remaining, open-index) minBy, ties oldest — is sliced
+    * out. After the run the fixture replays UNCAPPED first-fit on the
+    * driver (bounded: 40 rows) and `require`s at least one doc landed in
+    * a different bin — the cap demonstrably BOUND, so a passing oracle
+    * is evidence about eviction, not vacuously the no-eviction path. */
+  private def q206StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q206", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") < evictPackDocLimit)
+        .select(col("doc_id"), col("text"))
+      val inDir = stageMicroBatches("q206", path,
+        (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i)))
+      val inSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = s.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+      val out = streaming.StreamingWindows
+        .streamingFirstFitPack(stream, maxTokens = evictPackMaxTokens,
+          shards = 1, maxOpenBins = evictPackMaxOpenBins)
+      runStreamToSink(out, path)
+      // construction-time proof the cap BOUND: replay uncapped first-fit
+      // over the same (batch, doc_id) order and demand divergence
+      val rows = s.read.parquet(s"$path/out")
+        .select(col("doc_id"), col("n_tokens"), col("local_bin")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy { case (id, _, _) => (id % 3, id) }
+      var nBins = 0L
+      var open = Vector.empty[(Long, Long)]
+      val uncapped = rows.map { case (id, n, _) =>
+        val fit = open.indexWhere(_._2 >= n)
+        val b =
+          if (fit >= 0) {
+            val (bb, r) = open(fit); open = open.updated(fit, (bb, r - n)); bb
+          } else {
+            nBins += 1
+            open = open :+ ((nBins, (evictPackMaxTokens - n).max(0).toLong))
+            nBins
+          }
+        id -> b
+      }.toMap
+      require(rows.exists { case (id, _, b) => uncapped(id) != b },
+        "q206 fixture: the maxOpenBins cap never bound — eviction arm untested")
+    }
+
+  /** The q206 oracle: the q173/q205 first-fit CTE EXTENDED with the
+    * close-fullest eviction — (bin, remaining) carried as parallel lists
+    * in open order; on overflow past `evictPackMaxOpenBins` the first
+    * position of the minimum remaining (ties oldest — the operator's
+    * minBy) is sliced out of both lists, so a closed bin can never
+    * absorb a later doc. Single shard, so bin_id = local_bin. */
+  private def firstFitEvictCteSql: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id,
+       |        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+       |      FROM documents WHERE doc_id < $evictPackDocLimit),
+       |o AS (SELECT doc_id, n_tokens,
+       |        CAST(row_number() OVER (ORDER BY doc_id % 3, doc_id) AS INT) AS rn
+       |      FROM t),
+       |rec AS (
+       |  SELECT 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
+       |         CAST(NULL AS INT) AS n_tokens, CAST(NULL AS BIGINT) AS local_bin,
+       |         CAST(0 AS BIGINT) AS n_bins,
+       |         CAST([] AS BIGINT[]) AS bids, CAST([] AS INT[]) AS rems
+       |  UNION ALL
+       |  SELECT rn, doc_id, n_tokens,
+       |    CASE WHEN p > 0 THEN bids[p] ELSE n_bins + 1 END AS local_bin,
+       |    CASE WHEN p > 0 THEN n_bins ELSE n_bins + 1 END AS n_bins,
+       |    CASE WHEN p > 0 THEN bids
+       |         WHEN len(bids2) > $evictPackMaxOpenBins
+       |           THEN list_concat(bids2[1:q-1], bids2[q+1:len(bids2)])
+       |         ELSE bids2 END AS bids,
+       |    CASE WHEN p > 0
+       |           THEN list_transform(range(1, len(rems) + 1),
+       |                  i -> CASE WHEN i = p THEN rems[i] - n_tokens
+       |                       ELSE rems[i] END)
+       |         WHEN len(rems2) > $evictPackMaxOpenBins
+       |           THEN list_concat(rems2[1:q-1], rems2[q+1:len(rems2)])
+       |         ELSE rems2 END AS rems
+       |  FROM (
+       |    SELECT *, list_position(rems2, list_min(rems2)) AS q
+       |    FROM (
+       |      SELECT o.rn, o.doc_id, o.n_tokens, r.n_bins, r.bids, r.rems,
+       |        coalesce(list_position(
+       |          list_transform(r.rems, x -> x >= o.n_tokens), true), 0) AS p,
+       |        list_append(r.bids, r.n_bins + 1) AS bids2,
+       |        list_append(r.rems,
+       |          CAST(greatest($evictPackMaxTokens - o.n_tokens, 0) AS INT)) AS rems2
+       |      FROM rec r JOIN o ON o.rn = r.rn + 1)))
+       |SELECT doc_id, CAST(0 AS INT) AS shard, n_tokens, local_bin,
+       |  local_bin AS bin_id
+       |FROM rec WHERE doc_id IS NOT NULL""".stripMargin
+
   /** The q207 streaming run, executed ONCE per SF dir: q205's EXACT
     * staging, operator and parameters — but the stream is STOPPED and
     * RESTARTED mid-corpus. Run 1 sees only micro-batch 0 (`doc_id % 3
@@ -3423,6 +3540,15 @@ object SparkEntry {
     // unit-pinned)
     "q205_streaming_pack" -> ((s, dir) =>
       s.read.parquet(s"${q205StreamPath(s, dir)}/out")
+        .select("doc_id", "shard", "n_tokens", "local_bin", "bin_id")),
+
+    // the EVICTION arm of the streaming packer, oracle-gated: a tiny
+    // cap (2 open bins, 128-token bins, one shard) over 40 real docs
+    // makes close-fullest fire ~20 times, and the CTE oracle simulates
+    // the cap exactly (see q206StreamPath — the fixture also proves the
+    // cap BOUND by requiring divergence from uncapped first-fit)
+    "q206_streaming_pack_evict" -> ((s, dir) =>
+      s.read.parquet(s"${q206StreamPath(s, dir)}/out")
         .select("doc_id", "shard", "n_tokens", "local_bin", "bin_id")),
 
     // CHECKPOINT RECOVERY, oracle-gated: q205's packer STOPPED after
@@ -7871,6 +7997,10 @@ object SparkEntry {
       // (n_tokens desc, doc_id) — and the streaming operator's BIGINT
       // bin numbering (wave rationale at q205StreamPath)
       "q205_streaming_pack" -> firstFitCteSql("doc_id % 3, doc_id", "BIGINT"),
+
+      // q206: the first-fit CTE extended with the close-fullest cap
+      // simulation — the eviction arm's oracle
+      "q206_streaming_pack_evict" -> firstFitEvictCteSql,
 
       // q207: q205's oracle VERBATIM across a checkpoint restart — the
       // CTE replays the whole arrival order, so recovered state and an
