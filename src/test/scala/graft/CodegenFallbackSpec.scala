@@ -59,6 +59,29 @@ class CodegenFallbackSpec extends AnyFunSuite {
     assert(CodegenFallbackCounter.count == 0L && CodegenFallbackCounter.firstSample.isEmpty)
   }
 
+  test("the streaming fixtures' widest expression chains stay codegen'd (q201/q203)") {
+    // r14 verdict task: the streaming queries run the same expression
+    // machinery PLUS state encoders — pin the two widest column chains
+    // (NormalizeUrl in the streamed projection, md5 content dedup) at
+    // zero fallbacks. dropFixture forces the staged stream to actually
+    // RUN under the armed counter instead of reading a cached sink.
+    CodegenFallbackCounter.install()
+    val prevLevel = org.apache.logging.log4j.LogManager.getRootLogger
+      .asInstanceOf[org.apache.logging.log4j.core.Logger].getLevel.toString
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      Seq("stream_q201" -> "q201_streaming_url_dedup",
+          "stream_q203" -> "q203_streaming_exact_dedup").foreach {
+        case (fixture, q) =>
+          SparkEntry.dropFixture(fixture, dir)
+          val before = CodegenFallbackCounter.count
+          SparkEntry.queries(q)(spark, dir).count()
+          assert(CodegenFallbackCounter.count - before == 0L,
+            s"$q triggered a codegen fallback: ${CodegenFallbackCounter.firstSample}")
+      }
+    } finally spark.sparkContext.setLogLevel(prevLevel)
+  }
+
   test("the big inlined expression chains stay inside the 64 KB codegen limit") {
     CodegenFallbackCounter.install()
     // WARN is where WholeStageCodegenExec logs its fallback; the suite's
