@@ -2745,6 +2745,65 @@ object SparkEntry {
       runStreamToSink(out, path)
     }
 
+  /** q209's alert parameters — interpolated into BOTH the streaming
+    * fixture and the DuckDB oracle so the two can never drift. The
+    * threshold is 500 in µ-value units (values ride as exact
+    * integer-valued doubles, so the running total accumulates exactly
+    * and matches the oracle's BIGINT sum bit-for-bit); 8 events per user
+    * keeps the wave count bounded while leaving a healthy mix of
+    * crossing and never-crossing users at every SF (probed: 6/15 at
+    * sf0.001, 30/150 at sf0.01, 342/1500 at sf0.1 cross). */
+  private val thresholdAlertMicro = 500000000L
+  private val thresholdAlertMaxEvents = 8
+
+  /** The q209 streaming run, executed ONCE per SF dir:
+    * [[graft.streaming.ThresholdAlerts]] — the last custom-state
+    * streaming operator still on unit pins only — under a full DuckDB
+    * oracle. The operator accumulates per-user running totals in arrival
+    * order (it deliberately does NOT sort within a batch: a live alerter
+    * fires on what it has seen, not on event time), so the staging makes
+    * arrival order fully deterministic the q204 way: wave i holds each
+    * user's (i+1)-th event by (µs, event_id) rank — ONE event per user
+    * per micro-batch, so within-batch iterator order is moot and the
+    * cross-batch arrival order IS the rank order the oracle replays.
+    * Stream rows carry a constant event time (the real times live only
+    * in the rank), so the watermark never passes any user and no state
+    * evicts mid-run; alerts emit in their crossing batch, so no
+    * sentinels are needed. The oracle replays the running sum per user
+    * over the same (µs, event_id) order capped at the same 8 events and
+    * keeps the FIRST row whose total crosses — users that never cross
+    * emit nothing on either side. */
+  private def q209StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q209", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(expr("ts DIV 1000"), col("event_id"))
+      val ranked = Tables.events(s, dir)
+        .withColumn("rk", row_number().over(byUser))
+        .filter(col("rk") <= thresholdAlertMaxEvents)
+        .select(col("user_id"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("ts"),
+          round(col("value") * 1e6).cast("double").as("value"), col("rk"))
+      val inDir = stageMicroBatches("q209", path,
+        (1 to thresholdAlertMaxEvents).map(i =>
+          ranked.filter(col("rk") === i).drop("rk")))
+      val inSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val stream = s.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+      import s.implicits._
+      val out = streaming.ThresholdAlerts(
+        stream.as[streaming.UserEvent],
+        threshold = thresholdAlertMicro.toDouble)
+      runStreamToSink(out, path)
+    }
+
   /** q206's packing parameters — interpolated into BOTH the streaming
     * fixture and the DuckDB oracle so the two can never drift. 128-token
     * bins over the first 40 real docs (10–98 tokens each) with only TWO
@@ -3541,6 +3600,16 @@ object SparkEntry {
     "q205_streaming_pack" -> ((s, dir) =>
       s.read.parquet(s"${q205StreamPath(s, dir)}/out")
         .select("doc_id", "shard", "n_tokens", "local_bin", "bin_id")),
+
+    // the STREAMING threshold alerter, oracle-gated: per-user running
+    // totals in keyed state fire ONCE at the first crossing; waves
+    // stage one event per user per micro-batch so arrival order is the
+    // (µs, event_id) rank order the oracle replays (see q209StreamPath;
+    // values ride as exact integer-valued µ-doubles so the running sum
+    // is bit-exact against the oracle's BIGINT fold)
+    "q209_streaming_threshold_alerts" -> ((s, dir) =>
+      s.read.parquet(s"${q209StreamPath(s, dir)}/out")
+        .select("user_id", "total", "n_events")),
 
     // the EVICTION arm of the streaming packer, oracle-gated: a tiny
     // cap (2 open bins, 128-token bins, one shard) over 40 real docs
@@ -8001,6 +8070,27 @@ object SparkEntry {
       // q206: the first-fit CTE extended with the close-fullest cap
       // simulation — the eviction arm's oracle
       "q206_streaming_pack_evict" -> firstFitEvictCteSql,
+
+      // q209: per-user running-sum replay in the SAME (µs, event_id)
+      // order as the staged arrival waves, capped at the same per-user
+      // event count, keeping the FIRST crossing row only
+      "q209_streaming_threshold_alerts" ->
+        s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id,
+           |             CAST(round(value * 1e6) AS BIGINT) AS vm FROM events
+           |           QUALIFY row_number() OVER (PARTITION BY user_id
+           |             ORDER BY epoch_ns(ts) // 1000, event_id)
+           |             <= $thresholdAlertMaxEvents),
+           |r AS (SELECT user_id,
+           |        sum(vm) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tot,
+           |        row_number() OVER (PARTITION BY user_id
+           |          ORDER BY us, event_id) AS n
+           |      FROM e),
+           |c AS (SELECT user_id, CAST(tot AS DOUBLE) AS total,
+           |        n AS n_events,
+           |        row_number() OVER (PARTITION BY user_id ORDER BY n) AS k
+           |      FROM r WHERE tot >= $thresholdAlertMicro)
+           |SELECT user_id, total, n_events FROM c WHERE k = 1""".stripMargin,
 
       // q207: q205's oracle VERBATIM across a checkpoint restart — the
       // CTE replays the whole arrival order, so recovered state and an
