@@ -233,16 +233,17 @@ object Bench {
           // (non-idle cpu, iowait, self utime+stime — /proc fields 14, 15)
           (nonIdle, v(4), f(11).toLong + f(12).toLong)
         }
-        // Committed stress bands (seconds at 10x), from the r13 fully
-        // in-band ledger of record (BENCH_NOTES r13 — every probe inside
-        // its r11 band, q196's first band) — the wall-time re-run trigger
-        // fires above 2x these. A probe with no band yet (first round
-        // measured) can only trigger on ext_cores.
+        // Committed stress bands (seconds at 10x), adopted r15 from the
+        // r14 committed record (BENCH_NOTES r14 — the cleanest of five
+        // runs, every probe inside its r13 band or better, q52's first
+        // band) — the wall-time re-run trigger fires above 2x these. A
+        // probe with no band yet (first round measured) can only trigger
+        // on ext_cores.
         val committedBand: Map[String, Double] = Map(
-          "q61" -> 6.7, "q96" -> 2.2, "q103" -> 1.9, "q123" -> 2.1,
-          "q135" -> 5.3, "q138" -> 2.2, "q142" -> 1.8, "q159" -> 8.7,
-          "q174" -> 12.6, "q181" -> 4.2, "q118" -> 2.4, "q133" -> 2.6,
-          "q187" -> 1.3, "q196" -> 3.1)
+          "q61" -> 8.68, "q96" -> 2.50, "q103" -> 2.15, "q123" -> 2.05,
+          "q135" -> 5.39, "q138" -> 1.85, "q142" -> 1.78, "q159" -> 8.30,
+          "q174" -> 11.4, "q181" -> 3.02, "q118" -> 2.36, "q133" -> 1.96,
+          "q187" -> 0.87, "q196" -> 2.04, "q52" -> 2.20)
         case class StressProbe(sec: Double, loadBefore: String, loadAfter: String,
           extCores: Double, ioCores: Double, contended: Boolean,
           ioSuspect: Boolean, bandExceeded: Boolean, reruns: Int,
