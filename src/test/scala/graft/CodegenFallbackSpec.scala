@@ -65,6 +65,15 @@ class CodegenFallbackSpec extends AnyFunSuite {
     // (NormalizeUrl in the streamed projection, md5 content dedup) at
     // zero fallbacks. dropFixture forces the staged stream to actually
     // RUN under the armed counter instead of reading a cached sink.
+    //
+    // ASSUMES SEQUENTIAL SUITE EXECUTION (r15 ADVICE): the root log
+    // level is mutated process-globally and the fixture drop/rebuild is
+    // not guarded against a concurrent reader of the same fixture key;
+    // the count assertion below is delta-based, but firstSample in the
+    // failure message could still attribute a concurrent suite's
+    // fallback. sbt runs suites in one forked JVM sequentially
+    // (Test / fork := true, no parallel setting) — revisit if that
+    // changes.
     CodegenFallbackCounter.install()
     val prevLevel = org.apache.logging.log4j.LogManager.getRootLogger
       .asInstanceOf[org.apache.logging.log4j.core.Logger].getLevel.toString
