@@ -233,17 +233,18 @@ object Bench {
           // (non-idle cpu, iowait, self utime+stime — /proc fields 14, 15)
           (nonIdle, v(4), f(11).toLong + f(12).toLong)
         }
-        // Committed stress bands (seconds at 10x), adopted r15 from the
-        // r14 committed record (BENCH_NOTES r14 — the cleanest of five
-        // runs, every probe inside its r13 band or better, q52's first
-        // band) — the wall-time re-run trigger fires above 2x these. A
-        // probe with no band yet (first round measured) can only trigger
-        // on ext_cores.
+        // Committed stress bands (seconds at 10x), adopted r16 from the
+        // quiet-session attribution run (BENCH_NOTES r16 — loadavg
+        // 0.1–3.4, every probe 0.74–1.24x its r14-adopted band, zero
+        // contended/io_suspect/re-runs; the r15 end-of-round 1.3–2.0x
+        // readings were session load, per the r11 protocol) — the
+        // wall-time re-run trigger fires above 2x these. A probe with no
+        // band yet (first round measured) can only trigger on ext_cores.
         val committedBand: Map[String, Double] = Map(
-          "q61" -> 8.68, "q96" -> 2.50, "q103" -> 2.15, "q123" -> 2.05,
-          "q135" -> 5.39, "q138" -> 1.85, "q142" -> 1.78, "q159" -> 8.30,
-          "q174" -> 11.4, "q181" -> 3.02, "q118" -> 2.36, "q133" -> 1.96,
-          "q187" -> 0.87, "q196" -> 2.04, "q52" -> 2.20)
+          "q61" -> 6.76, "q96" -> 2.21, "q103" -> 1.91, "q123" -> 1.74,
+          "q135" -> 4.78, "q138" -> 1.55, "q142" -> 1.72, "q159" -> 9.70,
+          "q174" -> 11.2, "q181" -> 2.23, "q118" -> 2.62, "q133" -> 2.08,
+          "q187" -> 1.08, "q196" -> 2.15, "q52" -> 1.92)
         case class StressProbe(sec: Double, loadBefore: String, loadAfter: String,
           extCores: Double, ioCores: Double, contended: Boolean,
           ioSuspect: Boolean, bandExceeded: Boolean, reruns: Int,
