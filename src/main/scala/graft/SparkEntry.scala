@@ -3186,6 +3186,134 @@ object SparkEntry {
       runOnce() // run 2: recovered timers fire as the sentinels pass them
     }
 
+  /** Shared staging for q212/q213 — the stream-stream interval join.
+    * Returns the sentinel stages: unlike the single-stream fixtures, a
+    * JOIN has one watermark node PER SIDE and the global watermark is
+    * their MIN, so a sentinel must survive BOTH side filters — each
+    * sentinel stage carries one user −1 click at S and one user −1 view
+    * at S + 1 h. The click PRECEDES the view, so the sentinel pair can
+    * never match (attribution only looks forward); the sentinel view's
+    * own null-emission horizon (S + 1 h + window) stays permanently
+    * ahead of the final watermark (min-node max = S, minus the 1440 h
+    * delay); and user −1 has no real events — so no sentinel row can
+    * ever reach the sink, while both nodes' maxima advance far enough
+    * past the corpus that every real unmatched view null-emits by the
+    * final commit. */
+  private def joinSentinelStages(events: DataFrame): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val s = events.sparkSession
+    Seq((-1L, -2L), (-3L, -4L)).map { case (clickEid, viewEid) =>
+      val click = s.range(1).select(lit(clickEid).as("event_id"),
+        lit(-1L).as("user_id"), lit("click").as("event_type"),
+        lit("2024-12-01 00:00:00").cast("timestamp").as("ts"))
+      val view = s.range(1).select(lit(viewEid).as("event_id"),
+        lit(-1L).as("user_id"), lit("view").as("event_type"),
+        lit("2024-12-01 01:00:00").cast("timestamp").as("ts"))
+      events.limit(0).unionByName(click.unionByName(view))
+    }
+  }
+
+  /** The q212 streaming run, executed ONCE per SF dir: the raw events
+    * staged as three micro-batches by `event_id % 3` through
+    * [[graft.streaming.StreamingWindows.streamingClickAttribution]] — a
+    * WATERMARKED STREAM-STREAM interval self-join (views LEFT-joined to
+    * the same user's clicks within 30 min), the join state kind the
+    * family did not yet exercise. The % 3 scatter puts a view and its
+    * in-window clicks in different micro-batches for most pairs, so
+    * matches form only because BOTH sides' buffered state persisted
+    * across batches; the ~99% of views with no in-window click
+    * null-emit only when the sentinel-advanced watermark proves no
+    * counterpart can arrive ([[joinSentinelStages]] — per-side
+    * sentinels, since the join watermark is the min over both nodes).
+    * The DuckDB left-join oracle replays the whole thing: any lost
+    * buffered row is a missing pair or a spurious null row, any
+    * premature eviction a missing match — all hash mismatches. */
+  private def q212StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q212", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val events = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("timestamp_micros(ts DIV 1000)").as("ts"))
+      val stages: Seq[DataFrame] =
+        (0 until 3).map(i => events.filter(col("event_id") % 3 === i)) ++
+          joinSentinelStages(events)
+      val inDir = stageMicroBatches("q212", path, stages)
+      val stream = s.readStream.schema(eventQuartetSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+      val out = streaming.StreamingWindows
+        .streamingClickAttribution(stream, attributionWindow = "30 minutes",
+          watermark = "1440 hours")
+      runStreamToSink(out, path)
+    }
+
+  /** The q213 streaming run, executed ONCE per SF dir: q212's join
+    * restarted mid-corpus the q207 way — the FIFTH streaming state kind
+    * to cross a stop/start (after the fold, the band buckets, the
+    * session merge state, and the funnel timers): stream-stream JOIN
+    * buffers on both sides. Run 1 drains batch 0 and terminates with
+    * every batch-0 view and click buffered and nothing null-emitted
+    * (the watermark is still pre-corpus); batches 1–2 and the sentinels
+    * are staged only then. Cross-restart matches (a run-1 view paired
+    * by a run-2 click) gate buffer recovery on the VIEWS side, run-2
+    * views paired by run-1 clicks gate the CLICKS side, and the
+    * null-emission of every unmatched run-1 view gates that the
+    * recovered watermark/state bookkeeping still knows them. q212's
+    * oracle verbatim; changelog checkpointing as the other restart
+    * fixtures. */
+  private def q213StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q213", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val events = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("timestamp_micros(ts DIV 1000)").as("ts"))
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(eventQuartetSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(new java.io.File(path, "in").getAbsolutePath)
+        val out = streaming.StreamingWindows
+          .streamingClickAttribution(stream,
+            attributionWindow = "30 minutes", watermark = "1440 hours")
+        runStreamToSink(out, path, changelog = true)
+      }
+      stageMicroBatches("q213", path,
+        Seq(events.filter(col("event_id") % 3 === 0)))
+      runOnce() // run 1: batch 0 only — both sides buffered, sink empty
+      stageMicroBatches("q213", path,
+        (1 until 3).map(i => events.filter(col("event_id") % 3 === i)) ++
+          joinSentinelStages(events),
+        firstIndex = 1)
+      runOnce() // run 2: recovered buffers pair and null-emit
+    }
+
+  /** The (event_id, user_id, event_type, ts) quartet the staged event
+    * fixtures read back — factored once for the fixtures that share it. */
+  private val eventQuartetSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.TimestampType)))
+
+  /** The q212/q213 shared oracle: the batch left join the streaming
+    * interval join must converge to — every view against same-user
+    * clicks in (view_us, view_us + 30 min], inclusive bounds matching
+    * the operator's >= / <=, times in µs. */
+  private def clickAttributionOracleSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             epoch_ns(ts) // 1000 AS us FROM events),
+      |v AS (SELECT event_id AS view_id, user_id, us AS view_us FROM e
+      |      WHERE event_type = 'view'),
+      |c AS (SELECT event_id AS click_id, user_id, us AS click_us FROM e
+      |      WHERE event_type = 'click')
+      |SELECT v.view_id, v.user_id, v.view_us, c.click_id, c.click_us
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |  AND c.click_us >= v.view_us
+      |  AND c.click_us <= v.view_us + 1800000000""".stripMargin
+
   /** The q53/q199 shared oracle: exact n-gram Jaccard at j >= 0.9 over
     * the derived exact-copy fixture — the TRUE pair set is a pure
     * function of the construction (identical signatures agree on every
@@ -3850,6 +3978,27 @@ object SparkEntry {
           element_at(col("reach_us"), 3).as("t3"),
           col("funnel_stage"))
     }),
+
+    // STREAM-STREAM interval join, run for real (one file stream
+    // self-joined: views LEFT-joined to same-user clicks within 30 min,
+    // both sides watermarked, append mode) over the events staged by
+    // event_id % 3 — most pairs span micro-batches, so matches exist
+    // only because both sides' join buffers persisted, and the ~99%
+    // unmatched views null-emit only at the sentinel-advanced watermark
+    // (see q212StreamPath). The DuckDB left join replays it exactly
+    "q212_streaming_click_attribution" -> ((s, dir) =>
+      s.read.parquet(s"${q212StreamPath(s, dir)}/out")
+        .select("view_id", "user_id", "view_us", "click_id", "click_us")),
+
+    // CHECKPOINT RECOVERY of stream-stream JOIN buffers — the fifth
+    // restart-proven state kind: q212's join stopped after batch 0 with
+    // everything buffered and nothing emitted, restarted for batches
+    // 1-2 + sentinels (see q213StreamPath). Cross-restart pairs gate
+    // both sides' buffer recovery; the null-emission arm gates the
+    // recovered bookkeeping; q212's oracle verbatim
+    "q213_streaming_join_restart" -> ((s, dir) =>
+      s.read.parquet(s"${q213StreamPath(s, dir)}/out")
+        .select("view_id", "user_id", "view_us", "click_id", "click_us")),
 
     // REAL RIFF/AVI container walk over the synthetic MJPEG corpus:
     // avih dimensions/stream count, the strh handler fourcc, and the
@@ -7542,6 +7691,11 @@ object SparkEntry {
       // q211: q81's oracle across a funnel checkpoint restart — a lost
       // timeout timestamp silently drops a user and fails the row count
       "q211_streaming_funnel_restart" -> funnelOracleSql,
+      // q212: the stream-stream interval join must converge to the batch
+      // left join — matches AND watermark-gated null rows
+      "q212_streaming_click_attribution" -> clickAttributionOracleSql,
+      // q213: the SAME oracle across a join checkpoint restart
+      "q213_streaming_join_restart" -> clickAttributionOracleSql,
 
       "q58_contamination" ->
         """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),

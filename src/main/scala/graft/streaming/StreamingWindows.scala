@@ -385,6 +385,51 @@ object StreamingWindows {
           out.result().iterator
       }
   }
+
+  /** Stream-stream INTERVAL JOIN — click attribution: every view event
+    * LEFT-joined to the same user's click events within
+    * `attributionWindow` AFTER the view. This is the one Structured
+    * Streaming join shape an event-ingest pipeline needs: both sides are
+    * live streams (here two filters of the same stream — a supported
+    * self-join), so neither can be broadcast or pre-materialized, and
+    * the engine must buffer BOTH sides in keyed state until the other
+    * side's watermark proves no counterpart can still arrive.
+    *
+    * Semantics under the append-mode stream-stream join contract:
+    * matched (view, click) pairs emit as they form, in either arrival
+    * order — a view buffered in an earlier micro-batch pairs with a
+    * later click and vice versa; an unmatched view null-emits ONLY once
+    * the watermark passes its attribution horizon (no in-window click
+    * can still arrive), so the final sink equals the equivalent batch
+    * left join exactly. The event-time RANGE in the join condition is
+    * what bounds state: each side's rows evict as the opposite
+    * watermark passes `attributionWindow`, so state is proportional to
+    * the attribution horizon (times arrival rate), not stream history —
+    * the property that lets this run forever at crawl scale. Output
+    * times are unix MICROseconds (TimestampType's native precision, the
+    * family convention). */
+  def streamingClickAttribution(events: DataFrame, attributionWindow: String,
+      watermark: String): DataFrame = {
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    views.join(clicks,
+        views.col("user_id") === clicks.col("click_user") &&
+          clicks.col("click_ts") >= views.col("view_ts") &&
+          clicks.col("click_ts") <= views.col("view_ts") +
+            expr(s"INTERVAL $attributionWindow"),
+        "left_outer")
+      .select(col("view_id"), col("user_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        col("click_id"), unix_micros(col("click_ts")).as("click_us"))
+  }
 }
 
 /** Per-template census state for the streaming trap detector: distinct URL

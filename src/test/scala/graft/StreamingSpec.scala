@@ -568,4 +568,39 @@ class StreamingSpec extends AnyFunSuite {
       rm(dir)
     }
   }
+
+  test("stream-stream interval join: cross-batch pairing, watermark-gated null emission") {
+    // the q212 shape on a hand-built schedule: the view arrives a batch
+    // BEFORE its click (pairing requires the views-side buffer to
+    // persist), and an unmatched view null-emits only after BOTH sides'
+    // watermark nodes pass its horizon (the global watermark is the MIN,
+    // so the advancing batches carry a row on each side — non-matching:
+    // each click precedes its batch's view)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark)
+    val df = stream.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val out = StreamingWindows.streamingClickAttribution(df,
+      attributionWindow = "30 minutes", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, t(0), 1L, "view"), (2L, t(0), 2L, "view"))
+      q.processAllAvailable()
+      // user 1's click lands one batch later, in-window (t10 <= t0+30m)
+      stream.addData((3L, t(10), 1L, "click"))
+      q.processAllAvailable()
+      // watermark advancers: user 9's click at t50/t52 precedes its view
+      // at t55/t57, so none of the four rows can ever match or emit; by
+      // the second batch the global watermark is t50 - 10m = t40 > t30 =
+      // view 2's horizon, so its null row must be out
+      stream.addData((4L, t(55), 9L, "view"), (5L, t(50), 9L, "click"))
+      q.processAllAvailable()
+      stream.addData((6L, t(57), 9L, "view"), (7L, t(52), 9L, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attrib").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(rows == Set((1L, 1L, 3L), (2L, 2L, -1L)),
+      s"expected the cross-batch pair and one null row, got $rows")
+  }
 }
