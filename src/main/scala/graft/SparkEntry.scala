@@ -3286,6 +3286,42 @@ object SparkEntry {
       runOnce() // run 2: recovered buffers pair and null-emit
     }
 
+  /** The q214 streaming run, executed ONCE per SF dir: the raw events
+    * staged by `event_id % 3` through an UPDATE-mode per-user aggregate
+    * into a foreachBatch UPSERT sink
+    * ([[graft.streaming.StreamingWindows.upsertBatch]]) — the serving-
+    * table maintenance pattern (merge each micro-batch's changed keys
+    * into a versioned parquet snapshot). Every user's events scatter
+    * across all three batches, so the final snapshot is right only if
+    * (a) the agg STATE accumulated across batches (a per-batch recount
+    * would undercount n_events three-fold) and (b) the sink REPLACED
+    * stale rows instead of appending (an append leaves three rows per
+    * user and fails the row count). The oracle is the plain batch
+    * GROUP BY — the serving view the stream must converge to. */
+  private def q214StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q214", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val events = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("timestamp_micros(ts DIV 1000)").as("ts"))
+      val inDir = stageMicroBatches("q214", path,
+        (0 until 3).map(i => events.filter(col("event_id") % 3 === i)))
+      val stream = s.readStream.schema(eventQuartetSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+      val counts = streaming.StreamingWindows
+        .userActivityCounts(stream, watermark = "1440 hours")
+      withRocksDbStateStore(s) {
+        val q = counts.writeStream
+          .outputMode("update")
+          .foreachBatch(streaming.StreamingWindows.upsertBatch(s"$path/serving") _)
+          .option("checkpointLocation", s"$path/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+
   /** The (event_id, user_id, event_type, ts) quartet the staged event
     * fixtures read back — factored once for the fixtures that share it. */
   private val eventQuartetSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -3999,6 +4035,19 @@ object SparkEntry {
     "q213_streaming_join_restart" -> ((s, dir) =>
       s.read.parquet(s"${q213StreamPath(s, dir)}/out")
         .select("view_id", "user_id", "view_us", "click_id", "click_us")),
+
+    // UPDATE-mode streaming + foreachBatch UPSERT serving table: the
+    // per-user running totals merge into a versioned parquet snapshot
+    // (replace changed keys, not append — see q214StreamPath). The
+    // LATEST snapshot must equal the batch GROUP BY: stale-row
+    // replacement and cross-batch state accumulation both gate it
+    "q214_streaming_upsert_serving" -> ((s, dir) => {
+      val serving = s"${q214StreamPath(s, dir)}/serving"
+      val latest = new java.io.File(serving).listFiles()
+        .flatMap(f => f.getName.stripPrefix("v").toLongOption).max
+      s.read.parquet(s"$serving/v$latest")
+        .select("user_id", "n_events", "last_us")
+    }),
 
     // REAL RIFF/AVI container walk over the synthetic MJPEG corpus:
     // avih dimensions/stream count, the strh handler fourcc, and the
@@ -7696,6 +7745,11 @@ object SparkEntry {
       "q212_streaming_click_attribution" -> clickAttributionOracleSql,
       // q213: the SAME oracle across a join checkpoint restart
       "q213_streaming_join_restart" -> clickAttributionOracleSql,
+      // q214: the serving view the upsert stream must converge to
+      "q214_streaming_upsert_serving" ->
+        """SELECT user_id, count(*)::BIGINT AS n_events,
+          |max(epoch_ns(ts) // 1000) AS last_us
+          |FROM events GROUP BY user_id""".stripMargin,
 
       "q58_contamination" ->
         """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),

@@ -408,6 +408,49 @@ object StreamingWindows {
     * the property that lets this run forever at crawl scale. Output
     * times are unix MICROseconds (TimestampType's native precision, the
     * family convention). */
+  /** Per-user running activity totals for the UPDATE-mode serving-table
+    * pattern: event count and last event time (µs) per user. In update
+    * mode the agg emits each CHANGED group's new totals every
+    * micro-batch — the shape a foreachBatch upsert sink consumes. Keyed
+    * by raw user_id, so state is proportional to the distinct-user
+    * population (the serving table's own size — at 100 TB key the agg by
+    * (user, window) instead if the key space churns unboundedly). */
+  def userActivityCounts(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_us"))
+
+  /** foreachBatch MERGE INTO a versioned parquet serving table — the
+    * production pattern for maintaining a continuously-updated key-value
+    * serving view from an update-mode stream without a table format
+    * (Delta/Iceberg supply the versioning + commit protocol at
+    * production; plain parquet snapshots reproduce the semantics
+    * exactly and keep this testable here). Each invocation writes
+    * snapshot `v<batchId>` = previous snapshot with the batch's keys
+    * REPLACED (left-anti on user_id + union): an upsert, not an append.
+    * Idempotent under foreachBatch's at-least-once contract — a
+    * replayed batch rewrites the SAME v<batchId> from the same inputs,
+    * so readers of the max version never see a double-applied batch.
+    * Empty batches (the trailing no-data batch) write nothing. */
+  def upsertBatch(serving: String)(batch: org.apache.spark.sql.Dataset[
+      org.apache.spark.sql.Row], batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      val s = batch.sparkSession
+      val versions = Option(new java.io.File(serving).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .flatMap(f => f.getName.stripPrefix("v").toLongOption)
+        .filter(_ < batchId) // a replayed batch must not read its own half-write
+      val merged =
+        if (versions.isEmpty) batch
+        else s.read.parquet(s"$serving/v${versions.max}")
+          .join(batch.select("user_id"), Seq("user_id"), "left_anti")
+          .unionByName(batch)
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(s"$serving/v$batchId")
+    }
+  }
+
   def streamingClickAttribution(events: DataFrame, attributionWindow: String,
       watermark: String): DataFrame = {
     val views = events

@@ -603,4 +603,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((1L, 1L, 3L), (2L, 2L, -1L)),
       s"expected the cross-batch pair and one null row, got $rows")
   }
+
+  test("upsertBatch: replaces changed keys, keeps the rest, idempotent under replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_serving_test").toFile
+    try {
+      val serving = dir.getAbsolutePath
+      def latest: Map[Long, (Long, Long)] = {
+        val v = dir.listFiles().flatMap(f => f.getName.stripPrefix("v").toLongOption).max
+        spark.read.parquet(s"$serving/v$v").collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      }
+      val b0 = Seq((1L, 2L, 10L), (2L, 1L, 20L)).toDF("user_id", "n_events", "last_us")
+      StreamingWindows.upsertBatch(serving)(b0, 0L)
+      val b1 = Seq((1L, 5L, 30L)).toDF("user_id", "n_events", "last_us")
+      StreamingWindows.upsertBatch(serving)(b1, 1L)
+      // user 1 replaced (no second row), user 2 carried forward
+      assert(latest == Map(1L -> ((5L, 30L)), 2L -> ((1L, 20L))))
+      // at-least-once replay of batch 1: reads only versions < 1, rewrites
+      // the SAME v1 from the same inputs — the view is unchanged
+      StreamingWindows.upsertBatch(serving)(b1, 1L)
+      assert(latest == Map(1L -> ((5L, 30L)), 2L -> ((1L, 20L))))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
