@@ -3322,6 +3322,51 @@ object SparkEntry {
       }
     }
 
+  /** The q215 streaming run, executed ONCE per SF dir: q214's
+    * update-mode aggregate + upsert sink RESTARTED mid-corpus — the
+    * SIXTH streaming state kind to cross a stop/start, and the most
+    * common one in production: built-in streaming-aggregation state
+    * (StateStoreSave), not custom keyed state. Run 1 drains batch 0 and
+    * writes serving snapshot v0 holding batch-0-only totals; batches
+    * 1–2 are staged after it terminates and run 2 resumes from the same
+    * checkpoint. The final snapshot equals the batch GROUP BY only if
+    * the per-user running totals RECOVERED (a reset agg would restart
+    * every user's n_events at its run-2 count) and the versioned upsert
+    * kept replacing rather than appending across the restart. q214's
+    * oracle verbatim; changelog checkpointing as the other restart
+    * fixtures. */
+  private def q215StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q215", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val events = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("timestamp_micros(ts DIV 1000)").as("ts"))
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(eventQuartetSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(new java.io.File(path, "in").getAbsolutePath)
+        val counts = streaming.StreamingWindows
+          .userActivityCounts(stream, watermark = "1440 hours")
+        withRocksDbStateStore(s, changelog = true) {
+          val q = counts.writeStream
+            .outputMode("update")
+            .foreachBatch(
+              streaming.StreamingWindows.upsertBatch(s"$path/serving") _)
+            .option("checkpointLocation", s"$path/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      }
+      stageMicroBatches("q215", path,
+        Seq(events.filter(col("event_id") % 3 === 0)))
+      runOnce() // run 1: batch 0 only — v0 holds partial totals
+      stageMicroBatches("q215", path,
+        (1 until 3).map(i => events.filter(col("event_id") % 3 === i)),
+        firstIndex = 1)
+      runOnce() // run 2: recovered totals continue, upserts replace
+    }
+
   /** The (event_id, user_id, event_type, ts) quartet the staged event
     * fixtures read back — factored once for the fixtures that share it. */
   private val eventQuartetSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -4043,6 +4088,21 @@ object SparkEntry {
     // replacement and cross-batch state accumulation both gate it
     "q214_streaming_upsert_serving" -> ((s, dir) => {
       val serving = s"${q214StreamPath(s, dir)}/serving"
+      val latest = new java.io.File(serving).listFiles()
+        .flatMap(f => f.getName.stripPrefix("v").toLongOption).max
+      s.read.parquet(s"$serving/v$latest")
+        .select("user_id", "n_events", "last_us")
+    }),
+
+    // CHECKPOINT RECOVERY of BUILT-IN streaming-aggregation state — the
+    // sixth restart-proven state kind and the production-commonest:
+    // q214's running totals stopped after batch 0 (snapshot v0 = partial
+    // counts) and resumed against the same checkpoint (see
+    // q215StreamPath). The final snapshot matches the batch GROUP BY
+    // only if the agg state recovered — a reset would undercount every
+    // user — and the upsert kept replacing across the restart
+    "q215_streaming_upsert_restart" -> ((s, dir) => {
+      val serving = s"${q215StreamPath(s, dir)}/serving"
       val latest = new java.io.File(serving).listFiles()
         .flatMap(f => f.getName.stripPrefix("v").toLongOption).max
       s.read.parquet(s"$serving/v$latest")
@@ -7747,6 +7807,12 @@ object SparkEntry {
       "q213_streaming_join_restart" -> clickAttributionOracleSql,
       // q214: the serving view the upsert stream must converge to
       "q214_streaming_upsert_serving" ->
+        """SELECT user_id, count(*)::BIGINT AS n_events,
+          |max(epoch_ns(ts) // 1000) AS last_us
+          |FROM events GROUP BY user_id""".stripMargin,
+      // q215: the SAME serving view across an agg-state checkpoint
+      // restart — a reset agg undercounts every user
+      "q215_streaming_upsert_restart" ->
         """SELECT user_id, count(*)::BIGINT AS n_events,
           |max(epoch_ns(ts) // 1000) AS last_us
           |FROM events GROUP BY user_id""".stripMargin,
