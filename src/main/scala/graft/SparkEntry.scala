@@ -3367,6 +3367,60 @@ object SparkEntry {
       runOnce() // run 2: recovered totals continue, upserts replace
     }
 
+  /** The q216 streaming run, executed ONCE per SF dir: the WATERMARK
+    * LATE-DATA DROP semantics at oracle grade — every other staged
+    * fixture avoids lateness by construction (delays exceeding the
+    * corpus span); this one PLANTS it and pins exactly what gets
+    * dropped. Four stages through the built-in tumbling aggregate
+    * (10-minute windows per event_type, 1 h watermark): batch 0 holds
+    * the on-time half (`event_id % 2 === 0`); batches 1–2 are BOTH
+    * far-future sentinel stages, advancing the watermark months past
+    * the corpus and closing/emitting every real window — both must
+    * precede the late delivery because the watermark propagates with a
+    * ONE-BATCH LAG (batch N's late filter uses the maximum through
+    * batch N−1; with only one sentinel ahead of it, the late batch
+    * still ran under the pre-sentinel watermark and the corpus's last
+    * two odd rows leaked through — measured, not theorized: 498/500
+    * dropped, 2 emitted; the same lag is why [[sentinelStages]] emits
+    * two stages for emission). Batch 3 then delivers the OTHER half of
+    * the corpus — every row months late, every target window long
+    * closed, so the engine must drop ALL of them
+    * (numRowsDroppedByWatermark = the whole batch) and must not
+    * re-emit or mutate any already-emitted window (append mode emits a
+    * closed window exactly once). The oracle is the batch GROUP BY
+    * over ONLY the on-time half — a single surviving late row, a
+    * double-emitted window, or an over-aggressive drop all
+    * hash-mismatch. The sentinels' own window never closes (the
+    * watermark trails them by the delay), so no sentinel row reaches
+    * the sink. The value column is a fixture-side derivation
+    * (`event_id % 97` as double — integer-valued, so sums are exact
+    * against the oracle's replay). */
+  private def q216StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q216", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val events = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("timestamp_micros(ts DIV 1000)").as("ts"),
+          (col("event_id") % 97).cast("double").as("value"))
+      val Seq(sentA, sentB) = sentinelStages(events,
+        lit("2024-06-01 00:00:00").cast("timestamp"),
+        extraCols = Seq("value" -> lit(0.0)))
+      val inDir = stageMicroBatches("q216", path, Seq(
+        events.filter(col("event_id") % 2 === 0), // on time
+        sentA, // watermark advances...
+        sentB, // ...and TAKES EFFECT (one-batch lag); windows close + emit
+        events.filter(col("event_id") % 2 === 1))) // ALL months late → drop
+      val inSchema = org.apache.spark.sql.types.StructType(
+        eventQuartetSchema.fields :+ org.apache.spark.sql.types.StructField(
+          "value", org.apache.spark.sql.types.DoubleType))
+      val stream = s.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+      val out = streaming.StreamingWindows
+        .tumblingAgg(stream, windowLength = "10 minutes", watermark = "1 hour")
+      runStreamToSink(out, path)
+    }
+
   /** The (event_id, user_id, event_type, ts) quartet the staged event
     * fixtures read back — factored once for the fixtures that share it. */
   private val eventQuartetSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -4107,6 +4161,18 @@ object SparkEntry {
         .flatMap(f => f.getName.stripPrefix("v").toLongOption).max
       s.read.parquet(s"$serving/v$latest")
         .select("user_id", "n_events", "last_us")
+    }),
+
+    // WATERMARK LATE-DATA DROP at oracle grade: half the corpus arrives
+    // months late into long-closed tumbling windows and must vanish —
+    // no surviving late row, no double-emitted window, no
+    // over-aggressive drop (see q216StreamPath). The oracle is the
+    // batch GROUP BY over only the on-time half
+    "q216_streaming_late_drop" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.read.parquet(s"${q216StreamPath(s, dir)}/out")
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("event_type"), col("n_events"), col("sum_value"))
     }),
 
     // REAL RIFF/AVI container walk over the synthetic MJPEG corpus:
@@ -7816,6 +7882,15 @@ object SparkEntry {
         """SELECT user_id, count(*)::BIGINT AS n_events,
           |max(epoch_ns(ts) // 1000) AS last_us
           |FROM events GROUP BY user_id""".stripMargin,
+      // q216: the tumbling view over ONLY the on-time half — the
+      // months-late other half must have been dropped by the watermark
+      "q216_streaming_late_drop" ->
+        """WITH e AS (SELECT event_id, event_type, epoch_ns(ts) // 1000 AS us,
+          |             CAST(event_id % 97 AS DOUBLE) AS value
+          |           FROM events WHERE event_id % 2 = 0)
+          |SELECT us // 600000000 * 600000000 AS win_start_us, event_type,
+          |count(*)::BIGINT AS n_events, sum(value) AS sum_value
+          |FROM e GROUP BY 1, 2""".stripMargin,
 
       "q58_contamination" ->
         """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
