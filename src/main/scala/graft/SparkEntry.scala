@@ -2370,30 +2370,39 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val lines = q.recentProgress.iterator.flatMap(p =>
-        p.stateOperators.map(op =>
-          s"""{"batchId":${p.batchId},"op":${op.json}}""" + "\n")).mkString
-      if (lines.nonEmpty) {
+      recordStateMetrics(q, path)
+    }
+
+  /** Append every micro-batch's state-operator metrics from a finished
+    * query's `recentProgress` to the fixture's `state_metrics.jsonl`
+    * (shared by [[runStreamToSink]] and the foreachBatch fixtures,
+    * which cannot route through the common sink tail). */
+  private def recordStateMetrics(
+      q: org.apache.spark.sql.streaming.StreamingQuery, path: String): Unit = {
+    val lines = q.recentProgress.iterator.flatMap(p =>
+      p.stateOperators.map(op =>
+        s"""{"batchId":${p.batchId},"op":${op.json}}""" + "\n")).mkString
+    if (lines.nonEmpty) {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "state_metrics.jsonl"), lines,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      // The fixture dir is a shutdown-swept temp dir; when set, this
+      // mirrors the ledger somewhere durable so the BENCH_NOTES state
+      // table regenerates from real per-batch records after the run.
+      sys.env.get("SPARK_GRAFT_STATE_METRICS_DIR").foreach { d =>
+        val kind = "stream_q\\d{3}".r.findFirstIn(new java.io.File(path).getName)
+          .getOrElse(new java.io.File(path).getName)
+        val tagged = lines.linesIterator
+          .map(l => s"""{"fixture":"$kind",${l.stripPrefix("{")}""" + "\n").mkString
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(path, "state_metrics.jsonl"), lines,
+          java.nio.file.Paths.get(d, "state_metrics.jsonl"), tagged,
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
-        // The fixture dir is a shutdown-swept temp dir; when set, this
-        // mirrors the ledger somewhere durable so the BENCH_NOTES state
-        // table regenerates from real per-batch records after the run.
-        sys.env.get("SPARK_GRAFT_STATE_METRICS_DIR").foreach { d =>
-          val kind = "stream_q\\d{3}".r.findFirstIn(new java.io.File(path).getName)
-            .getOrElse(new java.io.File(path).getName)
-          val tagged = lines.linesIterator
-            .map(l => s"""{"fixture":"$kind",${l.stripPrefix("{")}""" + "\n").mkString
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(d, "state_metrics.jsonl"), tagged,
-            java.nio.file.StandardOpenOption.CREATE,
-            java.nio.file.StandardOpenOption.APPEND)
-        }
       }
     }
+  }
 
   private def q185StreamPath(s: SparkSession, dir: String): String =
     lazyFixtureDir("stream_q185", dir) { path =>
@@ -3319,6 +3328,7 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        recordStateMetrics(q, path)
       }
     }
 
@@ -3356,6 +3366,7 @@ object SparkEntry {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          recordStateMetrics(q, path)
         }
       }
       stageMicroBatches("q215", path,
@@ -3384,10 +3395,14 @@ object SparkEntry {
     * dropped, 2 emitted; the same lag is why [[sentinelStages]] emits
     * two stages for emission). Batch 3 then delivers the OTHER half of
     * the corpus — every row months late, every target window long
-    * closed, so the engine must drop ALL of them
-    * (numRowsDroppedByWatermark = the whole batch) and must not
-    * re-emit or mutate any already-emitted window (append mode emits a
-    * closed window exactly once). The oracle is the batch GROUP BY
+    * closed, so the engine must drop ALL of them — the ledger's
+    * numRowsDroppedByWatermark equals the batch's DISTINCT (window,
+    * event_type) group count, not its row count, because the drop
+    * filter sits above the map-side partial aggregate (measured at
+    * sf0.01: 4,639 groups from 5,000 late rows, equal to the DuckDB
+    * distinct-group count) — and must not re-emit or mutate any
+    * already-emitted window (append mode emits a closed window exactly
+    * once). The oracle is the batch GROUP BY
     * over ONLY the on-time half — a single surviving late row, a
     * double-emitted window, or an over-aggressive drop all
     * hash-mismatch. The sentinels' own window never closes (the
