@@ -80,7 +80,10 @@ class CodegenFallbackSpec extends AnyFunSuite {
     spark.sparkContext.setLogLevel("WARN")
     try {
       Seq("stream_q201" -> "q201_streaming_url_dedup",
-          "stream_q203" -> "q203_streaming_exact_dedup").foreach {
+          "stream_q203" -> "q203_streaming_exact_dedup",
+          // r16: the stream-stream join chain (two filtered projections
+          // + symmetric hash join + unix_micros outputs)
+          "stream_q212" -> "q212_streaming_click_attribution").foreach {
         case (fixture, q) =>
           SparkEntry.dropFixture(fixture, dir)
           val before = CodegenFallbackCounter.count
