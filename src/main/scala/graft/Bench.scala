@@ -340,6 +340,41 @@ object Bench {
             (k, best.copy(reruns = 1, discarded = Some(other)))
           }
         }
+        // r16: the STREAMING scale probe — q203's exact-dedup ingest
+        // (staging + md5 + dropDuplicatesWithinWatermark keyed state +
+        // file sink on the RocksDB store) at 1x and a decade up, with
+        // the state high-water mark from the per-batch ledger. The 10x
+        // dir amplifies by EXACT COPIES, which is dedup's production
+        // regime at a crawl's scale: throughput must grow ~linearly with
+        // ingest volume while STATE stays at unique-content size
+        // (state_rows_10x ≈ state_rows_1x is the claim worth recording).
+        // q199 is deliberately NOT the probe here: on an exact-copy
+        // amplification its per-bucket candidate fan is quadratic BY
+        // CONSTRUCTION (10x members per bucket → ~100x pair emissions) —
+        // the same documented posture as q47, with q52's candidate-ratio
+        // line carrying its scale evidence. min-of-2 at 1x; one sample
+        // at 10x (long enough that scheduler noise is a small fraction).
+        def streamIngest(dir: String, samples: Int): (Double, Long) = {
+          val sec = (1 to samples).map { _ =>
+            SparkEntry.dropFixture("stream_q203", dir)
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            SparkEntry.queries("q203_streaming_exact_dedup")(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          val rowsRe = "\"numRowsTotal\":(\\d+)".r
+          val stateRows = SparkEntry.fixturePath("stream_q203", dir).map { p =>
+            val src = scala.io.Source.fromFile(s"$p/state_metrics.jsonl")
+            try rowsRe.findAllMatchIn(src.mkString).map(_.group(1).toLong).max
+            finally src.close()
+          }.getOrElse(-1L)
+          (sec, stateRows)
+        }
+        val (si1Sec, si1Rows) = streamIngest(sfDir, samples = 2)
+        val (si10Sec, si10Rows) = streamIngest(tmp.getAbsolutePath, samples = 1)
+        val streamIngestJson =
+          f""""stream_ingest":{"sec_1x":$si1Sec%.3f,"state_rows_1x":$si1Rows,""" +
+            f""""sec_10x":$si10Sec%.3f,"state_rows_10x":$si10Rows}"""
         val secJson = probes
           .map { case (k, p) => f""""${k}_sec":${p.sec}%.3f""" }.mkString(",")
         def probeJson(p: StressProbe, band: Option[Double]): String =
@@ -354,7 +389,7 @@ object Bench {
         val telJson = probes.map { case (k, p) =>
           s""""$k":${probeJson(p, committedBand.get(k))}"""
         }.mkString(",")
-        s"""{"factor":10,"rows":$rows10,$secJson,""" +
+        s"""{"factor":10,"rows":$rows10,$secJson,$streamIngestJson,""" +
           s""""ext_cores_threshold":$extCoresThreshold,""" +
           s""""io_cores_threshold":$ioCoresThreshold,"user_hz":$userHz,""" +
           s""""probe_telemetry":{$telJson}}"""

@@ -2126,6 +2126,12 @@ object SparkEntry {
     })
   }
 
+  /** The live temp dir of an already-built fixture (None if not built
+    * in this JVM) — the bench's streaming stress probe reads the
+    * per-batch state ledger out of it after a timed rebuild. */
+  private[graft] def fixturePath(kind: String, dir: String): Option[String] =
+    Option(tempFixtureDirs.get(s"$kind|$dir"))
+
   /** Evict one cached fixture so its next use REBUILDS — the bench's
     * stress section uses this to time q174's store builds (gate +
     * appends + materialization) per sample instead of a cached read. */
