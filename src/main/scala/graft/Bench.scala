@@ -248,7 +248,17 @@ object Bench {
         case class StressProbe(sec: Double, loadBefore: String, loadAfter: String,
           extCores: Double, ioCores: Double, contended: Boolean,
           ioSuspect: Boolean, bandExceeded: Boolean, reruns: Int,
-          discarded: Option[StressProbe] = None)
+          discarded: Option[StressProbe] = None, extExempt: Boolean = false)
+        // The STREAMING ingest probes are exempt from the ext_cores
+        // contention trigger (measured r16, idle box): their "external"
+        // CPU is KERNEL-side filesystem work done on the probe's own
+        // behalf — the checkpoint/changelog fsync storm lands in
+        // kworker/flusher threads that /proc/self/stat cannot claim as
+        // own time (~6 apparent external cores while every interleaved
+        // batch probe reads 0.0). The reading still records in the
+        // telemetry with ext_exempt:true so nothing is hidden; the
+        // band-based re-run trigger still applies to them.
+        val extExemptProbes = Set("q203s1x", "q203s10x")
         def probeOnce(name: String, sample: () => Double): StressProbe = {
           val lb = loadavg()
           val (n0, io0, s0) = cpuSnap()
@@ -267,9 +277,11 @@ object Bench {
           // iowait is evidence of I/O-class pressure but cannot name the
           // culprit — a self-spilling probe looks identical to a noisy
           // neighbor. Folding it into "contended" overstated the claim.
-          val cont = ext > extCoresThreshold
+          val exempt = extExemptProbes.contains(name)
+          val cont = !exempt && ext > extCoresThreshold
           val ioSus = over && io > ioCoresThreshold
-          StressProbe(sec, lb, loadavg(), ext, io, cont, ioSus, over, 0)
+          StressProbe(sec, lb, loadavg(), ext, io, cont, ioSus, over, 0,
+            extExempt = exempt)
         }
         def minOf3(name: String): () => Double = () =>
           (1 to 3).map { _ =>
@@ -322,7 +334,39 @@ object Bench {
           // brute-force-like low-threshold regime (1-bit tables,
           // cos ≥ 0.4) whose cost is quadratic BY DESIGN — its scaladoc
           // sends scale traffic here. First measurement: no band yet.
-          "q52" -> minOf3("q52_embed_neardup_lsh_prod"))
+          "q52" -> minOf3("q52_embed_neardup_lsh_prod"),
+          // q203s1x/q203s10x (r16): the STREAMING scale probe — q203's
+          // exact-dedup ingest (staging + md5 + dropDuplicates-
+          // WithinWatermark keyed state + file sink on the RocksDB
+          // store) at 1x and a decade up. The 10x dir amplifies by
+          // EXACT COPIES — dedup's production regime at a crawl's
+          // scale: throughput must grow ~linearly with ingest volume
+          // while STATE stays at unique-content size (state_rows_10x ≈
+          // state_rows_1x in the stream_ingest summary is the claim
+          // worth recording). q199 is deliberately NOT the probe: on an
+          // exact-copy amplification its per-bucket candidate fan is
+          // quadratic BY CONSTRUCTION (10x members per bucket → ~100x
+          // pair emissions) — the documented q47 posture, with q52's
+          // candidate-ratio line carrying its scale evidence. Both run
+          // through probeOnce like every other probe (ext_cores /
+          // io_cores / band re-run hardening); min-of-2 at 1x, one
+          // sample at 10x (long enough that scheduler noise is a small
+          // fraction). First measurement: no bands yet.
+          "q203s1x" -> (() => (1 to 2).map { _ =>
+            SparkEntry.dropFixture("stream_q203", sfDir)
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            SparkEntry.queries("q203_streaming_exact_dedup")(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min),
+          "q203s10x" -> (() => {
+            SparkEntry.dropFixture("stream_q203", tmp.getAbsolutePath)
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            SparkEntry.queries("q203_streaming_exact_dedup")(
+              spark, tmp.getAbsolutePath).count()
+            (System.nanoTime() - t0) / 1e9
+          }))
         val firstPass = probeDefs.map { case (k, s) => (k, s, probeOnce(k, s)) }
         val probes = firstPass.map { case (k, s, p0) =>
           if (!p0.contended && !p0.bandExceeded) (k, p0)
@@ -340,47 +384,32 @@ object Bench {
             (k, best.copy(reruns = 1, discarded = Some(other)))
           }
         }
-        // r16: the STREAMING scale probe — q203's exact-dedup ingest
-        // (staging + md5 + dropDuplicatesWithinWatermark keyed state +
-        // file sink on the RocksDB store) at 1x and a decade up, with
-        // the state high-water mark from the per-batch ledger. The 10x
-        // dir amplifies by EXACT COPIES, which is dedup's production
-        // regime at a crawl's scale: throughput must grow ~linearly with
-        // ingest volume while STATE stays at unique-content size
-        // (state_rows_10x ≈ state_rows_1x is the claim worth recording).
-        // q199 is deliberately NOT the probe here: on an exact-copy
-        // amplification its per-bucket candidate fan is quadratic BY
-        // CONSTRUCTION (10x members per bucket → ~100x pair emissions) —
-        // the same documented posture as q47, with q52's candidate-ratio
-        // line carrying its scale evidence. min-of-2 at 1x; one sample
-        // at 10x (long enough that scheduler noise is a small fraction).
-        def streamIngest(dir: String, samples: Int): (Double, Long) = {
-          val sec = (1 to samples).map { _ =>
-            SparkEntry.dropFixture("stream_q203", dir)
-            spark.catalog.clearCache()
-            val t0 = System.nanoTime()
-            SparkEntry.queries("q203_streaming_exact_dedup")(spark, dir).count()
-            (System.nanoTime() - t0) / 1e9
-          }.min
+        // The stream_ingest summary block pairs the two ingest probes'
+        // seconds (taken from the telemetry-hardened probes above) with
+        // the state high-water marks read from the per-batch ledger of
+        // the LAST rebuild in each dir (state size is a pure function of
+        // the corpus, so which sample left the fixture behind is moot).
+        def ingestStateRows(dir: String): Long = {
           val rowsRe = "\"numRowsTotal\":(\\d+)".r
-          val stateRows = SparkEntry.fixturePath("stream_q203", dir).map { p =>
+          SparkEntry.fixturePath("stream_q203", dir).map { p =>
             val src = scala.io.Source.fromFile(s"$p/state_metrics.jsonl")
             try rowsRe.findAllMatchIn(src.mkString).map(_.group(1).toLong).max
             finally src.close()
           }.getOrElse(-1L)
-          (sec, stateRows)
         }
-        val (si1Sec, si1Rows) = streamIngest(sfDir, samples = 2)
-        val (si10Sec, si10Rows) = streamIngest(tmp.getAbsolutePath, samples = 1)
+        val probeSec = probes.toMap
         val streamIngestJson =
-          f""""stream_ingest":{"sec_1x":$si1Sec%.3f,"state_rows_1x":$si1Rows,""" +
-            f""""sec_10x":$si10Sec%.3f,"state_rows_10x":$si10Rows}"""
+          f""""stream_ingest":{"sec_1x":${probeSec("q203s1x").sec}%.3f,""" +
+            f""""state_rows_1x":${ingestStateRows(sfDir)},""" +
+            f""""sec_10x":${probeSec("q203s10x").sec}%.3f,""" +
+            f""""state_rows_10x":${ingestStateRows(tmp.getAbsolutePath)}}"""
         val secJson = probes
           .map { case (k, p) => f""""${k}_sec":${p.sec}%.3f""" }.mkString(",")
         def probeJson(p: StressProbe, band: Option[Double]): String =
           f"""{"sec":${p.sec}%.3f,"ext_cores":${p.extCores}%.2f,""" +
             f""""io_cores":${p.ioCores}%.2f,"load_before":${p.loadBefore},""" +
             f""""load_after":${p.loadAfter},"contended":${p.contended},""" +
+            (if (p.extExempt) """"ext_exempt":true,""" else "") +
             f""""io_suspect":${p.ioSuspect},""" +
             band.map(b => f""""band_sec":$b%.2f,""").getOrElse("") +
             f""""band_exceeded":${p.bandExceeded},"reruns":${p.reruns}""" +

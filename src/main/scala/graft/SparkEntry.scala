@@ -2399,8 +2399,10 @@ object SparkEntry {
       sys.env.get("SPARK_GRAFT_STATE_METRICS_DIR").foreach { d =>
         val kind = "stream_q\\d{3}".r.findFirstIn(new java.io.File(path).getName)
           .getOrElse(new java.io.File(path).getName)
+        // dir rides along so sf0.01/sf0.1/bench-10x records never
+        // conflate in the append-only mirror (r16 review finding)
         val tagged = lines.linesIterator
-          .map(l => s"""{"fixture":"$kind",${l.stripPrefix("{")}""" + "\n").mkString
+          .map(l => s"""{"fixture":"$kind","dir":"$path",${l.stripPrefix("{")}""" + "\n").mkString
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(d, "state_metrics.jsonl"), tagged,
@@ -3172,17 +3174,8 @@ object SparkEntry {
           .select("user_id").distinct().count() > 0,
         "q211 timer-recovery staging found no run-1-only users — " +
           "the restart would not exercise timeout-timestamp recovery")
-      val inSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.TimestampType)))
       def runOnce(): Unit = {
-        val stream = s.readStream.schema(inSchema)
+        val stream = s.readStream.schema(eventQuartetSchema)
           .option("maxFilesPerTrigger", 1)
           .parquet(new java.io.File(path, "in").getAbsolutePath)
         import s.implicits._
@@ -3453,6 +3446,13 @@ object SparkEntry {
       org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("ts",
       org.apache.spark.sql.types.TimestampType)))
+
+  /** The q214/q215 shared oracle: the per-user serving view the
+    * update-mode upsert stream must converge to. */
+  private def servingViewOracleSql: String =
+    """SELECT user_id, count(*)::BIGINT AS n_events,
+      |max(epoch_ns(ts) // 1000) AS last_us
+      |FROM events GROUP BY user_id""".stripMargin
 
   /** The q212/q213 shared oracle: the batch left join the streaming
     * interval join must converge to — every view against same-user
@@ -7893,16 +7893,10 @@ object SparkEntry {
       // q213: the SAME oracle across a join checkpoint restart
       "q213_streaming_join_restart" -> clickAttributionOracleSql,
       // q214: the serving view the upsert stream must converge to
-      "q214_streaming_upsert_serving" ->
-        """SELECT user_id, count(*)::BIGINT AS n_events,
-          |max(epoch_ns(ts) // 1000) AS last_us
-          |FROM events GROUP BY user_id""".stripMargin,
+      "q214_streaming_upsert_serving" -> servingViewOracleSql,
       // q215: the SAME serving view across an agg-state checkpoint
       // restart — a reset agg undercounts every user
-      "q215_streaming_upsert_restart" ->
-        """SELECT user_id, count(*)::BIGINT AS n_events,
-          |max(epoch_ns(ts) // 1000) AS last_us
-          |FROM events GROUP BY user_id""".stripMargin,
+      "q215_streaming_upsert_restart" -> servingViewOracleSql,
       // q216: the tumbling view over ONLY the on-time half — the
       // months-late other half must have been dropped by the watermark
       "q216_streaming_late_drop" ->

@@ -386,28 +386,6 @@ object StreamingWindows {
       }
   }
 
-  /** Stream-stream INTERVAL JOIN — click attribution: every view event
-    * LEFT-joined to the same user's click events within
-    * `attributionWindow` AFTER the view. This is the one Structured
-    * Streaming join shape an event-ingest pipeline needs: both sides are
-    * live streams (here two filters of the same stream — a supported
-    * self-join), so neither can be broadcast or pre-materialized, and
-    * the engine must buffer BOTH sides in keyed state until the other
-    * side's watermark proves no counterpart can still arrive.
-    *
-    * Semantics under the append-mode stream-stream join contract:
-    * matched (view, click) pairs emit as they form, in either arrival
-    * order — a view buffered in an earlier micro-batch pairs with a
-    * later click and vice versa; an unmatched view null-emits ONLY once
-    * the watermark passes its attribution horizon (no in-window click
-    * can still arrive), so the final sink equals the equivalent batch
-    * left join exactly. The event-time RANGE in the join condition is
-    * what bounds state: each side's rows evict as the opposite
-    * watermark passes `attributionWindow`, so state is proportional to
-    * the attribution horizon (times arrival rate), not stream history —
-    * the property that lets this run forever at crawl scale. Output
-    * times are unix MICROseconds (TimestampType's native precision, the
-    * family convention). */
   /** Per-user running activity totals for the UPDATE-mode serving-table
     * pattern: event count and last event time (µs) per user. In update
     * mode the agg emits each CHANGED group's new totals every
@@ -435,22 +413,49 @@ object StreamingWindows {
     * Empty batches (the trailing no-data batch) write nothing. */
   def upsertBatch(serving: String)(batch: org.apache.spark.sql.Dataset[
       org.apache.spark.sql.Row], batchId: Long): Unit = {
-    if (!batch.isEmpty) {
-      val s = batch.sparkSession
-      val versions = Option(new java.io.File(serving).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .flatMap(f => f.getName.stripPrefix("v").toLongOption)
-        .filter(_ < batchId) // a replayed batch must not read its own half-write
-      val merged =
-        if (versions.isEmpty) batch
-        else s.read.parquet(s"$serving/v${versions.max}")
-          .join(batch.select("user_id"), Seq("user_id"), "left_anti")
-          .unionByName(batch)
-      merged.coalesce(1).write.mode("overwrite")
-        .parquet(s"$serving/v$batchId")
-    }
+    // foreachBatch guidance: the batch plan re-executes per action (here
+    // isEmpty, the anti-join probe, and the union) — persist across them
+    batch.persist()
+    try {
+      if (!batch.isEmpty) {
+        val s = batch.sparkSession
+        val versions = Option(new java.io.File(serving).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .flatMap(f => f.getName.stripPrefix("v").toLongOption)
+          .filter(_ < batchId) // a replayed batch must not read its own half-write
+        val merged =
+          if (versions.isEmpty) batch.toDF()
+          else s.read.parquet(s"$serving/v${versions.max}")
+            .join(batch.select("user_id"), Seq("user_id"), "left_anti")
+            .unionByName(batch)
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$serving/v$batchId")
+      }
+    } finally { batch.unpersist(); () }
   }
 
+  /** Stream-stream INTERVAL JOIN — click attribution: every view event
+    * LEFT-joined to the same user's click events within
+    * `attributionWindow` AFTER the view. This is the one Structured
+    * Streaming join shape an event-ingest pipeline needs: both sides are
+    * live streams (here two filters of the same stream — a supported
+    * self-join), so neither can be broadcast or pre-materialized, and
+    * the engine must buffer BOTH sides in keyed state until the other
+    * side's watermark proves no counterpart can still arrive.
+    *
+    * Semantics under the append-mode stream-stream join contract:
+    * matched (view, click) pairs emit as they form, in either arrival
+    * order — a view buffered in an earlier micro-batch pairs with a
+    * later click and vice versa; an unmatched view null-emits ONLY once
+    * the watermark passes its attribution horizon (no in-window click
+    * can still arrive), so the final sink equals the equivalent batch
+    * left join exactly. The event-time RANGE in the join condition is
+    * what bounds state: each side's rows evict as the opposite
+    * watermark passes `attributionWindow`, so state is proportional to
+    * the attribution horizon (times arrival rate), not stream history —
+    * the property that lets this run forever at crawl scale. Output
+    * times are unix MICROseconds (TimestampType's native precision, the
+    * family convention). */
   def streamingClickAttribution(events: DataFrame, attributionWindow: String,
       watermark: String): DataFrame = {
     val views = events
