@@ -3435,6 +3435,68 @@ object SparkEntry {
       runStreamToSink(out, path)
     }
 
+  /** The q217 streaming run, executed ONCE per SF dir: STATE EVICTION
+    * made observable in output — the complement of every dedup fixture
+    * so far. `dropDuplicatesWithinWatermark`'s contract is
+    * horizon-BOUNDED memory: a duplicate inside the horizon drops, and
+    * a duplicate arriving after its key's state evicted is KEPT AGAIN
+    * (the price of bounded state on an unbounded crawl — re-admission,
+    * not data loss). Until now eviction only showed up in state-size
+    * telemetry; this fixture makes the oracle demand it. Four stages
+    * through the exact dedup (1 h horizon): batch 0 delivers one doc
+    * per DISTINCT text (min doc_id per md5 group — no within-batch
+    * ambiguity at any SF) at T0; batches 1–2 are two unique-text
+    * advancer docs at T1 = five months later (both kept — first
+    * occurrences; two stages because the watermark propagates with a
+    * one-batch lag, see q216), pushing the watermark past every batch-0
+    * key's expiry so batch 2 EVICTS the whole corpus's state; batch 3
+    * re-delivers the same texts (+20M ids) at T2 = T1 + 1 day — every
+    * one must be KEPT AGAIN (forgetting arm) — alongside one duplicate
+    * of advancer alpha's text, whose state is still live (T2 is inside
+    * alpha's T1 + 1 h horizon at the batch's T1 − 1 h watermark) and
+    * which must be DROPPED (the in-horizon arm, same run). The oracle
+    * states the full sink from the construction: both copies of every
+    * corpus text, both advancers, and no third-alpha row — an engine
+    * that never evicts fails the row count, one that evicts too eagerly
+    * keeps the alpha duplicate. */
+  private def q217StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q217", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val byText = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy("doc_id")
+      val uniques = Tables.documents(s, dir)
+        .withColumn("rk", row_number().over(byText))
+        .filter(col("rk") === 1).drop("rk")
+        .select(col("doc_id"), col("text"))
+      val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+      val t1 = lit("2024-06-01 00:00:00").cast("timestamp")
+      val t2 = lit("2024-06-02 00:00:00").cast("timestamp")
+      def synth(id: Long, text: String,
+          ts: org.apache.spark.sql.Column): DataFrame =
+        s.range(1).select(lit(id).as("doc_id"), lit(text).as("text"),
+          ts.as("ts"))
+      val inDir = stageMicroBatches("q217", path, Seq(
+        uniques.withColumn("ts", t0),
+        synth(-1L, "graft horizon sentinel alpha", t1),
+        synth(-2L, "graft horizon sentinel beta", t1),
+        uniques.select((col("doc_id") + 20000000L).as("doc_id"),
+            col("text")).withColumn("ts", t2)
+          .unionByName(synth(-3L, "graft horizon sentinel alpha", t2))))
+      val inSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val stream = s.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+      val out = streaming.StreamingWindows
+        .streamingExactDedup(stream, watermark = "1 hour")
+      runStreamToSink(out, path)
+    }
+
   /** The (event_id, user_id, event_type, ts) quartet the staged event
     * fixtures read back — factored once for the fixtures that share it. */
   private val eventQuartetSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -4183,6 +4245,15 @@ object SparkEntry {
       s.read.parquet(s"$serving/v$latest")
         .select("user_id", "n_events", "last_us")
     }),
+
+    // STATE EVICTION at oracle grade: the horizon-bounded dedup must
+    // FORGET — re-delivered texts after eviction are kept again, while
+    // an in-horizon duplicate in the same batch still drops (see
+    // q217StreamPath). The oracle states the whole sink from the
+    // construction; a never-evicting engine fails the row count
+    "q217_streaming_dedup_horizon" -> ((s, dir) =>
+      s.read.parquet(s"${q217StreamPath(s, dir)}/out")
+        .select("doc_id", "content_hash")),
 
     // WATERMARK LATE-DATA DROP at oracle grade: half the corpus arrives
     // months late into long-closed tumbling windows and must vanish —
@@ -7897,6 +7968,16 @@ object SparkEntry {
       // q215: the SAME serving view across an agg-state checkpoint
       // restart — a reset agg undercounts every user
       "q215_streaming_upsert_restart" -> servingViewOracleSql,
+      // q217: the full sink from the construction — both copies of
+      // every corpus text (pre- and post-eviction), both advancers, and
+      // NO third alpha row (its state was still in-horizon)
+      "q217_streaming_dedup_horizon" ->
+        """WITH k AS (SELECT min(doc_id) AS doc_id, md5(text) AS content_hash
+          |           FROM documents GROUP BY md5(text))
+          |SELECT doc_id, content_hash FROM k
+          |UNION ALL SELECT doc_id + 20000000, content_hash FROM k
+          |UNION ALL SELECT CAST(-1 AS BIGINT), md5('graft horizon sentinel alpha')
+          |UNION ALL SELECT CAST(-2 AS BIGINT), md5('graft horizon sentinel beta')""".stripMargin,
       // q216: the tumbling view over ONLY the on-time half — the
       // months-late other half must have been dropped by the watermark
       "q216_streaming_late_drop" ->
