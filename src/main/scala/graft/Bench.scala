@@ -244,7 +244,12 @@ object Bench {
           "q61" -> 6.76, "q96" -> 2.21, "q103" -> 1.91, "q123" -> 1.74,
           "q135" -> 4.78, "q138" -> 1.55, "q142" -> 1.72, "q159" -> 9.70,
           "q174" -> 11.2, "q181" -> 2.23, "q118" -> 2.62, "q133" -> 2.08,
-          "q187" -> 1.08, "q196" -> 2.15, "q52" -> 1.92)
+          "q187" -> 1.08, "q196" -> 2.15, "q52" -> 1.92,
+          // streaming ingest bands adopted r17 from the r16 quiet
+          // readings (BENCH_NOTES r16: 3.65 / 4.77 s, loadavg quiet,
+          // ext_exempt per the kworker-fsync attribution) — the exempt
+          // probes now have a wall-time regression trigger too
+          "q203s1x" -> 3.65, "q203s10x" -> 4.77)
         case class StressProbe(sec: Double, loadBefore: String, loadAfter: String,
           extCores: Double, ioCores: Double, contended: Boolean,
           ioSuspect: Boolean, bandExceeded: Boolean, reruns: Int,
@@ -389,20 +394,37 @@ object Bench {
         // the state high-water marks read from the per-batch ledger of
         // the LAST rebuild in each dir (state size is a pure function of
         // the corpus, so which sample left the fixture behind is moot).
+        // Fails loudly (r16 ADVICE) instead of returning a -1 sentinel:
+        // a missing fixture dir, missing ledger, or a ledger with no
+        // numRowsTotal lines means the probe did not measure what this
+        // block claims, so the whole stress record aborts to its catch
+        // arm rather than committing a silently-broken state_rows field.
         def ingestStateRows(dir: String): Long = {
           val rowsRe = "\"numRowsTotal\":(\\d+)".r
-          SparkEntry.fixturePath("stream_q203", dir).map { p =>
-            val src = scala.io.Source.fromFile(s"$p/state_metrics.jsonl")
-            try rowsRe.findAllMatchIn(src.mkString).map(_.group(1).toLong).max
-            finally src.close()
-          }.getOrElse(-1L)
+          val p = SparkEntry.fixturePath("stream_q203", dir).getOrElse(
+            sys.error(s"stream_q203 fixture missing for $dir — " +
+              "the ingest probes above must have built it"))
+          val src = scala.io.Source.fromFile(s"$p/state_metrics.jsonl")
+          val rows = try rowsRe.findAllMatchIn(src.mkString)
+            .map(_.group(1).toLong).toSeq finally src.close()
+          rows.maxOption.getOrElse(
+            sys.error(s"state ledger at $p has no numRowsTotal lines"))
         }
         val probeSec = probes.toMap
-        val streamIngestJson =
+        // a broken ledger costs ONLY this block (with the error named in
+        // the record + stderr), not the rest of the stress telemetry
+        val streamIngestJson = try {
           f""""stream_ingest":{"sec_1x":${probeSec("q203s1x").sec}%.3f,""" +
             f""""state_rows_1x":${ingestStateRows(sfDir)},""" +
             f""""sec_10x":${probeSec("q203s10x").sec}%.3f,""" +
             f""""state_rows_10x":${ingestStateRows(tmp.getAbsolutePath)}}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] REGRESSION: stream_ingest state " +
+            s"ledger unreadable — ${e.getMessage}")
+          val esc = String.valueOf(e.getMessage)
+            .replace("\\", "\\\\").replace("\"", "\\\"")
+          s""""stream_ingest":{"error":"$esc"}"""
+        }
         val secJson = probes
           .map { case (k, p) => f""""${k}_sec":${p.sec}%.3f""" }.mkString(",")
         def probeJson(p: StressProbe, band: Option[Double]): String =

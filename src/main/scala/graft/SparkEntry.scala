@@ -2332,6 +2332,12 @@ object SparkEntry {
     * restart fixtures (q207/q208/q210/q211) run under it, proving
     * recovery works on the fast path, not only the snapshot-per-batch
     * slow path. */
+  /** Checkpoint mode the RESTART fixtures run under — changelog (the
+    * production fast path, default) unless the recovery-cost probe
+    * ([[RecoveryProbe]]) flips it to measure the snapshot-per-batch
+    * slow path on identical fixtures. Never mutated by Verify/Bench. */
+  @volatile private[graft] var restartChangelogMode: Boolean = true
+
   private val stateStoreConfLock = new Object
   private[graft] def withRocksDbStateStore[T](s: SparkSession,
       changelog: Boolean = false)(body: => T): T = stateStoreConfLock.synchronized {
@@ -2368,6 +2374,7 @@ object SparkEntry {
   private def runStreamToSink(out: org.apache.spark.sql.Dataset[_], path: String,
       changelog: Boolean = false): Unit =
     withRocksDbStateStore(out.sparkSession, changelog) {
+      val t0 = System.nanoTime()
       val q = out.writeStream
         .format("parquet")
         .option("path", s"$path/out")
@@ -2376,8 +2383,20 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      recordRunTime(path, (System.nanoTime() - t0) / 1000000L, changelog)
       recordStateMetrics(q, path)
     }
+
+  /** Append one streaming run's wall time to the fixture's
+    * `run_times.jsonl` — for a two-run RESTART fixture, line 2 is the
+    * resume (recovery + remaining batches), the number the
+    * changelog-vs-snapshot recovery table (BENCH_NOTES r17) reads. */
+  private def recordRunTime(path: String, wallMs: Long, changelog: Boolean): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "run_times.jsonl"),
+      s"""{"wall_ms":$wallMs,"changelog":$changelog}""" + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
 
   /** Append every micro-batch's state-operator metrics from a finished
     * query's `recentProgress` to the fixture's `state_metrics.jsonl`
@@ -2400,9 +2419,18 @@ object SparkEntry {
         val kind = "stream_q\\d{3}".r.findFirstIn(new java.io.File(path).getName)
           .getOrElse(new java.io.File(path).getName)
         // dir rides along so sf0.01/sf0.1/bench-10x records never
-        // conflate in the append-only mirror (r16 review finding)
+        // conflate in the append-only mirror (r16 review finding).
+        // Interpolated values are JSON-escaped (r16 ADVICE): a temp path
+        // with a quote/backslash/control char must not corrupt the line
+        def jesc(v: String): String = v.flatMap {
+          case '\\' => "\\\\"
+          case '"' => "\\\""
+          case c if c < 0x20 => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        }
         val tagged = lines.linesIterator
-          .map(l => s"""{"fixture":"$kind","dir":"$path",${l.stripPrefix("{")}""" + "\n").mkString
+          .map(l => s"""{"fixture":"${jesc(kind)}","dir":"${jesc(path)}",${
+            l.stripPrefix("{")}""" + "\n").mkString
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(d, "state_metrics.jsonl"), tagged,
@@ -3023,7 +3051,7 @@ object SparkEntry {
         val out = streaming.StreamingWindows
           .streamingFirstFitPack(stream, maxTokens = 256, shards = 8,
             maxOpenBins = 4096)
-        runStreamToSink(out, path, changelog = true)
+        runStreamToSink(out, path, changelog = restartChangelogMode)
       }
       stageMicroBatches("q207", path,
         Seq(docs.filter(col("doc_id") % 3 === 0)))
@@ -3073,7 +3101,7 @@ object SparkEntry {
         val out = streaming.StreamingWindows
           .streamingMinHashCandidates(stream, watermark = "1 hour",
             n = 3, numHashes = 32, bands = 8)
-        runStreamToSink(out, path, changelog = true)
+        runStreamToSink(out, path, changelog = restartChangelogMode)
       }
       stageMicroBatches("q208", path,
         Seq(docs.filter(col("doc_id") % 3 === 0).withColumn("ts", ts)))
@@ -3128,7 +3156,7 @@ object SparkEntry {
         val out = streaming.StreamingWindows
           .streamingChatRender(stream, gap = "30 minutes",
             watermark = "1440 hours")
-        runStreamToSink(out, path, changelog = true)
+        runStreamToSink(out, path, changelog = restartChangelogMode)
       }
       stageMicroBatches("q210", path,
         Seq(events.filter(col("event_id") % 3 === 0)))
@@ -3183,7 +3211,7 @@ object SparkEntry {
           stream.as[streaming.FunnelEvent],
           stages = Seq("view", "click", "purchase"),
           idleTimeout = "1440 hours")
-        runStreamToSink(out, path, changelog = true)
+        runStreamToSink(out, path, changelog = restartChangelogMode)
       }
       stageMicroBatches("q211", path, Seq(events.filter(stageOf === 0)))
       runOnce() // run 1: batch 0 only — timers set, nothing evicts
@@ -3207,10 +3235,11 @@ object SparkEntry {
     * ever reach the sink, while both nodes' maxima advance far enough
     * past the corpus that every real unmatched view null-emits by the
     * final commit. */
-  private def joinSentinelStages(events: DataFrame): Seq[DataFrame] = {
+  private def joinSentinelStages(events: DataFrame,
+      ids: Seq[(Long, Long)] = Seq((-1L, -2L), (-3L, -4L))): Seq[DataFrame] = {
     import org.apache.spark.sql.functions._
     val s = events.sparkSession
-    Seq((-1L, -2L), (-3L, -4L)).map { case (clickEid, viewEid) =>
+    ids.map { case (clickEid, viewEid) =>
       val click = s.range(1).select(lit(clickEid).as("event_id"),
         lit(-1L).as("user_id"), lit("click").as("event_type"),
         lit("2024-12-01 00:00:00").cast("timestamp").as("ts"))
@@ -3220,6 +3249,37 @@ object SparkEntry {
       events.limit(0).unionByName(click.unionByName(view))
     }
   }
+
+  /** The µs-precision (event_id, user_id, event_type, ts) quartet the
+    * attribution fixtures stream — factored once for the join family. */
+  private def attributionEvents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_micros(ts DIV 1000)").as("ts"))
+  }
+
+  /** One staged attribution-join run — q212's protocol (the % 3 scatter
+    * + per-side sentinels) parameterized by join type, shared by the
+    * left/right/full/semi fixtures so the four contract variants differ
+    * ONLY in the join type under test. */
+  private def attributionJoinFixture(qname: String, s: SparkSession,
+      dir: String, joinType: String): String =
+    lazyFixtureDir(s"stream_$qname", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val events = attributionEvents(s, dir)
+      val stages: Seq[DataFrame] =
+        (0 until 3).map(i => events.filter(col("event_id") % 3 === i)) ++
+          joinSentinelStages(events)
+      val inDir = stageMicroBatches(qname, path, stages)
+      val stream = s.readStream.schema(eventQuartetSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+      val out = streaming.StreamingWindows
+        .streamingClickAttribution(stream, attributionWindow = "30 minutes",
+          watermark = "1440 hours", joinType = joinType)
+      runStreamToSink(out, path)
+    }
 
   /** The q212 streaming run, executed ONCE per SF dir: the raw events
     * staged as three micro-batches by `event_id % 3` through
@@ -3237,23 +3297,7 @@ object SparkEntry {
     * buffered row is a missing pair or a spurious null row, any
     * premature eviction a missing match — all hash mismatches. */
   private def q212StreamPath(s: SparkSession, dir: String): String =
-    lazyFixtureDir("stream_q212", dir) { path =>
-      import org.apache.spark.sql.functions._
-      val events = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("timestamp_micros(ts DIV 1000)").as("ts"))
-      val stages: Seq[DataFrame] =
-        (0 until 3).map(i => events.filter(col("event_id") % 3 === i)) ++
-          joinSentinelStages(events)
-      val inDir = stageMicroBatches("q212", path, stages)
-      val stream = s.readStream.schema(eventQuartetSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(inDir.getAbsolutePath)
-      val out = streaming.StreamingWindows
-        .streamingClickAttribution(stream, attributionWindow = "30 minutes",
-          watermark = "1440 hours")
-      runStreamToSink(out, path)
-    }
+    attributionJoinFixture("q212", s, dir, "left_outer")
 
   /** The q213 streaming run, executed ONCE per SF dir: q212's join
     * restarted mid-corpus the q207 way — the FIFTH streaming state kind
@@ -3272,9 +3316,7 @@ object SparkEntry {
   private def q213StreamPath(s: SparkSession, dir: String): String =
     lazyFixtureDir("stream_q213", dir) { path =>
       import org.apache.spark.sql.functions._
-      val events = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("timestamp_micros(ts DIV 1000)").as("ts"))
+      val events = attributionEvents(s, dir)
       def runOnce(): Unit = {
         val stream = s.readStream.schema(eventQuartetSchema)
           .option("maxFilesPerTrigger", 1)
@@ -3282,7 +3324,7 @@ object SparkEntry {
         val out = streaming.StreamingWindows
           .streamingClickAttribution(stream,
             attributionWindow = "30 minutes", watermark = "1440 hours")
-        runStreamToSink(out, path, changelog = true)
+        runStreamToSink(out, path, changelog = restartChangelogMode)
       }
       stageMicroBatches("q213", path,
         Seq(events.filter(col("event_id") % 3 === 0)))
@@ -3356,7 +3398,8 @@ object SparkEntry {
           .parquet(new java.io.File(path, "in").getAbsolutePath)
         val counts = streaming.StreamingWindows
           .userActivityCounts(stream, watermark = "1440 hours")
-        withRocksDbStateStore(s, changelog = true) {
+        withRocksDbStateStore(s, changelog = restartChangelogMode) {
+          val t0 = System.nanoTime()
           val q = counts.writeStream
             .outputMode("update")
             .foreachBatch(
@@ -3365,6 +3408,8 @@ object SparkEntry {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          recordRunTime(path, (System.nanoTime() - t0) / 1000000L,
+            restartChangelogMode)
           recordStateMetrics(q, path)
         }
       }
@@ -3497,6 +3542,164 @@ object SparkEntry {
       runStreamToSink(out, path)
     }
 
+  /** The q218 streaming run, executed ONCE per SF dir: WATERMARK
+    * LATE-DATA DROP for the STREAM-STREAM JOIN — q216's drop arm
+    * applied to join state (the r16 verdict's missing fixture: q212
+    * relies on the same machinery but nothing made a months-late
+    * delivery provably vanish from join consideration). Six stages
+    * through q212's operator: batch 0 = the ON-TIME half of both sides
+    * (`event_id % 2 === 0`); batches 1–2 = the join sentinels
+    * ([[joinSentinelStages]] — two, for the one-batch watermark lag,
+    * q216), advancing the watermark months past the corpus so every
+    * on-time unmatched view null-emits and BOTH sides' join buffers
+    * evict; batch 3 re-delivers the OTHER half of the corpus — views
+    * AND clicks at their original times, every row months below the
+    * in-effect watermark, so the engine must drop ALL of them on input.
+    * The drop is observable from both directions: a wrongly-admitted
+    * late VIEW would null-emit in the trailing batches (its horizon is
+    * already past — an extra sink row), and since batch 3 carries both
+    * sides, a wrongly-admitted late view/click could even pair
+    * IN-BATCH (an extra match row); batches 4–5 are a second sentinel
+    * pair (distinct ids) whose only job is to run further batches so
+    * any wrongly-admitted late view is flushed into the sink where the
+    * oracle sees it. The oracle is the batch left join over ONLY the
+    * on-time halves ([[clickAttributionOracleSqlFor]] with the % 2
+    * filter): a surviving late row, a resurrected pair, or a mutated
+    * already-emitted null row all hash-mismatch. */
+  private def q218StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q218", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val events = attributionEvents(s, dir)
+      val Seq(sentA, sentB) = joinSentinelStages(events)
+      val Seq(sentC, sentD) =
+        joinSentinelStages(events, ids = Seq((-5L, -6L), (-7L, -8L)))
+      val inDir = stageMicroBatches("q218", path, Seq(
+        events.filter(col("event_id") % 2 === 0), // on time, both sides
+        sentA, // watermark advances...
+        sentB, // ...and takes effect: on-time windows settle, state evicts
+        events.filter(col("event_id") % 2 === 1), // ALL months late → drop
+        sentC, // trailing batches: flush any wrongly-admitted late view
+        sentD))
+      val stream = s.readStream.schema(eventQuartetSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+      val out = streaming.StreamingWindows
+        .streamingClickAttribution(stream, attributionWindow = "30 minutes",
+          watermark = "1440 hours")
+      runStreamToSink(out, path)
+    }
+
+  /** The q222/q223/q224 streaming-ingest stores, built ONCE per SF dir:
+    * the continuous-ingest triple's STREAMING twin (the r16 verdict's
+    * missing fixture — batch ingest has the q174 capstone and exact
+    * dedup has its streaming form, but index APPEND had never run under
+    * streaming arrival). Three foreachBatch streams over mtime-staged
+    * arrival waves, against base artifacts built with q121's and q110's
+    * exact splits:
+    *  - `inv/`: the inverted index built on 3/4 of the corpus; the
+    *    held-out quarter arrives as three waves, each APPENDED by
+    *    [[operators.TextAnalysis.appendToInvertedIndex]] — q121's fold,
+    *    now one micro-batch at a time;
+    *  - `ivf/`: the IVF layout built on 3/4 of the embeddings; the
+    *    held-out quarter arrives as three waves, each APPENDED against
+    *    the frozen centroids by
+    *    [[operators.Similarity.appendToIvfIndex]] — q110's fold;
+    *  - `survivors/`: q67's duplicate-heavy incremental batch arrives
+    *    as the q185 waves (fresh +1M, corpus copies +2M, intra twins
+    *    +3M) and each wave is
+    *    [[operators.Dedup.bloomGatedDedupAgainstCorpus]]-gated against
+    *    corpus ∪ ALREADY-ACCEPTED survivors — the production front
+    *    gate whose reference GROWS with ingest. Per-wave gating equals
+    *    the whole-batch gate exactly on this staging: wave-1 fresh
+    *    texts are id-suffixed (unique, absent from the corpus — all
+    *    kept), wave-2 copies are corpus texts (all dropped), wave-3
+    *    twins repeat wave-1 texts (dropped against the grown
+    *    reference), so q67's oracle gates the sink verbatim. Replay is
+    *    idempotent BY the growing reference: a re-delivered wave's
+    *    texts are already among the survivors, so everything drops.
+    * The probes (q222/q223/q224) then demand append ≡ rebuild: the IVF
+    * probe-all equals brute force over ALL vectors (q110's oracle), the
+    * BM25 probe equals the full-corpus scores (q121's oracle), and the
+    * survivors equal the batch gate's output (q67's oracle). The
+    * appends are idempotent via their id anti-joins, so foreachBatch's
+    * at-least-once replays cannot double-append. */
+  private def q222StoresPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q222", dir) { path =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      TextAnalysis.writeInvertedIndex(docs.filter(col("doc_id") % 4 =!= 0),
+        s"$path/inv", buckets = 64)
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 4 =!= 1),
+        s"$path/ivf", nCells = 16)
+      // one staged foreachBatch stream per artifact: waves under
+      // $path/$sub/in, checkpoint beside them, AvailableNow
+      def runWaves(sub: String, stages: Seq[DataFrame],
+          schema: StructType)(body: (DataFrame, Long) => Unit): Unit = {
+        val base = new java.io.File(path, sub)
+        base.mkdirs()
+        val inDir = stageMicroBatches(s"q222:$sub", base.getAbsolutePath, stages)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir.getAbsolutePath)
+        val fn = (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) => body(b.toDF(), id)
+        val q = stream.writeStream
+          .foreachBatch(fn)
+          .option("checkpointLocation", s"${base.getAbsolutePath}/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val docSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val embSchema = StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val quarter = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("text"))
+      runWaves("ing_inv",
+        (0 until 3).map(i => quarter.filter(expr("doc_id div 4") % 3 === i)),
+        docSchema) { (b, _) =>
+        TextAnalysis.appendToInvertedIndex(b, s"$path/inv")
+      }
+      val quarterEmb = emb.filter(col("vec_id") % 4 === 1)
+        .select(col("vec_id"), col("embedding"))
+      runWaves("ing_ivf",
+        (0 until 3).map(i => quarterEmb.filter(expr("vec_id div 4") % 3 === i)),
+        embSchema) { (b, _) =>
+        Similarity.appendToIvfIndex(b, s"$path/ivf")
+      }
+      // the q185 waves, constructed directly (no id-band assumption):
+      // fresh (+1M) first, corpus copies (+2M) second, intra twins (+3M)
+      // last — incrementalBatch's exact three components
+      val corpusBase = docs.select(col("doc_id"), col("text"))
+      val freshText = concat(col("text"), lit(" fresh "),
+        col("doc_id").cast("string"))
+      val survivorsDir = new java.io.File(path, "survivors")
+      runWaves("ing_gate", Seq(
+        corpusBase.filter(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), freshText.as("text")),
+        corpusBase.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")),
+        corpusBase.filter(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + 3000000L).as("doc_id"), freshText.as("text"))),
+        docSchema) { (b, _) =>
+        val prior =
+          if (Option(survivorsDir.listFiles())
+            .exists(_.exists(_.getName.endsWith(".parquet"))))
+            s.read.parquet(survivorsDir.getAbsolutePath)
+          else b.limit(0)
+        val ref = docs.select(col("doc_id"), col("text")).unionByName(prior)
+        // pin before writing: the gate's exact-verify anti-join reads the
+        // reference lazily, and the reference includes the very directory
+        // the write below appends to (the appendToIvfIndex posture)
+        val out = Dedup.bloomGatedDedupAgainstCorpus(b, ref).localCheckpoint()
+        try out.write.mode("append").parquet(survivorsDir.getAbsolutePath)
+        finally Dedup.releaseLocalCheckpoint(out)
+      }
+    }
+
   /** The (event_id, user_id, event_type, ts) quartet the staged event
     * fixtures read back — factored once for the fixtures that share it. */
   private val eventQuartetSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -3516,21 +3719,55 @@ object SparkEntry {
       |max(epoch_ns(ts) // 1000) AS last_us
       |FROM events GROUP BY user_id""".stripMargin
 
-  /** The q212/q213 shared oracle: the batch left join the streaming
-    * interval join must converge to — every view against same-user
-    * clicks in (view_us, view_us + 30 min], inclusive bounds matching
-    * the operator's >= / <=, times in µs. */
+  /** The attribution-join oracle family: the batch join the streaming
+    * interval join must converge to — views against same-user clicks in
+    * [view_us, view_us + 30 min], inclusive bounds matching the
+    * operator's >= / <=, times in µs. `joinKind` picks the ANSI join
+    * replaying each append-mode contract variant (left/right/full
+    * outer, semi-as-EXISTS); `onTimeOnly` restricts BOTH sides to the
+    * even-event_id half — q218's late-drop oracle, where the odd half
+    * is re-delivered months late and must vanish. user_id COALESCEs the
+    * two sides like the operator, so it is non-null on every row. */
+  private def clickAttributionOracleSqlFor(joinKind: String,
+      onTimeOnly: Boolean = false): String = {
+    val onTime = if (onTimeOnly) " AND event_id % 2 = 0" else ""
+    val ctes =
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |             epoch_ns(ts) // 1000 AS us FROM events),
+         |v AS (SELECT event_id AS view_id, user_id, us AS view_us FROM e
+         |      WHERE event_type = 'view'$onTime),
+         |c AS (SELECT event_id AS click_id, user_id, us AS click_us FROM e
+         |      WHERE event_type = 'click'$onTime)""".stripMargin
+    val cond =
+      """v.user_id = c.user_id
+        |  AND c.click_us >= v.view_us
+        |  AND c.click_us <= v.view_us + 1800000000""".stripMargin
+    joinKind match {
+      case "semi" => ctes +
+        s"""
+           |SELECT v.view_id, v.user_id, v.view_us
+           |FROM v WHERE EXISTS (SELECT 1 FROM c WHERE $cond)""".stripMargin
+      case "left" => ctes +
+        s"""
+           |SELECT v.view_id, v.user_id, v.view_us, c.click_id, c.click_us
+           |FROM v LEFT JOIN c ON $cond""".stripMargin
+      case k =>
+        val join = k match {
+          case "right" => "RIGHT JOIN"
+          case "full" => "FULL JOIN"
+          case other => sys.error(s"unknown attribution join kind: $other")
+        }
+        ctes +
+          s"""
+             |SELECT v.view_id, COALESCE(v.user_id, c.user_id) AS user_id,
+             |       v.view_us, c.click_id, c.click_us
+             |FROM v $join c ON $cond""".stripMargin
+    }
+  }
+
+  /** The q212/q213 shared oracle (left-outer, full corpus). */
   private def clickAttributionOracleSql: String =
-    """WITH e AS (SELECT event_id, user_id, event_type,
-      |             epoch_ns(ts) // 1000 AS us FROM events),
-      |v AS (SELECT event_id AS view_id, user_id, us AS view_us FROM e
-      |      WHERE event_type = 'view'),
-      |c AS (SELECT event_id AS click_id, user_id, us AS click_us FROM e
-      |      WHERE event_type = 'click')
-      |SELECT v.view_id, v.user_id, v.view_us, c.click_id, c.click_us
-      |FROM v LEFT JOIN c ON v.user_id = c.user_id
-      |  AND c.click_us >= v.view_us
-      |  AND c.click_us <= v.view_us + 1800000000""".stripMargin
+    clickAttributionOracleSqlFor("left")
 
   /** The q53/q199 shared oracle: exact n-gram Jaccard at j >= 0.9 over
     * the derived exact-copy fixture — the TRUE pair set is a pure
@@ -4218,18 +4455,79 @@ object SparkEntry {
       s.read.parquet(s"${q213StreamPath(s, dir)}/out")
         .select("view_id", "user_id", "view_us", "click_id", "click_us")),
 
-    // UPDATE-mode streaming + foreachBatch UPSERT serving table: the
-    // per-user running totals merge into a versioned parquet snapshot
-    // (replace changed keys, not append — see q214StreamPath). The
-    // LATEST snapshot must equal the batch GROUP BY: stale-row
-    // replacement and cross-batch state accumulation both gate it
-    "q214_streaming_upsert_serving" -> ((s, dir) => {
-      val serving = s"${q214StreamPath(s, dir)}/serving"
-      val latest = new java.io.File(serving).listFiles()
-        .flatMap(f => f.getName.stripPrefix("v").toLongOption).max
-      s.read.parquet(s"$serving/v$latest")
-        .select("user_id", "n_events", "last_us")
+    // WATERMARK LATE-DATA DROP for the stream-stream JOIN: the odd half
+    // of the corpus re-delivers months late after the sentinels settled
+    // every on-time row and evicted both sides' buffers — all of it
+    // must vanish from join consideration (no resurrected pairs, no
+    // spurious null rows from wrongly-admitted late views; trailing
+    // batches flush any such row into the sink — see q218StreamPath).
+    // The oracle is the batch left join over ONLY the on-time halves
+    "q218_streaming_join_late_drop" -> ((s, dir) =>
+      s.read.parquet(s"${q218StreamPath(s, dir)}/out")
+        .select("view_id", "user_id", "view_us", "click_id", "click_us")),
+
+    // RIGHT-OUTER stream-stream join: the null-emission bookkeeping
+    // flips sides — unmatched CLICKS null-emit once the watermark
+    // passes their match horizon (click_ts: no earlier-or-equal view
+    // can still arrive), unmatched views emit nothing. Same staging,
+    // operator, and sentinel mechanics as q212; the DuckDB RIGHT JOIN
+    // replays it exactly
+    "q219_streaming_join_right_outer" -> ((s, dir) =>
+      s.read.parquet(s"${attributionJoinFixture("q219", s, dir, "right_outer")}/out")
+        .select("view_id", "user_id", "view_us", "click_id", "click_us")),
+
+    // FULL-OUTER stream-stream join: BOTH null-emission arms at once —
+    // unmatched views null-emit at view_ts + window, unmatched clicks
+    // at click_ts, each gated by its own side's state bookkeeping
+    // under the shared min-watermark. The DuckDB FULL JOIN replays it
+    "q220_streaming_join_full_outer" -> ((s, dir) =>
+      s.read.parquet(s"${attributionJoinFixture("q220", s, dir, "full_outer")}/out")
+        .select("view_id", "user_id", "view_us", "click_id", "click_us")),
+
+    // LEFT-SEMI stream-stream join: attribution as a FILTER — a view
+    // emits exactly once at its first in-window click (a multi-click
+    // view must not multiply), never null-emits, and a click-less view
+    // never appears. The DuckDB EXISTS replays the dedup contract
+    "q221_streaming_join_semi" -> ((s, dir) =>
+      s.read.parquet(s"${attributionJoinFixture("q221", s, dir, "left_semi")}/out")
+        .select("view_id", "user_id", "view_us")),
+
+    // STREAMING IVF APPEND: the held-out embedding quarter arrived as
+    // three foreachBatch waves, each folded against the frozen
+    // centroids (see q222StoresPath) — probing all cells must STILL
+    // equal brute force over the whole corpus (q110's oracle verbatim:
+    // append ≡ rebuild, now across micro-batch arrival)
+    "q222_streaming_ivf_append" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Similarity.ivfTopKFromIndex(s, s"${q222StoresPath(s, dir)}/ivf",
+        Tables.embeddings(s, dir).filter(col("vec_id") < 10), k = 5, nProbe = 16)
     }),
+
+    // STREAMING INVERTED-INDEX APPEND: the held-out corpus quarter
+    // arrived as three foreachBatch waves, each appended into the
+    // postings/manifest layout — probing must equal the FULL-corpus
+    // BM25 (q121's oracle verbatim)
+    "q223_streaming_bm25_append" -> ((s, dir) =>
+      TextAnalysis.bm25FromIndex(s, s"${q222StoresPath(s, dir)}/inv", bm25Terms)),
+
+    // STREAMING BLOOM-GATED INGEST: q67's duplicate-heavy batch arrived
+    // as the q185 waves, each gated against corpus ∪ already-accepted
+    // survivors — the front gate whose reference grows with ingest;
+    // the sink equals the batch gate's output (q67's oracle verbatim)
+    "q224_streaming_bloom_ingest" -> ((s, dir) =>
+      s.read.parquet(s"${q222StoresPath(s, dir)}/survivors")
+        .select("doc_id", "text")),
+
+    // UPDATE-mode streaming + foreachBatch UPSERT serving table: the
+    // per-user running totals merge into a hash-bucketed versioned
+    // snapshot (only key-touched buckets rewrite per batch — see
+    // upsertBatch). The manifest-resolved CURRENT view must equal the
+    // batch GROUP BY: stale-row replacement, cross-batch state
+    // accumulation, and cross-version bucket resolution all gate it
+    "q214_streaming_upsert_serving" -> ((s, dir) =>
+      streaming.StreamingWindows.readServingSnapshot(s,
+        s"${q214StreamPath(s, dir)}/serving").get
+        .select("user_id", "n_events", "last_us")),
 
     // CHECKPOINT RECOVERY of BUILT-IN streaming-aggregation state — the
     // sixth restart-proven state kind and the production-commonest:
@@ -4238,13 +4536,10 @@ object SparkEntry {
     // q215StreamPath). The final snapshot matches the batch GROUP BY
     // only if the agg state recovered — a reset would undercount every
     // user — and the upsert kept replacing across the restart
-    "q215_streaming_upsert_restart" -> ((s, dir) => {
-      val serving = s"${q215StreamPath(s, dir)}/serving"
-      val latest = new java.io.File(serving).listFiles()
-        .flatMap(f => f.getName.stripPrefix("v").toLongOption).max
-      s.read.parquet(s"$serving/v$latest")
-        .select("user_id", "n_events", "last_us")
-    }),
+    "q215_streaming_upsert_restart" -> ((s, dir) =>
+      streaming.StreamingWindows.readServingSnapshot(s,
+        s"${q215StreamPath(s, dir)}/serving").get
+        .select("user_id", "n_events", "last_us")),
 
     // STATE EVICTION at oracle grade: the horizon-bounded dedup must
     // FORGET — re-delivered texts after eviction are kept again, while
@@ -7963,6 +8258,22 @@ object SparkEntry {
       "q212_streaming_click_attribution" -> clickAttributionOracleSql,
       // q213: the SAME oracle across a join checkpoint restart
       "q213_streaming_join_restart" -> clickAttributionOracleSql,
+      // q218: the left join over ONLY the on-time (even) halves — the
+      // months-late odd half must vanish from join consideration
+      "q218_streaming_join_late_drop" ->
+        clickAttributionOracleSqlFor("left", onTimeOnly = true),
+      // q219/q220: the same batch join, sides flipped / both arms
+      "q219_streaming_join_right_outer" -> clickAttributionOracleSqlFor("right"),
+      "q220_streaming_join_full_outer" -> clickAttributionOracleSqlFor("full"),
+      // q221: EXISTS — one row per attributed view, however many clicks
+      "q221_streaming_join_semi" -> clickAttributionOracleSqlFor("semi"),
+      // q222/q223: append ≡ rebuild across micro-batch arrival — the
+      // existing index oracles gate the streamed folds verbatim
+      "q222_streaming_ivf_append" -> bruteForceAnnSql,
+      "q223_streaming_bm25_append" -> bm25Sql,
+      // q224: per-wave gating against the growing reference equals the
+      // whole-batch gate — q67's oracle verbatim
+      "q224_streaming_bloom_ingest" -> incrementalDedupSql,
       // q214: the serving view the upsert stream must converge to
       "q214_streaming_upsert_serving" -> servingViewOracleSql,
       // q215: the SAME serving view across an agg-state checkpoint

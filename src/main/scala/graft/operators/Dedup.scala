@@ -470,7 +470,7 @@ object Dedup {
     * maxIterations label snapshots pile up until driver GC gets around to
     * them. Best-effort: falls through silently if the plan isn't the
     * expected LogicalRDD leaf. */
-  private[operators] def releaseLocalCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseLocalCheckpoint(df: DataFrame): Unit =
     try df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()

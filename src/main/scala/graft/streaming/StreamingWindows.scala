@@ -399,39 +399,127 @@ object StreamingWindows {
       .agg(count(lit(1)).as("n_events"),
         max(unix_micros(col("ts"))).as("last_us"))
 
-  /** foreachBatch MERGE INTO a versioned parquet serving table — the
-    * production pattern for maintaining a continuously-updated key-value
-    * serving view from an update-mode stream without a table format
-    * (Delta/Iceberg supply the versioning + commit protocol at
-    * production; plain parquet snapshots reproduce the semantics
-    * exactly and keep this testable here). Each invocation writes
-    * snapshot `v<batchId>` = previous snapshot with the batch's keys
-    * REPLACED (left-anti on user_id + union): an upsert, not an append.
-    * Idempotent under foreachBatch's at-least-once contract — a
-    * replayed batch rewrites the SAME v<batchId> from the same inputs,
-    * so readers of the max version never see a double-applied batch.
-    * Empty batches (the trailing no-data batch) write nothing. */
-  def upsertBatch(serving: String)(batch: org.apache.spark.sql.Dataset[
+  /** foreachBatch MERGE INTO a hash-BUCKETED, versioned parquet serving
+    * table — the scale-correct reproduction of a table format's
+    * `MERGE INTO` without the table format (Delta/Iceberg supply the
+    * commit protocol at production; this layout reproduces the two
+    * properties that matter — versioned snapshots and
+    * touched-data-only rewrites — on plain parquet, so it stays
+    * testable here and honest at 100 TB).
+    *
+    * Layout: rows hash into `buckets` buckets by
+    * `pmod(xxhash64(keyCol), buckets)` (the q119 postings posture).
+    * Version directory `v<batchId>` holds parquet data ONLY for the
+    * buckets this batch touched, plus a manifest line per LIVE bucket
+    * naming the version that owns its current rows. Untouched buckets
+    * carry forward BY REFERENCE — their files are never re-read,
+    * re-written, or copied — so per-batch I/O is
+    * O(touched buckets + batch), not O(serving table): the full-
+    * snapshot rewrite this replaces re-read and re-wrote the whole
+    * table through one task every micro-batch. Size `buckets` so one
+    * bucket ≈ one comfortable task's worth of the steady-state table;
+    * a batch's write parallelism is then its touched-bucket count.
+    *
+    * Crash-safe: the version assembles in a dot-prefixed temp dir —
+    * bucket data first, manifest last — and RENAMEs into `v<batchId>`
+    * (atomic on a same-filesystem move). Readers
+    * ([[readServingSnapshot]]) only trust versions whose manifest
+    * exists, so a crash mid-assembly leaves an inert `.tmp-v*` dir and
+    * the previous snapshot stays the committed one — no reader can
+    * select a half-written version (the r16 non-atomicity gap).
+    *
+    * Idempotent under foreachBatch's at-least-once contract: a
+    * replayed batch resolves its base manifest from versions strictly
+    * BELOW batchId and rebuilds the same `v<batchId>` from the same
+    * inputs, so readers of the latest committed version never see a
+    * double-applied batch. Empty batches (the trailing no-data batch)
+    * write nothing. */
+  def upsertBatch(serving: String, buckets: Int = 16,
+      keyCol: String = "user_id")(batch: org.apache.spark.sql.Dataset[
       org.apache.spark.sql.Row], batchId: Long): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     // foreachBatch guidance: the batch plan re-executes per action (here
-    // isEmpty, the anti-join probe, and the union) — persist across them
+    // isEmpty, the bucket probe, the anti-join, and the union) — persist
     batch.persist()
     try {
       if (!batch.isEmpty) {
         val s = batch.sparkSession
-        val versions = Option(new java.io.File(serving).listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .flatMap(f => f.getName.stripPrefix("v").toLongOption)
-          .filter(_ < batchId) // a replayed batch must not read its own half-write
-        val merged =
-          if (versions.isEmpty) batch.toDF()
-          else s.read.parquet(s"$serving/v${versions.max}")
-            .join(batch.select("user_id"), Seq("user_id"), "left_anti")
-            .unionByName(batch)
-        merged.coalesce(1).write.mode("overwrite")
-          .parquet(s"$serving/v$batchId")
+        val bucketOf = pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int")
+        // bounded collect: ≤ `buckets` values by construction, never data-scale
+        val touched = batch.select(bucketOf.as("__bucket")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        val prev = latestManifest(serving, belowVersion = batchId)
+        val tmp = new java.io.File(serving, s".tmp-v$batchId")
+        rmTree(tmp)
+        // prior rows of ONLY the touched buckets, each read from the
+        // version that owns it (leaf-dir reads: no partition discovery,
+        // so the files' own schema — the batch schema — comes back)
+        val priorPaths = touched.toSeq
+          .flatMap(b => prev.get(b).map(v => s"$serving/v$v/__bucket=$b"))
+        val base =
+          if (priorPaths.isEmpty) batch.toDF().limit(0)
+          else s.read.parquet(priorPaths: _*)
+            .join(batch.select(keyCol), Seq(keyCol), "left_anti")
+        base.unionByName(batch.toDF())
+          .withColumn("__bucket", bucketOf)
+          .repartition(touched.length, col("__bucket"))
+          .write.partitionBy("__bucket").mode("overwrite")
+          .parquet(tmp.getAbsolutePath)
+        val manifest = prev ++ touched.map(_ -> batchId)
+        java.nio.file.Files.writeString(
+          new java.io.File(tmp, ManifestName).toPath,
+          manifest.toSeq.sorted.map { case (b, v) => s"$b $v" }
+            .mkString("", "\n", "\n"))
+        val dst = new java.io.File(serving, s"v$batchId")
+        rmTree(dst) // replay: replace the prior attempt wholesale
+        java.nio.file.Files.move(tmp.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
       }
     } finally { batch.unpersist(); () }
+  }
+
+  /** The CURRENT serving view maintained by [[upsertBatch]]: the newest
+    * committed version's manifest, resolved to its per-bucket data dirs
+    * (which span versions — that is the point). None before the first
+    * commit. The path list is bounded by the bucket count. */
+  def readServingSnapshot(s: org.apache.spark.sql.SparkSession,
+      serving: String): Option[DataFrame] =
+    committedVersions(serving).maxOption.map { v =>
+      val paths = readManifest(serving, v).toSeq
+        .map { case (b, ver) => s"$serving/v$ver/__bucket=$b" }
+      s.read.parquet(paths: _*)
+    }
+
+  private val ManifestName = "manifest.txt"
+
+  /** Versions whose manifest exists — i.e. whose assembling rename
+    * landed. A crash mid-assembly leaves only a `.tmp-v*` dir, which
+    * never matches. */
+  private def committedVersions(serving: String): Seq[Long] =
+    Option(new java.io.File(serving).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && new java.io.File(f, ManifestName).isFile)
+      .flatMap(_.getName.stripPrefix("v").toLongOption).toSeq
+
+  /** bucket → owning version as of the newest committed version strictly
+    * below `belowVersion` (a replayed batch must never read its own
+    * prior attempt). Empty before the first commit. */
+  private def latestManifest(serving: String, belowVersion: Long): Map[Int, Long] =
+    committedVersions(serving).filter(_ < belowVersion).maxOption
+      .map(readManifest(serving, _)).getOrElse(Map.empty)
+
+  private def readManifest(serving: String, v: Long): Map[Int, Long] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(
+      new java.io.File(serving, s"v$v/$ManifestName").toPath)
+      .asScala.filter(_.nonEmpty).map { l =>
+        val Array(b, ver) = l.split(" ")
+        b.toInt -> ver.toLong
+      }.toMap
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
   /** Stream-stream INTERVAL JOIN — click attribution: every view event
@@ -455,9 +543,25 @@ object StreamingWindows {
     * the attribution horizon (times arrival rate), not stream history —
     * the property that lets this run forever at crawl scale. Output
     * times are unix MICROseconds (TimestampType's native precision, the
-    * family convention). */
+    * family convention).
+    *
+    * `joinType` selects the append-mode stream-stream join contract
+    * variant — the null-emission bookkeeping differs per side:
+    *  - `left_outer` (default): unmatched VIEWS null-emit once the
+    *    watermark passes view_ts + window (no in-window click can
+    *    still arrive); unmatched clicks emit nothing.
+    *  - `right_outer`: unmatched CLICKS null-emit once the watermark
+    *    passes click_ts (no view in [click_ts − window, click_ts] can
+    *    still arrive); unmatched views emit nothing.
+    *  - `full_outer`: both null-emission arms at once.
+    *  - `left_semi`: a view emits EXACTLY ONCE, at its first in-window
+    *    click, with no click columns — attribution as a filter; a view
+    *    with several in-window clicks does not multiply.
+    * The `user_id` output column coalesces the two sides so it is
+    * non-null whichever side survived; for `left_semi` the output is
+    * the view triple only. */
   def streamingClickAttribution(events: DataFrame, attributionWindow: String,
-      watermark: String): DataFrame = {
+      watermark: String, joinType: String = "left_outer"): DataFrame = {
     val views = events
       .filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"),
@@ -468,13 +572,18 @@ object StreamingWindows {
       .select(col("event_id").as("click_id"),
         col("user_id").as("click_user"), col("ts").as("click_ts"))
       .withWatermark("click_ts", watermark)
-    views.join(clicks,
-        views.col("user_id") === clicks.col("click_user") &&
-          clicks.col("click_ts") >= views.col("view_ts") &&
-          clicks.col("click_ts") <= views.col("view_ts") +
-            expr(s"INTERVAL $attributionWindow"),
-        "left_outer")
-      .select(col("view_id"), col("user_id"),
+    val joined = views.join(clicks,
+      views.col("user_id") === clicks.col("click_user") &&
+        clicks.col("click_ts") >= views.col("view_ts") &&
+        clicks.col("click_ts") <= views.col("view_ts") +
+          expr(s"INTERVAL $attributionWindow"),
+      joinType)
+    if (joinType == "left_semi")
+      joined.select(col("view_id"), col("user_id"),
+        unix_micros(col("view_ts")).as("view_us"))
+    else
+      joined.select(col("view_id"),
+        coalesce(col("user_id"), col("click_user")).as("user_id"),
         unix_micros(col("view_ts")).as("view_us"),
         col("click_id"), unix_micros(col("click_ts")).as("click_us"))
   }

@@ -608,11 +608,10 @@ class StreamingSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_serving_test").toFile
     try {
       val serving = dir.getAbsolutePath
-      def latest: Map[Long, (Long, Long)] = {
-        val v = dir.listFiles().flatMap(f => f.getName.stripPrefix("v").toLongOption).max
-        spark.read.parquet(s"$serving/v$v").collect()
-          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-      }
+      def latest: Map[Long, (Long, Long)] =
+        StreamingWindows.readServingSnapshot(spark, serving).get.collect()
+          .map(r => r.getAs[Long]("user_id") ->
+            ((r.getAs[Long]("n_events"), r.getAs[Long]("last_us")))).toMap
       val b0 = Seq((1L, 2L, 10L), (2L, 1L, 20L)).toDF("user_id", "n_events", "last_us")
       StreamingWindows.upsertBatch(serving)(b0, 0L)
       val b1 = Seq((1L, 5L, 30L)).toDF("user_id", "n_events", "last_us")
@@ -623,6 +622,56 @@ class StreamingSpec extends AnyFunSuite {
       // the SAME v1 from the same inputs — the view is unchanged
       StreamingWindows.upsertBatch(serving)(b1, 1L)
       assert(latest == Map(1L -> ((5L, 30L)), 2L -> ((1L, 20L))))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("upsertBatch: untouched buckets carry forward by reference, byte-identical") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val dir = java.nio.file.Files.createTempDirectory("graft_serving_bkt").toFile
+    try {
+      val serving = dir.getAbsolutePath
+      val buckets = 4
+      // pick two keys the layout's own formula puts in DIFFERENT buckets
+      def bucketOf(id: Long): Int = spark.range(1)
+        .select(pmod(xxhash64(lit(id)), lit(buckets.toLong)).cast("int"))
+        .head().getInt(0)
+      val keyA = 1L
+      val keyB = (2L to 64L).find(bucketOf(_) != bucketOf(keyA)).get
+      val b0 = Seq((keyA, 1L, 10L), (keyB, 1L, 20L))
+        .toDF("user_id", "n_events", "last_us")
+      StreamingWindows.upsertBatch(serving, buckets)(b0, 0L)
+      val bDirB = new java.io.File(serving, s"v0/__bucket=${bucketOf(keyB)}")
+      def bucketBytes: Map[String, Seq[Byte]] =
+        bDirB.listFiles().filter(_.getName.endsWith(".parquet")).map(f =>
+          f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+      val before = bucketBytes
+      assert(before.nonEmpty)
+      // batch 1 touches only keyA's bucket
+      val b1 = Seq((keyA, 3L, 30L)).toDF("user_id", "n_events", "last_us")
+      StreamingWindows.upsertBatch(serving, buckets)(b1, 1L)
+      // v1 holds ONLY keyA's bucket — keyB's was neither read nor rewritten
+      val v1Buckets = new java.io.File(serving, "v1").listFiles()
+        .filter(_.getName.startsWith("__bucket=")).map(_.getName).toSet
+      assert(v1Buckets == Set(s"__bucket=${bucketOf(keyA)}"),
+        s"v1 must contain only the touched bucket, got $v1Buckets")
+      // the untouched bucket's v0 files survived byte-identical
+      assert(bucketBytes == before)
+      // and the manifest-resolved view still serves keyB from v0
+      val rows = StreamingWindows.readServingSnapshot(spark, serving).get
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("last_us"))).toSet
+      assert(rows == Set((keyA, 3L, 30L), (keyB, 1L, 20L)))
+      // crash-safety: a leftover half-assembled dir (no manifest) is inert —
+      // readers keep serving the committed v1 view
+      val half = new java.io.File(serving, "v2")
+      half.mkdirs()
+      assert(StreamingWindows.readServingSnapshot(spark, serving).get
+        .count() == 2)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
