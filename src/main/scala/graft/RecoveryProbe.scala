@@ -36,6 +36,12 @@ object RecoveryProbe {
     val wallRe = "\"wall_ms\":(\\d+)".r
     val out = Seq.newBuilder[String]
     try {
+      // untimed warm-up: the first fixture of the first mode otherwise
+      // pays whole-JVM JIT/codegen spin-up (measured: q207 run-1 read
+      // 3.0 s cold vs 1.4 s warm — larger than any mode delta at this
+      // scale), which would bias the first-run mode systematically
+      SparkEntry.dropFixture(fixtures.head._2, dir)
+      SparkEntry.queries(fixtures.head._1)(spark, dir).count()
       for (changelog <- Seq(true, false); (q, kind) <- fixtures) {
         SparkEntry.restartChangelogMode = changelog
         SparkEntry.dropFixture(kind, dir) // a cached fixture times nothing
