@@ -3259,19 +3259,33 @@ object SparkEntry {
         expr("timestamp_micros(ts DIV 1000)").as("ts"))
   }
 
-  /** One staged attribution-join run — q212's protocol (the % 3 scatter
-    * + per-side sentinels) parameterized by join type, shared by the
-    * left/right/full/semi fixtures so the four contract variants differ
-    * ONLY in the join type under test. */
-  private def attributionJoinFixture(qname: String, s: SparkSession,
-      dir: String, joinType: String): String =
-    lazyFixtureDir(s"stream_$qname", dir) { path =>
+  /** The attribution fixtures' SHARED staged input, built once per SF
+    * dir: the % 3 scatter + per-side sentinels. The four join-type
+    * fixtures stream the SAME files through separate checkpoints and
+    * sinks (FileStreamSource tracks progress per checkpoint, so reads
+    * never interfere), staging the events table once instead of once
+    * per variant. */
+  private def attributionInputDir(s: SparkSession, dir: String): java.io.File =
+    new java.io.File(lazyFixtureDir("stream_attrib_in", dir) { path =>
       import org.apache.spark.sql.functions._
       val events = attributionEvents(s, dir)
       val stages: Seq[DataFrame] =
         (0 until 3).map(i => events.filter(col("event_id") % 3 === i)) ++
           joinSentinelStages(events)
-      val inDir = stageMicroBatches(qname, path, stages)
+      stageMicroBatches("attrib_in", path, stages)
+      ()
+    }, "in")
+
+  /** One staged attribution-join run — q212's protocol parameterized by
+    * join type, shared by the left/right/full/semi fixtures so the four
+    * contract variants differ ONLY in the join type under test. The
+    * shared input resolves BEFORE the fixture's own computeIfAbsent —
+    * nesting one lazyFixtureDir build inside another would be a
+    * recursive update on the fixture map. */
+  private def attributionJoinFixture(qname: String, s: SparkSession,
+      dir: String, joinType: String): String = {
+    val inDir = attributionInputDir(s, dir)
+    lazyFixtureDir(s"stream_$qname", dir) { path =>
       val stream = s.readStream.schema(eventQuartetSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(inDir.getAbsolutePath)
@@ -3280,6 +3294,7 @@ object SparkEntry {
           watermark = "1440 hours", joinType = joinType)
       runStreamToSink(out, path)
     }
+  }
 
   /** The q212 streaming run, executed ONCE per SF dir: the raw events
     * staged as three micro-batches by `event_id % 3` through
