@@ -3364,28 +3364,49 @@ object SparkEntry {
     * user and fails the row count). The oracle is the plain batch
     * GROUP BY — the serving view the stream must converge to. */
   private def q214StreamPath(s: SparkSession, dir: String): String =
-    lazyFixtureDir("stream_q214", dir) { path =>
-      import org.apache.spark.sql.functions._
-      val events = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("timestamp_micros(ts DIV 1000)").as("ts"))
-      val inDir = stageMicroBatches("q214", path,
-        (0 until 3).map(i => events.filter(col("event_id") % 3 === i)))
-      val stream = s.readStream.schema(eventQuartetSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(inDir.getAbsolutePath)
-      val counts = streaming.StreamingWindows
-        .userActivityCounts(stream, watermark = "1440 hours")
-      withRocksDbStateStore(s) {
-        val q = counts.writeStream
-          .outputMode("update")
-          .foreachBatch(streaming.StreamingWindows.upsertBatch(s"$path/serving") _)
-          .option("checkpointLocation", s"$path/ck")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        recordStateMetrics(q, path)
-      }
+    lazyFixtureDir("stream_q214", dir)(runUpsertServingOnce("q214", s, dir, _))
+
+  /** The q214 staged upsert run against `path` — factored so q227 can
+    * run the identical stream and then COMPACT its serving table. */
+  private def runUpsertServingOnce(qname: String, s: SparkSession,
+      dir: String, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val events = attributionEvents(s, dir)
+    val inDir = stageMicroBatches(qname, path,
+      (0 until 3).map(i => events.filter(col("event_id") % 3 === i)))
+    val stream = s.readStream.schema(eventQuartetSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.getAbsolutePath)
+    val counts = streaming.StreamingWindows
+      .userActivityCounts(stream, watermark = "1440 hours")
+    withRocksDbStateStore(s) {
+      val q = counts.writeStream
+        .outputMode("update")
+        .foreachBatch(streaming.StreamingWindows.upsertBatch(s"$path/serving") _)
+        .option("checkpointLocation", s"$path/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      recordStateMetrics(q, path)
+    }
+  }
+
+  /** The q227 streaming run, executed ONCE per SF dir: q214's upsert
+    * stream run to completion, then the serving table COMPACTED — the
+    * vacuum the versioned sink needs on a long-running stream (one
+    * version accrues per micro-batch forever otherwise). Compaction
+    * rewrites the current view as ONE full snapshot at the max version
+    * and deletes the older versions, inside the stopped-stream window
+    * its scaladoc requires (the checkpoint here is committed through
+    * the last batch — AvailableNow terminated). The compacted view
+    * must STILL equal the batch GROUP BY (q214's oracle verbatim): a
+    * compaction that drops a bucket, re-buckets differently, or loses
+    * carried-forward rows all hash-mismatch; the single-version /
+    * old-versions-deleted structure is pinned in StreamingSpec. */
+  private def q227StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q227", dir) { path =>
+      runUpsertServingOnce("q227", s, dir, path)
+      streaming.StreamingWindows.compactServing(s, s"$path/serving")
     }
 
   /** The q215 streaming run, executed ONCE per SF dir: q214's
@@ -3808,6 +3829,7 @@ object SparkEntry {
            |FROM v LEFT JOIN c ON $cond""".stripMargin
       case k =>
         val join = k match {
+          case "inner" => "JOIN"
           case "right" => "RIGHT JOIN"
           case "full" => "FULL JOIN"
           case other => sys.error(s"unknown attribution join kind: $other")
@@ -3898,6 +3920,31 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.writeIvfIndex(emb.filter(col("vec_id") % 4 =!= 1), path, nCells = 16)
       Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 4 === 1), path)
+    }
+
+  /** The q228 index: q121's build+append chain, then COMPACTED — the
+    * append's per-batch small files collapse to one file per bucket
+    * while the probe must still equal the full-corpus BM25 (q121's
+    * oracle verbatim: compaction may move bytes, never rows). */
+  private def q228IndexPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("inv_index_q228", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.writeInvertedIndex(docs.filter(col("doc_id") % 4 =!= 0),
+        path, buckets = 64)
+      TextAnalysis.appendToInvertedIndex(docs.filter(col("doc_id") % 4 === 0), path)
+      TextAnalysis.compactInvertedIndex(s, path)
+    }
+
+  /** The q229 index: q110's build+append chain, then COMPACTED — one
+    * file per IVF cell, probe-all still equal to brute force. */
+  private def q229IndexPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("ivf_index_q229", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 4 =!= 1), path, nCells = 16)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 4 === 1), path)
+      Similarity.compactIvfIndex(s, path)
     }
 
   private[graft] def li(s: SparkSession, dir: String): DataFrame =
@@ -4582,6 +4629,23 @@ object SparkEntry {
       streaming.StreamingWindows.readServingSnapshot(s,
         s"${q225StreamPath(s, dir)}/serving").get
         .select("win_start_us", "user_id", "n_events", "last_us")),
+
+    // INNER stream-stream join — the matrix's remaining side: matched
+    // pairs only, emitted as they form (no null-emission arm at all,
+    // so the watermark's only job is state cleanup). Same staging and
+    // operator; the DuckDB INNER JOIN replays it
+    "q226_streaming_join_inner" -> ((s, dir) =>
+      s.read.parquet(s"${attributionJoinFixture("q226", s, dir, "inner")}/out")
+        .select("view_id", "user_id", "view_us", "click_id", "click_us")),
+
+    // SERVING-TABLE COMPACTION: q214's stream run to completion, then
+    // the versioned snapshot chain vacuumed to ONE full version (see
+    // q227StreamPath) — the compacted view must still equal the batch
+    // GROUP BY, q214's oracle verbatim
+    "q227_streaming_serving_compact" -> ((s, dir) =>
+      streaming.StreamingWindows.readServingSnapshot(s,
+        s"${q227StreamPath(s, dir)}/serving").get
+        .select("user_id", "n_events", "last_us")),
 
     // UPDATE-mode streaming + foreachBatch UPSERT serving table: the
     // per-user running totals merge into a hash-bucketed versioned
@@ -6147,6 +6211,22 @@ object SparkEntry {
     // proves append ≡ rebuild
     "q121_bm25_index_append" -> ((s, dir) =>
       TextAnalysis.bm25FromIndex(s, q121IndexPath(s, dir), bm25Terms)),
+
+    // INDEX COMPACTION, postings side: the q121 build+append chain's
+    // per-batch small files collapse to one file per bucket (see
+    // compactInvertedIndex); the probe must still equal the
+    // full-corpus BM25 — compaction moves bytes, never rows
+    "q228_bm25_index_compact" -> ((s, dir) =>
+      TextAnalysis.bm25FromIndex(s, q228IndexPath(s, dir), bm25Terms)),
+
+    // INDEX COMPACTION, IVF side: q110's build+append chain compacted
+    // to one file per cell; probing all cells must still equal brute
+    // force over the whole corpus
+    "q229_ann_ivf_compact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Similarity.ivfTopKFromIndex(s, q229IndexPath(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") < 10), k = 5, nProbe = 16)
+    }),
 
     // normalization-aware exact dedup on the shouty fixture — upper-cased,
     // re-punctuated copies collapse onto their originals' normalized key
@@ -8339,6 +8419,14 @@ object SparkEntry {
       // q224: per-wave gating against the growing reference equals the
       // whole-batch gate — q67's oracle verbatim
       "q224_streaming_bloom_ingest" -> incrementalDedupSql,
+      // q226: matched pairs only — the plain INNER join
+      "q226_streaming_join_inner" -> clickAttributionOracleSqlFor("inner"),
+      // q228/q229: compaction moves bytes, never rows — the original
+      // append oracles gate the compacted layouts verbatim
+      "q228_bm25_index_compact" -> bm25Sql,
+      "q229_ann_ivf_compact" -> bruteForceAnnSql,
+      // q227: compaction must preserve the view — q214's oracle
+      "q227_streaming_serving_compact" -> servingViewOracleSql,
       // q225: the (window, user) serving view — day windows are
       // epoch-aligned in UTC, so µs floor-division replays window()
       "q225_streaming_windowed_serving" ->

@@ -549,6 +549,35 @@ object Similarity {
     finally Dedup.releaseLocalCheckpoint(batch)
   }
 
+  /** COMPACT a [[writeIvfIndex]] layout's cells to ONE file per cell —
+    * the IVF sibling of `TextAnalysis.compactInvertedIndex`:
+    * [[appendToIvfIndex]] adds a file per touched cell per batch, so a
+    * long-running ingest fragments every probe's cell scan into
+    * per-batch small files. Rows and centroids are untouched (probe ≡
+    * pre-compaction probe — q229 proves it under the brute-force
+    * oracle); only the file layout collapses. Same temp-dir + two-rename
+    * swap and stopped-writer window as the postings compaction. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val nCells = spark.read.parquet(s"$path/centroids").count().toInt
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    val tmp = new java.io.File(s"$path/cells_compact_tmp")
+    rm(tmp)
+    spark.read.parquet(s"$path/cells")
+      .repartition(math.max(nCells, 1), col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(tmp.getAbsolutePath)
+    val live = new java.io.File(s"$path/cells")
+    val old = new java.io.File(s"$path/cells_old")
+    rm(old)
+    java.nio.file.Files.move(live.toPath, old.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(tmp.toPath, live.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    rm(old)
+  }
+
   /** Probe a persisted [[writeIvfIndex]] index: rank centroids per query
     * (broadcast — KBs), collect the probed cell ids (≤ |queries|·nProbe,
     * driver-bounded like the hot-gram set), and scan ONLY those cell

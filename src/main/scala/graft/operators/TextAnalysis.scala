@@ -839,6 +839,42 @@ object TextAnalysis {
       .write.mode("overwrite").parquet(s"$path/manifest")
   }
 
+  /** COMPACT a [[writeInvertedIndex]] layout's postings to ONE file per
+    * bucket — the vacuum continuous ingest needs:
+    * [[appendToInvertedIndex]] adds a file per touched bucket per batch,
+    * so after thousands of micro-batches a probe of one bucket opens
+    * thousands of tiny files (the classic streaming small-files
+    * problem). Content is untouched: the postings ROWS and the manifest
+    * are identical before and after, so append+compact ≡ rebuild (q228
+    * proves it under the full-corpus BM25 oracle). One file per bucket
+    * because `repartition(buckets, p)` puts each p value in exactly one
+    * task and `partitionBy` splits per value — bucket size stays the
+    * scan/task unit, sized by the bucket modulus chosen at build time.
+    * Same stopped-writer window as the serving compaction: the rewrite
+    * lands in a temp dir and swaps in by two renames; a crash between
+    * them leaves `postings_old` intact for manual recovery and readers
+    * of the half-state fail loudly rather than read half data. */
+  def compactInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val buckets = spark.read.parquet(s"$path/manifest").head().getAs[Int]("buckets")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    val tmp = new java.io.File(s"$path/postings_compact_tmp")
+    rm(tmp)
+    spark.read.parquet(s"$path/postings")
+      .repartition(buckets, col("p"))
+      .write.partitionBy("p").mode("overwrite").parquet(tmp.getAbsolutePath)
+    val live = new java.io.File(s"$path/postings")
+    val old = new java.io.File(s"$path/postings_old")
+    rm(old)
+    java.nio.file.Files.move(live.toPath, old.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(tmp.toPath, live.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    rm(old)
+  }
+
   /** BM25 over a [[writeInvertedIndex]] layout — bit-identical to
     * [[bm25Scores]] on the same corpus (they share [[bm25Rank]]; q119
     * runs under q74's oracle to prove the layout loses nothing). The

@@ -501,6 +501,56 @@ object StreamingWindows {
     } finally { batch.unpersist(); () }
   }
 
+  /** COMPACT an [[upsertBatch]] serving table: rewrite the current view
+    * as one full snapshot at the CURRENT max version number and delete
+    * every older version — the vacuum a long-running upsert stream
+    * needs (versions otherwise accumulate one per micro-batch forever,
+    * and a view fragmented across many versions reads many small
+    * files). Keeping the max version NUMBER means the next stream
+    * batch (whose batchId exceeds it) resolves its base manifest
+    * unchanged.
+    *
+    * Protocol mirrors the writer's crash safety: the full snapshot
+    * assembles in a temp dir (the view is EXECUTED during that write,
+    * while every old dir is still intact), manifest last (all buckets →
+    * vMax), then the old v<max> is replaced and versions below it are
+    * deleted. Mid-compaction readers see the previous version's
+    * manifest — stale by one batch but consistent; a crash at any point
+    * leaves a readable chain (at worst with undeleted old versions, the
+    * next compaction's work).
+    *
+    * PRECONDITION (the same single-writer window a table format's
+    * OPTIMIZE needs): run while the stream is stopped with its
+    * checkpoint committed through v<max> — a foreachBatch REPLAY of the
+    * max batch after compaction would find its base versions deleted
+    * and rebuild from an empty base. */
+  def compactServing(s: org.apache.spark.sql.SparkSession, serving: String,
+      buckets: Int = 16, keyCol: String = "user_id"): Unit =
+    committedVersions(serving).maxOption.foreach { vMax =>
+      val view = readServingSnapshot(s, serving).get
+      val bucketOf = pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int")
+      val tmp = new java.io.File(serving, s".tmp-compact-v$vMax")
+      rmTree(tmp)
+      // the write below is what executes the multi-version read — old
+      // dirs must stay intact until it finishes, so the swap comes after
+      view.withColumn("__bucket", bucketOf)
+        .repartition(buckets, col("__bucket"))
+        .write.partitionBy("__bucket").mode("overwrite")
+        .parquet(tmp.getAbsolutePath)
+      val live = Option(tmp.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => Option(f.getName.stripPrefix("__bucket="))
+          .filter(_ != f.getName).flatMap(_.toIntOption))
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, ManifestName).toPath,
+        live.sorted.map(b => s"$b $vMax").mkString("", "\n", "\n"))
+      val dst = new java.io.File(serving, s"v$vMax")
+      rmTree(dst)
+      java.nio.file.Files.move(tmp.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      committedVersions(serving).filter(_ < vMax)
+        .foreach(v => rmTree(new java.io.File(serving, s"v$v")))
+    }
+
   /** The CURRENT serving view maintained by [[upsertBatch]]: the newest
     * committed version's manifest, resolved to its per-bucket data dirs
     * (which span versions — that is the point). None before the first

@@ -69,6 +69,23 @@ class IvfIndexSpec extends AnyFunSuite {
     // re-appending the same batch adds nothing (id-keyed anti-join)
     Similarity.appendToIvfIndex(batch, dir)
     assert(spark.read.parquet(s"$dir/cells").count() == total)
+
+    // COMPACTION: the append fragmented at least one cell into several
+    // files; compacting collapses every cell to exactly ONE file while
+    // rows and probe results are untouched
+    def cellFiles: Map[String, Int] = new java.io.File(s"$dir/cells")
+      .listFiles().filter(_.getName.startsWith("cell=")).map(d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(cellFiles.values.exists(_ > 1),
+      s"append should have fragmented some cell, got $cellFiles")
+    Similarity.compactIvfIndex(spark, dir)
+    val after = cellFiles
+    assert(after.values.forall(_ == 1), s"expected one file per cell, got $after")
+    assert(spark.read.parquet(s"$dir/cells").count() == total)
+    val probedAfter = Similarity.ivfTopKFromIndex(spark, dir,
+      emb.filter(col("vec_id").isin(qids: _*)), k = 5, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(probedAfter.toSeq == brute.toSeq)
   }
 
   test("PQ: deterministic, recovers every planted duplicate, exact-integer ordering") {

@@ -1153,6 +1153,22 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(key(TextAnalysis.bm25FromIndex(spark, appended, terms)) ==
       key(TextAnalysis.bm25FromIndex(spark, oneShot, terms)))
+
+    // COMPACTION: the append fragmented at least one bucket into two
+    // files; compacting collapses every bucket to exactly ONE file with
+    // rows, manifest, and probe results untouched
+    def bucketFiles: Map[String, Int] = new java.io.File(s"$appended/postings")
+      .listFiles().filter(_.getName.startsWith("p=")).map(d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(bucketFiles.values.exists(_ > 1),
+      s"append should have fragmented some bucket, got $bucketFiles")
+    TextAnalysis.compactInvertedIndex(spark, appended)
+    assert(bucketFiles.values.forall(_ == 1),
+      s"expected one file per bucket after compaction, got $bucketFiles")
+    assert(postings(appended) == postings(oneShot))
+    assert(manifest(appended) == manifest(oneShot))
+    assert(key(TextAnalysis.bm25FromIndex(spark, appended, terms)) ==
+      key(TextAnalysis.bm25FromIndex(spark, oneShot, terms)))
   }
 
   test("corpus diff: per-source status counts and exact word delta") {

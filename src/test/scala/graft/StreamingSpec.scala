@@ -672,6 +672,21 @@ class StreamingSpec extends AnyFunSuite {
       half.mkdirs()
       assert(StreamingWindows.readServingSnapshot(spark, serving).get
         .count() == 2)
+      half.delete()
+      // COMPACTION: the chain vacuums to ONE full version at the max
+      // number, the view is preserved exactly, and old versions are gone
+      StreamingWindows.compactServing(spark, serving, buckets)
+      val remaining = new java.io.File(serving).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
+      assert(remaining.toSet == Set("v1"), s"expected only v1, got ${remaining.toSet}")
+      val compacted = StreamingWindows.readServingSnapshot(spark, serving).get
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("last_us"))).toSet
+      assert(compacted == Set((keyA, 3L, 30L), (keyB, 1L, 20L)))
+      // and the compacted v1 now holds BOTH live buckets itself
+      val v1After = new java.io.File(serving, "v1").listFiles()
+        .filter(_.getName.startsWith("__bucket=")).map(_.getName).toSet
+      assert(v1After == Set(s"__bucket=${bucketOf(keyA)}", s"__bucket=${bucketOf(keyB)}"))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
