@@ -3471,31 +3471,54 @@ object SparkEntry {
     * replacement, cross-batch agg state, and bucket resolution all
     * gate it. q214's staging (event_id % 3) verbatim. */
   private def q225StreamPath(s: SparkSession, dir: String): String =
-    lazyFixtureDir("stream_q225", dir) { path =>
+    lazyFixtureDir("stream_q225", dir)(runWindowedServingOnce("q225", s, dir, _))
+
+  /** The q225 staged windowed-upsert run against `path` — factored so
+    * q231 can run the identical stream and then EXPIRE old windows. */
+  private def runWindowedServingOnce(qname: String, s: SparkSession,
+      dir: String, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val events = attributionEvents(s, dir)
+    val inDir = stageMicroBatches(qname, path,
+      (0 until 3).map(i => events.filter(col("event_id") % 3 === i)))
+    val stream = s.readStream.schema(eventQuartetSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.getAbsolutePath)
+    val counts = streaming.StreamingWindows
+      .userActivityCountsWindowed(stream, windowLength = "1 day",
+        watermark = "1440 hours")
+    withRocksDbStateStore(s) {
+      val t0 = System.nanoTime()
+      val q = counts.writeStream
+        .outputMode("update")
+        .foreachBatch(streaming.StreamingWindows
+          .upsertBatch(s"$path/serving", keyCol = "serving_key") _)
+        .option("checkpointLocation", s"$path/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      recordRunTime(path, (System.nanoTime() - t0) / 1000000L,
+        changelog = false)
+      recordStateMetrics(q, path)
+    }
+  }
+
+  /** The q231 streaming run, executed ONCE per SF dir: q225's windowed
+    * serving table, then RETENTION — windows starting before
+    * 2024-01-16 UTC are EXPIRED from the table entirely (the TTL pass a
+    * serving view needs: the agg's watermark evicts STATE, but nothing
+    * else ever deletes already-served rows). The corpus spans Jan 1–30
+    * at every SF, so the cutoff genuinely splits each user's windows.
+    * The expired view must equal the batch GROUP BY over only the kept
+    * windows — an expiry that drops a kept row, keeps an expired one,
+    * or re-buckets inconsistently all hash-mismatch. */
+  private def q231StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q231", dir) { path =>
       import org.apache.spark.sql.functions._
-      val events = attributionEvents(s, dir)
-      val inDir = stageMicroBatches("q225", path,
-        (0 until 3).map(i => events.filter(col("event_id") % 3 === i)))
-      val stream = s.readStream.schema(eventQuartetSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(inDir.getAbsolutePath)
-      val counts = streaming.StreamingWindows
-        .userActivityCountsWindowed(stream, windowLength = "1 day",
-          watermark = "1440 hours")
-      withRocksDbStateStore(s) {
-        val t0 = System.nanoTime()
-        val q = counts.writeStream
-          .outputMode("update")
-          .foreachBatch(streaming.StreamingWindows
-            .upsertBatch(s"$path/serving", keyCol = "serving_key") _)
-          .option("checkpointLocation", s"$path/ck")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        recordRunTime(path, (System.nanoTime() - t0) / 1000000L,
-          changelog = false)
-        recordStateMetrics(q, path)
-      }
+      runWindowedServingOnce("q231", s, dir, path)
+      streaming.StreamingWindows.expireServing(s, s"$path/serving",
+        keep = col("win_start_us") >= lit(1705363200000000L),
+        keyCol = "serving_key")
     }
 
   /** The q216 streaming run, executed ONCE per SF dir: the WATERMARK
@@ -3934,6 +3957,20 @@ object SparkEntry {
         path, buckets = 64)
       TextAnalysis.appendToInvertedIndex(docs.filter(col("doc_id") % 4 === 0), path)
       TextAnalysis.compactInvertedIndex(s, path)
+    }
+
+  /** The q230 index: the MinHash band/gram tables built on 3/4 of the
+    * corpus, the last quarter APPENDED, then COMPACTED to a fixed file
+    * count — probing must equal q98 on its full-corpus index (append ≡
+    * rebuild AND compaction moves bytes, never rows, in one gate). */
+  private def q230IndexPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("mh_index_q230", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      Dedup.writeMinHashIndex(docs.filter(col("doc_id") % 4 =!= 0), path,
+        n = 3, numHashes = 16, bands = 16)
+      Dedup.appendToMinHashIndex(docs.filter(col("doc_id") % 4 === 0), path)
+      Dedup.compactMinHashIndex(s, path)
     }
 
   /** The q229 index: q110's build+append chain, then COMPACTED — one
@@ -4646,6 +4683,15 @@ object SparkEntry {
       streaming.StreamingWindows.readServingSnapshot(s,
         s"${q227StreamPath(s, dir)}/serving").get
         .select("user_id", "n_events", "last_us")),
+
+    // SERVING-TABLE RETENTION: q225's windowed view with windows before
+    // Jan 16 EXPIRED — deleted from the table, not just state-evicted
+    // (see q231StreamPath); oracle = the batch GROUP BY over kept
+    // windows only
+    "q231_streaming_serving_expire" -> ((s, dir) =>
+      streaming.StreamingWindows.readServingSnapshot(s,
+        s"${q231StreamPath(s, dir)}/serving").get
+        .select("win_start_us", "user_id", "n_events", "last_us")),
 
     // UPDATE-mode streaming + foreachBatch UPSERT serving table: the
     // per-user running totals merge into a hash-bucketed versioned
@@ -6218,6 +6264,14 @@ object SparkEntry {
     // full-corpus BM25 — compaction moves bytes, never rows
     "q228_bm25_index_compact" -> ((s, dir) =>
       TextAnalysis.bm25FromIndex(s, q228IndexPath(s, dir), bm25Terms)),
+
+    // INDEX COMPACTION, MinHash side: band/gram tables built on 3/4,
+    // appended with the last quarter, compacted to a fixed file count —
+    // the probe must equal q98's full-corpus-index result (append ≡
+    // rebuild and compaction ≡ identity, one gate)
+    "q230_neardup_index_compact" -> ((s, dir) =>
+      Dedup.nearDupAgainstIndex(nearDupBatch(s, dir), q230IndexPath(s, dir),
+        threshold = 0.5)),
 
     // INDEX COMPACTION, IVF side: q110's build+append chain compacted
     // to one file per cell; probing all cells must still equal brute
@@ -8425,8 +8479,17 @@ object SparkEntry {
       // append oracles gate the compacted layouts verbatim
       "q228_bm25_index_compact" -> bm25Sql,
       "q229_ann_ivf_compact" -> bruteForceAnnSql,
+      "q230_neardup_index_compact" -> nearDupIncrementalSql,
       // q227: compaction must preserve the view — q214's oracle
       "q227_streaming_serving_compact" -> servingViewOracleSql,
+      // q231: retention — q225's view over only the kept windows
+      "q231_streaming_serving_expire" ->
+        """WITH v AS (SELECT epoch_ns(ts) // 1000 // 86400000000
+          |             * 86400000000 AS win_start_us,
+          |           user_id, count(*)::BIGINT AS n_events,
+          |           max(epoch_ns(ts) // 1000) AS last_us
+          |           FROM events GROUP BY 1, 2)
+          |SELECT * FROM v WHERE win_start_us >= 1705363200000000""".stripMargin,
       // q225: the (window, user) serving view — day windows are
       // epoch-aligned in UTC, so µs floor-division replays window()
       "q225_streaming_windowed_serving" ->

@@ -1033,6 +1033,42 @@ object Dedup {
     } finally { batch.unpersist(blocking = false); () }
   }
 
+  /** COMPACT a [[writeMinHashIndex]] layout: rewrite `bands/` and
+    * `grams/` each to `outFiles` files, collapsing the per-append file
+    * accumulation — the MinHash member of the compaction triple
+    * (postings buckets, IVF cells, band/gram tables). This layout is
+    * flat (no partition dirs), so compaction here is pure file-count
+    * control: size `outFiles` so one file ≈ one scan task of the
+    * steady-state index. Rows are untouched — q230 probes the
+    * appended+compacted index under the full-corpus oracle. Same
+    * stopped-writer window as the other compactions; each table swaps
+    * in via temp dir + two renames, and a crash between the two
+    * table swaps leaves both tables complete (rows never change, only
+    * file layout). */
+  def compactMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, outFiles: Int = 16): Unit = {
+    require(outFiles >= 1, s"outFiles must be >= 1, got $outFiles")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    def rewrite(sub: String): Unit = {
+      val tmp = new java.io.File(s"$path/${sub}_compact_tmp")
+      rm(tmp)
+      spark.read.parquet(s"$path/$sub").repartition(outFiles)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val live = new java.io.File(s"$path/$sub")
+      val old = new java.io.File(s"$path/${sub}_old")
+      rm(old)
+      java.nio.file.Files.move(live.toPath, old.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.move(tmp.toPath, live.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      rm(old)
+    }
+    rewrite("bands")
+    rewrite("grams")
+  }
+
   /** Fuzzy duplicate pairs by EDIT DISTANCE with prefix blocking — the
     * record-linkage screen for typo'd / suffix-edited copies that token-set
     * measures (Jaccard over grams) under-weight: candidates share their

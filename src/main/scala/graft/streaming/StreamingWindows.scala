@@ -526,8 +526,24 @@ object StreamingWindows {
     * and rebuild from an empty base. */
   def compactServing(s: org.apache.spark.sql.SparkSession, serving: String,
       buckets: Int = 16, keyCol: String = "user_id"): Unit =
+    rewriteServing(s, serving, identity, buckets, keyCol)
+
+  /** EXPIRE rows from an [[upsertBatch]] serving table: compact to one
+    * full snapshot KEEPING only rows satisfying `keep` — the retention
+    * pass every serving view eventually needs (rows past a TTL leave
+    * the table entirely; the streaming agg's watermark evicts STATE but
+    * nothing ever deletes already-served rows). Same protocol, version
+    * numbering, and stopped-writer window as [[compactServing]]. */
+  def expireServing(s: org.apache.spark.sql.SparkSession, serving: String,
+      keep: org.apache.spark.sql.Column, buckets: Int = 16,
+      keyCol: String = "user_id"): Unit =
+    rewriteServing(s, serving, _.filter(keep), buckets, keyCol)
+
+  private def rewriteServing(s: org.apache.spark.sql.SparkSession,
+      serving: String, transform: DataFrame => DataFrame, buckets: Int,
+      keyCol: String): Unit =
     committedVersions(serving).maxOption.foreach { vMax =>
-      val view = readServingSnapshot(s, serving).get
+      val view = transform(readServingSnapshot(s, serving).get)
       val bucketOf = pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int")
       val tmp = new java.io.File(serving, s".tmp-compact-v$vMax")
       rmTree(tmp)

@@ -91,6 +91,22 @@ class MinHashIndexSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSet
       assert(a == b && a == Set(32L),
         "both dups (one from the base corpus, one appended) must drop")
+
+      // COMPACTION: the two appends fragmented bands/ and grams/ into
+      // several files; compacting collapses each to the target count
+      // with rows and probe results untouched
+      def files(sub: String): Int = new java.io.File(inc, sub)
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files("bands") > 2 && files("grams") > 2,
+        s"appends should have fragmented the tables, got ${files("bands")}/${files("grams")}")
+      Dedup.compactMinHashIndex(spark, inc.getAbsolutePath, outFiles = 2)
+      assert(files("bands") == 2 && files("grams") == 2,
+        s"expected 2 files per table after compaction, got ${files("bands")}/${files("grams")}")
+      assert(bandRows(inc) == bandRows(full))
+      assert(gramRows(inc) == gramRows(full))
+      val aAfter = Dedup.nearDupAgainstIndex(probe, inc.getAbsolutePath, 0.5)
+        .collect().map(_.getLong(0)).toSet
+      assert(aAfter == Set(32L))
     } finally { rm(inc); rm(full) }
   }
 
