@@ -3722,6 +3722,25 @@ object SparkEntry {
     * survivors equal the batch gate's output (q67's oracle). The
     * appends are idempotent via their id anti-joins, so foreachBatch's
     * at-least-once replays cannot double-append. */
+  /** q234's persisted sketch artifacts, built once per SF dir: the
+    * events corpus split into the familiar % 3 ingest waves, each
+    * profiled into ONE small parquet artifact of per-event_type HLL
+    * sketches + partial row counts
+    * ([[graft.operators.Sketches.writeDistinctShard]]) — the mergeable
+    * distinct-count shard a 100 TB corpus keeps per day/partition so
+    * "uniques so far" never rescans profiled data. */
+  private def q234ShardsPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("sketch_shards_q234", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val events = Tables.events(s, dir)
+      (0 until 3).foreach { i =>
+        operators.Sketches.writeDistinctShard(
+          events.filter(col("event_id") % 3 === i),
+          groupCol = "event_type", distinctCol = "user_id",
+          path = s"$path/shard$i")
+      }
+    }
+
   private def q222StoresPath(s: SparkSession, dir: String): String =
     lazyFixtureDir("stream_q222", dir) { path =>
       import org.apache.spark.sql.functions._
@@ -4692,6 +4711,41 @@ object SparkEntry {
       streaming.StreamingWindows.readServingSnapshot(s,
         s"${q231StreamPath(s, dir)}/serving").get
         .select("win_start_us", "user_id", "n_events", "last_us")),
+
+    // SERVING-TABLE TIME TRAVEL: q214's versioned chain read AS OF
+    // version 1 — the view after batches 0–1 only, resolved through
+    // v1's manifest (which still points untouched buckets at v0). The
+    // oracle is the batch GROUP BY over the first two waves: a reader
+    // that resolves the wrong manifest, leaks v2 rows, or loses v0
+    // carry-forwards all hash-mismatch
+    "q232_serving_time_travel" -> ((s, dir) =>
+      streaming.StreamingWindows.readServingAsOf(s,
+        s"${q214StreamPath(s, dir)}/serving", version = 1L).get
+        .select("user_id", "n_events", "last_us")),
+
+    // SERVING-TABLE CHANGEFEED: the per-version (insert | update)
+    // change rows the versioned layout records for free — a table
+    // format's CDF read on plain parquet. Reads ONLY each version's
+    // owned buckets + their prior dirs; carried-forward rows that
+    // merely share a bucket with a changed key must emit NOTHING (the
+    // value-diff arm), first-appearance users must emit insert at
+    // their first wave. Oracle: per-wave cumulative GROUP BY diffs
+    "q233_serving_changefeed" -> ((s, dir) =>
+      streaming.StreamingWindows.servingChangefeed(s,
+        s"${q214StreamPath(s, dir)}/serving").get
+        .select("version", "op", "user_id", "n_events", "last_us")),
+
+    // PERSISTED MERGEABLE DISTINCT-COUNT SKETCHES: per-wave HLL shard
+    // artifacts unioned to answer per-type uniques WITHOUT rescanning
+    // profiled data (see q234ShardsPath) — q42's sketch contract moved
+    // to the persisted, appendable form the index artifacts use. The
+    // exact counts ride along; union-vs-rebuild equality and the ±5%
+    // bound reduce to oracle-comparable booleans
+    "q234_sketch_shards" -> ((s, dir) =>
+      operators.Sketches.distinctShardsChecked(s,
+        (0 until 3).map(i => s"${q234ShardsPath(s, dir)}/shard$i"),
+        Tables.events(s, dir), groupCol = "event_type",
+        distinctCol = "user_id")),
 
     // UPDATE-mode streaming + foreachBatch UPSERT serving table: the
     // per-user running totals merge into a hash-bucketed versioned
@@ -8498,6 +8552,37 @@ object SparkEntry {
           |       user_id, count(*)::BIGINT AS n_events,
           |       max(epoch_ns(ts) // 1000) AS last_us
           |FROM events GROUP BY 1, 2""".stripMargin,
+      // q232: time travel — the view as of version 1 is the batch
+      // GROUP BY over the first two ingest waves only
+      "q232_serving_time_travel" ->
+        """SELECT user_id, count(*)::BIGINT AS n_events,
+          |max(epoch_ns(ts) // 1000) AS last_us
+          |FROM events WHERE event_id % 3 <= 1
+          |GROUP BY user_id""".stripMargin,
+      // q233: changefeed — each wave's change rows are the cumulative
+      // per-user totals through that wave, for users WITH events in
+      // the wave; first such wave is the insert
+      "q233_serving_changefeed" ->
+        """WITH e AS (SELECT user_id, event_id % 3 AS wave,
+          |             epoch_ns(ts) // 1000 AS us FROM events),
+          |w AS (SELECT user_id, wave, count(*) AS n, max(us) AS m
+          |      FROM e GROUP BY user_id, wave),
+          |c AS (SELECT user_id, wave,
+          |        sum(n) OVER (PARTITION BY user_id ORDER BY wave) AS n_events,
+          |        max(m) OVER (PARTITION BY user_id ORDER BY wave) AS last_us,
+          |        row_number() OVER (PARTITION BY user_id ORDER BY wave) AS rn
+          |      FROM w)
+          |SELECT CAST(wave AS BIGINT) AS version,
+          |  CASE WHEN rn = 1 THEN 'insert' ELSE 'update' END AS op,
+          |  user_id, CAST(n_events AS BIGINT) AS n_events, last_us
+          |FROM c""".stripMargin,
+      // q234: sketch shards — exact counts from the full corpus; the
+      // sketch-side contracts reduce to literal-true booleans
+      "q234_sketch_shards" ->
+        """SELECT event_type, count(*)::BIGINT AS n_rows,
+          |count(DISTINCT user_id)::BIGINT AS exact_uniques,
+          |true AS union_within_bound, true AS union_eq_rebuild
+          |FROM events GROUP BY event_type""".stripMargin,
       // q214: the serving view the upsert stream must converge to
       "q214_streaming_upsert_serving" -> servingViewOracleSql,
       // q215: the SAME serving view across an agg-state checkpoint

@@ -58,6 +58,62 @@ object Sketches {
         .as("p95_within_bound"))
   }
 
+  /** Persist one DISTINCT-COUNT SHARD: per-group Datasketches HLL
+    * sketches (plus partial row counts) for one ingest wave / shard /
+    * day of data, written as a small parquet artifact. This is the
+    * persisted form of [[profile]]'s mergeable-summaries posture: the
+    * sketch column is a `binary` Datasketches HllSketch, so later
+    * arrivals append their own shard and ANY subset of shards answers
+    * "distinct per group" by register-wise union — no rescan of data
+    * already profiled, the incremental-analytics shape the postings /
+    * IVF artifacts use for search. Artifact size is
+    * O(groups × sketch size), independent of the wave's row count. */
+  def writeDistinctShard(wave: DataFrame, groupCol: String,
+      distinctCol: String, path: String): Unit =
+    wave.groupBy(groupCol).agg(
+      count(lit(1)).as("n_rows"),
+      hll_sketch_agg(col(distinctCol)).as("sketch"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Answer per-group totals + approximate distincts from persisted
+    * [[writeDistinctShard]] artifacts alone: sum the partial counts,
+    * union the sketches (`hll_union_agg` — register-wise max, the
+    * order-insensitive merge), estimate once per group. Reads only the
+    * artifacts — bytes ∝ groups × shards, never the profiled data. */
+  def distinctFromShards(s: org.apache.spark.sql.SparkSession,
+      shardPaths: Seq[String], groupCol: String): DataFrame =
+    s.read.parquet(shardPaths: _*).groupBy(groupCol).agg(
+      sum(col("n_rows")).as("n_rows"),
+      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_uniques"))
+
+  /** [[distinctFromShards]] with its contract evaluated in-query
+    * against a full scan of the same corpus (the verification harness,
+    * not the production path — exactly [[profileChecked]]'s split):
+    * `union_within_bound` pins the unioned estimate within ±5% of the
+    * exact distinct (3σ for the default lgK=12 sketch, and exact by
+    * construction while the sketch is still in sparse mode);
+    * `union_eq_rebuild` pins shard-union ≡ one-pass rebuild on the
+    * SAME corpus — the append-≡-rebuild gate the index artifacts use,
+    * here byte-free: both sides hash identically register-by-register,
+    * so a union that dropped a shard or double-counted one diverges. */
+  def distinctShardsChecked(s: org.apache.spark.sql.SparkSession,
+      shardPaths: Seq[String], full: DataFrame, groupCol: String,
+      distinctCol: String): DataFrame = {
+    val unioned = distinctFromShards(s, shardPaths, groupCol)
+    val exact = full.groupBy(groupCol).agg(
+      countDistinct(col(distinctCol)).as("exact_uniques"),
+      hll_sketch_estimate(hll_sketch_agg(col(distinctCol)))
+        .as("__rebuild_est"))
+    unioned.join(exact, groupCol).select(
+      col(groupCol), col("n_rows"), col("exact_uniques"),
+      (abs(col("approx_uniques").cast("double") -
+        col("exact_uniques").cast("double")) <=
+        lit(0.05) * col("exact_uniques").cast("double"))
+        .as("union_within_bound"),
+      (col("approx_uniques") === col("__rebuild_est"))
+        .as("union_eq_rebuild"))
+  }
+
   /** Misra-Gries heavy hitters over an item column
     * ([[graft.functions.MisraGriesAgg]]): at most `capacity` counters per
     * aggregation buffer, whatever the item cardinality — the

@@ -573,11 +573,84 @@ object StreamingWindows {
     * commit. The path list is bounded by the bucket count. */
   def readServingSnapshot(s: org.apache.spark.sql.SparkSession,
       serving: String): Option[DataFrame] =
-    committedVersions(serving).maxOption.map { v =>
+    readServingAsOf(s, serving, Long.MaxValue)
+
+  /** TIME TRAVEL over an [[upsertBatch]] serving table: the view AS OF
+    * `version` — the newest committed version ≤ it, resolved through
+    * that version's manifest exactly as the current-view reader. The
+    * layout gives this for free: every version dir is immutable once
+    * its rename lands and a manifest names the complete view at its
+    * commit, so any retained version is a consistent snapshot (the
+    * Delta/Iceberg `VERSION AS OF` read, on plain parquet). Costs
+    * nothing extra at write time; what bounds the travel horizon is
+    * retention — [[compactServing]] collapses the chain to one
+    * version, so run it at the cadence your audit window allows.
+    * None if no version ≤ `version` has committed. */
+  def readServingAsOf(s: org.apache.spark.sql.SparkSession,
+      serving: String, version: Long): Option[DataFrame] =
+    committedVersions(serving).filter(_ <= version).maxOption.map { v =>
       val paths = readManifest(serving, v).toSeq
         .map { case (b, ver) => s"$serving/v$ver/__bucket=$b" }
       s.read.parquet(paths: _*)
     }
+
+  /** CHANGEFEED from an [[upsertBatch]] serving table: the per-version
+    * change rows (op ∈ insert | update) the versioned layout records
+    * for free — a table format's CDF read, on plain parquet. For each
+    * committed version, ONLY the bucket dirs that version owns are
+    * read (they hold every row of the buckets its batch touched),
+    * anti-compared against the same buckets' prior-version dirs: a key
+    * absent before is an `insert`, a key whose non-key columns differ
+    * is an `update`, and a carried-forward row that merely shares a
+    * bucket with a changed key (byte-equal before and after) emits
+    * nothing. `delete` never occurs: [[upsertBatch]] only replaces or
+    * adds (retention via [[expireServing]] compacts the chain rather
+    * than writing a delta, so it is out of changefeed scope by
+    * construction).
+    *
+    * 100 TB shape: I/O is O(Σ touched-bucket data per version), never
+    * O(versions × table) — the diff joins per version are equi-joins
+    * on the serving key between two bounded path lists, and version
+    * 0 short-circuits (everything is an insert, no join). A long
+    * chain means a wide union plan, so production tails the feed
+    * incrementally (`fromVersion` = last consumed + 1) instead of
+    * re-deriving history. None if nothing has committed in range. */
+  def servingChangefeed(s: org.apache.spark.sql.SparkSession,
+      serving: String, keyCol: String = "user_id",
+      fromVersion: Long = 0L,
+      toVersion: Long = Long.MaxValue): Option[DataFrame] = {
+    val frames = committedVersions(serving).sorted
+      .filter(v => v >= fromVersion && v <= toVersion).flatMap { v =>
+        val owned = readManifest(serving, v)
+          .collect { case (b, ver) if ver == v => b }.toSeq.sorted
+        if (owned.isEmpty) None
+        else {
+          val cur = s.read.parquet(
+            owned.map(b => s"$serving/v$v/__bucket=$b"): _*)
+          val prevMan = latestManifest(serving, belowVersion = v)
+          val priorPaths = owned
+            .flatMap(b => prevMan.get(b).map(pv => s"$serving/v$pv/__bucket=$b"))
+          val changed =
+            if (priorPaths.isEmpty) cur.withColumn("op", lit("insert"))
+            else {
+              val valueCols = cur.columns.filterNot(_ == keyCol).toSeq
+              val prior = s.read.parquet(priorPaths: _*)
+              val p = prior.select(
+                prior.columns.toSeq.map(c => col(c).as(s"__prior_$c")): _*)
+              cur.join(p, cur(keyCol) === p(s"__prior_$keyCol"), "left")
+                .filter(col(s"__prior_$keyCol").isNull ||
+                  !valueCols.map(c => col(c) <=> col(s"__prior_$c"))
+                    .reduce(_ && _))
+                .withColumn("op",
+                  when(col(s"__prior_$keyCol").isNull, lit("insert"))
+                    .otherwise(lit("update")))
+                .select(cur.columns.toSeq.map(col) :+ col("op"): _*)
+            }
+          Some(changed.withColumn("version", lit(v)))
+        }
+      }
+    frames.reduceOption(_ unionByName _)
+  }
 
   private val ManifestName = "manifest.txt"
 

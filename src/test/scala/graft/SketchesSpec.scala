@@ -72,4 +72,63 @@ class SketchesSpec extends AnyFunSuite {
       assert(est <= t, s"$item overcounted: est $est > true $t")
     }
   }
+
+  test("persisted HLL shards: union == rebuild, within bound, counts exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sketch_shards").toFile
+    try {
+      val events = Tables.events(spark, dir)
+      val waves = (0 until 3).map(i =>
+        events.filter(col("event_id") % 3 === i))
+      waves.zipWithIndex.foreach { case (w, i) =>
+        Sketches.writeDistinctShard(w, "event_type", "user_id",
+          s"${tmp.getAbsolutePath}/shard$i")
+      }
+      // a shard artifact is rows ∝ groups, with a binary sketch column
+      val shard0 = spark.read.parquet(s"${tmp.getAbsolutePath}/shard0")
+      assert(shard0.schema("sketch").dataType ==
+        org.apache.spark.sql.types.BinaryType)
+      assert(shard0.count() ==
+        waves(0).select("event_type").distinct().count())
+      val checked = Sketches.distinctShardsChecked(spark,
+        (0 until 3).map(i => s"${tmp.getAbsolutePath}/shard$i"),
+        events, "event_type", "user_id").collect()
+      assert(checked.nonEmpty)
+      val exact = events.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      checked.foreach { r =>
+        val et = r.getAs[String]("event_type")
+        assert(r.getAs[Long]("n_rows") == exact(et)._1, s"$et summed counts exact")
+        assert(r.getAs[Long]("exact_uniques") == exact(et)._2)
+        assert(r.getAs[Boolean]("union_within_bound"), s"$et within 5%")
+        assert(r.getAs[Boolean]("union_eq_rebuild"),
+          s"$et shard-union must equal the one-pass rebuild")
+      }
+      // dropping a shard must be VISIBLE — the gate the booleans exist
+      // for. The events corpus can't show it (every user appears in
+      // every wave), so a synthetic corpus plants wave-unique users:
+      // ids 0–99 in wave 0, 100–199 in wave 1
+      import spark.implicits._
+      val synth = (0L until 200L).map(u => ("g", u, u / 100L))
+        .toDF("grp", "uid", "wave")
+      (0 until 2).foreach(i => Sketches.writeDistinctShard(
+        synth.filter(col("wave") === i), "grp", "uid",
+        s"${tmp.getAbsolutePath}/synth$i"))
+      val partial = Sketches.distinctShardsChecked(spark,
+        Seq(s"${tmp.getAbsolutePath}/synth0"), synth, "grp", "uid").collect()
+      assert(partial.forall(r => !r.getAs[Boolean]("union_eq_rebuild") &&
+        !r.getAs[Boolean]("union_within_bound")),
+        "a dropped shard must break both booleans when the shard held unique users")
+      val both = Sketches.distinctShardsChecked(spark,
+        (0 until 2).map(i => s"${tmp.getAbsolutePath}/synth$i"),
+        synth, "grp", "uid").collect()
+      assert(both.forall(r => r.getAs[Boolean]("union_eq_rebuild") &&
+        r.getAs[Boolean]("union_within_bound")))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
 }

@@ -694,4 +694,59 @@ class StreamingSpec extends AnyFunSuite {
       rm(dir)
     }
   }
+
+  test("readServingAsOf + servingChangefeed: version snapshots and change rows") {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val dir = java.nio.file.Files.createTempDirectory("graft_serving_cdf").toFile
+    try {
+      val serving = dir.getAbsolutePath
+      val buckets = 4
+      def bucketOf(id: Long): Int = spark.range(1)
+        .select(pmod(xxhash64(lit(id)), lit(buckets.toLong)).cast("int"))
+        .head().getInt(0)
+      // A and B share a bucket (the carried-forward arm); C differs; D new later
+      val keyA = 1L
+      val keyB = (2L to 256L).find(bucketOf(_) == bucketOf(keyA)).get
+      val keyC = (2L to 256L).find(bucketOf(_) != bucketOf(keyA)).get
+      val keyD = (keyC + 1 to 256L).find(k => k != keyB && bucketOf(k) != bucketOf(keyA)).get
+      def snap(v: Long): Set[(Long, Long, Long)] =
+        StreamingWindows.readServingAsOf(spark, serving, v).get.collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+            r.getAs[Long]("last_us"))).toSet
+      StreamingWindows.upsertBatch(serving, buckets)(
+        Seq((keyA, 1L, 10L), (keyB, 1L, 11L), (keyC, 1L, 12L))
+          .toDF("user_id", "n_events", "last_us"), 0L)
+      StreamingWindows.upsertBatch(serving, buckets)(
+        Seq((keyA, 3L, 30L)).toDF("user_id", "n_events", "last_us"), 1L)
+      StreamingWindows.upsertBatch(serving, buckets)(
+        Seq((keyD, 1L, 40L)).toDF("user_id", "n_events", "last_us"), 2L)
+      // time travel: each version is a consistent snapshot; asOf past the
+      // max resolves to the latest; asOf before the first commit is None
+      assert(snap(0L) == Set((keyA, 1L, 10L), (keyB, 1L, 11L), (keyC, 1L, 12L)))
+      assert(snap(1L) == Set((keyA, 3L, 30L), (keyB, 1L, 11L), (keyC, 1L, 12L)))
+      assert(snap(99L) == snap(2L) &&
+        snap(2L) == Set((keyA, 3L, 30L), (keyB, 1L, 11L), (keyC, 1L, 12L),
+          (keyD, 1L, 40L)))
+      assert(StreamingWindows.readServingAsOf(spark, serving, -1L).isEmpty)
+      def feed(from: Long): Set[(Long, String, Long, Long, Long)] =
+        StreamingWindows.servingChangefeed(spark, serving, fromVersion = from)
+          .get.collect().map(r => (r.getAs[Long]("version"),
+            r.getAs[String]("op"), r.getAs[Long]("user_id"),
+            r.getAs[Long]("n_events"), r.getAs[Long]("last_us"))).toSet
+      // v1 rewrote A AND carried B into its bucket dir, but B's row is
+      // value-equal — only A's update may emit; D first appears at v2
+      assert(feed(0L) == Set(
+        (0L, "insert", keyA, 1L, 10L), (0L, "insert", keyB, 1L, 11L),
+        (0L, "insert", keyC, 1L, 12L),
+        (1L, "update", keyA, 3L, 30L),
+        (2L, "insert", keyD, 1L, 40L)))
+      // incremental tail: resume from the last consumed version + 1
+      assert(feed(2L) == Set((2L, "insert", keyD, 1L, 40L)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
