@@ -1062,9 +1062,16 @@ object SparkEntry {
     * embeddings — q50 probes every cell of a fresh index and q110 probes
     * every cell of a built-then-APPENDED index, and both operating points
     * provably equal exhaustive search. */
-  private def bruteForceAnnSql: String =
-    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
-      |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+  private def bruteForceAnnSql: String = bruteForceAnnSqlFor("")
+
+  /** [[bruteForceAnnSql]] with the CORPUS side filtered — q236's
+    * deletion gate: the probe of a deleted-from index must equal brute
+    * force over a corpus that never contained the deleted vectors
+    * (queries stay unfiltered — a retracted vector's embedding can
+    * still arrive as an external query). */
+  private def bruteForceAnnSqlFor(corpusWhere: String): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings$corpusWhere),
       |s AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cos_sim
       |      FROM q, c WHERE q_id <> n_id),
       |r AS (SELECT q_id, n_id, cos_sim,
@@ -1644,8 +1651,15 @@ object SparkEntry {
     * literals are ::DOUBLE-pinned (bare 0.5 is DECIMAL in DuckDB) and the
     * expression mirrors the Spark operand order so double association is
     * identical. */
-  private def bm25Sql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  private def bm25Sql: String = bm25SqlFor("")
+
+  /** [[bm25Sql]] with the corpus filtered — q235's deletion gate: the
+    * probe of a deleted-from postings layout must equal BM25 over a
+    * corpus that never contained the deleted docs. n_docs, avgdl, and
+    * df all shift under deletion, so a manifest counter not decremented
+    * (or a surviving posting row) fails every score. */
+  private def bm25SqlFor(corpusWhere: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents$corpusWhere),
       |tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM t),
       |corp AS (SELECT count(*) AS n_docs,
       |           sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
@@ -1702,8 +1716,36 @@ object SparkEntry {
       |          ORDER BY score_micro DESC, doc_id) AS INT) AS rank
       |      FROM qs QUALIFY rank <= 10)""".stripMargin
 
-  private def nearDupIncrementalSql: String =
-    """WITH batch AS (
+  /** The q46/q238 shared CTE chain: exact-Jaccard pairs at 0.5 over
+    * 3-gram sets, symmetric edges, and the recursive reachability table
+    * `reach(node, lab)` whose per-node min is the cluster id — the
+    * recursive-CTE ground truth the LSH cluster path must equal. */
+  private def lshClusterCtes: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      |      FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      |c AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+      |p AS (SELECT g1.doc_id AS doc1, g2.doc_id AS doc2, count(*) AS n_common
+      |      FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+      |      GROUP BY 1, 2),
+      |pairs AS (SELECT doc1, doc2 FROM p JOIN c c1 ON doc1 = c1.doc_id JOIN c c2 ON doc2 = c2.doc_id
+      |          WHERE CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) >= 0.5),
+      |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+      |          UNION SELECT doc2, doc1 FROM pairs),
+      |reach AS (
+      |  SELECT src AS node, src AS lab FROM edges
+      |  UNION
+      |  SELECT e.src, r.lab FROM reach r JOIN edges e ON e.dst = r.node)""".stripMargin
+
+  private def nearDupIncrementalSql: String = nearDupIncrementalSqlFor("")
+
+  /** [[nearDupIncrementalSql]] with the CORPUS side filtered — q237's
+    * deletion gate: a batch doc whose only near-match was a deleted
+    * corpus doc must now SURVIVE (its screen is gone), and nothing else
+    * may change. The batch itself is never filtered — retraction
+    * affects what's indexed, not what arrives. */
+  private def nearDupIncrementalSqlFor(corpusWhere: String): String =
+    s"""WITH batch AS (
       |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
       |  UNION ALL
       |  SELECT doc_id + 20000000, text || ' ' || text FROM documents WHERE doc_id % 7 = 3
@@ -1715,7 +1757,7 @@ object SparkEntry {
       |bg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
       |       FROM bw, UNNEST(range(1, len(ws)-1)) AS t(i)),
       |bc AS (SELECT doc_id, count(*) AS n_grams FROM bg GROUP BY doc_id),
-      |cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents$corpusWhere),
       |cg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
       |       FROM cw, UNNEST(range(1, len(ws)-1)) AS t(i)),
       |cc AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
@@ -4003,6 +4045,48 @@ object SparkEntry {
       Similarity.compactIvfIndex(s, path)
     }
 
+  /** The q235 index: the full-corpus postings layout with a retracted
+    * ninth (doc_id % 9 == 4) DELETED — probing must equal BM25 over a
+    * corpus that never contained those docs (delete ≡ rebuild-without:
+    * the rows must be gone AND the manifest counters decremented, or
+    * the shifted n_docs/avgdl/df fail every score). */
+  private def q235IndexPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("inv_index_q235", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.writeInvertedIndex(docs, path, buckets = 64)
+      TextAnalysis.deleteFromInvertedIndex(s, path,
+        docs.filter(col("doc_id") % 9 === 4).select("doc_id"))
+    }
+
+  /** The q236 index: the full-corpus IVF cells with vec_id % 9 == 4
+    * DELETED under frozen centroids — probe-all must equal brute force
+    * over only the survivors (the deleted vectors may appear as
+    * QUERIES — retraction removes them from the index, not from the
+    * world — but never as neighbors). */
+  private def q236IndexPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("ivf_index_q236", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeIvfIndex(emb, path, nCells = 16)
+      Similarity.deleteFromIvfIndex(s, path,
+        emb.filter(col("vec_id") % 9 === 4).select("vec_id"))
+    }
+
+  /** The q237 index: the full-corpus MinHash band/gram tables with
+    * doc_id % 9 == 4 DELETED (the rewrite fuses with compaction — the
+    * flat layout's whole-table pass does both at once) — probing must
+    * equal the filtered-corpus screen: a batch doc whose only
+    * near-match was retracted now survives. */
+  private def q237IndexPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("mh_index_q237", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      Dedup.writeMinHashIndex(docs, path, n = 3, numHashes = 16, bands = 16)
+      Dedup.deleteFromMinHashIndex(s, path,
+        docs.filter(col("doc_id") % 9 === 4).select("doc_id"))
+    }
+
   private[graft] def li(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).select(
       "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_suppkey",
@@ -5733,6 +5817,17 @@ object SparkEntry {
       Dedup.lshDedupClusters(Tables.documents(s, dir),
         n = 3, numHashes = 16, bands = 16, threshold = 0.5)),
 
+    // LEAKAGE-SAFE SPLIT: train/val/test assignment keyed by the q46
+    // dedup cluster's canonical (docs in no cluster key by themselves),
+    // then q40's md5 bucket coin — near-duplicates share the key, so no
+    // pair can straddle splits and contaminate held-out evaluation
+    "q238_cluster_safe_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Sampling.clusterSafeSplit(docs.select("doc_id"),
+        Dedup.lshDedupClusters(docs, n = 3, numHashes = 16, bands = 16,
+          threshold = 0.5))
+    }),
+
     // bucketed embedding near-dup (equi-join LSH tables + exact rerank) run
     // at q24's threshold: sign-bit tables (b=1, T=12) give per-pair miss
     // (1-p)^12 ≈ 6.6e-6 at cos 0.4 — probe-verified identical to the exact
@@ -6335,6 +6430,30 @@ object SparkEntry {
       Similarity.ivfTopKFromIndex(s, q229IndexPath(s, dir),
         Tables.embeddings(s, dir).filter(col("vec_id") < 10), k = 5, nProbe = 16)
     }),
+
+    // INDEX DELETION, postings side: a retracted ninth of the corpus
+    // deleted from the layout (rows gone, manifest counters
+    // decremented) — the probe must equal BM25 over a corpus that
+    // never contained those docs (delete ≡ rebuild-without)
+    "q235_bm25_index_delete" -> ((s, dir) =>
+      TextAnalysis.bm25FromIndex(s, q235IndexPath(s, dir), bm25Terms)),
+
+    // INDEX DELETION, IVF side: the retracted vectors' cell rows gone
+    // under frozen centroids; probe-all must equal brute force over
+    // only the survivors (deleted ids still arrive as queries, never
+    // as neighbors)
+    "q236_ann_ivf_delete" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Similarity.ivfTopKFromIndex(s, q236IndexPath(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") < 10), k = 5, nProbe = 16)
+    }),
+
+    // INDEX DELETION, MinHash side: the retracted docs' band and gram
+    // rows gone (the rewrite fuses with compaction); a batch doc whose
+    // only near-match was retracted must now survive the screen
+    "q237_neardup_index_delete" -> ((s, dir) =>
+      Dedup.nearDupAgainstIndex(nearDupBatch(s, dir), q237IndexPath(s, dir),
+        threshold = 0.5)),
 
     // normalization-aware exact dedup on the shouty fixture — upper-cased,
     // re-punctuated copies collapse onto their originals' normalized key
@@ -8457,22 +8576,24 @@ object SparkEntry {
           |SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node""".stripMargin,
 
       "q46_dedup_lsh_clusters" ->
-        """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-          |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
-          |      FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
-          |c AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
-          |p AS (SELECT g1.doc_id AS doc1, g2.doc_id AS doc2, count(*) AS n_common
-          |      FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
-          |      GROUP BY 1, 2),
-          |pairs AS (SELECT doc1, doc2 FROM p JOIN c c1 ON doc1 = c1.doc_id JOIN c c2 ON doc2 = c2.doc_id
-          |          WHERE CAST(n_common AS DOUBLE) / (c1.n_grams + c2.n_grams - n_common) >= 0.5),
-          |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
-          |          UNION SELECT doc2, doc1 FROM pairs),
-          |reach AS (
-          |  SELECT src AS node, src AS lab FROM edges
-          |  UNION
-          |  SELECT e.src, r.lab FROM reach r JOIN edges e ON e.dst = r.node)
+        s"""WITH RECURSIVE $lshClusterCtes
           |SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+
+      // q238: the q46 cluster chain feeds the split key — every doc
+      // keys by its cluster canonical (or itself), then the q40 md5
+      // bucket coin decides; near-dup pairs can never straddle splits
+      "q238_cluster_safe_split" ->
+        s"""WITH RECURSIVE $lshClusterCtes,
+          |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+          |k AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS split_key
+          |      FROM documents d LEFT JOIN cc USING (doc_id)),
+          |b AS (SELECT doc_id, split_key,
+          |      ('0x' || substr(md5(split_key::VARCHAR), 1, 4))::INT AS bucket FROM k)
+          |SELECT doc_id, split_key, bucket,
+          |CASE WHEN bucket < 52428 THEN 'train'
+          |     WHEN bucket < 58982 THEN 'val'
+          |     ELSE 'test' END AS split
+          |FROM b""".stripMargin,
 
       "q47_embed_neardup_lsh" ->
         """SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -8534,6 +8655,12 @@ object SparkEntry {
       "q228_bm25_index_compact" -> bm25Sql,
       "q229_ann_ivf_compact" -> bruteForceAnnSql,
       "q230_neardup_index_compact" -> nearDupIncrementalSql,
+      // q235–q237: deletion — each original oracle over a corpus that
+      // never contained the retracted ninth (delete ≡ rebuild-without)
+      "q235_bm25_index_delete" -> bm25SqlFor(" WHERE doc_id % 9 <> 4"),
+      "q236_ann_ivf_delete" -> bruteForceAnnSqlFor(" WHERE vec_id % 9 <> 4"),
+      "q237_neardup_index_delete" ->
+        nearDupIncrementalSqlFor(" WHERE doc_id % 9 <> 4"),
       // q227: compaction must preserve the view — q214's oracle
       "q227_streaming_serving_compact" -> servingViewOracleSql,
       // q231: retention — q225's view over only the kept windows

@@ -1069,6 +1069,53 @@ object Dedup {
     rewrite("grams")
   }
 
+  /** DELETE documents from a [[writeMinHashIndex]] layout — the
+    * right-to-be-forgotten pass completing the deletion triple
+    * (postings, IVF cells, band/gram tables). Contract:
+    * delete ≡ rebuild-without — every band and gram row of the deleted
+    * doc_ids vanishes, so a probe can never match against retracted
+    * text (q237 proves it under the filtered-corpus oracle; filtering
+    * probe-side instead would leave the data at rest). The manifest
+    * (parameters only, no counters) is untouched.
+    *
+    * Unlike the two partitioned layouts, this one is FLAT — no
+    * partition key isolates a doc's rows, so a delete pass rewrites
+    * BOTH tables in full, O(index). That makes batching mandatory at
+    * scale, and since the full rewrite is exactly what
+    * [[compactMinHashIndex]] pays, deletion FUSES with compaction:
+    * one rewrite does both (`outFiles` re-sizes the tables as the
+    * compaction would), so a steady-state ingest runs its periodic
+    * compaction with the accumulated deletion set for free. Same
+    * stopped-writer window and temp-dir + two-rename swap. */
+  def deleteFromMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, deleteIds: DataFrame, outFiles: Int = 16): Unit = {
+    require(outFiles >= 1, s"outFiles must be >= 1, got $outFiles")
+    val ids = deleteIds.select("doc_id").distinct().persist()
+    try {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      def rewrite(sub: String): Unit = {
+        val tmp = new java.io.File(s"$path/${sub}_delete_tmp")
+        rm(tmp)
+        spark.read.parquet(s"$path/$sub")
+          .join(ids, Seq("doc_id"), "left_anti")
+          .repartition(outFiles)
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val live = new java.io.File(s"$path/$sub")
+        val old = new java.io.File(s"$path/${sub}_old")
+        rm(old)
+        java.nio.file.Files.move(live.toPath, old.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.move(tmp.toPath, live.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        rm(old)
+      }
+      rewrite("bands")
+      rewrite("grams")
+    } finally { ids.unpersist(); () }
+  }
+
   /** Fuzzy duplicate pairs by EDIT DISTANCE with prefix blocking — the
     * record-linkage screen for typo'd / suffix-edited copies that token-set
     * measures (Jaccard over grams) under-weight: candidates share their

@@ -33,6 +33,30 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** LEAKAGE-SAFE split: assignment by DEDUP CLUSTER, not by document.
+    * Doc-keyed [[hashSplit]] cannot prevent test-set contamination —
+    * two near-identical documents flip independent md5 coins, so a
+    * held-out doc's near-duplicate lands in train with probability
+    * trainFrac. Here every doc keys by its cluster canonical
+    * (`clusters` = (doc_id, cluster_id), e.g.
+    * [[graft.operators.Dedup.lshDedupClusters]]; docs in no cluster key
+    * by themselves) and then flips the SAME md5 bucket coin as
+    * [[hashSplit]] — proportions hold in expectation over cluster
+    * keys, and ZERO near-dup pairs straddle splits by construction
+    * (cluster members share the key, hence the coin, hence the split).
+    *
+    * 100 TB shape: `clusters` holds only docs that HAVE a near-dup —
+    * tiny against the corpus — so the left join broadcasts; the coin
+    * is a map-side projection. */
+  def clusterSafeSplit(docs: DataFrame, clusters: DataFrame,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    val keyed = docs
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .drop("cluster_id")
+    hashSplit(keyed, col("split_key"), trainFrac, valFrac)
+  }
+
   /** Exactly k rows per stratum, chosen by deterministic md5 order with the
     * key as tiebreak. Spark plans this as WindowGroupLimit: only k rows per
     * stratum survive to the final sort — no full-stratum materialization. */

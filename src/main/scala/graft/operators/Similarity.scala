@@ -578,6 +578,53 @@ object Similarity {
     rm(old)
   }
 
+  /** DELETE vectors from a [[writeIvfIndex]] layout — the
+    * right-to-be-forgotten pass for the ANN serving artifact (the
+    * posting-list sibling is `TextAnalysis.deleteFromInvertedIndex`).
+    * Contract: delete ≡ rebuild-without — the deleted vec_ids' cell rows
+    * vanish while centroids stay FROZEN (the [[appendToIvfIndex]]
+    * posture: assignment geometry never moves under ingest OR deletion,
+    * so probes before and after agree on every surviving vector; q236
+    * proves the probe equals brute force over only the survivors).
+    * I/O is O(touched cells): only cell dirs holding a deleted vector
+    * rewrite, ≤ 1 per deleted vector. Same stopped-writer window and
+    * temp-dir + rename swap as [[compactIvfIndex]]. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, deleteIds: DataFrame): Unit = {
+    val ids = deleteIds.select("vec_id").distinct().persist()
+    try {
+      val cells = spark.read.parquet(s"$path/cells")
+      // bounded collect: ≤ nCells values by construction (the partition
+      // column reads back as int — cast like the probe does)
+      val touched = cells.join(ids, Seq("vec_id"), "left_semi")
+        .select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      if (touched.nonEmpty) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        val tmp = new java.io.File(s"$path/cells_delete_tmp")
+        rm(tmp)
+        cells.filter(col("cell").isin(touched.toSeq: _*))
+          .join(ids, Seq("vec_id"), "left_anti")
+          .repartition(touched.length, col("cell"))
+          .write.partitionBy("cell").mode("overwrite").parquet(tmp.getAbsolutePath)
+        touched.foreach { c =>
+          val live = new java.io.File(s"$path/cells/cell=$c")
+          val next = new java.io.File(tmp, s"cell=$c")
+          rm(live)
+          // a cell fully emptied by the deletion has no rewritten dir
+          if (next.isDirectory) {
+            java.nio.file.Files.move(next.toPath, live.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            ()
+          }
+        }
+        rm(tmp)
+      }
+    } finally { ids.unpersist(); () }
+  }
+
   /** Probe a persisted [[writeIvfIndex]] index: rank centroids per query
     * (broadcast — KBs), collect the probed cell ids (≤ |queries|·nProbe,
     * driver-bounded like the hot-gram set), and scan ONLY those cell

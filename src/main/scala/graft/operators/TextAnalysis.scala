@@ -875,6 +875,70 @@ object TextAnalysis {
     rm(old)
   }
 
+  /** DELETE documents from a [[writeInvertedIndex]] layout — the
+    * right-to-be-forgotten pass every persisted serving artifact needs
+    * (a source retraction or user-data deletion must leave the index AS
+    * IF the docs were never ingested; filtering probe-side is not
+    * deletion — the data would still be at rest). Contract:
+    * delete ≡ rebuild-without — postings rows of the deleted doc_ids
+    * vanish and the manifest counters decrement by exactly those docs'
+    * (count, Σdl) contribution, so every downstream probe (n_docs,
+    * avgdl, df, tf) is bit-identical to an index never containing them
+    * (q235 proves it under the filtered-corpus BM25 oracle).
+    *
+    * I/O is O(touched buckets): only bucket dirs actually holding a
+    * deleted doc's postings rewrite (a doc's terms hash across many
+    * buckets, so a single doc touches up to |distinct terms| buckets —
+    * batch deletions to amortize). Same stopped-writer window and
+    * temp-dir swap as [[compactInvertedIndex]]; per-bucket renames land
+    * after every read of the old state has completed. */
+  def deleteFromInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, deleteIds: DataFrame): Unit = {
+    val m = spark.read.parquet(s"$path/manifest").head()
+    val (nDocs, sumDl, buckets) = (m.getAs[Long]("n_docs"),
+      m.getAs[Long]("sum_dl"), m.getAs[Int]("buckets"))
+    val ids = deleteIds.select("doc_id").distinct().persist()
+    try {
+      val postings = spark.read.parquet(s"$path/postings")
+      val hit = postings.join(ids, Seq("doc_id"), "left_semi")
+      // the deleted docs' manifest contribution: each doc's dl rides on
+      // every posting row, so one distinct over (doc_id, dl) recovers it
+      val st = hit.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("s")).head()
+      val (dN, dS) = (st.getAs[Long]("n"), if (st.isNullAt(1)) 0L else st.getAs[Long]("s"))
+      // bounded collect: ≤ bucket-modulus values by construction
+      val touched = hit.select("p").distinct().collect().map(_.getInt(0)).sorted
+      if (touched.nonEmpty) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        val tmp = new java.io.File(s"$path/postings_delete_tmp")
+        rm(tmp)
+        // the write EXECUTES the filtered read of the old bucket dirs —
+        // it must complete before any rename below touches them
+        postings.filter(col("p").isin(touched.toSeq: _*))
+          .join(ids, Seq("doc_id"), "left_anti")
+          .repartition(touched.length, col("p"))
+          .write.partitionBy("p").mode("overwrite").parquet(tmp.getAbsolutePath)
+        touched.foreach { b =>
+          val live = new java.io.File(s"$path/postings/p=$b")
+          val next = new java.io.File(tmp, s"p=$b")
+          rm(live)
+          // a bucket whose every row was deleted has no rewritten dir
+          if (next.isDirectory) {
+            java.nio.file.Files.move(next.toPath, live.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            ()
+          }
+        }
+        rm(tmp)
+        spark.range(1).select(lit(nDocs - dN).as("n_docs"),
+            lit(sumDl - dS).as("sum_dl"), lit(buckets).as("buckets"))
+          .write.mode("overwrite").parquet(s"$path/manifest")
+      }
+    } finally { ids.unpersist(); () }
+  }
+
   /** BM25 over a [[writeInvertedIndex]] layout — bit-identical to
     * [[bm25Scores]] on the same corpus (they share [[bm25Rank]]; q119
     * runs under q74's oracle to prove the layout loses nothing). The

@@ -88,6 +88,50 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(probedAfter.toSeq == brute.toSeq)
   }
 
+  test("delete: probe-all equals brute force over survivors; touched cells only") {
+    val emb = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_del").toFile.getAbsolutePath
+    Similarity.writeIvfIndex(emb, dir, nCells = 16)
+    val doomed = emb.filter(col("vec_id") % 9 === 4).select("vec_id")
+    val keep = emb.filter(col("vec_id") % 9 =!= 4)
+    // which cells hold a doomed vector — the only dirs allowed to change
+    val cells = spark.read.parquet(s"$dir/cells")
+    val doomedCells = cells.join(doomed, Seq("vec_id"), "left_semi")
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    def fileNames(c: Long): Set[String] =
+      new java.io.File(s"$dir/cells/cell=$c").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val allCellIds = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("cell="))
+      .map(_.getName.stripPrefix("cell=").toLong)
+    val untouchedCell = allCellIds.find(!doomedCells.contains(_))
+    val before = untouchedCell.map(fileNames)
+    Similarity.deleteFromIvfIndex(spark, dir, doomed)
+    // rows: exactly the survivors; untouched cell dirs kept their files
+    assert(spark.read.parquet(s"$dir/cells").count() == keep.count())
+    assert(spark.read.parquet(s"$dir/cells")
+      .join(doomed, Seq("vec_id"), "left_semi").count() == 0)
+    untouchedCell.foreach(c => assert(fileNames(c) == before.get,
+      s"untouched cell $c must keep its files"))
+    // probe-all == brute force over ONLY the survivors; a deleted id
+    // queries fine but never appears as a neighbor
+    val qids = 0L until 10L
+    val brute = Similarity.bruteForceTopK(keep, qids.filter(_ % 9 != 4), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val deletedQ = Similarity.ivfTopKFromIndex(spark, dir,
+      emb.filter(col("vec_id").isin(qids: _*)), k = 5, nProbe = 16)
+    val probed = deletedQ.filter(col("q_id") % 9 =!= 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(probed.nonEmpty && probed.toSeq == brute.toSeq)
+    assert(deletedQ.filter(col("n_id") % 9 === 4).count() == 0,
+      "a deleted vector must never appear as a neighbor")
+    // deleting absent ids is a no-op
+    import spark.implicits._
+    Similarity.deleteFromIvfIndex(spark, dir, Seq(999999L).toDF("vec_id"))
+    assert(spark.read.parquet(s"$dir/cells").count() == keep.count())
+  }
+
   test("PQ: deterministic, recovers every planted duplicate, exact-integer ordering") {
     // the raw synthetic embeddings carry no neighborhood structure (max
     // pairwise cosine 0.48 at sf0.001 — top-k there is noise, which no

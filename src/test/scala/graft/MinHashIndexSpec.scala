@@ -154,4 +154,34 @@ class MinHashIndexSpec extends AnyFunSuite {
         "probe must scan the index layout")
     } finally rm(dir)
   }
+
+  test("delete == rebuild without the deleted docs; the vacated screen opens") {
+    val dir = tmp()
+    val rebuilt = tmp()
+    try {
+      // batch doc 10 is an exact dup of corpus doc 0 — its ONLY screen.
+      // Retracting doc 0 must let it survive the probe.
+      Dedup.writeMinHashIndex(corpus, dir.getAbsolutePath,
+        n = 3, numHashes = 16, bands = 16)
+      Dedup.deleteFromMinHashIndex(spark, dir.getAbsolutePath,
+        Seq(0L).toDF("doc_id"), outFiles = 2)
+      Dedup.writeMinHashIndex(corpus.filter(col("doc_id") =!= 0L),
+        rebuilt.getAbsolutePath, n = 3, numHashes = 16, bands = 16)
+      def bands(d: java.io.File) = spark.read
+        .parquet(s"${d.getAbsolutePath}/bands").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.toSeq.mkString("|"))).toSet
+      def grams(d: java.io.File) = spark.read
+        .parquet(s"${d.getAbsolutePath}/grams").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.toSeq.mkString("|"))).toSet
+      assert(bands(dir) == bands(rebuilt) && grams(dir) == grams(rebuilt))
+      val survivors = Dedup.nearDupAgainstIndex(batch, dir.getAbsolutePath,
+        threshold = 0.5).collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(10L, 11L),
+        s"doc 10's only screen was retracted — it must survive, got $survivors")
+      // deleting an absent id is a no-op
+      Dedup.deleteFromMinHashIndex(spark, dir.getAbsolutePath,
+        Seq(999L).toDF("doc_id"))
+      assert(bands(dir) == bands(rebuilt) && grams(dir) == grams(rebuilt))
+    } finally { rm(dir); rm(rebuilt) }
+  }
 }

@@ -1171,6 +1171,38 @@ class OperatorsSpec extends AnyFunSuite {
       key(TextAnalysis.bm25FromIndex(spark, oneShot, terms)))
   }
 
+  test("inverted-index delete == rebuild without the deleted docs") {
+    val fx = Seq(
+      (0L, "spark merge spark window end"), (1L, "vector vector scan row"),
+      (2L, "spark scan scan the end"), (3L, "merge row window the spark")
+    ).toDF("doc_id", "text")
+    val full = java.nio.file.Files.createTempDirectory("graft_inv_del").toString
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_inv_wo").toString
+    TextAnalysis.writeInvertedIndex(fx, full, buckets = 8)
+    TextAnalysis.deleteFromInvertedIndex(spark, full,
+      Seq(1L, 3L).toDF("doc_id"))
+    TextAnalysis.writeInvertedIndex(fx.filter(col("doc_id") % 2 === 0),
+      rebuilt, buckets = 8)
+    def postings(d: String) = spark.read.parquet(s"$d/postings").collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("dl"), r.getAs[Long]("tf"), r.getAs[Int]("p"))).toSet
+    def manifest(d: String) = spark.read.parquet(s"$d/manifest").collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl"),
+        r.getAs[Int]("buckets"))).toSeq
+    // rows gone AND counters decremented by exactly the deleted docs'
+    // contribution — the probe's n_docs/avgdl/df all derive from them
+    assert(postings(full) == postings(rebuilt))
+    assert(manifest(full) == manifest(rebuilt))
+    val terms = Seq("spark", "scan", "row")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(key(TextAnalysis.bm25FromIndex(spark, full, terms)) ==
+      key(TextAnalysis.bm25FromIndex(spark, rebuilt, terms)))
+    // deleting absent ids is a no-op (no manifest rewrite, no bucket touch)
+    TextAnalysis.deleteFromInvertedIndex(spark, full, Seq(99L).toDF("doc_id"))
+    assert(postings(full) == postings(rebuilt) && manifest(full) == manifest(rebuilt))
+  }
+
   test("corpus diff: per-source status counts and exact word delta") {
     val a = Seq((0L, "one two", "s0"), (1L, "three", "s0"), (2L, "x y z", "s1"))
       .toDF("doc_id", "text", "source")

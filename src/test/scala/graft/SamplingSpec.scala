@@ -27,6 +27,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(subset.forall { case (id, split) => full(id) == split })
   }
 
+  test("cluster-safe split: cluster members share a split, singletons key by themselves") {
+    val docs = (0L until 2000L).toDF("doc_id")
+    // clusters: docs 0–599 in triples {0,1,2} → canonical 0, {3,4,5} → 3, ...
+    val clusters = (0L until 600L).map(d => (d, d / 3 * 3)).toDF("doc_id", "cluster_id")
+    val split = Sampling.clusterSafeSplit(docs, clusters)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("split_key"), r.getAs[String]("split")))).toMap
+    assert(split.size == 2000)
+    // every cluster's members share the canonical key AND the split
+    (0L until 600L).foreach { d =>
+      assert(split(d)._1 == d / 3 * 3)
+      assert(split(d)._2 == split(d / 3 * 3)._2,
+        s"doc $d must ride its canonical's coin")
+    }
+    // unclustered docs key by themselves — identical to plain hashSplit
+    val plain = Sampling.hashSplit(docs.filter($"doc_id" >= 600L), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    (600L until 2000L).foreach { d =>
+      assert(split(d)._1 == d && split(d)._2 == plain(d))
+    }
+    // the doc-keyed coin WOULD have straddled at least one cluster —
+    // the leak this operator exists to close
+    val docCoin = Sampling.hashSplit(docs.filter($"doc_id" < 600L), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert((0L until 600L).exists(d => docCoin(d) != docCoin(d / 3 * 3)),
+      "expected at least one cluster straddled under independent doc coins")
+  }
+
   test("deterministic shuffle: dense per-shard positions, partition-invariant, seed-sensitive") {
     val out = Sampling.deterministicShuffle(df, col("id"), shards = 4, seed = "s1")
       .select("id", "shard", "pos").collect()
