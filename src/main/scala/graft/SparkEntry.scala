@@ -3764,6 +3764,30 @@ object SparkEntry {
     * survivors equal the batch gate's output (q67's oracle). The
     * appends are idempotent via their id anti-joins, so foreachBatch's
     * at-least-once replays cannot double-append. */
+  /** q239's parquet GENERATIONS, written once per SF dir: the events
+    * corpus as three eras of one continuously-written table — gen0
+    * (oldest) calls the type column `etype` and predates `value`; gen1
+    * adds `value` as FLOAT; gen2 (current) widens it to DOUBLE and adds
+    * `src`. The reader must assemble all three under gen2's schema:
+    * rename, NULL-backfill, widen. */
+  private def q239GensPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("schema_gens_q239", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts DIV 1000").as("us"))
+      e.filter(col("event_id") % 3 === 0)
+        .select(col("event_id"), col("user_id"),
+          col("event_type").as("etype"), col("us"))
+        .write.mode("overwrite").parquet(s"$path/gen0")
+      e.filter(col("event_id") % 3 === 1)
+        .withColumn("value", (col("event_id") % 97).cast("float"))
+        .write.mode("overwrite").parquet(s"$path/gen1")
+      e.filter(col("event_id") % 3 === 2)
+        .withColumn("value", (col("event_id") % 97).cast("double") + 0.5)
+        .withColumn("src", lit("v2"))
+        .write.mode("overwrite").parquet(s"$path/gen2")
+    }
+
   /** q234's persisted sketch artifacts, built once per SF dir: the
     * events corpus split into the familiar % 3 ingest waves, each
     * profiled into ONE small parquet artifact of per-event_type HLL
@@ -4818,6 +4842,28 @@ object SparkEntry {
       streaming.StreamingWindows.servingChangefeed(s,
         s"${q214StreamPath(s, dir)}/serving").get
         .select("version", "op", "user_id", "n_events", "last_us")),
+
+    // SCHEMA EVOLUTION: three parquet eras of one table (renamed column,
+    // added-then-widened value, added src) read as ONE frame under the
+    // current schema — rename map applied, history NULL-backfilled,
+    // float widened to double (see q239GensPath). The oracle replays
+    // each era's projection from the events table
+    "q239_schema_evolution" -> ((s, dir) => {
+      val p = q239GensPath(s, dir)
+      sources.Evolution.readEvolved(s, Seq(
+        s"$p/gen0" -> Map("etype" -> "event_type"),
+        s"$p/gen1" -> Map.empty[String, String],
+        s"$p/gen2" -> Map.empty[String, String]))
+    }),
+
+    // BINARY (1-bit) QUANTIZED top-k: sign bits packed 32-per-word,
+    // Hamming (xor + popcount) shortlists 20 candidates per query, exact
+    // cosine reranks — the bits-in-memory / floats-on-shortlist serving
+    // split. Sign-bit Hamming replays as per-dim sign disagreement, so
+    // the whole two-stage ranking is oracle-exact
+    "q240_binary_topk" -> ((s, dir) =>
+      Similarity.binaryTopK(Tables.embeddings(s, dir), 0L until 10L,
+        k = 5, rerank = 20)),
 
     // PERSISTED MERGEABLE DISTINCT-COUNT SKETCHES: per-wave HLL shard
     // artifacts unioned to answer per-type uniques WITHOUT rescanning
@@ -8703,6 +8749,43 @@ object SparkEntry {
           |  CASE WHEN rn = 1 THEN 'insert' ELSE 'update' END AS op,
           |  user_id, CAST(n_events AS BIGINT) AS n_events, last_us
           |FROM c""".stripMargin,
+      // q239: each era's projection replayed from events — NULL
+      // backfill for pre-value history, REAL→DOUBLE widening for gen1
+      "q239_schema_evolution" ->
+        """WITH e AS (SELECT event_id, user_id, event_type,
+          |             epoch_ns(ts) // 1000 AS us FROM events),
+          |g0 AS (SELECT event_id, user_id, event_type, us,
+          |       CAST(NULL AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS src
+          |       FROM e WHERE event_id % 3 = 0),
+          |g1 AS (SELECT event_id, user_id, event_type, us,
+          |       CAST(CAST(event_id % 97 AS REAL) AS DOUBLE) AS value,
+          |       CAST(NULL AS VARCHAR) AS src
+          |       FROM e WHERE event_id % 3 = 1),
+          |g2 AS (SELECT event_id, user_id, event_type, us,
+          |       CAST(event_id % 97 AS DOUBLE) + 0.5 AS value, 'v2' AS src
+          |       FROM e WHERE event_id % 3 = 2)
+          |SELECT * FROM g0 UNION ALL SELECT * FROM g1
+          |UNION ALL SELECT * FROM g2""".stripMargin,
+      // q240: the two-stage binary ranking replayed — Hamming = per-dim
+      // sign disagreement, shortlist 20 by (hamming, n_id), rerank by
+      // exact cosine
+      "q240_binary_topk" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+          |h AS (SELECT q_id, vec_id AS n_id, qv, v AS nv,
+          |        CAST(len(list_filter(range(1, len(qv) + 1),
+          |          i -> (qv[i] > 0) <> (nv[i] > 0))) AS BIGINT) AS hamming
+          |      FROM q, e WHERE q_id <> vec_id),
+          |s AS (SELECT q_id, n_id, hamming, qv, nv,
+          |        row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS hr
+          |      FROM h),
+          |r AS (SELECT q_id, n_id, hamming,
+          |        round(list_cosine_similarity(qv, nv), 6) AS cos_sim
+          |      FROM s WHERE hr <= 20),
+          |t AS (SELECT q_id, n_id, hamming, cos_sim,
+          |        CAST(row_number() OVER (PARTITION BY q_id
+          |          ORDER BY cos_sim DESC, n_id) AS INT) AS rnk
+          |      FROM r) SELECT * FROM t WHERE rnk <= 5""".stripMargin,
       // q234: sketch shards — exact counts from the full corpus; the
       // sketch-side contracts reduce to literal-true booleans
       "q234_sketch_shards" ->

@@ -838,6 +838,64 @@ object Similarity {
     bruteForceTopK(deq, queryIds, k)
   }
 
+  /** 1-BIT (sign) quantization: dimension i contributes bit (i mod 32)
+    * of word i/32, set iff x_i > 0 — each vector packs to ⌈d/32⌉ BIGINT
+    * words, 32× smaller than float32 at rest (the binary-quantization
+    * serving trend: store bits, rank by Hamming, rerank survivors with
+    * the float vectors fetched for the shortlist only). 32 bits per
+    * 64-bit word keeps every shift/sum in non-negative BIGINT range in
+    * ANY engine (a bit-63 pack would need unsigned semantics). Pure
+    * map-side projection; deterministic. */
+  def quantizeBinary(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), expr(
+      """transform(sequence(0, CAST(ceil(size(embedding) / 32.0) AS INT) - 1),
+        |  w -> aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) ->
+        |    acc + IF(w * 32 + i < size(embedding) AND embedding[w * 32 + i] > 0,
+        |             shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))))"""
+        .stripMargin).as("words"))
+
+  /** Hamming distance between two [[quantizeBinary]] word arrays:
+    * Σ bit_count(xor) — popcount over packed words, the whole reason
+    * the bits pack (one xor + popcount per 32 dims instead of a float
+    * multiply-add per dim). */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, h) => acc + h)
+
+  /** Two-stage binary-quantized top-k: Hamming over the packed sign
+    * bits shortlists `rerank` candidates per query (ties by n_id), then
+    * the float vectors rerank the shortlist by exact cosine — the
+    * bits-in-memory / floats-on-shortlist serving split. The SHAPE is
+    * the deliverable (both stages are the verified broadcast-join +
+    * WindowGroupLimit kernel); recall vs [[bruteForceTopK]] is the
+    * caller's quality knob via `rerank` (OperatorsSpec pins it at the
+    * production point). Sign-bit Hamming is replayable as per-dimension
+    * sign disagreement, so the full two-stage ranking — shortlist
+    * membership, both tie-breaks — is SQL-oracle-exact (q240). */
+  def binaryTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      rerank: Int = 20): DataFrame = {
+    val packed = quantizeBinary(emb)
+    val corpus = withNorm(emb, "1").join(packed, col("id1") === col("vec_id"))
+      .select(col("id1").as("n_id"), col("v1").as("nv"), col("n1").as("nn"),
+        col("words").as("nw"))
+    val queries = withNorm(emb.filter(col("vec_id").isin(queryIds: _*)), "2")
+      .join(packed, col("id2") === col("vec_id"))
+      .select(col("id2").as("q_id"), col("v2").as("qv"), col("n2").as("qn"),
+        col("words").as("qw"))
+    val wHam = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("hamming"), col("n_id"))
+    val wCos = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    corpus.join(broadcast(queries), col("q_id") =!= col("n_id"))
+      .withColumn("hamming", hammingDist(col("qw"), col("nw")))
+      .withColumn("hr", row_number().over(wHam))
+      .filter(col("hr") <= rerank)
+      .withColumn("cos_sim", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rnk", row_number().over(wCos))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("hamming"), col("cos_sim"), col("rnk"))
+  }
+
   /** Approximate top-k through LSH buckets: candidates are corpus vectors
     * sharing the query's bucket; exact cosine reranks within the bucket.
     * Recall < 1.0 by construction — the scale path when |Q| × |corpus| is
