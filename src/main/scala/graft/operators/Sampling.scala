@@ -46,12 +46,17 @@ object Sampling {
     * (cluster members share the key, hence the coin, hence the split).
     *
     * 100 TB shape: `clusters` holds only docs that HAVE a near-dup —
-    * tiny against the corpus — so the left join broadcasts; the coin
-    * is a map-side projection. */
+    * tiny against the corpus — so the left join BROADCASTS (hinted:
+    * the cluster frame is a checkpoint leaf with unknown stats, and
+    * without the hint Catalyst sort-merge-joins the full corpus —
+    * measured on the q238 plan). A corpus where near-dup membership
+    * rivals corpus size has a bigger problem than this join; drop the
+    * hint if that's genuinely you. The coin is a map-side projection. */
   def clusterSafeSplit(docs: DataFrame, clusters: DataFrame,
       trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
     val keyed = docs
-      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .join(broadcast(clusters.select(col("doc_id"), col("cluster_id"))),
+        Seq("doc_id"), "left")
       .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
       .drop("cluster_id")
     hashSplit(keyed, col("split_key"), trainFrac, valFrac)

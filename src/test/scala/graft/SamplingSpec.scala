@@ -53,6 +53,12 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
     assert((0L until 600L).exists(d => docCoin(d) != docCoin(d / 3 * 3)),
       "expected at least one cluster straddled under independent doc coins")
+    // the cluster frame joins BROADCAST — a checkpoint-leaf cluster table
+    // has no stats, and unhinted it sort-merge-shuffles the full corpus
+    val plan = Sampling.clusterSafeSplit(docs, clusters)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"clusters must broadcast:\n${plan.take(1500)}")
   }
 
   test("deterministic shuffle: dense per-shard positions, partition-invariant, seed-sensitive") {
