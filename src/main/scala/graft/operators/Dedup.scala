@@ -1089,31 +1089,34 @@ object Dedup {
     * stopped-writer window and temp-dir + two-rename swap. */
   def deleteFromMinHashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, deleteIds: DataFrame, outFiles: Int = 16): Unit = {
+    import graft.util.Fs
     require(outFiles >= 1, s"outFiles must be >= 1, got $outFiles")
-    val ids = deleteIds.select("doc_id").distinct().persist()
+    // localCheckpoint, not persist: the deletion set naturally derives
+    // FROM the index (a retraction sweep selects doc_ids out of it), and
+    // this set is read AGAIN for the grams rewrite AFTER the bands swap —
+    // an evicted persisted partition would recompute its lineage against
+    // the already-rewritten bands and silently come back empty (the
+    // appendToIvfIndex hazard, here across a mutation this function
+    // itself performs)
+    val ids = deleteIds.select("doc_id").distinct().localCheckpoint()
     try {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
       def rewrite(sub: String): Unit = {
         val tmp = new java.io.File(s"$path/${sub}_delete_tmp")
-        rm(tmp)
+        Fs.rmTree(tmp)
         spark.read.parquet(s"$path/$sub")
           .join(ids, Seq("doc_id"), "left_anti")
           .repartition(outFiles)
           .write.mode("overwrite").parquet(tmp.getAbsolutePath)
         val live = new java.io.File(s"$path/$sub")
         val old = new java.io.File(s"$path/${sub}_old")
-        rm(old)
-        java.nio.file.Files.move(live.toPath, old.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        java.nio.file.Files.move(tmp.toPath, live.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        rm(old)
+        Fs.rmTree(old)
+        Fs.move(live, old)
+        Fs.move(tmp, live)
+        Fs.rmTree(old)
       }
       rewrite("bands")
       rewrite("grams")
-    } finally { ids.unpersist(); () }
+    } finally { releaseLocalCheckpoint(ids) }
   }
 
   /** Fuzzy duplicate pairs by EDIT DISTANCE with prefix blocking — the

@@ -587,11 +587,22 @@ object Similarity {
     * so probes before and after agree on every surviving vector; q236
     * proves the probe equals brute force over only the survivors).
     * I/O is O(touched cells): only cell dirs holding a deleted vector
-    * rewrite, ≤ 1 per deleted vector. Same stopped-writer window and
-    * temp-dir + rename swap as [[compactIvfIndex]]. */
+    * rewrite, ≤ 1 per deleted vector. Crash protocol = the postings
+    * delete's (`TextAnalysis.deleteFromInvertedIndex`): displaced cell
+    * dirs park OUTSIDE the live tree in `cells_old_del/` until the new
+    * state is fully installed, a parked dir blocks a fresh run loudly,
+    * and uniform recovery is move-the-park-back + rm tmp + retry. Same
+    * stopped-writer window as [[compactIvfIndex]], probes paused. */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, deleteIds: DataFrame): Unit = {
-    val ids = deleteIds.select("vec_id").distinct().persist()
+    import graft.util.Fs
+    val parked = new java.io.File(s"$path/cells_old_del")
+    require(!parked.exists(),
+      s"$parked exists — a prior delete crashed mid-swap; restore its cell " +
+        "dirs into cells/ (the pre-delete state) before retrying")
+    // localCheckpoint, not persist — the deletion set naturally derives
+    // FROM the index (the appendToIvfIndex hazard)
+    val ids = deleteIds.select("vec_id").distinct().localCheckpoint()
     try {
       val cells = spark.read.parquet(s"$path/cells")
       // bounded collect: ≤ nCells values by construction (the partition
@@ -600,29 +611,28 @@ object Similarity {
         .select(col("cell").cast("long")).distinct()
         .collect().map(_.getLong(0)).sorted
       if (touched.nonEmpty) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
         val tmp = new java.io.File(s"$path/cells_delete_tmp")
-        rm(tmp)
+        Fs.rmTree(tmp)
         cells.filter(col("cell").isin(touched.toSeq: _*))
           .join(ids, Seq("vec_id"), "left_anti")
           .repartition(touched.length, col("cell"))
           .write.partitionBy("cell").mode("overwrite").parquet(tmp.getAbsolutePath)
+        parked.mkdirs()
         touched.foreach { c =>
-          val live = new java.io.File(s"$path/cells/cell=$c")
-          val next = new java.io.File(tmp, s"cell=$c")
-          rm(live)
-          // a cell fully emptied by the deletion has no rewritten dir
-          if (next.isDirectory) {
-            java.nio.file.Files.move(next.toPath, live.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            ()
-          }
+          Fs.move(new java.io.File(s"$path/cells/cell=$c"),
+            new java.io.File(parked, s"cell=$c"))
         }
-        rm(tmp)
+        touched.foreach { c =>
+          val next = new java.io.File(tmp, s"cell=$c")
+          // a cell fully emptied by the deletion has no rewritten dir
+          if (next.isDirectory)
+            Fs.move(next, new java.io.File(s"$path/cells/cell=$c"))
+        }
+        // install complete — only now is the old state gone
+        Fs.rmTree(parked)
+        Fs.rmTree(tmp)
       }
-    } finally { ids.unpersist(); () }
+    } finally { graft.operators.Dedup.releaseLocalCheckpoint(ids) }
   }
 
   /** Probe a persisted [[writeIvfIndex]] index: rank centroids per query
@@ -874,22 +884,31 @@ object Similarity {
     * membership, both tie-breaks — is SQL-oracle-exact (q240). */
   def binaryTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
       rerank: Int = 20): DataFrame = {
+    // stage 1 ships BITS ONLY — (n_id, packed words) through the Hamming
+    // ranking, never the float vectors (the whole point of the split: a
+    // float-carrying shortlist stage would shuffle 32× the payload)
     val packed = quantizeBinary(emb)
-    val corpus = withNorm(emb, "1").join(packed, col("id1") === col("vec_id"))
-      .select(col("id1").as("n_id"), col("v1").as("nv"), col("n1").as("nn"),
-        col("words").as("nw"))
-    val queries = withNorm(emb.filter(col("vec_id").isin(queryIds: _*)), "2")
-      .join(packed, col("id2") === col("vec_id"))
-      .select(col("id2").as("q_id"), col("v2").as("qv"), col("n2").as("qn"),
-        col("words").as("qw"))
+    val qPacked = packed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("words").as("qw"))
     val wHam = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("hamming"), col("n_id"))
-    val wCos = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
-    corpus.join(broadcast(queries), col("q_id") =!= col("n_id"))
+    val shortlist = packed.select(col("vec_id").as("n_id"), col("words").as("nw"))
+      .join(broadcast(qPacked), col("q_id") =!= col("n_id"))
       .withColumn("hamming", hammingDist(col("qw"), col("nw")))
       .withColumn("hr", row_number().over(wHam))
       .filter(col("hr") <= rerank)
+      .select(col("q_id"), col("n_id"), col("hamming"))
+    // stage 2 fetches floats for the ≤ |Q|·rerank survivors only: the
+    // shortlist broadcasts against the corpus scan (map-side semi-ish
+    // join — no float row ever shuffles), queries broadcast as always
+    val corpus = withNorm(emb, "1")
+      .select(col("id1").as("n_id"), col("v1").as("nv"), col("n1").as("nn"))
+    val queries = withNorm(emb.filter(col("vec_id").isin(queryIds: _*)), "2")
+      .select(col("id2").as("q_id"), col("v2").as("qv"), col("n2").as("qn"))
+    val wCos = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    corpus.join(broadcast(shortlist), Seq("n_id"))
+      .join(broadcast(queries), Seq("q_id"))
       .withColumn("cos_sim", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
       .withColumn("rnk", row_number().over(wCos))
       .filter(col("rnk") <= k)

@@ -889,15 +889,31 @@ object TextAnalysis {
     * I/O is O(touched buckets): only bucket dirs actually holding a
     * deleted doc's postings rewrite (a doc's terms hash across many
     * buckets, so a single doc touches up to |distinct terms| buckets —
-    * batch deletions to amortize). Same stopped-writer window and
-    * temp-dir swap as [[compactInvertedIndex]]; per-bucket renames land
-    * after every read of the old state has completed. */
+    * batch deletions to amortize). Crash protocol (the compaction
+    * posture, per-bucket): every displaced piece of old state — each
+    * touched bucket dir AND the pre-delete manifest — parks OUTSIDE the
+    * live tree in `postings_old_del/`, and the park is deleted only
+    * after the new state is fully installed. A parked dir's presence is
+    * the loud signal a prior run crashed (this function refuses to
+    * start over one), and recovery is uniform at EVERY crash point:
+    * move the park's contents back over the live tree (that is the
+    * complete pre-delete state), remove the tmp dir, retry. Run inside
+    * the same stopped-writer window as compaction, with probes paused —
+    * mid-swap the live tree is missing parked pieces. */
   def deleteFromInvertedIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, deleteIds: DataFrame): Unit = {
+    import graft.util.Fs
+    val parked = new java.io.File(s"$path/postings_old_del")
+    require(!parked.exists(),
+      s"$parked exists — a prior delete crashed mid-swap; restore its bucket " +
+        "dirs into postings/ (the pre-delete state) before retrying")
     val m = spark.read.parquet(s"$path/manifest").head()
     val (nDocs, sumDl, buckets) = (m.getAs[Long]("n_docs"),
       m.getAs[Long]("sum_dl"), m.getAs[Int]("buckets"))
-    val ids = deleteIds.select("doc_id").distinct().persist()
+    // localCheckpoint, not persist: a deletion set naturally derives FROM
+    // the index (retraction sweeps select out of it), and an evicted
+    // persisted partition would recompute against the half-mutated layout
+    val ids = deleteIds.select("doc_id").distinct().localCheckpoint()
     try {
       val postings = spark.read.parquet(s"$path/postings")
       val hit = postings.join(ids, Seq("doc_id"), "left_semi")
@@ -909,34 +925,43 @@ object TextAnalysis {
       // bounded collect: ≤ bucket-modulus values by construction
       val touched = hit.select("p").distinct().collect().map(_.getInt(0)).sorted
       if (touched.nonEmpty) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
         val tmp = new java.io.File(s"$path/postings_delete_tmp")
-        rm(tmp)
+        Fs.rmTree(tmp)
         // the write EXECUTES the filtered read of the old bucket dirs —
         // it must complete before any rename below touches them
         postings.filter(col("p").isin(touched.toSeq: _*))
           .join(ids, Seq("doc_id"), "left_anti")
           .repartition(touched.length, col("p"))
           .write.partitionBy("p").mode("overwrite").parquet(tmp.getAbsolutePath)
+        // park every touched bucket, then install the rewrites; nothing
+        // old is destroyed before the manifest commits below
+        parked.mkdirs()
         touched.foreach { b =>
-          val live = new java.io.File(s"$path/postings/p=$b")
-          val next = new java.io.File(tmp, s"p=$b")
-          rm(live)
-          // a bucket whose every row was deleted has no rewritten dir
-          if (next.isDirectory) {
-            java.nio.file.Files.move(next.toPath, live.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            ()
-          }
+          Fs.move(new java.io.File(s"$path/postings/p=$b"),
+            new java.io.File(parked, s"p=$b"))
         }
-        rm(tmp)
+        touched.foreach { b =>
+          val next = new java.io.File(tmp, s"p=$b")
+          // a bucket whose every row was deleted has no rewritten dir
+          if (next.isDirectory)
+            Fs.move(next, new java.io.File(s"$path/postings/p=$b"))
+        }
+        // decremented manifest: staged, then swapped in with the OLD one
+        // parked beside the old buckets — the park stays a complete
+        // pre-delete snapshot until the very end
+        val mtmp = new java.io.File(s"$path/manifest_delete_tmp")
+        Fs.rmTree(mtmp)
         spark.range(1).select(lit(nDocs - dN).as("n_docs"),
             lit(sumDl - dS).as("sum_dl"), lit(buckets).as("buckets"))
-          .write.mode("overwrite").parquet(s"$path/manifest")
+          .write.mode("overwrite").parquet(mtmp.getAbsolutePath)
+        Fs.move(new java.io.File(s"$path/manifest"),
+          new java.io.File(parked, "manifest"))
+        Fs.move(mtmp, new java.io.File(s"$path/manifest"))
+        // install complete — only now is the old state gone
+        Fs.rmTree(parked)
+        Fs.rmTree(tmp)
       }
-    } finally { ids.unpersist(); () }
+    } finally { Dedup.releaseLocalCheckpoint(ids) }
   }
 
   /** BM25 over a [[writeInvertedIndex]] layout — bit-identical to

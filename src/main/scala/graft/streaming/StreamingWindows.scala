@@ -634,13 +634,15 @@ object StreamingWindows {
             if (priorPaths.isEmpty) cur.withColumn("op", lit("insert"))
             else {
               val valueCols = cur.columns.filterNot(_ == keyCol).toSeq
+              // a key-only table has no values to diff: updates are
+              // undetectable by definition, so only inserts emit
+              val valuesEqual = valueCols.map(c => col(c) <=> col(s"__prior_$c"))
+                .reduceOption(_ && _).getOrElse(lit(true))
               val prior = s.read.parquet(priorPaths: _*)
               val p = prior.select(
                 prior.columns.toSeq.map(c => col(c).as(s"__prior_$c")): _*)
               cur.join(p, cur(keyCol) === p(s"__prior_$keyCol"), "left")
-                .filter(col(s"__prior_$keyCol").isNull ||
-                  !valueCols.map(c => col(c) <=> col(s"__prior_$c"))
-                    .reduce(_ && _))
+                .filter(col(s"__prior_$keyCol").isNull || !valuesEqual)
                 .withColumn("op",
                   when(col(s"__prior_$keyCol").isNull, lit("insert"))
                     .otherwise(lit("update")))
@@ -679,9 +681,7 @@ object StreamingWindows {
       }.toMap
   }
 
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
-  }
+  private def rmTree(f: java.io.File): Unit = graft.util.Fs.rmTree(f)
 
   /** Stream-stream INTERVAL JOIN — click attribution: every view event
     * LEFT-joined to the same user's click events within
