@@ -1716,6 +1716,16 @@ object SparkEntry {
       |          ORDER BY score_micro DESC, doc_id) AS INT) AS rank
       |      FROM qs QUALIFY rank <= 10)""".stripMargin
 
+  /** The q234/q241 shared oracle: exact per-type counts + distincts
+    * from the full corpus; the sketch-side contracts (union within ±5%
+    * of exact, shard-union ≡ one-pass rebuild) reduce to literal-true
+    * booleans the operator computes in-query. */
+  private def sketchShardsOracleSql: String =
+    """SELECT event_type, count(*)::BIGINT AS n_rows,
+      |count(DISTINCT user_id)::BIGINT AS exact_uniques,
+      |true AS union_within_bound, true AS union_eq_rebuild
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** The q46/q238 shared CTE chain: exact-Jaccard pairs at 0.5 over
     * 3-gram sets, symmetric edges, and the recursive reachability table
     * `reach(node, lab)` whose per-node min is the cluster id — the
@@ -3788,6 +3798,38 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$path/gen2")
     }
 
+  /** The q241 streaming run, executed ONCE per SF dir: q234's sketch
+    * shards MAINTAINED BY A STREAM — each arrival wave folds into its
+    * own persisted HLL shard artifact via foreachBatch (the q222
+    * artifact-maintenance pattern applied to profiling): a stateless
+    * stream whose durable "state" is the shard files, replay-idempotent
+    * because a re-run batch overwrites its own `shard<batchId>` dir.
+    * The accumulated artifacts must answer the SAME contract as the
+    * batch-written shards: union ≡ one-pass rebuild and exact counts
+    * (q234's oracle verbatim) — a lost wave, a double-applied wave, or
+    * a shard written from the wrong batch all fail it. */
+  private def q241StoresPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q241", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val events = attributionEvents(s, dir)
+      val inDir = stageMicroBatches("q241", path,
+        (0 until 3).map(i => events.filter(col("event_id") % 3 === i)))
+      val stream = s.readStream.schema(eventQuartetSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+      val fn = (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        if (!b.isEmpty)
+          operators.Sketches.writeDistinctShard(b.toDF(), "event_type",
+            "user_id", s"$path/shards/shard$id")
+      val q = stream.writeStream
+        .foreachBatch(fn)
+        .option("checkpointLocation", s"$path/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   /** q234's persisted sketch artifacts, built once per SF dir: the
     * events corpus split into the familiar % 3 ingest waves, each
     * profiled into ONE small parquet artifact of per-event_type HLL
@@ -4876,6 +4918,21 @@ object SparkEntry {
         (0 until 3).map(i => s"${q234ShardsPath(s, dir)}/shard$i"),
         Tables.events(s, dir), groupCol = "event_type",
         distinctCol = "user_id")),
+
+    // STREAM-MAINTAINED sketch shards: q234's artifacts written by a
+    // foreachBatch stream, one shard per arrival wave (see
+    // q241StoresPath) — the accumulated artifacts answer the same
+    // union ≡ rebuild + exact-count contract, q234's oracle verbatim
+    "q241_streaming_sketch_shards" -> ((s, dir) => {
+      val stores = q241StoresPath(s, dir)
+      val shards = Option(new java.io.File(s"$stores/shards").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith("shard"))
+        .map(_.getAbsolutePath).sorted.toSeq
+      operators.Sketches.distinctShardsChecked(s, shards,
+        Tables.events(s, dir), groupCol = "event_type",
+        distinctCol = "user_id")
+    }),
 
     // UPDATE-mode streaming + foreachBatch UPSERT serving table: the
     // per-user running totals merge into a hash-bucketed versioned
@@ -8788,11 +8845,9 @@ object SparkEntry {
           |      FROM r) SELECT * FROM t WHERE rnk <= 5""".stripMargin,
       // q234: sketch shards — exact counts from the full corpus; the
       // sketch-side contracts reduce to literal-true booleans
-      "q234_sketch_shards" ->
-        """SELECT event_type, count(*)::BIGINT AS n_rows,
-          |count(DISTINCT user_id)::BIGINT AS exact_uniques,
-          |true AS union_within_bound, true AS union_eq_rebuild
-          |FROM events GROUP BY event_type""".stripMargin,
+      "q234_sketch_shards" -> sketchShardsOracleSql,
+      // q241: the SAME contract over stream-maintained shards
+      "q241_streaming_sketch_shards" -> sketchShardsOracleSql,
       // q214: the serving view the upsert stream must converge to
       "q214_streaming_upsert_serving" -> servingViewOracleSql,
       // q215: the SAME serving view across an agg-state checkpoint
