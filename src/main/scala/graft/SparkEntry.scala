@@ -1716,6 +1716,20 @@ object SparkEntry {
       |          ORDER BY score_micro DESC, doc_id) AS INT) AS rank
       |      FROM qs QUALIFY rank <= 10)""".stripMargin
 
+  /** The q241/q242 shared reader: every `shard*` artifact accumulated
+    * under `stores/shards`, run through the checked contract against
+    * the full corpus. */
+  private def checkedShardsUnder(s: SparkSession, dir: String,
+      stores: String): DataFrame = {
+    val shards = Option(new java.io.File(s"$stores/shards").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("shard"))
+      .map(_.getAbsolutePath).sorted.toSeq
+    operators.Sketches.distinctShardsChecked(s, shards,
+      Tables.events(s, dir), groupCol = "event_type",
+      distinctCol = "user_id")
+  }
+
   /** The q234/q241 shared oracle: exact per-type counts + distincts
     * from the full corpus; the sketch-side contracts (union within ±5%
     * of exact, shard-union ≡ one-pass rebuild) reduce to literal-true
@@ -3830,6 +3844,47 @@ object SparkEntry {
       q.awaitTermination()
     }
 
+  /** The q242 streaming run, executed ONCE per SF dir: q241's
+    * artifact-maintenance stream RESTARTED mid-ingest — the claim none
+    * of the seven state-kind restart fixtures covers: a foreachBatch
+    * stream whose durable state is PERSISTED FILES (not a state store)
+    * must resume from its checkpoint without losing or double-applying
+    * a wave. Run 1 drains batch 0 only (shard0 on disk, checkpoint
+    * committed through it); batches 1–2 are staged after it terminates
+    * and run 2 resumes from the same checkpoint — it must process
+    * EXACTLY the unseen waves (a source reset would re-deliver wave 0
+    * into a duplicate shard dir under a fresh batch id, inflating
+    * n_rows; a lost wave starves the union). The accumulated artifacts
+    * pass q234's oracle verbatim. */
+  private def q242StoresPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q242", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val events = attributionEvents(s, dir)
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(eventQuartetSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(new java.io.File(path, "in").getAbsolutePath)
+        val fn = (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          if (!b.isEmpty)
+            operators.Sketches.writeDistinctShard(b.toDF(), "event_type",
+              "user_id", s"$path/shards/shard$id")
+        val q = stream.writeStream
+          .foreachBatch(fn)
+          .option("checkpointLocation", s"$path/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      stageMicroBatches("q242", path,
+        Seq(events.filter(col("event_id") % 3 === 0)))
+      runOnce() // run 1: shard0 only, checkpoint committed through batch 0
+      stageMicroBatches("q242", path,
+        (1 until 3).map(i => events.filter(col("event_id") % 3 === i)),
+        firstIndex = 1)
+      runOnce() // run 2: resumes — exactly the unseen waves fold in
+    }
+
   /** q234's persisted sketch artifacts, built once per SF dir: the
     * events corpus split into the familiar % 3 ingest waves, each
     * profiled into ONE small parquet artifact of per-event_type HLL
@@ -4923,16 +4978,16 @@ object SparkEntry {
     // foreachBatch stream, one shard per arrival wave (see
     // q241StoresPath) — the accumulated artifacts answer the same
     // union ≡ rebuild + exact-count contract, q234's oracle verbatim
-    "q241_streaming_sketch_shards" -> ((s, dir) => {
-      val stores = q241StoresPath(s, dir)
-      val shards = Option(new java.io.File(s"$stores/shards").listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.startsWith("shard"))
-        .map(_.getAbsolutePath).sorted.toSeq
-      operators.Sketches.distinctShardsChecked(s, shards,
-        Tables.events(s, dir), groupCol = "event_type",
-        distinctCol = "user_id")
-    }),
+    "q241_streaming_sketch_shards" -> ((s, dir) =>
+      checkedShardsUnder(s, dir, q241StoresPath(s, dir))),
+
+    // ARTIFACT-STREAM RESTART: q241's stream stopped after wave 0 and
+    // resumed against the same checkpoint (see q242StoresPath) — the
+    // file-sink-state analogue of the state-store restart fixtures;
+    // q234's oracle verbatim (a re-delivered wave 0 inflates n_rows, a
+    // lost wave starves the union)
+    "q242_streaming_sketch_restart" -> ((s, dir) =>
+      checkedShardsUnder(s, dir, q242StoresPath(s, dir))),
 
     // UPDATE-mode streaming + foreachBatch UPSERT serving table: the
     // per-user running totals merge into a hash-bucketed versioned
@@ -8848,6 +8903,8 @@ object SparkEntry {
       "q234_sketch_shards" -> sketchShardsOracleSql,
       // q241: the SAME contract over stream-maintained shards
       "q241_streaming_sketch_shards" -> sketchShardsOracleSql,
+      // q242: and across a checkpoint restart of the artifact stream
+      "q242_streaming_sketch_restart" -> sketchShardsOracleSql,
       // q214: the serving view the upsert stream must converge to
       "q214_streaming_upsert_serving" -> servingViewOracleSql,
       // q215: the SAME serving view across an agg-state checkpoint
