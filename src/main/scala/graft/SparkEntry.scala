@@ -1653,13 +1653,16 @@ object SparkEntry {
     * identical. */
   private def bm25Sql: String = bm25SqlFor("")
 
-  /** [[bm25Sql]] with the corpus filtered — q235's deletion gate: the
-    * probe of a deleted-from postings layout must equal BM25 over a
-    * corpus that never contained the deleted docs. n_docs, avgdl, and
-    * df all shift under deletion, so a manifest counter not decremented
-    * (or a surviving posting row) fails every score. */
-  private def bm25SqlFor(corpusWhere: String): String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents$corpusWhere),
+  /** [[bm25Sql]] with the corpus filtered (and optionally re-texted) —
+    * q235's deletion gate and q243's lifecycle gate: the probe of a
+    * mutated postings layout must equal BM25 over the corpus AS IT NOW
+    * STANDS (retracted docs absent, recrawled docs re-texted). n_docs,
+    * avgdl, and df all shift under deletion and update, so a manifest
+    * counter not adjusted (or a stale/surviving posting row) fails
+    * every score. */
+  private def bm25SqlFor(corpusWhere: String,
+      textExpr: String = "text"): String =
+    s"""WITH t AS (SELECT doc_id, string_split($textExpr, ' ') AS ws FROM documents$corpusWhere),
       |tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM t),
       |corp AS (SELECT count(*) AS n_docs,
       |           sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
@@ -4166,6 +4169,34 @@ object SparkEntry {
       Similarity.compactIvfIndex(s, path)
     }
 
+  /** The q243 index: the postings layout's FULL LIFECYCLE in one
+    * chain — build on 3/4, append the rest, RETRACT a ninth
+    * (doc_id % 9 == 4), then RECRAWL-UPDATE the % 6 == 2 survivors
+    * (delete the stale version, append the re-texted one — the
+    * document-update pattern: a changed page re-ingests as
+    * delete + append, manifest counters adjusted through both), then
+    * compact. The probe must equal BM25 over the corpus AS IT NOW
+    * STANDS — updated docs under their new text (which injects extra
+    * 'spark' occurrences, so tf AND df AND avgdl all shift), retracted
+    * docs absent. Every op is individually verified (q121/q235/q228);
+    * this gates their COMPOSITION. */
+  private def q243IndexPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("inv_index_q243", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.writeInvertedIndex(docs.filter(col("doc_id") % 4 =!= 0),
+        path, buckets = 64)
+      TextAnalysis.appendToInvertedIndex(docs.filter(col("doc_id") % 4 === 0), path)
+      TextAnalysis.deleteFromInvertedIndex(s, path,
+        docs.filter(col("doc_id") % 9 === 4).select("doc_id"))
+      val upd = docs.filter(col("doc_id") % 6 === 2 && col("doc_id") % 9 =!= 4)
+      TextAnalysis.deleteFromInvertedIndex(s, path, upd.select("doc_id"))
+      TextAnalysis.appendToInvertedIndex(
+        upd.select(col("doc_id"),
+          concat(col("text"), lit(" spark rev2")).as("text")), path)
+      TextAnalysis.compactInvertedIndex(s, path)
+    }
+
   /** The q235 index: the full-corpus postings layout with a retracted
     * ninth (doc_id % 9 == 4) DELETED — probing must equal BM25 over a
     * corpus that never contained those docs (delete ≡ rebuild-without:
@@ -6596,6 +6627,14 @@ object SparkEntry {
     "q235_bm25_index_delete" -> ((s, dir) =>
       TextAnalysis.bm25FromIndex(s, q235IndexPath(s, dir), bm25Terms)),
 
+    // INDEX LIFECYCLE capstone: build → append → retract → recrawl-
+    // UPDATE (delete stale + append re-texted) → compact, probed once
+    // (see q243IndexPath) — the composition gate over the individually-
+    // verified ops; the updated text injects extra query-term hits so
+    // tf/df/avgdl all shift through the update
+    "q243_index_lifecycle" -> ((s, dir) =>
+      TextAnalysis.bm25FromIndex(s, q243IndexPath(s, dir), bm25Terms)),
+
     // INDEX DELETION, IVF side: the retracted vectors' cell rows gone
     // under frozen centroids; probe-all must equal brute force over
     // only the survivors (deleted ids still arrive as queries, never
@@ -8816,6 +8855,10 @@ object SparkEntry {
       // q235–q237: deletion — each original oracle over a corpus that
       // never contained the retracted ninth (delete ≡ rebuild-without)
       "q235_bm25_index_delete" -> bm25SqlFor(" WHERE doc_id % 9 <> 4"),
+      // q243: the corpus as it stands after the whole lifecycle —
+      // retracted ninth absent, % 6 == 2 survivors re-texted
+      "q243_index_lifecycle" -> bm25SqlFor(" WHERE doc_id % 9 <> 4",
+        "CASE WHEN doc_id % 6 = 2 THEN text || ' spark rev2' ELSE text END"),
       "q236_ann_ivf_delete" -> bruteForceAnnSqlFor(" WHERE vec_id % 9 <> 4"),
       "q237_neardup_index_delete" ->
         nearDupIncrementalSqlFor(" WHERE doc_id % 9 <> 4"),
