@@ -1064,14 +1064,16 @@ object SparkEntry {
     * provably equal exhaustive search. */
   private def bruteForceAnnSql: String = bruteForceAnnSqlFor("")
 
-  /** [[bruteForceAnnSql]] with the CORPUS side filtered — q236's
-    * deletion gate: the probe of a deleted-from index must equal brute
-    * force over a corpus that never contained the deleted vectors
-    * (queries stay unfiltered — a retracted vector's embedding can
-    * still arrive as an external query). */
-  private def bruteForceAnnSqlFor(corpusWhere: String): String =
+  /** [[bruteForceAnnSql]] with the CORPUS side filtered (and optionally
+    * re-embedded) — q236's deletion gate and q244's lifecycle gate: the
+    * probe of a mutated index must equal brute force over the corpus AS
+    * IT NOW STANDS (queries stay unfiltered and un-updated — a
+    * retracted or re-encoded vector's ORIGINAL embedding can still
+    * arrive as an external query). */
+  private def bruteForceAnnSqlFor(corpusWhere: String,
+      embExpr: String = "embedding::DOUBLE[]"): String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
-      |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings$corpusWhere),
+      |c AS (SELECT vec_id AS n_id, $embExpr AS nv FROM embeddings$corpusWhere),
       |s AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cos_sim
       |      FROM q, c WHERE q_id <> n_id),
       |r AS (SELECT q_id, n_id, cos_sim,
@@ -1766,12 +1768,15 @@ object SparkEntry {
 
   private def nearDupIncrementalSql: String = nearDupIncrementalSqlFor("")
 
-  /** [[nearDupIncrementalSql]] with the CORPUS side filtered — q237's
-    * deletion gate: a batch doc whose only near-match was a deleted
-    * corpus doc must now SURVIVE (its screen is gone), and nothing else
-    * may change. The batch itself is never filtered — retraction
-    * affects what's indexed, not what arrives. */
-  private def nearDupIncrementalSqlFor(corpusWhere: String): String =
+  /** [[nearDupIncrementalSql]] with the CORPUS side filtered (and
+    * optionally re-texted) — q237's deletion gate and q245's lifecycle
+    * gate: a batch doc whose only near-match was a deleted corpus doc
+    * must now SURVIVE (its screen is gone), an updated doc screens with
+    * its NEW gram set, and nothing else may change. The batch itself is
+    * never filtered — retraction affects what's indexed, not what
+    * arrives. */
+  private def nearDupIncrementalSqlFor(corpusWhere: String,
+      textExpr: String = "text"): String =
     s"""WITH batch AS (
       |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
       |  UNION ALL
@@ -1784,7 +1789,7 @@ object SparkEntry {
       |bg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
       |       FROM bw, UNNEST(range(1, len(ws)-1)) AS t(i)),
       |bc AS (SELECT doc_id, count(*) AS n_grams FROM bg GROUP BY doc_id),
-      |cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents$corpusWhere),
+      |cw AS (SELECT doc_id, string_split($textExpr, ' ') AS ws FROM documents$corpusWhere),
       |cg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
       |       FROM cw, UNNEST(range(1, len(ws)-1)) AS t(i)),
       |cc AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
@@ -4195,6 +4200,52 @@ object SparkEntry {
         upd.select(col("doc_id"),
           concat(col("text"), lit(" spark rev2")).as("text")), path)
       TextAnalysis.compactInvertedIndex(s, path)
+    }
+
+  /** The q244 index: the IVF cells' FULL LIFECYCLE — build on 3/4,
+    * append the rest, retract the % 9 == 4 ninth, RE-EMBED the
+    * % 6 == 2 survivors (delete + append with NEGATED vectors — the
+    * re-encoded-document pattern; negation flips every cosine involving
+    * them, so a stale vector surviving anywhere is loud), compact.
+    * Probe-all must equal brute force over the corpus as it now
+    * stands; centroids stay frozen through every step. */
+  private def q244IndexPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("ivf_index_q244", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 4 =!= 1), path, nCells = 16)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 4 === 1), path)
+      Similarity.deleteFromIvfIndex(s, path,
+        emb.filter(col("vec_id") % 9 === 4).select("vec_id"))
+      val upd = emb.filter(col("vec_id") % 6 === 2 && col("vec_id") % 9 =!= 4)
+      Similarity.deleteFromIvfIndex(s, path, upd.select("vec_id"))
+      Similarity.appendToIvfIndex(
+        upd.select(col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")), path)
+      Similarity.compactIvfIndex(s, path)
+    }
+
+  /** The q245 index: the MinHash band/gram tables' FULL LIFECYCLE —
+    * build on 3/4, append the rest, retract the % 9 == 4 ninth,
+    * RECRAWL-UPDATE the % 6 == 2 survivors (delete stale + append
+    * re-texted — their gram sets shift, so every Jaccard involving
+    * them recomputes), compact. The probe must equal the exact screen
+    * over the corpus as it now stands. */
+  private def q245IndexPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("mh_index_q245", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      Dedup.writeMinHashIndex(docs.filter(col("doc_id") % 4 =!= 0), path,
+        n = 3, numHashes = 16, bands = 16)
+      Dedup.appendToMinHashIndex(docs.filter(col("doc_id") % 4 === 0), path)
+      Dedup.deleteFromMinHashIndex(s, path,
+        docs.filter(col("doc_id") % 9 === 4).select("doc_id"))
+      val upd = docs.filter(col("doc_id") % 6 === 2 && col("doc_id") % 9 =!= 4)
+      Dedup.deleteFromMinHashIndex(s, path, upd.select("doc_id"))
+      Dedup.appendToMinHashIndex(
+        upd.select(col("doc_id"),
+          concat(col("text"), lit(" rev2x rev2y rev2z")).as("text")), path)
+      Dedup.compactMinHashIndex(s, path)
     }
 
   /** The q235 index: the full-corpus postings layout with a retracted
@@ -6635,6 +6686,22 @@ object SparkEntry {
     "q243_index_lifecycle" -> ((s, dir) =>
       TextAnalysis.bm25FromIndex(s, q243IndexPath(s, dir), bm25Terms)),
 
+    // IVF LIFECYCLE: build → append → retract → re-embed (delete +
+    // append negated vectors) → compact; probe-all == brute force over
+    // the corpus as it now stands (see q244IndexPath)
+    "q244_ann_ivf_lifecycle" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Similarity.ivfTopKFromIndex(s, q244IndexPath(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") < 10), k = 5, nProbe = 16)
+    }),
+
+    // MINHASH LIFECYCLE: build → append → retract → recrawl-update →
+    // compact; the probe equals the exact screen over the corpus as it
+    // now stands (see q245IndexPath)
+    "q245_neardup_lifecycle" -> ((s, dir) =>
+      Dedup.nearDupAgainstIndex(nearDupBatch(s, dir), q245IndexPath(s, dir),
+        threshold = 0.5)),
+
     // INDEX DELETION, IVF side: the retracted vectors' cell rows gone
     // under frozen centroids; probe-all must equal brute force over
     // only the survivors (deleted ids still arrive as queries, never
@@ -8862,6 +8929,15 @@ object SparkEntry {
       "q236_ann_ivf_delete" -> bruteForceAnnSqlFor(" WHERE vec_id % 9 <> 4"),
       "q237_neardup_index_delete" ->
         nearDupIncrementalSqlFor(" WHERE doc_id % 9 <> 4"),
+      // q244/q245: the lifecycle oracles — the same builders with the
+      // % 6 == 2 survivors re-embedded / re-texted
+      "q244_ann_ivf_lifecycle" -> bruteForceAnnSqlFor(
+        " WHERE vec_id % 9 <> 4",
+        "CASE WHEN vec_id % 6 = 2 THEN list_transform(embedding::DOUBLE[], x -> -x) " +
+          "ELSE embedding::DOUBLE[] END"),
+      "q245_neardup_lifecycle" -> nearDupIncrementalSqlFor(
+        " WHERE doc_id % 9 <> 4",
+        "CASE WHEN doc_id % 6 = 2 THEN text || ' rev2x rev2y rev2z' ELSE text END"),
       // q227: compaction must preserve the view — q214's oracle
       "q227_streaming_serving_compact" -> servingViewOracleSql,
       // q231: retention — q225's view over only the kept windows
