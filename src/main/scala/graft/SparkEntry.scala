@@ -3483,6 +3483,22 @@ object SparkEntry {
       streaming.StreamingWindows.compactServing(s, s"$path/serving")
     }
 
+  /** The q246 streaming run, executed ONCE per SF dir: q214's upsert
+    * chain, then VACUUMED to a two-version time-travel window — the
+    * middle ground between never reclaiming (a version per micro-batch
+    * forever) and q227's full compaction (which destroys all history).
+    * Versions below the window decommission as snapshots (manifest
+    * deleted — no reader can resolve them) while any still serving as
+    * bucket donors keep their data dirs; the CURRENT view must still
+    * equal the batch GROUP BY (q214's oracle verbatim), and the
+    * horizon semantics (asOf below the window → None, kept versions
+    * unchanged) are unit-pinned in StreamingSpec. */
+  private def q246StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q246", dir) { path =>
+      runUpsertServingOnce("q246", s, dir, path)
+      streaming.StreamingWindows.vacuumServing(s"$path/serving", keepLast = 2)
+    }
+
   /** The q215 streaming run, executed ONCE per SF dir: q214's
     * update-mode aggregate + upsert sink RESTARTED mid-corpus — the
     * SIXTH streaming state kind to cross a stop/start, and the most
@@ -4998,6 +5014,15 @@ object SparkEntry {
       streaming.StreamingWindows.readServingSnapshot(s,
         s"${q231StreamPath(s, dir)}/serving").get
         .select("win_start_us", "user_id", "n_events", "last_us")),
+
+    // SERVING-TABLE VACUUM: the chain reclaimed to a two-version
+    // time-travel window (manifests below it deleted, donor data kept
+    // — see q246StreamPath); the current view must be UNAFFECTED,
+    // q214's oracle verbatim
+    "q246_serving_vacuum" -> ((s, dir) =>
+      streaming.StreamingWindows.readServingSnapshot(s,
+        s"${q246StreamPath(s, dir)}/serving").get
+        .select("user_id", "n_events", "last_us")),
 
     // SERVING-TABLE TIME TRAVEL: q214's versioned chain read AS OF
     // version 1 — the view after batches 0–1 only, resolved through
@@ -9029,6 +9054,8 @@ object SparkEntry {
       // q215: the SAME serving view across an agg-state checkpoint
       // restart — a reset agg undercounts every user
       "q215_streaming_upsert_restart" -> servingViewOracleSql,
+      // q246: vacuum reclaims history, never the current view
+      "q246_serving_vacuum" -> servingViewOracleSql,
       // q217: the full sink from the construction — both copies of
       // every corpus text (pre- and post-eviction), both advancers, and
       // NO third alpha row (its state was still in-horizon)

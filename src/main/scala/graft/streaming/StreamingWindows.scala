@@ -567,6 +567,44 @@ object StreamingWindows {
         .foreach(v => rmTree(new java.io.File(serving, s"v$v")))
     }
 
+  /** VACUUM an [[upsertBatch]] serving table to a bounded TIME-TRAVEL
+    * window: keep the newest `keepLast` versions fully readable and
+    * reclaim everything older — the middle ground between doing nothing
+    * (one version per micro-batch forever) and [[compactServing]]
+    * (which collapses ALL history into one version). Version dirs older
+    * than the window fall into two classes:
+    *
+    *  - still REFERENCED as bucket donors by a kept manifest (their
+    *    untouched buckets carried forward) — their data dirs must stay,
+    *    but their MANIFEST is deleted, which atomically removes them
+    *    from [[committedVersions]]: no reader can ever resolve them as
+    *    a snapshot again, while kept manifests keep reading their
+    *    bucket dirs;
+    *  - unreferenced — deleted entirely.
+    *
+    * After a vacuum, [[readServingAsOf]] inside the window behaves
+    * exactly as before; below the window it returns None (never a
+    * partially-reclaimed snapshot — that is what the manifest deletion
+    * guarantees). [[servingChangefeed]]'s history is bounded the same
+    * way. Same stopped-writer window as the other maintenance passes.
+    * Deleting a manifest before its version's data dirs also makes a
+    * crash mid-vacuum safe: at worst, donor data outlives its
+    * unreadable version until the next vacuum re-reclaims it. */
+  def vacuumServing(serving: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val versions = committedVersions(serving).sorted
+    val kept = versions.takeRight(keepLast).toSet
+    val donors = kept.flatMap(v => readManifest(serving, v).values) -- kept
+    versions.filterNot(kept.contains).foreach { v =>
+      if (donors.contains(v)) {
+        // decommission as a snapshot, keep as a bucket donor
+        java.nio.file.Files.deleteIfExists(
+          new java.io.File(serving, s"v$v/$ManifestName").toPath)
+        ()
+      } else rmTree(new java.io.File(serving, s"v$v"))
+    }
+  }
+
   /** The CURRENT serving view maintained by [[upsertBatch]]: the newest
     * committed version's manifest, resolved to its per-bucket data dirs
     * (which span versions — that is the point). None before the first

@@ -742,6 +742,22 @@ class StreamingSpec extends AnyFunSuite {
         (2L, "insert", keyD, 1L, 40L)))
       // incremental tail: resume from the last consumed version + 1
       assert(feed(2L) == Set((2L, "insert", keyD, 1L, 40L)))
+
+      // VACUUM to a two-version window: v0 decommissions as a snapshot
+      // (its manifest goes — asOf(0) is None, never a partial read) but
+      // stays on disk as the bucket donor v1/v2's manifests reference;
+      // everything inside the window is untouched
+      val beforeV1 = snap(1L)
+      StreamingWindows.vacuumServing(serving, keepLast = 2)
+      assert(StreamingWindows.readServingAsOf(spark, serving, 0L).isEmpty,
+        "below the vacuum horizon must be None")
+      assert(snap(1L) == beforeV1 && snap(99L) == snap(2L))
+      assert(!new java.io.File(serving, "v0/manifest.txt").isFile,
+        "v0's manifest must be gone")
+      assert(new java.io.File(serving, "v0").isDirectory,
+        "v0's bucket data must survive as a donor")
+      // the changefeed horizon shrinks with the window
+      assert(feed(0L).map(_._1) == Set(1L, 2L))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
