@@ -821,4 +821,18 @@ class PlanSpec extends AnyFunSuite {
       p.contains("CharGramRank"), s"codegen'd gram ranking missing:\n${p.take(800)}")
     assert(p.contains("BroadcastHashJoin"), "profile table must broadcast")
   }
+
+  test("binary top-k: both stages WindowGroupLimit, bits-only shuffle, no SMJ") {
+    val p = plan("q240_binary_topk")
+    // the Hamming shortlist prunes map-side (Partial before its
+    // exchange); the rerank stage pays its own q_id exchange but moves
+    // only the ≤ |Q|·rerank shortlist-joined rows — the corpus-scale
+    // shuffle carries packed words, never floats
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"both ranking stages must prune via WindowGroupLimit:\n${p.take(1200)}")
+    assert("Exchange hashpartitioning\\(q_id".r.findAllIn(p).size == 2,
+      "one exchange per ranking stage — the second is shortlist-sized")
+    // floats reach the rerank via broadcasts, never a shuffle join
+    assert(!p.contains("SortMergeJoin"), "no float row may shuffle-join")
+  }
 }

@@ -743,6 +743,7 @@ class StreamingSpec extends AnyFunSuite {
       // incremental tail: resume from the last consumed version + 1
       assert(feed(2L) == Set((2L, "insert", keyD, 1L, 40L)))
 
+      val fullFeed = feed(0L) // captured before the vacuum bounds it
       // VACUUM to a two-version window: v0 decommissions as a snapshot
       // (its manifest goes — asOf(0) is None, never a partial read) but
       // stays on disk as the bucket donor v1/v2's manifests reference;
@@ -758,6 +759,16 @@ class StreamingSpec extends AnyFunSuite {
         "v0's bucket data must survive as a donor")
       // the changefeed horizon shrinks with the window
       assert(feed(0L).map(_._1) == Set(1L, 2L))
+      // APPLY self-consistency: folding the (pre-vacuum) change rows in
+      // version order — last write per key wins — reconstructs the
+      // current snapshot exactly (a downstream consumer applying the
+      // feed converges to the table)
+      val applied = fullFeed.groupBy(_._3).map { case (_, rows) =>
+        val last = rows.maxBy(_._1)
+        (last._3, last._4, last._5)
+      }.toSet
+      assert(applied == snap(99L),
+        "applying the changefeed must reconstruct the current view")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
