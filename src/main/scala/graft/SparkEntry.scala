@@ -3909,6 +3909,53 @@ object SparkEntry {
       runOnce() // run 2: resumes — exactly the unseen waves fold in
     }
 
+  /** The q247 streaming run, executed ONCE per SF dir: the
+    * APPEND-style artifact stream across a restart — q242 restart-
+    * proved the per-batch-OVERWRITE idempotence mechanism (each wave
+    * owns its shard dir); the index appends rely on a DIFFERENT one,
+    * the id anti-join skip, and no fixture had carried it over a
+    * stop/start. The postings layout builds on 3/4 of the corpus; run
+    * 1 drains wave 0 of the remaining quarter into it via foreachBatch
+    * appendToInvertedIndex and terminates with the checkpoint committed
+    * through batch 0; waves 1–2 stage after it and run 2 resumes. The
+    * final index must pass the FULL-corpus BM25 oracle (q121's,
+    * verbatim): a replay the anti-join failed to absorb double-counts
+    * postings and inflates the manifest; a lost wave starves df and
+    * n_docs. */
+  private def q247StorePath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q247", dir) { path =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.writeInvertedIndex(docs.filter(col("doc_id") % 4 =!= 0),
+        s"$path/inv", buckets = 64)
+      val quarter = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("text"))
+      val docSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(new java.io.File(path, "in").getAbsolutePath)
+        val fn = (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          if (!b.isEmpty) TextAnalysis.appendToInvertedIndex(b.toDF(), s"$path/inv")
+        val q = stream.writeStream
+          .foreachBatch(fn)
+          .option("checkpointLocation", s"$path/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      stageMicroBatches("q247", path,
+        Seq(quarter.filter(expr("doc_id div 4") % 3 === 0)))
+      runOnce() // run 1: wave 0 appended, checkpoint committed through it
+      stageMicroBatches("q247", path,
+        (1 until 3).map(i => quarter.filter(expr("doc_id div 4") % 3 === i)),
+        firstIndex = 1)
+      runOnce() // run 2: resumes — exactly the unseen waves append
+    }
+
   /** q234's persisted sketch artifacts, built once per SF dir: the
     * events corpus split into the familiar % 3 ingest waves, each
     * profiled into ONE small parquet artifact of per-event_type HLL
@@ -5095,6 +5142,14 @@ object SparkEntry {
     // lost wave starves the union)
     "q242_streaming_sketch_restart" -> ((s, dir) =>
       checkedShardsUnder(s, dir, q242StoresPath(s, dir))),
+
+    // APPEND-STREAM RESTART: the ingest triple's anti-join idempotence
+    // carried across a stop/start (see q247StorePath) — the resumed
+    // stream folds exactly the unseen waves into the postings layout;
+    // q121's full-corpus BM25 oracle verbatim
+    "q247_streaming_append_restart" -> ((s, dir) =>
+      TextAnalysis.bm25FromIndex(s, s"${q247StorePath(s, dir)}/inv",
+        bm25Terms)),
 
     // UPDATE-mode streaming + foreachBatch UPSERT serving table: the
     // per-user running totals merge into a hash-bucketed versioned
@@ -9049,6 +9104,8 @@ object SparkEntry {
       "q241_streaming_sketch_shards" -> sketchShardsOracleSql,
       // q242: and across a checkpoint restart of the artifact stream
       "q242_streaming_sketch_restart" -> sketchShardsOracleSql,
+      // q247: the append-style restart — the full-corpus BM25 oracle
+      "q247_streaming_append_restart" -> bm25Sql,
       // q214: the serving view the upsert stream must converge to
       "q214_streaming_upsert_serving" -> servingViewOracleSql,
       // q215: the SAME serving view across an agg-state checkpoint
