@@ -3850,22 +3850,11 @@ object SparkEntry {
     lazyFixtureDir("stream_q241", dir) { path =>
       import org.apache.spark.sql.functions._
       val events = attributionEvents(s, dir)
-      val inDir = stageMicroBatches("q241", path,
+      stageMicroBatches("q241", path,
         (0 until 3).map(i => events.filter(col("event_id") % 3 === i)))
-      val stream = s.readStream.schema(eventQuartetSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(inDir.getAbsolutePath)
-      val fn = (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          id: Long) =>
-        if (!b.isEmpty)
-          operators.Sketches.writeDistinctShard(b.toDF(), "event_type",
-            "user_id", s"$path/shards/shard$id")
-      val q = stream.writeStream
-        .foreachBatch(fn)
-        .option("checkpointLocation", s"$path/ck")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runArtifactStreamOnce(s, path, eventQuartetSchema)((b, id) =>
+        operators.Sketches.writeDistinctShard(b, "event_type", "user_id",
+          s"$path/shards/shard$id"))
     }
 
   /** The q242 streaming run, executed ONCE per SF dir: q241's
@@ -3884,22 +3873,10 @@ object SparkEntry {
     lazyFixtureDir("stream_q242", dir) { path =>
       import org.apache.spark.sql.functions._
       val events = attributionEvents(s, dir)
-      def runOnce(): Unit = {
-        val stream = s.readStream.schema(eventQuartetSchema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(new java.io.File(path, "in").getAbsolutePath)
-        val fn = (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-            id: Long) =>
-          if (!b.isEmpty)
-            operators.Sketches.writeDistinctShard(b.toDF(), "event_type",
-              "user_id", s"$path/shards/shard$id")
-        val q = stream.writeStream
-          .foreachBatch(fn)
-          .option("checkpointLocation", s"$path/ck")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
+      def runOnce(): Unit = runArtifactStreamOnce(s, path,
+        eventQuartetSchema)((b, id) =>
+        operators.Sketches.writeDistinctShard(b, "event_type", "user_id",
+          s"$path/shards/shard$id"))
       stageMicroBatches("q242", path,
         Seq(events.filter(col("event_id") % 3 === 0)))
       runOnce() // run 1: shard0 only, checkpoint committed through batch 0
@@ -3908,6 +3885,27 @@ object SparkEntry {
         firstIndex = 1)
       runOnce() // run 2: resumes — exactly the unseen waves fold in
     }
+
+  /** One AvailableNow foreachBatch pass over the `in/` waves staged
+    * under `path` — the shared runner of the artifact-maintenance
+    * fixtures (q241/q242/q247): file stream at one file per trigger,
+    * empty batches skipped, checkpoint beside the waves so a second
+    * call RESUMES (the restart fixtures call it twice). */
+  private def runArtifactStreamOnce(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType)(
+      perBatch: (DataFrame, Long) => Unit): Unit = {
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(new java.io.File(path, "in").getAbsolutePath)
+    val fn = (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        id: Long) => if (!b.isEmpty) perBatch(b.toDF(), id)
+    val q = stream.writeStream
+      .foreachBatch(fn)
+      .option("checkpointLocation", s"$path/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 
   /** The q247 streaming run, executed ONCE per SF dir: the
     * APPEND-style artifact stream across a restart — q242 restart-
@@ -3933,20 +3931,8 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val docSchema = StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType)))
-      def runOnce(): Unit = {
-        val stream = s.readStream.schema(docSchema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(new java.io.File(path, "in").getAbsolutePath)
-        val fn = (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-            id: Long) =>
-          if (!b.isEmpty) TextAnalysis.appendToInvertedIndex(b.toDF(), s"$path/inv")
-        val q = stream.writeStream
-          .foreachBatch(fn)
-          .option("checkpointLocation", s"$path/ck")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
+      def runOnce(): Unit = runArtifactStreamOnce(s, path, docSchema)(
+        (b, _) => TextAnalysis.appendToInvertedIndex(b, s"$path/inv"))
       stageMicroBatches("q247", path,
         Seq(quarter.filter(expr("doc_id div 4") % 3 === 0)))
       runOnce() // run 1: wave 0 appended, checkpoint committed through it

@@ -1047,23 +1047,19 @@ object Dedup {
     * file layout). */
   def compactMinHashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, outFiles: Int = 16): Unit = {
+    import graft.util.Fs
     require(outFiles >= 1, s"outFiles must be >= 1, got $outFiles")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
     def rewrite(sub: String): Unit = {
       val tmp = new java.io.File(s"$path/${sub}_compact_tmp")
-      rm(tmp)
+      Fs.rmTree(tmp)
       spark.read.parquet(s"$path/$sub").repartition(outFiles)
         .write.mode("overwrite").parquet(tmp.getAbsolutePath)
       val live = new java.io.File(s"$path/$sub")
       val old = new java.io.File(s"$path/${sub}_old")
-      rm(old)
-      java.nio.file.Files.move(live.toPath, old.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      java.nio.file.Files.move(tmp.toPath, live.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      rm(old)
+      Fs.rmTree(old)
+      Fs.move(live, old)
+      Fs.move(tmp, live)
+      Fs.rmTree(old)
     }
     rewrite("bands")
     rewrite("grams")

@@ -559,23 +559,19 @@ object Similarity {
     * swap and stopped-writer window as the postings compaction. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
+    import graft.util.Fs
     val nCells = spark.read.parquet(s"$path/centroids").count().toInt
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
     val tmp = new java.io.File(s"$path/cells_compact_tmp")
-    rm(tmp)
+    Fs.rmTree(tmp)
     spark.read.parquet(s"$path/cells")
       .repartition(math.max(nCells, 1), col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(tmp.getAbsolutePath)
     val live = new java.io.File(s"$path/cells")
     val old = new java.io.File(s"$path/cells_old")
-    rm(old)
-    java.nio.file.Files.move(live.toPath, old.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(tmp.toPath, live.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    rm(old)
+    Fs.rmTree(old)
+    Fs.move(live, old)
+    Fs.move(tmp, live)
+    Fs.rmTree(old)
   }
 
   /** DELETE vectors from a [[writeIvfIndex]] layout — the

@@ -856,23 +856,19 @@ object TextAnalysis {
     * of the half-state fail loudly rather than read half data. */
   def compactInvertedIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
+    import graft.util.Fs
     val buckets = spark.read.parquet(s"$path/manifest").head().getAs[Int]("buckets")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
     val tmp = new java.io.File(s"$path/postings_compact_tmp")
-    rm(tmp)
+    Fs.rmTree(tmp)
     spark.read.parquet(s"$path/postings")
       .repartition(buckets, col("p"))
       .write.partitionBy("p").mode("overwrite").parquet(tmp.getAbsolutePath)
     val live = new java.io.File(s"$path/postings")
     val old = new java.io.File(s"$path/postings_old")
-    rm(old)
-    java.nio.file.Files.move(live.toPath, old.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(tmp.toPath, live.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    rm(old)
+    Fs.rmTree(old)
+    Fs.move(live, old)
+    Fs.move(tmp, live)
+    Fs.rmTree(old)
   }
 
   /** DELETE documents from a [[writeInvertedIndex]] layout — the

@@ -565,6 +565,12 @@ object StreamingWindows {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       committedVersions(serving).filter(_ < vMax)
         .foreach(v => rmTree(new java.io.File(serving, s"v$v")))
+      // the rewrite re-states the whole table at vMax: diffs at or
+      // below it are no longer derivable — record the horizon so the
+      // changefeed reports nothing rather than the table as inserts
+      java.nio.file.Files.writeString(
+        new java.io.File(serving, HorizonName).toPath, s"$vMax\n")
+      ()
     }
 
   /** VACUUM an [[upsertBatch]] serving table to a bounded TIME-TRAVEL
@@ -585,23 +591,38 @@ object StreamingWindows {
     * After a vacuum, [[readServingAsOf]] inside the window behaves
     * exactly as before; below the window it returns None (never a
     * partially-reclaimed snapshot — that is what the manifest deletion
-    * guarantees). [[servingChangefeed]]'s history is bounded the same
-    * way. Same stopped-writer window as the other maintenance passes.
-    * Deleting a manifest before its version's data dirs also makes a
-    * crash mid-vacuum safe: at worst, donor data outlives its
-    * unreadable version until the next vacuum re-reclaims it. */
+    * guarantees). [[servingChangefeed]] is bounded to versions ABOVE
+    * the lowest kept one (recorded in a horizon marker): the lowest
+    * kept version's prior manifest is gone, so its diff is
+    * unresolvable — it reports nothing rather than fabricating
+    * inserts. Same stopped-writer window as the other maintenance
+    * passes. Crash-safe in both branches: a reclaimed version loses
+    * its MANIFEST first (so a half-deleted version can never be
+    * resolved as a snapshot), and previously-decommissioned donor dirs
+    * are re-swept — the scan walks every `v*` dir on disk, not just
+    * the committed ones, so a donor stranded by an earlier vacuum is
+    * reclaimed the first time no kept manifest references it. */
   def vacuumServing(serving: String, keepLast: Int): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val versions = committedVersions(serving).sorted
-    val kept = versions.takeRight(keepLast).toSet
-    val donors = kept.flatMap(v => readManifest(serving, v).values) -- kept
-    versions.filterNot(kept.contains).foreach { v =>
-      if (donors.contains(v)) {
-        // decommission as a snapshot, keep as a bucket donor
-        java.nio.file.Files.deleteIfExists(
-          new java.io.File(serving, s"v$v/$ManifestName").toPath)
-        ()
-      } else rmTree(new java.io.File(serving, s"v$v"))
+    val kept = committedVersions(serving).sorted.takeRight(keepLast).toSet
+    if (kept.nonEmpty) {
+      val referenced = kept.flatMap(v => readManifest(serving, v).values)
+      // every version DIR on disk — committed or already decommissioned
+      val onDisk = Option(new java.io.File(serving).listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory)
+        .flatMap(f => f.getName.stripPrefix("v").toLongOption
+          .filter(_ => f.getName.startsWith("v")).map(_ -> f))
+      onDisk.filterNot { case (v, _) => kept.contains(v) }.foreach {
+        case (v, dir) =>
+          // manifest first, in BOTH branches: a version that loses any
+          // data must already be unresolvable as a snapshot
+          java.nio.file.Files.deleteIfExists(
+            new java.io.File(dir, ManifestName).toPath)
+          if (!referenced.contains(v)) rmTree(dir)
+      }
+      java.nio.file.Files.writeString(
+        new java.io.File(serving, HorizonName).toPath, s"${kept.min}\n")
+      ()
     }
   }
 
@@ -657,8 +678,11 @@ object StreamingWindows {
       serving: String, keyCol: String = "user_id",
       fromVersion: Long = 0L,
       toVersion: Long = Long.MaxValue): Option[DataFrame] = {
+    // diffs at or below a vacuum horizon are unresolvable (their prior
+    // manifests are gone) — excluded rather than fabricated as inserts
+    val from = math.max(fromVersion, changefeedHorizon(serving) + 1L)
     val frames = committedVersions(serving).sorted
-      .filter(v => v >= fromVersion && v <= toVersion).flatMap { v =>
+      .filter(v => v >= from && v <= toVersion).flatMap { v =>
         val owned = readManifest(serving, v)
           .collect { case (b, ver) if ver == v => b }.toSeq.sorted
         if (owned.isEmpty) None
@@ -693,6 +717,16 @@ object StreamingWindows {
   }
 
   private val ManifestName = "manifest.txt"
+  private val HorizonName = "_changefeed_horizon"
+
+  /** The lowest version [[vacuumServing]] kept, if one ever ran: diffs
+    * at or below it are unresolvable (their prior manifests are gone). */
+  private def changefeedHorizon(serving: String): Long = {
+    val f = new java.io.File(serving, HorizonName)
+    if (f.isFile)
+      java.nio.file.Files.readString(f.toPath).trim.toLongOption.getOrElse(-1L)
+    else -1L
+  }
 
   /** Versions whose manifest exists — i.e. whose assembling rename
     * landed. A crash mid-assembly leaves only a `.tmp-v*` dir, which

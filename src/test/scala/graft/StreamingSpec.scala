@@ -757,8 +757,11 @@ class StreamingSpec extends AnyFunSuite {
         "v0's manifest must be gone")
       assert(new java.io.File(serving, "v0").isDirectory,
         "v0's bucket data must survive as a donor")
-      // the changefeed horizon shrinks with the window
-      assert(feed(0L).map(_._1) == Set(1L, 2L))
+      // the changefeed horizon shrinks PAST the lowest kept version:
+      // v1's prior manifest is gone, so its diff is unresolvable and
+      // must be excluded (reporting it would fabricate inserts for
+      // carried-forward rows), leaving only v2
+      assert(feed(0L).map(_._1) == Set(2L))
       // APPLY self-consistency: folding the (pre-vacuum) change rows in
       // version order — last write per key wins — reconstructs the
       // current snapshot exactly (a downstream consumer applying the
@@ -769,6 +772,21 @@ class StreamingSpec extends AnyFunSuite {
       }.toSet
       assert(applied == snap(99L),
         "applying the changefeed must reconstruct the current view")
+      // DONOR RE-SWEEP: v2's manifest still references v0/v1, so they
+      // survived the first vacuum as donors; once a vacuum keeps only a
+      // version that references nobody, the stranded donor dirs (which
+      // are no longer committedVersions — the leak case) are reclaimed
+      val b3 = Seq((keyA, 9L, 90L), (keyB, 9L, 91L), (keyC, 9L, 92L),
+        (keyD, 9L, 93L)).toDF("user_id", "n_events", "last_us")
+      StreamingWindows.upsertBatch(serving, buckets)(b3, 3L)
+      StreamingWindows.vacuumServing(serving, keepLast = 1)
+      Seq("v0", "v1", "v2").foreach(v => assert(
+        !new java.io.File(serving, v).exists(), s"$v must be reclaimed"))
+      assert(snap(99L) == Set((keyA, 9L, 90L), (keyB, 9L, 91L),
+        (keyC, 9L, 92L), (keyD, 9L, 93L)))
+      assert(StreamingWindows.readServingAsOf(spark, serving, 2L).isEmpty)
+      // horizon = 3: no version above it exists → no feed at all
+      assert(StreamingWindows.servingChangefeed(spark, serving).isEmpty)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
