@@ -1050,12 +1050,12 @@ object Dedup {
     import graft.util.Fs
     require(outFiles >= 1, s"outFiles must be >= 1, got $outFiles")
     def rewrite(sub: String): Unit = {
-      val tmp = new java.io.File(s"$path/${sub}_compact_tmp")
+      val tmp = s"$path/${sub}_compact_tmp"
       Fs.rmTree(tmp)
       spark.read.parquet(s"$path/$sub").repartition(outFiles)
-        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-      val live = new java.io.File(s"$path/$sub")
-      val old = new java.io.File(s"$path/${sub}_old")
+        .write.mode("overwrite").parquet(tmp)
+      val live = s"$path/$sub"
+      val old = s"$path/${sub}_old"
       Fs.rmTree(old)
       Fs.move(live, old)
       Fs.move(tmp, live)
@@ -1082,36 +1082,51 @@ object Dedup {
     * one rewrite does both (`outFiles` re-sizes the tables as the
     * compaction would), so a steady-state ingest runs its periodic
     * compaction with the accumulated deletion set for free. Same
-    * stopped-writer window and temp-dir + two-rename swap. */
+    * stopped-writer window as the other deletes.
+    *
+    * Crash protocol (the parked-dir posture of the postings/IVF
+    * deletes, here two-table): BOTH rewrites stage to temp dirs while
+    * both live tables are intact (the writes execute the reads), then
+    * both old tables park OUTSIDE the live tree in `mh_old_del/`, both
+    * rewrites install, and the park is deleted only at the very end. A
+    * parked dir's presence is the loud signal a prior run crashed
+    * (this function refuses to start over one); recovery is uniform:
+    * for each of bands/grams whose LIVE dir is missing, move its
+    * parked dir back, then remove the park and any `*_delete_tmp`
+    * dirs and retry with the SAME deletion set (the set must not be
+    * re-derived from the index — a half-installed table would yield
+    * an empty re-derivation). */
   def deleteFromMinHashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, deleteIds: DataFrame, outFiles: Int = 16): Unit = {
     import graft.util.Fs
     require(outFiles >= 1, s"outFiles must be >= 1, got $outFiles")
+    val parked = s"$path/mh_old_del"
+    require(!Fs.exists(parked),
+      s"$parked exists — a prior delete crashed mid-swap; restore any " +
+        "missing live table from it (see scaladoc) before retrying")
+    val subs = Seq("bands", "grams")
     // localCheckpoint, not persist: the deletion set naturally derives
-    // FROM the index (a retraction sweep selects doc_ids out of it), and
-    // this set is read AGAIN for the grams rewrite AFTER the bands swap —
+    // FROM the index (a retraction sweep selects doc_ids out of it) —
     // an evicted persisted partition would recompute its lineage against
-    // the already-rewritten bands and silently come back empty (the
-    // appendToIvfIndex hazard, here across a mutation this function
-    // itself performs)
+    // a mutated table and silently come back empty (the appendToIvfIndex
+    // hazard, here across a mutation this function itself performs)
     val ids = deleteIds.select("doc_id").distinct().localCheckpoint()
     try {
-      def rewrite(sub: String): Unit = {
-        val tmp = new java.io.File(s"$path/${sub}_delete_tmp")
+      // stage BOTH rewrites first — every read of old state completes
+      // before any rename displaces it
+      subs.foreach { sub =>
+        val tmp = s"$path/${sub}_delete_tmp"
         Fs.rmTree(tmp)
         spark.read.parquet(s"$path/$sub")
           .join(ids, Seq("doc_id"), "left_anti")
           .repartition(outFiles)
-          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val live = new java.io.File(s"$path/$sub")
-        val old = new java.io.File(s"$path/${sub}_old")
-        Fs.rmTree(old)
-        Fs.move(live, old)
-        Fs.move(tmp, live)
-        Fs.rmTree(old)
+          .write.mode("overwrite").parquet(tmp)
       }
-      rewrite("bands")
-      rewrite("grams")
+      Fs.mkdirs(parked)
+      subs.foreach(sub => Fs.move(s"$path/$sub", s"$parked/$sub"))
+      subs.foreach(sub => Fs.move(s"$path/${sub}_delete_tmp", s"$path/$sub"))
+      // install complete — only now is the old state gone
+      Fs.rmTree(parked)
     } finally { releaseLocalCheckpoint(ids) }
   }
 

@@ -561,13 +561,13 @@ object Similarity {
       path: String): Unit = {
     import graft.util.Fs
     val nCells = spark.read.parquet(s"$path/centroids").count().toInt
-    val tmp = new java.io.File(s"$path/cells_compact_tmp")
+    val tmp = s"$path/cells_compact_tmp"
     Fs.rmTree(tmp)
     spark.read.parquet(s"$path/cells")
       .repartition(math.max(nCells, 1), col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(tmp.getAbsolutePath)
-    val live = new java.io.File(s"$path/cells")
-    val old = new java.io.File(s"$path/cells_old")
+      .write.partitionBy("cell").mode("overwrite").parquet(tmp)
+    val live = s"$path/cells"
+    val old = s"$path/cells_old"
     Fs.rmTree(old)
     Fs.move(live, old)
     Fs.move(tmp, live)
@@ -592,8 +592,8 @@ object Similarity {
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, deleteIds: DataFrame): Unit = {
     import graft.util.Fs
-    val parked = new java.io.File(s"$path/cells_old_del")
-    require(!parked.exists(),
+    val parked = s"$path/cells_old_del"
+    require(!Fs.exists(parked),
       s"$parked exists — a prior delete crashed mid-swap; restore its cell " +
         "dirs into cells/ (the pre-delete state) before retrying")
     // localCheckpoint, not persist — the deletion set naturally derives
@@ -607,22 +607,20 @@ object Similarity {
         .select(col("cell").cast("long")).distinct()
         .collect().map(_.getLong(0)).sorted
       if (touched.nonEmpty) {
-        val tmp = new java.io.File(s"$path/cells_delete_tmp")
+        val tmp = s"$path/cells_delete_tmp"
         Fs.rmTree(tmp)
         cells.filter(col("cell").isin(touched.toSeq: _*))
           .join(ids, Seq("vec_id"), "left_anti")
           .repartition(touched.length, col("cell"))
-          .write.partitionBy("cell").mode("overwrite").parquet(tmp.getAbsolutePath)
-        parked.mkdirs()
+          .write.partitionBy("cell").mode("overwrite").parquet(tmp)
+        Fs.mkdirs(parked)
         touched.foreach { c =>
-          Fs.move(new java.io.File(s"$path/cells/cell=$c"),
-            new java.io.File(parked, s"cell=$c"))
+          Fs.move(s"$path/cells/cell=$c", s"$parked/cell=$c")
         }
         touched.foreach { c =>
-          val next = new java.io.File(tmp, s"cell=$c")
+          val next = s"$tmp/cell=$c"
           // a cell fully emptied by the deletion has no rewritten dir
-          if (next.isDirectory)
-            Fs.move(next, new java.io.File(s"$path/cells/cell=$c"))
+          if (Fs.isDir(next)) Fs.move(next, s"$path/cells/cell=$c")
         }
         // install complete — only now is the old state gone
         Fs.rmTree(parked)

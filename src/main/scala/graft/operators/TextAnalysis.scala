@@ -858,13 +858,13 @@ object TextAnalysis {
       path: String): Unit = {
     import graft.util.Fs
     val buckets = spark.read.parquet(s"$path/manifest").head().getAs[Int]("buckets")
-    val tmp = new java.io.File(s"$path/postings_compact_tmp")
+    val tmp = s"$path/postings_compact_tmp"
     Fs.rmTree(tmp)
     spark.read.parquet(s"$path/postings")
       .repartition(buckets, col("p"))
-      .write.partitionBy("p").mode("overwrite").parquet(tmp.getAbsolutePath)
-    val live = new java.io.File(s"$path/postings")
-    val old = new java.io.File(s"$path/postings_old")
+      .write.partitionBy("p").mode("overwrite").parquet(tmp)
+    val live = s"$path/postings"
+    val old = s"$path/postings_old"
     Fs.rmTree(old)
     Fs.move(live, old)
     Fs.move(tmp, live)
@@ -899,8 +899,8 @@ object TextAnalysis {
   def deleteFromInvertedIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, deleteIds: DataFrame): Unit = {
     import graft.util.Fs
-    val parked = new java.io.File(s"$path/postings_old_del")
-    require(!parked.exists(),
+    val parked = s"$path/postings_old_del"
+    require(!Fs.exists(parked),
       s"$parked exists — a prior delete crashed mid-swap; restore its bucket " +
         "dirs into postings/ (the pre-delete state) before retrying")
     val m = spark.read.parquet(s"$path/manifest").head()
@@ -921,38 +921,35 @@ object TextAnalysis {
       // bounded collect: ≤ bucket-modulus values by construction
       val touched = hit.select("p").distinct().collect().map(_.getInt(0)).sorted
       if (touched.nonEmpty) {
-        val tmp = new java.io.File(s"$path/postings_delete_tmp")
+        val tmp = s"$path/postings_delete_tmp"
         Fs.rmTree(tmp)
         // the write EXECUTES the filtered read of the old bucket dirs —
         // it must complete before any rename below touches them
         postings.filter(col("p").isin(touched.toSeq: _*))
           .join(ids, Seq("doc_id"), "left_anti")
           .repartition(touched.length, col("p"))
-          .write.partitionBy("p").mode("overwrite").parquet(tmp.getAbsolutePath)
+          .write.partitionBy("p").mode("overwrite").parquet(tmp)
         // park every touched bucket, then install the rewrites; nothing
         // old is destroyed before the manifest commits below
-        parked.mkdirs()
+        Fs.mkdirs(parked)
         touched.foreach { b =>
-          Fs.move(new java.io.File(s"$path/postings/p=$b"),
-            new java.io.File(parked, s"p=$b"))
+          Fs.move(s"$path/postings/p=$b", s"$parked/p=$b")
         }
         touched.foreach { b =>
-          val next = new java.io.File(tmp, s"p=$b")
+          val next = s"$tmp/p=$b"
           // a bucket whose every row was deleted has no rewritten dir
-          if (next.isDirectory)
-            Fs.move(next, new java.io.File(s"$path/postings/p=$b"))
+          if (Fs.isDir(next)) Fs.move(next, s"$path/postings/p=$b")
         }
         // decremented manifest: staged, then swapped in with the OLD one
         // parked beside the old buckets — the park stays a complete
         // pre-delete snapshot until the very end
-        val mtmp = new java.io.File(s"$path/manifest_delete_tmp")
+        val mtmp = s"$path/manifest_delete_tmp"
         Fs.rmTree(mtmp)
         spark.range(1).select(lit(nDocs - dN).as("n_docs"),
             lit(sumDl - dS).as("sum_dl"), lit(buckets).as("buckets"))
-          .write.mode("overwrite").parquet(mtmp.getAbsolutePath)
-        Fs.move(new java.io.File(s"$path/manifest"),
-          new java.io.File(parked, "manifest"))
-        Fs.move(mtmp, new java.io.File(s"$path/manifest"))
+          .write.mode("overwrite").parquet(mtmp)
+        Fs.move(s"$path/manifest", s"$parked/manifest")
+        Fs.move(mtmp, s"$path/manifest")
         // install complete — only now is the old state gone
         Fs.rmTree(parked)
         Fs.rmTree(tmp)

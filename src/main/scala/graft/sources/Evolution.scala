@@ -42,11 +42,25 @@ object Evolution {
       }
     }
     val target = renamed.last.schema
-    renamed.map { df =>
-      val have = df.columns.toSet
+    renamed.zip(generations).map { case (df, (path, _)) =>
+      val have = df.schema.map(f => f.name -> f.dataType).toMap
       df.select(target.map { f =>
-        if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        have.get(f.name) match {
+          case Some(dt) =>
+            // widening-only: evolution may ADD information (float →
+            // double, int → long), never silently truncate or null it
+            // (double → float, string → int). canUpCast is Spark's own
+            // loss-free-cast judgment — the same rule its
+            // store-assignment ANSI policy applies.
+            require(dt == f.dataType ||
+              org.apache.spark.sql.catalyst.expressions.Cast
+                .canUpCast(dt, f.dataType),
+              s"generation $path column ${f.name}: $dt cannot widen to " +
+                s"${f.dataType} — a narrowing/incompatible cast would " +
+                "silently corrupt history; fix the generation map")
+            col(f.name).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
       }.toSeq: _*)
     }.reduce(_ unionByName _)
   }

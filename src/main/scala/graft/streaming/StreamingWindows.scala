@@ -444,7 +444,11 @@ object StreamingWindows {
     *
     * Crash-safe: the version assembles in a dot-prefixed temp dir —
     * bucket data first, manifest last — and RENAMEs into `v<batchId>`
-    * (atomic on a same-filesystem move). Readers
+    * (`FileSystem.rename` via [[graft.util.Fs]]: atomic on HDFS and
+    * local disk; on object stores the manifest-last ordering is what
+    * keeps the non-atomic rename safe). All control I/O goes through
+    * the Hadoop FileSystem API, so the table lives wherever its path
+    * points — local disk under test, HDFS/S3A at 100 TB. Readers
     * ([[readServingSnapshot]]) only trust versions whose manifest
     * exists, so a crash mid-assembly leaves an inert `.tmp-v*` dir and
     * the previous snapshot stays the committed one — no reader can
@@ -471,8 +475,8 @@ object StreamingWindows {
         val touched = batch.select(bucketOf.as("__bucket")).distinct()
           .collect().map(_.getInt(0)).sorted
         val prev = latestManifest(serving, belowVersion = batchId)
-        val tmp = new java.io.File(serving, s".tmp-v$batchId")
-        rmTree(tmp)
+        val tmp = s"$serving/.tmp-v$batchId"
+        graft.util.Fs.rmTree(tmp)
         // prior rows of ONLY the touched buckets, each read from the
         // version that owns it (leaf-dir reads: no partition discovery,
         // so the files' own schema — the batch schema — comes back)
@@ -486,16 +490,14 @@ object StreamingWindows {
           .withColumn("__bucket", bucketOf)
           .repartition(touched.length, col("__bucket"))
           .write.partitionBy("__bucket").mode("overwrite")
-          .parquet(tmp.getAbsolutePath)
+          .parquet(tmp)
         val manifest = prev ++ touched.map(_ -> batchId)
-        java.nio.file.Files.writeString(
-          new java.io.File(tmp, ManifestName).toPath,
+        graft.util.Fs.writeString(s"$tmp/$ManifestName",
           manifest.toSeq.sorted.map { case (b, v) => s"$b $v" }
             .mkString("", "\n", "\n"))
-        val dst = new java.io.File(serving, s"v$batchId")
-        rmTree(dst) // replay: replace the prior attempt wholesale
-        java.nio.file.Files.move(tmp.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        val dst = s"$serving/v$batchId"
+        graft.util.Fs.rmTree(dst) // replay: replace the prior attempt wholesale
+        graft.util.Fs.move(tmp, dst)
         ()
       }
     } finally { batch.unpersist(); () }
@@ -543,33 +545,36 @@ object StreamingWindows {
       serving: String, transform: DataFrame => DataFrame, buckets: Int,
       keyCol: String): Unit =
     committedVersions(serving).maxOption.foreach { vMax =>
+      import graft.util.Fs
       val view = transform(readServingSnapshot(s, serving).get)
       val bucketOf = pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int")
-      val tmp = new java.io.File(serving, s".tmp-compact-v$vMax")
-      rmTree(tmp)
+      val tmp = s"$serving/.tmp-compact-v$vMax"
+      Fs.rmTree(tmp)
       // the write below is what executes the multi-version read — old
       // dirs must stay intact until it finishes, so the swap comes after
       view.withColumn("__bucket", bucketOf)
         .repartition(buckets, col("__bucket"))
         .write.partitionBy("__bucket").mode("overwrite")
-        .parquet(tmp.getAbsolutePath)
-      val live = Option(tmp.listFiles()).getOrElse(Array.empty)
-        .flatMap(f => Option(f.getName.stripPrefix("__bucket="))
-          .filter(_ != f.getName).flatMap(_.toIntOption))
-      java.nio.file.Files.writeString(
-        new java.io.File(tmp, ManifestName).toPath,
+        .parquet(tmp)
+      val live = Fs.listChildren(tmp)
+        .flatMap { case (name, _) => Option(name.stripPrefix("__bucket="))
+          .filter(_ != name).flatMap(_.toIntOption) }
+      Fs.writeString(s"$tmp/$ManifestName",
         live.sorted.map(b => s"$b $vMax").mkString("", "\n", "\n"))
-      val dst = new java.io.File(serving, s"v$vMax")
-      rmTree(dst)
-      java.nio.file.Files.move(tmp.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      committedVersions(serving).filter(_ < vMax)
-        .foreach(v => rmTree(new java.io.File(serving, s"v$v")))
       // the rewrite re-states the whole table at vMax: diffs at or
-      // below it are no longer derivable — record the horizon so the
-      // changefeed reports nothing rather than the table as inserts
-      java.nio.file.Files.writeString(
-        new java.io.File(serving, HorizonName).toPath, s"$vMax\n")
+      // below it are no longer derivable — record the horizon BEFORE
+      // any old state is displaced (a crash between the deletions below
+      // and a later horizon write would leave the lowest surviving
+      // version's priors gone with no horizon, and the changefeed would
+      // fabricate its carried-forward rows as inserts). A too-early
+      // horizon is merely conservative: the changefeed reports nothing
+      // at or below vMax, which is exactly the post-rewrite contract.
+      Fs.writeString(s"$serving/$HorizonName", s"$vMax\n")
+      val dst = s"$serving/v$vMax"
+      Fs.rmTree(dst)
+      Fs.move(tmp, dst)
+      committedVersions(serving).filter(_ < vMax)
+        .foreach(v => Fs.rmTree(s"$serving/v$v"))
       ()
     }
 
@@ -603,25 +608,40 @@ object StreamingWindows {
     * the committed ones, so a donor stranded by an earlier vacuum is
     * reclaimed the first time no kept manifest references it. */
   def vacuumServing(serving: String, keepLast: Int): Unit = {
+    import graft.util.Fs
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val kept = committedVersions(serving).sorted.takeRight(keepLast).toSet
     if (kept.nonEmpty) {
       val referenced = kept.flatMap(v => readManifest(serving, v).values)
       // every version DIR on disk — committed or already decommissioned
-      val onDisk = Option(new java.io.File(serving).listFiles())
-        .getOrElse(Array.empty).filter(_.isDirectory)
-        .flatMap(f => f.getName.stripPrefix("v").toLongOption
-          .filter(_ => f.getName.startsWith("v")).map(_ -> f))
-      onDisk.filterNot { case (v, _) => kept.contains(v) }.foreach {
-        case (v, dir) =>
-          // manifest first, in BOTH branches: a version that loses any
-          // data must already be unresolvable as a snapshot
-          java.nio.file.Files.deleteIfExists(
-            new java.io.File(dir, ManifestName).toPath)
-          if (!referenced.contains(v)) rmTree(dir)
+      val onDisk = Fs.listChildren(serving)
+        .collect { case (name, true) => name }
+        .flatMap(name => name.stripPrefix("v").toLongOption
+          .filter(_ => name.startsWith("v")).map(_ -> name))
+      val drop = onDisk.filterNot { case (v, _) => kept.contains(v) }
+      // horizon FIRST, and only when this vacuum actually decommissions
+      // a committed version (its manifest still exists and is about to
+      // go). A no-op vacuum (keepLast >= committed versions) must leave
+      // the existing horizon untouched — writing kept.min would silently
+      // drop the first version's fully-resolvable insert diffs — and a
+      // crash between the deletions and a later horizon write would
+      // leave the lowest kept version's priors gone with no horizon,
+      // fabricating its carried-forward rows as inserts. Written before
+      // any deletion, the worst crash outcome is a conservatively-early
+      // horizon (diffs suppressed, never fabricated). Monotonic: a
+      // horizon some earlier pass advanced further (e.g. a compaction)
+      // is never pulled back down.
+      if (drop.exists { case (_, name) =>
+          Fs.isFile(s"$serving/$name/$ManifestName") }) {
+        val h = math.max(kept.min, changefeedHorizon(serving))
+        Fs.writeString(s"$serving/$HorizonName", s"$h\n")
       }
-      java.nio.file.Files.writeString(
-        new java.io.File(serving, HorizonName).toPath, s"${kept.min}\n")
+      drop.foreach { case (v, name) =>
+        // manifest first, in BOTH branches: a version that loses any
+        // data must already be unresolvable as a snapshot
+        Fs.deleteIfExists(s"$serving/$name/$ManifestName")
+        if (!referenced.contains(v)) Fs.rmTree(s"$serving/$name")
+      }
       ()
     }
   }
@@ -722,9 +742,9 @@ object StreamingWindows {
   /** The lowest version [[vacuumServing]] kept, if one ever ran: diffs
     * at or below it are unresolvable (their prior manifests are gone). */
   private def changefeedHorizon(serving: String): Long = {
-    val f = new java.io.File(serving, HorizonName)
-    if (f.isFile)
-      java.nio.file.Files.readString(f.toPath).trim.toLongOption.getOrElse(-1L)
+    val f = s"$serving/$HorizonName"
+    if (graft.util.Fs.isFile(f))
+      graft.util.Fs.readString(f).trim.toLongOption.getOrElse(-1L)
     else -1L
   }
 
@@ -732,9 +752,10 @@ object StreamingWindows {
     * landed. A crash mid-assembly leaves only a `.tmp-v*` dir, which
     * never matches. */
   private def committedVersions(serving: String): Seq[Long] =
-    Option(new java.io.File(serving).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && new java.io.File(f, ManifestName).isFile)
-      .flatMap(_.getName.stripPrefix("v").toLongOption).toSeq
+    graft.util.Fs.listChildren(serving)
+      .collect { case (name, true)
+        if graft.util.Fs.isFile(s"$serving/$name/$ManifestName") => name }
+      .flatMap(_.stripPrefix("v").toLongOption)
 
   /** bucket → owning version as of the newest committed version strictly
     * below `belowVersion` (a replayed batch must never read its own
@@ -743,17 +764,12 @@ object StreamingWindows {
     committedVersions(serving).filter(_ < belowVersion).maxOption
       .map(readManifest(serving, _)).getOrElse(Map.empty)
 
-  private def readManifest(serving: String, v: Long): Map[Int, Long] = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.readAllLines(
-      new java.io.File(serving, s"v$v/$ManifestName").toPath)
-      .asScala.filter(_.nonEmpty).map { l =>
+  private def readManifest(serving: String, v: Long): Map[Int, Long] =
+    graft.util.Fs.readLines(s"$serving/v$v/$ManifestName")
+      .filter(_.nonEmpty).map { l =>
         val Array(b, ver) = l.split(" ")
         b.toInt -> ver.toLong
       }.toMap
-  }
-
-  private def rmTree(f: java.io.File): Unit = graft.util.Fs.rmTree(f)
 
   /** Stream-stream INTERVAL JOIN — click attribution: every view event
     * LEFT-joined to the same user's click events within

@@ -49,4 +49,37 @@ class EvolutionSpec extends AnyFunSuite {
       rm(root)
     }
   }
+
+  test("narrowing or incompatible casts fail loudly instead of corrupting history") {
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_narrow").toFile
+    try {
+      val p = root.getAbsolutePath
+      // gen0 carries DOUBLE scores; the "current" schema narrowed to FLOAT
+      Seq((1L, 2.5)).toDF("id", "score").write.parquet(s"$p/n0")
+      Seq((2L, 1.5f)).toDF("id", "score").write.parquet(s"$p/n1")
+      val e = intercept[IllegalArgumentException] {
+        Evolution.readEvolved(spark, Seq(
+          s"$p/n0" -> Map.empty[String, String],
+          s"$p/n1" -> Map.empty[String, String])).collect()
+      }
+      assert(e.getMessage.contains("cannot widen"), e.getMessage)
+      // incompatible: string history under an int current column
+      Seq((1L, "abc")).toDF("id", "v").write.parquet(s"$p/i0")
+      Seq((2L, 7)).toDF("id", "v").write.parquet(s"$p/i1")
+      intercept[IllegalArgumentException] {
+        Evolution.readEvolved(spark, Seq(
+          s"$p/i0" -> Map.empty[String, String],
+          s"$p/i1" -> Map.empty[String, String])).collect()
+      }
+      // the WIDENING direction (float history, double current) still reads
+      assert(Evolution.readEvolved(spark, Seq(
+        s"$p/n1" -> Map.empty[String, String],
+        s"$p/n0" -> Map.empty[String, String])).count() == 2)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
 }

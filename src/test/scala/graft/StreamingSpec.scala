@@ -794,4 +794,37 @@ class StreamingSpec extends AnyFunSuite {
       rm(dir)
     }
   }
+
+  test("vacuumServing: a no-op vacuum leaves the changefeed horizon untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vacuum_noop").toFile
+    try {
+      val serving = dir.getAbsolutePath
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((1L, 1L, 10L), (2L, 1L, 11L)).toDF("user_id", "n_events", "last_us"), 0L)
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((1L, 2L, 20L)).toDF("user_id", "n_events", "last_us"), 1L)
+      def feedVersions: Set[Long] =
+        StreamingWindows.servingChangefeed(spark, serving).get
+          .collect().map(_.getAs[Long]("version")).toSet
+      assert(feedVersions == Set(0L, 1L))
+      // keepLast >= committed versions: nothing decommissions, so v0's
+      // fully-resolvable insert diffs must STILL flow (the r17 ADVICE
+      // defect wrote horizon = kept.min here and silently dropped them)
+      StreamingWindows.vacuumServing(serving, keepLast = 2)
+      assert(!new java.io.File(serving, "_changefeed_horizon").isFile,
+        "a vacuum that reclaims nothing must not write a horizon")
+      assert(feedVersions == Set(0L, 1L),
+        "a no-op vacuum must not suppress resolvable diffs")
+      // and a REAL vacuum afterward still bounds the feed as before
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((2L, 5L, 50L)).toDF("user_id", "n_events", "last_us"), 2L)
+      StreamingWindows.vacuumServing(serving, keepLast = 2)
+      assert(feedVersions == Set(2L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
