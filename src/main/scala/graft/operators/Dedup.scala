@@ -1014,6 +1014,7 @@ object Dedup {
     * one-shot [[writeMinHashIndex]] over C ∪ B1 ∪ B2, and probes against
     * the two layouts return identical results. */
   def appendToMinHashIndex(newDocs: DataFrame, path: String): Unit = {
+    graft.util.MaintenanceLease.assertNotHeld(path, "appendToMinHashIndex")
     val spark = newDocs.sparkSession
     val m = spark.read.parquet(s"$path/manifest").head()
     val (n, numHashes, bands) =
@@ -1049,6 +1050,7 @@ object Dedup {
       path: String, outFiles: Int = 16): Unit = {
     import graft.util.Fs
     require(outFiles >= 1, s"outFiles must be >= 1, got $outFiles")
+    graft.util.MaintenanceLease.withLease(path, "compactMinHashIndex") {
     def rewrite(sub: String): Unit = {
       val tmp = s"$path/${sub}_compact_tmp"
       Fs.rmTree(tmp)
@@ -1063,6 +1065,7 @@ object Dedup {
     }
     rewrite("bands")
     rewrite("grams")
+    }
   }
 
   /** DELETE documents from a [[writeMinHashIndex]] layout — the
@@ -1100,6 +1103,7 @@ object Dedup {
       path: String, deleteIds: DataFrame, outFiles: Int = 16): Unit = {
     import graft.util.Fs
     require(outFiles >= 1, s"outFiles must be >= 1, got $outFiles")
+    graft.util.MaintenanceLease.withLease(path, "deleteFromMinHashIndex") {
     val parked = s"$path/mh_old_del"
     require(!Fs.exists(parked),
       s"$parked exists — a prior delete crashed mid-swap; restore any " +
@@ -1128,6 +1132,7 @@ object Dedup {
       // install complete — only now is the old state gone
       Fs.rmTree(parked)
     } finally { releaseLocalCheckpoint(ids) }
+    }
   }
 
   /** Fuzzy duplicate pairs by EDIT DISTANCE with prefix blocking — the

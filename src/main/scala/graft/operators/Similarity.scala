@@ -525,6 +525,7 @@ object Similarity {
     * before the write because the append's anti-join reads the directory
     * being appended to. */
   def appendToIvfIndex(newEmb: DataFrame, path: String): Unit = {
+    graft.util.MaintenanceLease.assertNotHeld(path, "appendToIvfIndex")
     val spark = newEmb.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cent_id"), col("cv"), norm(col("cv")).as("cn"))
@@ -558,7 +559,8 @@ object Similarity {
     * oracle); only the file layout collapses. Same temp-dir + two-rename
     * swap and stopped-writer window as the postings compaction. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String): Unit = graft.util.MaintenanceLease.withLease(
+      path, "compactIvfIndex") {
     import graft.util.Fs
     val nCells = spark.read.parquet(s"$path/centroids").count().toInt
     val tmp = s"$path/cells_compact_tmp"
@@ -590,7 +592,8 @@ object Similarity {
     * and uniform recovery is move-the-park-back + rm tmp + retry. Same
     * stopped-writer window as [[compactIvfIndex]], probes paused. */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, deleteIds: DataFrame): Unit = {
+      path: String, deleteIds: DataFrame): Unit =
+      graft.util.MaintenanceLease.withLease(path, "deleteFromIvfIndex") {
     import graft.util.Fs
     val parked = s"$path/cells_old_del"
     require(!Fs.exists(parked),

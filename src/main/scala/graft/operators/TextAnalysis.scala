@@ -812,6 +812,7 @@ object TextAnalysis {
     * Per-append cost ∝ batch (+ one doc_id-projected scan of the layout
     * for the skip set — ids only, never postings payload). */
   def appendToInvertedIndex(newDocs: DataFrame, path: String): Unit = {
+    graft.util.MaintenanceLease.assertNotHeld(path, "appendToInvertedIndex")
     val spark = newDocs.sparkSession
     val m = spark.read.parquet(s"$path/manifest").head()
     val nDocs = m.getAs[Long]("n_docs")
@@ -855,7 +856,8 @@ object TextAnalysis {
     * them leaves `postings_old` intact for manual recovery and readers
     * of the half-state fail loudly rather than read half data. */
   def compactInvertedIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String): Unit = graft.util.MaintenanceLease.withLease(
+      path, "compactInvertedIndex") {
     import graft.util.Fs
     val buckets = spark.read.parquet(s"$path/manifest").head().getAs[Int]("buckets")
     val tmp = s"$path/postings_compact_tmp"
@@ -897,7 +899,8 @@ object TextAnalysis {
     * the same stopped-writer window as compaction, with probes paused —
     * mid-swap the live tree is missing parked pieces. */
   def deleteFromInvertedIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, deleteIds: DataFrame): Unit = {
+      path: String, deleteIds: DataFrame): Unit =
+      graft.util.MaintenanceLease.withLease(path, "deleteFromInvertedIndex") {
     import graft.util.Fs
     val parked = s"$path/postings_old_del"
     require(!Fs.exists(parked),

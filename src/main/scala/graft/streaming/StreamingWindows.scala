@@ -469,6 +469,9 @@ object StreamingWindows {
     batch.persist()
     try {
       if (!batch.isEmpty) {
+        // fail loudly if a maintenance pass owns (or crashed while
+        // owning) this table — writing now would race its renames
+        graft.util.MaintenanceLease.assertNotHeld(serving, "upsertBatch")
         val s = batch.sparkSession
         val bucketOf = pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int")
         // bounded collect: ≤ `buckets` values by construction, never data-scale
@@ -545,6 +548,7 @@ object StreamingWindows {
       serving: String, transform: DataFrame => DataFrame, buckets: Int,
       keyCol: String): Unit =
     committedVersions(serving).maxOption.foreach { vMax =>
+      graft.util.MaintenanceLease.withLease(serving, "rewriteServing") {
       import graft.util.Fs
       val view = transform(readServingSnapshot(s, serving).get)
       val bucketOf = pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int")
@@ -576,6 +580,7 @@ object StreamingWindows {
       committedVersions(serving).filter(_ < vMax)
         .foreach(v => Fs.rmTree(s"$serving/v$v"))
       ()
+      }
     }
 
   /** VACUUM an [[upsertBatch]] serving table to a bounded TIME-TRAVEL
@@ -611,7 +616,7 @@ object StreamingWindows {
     import graft.util.Fs
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val kept = committedVersions(serving).sorted.takeRight(keepLast).toSet
-    if (kept.nonEmpty) {
+    if (kept.nonEmpty) graft.util.MaintenanceLease.withLease(serving, "vacuumServing") {
       val referenced = kept.flatMap(v => readManifest(serving, v).values)
       // every version DIR on disk — committed or already decommissioned
       val onDisk = Fs.listChildren(serving)

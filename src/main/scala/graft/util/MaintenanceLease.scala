@@ -1,0 +1,65 @@
+package graft.util
+
+/** Single-writer enforcement for the persisted layouts' maintenance
+  * passes. Every compact / expire / vacuum / index-delete documents the
+  * same precondition — run inside a stopped-writer window — but until
+  * now nothing ENFORCED it: a racing foreachBatch replay against a
+  * mid-vacuum serving table would corrupt quietly instead of failing
+  * loudly. The lease makes the violated precondition an error in both
+  * directions:
+  *
+  *  - a maintenance pass ACQUIRES `_maintenance_lease` at the layout
+  *    root before mutating (atomic create-if-absent — a concurrent
+  *    second pass fails to acquire and stops);
+  *  - every writer (serving upserts, index appends) checks the marker
+  *    and refuses to write while it exists.
+  *
+  * The lease releases only on SUCCESS. A failed or crashed pass leaves
+  * it in place deliberately: the layout may be mid-mutation (the parked
+  * dirs / temp dirs say exactly where), and writers must stay blocked
+  * until an operator recovers and removes the marker — the same loud-
+  * over-quiet posture as the parked-dir crash protocol. Readers are NOT
+  * gated: every layout's install order (manifest-last, park-first)
+  * keeps concurrent reads consistent mid-pass.
+  *
+  * This is the plain-parquet reproduction of a table format's
+  * commit-conflict detection (Delta/Iceberg reject the losing writer at
+  * commit time); with no transaction log to race on, the marker file is
+  * the smallest mechanism that turns a silent corruption into an error. */
+object MaintenanceLease {
+
+  private[graft] val MarkerName = "_maintenance_lease"
+
+  private def marker(layoutPath: String) = s"$layoutPath/$MarkerName"
+
+  /** Take the lease (atomic create-if-absent); fails loudly if any
+    * holder — live or crashed — still owns it. */
+  private[graft] def acquire(layoutPath: String, owner: String): Unit = {
+    require(!Fs.exists(marker(layoutPath)),
+      s"${marker(layoutPath)} exists — a maintenance pass is running or " +
+        "crashed mid-run; recover the layout (see the pass's crash " +
+        "protocol), then delete the marker")
+    Fs.writeString(marker(layoutPath), s"$owner\n")
+  }
+
+  private[graft] def release(layoutPath: String): Unit =
+    Fs.deleteIfExists(marker(layoutPath))
+
+  /** Run one maintenance pass under the lease. Released only when
+    * `body` SUCCEEDS — a throw leaves the marker as the loud signal
+    * that the layout needs inspection before any writer resumes. */
+  private[graft] def withLease[T](layoutPath: String, owner: String)(body: => T): T = {
+    acquire(layoutPath, owner)
+    val out = body
+    release(layoutPath)
+    out
+  }
+
+  /** Writer-side check: refuse to write into a layout a maintenance
+    * pass currently owns (or crashed while owning). */
+  private[graft] def assertNotHeld(layoutPath: String, writer: String): Unit =
+    require(!Fs.exists(marker(layoutPath)),
+      s"$writer refused: ${marker(layoutPath)} exists — a maintenance " +
+        "pass owns this layout (or crashed mid-run); writing now would " +
+        "race its renames and corrupt the layout")
+}
