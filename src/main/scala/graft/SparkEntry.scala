@@ -3499,6 +3499,38 @@ object SparkEntry {
       streaming.StreamingWindows.vacuumServing(s"$path/serving", keepLast = 2)
     }
 
+  /** The q248/q249 shared run, executed ONCE per SF dir: q214's upsert
+    * chain (versions 0–2), then a TOMBSTONE batch (version 3) deleting
+    * every `user_id % 7 == 3` user — the GDPR-style key removal the
+    * serving table lacked (TTL expires whole windows; nothing removed a
+    * key) — then a RE-INGEST batch (version 4) upserting the
+    * `% 14 == 3` half of the deleted users back with their full
+    * recomputed totals. The tombstone batch is what a deletion-request
+    * queue drains: key + marker, no values. v3 must drop the keys from
+    * exactly their buckets (a bucket emptied entirely leaves the
+    * manifest), v4 must re-insert cleanly into buckets v3 touched —
+    * and the changefeed must read delete (pre-image) → insert for the
+    * reinserted users, which q249 pins against the cumulative-diff
+    * oracle extended with both arms. */
+  private def q248StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q248", dir) { path =>
+      import org.apache.spark.sql.functions._
+      runUpsertServingOnce("q248", s, dir, path)
+      val serving = s"$path/serving"
+      val events = attributionEvents(s, dir)
+      val doomed = events.select("user_id").distinct()
+        .filter(col("user_id") % 7 === 3)
+        .select(col("user_id"), lit(null).cast("long").as("n_events"),
+          lit(null).cast("long").as("last_us"), lit(true).as("__deleted"))
+      streaming.StreamingWindows.upsertBatch(serving,
+        tombstoneCol = Some("__deleted"))(doomed, 3L)
+      val reingested = events.filter(col("user_id") % 14 === 3)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(unix_micros(col("ts"))).as("last_us"))
+      streaming.StreamingWindows.upsertBatch(serving)(reingested, 4L)
+    }
+
   /** The q215 streaming run, executed ONCE per SF dir: q214's
     * update-mode aggregate + upsert sink RESTARTED mid-corpus — the
     * SIXTH streaming state kind to cross a stop/start, and the most
@@ -5056,6 +5088,27 @@ object SparkEntry {
       streaming.StreamingWindows.readServingSnapshot(s,
         s"${q246StreamPath(s, dir)}/serving").get
         .select("user_id", "n_events", "last_us")),
+
+    // SERVING-TABLE TOMBSTONE DELETES: the upsert chain + a tombstone
+    // batch removing every % 7 == 3 user + a re-ingest of the % 14 == 3
+    // half (see q248StreamPath). The current view must equal the batch
+    // GROUP BY excluding the still-deleted keys: a tombstone that
+    // leaks its marker column, misses a bucket, or strands a dangling
+    // manifest entry for an emptied bucket all fail here
+    "q248_serving_tombstone_delete" -> ((s, dir) =>
+      streaming.StreamingWindows.readServingSnapshot(s,
+        s"${q248StreamPath(s, dir)}/serving").get
+        .select("user_id", "n_events", "last_us")),
+
+    // CHANGEFEED WITH DELETES: q233's per-version diff rows extended by
+    // the two delete arms — op='delete' rows carrying the PRE-IMAGE at
+    // the tombstone version (from the full-outer diff, or the
+    // emptied-bucket arm when the whole bucket left the manifest), and
+    // the deleted-then-reinserted users reading delete → insert
+    "q249_serving_delete_changefeed" -> ((s, dir) =>
+      streaming.StreamingWindows.servingChangefeed(s,
+        s"${q248StreamPath(s, dir)}/serving").get
+        .select("version", "op", "user_id", "n_events", "last_us")),
 
     // SERVING-TABLE TIME TRAVEL: q214's versioned chain read AS OF
     // version 1 — the view after batches 0–1 only, resolved through
@@ -9046,6 +9099,41 @@ object SparkEntry {
           |  CASE WHEN rn = 1 THEN 'insert' ELSE 'update' END AS op,
           |  user_id, CAST(n_events AS BIGINT) AS n_events, last_us
           |FROM c""".stripMargin,
+      // q248: the view after tombstones + re-ingest — the batch GROUP
+      // BY excluding the still-deleted keys (% 7 == 3 minus the
+      // % 14 == 3 reinserted half)
+      "q248_serving_tombstone_delete" ->
+        """WITH v AS (SELECT user_id, count(*)::BIGINT AS n_events,
+          |             max(epoch_ns(ts) // 1000) AS last_us
+          |           FROM events GROUP BY user_id)
+          |SELECT * FROM v
+          |WHERE (user_id % 7 <> 3) OR (user_id % 14 = 3)""".stripMargin,
+      // q249: q233's cumulative per-wave diffs (versions 0-2), then the
+      // tombstone version's deletes carrying the PRE-IMAGE (the users'
+      // full totals — every wave is below the delete), then the
+      // re-ingest version's inserts with the same recomputed totals
+      "q249_serving_delete_changefeed" ->
+        """WITH e AS (SELECT user_id, event_id % 3 AS wave,
+          |             epoch_ns(ts) // 1000 AS us FROM events),
+          |w AS (SELECT user_id, wave, count(*) AS n, max(us) AS m
+          |      FROM e GROUP BY user_id, wave),
+          |c AS (SELECT user_id, wave,
+          |        sum(n) OVER (PARTITION BY user_id ORDER BY wave) AS n_events,
+          |        max(m) OVER (PARTITION BY user_id ORDER BY wave) AS last_us,
+          |        row_number() OVER (PARTITION BY user_id ORDER BY wave) AS rn
+          |      FROM w),
+          |f AS (SELECT user_id, count(*)::BIGINT AS n_events,
+          |        max(us) AS last_us FROM e GROUP BY user_id)
+          |SELECT CAST(wave AS BIGINT) AS version,
+          |  CASE WHEN rn = 1 THEN 'insert' ELSE 'update' END AS op,
+          |  user_id, CAST(n_events AS BIGINT) AS n_events, last_us
+          |FROM c
+          |UNION ALL
+          |SELECT 3 AS version, 'delete' AS op, user_id, n_events, last_us
+          |FROM f WHERE user_id % 7 = 3
+          |UNION ALL
+          |SELECT 4 AS version, 'insert' AS op, user_id, n_events, last_us
+          |FROM f WHERE user_id % 14 = 3""".stripMargin,
       // q239: each era's projection replayed from events — NULL
       // backfill for pre-value history, REAL→DOUBLE widening for gen1
       "q239_schema_evolution" ->

@@ -459,9 +459,24 @@ object StreamingWindows {
     * BELOW batchId and rebuilds the same `v<batchId>` from the same
     * inputs, so readers of the latest committed version never see a
     * double-applied batch. Empty batches (the trailing no-data batch)
-    * write nothing. */
+    * write nothing.
+    *
+    * TOMBSTONES (`tombstoneCol`): when set, batch rows whose boolean
+    * marker is true are KEY DELETES — the GDPR-style "remove user X"
+    * a serving table needs beyond whole-window TTL. A deleted key
+    * leaves its bucket in this version (the anti-join drops it from
+    * the carried base, and it is not re-added), so every reader —
+    * current view, time travel at or after this version — never sees
+    * it, while versions BELOW still do (time travel preserves
+    * history; [[vacuumServing]]/[[compactServing]] are what erase
+    * it at rest). A bucket emptied by deletion leaves the manifest
+    * entirely. Deleting an absent key is a no-op. The marker column
+    * never lands in the table; non-tombstone rows in the same batch
+    * upsert as usual. [[servingChangefeed]] reports these as
+    * op='delete' rows carrying the pre-image. */
   def upsertBatch(serving: String, buckets: Int = 16,
-      keyCol: String = "user_id")(batch: org.apache.spark.sql.Dataset[
+      keyCol: String = "user_id", tombstoneCol: Option[String] = None)(
+      batch: org.apache.spark.sql.Dataset[
       org.apache.spark.sql.Row], batchId: Long): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     // foreachBatch guidance: the batch plan re-executes per action (here
@@ -480,21 +495,34 @@ object StreamingWindows {
         val prev = latestManifest(serving, belowVersion = batchId)
         val tmp = s"$serving/.tmp-v$batchId"
         graft.util.Fs.rmTree(tmp)
+        // rows to MERGE IN: tombstone rows participate in the anti-join
+        // below (their key must leave the base) but never re-add
+        val upserts = tombstoneCol.fold(batch.toDF()) { t =>
+          batch.toDF().filter(!coalesce(col(t), lit(false))).drop(t)
+        }
         // prior rows of ONLY the touched buckets, each read from the
         // version that owns it (leaf-dir reads: no partition discovery,
         // so the files' own schema — the batch schema — comes back)
         val priorPaths = touched.toSeq
           .flatMap(b => prev.get(b).map(v => s"$serving/v$v/__bucket=$b"))
         val base =
-          if (priorPaths.isEmpty) batch.toDF().limit(0)
+          if (priorPaths.isEmpty) upserts.limit(0)
           else s.read.parquet(priorPaths: _*)
             .join(batch.select(keyCol), Seq(keyCol), "left_anti")
-        base.unionByName(batch.toDF())
+        base.unionByName(upserts)
           .withColumn("__bucket", bucketOf)
           .repartition(touched.length, col("__bucket"))
           .write.partitionBy("__bucket").mode("overwrite")
           .parquet(tmp)
-        val manifest = prev ++ touched.map(_ -> batchId)
+        // manifest from the buckets actually WRITTEN: a touched bucket
+        // whose every key a tombstone removed has no dir in this
+        // version and must leave the manifest (a dead bucket), not
+        // point at a dir that does not exist
+        val written = graft.util.Fs.listChildren(tmp)
+          .flatMap { case (name, _) => Option(name.stripPrefix("__bucket="))
+            .filter(_ != name).flatMap(_.toIntOption) }.toSet
+        val manifest = (prev -- touched.filterNot(written)) ++
+          touched.filter(written).map(_ -> batchId)
         graft.util.Fs.writeString(s"$tmp/$ManifestName",
           manifest.toSeq.sorted.map { case (b, v) => s"$b $v" }
             .mkString("", "\n", "\n"))
@@ -679,18 +707,22 @@ object StreamingWindows {
     }
 
   /** CHANGEFEED from an [[upsertBatch]] serving table: the per-version
-    * change rows (op ∈ insert | update) the versioned layout records
-    * for free — a table format's CDF read, on plain parquet. For each
-    * committed version, ONLY the bucket dirs that version owns are
-    * read (they hold every row of the buckets its batch touched),
-    * anti-compared against the same buckets' prior-version dirs: a key
-    * absent before is an `insert`, a key whose non-key columns differ
-    * is an `update`, and a carried-forward row that merely shares a
-    * bucket with a changed key (byte-equal before and after) emits
-    * nothing. `delete` never occurs: [[upsertBatch]] only replaces or
-    * adds (retention via [[expireServing]] compacts the chain rather
-    * than writing a delta, so it is out of changefeed scope by
-    * construction).
+    * change rows (op ∈ insert | update | delete) the versioned layout
+    * records for free — a table format's CDF read, on plain parquet.
+    * For each committed version, ONLY the bucket dirs that version
+    * owns are read (they hold every row of the buckets its batch
+    * touched), full-outer-compared against the same buckets'
+    * prior-version dirs: a key absent before is an `insert`, a key
+    * whose non-key columns differ is an `update`, a key present
+    * before but absent now (a tombstone removed it) is a `delete`
+    * carrying the PRE-IMAGE row (the CDF convention — the consumer
+    * needs to know what was removed), and a carried-forward row that
+    * merely shares a bucket with a changed key (byte-equal before and
+    * after) emits nothing. A bucket the version EMPTIED (every key
+    * deleted — it left the manifest entirely) contributes all its
+    * prior rows as deletes. Retention via [[expireServing]] compacts
+    * the chain rather than writing a delta, so it stays out of
+    * changefeed scope by construction.
     *
     * 100 TB shape: I/O is O(Σ touched-bucket data per version), never
     * O(versions × table) — the diff joins per version are equi-joins
@@ -708,17 +740,28 @@ object StreamingWindows {
     val from = math.max(fromVersion, changefeedHorizon(serving) + 1L)
     val frames = committedVersions(serving).sorted
       .filter(v => v >= from && v <= toVersion).flatMap { v =>
-        val owned = readManifest(serving, v)
-          .collect { case (b, ver) if ver == v => b }.toSeq.sorted
-        if (owned.isEmpty) None
-        else {
-          val cur = s.read.parquet(
-            owned.map(b => s"$serving/v$v/__bucket=$b"): _*)
-          val prevMan = latestManifest(serving, belowVersion = v)
-          val priorPaths = owned
-            .flatMap(b => prevMan.get(b).map(pv => s"$serving/v$pv/__bucket=$b"))
-          val changed =
-            if (priorPaths.isEmpty) cur.withColumn("op", lit("insert"))
+        val man = readManifest(serving, v)
+        val owned = man.collect { case (b, ver) if ver == v => b }.toSeq.sorted
+        val prevMan = latestManifest(serving, belowVersion = v)
+        // buckets the prior view had that this version's manifest no
+        // longer lists at all: emptied by tombstones — every prior row
+        // is a delete (no current side exists to join against)
+        val removed = (prevMan.keySet -- man.keySet).toSeq.sorted
+        val emptiedArm =
+          if (removed.isEmpty) None
+          else {
+            val prior = s.read.parquet(
+              removed.map(b => s"$serving/v${prevMan(b)}/__bucket=$b"): _*)
+            Some(prior.withColumn("op", lit("delete")))
+          }
+        val ownedArm =
+          if (owned.isEmpty) None
+          else {
+            val cur = s.read.parquet(
+              owned.map(b => s"$serving/v$v/__bucket=$b"): _*)
+            val priorPaths = owned
+              .flatMap(b => prevMan.get(b).map(pv => s"$serving/v$pv/__bucket=$b"))
+            if (priorPaths.isEmpty) Some(cur.withColumn("op", lit("insert")))
             else {
               val valueCols = cur.columns.filterNot(_ == keyCol).toSeq
               // a key-only table has no values to diff: updates are
@@ -728,15 +771,24 @@ object StreamingWindows {
               val prior = s.read.parquet(priorPaths: _*)
               val p = prior.select(
                 prior.columns.toSeq.map(c => col(c).as(s"__prior_$c")): _*)
-              cur.join(p, cur(keyCol) === p(s"__prior_$keyCol"), "left")
-                .filter(col(s"__prior_$keyCol").isNull || !valuesEqual)
+              val isDelete = cur(keyCol).isNull
+              val isInsert = col(s"__prior_$keyCol").isNull
+              Some(cur.join(p, cur(keyCol) === p(s"__prior_$keyCol"), "full_outer")
+                .filter(isDelete || isInsert || !valuesEqual)
                 .withColumn("op",
-                  when(col(s"__prior_$keyCol").isNull, lit("insert"))
+                  when(isDelete, lit("delete"))
+                    .when(isInsert, lit("insert"))
                     .otherwise(lit("update")))
-                .select(cur.columns.toSeq.map(col) :+ col("op"): _*)
+                // delete rows carry the pre-image; everything else the
+                // post-image (per-row switch, not per-column coalesce —
+                // a legitimately-NULL post-image value must stay NULL)
+                .select(cur.columns.toSeq.map(c =>
+                  when(isDelete, col(s"__prior_$c")).otherwise(cur(c)).as(c))
+                  :+ col("op"): _*))
             }
-          Some(changed.withColumn("version", lit(v)))
-        }
+          }
+        (emptiedArm.toSeq ++ ownedArm.toSeq).reduceOption(_ unionByName _)
+          .map(_.withColumn("version", lit(v)))
       }
     frames.reduceOption(_ unionByName _)
   }

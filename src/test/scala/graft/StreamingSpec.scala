@@ -795,6 +795,68 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertBatch tombstones: key deletes, emptied buckets, delete changefeed") {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val dir = java.nio.file.Files.createTempDirectory("graft_serving_del").toFile
+    try {
+      val serving = dir.getAbsolutePath
+      val buckets = 4
+      def bucketOf(id: Long): Int = spark.range(1)
+        .select(pmod(xxhash64(lit(id)), lit(buckets.toLong)).cast("int"))
+        .head().getInt(0)
+      // A and B share a bucket; L lives ALONE in its bucket (the
+      // emptied-bucket arm needs a delete that leaves zero rows behind)
+      val keyA = 1L
+      val keyB = (2L to 256L).find(bucketOf(_) == bucketOf(keyA)).get
+      val keyL = (2L to 256L).find(k => k != keyB &&
+        bucketOf(k) != bucketOf(keyA)).get
+      def snap(v: Long): Set[(Long, Long, Long)] =
+        StreamingWindows.readServingAsOf(spark, serving, v).get.collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+            r.getAs[Long]("last_us"))).toSet
+      StreamingWindows.upsertBatch(serving, buckets)(
+        Seq((keyA, 1L, 10L), (keyB, 1L, 11L), (keyL, 1L, 12L))
+          .toDF("user_id", "n_events", "last_us"), 0L)
+      // batch 1: tombstone A (bucket keeps B) and L (bucket empties);
+      // a delete of an ABSENT key is a no-op; the marker column has a
+      // NULL (treated false) riding on a regular upsert of B
+      StreamingWindows.upsertBatch(serving, buckets,
+        tombstoneCol = Some("__del"))(
+        Seq((keyA, Option.empty[Long], Option.empty[Long], Some(true)),
+          (keyL, Option.empty[Long], Option.empty[Long], Some(true)),
+          (999L, Option.empty[Long], Option.empty[Long], Some(true)),
+          (keyB, Some(2L), Some(21L), Option.empty[Boolean]))
+          .toDF("user_id", "n_events", "last_us", "__del"), 1L)
+      assert(snap(0L) == Set((keyA, 1L, 10L), (keyB, 1L, 11L), (keyL, 1L, 12L)),
+        "time travel below the delete still sees the keys")
+      assert(snap(99L) == Set((keyB, 2L, 21L)),
+        "deleted keys leave the current view; the marker column never lands")
+      // the emptied bucket left the manifest: no reader path may dangle
+      assert(StreamingWindows.readServingSnapshot(spark, serving).get
+        .columns.toSeq == Seq("user_id", "n_events", "last_us"))
+      // batch 2: deleted-then-reinserted key emits delete -> insert
+      StreamingWindows.upsertBatch(serving, buckets)(
+        Seq((keyA, 5L, 50L)).toDF("user_id", "n_events", "last_us"), 2L)
+      val feed = StreamingWindows.servingChangefeed(spark, serving).get
+        .collect().map(r => (r.getAs[Long]("version"), r.getAs[String]("op"),
+          r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("last_us"))).toSet
+      assert(feed == Set(
+        (0L, "insert", keyA, 1L, 10L), (0L, "insert", keyB, 1L, 11L),
+        (0L, "insert", keyL, 1L, 12L),
+        // deletes carry the PRE-IMAGE; keyL's comes from the emptied-
+        // bucket arm, keyA's from the full-outer arm; 999 emits nothing
+        (1L, "delete", keyA, 1L, 10L), (1L, "delete", keyL, 1L, 12L),
+        (1L, "update", keyB, 2L, 21L),
+        (2L, "insert", keyA, 5L, 50L)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("vacuumServing: a no-op vacuum leaves the changefeed horizon untouched") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vacuum_noop").toFile
     try {
