@@ -3425,6 +3425,43 @@ object SparkEntry {
       runOnce() // run 2: recovered buffers pair and null-emit
     }
 
+  /** The q250 streaming run, executed ONCE per SF dir: q220's
+    * FULL-OUTER stream-stream join restarted mid-corpus on q213's
+    * protocol — the restart twin the r17 verdict named as the hardest
+    * null-emission bookkeeping of the new join types, because BOTH
+    * sides' arms must survive recovery: a run-1 view unmatched forever
+    * must null-emit from RECOVERED view-side state, a run-1 click
+    * unmatched forever must null-emit from recovered click-side state,
+    * and cross-restart pairs (run-1 view × run-2 click, run-2 view ×
+    * run-1 click) gate both buffers at once. Run 1 drains batch 0 and
+    * terminates with everything buffered and nothing emitted (the
+    * min-watermark is still pre-corpus); batches 1–2 and the per-side
+    * sentinels stage only then. q220's FULL JOIN oracle verbatim;
+    * changelog checkpointing as the other restart fixtures. */
+  private def q250StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q250", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val events = attributionEvents(s, dir)
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(eventQuartetSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(new java.io.File(path, "in").getAbsolutePath)
+        val out = streaming.StreamingWindows
+          .streamingClickAttribution(stream,
+            attributionWindow = "30 minutes", watermark = "1440 hours",
+            joinType = "full_outer")
+        runStreamToSink(out, path, changelog = restartChangelogMode)
+      }
+      stageMicroBatches("q250", path,
+        Seq(events.filter(col("event_id") % 3 === 0)))
+      runOnce() // run 1: batch 0 only — both sides buffered, sink empty
+      stageMicroBatches("q250", path,
+        (1 until 3).map(i => events.filter(col("event_id") % 3 === i)) ++
+          joinSentinelStages(events),
+        firstIndex = 1)
+      runOnce() // run 2: recovered buffers pair and BOTH arms null-emit
+    }
+
   /** The q214 streaming run, executed ONCE per SF dir: the raw events
     * staged by `event_id % 3` through an UPDATE-mode per-user aggregate
     * into a foreachBatch UPSERT sink
@@ -5008,6 +5045,15 @@ object SparkEntry {
     // under the shared min-watermark. The DuckDB FULL JOIN replays it
     "q220_streaming_join_full_outer" -> ((s, dir) =>
       s.read.parquet(s"${attributionJoinFixture("q220", s, dir, "full_outer")}/out")
+        .select("view_id", "user_id", "view_us", "click_id", "click_us")),
+
+    // FULL-OUTER restart twin: q220's join stopped after batch 0 (all
+    // buffers loaded, nothing emitted) and resumed — cross-restart
+    // pairs gate BOTH recovered buffers, and every permanently
+    // unmatched run-1 row must null-emit from recovered state on its
+    // own side's arm (see q250StreamPath). q220's oracle verbatim
+    "q250_streaming_full_outer_restart" -> ((s, dir) =>
+      s.read.parquet(s"${q250StreamPath(s, dir)}/out")
         .select("view_id", "user_id", "view_us", "click_id", "click_us")),
 
     // LEFT-SEMI stream-stream join: attribution as a FILTER — a view
@@ -9022,6 +9068,9 @@ object SparkEntry {
       // q219/q220: the same batch join, sides flipped / both arms
       "q219_streaming_join_right_outer" -> clickAttributionOracleSqlFor("right"),
       "q220_streaming_join_full_outer" -> clickAttributionOracleSqlFor("full"),
+      // q250: the SAME full-outer oracle across a join checkpoint
+      // restart — both recovered arms must still null-emit
+      "q250_streaming_full_outer_restart" -> clickAttributionOracleSqlFor("full"),
       // q221: EXISTS — one row per attributed view, however many clicks
       "q221_streaming_join_semi" -> clickAttributionOracleSqlFor("semi"),
       // q222/q223: append ≡ rebuild across micro-batch arrival — the
