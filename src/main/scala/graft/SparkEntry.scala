@@ -4030,6 +4030,25 @@ object SparkEntry {
       }
     }
 
+  /** q251's persisted quantile artifacts, built once per SF dir: the
+    * events corpus split into the % 3 ingest waves, each profiled into
+    * ONE small parquet artifact of per-event_type KLL quantile
+    * sketches + partial row counts
+    * ([[graft.operators.Sketches.writeQuantileShard]]) — the
+    * percentile sibling of q234's HLL shards: "p99 so far" from
+    * artifacts alone, never rescanning profiled data. */
+  private def q251ShardsPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("quantile_shards_q251", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val events = Tables.events(s, dir)
+      (0 until 3).foreach { i =>
+        operators.Sketches.writeQuantileShard(
+          events.filter(col("event_id") % 3 === i),
+          groupCol = "event_type", valueCol = "value",
+          path = s"$path/shard$i")
+      }
+    }
+
   private def q222StoresPath(s: SparkSession, dir: String): String =
     lazyFixtureDir("stream_q222", dir) { path =>
       import org.apache.spark.sql.functions._
@@ -5212,6 +5231,18 @@ object SparkEntry {
         (0 until 3).map(i => s"${q234ShardsPath(s, dir)}/shard$i"),
         Tables.events(s, dir), groupCol = "event_type",
         distinctCol = "user_id")),
+
+    // PERSISTED MERGEABLE QUANTILE SKETCHES: per-wave KLL shard
+    // artifacts unioned to answer per-type p50/p95 WITHOUT rescanning
+    // profiled data (see q251ShardsPath) — q234's sketch posture for
+    // percentiles. Exact percentiles ride along; union-N ≡ rebuild-N ≡
+    // exact count and the ±4-rank-point bands (both the union and the
+    // one-pass rebuild) reduce to oracle-comparable booleans
+    "q251_quantile_shards" -> ((s, dir) =>
+      operators.Sketches.quantileShardsChecked(s,
+        (0 until 3).map(i => s"${q251ShardsPath(s, dir)}/shard$i"),
+        Tables.events(s, dir), groupCol = "event_type",
+        valueCol = "value")),
 
     // STREAM-MAINTAINED sketch shards: q234's artifacts written by a
     // foreachBatch stream, one shard per arrival wave (see
@@ -9223,6 +9254,18 @@ object SparkEntry {
       // q234: sketch shards — exact counts from the full corpus; the
       // sketch-side contracts reduce to literal-true booleans
       "q234_sketch_shards" -> sketchShardsOracleSql,
+      // q251: quantile shards — exact percentiles from the full corpus
+      // (quantile_cont ≡ Spark's exact interpolated percentile); the
+      // sketch-side contracts reduce to literal-true booleans
+      "q251_quantile_shards" ->
+        """SELECT event_type, count(*)::BIGINT AS n_rows,
+          |  round(quantile_cont(value, 0.5), 6) AS exact_p50,
+          |  round(quantile_cont(value, 0.95), 6) AS exact_p95,
+          |  TRUE AS union_n_eq_rebuild,
+          |  TRUE AS p50_within_bound, TRUE AS p95_within_bound,
+          |  TRUE AS rebuild_p50_within_bound,
+          |  TRUE AS rebuild_p95_within_bound
+          |FROM events GROUP BY event_type""".stripMargin,
       // q241: the SAME contract over stream-maintained shards
       "q241_streaming_sketch_shards" -> sketchShardsOracleSql,
       // q242: and across a checkpoint restart of the artifact stream

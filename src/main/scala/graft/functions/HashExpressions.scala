@@ -263,4 +263,21 @@ object HashFunctions {
   def misra_gries(item: Column, capacity: Int): Column =
     GraftColumnBridge.column(
       MisraGriesAgg(GraftColumnBridge.expression(item), capacity).toAggregateExpression())
+
+  /** Column API for [[KllSketchAgg]] (an aggregate — use inside agg()). */
+  def kll_sketch(value: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      KllSketchAgg(GraftColumnBridge.expression(value), k).toAggregateExpression())
+
+  /** Column API for [[KllMergeSummaryAgg]] (an aggregate). */
+  def kll_merge_summary(sketch: Column, ranks: Seq[Double], k: Int): Column =
+    GraftColumnBridge.column(
+      KllMergeSummaryAgg(GraftColumnBridge.expression(sketch), ranks, k)
+        .toAggregateExpression())
+
+  /** Column API for [[KllValuesSummaryAgg]] (an aggregate). */
+  def kll_values_summary(value: Column, ranks: Seq[Double], k: Int): Column =
+    GraftColumnBridge.column(
+      KllValuesSummaryAgg(GraftColumnBridge.expression(value), ranks, k)
+        .toAggregateExpression())
 }

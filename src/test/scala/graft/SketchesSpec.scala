@@ -131,4 +131,73 @@ class SketchesSpec extends AnyFunSuite {
       rm(tmp)
     }
   }
+
+  test("persisted KLL quantile shards: union N exact, ranks in band, drops visible") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kll_shards").toFile
+    try {
+      val events = Tables.events(spark, dir)
+      (0 until 3).foreach(i => Sketches.writeQuantileShard(
+        events.filter(col("event_id") % 3 === i), "event_type", "value",
+        s"${tmp.getAbsolutePath}/shard$i"))
+      val paths = (0 until 3).map(i => s"${tmp.getAbsolutePath}/shard$i")
+      // the artifact reader: exact row counts + in-band quantiles from
+      // the shards alone
+      val fromShards = Sketches.quantilesFromShards(spark, paths,
+        "event_type", Seq(0.5, 0.95)).collect()
+      val exact = events.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        percentile(col("value"), lit(0.46)).as("p46"),
+        percentile(col("value"), lit(0.54)).as("p54"),
+        percentile(col("value"), lit(0.91)).as("p91"),
+        percentile(col("value"), lit(0.99)).as("p99")).collect()
+        .map(r => r.getString(0) -> r).toMap
+      fromShards.foreach { r =>
+        val e = exact(r.getAs[String]("event_type"))
+        assert(r.getAs[Long]("n_rows") == e.getAs[Long]("n"))
+        assert(r.getAs[Long]("sketch_n") == e.getAs[Long]("n"),
+          "the union sketch's update count is exact and order-insensitive")
+        assert(r.getAs[Double]("approx_q50") >= e.getAs[Double]("p46") &&
+          r.getAs[Double]("approx_q50") <= e.getAs[Double]("p54"))
+        assert(r.getAs[Double]("approx_q95") >= e.getAs[Double]("p91") &&
+          r.getAs[Double]("approx_q95") <= e.getAs[Double]("p99"))
+      }
+      // shard ORDER must not matter (merge is commutative): reversed
+      // paths give the same exact N per group
+      val rev = Sketches.quantilesFromShards(spark, paths.reverse,
+        "event_type", Seq(0.5)).collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("sketch_n")).toMap
+      fromShards.foreach(r => assert(
+        rev(r.getAs[String]("event_type")) == r.getAs[Long]("sketch_n")))
+      // the checked reader passes every contract on the full corpus
+      val checked = Sketches.quantileShardsChecked(spark, paths, events,
+        "event_type", "value").collect()
+      assert(checked.nonEmpty)
+      checked.foreach { r =>
+        assert(r.getAs[Boolean]("union_n_eq_rebuild"))
+        assert(r.getAs[Boolean]("p50_within_bound") &&
+          r.getAs[Boolean]("p95_within_bound"))
+        assert(r.getAs[Boolean]("rebuild_p50_within_bound") &&
+          r.getAs[Boolean]("rebuild_p95_within_bound"))
+      }
+      // a dropped shard must be VISIBLE: a synthetic corpus whose
+      // wave-1 values dominate the upper tail — losing that shard
+      // breaks the N pin AND pulls p95 out of band
+      import spark.implicits._
+      val synth = (0L until 300L).map(i => ("g", i.toDouble, i / 150L))
+        .toDF("grp", "v", "wave")
+      (0 until 2).foreach(i => Sketches.writeQuantileShard(
+        synth.filter(col("wave") === i), "grp", "v",
+        s"${tmp.getAbsolutePath}/qsynth$i"))
+      val partial = Sketches.quantileShardsChecked(spark,
+        Seq(s"${tmp.getAbsolutePath}/qsynth0"), synth, "grp", "v").collect()
+      assert(partial.forall(r => !r.getAs[Boolean]("union_n_eq_rebuild") &&
+        !r.getAs[Boolean]("p95_within_bound")),
+        "a dropped shard must break the N pin and the upper-tail band")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
 }
