@@ -487,6 +487,29 @@ object Bench {
     val full = (v: Double) => v.toString
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
 
+    // Committed LIFECYCLE bands (seconds at the main SF), adopted r18
+    // from the r17 final quiet record (BENCH_NOTES r17: loadavg 1.06,
+    // zero regressions) — the lifecycle family, whose fixtures each
+    // rebuild an index through build→append→retract→update→compact
+    // before one probe, gets the same 2x wall-time regression trigger
+    // the stress probes carry. Checked on the min-of-3 (session noise
+    // can't fire it), recorded in the artifact, loud on stderr. A
+    // query with no band yet (first round measured) is unchecked until
+    // a quiet committed reading adopts one.
+    val lifecycleBand: Map[String, Double] = Map(
+      "q243_index_lifecycle" -> 0.64, "q244_ann_ivf_lifecycle" -> 0.77,
+      "q245_neardup_lifecycle" -> 2.06, "q246_serving_vacuum" -> 0.15,
+      "q247_streaming_append_restart" -> 0.64)
+    val lifecycleJson = lifecycleBand.toSeq.sortBy(_._1).map { case (name, band) =>
+      val sec = results.collectFirst { case (`name`, v, _) if v >= 0 => v }
+      val exceeded = sec.exists(_ > 2.0 * band)
+      if (exceeded)
+        System.err.println(f"[bench] REGRESSION: $name ${sec.get}%.2f s " +
+          f"exceeds 2x its committed band $band%.2f s")
+      f""""$name":{"band_sec":$band,"sec":${sec.getOrElse(-1.0)}%.3f,""" +
+        s""""exceeded":$exceeded}"""
+    }.mkString("{", ",", "}")
+
     // candidate-volume instrumentation for the production LSH point (q52) —
     // the fixture derivation is cached across its three actions (count +
     // two candidate probes) so instrumentation doesn't re-run the
@@ -792,7 +815,8 @@ object Bench {
       s""""pass_totals":${passTotals.map(full).mkString("[", ",", "]")},""" +
       s""""loadavg":${loadSamples.mkString("[", ",", "]")},""" +
       s""""lsh_prod":$lshProd,"zorder":$zorder,"ivf_prod":$ivfProd,"mh_index":$mhIndex,""" +
-      s""""skew":$skew,"stress10x":$stress,"heavy_tail":$heavy,$cgJson,""" +
+      s""""skew":$skew,"stress10x":$stress,"heavy_tail":$heavy,""" +
+      s""""lifecycle_bands":$lifecycleJson,$cgJson,""" +
       s""""errors":$errJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     println(fullJson)
