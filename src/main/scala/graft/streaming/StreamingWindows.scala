@@ -771,20 +771,25 @@ object StreamingWindows {
               val prior = s.read.parquet(priorPaths: _*)
               val p = prior.select(
                 prior.columns.toSeq.map(c => col(c).as(s"__prior_$c")): _*)
-              val isDelete = cur(keyCol).isNull
-              val isInsert = col(s"__prior_$keyCol").isNull
-              Some(cur.join(p, cur(keyCol) === p(s"__prior_$keyCol"), "full_outer")
-                .filter(isDelete || isInsert || !valuesEqual)
+              // TWO broadcast-able joins rather than one full-outer: a
+              // full outer cannot BroadcastHashJoin, so it would demote
+              // every per-version diff to a both-sides shuffle (the r18
+              // lifecycle band caught exactly that — q233 at 2.06x its
+              // committed reading). The left join keeps the r17-audited
+              // broadcast shape for insert/update; deletes come from a
+              // separate anti-join of prior against cur's KEYS (build
+              // side ∝ touched-bucket keys), carrying the pre-image.
+              val updIns = cur
+                .join(p, cur(keyCol) === p(s"__prior_$keyCol"), "left")
+                .filter(col(s"__prior_$keyCol").isNull || !valuesEqual)
                 .withColumn("op",
-                  when(isDelete, lit("delete"))
-                    .when(isInsert, lit("insert"))
+                  when(col(s"__prior_$keyCol").isNull, lit("insert"))
                     .otherwise(lit("update")))
-                // delete rows carry the pre-image; everything else the
-                // post-image (per-row switch, not per-column coalesce —
-                // a legitimately-NULL post-image value must stay NULL)
-                .select(cur.columns.toSeq.map(c =>
-                  when(isDelete, col(s"__prior_$c")).otherwise(cur(c)).as(c))
-                  :+ col("op"): _*))
+                .select(cur.columns.toSeq.map(col) :+ col("op"): _*)
+              val dels = prior
+                .join(cur.select(keyCol), Seq(keyCol), "left_anti")
+                .withColumn("op", lit("delete"))
+              Some(updIns.unionByName(dels))
             }
           }
         (emptiedArm.toSeq ++ ownedArm.toSeq).reduceOption(_ unionByName _)

@@ -845,10 +845,21 @@ class StreamingSpec extends AnyFunSuite {
         (0L, "insert", keyA, 1L, 10L), (0L, "insert", keyB, 1L, 11L),
         (0L, "insert", keyL, 1L, 12L),
         // deletes carry the PRE-IMAGE; keyL's comes from the emptied-
-        // bucket arm, keyA's from the full-outer arm; 999 emits nothing
+        // bucket arm, keyA's from the anti-join arm; 999 emits nothing
         (1L, "delete", keyA, 1L, 10L), (1L, "delete", keyL, 1L, 12L),
         (1L, "update", keyB, 2L, 21L),
         (2L, "insert", keyA, 5L, 50L)))
+      // plan shape: delete detection must not demote the per-version
+      // diffs off the broadcast path (a full-outer join would — it
+      // cannot BroadcastHashJoin, and the r18 lifecycle band caught
+      // q233 at 2.06x when it briefly did). Two broadcast-able joins
+      // (left for insert/update, anti for deletes), never a shuffle
+      // join or a nested loop.
+      val plan = StreamingWindows.servingChangefeed(spark, serving).get
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("BroadcastNestedLoop"),
+        "per-version diffs must stay on the broadcast path")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
