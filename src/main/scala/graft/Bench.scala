@@ -499,7 +499,17 @@ object Bench {
     val lifecycleBand: Map[String, Double] = Map(
       "q243_index_lifecycle" -> 0.64, "q244_ann_ivf_lifecycle" -> 0.77,
       "q245_neardup_lifecycle" -> 2.06, "q246_serving_vacuum" -> 0.15,
-      "q247_streaming_append_restart" -> 0.64)
+      "q247_streaming_append_restart" -> 0.64,
+      // adopted from the r18 final quiet record (launch loadavg 0.61)
+      // — q233/q249 carry the post-broadcast-fix changefeed readings,
+      // so the exact join-shape regression this family caught in r18
+      // (full-outer demoting the diffs to SortMergeJoin, q233 at
+      // 2.06x) re-fires in-run if it ever comes back
+      "q233_serving_changefeed" -> 0.77,
+      "q248_serving_tombstone_delete" -> 0.13,
+      "q249_serving_delete_changefeed" -> 1.06,
+      "q250_streaming_full_outer_restart" -> 0.15,
+      "q251_quantile_shards" -> 0.37)
     val lifecycleJson = lifecycleBand.toSeq.sortBy(_._1).map { case (name, band) =>
       val sec = results.collectFirst { case (`name`, v, _) if v >= 0 => v }
       val exceeded = sec.exists(_ > 2.0 * band)
