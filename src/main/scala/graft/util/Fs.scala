@@ -87,6 +87,26 @@ object Fs {
     finally out.close()
   }
 
+  /** CREATE-IF-ABSENT a small control file — the lock primitive.
+    * `create(path, overwrite = false)` is atomic on HDFS (the namenode
+    * arbitrates concurrent creators; exactly one wins), which is what
+    * makes the maintenance lease a real mutex there rather than a
+    * check-then-write race. Returns false if the file already exists
+    * (or a concurrent creator won). */
+  private[graft] def createExclusive(path: String, content: String): Boolean = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    try {
+      val out = fs.create(p, false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if fs.exists(p) => false
+    }
+  }
+
   private[graft] def readString(path: String): String = {
     val p = new Path(path)
     val in = fsOf(p).open(p)

@@ -32,15 +32,15 @@ object MaintenanceLease {
 
   private def marker(layoutPath: String) = s"$layoutPath/$MarkerName"
 
-  /** Take the lease (atomic create-if-absent); fails loudly if any
-    * holder — live or crashed — still owns it. */
-  private[graft] def acquire(layoutPath: String, owner: String): Unit = {
-    require(!Fs.exists(marker(layoutPath)),
+  /** Take the lease — atomic create-if-absent (`create(overwrite =
+    * false)`, namenode-arbitrated on HDFS, so two concurrent passes
+    * cannot both win); fails loudly if any holder — live or crashed —
+    * still owns it. */
+  private[graft] def acquire(layoutPath: String, owner: String): Unit =
+    require(Fs.createExclusive(marker(layoutPath), s"$owner\n"),
       s"${marker(layoutPath)} exists — a maintenance pass is running or " +
         "crashed mid-run; recover the layout (see the pass's crash " +
         "protocol), then delete the marker")
-    Fs.writeString(marker(layoutPath), s"$owner\n")
-  }
 
   private[graft] def release(layoutPath: String): Unit =
     Fs.deleteIfExists(marker(layoutPath))

