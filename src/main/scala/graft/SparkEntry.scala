@@ -3976,6 +3976,34 @@ object SparkEntry {
     q.awaitTermination()
   }
 
+  /** The q252 streaming run, executed ONCE per SF dir: q251's KLL
+    * quantile shards MAINTAINED BY A STREAM — q241's artifact-
+    * maintenance pattern applied to the percentile sibling: each
+    * arrival wave folds into its own persisted KLL shard via
+    * foreachBatch (replay-idempotent by per-batchId overwrite), and
+    * the accumulated artifacts must answer q251's full contract —
+    * union N ≡ rebuild N ≡ exact count, both paths' p50/p95 in the
+    * exact rank band (a lost wave breaks the N pin; a double-applied
+    * wave inflates it). */
+  private def q252StoresPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q252", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val events = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      stageMicroBatches("q252", path,
+        (0 until 3).map(i => events.filter(col("event_id") % 3 === i)))
+      runArtifactStreamOnce(s, path, schema)((b, id) =>
+        operators.Sketches.writeQuantileShard(b, "event_type", "value",
+          s"$path/shards/shard$id"))
+    }
+
   /** The q247 streaming run, executed ONCE per SF dir: the
     * APPEND-style artifact stream across a restart — q242 restart-
     * proved the per-batch-OVERWRITE idempotence mechanism (each wave
@@ -4140,6 +4168,21 @@ object SparkEntry {
 
   /** The q214/q215 shared oracle: the per-user serving view the
     * update-mode upsert stream must converge to. */
+  /** The q251/q252 shared oracle: exact per-type counts + percentiles
+    * from the full corpus (quantile_cont ≡ Spark's exact interpolated
+    * percentile); the KLL-side contracts (union N ≡ rebuild N ≡ exact
+    * count, both paths inside the ±4-rank-point band) reduce to
+    * literal-true booleans the operator computes in-query. */
+  private def quantileShardsOracleSql: String =
+    """SELECT event_type, count(*)::BIGINT AS n_rows,
+      |  round(quantile_cont(value, 0.5), 6) AS exact_p50,
+      |  round(quantile_cont(value, 0.95), 6) AS exact_p95,
+      |  TRUE AS union_n_eq_rebuild,
+      |  TRUE AS p50_within_bound, TRUE AS p95_within_bound,
+      |  TRUE AS rebuild_p50_within_bound,
+      |  TRUE AS rebuild_p95_within_bound
+      |FROM events GROUP BY event_type""".stripMargin
+
   private def servingViewOracleSql: String =
     """SELECT user_id, count(*)::BIGINT AS n_events,
       |max(epoch_ns(ts) // 1000) AS last_us
@@ -5243,6 +5286,22 @@ object SparkEntry {
         (0 until 3).map(i => s"${q251ShardsPath(s, dir)}/shard$i"),
         Tables.events(s, dir), groupCol = "event_type",
         valueCol = "value")),
+
+    // STREAM-MAINTAINED quantile shards: q251's KLL artifacts written
+    // by a foreachBatch stream, one shard per arrival wave (see
+    // q252StoresPath) — the accumulated artifacts answer q251's full
+    // contract (union N ≡ rebuild N ≡ exact count, both paths in the
+    // exact rank band), q251's oracle verbatim
+    "q252_streaming_quantile_shards" -> ((s, dir) => {
+      val stores = q252StoresPath(s, dir)
+      val shards = Option(new java.io.File(s"$stores/shards").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith("shard"))
+        .map(_.getAbsolutePath).sorted.toSeq
+      operators.Sketches.quantileShardsChecked(s, shards,
+        Tables.events(s, dir), groupCol = "event_type",
+        valueCol = "value")
+    }),
 
     // STREAM-MAINTAINED sketch shards: q234's artifacts written by a
     // foreachBatch stream, one shard per arrival wave (see
@@ -9257,15 +9316,9 @@ object SparkEntry {
       // q251: quantile shards — exact percentiles from the full corpus
       // (quantile_cont ≡ Spark's exact interpolated percentile); the
       // sketch-side contracts reduce to literal-true booleans
-      "q251_quantile_shards" ->
-        """SELECT event_type, count(*)::BIGINT AS n_rows,
-          |  round(quantile_cont(value, 0.5), 6) AS exact_p50,
-          |  round(quantile_cont(value, 0.95), 6) AS exact_p95,
-          |  TRUE AS union_n_eq_rebuild,
-          |  TRUE AS p50_within_bound, TRUE AS p95_within_bound,
-          |  TRUE AS rebuild_p50_within_bound,
-          |  TRUE AS rebuild_p95_within_bound
-          |FROM events GROUP BY event_type""".stripMargin,
+      "q251_quantile_shards" -> quantileShardsOracleSql,
+      // q252: the SAME contract over stream-maintained KLL shards
+      "q252_streaming_quantile_shards" -> quantileShardsOracleSql,
       // q241: the SAME contract over stream-maintained shards
       "q241_streaming_sketch_shards" -> sketchShardsOracleSql,
       // q242: and across a checkpoint restart of the artifact stream
