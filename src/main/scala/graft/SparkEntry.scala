@@ -4077,6 +4077,32 @@ object SparkEntry {
       }
     }
 
+  /** The q253 stores, built once per SF dir: all three index layouts
+    * on the full corpus, then ONE deletion-request set (`doc_id % 9 ==
+    * 4` — the established retraction band; embeddings share the id
+    * domain) applied to EACH — the cross-store right-to-be-forgotten
+    * sweep a real deletion-request queue drains. q235/q236/q237 prove
+    * each store's delete alone; q253 proves the composition: one
+    * request set, three layouts, and the read-back consistency matrix
+    * must agree doc-by-doc (a retracted doc at rest in ANY store is a
+    * compliance failure, a survivor missing from any store is data
+    * loss). */
+  private def q253StoresPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("forget_q253", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      TextAnalysis.writeInvertedIndex(docs, s"$path/inv", buckets = 64)
+      Similarity.writeIvfIndex(emb, s"$path/ivf", nCells = 16)
+      Dedup.writeMinHashIndex(docs, s"$path/mh",
+        n = 3, numHashes = 16, bands = 16)
+      val requests = docs.select("doc_id").filter(col("doc_id") % 9 === 4)
+      TextAnalysis.deleteFromInvertedIndex(s, s"$path/inv", requests)
+      Similarity.deleteFromIvfIndex(s, s"$path/ivf",
+        requests.select(col("doc_id").as("vec_id")))
+      Dedup.deleteFromMinHashIndex(s, s"$path/mh", requests)
+    }
+
   private def q222StoresPath(s: SparkSession, dir: String): String =
     lazyFixtureDir("stream_q222", dir) { path =>
       import org.apache.spark.sql.functions._
@@ -5196,6 +5222,55 @@ object SparkEntry {
       streaming.StreamingWindows.readServingSnapshot(s,
         s"${q246StreamPath(s, dir)}/serving").get
         .select("user_id", "n_events", "last_us")),
+
+    // FORGET-EVERYWHERE CAPSTONE: one deletion-request set applied to
+    // all three index layouts (see q253StoresPath), then the per-doc
+    // consistency matrix read back from the physical artifacts — a
+    // retracted doc present in ANY store's data files, or a survivor
+    // missing from any, flips a boolean and hash-mismatches
+    "q253_forget_everywhere" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val stores = q253StoresPath(s, dir)
+      val docs = Tables.documents(s, dir).select("doc_id")
+      def presence(df: DataFrame, name: String): DataFrame =
+        df.distinct().withColumn(name, lit(true))
+      docs
+        .join(presence(s.read.parquet(s"$stores/inv/postings")
+          .select("doc_id"), "in_postings"), Seq("doc_id"), "left")
+        .join(presence(s.read.parquet(s"$stores/ivf/cells")
+          .select(col("vec_id").as("doc_id")), "in_ivf"), Seq("doc_id"), "left")
+        .join(presence(s.read.parquet(s"$stores/mh/grams")
+          .select("doc_id"), "in_minhash"), Seq("doc_id"), "left")
+        // a doc with no embedding has nothing to forget in the ANN
+        // store — its in_ivf is NULL, not false (at sf0.1 the
+        // embedding table covers a subset of the corpus)
+        .join(presence(Tables.embeddings(s, dir)
+          .select(col("vec_id").as("doc_id")), "__has_vec"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("in_postings"), lit(false)).as("in_postings"),
+          when(col("__has_vec"), coalesce(col("in_ivf"), lit(false)))
+            .as("in_ivf"),
+          coalesce(col("in_minhash"), lit(false)).as("in_minhash"))
+    }),
+
+    // CHANGEFEED APPLY: materialize a downstream REPLICA from the
+    // delete-capable changefeed ALONE — per key, the last change row
+    // in version order wins, and a last-op delete means absent. The
+    // replica must equal the serving view (q248's oracle verbatim):
+    // this is the consumer-side proof the insert/update/delete op set
+    // is COMPLETE (before r18, a deleted key could never leave a
+    // replica — the op didn't exist)
+    "q254_changefeed_apply" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val feed = streaming.StreamingWindows.servingChangefeed(s,
+        s"${q248StreamPath(s, dir)}/serving").get
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("version").desc)
+      feed.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("op") =!= "delete")
+        .select("user_id", "n_events", "last_us")
+    }),
 
     // SERVING-TABLE TOMBSTONE DELETES: the upsert chain + a tombstone
     // batch removing every % 7 == 3 user + a re-ingest of the % 14 == 3
@@ -9238,6 +9313,24 @@ object SparkEntry {
           |  CASE WHEN rn = 1 THEN 'insert' ELSE 'update' END AS op,
           |  user_id, CAST(n_events AS BIGINT) AS n_events, last_us
           |FROM c""".stripMargin,
+      // q253: the cross-store consistency matrix — every doc's
+      // presence in all three stores is exactly "not in the request
+      // set" (ids share one domain, every doc has terms/grams/vector)
+      "q253_forget_everywhere" ->
+        """SELECT d.doc_id, (d.doc_id % 9 <> 4) AS in_postings,
+          |  CASE WHEN e.vec_id IS NULL THEN NULL
+          |       ELSE (d.doc_id % 9 <> 4) END AS in_ivf,
+          |  (d.doc_id % 9 <> 4) AS in_minhash
+          |FROM documents d
+          |LEFT JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
+      // q254: applying the changefeed reconstructs the view — q248's
+      // oracle verbatim (the replica a CDF consumer materializes)
+      "q254_changefeed_apply" ->
+        """WITH v AS (SELECT user_id, count(*)::BIGINT AS n_events,
+          |             max(epoch_ns(ts) // 1000) AS last_us
+          |           FROM events GROUP BY user_id)
+          |SELECT * FROM v
+          |WHERE (user_id % 7 <> 3) OR (user_id % 14 = 3)""".stripMargin,
       // q248: the view after tombstones + re-ingest — the batch GROUP
       // BY excluding the still-deleted keys (% 7 == 3 minus the
       // % 14 == 3 reinserted half)
