@@ -32,7 +32,8 @@ object RecoveryProbe {
       "q210_streaming_chat_restart" -> "stream_q210",
       "q211_streaming_funnel_restart" -> "stream_q211",
       "q213_streaming_join_restart" -> "stream_q213",
-      "q215_streaming_upsert_restart" -> "stream_q215")
+      "q215_streaming_upsert_restart" -> "stream_q215",
+      "q250_streaming_full_outer_restart" -> "stream_q250")
     val wallRe = "\"wall_ms\":(\\d+)".r
     val out = Seq.newBuilder[String]
     try {
