@@ -521,8 +521,22 @@ object StreamingWindows {
         val written = graft.util.Fs.listChildren(tmp)
           .flatMap { case (name, _) => Option(name.stripPrefix("__bucket="))
             .filter(_ != name).flatMap(_.toIntOption) }.toSet
-        val manifest = (prev -- touched.filterNot(written)) ++
+        val survived = (prev -- touched.filterNot(written)) ++
           touched.filter(written).map(_ -> batchId)
+        // a batch that deletes the table's LAST key would leave an
+        // empty manifest — no data file anywhere to carry the schema,
+        // and every reader would fail on a zero-path parquet read. An
+        // empty table is a legitimate state (tombstone-everything,
+        // then re-ingest), so keep it READABLE: one schema-carrying
+        // empty bucket dir, written non-partitioned so the 0-row file
+        // still lands
+        val manifest =
+          if (survived.nonEmpty) survived
+          else {
+            upserts.limit(0).coalesce(1).write.mode("overwrite")
+              .parquet(s"$tmp/__bucket=${touched.head}")
+            Map(touched.head -> batchId)
+          }
         graft.util.Fs.writeString(s"$tmp/$ManifestName",
           manifest.toSeq.sorted.map { case (b, v) => s"$b $v" }
             .mkString("", "\n", "\n"))
@@ -588,9 +602,19 @@ object StreamingWindows {
         .repartition(buckets, col("__bucket"))
         .write.partitionBy("__bucket").mode("overwrite")
         .parquet(tmp)
-      val live = Fs.listChildren(tmp)
+      val written = Fs.listChildren(tmp)
         .flatMap { case (name, _) => Option(name.stripPrefix("__bucket="))
           .filter(_ != name).flatMap(_.toIntOption) }
+      // an expire that removes EVERY row must still leave a readable
+      // (empty) view — one schema-carrying empty bucket dir, the
+      // upsertBatch tombstone-everything posture
+      val live =
+        if (written.nonEmpty) written
+        else {
+          view.limit(0).coalesce(1).write.mode("overwrite")
+            .parquet(s"$tmp/__bucket=0")
+          Seq(0)
+        }
       Fs.writeString(s"$tmp/$ManifestName",
         live.sorted.map(b => s"$b $vMax").mkString("", "\n", "\n"))
       // the rewrite re-states the whole table at vMax: diffs at or

@@ -868,6 +868,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("an emptied serving table stays readable: tombstone-everything and expire-everything") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_serving_empty").toFile
+    try {
+      val serving = dir.getAbsolutePath
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((1L, 1L, 10L), (2L, 1L, 11L)).toDF("user_id", "n_events", "last_us"), 0L)
+      // delete the table's LAST keys: the view must stay readable as an
+      // EMPTY frame with the serving schema (a zero-path parquet read
+      // would throw UNABLE_TO_INFER_SCHEMA), not become unreadable
+      StreamingWindows.upsertBatch(serving, buckets = 4,
+        tombstoneCol = Some("__d"))(
+        Seq((1L, Option.empty[Long], Option.empty[Long], Some(true)),
+          (2L, Option.empty[Long], Option.empty[Long], Some(true)))
+          .toDF("user_id", "n_events", "last_us", "__d"), 1L)
+      val empty = StreamingWindows.readServingSnapshot(spark, serving).get
+      assert(empty.count() == 0 &&
+        empty.columns.toSeq == Seq("user_id", "n_events", "last_us"))
+      // life continues: a later batch re-populates, and the changefeed
+      // reads the full arc (inserts, the mass delete, the re-insert)
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((1L, 5L, 50L)).toDF("user_id", "n_events", "last_us"), 2L)
+      assert(StreamingWindows.readServingSnapshot(spark, serving).get.count() == 1)
+      val feed = StreamingWindows.servingChangefeed(spark, serving).get
+        .collect().map(r => (r.getAs[Long]("version"), r.getAs[String]("op"),
+          r.getAs[Long]("user_id"))).toSet
+      assert(feed == Set((0L, "insert", 1L), (0L, "insert", 2L),
+        (1L, "delete", 1L), (1L, "delete", 2L), (2L, "insert", 1L)))
+      // the expire-everything arm of the same edge
+      StreamingWindows.expireServing(spark, serving,
+        org.apache.spark.sql.functions.lit(false), buckets = 4)
+      val expired = StreamingWindows.readServingSnapshot(spark, serving).get
+      assert(expired.count() == 0 &&
+        expired.columns.toSeq == Seq("user_id", "n_events", "last_us"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("vacuumServing: a no-op vacuum leaves the changefeed horizon untouched") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vacuum_noop").toFile
     try {
