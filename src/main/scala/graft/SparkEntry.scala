@@ -3403,7 +3403,20 @@ object SparkEntry {
     * oracle verbatim; changelog checkpointing as the other restart
     * fixtures. */
   private def q213StreamPath(s: SparkSession, dir: String): String =
-    lazyFixtureDir("stream_q213", dir) { path =>
+    restartJoinFixture("q213", s, dir, "left_outer")
+
+  /** One TWO-RUN restart attribution-join fixture — q213's protocol
+    * parameterized by join type (shared by the left-outer and
+    * full-outer restart twins exactly as [[attributionJoinFixture]] is
+    * by the single-run variants, so a protocol fix — staging indices,
+    * changelog flag, sentinel set — lands once). Run 1 drains batch 0
+    * and terminates with both sides buffered and nothing emitted (the
+    * min-watermark is still pre-corpus); batches 1–2 and the per-side
+    * sentinels stage only then, and run 2 resumes from the same
+    * checkpoint. */
+  private def restartJoinFixture(qname: String, s: SparkSession,
+      dir: String, joinType: String): String =
+    lazyFixtureDir(s"stream_$qname", dir) { path =>
       import org.apache.spark.sql.functions._
       val events = attributionEvents(s, dir)
       def runOnce(): Unit = {
@@ -3412,13 +3425,14 @@ object SparkEntry {
           .parquet(new java.io.File(path, "in").getAbsolutePath)
         val out = streaming.StreamingWindows
           .streamingClickAttribution(stream,
-            attributionWindow = "30 minutes", watermark = "1440 hours")
+            attributionWindow = "30 minutes", watermark = "1440 hours",
+            joinType = joinType)
         runStreamToSink(out, path, changelog = restartChangelogMode)
       }
-      stageMicroBatches("q213", path,
+      stageMicroBatches(qname, path,
         Seq(events.filter(col("event_id") % 3 === 0)))
       runOnce() // run 1: batch 0 only — both sides buffered, sink empty
-      stageMicroBatches("q213", path,
+      stageMicroBatches(qname, path,
         (1 until 3).map(i => events.filter(col("event_id") % 3 === i)) ++
           joinSentinelStages(events),
         firstIndex = 1)
@@ -3433,34 +3447,11 @@ object SparkEntry {
     * must null-emit from RECOVERED view-side state, a run-1 click
     * unmatched forever must null-emit from recovered click-side state,
     * and cross-restart pairs (run-1 view × run-2 click, run-2 view ×
-    * run-1 click) gate both buffers at once. Run 1 drains batch 0 and
-    * terminates with everything buffered and nothing emitted (the
-    * min-watermark is still pre-corpus); batches 1–2 and the per-side
-    * sentinels stage only then. q220's FULL JOIN oracle verbatim;
-    * changelog checkpointing as the other restart fixtures. */
+    * run-1 click) gate both buffers at once. [[restartJoinFixture]]'s
+    * two-run protocol; q220's FULL JOIN oracle verbatim; changelog
+    * checkpointing as the other restart fixtures. */
   private def q250StreamPath(s: SparkSession, dir: String): String =
-    lazyFixtureDir("stream_q250", dir) { path =>
-      import org.apache.spark.sql.functions._
-      val events = attributionEvents(s, dir)
-      def runOnce(): Unit = {
-        val stream = s.readStream.schema(eventQuartetSchema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(new java.io.File(path, "in").getAbsolutePath)
-        val out = streaming.StreamingWindows
-          .streamingClickAttribution(stream,
-            attributionWindow = "30 minutes", watermark = "1440 hours",
-            joinType = "full_outer")
-        runStreamToSink(out, path, changelog = restartChangelogMode)
-      }
-      stageMicroBatches("q250", path,
-        Seq(events.filter(col("event_id") % 3 === 0)))
-      runOnce() // run 1: batch 0 only — both sides buffered, sink empty
-      stageMicroBatches("q250", path,
-        (1 until 3).map(i => events.filter(col("event_id") % 3 === i)) ++
-          joinSentinelStages(events),
-        firstIndex = 1)
-      runOnce() // run 2: recovered buffers pair and BOTH arms null-emit
-    }
+    restartJoinFixture("q250", s, dir, "full_outer")
 
   /** The q214 streaming run, executed ONCE per SF dir: the raw events
     * staged by `event_id % 3` through an UPDATE-mode per-user aggregate
@@ -4200,7 +4191,7 @@ object SparkEntry {
     * count, both paths inside the ±4-rank-point band) reduce to
     * literal-true booleans the operator computes in-query. */
   private def quantileShardsOracleSql: String =
-    """SELECT event_type, count(*)::BIGINT AS n_rows,
+    """SELECT event_type, count(value)::BIGINT AS n_rows,
       |  round(quantile_cont(value, 0.5), 6) AS exact_p50,
       |  round(quantile_cont(value, 0.95), 6) AS exact_p95,
       |  TRUE AS union_n_eq_rebuild,
@@ -4213,6 +4204,15 @@ object SparkEntry {
     """SELECT user_id, count(*)::BIGINT AS n_events,
       |max(epoch_ns(ts) // 1000) AS last_us
       |FROM events GROUP BY user_id""".stripMargin
+
+  /** The q248/q254 shared oracle: the serving view after the tombstone
+    * wave (% 7 == 3 deleted) and the re-ingest wave (% 14 == 3 back). */
+  private def tombstoneViewOracleSql: String =
+    """WITH v AS (SELECT user_id, count(*)::BIGINT AS n_events,
+      |             max(epoch_ns(ts) // 1000) AS last_us
+      |           FROM events GROUP BY user_id)
+      |SELECT * FROM v
+      |WHERE (user_id % 7 <> 3) OR (user_id % 14 = 3)""".stripMargin
 
   /** The attribution-join oracle family: the batch join the streaming
     * interval join must converge to — views against same-user clicks in
@@ -9325,21 +9325,11 @@ object SparkEntry {
           |LEFT JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
       // q254: applying the changefeed reconstructs the view — q248's
       // oracle verbatim (the replica a CDF consumer materializes)
-      "q254_changefeed_apply" ->
-        """WITH v AS (SELECT user_id, count(*)::BIGINT AS n_events,
-          |             max(epoch_ns(ts) // 1000) AS last_us
-          |           FROM events GROUP BY user_id)
-          |SELECT * FROM v
-          |WHERE (user_id % 7 <> 3) OR (user_id % 14 = 3)""".stripMargin,
+      "q254_changefeed_apply" -> tombstoneViewOracleSql,
       // q248: the view after tombstones + re-ingest — the batch GROUP
       // BY excluding the still-deleted keys (% 7 == 3 minus the
       // % 14 == 3 reinserted half)
-      "q248_serving_tombstone_delete" ->
-        """WITH v AS (SELECT user_id, count(*)::BIGINT AS n_events,
-          |             max(epoch_ns(ts) // 1000) AS last_us
-          |           FROM events GROUP BY user_id)
-          |SELECT * FROM v
-          |WHERE (user_id % 7 <> 3) OR (user_id % 14 = 3)""".stripMargin,
+      "q248_serving_tombstone_delete" -> tombstoneViewOracleSql,
       // q249: q233's cumulative per-wave diffs (versions 0-2), then the
       // tombstone version's deletes carrying the PRE-IMAGE (the users'
       // full totals — every wave is below the delete), then the

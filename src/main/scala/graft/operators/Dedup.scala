@@ -1013,8 +1013,9 @@ object Dedup {
     * index over C holds row-for-row the same bands/grams/manifest as a
     * one-shot [[writeMinHashIndex]] over C ∪ B1 ∪ B2, and probes against
     * the two layouts return identical results. */
-  def appendToMinHashIndex(newDocs: DataFrame, path: String): Unit = {
-    graft.util.MaintenanceLease.assertNotHeld(path, "appendToMinHashIndex")
+  def appendToMinHashIndex(newDocs: DataFrame, path: String): Unit =
+      graft.util.MaintenanceLease.withWriterLease(
+        path, "appendToMinHashIndex") {
     val spark = newDocs.sparkSession
     val m = spark.read.parquet(s"$path/manifest").head()
     val (n, numHashes, bands) =
@@ -1103,11 +1104,14 @@ object Dedup {
       path: String, deleteIds: DataFrame, outFiles: Int = 16): Unit = {
     import graft.util.Fs
     require(outFiles >= 1, s"outFiles must be >= 1, got $outFiles")
-    graft.util.MaintenanceLease.withLease(path, "deleteFromMinHashIndex") {
+    // parked-dir precondition BEFORE the lease: a refusal-to-start must
+    // not strand a fresh marker on top of the crash signal it reports
+    // (the operator would face two interleaved recoveries — r18 review)
     val parked = s"$path/mh_old_del"
     require(!Fs.exists(parked),
       s"$parked exists — a prior delete crashed mid-swap; restore any " +
         "missing live table from it (see scaladoc) before retrying")
+    graft.util.MaintenanceLease.withLease(path, "deleteFromMinHashIndex") {
     val subs = Seq("bands", "grams")
     // localCheckpoint, not persist: the deletion set naturally derives
     // FROM the index (a retraction sweep selects doc_ids out of it) —

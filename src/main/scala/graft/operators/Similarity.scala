@@ -524,8 +524,8 @@ object Similarity {
     * driver-free anti-join on ids (never vectors); the batch materializes
     * before the write because the append's anti-join reads the directory
     * being appended to. */
-  def appendToIvfIndex(newEmb: DataFrame, path: String): Unit = {
-    graft.util.MaintenanceLease.assertNotHeld(path, "appendToIvfIndex")
+  def appendToIvfIndex(newEmb: DataFrame, path: String): Unit =
+      graft.util.MaintenanceLease.withWriterLease(path, "appendToIvfIndex") {
     val spark = newEmb.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cent_id"), col("cv"), norm(col("cv")).as("cn"))
@@ -592,13 +592,14 @@ object Similarity {
     * and uniform recovery is move-the-park-back + rm tmp + retry. Same
     * stopped-writer window as [[compactIvfIndex]], probes paused. */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, deleteIds: DataFrame): Unit =
-      graft.util.MaintenanceLease.withLease(path, "deleteFromIvfIndex") {
+      path: String, deleteIds: DataFrame): Unit = {
     import graft.util.Fs
+    // parked-dir precondition BEFORE the lease (see the MinHash delete)
     val parked = s"$path/cells_old_del"
     require(!Fs.exists(parked),
       s"$parked exists — a prior delete crashed mid-swap; restore its cell " +
         "dirs into cells/ (the pre-delete state) before retrying")
+    graft.util.MaintenanceLease.withLease(path, "deleteFromIvfIndex") {
     // localCheckpoint, not persist — the deletion set naturally derives
     // FROM the index (the appendToIvfIndex hazard)
     val ids = deleteIds.select("vec_id").distinct().localCheckpoint()
@@ -630,6 +631,7 @@ object Similarity {
         Fs.rmTree(tmp)
       }
     } finally { graft.operators.Dedup.releaseLocalCheckpoint(ids) }
+    }
   }
 
   /** Probe a persisted [[writeIvfIndex]] index: rank centroids per query

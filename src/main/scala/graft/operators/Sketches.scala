@@ -125,7 +125,10 @@ object Sketches {
   def writeQuantileShard(wave: DataFrame, groupCol: String, valueCol: String,
       path: String, k: Int = 200): Unit =
     wave.groupBy(groupCol).agg(
-      count(lit(1)).as("n_rows"),
+      // count the VALUES the sketch profiles (non-NULL — the sketch
+      // skips NULLs), not the rows: a count(*) here would break the
+      // checked reader's N pin on the first NULL value (r18 review #5)
+      count(col(valueCol)).as("n_rows"),
       graft.functions.HashFunctions
         .kll_sketch(col(valueCol).cast("double"), k).as("sketch"))
       .coalesce(1).write.mode("overwrite").parquet(path)
@@ -174,7 +177,8 @@ object Sketches {
       graft.functions.HashFunctions
         .kll_merge_summary(col("sketch"), ranks, k).as("__u"))
     val exact = full.groupBy(groupCol).agg(
-      count(lit(1)).as("__exact_n"),
+      // non-NULL values only, matching the shard writer and the sketch
+      count(v).as("__exact_n"),
       percentile(v, lit(0.5)).as("__p50"),
       percentile(v, lit(0.95)).as("__p95"),
       percentile(v, lit(0.46)).as("__p46"),

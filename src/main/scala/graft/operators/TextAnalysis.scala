@@ -811,8 +811,9 @@ object TextAnalysis {
     *
     * Per-append cost ∝ batch (+ one doc_id-projected scan of the layout
     * for the skip set — ids only, never postings payload). */
-  def appendToInvertedIndex(newDocs: DataFrame, path: String): Unit = {
-    graft.util.MaintenanceLease.assertNotHeld(path, "appendToInvertedIndex")
+  def appendToInvertedIndex(newDocs: DataFrame, path: String): Unit =
+      graft.util.MaintenanceLease.withWriterLease(
+        path, "appendToInvertedIndex") {
     val spark = newDocs.sparkSession
     val m = spark.read.parquet(s"$path/manifest").head()
     val nDocs = m.getAs[Long]("n_docs")
@@ -899,13 +900,14 @@ object TextAnalysis {
     * the same stopped-writer window as compaction, with probes paused —
     * mid-swap the live tree is missing parked pieces. */
   def deleteFromInvertedIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, deleteIds: DataFrame): Unit =
-      graft.util.MaintenanceLease.withLease(path, "deleteFromInvertedIndex") {
+      path: String, deleteIds: DataFrame): Unit = {
     import graft.util.Fs
+    // parked-dir precondition BEFORE the lease (see the MinHash delete)
     val parked = s"$path/postings_old_del"
     require(!Fs.exists(parked),
       s"$parked exists — a prior delete crashed mid-swap; restore its bucket " +
         "dirs into postings/ (the pre-delete state) before retrying")
+    graft.util.MaintenanceLease.withLease(path, "deleteFromInvertedIndex") {
     val m = spark.read.parquet(s"$path/manifest").head()
     val (nDocs, sumDl, buckets) = (m.getAs[Long]("n_docs"),
       m.getAs[Long]("sum_dl"), m.getAs[Int]("buckets"))
@@ -958,6 +960,7 @@ object TextAnalysis {
         Fs.rmTree(tmp)
       }
     } finally { Dedup.releaseLocalCheckpoint(ids) }
+    }
   }
 
   /** BM25 over a [[writeInvertedIndex]] layout — bit-identical to

@@ -483,10 +483,8 @@ object StreamingWindows {
     // isEmpty, the bucket probe, the anti-join, and the union) — persist
     batch.persist()
     try {
-      if (!batch.isEmpty) {
-        // fail loudly if a maintenance pass owns (or crashed while
-        // owning) this table — writing now would race its renames
-        graft.util.MaintenanceLease.assertNotHeld(serving, "upsertBatch")
+      if (!batch.isEmpty) graft.util.MaintenanceLease.withWriterLease(
+          serving, "upsertBatch") {
         val s = batch.sparkSession
         val bucketOf = pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int")
         // bounded collect: ≤ `buckets` values by construction, never data-scale
@@ -589,8 +587,14 @@ object StreamingWindows {
   private def rewriteServing(s: org.apache.spark.sql.SparkSession,
       serving: String, transform: DataFrame => DataFrame, buckets: Int,
       keyCol: String): Unit =
-    committedVersions(serving).maxOption.foreach { vMax =>
+    // vMax resolves INSIDE the lease (the outer check is a fast-path
+    // no-op guard only): bound outside, a commit racing the acquire
+    // would make this pass install the newer view under the stale
+    // number and then delete dirs the newer manifest still references
+    // (r18 review #2)
+    if (committedVersions(serving).nonEmpty)
       graft.util.MaintenanceLease.withLease(serving, "rewriteServing") {
+      committedVersions(serving).maxOption.foreach { vMax =>
       import graft.util.Fs
       val view = transform(readServingSnapshot(s, serving).get)
       val bucketOf = pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int")
@@ -625,7 +629,7 @@ object StreamingWindows {
       // fabricate its carried-forward rows as inserts). A too-early
       // horizon is merely conservative: the changefeed reports nothing
       // at or below vMax, which is exactly the post-rewrite contract.
-      Fs.writeString(s"$serving/$HorizonName", s"$vMax\n")
+      writeHorizon(serving, vMax)
       val dst = s"$serving/v$vMax"
       Fs.rmTree(dst)
       Fs.move(tmp, dst)
@@ -667,8 +671,15 @@ object StreamingWindows {
   def vacuumServing(serving: String, keepLast: Int): Unit = {
     import graft.util.Fs
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    // fast-path no-op guard only — the authoritative kept set resolves
+    // INSIDE the lease: snapshotted outside, a version committed in
+    // the acquire gap would land outside `kept` and be silently
+    // destroyed — the exact quiet corruption the lease exists to
+    // prevent (r18 review #1)
+    if (committedVersions(serving).nonEmpty)
+      graft.util.MaintenanceLease.withLease(serving, "vacuumServing") {
     val kept = committedVersions(serving).sorted.takeRight(keepLast).toSet
-    if (kept.nonEmpty) graft.util.MaintenanceLease.withLease(serving, "vacuumServing") {
+    if (kept.nonEmpty) {
       val referenced = kept.flatMap(v => readManifest(serving, v).values)
       // every version DIR on disk — committed or already decommissioned
       val onDisk = Fs.listChildren(serving)
@@ -689,10 +700,8 @@ object StreamingWindows {
       // horizon some earlier pass advanced further (e.g. a compaction)
       // is never pulled back down.
       if (drop.exists { case (_, name) =>
-          Fs.isFile(s"$serving/$name/$ManifestName") }) {
-        val h = math.max(kept.min, changefeedHorizon(serving))
-        Fs.writeString(s"$serving/$HorizonName", s"$h\n")
-      }
+          Fs.isFile(s"$serving/$name/$ManifestName") })
+        writeHorizon(serving, math.max(kept.min, changefeedHorizon(serving)))
       drop.foreach { case (v, name) =>
         // manifest first, in BOTH branches: a version that loses any
         // data must already be unresolvable as a snapshot
@@ -700,6 +709,7 @@ object StreamingWindows {
         if (!referenced.contains(v)) Fs.rmTree(s"$serving/$name")
       }
       ()
+    }
     }
   }
 
@@ -826,12 +836,34 @@ object StreamingWindows {
   private val HorizonName = "_changefeed_horizon"
 
   /** The lowest version [[vacuumServing]] kept, if one ever ran: diffs
-    * at or below it are unresolvable (their prior manifests are gone). */
-  private def changefeedHorizon(serving: String): Long = {
-    val f = s"$serving/$HorizonName"
-    if (graft.util.Fs.isFile(f))
-      graft.util.Fs.readString(f).trim.toLongOption.getOrElse(-1L)
-    else -1L
+    * at or below it are unresolvable (their prior manifests are gone).
+    * The horizon is stored as a VALUE-STAMPED marker file
+    * (`_changefeed_horizon.<v>`) rather than one rewritten file:
+    * readers are deliberately un-gated by the lease, and a
+    * truncate-in-place rewrite has a window where a concurrent reader
+    * sees an empty file, reads "no horizon", and fabricates inserts
+    * for every carried-forward row (r18 review #4). Writes create the
+    * new stamp BEFORE deleting old ones and readers take the MAX, so
+    * a reader always sees a stamp: the new one, or — only in the
+    * instant before the old stamps are swept, which is itself before
+    * any manifest deletion — the previous one, i.e. exactly the still-
+    * consistent pre-pass state. */
+  private def changefeedHorizon(serving: String): Long =
+    graft.util.Fs.listChildren(serving).collect {
+      case (name, false) if name.startsWith(s"$HorizonName.") =>
+        name.stripPrefix(s"$HorizonName.").toLongOption
+    }.flatten.maxOption.getOrElse(-1L)
+
+  /** Install a new horizon stamp: new file first, stale stamps removed
+    * after — a reader can never observe zero stamps once one exists. */
+  private def writeHorizon(serving: String, h: Long): Unit = {
+    graft.util.Fs.writeString(s"$serving/$HorizonName.$h", s"$h\n")
+    graft.util.Fs.listChildren(serving).foreach {
+      case (name, false) if name.startsWith(s"$HorizonName.") &&
+          name.stripPrefix(s"$HorizonName.").toLongOption.exists(_ < h) =>
+        graft.util.Fs.deleteIfExists(s"$serving/$name")
+      case _ => ()
+    }
   }
 
   /** Versions whose manifest exists — i.e. whose assembling rename

@@ -25,11 +25,34 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * everywhere. */
 object Fs {
 
+  // memoized per session: newHadoopConf() clones the full SparkConf +
+  // Hadoop conf, and the manifest-resolution helpers call into Fs once
+  // per version dir — a per-call clone would mean hundreds of copies
+  // per micro-batch on a long serving chain (r18 review #7). The cache
+  // is a single (session, conf) pair, refreshed when the active
+  // session changes; conf objects are read-only here.
+  @volatile private var cachedConf:
+      (org.apache.spark.sql.SparkSession, org.apache.hadoop.conf.Configuration) = null
+
   private def conf(): org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
+      case Some(s) =>
+        val c = cachedConf
+        if (c != null && (c._1 eq s)) c._2
+        else {
+          val fresh = s.sessionState.newHadoopConf()
+          cachedConf = (s, fresh)
+          fresh
+        }
+      case None => new org.apache.hadoop.conf.Configuration()
+    }
+
+  /** Drop the memoized conf — for callers that mutate the session's
+    * Hadoop configuration after Fs has already been used (tests
+    * registering a filesystem scheme; production code should set
+    * Hadoop conf before touching any layout). */
+  private[graft] def invalidateConfCache(): Unit = cachedConf = null
 
   private def fsOf(p: Path): FileSystem = p.getFileSystem(conf())
 
@@ -96,14 +119,26 @@ object Fs {
   private[graft] def createExclusive(path: String, content: String): Boolean = {
     val p = new Path(path)
     val fs = fsOf(p)
+    val out =
+      try fs.create(p, false)
+      catch {
+        // only a failure OF THE CREATE is "lost the race" — local FS
+        // signals it as a plain IOException, hence the exists() guard
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case e: java.io.IOException => if (fs.exists(p)) return false else throw e
+      }
+    // the create succeeded: a failure past this point (disk full,
+    // quota) is OUR error, not a lost race — remove the file we
+    // created so it cannot masquerade as another holder's marker, and
+    // rethrow (r18 review #6)
     try {
-      val out = fs.create(p, false)
       try out.write(content.getBytes(StandardCharsets.UTF_8))
       finally out.close()
       true
     } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.IOException if fs.exists(p) => false
+      case e: Throwable =>
+        try fs.delete(p, false) catch { case _: java.io.IOException => () }
+        throw e
     }
   }
 

@@ -55,11 +55,39 @@ object MaintenanceLease {
     out
   }
 
-  /** Writer-side check: refuse to write into a layout a maintenance
-    * pass currently owns (or crashed while owning). */
-  private[graft] def assertNotHeld(layoutPath: String, writer: String): Unit =
-    require(!Fs.exists(marker(layoutPath)),
-      s"$writer refused: ${marker(layoutPath)} exists — a maintenance " +
-        "pass owns this layout (or crashed mid-run); writing now would " +
-        "race its renames and corrupt the layout")
+  private[graft] val WriterOwner = "writer"
+
+  /** Writer-side lease, HELD for the duration of one write (a one-shot
+    * check would leave the write's whole multi-job span exposed to a
+    * pass acquiring right after it — r18 review #3). Ownership rules:
+    *
+    *  - marker absent → take it;
+    *  - marker owned by a MAINTENANCE pass → fail loudly (writing now
+    *    would race its renames);
+    *  - marker owned by `writer` → TAKE OVER: it is this layout's
+    *    single writer's own crashed prior attempt, and the replay now
+    *    running IS the recovery path (foreachBatch re-delivers the
+    *    batch; the layouts' id anti-joins / versioned assembly make it
+    *    idempotent) — blocking it on its own wreckage would wedge the
+    *    stream. Two concurrent writers are outside every layout's
+    *    contract (one stream, one table), which is what makes the
+    *    takeover read-then-proceed safe.
+    *
+    * Released on success OR failure: a failed write leaves no
+    * half-mutated shared state (versions assemble in temp dirs,
+    * appends are replay-absorbed), so unlike a maintenance pass there
+    * is nothing for a lingering marker to guard. */
+  private[graft] def withWriterLease[T](layoutPath: String,
+      writer: String)(body: => T): T = {
+    val m = marker(layoutPath)
+    if (!Fs.createExclusive(m, s"$WriterOwner\n")) {
+      val owner =
+        try Fs.readString(m).trim catch { case _: java.io.IOException => "?" }
+      require(owner == WriterOwner,
+        s"$writer refused: $m exists (owner: $owner) — a maintenance " +
+          "pass owns this layout (or crashed mid-run); writing now " +
+          "would race its renames and corrupt the layout")
+    }
+    try body finally release(layoutPath)
+  }
 }

@@ -20,6 +20,9 @@ class FsSchemeSpec extends AnyFunSuite {
     val s = TestSpark.spark
     s.sparkContext.hadoopConfiguration
       .set("fs.testfs.impl", classOf[SchemeTestFs].getName)
+    // Fs memoizes its Hadoop conf per session; the scheme registration
+    // above must be visible to helpers that may already have cached
+    graft.util.Fs.invalidateConfCache()
     s
   }
   import spark.implicits._

@@ -66,6 +66,30 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
     }
   }
 
+  test("writer lease: replay takes over its own crashed marker; maintenance never does") {
+    withTempDir("graft_lease_takeover") { serving =>
+      StreamingWindows.upsertBatch(serving)(
+        Seq((1L, 1L, 10L)).toDF("user_id", "n_events", "last_us"), 0L)
+      // a crashed WRITER's marker (owner "writer"): the foreachBatch
+      // replay IS the recovery path and must not be blocked by its own
+      // wreckage — the write takes over, succeeds, and releases
+      graft.util.Fs.writeString(s"$serving/_maintenance_lease", "writer\n")
+      StreamingWindows.upsertBatch(serving)(
+        Seq((1L, 2L, 20L)).toDF("user_id", "n_events", "last_us"), 1L)
+      assert(StreamingWindows.readServingSnapshot(spark, serving).get
+        .collect().map(_.getAs[Long]("n_events")).toSeq == Seq(2L))
+      assert(!graft.util.Fs.exists(s"$serving/_maintenance_lease"),
+        "a successful write releases the lease")
+      // but MAINTENANCE must not take over a writer's marker — the
+      // writer may be live mid-batch
+      graft.util.Fs.writeString(s"$serving/_maintenance_lease", "writer\n")
+      intercept[IllegalArgumentException] {
+        StreamingWindows.vacuumServing(serving, keepLast = 1)
+      }
+      graft.util.MaintenanceLease.release(serving)
+    }
+  }
+
   test("index appends refuse while a maintenance pass holds the lease") {
     withTempDir("graft_lease_idx") { path =>
       val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
