@@ -81,6 +81,34 @@ class FsSchemeSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$inv/postings").select("doc_id")
         .distinct().collect().map(_.getLong(0)).toSet == Set(1L, 3L))
 
+      // ---- IVF index: build, append, delete, compact, cell check
+      val ivf = s"$root/ivf"
+      val emb = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+        (3L, Array(1f, 1f)), (4L, Array(-1f, 0f)))
+        .toDF("vec_id", "embedding")
+      operators.Similarity.writeIvfIndex(emb.filter($"vec_id" < 4), ivf,
+        nCells = 2)
+      operators.Similarity.appendToIvfIndex(
+        emb.filter($"vec_id" === 4), ivf)
+      operators.Similarity.deleteFromIvfIndex(spark, ivf,
+        Seq(2L).toDF("vec_id"))
+      operators.Similarity.compactIvfIndex(spark, ivf)
+      assert(spark.read.parquet(s"$ivf/cells").select("vec_id")
+        .distinct().collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+
+      // ---- MinHash index: build, append, fused delete+compact
+      val mh = s"$root/mh"
+      val mdocs = Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "beta gamma delta epsilon zeta"),
+        (3L, "gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+      operators.Dedup.writeMinHashIndex(mdocs.filter($"doc_id" < 3), mh,
+        n = 3, numHashes = 8, bands = 4)
+      operators.Dedup.appendToMinHashIndex(mdocs.filter($"doc_id" === 3), mh)
+      operators.Dedup.deleteFromMinHashIndex(spark, mh,
+        Seq(2L).toDF("doc_id"), outFiles = 2)
+      assert(spark.read.parquet(s"$mh/grams").select("doc_id")
+        .distinct().collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+
       // the java.io leak detector: a java.io.File("testfs://...") call
       // resolves RELATIVE to the CWD (the scheme is just characters to
       // it) — if any maintenance path had leaked, a literal `testfs:`
