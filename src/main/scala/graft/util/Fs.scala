@@ -21,8 +21,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * stores rename is copy+delete; the layouts' manifest-last /
   * park-first orderings are what keep a non-atomic rename safe there
   * (a version without its manifest is never resolvable, a parked dir
-  * fails the next run loudly). One definition so a future fix lands
-  * everywhere. */
+  * fails the next run loudly). NOTHING here assumes an atomic
+  * create-if-absent — `create(overwrite = false)` is check-then-write
+  * on S3A and RawLocalFileSystem, so [[graft.util.MaintenanceLease]]
+  * arbitrates with plain writes + listing instead (its write-then-list
+  * candidate protocol needs only read-after-write consistency). One
+  * definition so a future fix lands everywhere. */
 object Fs {
 
   // memoized per session: newHadoopConf() clones the full SparkConf +
@@ -108,38 +112,6 @@ object Fs {
     val out = fsOf(p).create(p, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-  }
-
-  /** CREATE-IF-ABSENT a small control file — the lock primitive.
-    * `create(path, overwrite = false)` is atomic on HDFS (the namenode
-    * arbitrates concurrent creators; exactly one wins), which is what
-    * makes the maintenance lease a real mutex there rather than a
-    * check-then-write race. Returns false if the file already exists
-    * (or a concurrent creator won). */
-  private[graft] def createExclusive(path: String, content: String): Boolean = {
-    val p = new Path(path)
-    val fs = fsOf(p)
-    val out =
-      try fs.create(p, false)
-      catch {
-        // only a failure OF THE CREATE is "lost the race" — local FS
-        // signals it as a plain IOException, hence the exists() guard
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
-        case e: java.io.IOException => if (fs.exists(p)) return false else throw e
-      }
-    // the create succeeded: a failure past this point (disk full,
-    // quota) is OUR error, not a lost race — remove the file we
-    // created so it cannot masquerade as another holder's marker, and
-    // rethrow (r18 review #6)
-    try {
-      try out.write(content.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch {
-      case e: Throwable =>
-        try fs.delete(p, false) catch { case _: java.io.IOException => () }
-        throw e
-    }
   }
 
   private[graft] def readString(path: String): String = {

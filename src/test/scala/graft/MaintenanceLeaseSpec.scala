@@ -2,13 +2,16 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamingWindows
+import graft.util.MaintenanceLease
 
 /** The maintenance lease turns the documented stopped-writer
   * precondition into an enforced one: a writer racing a maintenance
   * pass must fail loudly in BOTH directions — the writer refuses while
   * a pass owns the layout, and a second pass refuses while the first
   * does. A failed pass leaves the marker (the layout may be
-  * mid-mutation); only a successful pass releases it. */
+  * mid-mutation); only a successful pass releases it, and every release
+  * is owner-compared. Acquisition-race coverage lives in LeaseRaceSpec;
+  * this suite pins the contract surfaces. */
 class MaintenanceLeaseSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -28,7 +31,8 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
     withTempDir("graft_lease_upsert") { serving =>
       val b0 = Seq((1L, 1L, 10L)).toDF("user_id", "n_events", "last_us")
       StreamingWindows.upsertBatch(serving)(b0, 0L)
-      graft.util.MaintenanceLease.acquire(serving, "test-pass")
+      val token = MaintenanceLease.acquireToken(serving,
+        MaintenanceLease.MaintenanceKind, "test-pass")
       val e = intercept[IllegalArgumentException] {
         StreamingWindows.upsertBatch(serving)(
           Seq((1L, 2L, 20L)).toDF("user_id", "n_events", "last_us"), 1L)
@@ -38,7 +42,7 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
       assert(StreamingWindows.readServingAsOf(spark, serving, 99L).get
         .collect().map(_.getAs[Long]("n_events")).toSeq == Seq(1L))
       // recovery: release, and the same write goes through
-      graft.util.MaintenanceLease.release(serving)
+      assert(MaintenanceLease.release(serving, token))
       StreamingWindows.upsertBatch(serving)(
         Seq((1L, 2L, 20L)).toDF("user_id", "n_events", "last_us"), 1L)
       assert(StreamingWindows.readServingAsOf(spark, serving, 99L).get
@@ -50,14 +54,15 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
     withTempDir("graft_lease_maint") { serving =>
       StreamingWindows.upsertBatch(serving)(
         Seq((1L, 1L, 10L)).toDF("user_id", "n_events", "last_us"), 0L)
-      graft.util.MaintenanceLease.acquire(serving, "first-pass")
+      val token = MaintenanceLease.acquireToken(serving,
+        MaintenanceLease.MaintenanceKind, "first-pass")
       intercept[IllegalArgumentException] {
         StreamingWindows.vacuumServing(serving, keepLast = 1)
       }
       intercept[IllegalArgumentException] {
         StreamingWindows.compactServing(spark, serving)
       }
-      graft.util.MaintenanceLease.release(serving)
+      assert(MaintenanceLease.release(serving, token))
       // the lease CYCLES: a successful pass releases, writers resume
       StreamingWindows.compactServing(spark, serving)
       StreamingWindows.upsertBatch(serving)(
@@ -86,7 +91,42 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         StreamingWindows.vacuumServing(serving, keepLast = 1)
       }
-      graft.util.MaintenanceLease.release(serving)
+      MaintenanceLease.forceRelease(serving)
+    }
+  }
+
+  test("release is owner-compared: a stale holder never deletes a later pass's marker") {
+    withTempDir("graft_lease_owner") { layout =>
+      val first = MaintenanceLease.acquireToken(layout,
+        MaintenanceLease.MaintenanceKind, "pass-1")
+      // an operator force-releases mid-pass (wrongly) and a second pass acquires
+      MaintenanceLease.forceRelease(layout)
+      val second = MaintenanceLease.acquireToken(layout,
+        MaintenanceLease.MaintenanceKind, "pass-2")
+      // the stale first holder's release must NOT un-gate pass-2's marker
+      assert(!MaintenanceLease.release(layout, first))
+      assert(graft.util.Fs.exists(s"$layout/_maintenance_lease"),
+        "pass-2's marker must survive pass-1's stale release")
+      assert(MaintenanceLease.release(layout, second))
+    }
+  }
+
+  test("a takeover write's release leaves a maintenance marker installed mid-write") {
+    withTempDir("graft_lease_advice1") { layout =>
+      // the r18 ADVICE scenario: a crashed writer marker is taken over;
+      // mid-write an operator force-releases and a maintenance pass
+      // acquires — the write's final release must not delete the pass's
+      // marker (before the takeover re-stamp, it did)
+      graft.util.Fs.writeString(s"$layout/_maintenance_lease", "writer\n")
+      var maintToken: String = null
+      MaintenanceLease.withWriterLease(layout, "test-writer") {
+        MaintenanceLease.forceRelease(layout)
+        maintToken = MaintenanceLease.acquireToken(layout,
+          MaintenanceLease.MaintenanceKind, "mid-write-pass")
+      }
+      assert(graft.util.Fs.exists(s"$layout/_maintenance_lease"),
+        "the maintenance pass's marker must survive the write's release")
+      assert(MaintenanceLease.release(layout, maintToken))
     }
   }
 
@@ -95,17 +135,65 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
       val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
         .toDF("doc_id", "text")
       operators.TextAnalysis.writeInvertedIndex(docs, path, buckets = 4)
-      graft.util.MaintenanceLease.acquire(path, "test-pass")
+      val token = MaintenanceLease.acquireToken(path,
+        MaintenanceLease.MaintenanceKind, "test-pass")
       val e = intercept[IllegalArgumentException] {
         operators.TextAnalysis.appendToInvertedIndex(
           Seq((3L, "delta epsilon")).toDF("doc_id", "text"), path)
       }
       assert(e.getMessage.contains("appendToInvertedIndex"), e.getMessage)
-      graft.util.MaintenanceLease.release(path)
+      assert(MaintenanceLease.release(path, token))
       operators.TextAnalysis.appendToInvertedIndex(
         Seq((3L, "delta epsilon")).toDF("doc_id", "text"), path)
       assert(spark.read.parquet(s"$path/postings")
         .select("doc_id").distinct().count() == 3)
+    }
+  }
+
+  test("inspect + forceRelease: the crashed-lease operability surface") {
+    withTempDir("graft_lease_inspect") { layout =>
+      // clean layout
+      val clean = MaintenanceLease.inspect(layout)
+      assert(clean.ownerKind.isEmpty && clean.candidates.isEmpty &&
+        clean.parkedDirs.isEmpty)
+      assert(clean.recovery.contains("clean"))
+      // a held lease names its owner
+      val token = MaintenanceLease.acquireToken(layout,
+        MaintenanceLease.MaintenanceKind, "inspect-pass")
+      val held = MaintenanceLease.inspect(layout)
+      assert(held.ownerKind.contains("maintenance"))
+      assert(held.ownerDescription.contains("inspect-pass"))
+      // a parked dir (crashed mid-swap) blocks forceRelease…
+      graft.util.Fs.mkdirs(s"$layout/mh_old_del")
+      val crashed = MaintenanceLease.inspect(layout)
+      assert(crashed.parkedDirs == Seq("mh_old_del"))
+      assert(crashed.recovery.contains("crash"))
+      val e = intercept[IllegalArgumentException] {
+        MaintenanceLease.forceRelease(layout)
+      }
+      assert(e.getMessage.contains("mh_old_del"), e.getMessage)
+      assert(graft.util.Fs.exists(s"$layout/_maintenance_lease"),
+        "a refused forceRelease must not clear the marker")
+      // …while STAGING dirs (inert rewrite outputs) do not
+      graft.util.Fs.rmTree(s"$layout/mh_old_del")
+      graft.util.Fs.mkdirs(s"$layout/.tmp-v3")
+      graft.util.Fs.mkdirs(s"$layout/bands_delete_tmp")
+      val staged = MaintenanceLease.inspect(layout)
+      assert(staged.parkedDirs.isEmpty)
+      assert(staged.stagingDirs == Seq(".tmp-v3", "bands_delete_tmp"))
+      MaintenanceLease.forceRelease(layout)
+      assert(!graft.util.Fs.exists(s"$layout/_maintenance_lease"))
+      // forceRelease also sweeps stranded acquisition candidates
+      graft.util.Fs.writeString(
+        s"$layout/_maintenance_lease.cand.dead-acquirer", "maintenance\nx\n")
+      assert(MaintenanceLease.inspect(layout).candidates.nonEmpty)
+      MaintenanceLease.forceRelease(layout)
+      assert(MaintenanceLease.inspect(layout).candidates.isEmpty)
+      // and the swept layout is acquirable again
+      val t2 = MaintenanceLease.acquireToken(layout,
+        MaintenanceLease.MaintenanceKind, "post-recovery")
+      assert(MaintenanceLease.release(layout, t2))
+      assert(MaintenanceLease.release(layout, token) == false)
     }
   }
 }
