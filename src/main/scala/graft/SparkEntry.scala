@@ -1721,19 +1721,26 @@ object SparkEntry {
       |          ORDER BY score_micro DESC, doc_id) AS INT) AS rank
       |      FROM qs QUALIFY rank <= 10)""".stripMargin
 
+  /** Every `shard<id>` artifact dir under `<stores>/shards`, ordered by
+    * the NUMERIC batch id — a lexicographic sort would put shard10
+    * before shard2 once a stream passes nine waves — and listed through
+    * the Fs scheme abstraction rather than java.io, so artifact streams
+    * work wherever their path's scheme points (r18 ADVICE). */
+  private def shardPathsUnder(stores: String): Seq[String] =
+    graft.util.Fs.listChildren(s"$stores/shards").flatMap { case (name, isDir) =>
+      if (isDir) name.stripPrefix("shard").toLongOption
+        .map(id => (id, s"$stores/shards/$name"))
+      else None
+    }.sortBy(_._1).map(_._2)
+
   /** The q241/q242 shared reader: every `shard*` artifact accumulated
     * under `stores/shards`, run through the checked contract against
     * the full corpus. */
   private def checkedShardsUnder(s: SparkSession, dir: String,
-      stores: String): DataFrame = {
-    val shards = Option(new java.io.File(s"$stores/shards").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.startsWith("shard"))
-      .map(_.getAbsolutePath).sorted.toSeq
-    operators.Sketches.distinctShardsChecked(s, shards,
+      stores: String): DataFrame =
+    operators.Sketches.distinctShardsChecked(s, shardPathsUnder(stores),
       Tables.events(s, dir), groupCol = "event_type",
       distinctCol = "user_id")
-  }
 
   /** The q234/q241 shared oracle: exact per-type counts + distincts
     * from the full corpus; the sketch-side contracts (union within ±5%
@@ -5367,16 +5374,11 @@ object SparkEntry {
     // q252StoresPath) — the accumulated artifacts answer q251's full
     // contract (union N ≡ rebuild N ≡ exact count, both paths in the
     // exact rank band), q251's oracle verbatim
-    "q252_streaming_quantile_shards" -> ((s, dir) => {
-      val stores = q252StoresPath(s, dir)
-      val shards = Option(new java.io.File(s"$stores/shards").listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.startsWith("shard"))
-        .map(_.getAbsolutePath).sorted.toSeq
-      operators.Sketches.quantileShardsChecked(s, shards,
+    "q252_streaming_quantile_shards" -> ((s, dir) =>
+      operators.Sketches.quantileShardsChecked(s,
+        shardPathsUnder(q252StoresPath(s, dir)),
         Tables.events(s, dir), groupCol = "event_type",
-        valueCol = "value")
-    }),
+        valueCol = "value")),
 
     // STREAM-MAINTAINED sketch shards: q234's artifacts written by a
     // foreachBatch stream, one shard per arrival wave (see

@@ -1125,10 +1125,20 @@ object Dedup {
       subs.foreach { sub =>
         val tmp = s"$path/${sub}_delete_tmp"
         Fs.rmTree(tmp)
-        spark.read.parquet(s"$path/$sub")
+        val survivors = spark.read.parquet(s"$path/$sub")
           .join(ids, Seq("doc_id"), "left_anti")
-          .repartition(outFiles)
+        survivors.repartition(outFiles)
           .write.mode("overwrite").parquet(tmp)
+        // a deletion set covering EVERY indexed doc leaves a rewrite
+        // with no data file (empty partitions write nothing), and a
+        // later read of the installed table would fail schema
+        // inference. An emptied index is a legitimate state — keep it
+        // READABLE with one schema-carrying empty file, the serving
+        // table's tombstone-everything posture (r18 ADVICE)
+        if (!Fs.listChildren(tmp).exists { case (name, isDir) =>
+            !isDir && !name.startsWith("_") && !name.startsWith(".") })
+          survivors.limit(0).coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
       }
       Fs.mkdirs(parked)
       subs.foreach(sub => Fs.move(s"$path/$sub", s"$parked/$sub"))

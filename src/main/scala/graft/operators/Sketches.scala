@@ -187,19 +187,26 @@ object Sketches {
       percentile(v, lit(0.99)).as("__p99"),
       graft.functions.HashFunctions.kll_values_summary(v, ranks, k)
         .as("__r"))
+    // a group whose values are ALL NULL has an empty sketch (quantiles
+    // array null) and NULL exact percentiles — its band comparison is
+    // three-valued NULL, which would neither match the oracle's literal
+    // TRUE nor read as a failure. There is nothing to bound for n == 0,
+    // so the boolean is DEFINED as true there (r18 ADVICE)
+    def inBand(q: Column, lo: Column, hi: Column): Column =
+      when(col("__exact_n") === 0, lit(true)).otherwise(q.between(lo, hi))
     unioned.join(exact, groupCol).select(
       col(groupCol), col("n_rows"),
       round(col("__p50"), 6).as("exact_p50"),
       round(col("__p95"), 6).as("exact_p95"),
       (col("__u.n") === col("__exact_n") && col("__r.n") === col("__exact_n"))
         .as("union_n_eq_rebuild"),
-      element_at(col("__u.quantiles"), 1).between(col("__p46"), col("__p54"))
+      inBand(element_at(col("__u.quantiles"), 1), col("__p46"), col("__p54"))
         .as("p50_within_bound"),
-      element_at(col("__u.quantiles"), 2).between(col("__p91"), col("__p99"))
+      inBand(element_at(col("__u.quantiles"), 2), col("__p91"), col("__p99"))
         .as("p95_within_bound"),
-      element_at(col("__r.quantiles"), 1).between(col("__p46"), col("__p54"))
+      inBand(element_at(col("__r.quantiles"), 1), col("__p46"), col("__p54"))
         .as("rebuild_p50_within_bound"),
-      element_at(col("__r.quantiles"), 2).between(col("__p91"), col("__p99"))
+      inBand(element_at(col("__r.quantiles"), 2), col("__p91"), col("__p99"))
         .as("rebuild_p95_within_bound"))
   }
 

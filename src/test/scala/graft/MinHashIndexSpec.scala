@@ -184,4 +184,29 @@ class MinHashIndexSpec extends AnyFunSuite {
       assert(bands(dir) == bands(rebuilt) && grams(dir) == grams(rebuilt))
     } finally { rm(dir); rm(rebuilt) }
   }
+
+  test("a delete that empties the whole index leaves it readable") {
+    val dir = tmp()
+    try {
+      // retracting EVERY indexed doc must not strand a data-file-less
+      // directory that later reads fail to schema-infer — the emptied
+      // index stays readable (schema-carrying empty file) and appendable
+      Dedup.writeMinHashIndex(corpus, dir.getAbsolutePath,
+        n = 3, numHashes = 16, bands = 16)
+      Dedup.deleteFromMinHashIndex(spark, dir.getAbsolutePath,
+        corpus.select("doc_id"), outFiles = 2)
+      assert(spark.read.parquet(s"${dir.getAbsolutePath}/bands").count() == 0)
+      assert(spark.read.parquet(s"${dir.getAbsolutePath}/grams").count() == 0)
+      // the emptied index screens nothing and still serves probes
+      val survivors = Dedup.nearDupAgainstIndex(batch, dir.getAbsolutePath,
+        threshold = 0.5).collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(10L, 11L))
+      // and the lifecycle continues: an append repopulates it
+      Dedup.appendToMinHashIndex(corpus.filter(col("doc_id") === 0L),
+        dir.getAbsolutePath)
+      val after = Dedup.nearDupAgainstIndex(batch, dir.getAbsolutePath,
+        threshold = 0.5).collect().map(_.getLong(0)).toSet
+      assert(after == Set(11L), "doc 10's screen is back after the append")
+    } finally rm(dir)
+  }
 }

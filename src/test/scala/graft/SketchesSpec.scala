@@ -193,6 +193,26 @@ class SketchesSpec extends AnyFunSuite {
       assert(partial.forall(r => !r.getAs[Boolean]("union_n_eq_rebuild") &&
         !r.getAs[Boolean]("p95_within_bound")),
         "a dropped shard must break the N pin and the upper-tail band")
+      // an all-NULL group has an empty sketch and NULL exact
+      // percentiles — its contract booleans must be DEFINED (true, the
+      // n==0 case bounds nothing), never three-valued NULL (r18 ADVICE)
+      val withNulls = ((1 to 100).map(i => ("a", Some(i.toDouble))) ++
+        Seq(("b", Option.empty[Double]), ("b", Option.empty[Double])))
+        .toDF("grp", "v")
+      Sketches.writeQuantileShard(withNulls, "grp", "v",
+        s"${tmp.getAbsolutePath}/nullshard")
+      val nullChecked = Sketches.quantileShardsChecked(spark,
+        Seq(s"${tmp.getAbsolutePath}/nullshard"), withNulls, "grp", "v")
+        .collect().map(r => r.getAs[String]("grp") -> r).toMap
+      val b = nullChecked("b")
+      assert(!b.isNullAt(b.fieldIndex("p50_within_bound")) &&
+        b.getAs[Boolean]("p50_within_bound") &&
+        b.getAs[Boolean]("p95_within_bound") &&
+        b.getAs[Boolean]("rebuild_p50_within_bound") &&
+        b.getAs[Boolean]("rebuild_p95_within_bound") &&
+        b.getAs[Boolean]("union_n_eq_rebuild"),
+        "all-NULL group booleans must be literal TRUE, not NULL")
+      assert(nullChecked("a").getAs[Boolean]("p50_within_bound"))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
