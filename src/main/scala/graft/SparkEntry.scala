@@ -3460,6 +3460,30 @@ object SparkEntry {
   private def q250StreamPath(s: SparkSession, dir: String): String =
     restartJoinFixture("q250", s, dir, "full_outer")
 
+  /** The q255 streaming run, executed ONCE per SF dir: q219's
+    * RIGHT-OUTER stream-stream join restarted mid-corpus on q213's
+    * protocol — the r18 verdict's remaining non-trivial null-emission
+    * recovery case: the null arm lives on the CLICKS side (an
+    * unmatched click null-emits once the watermark passes click_ts —
+    * no earlier-or-equal view can still arrive), so run 2 must
+    * null-emit every permanently-unmatched run-1 CLICK from recovered
+    * click-side state, while run-1 views pair silently or vanish.
+    * q219's RIGHT JOIN oracle verbatim; changelog checkpointing as the
+    * other restart fixtures. */
+  private def q255StreamPath(s: SparkSession, dir: String): String =
+    restartJoinFixture("q255", s, dir, "right_outer")
+
+  /** The q256 streaming run, executed ONCE per SF dir: q221's
+    * LEFT-SEMI stream-stream join restarted mid-corpus on q213's
+    * protocol — the emit-ONCE bookkeeping across a stop/start: a run-1
+    * view whose first in-window click arrives in run 2 must emit
+    * exactly once from recovered view-side state, a view matched in
+    * run 1 must NOT re-emit when run 2 delivers its second in-window
+    * click, and click-less views must never appear. q221's EXISTS
+    * oracle verbatim; changelog checkpointing. */
+  private def q256StreamPath(s: SparkSession, dir: String): String =
+    restartJoinFixture("q256", s, dir, "left_semi")
+
   /** The q214 streaming run, executed ONCE per SF dir: the raw events
     * staged by `event_id % 3` through an UPDATE-mode per-user aggregate
     * into a foreachBatch UPSERT sink
@@ -5150,6 +5174,23 @@ object SparkEntry {
     "q250_streaming_full_outer_restart" -> ((s, dir) =>
       s.read.parquet(s"${q250StreamPath(s, dir)}/out")
         .select("view_id", "user_id", "view_us", "click_id", "click_us")),
+
+    // RIGHT-OUTER restart twin: q219's join stopped after batch 0 and
+    // resumed — the null arm lives on the CLICKS side, so every
+    // permanently-unmatched run-1 click must null-emit from RECOVERED
+    // click-side state (see q255StreamPath). q219's oracle verbatim
+    "q255_streaming_right_outer_restart" -> ((s, dir) =>
+      s.read.parquet(s"${q255StreamPath(s, dir)}/out")
+        .select("view_id", "user_id", "view_us", "click_id", "click_us")),
+
+    // LEFT-SEMI restart twin: q221's join stopped after batch 0 and
+    // resumed — emit-once bookkeeping across the restart: a run-1 view
+    // first matched by a run-2 click emits exactly once, a run-1 match
+    // must not re-emit on a second click (see q256StreamPath). q221's
+    // EXISTS oracle verbatim
+    "q256_streaming_semi_restart" -> ((s, dir) =>
+      s.read.parquet(s"${q256StreamPath(s, dir)}/out")
+        .select("view_id", "user_id", "view_us")),
 
     // LEFT-SEMI stream-stream join: attribution as a FILTER — a view
     // emits exactly once at its first in-window click (a multi-click
@@ -9235,6 +9276,11 @@ object SparkEntry {
       // q219/q220: the same batch join, sides flipped / both arms
       "q219_streaming_join_right_outer" -> clickAttributionOracleSqlFor("right"),
       "q220_streaming_join_full_outer" -> clickAttributionOracleSqlFor("full"),
+      // q255/q256: the right-outer and semi oracles across a join
+      // checkpoint restart — null-emission from recovered click-side
+      // state, and emit-once across the stop/start, respectively
+      "q255_streaming_right_outer_restart" -> clickAttributionOracleSqlFor("right"),
+      "q256_streaming_semi_restart" -> clickAttributionOracleSqlFor("semi"),
       // q250: the SAME full-outer oracle across a join checkpoint
       // restart — both recovered arms must still null-emit
       "q250_streaming_full_outer_restart" -> clickAttributionOracleSqlFor("full"),
