@@ -4026,6 +4026,40 @@ object SparkEntry {
           s"$path/shards/shard$id"))
     }
 
+  /** The q257 streaming run, executed ONCE per SF dir: q252's KLL
+    * artifact stream RESTARTED mid-ingest — q242's overwrite-style
+    * restart protocol applied to the quantile sibling (the r18 verdict
+    * noted q252 shares q242's mechanism but nothing pinned it across a
+    * stop/start). Run 1 drains wave 0 only (shard0 on disk, checkpoint
+    * committed through it); waves 1–2 stage after it terminates and
+    * run 2 resumes from the same checkpoint — a source reset would
+    * re-deliver wave 0 into a duplicate shard dir and break the exact
+    * union-N pin, a lost wave starves it. The accumulated artifacts
+    * pass q251's oracle verbatim. */
+  private def q257StoresPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q257", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val events = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      def runOnce(): Unit = runArtifactStreamOnce(s, path, schema)((b, id) =>
+        operators.Sketches.writeQuantileShard(b, "event_type", "value",
+          s"$path/shards/shard$id"))
+      stageMicroBatches("q257", path,
+        Seq(events.filter(col("event_id") % 3 === 0)))
+      runOnce() // run 1: shard0 only, checkpoint committed through batch 0
+      stageMicroBatches("q257", path,
+        (1 until 3).map(i => events.filter(col("event_id") % 3 === i)),
+        firstIndex = 1)
+      runOnce() // run 2: resumes — exactly the unseen waves fold in
+    }
+
   /** The q247 streaming run, executed ONCE per SF dir: the
     * APPEND-style artifact stream across a restart — q242 restart-
     * proved the per-batch-OVERWRITE idempotence mechanism (each wave
@@ -5418,6 +5452,16 @@ object SparkEntry {
     "q252_streaming_quantile_shards" -> ((s, dir) =>
       operators.Sketches.quantileShardsChecked(s,
         shardPathsUnder(q252StoresPath(s, dir)),
+        Tables.events(s, dir), groupCol = "event_type",
+        valueCol = "value")),
+
+    // KLL ARTIFACT-STREAM RESTART: q252's stream stopped after wave 0
+    // and resumed against the same checkpoint (see q257StoresPath) —
+    // q242's restart proof for the percentile sibling; a re-delivered
+    // or lost wave breaks the exact union-N pin. q251's oracle verbatim
+    "q257_streaming_quantile_restart" -> ((s, dir) =>
+      operators.Sketches.quantileShardsChecked(s,
+        shardPathsUnder(q257StoresPath(s, dir)),
         Tables.events(s, dir), groupCol = "event_type",
         valueCol = "value")),
 
@@ -9450,6 +9494,8 @@ object SparkEntry {
       "q251_quantile_shards" -> quantileShardsOracleSql,
       // q252: the SAME contract over stream-maintained KLL shards
       "q252_streaming_quantile_shards" -> quantileShardsOracleSql,
+      // q257: and across a checkpoint restart of the KLL artifact stream
+      "q257_streaming_quantile_restart" -> quantileShardsOracleSql,
       // q241: the SAME contract over stream-maintained shards
       "q241_streaming_sketch_shards" -> sketchShardsOracleSql,
       // q242: and across a checkpoint restart of the artifact stream
