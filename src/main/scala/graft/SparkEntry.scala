@@ -1727,11 +1727,7 @@ object SparkEntry {
     * the Fs scheme abstraction rather than java.io, so artifact streams
     * work wherever their path's scheme points (r18 ADVICE). */
   private def shardPathsUnder(stores: String): Seq[String] =
-    graft.util.Fs.listChildren(s"$stores/shards").flatMap { case (name, isDir) =>
-      if (isDir) name.stripPrefix("shard").toLongOption
-        .map(id => (id, s"$stores/shards/$name"))
-      else None
-    }.sortBy(_._1).map(_._2)
+    operators.Sketches.shardPaths(s"$stores/shards")
 
   /** The q241/q242 shared reader: every `shard*` artifact accumulated
     * under `stores/shards`, run through the checked contract against
@@ -4133,6 +4129,48 @@ object SparkEntry {
       }
     }
 
+  /** q258's compacted HLL artifacts, built once per SF dir: q234's
+    * three % 3 waves written as shards under a `shards/` root, then
+    * COMPACTED to one artifact at the max id
+    * ([[graft.operators.Sketches.compactDistinctShards]]) — the
+    * retention pass the artifact family lacked (r18 verdict #4: shards
+    * accrue one per wave forever, the small-files problem the postings
+    * compaction solved). The compacted artifact must answer q234's
+    * oracle verbatim: HLL union is associative, so the merged registers
+    * equal any other merge order's. */
+  private def q258ShardsPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("sketch_compact_q258", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val events = Tables.events(s, dir)
+      (0 until 3).foreach { i =>
+        operators.Sketches.writeDistinctShard(
+          events.filter(col("event_id") % 3 === i),
+          groupCol = "event_type", distinctCol = "user_id",
+          path = s"$path/shards/shard$i")
+      }
+      operators.Sketches.compactDistinctShards(s, s"$path/shards",
+        groupCol = "event_type")
+    }
+
+  /** q259's compacted KLL artifacts, built once per SF dir: q251's
+    * waves as shards, then compacted via
+    * [[graft.operators.Sketches.compactQuantileShards]] — KLL merge is
+    * EXACT in the update count N, so the union-N pin is unchanged
+    * through the compaction and q251's oracle holds verbatim. */
+  private def q259ShardsPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("quantile_compact_q259", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val events = Tables.events(s, dir)
+      (0 until 3).foreach { i =>
+        operators.Sketches.writeQuantileShard(
+          events.filter(col("event_id") % 3 === i),
+          groupCol = "event_type", valueCol = "value",
+          path = s"$path/shards/shard$i")
+      }
+      operators.Sketches.compactQuantileShards(s, s"$path/shards",
+        groupCol = "event_type")
+    }
+
   /** The q253 stores, built once per SF dir: all three index layouts
     * on the full corpus, then ONE deletion-request set (`doc_id % 9 ==
     * 4` — the established retraction band; embeddings share the id
@@ -5452,6 +5490,23 @@ object SparkEntry {
     "q252_streaming_quantile_shards" -> ((s, dir) =>
       operators.Sketches.quantileShardsChecked(s,
         shardPathsUnder(q252StoresPath(s, dir)),
+        Tables.events(s, dir), groupCol = "event_type",
+        valueCol = "value")),
+
+    // SHARD COMPACTION (HLL): the three wave artifacts collapsed into
+    // ONE at the max id under the maintenance lease (see
+    // q258ShardsPath) — retention for the artifact family; the
+    // compacted shard answers q234's oracle verbatim (associative
+    // register union), read through the same checked contract
+    "q258_sketch_shards_compacted" -> ((s, dir) =>
+      checkedShardsUnder(s, dir, q258ShardsPath(s, dir))),
+
+    // SHARD COMPACTION (KLL): the quantile sibling (see q259ShardsPath)
+    // — merge is exact in N, so the union-N pin is unchanged and
+    // q251's oracle holds verbatim over the single compacted artifact
+    "q259_quantile_shards_compacted" -> ((s, dir) =>
+      operators.Sketches.quantileShardsChecked(s,
+        shardPathsUnder(q259ShardsPath(s, dir)),
         Tables.events(s, dir), groupCol = "event_type",
         valueCol = "value")),
 
@@ -9496,6 +9551,11 @@ object SparkEntry {
       "q252_streaming_quantile_shards" -> quantileShardsOracleSql,
       // q257: and across a checkpoint restart of the KLL artifact stream
       "q257_streaming_quantile_restart" -> quantileShardsOracleSql,
+      // q258/q259: the SAME contracts over COMPACTED artifacts — the
+      // merge is associative (HLL) / N-exact (KLL), so compaction must
+      // be invisible to both oracles
+      "q258_sketch_shards_compacted" -> sketchShardsOracleSql,
+      "q259_quantile_shards_compacted" -> quantileShardsOracleSql,
       // q241: the SAME contract over stream-maintained shards
       "q241_streaming_sketch_shards" -> sketchShardsOracleSql,
       // q242: and across a checkpoint restart of the artifact stream

@@ -269,6 +269,12 @@ object HashFunctions {
     GraftColumnBridge.column(
       KllSketchAgg(GraftColumnBridge.expression(value), k).toAggregateExpression())
 
+  /** Column API for [[KllMergeSketchAgg]] (an aggregate). */
+  def kll_merge_sketch(sketch: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      KllMergeSketchAgg(GraftColumnBridge.expression(sketch), k)
+        .toAggregateExpression())
+
   /** Column API for [[KllMergeSummaryAgg]] (an aggregate). */
   def kll_merge_summary(sketch: Column, ranks: Seq[Double], k: Int): Column =
     GraftColumnBridge.column(

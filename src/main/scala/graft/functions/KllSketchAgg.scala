@@ -101,6 +101,50 @@ case class KllSketchAgg(
   override def prettyName: String = "kll_sketch"
 }
 
+/** Union serialized KLL shard sketches back into ONE serialized sketch
+  * — the shard COMPACTION aggregate (`Sketches.compactQuantileShards`):
+  * merge is associative and commutative and EXACT in the update count
+  * N, so a compacted shard answers every later union identically to the
+  * waves it replaced (modulo the randomized compaction the rank bands
+  * absorb); the binary output keeps the artifact appendable — later
+  * waves union against it like any other shard. */
+case class KllMergeSketchAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends KllAggLike {
+
+  require(k >= 8 && k <= 65535, s"kll k must be in [8, 65535], got $k")
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kll_merge_sketch expects a binary sketch column, got ${other.simpleString}")
+  }
+
+  override def update(buffer: KllDoublesSketch,
+      input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.merge(KllDoublesSketch.heapify(
+        Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buffer
+  }
+
+  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllMergeSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllMergeSketchAgg =
+    copy(child = newChild)
+  override def prettyName: String = "kll_merge_sketch"
+}
+
 /** Shared eval shape of the two summary aggregates: (n, quantiles at
   * the requested ranks) — `n` is the sketch's EXACT total update count
   * (order-insensitive under merge), quantiles are INCLUSIVE-rank reads. */

@@ -70,10 +70,22 @@ object Sketches {
     * O(groups × sketch size), independent of the wave's row count. */
   def writeDistinctShard(wave: DataFrame, groupCol: String,
       distinctCol: String, path: String): Unit =
-    wave.groupBy(groupCol).agg(
-      count(lit(1)).as("n_rows"),
-      hll_sketch_agg(col(distinctCol)).as("sketch"))
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    withShardWriterLease(path, "writeDistinctShard") {
+      wave.groupBy(groupCol).agg(
+        count(lit(1)).as("n_rows"),
+        hll_sketch_agg(col(distinctCol)).as("sketch"))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+
+  /** Writer-side lease at the shards ROOT (the dir holding the
+    * `shard<id>` artifacts), held for the wave write — the enforcement
+    * twin of [[compactDistinctShards]]' maintenance lease: a wave
+    * landing mid-compaction would be parked-or-missed by the swap, so
+    * it refuses loudly instead, exactly the serving-table posture. */
+  private def withShardWriterLease[T](shardPath: String,
+      writer: String)(body: => T): T =
+    graft.util.MaintenanceLease.withWriterLease(
+      new org.apache.hadoop.fs.Path(shardPath).getParent.toString, writer)(body)
 
   /** Answer per-group totals + approximate distincts from persisted
     * [[writeDistinctShard]] artifacts alone: sum the partial counts,
@@ -92,19 +104,37 @@ object Sketches {
     * `union_within_bound` pins the unioned estimate within ±5% of the
     * exact distinct (3σ for the default lgK=12 sketch, and exact by
     * construction while the sketch is still in sparse mode);
-    * `union_eq_rebuild` pins shard-union ≡ one-pass rebuild on the
-    * SAME corpus — the append-≡-rebuild gate the index artifacts use,
-    * here byte-free: both sides hash identically register-by-register,
-    * so a union that dropped a shard or double-counted one diverges. */
+    * `union_eq_rebuild` pins shard-union ≡ rebuild on the SAME corpus —
+    * the append-≡-rebuild gate the index artifacts use, here byte-free:
+    * the final REGISTERS are a pure function of the value set (slot-wise
+    * max), so any union over any shard split of the corpus estimates
+    * identically, and a union fed wrong data diverges.
+    *
+    * The rebuild arm must itself go through a ≥2-input sketch UNION: a
+    * directly-built sketch estimates via Datasketches' HIP accumulator,
+    * which is UPDATE-PATH-dependent in dense mode (it tracks the insert
+    * history, not just the registers), while a multi-input union is
+    * flagged out-of-order and estimates from the registers alone. The
+    * original one-pass `hll_sketch_agg` rebuild compared HIP against
+    * composite — equal in sparse mode (both exact, which is all the
+    * sf0.01 gate ever exercised) but ±1%-divergent once the sketches go
+    * dense (caught at sf0.1, r19). Splitting the rebuild by a value
+    * hash and unioning the halves puts both sides on the register
+    * estimator, making the equality a property of the registers rather
+    * than a topology accident. */
   def distinctShardsChecked(s: org.apache.spark.sql.SparkSession,
       shardPaths: Seq[String], full: DataFrame, groupCol: String,
       distinctCol: String): DataFrame = {
     val unioned = distinctFromShards(s, shardPaths, groupCol)
     val exact = full.groupBy(groupCol).agg(
-      countDistinct(col(distinctCol)).as("exact_uniques"),
-      hll_sketch_estimate(hll_sketch_agg(col(distinctCol)))
-        .as("__rebuild_est"))
-    unioned.join(exact, groupCol).select(
+      countDistinct(col(distinctCol)).as("exact_uniques"))
+    val rebuild = full
+      .withColumn("__h", pmod(xxhash64(col(distinctCol)), lit(2L)))
+      .groupBy(col(groupCol), col("__h"))
+      .agg(hll_sketch_agg(col(distinctCol)).as("__s"))
+      .groupBy(groupCol)
+      .agg(hll_sketch_estimate(hll_union_agg(col("__s"))).as("__rebuild_est"))
+    unioned.join(exact, groupCol).join(rebuild, groupCol).select(
       col(groupCol), col("n_rows"), col("exact_uniques"),
       (abs(col("approx_uniques").cast("double") -
         col("exact_uniques").cast("double")) <=
@@ -124,14 +154,16 @@ object Sketches {
     * independent of the wave's row count. */
   def writeQuantileShard(wave: DataFrame, groupCol: String, valueCol: String,
       path: String, k: Int = 200): Unit =
-    wave.groupBy(groupCol).agg(
-      // count the VALUES the sketch profiles (non-NULL — the sketch
-      // skips NULLs), not the rows: a count(*) here would break the
-      // checked reader's N pin on the first NULL value (r18 review #5)
-      count(col(valueCol)).as("n_rows"),
-      graft.functions.HashFunctions
-        .kll_sketch(col(valueCol).cast("double"), k).as("sketch"))
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    withShardWriterLease(path, "writeQuantileShard") {
+      wave.groupBy(groupCol).agg(
+        // count the VALUES the sketch profiles (non-NULL — the sketch
+        // skips NULLs), not the rows: a count(*) here would break the
+        // checked reader's N pin on the first NULL value (r18 review #5)
+        count(col(valueCol)).as("n_rows"),
+        graft.functions.HashFunctions
+          .kll_sketch(col(valueCol).cast("double"), k).as("sketch"))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
 
   /** Answer per-group totals + approximate quantiles from persisted
     * [[writeQuantileShard]] artifacts alone: sum the partial counts,
@@ -208,6 +240,104 @@ object Sketches {
         .as("rebuild_p50_within_bound"),
       inBand(element_at(col("__r.quantiles"), 2), col("__p91"), col("__p99"))
         .as("rebuild_p95_within_bound"))
+  }
+
+  /** Every `shard<id>` artifact dir directly under `shardsDir`, ordered
+    * by NUMERIC batch id, listed through the Fs scheme layer. */
+  def shardPaths(shardsDir: String): Seq[String] =
+    graft.util.Fs.listChildren(shardsDir).flatMap { case (name, isDir) =>
+      if (isDir) name.stripPrefix("shard").toLongOption
+        .map(id => (id, s"$shardsDir/$name"))
+      else None
+    }.sortBy(_._1).map(_._2)
+
+  /** COMPACT the HLL distinct-count shards under `shardsDir` into ONE
+    * artifact — the retention pass the shard family needs on a
+    * long-running stream (one `shard<batchId>` dir accrues per arrival
+    * wave forever otherwise: the small-files problem the postings
+    * compaction solves, here for profiling artifacts). Per-group
+    * partial counts SUM and sketches UNION register-wise, so the
+    * compacted shard answers every later [[distinctFromShards]] read
+    * identically — HLL union is associative, the merged registers are
+    * byte-identical to any other merge order — and stays APPENDABLE:
+    * later waves union against it like any other shard.
+    *
+    * The compacted artifact keeps the MAX shard id (the
+    * [[graft.streaming]] serving-compaction convention): the stream's
+    * next batch id exceeds it, so wave numbering continues unchanged.
+    * PRECONDITION, same as compactServing: run in a stopped-writer
+    * window with the checkpoint committed through the max wave — a
+    * foreachBatch REPLAY of that wave after compaction would overwrite
+    * the compacted shard with its own single wave. Shard readers have
+    * no manifest to pin a consistent set, so run it in a quiet window
+    * for readers too (a reader listing mid-swap may see a partial
+    * set); the serving table needs no such caveat because its
+    * manifests version the view — the artifact family trades that
+    * machinery for single-dir simplicity, and this scaladoc is the
+    * honest price.
+    *
+    * Crash protocol (parked-dir posture, all-or-nothing): the merged
+    * artifact stages in `.tmp-compact-shards` while every old dir is
+    * intact, ALL old shard dirs park into `shards_old_compact/`, the
+    * staged artifact installs as `shard<maxId>`, and the park deletes
+    * last. Recovery is keyed on the install: if the live dir has NO
+    * shard dirs, move every parked one back; if `shard<maxId>` exists,
+    * the install landed — delete the park (restoring beside it would
+    * double-count the merged waves). A parked dir's presence refuses a
+    * fresh run loudly; the whole pass runs under the maintenance
+    * lease ([[graft.util.MaintenanceLease]]). */
+  def compactDistinctShards(s: org.apache.spark.sql.SparkSession,
+      shardsDir: String, groupCol: String): Unit =
+    compactShardsWith(s, shardsDir)(
+      _.groupBy(groupCol).agg(
+        sum(col("n_rows")).as("n_rows"),
+        hll_union_agg(col("sketch")).as("sketch")))
+
+  /** [[compactDistinctShards]] for the KLL quantile shards: partial
+    * counts sum, sketches merge via [[graft.functions.KllMergeSketchAgg]]
+    * back into ONE binary sketch per group. KLL merge is exact in the
+    * update count N — the union-N pin is unchanged through a
+    * compaction — and the ±rank-band contract absorbs its randomized
+    * compaction (byte equality was never the KLL gate). Same id
+    * convention, stopped-writer precondition, crash protocol, and
+    * lease as the HLL pass. */
+  def compactQuantileShards(s: org.apache.spark.sql.SparkSession,
+      shardsDir: String, groupCol: String, k: Int = 200): Unit =
+    compactShardsWith(s, shardsDir)(
+      _.groupBy(groupCol).agg(
+        sum(col("n_rows")).as("n_rows"),
+        graft.functions.HashFunctions
+          .kll_merge_sketch(col("sketch"), k).as("sketch")))
+
+  private def compactShardsWith(s: org.apache.spark.sql.SparkSession,
+      shardsDir: String)(merge: DataFrame => DataFrame): Unit = {
+    import graft.util.Fs
+    // parked-dir precondition BEFORE the lease (the index deletes'
+    // posture): a refusal-to-start must not strand a fresh marker on
+    // top of the crash signal it reports
+    val parked = s"$shardsDir/shards_old_compact"
+    require(!Fs.exists(parked),
+      s"$parked exists — a prior compaction crashed mid-swap; if the " +
+        "live dir has no shard dirs move every parked one back, if " +
+        "shard<maxId> exists delete the park (see scaladoc), then retry")
+    graft.util.MaintenanceLease.withLease(shardsDir, "compactShards") {
+      // the shard set resolves INSIDE the lease — a wave committed in
+      // the acquire gap would be parked without being merged
+      val shards = shardPaths(shardsDir)
+      if (shards.size > 1) {
+        val maxId = shards.map(_.split("/").last.stripPrefix("shard").toLong).max
+        val tmp = s"$shardsDir/.tmp-compact-shards"
+        Fs.rmTree(tmp)
+        // the write EXECUTES the multi-shard read — old dirs stay
+        // intact until it finishes; artifact size is O(groups), one file
+        merge(s.read.parquet(shards: _*))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        Fs.mkdirs(parked)
+        shards.foreach(p => Fs.move(p, s"$parked/${p.split("/").last}"))
+        Fs.move(tmp, s"$shardsDir/shard$maxId")
+        Fs.rmTree(parked)
+      }
+    }
   }
 
   /** Misra-Gries heavy hitters over an item column

@@ -220,4 +220,81 @@ class SketchesSpec extends AnyFunSuite {
       rm(tmp)
     }
   }
+
+  test("shard compaction: one artifact at the max id, both contracts invisible, appendable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_shards").toFile
+    try {
+      val events = Tables.events(spark, dir)
+      val hllDir = s"${tmp.getAbsolutePath}/hll"
+      val kllDir = s"${tmp.getAbsolutePath}/kll"
+      (0 until 3).foreach { i =>
+        Sketches.writeDistinctShard(events.filter(col("event_id") % 3 === i),
+          "event_type", "user_id", s"$hllDir/shard$i")
+        Sketches.writeQuantileShard(events.filter(col("event_id") % 3 === i),
+          "event_type", "value", s"$kllDir/shard$i")
+      }
+      val before = Sketches.distinctFromShards(spark,
+        Sketches.shardPaths(hllDir), "event_type").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getAs[Any](2))).toMap
+      Sketches.compactDistinctShards(spark, hllDir, "event_type")
+      Sketches.compactQuantileShards(spark, kllDir, "event_type")
+      // structure: exactly ONE shard dir survives, at the MAX wave id
+      assert(Sketches.shardPaths(hllDir).map(_.split("/").last) == Seq("shard2"))
+      assert(Sketches.shardPaths(kllDir).map(_.split("/").last) == Seq("shard2"))
+      // HLL: union is associative — counts and estimates identical
+      val after = Sketches.distinctFromShards(spark,
+        Sketches.shardPaths(hllDir), "event_type").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getAs[Any](2))).toMap
+      assert(after == before, "compaction must be invisible to the reader")
+      // both checked contracts hold verbatim over the compacted artifact
+      Sketches.distinctShardsChecked(spark, Sketches.shardPaths(hllDir),
+        events, "event_type", "user_id").collect().foreach { r =>
+        assert(r.getAs[Boolean]("union_within_bound") &&
+          r.getAs[Boolean]("union_eq_rebuild"))
+      }
+      Sketches.quantileShardsChecked(spark, Sketches.shardPaths(kllDir),
+        events, "event_type", "value").collect().foreach { r =>
+        assert(r.getAs[Boolean]("union_n_eq_rebuild") &&
+          r.getAs[Boolean]("p50_within_bound") &&
+          r.getAs[Boolean]("p95_within_bound"))
+      }
+      // appendable: a LATER wave (batch id past the compacted one)
+      // unions against the compacted artifact like any other shard —
+      // here a re-profile of wave 0 doubles its rows in the sum
+      Sketches.writeDistinctShard(events.filter(col("event_id") % 3 === 0),
+        "event_type", "user_id", s"$hllDir/shard3")
+      val wave0 = events.filter(col("event_id") % 3 === 0)
+        .groupBy("event_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val appended = Sketches.distinctFromShards(spark,
+        Sketches.shardPaths(hllDir), "event_type").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      appended.foreach { case (k, n) =>
+        assert(n == after(k)._1 + wave0.getOrElse(k, 0L),
+          s"appended partial counts must sum on top of the compacted shard for $k")
+      }
+      // a compaction attempt mid-lease refuses in both directions
+      val token = graft.util.MaintenanceLease.acquireToken(hllDir,
+        graft.util.MaintenanceLease.MaintenanceKind, "test-pass")
+      intercept[IllegalArgumentException] {
+        Sketches.compactDistinctShards(spark, hllDir, "event_type")
+      }
+      intercept[IllegalArgumentException] {
+        Sketches.writeDistinctShard(events.limit(1), "event_type",
+          "user_id", s"$hllDir/shard4")
+      }
+      assert(graft.util.MaintenanceLease.release(hllDir, token))
+      // a parked dir (crashed mid-swap) refuses a fresh compaction
+      graft.util.Fs.mkdirs(s"$kllDir/shards_old_compact")
+      val e = intercept[IllegalArgumentException] {
+        Sketches.compactQuantileShards(spark, kllDir, "event_type")
+      }
+      assert(e.getMessage.contains("crashed mid-swap"), e.getMessage)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
 }
