@@ -4129,6 +4129,40 @@ object SparkEntry {
       }
     }
 
+  /** The q260/q261 shared serving chain, built once per SF dir: three
+    * upsert versions where the THIRD ADDS A COLUMN — the serving-table
+    * schema evolution the r18 verdict named (#3). v0 = wave-0 users'
+    * totals over wave 0; v1 = users with wave-1 events, totals over
+    * waves 0–1; v2 = every EVEN user's full-corpus totals PLUS a new
+    * `n_clicks` column (their click count — non-null by construction,
+    * count() returns 0). Odd users' rows carry forward from v0/v1
+    * through v2's view, so the current snapshot must read them with
+    * n_clicks NULL (pre-change rows predate the column), while even
+    * users read their recomputed row — and time travel at v1 keeps the
+    * OLD shape entirely (no n_clicks column), which StreamingSpec pins. */
+  private def q260ServingPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("serving_evolve_q260", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val serving = s"$path/serving"
+      val e = attributionEvents(s, dir)
+      val wave = col("event_id") % 3
+      val b0 = e.filter(wave === 0).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(unix_micros(col("ts"))).as("last_us"))
+      streaming.StreamingWindows.upsertBatch(serving)(b0, 0L)
+      val w1 = e.filter(wave === 1).select("user_id").distinct()
+      val b1 = e.filter(wave <= 1).join(w1, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(unix_micros(col("ts"))).as("last_us"))
+      streaming.StreamingWindows.upsertBatch(serving)(b1, 1L)
+      val b2 = e.filter(col("user_id") % 2 === 0).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(unix_micros(col("ts"))).as("last_us"),
+          count(when(col("event_type") === "click", 1)).as("n_clicks"))
+      streaming.StreamingWindows.upsertBatch(serving)(b2, 2L)
+    }
+
   /** q258's compacted HLL artifacts, built once per SF dir: q234's
     * three % 3 waves written as shards under a `shards/` root, then
     * COMPACTED to one artifact at the max id
@@ -5412,6 +5446,28 @@ object SparkEntry {
       streaming.StreamingWindows.servingChangefeed(s,
         s"${q248StreamPath(s, dir)}/serving").get
         .select("version", "op", "user_id", "n_events", "last_us")),
+
+    // SERVING-TABLE SCHEMA EVOLUTION: the third upsert batch ADDS
+    // n_clicks (see q260ServingPath) — the current view must read
+    // even users' recomputed rows with the new column and odd users'
+    // CARRIED pre-change rows with n_clicks NULL; a merge that dropped
+    // carried rows, nulled the wrong side, or leaked the old shape
+    // into the snapshot schema all fail here
+    "q260_serving_schema_evolution" -> ((s, dir) =>
+      streaming.StreamingWindows.readServingSnapshot(s,
+        s"${q260ServingPath(s, dir)}/serving").get
+        .select("user_id", "n_events", "last_us", "n_clicks")),
+
+    // CHANGEFEED ACROSS A SCHEMA CHANGE: v0/v1 rows NULL-fill the
+    // added column, v2 diffs against the prior ALIGNED to the new
+    // schema — every even user emits at v2 (NULL→n_clicks is an
+    // update under the null-safe compare; first appearance is an
+    // insert), odd carried rows emit NOTHING
+    "q261_evolution_changefeed" -> ((s, dir) =>
+      streaming.StreamingWindows.servingChangefeed(s,
+        s"${q260ServingPath(s, dir)}/serving").get
+        .select("version", "op", "user_id", "n_events", "last_us",
+          "n_clicks")),
 
     // SERVING-TABLE TIME TRAVEL: q214's versioned chain read AS OF
     // version 1 — the view after batches 0–1 only, resolved through
@@ -9503,6 +9559,61 @@ object SparkEntry {
           |UNION ALL
           |SELECT 4 AS version, 'insert' AS op, user_id, n_events, last_us
           |FROM f WHERE user_id % 14 = 3""".stripMargin,
+      // q260: the evolved serving view — even users' full totals with
+      // the new n_clicks column, odd users' carried pre-change rows
+      // with n_clicks NULL (totals as of their last wave in {0,1}:
+      // waves<=1 totals equal wave-0 totals for users without wave-1
+      // events, so one cumulative arm covers both carried classes)
+      "q260_serving_schema_evolution" ->
+        """WITH e AS (SELECT user_id, event_id % 3 AS wave, event_type,
+          |             epoch_ns(ts) // 1000 AS us FROM events),
+          |f AS (SELECT user_id, count(*)::BIGINT AS n_events,
+          |        max(us) AS last_us,
+          |        (count(*) FILTER (WHERE event_type = 'click'))::BIGINT
+          |          AS n_clicks
+          |      FROM e GROUP BY user_id),
+          |p AS (SELECT user_id, count(*)::BIGINT AS n_events,
+          |        max(us) AS last_us
+          |      FROM e WHERE wave <= 1 GROUP BY user_id)
+          |SELECT user_id, n_events, last_us, n_clicks
+          |FROM f WHERE user_id % 2 = 0
+          |UNION ALL
+          |SELECT user_id, n_events, last_us, CAST(NULL AS BIGINT) AS n_clicks
+          |FROM p WHERE user_id % 2 = 1""".stripMargin,
+      // q261: the change rows across the boundary — v0 inserts, v1
+      // insert/update (both pre-change shape: n_clicks NULL), v2 every
+      // even user (update when any prior row existed, else insert)
+      // carrying the new column
+      "q261_evolution_changefeed" ->
+        """WITH e AS (SELECT user_id, event_id % 3 AS wave, event_type,
+          |             epoch_ns(ts) // 1000 AS us FROM events),
+          |w AS (SELECT user_id, wave, count(*) AS n, max(us) AS m
+          |      FROM e GROUP BY user_id, wave),
+          |v0 AS (SELECT user_id, n::BIGINT AS n_events, m AS last_us
+          |       FROM w WHERE wave = 0),
+          |v1 AS (SELECT user_id, sum(n)::BIGINT AS n_events,
+          |         max(m) AS last_us
+          |       FROM w WHERE wave <= 1 GROUP BY user_id
+          |       HAVING max(CASE WHEN wave = 1 THEN 1 ELSE 0 END) = 1),
+          |f AS (SELECT user_id, count(*)::BIGINT AS n_events,
+          |        max(us) AS last_us,
+          |        (count(*) FILTER (WHERE event_type = 'click'))::BIGINT
+          |          AS n_clicks
+          |      FROM e GROUP BY user_id)
+          |SELECT CAST(0 AS BIGINT) AS version, 'insert' AS op, user_id,
+          |       n_events, last_us, CAST(NULL AS BIGINT) AS n_clicks
+          |FROM v0
+          |UNION ALL
+          |SELECT 1, CASE WHEN user_id IN (SELECT user_id FROM v0)
+          |            THEN 'update' ELSE 'insert' END,
+          |       user_id, n_events, last_us, CAST(NULL AS BIGINT)
+          |FROM v1
+          |UNION ALL
+          |SELECT 2, CASE WHEN user_id IN (SELECT user_id FROM v0
+          |                                UNION SELECT user_id FROM v1)
+          |            THEN 'update' ELSE 'insert' END,
+          |       user_id, n_events, last_us, n_clicks
+          |FROM f WHERE user_id % 2 = 0""".stripMargin,
       // q239: each era's projection replayed from events — NULL
       // backfill for pre-value history, REAL→DOUBLE widening for gen1
       "q239_schema_evolution" ->

@@ -473,7 +473,22 @@ object StreamingWindows {
     * entirely. Deleting an absent key is a no-op. The marker column
     * never lands in the table; non-tombstone rows in the same batch
     * upsert as usual. [[servingChangefeed]] reports these as
-    * op='delete' rows carrying the pre-image. */
+    * op='delete' rows carrying the pre-image.
+    *
+    * SCHEMA EVOLUTION: a batch may ADD columns (the carried base
+    * NULL-backfills — those rows predate the column) and WIDEN types
+    * (`Cast.canUpCast`-validated in both directions, so a narrower
+    * batch up-casts rather than corrupting the base), but never DROP an
+    * existing column — that fails loudly, since an absent column would
+    * silently NULL served data on a consumer bug. Version dirs are
+    * immutable, so evolution is purely a READ concern thereafter: a
+    * snapshot's schema is its resolving version's batch schema, donor
+    * buckets older than a change read with NULL for the added columns,
+    * time travel below the change keeps the old shape, and the
+    * changefeed diffs a version against its prior ALIGNED to the newer
+    * schema (a NULL→value transition on an added column is a plain
+    * update; delete pre-images carry NULL for columns their row never
+    * had). */
   def upsertBatch(serving: String, buckets: Int = 16,
       keyCol: String = "user_id", tombstoneCol: Option[String] = None)(
       batch: org.apache.spark.sql.Dataset[
@@ -500,14 +515,37 @@ object StreamingWindows {
         }
         // prior rows of ONLY the touched buckets, each read from the
         // version that owns it (leaf-dir reads: no partition discovery,
-        // so the files' own schema — the batch schema — comes back)
-        val priorPaths = touched.toSeq
-          .flatMap(b => prev.get(b).map(v => s"$serving/v$v/__bucket=$b"))
+        // so the files' own schema — their batch's schema — comes back;
+        // grouped by owning version so generations align if a prior
+        // batch evolved the schema)
+        val priorByVer = pathsByVersion(serving,
+          touched.toSeq.flatMap(b => prev.get(b).map(b -> _)).toMap)
         val base =
-          if (priorPaths.isEmpty) upserts.limit(0)
-          else s.read.parquet(priorPaths: _*)
+          if (priorByVer.isEmpty) upserts.limit(0)
+          else readAligned(s, priorByVer)
             .join(batch.select(keyCol), Seq(keyCol), "left_anti")
-        base.unionByName(upserts)
+        // SCHEMA EVOLUTION at the merge point: the batch may ADD columns
+        // (carried base rows NULL-backfill — they predate the column)
+        // and WIDEN types (canUpCast-validated, both directions checked
+        // so a narrower batch up-casts instead of corrupting the base),
+        // but never DROP a column — silently nulling served data on a
+        // consumer bug is the one evolution this table refuses. The
+        // batch defines the new column order.
+        base.schema.fieldNames.foreach(c => require(
+          upserts.columns.contains(c),
+          s"upsertBatch: batch is missing existing column $c — a serving " +
+            "batch may add columns or widen types, never drop them " +
+            "(an absent column would silently NULL served data)"))
+        val target = org.apache.spark.sql.types.StructType(
+          upserts.schema.map { f =>
+            base.schema.find(_.name == f.name) match {
+              case Some(b2) => f.copy(
+                dataType = widen(b2.dataType, f.dataType, f.name, "upsertBatch"),
+                nullable = true)
+              case None => f.copy(nullable = true)
+            }
+          })
+        alignTo(base, target).unionByName(alignTo(upserts, target))
           .withColumn("__bucket", bucketOf)
           .repartition(touched.length, col("__bucket"))
           .write.partitionBy("__bucket").mode("overwrite")
@@ -531,7 +569,8 @@ object StreamingWindows {
         val manifest =
           if (survived.nonEmpty) survived
           else {
-            upserts.limit(0).coalesce(1).write.mode("overwrite")
+            alignTo(upserts, target).limit(0).coalesce(1)
+              .write.mode("overwrite")
               .parquet(s"$tmp/__bucket=${touched.head}")
             Map(touched.head -> batchId)
           }
@@ -735,9 +774,11 @@ object StreamingWindows {
   def readServingAsOf(s: org.apache.spark.sql.SparkSession,
       serving: String, version: Long): Option[DataFrame] =
     committedVersions(serving).filter(_ <= version).maxOption.map { v =>
-      val paths = readManifest(serving, v).toSeq
-        .map { case (b, ver) => s"$serving/v$ver/__bucket=$b" }
-      s.read.parquet(paths: _*)
+      // bucket dirs grouped by owning version: donor buckets may predate
+      // a schema change, so the read aligns generations (NULL for
+      // columns added after the donor wrote — see readAligned; a
+      // never-evolved chain keeps its single-scan plan)
+      readAligned(s, pathsByVersion(serving, readManifest(serving, v)))
     }
 
   /** CHANGEFEED from an [[upsertBatch]] serving table: the per-version
@@ -784,8 +825,8 @@ object StreamingWindows {
         val emptiedArm =
           if (removed.isEmpty) None
           else {
-            val prior = s.read.parquet(
-              removed.map(b => s"$serving/v${prevMan(b)}/__bucket=$b"): _*)
+            val prior = readAligned(s, pathsByVersion(serving,
+              removed.map(b => b -> prevMan(b)).toMap))
             Some(prior.withColumn("op", lit("delete")))
           }
         val ownedArm =
@@ -793,16 +834,23 @@ object StreamingWindows {
           else {
             val cur = s.read.parquet(
               owned.map(b => s"$serving/v$v/__bucket=$b"): _*)
-            val priorPaths = owned
-              .flatMap(b => prevMan.get(b).map(pv => s"$serving/v$pv/__bucket=$b"))
-            if (priorPaths.isEmpty) Some(cur.withColumn("op", lit("insert")))
+            val priorByVer = pathsByVersion(serving,
+              owned.flatMap(b => prevMan.get(b).map(b -> _)).toMap)
+            if (priorByVer.isEmpty) Some(cur.withColumn("op", lit("insert")))
             else {
               val valueCols = cur.columns.filterNot(_ == keyCol).toSeq
               // a key-only table has no values to diff: updates are
               // undetectable by definition, so only inserts emit
               val valuesEqual = valueCols.map(c => col(c) <=> col(s"__prior_$c"))
                 .reduceOption(_ && _).getOrElse(lit(true))
-              val prior = s.read.parquet(priorPaths: _*)
+              // the prior side aligns to THIS version's schema: a column
+              // this version introduced reads NULL from the pre-change
+              // prior, so a NULL→value transition on it diffs as a plain
+              // update (<=> is null-safe) — the defined changefeed
+              // semantics across a schema change; delete pre-images
+              // carry NULL for columns their row never had
+              val prior = alignTo(
+                readAligned(s, priorByVer), cur.schema)
               val p = prior.select(
                 prior.columns.toSeq.map(c => col(c).as(s"__prior_$c")): _*)
               // TWO broadcast-able joins rather than one full-outer: a
@@ -826,10 +874,14 @@ object StreamingWindows {
               Some(updIns.unionByName(dels))
             }
           }
-        (emptiedArm.toSeq ++ ownedArm.toSeq).reduceOption(_ unionByName _)
+        // allowMissingColumns on both unions: frames from versions below
+        // a schema change lack its columns — they NULL-fill, exactly the
+        // pre-change pre-image/row shape
+        (emptiedArm.toSeq ++ ownedArm.toSeq)
+          .reduceOption(_.unionByName(_, allowMissingColumns = true))
           .map(_.withColumn("version", lit(v)))
       }
-    frames.reduceOption(_ unionByName _)
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
   }
 
   private val ManifestName = "manifest.txt"
@@ -865,6 +917,100 @@ object StreamingWindows {
       case _ => ()
     }
   }
+
+  /** Loss-free widening between two column types — equal, or one side
+    * up-casts to the other (`Cast.canUpCast`, Spark's own no-data-loss
+    * judgment, the [[graft.sources.Evolution]] rule applied to the
+    * serving chain). Anything else is a loud error: a narrowing or
+    * incompatible cast would silently corrupt carried-forward rows. */
+  private def widen(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType, colName: String,
+      where: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.StringType
+    // canUpCast alone would admit any-atomic → string (representable,
+    // but a RETYPE, not a widening — a batch bug would silently turn a
+    // numeric column into text); a string target is legal only when
+    // both sides already are
+    def up(x: org.apache.spark.sql.types.DataType,
+        y: org.apache.spark.sql.types.DataType) =
+      (y != StringType || x == StringType) &&
+        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(x, y)
+    if (a == b) a
+    else if (up(a, b)) b
+    else if (up(b, a)) a
+    else throw new IllegalArgumentException(
+      s"$where: column $colName cannot evolve between $a and $b — neither " +
+        "direction is a loss-free widening (canUpCast, string excluded as " +
+        "a retype); a serving batch may add columns or widen types, never " +
+        "narrow or retype them")
+  }
+
+  /** Merge per-generation schemas (NEWEST first) into one read target:
+    * newest column order wins, shared columns widen, columns a newer
+    * generation lacks append at the end (they only arise outside the
+    * no-drop write contract, but a reader must never lose data). */
+  private def mergedReadSchema(schemas: Seq[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.types.StructType =
+    schemas.reduceLeft { (acc, older) =>
+      val accNames = acc.fieldNames.toSet
+      org.apache.spark.sql.types.StructType(acc.map { f =>
+        older.find(_.name == f.name) match {
+          case Some(o) => f.copy(
+            dataType = widen(f.dataType, o.dataType, f.name, "serving read"),
+            nullable = true)
+          case None => f.copy(nullable = true)
+        }
+      } ++ older.filterNot(f => accNames.contains(f.name)).map(_.copy(nullable = true)))
+    }
+
+  /** Project `df` onto `target`: shared columns cast (write-time
+    * validation guarantees the cast widens), missing columns NULL-fill
+    * — added-column evolution's only honest backfill for pre-change
+    * history. */
+  private def alignTo(df: DataFrame,
+      target: org.apache.spark.sql.types.StructType): DataFrame = {
+    val have = df.schema.map(f => f.name -> f.dataType).toMap
+    df.select(target.map { f =>
+      have.get(f.name) match {
+        case Some(dt) if dt == f.dataType => col(f.name)
+        case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }.toSeq: _*)
+  }
+
+  /** Read bucket dirs that may span SCHEMA GENERATIONS (a version's
+    * manifest points untouched buckets at older versions, whose files
+    * predate any columns added since). Single-generation reads — and
+    * multi-generation reads whose schemas never diverged, i.e. every
+    * pre-evolution table — take the exact one-scan plan they always
+    * did; only a genuinely evolved chain pays the per-generation
+    * align-and-union (plan-level: N pruned scans, no shuffle). The
+    * snapshot's schema is its RESOLVING version's batch schema;
+    * carried pre-change buckets read with NULL for the added columns. */
+  private def readAligned(s: org.apache.spark.sql.SparkSession,
+      pathsByVersion: Seq[(Long, Seq[String])]): DataFrame =
+    if (pathsByVersion.size == 1)
+      s.read.parquet(pathsByVersion.head._2: _*)
+    else {
+      val newestFirst = pathsByVersion.sortBy(-_._1)
+      val frames = newestFirst.map { case (_, ps) => s.read.parquet(ps: _*) }
+      val schemas = frames.map(_.schema)
+      if (schemas.forall(_ == schemas.head))
+        s.read.parquet(newestFirst.flatMap(_._2): _*)
+      else {
+        val target = mergedReadSchema(schemas)
+        frames.map(alignTo(_, target)).reduce(_ unionByName _)
+      }
+    }
+
+  /** Bucket→version manifest entries regrouped as (version, its bucket
+    * dirs) — [[readAligned]]'s input shape. */
+  private def pathsByVersion(serving: String,
+      manifest: Map[Int, Long]): Seq[(Long, Seq[String])] =
+    manifest.toSeq.groupBy(_._2).toSeq.map { case (v, entries) =>
+      (v, entries.map { case (b, _) => s"$serving/v$v/__bucket=$b" }.sorted)
+    }
 
   /** Versions whose manifest exists — i.e. whose assembling rename
     * landed. A crash mid-assembly leaves only a `.tmp-v*` dir, which

@@ -630,6 +630,69 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertBatch schema evolution: add + widen read NULL-backfilled; drop and retype refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_serving_evo").toFile
+    try {
+      val serving = dir.getAbsolutePath
+      val b0 = Seq((1L, 2, 10L), (2L, 1, 20L)).toDF("user_id", "n_events", "last_us")
+      StreamingWindows.upsertBatch(serving, buckets = 4)(b0, 0L)
+      // batch 1 WIDENS n_events (int → long) and ADDS score
+      val b1 = Seq((1L, 5L, 30L, 0.5)).toDF("user_id", "n_events", "last_us", "score")
+      StreamingWindows.upsertBatch(serving, buckets = 4)(b1, 1L)
+      val view = StreamingWindows.readServingSnapshot(spark, serving).get
+      assert(view.schema("n_events").dataType ==
+        org.apache.spark.sql.types.LongType,
+        "the shared column must read at the widened type")
+      val rows = view.collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"),
+          if (r.isNullAt(r.fieldIndex("score"))) None
+          else Some(r.getAs[Double]("score"))))).toMap
+      assert(rows == Map(1L -> ((5L, Some(0.5))), 2L -> ((1L, None))),
+        s"carried pre-change rows read with NULL for the added column: $rows")
+      // time travel BELOW the change keeps the OLD shape entirely
+      val asOf0 = StreamingWindows.readServingAsOf(spark, serving, 0L).get
+      assert(!asOf0.columns.contains("score"),
+        "a snapshot's schema is its resolving version's batch schema")
+      assert(asOf0.schema("n_events").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      // a NARROWER later batch up-casts instead of corrupting the base
+      val b2 = Seq((2L, 7, 40L, 0.25f)).toDF("user_id", "n_events", "last_us", "score")
+      StreamingWindows.upsertBatch(serving, buckets = 4)(b2, 2L)
+      val v2 = StreamingWindows.readServingSnapshot(spark, serving).get
+      assert(v2.schema("n_events").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(v2.schema("score").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      // the changefeed diffs across the boundary: v1 = user 1's update
+      // (NULL→score counts as change), v2 = user 2's update; nothing else
+      val feed = StreamingWindows.servingChangefeed(spark, serving).get
+        .collect().map(r => (r.getAs[Long]("version"), r.getAs[String]("op"),
+          r.getAs[Long]("user_id"))).toSet
+      assert(feed == Set((0L, "insert", 1L), (0L, "insert", 2L),
+        (1L, "update", 1L), (2L, "update", 2L)), feed.toString)
+      // DROPPING a column refuses loudly…
+      val eDrop = intercept[IllegalArgumentException] {
+        StreamingWindows.upsertBatch(serving, buckets = 4)(
+          Seq((1L, 9L, 50L)).toDF("user_id", "n_events", "last_us"), 3L)
+      }
+      assert(eDrop.getMessage.contains("missing existing column"), eDrop.getMessage)
+      // …and so does an incompatible retype
+      val eType = intercept[IllegalArgumentException] {
+        StreamingWindows.upsertBatch(serving, buckets = 4)(
+          Seq((1L, "many", 50L, 0.5)).toDF("user_id", "n_events", "last_us", "score"), 3L)
+      }
+      assert(eType.getMessage.contains("loss-free"), eType.getMessage)
+      // neither refusal left a half-written version
+      assert(StreamingWindows.readServingAsOf(spark, serving, 99L).get
+        .collect().length == 2)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("upsertBatch: untouched buckets carry forward by reference, byte-identical") {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val dir = java.nio.file.Files.createTempDirectory("graft_serving_bkt").toFile
