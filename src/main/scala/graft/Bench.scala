@@ -509,7 +509,14 @@ object Bench {
       "q248_serving_tombstone_delete" -> 0.13,
       "q249_serving_delete_changefeed" -> 1.06,
       "q250_streaming_full_outer_restart" -> 0.15,
-      "q251_quantile_shards" -> 0.37)
+      "q251_quantile_shards" -> 0.37,
+      // adopted r19 from the r18 final quiet record (launch loadavg
+      // 0.60, BENCH_NOTES r18 final) — completes the r18 family's
+      // coverage: the stream-maintained KLL artifacts, the cross-store
+      // forget capstone, and the consumer-side changefeed replay
+      "q252_streaming_quantile_shards" -> 0.18,
+      "q253_forget_everywhere" -> 0.27,
+      "q254_changefeed_apply" -> 1.54)
     val lifecycleJson = lifecycleBand.toSeq.sortBy(_._1).map { case (name, band) =>
       val sec = results.collectFirst { case (`name`, v, _) if v >= 0 => v }
       val exceeded = sec.exists(_ > 2.0 * band)
