@@ -246,8 +246,11 @@ object Sketches {
     * by NUMERIC batch id, listed through the Fs scheme layer. */
   def shardPaths(shardsDir: String): Seq[String] =
     graft.util.Fs.listChildren(shardsDir).flatMap { case (name, isDir) =>
-      if (isDir) name.stripPrefix("shard").toLongOption
-        .map(id => (id, s"$shardsDir/$name"))
+      // prefix REQUIRED before stripping: stripPrefix is a no-op on a
+      // non-matching name, so a digits-only stranger dir would parse
+      if (isDir && name.startsWith("shard"))
+        name.stripPrefix("shard").toLongOption
+          .map(id => (id, s"$shardsDir/$name"))
       else None
     }.sortBy(_._1).map(_._2)
 
@@ -278,14 +281,16 @@ object Sketches {
     *
     * Crash protocol (parked-dir posture, all-or-nothing): the merged
     * artifact stages in `.tmp-compact-shards` while every old dir is
-    * intact, ALL old shard dirs park into `shards_old_compact/`, the
-    * staged artifact installs as `shard<maxId>`, and the park deletes
-    * last. Recovery is keyed on the install: if the live dir has NO
-    * shard dirs, move every parked one back; if `shard<maxId>` exists,
-    * the install landed — delete the park (restoring beside it would
-    * double-count the merged waves). A parked dir's presence refuses a
-    * fresh run loudly; the whole pass runs under the maintenance
-    * lease ([[graft.util.MaintenanceLease]]). */
+    * intact, ALL old shard dirs park into `shards_old_compact/` —
+    * `shard<maxId>` FIRST, so its live absence marks every mid-park
+    * crash — the staged artifact installs as `shard<maxId>`, and the
+    * park deletes last. Recovery is therefore keyed UNAMBIGUOUSLY on
+    * the live `shard<maxId>`: present → the install landed, delete the
+    * park (restoring beside it would double-count the merged waves);
+    * absent → move every parked dir back (each live twin is missing by
+    * construction) and delete the staging dir. A parked dir's presence
+    * refuses a fresh run loudly; the whole pass runs under the
+    * maintenance lease ([[graft.util.MaintenanceLease]]). */
   def compactDistinctShards(s: org.apache.spark.sql.SparkSession,
       shardsDir: String, groupCol: String): Unit =
     compactShardsWith(s, shardsDir)(
@@ -317,9 +322,9 @@ object Sketches {
     // top of the crash signal it reports
     val parked = s"$shardsDir/shards_old_compact"
     require(!Fs.exists(parked),
-      s"$parked exists — a prior compaction crashed mid-swap; if the " +
-        "live dir has no shard dirs move every parked one back, if " +
-        "shard<maxId> exists delete the park (see scaladoc), then retry")
+      s"$parked exists — a prior compaction crashed mid-swap; if a live " +
+        "shard<maxId> exists the install landed (delete the park), " +
+        "otherwise move every parked dir back (see scaladoc), then retry")
     graft.util.MaintenanceLease.withLease(shardsDir, "compactShards") {
       // the shard set resolves INSIDE the lease — a wave committed in
       // the acquire gap would be parked without being merged
@@ -333,7 +338,15 @@ object Sketches {
         merge(s.read.parquet(shards: _*))
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         Fs.mkdirs(parked)
-        shards.foreach(p => Fs.move(p, s"$parked/${p.split("/").last}"))
+        // park shard<maxId> FIRST (descending ids): the recovery rule
+        // keys on whether a live shard<maxId> exists, which is
+        // unambiguous only if the original is gone before any other
+        // wave parks — a crash anywhere mid-park then leaves NO live
+        // shard<maxId>, so "live maxId present" can only mean the
+        // install landed (r19 review #2)
+        shards.sortBy(p =>
+          -p.split("/").last.stripPrefix("shard").toLong)
+          .foreach(p => Fs.move(p, s"$parked/${p.split("/").last}"))
         Fs.move(tmp, s"$shardsDir/shard$maxId")
         Fs.rmTree(parked)
       }

@@ -524,6 +524,20 @@ object StreamingWindows {
           if (priorByVer.isEmpty) upserts.limit(0)
           else readAligned(s, priorByVer)
             .join(batch.select(keyCol), Seq(keyCol), "left_anti")
+        // the TABLE schema: merged over every generation the latest
+        // manifest references (one footer read per generation, bounded
+        // by the bucket count). Validation must run against THIS, not
+        // the touched buckets' priors alone — a batch touching only
+        // bucket B could otherwise introduce a type incompatible with a
+        // column that lives only in untouched bucket A, committing a
+        // version that poisons every later multi-generation read, or
+        // silently drop a column only untouched buckets carry
+        // (r19 review #3)
+        val tableSchema = {
+          val gens = pathsByVersion(serving, prev).sortBy(-_._1)
+            .map { case (_, ps) => s.read.parquet(ps.head).schema }
+          if (gens.isEmpty) None else Some(mergedReadSchema(gens))
+        }
         // SCHEMA EVOLUTION at the merge point: the batch may ADD columns
         // (carried base rows NULL-backfill — they predate the column)
         // and WIDEN types (canUpCast-validated, both directions checked
@@ -531,16 +545,28 @@ object StreamingWindows {
         // but never DROP a column — silently nulling served data on a
         // consumer bug is the one evolution this table refuses. The
         // batch defines the new column order.
-        base.schema.fieldNames.foreach(c => require(
+        tableSchema.foreach(_.fieldNames.foreach(c => require(
           upserts.columns.contains(c),
           s"upsertBatch: batch is missing existing column $c — a serving " +
             "batch may add columns or widen types, never drop them " +
-            "(an absent column would silently NULL served data)"))
+            "(an absent column would silently NULL served data)")))
+        // the KEY is exempt from type evolution: buckets are
+        // pmod(xxhash64(key), B) and xxhash64 hashes the PHYSICAL type
+        // (an int and a long with the same value hash differently), so
+        // a key retype would scatter carried rows across buckets their
+        // manifests never list — silent loss — instead of widening
+        // (r19 review #1)
+        tableSchema.flatMap(_.find(_.name == keyCol)).foreach(k0 => require(
+          upserts.schema(keyCol).dataType == k0.dataType,
+          s"upsertBatch: key column $keyCol cannot change type " +
+            s"(${k0.dataType} -> ${upserts.schema(keyCol).dataType}): " +
+            "bucketing hashes the key's physical type, so a retyped key " +
+            "re-buckets carried rows out of every manifest"))
         val target = org.apache.spark.sql.types.StructType(
           upserts.schema.map { f =>
-            base.schema.find(_.name == f.name) match {
-              case Some(b2) => f.copy(
-                dataType = widen(b2.dataType, f.dataType, f.name, "upsertBatch"),
+            tableSchema.flatMap(_.find(_.name == f.name)) match {
+              case Some(t0) => f.copy(
+                dataType = widen(t0.dataType, f.dataType, f.name, "upsertBatch"),
                 nullable = true)
               case None => f.copy(nullable = true)
             }

@@ -104,7 +104,18 @@ object MaintenanceLease {
         "parked dirs, and steps), then MaintenanceLease.forceRelease")
     val token = java.util.UUID.randomUUID().toString
     val cand = s"$layoutPath/$CandidatePrefix$token"
-    Fs.writeString(cand, s"$kind\n$token\n$owner\n")
+    // a failure OF THE CANDIDATE WRITE (disk full, quota, transient
+    // store error) must not strand a half-written candidate that every
+    // later acquirer — including this stream's own next batch — would
+    // read as a rival and wedge on (the r18 createExclusive kept the
+    // same self-cleanup)
+    try Fs.writeString(cand, s"$kind\n$token\n$owner\n")
+    catch {
+      case e: Throwable =>
+        try Fs.deleteIfExists(cand)
+        catch { case _: java.io.IOException => () }
+        throw e
+    }
     afterCandidateWrite()
     val visible = Fs.listChildren(layoutPath)
       .collect { case (name, false) if name.startsWith(MarkerName) => name }
@@ -281,9 +292,11 @@ object MaintenanceLease {
   def forceRelease(layoutPath: String): Unit = {
     val parked = parkedDirsUnder(layoutPath)
     require(parked.isEmpty,
-      s"refusing to force-release $layoutPath: parked/staging dirs " +
-        s"present (${parked.mkString(", ")}) — a pass crashed mid-swap; " +
-        "restore them first (MaintenanceLease.inspect describes how)")
+      s"refusing to force-release $layoutPath: parked dirs present " +
+        s"(${parked.mkString(", ")}) — a pass crashed mid-swap and they " +
+        "hold displaced old state; restore them first " +
+        "(MaintenanceLease.inspect describes how; inert staging dirs " +
+        "never block this)")
     Fs.deleteIfExists(marker(layoutPath))
     Fs.listChildren(layoutPath).foreach {
       case (name, false) if name.startsWith(CandidatePrefix) =>

@@ -236,8 +236,14 @@ class SketchesSpec extends AnyFunSuite {
       val before = Sketches.distinctFromShards(spark,
         Sketches.shardPaths(hllDir), "event_type").collect()
         .map(r => r.getString(0) -> (r.getLong(1), r.getAs[Any](2))).toMap
+      // a digits-only stranger dir must never parse as a shard (it
+      // would be read, parked, and deleted as if it were a wave)
+      graft.util.Fs.mkdirs(s"$hllDir/20260816")
+      assert(!Sketches.shardPaths(hllDir).exists(_.endsWith("20260816")))
       Sketches.compactDistinctShards(spark, hllDir, "event_type")
       Sketches.compactQuantileShards(spark, kllDir, "event_type")
+      assert(graft.util.Fs.exists(s"$hllDir/20260816"),
+        "compaction must leave non-shard dirs untouched")
       // structure: exactly ONE shard dir survives, at the MAX wave id
       assert(Sketches.shardPaths(hllDir).map(_.split("/").last) == Seq("shard2"))
       assert(Sketches.shardPaths(kllDir).map(_.split("/").last) == Seq("shard2"))

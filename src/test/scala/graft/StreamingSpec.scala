@@ -693,6 +693,57 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertBatch evolution validates against the whole table, not just touched buckets") {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val dir = java.nio.file.Files.createTempDirectory("graft_serving_xb").toFile
+    try {
+      val serving = dir.getAbsolutePath
+      def bucketOf(id: Long): Int = spark.range(1)
+        .select(pmod(xxhash64(lit(id)), lit(4L)).cast("int")).head().getInt(0)
+      val k1 = 1L
+      val k2 = (2L to 64L).find(bucketOf(_) != bucketOf(k1)).get
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((k1, 1L), (k2, 1L)).toDF("user_id", "n"), 0L)
+      // v1 touches ONLY k1's bucket and adds score:double
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((k1, 2L, 0.5)).toDF("user_id", "n", "score"), 1L)
+      // a batch touching ONLY k2's bucket must still refuse a type
+      // incompatible with the column that lives only in k1's untouched
+      // bucket — otherwise the commit poisons every later read
+      val eCross = intercept[IllegalArgumentException] {
+        StreamingWindows.upsertBatch(serving, buckets = 4)(
+          Seq((k2, 3L, "poison")).toDF("user_id", "n", "score"), 2L)
+      }
+      assert(eCross.getMessage.contains("loss-free"), eCross.getMessage)
+      // …and must still refuse dropping the column it cannot see
+      val eDrop = intercept[IllegalArgumentException] {
+        StreamingWindows.upsertBatch(serving, buckets = 4)(
+          Seq((k2, 3L)).toDF("user_id", "n"), 2L)
+      }
+      assert(eDrop.getMessage.contains("missing existing column"), eDrop.getMessage)
+      // the KEY is exempt from type evolution: bucketing hashes the
+      // key's physical type, so a retyped key would re-bucket carried
+      // rows out of every manifest
+      val eKey = intercept[IllegalArgumentException] {
+        StreamingWindows.upsertBatch(serving, buckets = 4)(
+          Seq((k2.toInt, 3L, 1.5)).toDF("user_id", "n", "score"), 2L)
+      }
+      assert(eKey.getMessage.contains("key column"), eKey.getMessage)
+      // the compatible batch goes through and the view is whole
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((k2, 3L, 1.5)).toDF("user_id", "n", "score"), 2L)
+      val rows = StreamingWindows.readServingSnapshot(spark, serving).get
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("score")))).toMap
+      assert(rows == Map(k1 -> ((2L, 0.5)), k2 -> ((3L, 1.5))), rows.toString)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("upsertBatch: untouched buckets carry forward by reference, byte-identical") {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val dir = java.nio.file.Files.createTempDirectory("graft_serving_bkt").toFile
