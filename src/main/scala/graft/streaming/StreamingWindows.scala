@@ -473,7 +473,11 @@ object StreamingWindows {
     * entirely. Deleting an absent key is a no-op. The marker column
     * never lands in the table; non-tombstone rows in the same batch
     * upsert as usual. [[servingChangefeed]] reports these as
-    * op='delete' rows carrying the pre-image.
+    * op='delete' rows carrying the pre-image. A batch that is ALL
+    * deletions may carry just (key, marker) — it writes no values, so
+    * the schema-evolution rules below don't bind it and a GDPR
+    * delete-queue drain stays decoupled from the table's schema; a
+    * MIXED batch must carry the full schema like any upsert.
     *
     * SCHEMA EVOLUTION: a batch may ADD columns (the carried base
     * NULL-backfills — those rows predate the column) and WIDEN types
@@ -538,6 +542,13 @@ object StreamingWindows {
             .map { case (_, ps) => s.read.parquet(ps.head).schema }
           if (gens.isEmpty) None else Some(mergedReadSchema(gens))
         }
+        // a batch that is ALL deletions (every row tombstoned) writes no
+        // values — its version holds carried base rows only — so the
+        // schema rules below don't apply to it: a delete-queue drain
+        // carries (key, marker) alone, and coupling the GDPR queue to
+        // every schema change would be a false requirement. Its merge
+        // target is the TABLE schema.
+        val deleteOnly = tombstoneCol.isDefined && upserts.isEmpty
         // SCHEMA EVOLUTION at the merge point: the batch may ADD columns
         // (carried base rows NULL-backfill — they predate the column)
         // and WIDEN types (canUpCast-validated, both directions checked
@@ -545,7 +556,7 @@ object StreamingWindows {
         // but never DROP a column — silently nulling served data on a
         // consumer bug is the one evolution this table refuses. The
         // batch defines the new column order.
-        tableSchema.foreach(_.fieldNames.foreach(c => require(
+        if (!deleteOnly) tableSchema.foreach(_.fieldNames.foreach(c => require(
           upserts.columns.contains(c),
           s"upsertBatch: batch is missing existing column $c — a serving " +
             "batch may add columns or widen types, never drop them " +
@@ -562,16 +573,21 @@ object StreamingWindows {
             s"(${k0.dataType} -> ${upserts.schema(keyCol).dataType}): " +
             "bucketing hashes the key's physical type, so a retyped key " +
             "re-buckets carried rows out of every manifest"))
-        val target = org.apache.spark.sql.types.StructType(
-          upserts.schema.map { f =>
-            tableSchema.flatMap(_.find(_.name == f.name)) match {
-              case Some(t0) => f.copy(
-                dataType = widen(t0.dataType, f.dataType, f.name, "upsertBatch"),
-                nullable = true)
-              case None => f.copy(nullable = true)
-            }
-          })
-        alignTo(base, target).unionByName(alignTo(upserts, target))
+        val target =
+          if (deleteOnly && tableSchema.isDefined) tableSchema.get
+          else org.apache.spark.sql.types.StructType(
+            upserts.schema.map { f =>
+              tableSchema.flatMap(_.find(_.name == f.name)) match {
+                case Some(t0) => f.copy(
+                  dataType = widen(t0.dataType, f.dataType, f.name, "upsertBatch"),
+                  nullable = true)
+                case None => f.copy(nullable = true)
+              }
+            })
+        val merged =
+          if (deleteOnly) alignTo(base, target)
+          else alignTo(base, target).unionByName(alignTo(upserts, target))
+        merged
           .withColumn("__bucket", bucketOf)
           .repartition(touched.length, col("__bucket"))
           .write.partitionBy("__bucket").mode("overwrite")

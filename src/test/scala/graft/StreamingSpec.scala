@@ -670,6 +670,14 @@ class StreamingSpec extends AnyFunSuite {
           r.getAs[Long]("user_id"))).toSet
       assert(feed == Set((0L, "insert", 1L), (0L, "insert", 2L),
         (1L, "update", 1L), (2L, "update", 2L)), feed.toString)
+      // the generation alignment (extra Projects around the prior side)
+      // must not demote the per-version diffs off the broadcast path —
+      // the exact regression mode the r18 band caught on q233
+      val feedPlan = StreamingWindows.servingChangefeed(spark, serving).get
+        .queryExecution.executedPlan.toString
+      assert(!feedPlan.contains("SortMergeJoin") &&
+        !feedPlan.contains("BroadcastNestedLoop"),
+        "evolved-chain diffs must stay on the broadcast path")
       // DROPPING a column refuses loudly…
       val eDrop = intercept[IllegalArgumentException] {
         StreamingWindows.upsertBatch(serving, buckets = 4)(
@@ -685,6 +693,29 @@ class StreamingSpec extends AnyFunSuite {
       // neither refusal left a half-written version
       assert(StreamingWindows.readServingAsOf(spark, serving, 99L).get
         .collect().length == 2)
+      // the incremental tail works across the boundary too: fromVersion
+      // past the change returns only post-change rows, new column valued
+      val tail = StreamingWindows.servingChangefeed(spark, serving,
+        fromVersion = 2L).get.collect()
+      assert(tail.map(r => (r.getAs[Long]("version"), r.getAs[String]("op"),
+        r.getAs[Long]("user_id"))).toSeq == Seq((2L, "update", 2L)))
+      // an ALL-deletions batch may carry just (key, marker): it writes
+      // no values, so the no-drop rule doesn't bind it — the GDPR
+      // delete-queue drain stays decoupled from schema changes
+      StreamingWindows.upsertBatch(serving, buckets = 4,
+        tombstoneCol = Some("__del"))(
+        Seq((1L, true)).toDF("user_id", "__del"), 3L)
+      val afterDel = StreamingWindows.readServingSnapshot(spark, serving).get
+      assert(afterDel.collect().map(_.getAs[Long]("user_id")).toSeq == Seq(2L))
+      assert(afterDel.columns.contains("score"),
+        "a delete-only version keeps the table schema")
+      // …but a MIXED batch still carries the full schema like any upsert
+      val eMixed = intercept[IllegalArgumentException] {
+        StreamingWindows.upsertBatch(serving, buckets = 4,
+          tombstoneCol = Some("__del"))(
+          Seq((2L, true), (9L, false)).toDF("user_id", "__del"), 4L)
+      }
+      assert(eMixed.getMessage.contains("missing existing column"), eMixed.getMessage)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
