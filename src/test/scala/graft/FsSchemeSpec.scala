@@ -109,6 +109,37 @@ class FsSchemeSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$mh/grams").select("doc_id")
         .distinct().collect().map(_.getLong(0)).toSet == Set(1L, 3L))
 
+      // ---- r19 verbs: schema evolution (aligned multi-generation
+      // read + changefeed) and sketch-shard compaction, both under the
+      // foreign scheme — the new control I/O (generation footer reads,
+      // park-first shard swap, writer lease at the shards root) must
+      // resolve through the path's own scheme like everything above
+      val evo = s"$root/evolved"
+      StreamingWindows.upsertBatch(evo, buckets = 4)(
+        Seq((1L, 1L), (2L, 1L)).toDF("user_id", "n"), 0L)
+      StreamingWindows.upsertBatch(evo, buckets = 4)(
+        Seq((1L, 2L, 0.5)).toDF("user_id", "n", "score"), 1L)
+      val evoRows = StreamingWindows.readServingSnapshot(spark, evo).get
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          (if (r.isNullAt(r.fieldIndex("score"))) None
+           else Some(r.getAs[Double]("score")))).toMap
+      assert(evoRows == Map(1L -> Some(0.5), 2L -> None),
+        s"evolved read must align generations under the scheme: $evoRows")
+      val evoFeed = StreamingWindows.servingChangefeed(spark, evo).get
+        .collect().map(r => (r.getAs[Long]("version"),
+          r.getAs[String]("op"), r.getAs[Long]("user_id"))).toSet
+      assert(evoFeed == Set((0L, "insert", 1L), (0L, "insert", 2L),
+        (1L, "update", 1L)))
+      val shards = s"$root/shards"
+      (0 until 2).foreach(i => operators.Sketches.writeDistinctShard(
+        Seq((i.toLong, "g")).toDF("id", "g"), "g", "id", s"$shards/shard$i"))
+      operators.Sketches.compactDistinctShards(spark, shards, "g")
+      assert(operators.Sketches.shardPaths(shards)
+        .map(_.split("/").last) == Seq("shard1"))
+      assert(operators.Sketches.distinctFromShards(spark,
+        operators.Sketches.shardPaths(shards), "g").head()
+        .getAs[Long]("n_rows") == 2L)
+
       // the java.io leak detector: a java.io.File("testfs://...") call
       // resolves RELATIVE to the CWD (the scheme is just characters to
       // it) — if any maintenance path had leaked, a literal `testfs:`
