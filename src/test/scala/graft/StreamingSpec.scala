@@ -724,6 +724,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("maintenance verbs on an evolved chain: vacuum keeps NULLs, compact unifies generations") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_serving_evomaint").toFile
+    try {
+      val serving = dir.getAbsolutePath
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("user_id", "n"), 0L)
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((1L, 2L, 0.5)).toDF("user_id", "n", "score"), 1L)
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((2L, 3L, 1.5)).toDF("user_id", "n", "score"), 2L)
+      def view: Map[Long, (Long, Option[Double])] =
+        StreamingWindows.readServingSnapshot(spark, serving).get.collect()
+          .map(r => r.getAs[Long]("user_id") -> ((r.getAs[Long]("n"),
+            if (r.isNullAt(r.fieldIndex("score"))) None
+            else Some(r.getAs[Double]("score"))))).toMap
+      val expected = Map(1L -> ((2L, Some(0.5))), 2L -> ((3L, Some(1.5))),
+        3L -> ((1L, None)))
+      assert(view == expected)
+      // vacuum decommissions pre-change snapshots; the current (mixed-
+      // generation) view is untouched, carried NULLs included
+      StreamingWindows.vacuumServing(serving, keepLast = 2)
+      assert(view == expected, "vacuum must not disturb the evolved view")
+      // compaction EXECUTES the aligned multi-generation read and
+      // re-states the table as ONE generation under the evolved schema —
+      // after it, the chain has a single version and the same view
+      StreamingWindows.compactServing(spark, serving, buckets = 4)
+      assert(view == expected, "compaction must preserve the evolved view")
+      val compacted = StreamingWindows.readServingAsOf(spark, serving, 2L).get
+      assert(compacted.columns.contains("score"),
+        "the compacted generation carries the evolved schema")
+      // and the next batch merges against the unified generation
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((3L, 2L, 2.5)).toDF("user_id", "n", "score"), 3L)
+      assert(view == expected + (3L -> ((2L, Some(2.5)))))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("upsertBatch evolution validates against the whole table, not just touched buckets") {
     import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
     val dir = java.nio.file.Files.createTempDirectory("graft_serving_xb").toFile
