@@ -281,16 +281,24 @@ object Sketches {
     *
     * Crash protocol (parked-dir posture, all-or-nothing): the merged
     * artifact stages in `.tmp-compact-shards` while every old dir is
-    * intact, ALL old shard dirs park into `shards_old_compact/` —
-    * `shard<maxId>` FIRST, so its live absence marks every mid-park
-    * crash — the staged artifact installs as `shard<maxId>`, and the
-    * park deletes last. Recovery is therefore keyed UNAMBIGUOUSLY on
-    * the live `shard<maxId>`: present → the install landed, delete the
-    * park (restoring beside it would double-count the merged waves);
-    * absent → move every parked dir back (each live twin is missing by
-    * construction) and delete the staging dir. A parked dir's presence
-    * refuses a fresh run loudly; the whole pass runs under the
-    * maintenance lease ([[graft.util.MaintenanceLease]]). */
+    * intact, ALL old shard dirs park into `shards_old_compact/`
+    * (`shard<maxId>` first), the staged artifact installs as
+    * `shard<maxId>`, an `_install_complete` marker lands INSIDE the
+    * park (one small-object write — atomic even where directory rename
+    * is per-object copy+delete), and the park deletes last. Recovery
+    * keys on the MARKER, never on whether a live `shard<maxId>` exists
+    * (a non-atomic rename can leave one mid-park or mid-install):
+    * marker present → the install landed, delete the park (restoring
+    * beside the merged artifact would double-count its waves); marker
+    * absent → the install did not complete — delete any live shard dir
+    * that ALSO exists in the park (it is a partial rename remnant; the
+    * park's copy completed before its source deletion began), move
+    * every parked shard dir back, delete the staging dir, and retry.
+    * A crash between the install and the marker merely redoes the
+    * compaction after restore. A parked dir's presence refuses a fresh
+    * run loudly; the whole pass runs under the maintenance lease
+    * ([[graft.util.MaintenanceLease]], whose `inspect` points back at
+    * this protocol by the park's name). */
   def compactDistinctShards(s: org.apache.spark.sql.SparkSession,
       shardsDir: String, groupCol: String): Unit =
     compactShardsWith(s, shardsDir)(
@@ -314,6 +322,8 @@ object Sketches {
         graft.functions.HashFunctions
           .kll_merge_sketch(col("sketch"), k).as("sketch")))
 
+  private[graft] val InstallCompleteMarker = "_install_complete"
+
   private def compactShardsWith(s: org.apache.spark.sql.SparkSession,
       shardsDir: String)(merge: DataFrame => DataFrame): Unit = {
     import graft.util.Fs
@@ -322,9 +332,10 @@ object Sketches {
     // top of the crash signal it reports
     val parked = s"$shardsDir/shards_old_compact"
     require(!Fs.exists(parked),
-      s"$parked exists — a prior compaction crashed mid-swap; if a live " +
-        "shard<maxId> exists the install landed (delete the park), " +
-        "otherwise move every parked dir back (see scaladoc), then retry")
+      s"$parked exists — a prior compaction crashed mid-swap; if it " +
+        s"contains $InstallCompleteMarker the install landed (delete the " +
+        "park), otherwise restore the parked shard dirs (see the " +
+        "compactDistinctShards scaladoc), then retry")
     graft.util.MaintenanceLease.withLease(shardsDir, "compactShards") {
       // the shard set resolves INSIDE the lease — a wave committed in
       // the acquire gap would be parked without being merged
@@ -338,16 +349,19 @@ object Sketches {
         merge(s.read.parquet(shards: _*))
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         Fs.mkdirs(parked)
-        // park shard<maxId> FIRST (descending ids): the recovery rule
-        // keys on whether a live shard<maxId> exists, which is
-        // unambiguous only if the original is gone before any other
-        // wave parks — a crash anywhere mid-park then leaves NO live
-        // shard<maxId>, so "live maxId present" can only mean the
-        // install landed (r19 review #2)
-        shards.sortBy(p =>
-          -p.split("/").last.stripPrefix("shard").toLong)
-          .foreach(p => Fs.move(p, s"$parked/${p.split("/").last}"))
+        // shards is ascending by id (shardPaths); park maxId FIRST so
+        // no live shard<maxId> survives a mid-park crash
+        shards.reverse.foreach(p =>
+          Fs.move(p, s"$parked/${p.split("/").last}"))
         Fs.move(tmp, s"$shardsDir/shard$maxId")
+        // install-complete MARKER (one small-object write — atomic
+        // everywhere, including stores whose directory rename is
+        // per-object copy+delete): recovery keys on THIS, never on
+        // "does a live shard<maxId> exist", which a non-atomic rename
+        // can make true mid-park or mid-install (r19 review round 2).
+        // A crash between the install and this write merely redoes the
+        // compaction after restore — never loses a wave.
+        Fs.writeString(s"$parked/$InstallCompleteMarker", "installed\n")
         Fs.rmTree(parked)
       }
     }

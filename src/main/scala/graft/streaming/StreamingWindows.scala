@@ -506,9 +506,16 @@ object StreamingWindows {
           serving, "upsertBatch") {
         val s = batch.sparkSession
         val bucketOf = pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int")
-        // bounded collect: ≤ `buckets` values by construction, never data-scale
-        val touched = batch.select(bucketOf.as("__bucket")).distinct()
-          .collect().map(_.getInt(0)).sorted
+        val isTomb = tombstoneCol.map(t => coalesce(col(t), lit(false)))
+          .getOrElse(lit(false))
+        // bounded collect: ≤ `buckets` rows by construction, never
+        // data-scale — and the SAME single job also answers "does any
+        // row upsert" (the delete-only decision below), instead of a
+        // second isEmpty action per micro-batch (r19 review round 2)
+        val probe = batch.groupBy(bucketOf.as("__bucket"))
+          .agg(max(when(isTomb, 0).otherwise(1)).as("__any_upsert"))
+          .collect()
+        val touched = probe.map(_.getInt(0)).sorted
         val prev = latestManifest(serving, belowVersion = batchId)
         val tmp = s"$serving/.tmp-v$batchId"
         graft.util.Fs.rmTree(tmp)
@@ -528,27 +535,29 @@ object StreamingWindows {
           if (priorByVer.isEmpty) upserts.limit(0)
           else readAligned(s, priorByVer)
             .join(batch.select(keyCol), Seq(keyCol), "left_anti")
-        // the TABLE schema: merged over every generation the latest
-        // manifest references (one footer read per generation, bounded
-        // by the bucket count). Validation must run against THIS, not
-        // the touched buckets' priors alone — a batch touching only
-        // bucket B could otherwise introduce a type incompatible with a
-        // column that lives only in untouched bucket A, committing a
-        // version that poisons every later multi-generation read, or
-        // silently drop a column only untouched buckets carry
-        // (r19 review #3)
-        val tableSchema = {
-          val gens = pathsByVersion(serving, prev).sortBy(-_._1)
-            .map { case (_, ps) => s.read.parquet(ps.head).schema }
-          if (gens.isEmpty) None else Some(mergedReadSchema(gens))
-        }
+        // the TABLE schema = the NEWEST dir-owning generation's schema.
+        // Validation must run against the WHOLE table, not the touched
+        // buckets' priors alone — a batch touching only bucket B could
+        // otherwise introduce a type incompatible with a column living
+        // only in untouched bucket A (poisoning every later read) or
+        // silently drop such a column (r19 review #3). One footer read
+        // suffices because the contract this function itself enforces
+        // makes the newest generation complete: no-drop means every
+        // later batch carries all earlier columns, widen means types
+        // only grow, and a delete-only version re-states the table
+        // schema — so the newest generation's schema IS the merge of
+        // all of them.
+        val tableSchema = pathsByVersion(serving, prev).sortBy(-_._1)
+          .headOption.map { case (_, ps) => s.read.parquet(ps.head).schema }
         // a batch that is ALL deletions (every row tombstoned) writes no
         // values — its version holds carried base rows only — so the
         // schema rules below don't apply to it: a delete-queue drain
         // carries (key, marker) alone, and coupling the GDPR queue to
         // every schema change would be a false requirement. Its merge
-        // target is the TABLE schema.
-        val deleteOnly = tombstoneCol.isDefined && upserts.isEmpty
+        // target is the TABLE schema. (Decided by the bucket probe's
+        // piggybacked aggregate — no extra action.)
+        val deleteOnly = tombstoneCol.isDefined &&
+          probe.forall(_.getInt(1) == 0)
         // SCHEMA EVOLUTION at the merge point: the batch may ADD columns
         // (carried base rows NULL-backfill — they predate the column)
         // and WIDEN types (canUpCast-validated, both directions checked

@@ -112,8 +112,14 @@ object MaintenanceLease {
     try Fs.writeString(cand, s"$kind\n$token\n$owner\n")
     catch {
       case e: Throwable =>
+        // the cleanup must never REPLACE the original failure (Hadoop
+        // clients surface RuntimeExceptions too, not just IOException)
+        // — swallow anything non-fatal, attach it, rethrow the cause
         try Fs.deleteIfExists(cand)
-        catch { case _: java.io.IOException => () }
+        catch {
+          case c: Throwable if scala.util.control.NonFatal(c) =>
+            e.addSuppressed(c)
+        }
         throw e
     }
     afterCandidateWrite()
@@ -265,11 +271,16 @@ object MaintenanceLease {
           (if (staging.isEmpty) ""
            else "; staging dirs are inert leftovers, safe to delete")
       else if (parked.nonEmpty)
-        "a pass crashed mid-swap: restore the parked dirs per the " +
-          "owning operator's crash protocol (move each parked subdir " +
-          "back where its live twin is missing; staging dirs are safe " +
-          "to delete), THEN forceRelease and re-run the pass with the " +
-          "same inputs"
+        "a pass crashed mid-swap: recover per the OWNING pass's crash " +
+          "protocol — the parked dir's name names it (mh_old_del -> " +
+          "deleteFromMinHashIndex, postings_old_del -> " +
+          "deleteFromInvertedIndex, cells_old_del -> deleteFromIvfIndex: " +
+          "move each parked subdir back where its live twin is missing; " +
+          "shards_old_compact -> compactDistinctShards/compactQuantileShards: " +
+          "keyed on its _install_complete marker — present means delete " +
+          "the park, absent means restore; do NOT blanket-move that one " +
+          "back). Staging dirs are safe to delete. THEN forceRelease and " +
+          "re-run the pass with the same inputs"
       else if (owner.map(_._1).contains(WriterKind))
         "a writer crashed mid-batch: its staging dirs are inert and " +
           "the stream's own replay is the recovery path (it takes the " +
