@@ -67,7 +67,13 @@ object Sketches {
     * "distinct per group" by register-wise union — no rescan of data
     * already profiled, the incremental-analytics shape the postings /
     * IVF artifacts use for search. Artifact size is
-    * O(groups × sketch size), independent of the wave's row count. */
+    * O(groups × sketch size), independent of the wave's row count.
+    *
+    * A `shard<id>`-named artifact COMMITS to the shards root's live-set
+    * manifest after its data lands (see [[shardPaths]]): a reader
+    * listing mid-write resolves the previous manifest and never sees
+    * the half-written wave. Any other name is a standalone artifact
+    * addressed by explicit path, outside the manifest. */
   def writeDistinctShard(wave: DataFrame, groupCol: String,
       distinctCol: String, path: String): Unit =
     withShardWriterLease(path, "writeDistinctShard") {
@@ -75,12 +81,13 @@ object Sketches {
         count(lit(1)).as("n_rows"),
         hll_sketch_agg(col(distinctCol)).as("sketch"))
         .coalesce(1).write.mode("overwrite").parquet(path)
+      commitShardToManifest(path)
     }
 
   /** Writer-side lease at the shards ROOT (the dir holding the
     * `shard<id>` artifacts), held for the wave write — the enforcement
     * twin of [[compactDistinctShards]]' maintenance lease: a wave
-    * landing mid-compaction would be parked-or-missed by the swap, so
+    * landing mid-compaction would be missed by the manifest swap, so
     * it refuses loudly instead, exactly the serving-table posture. */
   private def withShardWriterLease[T](shardPath: String,
       writer: String)(body: => T): T =
@@ -163,6 +170,7 @@ object Sketches {
         graft.functions.HashFunctions
           .kll_sketch(col(valueCol).cast("double"), k).as("sketch"))
         .coalesce(1).write.mode("overwrite").parquet(path)
+      commitShardToManifest(path)
     }
 
   /** Answer per-group totals + approximate quantiles from persisted
@@ -242,17 +250,109 @@ object Sketches {
         .as("rebuild_p95_within_bound"))
   }
 
-  /** Every `shard<id>` artifact dir directly under `shardsDir`, ordered
-    * by NUMERIC batch id, listed through the Fs scheme layer. */
-  def shardPaths(shardsDir: String): Seq[String] =
+  private val ManifestPrefix = "_shards_manifest."
+
+  /** The live shard set under `shardsDir`, resolved through the
+    * VALUE-STAMPED manifest (`_shards_manifest.<seq>` — highest seq
+    * wins, the `_changefeed_horizon` posture: a new stamp is written
+    * BEFORE stale ones are swept, so a reader always sees a complete
+    * stamp, never a truncation window). Entries are `(id, dirname)`
+    * lines ordered here by NUMERIC id. None if no stamp exists (a
+    * pre-manifest layout). */
+  private def shardManifest(shardsDir: String): Option[Seq[(Long, String)]] =
+    graft.util.Fs.listChildren(shardsDir).collect {
+      case (name, false) if name.startsWith(ManifestPrefix) =>
+        name.stripPrefix(ManifestPrefix).toLongOption
+    }.flatten.maxOption.map { seq =>
+      graft.util.Fs.readLines(s"$shardsDir/$ManifestPrefix$seq")
+        .filter(_.nonEmpty).map { l =>
+          val Array(id, dir) = l.split(" ", 2)
+          (id.toLong, dir)
+        }.sortBy(_._1)
+    }
+
+  /** `shard<id>` dirs directly under `shardsDir` by LISTING — the
+    * pre-manifest resolution, kept as the fallback for layouts whose
+    * writers predate the manifest (the first manifest commit migrates
+    * them). Prefix REQUIRED before stripping: stripPrefix is a no-op
+    * on a non-matching name, so a digits-only stranger dir would
+    * parse. */
+  private def listedShards(shardsDir: String): Seq[(Long, String)] =
     graft.util.Fs.listChildren(shardsDir).flatMap { case (name, isDir) =>
-      // prefix REQUIRED before stripping: stripPrefix is a no-op on a
-      // non-matching name, so a digits-only stranger dir would parse
       if (isDir && name.startsWith("shard"))
-        name.stripPrefix("shard").toLongOption
-          .map(id => (id, s"$shardsDir/$name"))
+        name.stripPrefix("shard").toLongOption.map(id => (id, name))
       else None
-    }.sortBy(_._1).map(_._2)
+    }.sortBy(_._1)
+
+  /** The current (id, dirname) shard set: the manifest when one exists,
+    * the dir listing otherwise. */
+  private def shardEntries(shardsDir: String): Seq[(Long, String)] =
+    shardManifest(shardsDir).getOrElse(listedShards(shardsDir))
+
+  /** Install a new manifest stamp naming `entries` as the live set:
+    * new stamp first (seq = max existing + 1), stale stamps swept
+    * after — a reader can never observe zero stamps once one exists,
+    * and always reads a COMPLETE set (the consistent-reader guarantee
+    * the r19 verdict named as the artifact family's one remaining
+    * silent-wrong-answer window: a reader listing `shards/` mid-
+    * compaction or mid-wave-landing could see a partial or double
+    * set). Writers and compaction are serialized by the lease, so
+    * stamps never race each other. */
+  private def nextManifestSeq(shardsDir: String): Long =
+    graft.util.Fs.listChildren(shardsDir).collect {
+      case (name, false) if name.startsWith(ManifestPrefix) =>
+        name.stripPrefix(ManifestPrefix).toLongOption
+    }.flatten.maxOption.getOrElse(-1L) + 1L
+
+  private def commitShardManifest(shardsDir: String,
+      entries: Seq[(Long, String)]): Unit = {
+    import graft.util.Fs
+    val seq = nextManifestSeq(shardsDir)
+    Fs.writeString(s"$shardsDir/$ManifestPrefix$seq",
+      entries.sortBy(_._1).map { case (id, d) => s"$id $d" }
+        .mkString("", "\n", "\n"))
+    Fs.listChildren(shardsDir).foreach {
+      case (name, false) if name.startsWith(ManifestPrefix) &&
+          name.stripPrefix(ManifestPrefix).toLongOption.exists(_ < seq) =>
+        Fs.deleteIfExists(s"$shardsDir/$name")
+      case _ => ()
+    }
+  }
+
+  /** Commit one just-written `shard<id>` artifact into its root's
+    * manifest: current set (manifest, or — first commit on a
+    * pre-manifest layout — the dir listing, which migrates it) with
+    * this id's entry replaced (a foreachBatch REPLAY re-lands the same
+    * id; the set must not double). Called under the writer lease, data
+    * already on disk — a crash between the two leaves the wave
+    * invisible and the replay re-writes it. Non-`shard<id>` names are
+    * standalone artifacts read by explicit path; they never enter a
+    * manifest. */
+  private def commitShardToManifest(shardPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(shardPath)
+    val name = p.getName
+    if (name.startsWith("shard"))
+      name.stripPrefix("shard").toLongOption.foreach { id =>
+        val root = p.getParent.toString
+        commitShardToManifest(root, id, name)
+      }
+  }
+
+  private def commitShardToManifest(shardsDir: String, id: Long,
+      dirname: String): Unit =
+    commitShardManifest(shardsDir,
+      shardEntries(shardsDir).filterNot(_._1 == id) :+ ((id, dirname)))
+
+  /** Every live shard artifact dir under `shardsDir`, ordered by
+    * NUMERIC batch id — resolved through the live-set MANIFEST when one
+    * exists (writers commit each wave to it, compaction swaps it), so a
+    * reader racing a wave landing or a compaction always resolves a
+    * CONSISTENT pre- or post-set; dirs the manifest does not list
+    * (half-written waves, a compaction's staged merge, post-swap
+    * garbage) are invisible. Falls back to the dir listing on a
+    * pre-manifest layout. */
+  def shardPaths(shardsDir: String): Seq[String] =
+    shardEntries(shardsDir).map { case (_, d) => s"$shardsDir/$d" }
 
   /** COMPACT the HLL distinct-count shards under `shardsDir` into ONE
     * artifact — the retention pass the shard family needs on a
@@ -265,43 +365,50 @@ object Sketches {
     * byte-identical to any other merge order — and stays APPENDABLE:
     * later waves union against it like any other shard.
     *
-    * The compacted artifact keeps the MAX shard id (the
+    * The compacted artifact keeps the MAX shard ID in the manifest (the
     * [[graft.streaming]] serving-compaction convention): the stream's
     * next batch id exceeds it, so wave numbering continues unchanged.
     * PRECONDITION, same as compactServing: run in a stopped-writer
     * window with the checkpoint committed through the max wave — a
-    * foreachBatch REPLAY of that wave after compaction would overwrite
-    * the compacted shard with its own single wave. Shard readers have
-    * no manifest to pin a consistent set, so run it in a quiet window
-    * for readers too (a reader listing mid-swap may see a partial
-    * set); the serving table needs no such caveat because its
-    * manifests version the view — the artifact family trades that
-    * machinery for single-dir simplicity, and this scaladoc is the
-    * honest price.
+    * foreachBatch REPLAY of a compacted wave after compaction would
+    * re-enter the manifest as a single wave beside the merge that
+    * already contains it.
     *
-    * Crash protocol (parked-dir posture, all-or-nothing): the merged
+    * Crash protocol (MANIFEST-SWAPPED — the serving table's posture
+    * scaled down, replacing the r19 parked-dir protocol; readers stay
+    * consistent at every instant, the r19 verdict's #1): the merged
     * artifact stages in `.tmp-compact-shards` while every old dir is
-    * intact, ALL old shard dirs park into `shards_old_compact/`
-    * (`shard<maxId>` first), the staged artifact installs as
-    * `shard<maxId>`, an `_install_complete` marker lands INSIDE the
-    * park (one small-object write — atomic even where directory rename
-    * is per-object copy+delete), and the park deletes last. Recovery
-    * keys on the MARKER, never on whether a live `shard<maxId>` exists
-    * (a non-atomic rename can leave one mid-park or mid-install):
-    * marker present → the install landed, delete the park (restoring
-    * beside the merged artifact would double-count its waves); marker
-    * absent → the install did not complete — delete any live shard dir
-    * that ALSO exists in the park (it is a partial rename remnant; the
-    * park's copy completed before its source deletion began), move
-    * every parked shard dir back, delete the staging dir, and retry.
-    * A crash between the install and the marker merely redoes the
-    * compaction after restore. A parked dir's presence refuses a fresh
-    * run loudly; the whole pass runs under the maintenance lease
-    * ([[graft.util.MaintenanceLease]], whose `inspect` points back at
-    * this protocol by the park's name). */
+    * intact (the write executes the multi-shard read), installs under
+    * the FRESH name `merged<maxId>` — invisible, the manifest does not
+    * list it — and then ONE value-stamped manifest commit flips the
+    * live set from the old shards to the merge: both sets are fully on
+    * disk at the flip, so a reader resolving either stamp reads a
+    * complete, consistent set. Only after the swap do the old dirs
+    * (now unreferenced garbage) delete. A crash anywhere leaves a
+    * readable layout: before the swap the old manifest still governs
+    * (the staged/installed merge is invisible; the next run sweeps
+    * unreferenced dirs and redoes the merge), after it the new one
+    * does (undeleted old dirs are garbage the next run sweeps).
+    * Nothing is ever displaced-then-restored, so this pass parks
+    * nothing and [[graft.util.MaintenanceLease.recover]] has nothing
+    * to do beyond releasing; the legacy `shards_old_compact` park (a
+    * crash under the pre-manifest binary) still refuses a fresh run
+    * until recovered. The whole pass runs under the maintenance
+    * lease. */
   def compactDistinctShards(s: org.apache.spark.sql.SparkSession,
       shardsDir: String, groupCol: String): Unit =
-    compactShardsWith(s, shardsDir)(
+    compactDistinctShardsHooked(s, shardsDir, groupCol)
+
+  /** [[compactDistinctShards]] with interleaving hooks (test-only — the
+    * LeaseRaceSpec posture): `afterInstall` fires with the merge
+    * installed but the manifest not yet swapped, `afterSwap` with the
+    * manifest swapped but the old dirs not yet deleted — the two
+    * windows a concurrent reader must stay consistent through. */
+  private[graft] def compactDistinctShardsHooked(
+      s: org.apache.spark.sql.SparkSession, shardsDir: String,
+      groupCol: String, afterInstall: () => Unit = () => (),
+      afterSwap: () => Unit = () => ()): Unit =
+    compactShardsWith(s, shardsDir, afterInstall, afterSwap)(
       _.groupBy(groupCol).agg(
         sum(col("n_rows")).as("n_rows"),
         hll_union_agg(col("sketch")).as("sketch")))
@@ -316,53 +423,95 @@ object Sketches {
     * lease as the HLL pass. */
   def compactQuantileShards(s: org.apache.spark.sql.SparkSession,
       shardsDir: String, groupCol: String, k: Int = 200): Unit =
-    compactShardsWith(s, shardsDir)(
+    compactQuantileShardsHooked(s, shardsDir, groupCol, k)
+
+  /** [[compactQuantileShards]] with interleaving hooks (test-only —
+    * see [[compactDistinctShardsHooked]]). */
+  private[graft] def compactQuantileShardsHooked(
+      s: org.apache.spark.sql.SparkSession, shardsDir: String,
+      groupCol: String, k: Int = 200, afterInstall: () => Unit = () => (),
+      afterSwap: () => Unit = () => ()): Unit =
+    compactShardsWith(s, shardsDir, afterInstall, afterSwap)(
       _.groupBy(groupCol).agg(
         sum(col("n_rows")).as("n_rows"),
         graft.functions.HashFunctions
           .kll_merge_sketch(col("sketch"), k).as("sketch")))
 
+  /** The legacy (pre-manifest) compaction park's install marker —
+    * produced by no current pass, still recognized by
+    * [[graft.util.MaintenanceLease.recover]]'s marker-keyed rule for
+    * layouts that crashed under the r19 binary. */
   private[graft] val InstallCompleteMarker = "_install_complete"
 
+  /** Does `name` match a shard-family artifact dir this module itself
+    * names (`shard<id>` waves, `merged<id>` compaction outputs)?
+    * Anything else — stranger dirs, standalone artifacts — is never
+    * swept. */
+  private def isShardArtifactName(name: String): Boolean =
+    (name.startsWith("shard") && name.stripPrefix("shard").toLongOption.nonEmpty) ||
+      (name.startsWith("merged") && name.stripPrefix("merged").toLongOption.nonEmpty)
+
   private def compactShardsWith(s: org.apache.spark.sql.SparkSession,
-      shardsDir: String)(merge: DataFrame => DataFrame): Unit = {
+      shardsDir: String, afterInstall: () => Unit,
+      afterSwap: () => Unit)(merge: DataFrame => DataFrame): Unit = {
     import graft.util.Fs
-    // parked-dir precondition BEFORE the lease (the index deletes'
-    // posture): a refusal-to-start must not strand a fresh marker on
-    // top of the crash signal it reports
+    // legacy parked-dir precondition BEFORE the lease (the index
+    // deletes' posture): a refusal-to-start must not strand a fresh
+    // marker on top of the crash signal it reports
     val parked = s"$shardsDir/shards_old_compact"
     require(!Fs.exists(parked),
-      s"$parked exists — a prior compaction crashed mid-swap; if it " +
-        s"contains $InstallCompleteMarker the install landed (delete the " +
-        "park), otherwise restore the parked shard dirs (see the " +
-        "compactDistinctShards scaladoc), then retry")
+      s"$parked exists — a pre-manifest compaction crashed mid-swap; " +
+        "run MaintenanceLease.recover (marker-keyed: a park containing " +
+        s"$InstallCompleteMarker deletes, one without restores), then retry")
     graft.util.MaintenanceLease.withLease(shardsDir, "compactShards") {
+      // sweep garbage a crashed prior run left — shard-family dirs the
+      // manifest does not reference (old shards a post-swap crash never
+      // deleted, an installed merge whose swap never landed). Safe
+      // under the lease: no writer is mid-commit (a crashed writer's
+      // marker blocks this acquisition; a FAILED writer's un-committed
+      // dir is rebuilt by its replay). Only when a manifest exists —
+      // on a pre-manifest layout the listing IS the live set.
+      shardManifest(shardsDir).foreach { entries =>
+        val live = entries.map(_._2).toSet
+        Fs.listChildren(shardsDir).foreach {
+          case (name, true)
+            if isShardArtifactName(name) && !live.contains(name) =>
+            Fs.rmTree(s"$shardsDir/$name")
+          case _ => ()
+        }
+      }
       // the shard set resolves INSIDE the lease — a wave committed in
-      // the acquire gap would be parked without being merged
-      val shards = shardPaths(shardsDir)
-      if (shards.size > 1) {
-        val maxId = shards.map(_.split("/").last.stripPrefix("shard").toLong).max
+      // the acquire gap would be dropped from the swapped manifest
+      // without being merged
+      val entries = shardEntries(shardsDir)
+      if (entries.size > 1) {
+        val maxId = entries.map(_._1).max
+        // named by the strictly-increasing manifest SEQ, not by maxId:
+        // a live merge keeps its maxId across later compactions (a
+        // replayed old wave can re-enter at a lower id), so an id-named
+        // dir could collide with the LIVE merge it is about to replace
+        // — seq-named dirs collide at most with swept garbage
+        val merged = s"merged${nextManifestSeq(shardsDir)}"
         val tmp = s"$shardsDir/.tmp-compact-shards"
         Fs.rmTree(tmp)
         // the write EXECUTES the multi-shard read — old dirs stay
         // intact until it finishes; artifact size is O(groups), one file
-        merge(s.read.parquet(shards: _*))
+        merge(s.read.parquet(entries.map { case (_, d) => s"$shardsDir/$d" }: _*))
           .coalesce(1).write.mode("overwrite").parquet(tmp)
-        Fs.mkdirs(parked)
-        // shards is ascending by id (shardPaths); park maxId FIRST so
-        // no live shard<maxId> survives a mid-park crash
-        shards.reverse.foreach(p =>
-          Fs.move(p, s"$parked/${p.split("/").last}"))
-        Fs.move(tmp, s"$shardsDir/shard$maxId")
-        // install-complete MARKER (one small-object write — atomic
-        // everywhere, including stores whose directory rename is
-        // per-object copy+delete): recovery keys on THIS, never on
-        // "does a live shard<maxId> exist", which a non-atomic rename
-        // can make true mid-park or mid-install (r19 review round 2).
-        // A crash between the install and this write merely redoes the
-        // compaction after restore — never loses a wave.
-        Fs.writeString(s"$parked/$InstallCompleteMarker", "installed\n")
-        Fs.rmTree(parked)
+        // install under a FRESH name (never a live one — `merged<id>`
+        // collides at most with swept garbage): invisible until the swap
+        Fs.rmTree(s"$shardsDir/$merged")
+        Fs.move(tmp, s"$shardsDir/$merged")
+        afterInstall()
+        // THE commit point: one value-stamped manifest write flips the
+        // live set — both sets fully on disk, readers consistent either
+        // side of it (atomic everywhere: a small-object write, no
+        // directory rename in the visibility path)
+        commitShardManifest(shardsDir, Seq((maxId, merged)))
+        afterSwap()
+        // old dirs are unreferenced garbage now; a crash mid-delete
+        // leaves some for the next run's sweep
+        entries.foreach { case (_, d) => Fs.rmTree(s"$shardsDir/$d") }
       }
     }
   }

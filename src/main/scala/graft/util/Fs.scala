@@ -67,11 +67,20 @@ object Fs {
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
+  /** Test-only fault injection: invoked before every [[move]]. A spec
+    * makes it throw after N calls to simulate a crash at each rename
+    * boundary of a pass's swap protocol (MaintenanceRecoverSpec drives
+    * every boundary of every parking pass through it); production
+    * leaves the no-op. */
+  @volatile private[graft] var beforeMove: (String, String) => Unit =
+    (_, _) => ()
+
   /** Rename within one filesystem — the layouts' install primitive.
     * Fails loudly when the filesystem refuses (missing source, existing
     * destination on local FS): every caller's protocol depends on the
     * move having happened. */
   private[graft] def move(src: String, dst: String): Unit = {
+    beforeMove(src, dst)
     val s = new Path(src)
     require(fsOf(s).rename(s, new Path(dst)),
       s"rename failed: $src -> $dst")

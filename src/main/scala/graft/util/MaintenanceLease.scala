@@ -76,17 +76,33 @@ object MaintenanceLease {
   private def marker(layoutPath: String) = s"$layoutPath/$MarkerName"
 
   /** marker / candidate content → (kind, token). Content is
-    * `<kind>\n<token>\n<description>`; a hand-written or legacy marker
-    * (`writer\n`) parses with an empty token. */
+    * `<kind>\n<token>\n<description>\n<acquiredAtEpochMs>`; a
+    * hand-written or legacy marker (`writer\n`) parses with an empty
+    * token (and no timestamp — [[inspect]] then reports no age). */
   private def parse(content: String): (String, String) = {
     val lines = content.split("\n", -1)
     (lines.headOption.getOrElse("?").trim,
       lines.drop(1).headOption.getOrElse("").trim)
   }
 
+  private def stamp(kind: String, token: String, owner: String): String =
+    s"$kind\n$token\n$owner\n${System.currentTimeMillis()}\n"
+
+  /** The marker's kind, or None if the marker is GONE (deleted between
+    * the caller's existence check and the read — the lease is actually
+    * free). Any other read failure stays a loud "?": refusing on a
+    * transient store error is the safe direction, vanishing is not
+    * (r19 ADVICE: a FileNotFoundException here used to surface as a
+    * misleading 'a maintenance pass owns this layout' refusal). */
+  private def readMarkerKindIfPresent(layoutPath: String): Option[String] =
+    try Some(parse(Fs.readString(marker(layoutPath)))._1)
+    catch {
+      case _: java.io.FileNotFoundException => None
+      case _: java.io.IOException => Some("?")
+    }
+
   private def readMarkerKind(layoutPath: String): String =
-    try parse(Fs.readString(marker(layoutPath)))._1
-    catch { case _: java.io.IOException => "?" }
+    readMarkerKindIfPresent(layoutPath).getOrElse("?")
 
   /** Take the lease via the write-then-list candidate protocol (object
     * store safe — see the object scaladoc); fails loudly if any holder
@@ -109,7 +125,7 @@ object MaintenanceLease {
     // later acquirer — including this stream's own next batch — would
     // read as a rival and wedge on (the r18 createExclusive kept the
     // same self-cleanup)
-    try Fs.writeString(cand, s"$kind\n$token\n$owner\n")
+    try Fs.writeString(cand, stamp(kind, token, owner))
     catch {
       case e: Throwable =>
         // the cleanup must never REPLACE the original failure (Hadoop
@@ -139,7 +155,7 @@ object MaintenanceLease {
     }
     // sole visible candidate: promote. Marker BEFORE candidate deletion —
     // a late rival's arbitration list always sees one of the two.
-    Fs.writeString(m, s"$kind\n$token\n$owner\n")
+    Fs.writeString(m, stamp(kind, token, owner))
     Fs.deleteIfExists(cand)
     token
   }
@@ -185,12 +201,14 @@ object MaintenanceLease {
     *    running IS the recovery path (foreachBatch re-delivers the
     *    batch; the layouts' id anti-joins / versioned assembly make it
     *    idempotent) — blocking it on its own wreckage would wedge the
-    *    stream. The takeover RE-STAMPS the marker with this attempt's
-    *    own token (r18 ADVICE: proceeding under the crashed marker let
-    *    the final release delete a marker some other pass had since
-    *    installed). Two concurrent writers are outside every layout's
-    *    contract (one stream, one table), which is what makes the
-    *    takeover read-then-restamp safe.
+    *    stream. The takeover DELETES the stale writer marker and then
+    *    re-ACQUIRES through the candidate protocol (r19 ADVICE: a
+    *    plain restamp bypassed arbitration — an operator forceRelease
+    *    plus a maintenance acquisition landing in the read-to-restamp
+    *    window was silently clobbered; under arbitration a concurrent
+    *    acquirer now makes the takeover LOSE LOUDLY instead). Two
+    *    concurrent replays of the same stream both deleting the stale
+    *    marker also resolve at the arbitration step: at most one wins.
     *
     * Released on success OR failure: a failed write leaves no
     * half-mutated shared state (versions assemble in temp dirs,
@@ -202,41 +220,57 @@ object MaintenanceLease {
   private[graft] def withWriterLease[T](layoutPath: String,
       writer: String)(body: => T): T = {
     val m = marker(layoutPath)
-    val token =
-      if (Fs.exists(m)) {
-        val kind = readMarkerKind(layoutPath)
+    // read, not exists-then-read: a marker deleted in the gap (a just-
+    // released pass) reads as FREE and falls through to acquisition,
+    // instead of a misleading maintenance-owner refusal (r19 ADVICE)
+    val token = readMarkerKindIfPresent(layoutPath) match {
+      case Some(kind) =>
         require(kind == WriterKind,
           s"$writer refused: $m exists (owner kind: $kind) — a maintenance " +
             "pass owns this layout (or crashed mid-run); writing now " +
             "would race its renames and corrupt the layout " +
             "(MaintenanceLease.inspect / forceRelease to recover)")
-        val t = java.util.UUID.randomUUID().toString
-        Fs.writeString(m, s"$WriterKind\n$t\n$writer (takeover)\n")
-        t
-      } else acquireToken(layoutPath, WriterKind, writer)
+        // takeover = delete the stale writer marker, then ARBITRATE: a
+        // pass acquiring concurrently wins or loses loudly at the
+        // candidate step — never a silent overwrite of its marker
+        Fs.deleteIfExists(m)
+        acquireToken(layoutPath, WriterKind, s"$writer (takeover)")
+      case None => acquireToken(layoutPath, WriterKind, writer)
+    }
     try body finally { release(layoutPath, token); () }
   }
 
   /** Everything an operator needs to recover a wedged layout, in one
-    * read: the marker's owner (kind + free-text description), any
-    * stranded acquisition candidates, the parked / temp dirs a crashed
-    * pass left (which name the pass — see each operator's crash
-    * protocol), and the recovery steps. */
+    * read: the marker's owner (kind + free-text description + how long
+    * it has been held, when the marker carries its acquisition stamp),
+    * any stranded acquisition candidates, the parked / temp dirs a
+    * crashed pass left (which name the pass — see each operator's
+    * crash protocol), and the recovery steps. `ownerAgeMillis` is the
+    * operator's staleness signal: a marker held 3 s is a live pass, a
+    * marker held 3 days on a decommissioned stream is a crash —
+    * deliberately REPORTED, never auto-expired (a wall-clock expiry
+    * would un-gate writers under a merely-slow pass; the human, or a
+    * deployment-specific policy reading this field, decides). */
   case class LeaseStatus(ownerKind: Option[String],
-      ownerDescription: Option[String], candidates: Seq[String],
+      ownerDescription: Option[String], ownerSinceEpochMs: Option[Long],
+      ownerAgeMillis: Option[Long], candidates: Seq[String],
       parkedDirs: Seq[String], stagingDirs: Seq[String], recovery: String)
 
   /** PARKED dirs hold old state a crashed pass moved OUT of the live
-    * tree mid-swap — they must be restored (moved back where the live
-    * twin is missing) before the lease clears, or the restore is lost.
-    * Distinct from STAGING dirs (below), which are inert outputs. */
-  private def parkedDirsUnder(layoutPath: String): Seq[String] = {
-    val parkedNames = Set("mh_old_del", "postings_old_del", "cells_old_del",
-      "shards_old_compact")
+    * tree mid-swap — they must be restored (per the owning pass's
+    * recovery rule — [[recover]] executes it) before the lease clears,
+    * or the restore is lost. Matched BY NAMING CONVENTION (`*_old_del`
+    * move-back parks, `*_old_compact` marker-keyed parks), not a
+    * hardcoded name set, so a future pass introducing a new park is
+    * visible to [[inspect]] and blocks [[forceRelease]] by
+    * construction (r19 ADVICE); every pass must park under one of the
+    * two suffixes. Distinct from STAGING dirs (below), which are inert
+    * outputs. */
+  private def parkedDirsUnder(layoutPath: String): Seq[String] =
     Fs.listChildren(layoutPath).collect {
-      case (name, true) if parkedNames.contains(name) => name
+      case (name, true)
+        if name.endsWith("_old_del") || name.endsWith("_old_compact") => name
     }.sorted
-  }
 
   /** STAGING dirs are half-built rewrite outputs (`.tmp-*`,
     * `*_delete_tmp`) — never read by any resolver, always rmTree'd by
@@ -258,8 +292,9 @@ object MaintenanceLease {
       else Some(try {
         val content = Fs.readString(m)
         val lines = content.split("\n", -1).map(_.trim).filter(_.nonEmpty)
-        (parse(content)._1, lines.drop(2).headOption.getOrElse(""))
-      } catch { case _: java.io.IOException => ("?", "") })
+        (parse(content)._1, lines.drop(2).headOption.getOrElse(""),
+          lines.drop(3).headOption.flatMap(_.toLongOption))
+      } catch { case _: java.io.IOException => ("?", "", None) })
     val cands = Fs.listChildren(layoutPath).collect {
       case (name, false) if name.startsWith(CandidatePrefix) => name
     }.sorted
@@ -271,16 +306,13 @@ object MaintenanceLease {
           (if (staging.isEmpty) ""
            else "; staging dirs are inert leftovers, safe to delete")
       else if (parked.nonEmpty)
-        "a pass crashed mid-swap: recover per the OWNING pass's crash " +
-          "protocol — the parked dir's name names it (mh_old_del -> " +
-          "deleteFromMinHashIndex, postings_old_del -> " +
-          "deleteFromInvertedIndex, cells_old_del -> deleteFromIvfIndex: " +
-          "move each parked subdir back where its live twin is missing; " +
-          "shards_old_compact -> compactDistinctShards/compactQuantileShards: " +
-          "keyed on its _install_complete marker — present means delete " +
-          "the park, absent means restore; do NOT blanket-move that one " +
-          "back). Staging dirs are safe to delete. THEN forceRelease and " +
-          "re-run the pass with the same inputs"
+        "a pass crashed mid-swap: run MaintenanceLease.recover(layoutPath) " +
+          "— it executes the OWNING pass's recovery rule (the parked " +
+          "dir's name names it: *_old_del parks restore wholesale over " +
+          "the live tree, shards_old_compact keys on its " +
+          "_install_complete marker — present means the install landed " +
+          "and the park deletes, absent means restore), sweeps staging " +
+          "dirs, and releases. THEN re-run the pass with the same inputs"
       else if (owner.map(_._1).contains(WriterKind))
         "a writer crashed mid-batch: its staging dirs are inert and " +
           "the stream's own replay is the recovery path (it takes the " +
@@ -291,8 +323,10 @@ object MaintenanceLease {
           "a candidate was stranded mid-acquisition) — verify no pass " +
           "or writer is live, then forceRelease; writers resume and " +
           "the pass can re-run"
-    LeaseStatus(owner.map(_._1), owner.map(_._2), cands, parked, staging,
-      recovery)
+    val since = owner.flatMap(_._3)
+    LeaseStatus(owner.map(_._1), owner.map(_._2), since,
+      since.map(s => math.max(0L, System.currentTimeMillis() - s)),
+      cands, parked, staging, recovery)
   }
 
   /** Operator recovery: clear the marker and any stranded acquisition
@@ -305,14 +339,105 @@ object MaintenanceLease {
     require(parked.isEmpty,
       s"refusing to force-release $layoutPath: parked dirs present " +
         s"(${parked.mkString(", ")}) — a pass crashed mid-swap and they " +
-        "hold displaced old state; restore them first " +
-        "(MaintenanceLease.inspect describes how; inert staging dirs " +
-        "never block this)")
+        "hold displaced old state; run MaintenanceLease.recover first " +
+        "(inert staging dirs never block this)")
     Fs.deleteIfExists(marker(layoutPath))
     Fs.listChildren(layoutPath).foreach {
       case (name, false) if name.startsWith(CandidatePrefix) =>
         Fs.deleteIfExists(s"$layoutPath/$name")
       case _ => ()
     }
+  }
+
+  /** EXECUTABLE crash recovery — [[inspect]]'s prose as code (the r19
+    * verdict's "Recovery is prose, not code": the marker-keyed branchy
+    * procedure an operator hand-executing at 3am gets wrong). For every
+    * parked dir the crashed pass left, runs its OWNING pass's
+    * documented recovery rule, then sweeps inert staging dirs, then
+    * [[forceRelease]]s (which now succeeds — nothing is parked). The
+    * caller re-runs the crashed pass with the SAME inputs afterwards
+    * (recovery restores the pre-pass state; it cannot re-derive a
+    * deletion set or re-merge shards itself).
+    *
+    * Rules, by park name:
+    *
+    *  - `*_old_del` (mh_old_del, postings_old_del, cells_old_del — the
+    *    index-delete passes): the park holds the COMPLETE pre-delete
+    *    state of every displaced piece (each pass parks a piece before
+    *    installing its rewrite), so restoring it wholesale — delete any
+    *    live twin, move the parked piece back — lands the exact
+    *    pre-delete layout at EVERY crash point. This strictly contains
+    *    the weaker "move back where the live twin is missing" rule and
+    *    is what the postings delete REQUIRES: its manifest counters
+    *    decrement by the deleted docs' contribution, so retrying
+    *    against a half-installed table (some buckets already scrubbed)
+    *    would under-count the decrement; only the full pre-delete
+    *    restore makes the retry exact. Live-twin roots: mh parks
+    *    whole tables (`bands`/`grams` → layout root), postings parks
+    *    `p=<b>` bucket dirs (→ `postings/`) plus the pre-delete
+    *    `manifest` (→ layout root), IVF parks `cell=<c>` dirs
+    *    (→ `cells/`).
+    *  - `shards_old_compact` (the pre-manifest shard compaction — the
+    *    manifest-swapped protocol that replaced it parks nothing, so
+    *    this park only arises from a layout that crashed under the old
+    *    binary): keyed on the `_install_complete` marker INSIDE the
+    *    park, never on whether a live `shard<maxId>` exists (a
+    *    non-atomic rename can leave one mid-park or mid-install).
+    *    Marker present → the install landed; the park deletes
+    *    (restoring would double-count its waves). Marker absent → the
+    *    install did not complete: delete any live shard dir ALSO
+    *    present in the park (a partial rename remnant — the park's
+    *    copy completed before its source deletion began), move every
+    *    parked shard dir back, and the retry re-merges.
+    *  - any OTHER parked name refuses loudly: a future pass's park this
+    *    build has no rule for must stay blocked, not be guessed at.
+    *
+    * Re-runnable: a crash mid-recovery leaves the parked dir (a piece
+    * moves back only after its live twin is deleted), so running
+    * recover again completes the restore. The per-piece delete-then-
+    * move relies on rename atomicity the same way the passes themselves
+    * do (atomic on HDFS/local; on per-object copy+delete stores a
+    * mid-rename crash needs this same re-run). */
+  def recover(layoutPath: String): Unit = {
+    parkedDirsUnder(layoutPath).foreach { parkName =>
+      val park = s"$layoutPath/$parkName"
+      def restorePiece(name: String, live: String): Unit = {
+        Fs.rmTree(live)
+        Fs.move(s"$park/$name", live)
+      }
+      parkName match {
+        case "shards_old_compact" =>
+          if (!Fs.exists(s"$park/${graft.operators.Sketches.InstallCompleteMarker}"))
+            Fs.listChildren(park).foreach {
+              case (name, true) if name.startsWith("shard") =>
+                restorePiece(name, s"$layoutPath/$name")
+              case _ => ()
+            }
+          Fs.rmTree(park)
+        case "mh_old_del" =>
+          Fs.listChildren(park).foreach { case (name, _) =>
+            restorePiece(name, s"$layoutPath/$name")
+          }
+          Fs.rmTree(park)
+        case "postings_old_del" =>
+          Fs.listChildren(park).foreach { case (name, _) =>
+            restorePiece(name,
+              if (name == "manifest") s"$layoutPath/manifest"
+              else s"$layoutPath/postings/$name")
+          }
+          Fs.rmTree(park)
+        case "cells_old_del" =>
+          Fs.listChildren(park).foreach { case (name, _) =>
+            restorePiece(name, s"$layoutPath/cells/$name")
+          }
+          Fs.rmTree(park)
+        case other => throw new IllegalArgumentException(
+          s"no recovery rule for parked dir $layoutPath/$other — a pass " +
+            "this build does not know parked it; recover by that pass's " +
+            "own documentation, then forceRelease")
+      }
+    }
+    stagingDirsUnder(layoutPath).foreach(n => Fs.rmTree(s"$layoutPath/$n"))
+    forceRelease(layoutPath)
   }
 }

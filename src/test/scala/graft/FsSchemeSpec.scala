@@ -112,8 +112,9 @@ class FsSchemeSpec extends AnyFunSuite {
       // ---- r19 verbs: schema evolution (aligned multi-generation
       // read + changefeed) and sketch-shard compaction, both under the
       // foreign scheme — the new control I/O (generation footer reads,
-      // park-first shard swap, writer lease at the shards root) must
-      // resolve through the path's own scheme like everything above
+      // the value-stamped shard manifest, writer lease at the shards
+      // root) must resolve through the path's own scheme like
+      // everything above
       val evo = s"$root/evolved"
       StreamingWindows.upsertBatch(evo, buckets = 4)(
         Seq((1L, 1L), (2L, 1L)).toDF("user_id", "n"), 0L)
@@ -135,7 +136,7 @@ class FsSchemeSpec extends AnyFunSuite {
         Seq((i.toLong, "g")).toDF("id", "g"), "g", "id", s"$shards/shard$i"))
       operators.Sketches.compactDistinctShards(spark, shards, "g")
       assert(operators.Sketches.shardPaths(shards)
-        .map(_.split("/").last) == Seq("shard1"))
+        .map(_.split("/").last) == Seq("merged2"))
       assert(operators.Sketches.distinctFromShards(spark,
         operators.Sketches.shardPaths(shards), "g").head()
         .getAs[Long]("n_rows") == 2L)

@@ -150,6 +150,42 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
     }
   }
 
+  test("lease age: acquisition is stamped, takeover re-stamps, force-release clears") {
+    withTempDir("graft_lease_age") { layout =>
+      val t0 = System.currentTimeMillis()
+      val token = MaintenanceLease.acquireToken(layout,
+        MaintenanceLease.MaintenanceKind, "aged-pass")
+      val held = MaintenanceLease.inspect(layout)
+      assert(held.ownerSinceEpochMs.exists(s => s >= t0 &&
+        s <= System.currentTimeMillis()), s"stamp in-window: $held")
+      assert(held.ownerAgeMillis.exists(_ >= 0L),
+        "age must be derivable from the stamp")
+      assert(MaintenanceLease.release(layout, token))
+      // a WRITER takeover of a crashed marker re-stamps: fresh time,
+      // takeover-marked owner — the operator can tell "held 3 s" from
+      // "stale 3 days" (reported, never auto-expired)
+      graft.util.Fs.writeString(s"$layout/_maintenance_lease", "writer\nx\nold\n1\n")
+      assert(MaintenanceLease.inspect(layout).ownerAgeMillis.exists(_ > 1000L),
+        "a year-old stamp must read as old")
+      val t1 = System.currentTimeMillis()
+      MaintenanceLease.withWriterLease(layout, "replayer") {
+        val mid = MaintenanceLease.inspect(layout)
+        assert(mid.ownerDescription.exists(_.contains("(takeover)")), mid.toString)
+        assert(mid.ownerSinceEpochMs.exists(_ >= t1),
+          s"takeover must re-stamp the acquisition time: $mid")
+      }
+      // a hand-written / legacy marker has no stamp: age is None, loud
+      // in the status rather than fabricated
+      graft.util.Fs.writeString(s"$layout/_maintenance_lease", "writer\n")
+      val legacy = MaintenanceLease.inspect(layout)
+      assert(legacy.ownerKind.contains("writer") &&
+        legacy.ownerSinceEpochMs.isEmpty && legacy.ownerAgeMillis.isEmpty)
+      MaintenanceLease.forceRelease(layout)
+      val cleared = MaintenanceLease.inspect(layout)
+      assert(cleared.ownerKind.isEmpty && cleared.ownerSinceEpochMs.isEmpty)
+    }
+  }
+
   test("inspect + forceRelease: the crashed-lease operability surface") {
     withTempDir("graft_lease_inspect") { layout =>
       // clean layout

@@ -244,9 +244,13 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.compactQuantileShards(spark, kllDir, "event_type")
       assert(graft.util.Fs.exists(s"$hllDir/20260816"),
         "compaction must leave non-shard dirs untouched")
-      // structure: exactly ONE shard dir survives, at the MAX wave id
-      assert(Sketches.shardPaths(hllDir).map(_.split("/").last) == Seq("shard2"))
-      assert(Sketches.shardPaths(kllDir).map(_.split("/").last) == Seq("shard2"))
+      // structure: exactly ONE live artifact survives (seq-named merge,
+      // carrying the MAX wave id in the manifest), and the old wave
+      // dirs are gone from disk
+      assert(Sketches.shardPaths(hllDir).map(_.split("/").last) == Seq("merged3"))
+      assert(Sketches.shardPaths(kllDir).map(_.split("/").last) == Seq("merged3"))
+      assert((0 until 3).forall(i => !graft.util.Fs.exists(s"$hllDir/shard$i")),
+        "compacted wave dirs must be reclaimed")
       // HLL: union is associative — counts and estimates identical
       val after = Sketches.distinctFromShards(spark,
         Sketches.shardPaths(hllDir), "event_type").collect()
@@ -290,12 +294,81 @@ class SketchesSpec extends AnyFunSuite {
           "user_id", s"$hllDir/shard4")
       }
       assert(graft.util.MaintenanceLease.release(hllDir, token))
-      // a parked dir (crashed mid-swap) refuses a fresh compaction
+      // a LEGACY parked dir (pre-manifest crash) refuses a fresh compaction
       graft.util.Fs.mkdirs(s"$kllDir/shards_old_compact")
       val e = intercept[IllegalArgumentException] {
         Sketches.compactQuantileShards(spark, kllDir, "event_type")
       }
       assert(e.getMessage.contains("crashed mid-swap"), e.getMessage)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
+  test("shard manifest: readers stay consistent mid-compaction; unlisted dirs are invisible") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shard_manifest").toFile
+    try {
+      import spark.implicits._
+      val root = s"${tmp.getAbsolutePath}/shards"
+      // wave-unique users, so a partial or double set is NUMERICALLY
+      // visible in the union estimate, not just in n_rows
+      val synth = (0L until 300L).map(u => ("g", u, u / 100L))
+        .toDF("grp", "uid", "wave")
+      (0 until 3).foreach(i => Sketches.writeDistinctShard(
+        synth.filter(col("wave") === i), "grp", "uid", s"$root/shard$i"))
+      def read(): (Int, Map[String, (Long, Any)]) = {
+        val paths = Sketches.shardPaths(root)
+        (paths.size, Sketches.distinctFromShards(spark, paths, "grp")
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getAs[Any](2))).toMap)
+      }
+      val pre = read()
+      assert(pre._1 == 3 && pre._2("g")._1 == 300L)
+      // a dir on disk that no manifest stamp lists — a half-landed wave,
+      // a stranger — must be INVISIBLE to the resolver
+      synth.filter(col("wave") === 0).groupBy("grp")
+        .agg(count(lit(1)).as("n_rows"), hll_sketch_agg(col("uid")).as("sketch"))
+        .coalesce(1).write.parquet(s"$root/shard99")
+      assert(read() == pre, "an uncommitted shard dir must not be read")
+      graft.util.Fs.rmTree(s"$root/shard99")
+      // the two compaction windows a concurrent reader can land in:
+      // merge installed / manifest not yet swapped -> the PRE set;
+      // manifest swapped / old dirs not yet deleted -> the POST set —
+      // never a partial or double set (the r19 verdict's #1)
+      var post: (Int, Map[String, (Long, Any)]) = null
+      Sketches.compactDistinctShardsHooked(spark, root, "grp",
+        afterInstall = () => {
+          assert(graft.util.Fs.listChildren(root).exists(_._1.startsWith("merged")),
+            "the merge must be on disk before the swap")
+          assert(read() == pre,
+            "a reader between install and swap must resolve the complete PRE set")
+        },
+        afterSwap = () => {
+          assert((0 until 3).forall(i => graft.util.Fs.exists(s"$root/shard$i")),
+            "old dirs must still be on disk at the swap instant")
+          post = read()
+          assert(post._1 == 1 && post._2 == pre._2,
+            "a reader after the swap must resolve the complete POST set " +
+              "with identical answers (associative union)")
+        })
+      assert(read() == post)
+      assert((0 until 3).forall(i => !graft.util.Fs.exists(s"$root/shard$i")))
+      // post-swap-crash garbage (an old dir the deletes never reached)
+      // is swept by the next run — even a no-op one — not re-merged
+      synth.filter(col("wave") === 0).groupBy("grp")
+        .agg(count(lit(1)).as("n_rows"), hll_sketch_agg(col("uid")).as("sketch"))
+        .coalesce(1).write.parquet(s"$root/shard0")
+      assert(read() == post, "garbage is invisible to readers")
+      Sketches.compactDistinctShards(spark, root, "grp") // 1 live entry: no-op + sweep
+      assert(!graft.util.Fs.exists(s"$root/shard0"), "garbage swept")
+      assert(read() == post)
+      // and the compacted root stays APPENDABLE through the manifest
+      Sketches.writeDistinctShard(synth.filter(col("wave") === 0),
+        "grp", "uid", s"$root/shard3")
+      val appended = read()
+      assert(appended._1 == 2 && appended._2("g")._1 == 400L)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
