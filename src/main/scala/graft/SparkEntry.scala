@@ -3635,6 +3635,55 @@ object SparkEntry {
       runOnce() // run 2: recovered totals continue, upserts replace
     }
 
+  /** The q264 streaming run, executed ONCE per SF dir: q214's upsert
+    * stream with a FORCED foreachBatch REPLAY across the restart — the
+    * r19 verdict's #6. q215 proves the agg state recovers over a clean
+    * stop/start; this fixture stages the crash window foreachBatch's
+    * at-least-once contract actually warns about: the sink applied
+    * batch 0 (serving v0 on disk) but the COMMIT record was never
+    * written (deleted here after run 1 — batch 0's offsets remain). Run
+    * 2 therefore RE-DELIVERS batch 0 with the same offsets before
+    * folding waves 1–2: upsertBatch must rebuild v0 from versions
+    * strictly BELOW it (identical content — never from its own prior
+    * attempt, never as a double-applied version), and the final
+    * snapshot must still equal the batch GROUP BY (q214's oracle
+    * verbatim) — a replay that appended, double-counted, or resolved
+    * its base from the stale v0 all hash-mismatch. */
+  private def q264StreamPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("stream_q264", dir) { path =>
+      import org.apache.spark.sql.functions._
+      val events = attributionEvents(s, dir)
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(eventQuartetSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(new java.io.File(path, "in").getAbsolutePath)
+        val counts = streaming.StreamingWindows
+          .userActivityCounts(stream, watermark = "1440 hours")
+        withRocksDbStateStore(s, changelog = restartChangelogMode) {
+          val q = counts.writeStream
+            .outputMode("update")
+            .foreachBatch(
+              streaming.StreamingWindows.upsertBatch(s"$path/serving") _)
+            .option("checkpointLocation", s"$path/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          recordStateMetrics(q, path)
+        }
+      }
+      stageMicroBatches("q264", path,
+        Seq(events.filter(col("event_id") % 3 === 0)))
+      runOnce() // run 1: batch 0 applied AND committed; v0 on disk
+      // force the at-least-once window: the sink's effect (v0) stays,
+      // the engine's commit acknowledgment is gone — run 2 replays
+      // batch 0 from its recorded offsets
+      graft.util.Fs.deleteIfExists(s"$path/ck/commits/0")
+      stageMicroBatches("q264", path,
+        (1 until 3).map(i => events.filter(col("event_id") % 3 === i)),
+        firstIndex = 1)
+      runOnce() // run 2: replays wave 0 idempotently, folds waves 1-2
+    }
+
   /** The q225 streaming run, executed ONCE per SF dir: the WINDOWED
     * serving table — q214's update-mode upsert pattern re-keyed by
     * (user, day window), the keying the raw-user aggregate's scaladoc
@@ -4141,7 +4190,46 @@ object SparkEntry {
     * users read their recomputed row — and time travel at v1 keeps the
     * OLD shape entirely (no n_clicks column), which StreamingSpec pins. */
   private def q260ServingPath(s: SparkSession, dir: String): String =
-    lazyFixtureDir("serving_evolve_q260", dir) { path =>
+    lazyFixtureDir("serving_evolve_q260", dir)(path =>
+      buildEvolvedServing(s, dir, s"$path/serving"))
+
+  /** q260's three-version evolved chain against `serving` — factored so
+    * q263 can build the identical chain and then COMPACT it. */
+  private def buildEvolvedServing(s: SparkSession, dir: String,
+      serving: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val e = attributionEvents(s, dir)
+    val wave = col("event_id") % 3
+    val b0 = e.filter(wave === 0).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    streaming.StreamingWindows.upsertBatch(serving)(b0, 0L)
+    val w1 = e.filter(wave === 1).select("user_id").distinct()
+    val b1 = e.filter(wave <= 1).join(w1, Seq("user_id"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    streaming.StreamingWindows.upsertBatch(serving)(b1, 1L)
+    val b2 = e.filter(col("user_id") % 2 === 0).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"))
+    streaming.StreamingWindows.upsertBatch(serving)(b2, 2L)
+  }
+
+  /** The q262 serving chain, built once per SF dir: q260's three-wave
+    * shape where the THIRD version RENAMES last_us → last_seen_us (the
+    * r19 verdict's #3 — the one evolution verb add/widen can't
+    * express, previously refused as a drop+add): v0/v1 write the old
+    * shape, v2 recomputes every EVEN user's full-corpus totals
+    * carrying the NEW name plus the rename declaration. Odd users'
+    * rows carry forward from v0/v1 UNREWRITTEN — the current snapshot
+    * must read their old last_us values under last_seen_us (ledger
+    * projection, no data rewrite), while time travel at v1 keeps the
+    * OLD name entirely (StreamingSpec pins that and the no-spurious-
+    * changefeed-rows contract). */
+  private def q262ServingPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("serving_rename_q262", dir) { path =>
       import org.apache.spark.sql.functions._
       val serving = s"$path/serving"
       val e = attributionEvents(s, dir)
@@ -4158,9 +4246,24 @@ object SparkEntry {
       streaming.StreamingWindows.upsertBatch(serving)(b1, 1L)
       val b2 = e.filter(col("user_id") % 2 === 0).groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
-          max(unix_micros(col("ts"))).as("last_us"),
-          count(when(col("event_type") === "click", 1)).as("n_clicks"))
-      streaming.StreamingWindows.upsertBatch(serving)(b2, 2L)
+          max(unix_micros(col("ts"))).as("last_seen_us"))
+      streaming.StreamingWindows.upsertBatch(serving,
+        renames = Map("last_us" -> "last_seen_us"))(b2, 2L)
+    }
+
+  /** The q263 chain, built once per SF dir: q260's evolved chain then
+    * COMPACTED — the r19 verdict's #5, the last untested pairwise
+    * interaction of the r19 features: compactServing reads through the
+    * aligned multi-generation snapshot, so the rewrite must emit the
+    * NEWEST schema with NULL-backfilled history (odd users' n_clicks
+    * stays NULL through the rewrite) and q260's oracle must hold
+    * verbatim over the single compacted version; the changefeed
+    * horizon lands at vMax (nothing at or below it is derivable from a
+    * re-stated table — pinned in StreamingSpec). */
+  private def q263ServingPath(s: SparkSession, dir: String): String =
+    lazyFixtureDir("serving_evolve_compact_q263", dir) { path =>
+      buildEvolvedServing(s, dir, s"$path/serving")
+      streaming.StreamingWindows.compactServing(s, s"$path/serving")
     }
 
   /** q258's compacted HLL artifacts, built once per SF dir: q234's
@@ -5469,6 +5572,36 @@ object SparkEntry {
         .select("version", "op", "user_id", "n_events", "last_us",
           "n_clicks")),
 
+    // SERVING-TABLE COLUMN RENAME: v2 declares last_us -> last_seen_us
+    // and recomputes only the EVEN users (see q262ServingPath) — the
+    // snapshot must read odd users' CARRIED pre-rename rows under the
+    // new name via the ledger projection (no rewrite), even users'
+    // recomputed values directly; a reader that dropped the column,
+    // double-exposed both names, or lost carried rows all fail here
+    "q262_serving_rename" -> ((s, dir) =>
+      streaming.StreamingWindows.readServingSnapshot(s,
+        s"${q262ServingPath(s, dir)}/serving").get
+        .select("user_id", "n_events", "last_seen_us")),
+
+    // COMPACTION x EVOLUTION: q260's evolved chain compacted to ONE
+    // version (see q263ServingPath) — the rewrite reads through the
+    // aligned snapshot, so it must emit the newest schema with odd
+    // users' n_clicks NULL-backfilled AT REST; q260's oracle verbatim
+    "q263_evolution_compacted" -> ((s, dir) =>
+      streaming.StreamingWindows.readServingSnapshot(s,
+        s"${q263ServingPath(s, dir)}/serving").get
+        .select("user_id", "n_events", "last_us", "n_clicks")),
+
+    // FORCED foreachBatch REPLAY across a restart: batch 0's commit
+    // record deleted after run 1, so run 2 re-delivers it (the
+    // at-least-once window the upsert's idempotence exists for) before
+    // folding the remaining waves (see q264StreamPath) — q214's oracle
+    // verbatim
+    "q264_streaming_upsert_replay" -> ((s, dir) =>
+      streaming.StreamingWindows.readServingSnapshot(s,
+        s"${q264StreamPath(s, dir)}/serving").get
+        .select("user_id", "n_events", "last_us")),
+
     // SERVING-TABLE TIME TRAVEL: q214's versioned chain read AS OF
     // version 1 — the view after batches 0–1 only, resolved through
     // v1's manifest (which still points untouched buckets at v0). The
@@ -5519,10 +5652,11 @@ object SparkEntry {
     // profiled data (see q234ShardsPath) — q42's sketch contract moved
     // to the persisted, appendable form the index artifacts use. The
     // exact counts ride along; union-vs-rebuild equality and the ±5%
-    // bound reduce to oracle-comparable booleans
+    // bound reduce to oracle-comparable booleans. Resolved through the
+    // live-set MANIFEST (r20), not a dir listing
     "q234_sketch_shards" -> ((s, dir) =>
       operators.Sketches.distinctShardsChecked(s,
-        (0 until 3).map(i => s"${q234ShardsPath(s, dir)}/shard$i"),
+        operators.Sketches.shardPaths(q234ShardsPath(s, dir)),
         Tables.events(s, dir), groupCol = "event_type",
         distinctCol = "user_id")),
 
@@ -5534,7 +5668,7 @@ object SparkEntry {
     // one-pass rebuild) reduce to oracle-comparable booleans
     "q251_quantile_shards" -> ((s, dir) =>
       operators.Sketches.quantileShardsChecked(s,
-        (0 until 3).map(i => s"${q251ShardsPath(s, dir)}/shard$i"),
+        operators.Sketches.shardPaths(q251ShardsPath(s, dir)),
         Tables.events(s, dir), groupCol = "event_type",
         valueCol = "value")),
 
@@ -9614,6 +9748,41 @@ object SparkEntry {
           |            THEN 'update' ELSE 'insert' END,
           |       user_id, n_events, last_us, n_clicks
           |FROM f WHERE user_id % 2 = 0""".stripMargin,
+      // q262: q260's two-arm shape under the RENAMED column — even
+      // users' full totals, odd users' carried waves<=1 totals, both
+      // reading as last_seen_us (the carried arm's data predates the
+      // rename; the ledger projection exposes it under the new name)
+      "q262_serving_rename" ->
+        """WITH e AS (SELECT user_id, event_id % 3 AS wave,
+          |             epoch_ns(ts) // 1000 AS us FROM events),
+          |f AS (SELECT user_id, count(*)::BIGINT AS n_events,
+          |        max(us) AS last_seen_us FROM e GROUP BY user_id),
+          |p AS (SELECT user_id, count(*)::BIGINT AS n_events,
+          |        max(us) AS last_seen_us
+          |      FROM e WHERE wave <= 1 GROUP BY user_id)
+          |SELECT user_id, n_events, last_seen_us
+          |FROM f WHERE user_id % 2 = 0
+          |UNION ALL
+          |SELECT user_id, n_events, last_seen_us
+          |FROM p WHERE user_id % 2 = 1""".stripMargin,
+      // q263: q260's oracle verbatim — compaction must be invisible to
+      // the evolved view (newest schema, NULL-backfilled history)
+      "q263_evolution_compacted" ->
+        """WITH e AS (SELECT user_id, event_id % 3 AS wave, event_type,
+          |             epoch_ns(ts) // 1000 AS us FROM events),
+          |f AS (SELECT user_id, count(*)::BIGINT AS n_events,
+          |        max(us) AS last_us,
+          |        (count(*) FILTER (WHERE event_type = 'click'))::BIGINT
+          |          AS n_clicks
+          |      FROM e GROUP BY user_id),
+          |p AS (SELECT user_id, count(*)::BIGINT AS n_events,
+          |        max(us) AS last_us
+          |      FROM e WHERE wave <= 1 GROUP BY user_id)
+          |SELECT user_id, n_events, last_us, n_clicks
+          |FROM f WHERE user_id % 2 = 0
+          |UNION ALL
+          |SELECT user_id, n_events, last_us, CAST(NULL AS BIGINT) AS n_clicks
+          |FROM p WHERE user_id % 2 = 1""".stripMargin,
       // q239: each era's projection replayed from events — NULL
       // backfill for pre-value history, REAL→DOUBLE widening for gen1
       "q239_schema_evolution" ->
@@ -9678,6 +9847,7 @@ object SparkEntry {
       // q215: the SAME serving view across an agg-state checkpoint
       // restart — a reset agg undercounts every user
       "q215_streaming_upsert_restart" -> servingViewOracleSql,
+      "q264_streaming_upsert_replay" -> servingViewOracleSql,
       // q246: vacuum reclaims history, never the current view
       "q246_serving_vacuum" -> servingViewOracleSql,
       // q217: the full sink from the construction — both copies of

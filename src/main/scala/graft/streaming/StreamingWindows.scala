@@ -492,12 +492,53 @@ object StreamingWindows {
     * changefeed diffs a version against its prior ALIGNED to the newer
     * schema (a NULL→value transition on an added column is a plain
     * update; delete pre-images carry NULL for columns their row never
-    * had). */
+    * had).
+    *
+    * Each version also records its DECLARED table schema
+    * (`_table_schema`, written with the manifest): the write-path
+    * validation binds against the newest committed version's
+    * declaration rather than a data-file footer, so the no-drop /
+    * widen-only guarantees hold even when a delete emptied every
+    * bucket dir of the newest generation (r19 ADVICE: with a
+    * footer-derived schema, the table shape silently reverted to the
+    * older generation's there, and a lapsed column could re-enter at
+    * an incompatible type unchecked). Pre-declaration chains fall back
+    * to the footer read.
+    *
+    * COLUMN RENAME (`renames`: old → new, the one evolution verb
+    * add/widen can't express): a batch may declare that an existing
+    * column continues under a new name — the batch carries the NEW
+    * name, carried pre-rename rows READ under it (plan-level
+    * projection, no rewrite — version dirs stay immutable), time
+    * travel below the declaration keeps the old name, and the
+    * changefeed aligns each version's prior through the rename so a
+    * pure rename emits NO spurious rows (the value is unchanged; only
+    * genuinely-changed keys diff). Declarations accumulate in a
+    * per-version `_renames` ledger (`<declaredAtVersion> <old> <new>`
+    * lines, carried forward by every later version) that every reader
+    * applies to generations OLDER than each declaration — chained
+    * renames compose in declaration order. Validation: the old name
+    * must exist, the new must not, the batch must not still carry the
+    * old, the renamed column's type obeys the same widen-only rule,
+    * the KEY cannot rename (its name is the merge identity every
+    * manifest and consumer holds), and a delete-only batch cannot
+    * declare one (a rename must ride a full-schema batch). A DROP
+    * disguised as a rename is impossible by construction: the old
+    * column's data remains, readable under the new name. */
   def upsertBatch(serving: String, buckets: Int = 16,
-      keyCol: String = "user_id", tombstoneCol: Option[String] = None)(
+      keyCol: String = "user_id", tombstoneCol: Option[String] = None,
+      renames: Map[String, String] = Map.empty)(
       batch: org.apache.spark.sql.Dataset[
       org.apache.spark.sql.Row], batchId: Long): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // checked before ANY plan references keyCol: a renamed key would
+    // otherwise surface as an analyzer error on the bucket probe
+    // instead of this contract message
+    renames.foreach { case (from, to) =>
+      require(from != keyCol && to != keyCol,
+        s"upsertBatch: key column $keyCol cannot be renamed — it is " +
+          "the merge identity every manifest and consumer holds")
+    }
     // foreachBatch guidance: the batch plan re-executes per action (here
     // isEmpty, the bucket probe, the anti-join, and the union) — persist
     batch.persist()
@@ -524,31 +565,41 @@ object StreamingWindows {
         val upserts = tombstoneCol.fold(batch.toDF()) { t =>
           batch.toDF().filter(!coalesce(col(t), lit(false))).drop(t)
         }
+        val prevVersion = committedVersions(serving)
+          .filter(_ < batchId).maxOption
+        val priorLedger = prevVersion
+          .map(readRenames(serving, _)).getOrElse(Seq.empty)
         // prior rows of ONLY the touched buckets, each read from the
         // version that owns it (leaf-dir reads: no partition discovery,
         // so the files' own schema — their batch's schema — comes back;
         // grouped by owning version so generations align if a prior
-        // batch evolved the schema)
+        // batch evolved the schema, through the rename ledger), then
+        // THIS batch's renames applied so carried rows merge under the
+        // new names
         val priorByVer = pathsByVersion(serving,
           touched.toSeq.flatMap(b => prev.get(b).map(b -> _)).toMap)
         val base =
           if (priorByVer.isEmpty) upserts.limit(0)
-          else readAligned(s, priorByVer)
-            .join(batch.select(keyCol), Seq(keyCol), "left_anti")
-        // the TABLE schema = the NEWEST dir-owning generation's schema.
-        // Validation must run against the WHOLE table, not the touched
-        // buckets' priors alone — a batch touching only bucket B could
-        // otherwise introduce a type incompatible with a column living
-        // only in untouched bucket A (poisoning every later read) or
-        // silently drop such a column (r19 review #3). One footer read
-        // suffices because the contract this function itself enforces
-        // makes the newest generation complete: no-drop means every
-        // later batch carries all earlier columns, widen means types
-        // only grow, and a delete-only version re-states the table
-        // schema — so the newest generation's schema IS the merge of
-        // all of them.
-        val tableSchema = pathsByVersion(serving, prev).sortBy(-_._1)
-          .headOption.map { case (_, ps) => s.read.parquet(ps.head).schema }
+          else renames.foldLeft(readAligned(s, priorByVer, priorLedger)) {
+            case (df, (from, to)) => df.withColumnRenamed(from, to)
+          }.join(batch.select(keyCol), Seq(keyCol), "left_anti")
+        // the TABLE schema: the newest committed version's DECLARED
+        // schema (`_table_schema` — survives a delete emptying that
+        // generation's every bucket dir, r19 ADVICE), falling back on a
+        // pre-declaration chain to the newest dir-owning generation's
+        // footer. Validation must run against the WHOLE table, not the
+        // touched buckets' priors alone — a batch touching only bucket
+        // B could otherwise introduce a type incompatible with a column
+        // living only in untouched bucket A (poisoning every later
+        // read) or silently drop such a column (r19 review #3). The
+        // newest declaration suffices because the contract this
+        // function itself enforces makes it complete: no-drop means
+        // every later batch carries all earlier columns (under their
+        // current names), widen means types only grow, and a
+        // delete-only version re-states the table schema.
+        val tableSchema = prevVersion.flatMap(readTableSchema(serving, _))
+          .orElse(pathsByVersion(serving, prev).sortBy(-_._1)
+            .headOption.map { case (_, ps) => s.read.parquet(ps.head).schema })
         // a batch that is ALL deletions (every row tombstoned) writes no
         // values — its version holds carried base rows only — so the
         // schema rules below don't apply to it: a delete-queue drain
@@ -558,18 +609,37 @@ object StreamingWindows {
         // piggybacked aggregate — no extra action.)
         val deleteOnly = tombstoneCol.isDefined &&
           probe.forall(_.getInt(1) == 0)
+        // RENAME declarations validate against the declared table shape:
+        // old exists, new does not, the batch carries only the new name,
+        // the key never renames (it is the merge identity), and a
+        // delete-only batch carries no values to rename
+        if (renames.nonEmpty) {
+          require(!deleteOnly, "upsertBatch: a rename must ride a " +
+            "full-schema batch, not an all-deletions one")
+          renames.foreach { case (from, to) =>
+            require(tableSchema.exists(_.fieldNames.contains(from)),
+              s"upsertBatch: rename source $from does not exist in the table")
+            require(!tableSchema.exists(_.fieldNames.contains(to)),
+              s"upsertBatch: rename target $to already exists in the table")
+            require(!upserts.columns.contains(from),
+              s"upsertBatch: batch still carries $from — a renaming batch " +
+                s"carries only the new name $to")
+          }
+        }
         // SCHEMA EVOLUTION at the merge point: the batch may ADD columns
         // (carried base rows NULL-backfill — they predate the column)
         // and WIDEN types (canUpCast-validated, both directions checked
         // so a narrower batch up-casts instead of corrupting the base),
         // but never DROP a column — silently nulling served data on a
-        // consumer bug is the one evolution this table refuses. The
+        // consumer bug is the one evolution this table refuses (a
+        // renamed column satisfies the check under its NEW name). The
         // batch defines the new column order.
         if (!deleteOnly) tableSchema.foreach(_.fieldNames.foreach(c => require(
-          upserts.columns.contains(c),
+          upserts.columns.contains(renames.getOrElse(c, c)),
           s"upsertBatch: batch is missing existing column $c — a serving " +
-            "batch may add columns or widen types, never drop them " +
-            "(an absent column would silently NULL served data)")))
+            "batch may add columns, widen types, or rename via an explicit " +
+            "declaration, never drop them (an absent column would " +
+            "silently NULL served data)")))
         // the KEY is exempt from type evolution: buckets are
         // pmod(xxhash64(key), B) and xxhash64 hashes the PHYSICAL type
         // (an int and a long with the same value hash differently), so
@@ -582,11 +652,14 @@ object StreamingWindows {
             s"(${k0.dataType} -> ${upserts.schema(keyCol).dataType}): " +
             "bucketing hashes the key's physical type, so a retyped key " +
             "re-buckets carried rows out of every manifest"))
+        // a batch column's prior type lives under its PRE-rename name
+        val oldNameOf = renames.map(_.swap)
         val target =
           if (deleteOnly && tableSchema.isDefined) tableSchema.get
           else org.apache.spark.sql.types.StructType(
             upserts.schema.map { f =>
-              tableSchema.flatMap(_.find(_.name == f.name)) match {
+              val prior = oldNameOf.getOrElse(f.name, f.name)
+              tableSchema.flatMap(_.find(_.name == prior)) match {
                 case Some(t0) => f.copy(
                   dataType = widen(t0.dataType, f.dataType, f.name, "upsertBatch"),
                   nullable = true)
@@ -625,6 +698,16 @@ object StreamingWindows {
               .parquet(s"$tmp/__bucket=${touched.head}")
             Map(touched.head -> batchId)
           }
+        // the version's DECLARED shape + cumulative rename ledger ride
+        // the dir (written before the manifest move lands, like the
+        // bucket data — a version is never committed without them)
+        graft.util.Fs.writeString(s"$tmp/$TableSchemaName", target.toDDL + "\n")
+        val ledger = priorLedger ++
+          renames.toSeq.sorted.map { case (from, to) => (batchId, from, to) }
+        if (ledger.nonEmpty)
+          graft.util.Fs.writeString(s"$tmp/$RenamesName",
+            ledger.map { case (v, f, t) => s"$v $f $t" }
+              .mkString("", "\n", "\n"))
         graft.util.Fs.writeString(s"$tmp/$ManifestName",
           manifest.toSeq.sorted.map { case (b, v) => s"$b $v" }
             .mkString("", "\n", "\n"))
@@ -709,6 +792,13 @@ object StreamingWindows {
             .parquet(s"$tmp/__bucket=0")
           Seq(0)
         }
+      // the rewrite materializes the CURRENT shape under the CURRENT
+      // names, so the new version declares that schema and carries NO
+      // rename ledger (no generation in the rewritten chain predates
+      // any declaration); the dropped __bucket rides as the partition
+      // column, not a data column
+      Fs.writeString(s"$tmp/$TableSchemaName",
+        view.schema.toDDL + "\n")
       Fs.writeString(s"$tmp/$ManifestName",
         live.sorted.map(b => s"$b $vMax").mkString("", "\n", "\n"))
       // the rewrite re-states the whole table at vMax: diffs at or
@@ -827,9 +917,12 @@ object StreamingWindows {
     committedVersions(serving).filter(_ <= version).maxOption.map { v =>
       // bucket dirs grouped by owning version: donor buckets may predate
       // a schema change, so the read aligns generations (NULL for
-      // columns added after the donor wrote — see readAligned; a
-      // never-evolved chain keeps its single-scan plan)
-      readAligned(s, pathsByVersion(serving, readManifest(serving, v)))
+      // columns added after the donor wrote, the current name for
+      // columns renamed since — see readAligned; a never-evolved chain
+      // keeps its single-scan plan). The ledger is the RESOLVING
+      // version's: time travel below a rename keeps the old name.
+      readAligned(s, pathsByVersion(serving, readManifest(serving, v)),
+        readRenames(serving, v))
     }
 
   /** CHANGEFEED from an [[upsertBatch]] serving table: the per-version
@@ -869,6 +962,10 @@ object StreamingWindows {
         val man = readManifest(serving, v)
         val owned = man.collect { case (b, ver) if ver == v => b }.toSeq.sorted
         val prevMan = latestManifest(serving, belowVersion = v)
+        // this version's ledger: priors read through any rename IT (or
+        // an earlier version) declared, so a pure rename diffs value-
+        // to-value and emits nothing, and pre-images carry current names
+        val ledger = readRenames(serving, v)
         // buckets the prior view had that this version's manifest no
         // longer lists at all: emptied by tombstones — every prior row
         // is a delete (no current side exists to join against)
@@ -877,7 +974,7 @@ object StreamingWindows {
           if (removed.isEmpty) None
           else {
             val prior = readAligned(s, pathsByVersion(serving,
-              removed.map(b => b -> prevMan(b)).toMap))
+              removed.map(b => b -> prevMan(b)).toMap), ledger)
             Some(prior.withColumn("op", lit("delete")))
           }
         val ownedArm =
@@ -898,10 +995,13 @@ object StreamingWindows {
               // this version introduced reads NULL from the pre-change
               // prior, so a NULL→value transition on it diffs as a plain
               // update (<=> is null-safe) — the defined changefeed
-              // semantics across a schema change; delete pre-images
-              // carry NULL for columns their row never had
+              // semantics across a schema change; a column this version
+              // RENAMED reads through the ledger first, so its values
+              // compare name-aligned and a pure rename emits nothing;
+              // delete pre-images carry NULL for columns their row
+              // never had
               val prior = alignTo(
-                readAligned(s, priorByVer), cur.schema)
+                readAligned(s, priorByVer, ledger), cur.schema)
               val p = prior.select(
                 prior.columns.toSeq.map(c => col(c).as(s"__prior_$c")): _*)
               // TWO broadcast-able joins rather than one full-outer: a
@@ -937,6 +1037,41 @@ object StreamingWindows {
 
   private val ManifestName = "manifest.txt"
   private val HorizonName = "_changefeed_horizon"
+  private val TableSchemaName = "_table_schema"
+  private val RenamesName = "_renames"
+
+  /** Version `v`'s declared table schema (its batch's merge target as
+    * DDL) — None on a pre-declaration chain. */
+  private def readTableSchema(serving: String,
+      v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val p = s"$serving/v$v/$TableSchemaName"
+    if (graft.util.Fs.isFile(p))
+      Some(org.apache.spark.sql.types.StructType
+        .fromDDL(graft.util.Fs.readString(p).trim))
+    else None
+  }
+
+  /** Version `v`'s cumulative rename ledger, oldest declaration first:
+    * (declaredAtVersion, oldName, newName). A declaration applies to
+    * every generation STRICTLY OLDER than it. Empty on chains that
+    * never renamed. */
+  private def readRenames(serving: String,
+      v: Long): Seq[(Long, String, String)] = {
+    val p = s"$serving/v$v/$RenamesName"
+    if (!graft.util.Fs.isFile(p)) Seq.empty
+    else graft.util.Fs.readLines(p).filter(_.nonEmpty).map { l =>
+      val Array(ver, from, to) = l.split(" ", 3)
+      (ver.toLong, from, to)
+    }.sortBy(_._1)
+  }
+
+  /** The rename chain generation `g` reads through: every declaration
+    * made AFTER g wrote, applied oldest-first (chained renames
+    * compose). */
+  private def applyRenames(df: DataFrame,
+      ledger: Seq[(Long, String, String)], generation: Long): DataFrame =
+    ledger.collect { case (v, from, to) if v > generation => (from, to) }
+      .foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
 
   /** The lowest version [[vacuumServing]] kept, if one ever ran: diffs
     * at or below it are unresolvable (their prior manifests are gone).
@@ -1032,28 +1167,40 @@ object StreamingWindows {
 
   /** Read bucket dirs that may span SCHEMA GENERATIONS (a version's
     * manifest points untouched buckets at older versions, whose files
-    * predate any columns added since). Single-generation reads — and
-    * multi-generation reads whose schemas never diverged, i.e. every
-    * pre-evolution table — take the exact one-scan plan they always
-    * did; only a genuinely evolved chain pays the per-generation
-    * align-and-union (plan-level: N pruned scans, no shuffle). The
-    * snapshot's schema is its RESOLVING version's batch schema;
-    * carried pre-change buckets read with NULL for the added columns. */
+    * predate any columns added — or renamed — since). Single-generation
+    * reads — and multi-generation reads whose schemas never diverged,
+    * i.e. every pre-evolution table — take the exact one-scan plan they
+    * always did; only a genuinely evolved chain pays the per-generation
+    * align-and-union (plan-level: N pruned scans, no shuffle; a rename
+    * is a per-generation projection, also shuffle-free). The snapshot's
+    * schema is its RESOLVING version's batch schema; carried pre-change
+    * buckets read with NULL for added columns and under the CURRENT
+    * name for renamed ones (`renames` = the resolving version's
+    * ledger). */
   private def readAligned(s: org.apache.spark.sql.SparkSession,
-      pathsByVersion: Seq[(Long, Seq[String])]): DataFrame =
-    if (pathsByVersion.size == 1)
+      pathsByVersion: Seq[(Long, Seq[String])],
+      renames: Seq[(Long, String, String)] = Seq.empty): DataFrame = {
+    // a generation at-or-after every declaration needs no projection;
+    // the fast paths stay available whenever NO generation does
+    def renamed(g: Long) = renames.exists(_._1 > g)
+    if (pathsByVersion.size == 1 && !renamed(pathsByVersion.head._1))
       s.read.parquet(pathsByVersion.head._2: _*)
     else {
       val newestFirst = pathsByVersion.sortBy(-_._1)
-      val frames = newestFirst.map { case (_, ps) => s.read.parquet(ps: _*) }
+      val frames = newestFirst.map { case (g, ps) =>
+        applyRenames(s.read.parquet(ps: _*), renames, g)
+      }
       val schemas = frames.map(_.schema)
       if (schemas.forall(_ == schemas.head))
-        s.read.parquet(newestFirst.flatMap(_._2): _*)
+        if (newestFirst.forall { case (g, _) => !renamed(g) })
+          s.read.parquet(newestFirst.flatMap(_._2): _*)
+        else frames.reduce(_ unionByName _)
       else {
         val target = mergedReadSchema(schemas)
         frames.map(alignTo(_, target)).reduce(_ unionByName _)
       }
     }
+  }
 
   /** Bucket→version manifest entries regrouped as (version, its bucket
     * dirs) — [[readAligned]]'s input shape. */

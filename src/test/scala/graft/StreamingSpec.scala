@@ -1096,6 +1096,163 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("serving rename: carried rows read the new name, pure rename diffs nothing, refusals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_serving_rename").toFile
+    try {
+      val serving = dir.getAbsolutePath
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((1L, 1L, 10L), (2L, 1L, 11L)).toDF("user_id", "n_events", "last_us"), 0L)
+      // v1 declares last_us -> seen_us and RE-STATES user 2 with
+      // byte-identical values under the new name; user 1 carries
+      StreamingWindows.upsertBatch(serving, buckets = 4,
+        renames = Map("last_us" -> "seen_us"))(
+        Seq((2L, 1L, 11L)).toDF("user_id", "n_events", "seen_us"), 1L)
+      val snap = StreamingWindows.readServingSnapshot(spark, serving).get
+      assert(snap.columns.toSeq == Seq("user_id", "n_events", "seen_us"),
+        s"carried generations must read under the new name: ${snap.columns.toSeq}")
+      assert(snap.collect().map(r => r.getAs[Long]("user_id") ->
+        r.getAs[Long]("seen_us")).toMap == Map(1L -> 10L, 2L -> 11L))
+      // time travel BELOW the declaration keeps the old name entirely
+      assert(StreamingWindows.readServingAsOf(spark, serving, 0L).get
+        .columns.toSeq == Seq("user_id", "n_events", "last_us"))
+      // a PURE rename emits no spurious changefeed rows: the prior
+      // aligns through the ledger, so the re-stated identical row
+      // diffs value-to-value — only v0's genuine inserts appear
+      val feed = StreamingWindows.servingChangefeed(spark, serving).get
+        .collect().map(r => (r.getAs[Long]("version"), r.getAs[String]("op"),
+          r.getAs[Long]("user_id"))).toSet
+      assert(feed == Set((0L, "insert", 1L), (0L, "insert", 2L)),
+        s"a pure rename must not fabricate updates: $feed")
+      // CHAINED rename: v2 declares seen_us -> final_us; v0's data
+      // applies both declarations in order
+      StreamingWindows.upsertBatch(serving, buckets = 4,
+        renames = Map("seen_us" -> "final_us"))(
+        Seq((2L, 2L, 20L)).toDF("user_id", "n_events", "final_us"), 2L)
+      val chained = StreamingWindows.readServingSnapshot(spark, serving).get
+      assert(chained.columns.toSeq == Seq("user_id", "n_events", "final_us"))
+      assert(chained.collect().map(r => r.getAs[Long]("user_id") ->
+        r.getAs[Long]("final_us")).toMap == Map(1L -> 10L, 2L -> 20L))
+      // refusals: unknown source, existing target, old name still in
+      // the batch, key rename, rename on a delete-only batch — and no
+      // half-written version after any of them
+      def refused(msg: String)(body: => Unit): Unit = {
+        val e = intercept[IllegalArgumentException](body)
+        assert(e.getMessage.contains(msg), e.getMessage)
+      }
+      refused("does not exist")(StreamingWindows.upsertBatch(serving,
+        buckets = 4, renames = Map("ghost" -> "g2"))(
+        Seq((2L, 3L, 30L)).toDF("user_id", "n_events", "final_us"), 3L))
+      refused("already exists")(StreamingWindows.upsertBatch(serving,
+        buckets = 4, renames = Map("n_events" -> "final_us"))(
+        Seq((2L, 3L, 30L)).toDF("user_id", "n_events", "final_us"), 3L))
+      refused("still carries")(StreamingWindows.upsertBatch(serving,
+        buckets = 4, renames = Map("final_us" -> "f2"))(
+        Seq((2L, 3L, 30L, 31L)).toDF("user_id", "n_events", "final_us", "f2"), 3L))
+      refused("cannot be renamed")(StreamingWindows.upsertBatch(serving,
+        buckets = 4, renames = Map("user_id" -> "uid"))(
+        Seq((2L, 3L, 30L)).toDF("uid", "n_events", "final_us"), 3L))
+      refused("full-schema batch")(StreamingWindows.upsertBatch(serving,
+        buckets = 4, tombstoneCol = Some("__d"),
+        renames = Map("final_us" -> "f2"))(
+        Seq((2L, Some(true))).toDF("user_id", "__d"), 3L))
+      assert(!graft.util.Fs.exists(s"$serving/v3"),
+        "a refused rename must leave no half-written version")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("declared table schema survives a generation-emptying delete: no silent reversion") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_serving_declared").toFile
+    try {
+      val serving = dir.getAbsolutePath
+      // pick a user whose bucket differs from users 1 and 2's, so the
+      // tombstone below empties EVERY dir of the evolved generation
+      // (the r19 ADVICE corner: with a footer-derived table schema the
+      // shape silently reverted to the pre-evolution generation there)
+      import org.apache.spark.sql.functions.{pmod, xxhash64, col, lit}
+      val bucketOf = spark.range(0, 50).select(col("id"),
+        pmod(xxhash64(col("id")), lit(4L)).cast("int").as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val solo = (3L until 50L).find(u =>
+        bucketOf(u) != bucketOf(1L) && bucketOf(u) != bucketOf(2L)).get
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((1L, 1L), (2L, 1L)).toDF("user_id", "n_events"), 0L)
+      // v1 evolves the schema (adds c) touching ONLY the solo bucket
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((solo, 1L, 0.5)).toDF("user_id", "n_events", "c"), 1L)
+      // v2 tombstones the solo user: the evolved generation's only
+      // bucket dir leaves the manifest — no data file anywhere still
+      // carries c, only v2's declaration does
+      StreamingWindows.upsertBatch(serving, buckets = 4,
+        tombstoneCol = Some("__d"))(
+        Seq((solo, Some(true))).toDF("user_id", "__d"), 2L)
+      // the no-drop and no-retype guarantees must still engage
+      val eDrop = intercept[IllegalArgumentException] {
+        StreamingWindows.upsertBatch(serving, buckets = 4)(
+          Seq((1L, 2L)).toDF("user_id", "n_events"), 3L)
+      }
+      assert(eDrop.getMessage.contains("missing existing column c"), eDrop.getMessage)
+      val eRetype = intercept[IllegalArgumentException] {
+        StreamingWindows.upsertBatch(serving, buckets = 4)(
+          Seq((1L, 2L, "oops")).toDF("user_id", "n_events", "c"), 3L)
+      }
+      assert(eRetype.getMessage.contains("cannot evolve"), eRetype.getMessage)
+      // a conforming batch proceeds, and the lapsed column re-enters at
+      // its declared type
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((1L, 2L, 0.75)).toDF("user_id", "n_events", "c"), 3L)
+      val snap = StreamingWindows.readServingSnapshot(spark, serving).get
+      assert(snap.schema("c").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      assert(snap.count() == 2)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("compacting an evolved chain: newest schema at rest, horizon bounds the feed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_evolved").toFile
+    try {
+      val serving = dir.getAbsolutePath
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((1L, 1L), (2L, 1L)).toDF("user_id", "n_events"), 0L)
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((1L, 2L, 0.5)).toDF("user_id", "n_events", "c"), 1L)
+      StreamingWindows.compactServing(spark, serving, buckets = 4)
+      // ONE version, newest schema AT REST: user 2's c is a stored NULL
+      // (the aligned read materialized through the rewrite)
+      val snap = StreamingWindows.readServingSnapshot(spark, serving).get
+      assert(snap.columns.toSeq == Seq("user_id", "n_events", "c"))
+      assert(snap.collect().map(r => r.getAs[Long]("user_id") ->
+        r.isNullAt(r.fieldIndex("c"))).toMap == Map(1L -> false, 2L -> true))
+      // the re-stated table derives no diffs: the horizon lands at
+      // vMax, so the feed reports nothing rather than fabricating the
+      // carried rows as inserts; time travel below vMax is gone
+      assert(StreamingWindows.servingChangefeed(spark, serving).isEmpty)
+      assert(StreamingWindows.readServingAsOf(spark, serving, 0L).isEmpty)
+      // and the chain continues: a later batch diffs against the
+      // compacted base as usual
+      StreamingWindows.upsertBatch(serving, buckets = 4)(
+        Seq((2L, 5L, 0.9)).toDF("user_id", "n_events", "c"), 2L)
+      val feed = StreamingWindows.servingChangefeed(spark, serving).get
+        .collect().map(r => (r.getAs[Long]("version"), r.getAs[String]("op"),
+          r.getAs[Long]("user_id"))).toSet
+      assert(feed == Set((2L, "update", 2L)), s"post-compaction diffs resume: $feed")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("vacuumServing: a no-op vacuum leaves the changefeed horizon untouched") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vacuum_noop").toFile
     try {
