@@ -4193,9 +4193,11 @@ object SparkEntry {
     lazyFixtureDir("serving_evolve_q260", dir)(path =>
       buildEvolvedServing(s, dir, s"$path/serving"))
 
-  /** q260's three-version evolved chain against `serving` — factored so
-    * q263 can build the identical chain and then COMPACT it. */
-  private def buildEvolvedServing(s: SparkSession, dir: String,
+  /** The v0/v1 two-wave prefix every evolution fixture shares: wave-0
+    * users' totals over wave 0, then wave-1 users' totals over waves
+    * 0–1 — the pre-change generations whose carried rows the evolved
+    * reads must align. */
+  private def buildTwoWaveServing(s: SparkSession, dir: String,
       serving: String): Unit = {
     import org.apache.spark.sql.functions._
     val e = attributionEvents(s, dir)
@@ -4210,7 +4212,16 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_events"),
         max(unix_micros(col("ts"))).as("last_us"))
     streaming.StreamingWindows.upsertBatch(serving)(b1, 1L)
-    val b2 = e.filter(col("user_id") % 2 === 0).groupBy("user_id")
+  }
+
+  /** q260's three-version evolved chain against `serving` — factored so
+    * q263 can build the identical chain and then COMPACT it. */
+  private def buildEvolvedServing(s: SparkSession, dir: String,
+      serving: String): Unit = {
+    import org.apache.spark.sql.functions._
+    buildTwoWaveServing(s, dir, serving)
+    val b2 = attributionEvents(s, dir)
+      .filter(col("user_id") % 2 === 0).groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         max(unix_micros(col("ts"))).as("last_us"),
         count(when(col("event_type") === "click", 1)).as("n_clicks"))
@@ -4232,19 +4243,9 @@ object SparkEntry {
     lazyFixtureDir("serving_rename_q262", dir) { path =>
       import org.apache.spark.sql.functions._
       val serving = s"$path/serving"
-      val e = attributionEvents(s, dir)
-      val wave = col("event_id") % 3
-      val b0 = e.filter(wave === 0).groupBy("user_id")
-        .agg(count(lit(1)).as("n_events"),
-          max(unix_micros(col("ts"))).as("last_us"))
-      streaming.StreamingWindows.upsertBatch(serving)(b0, 0L)
-      val w1 = e.filter(wave === 1).select("user_id").distinct()
-      val b1 = e.filter(wave <= 1).join(w1, Seq("user_id"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_events"),
-          max(unix_micros(col("ts"))).as("last_us"))
-      streaming.StreamingWindows.upsertBatch(serving)(b1, 1L)
-      val b2 = e.filter(col("user_id") % 2 === 0).groupBy("user_id")
+      buildTwoWaveServing(s, dir, serving)
+      val b2 = attributionEvents(s, dir)
+        .filter(col("user_id") % 2 === 0).groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
           max(unix_micros(col("ts"))).as("last_seen_us"))
       streaming.StreamingWindows.upsertBatch(serving,

@@ -1143,8 +1143,11 @@ object Dedup {
       Fs.mkdirs(parked)
       subs.foreach(sub => Fs.move(s"$path/$sub", s"$parked/$sub"))
       subs.foreach(sub => Fs.move(s"$path/${sub}_delete_tmp", s"$path/$sub"))
-      // install complete — only now is the old state gone
-      Fs.rmTree(parked)
+      // install complete — the park seals (marker) and tears down
+      // MARKER-LAST, so a crash mid-teardown can never leave a partial
+      // park that recovery would mistake for a complete pre-delete
+      // state (r20 review #1)
+      graft.util.MaintenanceLease.sealAndDismantlePark(parked)
     } finally { releaseLocalCheckpoint(ids) }
     }
   }

@@ -626,8 +626,8 @@ object Similarity {
           // a cell fully emptied by the deletion has no rewritten dir
           if (Fs.isDir(next)) Fs.move(next, s"$path/cells/cell=$c")
         }
-        // install complete — only now is the old state gone
-        Fs.rmTree(parked)
+        // install complete — seal + marker-last teardown (r20 review #1)
+        graft.util.MaintenanceLease.sealAndDismantlePark(parked)
         Fs.rmTree(tmp)
       }
     } finally { graft.operators.Dedup.releaseLocalCheckpoint(ids) }

@@ -252,24 +252,52 @@ object Sketches {
 
   private val ManifestPrefix = "_shards_manifest."
 
-  /** The live shard set under `shardsDir`, resolved through the
-    * VALUE-STAMPED manifest (`_shards_manifest.<seq>` — highest seq
-    * wins, the `_changefeed_horizon` posture: a new stamp is written
-    * BEFORE stale ones are swept, so a reader always sees a complete
-    * stamp, never a truncation window). Entries are `(id, dirname)`
-    * lines ordered here by NUMERIC id. None if no stamp exists (a
-    * pre-manifest layout). */
-  private def shardManifest(shardsDir: String): Option[Seq[(Long, String)]] =
+  /** Every stamp seq currently on disk — the ONE stamp-name scan the
+    * resolver, the seq allocator, and the sweep all share (a parse
+    * rule diverging between them would silently break resolution or
+    * leak stale stamps). */
+  private def stampSeqs(shardsDir: String): Seq[Long] =
     graft.util.Fs.listChildren(shardsDir).collect {
       case (name, false) if name.startsWith(ManifestPrefix) =>
         name.stripPrefix(ManifestPrefix).toLongOption
-    }.flatten.maxOption.map { seq =>
-      graft.util.Fs.readLines(s"$shardsDir/$ManifestPrefix$seq")
-        .filter(_.nonEmpty).map { l =>
-          val Array(id, dir) = l.split(" ", 2)
-          (id.toLong, dir)
-        }.sortBy(_._1)
+    }.flatten
+
+  /** The live shard set under `shardsDir`, resolved through the
+    * VALUE-STAMPED manifest (`_shards_manifest.<seq>` — highest seq
+    * wins, the `_changefeed_horizon` posture: a new stamp INSTALLS by
+    * rename and is written before stale ones are swept, so a reader
+    * always sees a complete stamp, never a truncation window). Entries
+    * are `(id, dirname)` lines ordered here by NUMERIC id. None if no
+    * stamp exists (a pre-manifest layout). List-then-read races the
+    * sweep (a commit can delete the stamp this listing chose before
+    * the read lands), so a vanished stamp re-resolves rather than
+    * crashing a consistent reader. */
+  private def shardManifest(shardsDir: String): Option[Seq[(Long, String)]] = {
+    var attempts = 3
+    while (true) {
+      stampSeqs(shardsDir).maxOption match {
+        case None => return None
+        case Some(seq) =>
+          try {
+            return Some(graft.util.Fs
+              .readLines(s"$shardsDir/$ManifestPrefix$seq")
+              .filter(_.nonEmpty).map { l =>
+                val Array(id, dir) = l.split(" ", 2)
+                (id.toLong, dir)
+              }.sortBy(_._1))
+          } catch {
+            case e: java.io.FileNotFoundException =>
+              // swept between the listing and the read — a NEWER stamp
+              // exists by the sweep's ordering; re-resolve (bounded:
+              // each retry needs a whole concurrent commit to land in
+              // the window, so 3 misses means something else is wrong)
+              attempts -= 1
+              if (attempts <= 0) throw e
+          }
+      }
     }
+    None // unreachable
+  }
 
   /** `shard<id>` dirs directly under `shardsDir` by LISTING — the
     * pre-manifest resolution, kept as the fallback for layouts whose
@@ -289,34 +317,33 @@ object Sketches {
   private def shardEntries(shardsDir: String): Seq[(Long, String)] =
     shardManifest(shardsDir).getOrElse(listedShards(shardsDir))
 
-  /** Install a new manifest stamp naming `entries` as the live set:
-    * new stamp first (seq = max existing + 1), stale stamps swept
-    * after — a reader can never observe zero stamps once one exists,
-    * and always reads a COMPLETE set (the consistent-reader guarantee
-    * the r19 verdict named as the artifact family's one remaining
-    * silent-wrong-answer window: a reader listing `shards/` mid-
-    * compaction or mid-wave-landing could see a partial or double
-    * set). Writers and compaction are serialized by the lease, so
-    * stamps never race each other. */
   private def nextManifestSeq(shardsDir: String): Long =
-    graft.util.Fs.listChildren(shardsDir).collect {
-      case (name, false) if name.startsWith(ManifestPrefix) =>
-        name.stripPrefix(ManifestPrefix).toLongOption
-    }.flatten.maxOption.getOrElse(-1L) + 1L
+    stampSeqs(shardsDir).maxOption.getOrElse(-1L) + 1L
 
+  /** Install a new manifest stamp naming `entries` as the live set:
+    * the stamp body assembles under a dot-prefixed temp name and
+    * RENAMES into place (a direct create would be visible ZERO-LENGTH
+    * on local/HDFS before its body lands — a reader picking it as the
+    * max stamp would resolve an empty live set; r20 review #2), then
+    * stale stamps sweep — a reader can never observe zero stamps once
+    * one exists, and always reads a COMPLETE set (the consistent-
+    * reader guarantee the r19 verdict named as the artifact family's
+    * one remaining silent-wrong-answer window: a reader listing
+    * `shards/` mid-compaction or mid-wave-landing could see a partial
+    * or double set). Writers and compaction are serialized by the
+    * lease, so stamps never race each other. */
   private def commitShardManifest(shardsDir: String,
       entries: Seq[(Long, String)]): Unit = {
     import graft.util.Fs
     val seq = nextManifestSeq(shardsDir)
-    Fs.writeString(s"$shardsDir/$ManifestPrefix$seq",
+    val tmp = s"$shardsDir/.tmp-manifest-$seq"
+    Fs.deleteIfExists(tmp)
+    Fs.writeString(tmp,
       entries.sortBy(_._1).map { case (id, d) => s"$id $d" }
         .mkString("", "\n", "\n"))
-    Fs.listChildren(shardsDir).foreach {
-      case (name, false) if name.startsWith(ManifestPrefix) &&
-          name.stripPrefix(ManifestPrefix).toLongOption.exists(_ < seq) =>
-        Fs.deleteIfExists(s"$shardsDir/$name")
-      case _ => ()
-    }
+    Fs.move(tmp, s"$shardsDir/$ManifestPrefix$seq")
+    stampSeqs(shardsDir).filter(_ < seq).foreach(old =>
+      Fs.deleteIfExists(s"$shardsDir/$ManifestPrefix$old"))
   }
 
   /** Commit one just-written `shard<id>` artifact into its root's
@@ -339,9 +366,25 @@ object Sketches {
   }
 
   private def commitShardToManifest(shardsDir: String, id: Long,
-      dirname: String): Unit =
+      dirname: String): Unit = {
+    val entries = shardEntries(shardsDir)
+    // replacing the SAME dirname is a wave replay re-landing its own
+    // artifact (idempotent); the same ID under a DIFFERENT name can
+    // only be a wave replayed after a compaction whose merge carries
+    // that id — replacing the merge entry would silently drop every
+    // OTHER compacted wave from the live set, so the stopped-writer
+    // precondition violation fails loudly instead (r20 review #4)
+    entries.find(e => e._1 == id && e._2 != dirname).foreach { e =>
+      throw new IllegalArgumentException(
+        s"writeShard: wave id $id already lives in ${e._2} — a wave " +
+          "replayed after a compaction that merged it; committing " +
+          s"$dirname would replace the merge (and every wave inside " +
+          "it) in the live set. Run compaction only with the stream's " +
+          "checkpoint committed through its max wave")
+    }
     commitShardManifest(shardsDir,
-      shardEntries(shardsDir).filterNot(_._1 == id) :+ ((id, dirname)))
+      entries.filterNot(_._1 == id) :+ ((id, dirname)))
+  }
 
   /** Every live shard artifact dir under `shardsDir`, ordered by
     * NUMERIC batch id — resolved through the live-set MANIFEST when one
@@ -370,13 +413,19 @@ object Sketches {
     * next batch id exceeds it, so wave numbering continues unchanged.
     * PRECONDITION, same as compactServing: run in a stopped-writer
     * window with the checkpoint committed through the max wave — a
-    * foreachBatch REPLAY of a compacted wave after compaction would
-    * re-enter the manifest as a single wave beside the merge that
-    * already contains it.
+    * foreachBatch REPLAY of a compacted wave afterwards would
+    * double-count (a lower-id wave re-enters the manifest beside the
+    * merge that already contains it) or, for the max-id wave, try to
+    * REPLACE the merge's manifest entry — that one the commit refuses
+    * loudly, since it would silently drop every other compacted wave
+    * from the live set.
     *
     * Crash protocol (MANIFEST-SWAPPED — the serving table's posture
-    * scaled down, replacing the r19 parked-dir protocol; readers stay
-    * consistent at every instant, the r19 verdict's #1): the merged
+    * scaled down, replacing the r19 parked-dir protocol; every reader
+    * RESOLVES a consistent set at every instant — a reader whose scan
+    * of the pre-set is still in flight when the post-swap deletes land
+    * fails LOUDLY on the vanished files and re-resolves, never reads a
+    * partial set silently; the r19 verdict's #1): the merged
     * artifact stages in `.tmp-compact-shards` while every old dir is
     * intact (the write executes the multi-shard read), installs under
     * the FRESH name `merged<maxId>` — invisible, the manifest does not

@@ -955,8 +955,11 @@ object TextAnalysis {
           .write.mode("overwrite").parquet(mtmp)
         Fs.move(s"$path/manifest", s"$parked/manifest")
         Fs.move(mtmp, s"$path/manifest")
-        // install complete — only now is the old state gone
-        Fs.rmTree(parked)
+        // install complete — seal + marker-last teardown: a partial
+        // park without its marker can no longer exist, so a recovery
+        // can never restore a remnant beside the already-decremented
+        // manifest and double-decrement it on retry (r20 review #1)
+        graft.util.MaintenanceLease.sealAndDismantlePark(parked)
         Fs.rmTree(tmp)
       }
     } finally { Dedup.releaseLocalCheckpoint(ids) }

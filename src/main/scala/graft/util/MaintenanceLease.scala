@@ -163,17 +163,19 @@ object MaintenanceLease {
   /** Owner-compared release: deletes the marker and returns true only
     * if it still carries `token`; returns false (marker untouched) if
     * the marker is gone or owned by someone else — a stale holder must
-    * never un-gate writers under a pass it does not own. */
+    * never un-gate writers under a pass it does not own. One read
+    * immediately before the delete (no separate existence probe) keeps
+    * the compare-to-delete window as small as plain files allow; the
+    * residual race needs an out-of-contract forceRelease PLUS a rival
+    * acquisition inside that instant, and is why forceRelease is an
+    * operator verb, not an automated one. */
   private[graft] def release(layoutPath: String, token: String): Boolean = {
     val m = marker(layoutPath)
-    if (!Fs.exists(m)) false
-    else {
-      val owned =
-        try parse(Fs.readString(m))._2 == token
-        catch { case _: java.io.IOException => false }
-      if (owned) Fs.deleteIfExists(m)
-      owned
-    }
+    val owned =
+      try parse(Fs.readString(m))._2 == token
+      catch { case _: java.io.IOException => false }
+    if (owned) Fs.deleteIfExists(m)
+    owned
   }
 
   /** Run one maintenance pass under the lease. Released only when
@@ -272,6 +274,41 @@ object MaintenanceLease {
         if name.endsWith("_old_del") || name.endsWith("_old_compact") => name
     }.sorted
 
+  /** The install-complete marker every parking pass writes INSIDE its
+    * park once the new state is fully installed (shared name — the
+    * shard compaction introduced it, r20 extends it to the delete
+    * parks). */
+  private[graft] val ParkInstallMarker = "_install_complete"
+
+  /** Dismantle a park MARKER-LAST: every non-marker child, then the
+    * marker, then the empty dir. */
+  private def dismantlePark(park: String): Unit = {
+    Fs.listChildren(park).foreach {
+      case (name, _) if name != ParkInstallMarker =>
+        Fs.rmTree(s"$park/$name")
+      case _ => ()
+    }
+    Fs.deleteIfExists(s"$park/$ParkInstallMarker")
+    Fs.rmTree(park)
+  }
+
+  /** Seal a park whose pass has fully installed its new state, then
+    * dismantle it marker-last: (1) write the install-complete marker,
+    * (2) delete every other child, (3) delete the marker, (4) remove
+    * the empty dir. A crash mid-teardown then leaves either a park
+    * WITH the marker (install landed — [[recover]] deletes it without
+    * restoring) or one holding NO displaced state (the marker deletes
+    * last, so nothing else remains — a restore is a no-op and the
+    * retry idempotent). A plain recursive delete gives no such
+    * guarantee: it may remove the marker BEFORE some parked piece, and
+    * recover's wholesale restore of that remnant beside the already-
+    * committed new state would corrupt — the postings delete's
+    * manifest would double-decrement on retry (r20 review #1). */
+  private[graft] def sealAndDismantlePark(park: String): Unit = {
+    Fs.writeString(s"$park/$ParkInstallMarker", "installed\n")
+    dismantlePark(park)
+  }
+
   /** STAGING dirs are half-built rewrite outputs (`.tmp-*`,
     * `*_delete_tmp`) — never read by any resolver, always rmTree'd by
     * the next attempt; safe to delete, listed for visibility only. */
@@ -359,36 +396,46 @@ object MaintenanceLease {
     * (recovery restores the pre-pass state; it cannot re-derive a
     * deletion set or re-merge shards itself).
     *
-    * Rules, by park name:
+    * Rules, by park name — EVERY park keys first on the
+    * `_install_complete` marker its pass writes before tearing the
+    * park down ([[sealAndDismantlePark]]): marker present → the new
+    * state fully installed and only the teardown crashed — the park
+    * holds stale displaced state and DELETES without restoring
+    * (restoring it beside the committed new state would corrupt: the
+    * postings delete's already-decremented manifest would decrement
+    * again on the mandated retry, a compacted shard set would
+    * double-count). Marker absent → the teardown never began, so the
+    * park is COMPLETE (the marker-last teardown guarantees no partial
+    * park can exist without its marker) and the pass's restore rule
+    * applies:
     *
     *  - `*_old_del` (mh_old_del, postings_old_del, cells_old_del — the
     *    index-delete passes): the park holds the COMPLETE pre-delete
     *    state of every displaced piece (each pass parks a piece before
     *    installing its rewrite), so restoring it wholesale — delete any
     *    live twin, move the parked piece back — lands the exact
-    *    pre-delete layout at EVERY crash point. This strictly contains
-    *    the weaker "move back where the live twin is missing" rule and
-    *    is what the postings delete REQUIRES: its manifest counters
-    *    decrement by the deleted docs' contribution, so retrying
-    *    against a half-installed table (some buckets already scrubbed)
-    *    would under-count the decrement; only the full pre-delete
-    *    restore makes the retry exact. Live-twin roots: mh parks
-    *    whole tables (`bands`/`grams` → layout root), postings parks
-    *    `p=<b>` bucket dirs (→ `postings/`) plus the pre-delete
-    *    `manifest` (→ layout root), IVF parks `cell=<c>` dirs
-    *    (→ `cells/`).
+    *    pre-delete layout at every pre-teardown crash point. This
+    *    strictly contains the weaker "move back where the live twin is
+    *    missing" rule and is what the postings delete REQUIRES: its
+    *    manifest counters decrement by the deleted docs' contribution,
+    *    so retrying against a half-installed table (some buckets
+    *    already scrubbed) would under-count the decrement; only the
+    *    full pre-delete restore makes the retry exact. Live-twin
+    *    roots: mh parks whole tables (`bands`/`grams` → layout root),
+    *    postings parks `p=<b>` bucket dirs (→ `postings/`) plus the
+    *    pre-delete `manifest` (→ layout root), IVF parks `cell=<c>`
+    *    dirs (→ `cells/`).
     *  - `shards_old_compact` (the pre-manifest shard compaction — the
     *    manifest-swapped protocol that replaced it parks nothing, so
     *    this park only arises from a layout that crashed under the old
-    *    binary): keyed on the `_install_complete` marker INSIDE the
-    *    park, never on whether a live `shard<maxId>` exists (a
-    *    non-atomic rename can leave one mid-park or mid-install).
-    *    Marker present → the install landed; the park deletes
-    *    (restoring would double-count its waves). Marker absent → the
-    *    install did not complete: delete any live shard dir ALSO
-    *    present in the park (a partial rename remnant — the park's
-    *    copy completed before its source deletion began), move every
-    *    parked shard dir back, and the retry re-merges.
+    *    binary): marker absent → the install did not complete: delete
+    *    any live shard dir ALSO present in the park (a partial rename
+    *    remnant — the park's copy completed before its source deletion
+    *    began), move every parked shard dir back, and the retry
+    *    re-merges. (The OLD binary's teardown was a plain recursive
+    *    delete, so a legacy park whose teardown crashed after deleting
+    *    the marker is indistinguishable from a complete one — the one
+    *    ambiguity the current marker-last teardown exists to close.)
     *  - any OTHER parked name refuses loudly: a future pass's park this
     *    build has no rule for must stay blocked, not be guessed at.
     *
@@ -401,40 +448,45 @@ object MaintenanceLease {
   def recover(layoutPath: String): Unit = {
     parkedDirsUnder(layoutPath).foreach { parkName =>
       val park = s"$layoutPath/$parkName"
+      val installed = Fs.exists(s"$park/$ParkInstallMarker")
       def restorePiece(name: String, live: String): Unit = {
         Fs.rmTree(live)
         Fs.move(s"$park/$name", live)
       }
-      parkName match {
-        case "shards_old_compact" =>
-          if (!Fs.exists(s"$park/${graft.operators.Sketches.InstallCompleteMarker}"))
+      def restoreAll(liveOf: String => String): Unit =
+        Fs.listChildren(park).foreach {
+          case (name, _) if name != ParkInstallMarker =>
+            restorePiece(name, liveOf(name))
+          case _ => ()
+        }
+      val knownParks = Set("shards_old_compact", "mh_old_del",
+        "postings_old_del", "cells_old_del")
+      // unknown parks refuse BEFORE the marker branch: this build
+      // cannot know the owning pass follows the marker convention
+      if (!knownParks.contains(parkName))
+        throw new IllegalArgumentException(
+          s"no recovery rule for parked dir $park — a pass this build " +
+            "does not know parked it; recover by that pass's own " +
+            "documentation, then forceRelease")
+      if (installed) dismantlePark(park)
+      else {
+        parkName match {
+          case "shards_old_compact" =>
             Fs.listChildren(park).foreach {
               case (name, true) if name.startsWith("shard") =>
                 restorePiece(name, s"$layoutPath/$name")
               case _ => ()
             }
-          Fs.rmTree(park)
-        case "mh_old_del" =>
-          Fs.listChildren(park).foreach { case (name, _) =>
-            restorePiece(name, s"$layoutPath/$name")
-          }
-          Fs.rmTree(park)
-        case "postings_old_del" =>
-          Fs.listChildren(park).foreach { case (name, _) =>
-            restorePiece(name,
+          case "mh_old_del" =>
+            restoreAll(name => s"$layoutPath/$name")
+          case "postings_old_del" =>
+            restoreAll(name =>
               if (name == "manifest") s"$layoutPath/manifest"
               else s"$layoutPath/postings/$name")
-          }
-          Fs.rmTree(park)
-        case "cells_old_del" =>
-          Fs.listChildren(park).foreach { case (name, _) =>
-            restorePiece(name, s"$layoutPath/cells/$name")
-          }
-          Fs.rmTree(park)
-        case other => throw new IllegalArgumentException(
-          s"no recovery rule for parked dir $layoutPath/$other — a pass " +
-            "this build does not know parked it; recover by that pass's " +
-            "own documentation, then forceRelease")
+          case _ =>
+            restoreAll(name => s"$layoutPath/cells/$name")
+        }
+        Fs.rmTree(park)
       }
     }
     stagingDirsUnder(layoutPath).foreach(n => Fs.rmTree(s"$layoutPath/$n"))

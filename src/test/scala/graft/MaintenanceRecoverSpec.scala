@@ -190,6 +190,45 @@ class MaintenanceRecoverSpec extends AnyFunSuite {
     }
   }
 
+  test("recover: a marker-sealed park deletes WITHOUT restoring (no double-decrement)") {
+    // the r20 review #1 scenario: the pass fully installed (manifest
+    // already decremented) and crashed INSIDE the park teardown — the
+    // marker-last teardown guarantees any surviving park still carries
+    // the marker, and recover must treat its contents as stale
+    // displaced state, never restore them (a restore would put the
+    // deleted doc's postings back beside the decremented manifest, and
+    // the mandated retry would decrement AGAIN)
+    withTempDir("graft_rec_sealed") { root =>
+      val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+        (3L, "delta epsilon")).toDF("doc_id", "text")
+      operators.TextAnalysis.writeInvertedIndex(docs, root, buckets = 4)
+      val preManifest = spark.read.parquet(s"$root/manifest").head()
+      operators.TextAnalysis.deleteFromInvertedIndex(spark, root,
+        Seq(2L).toDF("doc_id")) // completes: manifest decremented, park gone
+      // reconstruct the teardown-crash state: park with the marker and
+      // a stale piece (the pre-delete manifest, the worst one to restore)
+      val park = s"$root/postings_old_del"
+      Fs.mkdirs(park)
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        Seq(org.apache.spark.sql.Row(preManifest.getAs[Long]("n_docs"),
+          preManifest.getAs[Long]("sum_dl"), preManifest.getAs[Int]("buckets")))),
+        preManifest.schema).coalesce(1).write.parquet(s"$park/manifest")
+      Fs.writeString(s"$park/_install_complete", "installed\n")
+      Fs.writeString(s"$root/_maintenance_lease", "maintenance\nx\ncrashed\n")
+      MaintenanceLease.recover(root)
+      assert(!Fs.exists(park) && !Fs.exists(s"$root/_maintenance_lease"))
+      val m = spark.read.parquet(s"$root/manifest").head()
+      assert(m.getAs[Long]("n_docs") == 2L && m.getAs[Long]("sum_dl") == 5L,
+        "recover must NOT restore a sealed park's stale manifest")
+      // the mandated retry is a no-op on the already-deleted set
+      operators.TextAnalysis.deleteFromInvertedIndex(spark, root,
+        Seq(2L).toDF("doc_id"))
+      val m2 = spark.read.parquet(s"$root/manifest").head()
+      assert(m2.getAs[Long]("n_docs") == 2L && m2.getAs[Long]("sum_dl") == 5L,
+        "retry after a sealed-park recovery must not double-decrement")
+    }
+  }
+
   test("recover: unknown park refuses; re-running after a mid-recovery crash completes") {
     withTempDir("graft_rec_unknown") { root =>
       Fs.mkdirs(s"$root/future_pass_old_del")
@@ -197,6 +236,12 @@ class MaintenanceRecoverSpec extends AnyFunSuite {
       assert(e.getMessage.contains("future_pass_old_del"), e.getMessage)
       assert(Fs.exists(s"$root/future_pass_old_del"),
         "an unknown park must stay blocked, not be guessed at")
+      // even a MARKED unknown park refuses: this build cannot know the
+      // owning pass follows the marker convention
+      Fs.writeString(s"$root/future_pass_old_del/_install_complete", "x\n")
+      intercept[IllegalArgumentException](MaintenanceLease.recover(root))
+      assert(Fs.exists(s"$root/future_pass_old_del"))
+      Fs.rmTree(s"$root/future_pass_old_del")
     }
     // crash recover ITSELF mid-restore: the parked piece moves back only
     // after its live twin is deleted, so a second recover completes
