@@ -3653,6 +3653,17 @@ object SparkEntry {
     lazyFixtureDir("stream_q264", dir) { path =>
       import org.apache.spark.sql.functions._
       val events = attributionEvents(s, dir)
+      // engine recovery re-executes only the LATEST uncommitted batch:
+      // with no-data micro-batches on (the default), run 1 trails an
+      // empty watermark batch AFTER wave 0, so deleting commits would
+      // replay that no-data batch — not the data batch whose sink
+      // idempotence this fixture exists to prove (the require below
+      // caught exactly that: the first staging of this fixture was
+      // vacuous). Disabling them makes batch 0 run 1's latest batch.
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevNoData = s.conf.getOption(noDataKey)
+      s.conf.set(noDataKey, "false")
+      try {
       def runOnce(): Unit = {
         val stream = s.readStream.schema(eventQuartetSchema)
           .option("maxFilesPerTrigger", 1)
@@ -3675,13 +3686,25 @@ object SparkEntry {
         Seq(events.filter(col("event_id") % 3 === 0)))
       runOnce() // run 1: batch 0 applied AND committed; v0 on disk
       // force the at-least-once window: the sink's effect (v0) stays,
-      // the engine's commit acknowledgment is gone — run 2 replays
+      // every commit acknowledgment is gone (ALL entries, not just 0 —
+      // were a trailing no-data batch ever committed, the engine would
+      // resume past the surviving highest commit and the replay this
+      // fixture exists for would silently not happen) — run 2 replays
       // batch 0 from its recorded offsets
-      graft.util.Fs.deleteIfExists(s"$path/ck/commits/0")
+      graft.util.Fs.listChildren(s"$path/ck/commits").foreach {
+        case (name, false) if name.toLongOption.nonEmpty =>
+          graft.util.Fs.deleteIfExists(s"$path/ck/commits/$name")
+        case _ => ()
+      }
       stageMicroBatches("q264", path,
         (1 until 3).map(i => events.filter(col("event_id") % 3 === i)),
         firstIndex = 1)
       runOnce() // run 2: replays wave 0 idempotently, folds waves 1-2
+      require(graft.util.Fs.isFile(s"$path/ck/commits/0"),
+        "q264: run 2 never re-committed batch 0 — the forced replay " +
+          "this fixture stages did not happen")
+      } finally prevNoData.fold(s.conf.unset(noDataKey))(v =>
+        s.conf.set(noDataKey, v))
     }
 
   /** The q225 streaming run, executed ONCE per SF dir: the WINDOWED

@@ -428,8 +428,8 @@ object Sketches {
     * partial set silently; the r19 verdict's #1): the merged
     * artifact stages in `.tmp-compact-shards` while every old dir is
     * intact (the write executes the multi-shard read), installs under
-    * the FRESH name `merged<maxId>` — invisible, the manifest does not
-    * list it — and then ONE value-stamped manifest commit flips the
+    * a FRESH seq-named `merged<seq>` dir — invisible, the manifest
+    * does not list it — and then ONE value-stamped manifest commit flips the
     * live set from the old shards to the merge: both sets are fully on
     * disk at the flip, so a reader resolving either stamp reads a
     * complete, consistent set. Only after the swap do the old dirs
