@@ -70,18 +70,21 @@ object Sketches {
     * O(groups × sketch size), independent of the wave's row count.
     *
     * A `shard<id>`-named artifact COMMITS to the shards root's live-set
-    * manifest after its data lands (see [[shardPaths]]): a reader
-    * listing mid-write resolves the previous manifest and never sees
-    * the half-written wave. Any other name is a standalone artifact
-    * addressed by explicit path, outside the manifest. */
+    * manifest after its data lands (see [[writeShardArtifact]]): a
+    * reader listing mid-write resolves the previous manifest and never
+    * sees the half-written wave — including a foreachBatch REPLAY of an
+    * already-committed wave, which lands under a fresh dir and flips
+    * the manifest entry rather than overwriting the live dir in place.
+    * Any other name is a standalone artifact addressed by explicit
+    * path, outside the manifest. */
   def writeDistinctShard(wave: DataFrame, groupCol: String,
       distinctCol: String, path: String): Unit =
     withShardWriterLease(path, "writeDistinctShard") {
-      wave.groupBy(groupCol).agg(
-        count(lit(1)).as("n_rows"),
-        hll_sketch_agg(col(distinctCol)).as("sketch"))
-        .coalesce(1).write.mode("overwrite").parquet(path)
-      commitShardToManifest(path)
+      writeShardArtifact(
+        wave.groupBy(groupCol).agg(
+          count(lit(1)).as("n_rows"),
+          hll_sketch_agg(col(distinctCol)).as("sketch")),
+        path)
     }
 
   /** Writer-side lease at the shards ROOT (the dir holding the
@@ -162,15 +165,15 @@ object Sketches {
   def writeQuantileShard(wave: DataFrame, groupCol: String, valueCol: String,
       path: String, k: Int = 200): Unit =
     withShardWriterLease(path, "writeQuantileShard") {
-      wave.groupBy(groupCol).agg(
-        // count the VALUES the sketch profiles (non-NULL — the sketch
-        // skips NULLs), not the rows: a count(*) here would break the
-        // checked reader's N pin on the first NULL value (r18 review #5)
-        count(col(valueCol)).as("n_rows"),
-        graft.functions.HashFunctions
-          .kll_sketch(col(valueCol).cast("double"), k).as("sketch"))
-        .coalesce(1).write.mode("overwrite").parquet(path)
-      commitShardToManifest(path)
+      writeShardArtifact(
+        wave.groupBy(groupCol).agg(
+          // count the VALUES the sketch profiles (non-NULL — the sketch
+          // skips NULLs), not the rows: a count(*) here would break the
+          // checked reader's N pin on the first NULL value (r18 review #5)
+          count(col(valueCol)).as("n_rows"),
+          graft.functions.HashFunctions
+            .kll_sketch(col(valueCol).cast("double"), k).as("sketch")),
+        path)
     }
 
   /** Answer per-group totals + approximate quantiles from persisted
@@ -346,44 +349,54 @@ object Sketches {
       Fs.deleteIfExists(s"$shardsDir/$ManifestPrefix$old"))
   }
 
-  /** Commit one just-written `shard<id>` artifact into its root's
-    * manifest: current set (manifest, or — first commit on a
-    * pre-manifest layout — the dir listing, which migrates it) with
-    * this id's entry replaced (a foreachBatch REPLAY re-lands the same
-    * id; the set must not double). Called under the writer lease, data
-    * already on disk — a crash between the two leaves the wave
-    * invisible and the replay re-writes it. Non-`shard<id>` names are
+  /** Land one wave artifact at `path` under the live-set manifest,
+    * commit included. FIRST landing of a `shard<id>` writes the
+    * caller's dir directly — invisible until the manifest commit (the
+    * current set is the manifest, or — first commit on a pre-manifest
+    * layout — the dir listing, which migrates it). A REPLAY of an
+    * already-listed wave lands under a FRESH `.r<seq>`-suffixed dir
+    * and FLIPS the manifest entry: an in-place overwrite would empty
+    * the live dir mid-rewrite, and a concurrent reader resolving the
+    * still-current manifest would silently read the union MINUS that
+    * wave (r20 review #2 — the exact window the manifest exists to
+    * close); the superseded dir deletes only after the flip, so a
+    * reader mid-scan fails loudly and re-resolves (the compaction
+    * posture). A wave id already owned by a MERGED artifact refuses:
+    * replacing the merge's entry would silently drop every other
+    * compacted wave from the live set (the stopped-writer-window
+    * compaction precondition, made loud). Non-`shard<id>` names are
     * standalone artifacts read by explicit path; they never enter a
     * manifest. */
-  private def commitShardToManifest(shardPath: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(shardPath)
+  private def writeShardArtifact(df: DataFrame, path: String): Unit = {
+    import graft.util.Fs
+    val p = new org.apache.hadoop.fs.Path(path)
     val name = p.getName
-    if (name.startsWith("shard"))
-      name.stripPrefix("shard").toLongOption.foreach { id =>
+    val idOpt =
+      if (name.startsWith("shard")) name.stripPrefix("shard").toLongOption
+      else None
+    idOpt match {
+      case None =>
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+      case Some(id) =>
         val root = p.getParent.toString
-        commitShardToManifest(root, id, name)
-      }
-  }
-
-  private def commitShardToManifest(shardsDir: String, id: Long,
-      dirname: String): Unit = {
-    val entries = shardEntries(shardsDir)
-    // replacing the SAME dirname is a wave replay re-landing its own
-    // artifact (idempotent); the same ID under a DIFFERENT name can
-    // only be a wave replayed after a compaction whose merge carries
-    // that id — replacing the merge entry would silently drop every
-    // OTHER compacted wave from the live set, so the stopped-writer
-    // precondition violation fails loudly instead (r20 review #4)
-    entries.find(e => e._1 == id && e._2 != dirname).foreach { e =>
-      throw new IllegalArgumentException(
-        s"writeShard: wave id $id already lives in ${e._2} — a wave " +
-          "replayed after a compaction that merged it; committing " +
-          s"$dirname would replace the merge (and every wave inside " +
-          "it) in the live set. Run compaction only with the stream's " +
-          "checkpoint committed through its max wave")
+        val entries = shardEntries(root)
+        val existing = entries.find(_._1 == id)
+        existing.filterNot(_._2.startsWith(name)).foreach { e =>
+          throw new IllegalArgumentException(
+            s"writeShard: wave id $id already lives in ${e._2} — a wave " +
+              "replayed after a compaction that merged it; committing " +
+              s"$name would replace the merge (and every wave inside " +
+              "it) in the live set. Run compaction only with the " +
+              "stream's checkpoint committed through its max wave")
+        }
+        val dirname =
+          if (existing.isEmpty) name
+          else s"$name.r${nextManifestSeq(root)}"
+        df.coalesce(1).write.mode("overwrite").parquet(s"$root/$dirname")
+        commitShardManifest(root,
+          entries.filterNot(_._1 == id) :+ ((id, dirname)))
+        existing.foreach { case (_, old) => Fs.rmTree(s"$root/$old") }
     }
-    commitShardManifest(shardsDir,
-      entries.filterNot(_._1 == id) :+ ((id, dirname)))
   }
 
   /** Every live shard artifact dir under `shardsDir`, ordered by
@@ -487,18 +500,29 @@ object Sketches {
           .kll_merge_sketch(col("sketch"), k).as("sketch")))
 
   /** The legacy (pre-manifest) compaction park's install marker —
-    * produced by no current pass, still recognized by
+    * produced by no current shard pass, still recognized by
     * [[graft.util.MaintenanceLease.recover]]'s marker-keyed rule for
-    * layouts that crashed under the r19 binary. */
-  private[graft] val InstallCompleteMarker = "_install_complete"
+    * layouts that crashed under the r19 binary. ONE definition: the
+    * delete passes' seal-and-dismantle teardown writes the same name,
+    * and recovery keys on it — a diverging copy here would turn
+    * install-landed parks into wholesale restores (r20 review #5). */
+  private[graft] val InstallCompleteMarker: String =
+    graft.util.MaintenanceLease.ParkInstallMarker
 
   /** Does `name` match a shard-family artifact dir this module itself
-    * names (`shard<id>` waves, `merged<id>` compaction outputs)?
-    * Anything else — stranger dirs, standalone artifacts — is never
-    * swept. */
-  private def isShardArtifactName(name: String): Boolean =
-    (name.startsWith("shard") && name.stripPrefix("shard").toLongOption.nonEmpty) ||
-      (name.startsWith("merged") && name.stripPrefix("merged").toLongOption.nonEmpty)
+    * names (`shard<id>` waves, their `.r<seq>` replay variants,
+    * `merged<seq>` compaction outputs)? Anything else — stranger dirs,
+    * standalone artifacts — is never swept. */
+  private def isShardArtifactName(name: String): Boolean = {
+    def num(s: String) = s.nonEmpty && s.forall(_.isDigit)
+    val shardRest = name.stripPrefix("shard")
+    val wave = name.startsWith("shard") && (num(shardRest) || {
+      val i = shardRest.indexOf(".r")
+      i > 0 && num(shardRest.take(i)) && num(shardRest.drop(i + 2))
+    })
+    wave ||
+      (name.startsWith("merged") && num(name.stripPrefix("merged")))
+  }
 
   private def compactShardsWith(s: org.apache.spark.sql.SparkSession,
       shardsDir: String, afterInstall: () => Unit,

@@ -616,6 +616,20 @@ object StreamingWindows {
         if (renames.nonEmpty) {
           require(!deleteOnly, "upsertBatch: a rename must ride a " +
             "full-schema batch, not an all-deletions one")
+          // two sources renaming to ONE target (or a target that is
+          // also a source) would pass the per-pair checks whenever the
+          // colliding columns live in different generations, COMMIT a
+          // poisoned ledger, and make every later aligned read throw
+          // on the ambiguous column — permanently (r20 review #3)
+          val targets = renames.values.toSeq
+          require(targets.distinct.size == targets.size,
+            s"upsertBatch: rename targets must be distinct ($renames) — " +
+              "two sources renaming to one target would make every " +
+              "later read of the table ambiguous")
+          require(renames.keySet.intersect(targets.toSet).isEmpty,
+            s"upsertBatch: a rename target cannot also be a rename " +
+              s"source in the same batch ($renames) — declare chained " +
+              "renames across separate batches")
           renames.foreach { case (from, to) =>
             require(tableSchema.exists(_.fieldNames.contains(from)),
               s"upsertBatch: rename source $from does not exist in the table")

@@ -73,6 +73,12 @@ object MaintenanceLease {
   private[graft] val MaintenanceKind = "maintenance"
   private[graft] val WriterKind = "writer"
 
+  /** [[recover]]'s you-might-be-live threshold: a lease younger than
+    * this refuses an un-forced recovery. 10 minutes — far above any
+    * healthy pass's acquire-to-park latency, far below the "stale 3
+    * days" a genuine crash leaves. */
+  private[graft] val RecentHoldMillis = 10L * 60L * 1000L
+
   private def marker(layoutPath: String) = s"$layoutPath/$MarkerName"
 
   /** marker / candidate content → (kind, token). Content is
@@ -109,9 +115,15 @@ object MaintenanceLease {
     * — live or crashed — still owns it, or if a concurrent acquirer's
     * candidate is visible (contention: possibly zero winners, never
     * two). Returns the holder token [[release]] requires.
-    * `afterCandidateWrite` is LeaseRaceSpec's interleaving hook. */
+    * `afterCandidateWrite` / `afterArbitrationList` are LeaseRaceSpec's
+    * interleaving hooks (the second pins the symmetric zero-winner
+    * outcome deterministically: without it a loser could complete its
+    * list AND its candidate cleanup before the rival's list starts,
+    * which correctly yields one winner — a legal outcome, but not the
+    * interleaving that test exists to drive). */
   private[graft] def acquireToken(layoutPath: String, kind: String,
-      owner: String, afterCandidateWrite: () => Unit = () => ()): String = {
+      owner: String, afterCandidateWrite: () => Unit = () => (),
+      afterArbitrationList: () => Unit = () => ()): String = {
     val m = marker(layoutPath)
     require(!Fs.exists(m),
       s"$m exists (owner kind: ${readMarkerKind(layoutPath)}) — a " +
@@ -141,6 +153,7 @@ object MaintenanceLease {
     afterCandidateWrite()
     val visible = Fs.listChildren(layoutPath)
       .collect { case (name, false) if name.startsWith(MarkerName) => name }
+    afterArbitrationList()
     val promoted = visible.contains(MarkerName)
     val rivals = visible.filter(n =>
       n.startsWith(CandidatePrefix) && n != s"$CandidatePrefix$token")
@@ -203,14 +216,23 @@ object MaintenanceLease {
     *    running IS the recovery path (foreachBatch re-delivers the
     *    batch; the layouts' id anti-joins / versioned assembly make it
     *    idempotent) — blocking it on its own wreckage would wedge the
-    *    stream. The takeover DELETES the stale writer marker and then
-    *    re-ACQUIRES through the candidate protocol (r19 ADVICE: a
-    *    plain restamp bypassed arbitration — an operator forceRelease
-    *    plus a maintenance acquisition landing in the read-to-restamp
-    *    window was silently clobbered; under arbitration a concurrent
-    *    acquirer now makes the takeover LOSE LOUDLY instead). Two
-    *    concurrent replays of the same stream both deleting the stale
-    *    marker also resolve at the arbitration step: at most one wins.
+    *    stream. The takeover deletes the stale writer marker
+    *    OWNER-COMPARED (re-read immediately before the delete, removed
+    *    only while it still carries the token originally read — a
+    *    rival that already promoted its own marker in the gap is never
+    *    clobbered; r20 review) and then re-ACQUIRES through the
+    *    candidate protocol (r19 ADVICE: a plain restamp bypassed
+    *    arbitration — an operator forceRelease plus a maintenance
+    *    acquisition landing in the read-to-restamp window was silently
+    *    clobbered; under arbitration a concurrent acquirer now makes
+    *    the takeover LOSE LOUDLY instead). Two concurrent replays of
+    *    the same stream resolve to at most one winner: the loser's
+    *    conditional delete sees the winner's token (or nothing) and
+    *    its acquisition then refuses on the winner's marker or loses
+    *    the candidate arbitration. The residual window is release's
+    *    (a full rival acquire landing inside one read-to-delete
+    *    instant), an out-of-contract double-replay narrowed to the
+    *    same class as every other owner-compared delete here.
     *
     * Released on success OR failure: a failed write leaves no
     * half-mutated shared state (versions assemble in temp dirs,
@@ -225,17 +247,27 @@ object MaintenanceLease {
     // read, not exists-then-read: a marker deleted in the gap (a just-
     // released pass) reads as FREE and falls through to acquisition,
     // instead of a misleading maintenance-owner refusal (r19 ADVICE)
-    val token = readMarkerKindIfPresent(layoutPath) match {
-      case Some(kind) =>
+    val stale =
+      try Some(parse(Fs.readString(m)))
+      catch {
+        case _: java.io.FileNotFoundException => None
+        case _: java.io.IOException => Some(("?", ""))
+      }
+    val token = stale match {
+      case Some((kind, staleToken)) =>
         require(kind == WriterKind,
           s"$writer refused: $m exists (owner kind: $kind) — a maintenance " +
             "pass owns this layout (or crashed mid-run); writing now " +
             "would race its renames and corrupt the layout " +
             "(MaintenanceLease.inspect / forceRelease to recover)")
-        // takeover = delete the stale writer marker, then ARBITRATE: a
+        // takeover = delete the stale writer marker OWNER-COMPARED
+        // (never a rival's freshly-promoted one), then ARBITRATE: a
         // pass acquiring concurrently wins or loses loudly at the
         // candidate step — never a silent overwrite of its marker
-        Fs.deleteIfExists(m)
+        val stillStale =
+          try parse(Fs.readString(m))._2 == staleToken
+          catch { case _: java.io.IOException => false }
+        if (stillStale) Fs.deleteIfExists(m)
         acquireToken(layoutPath, WriterKind, s"$writer (takeover)")
       case None => acquireToken(layoutPath, WriterKind, writer)
     }
@@ -439,13 +471,32 @@ object MaintenanceLease {
     *  - any OTHER parked name refuses loudly: a future pass's park this
     *    build has no rule for must stay blocked, not be guessed at.
     *
+    * PRECONDITION, inherited from the hand recovery this replaces:
+    * the crashed pass must actually be DEAD — recover restores over
+    * the live tree and releases the lease, so running it against a
+    * merely-slow pass interleaves restores with its installs and then
+    * un-gates writers onto the wreckage. The marker's acquisition
+    * stamp enforces the cheap half: a marker younger than
+    * [[RecentHoldMillis]] refuses unless `force = true` (the operator
+    * asserting they killed the pass themselves); markers older than
+    * that, or legacy markers with no stamp, proceed — age is the only
+    * liveness signal plain files carry.
+    *
     * Re-runnable: a crash mid-recovery leaves the parked dir (a piece
     * moves back only after its live twin is deleted), so running
     * recover again completes the restore. The per-piece delete-then-
     * move relies on rename atomicity the same way the passes themselves
     * do (atomic on HDFS/local; on per-object copy+delete stores a
     * mid-rename crash needs this same re-run). */
-  def recover(layoutPath: String): Unit = {
+  def recover(layoutPath: String, force: Boolean = false): Unit = {
+    if (!force) inspect(layoutPath).ownerAgeMillis
+      .filter(_ < RecentHoldMillis).foreach(age => throw
+        new IllegalArgumentException(
+          s"refusing to recover $layoutPath: its lease was acquired " +
+            s"${age}ms ago — the owning pass may still be LIVE, and " +
+            "recovering under it would interleave restores with its " +
+            "installs; verify the pass is dead, then recover(path, " +
+            "force = true)"))
     parkedDirsUnder(layoutPath).foreach { parkName =>
       val park = s"$layoutPath/$parkName"
       val installed = Fs.exists(s"$park/$ParkInstallMarker")

@@ -46,12 +46,13 @@ class LeaseRaceSpec extends AnyFunSuite {
   /** Run `acquireToken` on its own thread, returning either the token
     * or the failure. */
   private def acquirer(layout: String, owner: String,
-      hook: () => Unit): (Thread, () => Either[Throwable, String]) = {
+      hook: () => Unit, afterList: () => Unit = () => ())
+      : (Thread, () => Either[Throwable, String]) = {
     @volatile var out: Either[Throwable, String] = null
     val t = new Thread(() => {
       out =
         try Right(MaintenanceLease.acquireToken(layout,
-          MaintenanceLease.MaintenanceKind, owner, hook))
+          MaintenanceLease.MaintenanceKind, owner, hook, afterList))
         catch { case e: Throwable => Left(e) }
     })
     (t, () => out)
@@ -61,11 +62,17 @@ class LeaseRaceSpec extends AnyFunSuite {
     withRacyDir { layout =>
       graft.util.Fs.mkdirs(layout)
       // both threads write their candidate, then rendezvous BEFORE the
-      // arbitration list — each list must see the rival's candidate
+      // arbitration list — each list must see the rival's candidate —
+      // and rendezvous AGAIN after listing, before either loser's
+      // candidate cleanup: without the second barrier a loser finishing
+      // its whole list+cleanup before the rival's list starts yields a
+      // single winner (protocol-legal, but not the zero-winner
+      // interleaving this test exists to drive — it flaked exactly so
+      // under parallel-suite load, r20)
       val barrier = new java.util.concurrent.CyclicBarrier(2)
       val hook = () => { barrier.await(10, java.util.concurrent.TimeUnit.SECONDS); () }
-      val (ta, ra) = acquirer(layout, "acquirer-a", hook)
-      val (tb, rb) = acquirer(layout, "acquirer-b", hook)
+      val (ta, ra) = acquirer(layout, "acquirer-a", hook, hook)
+      val (tb, rb) = acquirer(layout, "acquirer-b", hook, hook)
       ta.start(); tb.start(); ta.join(30000); tb.join(30000)
       val results = Seq(ra(), rb())
       assert(results.forall(_.isLeft),

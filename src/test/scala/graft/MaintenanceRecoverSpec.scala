@@ -65,7 +65,16 @@ class MaintenanceRecoverSpec extends AnyFunSuite {
         crashAtMove(root, k)(pass(root))
         assert(Fs.exists(s"$root/_maintenance_lease"),
           s"crash at rename $k must leave the lease marker")
-        MaintenanceLease.recover(root)
+        if (k == 1) {
+          // the liveness guard: this marker is seconds old, so an
+          // UN-forced recovery must refuse (the owning pass might
+          // merely be slow) — the spec plays the operator who just
+          // killed it, hence force below
+          val e = intercept[IllegalArgumentException](
+            MaintenanceLease.recover(root))
+          assert(e.getMessage.contains("LIVE"), e.getMessage)
+        }
+        MaintenanceLease.recover(root, force = true)
         assert(!Fs.exists(s"$root/_maintenance_lease"),
           s"recover must release after restoring (crash at rename $k)")
         assert(MaintenanceLease.inspect(root).parkedDirs.isEmpty,
@@ -254,11 +263,13 @@ class MaintenanceRecoverSpec extends AnyFunSuite {
       // holds a piece recover must move back
       crashAtMove(root, 2)(operators.Dedup.deleteFromMinHashIndex(spark,
         root, Seq(2L).toDF("doc_id"), outFiles = 2))
-      // first recover crashes on its own first restore rename
-      crashAtMove(root, 1)(MaintenanceLease.recover(root))
+      // first recover crashes on its own first restore rename (forced:
+      // the marker is seconds old and the spec IS the operator who
+      // killed the pass)
+      crashAtMove(root, 1)(MaintenanceLease.recover(root, force = true))
       assert(MaintenanceLease.inspect(root).parkedDirs.nonEmpty,
         "a crashed recovery must leave the park (and so stay blocked)")
-      MaintenanceLease.recover(root)
+      MaintenanceLease.recover(root, force = true)
       operators.Dedup.deleteFromMinHashIndex(spark, root,
         Seq(2L).toDF("doc_id"), outFiles = 2)
       Seq("bands", "grams").foreach { sub =>

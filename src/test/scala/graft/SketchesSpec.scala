@@ -369,6 +369,26 @@ class SketchesSpec extends AnyFunSuite {
         "grp", "uid", s"$root/shard3")
       val appended = read()
       assert(appended._1 == 2 && appended._2("g")._1 == 400L)
+      // a REPLAY of a committed wave never overwrites its live dir in
+      // place (a reader mid-rewrite would silently read the union minus
+      // that wave): it lands under a fresh .r<seq> dir, the manifest
+      // entry flips, the superseded dir deletes, answers unchanged
+      Sketches.writeDistinctShard(synth.filter(col("wave") === 0),
+        "grp", "uid", s"$root/shard3")
+      assert(!graft.util.Fs.exists(s"$root/shard3"),
+        "the replayed wave's superseded dir must be reclaimed")
+      assert(Sketches.shardPaths(root).exists(_.contains("shard3.r")),
+        s"replay must land under a fresh dir: ${Sketches.shardPaths(root)}")
+      assert(read() == appended, "a replay is invisible to readers")
+      // a wave id already merged into a compacted artifact REFUSES —
+      // committing it would replace the merge (and every wave inside
+      // it) in the live set; the merged artifact here carries max id 2
+      val eMerged = intercept[IllegalArgumentException] {
+        Sketches.writeDistinctShard(synth.filter(col("wave") === 0),
+          "grp", "uid", s"$root/shard2")
+      }
+      assert(eMerged.getMessage.contains("already lives in"), eMerged.getMessage)
+      assert(read() == appended, "a refused replay must change nothing")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

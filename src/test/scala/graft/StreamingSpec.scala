@@ -1155,6 +1155,16 @@ class StreamingSpec extends AnyFunSuite {
         buckets = 4, tombstoneCol = Some("__d"),
         renames = Map("final_us" -> "f2"))(
         Seq((2L, Some(true))).toDF("user_id", "__d"), 3L))
+      // two sources onto one target (or a target that is also a
+      // source) would commit a ledger that makes every later aligned
+      // read ambiguous — refused before anything lands
+      refused("must be distinct")(StreamingWindows.upsertBatch(serving,
+        buckets = 4, renames = Map("n_events" -> "x", "final_us" -> "x"))(
+        Seq((2L, 3L, 30L)).toDF("user_id", "x", "y"), 3L))
+      refused("also be a rename source")(StreamingWindows.upsertBatch(serving,
+        buckets = 4,
+        renames = Map("n_events" -> "x", "final_us" -> "n_events"))(
+        Seq((2L, 3L, 30L)).toDF("user_id", "x", "n_events"), 3L))
       assert(!graft.util.Fs.exists(s"$serving/v3"),
         "a refused rename must leave no half-written version")
     } finally {
