@@ -1132,6 +1132,17 @@ class StreamingSpec extends AnyFunSuite {
       assert(chained.columns.toSeq == Seq("user_id", "n_events", "final_us"))
       assert(chained.collect().map(r => r.getAs[Long]("user_id") ->
         r.getAs[Long]("final_us")).toMap == Map(1L -> 10L, 2L -> 20L))
+      // the ledger is purely plan-level: a renamed multi-generation
+      // snapshot is pruned scans + Project + Union — no shuffle — and
+      // the cross-rename changefeed keeps the broadcast diff path
+      val snapPlan = chained.queryExecution.executedPlan.toString
+      assert(!snapPlan.contains("Exchange"),
+        s"a renamed read must not shuffle:\n$snapPlan")
+      val renameFeedPlan = StreamingWindows.servingChangefeed(spark, serving)
+        .get.queryExecution.executedPlan.toString
+      assert(!renameFeedPlan.contains("SortMergeJoin") &&
+        !renameFeedPlan.contains("BroadcastNestedLoop"),
+        "cross-rename diffs must stay on the broadcast path")
       // refusals: unknown source, existing target, old name still in
       // the batch, key rename, rename on a delete-only batch — and no
       // half-written version after any of them
