@@ -1245,17 +1245,21 @@ object SparkEntry {
   private[graft] def curationScorecard(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(s, dir)
-    val rules = TextAnalysis.qualityRules(docs)
-      .select(col("doc_id"), (!col("quality_pass")).as("gopher_fail"))
-    val score = TextAnalysis.qualityScore(docs)
-      .select(col("doc_id"), (!col("quality_keep")).as("score_low"))
+    // r21: the rules verdict and the score ride ONE fused chain
+    // (qualityScoreFeatures) — previously qualityRules was evaluated twice
+    // (alone + inside qualityScore) and joined back on doc_id, behind a
+    // doc_id identity join that defined a row set the projections already
+    // have (one row per doc). Values are byte-identical; q154's oracle
+    // unchanged.
+    val rs = TextAnalysis.qualityScoreFeatures(docs)
+      .select(col("doc_id"), (!col("quality_pass")).as("gopher_fail"),
+        (!col("quality_keep")).as("score_low"))
     val bad = TextAnalysis.badwordStats(docs, Seq("dup", "slow", "spam"),
         maxFracMicro = 40000L)
       .select(col("doc_id"), (!col("keep")).as("badword_hit"))
     val ent = TextAnalysis.entropyStats(docs)
       .select(col("doc_id"), (col("char_entropy") < 2.0).as("__el"))
-    docs.select("doc_id")
-      .join(rules, "doc_id").join(score, "doc_id").join(bad, "doc_id")
+    rs.join(bad, "doc_id")
       .join(ent, Seq("doc_id"), "left")
       .withColumn("entropy_low", coalesce(col("__el"), lit(true)))
       .withColumn("keep", !col("gopher_fail") && !col("score_low") &&

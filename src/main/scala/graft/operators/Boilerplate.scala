@@ -136,7 +136,13 @@ object Boilerplate {
       aggregate(transform(blocks, s => length(s.getField("t"))), lit(0), (acc, x) => acc + x)
     withStats.select(
       col("doc_id"),
-      array_join(transform(content, s => s.getField("t")), " ").as("main_text"),
+      // r21: FENCED (graft.functions.OptimizerFence) — pipelines gate on
+      // main_text-derived counts (q96/q104 keep docs with ≥ 30 words), and
+      // predicate pushdown would re-inline this whole strip/split/score
+      // chain into a scan-level Filter beside the projection that still
+      // computes it for the kept rows. Values unchanged.
+      graft.functions.OptimizerFence.fence(
+        array_join(transform(content, s => s.getField("t")), " ")).as("main_text"),
       size(nonempty).cast("long").as("n_blocks"),
       size(content).cast("long").as("n_content_blocks"),
       chars(content).cast("long").as("n_content_chars"),

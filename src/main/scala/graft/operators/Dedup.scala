@@ -380,10 +380,18 @@ object Dedup {
     val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
       .unionAll(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    // Initialization FUSED with the first propagation round (r21): with
+    // identity labels, round 0's min over self + neighbors is just
+    // least(node, min(neighbor id)) — one aggregation over the edge list,
+    // the same single shuffle the old identity-map init (distinct nodes)
+    // paid, so the first round is free. The loop below then always runs
+    // the full three-branch round (shortcut included); `iter` starts at 1
+    // because one propagation round has already happened.
+    var labels = edges.groupBy("src").agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("node"), least(col("src"), col("__mn")).as("label"))
+      .localCheckpoint()
     var converged = false
-    var iter = 0
+    var iter = 1
     while (!converged && iter < maxIterations) {
       // One union → one aggregation → ONE job per round, taking the min over
       // three label sources read straight off the checkpoint LEAF
@@ -394,13 +402,13 @@ object Dedup {
       //      through the aggregation as `old`, so convergence is decided from
       //      the same job that materializes the round (no follow-up join),
       //  (b) neighbors' labels (propagation),
-      //  (c) the label's own label — POINTER DOUBLING. Round 0 skips (c):
-      //      labels are still the identity map.
+      //  (c) the label's own label — POINTER DOUBLING (valid from the
+      //      fused init on: labels are already min(self, neighbors)).
       val nullOld = lit(null).cast("long")
       val self = labels.select(col("node"), col("label"), col("label").as("old"))
       val viaNeighbors = edges.join(labels, edges("dst") === labels("node"))
         .select(col("src").as("node"), col("label"), nullOld.as("old"))
-      val branches = if (iter == 0) Seq(self, viaNeighbors) else {
+      val branches = {
         val lookup = labels.select(col("node").as("l_node"), col("label").as("l_label"))
         val viaShortcut = labels.join(lookup, col("label") === col("l_node"))
           .select(col("node"), col("l_label").as("label"), nullOld.as("old"))

@@ -304,7 +304,14 @@ object Dialogue {
       .orderBy(col(scoreCol).desc, col("doc_id"))
     val bot = Window.partitionBy(bucketCol)
       .orderBy(col(scoreCol).asc, col("doc_id").desc)
+    // eager pin (r21, the q118/tokenBudget posture): `base` has THREE
+    // consumers (per-bucket counts + both rank windows), and `scored` is
+    // typically an expensive scorer chain (q191 feeds qualityScore's
+    // rules+LM composition) — pin the slim 3-column projection once
+    // instead of re-deriving the scorer per consumer. Selection-sized:
+    // (bucket, id, score) rows only, never text.
     val base = scored.select(col(bucketCol), col("doc_id"), col(scoreCol))
+      .localCheckpoint()
     val counts = base.groupBy(bucketCol).agg(count(lit(1)).as("__n"))
     val chosen = base
       .withColumn("pair_rank", row_number().over(top))

@@ -142,13 +142,15 @@ object LinkGraph {
     * `(100-dampingPct)·10⁴ + (dampingPct·Σ⌊r/out⌋) div 100` never leaves
     * BIGINT arithmetic.
     *
-    * The edge list, outdegrees, node set, and each round's iterate are
-    * `localCheckpoint`ed — the [[Dedup.connectedComponents]] posture: a
-    * lazy iterate would nest the upstream plan per round (measured: a
-    * 5-iteration lazy build re-planned the html extraction 22×), while the
-    * leaf makes the extraction pipeline run exactly ONE job and each round
-    * join leaf-sized (domain, long) tables. Superseded snapshots are
-    * released eagerly; the returned frame is its own leaf. */
+    * The edge list (with its out-degree fused on), the node set, and the
+    * RESULT are `localCheckpoint`ed — the [[Dedup.connectedComponents]]
+    * posture for the inputs: a lazy iterate over un-truncated inputs would
+    * nest the upstream plan per round (measured: a 5-iteration lazy build
+    * re-planned the html extraction 22×), while the leaves make the
+    * extraction pipeline run exactly ONE job. The rounds themselves compose
+    * lazily over those leaves (linear plan growth, bounded by the
+    * iterations cap) and materialize once at the end — one job for the
+    * whole power walk instead of one per round (r21). */
   def pageRank(edges: DataFrame, iterations: Int = 5,
       dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
@@ -158,30 +160,40 @@ object LinkGraph {
     val base = (100L - dampingPct) * 10000L
     val e = edges.select(col("src_domain").as("u"), col("dst_domain").as("v"))
       .localCheckpoint()
-    val outd = e.groupBy("u").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    // r21: the out-degree rides each edge row — joined ONCE here instead of
+    // a per-round (edges ⋈ ranks) ⋈ outdegree join; at any scale outdeg is
+    // a per-edge constant, so materializing it beside the edge costs 8
+    // bytes/edge and deletes one exchange from every iteration.
+    val eod = e.join(e.groupBy("u").agg(count(lit(1)).as("outdeg")), "u")
+      .localCheckpoint()
     val nodes = e.select(col("u").as("domain"))
       .union(e.select(col("v").as("domain"))).distinct().localCheckpoint()
+    Dedup.releaseLocalCheckpoint(e) // eod/nodes are leaves; e is dead weight
+    // r21: the rounds COMPOSE LAZILY over the three leaves and materialize
+    // once at the end — the per-round localCheckpoint (and its driver
+    // action) existed to truncate a plan that still nested the page-scale
+    // extraction (measured 22× re-planning before the leaves); with eod and
+    // nodes as leaves the iterate's plan grows LINEARLY (two joins + one
+    // aggregate per round), so `iterations` bounded at 100 keeps planning
+    // trivial and the whole power walk runs as ONE job instead of one per
+    // round.
     var ranks = nodes.select(col("domain"), lit(1000000L).as("rank_e6"))
-      .localCheckpoint()
     for (_ <- 1 to iterations) {
       // distinct names per role so every join reference resolves uniquely
       val prev = ranks.select(col("domain").as("pr_domain"),
         col("rank_e6").as("pr_rank"))
-      val contrib = e.join(prev, col("u") === col("pr_domain"))
-        .join(outd, "u")
+      val contrib = eod.join(prev, col("u") === col("pr_domain"))
         .select(col("v"), expr("pr_rank div outdeg").as("c"))
         .groupBy("v").agg(sum(col("c")).as("s"))
         .select(col("v").as("c_domain"), col("s"))
-      val next = nodes.join(contrib, col("domain") === col("c_domain"), "left")
+      ranks = nodes.join(contrib, col("domain") === col("c_domain"), "left")
         .select(col("domain"),
           expr(s"CAST($base AS BIGINT) + (CAST($dampingPct AS BIGINT) * " +
             "coalesce(s, CAST(0 AS BIGINT))) div 100").as("rank_e6"))
-        .localCheckpoint()
-      Dedup.releaseLocalCheckpoint(ranks)
-      ranks = next
     }
     // the result is its own leaf — the working tables' storage can go now
-    Seq(e, outd, nodes).foreach(Dedup.releaseLocalCheckpoint)
-    ranks
+    val out = ranks.localCheckpoint()
+    Seq(eod, nodes).foreach(Dedup.releaseLocalCheckpoint)
+    out
   }
 }

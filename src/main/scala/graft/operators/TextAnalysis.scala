@@ -156,7 +156,18 @@ object TextAnalysis {
     * SORTED 64-bit bigram-hash array as a longest-equal-run scan, so no
     * (doc, bigram) aggregation shuffle exists at any scale. Exact integer /
     * rational arithmetic throughout — hash-matches the SQL oracle. */
-  def qualityRules(docs: DataFrame): DataFrame = {
+  def qualityRules(docs: DataFrame): DataFrame =
+    qualityRuleFeatures(docs).select("doc_id", "n_words", "dup_word_frac",
+      "top_bigram_frac", "alpha_frac", "quality_pass")
+
+  /** [[qualityRules]]' projection widened by `stopword_ratio` — the one
+    * extra feature [[qualityScore]] needs. Fused here (r21) so the scorer
+    * reads ONE projection instead of joining a second whole-corpus
+    * tokenization pass against the rules; rules-only callers go through
+    * [[qualityRules]], whose narrowing select lets Catalyst prune the
+    * stopword expression away entirely. Expressions are byte-identical to
+    * the pre-fusion pair, so both oracles are unchanged. */
+  private[graft] def qualityRuleFeatures(docs: DataFrame): DataFrame = {
     val ws = col("__words")
     // longest equal run over the sorted hashes == max bigram multiplicity
     // (64-bit hashes: collisions are negligible and the oracle's string
@@ -196,10 +207,19 @@ object TextAnalysis {
         nWords.as("n_words"),
         dupFrac.as("dup_word_frac"),
         topBigramFrac.as("top_bigram_frac"),
-        alphaFrac.as("alpha_frac"))
+        alphaFrac.as("alpha_frac"),
+        (size(filter(ws, w => w.isin("the", "a", "of", "and"))).cast("double") /
+          size(ws).cast("double")).as("stopword_ratio"))
+      // r21: quality_pass is FENCED (graft.functions.OptimizerFence) — a
+      // downstream filter on it would otherwise be pushed below this
+      // projection with the whole split/gram/fold chain re-inlined into a
+      // scan-level Filter (observed: 3 copies of split(text) per row on the
+      // q103/q159 plans). The fence pins the filter directly above this
+      // projection; values are unchanged.
       .withColumn("quality_pass",
-        col("n_words") >= 20 && col("dup_word_frac") <= 0.6 &&
-          col("top_bigram_frac") <= 0.1 && col("alpha_frac") >= 0.8)
+        graft.functions.OptimizerFence.fence(
+          col("n_words") >= 20 && col("dup_word_frac") <= 0.6 &&
+            col("top_bigram_frac") <= 0.1 && col("alpha_frac") >= 0.8))
   }
 
   /** Readability scores — the classic reading-grade formulas corpus
@@ -349,17 +369,23 @@ object TextAnalysis {
     * filtered. The classic cheap proxy for "looks like the corpus" used
     * before perplexity models enter the pipeline.
     *
-    * Scale shape: tokenize ONCE into cached (doc_id, word, n) groups — the
-    * frame every downstream stage reads (the model's groupBy(word), the
-    * scalar totals, and the scoring join), so the corpus-sized explode runs
-    * a single time and the scoring join shuffles one row per DISTINCT
+    * Scale shape: tokenize ONCE into (doc_id, word, n) groups — the frame
+    * every downstream stage reads (the model's groupBy(word), the scalar
+    * totals, and the scoring join), so the corpus-sized explode runs a
+    * single time and the scoring join shuffles one row per DISTINCT
     * doc-word, not per occurrence, with the average weighted by n. The
-    * score rounds to 6 decimals before compare/filter — log() is
-    * transcendental and engines may differ in the last ulp (same policy as
-    * the cosine operators). */
+    * group frame's consumers are canonically identical subplans, so
+    * ReuseExchange serves them all from ONE shuffle of the corpus — the
+    * [[bigramLmScore]] posture (r21; previously a cache() here paid a
+    * materialization job plus columnar conversion and pinned
+    * near-corpus-sized storage for the session, measured ~0.4 s slower at
+    * sf0.1 than the strictly-bigger bigram chain without it). The score
+    * rounds to 6 decimals before compare/filter — log() is transcendental
+    * and engines may differ in the last ulp (same policy as the cosine
+    * operators). */
   def lmScore(docs: DataFrame, alpha: Double = 1.0): DataFrame = {
     val docWord = withWords(docs).select(col("doc_id"), explode(col("__words")).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("n")).cache()
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
     val counts = docWord.groupBy("word").agg(sum("n").as("cnt"))
     val totals = counts.agg(sum("cnt").as("total"), count(lit(1)).as("vocab"))
     val logp = log((col("cnt") + alpha) / (col("total") + col("vocab") * alpha))
@@ -1333,9 +1359,12 @@ object TextAnalysis {
         expr("cast(size(filter(__toks, x -> array_contains(__hits, x))) as long)")
           .as("bad_count"))
       // keep iff bad_count/n_words <= maxFracMicro/1e6, integer-exact;
-      // an empty doc has nothing listed on it and keeps
+      // an empty doc has nothing listed on it and keeps. FENCED (r21) so a
+      // downstream filter on the verdict cannot re-inline the tokenize +
+      // intersect chain into a scan-level Filter (the quality_pass note).
       .withColumn("keep",
-        col("bad_count") * 1000000L <= col("n_words") * maxFracMicro)
+        graft.functions.OptimizerFence.fence(
+          col("bad_count") * 1000000L <= col("n_words") * maxFracMicro))
   }
 
   /** Corpus-level top-`k` word n-grams by exact count — the frequency
@@ -1384,23 +1413,35 @@ object TextAnalysis {
     * aggregates — and the three feature frames co-partition on doc_id
     * after the first exchange. Docs outside [[lmScore]]'s output (no
     * words) default to the window floor, keeping the scorer total. */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val ws = col("__words")
-    val stop = withWords(docs).select(col("doc_id"),
-      (size(filter(ws, w => w.isin("the", "a", "of", "and"))).cast("double") /
-        size(ws).cast("double")).as("stopword_ratio"))
+  def qualityScore(docs: DataFrame): DataFrame =
+    qualityScoreFeatures(docs).select("doc_id", "quality_score", "quality_keep")
+
+  /** [[qualityScore]] widened by the rule features it is computed from
+    * (n_words, dup_word_frac, top_bigram_frac, alpha_frac, quality_pass,
+    * stopword_ratio) — for composites like the curation scorecard that
+    * consume the score AND the hard gates: one fused chain instead of two
+    * parallel rule evaluations joined back on doc_id (r21). Score-only
+    * callers go through [[qualityScore]]; Catalyst prunes the unused
+    * feature expressions there. */
+  private[graft] def qualityScoreFeatures(docs: DataFrame): DataFrame = {
     val lp = coalesce(col("avg_logprob"), lit(-8.0))
-    qualityRules(docs)
-      .join(stop, "doc_id")
+    // rules + stopword ratio come out of ONE fused projection (r21 —
+    // previously a second whole-corpus tokenization joined back on doc_id)
+    qualityRuleFeatures(docs)
       .join(lmScore(docs).select(col("doc_id"), col("avg_logprob")), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        round(
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        col("top_bigram_frac"), col("alpha_frac"), col("quality_pass"),
+        col("stopword_ratio"),
+        // the score is FENCED like quality_pass above: a pushed filter on
+        // quality_keep would re-derive the whole feature chain inside a
+        // scan-level Filter (r21; same mechanism, same zero value change)
+        graft.functions.OptimizerFence.fence(round(
           lit(0.2) * (least(col("n_words"), lit(256)).cast("double") / lit(256.0)) +
             lit(0.25) * col("alpha_frac") +
             lit(0.15) * least(col("stopword_ratio") * lit(2.0), lit(1.0)) +
             lit(0.2) * greatest(lit(0.0), least(lit(1.0), (lp + lit(8.0)) / lit(5.0))) -
             lit(0.1) * col("dup_word_frac") -
-            lit(0.1) * col("top_bigram_frac"), 6).as("quality_score"))
+            lit(0.1) * col("top_bigram_frac"), 6)).as("quality_score"))
       .withColumn("quality_keep", col("quality_score") >= 0.4)
   }
 
