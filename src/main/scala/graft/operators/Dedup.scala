@@ -377,9 +377,14 @@ object Dedup {
     * Deterministic.
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    // No edge-level distinct (r21): every label step is a MIN aggregation,
+    // so duplicate edges cannot change any result — they only add
+    // proportional rows to the per-round propagation join. Callers pass
+    // deduplicated pair sets (groupBy'd or distinct'd by construction), so
+    // the distinct was a pure extra corpus-scale shuffle before round 1.
     val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
       .unionAll(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
-      .distinct().cache()
+      .cache()
     // Initialization FUSED with the first propagation round (r21): with
     // identity labels, round 0's min over self + neighbors is just
     // least(node, min(neighbor id)) — one aggregation over the edge list,
@@ -1227,27 +1232,12 @@ object Dedup {
     */
   def cdcChunks(docs: DataFrame, divisor: Int = 16): DataFrame = {
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
-    val words = split(col("text"), " ", -1)
-    val folded = aggregate(
-      words,
-      struct(
-        array().cast("array<string>").as("done"),
-        lit("").as("cur"),
-        lit(false).as("has")),
-      (acc, w) => {
-        val joined = when(acc.getField("has"),
-          concat(acc.getField("cur"), lit(" "), w)).otherwise(w)
-        val isB = conv(substring(md5(w), 1, 4), 16, 10)
-          .cast("int") % divisor === 0
-        struct(
-          when(isB, concat(acc.getField("done"), array(joined)))
-            .otherwise(acc.getField("done")).as("done"),
-          when(isB, lit("")).otherwise(joined).as("cur"),
-          when(isB, lit(false)).otherwise(lit(true)).as("has"))
-      },
-      acc => when(acc.getField("has"),
-        concat(acc.getField("done"), array(acc.getField("cur"))))
-        .otherwise(acc.getField("done")))
+    // r21: the boundary walk is ONE codegen'd expression (CdcChunkSplit —
+    // the HOF fold ran interpreted with an md5 per word per element and
+    // re-copied the growing chunk text each step; see the expression's
+    // scaladoc for the bit-identical value contract)
+    val folded = graft.functions.CdcFunctions.cdc_chunk_split(
+      split(col("text"), " ", -1), divisor)
     docs
       .filter(length(coalesce(col("text"), lit(""))) > 0)
       .select(col("doc_id"), posexplode(folded))

@@ -117,6 +117,12 @@ object TextAnalysis {
     val topGrams = org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.CharGramRank(
         org.apache.spark.sql.GraftColumnBridge.expression(langNorm(col(textCol))), k))
+    // (r21 note: an inner-join reshape — profile hits only, distances
+    // reconstructed as Σ|r−pr| + (n_grams − n_matched)·k, one fallback row
+    // per doc — was prototyped and measured SLOWER at sf0.1 in both its
+    // lazy and pinned forms: the fallback branch costs a second pass and
+    // the |langs| factor here is 7. Revisit only for profile sets orders
+    // of magnitude wider.)
     docs.select(col("doc_id"), posexplode(topGrams))
       .select(col("doc_id"), (col("pos") + 1).as("r"), col("col").as("gram"))
       .crossJoin(langs)
@@ -171,20 +177,15 @@ object TextAnalysis {
     val ws = col("__words")
     // longest equal run over the sorted hashes == max bigram multiplicity
     // (64-bit hashes: collisions are negligible and the oracle's string
-    // bigrams would surface one as a hash mismatch). Materialized as a
-    // column first — referenced twice below (fold + size), and the
-    // hash+sort pipeline must run once per row, not per reference
-    val sortedBigrams = col("__bigrams")
-    val maxRun = aggregate(
-      sortedBigrams,
-      struct(lit(0L).as("prev"), lit(0).as("run"), lit(0).as("mx"), lit(true).as("first")),
-      (acc, x) => {
-        val run = when(acc("first") || x =!= acc("prev"), 1).otherwise(acc("run") + 1)
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc("mx"), run).as("mx"), lit(false).as("first"))
-      },
-      acc => acc("mx"))
-    val nBigrams = size(sortedBigrams)
+    // bigrams would surface one as a hash mismatch). r21: the sort + run
+    // scan is ONE codegen'd expression (MaxSortedRunLength — see its
+    // scaladoc: HOF folds run interpreted per element and dominated the
+    // scorer's single-task cost); the hash array still materializes as a
+    // column first — referenced twice below (run scan + size), and the
+    // hashing must run once per row, not per reference
+    val bigrams = col("__bigrams")
+    val maxRun = graft.functions.RunFunctions.max_sorted_run_length(bigrams)
+    val nBigrams = size(bigrams)
     val nWords = size(ws)
     val dupFrac = (nWords - size(array_distinct(ws))).cast("double") / nWords.cast("double")
     val topBigramFrac =
@@ -197,11 +198,11 @@ object TextAnalysis {
         length(col("text")).cast("double")).otherwise(0.0)
     // quality_pass reads the ALIASED frac columns from a second projection —
     // inlining the raw expressions into the conjunction would evaluate the
-    // run fold / array_distinct / regexp twice per row (multi-referenced
+    // run scan / array_distinct / regexp twice per row (multi-referenced
     // non-cheap aliases survive CollapseProject, same idiom as withWords)
     withWords(docs)
       .withColumn("__bigrams",
-        array_sort(graft.functions.HashFunctions.word_gram_hashes(ws, 2)))
+        graft.functions.HashFunctions.word_gram_hashes(ws, 2))
       .select(
         col("doc_id"),
         nWords.as("n_words"),
@@ -1095,9 +1096,11 @@ object TextAnalysis {
   /** Σ n·ln(n) over the equal-element runs of a SORTED string array,
     * folded in-row: element j of a run contributes j·ln j − (j−1)·ln(j−1)
     * (telescoping to n·ln n per run), so no per-run close-out state is
-    * needed and the fold stays a flat struct. Shared by both entropy
-    * signals; the caller must pass a sorted array. */
-  private def runNLnN(sortedArr: Column): Column =
+    * needed and the fold stays a flat struct. Since r21 this is the
+    * REFERENCE formulation only — [[entropyStats]] runs the codegen'd
+    * [[graft.functions.SortedRunNLnN]]; ExpressionsSpec pins the two
+    * bit-identical (the lshSignatureInterpreted parity pattern). */
+  private[graft] def runNLnN(sortedArr: Column): Column =
     aggregate(
       sortedArr,
       struct(lit("").as("prev"), lit(0L).as("r"), lit(0.0).as("s"), lit(true).as("first")),
@@ -1123,21 +1126,25 @@ object TextAnalysis {
     * excluded (the engines' char-split conventions diverge on '');
     * returns (doc_id, n_chars, char_entropy, n_words, word_entropy). */
   def entropyStats(docs: DataFrame): DataFrame = {
+    // r21: sort + run fold compiled into ONE codegen'd expression
+    // (SortedRunNLnN sorts internally in the same binary order array_sort
+    // used and replays runNLnN's accumulation bit-for-bit — see its
+    // scaladoc; the interpreted per-element fold dominated this operator's
+    // row cost). The unsorted arrays still materialize as columns: each is
+    // referenced twice (size + scan).
     val nonEmpty = docs.filter(length(col("text")) > 0)
-    val chars = array_sort(split(col("text"), ""))
-    val words = array_sort(col("__words"))
+    val nlnn = graft.functions.RunFunctions.sorted_run_nlnn _
     withWords(nonEmpty)
-      .withColumn("__sc", chars)
-      .withColumn("__sw", words)
+      .withColumn("__sc", split(col("text"), ""))
       .select(
         col("doc_id"),
         size(col("__sc")).cast("long").as("n_chars"),
         round(log(size(col("__sc")).cast("double")) -
-          runNLnN(col("__sc")) / size(col("__sc")).cast("double"), 6)
+          nlnn(col("__sc")) / size(col("__sc")).cast("double"), 6)
           .as("char_entropy"),
-        size(col("__sw")).cast("long").as("n_words"),
-        round(log(size(col("__sw")).cast("double")) -
-          runNLnN(col("__sw")) / size(col("__sw")).cast("double"), 6)
+        size(col("__words")).cast("long").as("n_words"),
+        round(log(size(col("__words")).cast("double")) -
+          nlnn(col("__words")) / size(col("__words")).cast("double"), 6)
           .as("word_entropy"))
   }
 

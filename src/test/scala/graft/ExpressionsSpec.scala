@@ -162,4 +162,51 @@ class ExpressionsSpec extends AnyFunSuite {
       .map(_.getString(0))
     assert(hashes(0) == hashes(1))
   }
+
+  test("max_sorted_run_length matches the array_sort + fold formulation") {
+    val df = Seq(
+      Array(3L, 1L, 3L, 2L, 3L, 1L), // max multiplicity 3
+      Array(7L),                     // singleton
+      Array.empty[Long],             // empty → 0
+      Array(5L, 5L, 5L, 5L),         // all equal
+      Array(-1L, Long.MinValue, -1L, Long.MaxValue, Long.MinValue)
+    ).toDF("a")
+    // the pre-r21 formulation: fold over the sorted array
+    val fold = aggregate(
+      array_sort($"a"),
+      struct(lit(0L).as("prev"), lit(0).as("run"), lit(0).as("mx"), lit(true).as("first")),
+      (acc, x) => {
+        val run = when(acc("first") || x =!= acc("prev"), 1).otherwise(acc("run") + 1)
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("mx"), run).as("mx"), lit(false).as("first"))
+      },
+      acc => acc("mx"))
+    val expected = df.select(fold).collect().map(_.getInt(0))
+    for (codegen <- Seq(true, false)) withCodegen(codegen) {
+      val got = df.select(RunFunctions.max_sorted_run_length($"a"))
+        .collect().map(_.getInt(0))
+      assert(got.toSeq == expected.toSeq, s"codegen=$codegen")
+    }
+    assert(expected.toSeq == Seq(3, 1, 0, 4, 2)) // the fold itself is sane
+  }
+
+  test("sorted_run_nlnn is bit-identical to the runNLnN fold over array_sort") {
+    val df = Seq(
+      "the quick brown fox the the".split(" "),
+      Array("z", "a", "z", "a", "z"),
+      Array("solo"),
+      Array.empty[String],
+      "a b c d e f g a b c a b a".split(" ")
+    ).toDF("a")
+    val expected = df
+      .select(operators.TextAnalysis.runNLnN(array_sort($"a")))
+      .collect().map(_.getDouble(0))
+    for (codegen <- Seq(true, false)) withCodegen(codegen) {
+      val got = df.select(RunFunctions.sorted_run_nlnn($"a"))
+        .collect().map(_.getDouble(0))
+      // BIT-identical, not approximately equal — the entropy round-6 sits
+      // downstream and must see the same double
+      assert(got.toSeq == expected.toSeq, s"codegen=$codegen")
+    }
+  }
 }
