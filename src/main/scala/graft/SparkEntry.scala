@@ -2276,35 +2276,69 @@ object SparkEntry {
   private def q174StoresPath(s: SparkSession, dir: String): String =
     lazyFixtureDir("ingest_q174", dir) { path =>
       import org.apache.spark.sql.functions._
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
       val docs = Tables.documents(s, dir)
-      val survivors = Dedup
-        .bloomGatedDedupAgainstCorpus(incrementalBatch(s, dir), docs)
-        .localCheckpoint() // consumed by four stores below — derive once
-      survivors.write.mode("overwrite").parquet(s"$path/survivors")
-      TextAnalysis.writeInvertedIndex(docs, s"$path/inv", buckets = 64)
-      TextAnalysis.appendToInvertedIndex(survivors, s"$path/inv")
       val emb = Tables.embeddings(s, dir)
-      Similarity.writeIvfIndex(emb, s"$path/ivf", nCells = 16)
-      // batch id → base corpus id, mirroring incrementalBatch's id scheme
-      // explicitly (NOT doc_id % 10⁶, which would mis-resolve on corpora
-      // whose own ids exceed 10⁶ — the bench's 10× amplified dir)
-      val b = docs.select(col("doc_id").as("__base"))
-      val idMap = b.filter(col("__base") % 4 === 1)
-        .select((col("__base") + 1000000L).as("doc_id"), col("__base"))
-        .unionAll(b.filter(col("__base") % 5 === 0)
-          .select((col("__base") + 2000000L).as("doc_id"), col("__base")))
-        .unionAll(b.filter(col("__base") % 4 === 1)
-          .select((col("__base") + 3000000L).as("doc_id"), col("__base")))
-      val batchEmb = survivors.select(col("doc_id"))
-        .join(idMap, "doc_id")
-        .join(emb.select(col("vec_id").as("__base"), col("embedding")), "__base")
-        .select(col("doc_id").as("vec_id"), col("embedding"))
-      Similarity.appendToIvfIndex(batchEmb, s"$path/ivf")
-      val newCorpus = docs.select("doc_id", "text")
-        .unionByName(survivors.select("doc_id", "text"))
-      operators.Incremental.materialize(docs,
-          TextAnalysis.readability(docs), newCorpus, TextAnalysis.readability(_))
-        .write.mode("overwrite").parquet(s"$path/scores")
+      // r22 (guide §2.6 — overlap independent jobs): the five stores are
+      // independent WRITES over shared inputs, and running them
+      // sequentially left most of the box idle during each store's
+      // straggler/commit tail. Dependency edges: the base inverted-index
+      // and IVF builds need nothing; both appends and the scores
+      // materialization need `survivors` (and their own base build).
+      // Everything is submitted as early as its inputs exist; the writes
+      // themselves are bit-identical to the sequential order.
+      val pool = Executors.newFixedThreadPool(3)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val fInv = Future {
+          TextAnalysis.writeInvertedIndex(docs, s"$path/inv", buckets = 64)
+        }
+        val fIvf = Future {
+          Similarity.writeIvfIndex(emb, s"$path/ivf", nCells = 16)
+        }
+        // the gate runs on the MAIN thread while the base builds fill the
+        // executors; its checkpoint is the leaf all three dependents read
+        val survivors = Dedup
+          .bloomGatedDedupAgainstCorpus(incrementalBatch(s, dir), docs)
+          .localCheckpoint() // consumed by four stores below — derive once
+        val fSurv = Future {
+          survivors.write.mode("overwrite").parquet(s"$path/survivors")
+        }
+        val fScores = Future {
+          val newCorpus = docs.select("doc_id", "text")
+            .unionByName(survivors.select("doc_id", "text"))
+          operators.Incremental.materialize(docs,
+              TextAnalysis.readability(docs), newCorpus, TextAnalysis.readability(_))
+            .write.mode("overwrite").parquet(s"$path/scores")
+        }
+        val fInvApp = fInv.map { _ =>
+          TextAnalysis.appendToInvertedIndex(survivors, s"$path/inv")
+        }
+        val fIvfApp = fIvf.map { _ =>
+          // batch id → base corpus id, mirroring incrementalBatch's id scheme
+          // explicitly (NOT doc_id % 10⁶, which would mis-resolve on corpora
+          // whose own ids exceed 10⁶ — the bench's 10× amplified dir)
+          val b = docs.select(col("doc_id").as("__base"))
+          val idMap = b.filter(col("__base") % 4 === 1)
+            .select((col("__base") + 1000000L).as("doc_id"), col("__base"))
+            .unionAll(b.filter(col("__base") % 5 === 0)
+              .select((col("__base") + 2000000L).as("doc_id"), col("__base")))
+            .unionAll(b.filter(col("__base") % 4 === 1)
+              .select((col("__base") + 3000000L).as("doc_id"), col("__base")))
+          val batchEmb = survivors.select(col("doc_id"))
+            .join(idMap, "doc_id")
+            .join(emb.select(col("vec_id").as("__base"), col("embedding")), "__base")
+            .select(col("doc_id").as("vec_id"), col("embedding"))
+          Similarity.appendToIvfIndex(batchEmb, s"$path/ivf")
+        }
+        // settle EVERY future before rethrowing the first failure — a
+        // build error must not leave a sibling mid-write into `path`
+        val settled = Seq(fSurv, fScores, fInvApp, fIvfApp)
+          .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+        settled.foreach(_.get)
+      } finally { pool.shutdown() }
     }
 
   /** The q185 streaming run, executed ONCE per SF dir: q67's incremental
@@ -7025,11 +7059,20 @@ object SparkEntry {
     // crawled corpus, recrawl is a subset of it)
     "q135_crawl_loop" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
       val robots = robotsDocuments(s, dir)
-      val ranks = operators.LinkGraph.pageRank(
+      // r22 (guide §2.6 — overlap independent jobs): the PageRank walk
+      // (its own eager checkpoint chain over the link fixture) and the
+      // frontier pin below are independent; building the ranks on a
+      // helper thread lets the two chains' jobs back-fill each other
+      // instead of running strictly in sequence. The composed plan is
+      // unchanged — both sides materialize the same leaves.
+      val fRanks = Future(operators.LinkGraph.pageRank(
         operators.LinkGraph.domainEdges(
           operators.LinkGraph.extractOutlinks(exampleLinkedPages(s, dir))),
-        iterations = 5, dampingPct = 85)
+        iterations = 5, dampingPct = 85))(
+        scala.concurrent.ExecutionContext.global)
       val fresh = discoveredCandidates(s, dir).select("norm_url").distinct()
         .withColumn("kind", lit("discovered"))
       val due = operators.Frontier.recrawlSchedule(
@@ -7045,6 +7088,7 @@ object SparkEntry {
       val frontier = fresh.unionByName(dueNorm)
         .select(col("norm_url").as("doc_id"), col("norm_url").as("url"), col("kind"))
         .localCheckpoint()
+      val ranks = Await.result(fRanks, Duration.Inf)
       val allowed = operators.Robots.robotsGate(frontier, robots, agent = "graftbot")
         .filter(col("allowed")).select("doc_id")
       val prioritized = frontier.join(allowed, "doc_id")

@@ -241,10 +241,78 @@ object ByteGramHashes {
   }
 }
 
+/** The engine-portable 60-bit md5 word hash of every element of a words
+  * array: element i is `conv(substring(md5(words[i]), 1, 15), 16, 10)`
+  * cast to BIGINT — i.e. the first 60 bits of the word's md5, as an
+  * unsigned value — replicated bit-for-bit (the first 15 hex chars of an
+  * md5 are exactly the first 8 digest bytes read big-endian, shifted
+  * right by 4). Null elements map to null, matching the HOF's semantics.
+  *
+  * Why custom: the `transform(words, w -> conv(substring(md5(w), 1, 15),
+  * 16, 10) :: long)` spelling re-enters the interpreted expression
+  * evaluator per WORD (Catalyst HOFs never join whole-stage codegen) and
+  * materializes a 32-char hex string plus a decimal string per word; this
+  * is one MessageDigest update and one shift per word, inside codegen.
+  * ExpressionsSpec pins the parity against the HOF formulation. */
+case class Md5WordHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_word_hashes expects array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5WordHashes.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Md5WordHashes.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5WordHashes {
+  /** Shared by interpreted eval and generated code. */
+  def compute(words: ArrayData): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = words.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(words.getUTF8String(i).getBytes)
+        // first 15 hex chars = first 60 bits = (first 8 bytes BE) >>> 4;
+        // >>> zero-fills, so the value is the UNSIGNED 60-bit quantity the
+        // decimal conv string parses to
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+        out(i) = v >>> 4
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object HashFunctions {
   /** Column API for [[SimHashSignature]]. */
   def simhash_signature(tokenHashes: Column): Column =
     GraftColumnBridge.column(SimHashSignature(GraftColumnBridge.expression(tokenHashes)))
+
+  /** Column API for [[Md5WordHashes]]. */
+  def md5_word_hashes(words: Column): Column =
+    GraftColumnBridge.column(Md5WordHashes(GraftColumnBridge.expression(words)))
+
+  /** Column API for [[IntersectCount]]. */
+  def intersect_count(a: Column, b: Column): Column =
+    GraftColumnBridge.column(IntersectCount(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Column API for [[MinHashSignature]]. */
   def minhash_signature(gramHashes: Column, numHashes: Int): Column =

@@ -116,11 +116,40 @@ object Boilerplate {
     require(minTextChars >= 0, s"minTextChars must be >= 0, got $minTextChars")
     require(maxLinkPercent >= 0 && maxLinkPercent <= 100,
       s"maxLinkPercent must be in [0, 100], got $maxLinkPercent")
-    // one struct per block, materialized once (multi-referenced alias
-    // survives CollapseProject) so the regex work runs once per block.
-    // Script/style/comment bodies go FIRST (invisible content must not
-    // reach scoring). A NULL page (failed fetch rows in a crawl) reads as
-    // an empty page: main_text "", every count 0 — never a null row
+    // r22: the per-block scoring loop (inline-tag strip, entity decode,
+    // whitespace collapse, anchor extract/measure, density test, reassembly)
+    // is ONE codegen'd expression — graft.functions.BlockStats — instead of
+    // interpreted transform/filter/aggregate HOFs; BoilerplateSpec pins
+    // bit-parity against the HOF formulation under CODEGEN_ONLY and
+    // NO_CODEGEN. Script/style/comment bodies still go FIRST (invisible
+    // content must not reach scoring; stripInvisible stays a codegen'd
+    // built-in chain), and a NULL page (failed fetch rows in a crawl) reads
+    // as an empty page: main_text "", every count 0 — never a null row.
+    //
+    // The struct is FENCED (graft.functions.OptimizerFence, the r21
+    // posture): pipelines gate on main_text-derived counts (q96/q104 keep
+    // docs with ≥ 30 words), and without the fence predicate pushdown
+    // would re-inline the whole strip/split/score chain into a scan-level
+    // Filter — and CollapseProject would duplicate the struct once per
+    // field reference below. Values unchanged.
+    val stats = graft.functions.BoilerplateFunctions.block_stats(
+      stripInvisible(coalesce(col(htmlCol), lit(""))), minTextChars, maxLinkPercent)
+    docs.withColumn("__s", graft.functions.OptimizerFence.fence(stats))
+      .select(
+        col("doc_id"),
+        col("__s").getField("main_text").as("main_text"),
+        col("__s").getField("n_blocks").as("n_blocks"),
+        col("__s").getField("n_content_blocks").as("n_content_blocks"),
+        col("__s").getField("n_content_chars").as("n_content_chars"),
+        col("__s").getField("n_text_chars").as("n_text_chars"))
+  }
+
+  /** The pre-r22 pure-Catalyst block-scoring formulation, kept as the
+    * parity REFERENCE for [[graft.functions.BlockStats]] (BoilerplateSpec
+    * pins the two bit-equal on every fixture page; the r21 plans carried
+    * this exact expression tree). Not called by any query path. */
+  private[graft] def extractMainTextReference(docs: DataFrame, htmlCol: String = "html",
+      minTextChars: Int = 25, maxLinkPercent: Int = 33): DataFrame = {
     val stats = transform(
       split(stripInvisible(coalesce(col(htmlCol), lit(""))), blockTagRe),
       b => struct(blockText(b).as("t"), linkChars(b).as("l")))
@@ -136,13 +165,7 @@ object Boilerplate {
       aggregate(transform(blocks, s => length(s.getField("t"))), lit(0), (acc, x) => acc + x)
     withStats.select(
       col("doc_id"),
-      // r21: FENCED (graft.functions.OptimizerFence) — pipelines gate on
-      // main_text-derived counts (q96/q104 keep docs with ≥ 30 words), and
-      // predicate pushdown would re-inline this whole strip/split/score
-      // chain into a scan-level Filter beside the projection that still
-      // computes it for the kept rows. Values unchanged.
-      graft.functions.OptimizerFence.fence(
-        array_join(transform(content, s => s.getField("t")), " ")).as("main_text"),
+      array_join(transform(content, s => s.getField("t")), " ").as("main_text"),
       size(nonempty).cast("long").as("n_blocks"),
       size(content).cast("long").as("n_content_blocks"),
       chars(content).cast("long").as("n_content_chars"),

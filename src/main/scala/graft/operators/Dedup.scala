@@ -326,7 +326,12 @@ object Dedup {
     candidates.select("doc1", "doc2")
       .join(g.select(col("doc_id").as("doc1"), col("grams").as("g1")), "doc1")
       .join(g.select(col("doc_id").as("doc2"), col("grams").as("g2")), "doc2")
-      .withColumn("n_common", size(array_intersect(col("g1"), col("g2"))).cast("long"))
+      // r22: intersection COUNT without materializing the intersection
+      // array per pair (graft.functions.IntersectCount ≡
+      // size(array_intersect), ExpressionsSpec-pinned) — the verify loop
+      // is the hottest per-pair work in every near-dup pipeline
+      .withColumn("n_common",
+        graft.functions.HashFunctions.intersect_count(col("g1"), col("g2")).cast("long"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (size(col("g1")) + size(col("g2")) - col("n_common")).cast("double"))
@@ -507,9 +512,14 @@ object Dedup {
     // Hash each word once, then fold the 64 bit-counters in a codegen'd
     // expression (graft.functions.SimHashSignature) — the pure-HOF version
     // costs ~500 interpreted ops per word.
+    // r22: the portable hash is a codegen'd expression too — the
+    // transform/conv/substring HOF spelling ran the md5 + two string
+    // materializations per word in the INTERPRETED evaluator (the same
+    // hazard SimHashSignature's scaladoc records); Md5WordHashes computes
+    // the identical 60-bit value in one digest + shift per word
+    // (ExpressionsSpec pins the bit-equality against the HOF form).
     val wordHashes =
-      if (portableHash)
-        transform(col("__words"), w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+      if (portableHash) graft.functions.HashFunctions.md5_word_hashes(col("__words"))
       else graft.functions.HashFunctions.word_gram_hashes(col("__words"), 1)
     TextAnalysis.withWords(docs).select(col("doc_id"),
       graft.functions.HashFunctions.simhash_signature(wordHashes).as("simhash"))
@@ -941,17 +951,38 @@ object Dedup {
 
   /** The shared candidates→verify→anti-join tail of the direct and
     * index-backed incremental near-dup paths — one implementation, so the
-    * two entry points cannot drift. */
+    * two entry points cannot drift.
+    *
+    * The BATCH side tokenizes ONCE (r22): band keys and verification grams
+    * both derive from one pinned (doc_id, distinct-gram-hashes) frame —
+    * the minhash signature is a per-seed MIN over gram hashes, so feeding
+    * it the array_distinct'd gram array is bit-identical to feeding the
+    * raw one (duplicates cannot change a minimum; MinHashIndexSpec pins
+    * the equality). Before, `bandedSide(newDocs)` and `gramArrays(newDocs)`
+    * were two independent subtrees, each re-running batch construction +
+    * tokenization + gram hashing. The pin is batch-scale by the operator's
+    * own contract (the batch is the small side by design — the
+    * [[bloomGatedDedupAgainstCorpus]] pin argument), and the band join
+    * still ships only (doc_id, band, band_key) keys, never gram payloads. */
   private def nearDupCore(newDocs: DataFrame, corpusBanded: DataFrame,
       corpusGrams: DataFrame, n: Int, numHashes: Int, bands: Int,
       threshold: Double): DataFrame = {
-    val cands = bandedSide(newDocs, n, numHashes, bands).withColumnRenamed("doc_id", "doc1")
+    val batchGrams = gramArrays(newDocs, n).localCheckpoint()
+    val batchBanded = bandedKeys(
+      batchGrams.select(col("doc_id"),
+        graft.functions.HashFunctions.minhash_signature(col("grams"), numHashes)
+          .as("minhash"))
+        .filter(element_at(col("minhash"), 1) =!= Long.MaxValue),
+      numHashes, bands).drop("minhash")
+    val cands = batchBanded.withColumnRenamed("doc_id", "doc1")
       .join(corpusBanded, Seq("band", "band_key"))
       .select("doc1", "doc2").distinct()
     val dropIds = cands
-      .join(gramArrays(newDocs, n).select(col("doc_id").as("doc1"), col("grams").as("g1")), "doc1")
+      .join(batchGrams.select(col("doc_id").as("doc1"), col("grams").as("g1")), "doc1")
       .join(corpusGrams.select(col("doc_id").as("doc2"), col("grams").as("g2")), "doc2")
-      .withColumn("n_common", size(array_intersect(col("g1"), col("g2"))).cast("long"))
+      // r22: count-only intersection, same as jaccardVerify below
+      .withColumn("n_common",
+        graft.functions.HashFunctions.intersect_count(col("g1"), col("g2")).cast("long"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (size(col("g1")) + size(col("g2")) - col("n_common")).cast("double"))

@@ -164,10 +164,16 @@ object LinkGraph {
     // a per-round (edges ⋈ ranks) ⋈ outdegree join; at any scale outdeg is
     // a per-edge constant, so materializing it beside the edge costs 8
     // bytes/edge and deletes one exchange from every iteration.
-    val eod = e.join(e.groupBy("u").agg(count(lit(1)).as("outdeg")), "u")
-      .localCheckpoint()
+    // r22 (guide §2.6): eod and nodes both derive from the pinned edge
+    // leaf and are independent of each other — materialize them
+    // concurrently instead of as two sequential checkpoint jobs
+    val fEod = scala.concurrent.Future(
+      e.join(e.groupBy("u").agg(count(lit(1)).as("outdeg")), "u")
+        .localCheckpoint())(scala.concurrent.ExecutionContext.global)
     val nodes = e.select(col("u").as("domain"))
       .union(e.select(col("v").as("domain"))).distinct().localCheckpoint()
+    val eod = scala.concurrent.Await.result(fEod,
+      scala.concurrent.duration.Duration.Inf)
     Dedup.releaseLocalCheckpoint(e) // eod/nodes are leaves; e is dead weight
     // r21: the rounds COMPOSE LAZILY over the three leaves and materialize
     // once at the end — the per-round localCheckpoint (and its driver

@@ -114,6 +114,41 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(r.getLong(4) == 0L && r.getLong(5) == 0L)
   }
 
+  test("BlockStats expression == the pure-Catalyst HOF reference, bit for bit") {
+    // the r22 codegen'd block scorer must reproduce the r21 HOF formulation
+    // on every nasty shape: entity chains, unterminated script, anchors
+    // with uncollapsed newlines (trim is space-only — the newline COUNTS),
+    // supplementary code points (length = code points, not UTF-16 units),
+    // threshold-edge densities, empty and null pages
+    val pages = Seq(
+      "<p>This is the long main article paragraph with plenty of text.</p>" +
+        "<nav><a href=\"/\">Home</a></nav>",
+      "<p>Fish &amp; chips &lt;tasty&gt; &quot;v&quot; it&#39;s &amp;lt; padded out</p>",
+      "<div><a href=\"/a\">\n anchor text \n with newlines \n</a> plus body text here</div>",
+      "<p>emoji 🎉🎊 counts as one code point each — padding padding padding</p>",
+      "<script>var x = '<p>not text</p>';", // unterminated script
+      "<p>" + ("z" * 30) + "</p><td><a href='/'>" + ("q" * 40) + "</a></td>",
+      "<p>&nbsp;&nbsp;only nbsp entities&nbsp;&nbsp; padded to length here okay</p>",
+      "", // empty page
+      null.asInstanceOf[String] // failed fetch
+    )
+    val df = pages.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("doc_id", "html")
+    for ((minC, maxP) <- Seq((25, 33), (5, 0), (1, 100))) {
+      val ref = Boilerplate.extractMainTextReference(df, "html", minC, maxP)
+        .collect().map(_.toSeq).toSeq
+      for (codegen <- Seq(true, false)) {
+        val key = "spark.sql.codegen.factoryMode"
+        spark.conf.set(key, if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")
+        try {
+          val got = Boilerplate.extractMainText(df, "html", minC, maxP)
+            .collect().map(_.toSeq).toSeq
+          assert(got == ref, s"codegen=$codegen min=$minC maxPct=$maxP")
+        } finally spark.conf.set(key, "FALLBACK")
+      }
+    }
+  }
+
   test("parameter validation rejects nonsense thresholds") {
     val df = Seq((0L, "<p>x</p>")).toDF("doc_id", "html")
     intercept[IllegalArgumentException] {

@@ -37,6 +37,61 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(f.select(VectorFunctions.dot_product($"a", $"b")).collect()(0).getDouble(0) == 13.0)
   }
 
+  test("md5_word_hashes: interpreted == codegen == the conv/substring HOF") {
+    val df = Seq(
+      Array("the", "quick", "brown", "fox", ""),
+      Array("unicode", "naïve", "日本語", "emoji🎉"),
+      Array.empty[String]
+    ).toDF("ws")
+    val hof = df.select(
+      transform($"ws", w => conv(substring(md5(w), 1, 15), 16, 10).cast("long")))
+      .collect().map(_.getSeq[Long](0))
+    for (codegen <- Seq(true, false)) withCodegen(codegen) {
+      val got = df.select(HashFunctions.md5_word_hashes($"ws"))
+        .collect().map(_.getSeq[Long](0))
+      assert(got.toSeq == hof.toSeq, s"codegen=$codegen")
+    }
+    // null elements map to null, like the HOF
+    val withNull = spark.sql("select array('a', cast(null as string), 'b') ws")
+    val r = withNull.select(HashFunctions.md5_word_hashes($"ws")).collect()(0)
+      .getSeq[Any](0)
+    val h = withNull.select(
+      transform($"ws", w => conv(substring(md5(w), 1, 15), 16, 10).cast("long")))
+      .collect()(0).getSeq[Any](0)
+    assert(r == h && r(1) == null)
+  }
+
+  test("intersect_count == size(array_intersect) on dups, nulls, empties") {
+    val df = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(3L, 4L, 5L)),
+      (Array(1L, 1L, 2L, 2L), Array(2L, 2L, 1L)),          // duplicates both sides
+      (Array.emptyLongArray, Array(1L, 2L)),               // empty left
+      (Array(7L), Array.emptyLongArray),                   // empty right
+      (Array(0L, -1L, Long.MinValue), Array(Long.MinValue, 0L)), // sentinels
+      ((1L to 500L).toArray, (250L to 750L).toArray)       // bigger than table seed
+    ).toDF("a", "b")
+    val expected = df.select(size(array_intersect($"a", $"b")))
+      .collect().map(_.getInt(0))
+    for (codegen <- Seq(true, false)) withCodegen(codegen) {
+      val got = df.select(HashFunctions.intersect_count($"a", $"b"))
+        .collect().map(_.getInt(0))
+      assert(got.toSeq == expected.toSeq, s"codegen=$codegen")
+    }
+    // null ELEMENTS: a shared null counts once, like array_intersect
+    val withNulls = spark.sql(
+      "select array(1L, cast(null as bigint), 2L) a, " +
+        "array(cast(null as bigint), 2L, null) b " +
+      "union all select array(1L, cast(null as bigint)) a, array(2L) b")
+    val en = withNulls.select(size(array_intersect($"a", $"b")))
+      .collect().map(_.getInt(0))
+    val gn = withNulls.select(HashFunctions.intersect_count($"a", $"b"))
+      .collect().map(_.getInt(0))
+    assert(gn.toSeq == en.toSeq)
+    // null ARRAY propagates null
+    val na = Seq((Some(Array(1L)), Option.empty[Array[Long]])).toDF("a", "b")
+    assert(na.select(HashFunctions.intersect_count($"a", $"b")).collect()(0).isNullAt(0))
+  }
+
   test("two dot_products in one projection compile under forced codegen") {
     // regression: fixed local names in doGenCode collided when two instances
     // shared an unbraced codegen scope (non-nullable children)

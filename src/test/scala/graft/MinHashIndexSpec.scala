@@ -209,4 +209,34 @@ class MinHashIndexSpec extends AnyFunSuite {
       assert(after == Set(11L), "doc 10's screen is back after the append")
     } finally rm(dir)
   }
+
+  test("minhash over the DISTINCT gram array is bit-identical to the raw one") {
+    // the r22 single-tokenization probe derives band keys from the same
+    // array_distinct'd gram-hash array the verifier joins on; that is sound
+    // only because the signature is a per-seed MIN over gram hashes —
+    // duplicates and order cannot change a minimum. Pin it on texts with
+    // heavy gram repetition (so raw and distinct arrays genuinely differ).
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "a b c a b c a b c a b c"),          // every gram repeats 4x
+      (1L, "x y z x y z w x y z"),
+      (2L, "one two three four five six seven")  // all grams unique
+    ).toDF("doc_id", "text")
+    val words = split(col("text"), " ")
+    val raw = graft.functions.HashFunctions.word_gram_hashes(words, 3)
+    val sigs = docs.select(
+      graft.functions.HashFunctions.minhash_signature(raw, 16).as("from_raw"),
+      graft.functions.HashFunctions.minhash_signature(
+        array_distinct(raw), 16).as("from_distinct"),
+      reverse(array_distinct(raw)).as("rev"))
+    val shuffled = sigs.select(col("from_raw"), col("from_distinct"),
+      graft.functions.HashFunctions.minhash_signature(col("rev"), 16)
+        .as("from_reversed"))
+    shuffled.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        "distinct'd gram array must give the identical signature")
+      assert(r.getSeq[Long](0) == r.getSeq[Long](2),
+        "gram order must not matter either")
+    }
+  }
 }

@@ -247,8 +247,9 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q: no cartesian")
     }
     assert(plan("q52_embed_neardup_lsh_prod").contains("hyperplanesignature"))
-    assert(plan("q53_dedup_minhash_prod").contains("array_intersect"),
-      "q53 verifies candidates on gram arrays, not a gram self-join")
+    assert(plan("q53_dedup_minhash_prod").contains("intersectcount"),
+      "q53 verifies candidates on gram arrays (the codegen'd count-only " +
+        "intersection, r22), not a gram self-join")
   }
 
   test("hot-gram guard is skew-safe: map-side array_except removal, cached gram arrays") {
@@ -568,8 +569,8 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: no BNLJ")
       assert(!p.contains("CartesianProduct"), s"$q: no cartesian")
     }
-    assert(plan("q68_neardup_incremental").contains("array_intersect"),
-      "q68 verifies candidates on gram arrays")
+    assert(plan("q68_neardup_incremental").contains("intersectcount"),
+      "q68 verifies candidates on gram arrays (count-only intersection, r22)")
     val p69 = plan("q69_dup_spans")
     assert(p69.contains("wordgramhashes"),
       "q69 positions come from the codegen'd gram-hash array")
@@ -587,9 +588,10 @@ class PlanSpec extends AnyFunSuite {
       graft.operators.Dedup.minHashLshCandidates(docs, 3, 16, 16), 3, 0.5)
       .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
-    // exact verification must run on the candidates' gram ARRAYS
-    // (array_intersect), never by re-exploding grams into a self-join
-    assert(p.contains("array_intersect"))
+    // exact verification must run on the candidates' gram ARRAYS (the
+    // codegen'd count-only intersection, r22), never by re-exploding grams
+    // into a self-join
+    assert(p.contains("intersectcount"))
   }
 
   test("semantic dedup: assignment cached, pairwise step an equi-join on cluster_id") {
