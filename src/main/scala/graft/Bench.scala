@@ -892,9 +892,21 @@ object Bench {
     // degrades to the TOTAL-ONLY form, which is ~200 chars and always
     // parses; full per-query fidelity lives in BENCH_FULL.json (and the
     // total alone also in BENCH_TOTAL.json).
+    // r22 (the scaling-signal contract): the compact line carries the
+    // 10×-stress per-query seconds — the one COMPUTE-BOUND regime this box
+    // has. Sweep-level c8-vs-c32 ratios at sf0.1 measure the scheduler
+    // (planning + ~70 ms/stage chains), not the operators, so a reader of
+    // the compact record needs the stress section beside the total to see
+    // parallelism at all (BENCH_NOTES r22). Extracted from the full
+    // record's stress JSON ("<probe>_sec" keys), 2 decimals, ~300 chars.
+    val stressCompact = "\"(q[a-z0-9]+)_sec\":([0-9.]+)".r
+      .findAllMatchIn(stress)
+      .map(m => s""""${m.group(1)}":${shortAt(2)(m.group(2).toDouble)}""")
+      .mkString(",")
     val totalOnly =
       s"""{"metric":"total","value":${shortAt(3)(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"queries_file":"BENCH_FULL.json",""" +
+      s""""stress10x_sec":{$stressCompact},""" +
       s""""errors":$errJson,"sf":"$sfDir"}"""
     val tiers = Seq((3, false), (2, false), (1, false)) ++
       (if (shortKeysOk) Seq((2, true), (1, true)) else Nil)

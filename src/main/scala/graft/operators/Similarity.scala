@@ -45,7 +45,16 @@ object Similarity {
     * rounded to 6 decimals so results are stable across engines' summation
     * orders. */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.9): DataFrame = {
+    // r22: spread the STREAMED side. The verifier is O(n²) pair compute
+    // against a broadcast build side, so its parallelism equals the left
+    // side's partition count — for a single-file scan that is ONE task no
+    // matter how many cores exist. A round-robin repartition of n rows is
+    // free against n²/2 dot products at any scale, and it is
+    // scale-adaptive (defaultParallelism), not a local-mode constant
+    // (guide §2.5 input skew / §1.2). Values unchanged: same pairs, and
+    // the sort-before-repartition keeps the assignment deterministic.
     val a = withNorm(emb, "1")
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
     val b = withNorm(emb, "2")
     val cos = round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6)
     // Both predicates inside the join condition, cheap id check FIRST: the
