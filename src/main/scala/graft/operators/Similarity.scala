@@ -423,15 +423,24 @@ object Similarity {
   private def pqD6(a: Column, b: Column): Column =
     round(round(dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b), 6) * 1e6, 0).cast("long")
 
-  /** md5-seeded sub-codebooks: (sub, cid, cv). Bounded global window —
-    * ksub codebook seeds, the q64-vocabulary posture. */
+  /** md5-seeded sub-codebooks: (sub, cid, cv).
+    *
+    * r22: seed selection is `orderBy(...).limit(ksub)` — Spark plans it as
+    * a parallel TakeOrderedAndProject (per-partition top-k, merged on the
+    * driver) — instead of the previous corpus-wide one-partition
+    * row_number window (a real serial point at scale: every vector moved
+    * to one task to keep ksub of them). The selected set is IDENTICAL:
+    * (__h, vec_id) is a total order (vec_id unique), so "row_number ≤
+    * ksub" ≡ "limit ksub" on the same sort; the row_number that assigns
+    * cid now runs over the ksub-row result — a bounded global window, the
+    * q64-vocabulary posture. */
   private def pqCodebookDf(e: DataFrame, m: Int, ksub: Int): DataFrame = {
     val seedW = org.apache.spark.sql.expressions.Window
       .orderBy(col("__h"), col("vec_id"))
     broadcast(
       e.withColumn("__h", md5(col("vec_id").cast("string")))
+        .orderBy(col("__h"), col("vec_id")).limit(ksub)
         .withColumn("cid", row_number().over(seedW) - 1)
-        .filter(col("cid") < ksub)
         .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
         .select(col("sub"), col("cid"), pqSubSlice(m)(col("v")).as("cv")))
   }

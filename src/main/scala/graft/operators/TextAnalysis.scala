@@ -1392,9 +1392,15 @@ object TextAnalysis {
         i => array_join(slice(col("__words"), i + 1, lit(n)), " "))).as("gram"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("gram"))
+    // r22: top-k via orderBy().limit(k) — a parallel TakeOrderedAndProject
+    // over the partial-aggregated gram counts — instead of a one-partition
+    // row_number window over EVERY distinct gram (the gram vocabulary
+    // grows with the corpus, so that window was a real serial point at
+    // scale). (cnt DESC, gram) is a total order, so the kept set is
+    // identical; the rank window now runs over k rows only.
     grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram")).limit(k)
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
       .select(col("gram"), col("cnt"), col("rnk"))
   }
 
